@@ -1,0 +1,155 @@
+"""Extraction stage: pages DataFrame → TRIPLES DataFrame.
+
+Parity: the reference's document-load entry point (rdf_ttl.ml ::
+from_string → g.add_triple loop, SURVEY §3 EP2), re-expressed as ONE
+vectorized `mapInPandas` pass per the north rule (BASELINE.json:6,16):
+each Arrow batch of pages runs text extraction + all embedded-format
+parsers (JSON-LD, RDFa, microdata, inline Turtle, inline N-Triples) in
+pure Python, emitting exploded triple rows. No row-at-a-time Python UDFs.
+
+Scale design:
+- `salted_repartition` spreads mega-host skew before the CPU-heavy parse
+  (north rule): key = xxhash64(host) combined with a per-url salt.
+- Parser errors NEVER kill a task at 10^12-doc scale: they become lineage
+  error rows (pred = ERROR_PRED) filtered out by `split_errors`.
+- Blank-node labels are document-local in parsers; rewritten here to
+  deterministic partition-safe ids sha1(url|extractor|label) — SURVEY §1.3,
+  replacing the reference's mutable counter (rdf_graph.ml :: new_blank_id).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import html as html_mod
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .sources.html_text import extract_text
+from .sources.htmldom import raw_blocks
+from .sources.jsonld import extract_jsonld
+from .sources.microdata import extract_microdata
+from .sources.ntriples import parse_ntriples
+from .sources.rdfa import extract_rdfa
+from .sources.turtle import TurtleParser
+from .types import TRIPLES_COLUMNS, TRIPLES_SCHEMA, BNode, Iri, Term, triple_row
+
+ERROR_PRED = "urn:x-ords:error"
+
+EXTRACTORS = ("jsonld", "rdfa", "microdata", "turtle", "ntriples")
+
+
+def _global_bnode(term: Term, url: str, ext: str) -> Term:
+    if isinstance(term, BNode):
+        h = hashlib.sha1(f"{url}|{ext}|{term.label}".encode()).hexdigest()[:16]
+        return BNode(h)
+    return term
+
+
+def extract_page(url: str, html_bytes: bytes) -> tuple[list[tuple], list[tuple]]:
+    """Parse one page; returns (triple_rows, error_rows) in TRIPLES row form."""
+    rows: list[tuple] = []
+    errors: list[tuple] = []
+    html = html_bytes.decode("utf-8", errors="replace")
+
+    def emit(triples, ext: str):
+        for s, p, o in triples:
+            s = _global_bnode(s, url, ext)
+            o = _global_bnode(o, url, ext)
+            try:
+                rows.append(triple_row(s, p, o, graph=url, src_url=url, extractor=ext))
+            except ValueError:
+                pass  # ill-formed triple (literal subject etc.) — drop
+
+    def err(ext: str, e: Exception):
+        msg = f"{type(e).__name__}: {e}"[:500]
+        errors.append(
+            (0, url, ERROR_PRED, 2, msg, "http://www.w3.org/2001/XMLSchema#string", None, url, url, ext, None)
+        )
+
+    # script/pre payload blocks (raw, entity-preserving)
+    for tag, attrs, raw in raw_blocks(html):
+        btype = (attrs.get("type") or "").split(";")[0].strip().lower()
+        if tag == "script" and btype == "application/ld+json":
+            try:
+                emit(extract_jsonld(raw, base=url), "jsonld")
+            except Exception as e:  # pragma: no cover - extractor is lenient
+                err("jsonld", e)
+        elif tag == "script" and btype == "text/turtle":
+            try:
+                emit(TurtleParser(raw, base=url).parse(), "turtle")
+            except Exception as e:
+                err("turtle", e)
+        elif tag == "pre" and "ntriples" in (attrs.get("class") or ""):
+            try:
+                emit(list(parse_ntriples(html_mod.unescape(raw))), "ntriples")
+            except Exception as e:
+                err("ntriples", e)
+
+    # attribute-based formats over the tolerant DOM
+    try:
+        emit(extract_rdfa(html, base=url), "rdfa")
+    except Exception as e:
+        err("rdfa", e)
+    try:
+        emit(extract_microdata(html, base=url), "microdata")
+    except Exception as e:
+        err("microdata", e)
+
+    return rows, errors
+
+
+def extract_triples(pages: DataFrame, with_text: bool = False) -> DataFrame:
+    """pages (url, warc_ts, html, ...) → TRIPLES DataFrame (+ error rows).
+
+    One Arrow batch in, one triples batch out; parser instances are
+    per-document but allocation-light. Set-semantics dedup is NOT applied
+    here (do it once globally at materialization — cheaper than per-batch).
+    """
+    cols = ["url", "html"] + (["text"] if with_text else [])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[tuple] = []
+            for url, html_bytes in zip(pdf["url"], pdf["html"]):
+                rows, errors = extract_page(url, bytes(html_bytes))
+                out.extend(rows)
+                out.extend(errors)
+            yield pd.DataFrame(out, columns=TRIPLES_COLUMNS)
+
+    return pages.select(*cols).mapInPandas(run, schema=TRIPLES_SCHEMA)
+
+
+def extract_text_df(pages: DataFrame) -> DataFrame:
+    """(url, text) recomputed from html — the byte-identity check input."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "text": [extract_text(bytes(h)) for h in pdf["html"]],
+                }
+            )
+
+    return pages.select("url", "html").mapInPandas(run, schema="url string, text string")
+
+
+def split_errors(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(clean triples, error/lineage rows)."""
+    return df.filter(F.col("pred") != ERROR_PRED), df.filter(F.col("pred") == ERROR_PRED)
+
+
+def salted_repartition(pages: DataFrame, num_partitions: int, salt_buckets: int = 16) -> DataFrame:
+    """Spread mega-host skew before the parse stage (north rule).
+
+    Key = (host-hash, per-url salt): pages from one mega-host land on up to
+    `salt_buckets` partitions instead of one. At 100 TB this is the
+    difference between a straggler task parsing 20% of the corpus and an
+    even spread; AQE cannot fix skew inside a mapInPandas stage on its own.
+    """
+    host = F.lower(F.regexp_extract("url", r"^[a-z][a-z0-9+.-]*://([^/:@]+@)?([^/:?#]+)", 2))
+    salt = F.pmod(F.xxhash64("url"), F.lit(salt_buckets))
+    return pages.repartition(num_partitions, F.xxhash64(host), salt)
