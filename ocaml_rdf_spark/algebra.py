@@ -1,0 +1,631 @@
+"""SPARQL algebra (spec §18.2) → Spark DataFrame plans.
+
+Parity: rdf_sparql_types.ml (AST) + rdf_sparql_algebra.ml (translation) +
+rdf_sparql_eval.ml / rdf_sparql_ms.ml (multiset evaluation) — SURVEY §2.3.
+The reference evaluates solution-mapping multisets tuple-at-a-time; here a
+solution multiset IS a DataFrame with one TERM_STRUCT column per variable
+(NULL = unbound), and every algebra operator is a DataFrame transformation,
+so Catalyst gets the whole tree: predicate pushdown into the quad scans,
+join reordering, AQE skew handling — none of which the reference has
+(SURVEY §4).
+
+Compatibility rule (rdf_sparql_ms.ml :: compatible): two mappings join iff
+they agree on shared *bound* vars. Nodes track which vars are certainly
+bound; when all shared vars are certain on both sides the join condition is
+plain (hash-joinable) equality, otherwise the null-tolerant compatibility
+condition is emitted (SURVEY §2.3 Join note).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .functions.builtins import E
+from .functions.terms import ebv, sort_key, t_iri, term_lit
+from .types import KIND_LITERAL, Term
+from .types import Iri as PyIri
+
+# ---------------------------------------------------------------------------
+# variables & patterns
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Var:
+    name: str
+
+
+Position = Union[Var, Term]
+
+
+@dataclass(frozen=True)
+class TriplePattern:
+    s: Position
+    p: Position
+    o: Position
+    g: Union[Var, str, None] = None  # None = inherit context
+
+
+class Ctx:
+    """Dataset context: the quad DataFrame + active-graph state (rdf_ds.ml)."""
+
+    def __init__(self, quads: DataFrame, graph: Union[Var, str, None] = None):
+        self.quads = quads
+        self.graph = graph  # None = union of all graphs (RDF merge view)
+
+    def with_graph(self, g: Union[Var, str, None]) -> "Ctx":
+        return Ctx(self.quads, g)
+
+
+#: compile result: (solutions DataFrame, certainly-bound vars, maybe-bound vars)
+CompileOut = tuple[DataFrame, frozenset, frozenset]
+
+
+def _varmap(df_vars, qualifier: Optional[str] = None) -> dict:
+    if qualifier:
+        return {v: F.col(f"{qualifier}.{v}") for v in df_vars}
+    return {v: F.col(v) for v in df_vars}
+
+
+# ---------------------------------------------------------------------------
+# algebra nodes
+# ---------------------------------------------------------------------------
+
+
+class Node:
+    def compile(self, ctx: Ctx) -> CompileOut:
+        raise NotImplementedError
+
+    # fluent builders -------------------------------------------------------
+    def join(self, other: "Node") -> "Node":
+        return Join(self, other)
+
+    def left_join(self, other: "Node", expr: Optional[E] = None) -> "Node":
+        return LeftJoin(self, other, expr)
+
+    def filter(self, expr: E) -> "Node":
+        return Filter(expr, self)
+
+    def union(self, other: "Node") -> "Node":
+        return UnionNode(self, other)
+
+    def minus(self, other: "Node") -> "Node":
+        return Minus(self, other)
+
+    def extend(self, var: str, expr: E) -> "Node":
+        return Extend(self, var, expr)
+
+    def project(self, *vars_: str) -> "Node":
+        return Project(self, list(vars_))
+
+    def distinct(self) -> "Node":
+        return Distinct(self)
+
+    def group(self, by: Sequence[str], aggs: Sequence["Agg"]) -> "Node":
+        return Group(self, list(by), list(aggs))
+
+    def order_by(self, *conds) -> "Node":
+        return OrderBy(self, list(conds))
+
+    def slice(self, offset: int = 0, limit: Optional[int] = None) -> "Node":
+        return Slice(self, offset, limit)
+
+    def exists(self, sub: "Node", negated: bool = False) -> "Node":
+        return ExistsFilter(self, sub, negated)
+
+
+def _scan(ctx: Ctx, tp: TriplePattern) -> CompileOut:
+    """One triple-pattern scan: bound positions become pushed filters,
+    var positions become TERM_STRUCT columns (rdf_sparql_eval.ml ::
+    eval_bgp's candidate extension, turned columnar)."""
+    df = ctx.quads
+    g = tp.g if tp.g is not None else ctx.graph
+    if isinstance(g, str):
+        df = df.filter(F.col("graph") == g)
+
+    s_struct = F.struct(
+        F.col("s_kind").alias("kind"),
+        F.col("s_lex").alias("lex"),
+        F.lit(None).cast("string").alias("dtype"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+    p_struct = t_iri(F.col("pred"))
+    o_struct = F.struct(
+        F.col("o_kind").alias("kind"),
+        F.col("o_lex").alias("lex"),
+        F.col("o_dtype").alias("dtype"),
+        F.col("o_lang").alias("lang"),
+    )
+    pos_cols = {"s": s_struct, "p": p_struct, "o": o_struct}
+    out: dict[str, Column] = {}
+    for pos, item in (("s", tp.s), ("p", tp.p), ("o", tp.o)):
+        if isinstance(item, Var):
+            if item.name in out:  # repeated var within one pattern
+                df = df.filter(pos_cols[pos].eqNullSafe(out[item.name]))
+            else:
+                out[item.name] = pos_cols[pos]
+        else:
+            df = df.filter(pos_cols[pos].eqNullSafe(term_lit(item)))
+    if isinstance(g, Var):
+        out[g.name] = t_iri(F.col("graph"))
+    if not out:
+        # fully ground pattern: empty-binding solution per match
+        df = df.select(F.lit(1).alias("__m"))
+        return df, frozenset(), frozenset()
+    df = df.select(*[c.alias(v) for v, c in out.items()])
+    return df, frozenset(out), frozenset()
+
+
+def _merge_join(
+    left: CompileOut, right: CompileOut, how: str, extra: Optional[E] = None
+) -> CompileOut:
+    ldf, lc, lm = left
+    rdf, rc, rm = right
+    lvars, rvars = lc | lm, rc | rm
+    shared = lvars & rvars
+
+    if not shared and how == "inner" and extra is None:
+        df = ldf.crossJoin(rdf)
+        return df, lc | rc, lm | rm
+
+    L, R = ldf.alias("l"), rdf.alias("r")
+    cond = F.lit(True)
+    for v in sorted(shared):
+        lv, rv = F.col(f"l.{v}"), F.col(f"r.{v}")
+        if v in lc and v in rc:
+            cond = cond & lv.eqNullSafe(rv)  # hash-joinable equality
+        else:
+            cond = cond & (lv.eqNullSafe(rv) | lv.isNull() | rv.isNull())
+    if extra is not None:
+        vm = {}
+        for v in lvars | rvars:
+            if v in shared:
+                vm[v] = F.coalesce(F.col(f"l.{v}"), F.col(f"r.{v}"))
+            elif v in lvars:
+                vm[v] = F.col(f"l.{v}")
+            else:
+                vm[v] = F.col(f"r.{v}")
+        cond = cond & F.coalesce(ebv(extra(vm)), F.lit(False))
+
+    out_cols = []
+    for v in sorted(lvars | rvars):
+        if v in shared:
+            out_cols.append(F.coalesce(F.col(f"l.{v}"), F.col(f"r.{v}")).alias(v))
+        elif v in lvars:
+            out_cols.append(F.col(f"l.{v}").alias(v))
+        else:
+            out_cols.append(F.col(f"r.{v}").alias(v))
+    df = L.join(R, cond, how).select(*out_cols)
+    if how == "inner":
+        return df, lc | rc, (lm | rm) - (lc | rc)
+    # left_outer: right-side vars become maybe-bound
+    return df, lc, (lm | rvars) - lc
+
+
+@dataclass
+class BGP(Node):
+    """Basic graph pattern: conjunctive triple patterns, equi-joined on
+    shared vars (SURVEY §2.3 BGP row)."""
+
+    patterns: Sequence[TriplePattern]
+
+    def compile(self, ctx: Ctx) -> CompileOut:
+        if not self.patterns:
+            spark = ctx.quads.sparkSession
+            return spark.range(1).select(F.lit(1).alias("__unit")), frozenset(), frozenset()
+        # selectivity heuristic (cheap, plan-side): more bound positions first;
+        # Catalyst/AQE may still reorder the resulting inner joins.
+        def boundness(tp: TriplePattern) -> int:
+            return sum(0 if isinstance(x, Var) else 1 for x in (tp.s, tp.p, tp.o))
+
+        ordered = sorted(range(len(self.patterns)), key=lambda i: (-boundness(self.patterns[i]), i))
+        acc = _scan(ctx, self.patterns[ordered[0]])
+        for i in ordered[1:]:
+            acc = _merge_join(acc, _scan(ctx, self.patterns[i]), "inner")
+        return acc
+
+
+@dataclass
+class Join(Node):
+    left: Node
+    right: Node
+
+    def compile(self, ctx: Ctx) -> CompileOut:
+        return _merge_join(self.left.compile(ctx), self.right.compile(ctx), "inner")
+
+
+@dataclass
+class LeftJoin(Node):
+    """OPTIONAL: the filter expression is part of the join condition
+    (spec §18.5 — NOT a post-filter)."""
+
+    left: Node
+    right: Node
+    expr: Optional[E] = None
+
+    def compile(self, ctx: Ctx) -> CompileOut:
+        return _merge_join(self.left.compile(ctx), self.right.compile(ctx), "left_outer", self.expr)
+
+
+@dataclass
+class Filter(Node):
+    expr: E
+    child: Node
+
+    def compile(self, ctx: Ctx) -> CompileOut:
+        df, c, m = self.child.compile(ctx)
+        vm = _varmap(c | m)
+        return df.filter(F.coalesce(ebv(self.expr(vm)), F.lit(False))), c, m
+
+
+@dataclass
+class UnionNode(Node):
+    left: Node
+    right: Node
+
+    def compile(self, ctx: Ctx) -> CompileOut:
+        ldf, lc, lm = self.left.compile(ctx)
+        rdf, rc, rm = self.right.compile(ctx)
+        for v in (rc | rm) - (lc | lm):
+            ldf = ldf.withColumn(v, F.lit(None).cast("struct<kind:tinyint,lex:string,dtype:string,lang:string>"))
+        for v in (lc | lm) - (rc | rm):
+            rdf = rdf.withColumn(v, F.lit(None).cast("struct<kind:tinyint,lex:string,dtype:string,lang:string>"))
+        df = ldf.unionByName(rdf)
+        return df, lc & rc, (lc | lm | rc | rm) - (lc & rc)
+
+
+@dataclass
+class Minus(Node):
+    """MINUS (spec §18.5): remove mappings compatible with some right-side
+    mapping sharing ≥1 bound var — anti join + domain-overlap guard."""
+
+    left: Node
+    right: Node
+
+    def compile(self, ctx: Ctx) -> CompileOut:
+        ldf, lc, lm = self.left.compile(ctx)
+        rdf, rc, rm = self.right.compile(ctx)
+        shared = (lc | lm) & (rc | rm)
+        if not shared:
+            return ldf, lc, lm  # disjoint domains: remove nothing
+        L, R = ldf.alias("l"), rdf.alias("r")
+        compat = F.lit(True)
+        overlap = F.lit(False)
+        for v in sorted(shared):
+            lv, rv = F.col(f"l.{v}"), F.col(f"r.{v}")
+            compat = compat & (lv.eqNullSafe(rv) | lv.isNull() | rv.isNull())
+            overlap = overlap | (lv.isNotNull() & rv.isNotNull())
+        df = L.join(R, compat & overlap, "left_anti")
+        return df, lc, lm
+
+
+@dataclass
+class GraphNode(Node):
+    """GRAPH g {P}: IRI ⇒ filter pushed to leaf scans; var ⇒ graph column
+    becomes a bound var (SURVEY §2.3 Graph row)."""
+
+    g: Union[Var, str]
+    child: Node
+
+    def compile(self, ctx: Ctx) -> CompileOut:
+        df, c, m = self.child.compile(ctx.with_graph(self.g))
+        if isinstance(self.g, Var):
+            return df, c | {self.g.name}, m - {self.g.name}
+        return df, c, m
+
+
+@dataclass
+class Extend(Node):
+    """BIND: expression errors leave the var unbound (NULL struct)."""
+
+    child: Node
+    var: str
+    expr: E
+
+    def compile(self, ctx: Ctx) -> CompileOut:
+        df, c, m = self.child.compile(ctx)
+        vm = _varmap(c | m)
+        return df.withColumn(self.var, self.expr(vm)), c, m | {self.var}
+
+
+@dataclass
+class Values(Node):
+    """VALUES / DataToMultiset: inline data joined in (broadcast-sized)."""
+
+    rows: Sequence[dict]  # var -> Term | None
+
+    def compile(self, ctx: Ctx) -> CompileOut:
+        spark = ctx.quads.sparkSession
+        vars_ = sorted({v for row in self.rows for v in row})
+        from .types import term_kind
+
+        data = []
+        for row in self.rows:
+            rec = []
+            for v in vars_:
+                t = row.get(v)
+                if t is None:
+                    rec.append(None)
+                else:
+                    from .types import BNode, Iri, Literal
+
+                    if isinstance(t, Literal):
+                        lang = t.lang
+                        from .types import RDF_LANGSTRING, XSD_STRING
+
+                        dt = RDF_LANGSTRING if lang else (t.dtype or XSD_STRING)
+                        rec.append((KIND_LITERAL, t.lexical, dt, lang))
+                    elif isinstance(t, Iri):
+                        rec.append((0, t.value, None, None))
+                    else:
+                        rec.append((1, t.label, None, None))
+            data.append(tuple(rec))
+        schema = ", ".join(f"{v} struct<kind:tinyint,lex:string,dtype:string,lang:string>" for v in vars_)
+        df = spark.createDataFrame(data, schema=schema)
+        certain = frozenset(v for v in vars_ if all(row.get(v) is not None for row in self.rows))
+        return df, certain, frozenset(vars_) - certain
+
+
+@dataclass
+class Project(Node):
+    child: Node
+    vars: list
+
+    def compile(self, ctx: Ctx) -> CompileOut:
+        df, c, m = self.child.compile(ctx)
+        have = c | m
+        cols = []
+        for v in self.vars:
+            if v in have:
+                cols.append(F.col(v))
+            else:
+                cols.append(F.lit(None).cast("struct<kind:tinyint,lex:string,dtype:string,lang:string>").alias(v))
+        return df.select(*cols), c & set(self.vars), frozenset(self.vars) - c
+
+
+@dataclass
+class Distinct(Node):
+    child: Node
+
+    def compile(self, ctx: Ctx) -> CompileOut:
+        df, c, m = self.child.compile(ctx)
+        return df.dropDuplicates(), c, m
+
+
+#: REDUCED ≡ Distinct here (always dedup is spec-conformant, SURVEY §2.3)
+Reduced = Distinct
+
+
+@dataclass
+class OrderBy(Node):
+    """ORDER BY with the SPARQL total order: each condition is (expr, asc)
+    or just an expr/var name; keys are synthesized sort-key structs so the
+    whole thing stays a native Spark sort (→ TakeOrderedAndProject under
+    LIMIT)."""
+
+    child: Node
+    conds: list
+
+    def compile(self, ctx: Ctx) -> CompileOut:
+        df, c, m = self.child.compile(ctx)
+        vm = _varmap(c | m)
+        keys = []
+        for cond in self.conds:
+            asc = True
+            if isinstance(cond, tuple):
+                cond, asc = cond
+            if isinstance(cond, str):
+                col = vm[cond]
+            else:
+                col = cond(vm)
+            k = sort_key(col)
+            keys.append(k.asc_nulls_first() if asc else k.desc_nulls_last())
+        return df.orderBy(*keys), c, m
+
+
+@dataclass
+class Slice(Node):
+    child: Node
+    offset: int = 0
+    limit: Optional[int] = None
+
+    def compile(self, ctx: Ctx) -> CompileOut:
+        df, c, m = self.child.compile(ctx)
+        if self.offset:
+            df = df.offset(self.offset)
+        if self.limit is not None:
+            df = df.limit(self.limit)
+        return df, c, m
+
+
+@dataclass
+class ExistsFilter(Node):
+    """FILTER EXISTS / NOT EXISTS — decorrelated by construction into a
+    semi/anti join on shared vars (SURVEY §4 subquery-decorrelation row)."""
+
+    child: Node
+    sub: Node
+    negated: bool = False
+
+    def compile(self, ctx: Ctx) -> CompileOut:
+        ldf, lc, lm = self.child.compile(ctx)
+        rdf, rc, rm = self.sub.compile(ctx)
+        shared = (lc | lm) & (rc | rm)
+        how = "left_anti" if self.negated else "left_semi"
+        if not shared:
+            # uncorrelated: keep all iff sub (non)empty
+            nonempty = len(rdf.take(1)) > 0
+            keep = (not nonempty) if self.negated else nonempty
+            return (ldf, lc, lm) if keep else (ldf.filter(F.lit(False)), lc, lm)
+        L, R = ldf.alias("l"), rdf.alias("r")
+        cond = F.lit(True)
+        for v in sorted(shared):
+            lv, rv = F.col(f"l.{v}"), F.col(f"r.{v}")
+            cond = cond & (lv.eqNullSafe(rv) | lv.isNull() | rv.isNull())
+        return L.join(R, cond, how), lc, lm
+
+
+# ---------------------------------------------------------------------------
+# aggregation (spec §18.5.1; rdf_sparql_eval.ml :: eval_agg — SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Agg:
+    out: str
+    kind: str  # count | count_star | sum | avg | min | max | sample | group_concat
+    expr: Optional[E] = None  # None only for count_star
+    distinct: bool = False
+    separator: str = " "
+
+
+@dataclass
+class Group(Node):
+    child: Node
+    by: list  # var names (use Extend first for computed keys)
+    aggs: list
+
+    def compile(self, ctx: Ctx) -> CompileOut:
+        from .types import XSD_DOUBLE, XSD_INTEGER
+
+        df, c, m = self.child.compile(ctx)
+        vm = _varmap(c | m)
+        from .functions.terms import num, t_double, t_int
+
+        proj = [F.col(v) for v in self.by]
+        agg_inputs = {}
+        for a in self.aggs:
+            if a.expr is not None:
+                agg_inputs[a.out] = self.aggs.index(a)
+                proj.append(a.expr(vm).alias(f"__in_{a.out}"))
+        gdf = df.select(*proj) if proj else df
+        grouped = gdf.groupBy(*[F.col(v) for v in self.by]) if self.by else gdf.groupBy()
+
+        aggs = []
+        for a in self.aggs:
+            i = F.col(f"__in_{a.out}")
+            if a.kind == "count_star":
+                aggs.append(t_int(F.count(F.lit(1))).alias(a.out))
+            elif a.kind == "count":
+                e = F.count_distinct(i) if a.distinct else F.count(i)
+                aggs.append(t_int(e).alias(a.out))
+            elif a.kind in ("sum", "avg"):
+                n = num(i)
+                n_in = F.when(i.isNull(), F.lit(None).cast("double")).otherwise(n)
+                poisoned = F.max(i.isNotNull() & n.isNull())  # non-numeric bound value
+                if a.distinct:
+                    val = F.sum_distinct(n_in) if a.kind == "sum" else (F.sum_distinct(n_in) / F.count_distinct(n_in))
+                else:
+                    val = F.sum(n_in) if a.kind == "sum" else F.avg(n_in)
+                # empty group: SUM() = integer 0 per spec, so all_int defaults true
+                all_int = F.coalesce(F.min(F.coalesce(i["dtype"] == XSD_INTEGER, F.lit(False))), F.lit(True))
+                zero = F.lit(0.0) if a.kind == "sum" else F.lit(None).cast("double")
+                val = F.coalesce(val, zero)
+                res = F.when(poisoned, F.lit(None).cast("double")).otherwise(val)
+                if a.kind == "sum":
+                    term = F.when(all_int, t_int(res)).otherwise(t_double(res))
+                else:  # AVG over integers is xsd:decimal per spec — double here
+                    term = t_double(res)
+                aggs.append(term.alias(a.out))
+            elif a.kind in ("min", "max"):
+                k = sort_key(i)
+                e = F.min_by(i, k) if a.kind == "min" else F.max_by(i, k)
+                aggs.append(e.alias(a.out))
+            elif a.kind == "sample":
+                aggs.append(F.first(i, ignorenulls=True).alias(a.out))
+            elif a.kind == "group_concat":
+                lexes = F.collect_list(i["lex"])
+                if a.distinct:
+                    lexes = F.array_distinct(lexes)
+                from .functions.terms import t_string
+
+                aggs.append(t_string(F.concat_ws(a.separator, lexes)).alias(a.out))
+            else:
+                raise ValueError(f"unknown aggregate {a.kind}")
+        out = grouped.agg(*aggs) if aggs else grouped.agg(F.count(F.lit(1)).alias("__n")).drop("__n")
+        names = frozenset(self.by) | {a.out for a in self.aggs}
+        return out, frozenset(self.by), names - frozenset(self.by)
+
+
+# ---------------------------------------------------------------------------
+# query forms (rdf_sparql.ml :: execute — SURVEY §2.3 ASK/CONSTRUCT rows)
+# ---------------------------------------------------------------------------
+
+
+def ask(node: Node, ctx: Ctx) -> bool:
+    df, _, _ = node.compile(ctx)
+    return len(df.take(1)) > 0
+
+
+def select(node: Node, ctx: Ctx) -> DataFrame:
+    df, _, _ = node.compile(ctx)
+    return df
+
+
+def flatten(df: DataFrame) -> DataFrame:
+    """Term-struct solution DF → plain string columns (lex only) — for
+    display, tests, and DuckDB-oracle comparison."""
+    return df.select(*[F.col(c)["lex"].alias(c) for c in df.columns])
+
+
+@dataclass
+class Template:
+    s: Position
+    p: Position
+    o: Position
+
+
+def construct(templates: Sequence[Template], node: Node, ctx: Ctx, graph: str = "urn:x-ords:constructed") -> DataFrame:
+    """CONSTRUCT: instantiate templates per solution, drop ill-formed
+    triples, set-dedup (spec: CONSTRUCT yields a graph = triple set)."""
+    df, c, m = node.compile(ctx)
+    vm = _varmap(c | m)
+    outs = []
+    for t in templates:
+        def col_of(x: Position) -> Column:
+            if isinstance(x, Var):
+                return vm[x.name]
+            return term_lit(x)
+
+        s, p, o = col_of(t.s), col_of(t.p), col_of(t.o)
+        row = df.select(
+            s["kind"].alias("s_kind"),
+            s["lex"].alias("s_lex"),
+            p["lex"].alias("pred"),
+            o["kind"].alias("o_kind"),
+            o["lex"].alias("o_lex"),
+            o["dtype"].alias("o_dtype"),
+            o["lang"].alias("o_lang"),
+            F.lit(graph).alias("graph"),
+            F.lit(None).cast("string").alias("src_url"),
+            F.lit("construct").alias("extractor"),
+            F.lit(None).cast("int").alias("part_id"),
+        ).filter(
+            s["kind"].isNotNull()
+            & (s["kind"] != KIND_LITERAL)
+            & p["kind"].isNotNull()
+            & (p["kind"] == 0)
+            & o["kind"].isNotNull()
+        )
+        outs.append(row)
+    out = outs[0]
+    for r in outs[1:]:
+        out = out.unionByName(r)
+    from .types import TRIPLE_KEY
+
+    return out.dropDuplicates(TRIPLE_KEY)
+
+
+def describe(terms: Sequence[Term], ctx: Ctx) -> DataFrame:
+    """DESCRIBE (naive variant, as the reference: emit triples whose subject
+    is a described resource — rdf_sparql.ml, SURVEY §2.3)."""
+    from .types import term_kind
+
+    spark = ctx.quads.sparkSession
+    keys = [(term_kind(t), t.value if isinstance(t, PyIri) else getattr(t, "label", None)) for t in terms]
+    kdf = spark.createDataFrame(keys, schema="s_kind tinyint, s_lex string")
+    return ctx.quads.join(F.broadcast(kdf), ["s_kind", "s_lex"], "left_semi")

@@ -1,0 +1,599 @@
+"""SPARQL §17 builtin functions + operators as a composable expression DSL.
+
+Parity: rdf_sparql_eval.ml's builtin dispatch + rdf_dt.ml coercions
+(SURVEY §2.8). An expression is an `E` node; `E(varmap) -> Column` yields a
+TERM_STRUCT Column. Errors are NULL structs (R4 deviation table in
+SURVEY §2.8): FILTER drops them (NULL is not true), BIND leaves the var
+unbound — matching the spec's error-propagation outcomes.
+
+Everything compiles to built-in Catalyst expressions (when/try_cast/
+string fns/hashes) — whole-stage-codegen friendly, zero Python UDFs.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..types import (
+    KIND_IRI,
+    KIND_LITERAL,
+    RDF_LANGSTRING,
+    XSD_BOOLEAN,
+    XSD_DATETIME,
+    XSD_DECIMAL,
+    XSD_DOUBLE,
+    XSD_INTEGER,
+    XSD_STRING,
+    Term,
+)
+from ..types import Iri as PyIri
+from ..types import Literal as PyLiteral
+from .terms import (
+    boolv,
+    ebv,
+    is_blank,
+    is_iri,
+    is_literal,
+    is_numeric_dtype,
+    is_stringish,
+    mk_term,
+    null_term,
+    num,
+    sort_key,
+    t_bnode,
+    t_bool,
+    t_double,
+    t_int,
+    t_iri,
+    t_lang,
+    t_string,
+    t_typed,
+    term_lit,
+    ts,
+)
+
+def _nullb():
+    return F.lit(None).cast("boolean")
+
+VarMap = dict  # var name -> term-struct Column
+
+
+class E:
+    """Expression node: callable varmap → term-struct Column."""
+
+    __slots__ = ("fn",)
+
+    def __init__(self, fn: Callable[[VarMap], Column]):
+        self.fn = fn
+
+    def __call__(self, vm: VarMap) -> Column:
+        return self.fn(vm)
+
+    # comparisons (value semantics, §17.4.1.7-9)
+    def __eq__(self, other):  # type: ignore[override]
+        return _cmp(self, _e(other), eq_bool)
+
+    def __ne__(self, other):  # type: ignore[override]
+        return _cmp(self, _e(other), lambda a, b: _not3(eq_bool(a, b)))
+
+    def __lt__(self, other):
+        return _cmp(self, _e(other), lt_bool)
+
+    def __gt__(self, other):
+        return _cmp(self, _e(other), lambda a, b: lt_bool(b, a))
+
+    def __le__(self, other):
+        return _cmp(self, _e(other), lambda a, b: _or3(lt_bool(a, b), eq_bool(a, b)))
+
+    def __ge__(self, other):
+        return _cmp(self, _e(other), lambda a, b: _or3(lt_bool(b, a), eq_bool(a, b)))
+
+    # logical (SPARQL 3VL, §17.4.1.5-6 — aligns with SQL 3VL on these tables)
+    def __and__(self, other):
+        return E(lambda vm: t_bool(ebv(self(vm)) & ebv(_e(other)(vm))))
+
+    def __or__(self, other):
+        return E(lambda vm: t_bool(ebv(self(vm)) | ebv(_e(other)(vm))))
+
+    def __invert__(self):
+        return E(lambda vm: t_bool(~ebv(self(vm))))
+
+    # arithmetic (§17.4.1 operator mappings over the numeric tower)
+    def __add__(self, other):
+        return _arith(self, _e(other), lambda a, b: a + b)
+
+    def __sub__(self, other):
+        return _arith(self, _e(other), lambda a, b: a - b)
+
+    def __mul__(self, other):
+        return _arith(self, _e(other), lambda a, b: a * b)
+
+    def __truediv__(self, other):
+        # xsd divide: integer/integer -> decimal (never int division)
+        return _arith(self, _e(other), lambda a, b: a / F.nullif(b, F.lit(0.0)), force_double=True)
+
+    def __hash__(self):
+        return id(self)
+
+
+def _e(x) -> E:
+    if isinstance(x, E):
+        return x
+    return L(x)
+
+
+def V(name: str) -> E:
+    """Variable reference."""
+    return E(lambda vm: vm[name])
+
+
+def L(value) -> E:
+    """Constant: Python value or Term → literal/IRI term."""
+    if isinstance(value, Term.__args__):  # type: ignore[attr-defined]
+        c = term_lit(value)
+    elif isinstance(value, bool):
+        c = term_lit(PyLiteral("true" if value else "false", dtype=XSD_BOOLEAN))
+    elif isinstance(value, int):
+        c = term_lit(PyLiteral(str(value), dtype=XSD_INTEGER))
+    elif isinstance(value, float):
+        c = term_lit(PyLiteral(repr(value), dtype=XSD_DOUBLE))
+    elif isinstance(value, str):
+        c = term_lit(PyLiteral(value))
+    else:
+        raise TypeError(f"cannot lift {value!r}")
+    return E(lambda vm: c)
+
+
+def IRI_(value: str) -> E:
+    return E(lambda vm, c=term_lit(PyIri(value)): c)
+
+
+# ---------------------------------------------------------------------------
+# comparison kernels
+# ---------------------------------------------------------------------------
+
+
+def _not3(c: Column) -> Column:
+    return F.when(c.isNull(), _nullb()).otherwise(~c)
+
+
+def _or3(a: Column, b: Column) -> Column:
+    return a | b
+
+
+def eq_bool(a: Column, b: Column) -> Column:
+    """SPARQL `=`: numeric/boolean/dateTime by value, strings by lex+lang,
+    IRI/bnode by identity, unknown datatypes: equal lex ⇒ true, else error."""
+    return (
+        F.when(a.isNull() | b.isNull(), _nullb())
+        .when(is_numeric_dtype(a) & is_numeric_dtype(b), num(a) == num(b))
+        .when(
+            (a["kind"] != KIND_LITERAL) | (b["kind"] != KIND_LITERAL),
+            (a["kind"] == b["kind"]) & (a["lex"] == b["lex"]),
+        )
+        .when((a["dtype"] == XSD_BOOLEAN) & (b["dtype"] == XSD_BOOLEAN), boolv(a) == boolv(b))
+        .when((a["dtype"] == XSD_DATETIME) & (b["dtype"] == XSD_DATETIME), ts(a) == ts(b))
+        .when(is_stringish(a) & is_stringish(b), (a["lex"] == b["lex"]) & a["lang"].eqNullSafe(b["lang"]))
+        .when(
+            a["dtype"] == b["dtype"],
+            F.when(a["lex"] == b["lex"], F.lit(True)).otherwise(_nullb()),
+        )
+        .otherwise(F.lit(False))
+    )
+
+
+def lt_bool(a: Column, b: Column) -> Column:
+    """SPARQL `<`: defined for numeric, simple/xsd strings, booleans,
+    dateTimes; anything else is a type error (NULL)."""
+    return (
+        F.when(a.isNull() | b.isNull(), _nullb())
+        .when(is_numeric_dtype(a) & is_numeric_dtype(b), num(a) < num(b))
+        .when(
+            is_stringish(a) & a["lang"].isNull() & is_stringish(b) & b["lang"].isNull(),
+            a["lex"] < b["lex"],
+        )
+        .when((a["dtype"] == XSD_BOOLEAN) & (b["dtype"] == XSD_BOOLEAN), boolv(a) < boolv(b))
+        .when((a["dtype"] == XSD_DATETIME) & (b["dtype"] == XSD_DATETIME), ts(a) < ts(b))
+        .otherwise(_nullb())
+    )
+
+
+def _cmp(a: E, b: E, kernel) -> E:
+    return E(lambda vm: t_bool(kernel(a(vm), b(vm))))
+
+
+def _arith(a: E, b: E, op, force_double: bool = False) -> E:
+    def fn(vm):
+        av, bv = a(vm), b(vm)
+        r = op(num(av), num(bv))
+        both_int = (av["dtype"] == XSD_INTEGER) & (bv["dtype"] == XSD_INTEGER)
+        if force_double:
+            return t_typed(r.cast("double").cast("string"), XSD_DECIMAL)
+        return F.when(both_int, t_int(r)).otherwise(t_double(r))
+
+    return E(fn)
+
+
+# ---------------------------------------------------------------------------
+# §17.4 builtins
+# ---------------------------------------------------------------------------
+
+
+def BOUND(v: str) -> E:
+    return E(lambda vm: t_bool(vm[v].isNotNull()))
+
+
+def IF(c: E, t: E, e: E) -> E:
+    return E(lambda vm: F.when(ebv(c(vm)), t(vm)).otherwise(e(vm)))
+
+
+def COALESCE(*args: E) -> E:
+    return E(lambda vm: F.coalesce(*[a(vm) for a in args]))
+
+
+def SAME_TERM(a: E, b: E) -> E:
+    return E(lambda vm: t_bool(a(vm).eqNullSafe(b(vm)) & a(vm).isNotNull() & b(vm).isNotNull()))
+
+
+def IN(x: E, *opts: E) -> E:
+    def fn(vm):
+        c = F.lit(False)
+        for o in opts:
+            c = c | F.coalesce(eq_bool(x(vm), o(vm)), F.lit(False))
+        return t_bool(F.when(x(vm).isNull(), _nullb()).otherwise(c))
+
+    return E(fn)
+
+
+def IS_IRI(x: E) -> E:
+    return E(lambda vm: t_bool(F.when(x(vm).isNull(), _nullb()).otherwise(is_iri(x(vm)))))
+
+
+def IS_BLANK(x: E) -> E:
+    return E(lambda vm: t_bool(F.when(x(vm).isNull(), _nullb()).otherwise(is_blank(x(vm)))))
+
+
+def IS_LITERAL(x: E) -> E:
+    return E(lambda vm: t_bool(F.when(x(vm).isNull(), _nullb()).otherwise(is_literal(x(vm)))))
+
+
+def IS_NUMERIC(x: E) -> E:
+    return E(lambda vm: t_bool(F.when(x(vm).isNull(), _nullb()).otherwise(num(x(vm)).isNotNull())))
+
+
+def STR(x: E) -> E:
+    def fn(vm):
+        v = x(vm)
+        return F.when(v.isNull() | is_blank(v), null_term()).otherwise(t_string(v["lex"]))
+
+    return E(fn)
+
+
+def LANG(x: E) -> E:
+    def fn(vm):
+        v = x(vm)
+        return F.when(v.isNull() | ~is_literal(v), null_term()).otherwise(t_string(F.coalesce(v["lang"], F.lit(""))))
+
+    return E(fn)
+
+
+def DATATYPE(x: E) -> E:
+    def fn(vm):
+        v = x(vm)
+        return F.when(v.isNull() | ~is_literal(v), null_term()).otherwise(
+            t_iri(F.coalesce(v["dtype"], F.when(v["lang"].isNotNull(), RDF_LANGSTRING).otherwise(XSD_STRING)))
+        )
+
+    return E(fn)
+
+
+def IRI(x: E, base: str | None = None) -> E:
+    def fn(vm):
+        v = x(vm)
+        lex = v["lex"]
+        resolved = lex if base is None else F.when(lex.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), lex).otherwise(
+            F.concat(F.lit(base), lex)
+        )
+        return F.when(v.isNull() | is_blank(v), null_term()).otherwise(t_iri(resolved))
+
+    return E(fn)
+
+
+def BNODE(x: E | None = None) -> E:
+    """Deterministic hash-derived bnode (documented deviation from
+    fresh-per-call, SURVEY §2.8: counters don't distribute)."""
+
+    def fn(vm):
+        if x is None:
+            seed = F.concat_ws("\x1f", *[F.coalesce(c["lex"], F.lit("")) for c in vm.values()])
+        else:
+            seed = x(vm)["lex"]
+        return t_bnode(F.substring(F.sha1(seed.cast("string")), 1, 16))
+
+    return E(fn)
+
+
+def STRDT(x: E, dt: str) -> E:
+    return E(lambda vm: t_typed(x(vm)["lex"], dt))
+
+
+def STRLANG(x: E, lang_tag: str) -> E:
+    return E(lambda vm: t_lang(x(vm)["lex"], F.lit(lang_tag)))
+
+
+def UUID() -> E:
+    return E(lambda vm: t_iri(F.concat(F.lit("urn:uuid:"), F.expr("uuid()"))))
+
+
+def STRUUID() -> E:
+    return E(lambda vm: t_string(F.expr("uuid()")))
+
+
+def _str1(x: E, col_fn, keep_tag: bool = True) -> E:
+    """String op preserving the lang/dtype of the first argument (§17.4.3)."""
+
+    def fn(vm):
+        v = x(vm)
+        r = col_fn(v["lex"])
+        if keep_tag:
+            out = F.when(v["lang"].isNotNull(), t_lang(r, v["lang"])).otherwise(t_string(r))
+        else:
+            out = t_string(r)
+        return F.when(v.isNull() | ~is_stringish(v), null_term()).otherwise(out)
+
+    return E(fn)
+
+
+def STRLEN(x: E) -> E:
+    return E(lambda vm: F.when(x(vm).isNull() | ~is_stringish(x(vm)), null_term()).otherwise(t_int(F.length(x(vm)["lex"]))))
+
+
+def SUBSTR(x: E, start: int, length: int | None = None) -> E:
+    if length is None:
+        return _str1(x, lambda c: F.substring(c, start, 2**31 - 1))
+    return _str1(x, lambda c: F.substring(c, start, length))
+
+
+def UCASE(x: E) -> E:
+    return _str1(x, F.upper)
+
+
+def LCASE(x: E) -> E:
+    return _str1(x, F.lower)
+
+
+def _str2_bool(x: E, y: E, kernel) -> E:
+    def fn(vm):
+        a, b = x(vm), y(vm)
+        ok = is_stringish(a) & is_stringish(b)
+        return t_bool(F.when(a.isNull() | b.isNull() | ~ok, _nullb()).otherwise(kernel(a["lex"], b["lex"])))
+
+    return E(fn)
+
+
+def STRSTARTS(x: E, y: E) -> E:
+    return _str2_bool(x, _e(y), lambda a, b: a.startswith(b))
+
+
+def STRENDS(x: E, y: E) -> E:
+    return _str2_bool(x, _e(y), lambda a, b: a.endswith(b))
+
+
+def CONTAINS(x: E, y: E) -> E:
+    return _str2_bool(x, _e(y), lambda a, b: a.contains(b))
+
+
+def STRBEFORE(x: E, y: E) -> E:
+    y = _e(y)
+
+    def fn(vm):
+        a, b = x(vm)["lex"], y(vm)["lex"]
+        pos = F.instr(a, b)
+        r = F.when(b == "", F.lit("")).when(pos > 0, F.substring(a, F.lit(1), pos - 1)).otherwise(F.lit(""))
+        return t_string(r)
+
+    return E(fn)
+
+
+def STRAFTER(x: E, y: E) -> E:
+    y = _e(y)
+
+    def fn(vm):
+        a, b = x(vm)["lex"], y(vm)["lex"]
+        pos = F.instr(a, b)
+        r = (
+            F.when(b == "", a)
+            .when(pos > 0, F.substring(a, pos + F.length(b), F.lit(2**31 - 1)))
+            .otherwise(F.lit(""))
+        )
+        return t_string(r)
+
+    return E(fn)
+
+
+def ENCODE_FOR_URI(x: E) -> E:
+    # url_encode gives application/x-www-form-urlencoded (space → '+');
+    # SPARQL wants %20 — patch the delta (SURVEY §2.8)
+    return _str1(x, lambda c: F.replace(F.url_encode(c), F.lit("+"), F.lit("%20")), keep_tag=False)
+
+
+def CONCAT(*args: E) -> E:
+    def fn(vm):
+        vs = [a(vm) for a in args]
+        r = F.concat(*[v["lex"] for v in vs])
+        if not vs:
+            return t_string(F.lit(""))
+        same_lang = F.lit(True)
+        for v in vs[1:]:
+            same_lang = same_lang & vs[0]["lang"].eqNullSafe(v["lang"])
+        return F.when(vs[0]["lang"].isNotNull() & same_lang, t_lang(r, vs[0]["lang"])).otherwise(t_string(r))
+
+    return E(fn)
+
+
+def LANGMATCHES(tag: E, rng: E) -> E:
+    rng = _e(rng)
+
+    def fn(vm):
+        t, r = tag(vm)["lex"], rng(vm)["lex"]
+        lt, lr = F.lower(t), F.lower(r)
+        return t_bool(
+            F.when(r == "*", F.length(t) > 0).otherwise((lt == lr) | lt.startswith(F.concat(lr, F.lit("-"))))
+        )
+
+    return E(fn)
+
+
+def _xpath_flags(flags: str) -> str:
+    """XPath flags i,s,m,x → Java inline flags (reference uses PCRE-style)."""
+    return f"(?{flags})" if flags else ""
+
+
+def REGEX(x: E, pattern: str, flags: str = "") -> E:
+    pat = _xpath_flags(flags) + pattern
+
+    def fn(vm):
+        v = x(vm)
+        return t_bool(F.when(v.isNull() | ~is_stringish(v), _nullb()).otherwise(v["lex"].rlike(pat)))
+
+    return E(fn)
+
+
+def REPLACE(x: E, pattern: str, replacement: str, flags: str = "") -> E:
+    pat = _xpath_flags(flags) + pattern
+    return _str1(x, lambda c: F.regexp_replace(c, pat, replacement))
+
+
+def _num1(x: E, col_fn) -> E:
+    """Unary numeric op preserving the argument's datatype (§17.4.4) with
+    canonical lexical form (integral values print without '.0')."""
+
+    def fn(vm):
+        v = x(vm)
+        r = col_fn(num(v)).cast("double")
+        lex = F.when(r == r.cast("long").cast("double"), r.cast("long").cast("string")).otherwise(
+            r.cast("string")
+        )
+        return t_typed(lex, F.coalesce(v["dtype"], F.lit(XSD_DOUBLE)))
+
+    return E(fn)
+
+
+def ABS(x: E) -> E:
+    return _num1(x, F.abs)
+
+
+def CEIL(x: E) -> E:
+    return _num1(x, F.ceil)
+
+
+def FLOOR(x: E) -> E:
+    return _num1(x, F.floor)
+
+
+def ROUND(x: E) -> E:
+    # SPARQL rounds half toward +∞; Spark's round() is half-away-from-zero —
+    # differs on negative halves (SURVEY §2.8), so use floor(x+0.5)
+    return _num1(x, lambda c: F.floor(c + 0.5))
+
+
+def RAND() -> E:
+    return E(lambda vm: t_double(F.rand()))
+
+
+def NOW() -> E:
+    return E(lambda vm: t_typed(F.date_format(F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"), XSD_DATETIME))
+
+
+def _dt_part(x: E, part_fn) -> E:
+    return E(lambda vm: t_int(part_fn(ts(x(vm)))))
+
+
+def YEAR(x: E) -> E:
+    return _dt_part(x, F.year)
+
+
+def MONTH(x: E) -> E:
+    return _dt_part(x, F.month)
+
+
+def DAY(x: E) -> E:
+    return _dt_part(x, F.dayofmonth)
+
+
+def HOURS(x: E) -> E:
+    return _dt_part(x, F.hour)
+
+
+def MINUTES(x: E) -> E:
+    return _dt_part(x, F.minute)
+
+
+def SECONDS(x: E) -> E:
+    return _dt_part(x, F.second)
+
+
+def TZ(x: E) -> E:
+    """Timezone designator from the LEXICAL form (Spark timestamps lose the
+    source offset — SURVEY §2.8)."""
+    return E(lambda vm: t_string(F.regexp_extract(x(vm)["lex"], r"(Z|[+-]\d{2}:\d{2})$", 1)))
+
+
+def MD5(x: E) -> E:
+    return E(lambda vm: t_string(F.md5(x(vm)["lex"].cast("binary"))))
+
+
+def SHA1(x: E) -> E:
+    return E(lambda vm: t_string(F.sha1(x(vm)["lex"].cast("binary"))))
+
+
+def SHA256(x: E) -> E:
+    return E(lambda vm: t_string(F.sha2(x(vm)["lex"].cast("binary"), 256)))
+
+
+def SHA384(x: E) -> E:
+    return E(lambda vm: t_string(F.sha2(x(vm)["lex"].cast("binary"), 384)))
+
+
+def SHA512(x: E) -> E:
+    return E(lambda vm: t_string(F.sha2(x(vm)["lex"].cast("binary"), 512)))
+
+
+def XSD_CAST(x: E, dtype_iri: str) -> E:
+    """xsd constructor functions (§17.5): strict — empty/invalid lexical
+    forms yield error (NULL), not 0."""
+    target = {
+        XSD_INTEGER: "long",
+        XSD_DOUBLE: "double",
+        XSD_DECIMAL: "double",
+        XSD_BOOLEAN: "boolean",
+        XSD_DATETIME: "timestamp",
+        XSD_STRING: "string",
+    }.get(dtype_iri, "string")
+
+    def fn(vm):
+        v = x(vm)
+        casted = v["lex"].try_cast(target)
+        out = casted.cast("string")
+        if target == "timestamp":
+            out = F.date_format(casted, "yyyy-MM-dd'T'HH:mm:ss")
+        return F.when(v.isNull() | casted.isNull(), null_term()).otherwise(t_typed(out, dtype_iri))
+
+    return E(fn)
+
+
+#: extension-function registry keyed by IRI (rdf_sparql_eval.ml :: iri_funs)
+IRI_FUNS: dict[str, Callable[..., E]] = {}
+
+
+def register_fun(iri: str, fn: Callable[..., E]) -> None:
+    IRI_FUNS[iri] = fn
+
+
+def call_iri_fun(iri: str, *args: E) -> E:
+    if iri not in IRI_FUNS:
+        raise KeyError(f"unregistered extension function <{iri}>")
+    return IRI_FUNS[iri](*args)

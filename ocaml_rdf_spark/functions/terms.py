@@ -1,0 +1,217 @@
+"""Term-struct Column helpers: the Spark realization of the reference's
+SPARQL value lattice (rdf_dt.ml :: value, SURVEY §1.1).
+
+A variable binding is a Column of TERM_STRUCT (kind, lex, dtype, lang);
+NULL struct = unbound. The lattice's lazy coercions (to_int/to_float/
+to_bool/to_datetime) become try_cast-derived Columns; the lattice's `Err`
+value maps to SQL NULL (documented deviation, SURVEY §2.8 / R4) — which
+composes correctly with FILTER's errors⇒drop rule because NULL is not true.
+
+Everything here stays inside whole-stage codegen: CreateNamedStruct +
+GetStructField chains are collapsed by Catalyst's SimplifyExtractValueOps,
+so building intermediate structs is free after optimization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..types import (
+    KIND_BNODE,
+    KIND_IRI,
+    KIND_LITERAL,
+    NUMERIC_DTYPES,
+    RDF_LANGSTRING,
+    XSD_BOOLEAN,
+    XSD_DATETIME,
+    XSD_DECIMAL,
+    XSD_DOUBLE,
+    XSD_INTEGER,
+    XSD_STRING,
+    BNode,
+    Iri,
+    Literal,
+    Term,
+)
+
+def _null_s() -> Column:
+    return F.lit(None).cast("string")
+
+
+def mk_term(kind: Column, lex: Column, dtype: Column | None = None, lang: Column | None = None) -> Column:
+    return F.struct(
+        kind.cast("tinyint").alias("kind"),
+        lex.cast("string").alias("lex"),
+        (dtype if dtype is not None else _null_s()).cast("string").alias("dtype"),
+        (lang if lang is not None else _null_s()).cast("string").alias("lang"),
+    )
+
+
+def null_term() -> Column:
+    """Unbound / error (Rdf_dt.Err ≈ NULL struct)."""
+    return F.lit(None).cast("struct<kind:tinyint,lex:string,dtype:string,lang:string>")
+
+
+def t_iri(lex: Column | str) -> Column:
+    lex = F.lit(lex) if isinstance(lex, str) else lex
+    return F.when(lex.isNotNull(), mk_term(F.lit(KIND_IRI), lex)).otherwise(null_term())
+
+
+def t_bnode(lex: Column | str) -> Column:
+    lex = F.lit(lex) if isinstance(lex, str) else lex
+    return F.when(lex.isNotNull(), mk_term(F.lit(KIND_BNODE), lex)).otherwise(null_term())
+
+
+def t_string(lex: Column | str) -> Column:
+    lex = F.lit(lex) if isinstance(lex, str) else lex
+    return F.when(lex.isNotNull(), mk_term(F.lit(KIND_LITERAL), lex, F.lit(XSD_STRING))).otherwise(null_term())
+
+
+def t_typed(lex: Column, dtype: Column | str) -> Column:
+    dtype = F.lit(dtype) if isinstance(dtype, str) else dtype
+    return F.when(
+        lex.isNotNull() & dtype.isNotNull(), mk_term(F.lit(KIND_LITERAL), lex, dtype)
+    ).otherwise(null_term())
+
+
+def t_lang(lex: Column, lang: Column) -> Column:
+    return F.when(
+        lex.isNotNull() & lang.isNotNull(),
+        mk_term(F.lit(KIND_LITERAL), lex, F.lit(RDF_LANGSTRING), lang),
+    ).otherwise(null_term())
+
+
+def t_bool(c: Column) -> Column:
+    """boolean Column → xsd:boolean term; NULL (error) propagates."""
+    return F.when(
+        c.isNotNull(),
+        mk_term(F.lit(KIND_LITERAL), F.when(c, "true").otherwise("false"), F.lit(XSD_BOOLEAN)),
+    ).otherwise(null_term())
+
+
+def t_int(c: Column) -> Column:
+    return F.when(c.isNotNull(), mk_term(F.lit(KIND_LITERAL), c.cast("long").cast("string"), F.lit(XSD_INTEGER))).otherwise(null_term())
+
+
+def t_double(c: Column) -> Column:
+    return F.when(c.isNotNull(), mk_term(F.lit(KIND_LITERAL), c.cast("double").cast("string"), F.lit(XSD_DOUBLE))).otherwise(null_term())
+
+
+def term_lit(t: Term) -> Column:
+    """A constant Term → literal term-struct Column."""
+    if isinstance(t, Iri):
+        return t_iri(t.value)
+    if isinstance(t, BNode):
+        return t_bnode(t.label)
+    assert isinstance(t, Literal)
+    if t.lang:
+        return t_lang(F.lit(t.lexical), F.lit(t.lang))
+    return t_typed(F.lit(t.lexical), t.dtype or XSD_STRING)
+
+
+# ---------------------------------------------------------------------------
+# lattice accessors / coercions (rdf_dt.ml :: to_int/to_float/to_bool/...)
+# ---------------------------------------------------------------------------
+
+
+def kind(t: Column) -> Column:
+    return t["kind"]
+
+
+def lex(t: Column) -> Column:
+    return t["lex"]
+
+
+def dtype(t: Column) -> Column:
+    return t["dtype"]
+
+
+def lang(t: Column) -> Column:
+    return t["lang"]
+
+
+def is_iri(t: Column) -> Column:
+    return t["kind"] == KIND_IRI
+
+
+def is_blank(t: Column) -> Column:
+    return t["kind"] == KIND_BNODE
+
+
+def is_literal(t: Column) -> Column:
+    return t["kind"] == KIND_LITERAL
+
+
+def is_numeric_dtype(t: Column) -> Column:
+    return t["dtype"].isin(*NUMERIC_DTYPES)
+
+
+def num(t: Column) -> Column:
+    """Numeric value or NULL (xsd numeric tower collapsed to double; the
+    reference's promotion lattice int<decimal<float<double ends at double
+    for every mixed-type comparison anyway)."""
+    return F.when(is_numeric_dtype(t), t["lex"].try_cast("double")).otherwise(F.lit(None).cast("double"))
+
+
+def num_strict(t: Column) -> Column:
+    """Numeric value, also accepting plain-string lexical numbers is NOT
+    done (spec: untyped strings are not numbers)."""
+    return num(t)
+
+
+def boolv(t: Column) -> Column:
+    return F.when(t["dtype"] == XSD_BOOLEAN, t["lex"].try_cast("boolean")).otherwise(F.lit(None).cast("boolean"))
+
+
+def ts(t: Column) -> Column:
+    return F.when(t["dtype"] == XSD_DATETIME, t["lex"].try_cast("timestamp")).otherwise(F.lit(None).cast("timestamp"))
+
+
+def is_simple_string(t: Column) -> Column:
+    return (t["kind"] == KIND_LITERAL) & t["dtype"].isin(XSD_STRING) & t["lang"].isNull()
+
+
+def is_stringish(t: Column) -> Column:
+    return (t["kind"] == KIND_LITERAL) & (t["dtype"].isin(XSD_STRING, RDF_LANGSTRING))
+
+
+# ---------------------------------------------------------------------------
+# effective boolean value (spec §17.2.2; rdf_sparql_eval.ml :: ebv)
+# ---------------------------------------------------------------------------
+
+
+def ebv(t: Column) -> Column:
+    """EBV as boolean Column; NULL = type error (FILTER drops it)."""
+    return (
+        F.when(t.isNull(), F.lit(None).cast("boolean"))
+        .when(t["kind"] != KIND_LITERAL, F.lit(None).cast("boolean"))
+        .when(t["dtype"] == XSD_BOOLEAN, F.coalesce(t["lex"].try_cast("boolean"), F.lit(False)))
+        .when(is_numeric_dtype(t), F.coalesce(t["lex"].try_cast("double") != 0.0, F.lit(False)))
+        .when(t["dtype"].isin(XSD_STRING, RDF_LANGSTRING), F.length(t["lex"]) > 0)
+        .otherwise(F.lit(None).cast("boolean"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SPARQL total order for ORDER BY (spec §15.1; eval :: sort_solutions):
+# unbound < blank < IRI < literal; literals by numeric value when numeric,
+# then datetime, then string value. Synthesized as ONE sortable struct so
+# Spark's native sort (and TakeOrderedAndProject for LIMIT) applies.
+# ---------------------------------------------------------------------------
+
+
+def sort_key(t: Column) -> Column:
+    kind_rank = (
+        F.when(t.isNull(), 0)
+        .when(t["kind"] == KIND_BNODE, 1)
+        .when(t["kind"] == KIND_IRI, 2)
+        .otherwise(3)
+    )
+    return F.struct(
+        kind_rank.alias("r"),
+        num(t).alias("n"),
+        ts(t).cast("double").alias("t"),
+        t["lex"].alias("s"),
+        t["lang"].alias("lg"),
+    )

@@ -1,0 +1,127 @@
+"""Serializers: quad DataFrame → N-Triples / N-Quads / Turtle / Graphviz.
+
+Parity: rdf_ttl.ml :: to_string/to_file, rdf_dot.ml (SURVEY §2.2). The
+formatting is pure Catalyst string expressions (concat/when/replace) so a
+100 TB store serializes as a scan + write.text with zero Python in the
+row path; N-Triples is the canonical test output (W3C suites compare NT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .types import KIND_BNODE, KIND_IRI, RDF_LANGSTRING, XSD_STRING
+
+
+def _esc(c: Column) -> Column:
+    """N-Triples string escaping (ECHAR subset actually required)."""
+    for src, dst in (("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"), ("\r", "\\r"), ("\t", "\\t")):
+        c = F.replace(c, F.lit(src), F.lit(dst))
+    return c
+
+
+def term_nt(kind: Column, lex: Column, dtype: Column | None = None, lang: Column | None = None) -> Column:
+    """One term in N-Triples syntax."""
+    iri = F.concat(F.lit("<"), lex, F.lit(">"))
+    bnode = F.concat(F.lit("_:"), lex)
+    if dtype is None:
+        return F.when(kind == KIND_IRI, iri).otherwise(bnode)
+    lit_body = F.concat(F.lit('"'), _esc(lex), F.lit('"'))
+    lit = (
+        F.when(lang.isNotNull(), F.concat(lit_body, F.lit("@"), lang))
+        .when(
+            dtype.isNotNull() & (dtype != XSD_STRING) & (dtype != RDF_LANGSTRING),
+            F.concat(lit_body, F.lit("^^<"), dtype, F.lit(">")),
+        )
+        .otherwise(lit_body)
+    )
+    return F.when(kind == KIND_IRI, iri).when(kind == KIND_BNODE, bnode).otherwise(lit)
+
+
+def to_ntriples(df: DataFrame) -> DataFrame:
+    """→ one `line` column per triple (subject predicate object .)."""
+    return df.select(
+        F.concat_ws(
+            " ",
+            term_nt(F.col("s_kind"), F.col("s_lex")),
+            F.concat(F.lit("<"), F.col("pred"), F.lit(">")),
+            term_nt(F.col("o_kind"), F.col("o_lex"), F.col("o_dtype"), F.col("o_lang")),
+            F.lit("."),
+        ).alias("line")
+    )
+
+
+def to_nquads(df: DataFrame) -> DataFrame:
+    return df.select(
+        F.concat_ws(
+            " ",
+            term_nt(F.col("s_kind"), F.col("s_lex")),
+            F.concat(F.lit("<"), F.col("pred"), F.lit(">")),
+            term_nt(F.col("o_kind"), F.col("o_lex"), F.col("o_dtype"), F.col("o_lang")),
+            F.concat(F.lit("<"), F.col("graph"), F.lit(">")),
+            F.lit("."),
+        ).alias("line")
+    )
+
+
+def write_ntriples(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    to_ntriples(df).write.mode(mode).text(path)
+
+
+def _compact(lex: Column, namespaces: dict[str, str]) -> Column:
+    """IRI → prefixed name when a namespace matches (longest wins)."""
+    out = F.concat(F.lit("<"), lex, F.lit(">"))
+    for prefix, ns in sorted(namespaces.items(), key=lambda kv: -len(kv[1])):
+        local = F.substring(lex, len(ns) + 1, 2**31 - 1)
+        ok = lex.startswith(ns) & local.rlike(r"^[A-Za-z0-9_][A-Za-z0-9_.-]*$") & ~local.contains(".")
+        out = F.when(ok, F.concat(F.lit(prefix + ":"), local)).otherwise(out)
+    return out
+
+
+def to_turtle(df: DataFrame, namespaces: dict[str, str] | None = None) -> str:
+    """Turtle with prefix compaction and subject grouping. DRIVER-SIDE
+    assembly of the final string — intended for result graphs / debug, not
+    the 100 TB store (use write_ntriples there; same graph, line-parallel)."""
+    ns = dict(namespaces or {})
+    s_txt = F.when(F.col("s_kind") == KIND_IRI, _compact(F.col("s_lex"), ns)).otherwise(
+        F.concat(F.lit("_:"), F.col("s_lex"))
+    )
+    p_txt = F.when(F.col("pred") == "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", F.lit("a")).otherwise(
+        _compact(F.col("pred"), ns)
+    )
+    lit_body = F.concat(F.lit('"'), _esc(F.col("o_lex")), F.lit('"'))
+    o_txt = (
+        F.when(F.col("o_kind") == KIND_IRI, _compact(F.col("o_lex"), ns))
+        .when(F.col("o_kind") == KIND_BNODE, F.concat(F.lit("_:"), F.col("o_lex")))
+        .when(F.col("o_lang").isNotNull(), F.concat(lit_body, F.lit("@"), F.col("o_lang")))
+        .when(
+            F.col("o_dtype").isNotNull() & (F.col("o_dtype") != XSD_STRING),
+            F.concat(lit_body, F.lit("^^"), _compact(F.col("o_dtype"), ns)),
+        )
+        .otherwise(lit_body)
+    )
+    grouped = (
+        df.select(s_txt.alias("s"), F.concat_ws(" ", p_txt, o_txt).alias("po"))
+        .groupBy("s")
+        .agg(F.concat_ws(" ;\n    ", F.sort_array(F.collect_list("po"))).alias("body"))
+        .orderBy("s")
+    )
+    lines = [f"@prefix {p}: <{iri}> ." for p, iri in sorted(ns.items())]
+    if lines:
+        lines.append("")
+    for r in grouped.collect():
+        lines.append(f"{r['s']} {r['body']} .")
+    return "\n".join(lines) + "\n"
+
+
+def to_dot(df: DataFrame, limit: int = 200) -> str:
+    """Graphviz export (rdf_dot.ml) — debug helper on a bounded sample."""
+    rows = df.limit(limit).collect()
+    out = ["digraph g {"]
+    for r in rows:
+        s = f'"{r["s_lex"]}"'
+        o = f'"{r["o_lex"]}"'
+        out.append(f'  {s} -> {o} [label="{r["pred"]}"];')
+    out.append("}")
+    return "\n".join(out)
