@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` is the smoke check; `queries()` / `oracle_sql()` are the
+correctness gate — one entry per implemented operator from SURVEY.md §2
+plus the training-data operators, each cross-checked against DuckDB on
+the same parquet tables. The registry itself lives in
+ocaml_rdf_spark/suite.py (with the local parity test
+tests/test_oracle_parity.py running the same comparison pre-driver).
 """
 
 from __future__ import annotations
@@ -41,19 +42,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2 (and the
+    training-data ops). Each callable takes (spark, sf_dir)."""
+    from ocaml_rdf_spark.suite import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent ANSI SQL per query (omitted for the genuinely
+    non-SQL-expressible ones — seeded LSH joins, iterative ML-ish ops —
+    which get the driver's rows-only check)."""
+    from ocaml_rdf_spark.suite import QUERIES
+
+    return {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}

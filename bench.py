@@ -1,0 +1,90 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "suite_seconds", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "triples_per_sec": ...,
+   "docs_per_sec": ...}
+
+The headline number the north rule cares about is extraction throughput
+(triples/sec over the Common-Crawl-style corpus); the query timings cover
+the main operator families (BGP join chain, aggregation, property-path
+fixpoint, MinHash dedup, ANN, connected components, columnar scan-agg).
+Scaling-efficiency evidence (local[8] vs local[32]) lives in
+scripts/scaling_bench.py → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "3000"))
+
+    from ocaml_rdf_spark.session import get_spark
+
+    spark = get_spark(app="ords-bench", cpus=cpus, shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from ocaml_rdf_spark.datagen import gen_pages_df
+    from ocaml_rdf_spark.extract import extract_triples, salted_repartition, split_errors
+    from ocaml_rdf_spark.suite import QUERIES
+    from ocaml_rdf_spark.types import TRIPLE_KEY
+
+    timings: dict[str, float] = {}
+
+    # warm up the JVM + parquet footers once (not timed)
+    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+
+    # headline: KG-construction spine — corpus → vectorized extraction →
+    # set-semantics dedup (the north rule's triples/sec number)
+    t0 = time.time()
+    pages = salted_repartition(gen_pages_df(spark, n_pages, parts=cpus), cpus * 2)
+    triples, _errors = split_errors(extract_triples(pages))
+    n_triples = triples.dropDuplicates(TRIPLE_KEY).count()
+    extract_sec = time.time() - t0
+    timings["extract_pipeline"] = round(extract_sec, 3)
+
+    bench_queries = [
+        "bgp_join",
+        "agg_nation",
+        "orderby_slice",
+        "path_plus",
+        "dedup_exact",
+        "dedup_minhash",
+        "ann_cosine",
+        "cc_components",
+        "canonicalize",
+        "scan_agg",
+        "window_topk",
+    ]
+    for name in bench_queries:
+        fn, _sql = QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cpus": cpus,
+        "bench_pages": n_pages,
+        "n_triples": n_triples,
+        "triples_per_sec": round(n_triples / extract_sec, 1),
+        "docs_per_sec": round(n_pages / extract_sec, 1),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -481,6 +481,11 @@ class Agg:
     expr: Optional[E] = None  # None only for count_star
     distinct: bool = False
     separator: str = " "
+    #: GROUP_CONCAT only: sort the collected lexical forms first. The spec
+    #: leaves concat order undefined (the reference uses multiset order —
+    #: SURVEY §2.4); sorting makes it deterministic across partitionings,
+    #: which a distributed engine needs for reproducible output.
+    sorted: bool = False
 
 
 @dataclass
@@ -541,6 +546,8 @@ class Group(Node):
                 lexes = F.collect_list(i["lex"])
                 if a.distinct:
                     lexes = F.array_distinct(lexes)
+                if a.sorted:
+                    lexes = F.array_sort(lexes)
                 from .functions.terms import t_string
 
                 aggs.append(t_string(F.concat_ws(a.separator, lexes)).alias(a.out))

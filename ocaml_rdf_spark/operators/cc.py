@@ -1,0 +1,134 @@
+"""Connected components + owl:sameAs / blank-node canonicalization.
+
+North rule (BASELINE.json:14): "canonicalization collapses owl:sameAs /
+blank-node equivalence classes with an iterative connected-components
+(large-star/small-star) DataFrame algorithm". Algorithm: Kiveris et al.,
+"Connected Components in MapReduce and Beyond" (SoCC 2014) — public.
+
+The reference has no distributed equivalent; its blank-node identity is a
+per-graph mutable counter (rdf_graph.ml :: new_blank_id) and owl:sameAs is
+just another triple. At 10^12 docs equivalence classes span partitions, so
+identity must be computed, not assigned — this module is that computation.
+
+Scale design:
+- each round is two shuffles (groupBy min + self-join), O(log n) rounds to
+  convergence on real graphs;
+- `localCheckpoint` per round cuts lineage so plans don't grow without
+  bound (SURVEY §7 R5);
+- convergence test is an aggregate (sum of star-edge violations), not a
+  collect of edges;
+- node ids are arbitrary strings; ordering is lexicographic on (kind, lex)
+  so the canonical representative is deterministic across cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..types import OWL_SAMEAS
+
+
+def _sym(edges: DataFrame) -> DataFrame:
+    return edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """large-star: connect every strictly-larger neighbor of u to m(u), the
+    min of N(u) ∪ {u}. Operates on the symmetrized edge list."""
+    nbrs = _sym(edges)
+    m = nbrs.groupBy("src").agg(F.least(F.min("dst"), F.first("src")).alias("m"))
+    return (
+        nbrs.join(m, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """small-star: for each u, connect all ≤-neighbors to m(u)."""
+    # orient edges so src > dst (parent pointers), then hook smaller nbrs
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    m = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+    hooked = (
+        oriented.join(m, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    selfm = m.select(F.col("src"), F.col("m").alias("dst"))
+    return hooked.unionByName(selfm).distinct()
+
+
+def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
+    """edges(src string, dst string) → (node string, component string) where
+    `component` is the lexicographic minimum of the node's component.
+
+    Alternates large-star/small-star until the edge set is a stable star
+    forest (every node points at its component min), then reads components
+    straight off the final edges. Isolated nodes don't appear (callers union
+    identity rows for nodes they care about).
+    """
+    cur = edges.filter(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+    cur = cur.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        # fixpoint when the oriented edge sets match
+        a = nxt.exceptAll(cur)
+        if a.isEmpty() and nxt.count() == cur.count():
+            cur = nxt
+            break
+        cur = nxt
+    # star forest: src > dst = component min
+    comp = cur.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    roots = cur.select(F.col("dst").alias("node")).distinct().withColumn("component", F.col("node"))
+    return comp.unionByName(roots).groupBy("node").agg(F.min("component").alias("component"))
+
+
+def sameas_edges(triples: DataFrame) -> DataFrame:
+    """owl:sameAs triples → edge list over node keys `kind|lex` (IRIs and
+    bnodes only; literals can't be identified)."""
+    sa = triples.filter((F.col("pred") == OWL_SAMEAS) & (F.col("o_kind") != 2))
+    return sa.select(
+        F.concat_ws("|", F.col("s_kind"), F.col("s_lex")).alias("src"),
+        F.concat_ws("|", F.col("o_kind"), F.col("o_lex")).alias("dst"),
+    )
+
+
+def canonicalize(triples: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Rewrite subj/obj through a `node → component` mapping (two joins;
+    broadcast when the mapping is small, shuffle otherwise — Spark/AQE
+    decides from stats). Node keys are `kind|lex`; canonical terms keep the
+    kind of the component representative."""
+    m = mapping.select(
+        F.split("node", "\\|", 2).getItem(0).cast("tinyint").alias("k"),
+        F.split("node", "\\|", 2).getItem(1).alias("lx"),
+        F.split("component", "\\|", 2).getItem(0).cast("tinyint").alias("ck"),
+        F.split("component", "\\|", 2).getItem(1).alias("clx"),
+    )
+    ms = m.select(
+        F.col("k").alias("s_kind"), F.col("lx").alias("s_lex"),
+        F.col("ck").alias("new_sk"), F.col("clx").alias("new_sl"),
+    )
+    mo = m.select(
+        F.col("k").alias("o_kind"), F.col("lx").alias("o_lex"),
+        F.col("ck").alias("new_ok"), F.col("clx").alias("new_ol"),
+    )
+    out = (
+        triples.join(ms, ["s_kind", "s_lex"], "left")
+        .withColumn("s_kind", F.coalesce("new_sk", "s_kind"))
+        .withColumn("s_lex", F.coalesce("new_sl", "s_lex"))
+        .drop("new_sk", "new_sl")
+    )
+    # objects: only rewrite non-literals (join keys include kind, literals=2
+    # never match because mapping only holds kinds 0/1)
+    out = (
+        out.join(mo, ["o_kind", "o_lex"], "left")
+        .withColumn("o_kind", F.coalesce("new_ok", "o_kind"))
+        .withColumn("o_lex", F.coalesce("new_ol", "o_lex"))
+        .drop("new_ok", "new_ol")
+    )
+    return out.select(*triples.columns)

@@ -1,0 +1,153 @@
+"""Entity linking: mention detection → candidate URIs → top-1 selection.
+
+North rule (BASELINE.json:14): "Entity linking scores candidate URIs via
+an alias dictionary broadcast join plus MinHash-LSH blocking". Not in the
+reference (ocaml-rdf stores triples; it does not mint them from text) —
+this stage produces the (mention → KB IRI) links that become
+`urn:p:mentions` triples.
+
+Scale design:
+- mention detection is pure built-ins: explode word n-grams (n ≤ 3) of
+  capitalized token runs — no Python in the hot path;
+- the alias dictionary (≤ a few GB) is a **broadcast join**: no shuffle
+  of the 100 TB mention side;
+- fuzzy matching blocks candidates with **MinHash-LSH over character
+  3-grams** (pyspark.ml, seeded) so near-miss spellings meet their alias
+  without an O(M×A) distance join;
+- top-1 per mention via a window over (score, uri) — deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def detect_mentions(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_n: int = 3) -> DataFrame:
+    """Candidate mentions: runs of Capitalized tokens, emitted as 1..max_n
+    word n-grams → (id, mention, norm). Vectorized: split/explode only."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    out = None
+    for n in range(1, max_n + 1):
+        idx = F.when(F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))).otherwise(
+            F.array().cast("array<int>")
+        )
+        grams = docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.filter(
+                    F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
+                    # every word of the gram starts with an uppercase letter
+                    lambda g: g.rlike(r"^([A-Z][A-Za-z0-9&._-]*)( [A-Z][A-Za-z0-9&._-]*)*$"),
+                )
+            ).alias("mention"),
+        )
+        out = grams if out is None else out.unionByName(grams)
+    return out.withColumn("norm", F.lower(F.regexp_replace("mention", r"[^A-Za-z0-9 ]", ""))).distinct()
+
+
+def link_exact(mentions: DataFrame, aliases: DataFrame) -> DataFrame:
+    """Exact alias match: broadcast join on the normalized surface form,
+    then keep the best-prior URI per (id, mention). aliases(alias, uri,
+    prior) → (id, mention, uri, score_x1e6)."""
+    adf = aliases.select(
+        F.lower(F.regexp_replace("alias", r"[^A-Za-z0-9 ]", "")).alias("norm"),
+        "uri",
+        F.round(F.col("prior") * 1e6).cast("long").alias("score_x1e6"),
+    )
+    cand = mentions.join(F.broadcast(adf), "norm")
+    w = Window.partitionBy("id", "mention").orderBy(F.desc("score_x1e6"), F.asc("uri"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", "mention", "uri", "score_x1e6")
+    )
+
+
+def link_fuzzy(
+    mentions: DataFrame,
+    aliases: DataFrame,
+    threshold: float = 0.5,
+    num_hash_tables: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash-LSH blocking over character 3-grams: approxSimilarityJoin
+    (mentions × aliases) under Jaccard distance < threshold, scored by
+    prior × (1 - distance), top-1 per mention.
+
+    → (id, mention, uri, score_x1e6). Seeded; requires pyspark.ml (no
+    external deps). The LSH index side (aliases) is small; the mention
+    side streams through the hash without a full shuffle of text."""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH, NGram, RegexTokenizer
+
+    def featurize(df: DataFrame, col: str, cv_model=None):
+        tok = RegexTokenizer(inputCol=col, outputCol="__ch", pattern=".", gaps=False)
+        ng = NGram(n=3, inputCol="__ch", outputCol="__ng")
+        out = ng.transform(tok.transform(df)).filter(F.size("__ng") > 0)
+        if cv_model is None:
+            cv = CountVectorizer(inputCol="__ng", outputCol="features", binary=True)
+            cv_model = cv.fit(out)
+        else:
+            # MinHashLSH rejects all-zero vectors: keep only rows sharing
+            # ≥1 char-3-gram with the alias vocabulary (probe side only).
+            vocab = list(cv_model.vocabulary)
+            out = out.filter(F.arrays_overlap(F.col("__ng"), F.lit(vocab)))
+        return cv_model.transform(out).drop("__ch", "__ng"), cv_model
+
+    adf = aliases.select(
+        F.lower(F.regexp_replace("alias", r"[^A-Za-z0-9 ]", "")).alias("key"),
+        "uri",
+        F.round(F.col("prior") * 1e6).cast("long").alias("prior_x1e6"),
+    ).dropDuplicates(["key", "uri"])
+    mdf = mentions.select("id", "mention", F.col("norm").alias("key")).dropDuplicates()
+
+    a_feat, cv_model = featurize(adf, "key")
+    m_feat, _ = featurize(mdf, "key", cv_model)
+
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed)
+    model = lsh.fit(a_feat)
+    joined = model.approxSimilarityJoin(m_feat, a_feat, threshold, distCol="jdist")
+    scored = joined.select(
+        F.col("datasetA.id").alias("id"),
+        F.col("datasetA.mention").alias("mention"),
+        F.col("datasetB.uri").alias("uri"),
+        F.round(F.col("datasetB.prior_x1e6") * (1.0 - F.col("jdist"))).cast("long").alias("score_x1e6"),
+    )
+    w = Window.partitionBy("id", "mention").orderBy(F.desc("score_x1e6"), F.asc("uri"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+
+
+def links_to_triples(links: DataFrame, graph: str = "urn:g:links") -> DataFrame:
+    """(id, mention, uri, …) → TRIPLES rows `<doc id> urn:p:mentions <uri>`
+    with the surface form as a reified label triple."""
+    from ..types import XSD_STRING
+
+    doc_iri = F.concat(F.lit("urn:doc:"), F.col("id"))
+    a = links.select(
+        F.lit(0).cast("tinyint").alias("s_kind"),
+        doc_iri.alias("s_lex"),
+        F.lit("urn:p:mentions").alias("pred"),
+        F.lit(0).cast("tinyint").alias("o_kind"),
+        F.col("uri").alias("o_lex"),
+        F.lit(None).cast("string").alias("o_dtype"),
+        F.lit(None).cast("string").alias("o_lang"),
+        F.lit(graph).alias("graph"),
+        F.lit(None).cast("string").alias("src_url"),
+        F.lit("linker").alias("extractor"),
+        F.lit(None).cast("int").alias("part_id"),
+    )
+    b = links.select(
+        F.lit(0).cast("tinyint").alias("s_kind"),
+        F.col("uri").alias("s_lex"),
+        F.lit("urn:p:surfaceForm").alias("pred"),
+        F.lit(2).cast("tinyint").alias("o_kind"),
+        F.col("mention").alias("o_lex"),
+        F.lit(XSD_STRING).cast("string").alias("o_dtype"),
+        F.lit(None).cast("string").alias("o_lang"),
+        F.lit(graph).alias("graph"),
+        F.lit(None).cast("string").alias("src_url"),
+        F.lit("linker").alias("extractor"),
+        F.lit(None).cast("int").alias("part_id"),
+    )
+    return a.unionByName(b).dropDuplicates(["s_kind", "s_lex", "pred", "o_kind", "o_lex", "o_dtype", "o_lang", "graph"])

@@ -1,0 +1,180 @@
+"""Staged pipeline with per-stage checkpointing, per-partition lineage and
+metrics tables, and resume-from-checkpoint.
+
+North rule (BASELINE.json:14): "resumable from checkpoint with
+per-partition lineage + metrics". The reference's nearest concept is
+storage-backend transactions (rdf_graph.ml :: transaction_start/commit/
+rollback, SURVEY §2.1) — single-process, in-memory. Here a stage commit
+is an atomic directory rename of a completed Parquet write (Iceberg
+snapshot commit in production — the TableIO seam below), so a killed run
+re-executes only stages whose outputs are missing or whose input
+fingerprint changed.
+
+Layout per pipeline root:
+    <root>/<stage>/data/            committed stage output (parquet)
+    <root>/<stage>/_lineage/        (stage, part_id, row_count, ...)
+    <root>/<stage>/_metrics/        (stage, metric, value)
+    <root>/<stage>/_SUCCESS.json    commit marker + input fingerprint
+
+At 100 TB: stage outputs are the shuffle barrier of the pipeline —
+each stage reads the previous stage's committed files (partition-pruned,
+column-pruned), so a resume never recomputes upstream parses.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LINEAGE_SCHEMA = "stage string, part_id int, row_count long, status string"
+
+
+class TableIO:
+    """Format seam: parquet locally; an Iceberg catalog in production
+    (SURVEY §7 R3 — no Iceberg jars in this sandbox). Only this class
+    changes between the two."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def stage_dir(self, stage: str) -> str:
+        return os.path.join(self.root, stage)
+
+    def is_committed(self, stage: str) -> Optional[dict]:
+        p = os.path.join(self.stage_dir(stage), "_SUCCESS.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return None
+
+    def read(self, spark: SparkSession, stage: str) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.stage_dir(stage), "data"))
+
+    def commit(self, df: DataFrame, stage: str, fingerprint: str, sort_cols: Optional[list] = None) -> dict:
+        """Write data + lineage + metrics, then atomically drop the commit
+        marker. A crash before the marker leaves a partial dir that the
+        next run overwrites (idempotent)."""
+        sdir = self.stage_dir(stage)
+        tmp = sdir + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        if os.path.exists(sdir):
+            shutil.rmtree(sdir)
+        t0 = time.time()
+        out = df
+        if sort_cols:
+            out = out.sortWithinPartitions(*sort_cols)
+        out.write.mode("overwrite").parquet(os.path.join(tmp, "data"))
+
+        spark = df.sparkSession
+        written = spark.read.parquet(os.path.join(tmp, "data"))
+        lineage = (
+            written.withColumn("part_id", F.spark_partition_id())
+            .groupBy("part_id")
+            .agg(F.count(F.lit(1)).alias("row_count"))
+            .select(F.lit(stage).alias("stage"), "part_id", "row_count", F.lit("ok").alias("status"))
+        )
+        lineage.write.mode("overwrite").parquet(os.path.join(tmp, "_lineage"))
+        n_rows = written.count()
+        dt = time.time() - t0
+        metrics = spark.createDataFrame(
+            [
+                (stage, "rows", float(n_rows)),
+                (stage, "seconds", float(dt)),
+                (stage, "rows_per_sec", float(n_rows / dt) if dt > 0 else 0.0),
+            ],
+            schema="stage string, metric string, value double",
+        )
+        metrics.write.mode("overwrite").parquet(os.path.join(tmp, "_metrics"))
+        marker = {"stage": stage, "fingerprint": fingerprint, "rows": n_rows, "seconds": dt, "ts": time.time()}
+        with open(os.path.join(tmp, "_SUCCESS.json"), "w") as f:
+            json.dump(marker, f)
+        os.rename(tmp, sdir)
+        return marker
+
+
+@dataclass
+class Stage:
+    name: str
+    fn: Callable[[SparkSession, "Pipeline"], DataFrame]
+    sort_cols: Optional[list] = None
+
+
+class Pipeline:
+    """Run stages in order; skip any whose committed fingerprint matches
+    (resume-from-checkpoint). `fingerprint` should capture the input
+    identity (corpus path/row count/config), not the data bytes."""
+
+    def __init__(self, spark: SparkSession, root: str, fingerprint: str):
+        self.spark = spark
+        self.io = TableIO(root)
+        self.fingerprint = fingerprint
+        self.stages: list[Stage] = []
+        self.log: list[dict] = []
+
+    def stage(self, name: str, fn, sort_cols: Optional[list] = None) -> "Pipeline":
+        self.stages.append(Stage(name, fn, sort_cols))
+        return self
+
+    def output(self, stage: str) -> DataFrame:
+        return self.io.read(self.spark, stage)
+
+    def run(self) -> list[dict]:
+        for st in self.stages:
+            marker = self.io.is_committed(st.name)
+            if marker and marker.get("fingerprint") == self.fingerprint:
+                self.log.append({**marker, "skipped": True})
+                continue
+            df = st.fn(self.spark, self)
+            marker = self.io.commit(df, st.name, self.fingerprint, st.sort_cols)
+            self.log.append({**marker, "skipped": False})
+        return self.log
+
+
+def kg_pipeline(spark: SparkSession, root: str, n_pages: int, parts: int = 8) -> Pipeline:
+    """The full KG-construction pipeline (north rule order): extract →
+    link → canonicalize → materialize SPO/POS. Each stage committed with
+    lineage + metrics; resumable mid-way."""
+    from .datagen import gen_pages_df
+    from .extract import extract_triples, salted_repartition, split_errors
+    from .operators.cc import canonicalize, connected_components, sameas_edges
+    from .types import TRIPLE_KEY
+
+    fp = f"pages:{n_pages}:v1"
+    pipe = Pipeline(spark, root, fp)
+
+    def s_extract(sp, p):
+        pages = salted_repartition(gen_pages_df(sp, n_pages, parts=parts), parts)
+        triples, errors = split_errors(extract_triples(pages))
+        return triples.unionByName(errors)
+
+    def s_dedup(sp, p):
+        triples, _ = split_errors(p.output("extract"))
+        return triples.dropDuplicates(TRIPLE_KEY)
+
+    def s_canonical(sp, p):
+        triples = p.output("dedup")
+        edges = sameas_edges(triples)
+        mapping = connected_components(edges)
+        return canonicalize(triples, mapping).dropDuplicates(TRIPLE_KEY)
+
+    def s_spo(sp, p):
+        return p.output("canonical").repartition(parts, "s_lex")
+
+    def s_pos(sp, p):
+        return p.output("canonical").repartition(parts, "pred")
+
+    return (
+        pipe.stage("extract", s_extract)
+        .stage("dedup", s_dedup)
+        .stage("canonical", s_canonical)
+        .stage("spo", s_spo, sort_cols=["s_lex", "pred", "o_lex"])
+        .stage("pos", s_pos, sort_cols=["pred", "o_lex", "s_lex"])
+    )

@@ -1,0 +1,942 @@
+"""The driver-contract query suite: every implemented operator from
+SURVEY.md §2 (+ the training-data operators) as a `(spark, sf_dir) →
+DataFrame` callable paired with an equivalent DuckDB ANSI-SQL oracle.
+
+Registry: `QUERIES[name] = (fn, oracle_sql_or_None)`. Consumed by
+`__spark_entry__.py :: queries()/oracle_sql()` and by the local parity
+test (tests/test_oracle_parity.py), which runs the same comparison the
+driver runs, before the driver does.
+
+Conventions that make cross-engine value-hashing exact (see textops.py
+docstring): integers not doubles, md5 not xxhash, lexicographic mins,
+explicit tiebreakers under every LIMIT, `CAST(… AS VARCHAR)` wherever the
+Spark side is a flattened term lexical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .algebra import (
+    Agg,
+    BGP,
+    Ctx,
+    Distinct,
+    Filter,
+    GraphNode,
+    Group,
+    LeftJoin,
+    Minus,
+    OrderBy,
+    Project,
+    Slice,
+    Template,
+    TriplePattern as T_,
+    UnionNode,
+    Values,
+    Var,
+    construct,
+    flatten,
+    select,
+)
+from .functions.builtins import CONTAINS, L, STRLEN, STRSTARTS, SUBSTR, UCASE, V
+from .operators.paths import Alt, Inv, P as PP, PathPattern, Plus, Seq
+from .relational import (
+    P_ACCTBAL,
+    P_CUSTOMER,
+    P_IN_NATION,
+    P_IN_REGION,
+    P_NAME,
+    P_PRIORITY,
+    P_SEGMENT,
+    TRIPLES_CTE,
+    triples_view,
+)
+from .types import RDF_TYPE, Iri, Literal
+
+W = f"WITH {TRIPLES_CTE}"
+VS = Var("s")
+VO = Var("o")
+
+
+def _ctx(spark: SparkSession, sf: str) -> Ctx:
+    return Ctx(triples_view(spark, sf))
+
+
+def _flat(node, ctx, *cols) -> DataFrame:
+    return flatten(select(node, ctx)).select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# SPARQL algebra over the relational triple view (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+
+def q_bgp_join(spark, sf):
+    """BGP: 6-pattern conjunctive join, bound-literal scan on region name."""
+    node = BGP(
+        [
+            T_(Var("c"), Iri(RDF_TYPE), Iri("urn:c:Customer")),
+            T_(Var("c"), Iri(P_NAME), Var("cname")),
+            T_(Var("c"), Iri(P_IN_NATION), Var("n")),
+            T_(Var("n"), Iri(P_NAME), Var("nname")),
+            T_(Var("n"), Iri(P_IN_REGION), Var("r")),
+            T_(Var("r"), Iri(P_NAME), Literal("ASIA")),
+        ]
+    )
+    return _flat(Project(node, ["cname", "nname"]), _ctx(spark, sf), "cname", "nname")
+
+
+SQL_BGP_JOIN = """
+SELECT c_name AS cname, n_name AS nname
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+"""
+
+
+def q_optional_filter(spark, sf):
+    """OPTIONAL with the filter folded into the join condition (§18.5)."""
+    left = BGP([T_(Var("n"), Iri(RDF_TYPE), Iri("urn:c:Nation")), T_(Var("n"), Iri(P_NAME), Var("nname"))])
+    right = BGP(
+        [
+            T_(Var("su"), Iri(RDF_TYPE), Iri("urn:c:Supplier")),
+            T_(Var("su"), Iri(P_IN_NATION), Var("n")),
+            T_(Var("su"), Iri(P_ACCTBAL), Var("sbal")),
+        ]
+    )
+    node = LeftJoin(left, right, V("sbal") > L(990000))
+    return _flat(Project(node, ["nname", "sbal"]), _ctx(spark, sf), "nname", "sbal")
+
+
+SQL_OPTIONAL_FILTER = """
+SELECT n_name AS nname,
+       CAST(CAST(round(s_acctbal*100) AS BIGINT) AS VARCHAR) AS sbal
+FROM nation LEFT JOIN supplier
+  ON s_nationkey = n_nationkey AND round(s_acctbal*100) > 990000
+"""
+
+
+def q_union_tag(spark, sf):
+    """UNION + BIND: customer∪supplier names tagged by origin."""
+    c = BGP([T_(Var("x"), Iri(RDF_TYPE), Iri("urn:c:Customer")), T_(Var("x"), Iri(P_NAME), Var("name"))]).extend(
+        "tag", L("c")
+    )
+    s = BGP([T_(Var("x"), Iri(RDF_TYPE), Iri("urn:c:Supplier")), T_(Var("x"), Iri(P_NAME), Var("name"))]).extend(
+        "tag", L("s")
+    )
+    return _flat(Project(UnionNode(c, s), ["name", "tag"]), _ctx(spark, sf), "name", "tag")
+
+
+SQL_UNION_TAG = """
+SELECT c_name AS name, 'c' AS tag FROM customer
+UNION ALL
+SELECT s_name AS name, 's' AS tag FROM supplier
+"""
+
+
+def q_minus_customers(spark, sf):
+    """MINUS: customers with no URGENT order (anti join on shared var)."""
+    left = BGP([T_(Var("c"), Iri(RDF_TYPE), Iri("urn:c:Customer")), T_(Var("c"), Iri(P_NAME), Var("cname"))])
+    right = BGP(
+        [
+            T_(Var("o"), Iri(P_CUSTOMER), Var("c")),
+            T_(Var("o"), Iri(P_PRIORITY), Literal("1-URGENT")),
+        ]
+    )
+    return _flat(Project(Minus(left, right), ["cname"]), _ctx(spark, sf), "cname")
+
+
+SQL_MINUS_CUSTOMERS = """
+SELECT c_name AS cname FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+"""
+
+
+def q_filter_builtin(spark, sf):
+    """FILTER with builtins: STRSTARTS + numeric < on a typed literal."""
+    node = Filter(
+        STRSTARTS(V("cname"), L("Customer#0000000")) & (V("bal") < L(0)),
+        BGP([T_(Var("c"), Iri(P_NAME), Var("cname")), T_(Var("c"), Iri(P_ACCTBAL), Var("bal"))]),
+    )
+    return _flat(Project(node, ["cname", "bal"]), _ctx(spark, sf), "cname", "bal")
+
+
+SQL_FILTER_BUILTIN = """
+SELECT c_name AS cname, CAST(CAST(round(c_acctbal*100) AS BIGINT) AS VARCHAR) AS bal
+FROM customer
+WHERE c_name LIKE 'Customer#0000000%' AND round(c_acctbal*100) < 0
+"""
+
+
+def q_agg_nation(spark, sf):
+    """GROUP BY + COUNT/SUM/MIN over customers per nation (§18.5.1)."""
+    node = Group(
+        BGP(
+            [
+                T_(Var("c"), Iri(RDF_TYPE), Iri("urn:c:Customer")),
+                T_(Var("c"), Iri(P_IN_NATION), Var("n")),
+                T_(Var("n"), Iri(P_NAME), Var("nname")),
+                T_(Var("c"), Iri(P_ACCTBAL), Var("bal")),
+                T_(Var("c"), Iri(P_NAME), Var("cname")),
+            ]
+        ),
+        ["nname"],
+        [
+            Agg("n_cust", "count_star"),
+            Agg("sum_bal", "sum", V("bal")),
+            Agg("min_name", "min", V("cname")),
+        ],
+    )
+    return _flat(node, _ctx(spark, sf), "nname", "n_cust", "sum_bal", "min_name")
+
+
+SQL_AGG_NATION = """
+SELECT n_name AS nname,
+       CAST(COUNT(*) AS VARCHAR) AS n_cust,
+       CAST(CAST(SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS VARCHAR) AS sum_bal,
+       MIN(c_name) AS min_name
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_agg_concat(spark, sf):
+    """GROUP_CONCAT(DISTINCT …; sorted) of nation names per region."""
+    node = Group(
+        BGP(
+            [
+                T_(Var("n"), Iri(P_IN_REGION), Var("r")),
+                T_(Var("r"), Iri(P_NAME), Var("rname")),
+                T_(Var("n"), Iri(P_NAME), Var("nname")),
+            ]
+        ),
+        ["rname"],
+        [Agg("nations", "group_concat", V("nname"), distinct=True, separator=",", sorted=True)],
+    )
+    return _flat(node, _ctx(spark, sf), "rname", "nations")
+
+
+SQL_AGG_CONCAT = """
+SELECT r_name AS rname, string_agg(DISTINCT n_name, ',' ORDER BY n_name) AS nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_orderby_slice(spark, sf):
+    """ORDER BY (SPARQL total order on numeric literals) + OFFSET/LIMIT."""
+    node = Slice(
+        OrderBy(
+            BGP(
+                [
+                    T_(Var("c"), Iri(RDF_TYPE), Iri("urn:c:Customer")),
+                    T_(Var("c"), Iri(P_NAME), Var("cname")),
+                    T_(Var("c"), Iri(P_ACCTBAL), Var("bal")),
+                ]
+            ),
+            [("bal", False), ("cname", True)],
+        ),
+        offset=5,
+        limit=10,
+    )
+    return _flat(Project(node, ["cname", "bal"]), _ctx(spark, sf), "cname", "bal")
+
+
+SQL_ORDERBY_SLICE = """
+SELECT c_name AS cname, CAST(CAST(round(c_acctbal*100) AS BIGINT) AS VARCHAR) AS bal
+FROM customer
+ORDER BY round(c_acctbal*100) DESC, c_name ASC
+LIMIT 10 OFFSET 5
+"""
+
+
+def q_distinct_segments(spark, sf):
+    node = Distinct(Project(BGP([T_(Var("c"), Iri(P_SEGMENT), Var("seg"))]), ["seg"]))
+    return _flat(node, _ctx(spark, sf), "seg")
+
+
+SQL_DISTINCT_SEGMENTS = "SELECT DISTINCT c_mktsegment AS seg FROM customer"
+
+
+def q_exists_nation(spark, sf):
+    """FILTER EXISTS → semi join (decorrelated by construction)."""
+    left = BGP([T_(Var("n"), Iri(RDF_TYPE), Iri("urn:c:Nation")), T_(Var("n"), Iri(P_NAME), Var("nname"))])
+    sub = Filter(
+        V("b") > L(980000),
+        BGP([T_(Var("c"), Iri(P_IN_NATION), Var("n")), T_(Var("c"), Iri(P_ACCTBAL), Var("b"))]),
+    )
+    return _flat(Project(left.exists(sub), ["nname"]), _ctx(spark, sf), "nname")
+
+
+SQL_EXISTS_NATION = """
+SELECT n_name AS nname FROM nation
+WHERE EXISTS (SELECT 1 FROM customer
+              WHERE c_nationkey = n_nationkey AND round(c_acctbal*100) > 980000)
+"""
+
+
+def q_notexists_nation(spark, sf):
+    left = BGP([T_(Var("n"), Iri(RDF_TYPE), Iri("urn:c:Nation")), T_(Var("n"), Iri(P_NAME), Var("nname"))])
+    sub = Filter(
+        V("b") > L(980000),
+        BGP([T_(Var("c"), Iri(P_IN_NATION), Var("n")), T_(Var("c"), Iri(P_ACCTBAL), Var("b"))]),
+    )
+    return _flat(Project(left.exists(sub, negated=True), ["nname"]), _ctx(spark, sf), "nname")
+
+
+SQL_NOTEXISTS_NATION = """
+SELECT n_name AS nname FROM nation
+WHERE NOT EXISTS (SELECT 1 FROM customer
+                  WHERE c_nationkey = n_nationkey AND round(c_acctbal*100) > 980000)
+"""
+
+
+def q_values_regions(spark, sf):
+    """VALUES inline-data join (DataToMultiset)."""
+    vals = Values([{"rname": Literal("ASIA")}, {"rname": Literal("EUROPE")}])
+    node = vals.join(
+        BGP(
+            [
+                T_(Var("r"), Iri(P_NAME), Var("rname")),
+                T_(Var("n"), Iri(P_IN_REGION), Var("r")),
+                T_(Var("n"), Iri(P_NAME), Var("nname")),
+            ]
+        )
+    )
+    return _flat(Project(node, ["rname", "nname"]), _ctx(spark, sf), "rname", "nname")
+
+
+SQL_VALUES_REGIONS = """
+SELECT r_name AS rname, n_name AS nname
+FROM region JOIN nation ON n_regionkey = r_regionkey
+WHERE r_name IN ('ASIA', 'EUROPE')
+"""
+
+
+def q_graph_counts(spark, sf):
+    """GRAPH ?g + aggregate: triple count per named graph (rdf_ds.ml)."""
+    node = Group(
+        GraphNode(Var("g"), BGP([T_(VS, Var("p"), VO)])),
+        ["g"],
+        [Agg("n", "count_star")],
+    )
+    return _flat(node, _ctx(spark, sf), "g", "n")
+
+
+SQL_GRAPH_COUNTS = W + """
+SELECT graph AS g, CAST(COUNT(*) AS VARCHAR) AS n FROM triples GROUP BY graph
+"""
+
+
+def q_path_seq(spark, sf):
+    """Property path p1/p2: member --inNation/inRegion--> region, counted."""
+    node = Group(
+        PathPattern(VS, Seq(PP(P_IN_NATION), PP(P_IN_REGION)), Var("r")),
+        ["r"],
+        [Agg("n_members", "count_star")],
+    )
+    return _flat(node, _ctx(spark, sf), "r", "n_members")
+
+
+SQL_PATH_SEQ = """
+SELECT 'urn:r:'||n_regionkey AS r, CAST(COUNT(*) AS VARCHAR) AS n_members
+FROM (
+  SELECT c_nationkey AS nk FROM customer
+  UNION ALL
+  SELECT s_nationkey FROM supplier
+) m JOIN nation ON m.nk = n_nationkey
+GROUP BY n_regionkey
+"""
+
+
+def q_path_inv(spark, sf):
+    """Inverse path ^customer: orders per customer, top 10 (+tiebreak)."""
+    node = Slice(
+        OrderBy(
+            Group(
+                PathPattern(Var("c"), Inv(PP(P_CUSTOMER)), Var("o")),
+                ["c"],
+                [Agg("n_orders", "count_star")],
+            ),
+            [("n_orders", False), ("c", True)],
+        ),
+        limit=10,
+    )
+    return _flat(node, _ctx(spark, sf), "c", "n_orders")
+
+
+SQL_PATH_INV = """
+SELECT 'urn:cu:'||o_custkey AS c, CAST(COUNT(*) AS VARCHAR) AS n_orders
+FROM orders GROUP BY o_custkey
+ORDER BY COUNT(*) DESC, 'urn:cu:'||o_custkey ASC
+LIMIT 10
+"""
+
+
+def q_path_plus(spark, sf):
+    """(inNation|inRegion)+ — transitive closure via the iterative
+    DataFrame fixpoint (distinct node-pair semantics, cycle-safe)."""
+    node = PathPattern(VS, Plus(Alt(PP(P_IN_NATION), PP(P_IN_REGION))), VO)
+    return _flat(node, _ctx(spark, sf), "s", "o")
+
+
+SQL_PATH_PLUS = """
+SELECT 'urn:cu:'||c_custkey AS s, 'urn:n:'||c_nationkey AS o FROM customer
+UNION SELECT 'urn:su:'||s_suppkey, 'urn:n:'||s_nationkey FROM supplier
+UNION SELECT 'urn:n:'||n_nationkey, 'urn:r:'||n_regionkey FROM nation
+UNION SELECT 'urn:cu:'||c_custkey, 'urn:r:'||n_regionkey
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+UNION SELECT 'urn:su:'||s_suppkey, 'urn:r:'||n_regionkey
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+"""
+
+
+def q_construct_rich(spark, sf):
+    """CONSTRUCT: mint `?c urn:p:richIn ?n` triples for high-balance
+    customers; output as flattened (s, p, o)."""
+    where = Filter(
+        V("b") >= L(999000),
+        BGP([T_(Var("c"), Iri(P_ACCTBAL), Var("b")), T_(Var("c"), Iri(P_IN_NATION), Var("n"))]),
+    )
+    out = construct([Template(Var("c"), Iri("urn:p:richIn"), Var("n"))], where, _ctx(spark, sf))
+    return out.select(F.col("s_lex").alias("s"), F.col("pred").alias("p"), F.col("o_lex").alias("o"))
+
+
+SQL_CONSTRUCT_RICH = """
+SELECT 'urn:cu:'||c_custkey AS s, 'urn:p:richIn' AS p, 'urn:n:'||c_nationkey AS o
+FROM customer WHERE round(c_acctbal*100) >= 999000
+"""
+
+
+def q_find_probe(spark, sf):
+    """Graph-API probe g.find(pred=…) (rdf_graph.ml :: find) — P-bound
+    pattern, served by the POS sort order at scale (SURVEY §3 EP3)."""
+    from .graph import Graph
+
+    g = Graph(triples_view(spark, sf))
+    return g.find(pred=Iri(P_SEGMENT)).select(F.col("s_lex").alias("s"), F.col("o_lex").alias("seg"))
+
+
+SQL_FIND_PROBE = """
+SELECT 'urn:cu:'||c_custkey AS s, c_mktsegment AS seg FROM customer
+"""
+
+
+def q_serialize_nt(spark, sf):
+    """N-Triples serializer over the region graph (rdf_ttl.ml writer's
+    canonical test output — SURVEY §2.2)."""
+    from .serializers import to_ntriples
+
+    df = triples_view(spark, sf).filter(F.col("graph") == "urn:g:region")
+    return to_ntriples(df).select(F.col("line"))
+
+
+SQL_SERIALIZE_NT = """
+SELECT '<urn:r:'||r_regionkey||'> <urn:p:name> "'||r_name||'" .' AS line FROM region
+UNION ALL
+SELECT '<urn:r:'||r_regionkey||'> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <urn:c:Region> .' FROM region
+"""
+
+
+def q_builtins_str(spark, sf):
+    """String builtins (§17.4.3): UCASE/STRLEN/SUBSTR + CONTAINS filter."""
+    node = (
+        BGP([T_(Var("n"), Iri(RDF_TYPE), Iri("urn:c:Nation")), T_(Var("n"), Iri(P_NAME), Var("nname"))])
+        .filter(CONTAINS(V("nname"), L("1")))
+        .extend("uname", UCASE(V("nname")))
+        .extend("nlen", STRLEN(V("nname")))
+        .extend("pfx", SUBSTR(V("nname"), 1, 6))
+    )
+    return _flat(Project(node, ["nname", "uname", "nlen", "pfx"]), _ctx(spark, sf), "nname", "uname", "nlen", "pfx")
+
+
+SQL_BUILTINS_STR = """
+SELECT n_name AS nname, upper(n_name) AS uname,
+       CAST(length(n_name) AS VARCHAR) AS nlen, substr(n_name, 1, 6) AS pfx
+FROM nation WHERE n_name LIKE '%1%'
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data operators over documents/embeddings (driver mandate)
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark, sf):
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+def _embs(spark, sf):
+    return spark.read.parquet(f"{sf}/embeddings.parquet")
+
+
+def q_dedup_exact(spark, sf):
+    from .operators.textops import exact_dup_groups
+
+    return exact_dup_groups(_docs(spark, sf))
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS hash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_dedup_minhash(spark, sf):
+    from .operators.textops import minhash_candidates
+
+    return minhash_candidates(_docs(spark, sf), bands=8, max_bucket=50)
+
+
+SQL_DEDUP_MINHASH = """
+WITH wf AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS w FROM documents
+), wz AS (SELECT doc_id, w FROM wf WHERE w <> ''),
+b AS (SELECT doc_id, w, unnest(range(8)) AS band FROM wz),
+sig AS (SELECT doc_id, band, min(md5(band || ':' || w)) AS mh FROM b GROUP BY doc_id, band),
+sized AS (SELECT band, mh, COUNT(*) AS bsz FROM sig GROUP BY band, mh),
+small AS (SELECT sig.* FROM sig JOIN sized USING (band, mh) WHERE sized.bsz <= 50),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.band
+  FROM small a JOIN small b ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, COUNT(*) AS n_bands FROM pairs GROUP BY doc_a, doc_b
+"""
+
+
+def q_dedup_simhash(spark, sf):
+    from .operators.textops import simhash16
+
+    return simhash16(_docs(spark, sf))
+
+
+SQL_DEDUP_SIMHASH = """
+WITH wf AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS w FROM documents
+), wz AS (SELECT doc_id, w FROM wf WHERE w <> ''),
+wh AS (
+  SELECT doc_id,
+         (instr('0123456789abcdef', substr(md5(w),1,1))-1)*4096
+       + (instr('0123456789abcdef', substr(md5(w),2,1))-1)*256
+       + (instr('0123456789abcdef', substr(md5(w),3,1))-1)*16
+       + (instr('0123456789abcdef', substr(md5(w),4,1))-1) AS h
+  FROM wz
+),
+bits AS (SELECT doc_id, h, unnest(range(16)) AS bit FROM wh),
+per_bit AS (
+  SELECT doc_id, bit,
+         SUM(CASE WHEN (h // CAST(pow(2, bit) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+  FROM bits GROUP BY doc_id, bit
+)
+SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+FROM per_bit GROUP BY doc_id
+"""
+
+
+def q_ngram_jaccard(spark, sf):
+    from .operators.textops import ngram_jaccard
+
+    docs = _docs(spark, sf)
+    pairs = (
+        docs.filter((F.col("doc_id") < 100) & (F.col("doc_id") % 2 == 0))
+        .select(F.col("doc_id").alias("doc_a"), (F.col("doc_id") + 1).alias("doc_b"))
+    )
+    return ngram_jaccard(docs, pairs, n=3)
+
+
+SQL_NGRAM_JACCARD = """
+WITH w AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS ws FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS g
+  FROM w, unnest(range(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 3
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+pairs AS (SELECT doc_id AS doc_a, doc_id + 1 AS doc_b FROM documents
+          WHERE doc_id < 100 AND doc_id % 2 = 0),
+inter AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+  FROM pairs p
+  JOIN grams ga ON ga.doc_id = p.doc_a
+  JOIN grams gb ON gb.doc_id = p.doc_b AND gb.g = ga.g
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(floor(COALESCE(i.n_inter, 0) * 100.0 /
+            (sa.n_grams + sb.n_grams - COALESCE(i.n_inter, 0))) AS BIGINT) AS jac_pct
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+"""
+
+
+_SW_EN = "'the','and','of','to','in','is','that','for','with','as'"
+_SW_DE = "'der','die','das','und','ist','von','mit','für','auf','ein'"
+_SW_FR = "'le','la','les','et','de','un','une','est','pour','dans'"
+
+
+def q_lang_id(spark, sf):
+    from .operators.textops import lang_id
+
+    return lang_id(_docs(spark, sf))
+
+
+SQL_LANG_ID = f"""
+WITH s AS (
+  SELECT doc_id,
+    len(list_filter(string_split_regex(trim(text), ' +'), x -> lower(x) IN ({_SW_DE}))) AS s_de,
+    len(list_filter(string_split_regex(trim(text), ' +'), x -> lower(x) IN ({_SW_EN}))) AS s_en,
+    len(list_filter(string_split_regex(trim(text), ' +'), x -> lower(x) IN ({_SW_FR}))) AS s_fr
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN greatest(s_de, s_en, s_fr) = 0 THEN 'und'
+       WHEN s_de = greatest(s_de, s_en, s_fr) THEN 'de'
+       WHEN s_en = greatest(s_de, s_en, s_fr) THEN 'en'
+       ELSE 'fr' END AS lang_guess,
+  CAST(greatest(s_de, s_en, s_fr) AS BIGINT) AS top_hits
+FROM s
+"""
+
+
+def q_quality(spark, sf):
+    from .operators.textops import quality_score
+
+    return quality_score(_docs(spark, sf))
+
+
+SQL_QUALITY = f"""
+WITH b AS (
+  SELECT doc_id,
+    CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tok,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+    CAST(len(list_filter(string_split_regex(trim(text), ' +'), x -> lower(x) IN ({_SW_EN}))) AS BIGINT) AS n_stop
+  FROM documents
+)
+SELECT doc_id,
+  n_tok AS n_tokens,
+  CAST(floor(n_chars * 100.0 / greatest(n_tok, 1)) AS BIGINT) AS mean_tok_x100,
+  CAST(floor(n_punct * 1000.0 / greatest(n_chars, 1)) AS BIGINT) AS punct_x1000,
+  CAST(floor(n_stop * 1000.0 / greatest(n_tok, 1)) AS BIGINT) AS stop_x1000,
+  CAST((CASE WHEN n_tok >= 10 AND floor(n_chars * 100.0 / greatest(n_tok, 1)) BETWEEN 300 AND 1200 THEN 50 ELSE 0 END)
+     + (CASE WHEN floor(n_stop * 1000.0 / greatest(n_tok, 1)) > 0 THEN 30 ELSE 0 END)
+     + (CASE WHEN floor(n_punct * 1000.0 / greatest(n_chars, 1)) <= 200 THEN 20 ELSE 0 END) AS BIGINT) AS quality
+FROM b
+"""
+
+
+def q_token_counts(spark, sf):
+    from .operators.textops import token_counts
+
+    return token_counts(_docs(spark, sf))
+
+
+SQL_TOKEN_COUNTS = r"""
+SELECT doc_id,
+  CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS ws_tokens,
+  CAST(len(regexp_extract_all(text, '[a-zA-Z]{1,4}|[0-9]{1,3}|[^a-zA-Z0-9\s]')) AS BIGINT) AS bpe_ish_tokens
+FROM documents
+"""
+
+
+def q_fingerprint(spark, sf):
+    from .operators.textops import fingerprint
+
+    return fingerprint(_docs(spark, sf))
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id,
+  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
+def q_ann_cosine(spark, sf):
+    from .operators.ann import cosine_topk
+
+    return cosine_topk(_embs(spark, sf), query_id=0, k=10)
+
+
+SQL_ANN_COSINE = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       CAST(round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe) * 10000) AS BIGINT) AS sim_x1e4
+FROM embeddings, q WHERE vec_id <> 0
+ORDER BY sim_x1e4 DESC, vec_id ASC LIMIT 10
+"""
+
+
+def q_ann_lsh(spark, sf):
+    """Rows-only: LSH-bucketed approximate neighbors (scale path)."""
+    from .operators.ann import lsh_topk
+
+    return lsh_topk(_embs(spark, sf), query_id=0, k=10, bits=4, dim=64)
+
+
+def q_ann_ivf(spark, sf):
+    """Rows-only: IVF coarse-assignment index build — cluster sizes."""
+    from .operators.ann import knn_join_centroids
+
+    return (
+        knn_join_centroids(_embs(spark, sf), n_clusters=8)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .orderBy("cluster")
+    )
+
+
+# ---------------------------------------------------------------------------
+# KG construction: entity linking, canonicalization (north rule)
+# ---------------------------------------------------------------------------
+
+
+def q_link_exact(spark, sf):
+    """Mention detection + alias broadcast join + top-1 (SURVEY §2.5)."""
+    from .operators.linking import detect_mentions, link_exact
+
+    nat = spark.read.parquet(f"{sf}/nation.parquet")
+    docs_m = nat.select(
+        F.col("n_nationkey").cast("long").alias("doc_id"),
+        F.concat(F.lit("Visit "), F.col("n_name"), F.lit(" today")).alias("text"),
+    )
+    mentions = detect_mentions(docs_m)
+    aliases = nat.select(
+        F.col("n_name").alias("alias"),
+        F.concat(F.lit("urn:n:"), F.col("n_nationkey")).alias("uri"),
+        (F.lit(1.0) - F.col("n_nationkey") / 100.0).alias("prior"),
+    )
+    return link_exact(mentions, aliases)
+
+
+SQL_LINK_EXACT = """
+SELECT CAST(n_nationkey AS BIGINT) AS id, n_name AS mention,
+       'urn:n:'||n_nationkey AS uri,
+       CAST(round((1.0 - n_nationkey/100.0) * 1000000) AS BIGINT) AS score_x1e6
+FROM nation
+"""
+
+
+def q_link_fuzzy(spark, sf):
+    """Rows-only: MinHash-LSH blocking over the alias fixture (seeded)."""
+    from .datagen import gen_aliases_pandas
+    from .operators.linking import link_fuzzy
+
+    ali = spark.createDataFrame(gen_aliases_pandas(200))
+    # probe mentions: aliases with the 2nd character dropped (near-miss)
+    probes = ali.select(
+        F.monotonically_increasing_id().alias("id"),
+        F.col("alias").alias("mention"),
+        F.lower(F.regexp_replace(F.concat(F.substring("alias", 1, 1), F.expr("substring(alias, 3)")), r"[^A-Za-z0-9 ]", "")).alias("norm"),
+    ).limit(60)
+    out = link_fuzzy(probes, ali, threshold=0.6)
+    return out.groupBy("uri").agg(F.count(F.lit(1)).alias("n_links")).orderBy("uri")
+
+
+def _cc_edges(spark, sf):
+    from pyspark.sql.window import Window
+
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    w = Window.partitionBy("c_nationkey", "c_mktsegment").orderBy("c_custkey")
+    nxt = F.lead("c_custkey").over(w)
+    return cust.select(
+        F.concat(F.lit("0|urn:cu:"), F.col("c_custkey")).alias("src"),
+        F.concat(F.lit("0|urn:cu:"), nxt).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+
+
+def q_cc_components(spark, sf):
+    """large-star/small-star connected components over sameAs-style chain
+    edges; ground truth is the (nation, segment) grouping the chains were
+    built from — the CC algorithm must rediscover it."""
+    from .operators.cc import connected_components
+
+    mapping = connected_components(_cc_edges(spark, sf))
+    return (
+        mapping.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("csize"))
+        .select(F.regexp_replace("component", r"^0\|", "").alias("canon"), "csize")
+    )
+
+
+SQL_CC_COMPONENTS = """
+SELECT MIN('urn:cu:'||c_custkey) AS canon, COUNT(*) AS csize
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+HAVING COUNT(*) >= 2
+"""
+
+
+def q_canonicalize(spark, sf):
+    """Full canonicalization: CC mapping + subj/obj rewrite + set-dedup;
+    per-canonical-subject triple counts over the customer graph."""
+    from .operators.cc import canonicalize, connected_components
+    from .types import TRIPLE_KEY
+
+    triples = triples_view(spark, sf).filter(F.col("graph") == "urn:g:customer")
+    mapping = connected_components(_cc_edges(spark, sf))
+    rewritten = canonicalize(triples, mapping).dropDuplicates(TRIPLE_KEY)
+    return (
+        rewritten.filter(F.col("s_lex").startswith("urn:cu:"))
+        .groupBy(F.col("s_lex").alias("rep"))
+        .agg(F.count(F.lit(1)).alias("n_triples"))
+    )
+
+
+SQL_CANONICALIZE = """
+SELECT MIN('urn:cu:'||c_custkey) AS rep,
+       CAST(3 + COUNT(*) + COUNT(DISTINCT CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS n_triples
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+"""
+
+
+def q_extract_corpus(spark, sf):
+    """Rows-only: the full vectorized extraction stage on the deterministic
+    synthetic corpus — triples per extractor (SURVEY §3 EP2)."""
+    from .datagen import gen_pages_df
+    from .extract import extract_triples, salted_repartition, split_errors
+    from .types import TRIPLE_KEY
+
+    pages = salted_repartition(gen_pages_df(spark, 200, parts=4), 8)
+    triples, _ = split_errors(extract_triples(pages))
+    return (
+        triples.dropDuplicates(TRIPLE_KEY)
+        .groupBy("extractor")
+        .agg(F.count(F.lit(1)).alias("n_triples"))
+        .orderBy("extractor")
+    )
+
+
+def q_media_meta(spark, sf):
+    """Multimodal plumbing: binary column → Arrow-batched metadata UDF
+    (decode stubbed; schema/batching real). Cross-checked against SQL."""
+    from .operators.media import media_metadata
+
+    docs = _docs(spark, sf).select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    return media_metadata(docs)
+
+
+SQL_MEDIA_META = """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha,
+       'unknown' AS kind,
+       CAST(64 + (instr('0123456789abcdef', substr(sha256(text),1,1))-1)*16
+               + (instr('0123456789abcdef', substr(sha256(text),2,1))-1) AS INTEGER) AS width,
+       CAST(64 + (instr('0123456789abcdef', substr(sha256(text),3,1))-1)*16
+               + (instr('0123456789abcdef', substr(sha256(text),4,1))-1) AS INTEGER) AS height,
+       CAST(1 + ((instr('0123456789abcdef', substr(sha256(text),5,1))-1)*16
+               + (instr('0123456789abcdef', substr(sha256(text),6,1))-1)) % 8 AS INTEGER) AS n_frames
+FROM documents
+"""
+
+
+def q_scan_agg(spark, sf):
+    """Columnar scan + partial/final hash aggregation at bench scale
+    (pushdown + WholeStageCodegen showcase; SURVEY §4)."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("sum_qty_x100"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("sum_price_x100"),
+        )
+    )
+
+
+SQL_SCAN_AGG = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_x100,
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_x100
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_window_topk(spark, sf):
+    """Window function (SURVEY §2.6): top-2 customers by balance/nation."""
+    from pyspark.sql.window import Window
+
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    bal = F.round(F.col("c_acctbal") * 100).cast("long")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc(bal), F.asc("c_custkey"))
+    return (
+        cust.select(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_custkey").alias("custkey"),
+            bal.alias("bal_x100"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 2)
+    )
+
+
+SQL_WINDOW_TOPK = """
+SELECT nationkey, custkey, bal_x100, rn FROM (
+  SELECT c_nationkey AS nationkey, c_custkey AS custkey,
+         CAST(round(c_acctbal*100) AS BIGINT) AS bal_x100,
+         CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey
+              ORDER BY round(c_acctbal*100) DESC, c_custkey ASC) AS INTEGER) AS rn
+  FROM customer
+) WHERE rn <= 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    # SPARQL algebra (SURVEY §2.3–§2.8)
+    "bgp_join": (q_bgp_join, SQL_BGP_JOIN),
+    "optional_filter": (q_optional_filter, SQL_OPTIONAL_FILTER),
+    "union_tag": (q_union_tag, SQL_UNION_TAG),
+    "minus_customers": (q_minus_customers, SQL_MINUS_CUSTOMERS),
+    "filter_builtin": (q_filter_builtin, SQL_FILTER_BUILTIN),
+    "agg_nation": (q_agg_nation, SQL_AGG_NATION),
+    "agg_concat": (q_agg_concat, SQL_AGG_CONCAT),
+    "orderby_slice": (q_orderby_slice, SQL_ORDERBY_SLICE),
+    "distinct_segments": (q_distinct_segments, SQL_DISTINCT_SEGMENTS),
+    "exists_nation": (q_exists_nation, SQL_EXISTS_NATION),
+    "notexists_nation": (q_notexists_nation, SQL_NOTEXISTS_NATION),
+    "values_regions": (q_values_regions, SQL_VALUES_REGIONS),
+    "graph_counts": (q_graph_counts, SQL_GRAPH_COUNTS),
+    "path_seq": (q_path_seq, SQL_PATH_SEQ),
+    "path_inv": (q_path_inv, SQL_PATH_INV),
+    "path_plus": (q_path_plus, SQL_PATH_PLUS),
+    "construct_rich": (q_construct_rich, SQL_CONSTRUCT_RICH),
+    "find_probe": (q_find_probe, SQL_FIND_PROBE),
+    "serialize_nt": (q_serialize_nt, SQL_SERIALIZE_NT),
+    "builtins_str": (q_builtins_str, SQL_BUILTINS_STR),
+    # training-data operators
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
+    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "quality": (q_quality, SQL_QUALITY),
+    "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
+    "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),
+    "ann_lsh": (q_ann_lsh, None),
+    "ann_ivf": (q_ann_ivf, None),
+    # KG construction (north rule)
+    "link_exact": (q_link_exact, SQL_LINK_EXACT),
+    "link_fuzzy": (q_link_fuzzy, None),
+    "cc_components": (q_cc_components, SQL_CC_COMPONENTS),
+    "canonicalize": (q_canonicalize, SQL_CANONICALIZE),
+    "extract_corpus": (q_extract_corpus, None),
+    "media_meta": (q_media_meta, SQL_MEDIA_META),
+    # relational/scan layer
+    "scan_agg": (q_scan_agg, SQL_SCAN_AGG),
+    "window_topk": (q_window_topk, SQL_WINDOW_TOPK),
+}

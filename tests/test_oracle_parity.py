@@ -1,0 +1,75 @@
+"""Local replica of the driver's correctness gate: run every suite query
+in Spark AND its DuckDB oracle on the same parquet tables, compare
+row-count + column names + order-insensitive values.
+
+Runs at sf0.001 by default (fast); set ORDS_PARITY_SF=/root/testdata/sf0.01
+to reproduce the driver's exact scale.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from ocaml_rdf_spark.suite import QUERIES
+
+SF_DIR = os.environ.get("ORDS_PARITY_SF", "/root/testdata/sf0.001")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+ORACLED = sorted(name for name, (_f, sql) in QUERIES.items() if sql is not None)
+ROWS_ONLY = sorted(name for name, (_f, sql) in QUERIES.items() if sql is None)
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    yield con
+    con.close()
+
+
+def _canon(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.6g}"
+    return str(v)
+
+
+def _rows(records, cols):
+    return sorted(tuple(_canon(r[c]) for c in cols) for r in records)
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_parity(spark, ddb, name):
+    fn, sql = QUERIES[name]
+    sdf = fn(spark, SF_DIR)
+    spark_cols = sorted(sdf.columns)
+    spark_rows = _rows([r.asDict() for r in sdf.collect()], spark_cols)
+
+    ddf = ddb.sql(sql).df()
+    duck_cols = sorted(ddf.columns)
+    duck_rows = _rows(ddf.where(ddf.notnull(), None).to_dict("records"), duck_cols)
+
+    assert spark_cols == duck_cols, f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    assert len(spark_rows) == len(duck_rows), f"{name}: {len(spark_rows)} vs {len(duck_rows)} rows"
+    if spark_rows != duck_rows:
+        diffs = [(a, b) for a, b in zip(spark_rows, duck_rows) if a != b][:5]
+        raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only(spark, name):
+    fn, _ = QUERIES[name]
+    df = fn(spark, SF_DIR)
+    assert df.count() >= 0  # runs, stable schema
+    assert len(df.columns) > 0
