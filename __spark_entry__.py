@@ -24,12 +24,12 @@ def entry(spark: SparkSession) -> DataFrame:
     from pyspark.sql import functions as F
 
     from ocaml_rdf_spark.datagen import gen_pages_df
-    from ocaml_rdf_spark.extract import extract_triples, salted_repartition, split_errors
+    from ocaml_rdf_spark.extract import dedup_triples, extract_triples, salted_repartition, split_errors
     from ocaml_rdf_spark.types import TRIPLE_KEY
 
     pages = salted_repartition(gen_pages_df(spark, 200, parts=4), 8)
     triples, _errors = split_errors(extract_triples(pages))
-    deduped = triples.dropDuplicates(TRIPLE_KEY)
+    deduped = dedup_triples(triples)
     top = (
         deduped.groupBy("pred")
         .agg(F.count(F.lit(1)).alias("n_triples"), F.countDistinct("s_lex").alias("n_subjects"))

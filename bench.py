@@ -33,9 +33,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     from ocaml_rdf_spark.datagen import gen_pages_df
-    from ocaml_rdf_spark.extract import extract_triples, salted_repartition, split_errors
+    from ocaml_rdf_spark.extract import dedup_triples, extract_triples, salted_repartition, split_errors
     from ocaml_rdf_spark.suite import QUERIES
-    from ocaml_rdf_spark.types import TRIPLE_KEY
 
     timings: dict[str, float] = {}
 
@@ -47,7 +46,7 @@ def main() -> None:
     t0 = time.time()
     pages = salted_repartition(gen_pages_df(spark, n_pages, parts=cpus), cpus * 2)
     triples, _errors = split_errors(extract_triples(pages))
-    n_triples = triples.dropDuplicates(TRIPLE_KEY).count()
+    n_triples = dedup_triples(triples).count()
     extract_sec = time.time() - t0
     timings["extract_pipeline"] = round(extract_sec, 3)
 

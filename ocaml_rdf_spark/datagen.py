@@ -24,9 +24,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .types import (
     PAGES_SCHEMA,
+    RDF_NS,
     RDF_TYPE,
     TRIPLES_COLUMNS,
     TRIPLES_SCHEMA,
+    XSD_DATETIME,
     XSD_INTEGER,
     BNode,
     Iri,
@@ -219,6 +221,27 @@ def page_record(i: int, seed: int = SEED) -> dict:
             (e, Iri(RDF_TYPE), Iri(SCHEMA_NS + "WebPage"), "ntriples"),
             (e, Iri(SCHEMA_NS + "name"), Literal(title), "ntriples"),
             (e, Iri(SCHEMA_NS + "about"), Iri(org_uri), "ntriples"),
+        ]
+
+    # -- block 6: RDF/XML script (invisible; exercises rdf_xml.ml parity) -----
+    if rng.random() < 0.45:
+        ent = f"{url}#event"
+        start = f"2026-{1 + i % 12:02d}-{1 + i % 28:02d}T00:00:00Z"
+        xml = (
+            f'<rdf:RDF xmlns:rdf="{RDF_NS}" xmlns:s="{SCHEMA_NS}">'
+            f'<s:Event rdf:about="#event">'
+            f'<s:name xml:lang="{lang}">Launch of {product}</s:name>'
+            f'<s:location rdf:resource="{org_uri}"/>'
+            f'<s:startDate rdf:datatype="{XSD_DATETIME}">{start}</s:startDate>'
+            f"</s:Event></rdf:RDF>"
+        )
+        frags.append(f'<script type="application/rdf+xml">{xml}</script>')
+        e = Iri(ent)
+        triples += [
+            (e, Iri(RDF_TYPE), Iri(SCHEMA_NS + "Event"), "rdfxml"),
+            (e, Iri(SCHEMA_NS + "name"), Literal(f"Launch of {product}", lang=lang), "rdfxml"),
+            (e, Iri(SCHEMA_NS + "location"), Iri(org_uri), "rdfxml"),
+            (e, Iri(SCHEMA_NS + "startDate"), Literal(start, dtype=XSD_DATETIME), "rdfxml"),
         ]
 
     frags.append("</body></html>")

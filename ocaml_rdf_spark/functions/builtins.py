@@ -64,7 +64,7 @@ VarMap = dict  # var name -> term-struct Column
 class E:
     """Expression node: callable varmap → term-struct Column."""
 
-    __slots__ = ("fn",)
+    __slots__ = ("fn", "_has_agg", "_agg_spec")
 
     def __init__(self, fn: Callable[[VarMap], Column]):
         self.fn = fn
@@ -131,24 +131,26 @@ def V(name: str) -> E:
 
 
 def L(value) -> E:
-    """Constant: Python value or Term → literal/IRI term."""
+    """Constant: Python value or Term → literal/IRI term. Column
+    construction is deferred to compile time (lambda body) so queries can
+    be PARSED without an active SparkContext."""
     if isinstance(value, Term.__args__):  # type: ignore[attr-defined]
-        c = term_lit(value)
+        t = value
     elif isinstance(value, bool):
-        c = term_lit(PyLiteral("true" if value else "false", dtype=XSD_BOOLEAN))
+        t = PyLiteral("true" if value else "false", dtype=XSD_BOOLEAN)
     elif isinstance(value, int):
-        c = term_lit(PyLiteral(str(value), dtype=XSD_INTEGER))
+        t = PyLiteral(str(value), dtype=XSD_INTEGER)
     elif isinstance(value, float):
-        c = term_lit(PyLiteral(repr(value), dtype=XSD_DOUBLE))
+        t = PyLiteral(repr(value), dtype=XSD_DOUBLE)
     elif isinstance(value, str):
-        c = term_lit(PyLiteral(value))
+        t = PyLiteral(value)
     else:
         raise TypeError(f"cannot lift {value!r}")
-    return E(lambda vm: c)
+    return E(lambda vm, t=t: term_lit(t))
 
 
 def IRI_(value: str) -> E:
-    return E(lambda vm, c=term_lit(PyIri(value)): c)
+    return E(lambda vm, t=PyIri(value): term_lit(t))
 
 
 # ---------------------------------------------------------------------------

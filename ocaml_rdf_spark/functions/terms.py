@@ -165,7 +165,13 @@ def boolv(t: Column) -> Column:
 
 
 def ts(t: Column) -> Column:
-    return F.when(t["dtype"] == XSD_DATETIME, t["lex"].try_cast("timestamp")).otherwise(F.lit(None).cast("timestamp"))
+    """xsd:dateTime or xsd:date literal → timestamp (rdf_dt.ml ::
+    to_datetime; date lexicals parse as midnight)."""
+    from ..types import XSD_NS
+
+    return F.when(
+        t["dtype"].isin(XSD_DATETIME, XSD_NS + "date"), t["lex"].try_cast("timestamp")
+    ).otherwise(F.lit(None).cast("timestamp"))
 
 
 def is_simple_string(t: Column) -> Column:

@@ -72,16 +72,27 @@ def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
     straight off the final edges. Isolated nodes don't appear (callers union
     identity rows for nodes they care about).
     """
+    def _sig(df: DataFrame) -> tuple:
+        # one-job convergence signature: (edge count, order-independent
+        # hash-sum). Cheaper than exceptAll+counts (3 jobs → 1); a false
+        # convergence needs a 64-bit hash-sum collision between
+        # consecutive rounds of the same monotone contraction — ignored.
+        row = df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
     cur = edges.filter(F.col("src") != F.col("dst")).select("src", "dst").distinct()
     cur = cur.localCheckpoint(eager=True)
+    prev_sig = _sig(cur)
     for _ in range(max_iter):
         nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
-        # fixpoint when the oriented edge sets match
-        a = nxt.exceptAll(cur)
-        if a.isEmpty() and nxt.count() == cur.count():
-            cur = nxt
-            break
+        sig = _sig(nxt)
         cur = nxt
+        if sig == prev_sig:
+            break
+        prev_sig = sig
     # star forest: src > dst = component min
     comp = cur.select(F.col("src").alias("node"), F.col("dst").alias("component"))
     roots = cur.select(F.col("dst").alias("node")).distinct().withColumn("component", F.col("node"))

@@ -143,7 +143,7 @@ def kg_pipeline(spark: SparkSession, root: str, n_pages: int, parts: int = 8) ->
     link → canonicalize → materialize SPO/POS. Each stage committed with
     lineage + metrics; resumable mid-way."""
     from .datagen import gen_pages_df
-    from .extract import extract_triples, salted_repartition, split_errors
+    from .extract import dedup_triples, extract_triples, salted_repartition, split_errors
     from .operators.cc import canonicalize, connected_components, sameas_edges
     from .types import TRIPLE_KEY
 
@@ -157,7 +157,7 @@ def kg_pipeline(spark: SparkSession, root: str, n_pages: int, parts: int = 8) ->
 
     def s_dedup(sp, p):
         triples, _ = split_errors(p.output("extract"))
-        return triples.dropDuplicates(TRIPLE_KEY)
+        return dedup_triples(triples)
 
     def s_canonical(sp, p):
         triples = p.output("dedup")

@@ -1,0 +1,117 @@
+"""SPARQL query-results serializers: JSON (application/sparql-results+json)
+and XML (application/sparql-results+xml).
+
+Parity: rdf_json.ml + the results side of rdf_sparql_protocol.ml
+(SURVEY §2.2 — the HTTP client itself is out of scope offline, but the
+result formats are kept as test goldens / interchange). Operates on a
+solutions DataFrame of TERM_STRUCT columns (algebra.py output);
+driver-side assembly — result sets are human-scale, the 100 TB data
+plane uses parquet/N-Triples.
+"""
+
+from __future__ import annotations
+
+import json
+from xml.sax.saxutils import escape, quoteattr
+
+from pyspark.sql import DataFrame
+
+from .types import KIND_BNODE, KIND_IRI, RDF_LANGSTRING, XSD_STRING
+
+
+def _term_json(t) -> dict:
+    if t["kind"] == KIND_IRI:
+        return {"type": "uri", "value": t["lex"]}
+    if t["kind"] == KIND_BNODE:
+        return {"type": "bnode", "value": t["lex"]}
+    out = {"type": "literal", "value": t["lex"]}
+    if t["lang"]:
+        out["xml:lang"] = t["lang"]
+    elif t["dtype"] and t["dtype"] not in (XSD_STRING,):
+        out["datatype"] = t["dtype"]
+    return out
+
+
+def to_sparql_json(df: DataFrame, limit: int | None = None) -> str:
+    """Solutions DF → SPARQL 1.1 Results JSON string."""
+    cols = df.columns
+    rows = df.limit(limit).collect() if limit else df.collect()
+    bindings = []
+    for r in rows:
+        b = {}
+        for v in cols:
+            t = r[v]
+            if t is not None and t["kind"] is not None:
+                b[v] = _term_json(t)
+        bindings.append(b)
+    return json.dumps(
+        {"head": {"vars": cols}, "results": {"bindings": bindings}},
+        ensure_ascii=False,
+        sort_keys=True,
+    )
+
+
+def to_sparql_xml(df: DataFrame, limit: int | None = None) -> str:
+    """Solutions DF → SPARQL Query Results XML Format string."""
+    cols = df.columns
+    rows = df.limit(limit).collect() if limit else df.collect()
+    out = ['<?xml version="1.0"?>', '<sparql xmlns="http://www.w3.org/2005/sparql-results#">', "  <head>"]
+    for v in cols:
+        out.append(f"    <variable name={quoteattr(v)}/>")
+    out.append("  </head>")
+    out.append("  <results>")
+    for r in rows:
+        out.append("    <result>")
+        for v in cols:
+            t = r[v]
+            if t is None or t["kind"] is None:
+                continue
+            if t["kind"] == KIND_IRI:
+                body = f"<uri>{escape(t['lex'])}</uri>"
+            elif t["kind"] == KIND_BNODE:
+                body = f"<bnode>{escape(t['lex'])}</bnode>"
+            elif t["lang"]:
+                body = f"<literal xml:lang={quoteattr(t['lang'])}>{escape(t['lex'])}</literal>"
+            elif t["dtype"] and t["dtype"] != XSD_STRING:
+                body = f"<literal datatype={quoteattr(t['dtype'])}>{escape(t['lex'])}</literal>"
+            else:
+                body = f"<literal>{escape(t['lex'])}</literal>"
+            out.append(f"      <binding name={quoteattr(v)}>{body}</binding>")
+        out.append("    </result>")
+    out.append("  </results>")
+    out.append("</sparql>")
+    return "\n".join(out) + "\n"
+
+
+def to_ask_json(result: bool) -> str:
+    return json.dumps({"head": {}, "boolean": bool(result)})
+
+
+def to_ask_xml(result: bool) -> str:
+    return (
+        '<?xml version="1.0"?>\n<sparql xmlns="http://www.w3.org/2005/sparql-results#">'
+        f"<head/><boolean>{'true' if result else 'false'}</boolean></sparql>\n"
+    )
+
+
+def parse_sparql_json(s: str) -> tuple[list[str], list[dict]]:
+    """Inverse of to_sparql_json (for protocol-client-style tests):
+    → (vars, [ {var: (kind, lex, dtype, lang)} ])."""
+    doc = json.loads(s)
+    if "boolean" in doc:
+        return [], [{"__ask": doc["boolean"]}]
+    vars_ = doc["head"]["vars"]
+    rows = []
+    for b in doc["results"]["bindings"]:
+        row = {}
+        for v, t in b.items():
+            if t["type"] == "uri":
+                row[v] = (0, t["value"], None, None)
+            elif t["type"] == "bnode":
+                row[v] = (1, t["value"], None, None)
+            else:
+                lang = t.get("xml:lang")
+                dt = t.get("datatype") or (RDF_LANGSTRING if lang else XSD_STRING)
+                row[v] = (2, t["value"], dt, lang)
+        rows.append(row)
+    return vars_, rows

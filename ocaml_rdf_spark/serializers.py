@@ -125,3 +125,53 @@ def to_dot(df: DataFrame, limit: int = 200) -> str:
         out.append(f'  {s} -> {o} [label="{r["pred"]}"];')
     out.append("}")
     return "\n".join(out)
+
+
+def to_rdfxml(df: DataFrame, namespaces: dict[str, str] | None = None) -> str:
+    """RDF/XML writer (rdf_xml.ml :: to_string — SURVEY §2.2). Driver-side
+    assembly grouped by subject; round-trips through sources/rdfxml.py.
+    Like to_turtle, intended for result graphs / debug — the scale sink is
+    N-Triples/Parquet."""
+    from xml.sax.saxutils import escape, quoteattr
+
+    from .types import RDF_NS
+
+    ns = {"rdf": RDF_NS, **(namespaces or {})}
+
+    def qname(iri: str):
+        for p, base in sorted(ns.items(), key=lambda kv: -len(kv[1])):
+            if iri.startswith(base):
+                local = iri[len(base):]
+                if local and all(c.isalnum() or c in "_-" for c in local) and not local[0].isdigit():
+                    return f"{p}:{local}", None
+        return None, iri
+
+    rows = df.collect()
+    by_subj: dict[tuple, list] = {}
+    for r in rows:
+        by_subj.setdefault((r["s_kind"], r["s_lex"]), []).append(r)
+
+    out = ["<?xml version=\"1.0\" encoding=\"utf-8\"?>"]
+    decls = " ".join(f'xmlns:{p}={quoteattr(iri)}' for p, iri in sorted(ns.items()))
+    out.append(f"<rdf:RDF {decls}>")
+    for (sk, slex), triples in sorted(by_subj.items(), key=lambda kv: kv[0]):
+        about = f"rdf:about={quoteattr(slex)}" if sk == KIND_IRI else f"rdf:nodeID={quoteattr(slex)}"
+        out.append(f"  <rdf:Description {about}>")
+        for r in sorted(triples, key=lambda r: (r["pred"], r["o_kind"], r["o_lex"])):
+            q, full = qname(r["pred"])
+            tag = q if q else "ns1:" + r["pred"].rsplit("/", 1)[-1].rsplit("#", 1)[-1]
+            extra = "" if q else f' xmlns:ns1={quoteattr(full.rsplit(full.rsplit("/", 1)[-1].rsplit("#", 1)[-1], 1)[0])}'
+            if r["o_kind"] == KIND_IRI:
+                out.append(f"    <{tag}{extra} rdf:resource={quoteattr(r['o_lex'])}/>")
+            elif r["o_kind"] == KIND_BNODE:
+                out.append(f"    <{tag}{extra} rdf:nodeID={quoteattr(r['o_lex'])}/>")
+            else:
+                attrs = ""
+                if r["o_lang"]:
+                    attrs = f" xml:lang={quoteattr(r['o_lang'])}"
+                elif r["o_dtype"] and r["o_dtype"] != XSD_STRING:
+                    attrs = f" rdf:datatype={quoteattr(r['o_dtype'])}"
+                out.append(f"    <{tag}{extra}{attrs}>{escape(r['o_lex'])}</{tag}>")
+        out.append("  </rdf:Description>")
+    out.append("</rdf:RDF>")
+    return "\n".join(out) + "\n"

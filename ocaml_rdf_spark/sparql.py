@@ -1,0 +1,1000 @@
+"""SPARQL 1.1 query-text front end: string → algebra Nodes → DataFrame.
+
+Parity: the reference's EP1 (SURVEY §3) — `Rdf_sparql.execute`:
+lex (rdf_sparql_lex.ml) → parse (rdf_sparql_parser.mly) → expand
+(rdf_sparql_expand.ml, prefixed names → absolute IRIs) → translate
+(rdf_sparql_algebra.ml) → evaluate (rdf_sparql_eval.ml). Here the four
+middle stages collapse into one recursive-descent parser that builds the
+algebra tree of algebra.py directly (expansion happens inline; the spec
+§18.2 translation rules are encoded in how group-graph-patterns fold into
+Join/LeftJoin/Filter/Union/Minus/Extend nodes), and "evaluate" is
+`Node.compile` → Catalyst.
+
+Coverage: SELECT (DISTINCT/REDUCED, expr AS ?v), ASK, CONSTRUCT,
+DESCRIBE; BGPs with `a`, `;`/`,` lists, bnode property lists `[...]`,
+collections `(...)`; property paths (^, /, |, ?, *, +, !); OPTIONAL,
+UNION, MINUS, GRAPH, FILTER (incl. EXISTS/NOT EXISTS), BIND, VALUES,
+sub-SELECT; GROUP BY / HAVING / aggregates (COUNT SUM AVG MIN MAX SAMPLE
+GROUP_CONCAT, DISTINCT, SEPARATOR); ORDER BY / LIMIT / OFFSET; all §17
+builtins in functions/builtins.py. SERVICE raises (unimplemented in the
+reference too — rdf_sparql_eval.ml, SURVEY §2.3).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Optional, Union
+
+from . import algebra as A
+from .algebra import Agg, Ctx, Node, Template, TriplePattern, Var
+from .functions import builtins as B
+from .functions.builtins import E, L, V
+from .operators import paths as P
+from .types import RDF_FIRST, RDF_NIL, RDF_NS, RDF_REST, RDF_TYPE, XSD_NS, BNode, Iri, Literal, Term
+
+# ---------------------------------------------------------------------------
+# tokenizer (rdf_sparql_lex.ml)
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<WS>\s+|\#[^\n]*)
+  | (?P<IRIREF><[^<>"{}|^`\\\s]*>)
+  | (?P<STRING>'''(?:[^'\\]|\\.|'(?!''))*'''|\"\"\"(?:[^"\\]|\\.|"(?!""))*\"\"\"|'(?:[^'\\\n]|\\.)*'|"(?:[^"\\\n]|\\.)*")
+  | (?P<VAR>[?$][A-Za-z_][A-Za-z_0-9]*)
+  | (?P<BNODE>_:[A-Za-z_0-9][A-Za-z_0-9.-]*)
+  | (?P<PNAME>[A-Za-z_][A-Za-z_0-9.-]*?:[A-Za-z_0-9:%.-]*[A-Za-z_0-9:%-]|[A-Za-z_][A-Za-z_0-9.-]*?:|:[A-Za-z_0-9:%.-]*[A-Za-z_0-9:%-]|:)
+  | (?P<NUM>[+-]?(?:\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?))
+  | (?P<KW>[A-Za-z][A-Za-z_0-9]*)
+  | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}()\[\].,;*/+\-!=<>|^?@a])
+    """,
+    re.VERBOSE,
+)
+
+_KEYWORDS = {
+    "select", "distinct", "reduced", "where", "ask", "construct", "describe",
+    "base", "prefix", "from", "named", "optional", "union", "minus", "graph",
+    "filter", "bind", "values", "service", "group", "by", "having", "order",
+    "asc", "desc", "limit", "offset", "as", "in", "not", "exists", "undef",
+    "true", "false", "a", "separator",
+}
+
+_AGG_KEYWORDS = {"count", "sum", "avg", "min", "max", "sample", "group_concat"}
+
+
+@dataclass
+class Tok:
+    kind: str  # IRIREF STRING VAR BNODE PNAME NUM KW OP LANGTAG EOF
+    text: str
+    pos: int
+
+
+def tokenize(s: str) -> list[Tok]:
+    out: list[Tok] = []
+    i = 0
+    while i < len(s):
+        # langtag needs the preceding '@'
+        m = _TOKEN_RE.match(s, i)
+        if not m:
+            raise SyntaxError(f"SPARQL lex error at {i}: {s[i:i+20]!r}")
+        kind = m.lastgroup
+        text = m.group()
+        i = m.end()
+        if kind == "WS":
+            continue
+        if kind == "OP" and text == "@":
+            lm = re.match(r"[A-Za-z]+(-[A-Za-z0-9]+)*", s[i:])
+            if not lm:
+                raise SyntaxError(f"bad langtag at {i}")
+            out.append(Tok("LANGTAG", lm.group(), i))
+            i += lm.end()
+            continue
+        out.append(Tok(kind, text, m.start()))
+    out.append(Tok("EOF", "", len(s)))
+    return out
+
+
+def _unescape(body: str) -> str:
+    return (
+        body.replace("\\t", "\t").replace("\\n", "\n").replace("\\r", "\r")
+        .replace("\\\"", '"').replace("\\'", "'").replace("\\\\", "\\")
+    )
+
+
+# ---------------------------------------------------------------------------
+# parsed query container
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Query:
+    form: str  # select | ask | construct | describe
+    node: Optional[Node] = None
+    projection: Optional[list] = None  # var names, None = *
+    templates: list = field(default_factory=list)  # CONSTRUCT
+    describe_terms: list = field(default_factory=list)
+    describe_vars: list = field(default_factory=list)
+
+
+class Parser:
+    def __init__(self, text: str):
+        self.toks = tokenize(text)
+        self.i = 0
+        self.base: Optional[str] = None
+        self.prefixes: dict[str, str] = {}
+        self._bn = 0
+        self._anon = 0
+        #: aggregates collected while parsing the current SELECT's
+        #: expressions: each AGG(...) in SELECT/HAVING/ORDER becomes a
+        #: synthetic `__aggN` output of the Group node, and the expression
+        #: tree references it as a plain var (spec §18.2.4.1 sample/agg
+        #: separation). Scoped per (sub-)SELECT.
+        self._aggs: list[Agg] = []
+
+    # -- token helpers ------------------------------------------------------
+
+    def peek(self, k: int = 0) -> Tok:
+        return self.toks[min(self.i + k, len(self.toks) - 1)]
+
+    def next(self) -> Tok:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def at_kw(self, *kws: str) -> bool:
+        t = self.peek()
+        return t.kind == "KW" and t.text.lower() in kws
+
+    def eat_kw(self, kw: str) -> None:
+        if not self.at_kw(kw):
+            raise SyntaxError(f"expected {kw.upper()} at {self.peek().text!r}")
+        self.next()
+
+    def at_op(self, op: str) -> bool:
+        t = self.peek()
+        return t.kind == "OP" and t.text == op
+
+    def eat_op(self, op: str) -> None:
+        if not self.at_op(op):
+            raise SyntaxError(f"expected {op!r} got {self.peek().text!r}")
+        self.next()
+
+    def fresh_bnode(self) -> BNode:
+        self._anon += 1
+        return BNode(f"qb{self._anon}")
+
+    # -- terms --------------------------------------------------------------
+
+    def expand_pname(self, pname: str) -> str:
+        pfx, _, local = pname.partition(":")
+        if pfx not in self.prefixes:
+            raise SyntaxError(f"unknown prefix {pfx!r}:")
+        # unescape PN_LOCAL %-style passthrough is fine
+        return self.prefixes[pfx] + local
+
+    def parse_iri_tok(self, t: Tok) -> Iri:
+        if t.kind == "IRIREF":
+            from .sources.iri import resolve
+
+            ref = t.text[1:-1]
+            return Iri(resolve(ref, self.base) if self.base else ref)
+        if t.kind == "PNAME":
+            return Iri(self.expand_pname(t.text))
+        raise SyntaxError(f"expected IRI, got {t.text!r}")
+
+    def parse_literal_tok(self) -> Literal:
+        t = self.next()
+        body = t.text
+        if body.startswith(("'''", '"""')):
+            lex = _unescape(body[3:-3])
+        else:
+            lex = _unescape(body[1:-1])
+        nt = self.peek()
+        if nt.kind == "LANGTAG":
+            self.next()
+            return Literal(lex, lang=nt.text.lower())
+        if nt.kind == "OP" and nt.text == "^^":
+            self.next()
+            dt = self.parse_iri_tok(self.next())
+            return Literal(lex, dtype=dt.value)
+        return Literal(lex)
+
+    def _num_literal(self, text: str) -> Literal:
+        if re.fullmatch(r"[+-]?\d+", text):
+            return Literal(text, dtype=XSD_NS + "integer")
+        if re.fullmatch(r"[+-]?(\d+\.\d*|\.\d+)", text):
+            return Literal(text, dtype=XSD_NS + "decimal")
+        return Literal(text, dtype=XSD_NS + "double")
+
+    # -- prologue + entry ---------------------------------------------------
+
+    def parse_query(self) -> Query:
+        while self.at_kw("base", "prefix"):
+            if self.at_kw("base"):
+                self.next()
+                self.base = self.next().text[1:-1]
+            else:
+                self.next()
+                pt = self.next()
+                if pt.kind != "PNAME" or not pt.text.endswith(":"):
+                    # PNAME may carry only "pfx:"
+                    if pt.kind != "PNAME":
+                        raise SyntaxError("expected prefix name")
+                pfx = pt.text[:-1] if pt.text.endswith(":") else pt.text.split(":")[0]
+                iri = self.parse_iri_tok(self.next())
+                self.prefixes[pfx] = iri.value
+        if self.at_kw("select"):
+            return self.parse_select()
+        if self.at_kw("ask"):
+            return self.parse_ask()
+        if self.at_kw("construct"):
+            return self.parse_construct()
+        if self.at_kw("describe"):
+            return self.parse_describe()
+        raise SyntaxError(f"expected query form, got {self.peek().text!r}")
+
+    # -- query forms --------------------------------------------------------
+
+    def parse_select(self) -> Query:
+        outer_aggs = self._aggs
+        self._aggs = []
+        self.eat_kw("select")
+        distinct = reduced = False
+        if self.at_kw("distinct"):
+            distinct = True
+            self.next()
+        elif self.at_kw("reduced"):
+            reduced = True
+            self.next()
+        proj: Optional[list] = None
+        exprs: list[tuple[str, E]] = []
+        if self.at_op("*"):
+            self.next()
+        else:
+            proj = []
+            while True:
+                if self.peek().kind == "VAR":
+                    proj.append(self.next().text[1:])
+                elif self.at_op("("):
+                    self.next()
+                    e = self.parse_expr()
+                    self.eat_kw("as")
+                    v = self.next().text[1:]
+                    self.eat_op(")")
+                    proj.append(v)
+                    exprs.append((v, e))
+                else:
+                    break
+            if not proj:
+                raise SyntaxError("empty SELECT clause")
+        if self.at_kw("where"):
+            self.next()
+        node = self.parse_group_graph_pattern()
+        node, offset, limit = self._solution_modifiers(node, proj, exprs)
+        if proj is not None:
+            node = A.Project(node, proj)
+        if distinct or reduced:
+            node = A.Distinct(node)
+        if offset or limit is not None:
+            node = A.Slice(node, offset or 0, limit)
+        self._aggs = outer_aggs
+        return Query("select", node=node, projection=proj)
+
+    def parse_ask(self) -> Query:
+        self.eat_kw("ask")
+        if self.at_kw("where"):
+            self.next()
+        node = self.parse_group_graph_pattern()
+        return Query("ask", node=node)
+
+    def parse_construct(self) -> Query:
+        self.eat_kw("construct")
+        self.eat_op("{")
+        templates: list[Template] = []
+        tps, paths = self._triples_block(allow_paths=False)
+        if paths:
+            raise SyntaxError("property paths not allowed in CONSTRUCT template")
+        templates = [Template(tp.s, tp.p, tp.o) for tp in tps]
+        self.eat_op("}")
+        if self.at_kw("where"):
+            self.next()
+        node = self.parse_group_graph_pattern()
+        node, offset, limit = self._solution_modifiers(node, None, [])
+        if offset or limit is not None:
+            node = A.Slice(node, offset or 0, limit)
+        return Query("construct", node=node, templates=templates)
+
+    def parse_describe(self) -> Query:
+        self.eat_kw("describe")
+        terms: list[Term] = []
+        dvars: list[str] = []
+        while True:
+            t = self.peek()
+            if t.kind == "VAR":
+                dvars.append(self.next().text[1:])
+            elif t.kind in ("IRIREF", "PNAME"):
+                terms.append(self.parse_iri_tok(self.next()))
+            else:
+                break
+        node = None
+        if self.at_kw("where") or self.at_op("{"):
+            if self.at_kw("where"):
+                self.next()
+            node = self.parse_group_graph_pattern()
+        return Query("describe", node=node, describe_terms=terms, describe_vars=dvars)
+
+    def _solution_modifiers(self, node: Node, proj, select_exprs) -> tuple:
+        """GROUP BY / HAVING / ORDER / LIMIT / OFFSET per spec §18.2.4-5:
+        Group(+synthetic __aggN outputs) → HAVING filters → SELECT-expr
+        Extends → OrderBy. Project/Distinct/Slice are applied by the
+        caller (they depend on the query form)."""
+        group_by: list[str] = []
+        pre_extends: list[tuple[str, E]] = []
+        having: list[E] = []
+        order: list = []
+        limit = offset = None
+
+        if self.at_kw("group"):
+            self.next()
+            self.eat_kw("by")
+            while True:
+                t = self.peek()
+                if t.kind == "VAR":
+                    group_by.append(self.next().text[1:])
+                elif self.at_op("("):
+                    self.next()
+                    e = self.parse_expr()
+                    self.eat_kw("as")
+                    v = self.next().text[1:]
+                    self.eat_op(")")
+                    pre_extends.append((v, e))
+                    group_by.append(v)
+                else:
+                    break
+        if self.at_kw("having"):
+            self.next()
+            while self.at_op("("):
+                self.next()
+                having.append(self.parse_expr())
+                self.eat_op(")")
+        if self.at_kw("order"):
+            self.next()
+            self.eat_kw("by")
+            while True:
+                if self.at_kw("asc", "desc"):
+                    asc = self.next().text.lower() == "asc"
+                    self.eat_op("(")
+                    e = self.parse_expr()
+                    self.eat_op(")")
+                    order.append((e, asc))
+                elif self.peek().kind == "VAR":
+                    order.append((self.next().text[1:], True))
+                elif self.at_op("("):
+                    self.next()
+                    order.append((self.parse_expr(), True))
+                    self.eat_op(")")
+                else:
+                    break
+        for _ in range(2):
+            if self.at_kw("limit"):
+                self.next()
+                limit = int(self.next().text)
+            elif self.at_kw("offset"):
+                self.next()
+                offset = int(self.next().text)
+
+        for v, e in pre_extends:
+            node = A.Extend(node, v, e)
+
+        if group_by or self._aggs:
+            node = A.Group(node, group_by, list(self._aggs))
+        for e in having:
+            node = A.Filter(e, node)
+        for v, e in select_exprs:
+            node = A.Extend(node, v, e)
+        if order:
+            node = A.OrderBy(node, order)
+        return node, offset, limit
+
+    # -- group graph pattern (spec §18.2.2) ---------------------------------
+
+    def parse_group_graph_pattern(self) -> Node:
+        self.eat_op("{")
+        # sub-SELECT
+        if self.at_kw("select"):
+            q = self.parse_select()
+            self.eat_op("}")
+            return q.node
+        acc: Optional[Node] = None
+        filters: list[E] = []
+        exists_filters: list[tuple[Node, bool]] = []
+
+        def join_acc(n: Node):
+            nonlocal acc
+            acc = n if acc is None else A.Join(acc, n)
+
+        while not self.at_op("}"):
+            if self.at_kw("optional"):
+                self.next()
+                right = self.parse_group_graph_pattern()
+                left = acc if acc is not None else A.BGP([])
+                # spec §18.2.2.4: OPTIONAL { P FILTER(e) } = LeftJoin(L,P,e)
+                # (e may reference left-side vars — it must be part of the
+                # join condition, not a post-filter inside P)
+                expr = None
+                if isinstance(right, A.Filter):
+                    expr, right = right.expr, right.child
+                acc = A.LeftJoin(left, right, expr)
+            elif self.at_kw("minus"):
+                self.next()
+                right = self.parse_group_graph_pattern()
+                left = acc if acc is not None else A.BGP([])
+                acc = A.Minus(left, right)
+            elif self.at_kw("graph"):
+                self.next()
+                t = self.next()
+                g: Union[Var, str]
+                if t.kind == "VAR":
+                    g = Var(t.text[1:])
+                else:
+                    g = self.parse_iri_tok(t).value
+                sub = self.parse_group_graph_pattern()
+                join_acc(A.GraphNode(g, sub))
+            elif self.at_kw("filter"):
+                self.next()
+                if self.at_kw("exists"):
+                    self.next()
+                    exists_filters.append((self.parse_group_graph_pattern(), False))
+                elif self.at_kw("not") and self.peek(1).text.lower() == "exists":
+                    self.next()
+                    self.next()
+                    exists_filters.append((self.parse_group_graph_pattern(), True))
+                else:
+                    if self.at_op("("):
+                        self.next()
+                        filters.append(self.parse_expr())
+                        self.eat_op(")")
+                    else:
+                        filters.append(self.parse_primary_expr())
+            elif self.at_kw("bind"):
+                self.next()
+                self.eat_op("(")
+                e = self.parse_expr()
+                self.eat_kw("as")
+                v = self.next().text[1:]
+                self.eat_op(")")
+                base = acc if acc is not None else A.BGP([])
+                acc = A.Extend(base, v, e)
+            elif self.at_kw("values"):
+                self.next()
+                join_acc(self.parse_values())
+            elif self.at_kw("service"):
+                raise NotImplementedError("SERVICE is not implemented (matches reference)")
+            elif self.at_op("{"):
+                sub = self.parse_group_graph_pattern()
+                # union chain?
+                while self.at_kw("union"):
+                    self.next()
+                    sub = A.UnionNode(sub, self.parse_group_graph_pattern())
+                join_acc(sub)
+            else:
+                tps, path_nodes = self._triples_block(allow_paths=True)
+                if tps:
+                    join_acc(A.BGP(tps))
+                for pn in path_nodes:
+                    join_acc(pn)
+            if self.at_op("."):
+                self.next()
+        self.eat_op("}")
+        node = acc if acc is not None else A.BGP([])
+        for e in filters:
+            node = A.Filter(e, node)
+        for sub, neg in exists_filters:
+            node = A.ExistsFilter(node, sub, neg)
+        return node
+
+    def parse_values(self) -> Node:
+        # VALUES ?v { ... } | VALUES (?a ?b) { (..) (..) }
+        t = self.next()
+        rows: list[dict] = []
+        if t.kind == "VAR":
+            v = t.text[1:]
+            self.eat_op("{")
+            while not self.at_op("}"):
+                rows.append({v: self._values_term()})
+            self.eat_op("}")
+        else:
+            if not (t.kind == "OP" and t.text == "("):
+                raise SyntaxError("expected var or ( after VALUES")
+            vs = []
+            while self.peek().kind == "VAR":
+                vs.append(self.next().text[1:])
+            self.eat_op(")")
+            self.eat_op("{")
+            while self.at_op("("):
+                self.next()
+                row = {}
+                for v in vs:
+                    row[v] = self._values_term()
+                self.eat_op(")")
+                rows.append(row)
+            self.eat_op("}")
+        return A.Values(rows)
+
+    def _values_term(self):
+        t = self.peek()
+        if t.kind == "KW" and t.text.lower() == "undef":
+            self.next()
+            return None
+        return self.parse_graph_term()
+
+    # -- triples block ------------------------------------------------------
+
+    def parse_graph_term(self) -> Term:
+        t = self.peek()
+        if t.kind in ("IRIREF", "PNAME"):
+            return self.parse_iri_tok(self.next())
+        if t.kind == "STRING":
+            return self.parse_literal_tok()
+        if t.kind == "NUM":
+            self.next()
+            return self._num_literal(t.text)
+        if t.kind == "KW" and t.text.lower() in ("true", "false"):
+            self.next()
+            return Literal(t.text.lower(), dtype=XSD_NS + "boolean")
+        if t.kind == "BNODE":
+            self.next()
+            return BNode(t.text[2:])
+        raise SyntaxError(f"expected RDF term, got {t.text!r}")
+
+    def _var_or_term(self, tps, path_nodes):
+        t = self.peek()
+        if t.kind == "VAR":
+            return Var(self.next().text[1:])
+        if t.kind == "OP" and t.text == "[":
+            self.next()
+            b = self.fresh_bnode()
+            if not self.at_op("]"):
+                self._pred_obj_list(b, tps, path_nodes)
+            self.eat_op("]")
+            return b
+        if t.kind == "OP" and t.text == "(":
+            self.next()
+            items = []
+            while not self.at_op(")"):
+                items.append(self._var_or_term(tps, path_nodes))
+            self.eat_op(")")
+            if not items:
+                return Iri(RDF_NIL)
+            cells = [self.fresh_bnode() for _ in items]
+            for i, item in enumerate(items):
+                tps.append(TriplePattern(cells[i], Iri(RDF_FIRST), item))
+                rest = cells[i + 1] if i + 1 < len(cells) else Iri(RDF_NIL)
+                tps.append(TriplePattern(cells[i], Iri(RDF_REST), rest))
+            return cells[0]
+        return self.parse_graph_term()
+
+    def _triples_block(self, allow_paths: bool) -> tuple[list, list]:
+        tps: list[TriplePattern] = []
+        path_nodes: list[Node] = []
+        while True:
+            s = self._var_or_term(tps, path_nodes)
+            if not (self.at_op("]") or self.at_op("}") or self.at_op(".")):
+                self._pred_obj_list(s, tps, path_nodes, allow_paths=allow_paths)
+            if self.at_op("."):
+                self.next()
+                t = self.peek()
+                if t.kind == "OP" and t.text in ("}",):
+                    break
+                if t.kind == "KW" and t.text.lower() in (
+                    "optional", "minus", "graph", "filter", "bind", "values", "service", "group",
+                    "order", "limit", "offset", "having",
+                ):
+                    break
+                if t.kind == "OP" and t.text == "{":
+                    break
+                if t.kind == "EOF":
+                    break
+                continue
+            break
+        return tps, path_nodes
+
+    def _pred_obj_list(self, s, tps, path_nodes, allow_paths: bool = True) -> None:
+        while True:
+            pred = self._parse_verb(allow_paths)
+            while True:
+                o = self._var_or_term(tps, path_nodes)
+                if isinstance(pred, tuple):  # ('path', Path)
+                    path_nodes.append(P.PathPattern(s, pred[1], o))
+                else:
+                    tps.append(TriplePattern(s, pred, o))
+                if self.at_op(","):
+                    self.next()
+                    continue
+                break
+            if self.at_op(";"):
+                self.next()
+                if self.at_op(".") or self.at_op("]") or self.at_op("}"):
+                    break
+                continue
+            break
+
+    def _parse_verb(self, allow_paths: bool):
+        t = self.peek()
+        if t.kind == "VAR":
+            return Var(self.next().text[1:])
+        if (t.kind == "KW" and t.text == "a") or (t.kind == "OP" and t.text == "a"):
+            self.next()
+            return Iri(RDF_TYPE)
+        if allow_paths:
+            path, simple = self._parse_path()
+            if simple is not None:
+                return simple
+            return ("path", path)
+        return self.parse_iri_tok(self.next())
+
+    # property paths: PathAlt ::= PathSeq ('|' PathSeq)* ; PathSeq ::=
+    # PathElt ('/' PathElt)* ; PathElt ::= '^'? Primary ('?'|'*'|'+')?
+    def _parse_path(self):
+        """→ (Path, Iri|None). The second slot is set when the whole path is
+        a plain IRI (normal triple pattern — cheaper than a PathPattern)."""
+        path = self._path_seq()
+        simple = path.iri if isinstance(path, P.P) else None
+        while self.at_op("|"):
+            self.next()
+            path = P.Alt(path, self._path_seq())
+            simple = None
+        return path, (Iri(simple) if simple else None)
+
+    def _path_seq(self):
+        p = self._path_elt()
+        while self.at_op("/"):
+            self.next()
+            p = P.Seq(p, self._path_elt())
+        return p
+
+    def _path_elt(self):
+        inv = False
+        if self.at_op("^"):
+            self.next()
+            inv = True
+        p = self._path_primary()
+        if self.at_op("?"):
+            # lookahead: '?' followed by varname is a VAR token, so a bare
+            # OP '?' here is the zero-or-one modifier
+            self.next()
+            p = P.ZeroOrOne(p)
+        elif self.at_op("*"):
+            self.next()
+            p = P.Star(p)
+        elif self.at_op("+"):
+            self.next()
+            p = P.Plus(p)
+        if inv:
+            p = P.Inv(p)
+        return p
+
+    def _path_primary(self):
+        t = self.peek()
+        if t.kind == "OP" and t.text == "(":
+            self.next()
+            p, _ = self._parse_path()
+            self.eat_op(")")
+            return p
+        if t.kind == "OP" and t.text == "!":
+            self.next()
+            iris = []
+            if self.at_op("("):
+                self.next()
+                while True:
+                    it = self.next()
+                    if it.kind == "KW" and it.text == "a":
+                        iris.append(RDF_TYPE)
+                    else:
+                        iris.append(self.parse_iri_tok(it).value)
+                    if self.at_op("|"):
+                        self.next()
+                        continue
+                    break
+                self.eat_op(")")
+            else:
+                iris.append(self.parse_iri_tok(self.next()).value)
+            return P.Neg(iris)
+        if t.kind == "KW" and t.text == "a":
+            self.next()
+            return P.P(RDF_TYPE)
+        return P.P(self.parse_iri_tok(self.next()).value)
+
+    # -- expressions (§17; precedence climbing) -----------------------------
+
+    def parse_expr(self) -> E:
+        return self._or_expr()
+
+    def _mark_agg(self, e: E, spec=None) -> E:
+        e._has_agg = True  # type: ignore[attr-defined]
+        if spec is not None:
+            e._agg_spec = spec  # type: ignore[attr-defined]
+        return e
+
+    def _or_expr(self) -> E:
+        e = self._and_expr()
+        while self.at_op("||"):
+            self.next()
+            r = self._and_expr()
+            ha = getattr(e, "_has_agg", False) or getattr(r, "_has_agg", False)
+            e = e | r
+            if ha:
+                self._mark_agg(e)
+        return e
+
+    def _and_expr(self) -> E:
+        e = self._rel_expr()
+        while self.at_op("&&"):
+            self.next()
+            r = self._rel_expr()
+            ha = getattr(e, "_has_agg", False) or getattr(r, "_has_agg", False)
+            e = e & r
+            if ha:
+                self._mark_agg(e)
+        return e
+
+    def _rel_expr(self) -> E:
+        e = self._add_expr()
+        t = self.peek()
+        if t.kind == "OP" and t.text in ("=", "!=", "<", ">", "<=", ">="):
+            self.next()
+            r = self._add_expr()
+            ha = getattr(e, "_has_agg", False) or getattr(r, "_has_agg", False)
+            e = {
+                "=": lambda: e == r, "!=": lambda: e != r, "<": lambda: e < r,
+                ">": lambda: e > r, "<=": lambda: e <= r, ">=": lambda: e >= r,
+            }[t.text]()
+            if ha:
+                self._mark_agg(e)
+            return e
+        if t.kind == "KW" and t.text.lower() == "in":
+            self.next()
+            return B.IN(e, *self._expr_list())
+        if t.kind == "KW" and t.text.lower() == "not" and self.peek(1).text.lower() == "in":
+            self.next()
+            self.next()
+            return ~B.IN(e, *self._expr_list())
+        return e
+
+    def _expr_list(self) -> list[E]:
+        self.eat_op("(")
+        out = []
+        while not self.at_op(")"):
+            out.append(self.parse_expr())
+            if self.at_op(","):
+                self.next()
+        self.eat_op(")")
+        return out
+
+    def _add_expr(self) -> E:
+        e = self._mul_expr()
+        while self.at_op("+") or self.at_op("-"):
+            op = self.next().text
+            r = self._mul_expr()
+            ha = getattr(e, "_has_agg", False) or getattr(r, "_has_agg", False)
+            e = (e + r) if op == "+" else (e - r)
+            if ha:
+                self._mark_agg(e)
+        return e
+
+    def _mul_expr(self) -> E:
+        e = self._unary_expr()
+        while self.at_op("*") or self.at_op("/"):
+            op = self.next().text
+            r = self._unary_expr()
+            ha = getattr(e, "_has_agg", False) or getattr(r, "_has_agg", False)
+            e = (e * r) if op == "*" else (e / r)
+            if ha:
+                self._mark_agg(e)
+        return e
+
+    def _unary_expr(self) -> E:
+        if self.at_op("!"):
+            self.next()
+            return ~self._unary_expr()
+        if self.at_op("-"):
+            self.next()
+            return L(0) - self._unary_expr()
+        if self.at_op("+"):
+            self.next()
+            return self._unary_expr()
+        return self.parse_primary_expr()
+
+    def parse_primary_expr(self) -> E:
+        t = self.peek()
+        if t.kind == "OP" and t.text == "(":
+            self.next()
+            e = self.parse_expr()
+            self.eat_op(")")
+            return e
+        if t.kind == "VAR":
+            return V(self.next().text[1:])
+        if t.kind == "STRING":
+            lit = self.parse_literal_tok()
+            return B.E(lambda vm, lit=lit: B.term_lit(lit))
+        if t.kind == "NUM":
+            self.next()
+            lit = self._num_literal(t.text)
+            return B.E(lambda vm, lit=lit: B.term_lit(lit))
+        if t.kind == "KW" and t.text.lower() in ("true", "false"):
+            self.next()
+            return L(t.text.lower() == "true")
+        if t.kind == "KW":
+            return self._function_call()
+        if t.kind in ("IRIREF", "PNAME"):
+            iri = self.parse_iri_tok(self.next())
+            if self.at_op("("):  # extension / xsd-cast function by IRI
+                args = self._expr_list()
+                if iri.value.startswith(XSD_NS):
+                    return B.XSD_CAST(args[0], iri.value)
+                if iri.value in B.IRI_FUNS:
+                    return B.IRI_FUNS[iri.value](*args)
+                raise SyntaxError(f"unknown function <{iri.value}>")
+            return B.E(lambda vm, iri=iri: B.term_lit(iri))
+        raise SyntaxError(f"unexpected token {t.text!r} in expression")
+
+    def _function_call(self) -> E:
+        name = self.next().text.lower()
+        if name in _AGG_KEYWORDS:
+            return self._aggregate(name)
+        if name == "exists" or name == "not":
+            raise SyntaxError("EXISTS only supported at FILTER top level")
+
+        simple = {
+            "bound": None, "if": B.IF, "coalesce": B.COALESCE, "sameterm": B.SAME_TERM,
+            "isiri": B.IS_IRI, "isuri": B.IS_IRI, "isblank": B.IS_BLANK,
+            "isliteral": B.IS_LITERAL, "isnumeric": B.IS_NUMERIC, "str": B.STR,
+            "lang": B.LANG, "datatype": B.DATATYPE, "strlen": B.STRLEN,
+            "ucase": B.UCASE, "lcase": B.LCASE, "strstarts": B.STRSTARTS,
+            "strends": B.STRENDS, "contains": B.CONTAINS, "strbefore": B.STRBEFORE,
+            "strafter": B.STRAFTER, "encode_for_uri": B.ENCODE_FOR_URI,
+            "concat": B.CONCAT, "langmatches": B.LANGMATCHES, "abs": B.ABS,
+            "ceil": B.CEIL, "floor": B.FLOOR, "round": B.ROUND,
+            "year": B.YEAR, "month": B.MONTH, "day": B.DAY, "hours": B.HOURS,
+            "minutes": B.MINUTES, "seconds": B.SECONDS, "tz": B.TZ,
+            "md5": B.MD5, "sha1": B.SHA1, "sha256": B.SHA256, "sha384": B.SHA384,
+            "sha512": B.SHA512,
+        }
+        if name == "bound":
+            self.eat_op("(")
+            v = self.next().text[1:]
+            self.eat_op(")")
+            return B.BOUND(v)
+        if name in ("rand",):
+            self.eat_op("(")
+            self.eat_op(")")
+            return B.RAND()
+        if name == "now":
+            self.eat_op("(")
+            self.eat_op(")")
+            return B.NOW()
+        if name in ("uuid",):
+            self.eat_op("(")
+            self.eat_op(")")
+            return B.UUID()
+        if name == "struuid":
+            self.eat_op("(")
+            self.eat_op(")")
+            return B.STRUUID()
+        if name == "bnode":
+            self.eat_op("(")
+            if self.at_op(")"):
+                self.next()
+                return B.BNODE()
+            e = self.parse_expr()
+            self.eat_op(")")
+            return B.BNODE(e)
+        if name == "iri" or name == "uri":
+            a = self._expr_list()
+            return B.IRI(a[0], self.base)
+        if name == "substr":
+            self.eat_op("(")
+            x = self.parse_expr()
+            self.eat_op(",")
+            start = int(self.next().text)
+            length = None
+            if self.at_op(","):
+                self.next()
+                length = int(self.next().text)
+            self.eat_op(")")
+            return B.SUBSTR(x, start, length)
+        if name in ("strdt", "strlang"):
+            self.eat_op("(")
+            x = self.parse_expr()
+            self.eat_op(",")
+            if name == "strdt":
+                dt = self.parse_iri_tok(self.next()).value
+                self.eat_op(")")
+                return B.STRDT(x, dt)
+            tag = self.parse_literal_tok().lexical
+            self.eat_op(")")
+            return B.STRLANG(x, tag)
+        if name in ("regex", "replace"):
+            self.eat_op("(")
+            x = self.parse_expr()
+            self.eat_op(",")
+            pattern = self.parse_literal_tok().lexical
+            repl = None
+            flags = ""
+            if name == "replace":
+                self.eat_op(",")
+                repl = self.parse_literal_tok().lexical
+            if self.at_op(","):
+                self.next()
+                flags = self.parse_literal_tok().lexical
+            self.eat_op(")")
+            if name == "regex":
+                return B.REGEX(x, pattern, flags)
+            return B.REPLACE(x, pattern, repl or "", flags)
+        fn = simple.get(name)
+        if fn is not None:
+            return fn(*self._expr_list())
+        raise SyntaxError(f"unknown function {name!r}")
+
+    def _aggregate(self, name: str) -> E:
+        self.eat_op("(")
+        distinct = False
+        if self.at_kw("distinct"):
+            distinct = True
+            self.next()
+        sep = " "
+        out = f"__agg{len(self._aggs)}"
+        if name == "count" and self.at_op("*"):
+            self.next()
+            self.eat_op(")")
+            self._aggs.append(Agg(out, "count_star"))
+            return self._mark_agg(V(out))
+        inner = self.parse_expr()
+        if name == "group_concat" and self.at_op(";"):
+            self.next()
+            self.eat_kw("separator")
+            self.eat_op("=")
+            sep = self.parse_literal_tok().lexical
+        self.eat_op(")")
+        # sorted=True: deterministic distributed GROUP_CONCAT (algebra.Agg)
+        self._aggs.append(
+            Agg(out, name, inner, distinct=distinct, separator=sep, sorted=(name == "group_concat"))
+        )
+        return self._mark_agg(V(out))
+
+
+# ---------------------------------------------------------------------------
+# public API (rdf_sparql.ml :: execute)
+# ---------------------------------------------------------------------------
+
+
+def parse_query(text: str) -> Query:
+    return Parser(text).parse_query()
+
+
+def execute(text: str, ctx: Ctx):
+    """Run a SPARQL query string against a dataset context.
+
+    SELECT → DataFrame of term-struct columns (use algebra.flatten for
+    lexical strings); ASK → bool; CONSTRUCT → TRIPLES DataFrame;
+    DESCRIBE → TRIPLES DataFrame."""
+    q = parse_query(text)
+    if q.form == "select":
+        df, c, m = q.node.compile(ctx)
+        return df
+    if q.form == "ask":
+        return A.ask(q.node, ctx)
+    if q.form == "construct":
+        return A.construct(q.templates, q.node, ctx)
+    if q.form == "describe":
+        terms = list(q.describe_terms)
+        if q.describe_vars and q.node is not None:
+            df, _, _ = q.node.compile(ctx)
+            for v in q.describe_vars:
+                for r in df.select(v).distinct().collect():
+                    t = r[v]
+                    if t is not None and t["kind"] == 0:
+                        terms.append(Iri(t["lex"]))
+        return A.describe(terms, ctx)
+    raise ValueError(q.form)

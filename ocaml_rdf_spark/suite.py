@@ -799,13 +799,12 @@ def q_extract_corpus(spark, sf):
     """Rows-only: the full vectorized extraction stage on the deterministic
     synthetic corpus — triples per extractor (SURVEY §3 EP2)."""
     from .datagen import gen_pages_df
-    from .extract import extract_triples, salted_repartition, split_errors
-    from .types import TRIPLE_KEY
+    from .extract import dedup_triples, extract_triples, salted_repartition, split_errors
 
     pages = salted_repartition(gen_pages_df(spark, 200, parts=4), 8)
     triples, _ = split_errors(extract_triples(pages))
     return (
-        triples.dropDuplicates(TRIPLE_KEY)
+        dedup_triples(triples)
         .groupBy("extractor")
         .agg(F.count(F.lit(1)).alias("n_triples"))
         .orderBy("extractor")
@@ -940,3 +939,112 @@ QUERIES = {
     "scan_agg": (q_scan_agg, SQL_SCAN_AGG),
     "window_topk": (q_window_topk, SQL_WINDOW_TOPK),
 }
+
+
+# ---------------------------------------------------------------------------
+# SPARQL text front end (sparql.py — reference EP1) through the same gate
+# ---------------------------------------------------------------------------
+
+_SPARQL_PFX = "PREFIX p: <urn:p:> PREFIX c: <urn:c:> PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>\n"
+
+
+def _sparql(spark, sf, text, *cols):
+    from .sparql import execute
+
+    df = execute(_SPARQL_PFX + text, _ctx(spark, sf))
+    return flatten(df).select(*cols)
+
+
+def q_sparql_text_bgp(spark, sf):
+    """Textual SPARQL end-to-end: lex→parse→algebra→DataFrame (EP1)."""
+    return _sparql(
+        spark, sf,
+        """SELECT ?cname ?nname WHERE {
+             ?cu a c:Customer ; p:name ?cname ; p:inNation ?n .
+             ?n p:name ?nname ; p:inRegion ?r .
+             ?r p:name "ASIA" .
+           }""",
+        "cname", "nname",
+    )
+
+
+def q_sparql_text_agg(spark, sf):
+    """Textual SPARQL aggregates + HAVING + ORDER."""
+    return _sparql(
+        spark, sf,
+        """SELECT ?nname (COUNT(*) AS ?n_cust) (MIN(?cname) AS ?min_name)
+           WHERE { ?cu a c:Customer ; p:name ?cname ; p:inNation ?n .
+                   ?n p:name ?nname }
+           GROUP BY ?nname HAVING (COUNT(*) > 0)""",
+        "nname", "n_cust", "min_name",
+    )
+
+
+SQL_SPARQL_TEXT_AGG = """
+SELECT n_name AS nname, CAST(COUNT(*) AS VARCHAR) AS n_cust, MIN(c_name) AS min_name
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_sparql_text_topk(spark, sf):
+    """Textual SPARQL OPTIONAL + FILTER + ORDER + LIMIT."""
+    return _sparql(
+        spark, sf,
+        """SELECT ?cname ?bal WHERE {
+             ?cu a c:Customer ; p:name ?cname ; p:acctbal ?bal .
+             FILTER(?bal >= 0)
+           } ORDER BY DESC(?bal) ?cname LIMIT 10""",
+        "cname", "bal",
+    )
+
+
+SQL_SPARQL_TEXT_TOPK = """
+SELECT c_name AS cname, CAST(CAST(round(c_acctbal*100) AS BIGINT) AS VARCHAR) AS bal
+FROM customer WHERE round(c_acctbal*100) >= 0
+ORDER BY round(c_acctbal*100) DESC, c_name ASC LIMIT 10
+"""
+
+
+def q_sparql_text_path(spark, sf):
+    """Textual SPARQL property path (seq + plus) through the fixpoint."""
+    return _sparql(
+        spark, sf,
+        "SELECT ?s ?o WHERE { ?s (p:inNation|p:inRegion)+ ?o }",
+        "s", "o",
+    )
+
+
+QUERIES.update(
+    {
+        "sparql_text_bgp": (q_sparql_text_bgp, SQL_BGP_JOIN),
+        "sparql_text_agg": (q_sparql_text_agg, SQL_SPARQL_TEXT_AGG),
+        "sparql_text_topk": (q_sparql_text_topk, SQL_SPARQL_TEXT_TOPK),
+        "sparql_text_path": (q_sparql_text_path, SQL_PATH_PLUS),
+    }
+)
+
+
+def q_builtins_date(spark, sf):
+    """Datetime builtins (§17.4.5): YEAR/MONTH on xsd:date order literals,
+    aggregated per (year, month)."""
+    from .functions.builtins import MONTH, YEAR
+
+    node = Group(
+        BGP([T_(Var("o"), Iri("urn:p:odate"), Var("d"))])
+        .extend("y", YEAR(V("d")))
+        .extend("m", MONTH(V("d"))),
+        ["y", "m"],
+        [Agg("n_orders", "count_star")],
+    )
+    return _flat(node, _ctx(spark, sf), "y", "m", "n_orders")
+
+
+SQL_BUILTINS_DATE = """
+SELECT CAST(CAST(strftime(o_orderdate, '%Y') AS BIGINT) AS VARCHAR) AS y,
+       CAST(CAST(strftime(o_orderdate, '%m') AS BIGINT) AS VARCHAR) AS m,
+       CAST(COUNT(*) AS VARCHAR) AS n_orders
+FROM orders GROUP BY 1, 2
+"""
+
+QUERIES["builtins_date"] = (q_builtins_date, SQL_BUILTINS_DATE)

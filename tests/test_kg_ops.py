@@ -1,0 +1,267 @@
+"""Unit tests for the KG-construction operators: connected components /
+canonicalization (north-rule shapes: chains, stars, cycles, big
+component), entity linking, staged pipeline resume, media plumbing."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# connected components (operators/cc.py)
+# ---------------------------------------------------------------------------
+
+
+def _cc(spark, edges):
+    from ocaml_rdf_spark.operators.cc import connected_components
+
+    df = spark.createDataFrame(edges, schema="src string, dst string")
+    out = connected_components(df)
+    return {r["node"]: r["component"] for r in out.collect()}
+
+
+def test_cc_chain(spark):
+    m = _cc(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    assert m == {"a": "a", "b": "a", "c": "a", "d": "a"}
+
+
+def test_cc_star_and_cycle(spark):
+    edges = [("hub", f"s{i}") for i in range(1, 6)]
+    edges += [("x1", "x2"), ("x2", "x3"), ("x3", "x1")]  # cycle
+    m = _cc(spark, edges)
+    assert all(m[f"s{i}"] == "hub" for i in range(1, 6))
+    assert m["hub"] == "hub"
+    assert m["x1"] == m["x2"] == m["x3"] == "x1"
+
+
+def test_cc_two_components_deterministic_rep(spark):
+    m = _cc(spark, [("b", "a"), ("c", "b"), ("z", "y")])
+    assert m["a"] == m["b"] == m["c"] == "a"
+    assert m["y"] == m["z"] == "y"
+
+
+def test_cc_fixture_shapes(spark):
+    """The datagen sameAs fixture: chains, stars, cycles + one 10k-node
+    component — CC must find exactly the designed component count."""
+    from ocaml_rdf_spark.datagen import gen_sameas_pandas
+    from ocaml_rdf_spark.operators.cc import connected_components
+
+    pdf = gen_sameas_pandas()
+    edges = spark.createDataFrame(pdf).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    comp = connected_components(edges)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("n"))
+    by_size = {r["component"]: r["n"] for r in sizes.collect()}
+    # 50 chains (4 nodes) + 30 stars (8 nodes) + 20 cycles (5) + 1 big (10k)
+    assert len(by_size) == 50 + 30 + 20 + 1
+    assert max(by_size.values()) == 10000
+    assert sorted(by_size.values()).count(4) == 50
+    assert sorted(by_size.values()).count(8) == 30
+    assert sorted(by_size.values()).count(5) == 20
+
+
+def test_canonicalize_rewrites_subjects_and_objects(spark):
+    from ocaml_rdf_spark.operators.cc import canonicalize, connected_components, sameas_edges
+    from ocaml_rdf_spark.types import OWL_SAMEAS, TRIPLE_KEY
+
+    rows = [
+        # a sameAs b; both have a name triple; x references b as object
+        (0, "urn:a", OWL_SAMEAS, 0, "urn:b", None, None, "g", None, None, None),
+        (0, "urn:a", "urn:p:name", 2, "A", "http://www.w3.org/2001/XMLSchema#string", None, "g", None, None, None),
+        (0, "urn:b", "urn:p:name", 2, "A", "http://www.w3.org/2001/XMLSchema#string", None, "g", None, None, None),
+        (0, "urn:x", "urn:p:knows", 0, "urn:b", None, None, "g", None, None, None),
+    ]
+    from ocaml_rdf_spark.types import TRIPLES_SCHEMA
+
+    df = spark.createDataFrame(rows, schema=TRIPLES_SCHEMA)
+    mapping = connected_components(sameas_edges(df))
+    out = canonicalize(df, mapping).dropDuplicates(TRIPLE_KEY)
+    got = {(r["s_lex"], r["pred"], r["o_lex"]) for r in out.collect()}
+    # subjects and objects both collapse to urn:a; the two name triples dedup
+    assert ("urn:a", "urn:p:name", "A") in got
+    assert ("urn:x", "urn:p:knows", "urn:a") in got
+    assert not any("urn:b" in t for tr in got for t in tr)
+    assert len([t for t in got if t[1] == "urn:p:name"]) == 1
+
+
+# ---------------------------------------------------------------------------
+# entity linking (operators/linking.py)
+# ---------------------------------------------------------------------------
+
+
+def test_detect_mentions_capitalized_runs(spark):
+    from ocaml_rdf_spark.operators.linking import detect_mentions
+
+    docs = spark.createDataFrame(
+        [(1, "I met Ada Lovelace in London yesterday"), (2, "nothing here")],
+        schema="doc_id long, text string",
+    )
+    m = detect_mentions(docs)
+    got = {(r["id"], r["mention"]) for r in m.collect()}
+    assert (1, "Ada Lovelace") in got
+    assert (1, "London") in got
+    assert not any(i == 2 for i, _ in got)
+
+
+def test_link_exact_top1_by_prior(spark):
+    from ocaml_rdf_spark.operators.linking import detect_mentions, link_exact
+
+    docs = spark.createDataFrame([(1, "Hello Paris")], schema="doc_id long, text string")
+    aliases = spark.createDataFrame(
+        [("Paris", "urn:city:paris", 0.9), ("Paris", "urn:person:paris", 0.4)],
+        schema="alias string, uri string, prior double",
+    )
+    out = link_exact(detect_mentions(docs), aliases).collect()
+    rows = [(r["mention"], r["uri"]) for r in out]
+    assert ("Paris", "urn:city:paris") in rows
+    assert all(u != "urn:person:paris" for _, u in rows)
+
+
+def test_link_fuzzy_recovers_near_miss(spark):
+    from ocaml_rdf_spark.operators.linking import link_fuzzy
+
+    aliases = spark.createDataFrame(
+        [("Acme Corporation", "urn:org:acme", 0.9), ("Windmill Software", "urn:org:wind", 0.8)],
+        schema="alias string, uri string, prior double",
+    )
+    # near-miss: one char dropped
+    mentions = spark.createDataFrame(
+        [(1, "Acme Coporation", "acme coporation")], schema="id long, mention string, norm string"
+    )
+    out = link_fuzzy(mentions, aliases, threshold=0.6).collect()
+    assert len(out) == 1 and out[0]["uri"] == "urn:org:acme"
+
+
+# ---------------------------------------------------------------------------
+# staged pipeline: lineage, metrics, resume (pipeline.py)
+# ---------------------------------------------------------------------------
+
+
+def test_pipeline_commit_resume(spark, tmp_path):
+    from ocaml_rdf_spark.pipeline import kg_pipeline
+
+    root = str(tmp_path / "pipe")
+    pipe = kg_pipeline(spark, root, n_pages=40, parts=2)
+    log1 = pipe.run()
+    assert all(not e["skipped"] for e in log1)
+    assert len(log1) == 5
+
+    # outputs + lineage + metrics + marker exist per stage
+    for st in ["extract", "dedup", "canonical", "spo", "pos"]:
+        assert os.path.exists(os.path.join(root, st, "_SUCCESS.json"))
+        lineage = spark.read.parquet(os.path.join(root, st, "_lineage"))
+        assert lineage.filter(F.col("status") == "ok").count() > 0
+        metrics = spark.read.parquet(os.path.join(root, st, "_metrics"))
+        assert {r["metric"] for r in metrics.collect()} >= {"rows", "seconds"}
+
+    # resume: all stages skip, outputs unchanged
+    pipe2 = kg_pipeline(spark, root, n_pages=40, parts=2)
+    log2 = pipe2.run()
+    assert all(e["skipped"] for e in log2)
+
+    # kill-mid-run simulation: wipe a middle stage, only it (and nothing
+    # upstream) re-runs; output identical
+    import shutil
+
+    before = sorted(
+        tuple(r) for r in spark.read.parquet(os.path.join(root, "canonical", "data")).collect()
+    )
+    shutil.rmtree(os.path.join(root, "canonical"))
+    pipe3 = kg_pipeline(spark, root, n_pages=40, parts=2)
+    log3 = pipe3.run()
+    skipped = {i: e["skipped"] for i, e in enumerate(log3)}
+    assert skipped[0] and skipped[1] and not skipped[2]
+    after = sorted(
+        tuple(r) for r in spark.read.parquet(os.path.join(root, "canonical", "data")).collect()
+    )
+    assert before == after
+
+    # fingerprint change (different corpus) invalidates everything
+    pipe4 = kg_pipeline(spark, root, n_pages=41, parts=2)
+    log4 = pipe4.run()
+    assert all(not e["skipped"] for e in log4)
+
+
+# ---------------------------------------------------------------------------
+# media plumbing (operators/media.py)
+# ---------------------------------------------------------------------------
+
+
+def test_media_metadata_and_frames(spark):
+    from ocaml_rdf_spark.operators.media import frame_sample, media_features, media_metadata
+
+    png = b"\x89PNG\r\n\x1a\n" + b"x" * 64
+    wav = b"RIFF" + b"y" * 64
+    mp4 = b"\x00\x00\x00\x18ftypmp42" + b"z" * 64
+    df = spark.createDataFrame(
+        [("p1", bytearray(png)), ("a1", bytearray(wav)), ("v1", bytearray(mp4))],
+        schema="media_id string, content binary",
+    )
+    meta = {r["media_id"]: r.asDict() for r in media_metadata(df).collect()}
+    assert meta["p1"]["kind"] == "image"
+    assert meta["a1"]["kind"] == "audio"
+    assert meta["v1"]["kind"] == "video"
+    assert meta["p1"]["n_bytes"] == len(png)
+    assert all(64 <= m["width"] <= 64 + 255 for m in meta.values())
+
+    feats = media_features(df, dim=16).collect()
+    assert all(len(r["feature"]) == 16 for r in feats)
+    # deterministic across runs
+    feats2 = media_features(df, dim=16).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, feats2))
+
+    frames = frame_sample(df, every_n=1).groupBy("media_id").count().collect()
+    assert all(1 <= r["count"] <= 8 for r in frames)
+
+
+# ---------------------------------------------------------------------------
+# textops edge cases not covered by the oracle gate
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_bucket_skew_guard(spark):
+    from ocaml_rdf_spark.operators.textops import minhash_candidates
+
+    # 60 identical docs: with max_bucket=50 the mega-bucket is dropped →
+    # no quadratic pair explosion (0 pairs), the web-scale safety property
+    docs = spark.createDataFrame(
+        [(i, "same text here") for i in range(60)], schema="doc_id long, text string"
+    )
+    assert minhash_candidates(docs, bands=4, max_bucket=50).count() == 0
+    # 10 identical docs stay under the cap → all 45 pairs, 4/4 bands agree
+    docs10 = spark.createDataFrame(
+        [(i, "same text here") for i in range(10)], schema="doc_id long, text string"
+    )
+    pairs = minhash_candidates(docs10, bands=4, max_bucket=50).collect()
+    assert len(pairs) == 45
+    assert all(r["n_bands"] == 4 for r in pairs)
+
+
+def test_ngram_jaccard_short_docs(spark):
+    from ocaml_rdf_spark.operators.textops import ngram_jaccard
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"), (3, "xy"), (4, "p q r")],
+        schema="doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], schema="doc_a long, doc_b long")
+    out = {(r["doc_a"], r["doc_b"]): r["jac_pct"] for r in ngram_jaccard(docs, pairs).collect()}
+    assert out[(1, 2)] == 100
+    assert (3, 4) not in out  # doc 3 has <3 words → no grams → pair dropped
+
+
+def test_ann_lsh_subset_of_bruteforce_space(spark):
+    from ocaml_rdf_spark.operators.ann import cosine_topk, lsh_topk
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = [r["vec_id"] for r in cosine_topk(embs, 0, k=10).collect()]
+    approx = [r["vec_id"] for r in lsh_topk(embs, 0, k=10, bits=3, dim=64).collect()]
+    assert len(exact) == 10
+    assert len(approx) >= 1
+    # recall@10 of the LSH tier is imperfect by design but nonzero
+    assert len(set(exact) & set(approx)) >= 1

@@ -1,0 +1,180 @@
+"""End-to-end SPARQL-text execution against an in-memory dataset —
+the reference's own test style (W3C evaluation cases, SURVEY §5):
+(data, query, expected solutions) triples."""
+
+from __future__ import annotations
+
+import pytest
+
+from ocaml_rdf_spark.algebra import Ctx, flatten
+from ocaml_rdf_spark.sparql import execute
+from ocaml_rdf_spark.types import TRIPLES_SCHEMA, Iri, Literal, triple_row
+
+EX = "http://ex.org/"
+XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+PFX = f"PREFIX ex: <{EX}>\n"
+
+
+@pytest.fixture(scope="module")
+def ctx(spark):
+    t = [
+        (Iri(EX + "alice"), Iri(EX + "name"), Literal("Alice")),
+        (Iri(EX + "alice"), Iri(EX + "age"), Literal("30", dtype=XSD_INT)),
+        (Iri(EX + "alice"), Iri(EX + "knows"), Iri(EX + "bob")),
+        (Iri(EX + "bob"), Iri(EX + "name"), Literal("Bob")),
+        (Iri(EX + "bob"), Iri(EX + "age"), Literal("25", dtype=XSD_INT)),
+        (Iri(EX + "bob"), Iri(EX + "knows"), Iri(EX + "carol")),
+        (Iri(EX + "carol"), Iri(EX + "name"), Literal("Carol")),
+        (Iri(EX + "alice"), Iri("http://www.w3.org/1999/02/22-rdf-syntax-ns#type"), Iri(EX + "Person")),
+        (Iri(EX + "bob"), Iri("http://www.w3.org/1999/02/22-rdf-syntax-ns#type"), Iri(EX + "Person")),
+    ]
+    rows = [triple_row(s, p, o, graph="urn:g:main") for s, p, o in t]
+    rows.append(triple_row(Iri(EX + "dave"), Iri(EX + "name"), Literal("Dave"), graph="urn:g:other"))
+    df = spark.createDataFrame(rows, schema=TRIPLES_SCHEMA)
+    return Ctx(df)
+
+
+def rows(df, *cols):
+    out = flatten(df)
+    if cols:
+        out = out.select(*cols)
+    return sorted(tuple(r) for r in out.collect())
+
+
+def test_select_join(ctx):
+    df = execute(PFX + "SELECT ?n ?m WHERE { ?x ex:knows ?y . ?x ex:name ?n . ?y ex:name ?m }", ctx)
+    assert rows(df, "n", "m") == [("Alice", "Bob"), ("Bob", "Carol")]
+
+
+def test_filter_numeric(ctx):
+    df = execute(PFX + "SELECT ?n WHERE { ?x ex:name ?n ; ex:age ?a FILTER(?a > 27) }", ctx)
+    assert rows(df) == [("Alice",)]
+
+
+def test_optional_and_bound(ctx):
+    df = execute(
+        PFX + "SELECT ?n ?a WHERE { ?x ex:name ?n OPTIONAL { ?x ex:age ?a } }", ctx
+    )
+    # default context = RDF merge of ALL graphs (Dave lives in urn:g:other)
+    assert rows(df, "n", "a") == [("Alice", "30"), ("Bob", "25"), ("Carol", None), ("Dave", None)]
+
+
+def test_union_and_distinct(ctx):
+    df = execute(
+        PFX + "SELECT DISTINCT ?n WHERE { { ?x ex:name ?n } UNION { ?x ex:name ?n } }", ctx
+    )
+    assert rows(df) == [("Alice",), ("Bob",), ("Carol",), ("Dave",)]
+
+
+def test_minus(ctx):
+    df = execute(PFX + "SELECT ?n WHERE { ?x ex:name ?n MINUS { ?x ex:age ?a } }", ctx)
+    assert rows(df) == [("Carol",), ("Dave",)]
+
+
+def test_not_exists(ctx):
+    df = execute(PFX + "SELECT ?n WHERE { ?x ex:name ?n FILTER NOT EXISTS { ?x ex:knows ?y } }", ctx)
+    assert rows(df) == [("Carol",), ("Dave",)]
+
+
+def test_bind_expression(ctx):
+    df = execute(PFX + 'SELECT ?u WHERE { ?x ex:name ?n BIND(UCASE(?n) AS ?u) FILTER(STRSTARTS(?n, "A")) }', ctx)
+    assert rows(df) == [("ALICE",)]
+
+
+def test_aggregate_group(ctx):
+    df = execute(
+        PFX + "SELECT ?x (COUNT(*) AS ?n) WHERE { ?x ex:knows ?y } GROUP BY ?x", ctx
+    )
+    assert rows(df, "x", "n") == [(EX + "alice", "1"), (EX + "bob", "1")]
+
+
+def test_aggregate_no_groupby(ctx):
+    df = execute(PFX + "SELECT (COUNT(*) AS ?n) (SUM(?a) AS ?s) WHERE { ?x ex:age ?a }", ctx)
+    assert rows(df, "n", "s") == [("2", "55")]
+
+
+def test_having(ctx):
+    df = execute(
+        PFX + "SELECT ?x (COUNT(*) AS ?n) WHERE { ?x ex:name ?m } GROUP BY ?x HAVING (COUNT(*) > 0)", ctx
+    )
+    assert len(rows(df, "x", "n")) == 4
+
+
+def test_order_limit_offset(ctx):
+    df = execute(PFX + "SELECT ?n WHERE { ?x ex:name ?n } ORDER BY DESC(?n) LIMIT 2 OFFSET 1", ctx)
+    # DESC: Dave, Carol, Bob, Alice → offset 1 limit 2 → Carol, Bob
+    out = [r[0] for r in flatten(df).collect()]
+    assert out == ["Carol", "Bob"]
+
+
+def test_values(ctx):
+    df = execute(PFX + 'SELECT ?x ?n WHERE { VALUES ?n { "Alice" "Bob" } ?x ex:name ?n }', ctx)
+    assert rows(df, "n") == [("Alice",), ("Bob",)]
+
+
+def test_graph_named(ctx):
+    df = execute(PFX + "SELECT ?n WHERE { GRAPH <urn:g:other> { ?x ex:name ?n } }", ctx)
+    assert rows(df) == [("Dave",)]
+
+
+def test_graph_var(ctx):
+    df = execute(PFX + "SELECT DISTINCT ?g WHERE { GRAPH ?g { ?x ex:name ?n } }", ctx)
+    assert rows(df) == [("urn:g:main",), ("urn:g:other",)]
+
+
+def test_property_path_plus(ctx):
+    df = execute(PFX + "SELECT ?y WHERE { ex:alice ex:knows+ ?y }", ctx)
+    assert rows(df) == [(EX + "bob",), (EX + "carol",)]
+
+
+def test_property_path_seq_inverse(ctx):
+    df = execute(PFX + "SELECT ?n WHERE { ?y ^ex:knows/ex:name ?n }", ctx)
+    # ?y known-by someone; name of that someone
+    assert rows(df) == [("Alice",), ("Bob",)]
+
+
+def test_ask(ctx):
+    assert execute(PFX + 'ASK { ?x ex:name "Alice" }', ctx) is True
+    assert execute(PFX + 'ASK { ?x ex:name "Nobody" }', ctx) is False
+
+
+def test_construct(ctx):
+    df = execute(
+        PFX + "CONSTRUCT { ?y ex:knownBy ?x } WHERE { ?x ex:knows ?y }", ctx
+    )
+    got = sorted((r["s_lex"], r["pred"], r["o_lex"]) for r in df.collect())
+    assert got == [
+        (EX + "bob", EX + "knownBy", EX + "alice"),
+        (EX + "carol", EX + "knownBy", EX + "bob"),
+    ]
+
+
+def test_describe(ctx):
+    df = execute(PFX + "DESCRIBE ex:alice", ctx)
+    assert df.count() == 4  # alice's 4 triples
+
+
+def test_subselect_filter(ctx):
+    df = execute(
+        PFX
+        + """SELECT ?x WHERE {
+             { SELECT ?x (COUNT(*) AS ?n) WHERE { ?x ex:knows ?y } GROUP BY ?x }
+             FILTER(?n >= 1)
+           }""",
+        ctx,
+    )
+    assert rows(df, "x") == [(EX + "alice",), (EX + "bob",)]
+
+
+def test_in_and_if(ctx):
+    df = execute(
+        PFX + 'SELECT ?n WHERE { ?x ex:name ?n FILTER(?n IN ("Alice", "Carol")) }', ctx
+    )
+    assert rows(df) == [("Alice",), ("Carol",)]
+
+
+def test_group_concat_sorted(ctx):
+    df = execute(
+        PFX + 'SELECT (GROUP_CONCAT(?n; SEPARATOR=",") AS ?all) WHERE { ?x ex:name ?n }', ctx
+    )
+    assert rows(df) == [("Alice,Bob,Carol,Dave",)]
