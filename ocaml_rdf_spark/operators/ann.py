@@ -128,3 +128,50 @@ def knn_join_centroids(vectors: DataFrame, n_clusters: int = 16) -> DataFrame:
         .select("vec_id", F.col("seed_cluster").alias("cluster"))
     )
     return assigned
+
+
+def near_dup_pairs(vectors: DataFrame, threshold_x1e4: int = 8000, max_id: int | None = None) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (id_a < id_b) with
+    cosine ≥ threshold — the exact/oracle tier of embedding dedup
+    (complements the text-side MinHash/SimHash in textops.py).
+
+    This brute form is O(N²) and only for bounded candidate sets
+    (`max_id` caps it); at 10^12 vectors use `near_dup_pairs_lsh`, which
+    restricts the self-join to LSH buckets, turning the cross join into a
+    bucket-local equi-join (shuffle on bucket id, each bucket small).
+    → (id_a, id_b, sim_x1e4).
+    """
+    v = vectors if max_id is None else vectors.filter(F.col("vec_id") < max_id)
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("emb_a"), F.col("emb_b")) * 10000).cast("long").alias("sim_x1e4"),
+        )
+        .filter(F.col("sim_x1e4") >= threshold_x1e4)
+    )
+
+
+def near_dup_pairs_lsh(
+    vectors: DataFrame, threshold_x1e4: int = 8000, bits: int = 4, dim: int = 64
+) -> DataFrame:
+    """Scale path for embedding near-dup: same-bucket candidate pairs only.
+    The self-join key is the LSH bucket (equi-join, AQE-skew-safe), so cost
+    is Σ bucket² instead of N²; recall misses pairs split across buckets
+    (multi-probe or more tables recover them). → (id_a, id_b, sim_x1e4)."""
+    wb = vectors.select("vec_id", "embedding", lsh_bucket(F.col("embedding"), bits, dim).alias("bucket"))
+    a = wb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"), "bucket")
+    b = wb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("emb_a"), F.col("emb_b")) * 10000).cast("long").alias("sim_x1e4"),
+        )
+        .filter(F.col("sim_x1e4") >= threshold_x1e4)
+    )

@@ -1,0 +1,78 @@
+"""Event-stream operators over the events table (event_id, ts, user_id,
+event_type, value, props).
+
+The reference has no streaming/temporal operators (SURVEY §2.9 — batch
+library), so these are engine-side additions in the training-data-ops
+family: the batch forms of the two canonical Structured-Streaming
+aggregations. `tumbling_counts` is exactly the plan a
+`readStream.groupBy(window(...))` produces per micro-batch;
+`sessionize` is the batch equivalent of `applyInPandasWithState`
+session tracking, expressed with built-in window functions so it stays
+JVM-side (no Python state function needed for the batch path).
+
+Scale notes:
+- `tumbling_counts` is one hash aggregation: partial map-side combine,
+  one shuffle on (bucket, event_type); bucket count is bounded by the
+  time range so the result is tiny regardless of input size.
+- `sessionize` shuffles once on user_id (the window partition key); skewed
+  power-users are bounded by per-user event counts, and at 100 TB the same
+  plan runs with `spark.sql.shuffle.partitions` sized to the user-id
+  cardinality. The two stacked window functions (lag, running sum) share
+  one partitioning — Catalyst plans a single Window exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def tumbling_counts(events: DataFrame, minutes: int = 60) -> DataFrame:
+    """Tumbling-window counts + value sums per (window, event_type).
+
+    Uses F.window (epoch-aligned, the Structured Streaming operator); the
+    window start is exposed as epoch-hours so the result is engine- and
+    timezone-portable (session tz is UTC — session.py).
+    """
+    w = F.window(F.col("ts"), f"{minutes} minutes")
+    return (
+        events.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_x100"),
+        )
+        .select(
+            # parquet naive timestamps read as TIMESTAMP_NTZ; LTZ-cast under
+            # the UTC session tz makes epoch math exact and engine-portable
+            (F.col("w.start").cast("timestamp_ltz").cast("long") / (minutes * 60)).cast("long").alias("bucket"),
+            "event_type",
+            "n_events",
+            "sum_value_x100",
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based session assignment: a new session starts when a user's
+    inter-event gap exceeds `gap_minutes`. Returns the events with a
+    per-user `session_idx` (1-based) — lag + running-sum over one
+    user-partitioned sort, fully JVM-side.
+    """
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    prev = F.lag(us).over(order)
+    new_sess = (prev.isNull() | ((us - prev) > gap_minutes * 60 * 1_000_000)).cast("long")
+    running = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return events.withColumn("session_idx", F.sum(new_sess).over(running))
+
+
+def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-user session summary: number of sessions and events."""
+    s = sessionize(events, gap_minutes)
+    return s.groupBy("user_id").agg(
+        F.max("session_idx").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -1048,3 +1048,390 @@ FROM orders GROUP BY 1, 2
 """
 
 QUERIES["builtins_date"] = (q_builtins_date, SQL_BUILTINS_DATE)
+
+
+# ---------------------------------------------------------------------------
+# coverage batch 2: query forms (ASK/DESCRIBE), remaining path forms,
+# sub-SELECT/REDUCED/SAMPLE, remaining builtin families, embedding near-dup,
+# event-stream ops (SURVEY §2 rows previously pytest-only → now oracled)
+# ---------------------------------------------------------------------------
+
+
+def q_ask_probe(spark, sf):
+    """ASK (rdf_sparql.ml :: execute, boolean form): one true probe, one
+    false probe, as a 2-row result."""
+    from .algebra import ask
+
+    ctx = _ctx(spark, sf)
+    probes = [
+        ("asia_region", BGP([T_(Var("r"), Iri(P_NAME), Literal("ASIA"))])),
+        ("atlantis_region", BGP([T_(Var("r"), Iri(P_NAME), Literal("ATLANTIS"))])),
+    ]
+    rows = [(n, str(ask(node, ctx)).lower()) for n, node in probes]
+    return spark.createDataFrame(rows, "probe string, result string")
+
+
+SQL_ASK_PROBE = """
+SELECT 'asia_region' AS probe,
+       CAST(EXISTS(SELECT 1 FROM region WHERE r_name = 'ASIA') AS VARCHAR) AS result
+UNION ALL
+SELECT 'atlantis_region',
+       CAST(EXISTS(SELECT 1 FROM region WHERE r_name = 'ATLANTIS') AS VARCHAR)
+"""
+
+
+def q_describe_term(spark, sf):
+    """DESCRIBE (naive subject-triples variant, as the reference)."""
+    from .algebra import describe
+
+    out = describe([Iri("urn:n:0"), Iri("urn:r:1")], _ctx(spark, sf))
+    return out.select(F.col("s_lex").alias("s"), F.col("pred").alias("p"), F.col("o_lex").alias("o"))
+
+
+SQL_DESCRIBE_TERM = W + """
+SELECT s_lex AS s, pred AS p, o_lex AS o FROM triples
+WHERE s_lex IN ('urn:n:0', 'urn:r:1')
+"""
+
+
+def q_path_opt(spark, sf):
+    """p? (ZeroOrOne): identity over every term of the nation graph ∪ the
+    inRegion pairs (spec §9.3 zero-length-path semantics)."""
+    from .operators.paths import ZeroOrOne
+
+    node = GraphNode("urn:g:nation", PathPattern(VS, ZeroOrOne(PP(P_IN_REGION)), VO))
+    return _flat(node, _ctx(spark, sf), "s", "o")
+
+
+SQL_PATH_OPT = W + """
+, nt AS (SELECT * FROM triples WHERE graph = 'urn:g:nation'),
+nodes AS (SELECT DISTINCT s_lex AS lex FROM nt UNION SELECT DISTINCT o_lex FROM nt)
+SELECT lex AS s, lex AS o FROM nodes
+UNION ALL
+SELECT DISTINCT s_lex, o_lex FROM nt WHERE pred = 'urn:p:inRegion'
+"""
+
+
+def q_path_star(spark, sf):
+    """(inRegion|^inRegion)* : symmetric-closure fixpoint — every ordered
+    pair inside a region's {nations ∪ region} component, plus identity over
+    all nation-graph terms."""
+    from .operators.paths import Star
+
+    node = GraphNode(
+        "urn:g:nation",
+        PathPattern(VS, Star(Alt(PP(P_IN_REGION), Inv(PP(P_IN_REGION)))), VO),
+    )
+    return _flat(node, _ctx(spark, sf), "s", "o")
+
+
+SQL_PATH_STAR = W + """
+, nt AS (SELECT * FROM triples WHERE graph = 'urn:g:nation'),
+mem AS (SELECT 'urn:n:'||n_nationkey AS lex, n_regionkey AS rk FROM nation
+        UNION ALL SELECT DISTINCT 'urn:r:'||n_regionkey, n_regionkey FROM nation),
+allnodes AS (SELECT DISTINCT s_lex AS lex FROM nt UNION SELECT DISTINCT o_lex FROM nt)
+SELECT a.lex AS s, b.lex AS o FROM mem a JOIN mem b ON a.rk = b.rk
+UNION
+SELECT lex, lex FROM allnodes
+"""
+
+
+def q_path_neg(spark, sf):
+    """!(rdf:type) negated property set over the nation graph."""
+    from .operators.paths import Neg
+
+    node = GraphNode("urn:g:nation", PathPattern(VS, Neg([RDF_TYPE]), VO))
+    return _flat(node, _ctx(spark, sf), "s", "o")
+
+
+SQL_PATH_NEG = W + f"""
+SELECT DISTINCT s_lex AS s, o_lex AS o FROM triples
+WHERE graph = 'urn:g:nation' AND pred <> '{RDF_TYPE}'
+"""
+
+
+def q_subselect(spark, sf):
+    """Sub-SELECT (ToMultiset): inner aggregate joined to the outer BGP."""
+    inner = Group(
+        BGP([T_(Var("n"), Iri(P_IN_REGION), Var("r"))]),
+        ["r"],
+        [Agg("n_nations", "count_star")],
+    )
+    node = inner.join(BGP([T_(Var("r"), Iri(P_NAME), Var("rname"))]))
+    return _flat(Project(node, ["rname", "n_nations"]), _ctx(spark, sf), "rname", "n_nations")
+
+
+SQL_SUBSELECT = """
+SELECT r_name AS rname, CAST(COUNT(*) AS VARCHAR) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_reduced_types(spark, sf):
+    """REDUCED (we always dedup — conformant, SURVEY §2.3)."""
+    from .algebra import Reduced
+
+    node = Reduced(Project(BGP([T_(VS, Iri(RDF_TYPE), Var("t"))]), ["t"]))
+    return _flat(node, _ctx(spark, sf), "t")
+
+
+SQL_REDUCED_TYPES = W + f"""
+SELECT DISTINCT o_lex AS t FROM triples WHERE pred = '{RDF_TYPE}'
+"""
+
+
+def q_sample_region(spark, sf):
+    """SAMPLE aggregate — deterministic here because each group is
+    single-valued (one region name per nation)."""
+    node = Group(
+        BGP(
+            [
+                T_(Var("n"), Iri(P_IN_REGION), Var("r")),
+                T_(Var("r"), Iri(P_NAME), Var("rname")),
+            ]
+        ),
+        ["n"],
+        [Agg("rname_s", "sample", V("rname"))],
+    )
+    return _flat(node, _ctx(spark, sf), "n", "rname_s")
+
+
+SQL_SAMPLE_REGION = """
+SELECT 'urn:n:'||n_nationkey AS n, r_name AS rname_s
+FROM nation JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+def q_builtins_num(spark, sf):
+    """Numeric builtins (§17.4.4): ABS on integer arithmetic, CEIL/FLOOR
+    and SPARQL ROUND (half toward +∞ — floor(x+0.5), SURVEY §2.8) on an
+    integer/decimal division."""
+    from .functions.builtins import ABS, CEIL, FLOOR, ROUND
+
+    node = (
+        BGP(
+            [
+                T_(Var("c"), Iri(RDF_TYPE), Iri("urn:c:Customer")),
+                T_(Var("c"), Iri(P_NAME), Var("cname")),
+                T_(Var("c"), Iri(P_ACCTBAL), Var("bal")),
+            ]
+        )
+        .extend("babs", ABS(V("bal") - L(500000)))
+        .extend("bceil", CEIL(V("bal") / L(1000)))
+        .extend("bfloor", FLOOR(V("bal") / L(1000)))
+        .extend("bround", ROUND(V("bal") / L(1000)))
+    )
+    return _flat(
+        Project(node, ["cname", "babs", "bceil", "bfloor", "bround"]),
+        _ctx(spark, sf),
+        "cname", "babs", "bceil", "bfloor", "bround",
+    )
+
+
+SQL_BUILTINS_NUM = """
+SELECT c_name AS cname,
+       CAST(abs(CAST(round(c_acctbal*100) AS BIGINT) - 500000) AS VARCHAR) AS babs,
+       CAST(CAST(ceil(CAST(round(c_acctbal*100) AS BIGINT) / 1000.0) AS BIGINT) AS VARCHAR) AS bceil,
+       CAST(CAST(floor(CAST(round(c_acctbal*100) AS BIGINT) / 1000.0) AS BIGINT) AS VARCHAR) AS bfloor,
+       CAST(CAST(floor(CAST(round(c_acctbal*100) AS BIGINT) / 1000.0 + 0.5) AS BIGINT) AS VARCHAR) AS bround
+FROM customer
+"""
+
+
+def q_builtins_hash(spark, sf):
+    """Hash builtins (§17.4.6): MD5 / SHA256 over nation names (SHA1/384/512
+    are implemented too — pytest-covered; DuckDB has no sha1 to oracle it)."""
+    from .functions.builtins import MD5, SHA256
+
+    node = (
+        BGP([T_(Var("n"), Iri(RDF_TYPE), Iri("urn:c:Nation")), T_(Var("n"), Iri(P_NAME), Var("nname"))])
+        .extend("h_md5", MD5(V("nname")))
+        .extend("h_sha256", SHA256(V("nname")))
+    )
+    return _flat(
+        Project(node, ["nname", "h_md5", "h_sha256"]),
+        _ctx(spark, sf),
+        "nname", "h_md5", "h_sha256",
+    )
+
+
+SQL_BUILTINS_HASH = """
+SELECT n_name AS nname, md5(n_name) AS h_md5, sha256(n_name) AS h_sha256
+FROM nation
+"""
+
+
+def q_builtins_replace(spark, sf):
+    """REGEX filter + REPLACE + STRBEFORE/STRAFTER (§17.4.3)."""
+    from .functions.builtins import REGEX, REPLACE, STRAFTER, STRBEFORE
+
+    node = (
+        BGP([T_(Var("c"), Iri(RDF_TYPE), Iri("urn:c:Customer")), T_(Var("c"), Iri(P_NAME), Var("cname"))])
+        .filter(REGEX(V("cname"), "00[1-9]$"))
+        .extend("cid", STRAFTER(V("cname"), L("#")))
+        .extend("cpfx", STRBEFORE(V("cname"), L("#")))
+        .extend("cdash", REPLACE(V("cname"), "0+", "-"))
+    )
+    return _flat(
+        Project(node, ["cname", "cid", "cpfx", "cdash"]),
+        _ctx(spark, sf),
+        "cname", "cid", "cpfx", "cdash",
+    )
+
+
+SQL_BUILTINS_REPLACE = """
+SELECT c_name AS cname,
+       CASE WHEN instr(c_name, '#') > 0 THEN substr(c_name, instr(c_name, '#') + 1) ELSE '' END AS cid,
+       CASE WHEN instr(c_name, '#') > 0 THEN substr(c_name, 1, instr(c_name, '#') - 1) ELSE '' END AS cpfx,
+       regexp_replace(c_name, '0+', '-', 'g') AS cdash
+FROM customer WHERE regexp_matches(c_name, '00[1-9]$')
+"""
+
+
+def q_builtins_cond(spark, sf):
+    """BOUND / IF / COALESCE over an OPTIONAL (unbound = NULL struct)."""
+    from .functions.builtins import BOUND, COALESCE, IF
+
+    left = BGP([T_(Var("n"), Iri(RDF_TYPE), Iri("urn:c:Nation")), T_(Var("n"), Iri(P_NAME), Var("nname"))])
+    right = BGP(
+        [
+            T_(Var("su"), Iri(RDF_TYPE), Iri("urn:c:Supplier")),
+            T_(Var("su"), Iri(P_IN_NATION), Var("n")),
+            T_(Var("su"), Iri(P_ACCTBAL), Var("sbal")),
+        ]
+    )
+    node = (
+        LeftJoin(left, right, V("sbal") > L(990000))
+        .extend("bal_or0", COALESCE(V("sbal"), L(0)))
+        .extend("flag", IF(BOUND("sbal"), L("has"), L("none")))
+    )
+    return _flat(
+        Project(node, ["nname", "bal_or0", "flag"]),
+        _ctx(spark, sf),
+        "nname", "bal_or0", "flag",
+    )
+
+
+SQL_BUILTINS_COND = """
+SELECT n_name AS nname,
+       CAST(COALESCE(CAST(round(s_acctbal*100) AS BIGINT), 0) AS VARCHAR) AS bal_or0,
+       CASE WHEN s_suppkey IS NOT NULL THEN 'has' ELSE 'none' END AS flag
+FROM nation LEFT JOIN supplier
+  ON s_nationkey = n_nationkey AND round(s_acctbal*100) > 990000
+"""
+
+
+def q_builtins_term(spark, sf):
+    """Term accessors (§17.4.2): DATATYPE(?o) per-datatype triple counts.
+    DATATYPE of an IRI is an error → unbound (Rdf_dt lattice); COALESCE
+    maps the unbound group to a sentinel so the output has no NULL keys."""
+    from .functions.builtins import COALESCE, DATATYPE
+
+    node = Group(
+        BGP([T_(VS, Var("p"), VO)]).extend("dt", COALESCE(DATATYPE(V("o")), L("urn:x:unbound"))),
+        ["dt"],
+        [Agg("n", "count_star")],
+    )
+    return _flat(node, _ctx(spark, sf), "dt", "n")
+
+
+SQL_BUILTINS_TERM = W + """
+SELECT CASE WHEN o_kind = 2 THEN o_dtype ELSE 'urn:x:unbound' END AS dt,
+       CAST(COUNT(*) AS VARCHAR) AS n
+FROM triples GROUP BY 1
+"""
+
+
+def q_dedup_embedding(spark, sf):
+    """Embedding-cosine near-dup pairs (exact tier; LSH-bucketed variant
+    is dedup_embedding_lsh)."""
+    from .operators.ann import near_dup_pairs
+
+    return near_dup_pairs(_embs(spark, sf), threshold_x1e4=3000, max_id=150)
+
+
+SQL_DEDUP_EMBEDDING = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings WHERE vec_id < 150)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(round(list_cosine_similarity(a.e, b.e) * 10000) AS BIGINT) AS sim_x1e4
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.e, b.e) * 10000) >= 3000
+"""
+
+
+def q_dedup_embedding_lsh(spark, sf):
+    """Rows-only: LSH-bucketed near-dup (the 10^12-vector path)."""
+    from .operators.ann import near_dup_pairs_lsh
+
+    return near_dup_pairs_lsh(_embs(spark, sf), threshold_x1e4=3000, bits=4, dim=64)
+
+
+def q_events_window(spark, sf):
+    """Tumbling 60-min window counts + sums per event_type (the
+    Structured-Streaming window aggregation, batch form)."""
+    from .operators.events import tumbling_counts
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return tumbling_counts(ev, minutes=60)
+
+
+SQL_EVENTS_WINDOW = """
+SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_x100
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_session(spark, sf):
+    """Gap-based sessionization (30-min gap): per-user session/event counts
+    — batch form of applyInPandasWithState session tracking."""
+    from .operators.events import session_stats
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return session_stats(ev, gap_minutes=30)
+
+
+SQL_EVENTS_SESSION = """
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id,
+         SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id, CAST(MAX(sid) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM s GROUP BY user_id
+"""
+
+
+QUERIES.update(
+    {
+        "ask_probe": (q_ask_probe, SQL_ASK_PROBE),
+        "describe_term": (q_describe_term, SQL_DESCRIBE_TERM),
+        "path_opt": (q_path_opt, SQL_PATH_OPT),
+        "path_star": (q_path_star, SQL_PATH_STAR),
+        "path_neg": (q_path_neg, SQL_PATH_NEG),
+        "subselect": (q_subselect, SQL_SUBSELECT),
+        "reduced_types": (q_reduced_types, SQL_REDUCED_TYPES),
+        "sample_region": (q_sample_region, SQL_SAMPLE_REGION),
+        "builtins_num": (q_builtins_num, SQL_BUILTINS_NUM),
+        "builtins_hash": (q_builtins_hash, SQL_BUILTINS_HASH),
+        "builtins_replace": (q_builtins_replace, SQL_BUILTINS_REPLACE),
+        "builtins_cond": (q_builtins_cond, SQL_BUILTINS_COND),
+        "builtins_term": (q_builtins_term, SQL_BUILTINS_TERM),
+        "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
+        "dedup_embedding_lsh": (q_dedup_embedding_lsh, None),
+        "events_window": (q_events_window, SQL_EVENTS_WINDOW),
+        "events_session": (q_events_session, SQL_EVENTS_SESSION),
+    }
+)

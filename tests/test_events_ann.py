@@ -1,0 +1,125 @@
+"""Unit tests for the event-stream operators (operators/events.py) and
+the embedding near-dup tier (operators/ann.py :: near_dup_pairs*)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+
+def _events(spark, rows):
+    # rows: (event_id, iso_ts, user_id, event_type, value)
+    data = [
+        (i, dt.datetime.fromisoformat(ts), u, et, v)
+        for i, ts, u, et, v in rows
+    ]
+    return spark.createDataFrame(
+        data, schema="event_id long, ts timestamp_ntz, user_id long, event_type string, value double"
+    )
+
+
+def test_sessionize_gap_splits(spark):
+    from ocaml_rdf_spark.operators.events import session_stats, sessionize
+
+    ev = _events(
+        spark,
+        [
+            (0, "2024-01-01T00:00:00", 1, "click", 1.0),
+            (1, "2024-01-01T00:10:00", 1, "click", 1.0),  # same session (10m gap)
+            (2, "2024-01-01T01:00:00", 1, "click", 1.0),  # 50m gap -> new session
+            (3, "2024-01-01T00:00:00", 2, "view", 1.0),   # other user: own session
+        ],
+    )
+    s = {r["event_id"]: r["session_idx"] for r in sessionize(ev, gap_minutes=30).collect()}
+    assert s == {0: 1, 1: 1, 2: 2, 3: 1}
+    stats = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in session_stats(ev, 30).collect()}
+    assert stats == {1: (2, 3), 2: (1, 1)}
+
+
+def test_sessionize_boundary_is_exclusive(spark):
+    """A gap of exactly `gap_minutes` does NOT start a new session (> not >=)."""
+    from ocaml_rdf_spark.operators.events import sessionize
+
+    ev = _events(
+        spark,
+        [
+            (0, "2024-01-01T00:00:00", 1, "click", 1.0),
+            (1, "2024-01-01T00:30:00", 1, "click", 1.0),
+        ],
+    )
+    s = {r["event_id"]: r["session_idx"] for r in sessionize(ev, gap_minutes=30).collect()}
+    assert s == {0: 1, 1: 1}
+
+
+def test_tumbling_counts_buckets(spark):
+    from ocaml_rdf_spark.operators.events import tumbling_counts
+
+    ev = _events(
+        spark,
+        [
+            (0, "2024-01-01T00:05:00", 1, "click", 1.50),
+            (1, "2024-01-01T00:55:00", 2, "click", 2.25),
+            (2, "2024-01-01T01:05:00", 1, "click", 4.00),
+            (3, "2024-01-01T00:20:00", 1, "error", 1.00),
+        ],
+    )
+    out = {(r["bucket"], r["event_type"]): (r["n_events"], r["sum_value_x100"]) for r in tumbling_counts(ev, 60).collect()}
+    h0 = dt.datetime(2024, 1, 1).replace(tzinfo=dt.timezone.utc).timestamp() / 3600
+    assert out == {
+        (int(h0), "click"): (2, 375),
+        (int(h0), "error"): (1, 100),
+        (int(h0) + 1, "click"): (1, 400),
+    }
+
+
+def _vecs(spark, vs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vs)],
+        schema="vec_id long, embedding array<float>",
+    )
+
+
+def test_near_dup_pairs_exact(spark):
+    from ocaml_rdf_spark.operators.ann import near_dup_pairs
+
+    vecs = _vecs(
+        spark,
+        [
+            [1.0, 0.0, 0.0, 0.0],
+            [0.999, 0.01, 0.0, 0.0],   # near-dup of 0
+            [0.0, 1.0, 0.0, 0.0],      # orthogonal
+            [-1.0, 0.0, 0.0, 0.0],     # opposite
+        ],
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in near_dup_pairs(vecs, threshold_x1e4=9900).collect()}
+    assert pairs == {(0, 1)}
+
+
+def test_near_dup_lsh_is_subset_of_brute(spark):
+    """LSH candidates must be a subset of the brute-force pairs (same
+    threshold) — buckets can only lose pairs, never invent them."""
+    from ocaml_rdf_spark.operators.ann import near_dup_pairs, near_dup_pairs_lsh
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").filter(F.col("vec_id") < 80)
+    brute = {(r["id_a"], r["id_b"]) for r in near_dup_pairs(emb, threshold_x1e4=2500).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in near_dup_pairs_lsh(emb, threshold_x1e4=2500, bits=2, dim=64).collect()}
+    assert lsh <= brute
+    assert len(brute) > 0
+
+
+def test_sha_builtins(spark):
+    """SHA1/384/512 (no DuckDB counterpart — unit-tested against hashlib)."""
+    import hashlib
+
+    from ocaml_rdf_spark.functions.builtins import L, SHA1, SHA384, SHA512
+
+    df = spark.range(1)
+    out = df.select(
+        SHA1(L("abc"))({})["lex"].alias("s1"),
+        SHA384(L("abc"))({})["lex"].alias("s384"),
+        SHA512(L("abc"))({})["lex"].alias("s512"),
+    ).collect()[0]
+    assert out["s1"] == hashlib.sha1(b"abc").hexdigest()
+    assert out["s384"] == hashlib.sha384(b"abc").hexdigest()
+    assert out["s512"] == hashlib.sha512(b"abc").hexdigest()
