@@ -79,9 +79,43 @@ def _melt(df: DataFrame, s_lex: F.Column, graph: str, items: list) -> DataFrame:
     )
 
 
-def triples_view(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quad DataFrame (TRIPLES schema) melted from region/nation/customer/
-    supplier/orders parquet. Deterministic; mirrored by TRIPLES_CTE."""
+#: materialized POS-ordered triple stores, keyed (applicationId, sf_dir)
+_STORE_CACHE: dict = {}
+
+
+def triples_view(spark: SparkSession, sf_dir: str, materialize: bool = True) -> DataFrame:
+    """Quad DataFrame (TRIPLES schema) over region/nation/customer/
+    supplier/orders. Deterministic; mirrored by TRIPLES_CTE.
+
+    With `materialize` (default), the melt is written ONCE per session to a
+    pred-clustered, (pred, s_lex)-sorted parquet store and every query
+    reads that — the local stand-in for the north rule's POS-sorted Iceberg
+    copy (`WRITE ORDERED BY pred, s_lex`). A bound-predicate triple-pattern
+    scan then prunes to the files/row-groups holding that predicate
+    (PushedFilters on pred + min/max stats) instead of re-melting all five
+    source tables per pattern — a 6-pattern BGP goes from 30 table scans to
+    6 pruned store reads. At 100 TB this is exactly the SPO/POS table the
+    pipeline materializes (SURVEY §2.1 in-memory-indexes row).
+    """
+    if materialize:
+        key = (spark.sparkContext.applicationId, sf_dir)
+        cached = _STORE_CACHE.get(key)
+        if cached is not None:
+            return cached
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="ords_pos_store_")
+        (
+            triples_view(spark, sf_dir, materialize=False)
+            .repartition(8, F.col("pred"))
+            .sortWithinPartitions("pred", "s_lex")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        df = spark.read.parquet(path)
+        _STORE_CACHE[key] = df
+        return df
+
     rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
 
     region = _melt(

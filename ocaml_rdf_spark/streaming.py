@@ -85,3 +85,59 @@ def stream_extract_foreach_batch(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_windowed_counts(
+    spark: SparkSession,
+    input_dir: str,
+    minutes: int = 60,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming tumbling-window aggregation over an events stream
+    (event_id, ts, user_id, event_type, value) with late-data handling:
+    `withWatermark` bounds state (windows older than the watermark are
+    finalized and dropped from the state store), then the same
+    window/groupBy plan as the batch operators.events.tumbling_counts.
+
+    Returns the unstarted streaming DataFrame — callers attach a sink
+    (`writeStream.outputMode("append")` emits each window once, on
+    watermark passage). Batch/stream parity is tested by running this
+    plan with availableNow over a static directory and comparing to the
+    batch operator.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    ev = spark.readStream.schema(schema).parquet(input_dir)
+    w = F.window(F.col("ts"), f"{minutes} minutes")
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_x100"),
+        )
+        .select(
+            (F.col("w.start").cast("timestamp_ltz").cast("long") / (minutes * 60)).cast("long").alias("bucket"),
+            "event_type",
+            "n_events",
+            "sum_value_x100",
+        )
+    )

@@ -1435,3 +1435,145 @@ QUERIES.update(
         "events_session": (q_events_session, SQL_EVENTS_SESSION),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# SPARQL text front end, batch 2: every composite pattern form through the
+# full lex→parse→algebra→DataFrame path (EP1), against the same oracles as
+# the programmatic-algebra entries
+# ---------------------------------------------------------------------------
+
+
+def q_sparql_text_optional(spark, sf):
+    """Text OPTIONAL + inner FILTER + BIND(COALESCE/IF/BOUND)."""
+    return _sparql(
+        spark, sf,
+        """SELECT ?nname ?bal_or0 ?flag WHERE {
+             ?n a c:Nation ; p:name ?nname .
+             OPTIONAL { ?su a c:Supplier ; p:inNation ?n ; p:acctbal ?sbal .
+                        FILTER(?sbal > 990000) }
+             BIND(COALESCE(?sbal, 0) AS ?bal_or0)
+             BIND(IF(BOUND(?sbal), "has", "none") AS ?flag)
+           }""",
+        "nname", "bal_or0", "flag",
+    )
+
+
+def q_sparql_text_union(spark, sf):
+    """Text UNION of two tagged groups."""
+    return _sparql(
+        spark, sf,
+        """SELECT ?name ?tag WHERE {
+             { ?x a c:Customer ; p:name ?name . BIND("c" AS ?tag) }
+             UNION
+             { ?x a c:Supplier ; p:name ?name . BIND("s" AS ?tag) }
+           }""",
+        "name", "tag",
+    )
+
+
+def q_sparql_text_minus(spark, sf):
+    """Text MINUS."""
+    return _sparql(
+        spark, sf,
+        """SELECT ?cname WHERE {
+             ?c a c:Customer ; p:name ?cname .
+             MINUS { ?o p:customer ?c ; p:priority "1-URGENT" . }
+           }""",
+        "cname",
+    )
+
+
+def q_sparql_text_exists(spark, sf):
+    """Text FILTER EXISTS."""
+    return _sparql(
+        spark, sf,
+        """SELECT ?nname WHERE {
+             ?n a c:Nation ; p:name ?nname .
+             FILTER EXISTS { ?c p:inNation ?n ; p:acctbal ?b . FILTER(?b > 980000) }
+           }""",
+        "nname",
+    )
+
+
+def q_sparql_text_values(spark, sf):
+    """Text VALUES inline data."""
+    return _sparql(
+        spark, sf,
+        """SELECT ?rname ?nname WHERE {
+             VALUES ?rname { "ASIA" "EUROPE" }
+             ?r p:name ?rname . ?n p:inRegion ?r ; p:name ?nname .
+           }""",
+        "rname", "nname",
+    )
+
+
+def q_sparql_text_graph(spark, sf):
+    """Text GRAPH ?g + COUNT."""
+    return _sparql(
+        spark, sf,
+        """SELECT ?g (COUNT(*) AS ?n) WHERE { GRAPH ?g { ?s ?p ?o } } GROUP BY ?g""",
+        "g", "n",
+    )
+
+
+def q_sparql_text_subselect(spark, sf):
+    """Text nested sub-SELECT with aggregation joined to the outer pattern."""
+    return _sparql(
+        spark, sf,
+        """SELECT ?rname ?n_nations WHERE {
+             { SELECT ?r (COUNT(*) AS ?n_nations) WHERE { ?n p:inRegion ?r } GROUP BY ?r }
+             ?r p:name ?rname .
+           }""",
+        "rname", "n_nations",
+    )
+
+
+def q_sparql_text_construct(spark, sf):
+    """Text CONSTRUCT → TRIPLES DataFrame."""
+    from .sparql import execute
+
+    out = execute(
+        _SPARQL_PFX
+        + """CONSTRUCT { ?c p:richIn ?n } WHERE {
+               ?c p:acctbal ?b ; p:inNation ?n . FILTER(?b >= 999000)
+             }""",
+        _ctx(spark, sf),
+    )
+    return out.select(F.col("s_lex").alias("s"), F.col("pred").alias("p"), F.col("o_lex").alias("o"))
+
+
+def q_sparql_text_ask(spark, sf):
+    """Text ASK (true + false probes)."""
+    from .sparql import execute
+
+    ctx = _ctx(spark, sf)
+    rows = [
+        ("asia_region", str(execute(_SPARQL_PFX + 'ASK { ?r p:name "ASIA" }', ctx)).lower()),
+        ("atlantis_region", str(execute(_SPARQL_PFX + 'ASK { ?r p:name "ATLANTIS" }', ctx)).lower()),
+    ]
+    return spark.createDataFrame(rows, "probe string, result string")
+
+
+def q_sparql_text_describe(spark, sf):
+    """Text DESCRIBE with explicit IRIs."""
+    from .sparql import execute
+
+    out = execute(_SPARQL_PFX + "DESCRIBE <urn:n:0> <urn:r:1>", _ctx(spark, sf))
+    return out.select(F.col("s_lex").alias("s"), F.col("pred").alias("p"), F.col("o_lex").alias("o"))
+
+
+QUERIES.update(
+    {
+        "sparql_text_optional": (q_sparql_text_optional, SQL_BUILTINS_COND),
+        "sparql_text_union": (q_sparql_text_union, SQL_UNION_TAG),
+        "sparql_text_minus": (q_sparql_text_minus, SQL_MINUS_CUSTOMERS),
+        "sparql_text_exists": (q_sparql_text_exists, SQL_EXISTS_NATION),
+        "sparql_text_values": (q_sparql_text_values, SQL_VALUES_REGIONS),
+        "sparql_text_graph": (q_sparql_text_graph, SQL_GRAPH_COUNTS),
+        "sparql_text_subselect": (q_sparql_text_subselect, SQL_SUBSELECT),
+        "sparql_text_construct": (q_sparql_text_construct, SQL_CONSTRUCT_RICH),
+        "sparql_text_ask": (q_sparql_text_ask, SQL_ASK_PROBE),
+        "sparql_text_describe": (q_sparql_text_describe, SQL_DESCRIBE_TERM),
+    }
+)

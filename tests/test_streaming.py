@@ -51,3 +51,47 @@ def test_incremental_extract_exactly_once(spark, tmp_path):
     q3 = stream_extract(spark, inp, out, ckpt, available_now=True)
     q3.awaitTermination(120)
     assert spark.read.parquet(out).count() == n2
+
+
+def test_stream_windowed_counts_matches_batch(spark, tmp_path):
+    """The watermarked streaming window plan, drained with availableNow
+    over a static events directory, must equal the batch operator
+    (stream/batch parity — same logical aggregation)."""
+    import shutil
+
+    from ocaml_rdf_spark.operators.events import tumbling_counts
+    from ocaml_rdf_spark.streaming import stream_windowed_counts
+
+    inp = str(tmp_path / "events")
+    out = str(tmp_path / "win")
+    ckpt = str(tmp_path / "ckpt_win")
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src.coalesce(1).write.parquet(inp)
+
+    sdf = stream_windowed_counts(spark, inp, minutes=60, watermark="0 seconds")
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["bucket"], r["event_type"]): (r["n_events"], r["sum_value_x100"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r["bucket"], r["event_type"]): (r["n_events"], r["sum_value_x100"])
+        for r in tumbling_counts(src, 60).collect()
+    }
+    # append mode emits a window only once the watermark (max event time
+    # here) passes its END — the final in-progress window is correctly
+    # withheld until later data arrives. So: emitted ≡ batch result for
+    # every closed window; withheld ≡ only still-open windows.
+    max_ts = src.agg(F.max(F.col("ts").cast("timestamp_ltz").cast("long"))).collect()[0][0]
+    closed = {k: v for k, v in want.items() if (k[0] + 1) * 3600 <= max_ts}
+    assert got == closed or got == want  # ⊇ closed if Spark finalizes all on drain
+    assert all(got[k] == want[k] for k in got)
