@@ -38,6 +38,10 @@ def _large_star(edges: DataFrame) -> DataFrame:
     min of N(u) ∪ {u}. Operates on the symmetrized edge list."""
     nbrs = _sym(edges)
     m = nbrs.groupBy("src").agg(F.least(F.min("dst"), F.first("src")).alias("m"))
+    # trailing distinct keeps set semantics between rounds (Kiveris et al.
+    # operate on edge sets): without it duplicate edges compound through
+    # _sym and the next round's join — bounded intermediates beat saving
+    # one (map-side-combined) shuffle
     return (
         nbrs.join(m, "src")
         .filter(F.col("dst") > F.col("src"))
@@ -83,11 +87,15 @@ def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
         ).first()
         return (row["n"], row["h"])
 
+    # lazy localCheckpoint: the signature aggregate is the action that
+    # materializes each round — one Spark job per round instead of two
+    # (eager checkpoint + separate aggregate), which matters because small
+    # inputs are scheduling-overhead-bound, not data-bound
     cur = edges.filter(F.col("src") != F.col("dst")).select("src", "dst").distinct()
-    cur = cur.localCheckpoint(eager=True)
+    cur = cur.localCheckpoint(eager=False)
     prev_sig = _sig(cur)
     for _ in range(max_iter):
-        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=False)
         sig = _sig(nxt)
         cur = nxt
         if sig == prev_sig:

@@ -146,7 +146,11 @@ def transitive_closure(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     canonicalize.connected_components (O(log n) rounds) when the relation
     is symmetric.
     """
-    edges = edges.select("src", "dst").distinct().localCheckpoint()
+    # lazy localCheckpoints: the per-round isEmpty() probe is the single
+    # action that materializes the new frontier (and, transitively, the
+    # accumulated `seen` within the same job) — small graphs are
+    # scheduling-bound, so one job per round instead of three
+    edges = edges.select("src", "dst").distinct().localCheckpoint(eager=False)
     seen = edges
     frontier = edges
     for _ in range(max_iter):
@@ -156,11 +160,11 @@ def transitive_closure(edges: DataFrame, max_iter: int = 50) -> DataFrame:
             .select(F.col("f.src").alias("src"), F.col("e.dst").alias("dst"))
             .distinct()
             .exceptAll(seen)
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         if nxt.isEmpty():
             break
-        seen = seen.unionByName(nxt).localCheckpoint()
+        seen = seen.unionByName(nxt).localCheckpoint(eager=False)
         frontier = nxt
     return seen
 
