@@ -25,7 +25,10 @@ import time
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "20000"))
+    # 50k pages ≈ 7s of steady-state extraction at 32 cores — large enough
+    # that Python-worker startup and first-stage scheduling (~4s fixed) do
+    # not dominate the throughput number
+    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "50000"))
 
     from ocaml_rdf_spark.session import get_spark
 

@@ -20,7 +20,6 @@ Scale design:
 from __future__ import annotations
 
 import hashlib
-import html as html_mod
 from typing import Iterator
 
 import pandas as pd
@@ -28,11 +27,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .sources.html_text import extract_text
-from .sources.htmldom import raw_blocks
+from .sources.htmldom import collect_raw_blocks, parse_html
 from .sources.jsonld import extract_jsonld
-from .sources.microdata import extract_microdata
+from .sources.microdata import extract_microdata_tree
 from .sources.ntriples import parse_ntriples
-from .sources.rdfa import extract_rdfa
+from .sources.rdfa import extract_rdfa_tree
 from .sources.rdfxml import parse_rdfxml
 from .sources.turtle import TurtleParser
 from .types import TRIPLE_KEY, TRIPLES_COLUMNS, TRIPLES_SCHEMA, BNode, Iri, Term, triple_row
@@ -70,8 +69,13 @@ def extract_page(url: str, html_bytes: bytes) -> tuple[list[tuple], list[tuple]]
             (0, url, ERROR_PRED, 2, msg, "http://www.w3.org/2001/XMLSchema#string", None, url, url, ext, None)
         )
 
-    # script/pre payload blocks (raw, entity-preserving)
-    for tag, attrs, raw in raw_blocks(html):
+    # ONE tolerant DOM parse per page, shared by the raw-block collector and
+    # both attribute-walk extractors (was 3 full html.parser passes — the
+    # parse is the extractor hot path, ~2/3 of per-page CPU)
+    dom = parse_html(html)
+
+    # script/pre payload blocks (script is CDATA → raw/entity-preserving)
+    for tag, attrs, raw in collect_raw_blocks(dom):
         btype = (attrs.get("type") or "").split(";")[0].strip().lower()
         if tag == "script" and btype == "application/ld+json":
             try:
@@ -90,18 +94,20 @@ def extract_page(url: str, html_bytes: bytes) -> tuple[list[tuple], list[tuple]]
             except Exception as e:
                 err("rdfxml", e)
         elif tag == "pre" and "ntriples" in (attrs.get("class") or ""):
+            # no unescape: <pre> is not CDATA, so the DOM builder already
+            # converted charrefs exactly once (collect_raw_blocks docstring)
             try:
-                emit(list(parse_ntriples(html_mod.unescape(raw))), "ntriples")
+                emit(list(parse_ntriples(raw)), "ntriples")
             except Exception as e:
                 err("ntriples", e)
 
     # attribute-based formats over the tolerant DOM
     try:
-        emit(extract_rdfa(html, base=url), "rdfa")
+        emit(extract_rdfa_tree(dom, base=url), "rdfa")
     except Exception as e:
         err("rdfa", e)
     try:
-        emit(extract_microdata(html, base=url), "microdata")
+        emit(extract_microdata_tree(dom, base=url), "microdata")
     except Exception as e:
         err("microdata", e)
 

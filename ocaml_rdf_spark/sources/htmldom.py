@@ -142,3 +142,37 @@ def raw_blocks(html: str, tags: tuple[str, ...] = ("script", "pre")) -> list[tup
     except Exception:
         pass
     return c.blocks
+
+
+def collect_raw_blocks(
+    root: Node, tags: tuple[str, ...] = ("script", "pre")
+) -> list[tuple[str, dict[str, str], str]]:
+    """Tree-based equivalent of `raw_blocks` for callers that already hold a
+    parsed DOM — lets the extraction stage parse each page ONCE instead of
+    once per extractor family.
+
+    Entity semantics vs `raw_blocks`: <script> is CDATA to html.parser, so
+    its content reaches the tree raw (charrefs unconverted) — byte-equal to
+    the _RawCollector output. Non-CDATA blocks (<pre>) arrive with charrefs
+    converted once, which equals _RawCollector-raw + one html.unescape —
+    callers taking blocks from here must NOT unescape again.
+    """
+    out: list[tuple[str, dict[str, str], str]] = []
+
+    def gather(n: Node) -> str:
+        parts: list[str] = []
+
+        def rec(x: Node) -> None:
+            for c in x.children:
+                if isinstance(c, str):
+                    parts.append(c)
+                elif c.tag not in tags:  # nested wanted tags are their own blocks
+                    rec(c)
+
+        rec(n)
+        return "".join(parts)
+
+    for el in root.walk():
+        if el.tag in tags:
+            out.append((el.tag, el.attrs, gather(el)))
+    return out

@@ -146,3 +146,14 @@ class MicrodataExtractor:
 
 def extract_microdata(html: str, base: str | None, bnode_prefix: str = "mb"):
     return MicrodataExtractor(base, bnode_prefix).extract(html)
+
+
+def extract_microdata_tree(root, base: str | None, bnode_prefix: str = "mb"):
+    """Microdata over an already-parsed DOM (shared-parse fast path)."""
+    x = MicrodataExtractor(base, bnode_prefix)
+    for el in root.walk():
+        if el.tag == "#root":
+            continue
+        if el.has("itemscope") and not el.has("itemprop"):
+            x._item(el)
+    return x.triples

@@ -159,3 +159,10 @@ class RdfaExtractor:
 
 def extract_rdfa(html: str, base: str | None, bnode_prefix: str = "rb"):
     return RdfaExtractor(base, bnode_prefix).extract(html)
+
+
+def extract_rdfa_tree(root, base: str | None, bnode_prefix: str = "rb"):
+    """RDFa over an already-parsed DOM (shared-parse fast path)."""
+    x = RdfaExtractor(base, bnode_prefix)
+    x._walk(root, subject=None, vocab=None, prefixes=dict(INITIAL_PREFIXES), lang=None)
+    return x.triples
