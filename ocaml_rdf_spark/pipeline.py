@@ -142,9 +142,10 @@ def kg_pipeline(spark: SparkSession, root: str, n_pages: int, parts: int = 8) ->
     """The full KG-construction pipeline (north rule order): extract →
     link → canonicalize → materialize SPO/POS. Each stage committed with
     lineage + metrics; resumable mid-way."""
-    from .datagen import gen_pages_df
+    from .datagen import gen_aliases_pandas, gen_pages_df
     from .extract import dedup_triples, extract_triples, salted_repartition, split_errors
     from .operators.cc import canonicalize, connected_components, sameas_edges
+    from .operators.linking import link_exact
     from .types import TRIPLE_KEY
 
     fp = f"pages:{n_pages}:v1"
@@ -159,8 +160,42 @@ def kg_pipeline(spark: SparkSession, root: str, n_pages: int, parts: int = 8) ->
         triples, _ = split_errors(p.output("extract"))
         return dedup_triples(triples)
 
-    def s_canonical(sp, p):
+    def s_link(sp, p):
+        """Entity linking (north rule): string-literal objects of the
+        deduped triples are the mention source; the alias dictionary is
+        broadcast-joined; winners become `urn:x-ords:mentions` triples
+        keyed by source url."""
         triples = p.output("dedup")
+        # structured-data literals ARE mention surfaces (schema:name etc.) —
+        # no capitalization heuristic needed (that's detect_mentions' job on
+        # free text); short literals become candidates directly
+        mentions = (
+            triples.filter((F.col("o_kind") == 2) & (F.col("o_lex").rlike(r"^[A-Za-z][A-Za-z .'-]{1,60}$")))
+            .select(
+                F.col("src_url").alias("id"),
+                F.col("o_lex").alias("mention"),
+                F.lower(F.regexp_replace("o_lex", r"[^A-Za-z0-9 ]", "")).alias("norm"),
+            )
+            .distinct()
+        )
+        aliases = sp.createDataFrame(gen_aliases_pandas(500))
+        links = link_exact(mentions, aliases)
+        return links.select(
+            F.lit(0).cast("tinyint").alias("s_kind"),
+            F.col("id").cast("string").alias("s_lex"),
+            F.lit("urn:x-ords:mentions").alias("pred"),
+            F.lit(0).cast("tinyint").alias("o_kind"),
+            F.col("uri").cast("string").alias("o_lex"),
+            F.lit(None).cast("string").alias("o_dtype"),
+            F.lit(None).cast("string").alias("o_lang"),
+            F.col("id").cast("string").alias("graph"),
+            F.col("id").cast("string").alias("src_url"),
+            F.lit("link").alias("extractor"),
+            F.lit(None).cast("int").alias("part_id"),
+        ).dropDuplicates(["s_lex", "pred", "o_lex"])
+
+    def s_canonical(sp, p):
+        triples = p.output("dedup").unionByName(p.output("link"))
         edges = sameas_edges(triples)
         mapping = connected_components(edges)
         return canonicalize(triples, mapping).dropDuplicates(TRIPLE_KEY)
@@ -174,6 +209,7 @@ def kg_pipeline(spark: SparkSession, root: str, n_pages: int, parts: int = 8) ->
     return (
         pipe.stage("extract", s_extract)
         .stage("dedup", s_dedup)
+        .stage("link", s_link)
         .stage("canonical", s_canonical)
         .stage("spo", s_spo, sort_cols=["s_lex", "pred", "o_lex"])
         .stage("pos", s_pos, sort_cols=["pred", "o_lex", "s_lex"])

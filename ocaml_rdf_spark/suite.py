@@ -1577,3 +1577,115 @@ QUERIES.update(
         "sparql_text_describe": (q_sparql_text_describe, SQL_DESCRIBE_TERM),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# coverage batch 3: graph-API probes (rdf_graph.ml surface) + N-Quads writer
+# ---------------------------------------------------------------------------
+
+
+def q_graph_probes(spark, sf):
+    """subjects_of / objects_of / predicates_of probes (SURVEY §2.1):
+    P/O-bound, S/P-bound, and S/O-bound patterns unioned with a probe tag."""
+    from .graph import Graph
+
+    g = Graph(triples_view(spark, sf))
+    subs = (
+        g.subjects_of(Iri(P_IN_REGION), Iri("urn:r:2"))
+        .select(F.lit("so").alias("probe"), F.col("s_lex").alias("lex"))
+    )
+    objs = (
+        g.objects_of(Iri("urn:n:3"), Iri(P_NAME))
+        .select(F.lit("oo").alias("probe"), F.col("o_lex").alias("lex"))
+    )
+    preds = (
+        g.predicates_of(Iri("urn:n:3"), Iri("urn:r:3"))
+        .select(F.lit("po").alias("probe"), F.col("pred").alias("lex"))
+    )
+    return subs.unionByName(objs).unionByName(preds)
+
+
+SQL_GRAPH_PROBES = """
+SELECT 'so' AS probe, 'urn:n:'||n_nationkey AS lex FROM nation WHERE n_regionkey = 2
+UNION ALL
+SELECT 'oo', n_name FROM nation WHERE n_nationkey = 3
+UNION ALL
+SELECT 'po', 'urn:p:inRegion' FROM nation WHERE n_nationkey = 3 AND n_regionkey = 3
+"""
+
+
+def q_serialize_nq(spark, sf):
+    """N-Quads writer over the region graph (graph tag in position 4)."""
+    from .serializers import to_nquads
+
+    df = triples_view(spark, sf).filter(F.col("graph") == "urn:g:region")
+    return to_nquads(df).select(F.col("line"))
+
+
+SQL_SERIALIZE_NQ = """
+SELECT '<urn:r:'||r_regionkey||'> <urn:p:name> "'||r_name||'" <urn:g:region> .' AS line FROM region
+UNION ALL
+SELECT '<urn:r:'||r_regionkey||'> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <urn:c:Region> <urn:g:region> .' FROM region
+"""
+
+
+QUERIES.update(
+    {
+        "graph_probes": (q_graph_probes, SQL_GRAPH_PROBES),
+        "serialize_nq": (q_serialize_nq, SQL_SERIALIZE_NQ),
+    }
+)
+
+
+def q_part_scan(spark, sf):
+    """Selective scan over part: predicate + column pruning must reach the
+    parquet reader (PushedFilters / 3-column ReadSchema — SURVEY §4)."""
+    p = spark.read.parquet(f"{sf}/part.parquet")
+    return (
+        p.filter((F.col("p_size") >= 40) & (F.col("p_type").startswith("SMALL")))
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.round(F.col("p_retailprice") * 100).cast("long").alias("price_x100"),
+        )
+    )
+
+
+SQL_PART_SCAN = """
+SELECT p_partkey, p_brand, CAST(round(p_retailprice*100) AS BIGINT) AS price_x100
+FROM part WHERE p_size >= 40 AND p_type LIKE 'SMALL%'
+"""
+
+
+def q_bcast_join(spark, sf):
+    """Fact-dim broadcast join: lineitem ⋈ broadcast(part) → revenue per
+    brand. The dim side is explicitly broadcast — no shuffle of the fact
+    table, the single exchange is the final partial/final aggregation."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf}/part.parquet").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")).alias(
+                "revenue_x100"
+            ),
+        )
+    )
+
+
+SQL_BCAST_JOIN = """
+SELECT p_brand, COUNT(*) AS n_items,
+       CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_x100
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+QUERIES.update(
+    {
+        "part_scan": (q_part_scan, SQL_PART_SCAN),
+        "bcast_join": (q_bcast_join, SQL_BCAST_JOIN),
+    }
+)

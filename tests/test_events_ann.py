@@ -123,3 +123,43 @@ def test_sha_builtins(spark):
     assert out["s1"] == hashlib.sha1(b"abc").hexdigest()
     assert out["s384"] == hashlib.sha384(b"abc").hexdigest()
     assert out["s512"] == hashlib.sha512(b"abc").hexdigest()
+
+
+def test_extension_function_registry(spark):
+    """SPARQL extension functions by IRI (rdf_sparql_eval.ml :: iri_funs):
+    register a Column-expression builder under an IRI, call it through the
+    registry inside an algebra Extend."""
+    from ocaml_rdf_spark.algebra import BGP, Ctx, Project, TriplePattern as T_, Var, flatten, select
+    from ocaml_rdf_spark.functions.builtins import E, IRI_FUNS, call_iri_fun, register_fun, t_string
+    from ocaml_rdf_spark.relational import P_NAME, triples_view
+    from ocaml_rdf_spark.types import Iri
+
+    fn_iri = "https://example.org/fn/shout"
+
+    def shout(x):
+        return E(lambda vm: t_string(F.concat(F.upper(x(vm)["lex"]), F.lit("!"))))
+
+    register_fun(fn_iri, shout)
+    try:
+        ctx = Ctx(triples_view(spark, "/root/testdata/sf0.001"))
+        from ocaml_rdf_spark.functions.builtins import V
+
+        node = BGP([T_(Var("r"), Iri("http://www.w3.org/1999/02/22-rdf-syntax-ns#type"), Iri("urn:c:Region")),
+                    T_(Var("r"), Iri(P_NAME), Var("rname"))]).extend(
+            "loud", call_iri_fun(fn_iri, V("rname"))
+        )
+        out = flatten(select(Project(node, ["rname", "loud"]), ctx))
+        got = {r["rname"]: r["loud"] for r in out.collect()}
+        assert got["ASIA"] == "ASIA!"
+        assert len(got) == 5
+    finally:
+        IRI_FUNS.pop(fn_iri, None)
+
+
+def test_extension_function_unregistered_raises():
+    from ocaml_rdf_spark.functions.builtins import call_iri_fun
+
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        call_iri_fun("https://example.org/fn/nope")

@@ -149,10 +149,10 @@ def test_pipeline_commit_resume(spark, tmp_path):
     pipe = kg_pipeline(spark, root, n_pages=40, parts=2)
     log1 = pipe.run()
     assert all(not e["skipped"] for e in log1)
-    assert len(log1) == 5
+    assert len(log1) == 6
 
     # outputs + lineage + metrics + marker exist per stage
-    for st in ["extract", "dedup", "canonical", "spo", "pos"]:
+    for st in ["extract", "dedup", "link", "canonical", "spo", "pos"]:
         assert os.path.exists(os.path.join(root, st, "_SUCCESS.json"))
         lineage = spark.read.parquet(os.path.join(root, st, "_lineage"))
         assert lineage.filter(F.col("status") == "ok").count() > 0
@@ -175,7 +175,7 @@ def test_pipeline_commit_resume(spark, tmp_path):
     pipe3 = kg_pipeline(spark, root, n_pages=40, parts=2)
     log3 = pipe3.run()
     skipped = {i: e["skipped"] for i, e in enumerate(log3)}
-    assert skipped[0] and skipped[1] and not skipped[2]
+    assert skipped[0] and skipped[1] and skipped[2] and not skipped[3]
     after = sorted(
         tuple(r) for r in spark.read.parquet(os.path.join(root, "canonical", "data")).collect()
     )

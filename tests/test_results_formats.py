@@ -1,0 +1,77 @@
+"""SPARQL results formats (results.py): JSON/XML golden structure and
+JSON round-trip — the reference's rdf_json.ml / SPARQL-protocol results
+surface (SURVEY §2.2 results-format row)."""
+
+from __future__ import annotations
+
+import json
+import xml.etree.ElementTree as ET
+
+import pytest
+
+from ocaml_rdf_spark.algebra import BGP, Ctx, Project, TriplePattern as T_, Var, select
+from ocaml_rdf_spark.types import Iri, Literal
+
+
+@pytest.fixture(scope="module")
+def solutions(spark):
+    from ocaml_rdf_spark.relational import P_NAME, triples_view
+
+    ctx = Ctx(triples_view(spark, "/root/testdata/sf0.001"))
+    node = Project(
+        BGP([T_(Var("r"), Iri("http://www.w3.org/1999/02/22-rdf-syntax-ns#type"), Iri("urn:c:Region")),
+             T_(Var("r"), Iri(P_NAME), Var("rname"))]),
+        ["r", "rname"],
+    )
+    return select(node, ctx)
+
+
+def test_sparql_json_golden(solutions):
+    from ocaml_rdf_spark.results import to_sparql_json
+
+    doc = json.loads(to_sparql_json(solutions))
+    assert set(doc["head"]["vars"]) == {"r", "rname"}
+    rows = doc["results"]["bindings"]
+    assert len(rows) == 5
+    by_name = {b["rname"]["value"]: b for b in rows}
+    assert by_name["ASIA"]["r"]["type"] == "uri"
+    assert by_name["ASIA"]["rname"]["type"] == "literal"
+    # RDF 1.1 style: xsd:string is the implicit datatype and is elided
+    assert "datatype" not in by_name["ASIA"]["rname"]
+
+
+def test_sparql_json_roundtrip(solutions):
+    from ocaml_rdf_spark.results import parse_sparql_json, to_sparql_json
+
+    s = to_sparql_json(solutions)
+    cols, rows = parse_sparql_json(s)
+    assert sorted(cols) == ["r", "rname"]
+    assert len(rows) == 5
+    # rows hold (kind, lex, dtype, lang) tuples; xsd:string restored on parse
+    vals = {r["rname"][1] for r in rows}
+    assert "ASIA" in vals and "EUROPE" in vals
+    kinds = {r["rname"][0] for r in rows} | {r["r"][0] for r in rows}
+    assert kinds == {0, 2}
+
+
+def test_sparql_xml_golden(solutions):
+    from ocaml_rdf_spark.results import to_sparql_xml
+
+    root = ET.fromstring(to_sparql_xml(solutions))
+    ns = {"s": "http://www.w3.org/2005/sparql-results#"}
+    vars_ = [v.get("name") for v in root.findall("s:head/s:variable", ns)]
+    assert sorted(vars_) == ["r", "rname"]
+    results = root.findall("s:results/s:result", ns)
+    assert len(results) == 5
+    uris = {u.text for u in root.findall(".//s:uri", ns)}
+    assert any(u.startswith("urn:r:") for u in uris)
+
+
+def test_ask_formats():
+    from ocaml_rdf_spark.results import to_ask_json, to_ask_xml
+
+    assert json.loads(to_ask_json(True)) == {"head": {}, "boolean": True}
+    assert json.loads(to_ask_json(False))["boolean"] is False
+    root = ET.fromstring(to_ask_xml(True))
+    ns = {"s": "http://www.w3.org/2005/sparql-results#"}
+    assert root.find("s:boolean", ns).text == "true"
