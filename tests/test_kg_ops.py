@@ -16,30 +16,36 @@ import pytest
 # ---------------------------------------------------------------------------
 
 
-def _cc(spark, edges):
+def _cc(spark, edges, threshold):
     from ocaml_rdf_spark.operators.cc import connected_components
 
     df = spark.createDataFrame(edges, schema="src string, dst string")
-    out = connected_components(df)
+    # threshold=0 forces the distributed large-star/small-star path;
+    # a large threshold takes the driver union-find fast path — both must
+    # produce identical components
+    out = connected_components(df, driver_threshold=threshold)
     return {r["node"]: r["component"] for r in out.collect()}
 
 
-def test_cc_chain(spark):
-    m = _cc(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+@pytest.mark.parametrize("threshold", [0, 1_000_000], ids=["distributed", "driver"])
+def test_cc_chain(spark, threshold):
+    m = _cc(spark, [("a", "b"), ("b", "c"), ("c", "d")], threshold)
     assert m == {"a": "a", "b": "a", "c": "a", "d": "a"}
 
 
-def test_cc_star_and_cycle(spark):
+@pytest.mark.parametrize("threshold", [0, 1_000_000], ids=["distributed", "driver"])
+def test_cc_star_and_cycle(spark, threshold):
     edges = [("hub", f"s{i}") for i in range(1, 6)]
     edges += [("x1", "x2"), ("x2", "x3"), ("x3", "x1")]  # cycle
-    m = _cc(spark, edges)
+    m = _cc(spark, edges, threshold)
     assert all(m[f"s{i}"] == "hub" for i in range(1, 6))
     assert m["hub"] == "hub"
     assert m["x1"] == m["x2"] == m["x3"] == "x1"
 
 
-def test_cc_two_components_deterministic_rep(spark):
-    m = _cc(spark, [("b", "a"), ("c", "b"), ("z", "y")])
+@pytest.mark.parametrize("threshold", [0, 1_000_000], ids=["distributed", "driver"])
+def test_cc_two_components_deterministic_rep(spark, threshold):
+    m = _cc(spark, [("b", "a"), ("c", "b"), ("z", "y")], threshold)
     assert m["a"] == m["b"] == m["c"] == "a"
     assert m["y"] == m["z"] == "y"
 
