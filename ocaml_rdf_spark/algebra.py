@@ -118,6 +118,34 @@ class Node:
         return ExistsFilter(self, sub, negated)
 
 
+def _bound_filters(pos: str, t: Term) -> list[Column]:
+    """Flat equality predicates for a bound pattern position (parquet-
+    pushable, unlike struct equality). Plain literals are normalized to
+    xsd:string on BOTH sides (types.triple_row / functions.terms.term_lit),
+    so field-wise equality is exactly struct equality here."""
+    from .types import KIND_BNODE, KIND_IRI, XSD_STRING, BNode, Literal
+    from .types import Iri as _Iri
+
+    if pos == "p":
+        if isinstance(t, _Iri):
+            return [F.col("pred") == t.value]
+        return [F.lit(False)]  # non-IRI predicate matches nothing
+    kcol, lcol = f"{pos}_kind", f"{pos}_lex"
+    if isinstance(t, _Iri):
+        return [F.col(kcol) == KIND_IRI, F.col(lcol) == t.value]
+    if isinstance(t, BNode):
+        return [F.col(kcol) == KIND_BNODE, F.col(lcol) == t.label]
+    assert isinstance(t, Literal)
+    if pos == "s":
+        return [F.lit(False)]  # literal subjects match nothing (rdf_term.ml)
+    conds = [F.col(kcol) == KIND_LITERAL, F.col(lcol) == t.lexical]
+    if t.lang:
+        conds.append(F.col("o_lang") == t.lang)
+    else:
+        conds.append(F.col("o_dtype") == (t.dtype or XSD_STRING))
+    return conds
+
+
 def _scan(ctx: Ctx, tp: TriplePattern) -> CompileOut:
     """One triple-pattern scan: bound positions become pushed filters,
     var positions become TERM_STRUCT columns (rdf_sparql_eval.ml ::
@@ -149,7 +177,12 @@ def _scan(ctx: Ctx, tp: TriplePattern) -> CompileOut:
             else:
                 out[item.name] = pos_cols[pos]
         else:
-            df = df.filter(pos_cols[pos].eqNullSafe(term_lit(item)))
+            # bound position: flat per-field equality predicates, NOT a
+            # struct comparison — struct equality cannot push to the
+            # parquet scan; these reach PushedFilters and prune the
+            # POS/SPO store's files and row groups (SURVEY §3 EP3)
+            for c in _bound_filters(pos, item):
+                df = df.filter(c)
     if isinstance(g, Var):
         out[g.name] = t_iri(F.col("graph"))
     if not out:
