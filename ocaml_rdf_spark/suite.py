@@ -1689,3 +1689,83 @@ QUERIES.update(
         "bcast_join": (q_bcast_join, SQL_BCAST_JOIN),
     }
 )
+
+
+def q_agg_variants(spark, sf):
+    """Aggregate variants (§18.5.1): COUNT(DISTINCT), AVG (floored to an
+    integer lex — raw double lexicals don't compare across engines),
+    SUM(DISTINCT)."""
+    from .functions.builtins import FLOOR
+
+    node = Group(
+        BGP(
+            [
+                T_(Var("c"), Iri(RDF_TYPE), Iri("urn:c:Customer")),
+                T_(Var("c"), Iri(P_IN_NATION), Var("n")),
+                T_(Var("c"), Iri(P_SEGMENT), Var("seg")),
+                T_(Var("c"), Iri(P_ACCTBAL), Var("bal")),
+            ]
+        ),
+        ["n"],
+        [
+            Agg("n_segs", "count", V("seg"), distinct=True),
+            Agg("avg_bal", "avg", V("bal")),
+            Agg("sum_dbal", "sum", V("bal"), distinct=True),
+        ],
+    ).extend("avg_floor", FLOOR(V("avg_bal")))
+    return _flat(Project(node, ["n", "n_segs", "avg_floor", "sum_dbal"]), _ctx(spark, sf),
+                 "n", "n_segs", "avg_floor", "sum_dbal")
+
+
+SQL_AGG_VARIANTS = """
+SELECT 'urn:n:'||c_nationkey AS n,
+       CAST(COUNT(DISTINCT c_mktsegment) AS VARCHAR) AS n_segs,
+       CAST(CAST(floor(AVG(CAST(round(c_acctbal*100) AS BIGINT))) AS BIGINT) AS VARCHAR) AS avg_floor,
+       CAST(SUM(DISTINCT CAST(round(c_acctbal*100) AS BIGINT)) AS VARCHAR) AS sum_dbal
+FROM customer GROUP BY c_nationkey
+"""
+
+
+def q_builtins_term2(spark, sf):
+    """Term-constructor builtins (§17.4.2/3): STRLANG + LANG + LANGMATCHES,
+    STRDT + DATATYPE, IRI(), CONCAT, ENCODE_FOR_URI."""
+    from .functions.builtins import (
+        CONCAT,
+        DATATYPE,
+        ENCODE_FOR_URI,
+        IRI,
+        LANG,
+        LANGMATCHES,
+        STRDT,
+        STRLANG,
+    )
+
+    node = (
+        BGP([T_(Var("n"), Iri(RDF_TYPE), Iri("urn:c:Nation")), T_(Var("n"), Iri(P_NAME), Var("nname"))])
+        .extend("tagged", STRLANG(V("nname"), "en-US"))
+        .extend("tag", LANG(V("tagged")))
+        .filter(LANGMATCHES(LANG(V("tagged")), L("en")))
+        .extend("typed", STRDT(V("nname"), "urn:dt:name"))
+        .extend("tdt", DATATYPE(V("typed")))
+        .extend("slug", IRI(CONCAT(L("urn:x:"), ENCODE_FOR_URI(V("nname")))))
+    )
+    return _flat(
+        Project(node, ["nname", "tag", "tdt", "slug"]),
+        _ctx(spark, sf),
+        "nname", "tag", "tdt", "slug",
+    )
+
+
+SQL_BUILTINS_TERM2 = """
+SELECT n_name AS nname, 'en-US' AS tag, 'urn:dt:name' AS tdt,
+       'urn:x:' || replace(replace(n_name, '%', '%25'), ' ', '%20') AS slug
+FROM nation
+"""
+
+
+QUERIES.update(
+    {
+        "agg_variants": (q_agg_variants, SQL_AGG_VARIANTS),
+        "builtins_term2": (q_builtins_term2, SQL_BUILTINS_TERM2),
+    }
+)
