@@ -78,6 +78,9 @@ def main() -> None:
         "canonicalize",
         "scan_agg",
         "window_topk",
+        "bcast_join",
+        "events_session",
+        "sparql_text_bgp",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -1,0 +1,82 @@
+"""SPO/POS-sorted triple store materialization + probe routing.
+
+The reference's in-memory backend keeps ONE nested-map orientation
+(subject → pred → objects, rdf_mem.ml) — S-bound probes are map lookups,
+everything else is a scan. The north rule instead demands BOTH sort
+orders as first-class materializations ("deduplicated SPO/POS-sorted
+triple store as partitioned Iceberg tables", BASELINE.json:6): this
+module writes them and routes each probe shape to the copy whose sort
+order prunes it.
+
+Scale notes:
+- each copy is `repartition(cols[0])` + `sortWithinPartitions(cols)` —
+  at 100 TB that is Iceberg `WRITE ORDERED BY`; parquet min/max stats on
+  the leading sort column then prune files AND row groups for any probe
+  bound on it (evidence: PushedFilters in BENCH/PLANS.md);
+- writing both copies doubles storage, halves worst-case probe latency
+  class from full-scan to pruned-scan — the reference pays the same
+  trade in reverse (one orientation, scans for the rest);
+- the router is static (probe shape → copy), no stats needed: S-bound →
+  SPO; P-bound (S unbound) → POS; O-only → POS (object is its second
+  sort column after pred... see ORDER_POS) — mirrors SURVEY §3 EP3.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .types import Iri, Term
+
+ORDER_SPO = ["s_lex", "pred", "o_lex"]
+ORDER_POS = ["pred", "o_lex", "s_lex"]
+
+
+def write_store(triples: DataFrame, root: str, parts: int = 8) -> dict:
+    """Materialize the deduped triple set as SPO- and POS-sorted parquet
+    copies under `root` (Iceberg tables in production — pipeline.TableIO
+    is the seam). Returns {'spo': path, 'pos': path, 'rows': n}."""
+    paths = {}
+    for name, order in (("spo", ORDER_SPO), ("pos", ORDER_POS)):
+        path = os.path.join(root, name)
+        (
+            triples.repartition(parts, F.col(order[0]))
+            .sortWithinPartitions(*order)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        paths[name] = path
+    n = triples.sparkSession.read.parquet(paths["spo"]).count()
+    with open(os.path.join(root, "_store.json"), "w") as f:
+        json.dump({"rows": n, "orders": {"spo": ORDER_SPO, "pos": ORDER_POS}}, f)
+    return {**paths, "rows": n}
+
+
+class TripleStore:
+    """Probe-routing facade over a written store (rdf_mem.ml's map-lookup
+    behavior re-realized as sorted-file pruning)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.spo = spark.read.parquet(os.path.join(root, "spo"))
+        self.pos = spark.read.parquet(os.path.join(root, "pos"))
+
+    def pick(self, sub: Optional[Term] = None, pred: Optional[Iri] = None, obj: Optional[Term] = None) -> DataFrame:
+        """The copy whose leading sort column is bound: S-bound probes hit
+        SPO; P- or O-bound (S unbound) hit POS; unbound scans either."""
+        return self.spo if sub is not None else self.pos
+
+    def find(self, sub: Optional[Term] = None, pred: Optional[Iri] = None, obj: Optional[Term] = None) -> DataFrame:
+        """Pattern probe with pushed flat predicates on the routed copy."""
+        from .graph import _term_filter
+
+        df = self.pick(sub, pred, obj)
+        for prefix, t in (("s", sub), ("pred", pred), ("o", obj)):
+            if t is not None:
+                for c in _term_filter(prefix, t):
+                    df = df.filter(c)
+        return df

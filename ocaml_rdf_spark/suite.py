@@ -1769,3 +1769,29 @@ QUERIES.update(
         "builtins_term2": (q_builtins_term2, SQL_BUILTINS_TERM2),
     }
 )
+
+
+def q_graph_addrem(spark, sf):
+    """Graph mutators (rdf_graph.ml :: add_triple / rem_triple, set
+    semantics): add one new + one duplicate triple to the region graph,
+    remove one existing — triple count per subject afterwards."""
+    from .graph import Graph
+
+    g = Graph(triples_view(spark, sf).filter(F.col("graph") == "urn:g:region"), name="urn:g:region")
+    g2 = (
+        g.add_triple(Iri("urn:r:99"), Iri(P_NAME), Literal("OCEANIA"))     # new
+        .add_triple(Iri("urn:r:0"), Iri(P_NAME), Literal("AFRICA"))        # dup → no-op
+        .rem_triple(Iri("urn:r:1"), Iri(P_NAME), Literal("AMERICA"))       # delete
+    )
+    return g2.df.groupBy(F.col("s_lex").alias("s")).agg(F.count(F.lit(1)).alias("n_triples"))
+
+
+SQL_GRAPH_ADDREM = """
+SELECT 'urn:r:'||r_regionkey AS s,
+       CAST(CASE WHEN r_regionkey = 1 THEN 1 ELSE 2 END AS BIGINT) AS n_triples
+FROM region
+UNION ALL
+SELECT 'urn:r:99', 1
+"""
+
+QUERIES["graph_addrem"] = (q_graph_addrem, SQL_GRAPH_ADDREM)

@@ -271,3 +271,42 @@ def test_ann_lsh_subset_of_bruteforce_space(spark):
     assert len(approx) >= 1
     # recall@10 of the LSH tier is imperfect by design but nonzero
     assert len(set(exact) & set(approx)) >= 1
+
+
+# ---------------------------------------------------------------------------
+# SPO/POS store materialization + probe routing (store.py)
+# ---------------------------------------------------------------------------
+
+
+def test_store_write_and_probe_routing(spark, tmp_path):
+    from ocaml_rdf_spark.relational import P_NAME, triples_view
+    from ocaml_rdf_spark.store import TripleStore, write_store
+    from ocaml_rdf_spark.types import Iri, Literal
+
+    triples = triples_view(spark, "/root/testdata/sf0.001")
+    root = str(tmp_path / "store")
+    info = write_store(triples, root, parts=2)
+    assert info["rows"] == triples.count()
+
+    st = TripleStore(spark, root)
+    # S-bound routes to SPO; P-bound to POS
+    assert st.pick(sub=Iri("urn:n:0")) is st.spo
+    assert st.pick(pred=Iri(P_NAME)) is st.pos
+    # probes return the same rows as filtering the full set
+    got = {(r["s_lex"], r["o_lex"]) for r in st.find(pred=Iri(P_NAME)).collect()}
+    want = {
+        (r["s_lex"], r["o_lex"])
+        for r in triples.filter(F.col("pred") == P_NAME).collect()
+    }
+    assert got == want
+    one = st.find(sub=Iri("urn:r:1"), pred=Iri(P_NAME)).collect()
+    assert len(one) == 1 and one[0]["o_kind"] == 2
+
+    # the probe's bound position reaches the parquet scan as a pushed filter
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        st.find(pred=Iri(P_NAME)).explain("formatted")
+    assert "PushedFilters: [IsNotNull(pred), EqualTo(pred," in buf.getvalue()
