@@ -130,3 +130,34 @@ def frame_sample(df: DataFrame, every_n: int = 2, id_col: str = "media_id", byte
             yield pd.DataFrame(rows, columns=["media_id", "frame_no", "frame"])
 
     return df.select(id_col, bytes_col).mapInPandas(run, schema=out_schema)
+
+
+def resize_media(df: DataFrame, width: int = 32, height: int = 32, id_col: str = "media_id", bytes_col: str = "content") -> DataFrame:
+    """Resize plumbing: (id, binary) → (id, width, height, binary). The
+    stub 'resized' payload is a deterministic content-hash-seeded byte
+    plane of exactly width*height bytes (so downstream stages see the
+    real post-resize batch shapes/sizes); a real decoder+resampler swaps
+    into `_resize_stub` unchanged."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType(), False),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+            T.StructField("content", T.BinaryType(), False),
+        ]
+    )
+
+    def _resize_stub(b: bytes) -> bytes:
+        seed = hashlib.sha256(b).digest()
+        reps = (width * height) // len(seed) + 1
+        return (seed * reps)[: width * height]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (str(mid), width, height, _resize_stub(bytes(raw)))
+                for mid, raw in zip(pdf[id_col], pdf[bytes_col])
+            ]
+            yield pd.DataFrame(rows, columns=["media_id", "width", "height", "content"])
+
+    return df.select(id_col, bytes_col).mapInPandas(run, schema=out_schema)

@@ -1795,3 +1795,40 @@ SELECT 'urn:r:99', 1
 """
 
 QUERIES["graph_addrem"] = (q_graph_addrem, SQL_GRAPH_ADDREM)
+
+
+def q_media_ann(spark, sf):
+    """Rows-only: composed multimodal path — binary column → stub feature
+    extraction (mapInPandas) → brute cosine top-k over the features. The
+    shape of a production image-dedup / similar-media query."""
+    from .operators.ann import cosine_topk
+    from .operators.media import media_features
+
+    docs = _docs(spark, sf).limit(300).select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    feats = media_features(docs, dim=16).select(
+        F.col("media_id").cast("long").alias("vec_id"), F.col("feature").alias("embedding")
+    )
+    return cosine_topk(feats, query_id=0, k=5)
+
+
+def q_media_resize(spark, sf):
+    """Rows-only: resize plumbing — output payload is exactly w*h bytes."""
+    from .operators.media import resize_media
+
+    docs = _docs(spark, sf).limit(200).select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    out = resize_media(docs, width=16, height=16)
+    return out.select("media_id", "width", "height", F.length("content").alias("n_bytes"))
+
+
+QUERIES.update(
+    {
+        "media_ann": (q_media_ann, None),
+        "media_resize": (q_media_resize, None),
+    }
+)

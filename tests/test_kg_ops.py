@@ -310,3 +310,18 @@ def test_store_write_and_probe_routing(spark, tmp_path):
     with redirect_stdout(buf):
         st.find(pred=Iri(P_NAME)).explain("formatted")
     assert "PushedFilters: [IsNotNull(pred), EqualTo(pred," in buf.getvalue()
+
+
+def test_media_resize_shapes(spark):
+    from ocaml_rdf_spark.operators.media import resize_media
+
+    docs = spark.createDataFrame(
+        [("m1", b"\x89PNG\r\n\x1a\nabcdef"), ("m2", b"hello world")],
+        schema="media_id string, content binary",
+    )
+    out = resize_media(docs, width=8, height=4).collect()
+    assert {r["media_id"] for r in out} == {"m1", "m2"}
+    assert all(len(r["content"]) == 32 and r["width"] == 8 and r["height"] == 4 for r in out)
+    # deterministic: same input → same resized bytes
+    out2 = resize_media(docs, width=8, height=4).collect()
+    assert {r["media_id"]: bytes(r["content"]) for r in out} == {r["media_id"]: bytes(r["content"]) for r in out2}
