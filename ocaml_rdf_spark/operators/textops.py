@@ -78,7 +78,11 @@ def minhash_candidates(docs: DataFrame, bands: int = 8, max_bucket: int = 50) ->
     bands). Buckets larger than `max_bucket` are dropped (mega-bucket skew
     guard — at web scale a boilerplate bucket can hold millions of docs and
     the self-join would be quadratic)."""
-    sig = minhash_signatures(docs, bands)
+    # materialize signatures once: the bucket-size aggregate and BOTH
+    # self-join sides reference this subtree, and Catalyst does not dedupe
+    # it across a self-join — at scale this is the signatures table the
+    # pipeline would persist anyway
+    sig = minhash_signatures(docs, bands).localCheckpoint(eager=False)
     small = sig.join(
         sig.groupBy("band", "mh").agg(F.count(F.lit(1)).alias("bsz")).filter(F.col("bsz") <= max_bucket),
         ["band", "mh"],

@@ -1832,3 +1832,44 @@ QUERIES.update(
         "media_resize": (q_media_resize, None),
     }
 )
+
+
+def q_extract_errors(spark, sf):
+    """Rows-only: parser-error lineage rows from a corpus seeded with
+    malformed embedded blocks — errors are data (pred=urn:x-ords:error),
+    never task failures (SURVEY §9 extraction row)."""
+    from .datagen import gen_pages_df
+    from .extract import ERROR_PRED, extract_triples, split_errors
+
+    pages = gen_pages_df(spark, 300, parts=4)
+    _, errors = split_errors(extract_triples(pages))
+    return (
+        errors.groupBy("extractor")
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+        .orderBy("extractor")
+    )
+
+
+def q_sparql_text_describe_var(spark, sf):
+    """Text DESCRIBE ?var WHERE {...}: the variable's bindings are
+    resolved first, then described (rdf_sparql.ml's naive DESCRIBE)."""
+    from .sparql import execute
+
+    out = execute(
+        _SPARQL_PFX + "DESCRIBE ?r WHERE { ?r a c:Region }",
+        _ctx(spark, sf),
+    )
+    return out.select(F.col("s_lex").alias("s"), F.col("pred").alias("p"), F.col("o_lex").alias("o"))
+
+
+SQL_SPARQL_TEXT_DESCRIBE_VAR = W + """
+SELECT s_lex AS s, pred AS p, o_lex AS o FROM triples
+WHERE s_lex LIKE 'urn:r:%'
+"""
+
+QUERIES.update(
+    {
+        "extract_errors": (q_extract_errors, None),
+        "sparql_text_describe_var": (q_sparql_text_describe_var, SQL_SPARQL_TEXT_DESCRIBE_VAR),
+    }
+)
