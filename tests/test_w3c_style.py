@@ -1,0 +1,232 @@
+"""W3C-style manifest-driven evaluation suite — the reference's own test
+infrastructure reproduced (SURVEY §5: DAWG/SPARQL-WG manifest.ttl entries
+pointing at .rq query / .ttl data / .srx expected results, with the
+manifest itself parsed BY THE LIBRARY — dogfooding, exactly as
+src/rdf_sparql_test.ml does).
+
+Comparison semantics per the W3C runner:
+- SELECT: solution multisets, equal modulo a blank-node bijection;
+  ordered (sequence) comparison when the test is named *-ordered;
+- ASK: boolean equality;
+- CONSTRUCT: graph isomorphism modulo blank-node bijection.
+"""
+
+from __future__ import annotations
+
+import os
+import xml.etree.ElementTree as ET
+from itertools import permutations
+
+import pytest
+
+from ocaml_rdf_spark.algebra import Ctx
+from ocaml_rdf_spark.graph import Graph
+from ocaml_rdf_spark.sources.turtle import TurtleParser
+from ocaml_rdf_spark.sparql import execute
+from ocaml_rdf_spark.types import BNode, Iri, Literal
+
+CASES = os.path.join(os.path.dirname(__file__), "w3c_cases")
+BASE = "urn:x-cases/"
+MF = "http://www.w3.org/2001/sw/DataAccess/tests/test-manifest#"
+QT = "http://www.w3.org/2001/sw/DataAccess/tests/test-query#"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+SRX = "{http://www.w3.org/2005/sparql-results#}"
+
+
+def _read(name: str) -> str:
+    with open(os.path.join(CASES, name)) as f:
+        return f.read()
+
+
+def _local(iri_or_term) -> str:
+    v = iri_or_term.value if isinstance(iri_or_term, Iri) else str(iri_or_term)
+    return v[len(BASE):] if v.startswith(BASE) else v
+
+
+def load_manifest() -> list[dict]:
+    """Parse manifest.ttl with OUR Turtle parser (dogfooding)."""
+    triples = TurtleParser(_read("manifest.ttl"), base=BASE).parse()
+    by_s: dict = {}
+    for s, p, o in triples:
+        key = s.label if isinstance(s, BNode) else s.value
+        by_s.setdefault(key, []).append((p.value, o))
+
+    def prop(skey, pred):
+        for p, o in by_s.get(skey, []):
+            if p == pred:
+                return o
+        return None
+
+    cases = []
+    for skey, pos in by_s.items():
+        types = [o for p, o in pos if p == RDF_TYPE]
+        if not any(isinstance(t, Iri) and t.value == MF + "QueryEvaluationTest" for t in types):
+            continue
+        action = prop(skey, MF + "action")
+        akey = action.label if isinstance(action, BNode) else action.value
+        cases.append(
+            {
+                "name": prop(skey, MF + "name").lexical,
+                "query": _local(prop(akey, QT + "query")),
+                "data": _local(prop(akey, QT + "data")),
+                "result": _local(prop(skey, MF + "result")),
+            }
+        )
+    return sorted(cases, key=lambda c: c["name"])
+
+
+MANIFEST = load_manifest()
+assert len(MANIFEST) == 17, f"manifest parse found {len(MANIFEST)} cases"
+
+
+# -- term normalization -------------------------------------------------------
+
+def _norm(kind, lex, dtype, lang):
+    """4-tuple term with RDF 1.1 normalization: plain == xsd:string, and a
+    lang-tagged literal's implied rdf:langString is dropped (SRX encodes it
+    as xml:lang with no datatype attribute)."""
+    if kind == 2 and (dtype == XSD_STRING or lang):
+        dtype = None
+    return (kind, lex, dtype, lang or None)
+
+
+def _parse_srx_solutions(text: str):
+    root = ET.fromstring(text)
+    b = root.find(f"{SRX}boolean")
+    if b is not None:
+        return ("ask", b.text == "true")
+    rows = []
+    for res in root.findall(f"{SRX}results/{SRX}result"):
+        row = {}
+        for binding in res.findall(f"{SRX}binding"):
+            v = binding.get("name")
+            child = binding[0]
+            tag = child.tag[len(SRX):]
+            if tag == "uri":
+                row[v] = _norm(0, child.text or "", None, None)
+            elif tag == "bnode":
+                row[v] = _norm(1, child.text or "", None, None)
+            else:
+                lang = child.get("{http://www.w3.org/XML/1998/namespace}lang")
+                row[v] = _norm(2, child.text or "", child.get("datatype"), lang)
+        rows.append(row)
+    return ("select", rows)
+
+
+def _collect_solutions(df):
+    rows = []
+    for r in df.collect():
+        row = {}
+        for v in df.columns:
+            t = r[v]
+            if t is not None and t["kind"] is not None:
+                row[v] = _norm(t["kind"], t["lex"], t["dtype"], t["lang"])
+        rows.append(row)
+    return rows
+
+
+def _bnode_labels(rows):
+    out = set()
+    for row in rows:
+        for t in (row.values() if isinstance(row, dict) else row):
+            if t[0] == 1:
+                out.add(t[1])
+    return sorted(out)
+
+
+def _rename(rows, mapping):
+    def m(t):
+        return (1, mapping[t[1]], None, None) if t[0] == 1 else t
+
+    if rows and isinstance(rows[0], dict):
+        return [{v: m(t) for v, t in row.items()} for row in rows]
+    return [tuple(m(t) for t in row) for row in rows]
+
+
+def _canon_multiset(rows):
+    if rows and isinstance(rows[0], dict):
+        return sorted(tuple(sorted(r.items())) for r in rows)
+    return sorted(rows)
+
+
+def _equal_mod_bnodes(got, want, ordered=False):
+    """Multiset (or sequence) equality under some bnode bijection."""
+    g_labels, w_labels = _bnode_labels(got), _bnode_labels(want)
+    if len(g_labels) != len(w_labels):
+        return False
+    if not g_labels:
+        return (got == want) if ordered else (_canon_multiset(got) == _canon_multiset(want))
+    for perm in permutations(w_labels):
+        mapping = dict(zip(g_labels, perm))
+        r = _rename(got, mapping)
+        if ordered:
+            if r == want:
+                return True
+        elif _canon_multiset(r) == _canon_multiset(want):
+            return True
+    return False
+
+
+def _graph_triples(df):
+    out = []
+    for r in df.select("s_kind", "s_lex", "pred", "o_kind", "o_lex", "o_dtype", "o_lang").collect():
+        out.append(
+            (
+                _norm(r["s_kind"], r["s_lex"], None, None),
+                _norm(0, r["pred"], None, None),
+                _norm(r["o_kind"], r["o_lex"], r["o_dtype"], r["o_lang"]),
+            )
+        )
+    return out
+
+
+def _ttl_triples(text: str):
+    out = []
+    for s, p, o in TurtleParser(text, base=BASE).parse():
+        def t(x):
+            if isinstance(x, Iri):
+                return _norm(0, x.value, None, None)
+            if isinstance(x, BNode):
+                return _norm(1, x.label, None, None)
+            assert isinstance(x, Literal)
+            return _norm(2, x.lexical, x.dtype, x.lang)
+
+        out.append((t(s), t(p), t(o)))
+    return out
+
+
+@pytest.fixture(scope="module")
+def ctx_cache(spark):
+    cache: dict = {}
+
+    def get(data_file: str) -> Ctx:
+        if data_file not in cache:
+            triples = TurtleParser(_read(data_file), base=BASE).parse()
+            g = Graph.from_triples(spark, triples)
+            cache[data_file] = Ctx(g.df)
+        return cache[data_file]
+
+    return get
+
+
+@pytest.mark.parametrize("case", MANIFEST, ids=[c["name"] for c in MANIFEST])
+def test_w3c_case(case, ctx_cache):
+    ctx = ctx_cache(case["data"])
+    out = execute(_read(case["query"]), ctx)
+    ordered = case["name"].endswith("-ordered")
+
+    if case["result"].endswith(".ttl"):  # CONSTRUCT — graph isomorphism
+        got = _graph_triples(out)
+        want = _ttl_triples(_read(case["result"]))
+        assert _equal_mod_bnodes(got, want), f"{case['name']}: graphs differ\n{got}\nvs\n{want}"
+        return
+
+    form, want = _parse_srx_solutions(_read(case["result"]))
+    if form == "ask":
+        assert out == want, f"{case['name']}: ASK {out} != {want}"
+        return
+    got = _collect_solutions(out)
+    assert _equal_mod_bnodes(got, want, ordered=ordered), (
+        f"{case['name']}: solutions differ\ngot:  {_canon_multiset(got)}\nwant: {_canon_multiset(want)}"
+    )
