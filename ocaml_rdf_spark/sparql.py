@@ -276,6 +276,14 @@ class Parser:
             node = A.Project(node, proj)
         if distinct or reduced:
             node = A.Distinct(node)
+            # Distinct is a shuffle (dropDuplicates) — it does NOT preserve
+            # the ORDER BY ordering the spec's sequence semantics require
+            # (§18.2.4: DISTINCT keeps the solution sequence ordered), so
+            # re-apply the sort on the deduped projection. ORDER BY vars
+            # must be projected when DISTINCT is used (spec constraint),
+            # so the conditions still resolve.
+            if getattr(self, "_order_conds", None):
+                node = A.OrderBy(node, self._order_conds)
         if offset or limit is not None:
             node = A.Slice(node, offset or 0, limit)
         self._aggs = outer_aggs
@@ -395,6 +403,7 @@ class Parser:
             node = A.Extend(node, v, e)
         if order:
             node = A.OrderBy(node, order)
+        self._order_conds = order  # parse_select re-sorts after DISTINCT
         return node, offset, limit
 
     # -- group graph pattern (spec §18.2.2) ---------------------------------

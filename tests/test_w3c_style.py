@@ -60,24 +60,35 @@ def load_manifest() -> list[dict]:
 
     cases = []
     for skey, pos in by_s.items():
-        types = [o for p, o in pos if p == RDF_TYPE]
-        if not any(isinstance(t, Iri) and t.value == MF + "QueryEvaluationTest" for t in types):
-            continue
-        action = prop(skey, MF + "action")
-        akey = action.label if isinstance(action, BNode) else action.value
-        cases.append(
-            {
-                "name": prop(skey, MF + "name").lexical,
-                "query": _local(prop(akey, QT + "query")),
-                "data": _local(prop(akey, QT + "data")),
-                "result": _local(prop(skey, MF + "result")),
-            }
-        )
+        types = {t.value for p, t in pos if p == RDF_TYPE and isinstance(t, Iri)}
+        if MF + "QueryEvaluationTest" in types:
+            action = prop(skey, MF + "action")
+            akey = action.label if isinstance(action, BNode) else action.value
+            cases.append(
+                {
+                    "name": prop(skey, MF + "name").lexical,
+                    "query": _local(prop(akey, QT + "query")),
+                    "data": _local(prop(akey, QT + "data")),
+                    "result": _local(prop(skey, MF + "result")),
+                }
+            )
+        elif MF + "NegativeSyntaxTest" in types:
+            cases.append(
+                {
+                    "name": prop(skey, MF + "name").lexical,
+                    "query": _local(prop(skey, MF + "action")),
+                    "negative": True,
+                }
+            )
     return sorted(cases, key=lambda c: c["name"])
 
 
 MANIFEST = load_manifest()
-assert len(MANIFEST) == 17, f"manifest parse found {len(MANIFEST)} cases"
+EVAL_CASES = [c for c in MANIFEST if not c.get("negative")]
+NEG_CASES = [c for c in MANIFEST if c.get("negative")]
+assert len(EVAL_CASES) == 22 and len(NEG_CASES) == 5, (
+    f"manifest parse found {len(EVAL_CASES)} eval / {len(NEG_CASES)} negative"
+)
 
 
 # -- term normalization -------------------------------------------------------
@@ -210,7 +221,16 @@ def ctx_cache(spark):
     return get
 
 
-@pytest.mark.parametrize("case", MANIFEST, ids=[c["name"] for c in MANIFEST])
+@pytest.mark.parametrize("case", NEG_CASES, ids=[c["name"] for c in NEG_CASES])
+def test_w3c_negative_syntax(case):
+    """NegativeSyntaxTest: the grammar must reject the document."""
+    from ocaml_rdf_spark.sparql import parse_query
+
+    with pytest.raises((SyntaxError, IndexError)):
+        parse_query(_read(case["query"]))
+
+
+@pytest.mark.parametrize("case", EVAL_CASES, ids=[c["name"] for c in EVAL_CASES])
 def test_w3c_case(case, ctx_cache):
     ctx = ctx_cache(case["data"])
     out = execute(_read(case["query"]), ctx)
