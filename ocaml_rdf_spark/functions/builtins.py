@@ -213,7 +213,14 @@ def _arith(a: E, b: E, op, force_double: bool = False) -> E:
         r = op(num(av), num(bv))
         both_int = (av["dtype"] == XSD_INTEGER) & (bv["dtype"] == XSD_INTEGER)
         if force_double:
-            return t_typed(r.cast("double").cast("string"), XSD_DECIMAL)
+            # xsd:decimal result (integer ÷ integer → decimal, §17.4.1);
+            # canonical lexical form: integral values print without ".0"
+            # (XSD 1.1 decimalCanonicalMap), same rule as _num1
+            r2 = r.cast("double")
+            lex = F.when(r2 == r2.cast("long").cast("double"), r2.cast("long").cast("string")).otherwise(
+                r2.cast("string")
+            )
+            return t_typed(lex, XSD_DECIMAL)
         return F.when(both_int, t_int(r)).otherwise(t_double(r))
 
     return E(fn)
