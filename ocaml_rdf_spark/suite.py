@@ -1873,3 +1873,20 @@ QUERIES.update(
         "sparql_text_describe_var": (q_sparql_text_describe_var, SQL_SPARQL_TEXT_DESCRIBE_VAR),
     }
 )
+
+
+def q_cc_distributed(spark, sf):
+    """Same components as cc_components but with driver_threshold=0 —
+    forces the distributed large-star/small-star rounds (the 10^12-doc
+    configuration), so the correctness gate exercises BOTH CC paths."""
+    from .operators.cc import connected_components
+
+    mapping = connected_components(_cc_edges(spark, sf), driver_threshold=0)
+    return (
+        mapping.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("csize"))
+        .select(F.regexp_replace("component", r"^0\|", "").alias("canon"), "csize")
+    )
+
+
+QUERIES["cc_distributed"] = (q_cc_distributed, SQL_CC_COMPONENTS)
