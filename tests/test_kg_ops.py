@@ -325,3 +325,22 @@ def test_media_resize_shapes(spark):
     # deterministic: same input → same resized bytes
     out2 = resize_media(docs, width=8, height=4).collect()
     assert {r["media_id"]: bytes(r["content"]) for r in out} == {r["media_id"]: bytes(r["content"]) for r in out2}
+
+
+def test_dataset_named_graphs(spark):
+    """Dataset = default graph + named graphs over one quad DF (rdf_ds.ml
+    :: dataset/simple_dataset — SURVEY §1.1 Dataset row)."""
+    from ocaml_rdf_spark.graph import Dataset
+    from ocaml_rdf_spark.relational import triples_view
+    from ocaml_rdf_spark.types import Iri
+
+    ds = Dataset(triples_view(spark, "/root/testdata/sf0.001"), default_graph="urn:g:region")
+    names = {r["graph"] for r in ds.graph_names().collect()}
+    assert names == {"urn:g:region", "urn:g:nation", "urn:g:customer", "urn:g:supplier", "urn:g:orders"}
+    assert ds.default().size() == 10  # 5 regions x (type + name)
+    nation = ds.graph("urn:g:nation")
+    assert nation.size() == 75  # 25 nations x (type + name + inRegion)
+    # union of all graphs sees every triple; a named slice only its own
+    assert ds.union_all_graphs().size() > nation.size()
+    assert nation.exists(sub=Iri("urn:n:0"))
+    assert not nation.exists(sub=Iri("urn:r:0"))  # region subject not in nation graph
