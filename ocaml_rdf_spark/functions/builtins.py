@@ -551,6 +551,32 @@ def TZ(x: E) -> E:
     return E(lambda vm: t_string(F.regexp_extract(x(vm)["lex"], r"(Z|[+-]\d{2}:\d{2})$", 1)))
 
 
+def TIMEZONE(x: E) -> E:
+    """TIMEZONE (§17.4.5.7): the offset as xsd:dayTimeDuration — "Z" →
+    "PT0S", "+05:30" → "PT5H30M", "-08:00" → "-PT8H"; no designator in the
+    lexical form ⇒ error (NULL/unbound), per spec."""
+    XSD_DAYTIME = "http://www.w3.org/2001/XMLSchema#dayTimeDuration"
+
+    def fn(vm):
+        lex = x(vm)["lex"]
+        tz = F.regexp_extract(lex, r"(Z|[+-]\d{2}:\d{2})$", 1)
+        sign = F.when(tz.startswith("-"), F.lit("-")).otherwise(F.lit(""))
+        hh = F.substring(tz, 2, 2).cast("int")
+        mm = F.substring(tz, 5, 2).cast("int")
+        dur = F.when(tz == "Z", F.lit("PT0S")).otherwise(
+            F.concat(
+                sign,
+                F.lit("PT"),
+                F.when(hh > 0, F.concat(hh.cast("string"), F.lit("H"))).otherwise(F.lit("")),
+                F.when(mm > 0, F.concat(mm.cast("string"), F.lit("M"))).otherwise(F.lit("")),
+                F.when((hh == 0) & (mm == 0), F.lit("0S")).otherwise(F.lit("")),
+            )
+        )
+        return F.when(tz == "", null_term()).otherwise(t_typed(dur, XSD_DAYTIME))
+
+    return E(fn)
+
+
 def MD5(x: E) -> E:
     return E(lambda vm: t_string(F.md5(x(vm)["lex"].cast("binary"))))
 

@@ -115,3 +115,34 @@ def parse_sparql_json(s: str) -> tuple[list[str], list[dict]]:
                 row[v] = (2, t["value"], dt, lang)
         rows.append(row)
     return vars_, rows
+
+
+def parse_sparql_xml(s: str) -> tuple[list[str], list[dict]]:
+    """Inverse of to_sparql_xml (the protocol-client side of the results
+    surface, rdf_sparql_protocol.ml / rdf_xml result parsing):
+    → (vars, [ {var: (kind, lex, dtype, lang)} ]); ASK → ([], [{"__ask": bool}])."""
+    import xml.etree.ElementTree as ET
+
+    NS = "{http://www.w3.org/2005/sparql-results#}"
+    root = ET.fromstring(s)
+    b = root.find(f"{NS}boolean")
+    if b is not None:
+        return [], [{"__ask": b.text == "true"}]
+    vars_ = [v.get("name") for v in root.findall(f"{NS}head/{NS}variable")]
+    rows = []
+    for res in root.findall(f"{NS}results/{NS}result"):
+        row = {}
+        for binding in res.findall(f"{NS}binding"):
+            v = binding.get("name")
+            child = binding[0]
+            tag = child.tag[len(NS):]
+            if tag == "uri":
+                row[v] = (KIND_IRI, child.text or "", None, None)
+            elif tag == "bnode":
+                row[v] = (KIND_BNODE, child.text or "", None, None)
+            else:
+                lang = child.get("{http://www.w3.org/XML/1998/namespace}lang")
+                dt = child.get("datatype") or (RDF_LANGSTRING if lang else XSD_STRING)
+                row[v] = (2, child.text or "", dt, lang)
+        rows.append(row)
+    return vars_, rows

@@ -163,3 +163,40 @@ def test_extension_function_unregistered_raises():
 
     with _pytest.raises(KeyError):
         call_iri_fun("https://example.org/fn/nope")
+
+
+def test_timezone_builtin(spark):
+    """TIMEZONE (§17.4.5.7): offset → xsd:dayTimeDuration; absent → error."""
+    from ocaml_rdf_spark.functions.builtins import L, TIMEZONE, TZ
+    from ocaml_rdf_spark.types import Literal, XSD_DATETIME
+
+    def run(lex):
+        e = TIMEZONE(L(Literal(lex, dtype=XSD_DATETIME)))({})
+        row = spark.range(1).select(e.alias("t")).collect()[0]["t"]
+        return None if row is None or row["kind"] is None else (row["lex"], row["dtype"])
+
+    assert run("2024-01-01T00:00:00Z") == ("PT0S", "http://www.w3.org/2001/XMLSchema#dayTimeDuration")
+    assert run("2024-01-01T00:00:00+05:30")[0] == "PT5H30M"
+    assert run("2024-01-01T00:00:00-08:00")[0] == "-PT8H"
+    assert run("2024-01-01T00:00:00+00:00")[0] == "PT0S"
+    assert run("2024-01-01T00:00:00") is None  # no designator -> error
+
+
+def test_parse_sparql_xml_roundtrip(spark):
+    from ocaml_rdf_spark.algebra import BGP, Ctx, Project, TriplePattern as T_, Var, select
+    from ocaml_rdf_spark.relational import P_NAME, triples_view
+    from ocaml_rdf_spark.results import parse_sparql_xml, to_ask_xml, to_sparql_xml
+    from ocaml_rdf_spark.types import Iri
+
+    ctx = Ctx(triples_view(spark, "/root/testdata/sf0.001"))
+    node = Project(
+        BGP([T_(Var("r"), Iri("http://www.w3.org/1999/02/22-rdf-syntax-ns#type"), Iri("urn:c:Region")),
+             T_(Var("r"), Iri(P_NAME), Var("rname"))]),
+        ["r", "rname"],
+    )
+    df = select(node, ctx)
+    cols, rows = parse_sparql_xml(to_sparql_xml(df))
+    assert sorted(cols) == ["r", "rname"]
+    assert len(rows) == 5 and all(r["r"][0] == 0 for r in rows)
+    assert {"ASIA", "EUROPE"} <= {r["rname"][1] for r in rows}
+    assert parse_sparql_xml(to_ask_xml(True)) == ([], [{"__ask": True}])
