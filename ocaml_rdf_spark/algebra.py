@@ -326,12 +326,22 @@ class Minus(Node):
         if not shared:
             return ldf, lc, lm  # disjoint domains: remove nothing
         L, R = ldf.alias("l"), rdf.alias("r")
+        # Fast path: vars certainly bound on BOTH sides compile to plain
+        # null-safe equality — Catalyst extracts these as hash-join keys, so
+        # the anti join is a shuffle/broadcast HASH join, never a
+        # BroadcastNestedLoopJoin (the O(L×R) scale killer). Only the
+        # maybe-bound vars keep the null-tolerant compat condition, riding
+        # along as a post-join filter on the hash join.
+        certain = shared & lc & rc
         compat = F.lit(True)
-        overlap = F.lit(False)
+        overlap = F.lit(True) if certain else F.lit(False)
         for v in sorted(shared):
             lv, rv = F.col(f"l.{v}"), F.col(f"r.{v}")
-            compat = compat & (lv.eqNullSafe(rv) | lv.isNull() | rv.isNull())
-            overlap = overlap | (lv.isNotNull() & rv.isNotNull())
+            if v in certain:
+                compat = compat & lv.eqNullSafe(rv)  # hash-joinable key
+            else:
+                compat = compat & (lv.eqNullSafe(rv) | lv.isNull() | rv.isNull())
+                overlap = overlap | (lv.isNotNull() & rv.isNotNull())
         df = L.join(R, compat & overlap, "left_anti")
         return df, lc, lm
 
@@ -495,10 +505,17 @@ class ExistsFilter(Node):
             keep = (not nonempty) if self.negated else nonempty
             return (ldf, lc, lm) if keep else (ldf.filter(F.lit(False)), lc, lm)
         L, R = ldf.alias("l"), rdf.alias("r")
+        # Same hash-join fast path as Minus: certainly-bound shared vars emit
+        # plain null-safe equality (extractable equi keys → hash semi/anti
+        # join); only maybe-bound vars get the null-tolerant compat form.
+        certain = shared & lc & rc
         cond = F.lit(True)
         for v in sorted(shared):
             lv, rv = F.col(f"l.{v}"), F.col(f"r.{v}")
-            cond = cond & (lv.eqNullSafe(rv) | lv.isNull() | rv.isNull())
+            if v in certain:
+                cond = cond & lv.eqNullSafe(rv)
+            else:
+                cond = cond & (lv.eqNullSafe(rv) | lv.isNull() | rv.isNull())
         return L.join(R, cond, how), lc, lm
 
 
@@ -552,6 +569,8 @@ class Group(Node):
                 e = F.count_distinct(i) if a.distinct else F.count(i)
                 aggs.append(t_int(e).alias(a.out))
             elif a.kind in ("sum", "avg"):
+                from .functions.terms import DEC_T, EXACT_DTYPES as _EXACT_DT, dec, t_decimal, t_int_exact
+
                 n = num(i)
                 n_in = F.when(i.isNull(), F.lit(None).cast("double")).otherwise(n)
                 poisoned = F.max(i.isNotNull() & n.isNull())  # non-numeric bound value
@@ -559,15 +578,39 @@ class Group(Node):
                     val = F.sum_distinct(n_in) if a.kind == "sum" else (F.sum_distinct(n_in) / F.count_distinct(n_in))
                 else:
                     val = F.sum(n_in) if a.kind == "sum" else F.avg(n_in)
+                # exact tier (rdf_dt.ml keeps decimals exact — §18.5.1): when
+                # every bound input is an integer/decimal literal, aggregate
+                # in decimal(38,6) so sums beyond 2^53 don't drift through
+                # double, and AVG over integers yields xsd:decimal per spec
+                d = dec(i)
+                d_in = F.when(i.isNull(), F.lit(None).cast(DEC_T)).otherwise(d)
+                all_exact = F.coalesce(
+                    F.min(F.coalesce(i["dtype"].isin(*_EXACT_DT) & d.isNotNull(), F.lit(False))),
+                    F.lit(True),
+                )
+                if a.distinct:
+                    dval = (
+                        F.sum_distinct(d_in)
+                        if a.kind == "sum"
+                        else (F.sum_distinct(d_in) / F.count_distinct(d_in))
+                    )
+                else:
+                    dval = F.sum(d_in) if a.kind == "sum" else F.avg(d_in)
                 # empty group: SUM() = integer 0 per spec, so all_int defaults true
                 all_int = F.coalesce(F.min(F.coalesce(i["dtype"] == XSD_INTEGER, F.lit(False))), F.lit(True))
                 zero = F.lit(0.0) if a.kind == "sum" else F.lit(None).cast("double")
                 val = F.coalesce(val, zero)
                 res = F.when(poisoned, F.lit(None).cast("double")).otherwise(val)
+                dzero = F.lit(0).cast(DEC_T) if a.kind == "sum" else F.lit(None).cast(DEC_T)
+                dres = F.when(poisoned, F.lit(None).cast(DEC_T)).otherwise(F.coalesce(dval, dzero))
                 if a.kind == "sum":
-                    term = F.when(all_int, t_int(res)).otherwise(t_double(res))
-                else:  # AVG over integers is xsd:decimal per spec — double here
-                    term = t_double(res)
+                    term = (
+                        F.when(all_exact & all_int, t_int_exact(dres))
+                        .when(all_exact, t_decimal(dres))
+                        .otherwise(t_double(res))
+                    )
+                else:  # AVG over exact inputs → xsd:decimal (§18.5.1)
+                    term = F.when(all_exact, t_decimal(dres)).otherwise(t_double(res))
                 aggs.append(term.alias(a.out))
             elif a.kind in ("min", "max"):
                 k = sort_key(i)
@@ -660,12 +703,20 @@ def construct(templates: Sequence[Template], node: Node, ctx: Ctx, graph: str = 
     return out.dropDuplicates(TRIPLE_KEY)
 
 
-def describe(terms: Sequence[Term], ctx: Ctx) -> DataFrame:
+def describe(terms: Sequence[Term], ctx: Ctx, keys_df: Optional[DataFrame] = None) -> DataFrame:
     """DESCRIBE (naive variant, as the reference: emit triples whose subject
-    is a described resource — rdf_sparql.ml, SURVEY §2.3)."""
+    is a described resource — rdf_sparql.ml, SURVEY §2.3).
+
+    `keys_df` (s_kind tinyint, s_lex string) carries DESCRIBE ?var bindings
+    as a DataFrame — semi-joined directly, never collected to the driver
+    (DESCRIBE over a large class stays distributed)."""
     from .types import term_kind
 
     spark = ctx.quads.sparkSession
     keys = [(term_kind(t), t.value if isinstance(t, PyIri) else getattr(t, "label", None)) for t in terms]
     kdf = spark.createDataFrame(keys, schema="s_kind tinyint, s_lex string")
-    return ctx.quads.join(F.broadcast(kdf), ["s_kind", "s_lex"], "left_semi")
+    if keys_df is not None:
+        kdf = kdf.unionByName(keys_df)
+    # dropDuplicates keeps the broadcast side minimal; AQE demotes the
+    # broadcast to a shuffle hash join if the binding set is ever huge.
+    return ctx.quads.join(F.broadcast(kdf.dropDuplicates()), ["s_kind", "s_lex"], "left_semi")

@@ -572,7 +572,9 @@ def TIMEZONE(x: E) -> E:
                 F.when((hh == 0) & (mm == 0), F.lit("0S")).otherwise(F.lit("")),
             )
         )
-        return F.when(tz == "", null_term()).otherwise(t_typed(dur, XSD_DAYTIME))
+        # (tz == "") is NULL when the input term is unbound — guard nulls
+        # explicitly or the otherwise-branch builds a garbage "PT" literal
+        return F.when((tz == "") | tz.isNull(), null_term()).otherwise(t_typed(dur, XSD_DAYTIME))
 
     return E(fn)
 

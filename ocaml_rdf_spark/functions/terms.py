@@ -27,6 +27,7 @@ from ..types import (
     XSD_DATETIME,
     XSD_DECIMAL,
     XSD_DOUBLE,
+    XSD_FLOAT as _XSD_FLOAT,
     XSD_INTEGER,
     XSD_STRING,
     BNode,
@@ -152,6 +153,47 @@ def num(t: Column) -> Column:
     reference's promotion lattice int<decimal<float<double ends at double
     for every mixed-type comparison anyway)."""
     return F.when(is_numeric_dtype(t), t["lex"].try_cast("double")).otherwise(F.lit(None).cast("double"))
+
+
+#: exact branch of the numeric tower (rdf_dt.ml keeps decimals exact —
+#: everything here is integer/decimal, never float/double)
+EXACT_DTYPES = tuple(d for d in NUMERIC_DTYPES if d not in (XSD_DOUBLE, _XSD_FLOAT))
+
+#: working decimal type for exact aggregation: 6 fractional digits covers
+#: xsd:decimal lexicals in practice; 32 integral digits ≫ 2^63
+DEC_T = "decimal(38,6)"
+
+
+def dec(t: Column) -> Column:
+    """Exact numeric value as decimal(38,6), NULL when the term is not an
+    exact-tower literal or its lexical doesn't parse as a decimal."""
+    return F.when(t["dtype"].isin(*EXACT_DTYPES), t["lex"].try_cast(DEC_T)).otherwise(
+        F.lit(None).cast(DEC_T)
+    )
+
+
+def dec_canon(c: Column) -> Column:
+    """decimal Column → canonical xsd:decimal lexical: no trailing
+    fractional zeros; integral values print without '.0' (XSD 1.1
+    decimalCanonicalMap, same rule as builtins._arith division)."""
+    s = c.cast("string")
+    s = F.regexp_replace(s, r"^(-?\d+)\.0*$", "$1")
+    return F.regexp_replace(s, r"(\.\d*?)0+$", "$1")
+
+
+def t_decimal(c: Column) -> Column:
+    return F.when(
+        c.isNotNull(), mk_term(F.lit(KIND_LITERAL), dec_canon(c), F.lit(XSD_DECIMAL))
+    ).otherwise(null_term())
+
+
+def t_int_exact(c: Column) -> Column:
+    """Integer term from a decimal Column — exact lexical beyond 2^53
+    (never routes through double/long)."""
+    return F.when(
+        c.isNotNull(),
+        mk_term(F.lit(KIND_LITERAL), c.cast("decimal(38,0)").cast("string"), F.lit(XSD_INTEGER)),
+    ).otherwise(null_term())
 
 
 def num_strict(t: Column) -> Column:

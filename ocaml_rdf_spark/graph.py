@@ -79,11 +79,19 @@ class Graph:
         return Graph(self.df.unionByName(other).dropDuplicates(TRIPLE_KEY), self.name, self.namespaces)
 
     def rem_triple(self, s: Term, p: Iri, o: Term) -> "Graph":
-        conds = _term_filter("s", s) + _term_filter("pred", p) + _term_filter("o", o)
-        keep = ~conds[0]
-        for c in conds[1:]:
-            keep = keep | ~c
-        return Graph(self.df.filter(keep), self.name, self.namespaces)
+        """Delete exactly the matching triple (rdf_graph.ml :: rem_triple).
+
+        The match condition uses eqNullSafe on EVERY key component: o_dtype /
+        o_lang are nullable, so a plain `==` disjunct chain evaluates to NULL
+        on a non-matching sibling row (e.g. removing "x"@en while "x"^^xsd:
+        string shares s/p/lex) and filter() would drop that sibling too.
+        Null-safe equality makes the negation total."""
+        row = triple_row(s, p, o, graph=self.name)
+        keys = ["s_kind", "s_lex", "pred", "o_kind", "o_lex", "o_dtype", "o_lang"]
+        match = F.lit(True)
+        for k, v in zip(keys, row[: len(keys)]):
+            match = match & F.col(k).eqNullSafe(F.lit(v))
+        return Graph(self.df.filter(~match), self.name, self.namespaces)
 
     # -- probes (rdf_graph.ml :: find / exists / *_of) ------------------------
 

@@ -45,7 +45,9 @@ def tumbling_counts(events: DataFrame, minutes: int = 60) -> DataFrame:
         .select(
             # parquet naive timestamps read as TIMESTAMP_NTZ; LTZ-cast under
             # the UTC session tz makes epoch math exact and engine-portable
-            (F.col("w.start").cast("timestamp_ltz").cast("long") / (minutes * 60)).cast("long").alias("bucket"),
+            # floor, not a truncating cast: pre-1970 epochs are negative and
+            # cast-toward-zero would assign them to the wrong bucket
+            F.floor(F.col("w.start").cast("timestamp_ltz").cast("long") / (minutes * 60)).cast("long").alias("bucket"),
             "event_type",
             "n_events",
             "sum_value_x100",

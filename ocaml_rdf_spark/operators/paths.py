@@ -104,13 +104,29 @@ class Alt(Path):
 
 @dataclass
 class Neg(Path):
-    """!(p1|...|pn) — negated property set."""
+    """!(p1|...|pj|^pj+1|...|^pn) — negated property set (spec §9.1).
 
-    iris: Sequence[str]
+    Translation per §18.2.2.3: with forward members P and inverse members Q,
+    !(P|^Q) = NPS(P) ∪ inv(NPS(Q)); a branch exists only when it has members
+    (so !(^q) matches no forward edges at all). NPS(S) = edges whose
+    predicate is not in S."""
+
+    iris: Sequence[str] = ()
+    inv_iris: Sequence[str] = ()
 
     def pairs(self, ctx: Ctx) -> DataFrame:
-        df = _base(ctx).filter(~F.col("pred").isin(*self.iris))
-        return df.select(_s_struct().alias("src"), _o_struct().alias("dst")).distinct()
+        df = _base(ctx)
+        parts = []
+        if self.iris or not self.inv_iris:
+            fwd = df.filter(~F.col("pred").isin(*self.iris)) if self.iris else df
+            parts.append(fwd.select(_s_struct().alias("src"), _o_struct().alias("dst")))
+        if self.inv_iris:
+            inv = df.filter(~F.col("pred").isin(*self.inv_iris))
+            parts.append(inv.select(_o_struct().alias("src"), _s_struct().alias("dst")))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.distinct()
 
 
 def _graph_nodes(ctx: Ctx) -> DataFrame:

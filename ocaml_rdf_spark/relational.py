@@ -81,6 +81,7 @@ def _melt(df: DataFrame, s_lex: F.Column, graph: str, items: list) -> DataFrame:
 
 #: materialized POS-ordered triple stores, keyed (applicationId, sf_dir)
 _STORE_CACHE: dict = {}
+_STORE_LOCK = __import__("threading").Lock()
 
 
 def triples_view(spark: SparkSession, sf_dir: str, materialize: bool = True) -> DataFrame:
@@ -98,23 +99,40 @@ def triples_view(spark: SparkSession, sf_dir: str, materialize: bool = True) -> 
     pipeline materializes (SURVEY §2.1 in-memory-indexes row).
     """
     if materialize:
-        key = (spark.sparkContext.applicationId, sf_dir)
-        cached = _STORE_CACHE.get(key)
-        if cached is not None:
-            return cached
+        # Fixed per-sf cache path (not a fresh mkdtemp per session): repeated
+        # sessions reuse one store instead of leaking a copy per run, and the
+        # lock + write-to-temp-then-rename makes concurrent first calls share
+        # a single write (the losing writer's dir is discarded).
+        import hashlib
+        import os
+        import shutil
         import tempfile
 
-        path = tempfile.mkdtemp(prefix="ords_pos_store_")
-        (
-            triples_view(spark, sf_dir, materialize=False)
-            .repartition(8, F.col("pred"))
-            .sortWithinPartitions("pred", "s_lex")
-            .write.mode("overwrite")
-            .parquet(path)
-        )
-        df = spark.read.parquet(path)
-        _STORE_CACHE[key] = df
-        return df
+        key = (spark.sparkContext.applicationId, sf_dir)
+        with _STORE_LOCK:
+            cached = _STORE_CACHE.get(key)
+            if cached is not None:
+                return cached
+            op = os.path.join(sf_dir, "orders.parquet")
+            mt = str(int(os.path.getmtime(op))) if os.path.exists(op) else "0"
+            tag = hashlib.sha1(f"{os.path.abspath(sf_dir)}|{mt}".encode()).hexdigest()[:12]
+            path = os.path.join(tempfile.gettempdir(), f"ords_pos_store_{tag}")
+            if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                tmp = tempfile.mkdtemp(prefix="ords_pos_store_tmp_")
+                (
+                    triples_view(spark, sf_dir, materialize=False)
+                    .repartition(8, F.col("pred"))
+                    .sortWithinPartitions("pred", "s_lex")
+                    .write.mode("overwrite")
+                    .parquet(tmp)
+                )
+                try:
+                    os.rename(tmp, path)  # atomic publish
+                except OSError:  # another process won the race
+                    shutil.rmtree(tmp, ignore_errors=True)
+            df = spark.read.parquet(path)
+            _STORE_CACHE[key] = df
+            return df
 
     rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
 

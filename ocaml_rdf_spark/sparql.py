@@ -692,24 +692,33 @@ class Parser:
             self.eat_op(")")
             return p
         if t.kind == "OP" and t.text == "!":
+            # PathNegatedPropertySet (§9.1): members may be iri or ^iri
             self.next()
-            iris = []
+            iris, inv_iris = [], []
+
+            def member():
+                target = iris
+                if self.at_op("^"):
+                    self.next()
+                    target = inv_iris
+                it = self.next()
+                if it.kind == "KW" and it.text == "a":
+                    target.append(RDF_TYPE)
+                else:
+                    target.append(self.parse_iri_tok(it).value)
+
             if self.at_op("("):
                 self.next()
                 while True:
-                    it = self.next()
-                    if it.kind == "KW" and it.text == "a":
-                        iris.append(RDF_TYPE)
-                    else:
-                        iris.append(self.parse_iri_tok(it).value)
+                    member()
                     if self.at_op("|"):
                         self.next()
                         continue
                     break
                 self.eat_op(")")
             else:
-                iris.append(self.parse_iri_tok(self.next()).value)
-            return P.Neg(iris)
+                member()
+            return P.Neg(tuple(iris), tuple(inv_iris))
         if t.kind == "KW" and t.text == "a":
             self.next()
             return P.P(RDF_TYPE)
@@ -998,12 +1007,18 @@ def execute(text: str, ctx: Ctx):
         return A.construct(q.templates, q.node, ctx)
     if q.form == "describe":
         terms = list(q.describe_terms)
+        keys_df = None
         if q.describe_vars and q.node is not None:
+            # bindings stay a DataFrame end-to-end: the distinct IRI set is
+            # semi-joined inside algebra.describe, never collected to the
+            # driver (unbounded at scale — DESCRIBE over a large class).
             df, _, _ = q.node.compile(ctx)
+            from pyspark.sql import functions as F
+
             for v in q.describe_vars:
-                for r in df.select(v).distinct().collect():
-                    t = r[v]
-                    if t is not None and t["kind"] == 0:
-                        terms.append(Iri(t["lex"]))
-        return A.describe(terms, ctx)
+                part = df.select(
+                    F.col(v)["kind"].alias("s_kind"), F.col(v)["lex"].alias("s_lex")
+                ).filter(F.col("s_kind") == 0)
+                keys_df = part if keys_df is None else keys_df.unionByName(part)
+        return A.describe(terms, ctx, keys_df=keys_df)
     raise ValueError(q.form)

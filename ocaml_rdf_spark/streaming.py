@@ -135,7 +135,9 @@ def stream_windowed_counts(
             F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_x100"),
         )
         .select(
-            (F.col("w.start").cast("timestamp_ltz").cast("long") / (minutes * 60)).cast("long").alias("bucket"),
+            # floor, not a truncating cast — keeps pre-1970 buckets aligned
+            # with the batch operator (operators/events.py)
+            F.floor(F.col("w.start").cast("timestamp_ltz").cast("long") / (minutes * 60)).cast("long").alias("bucket"),
             "event_type",
             "n_events",
             "sum_value_x100",

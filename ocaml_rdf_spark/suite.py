@@ -1150,6 +1150,27 @@ WHERE graph = 'urn:g:nation' AND pred <> '{RDF_TYPE}'
 """
 
 
+def q_path_neg_inv(spark, sf):
+    """!(rdf:type|^inRegion) — negated property set with an INVERSE member
+    (spec §9.1 / §18.2.2.3): forward edges whose pred is not rdf:type,
+    UNION reversed edges whose pred is not inRegion."""
+    from .operators.paths import Neg
+
+    node = GraphNode("urn:g:nation", PathPattern(VS, Neg((RDF_TYPE,), (P_IN_REGION,)), VO))
+    return _flat(node, _ctx(spark, sf), "s", "o")
+
+
+SQL_PATH_NEG_INV = W + f"""
+SELECT DISTINCT s, o FROM (
+  SELECT s_lex AS s, o_lex AS o FROM triples
+  WHERE graph = 'urn:g:nation' AND pred <> '{RDF_TYPE}'
+  UNION
+  SELECT o_lex AS s, s_lex AS o FROM triples
+  WHERE graph = 'urn:g:nation' AND pred <> '{P_IN_REGION}'
+)
+"""
+
+
 def q_subselect(spark, sf):
     """Sub-SELECT (ToMultiset): inner aggregate joined to the outer BGP."""
     inner = Group(
@@ -1421,6 +1442,7 @@ QUERIES.update(
         "path_opt": (q_path_opt, SQL_PATH_OPT),
         "path_star": (q_path_star, SQL_PATH_STAR),
         "path_neg": (q_path_neg, SQL_PATH_NEG),
+        "path_neg_inv": (q_path_neg_inv, SQL_PATH_NEG_INV),
         "subselect": (q_subselect, SQL_SUBSELECT),
         "reduced_types": (q_reduced_types, SQL_REDUCED_TYPES),
         "sample_region": (q_sample_region, SQL_SAMPLE_REGION),
@@ -1763,9 +1785,41 @@ FROM nation
 """
 
 
+def q_agg_decimal(spark, sf):
+    """Exact decimal aggregation (§18.5.1 / rdf_dt.ml's exact decimals):
+    SUM over xsd:integer values beyond 2^53 must not drift through double
+    (group "a": 2^53+1 + 2^53+3 + 1), AVG over integers is xsd:decimal,
+    and SUM/AVG of xsd:decimal keeps exact lexicals (group "b":
+    0.1+0.2 = 0.3 exactly, not 0.30000000000000004)."""
+    from .functions.builtins import V as _V
+    from .types import XSD_DECIMAL, XSD_INTEGER
+
+    rows = [
+        {"k": Literal("a"), "v": Literal("9007199254740993", dtype=XSD_INTEGER)},
+        {"k": Literal("a"), "v": Literal("9007199254740995", dtype=XSD_INTEGER)},
+        {"k": Literal("a"), "v": Literal("1", dtype=XSD_INTEGER)},
+        {"k": Literal("b"), "v": Literal("0.1", dtype=XSD_DECIMAL)},
+        {"k": Literal("b"), "v": Literal("0.2", dtype=XSD_DECIMAL)},
+    ]
+    node = Group(Values(rows), ["k"], [Agg("sum_v", "sum", _V("v")), Agg("avg_v", "avg", _V("v"))])
+    return _flat(node, _ctx(spark, sf), "k", "sum_v", "avg_v")
+
+
+SQL_AGG_DECIMAL = """
+SELECT 'a' AS k,
+  CAST(CAST('9007199254740993' AS HUGEINT) + CAST('9007199254740995' AS HUGEINT) + 1 AS VARCHAR) AS sum_v,
+  CAST((CAST('9007199254740993' AS HUGEINT) + CAST('9007199254740995' AS HUGEINT) + 1) // 3 AS VARCHAR) AS avg_v
+UNION ALL
+SELECT 'b',
+  rtrim(rtrim(CAST(CAST('0.1' AS DECIMAL(38,6)) + CAST('0.2' AS DECIMAL(38,6)) AS VARCHAR), '0'), '.'),
+  rtrim(rtrim(CAST(CAST((CAST('0.1' AS DECIMAL(38,6)) + CAST('0.2' AS DECIMAL(38,6))) / 2 AS DECIMAL(38,6)) AS VARCHAR), '0'), '.')
+"""
+
+
 QUERIES.update(
     {
         "agg_variants": (q_agg_variants, SQL_AGG_VARIANTS),
+        "agg_decimal": (q_agg_decimal, SQL_AGG_DECIMAL),
         "builtins_term2": (q_builtins_term2, SQL_BUILTINS_TERM2),
     }
 )
@@ -1774,21 +1828,30 @@ QUERIES.update(
 def q_graph_addrem(spark, sf):
     """Graph mutators (rdf_graph.ml :: add_triple / rem_triple, set
     semantics): add one new + one duplicate triple to the region graph,
-    remove one existing — triple count per subject afterwards."""
+    remove one existing — triple count per subject afterwards.
+
+    The r:2 block is the three-valued-logic regression case: a lang-tagged
+    and a typed literal sharing region 2's plain "ASIA" lexical form are
+    added, then ONLY the lang-tagged one is removed — with plain `==`
+    disjuncts the NULL o_dtype/o_lang comparisons used to drop the plain
+    and typed siblings too (rem_triple now matches with eqNullSafe)."""
     from .graph import Graph
 
     g = Graph(triples_view(spark, sf).filter(F.col("graph") == "urn:g:region"), name="urn:g:region")
     g2 = (
-        g.add_triple(Iri("urn:r:99"), Iri(P_NAME), Literal("OCEANIA"))     # new
-        .add_triple(Iri("urn:r:0"), Iri(P_NAME), Literal("AFRICA"))        # dup → no-op
-        .rem_triple(Iri("urn:r:1"), Iri(P_NAME), Literal("AMERICA"))       # delete
+        g.add_triple(Iri("urn:r:99"), Iri(P_NAME), Literal("OCEANIA"))           # new
+        .add_triple(Iri("urn:r:0"), Iri(P_NAME), Literal("AFRICA"))              # dup → no-op
+        .add_triple(Iri("urn:r:2"), Iri(P_NAME), Literal("ASIA", lang="en"))     # lang twin
+        .add_triple(Iri("urn:r:2"), Iri(P_NAME), Literal("ASIA", dtype="urn:dt:x"))  # typed twin
+        .rem_triple(Iri("urn:r:2"), Iri(P_NAME), Literal("ASIA", lang="en"))     # exact delete: twins survive
+        .rem_triple(Iri("urn:r:1"), Iri(P_NAME), Literal("AMERICA"))             # delete
     )
     return g2.df.groupBy(F.col("s_lex").alias("s")).agg(F.count(F.lit(1)).alias("n_triples"))
 
 
 SQL_GRAPH_ADDREM = """
 SELECT 'urn:r:'||r_regionkey AS s,
-       CAST(CASE WHEN r_regionkey = 1 THEN 1 ELSE 2 END AS BIGINT) AS n_triples
+       CAST(CASE WHEN r_regionkey = 1 THEN 1 WHEN r_regionkey = 2 THEN 3 ELSE 2 END AS BIGINT) AS n_triples
 FROM region
 UNION ALL
 SELECT 'urn:r:99', 1
