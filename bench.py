@@ -25,10 +25,14 @@ import time
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    # 50k pages ≈ 7s of steady-state extraction at 32 cores — large enough
-    # that Python-worker startup and first-stage scheduling (~4s fixed) do
-    # not dominate the throughput number
-    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "50000"))
+    # 200k pages ≈ 20s+ of extraction at 32 cores, and a separate untimed
+    # warmup extraction pays the Python-worker startup + Arrow codepath JIT
+    # first — so the timed number is steady-state throughput, comparable
+    # round-over-round and to scripts/scaling_bench.py (round-1 bench
+    # amortized ~4s of fixed startup into a ~5s window, understating
+    # throughput ~3× vs the scaling bench's steady state)
+    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "200000"))
+    n_warm = min(5000, n_pages)
 
     from ocaml_rdf_spark.session import get_spark
 
@@ -58,6 +62,11 @@ def main() -> None:
 
     pages_dir = tempfile.mkdtemp(prefix="ords_bench_pages_")
     gen_pages_df(spark, n_pages, parts=cpus).write.mode("overwrite").parquet(pages_dir)
+
+    # untimed warmup: spin up every Python worker + the Arrow serialization
+    # path on a small slice so the timed run below measures steady state
+    warm = salted_repartition(spark.read.parquet(pages_dir).limit(n_warm), cpus)
+    split_errors(extract_triples(warm))[0].count()
 
     t0 = time.time()
     pages = salted_repartition(spark.read.parquet(pages_dir), cpus * 2)

@@ -65,10 +65,20 @@ def minhash_signatures(docs: DataFrame, bands: int = 8) -> DataFrame:
     min over md5-hex strings is a valid uniform min-hash (hex orders like
     the underlying 128-bit value), and is byte-identical across engines.
     """
+    # single pass: one min-aggregate column per band over the exploded words
+    # (no ×bands row blowup pre-shuffle — the old explode(0..bands) form put
+    # 8× rows through the hash aggregate); the tiny post-agg explode just
+    # reshapes (doc_id, mh0..mh7) into the (doc_id, band, mh) long form
     w = docs.select("doc_id", F.explode(words(F.col("text"))).alias("w")).filter(F.col("w") != "")
-    b = w.select("doc_id", "w", F.explode(F.array([F.lit(i) for i in range(bands)])).alias("band"))
-    return b.groupBy("doc_id", "band").agg(
-        F.min(F.md5(F.concat_ws(":", F.col("band"), F.col("w")))).alias("mh")
+    mins = w.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat_ws(":", F.lit(i), F.col("w")))).alias(f"mh{i}")
+            for i in range(bands)
+        ]
+    )
+    arr = F.array([F.struct(F.lit(i).alias("band"), F.col(f"mh{i}").alias("mh")) for i in range(bands)])
+    return mins.select("doc_id", F.explode(arr).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.mh").alias("mh")
     )
 
 
