@@ -58,9 +58,12 @@ def main() -> None:
     # is materialized to parquet first (untimed — generation is test
     # scaffolding, not pipeline work; production reads an Iceberg pages
     # table), matching how BENCH/BASELINE.md measures.
+    import atexit
+    import shutil
     import tempfile
 
     pages_dir = tempfile.mkdtemp(prefix="ords_bench_pages_")
+    atexit.register(shutil.rmtree, pages_dir, True)
     gen_pages_df(spark, n_pages, parts=cpus).write.mode("overwrite").parquet(pages_dir)
 
     # untimed warmup: spin up every Python worker + the Arrow serialization

@@ -703,6 +703,51 @@ def construct(templates: Sequence[Template], node: Node, ctx: Ctx, graph: str = 
     return out.dropDuplicates(TRIPLE_KEY)
 
 
+def instantiate_quads(
+    items: Sequence[tuple["Template", str]], node: Node, ctx: Ctx, extractor: str = "update"
+) -> DataFrame:
+    """Instantiate (template, graph-IRI) pairs per solution of `node` —
+    the shared kernel of CONSTRUCT and SPARQL-Update DELETE/INSERT
+    templates: ill-formed triples (unbound var, literal subject/predicate)
+    are dropped per spec, output is a set-semantics TRIPLES DataFrame."""
+    df, c, m = node.compile(ctx)
+    vm = _varmap(c | m)
+    outs = []
+    for t, graph in items:
+        def col_of(x: Position) -> Column:
+            if isinstance(x, Var):
+                return vm[x.name]
+            return term_lit(x)
+
+        s, p, o = col_of(t.s), col_of(t.p), col_of(t.o)
+        row = df.select(
+            s["kind"].alias("s_kind"),
+            s["lex"].alias("s_lex"),
+            p["lex"].alias("pred"),
+            o["kind"].alias("o_kind"),
+            o["lex"].alias("o_lex"),
+            o["dtype"].alias("o_dtype"),
+            o["lang"].alias("o_lang"),
+            F.lit(graph).alias("graph"),
+            F.lit(None).cast("string").alias("src_url"),
+            F.lit(extractor).alias("extractor"),
+            F.lit(None).cast("int").alias("part_id"),
+        ).filter(
+            s["kind"].isNotNull()
+            & (s["kind"] != KIND_LITERAL)
+            & p["kind"].isNotNull()
+            & (p["kind"] == 0)
+            & o["kind"].isNotNull()
+        )
+        outs.append(row)
+    out = outs[0]
+    for r in outs[1:]:
+        out = out.unionByName(r)
+    from .types import TRIPLE_KEY
+
+    return out.dropDuplicates(TRIPLE_KEY)
+
+
 def describe(terms: Sequence[Term], ctx: Ctx, keys_df: Optional[DataFrame] = None) -> DataFrame:
     """DESCRIBE (naive variant, as the reference: emit triples whose subject
     is a described resource — rdf_sparql.ml, SURVEY §2.3).

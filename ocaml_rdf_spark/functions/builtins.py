@@ -209,6 +209,8 @@ def _cmp(a: E, b: E, kernel) -> E:
 
 def _arith(a: E, b: E, op, force_double: bool = False) -> E:
     def fn(vm):
+        from .terms import EXACT_DTYPES, dec, t_decimal, t_int_exact
+
         av, bv = a(vm), b(vm)
         r = op(num(av), num(bv))
         both_int = (av["dtype"] == XSD_INTEGER) & (bv["dtype"] == XSD_INTEGER)
@@ -221,7 +223,23 @@ def _arith(a: E, b: E, op, force_double: bool = False) -> E:
                 r2.cast("string")
             )
             return t_typed(lex, XSD_DECIMAL)
-        return F.when(both_int, t_int(r)).otherwise(t_double(r))
+        # exact tier (§17.4.1 operator mapping: integer op integer →
+        # integer, decimal op decimal → decimal — rdf_dt.ml keeps these
+        # exact): +,-,* between integer/decimal literals stay in decimal
+        # arithmetic, so 2^53+1 + 2 doesn't drift through double
+        da, db = dec(av), dec(bv)
+        both_exact = (
+            av["dtype"].isin(*EXACT_DTYPES)
+            & bv["dtype"].isin(*EXACT_DTYPES)
+            & da.isNotNull()
+            & db.isNotNull()
+        )
+        dr = op(da, db)
+        return (
+            F.when(both_int, t_int_exact(dr))
+            .when(both_exact, t_decimal(dr))
+            .otherwise(t_double(r))
+        )
 
     return E(fn)
 

@@ -146,3 +146,94 @@ def parse_sparql_xml(s: str) -> tuple[list[str], list[dict]]:
                 row[v] = (2, child.text or "", dt, lang)
         rows.append(row)
     return vars_, rows
+
+
+# ---------------------------------------------------------------------------
+# CSV / TSV results (SPARQL 1.1 Query Results CSV and TSV Formats — the
+# remaining two W3C result serializations; CSV is lossy by design (no term
+# kind), TSV round-trips terms in N-Triples-ish syntax)
+# ---------------------------------------------------------------------------
+
+
+def to_sparql_csv(df: DataFrame, limit: int | None = None) -> str:
+    """Solutions DF → text/csv per the W3C CSV results format: header row
+    of variable names; values are the STR() of each term (no quoting of
+    kind), RFC-4180 escaping; unbound → empty field."""
+    cols = df.columns
+    rows = df.limit(limit).collect() if limit else df.collect()
+
+    def esc(v: str) -> str:
+        if any(c in v for c in (",", '"', "\n", "\r")):
+            return '"' + v.replace('"', '""') + '"'
+        return v
+
+    out = [",".join(esc(c) for c in cols)]
+    for r in rows:
+        cells = []
+        for v in cols:
+            t = r[v]
+            cells.append("" if t is None or t["kind"] is None else esc(t["lex"]))
+        out.append(",".join(cells))
+    return "\r\n".join(out) + "\r\n"
+
+
+def _term_tsv(t) -> str:
+    if t is None or t["kind"] is None:
+        return ""
+    if t["kind"] == KIND_IRI:
+        return f"<{t['lex']}>"
+    if t["kind"] == KIND_BNODE:
+        return f"_:{t['lex']}"
+    lex = (
+        t["lex"].replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+        .replace("\r", "\\r").replace("\t", "\\t")
+    )
+    if t["lang"]:
+        return f'"{lex}"@{t["lang"]}'
+    if t["dtype"] and t["dtype"] != XSD_STRING:
+        return f'"{lex}"^^<{t["dtype"]}>'
+    return f'"{lex}"'
+
+
+def to_sparql_tsv(df: DataFrame, limit: int | None = None) -> str:
+    """Solutions DF → text/tab-separated-values per the W3C TSV results
+    format: `?var` header, N-Triples-style terms, unbound → empty field.
+    Unlike CSV this is lossless (term kind/datatype/lang survive)."""
+    cols = df.columns
+    rows = df.limit(limit).collect() if limit else df.collect()
+    out = ["\t".join("?" + c for c in cols)]
+    for r in rows:
+        out.append("\t".join(_term_tsv(r[v]) for v in cols))
+    return "\n".join(out) + "\n"
+
+
+def parse_sparql_tsv(s: str) -> tuple[list[str], list[dict]]:
+    """Inverse of to_sparql_tsv → (vars, [ {var: (kind, lex, dtype, lang)} ])
+    — reuses the N-Triples term grammar for each cell."""
+    from .sources.ntriples import _Line
+
+    def parse_term(cell: str):
+        return _Line(cell, 0).term()
+
+    lines = s.split("\n")
+    if lines and lines[-1] == "":
+        lines.pop()
+    vars_ = [h.lstrip("?$") for h in lines[0].split("\t")] if lines else []
+    rows = []
+    for line in lines[1:]:
+        row = {}
+        for v, cell in zip(vars_, line.split("\t")):
+            if cell == "":
+                continue
+            t = parse_term(cell)
+            from .types import BNode as _B, Iri as _I, Literal as _L
+
+            if isinstance(t, _I):
+                row[v] = (KIND_IRI, t.value, None, None)
+            elif isinstance(t, _B):
+                row[v] = (KIND_BNODE, t.label, None, None)
+            else:
+                dt = RDF_LANGSTRING if t.lang else (t.dtype or XSD_STRING)
+                row[v] = (2, t.lexical, dt, t.lang)
+        rows.append(row)
+    return vars_, rows

@@ -876,6 +876,7 @@ class Parser:
             "ceil": B.CEIL, "floor": B.FLOOR, "round": B.ROUND,
             "year": B.YEAR, "month": B.MONTH, "day": B.DAY, "hours": B.HOURS,
             "minutes": B.MINUTES, "seconds": B.SECONDS, "tz": B.TZ,
+            "timezone": B.TIMEZONE,
             "md5": B.MD5, "sha1": B.SHA1, "sha256": B.SHA256, "sha384": B.SHA384,
             "sha512": B.SHA512,
         }
@@ -1022,3 +1023,260 @@ def execute(text: str, ctx: Ctx):
                 keys_df = part if keys_df is None else keys_df.unionByName(part)
         return A.describe(terms, ctx, keys_df=keys_df)
     raise ValueError(q.form)
+
+
+# ---------------------------------------------------------------------------
+# SPARQL 1.1 UPDATE (engine addition — the fork-era reference is query-only,
+# SURVEY §8 "Not implemented"; semantics per the W3C SPARQL 1.1 Update spec)
+#
+# Spark-first realization: updates are FUNCTIONAL — each operation maps the
+# quad DataFrame to a new quad DataFrame (INSERT = union + set-dedup,
+# DELETE = null-safe equi anti join on the triple key, DELETE/INSERT WHERE =
+# one WHERE compilation feeding both template instantiations). At the sink
+# these become Iceberg MERGE INTO / DELETE FROM snapshot commits
+# (pipeline.py); nothing here collects to the driver.
+#
+# v1 scope: INSERT DATA, DELETE DATA, DELETE WHERE, [WITH g] DELETE/INSERT
+# ... WHERE, CLEAR/DROP (GRAPH g | DEFAULT | NAMED | ALL), CREATE (no-op —
+# graphs exist implicitly as quad rows). Not supported: LOAD (no network),
+# USING (use WITH), GRAPH ?var in templates.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class UpdateOp:
+    kind: str  # insert_data | delete_data | modify | clear | create
+    data: list = field(default_factory=list)              # [(TriplePattern ground, graph|None)]
+    delete_templates: list = field(default_factory=list)  # [(Template, graph|None)]
+    insert_templates: list = field(default_factory=list)
+    node: Optional[Node] = None
+    target: Optional[str] = None                          # clear: 'default'|'named'|'all'|iri
+    with_graph: Optional[str] = None
+
+
+def _mk_update_parser_methods():
+    """Attach update parsing to Parser (kept separate from the query
+    grammar for readability; same token stream / term parsers)."""
+
+    def _prologue(self):
+        while self.at_kw("base", "prefix"):
+            if self.at_kw("base"):
+                self.next()
+                self.base = self.next().text[1:-1]
+            else:
+                self.next()
+                pt = self.next()
+                if pt.kind != "PNAME":
+                    raise SyntaxError("expected prefix name")
+                pfx = pt.text[:-1] if pt.text.endswith(":") else pt.text.split(":")[0]
+                iri = self.parse_iri_tok(self.next())
+                self.prefixes[pfx] = iri.value
+
+    def parse_update(self):
+        ops = []
+        while True:
+            _prologue(self)
+            if self.peek().kind == "EOF":
+                break
+            ops.append(self._update_op())
+            if self.at_op(";"):
+                self.next()
+                continue
+            break
+        if self.peek().kind != "EOF":
+            raise SyntaxError(f"trailing tokens in update: {self.peek().text!r}")
+        if not ops:
+            raise SyntaxError("empty update request")
+        return ops
+
+    def _quad_block(self):
+        """QuadPattern: { TriplesBlock? (GRAPH iri { TriplesBlock? } '.'?)* }
+        → [(TriplePattern, graph-IRI|None)]."""
+        self.eat_op("{")
+        out = []
+        while not self.at_op("}"):
+            if self.at_kw("graph"):
+                self.next()
+                g = self.parse_iri_tok(self.next()).value
+                self.eat_op("{")
+                if not self.at_op("}"):
+                    tps, paths = self._triples_block(allow_paths=False)
+                    if paths:
+                        raise SyntaxError("property paths not allowed in update templates")
+                    out.extend((tp, g) for tp in tps)
+                self.eat_op("}")
+                if self.at_op("."):
+                    self.next()
+            else:
+                tps, paths = self._triples_block(allow_paths=False)
+                if paths:
+                    raise SyntaxError("property paths not allowed in update templates")
+                out.extend((tp, None) for tp in tps)
+        self.eat_op("}")
+        return out
+
+    def _ground(self, quads):
+        for tp, _g in quads:
+            for x in (tp.s, tp.p, tp.o):
+                if isinstance(x, Var):
+                    raise SyntaxError("variables not allowed in INSERT/DELETE DATA")
+        return quads
+
+    def _quads_to_node(self, quads):
+        """DELETE WHERE: the quad pattern is both template and WHERE."""
+        by_g: dict = {}
+        for tp, g in quads:
+            by_g.setdefault(g, []).append(tp)
+        node = None
+        for g, tps in by_g.items():
+            sub = A.BGP(tps)
+            if g is not None:
+                sub = A.GraphNode(g, sub)
+            node = sub if node is None else A.Join(node, sub)
+        return node
+
+    def _templates(self, quads):
+        return [(Template(tp.s, tp.p, tp.o), g) for tp, g in quads]
+
+    def _update_op(self):
+        if self.at_kw("create"):
+            self.next()
+            if self.at_kw("silent"):
+                self.next()
+            self.eat_kw("graph")
+            self.parse_iri_tok(self.next())
+            return UpdateOp("create")  # graphs exist implicitly — no-op
+        if self.at_kw("clear", "drop"):
+            self.next()
+            if self.at_kw("silent"):
+                self.next()
+            if self.at_kw("graph"):
+                self.next()
+                return UpdateOp("clear", target=self.parse_iri_tok(self.next()).value)
+            t = self.next().text.lower()
+            if t not in ("default", "named", "all"):
+                raise SyntaxError(f"CLEAR: expected GRAPH/DEFAULT/NAMED/ALL, got {t!r}")
+            return UpdateOp("clear", target=t)
+        with_graph = None
+        if self.at_kw("with"):
+            self.next()
+            with_graph = self.parse_iri_tok(self.next()).value
+        if self.at_kw("insert"):
+            self.next()
+            if self.at_kw("data"):
+                self.next()
+                return UpdateOp("insert_data", data=self._ground(self._quad_block()), with_graph=with_graph)
+            ins = self._quad_block()
+            self.eat_kw("where")
+            node = self.parse_group_graph_pattern()
+            return UpdateOp("modify", insert_templates=self._templates(ins), node=node, with_graph=with_graph)
+        if self.at_kw("delete"):
+            self.next()
+            if self.at_kw("data"):
+                self.next()
+                return UpdateOp("delete_data", data=self._ground(self._quad_block()), with_graph=with_graph)
+            if self.at_kw("where"):
+                self.next()
+                pat = self._quad_block()
+                return UpdateOp(
+                    "modify",
+                    delete_templates=self._templates(pat),
+                    node=self._quads_to_node(pat),
+                    with_graph=with_graph,
+                )
+            dels = self._quad_block()
+            ins = []
+            if self.at_kw("insert"):
+                self.next()
+                ins = self._quad_block()
+            self.eat_kw("where")
+            node = self.parse_group_graph_pattern()
+            return UpdateOp(
+                "modify",
+                delete_templates=self._templates(dels),
+                insert_templates=self._templates(ins),
+                node=node,
+                with_graph=with_graph,
+            )
+        raise SyntaxError(f"expected update operation, got {self.peek().text!r}")
+
+    Parser.parse_update = parse_update
+    Parser._update_op = _update_op
+    Parser._quad_block = _quad_block
+    Parser._ground = _ground
+    Parser._quads_to_node = _quads_to_node
+    Parser._templates = _templates
+
+
+_mk_update_parser_methods()
+
+
+def _anti_join_quads(df, dels):
+    """Remove every quad in `dels` from `df`: null-safe equality on all
+    TRIPLE_KEY components — all-equi, so Catalyst plans a hash anti join
+    (never a nested loop); o_dtype/o_lang NULLs compare null-safely."""
+    from pyspark.sql import functions as F
+
+    from .types import TRIPLE_KEY
+
+    L, R = df.alias("l"), dels.alias("r")
+    cond = F.lit(True)
+    for k in TRIPLE_KEY:
+        cond = cond & F.col(f"l.{k}").eqNullSafe(F.col(f"r.{k}"))
+    return L.join(R, cond, "left_anti")
+
+
+def execute_update(text: str, quads, default_graph: Optional[str] = None):
+    """Apply a SPARQL-Update request to a quad DataFrame → new DataFrame.
+
+    Functional (rdf_graph.ml mutates in place; immutable DataFrames +
+    Iceberg snapshot commits are the Spark realization — SURVEY §1.3
+    transactions row). `default_graph` receives triples whose template/
+    data has no GRAPH wrapper and no WITH."""
+    from pyspark.sql import functions as F
+
+    from .types import DEFAULT_GRAPH, TRIPLES_SCHEMA, TRIPLE_KEY, triple_row
+
+    default_graph = default_graph or DEFAULT_GRAPH
+    spark = quads.sparkSession
+    ops = Parser(text).parse_update()
+    df = quads
+    for op in ops:
+        if op.kind == "create":
+            continue
+        if op.kind == "clear":
+            if op.target == "all":
+                df = df.filter(F.lit(False))
+            elif op.target == "default":
+                df = df.filter(F.col("graph") != default_graph)
+            elif op.target == "named":
+                df = df.filter(F.col("graph") == default_graph)
+            else:
+                df = df.filter(F.col("graph") != op.target)
+            continue
+        if op.kind in ("insert_data", "delete_data"):
+            rows = [
+                triple_row(tp.s, tp.p, tp.o, graph=g or op.with_graph or default_graph)
+                for tp, g in op.data
+            ]
+            lit = spark.createDataFrame(rows, schema=TRIPLES_SCHEMA)
+            if op.kind == "insert_data":
+                df = df.unionByName(lit).dropDuplicates(TRIPLE_KEY)
+            else:
+                df = _anti_join_quads(df, F.broadcast(lit))
+            continue
+        # modify: one WHERE compilation feeds both template sets, both
+        # evaluated against the PRE-update store (spec: delete and insert
+        # sets are computed first, then applied delete-before-insert)
+        ctx = Ctx(df, op.with_graph)
+        def inst(templates):
+            items = [(t, g or op.with_graph or default_graph) for t, g in templates]
+            return A.instantiate_quads(items, op.node, ctx)
+
+        dels = inst(op.delete_templates) if op.delete_templates else None
+        ins = inst(op.insert_templates) if op.insert_templates else None
+        if dels is not None:
+            df = _anti_join_quads(df, dels)
+        if ins is not None:
+            df = df.unionByName(ins).dropDuplicates(TRIPLE_KEY)
+    return df

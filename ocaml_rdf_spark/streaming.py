@@ -87,6 +87,123 @@ def stream_extract_foreach_batch(
     return writer.start()
 
 
+def stream_sessionize(
+    spark: SparkSession,
+    input_dir: str,
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Custom stateful streaming operator: gap-based sessionization via
+    `applyInPandasWithState` (the Arrow-batched stateful escape hatch the
+    engine reserves for semantics window functions can't express
+    incrementally — SURVEY §2.10).
+
+    Per-user state = the OPEN session (idx, start_us, last_us, n_events).
+    Each micro-batch extends or closes sessions: a closed session (a later
+    event arrived past the gap) is emitted immediately; the open session
+    stays in state and is emitted when the processing-time timeout (= gap)
+    fires with no new events. Batch parity: the emitted closed sessions
+    equal operators.events.sessionize's sessions minus each user's last
+    (still-open) one — tested in tests/test_streaming.py.
+
+    Scale notes: state is one tiny tuple per active user (bounded by the
+    timeout, not by history); the only shuffle is the groupBy(user_id)
+    exchange; all per-event work is vectorized pandas (diff/cumsum/groupby
+    — no per-row Python loop).
+    """
+    import pandas as pd
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    out_schema = "user_id long, session_idx long, start_us long, end_us long, n_events long"
+    state_schema = "session_idx long, start_us long, last_us long, n_events long"
+
+    def fn(key, pdf_iter, state):
+        (user_id,) = key
+        if state.hasTimedOut:
+            si, st, la, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [[user_id, si, st, la, n]],
+                columns=["user_id", "session_idx", "start_us", "end_us", "n_events"],
+            )
+            return
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        us = (pdf["ts"].astype("int64") // 1000).to_numpy()
+        if state.exists:
+            si0, st0, la0, n0 = state.get
+        else:
+            si0, st0, la0, n0 = 0, None, None, 0
+        # vectorized session assignment: a new session starts where the
+        # inter-event gap exceeds the threshold (carry-in gap uses the
+        # stored last_us of the open session)
+        prev = pd.Series(us).shift(1)
+        if la0 is not None:
+            prev.iloc[0] = la0
+        new_flag = prev.isna() | ((us - prev) > gap_us)
+        sid = si0 + new_flag.cumsum().astype("int64")
+        if la0 is not None and not new_flag.iloc[0]:
+            sid = sid  # first batch events continue session si0 (cumsum adds 0)
+        g = pd.DataFrame({"sid": sid.to_numpy(), "us": us}).groupby("sid")["us"].agg(
+            ["min", "max", "count"]
+        )
+        # merge the open-session carry-in into its continuation group
+        if la0 is not None and not new_flag.iloc[0]:
+            g.loc[si0, "min"] = min(g.loc[si0, "min"], st0)
+            g.loc[si0, "count"] = g.loc[si0, "count"] + n0
+        elif la0 is not None:
+            # gap already exceeded at batch start: the stored session closed
+            yield pd.DataFrame(
+                [[user_id, si0, st0, la0, n0]],
+                columns=["user_id", "session_idx", "start_us", "end_us", "n_events"],
+            )
+        last_sid = int(g.index.max())
+        closed = g.loc[g.index != last_sid].reset_index()
+        if len(closed):
+            yield pd.DataFrame(
+                {
+                    "user_id": user_id,
+                    "session_idx": closed["sid"],
+                    "start_us": closed["min"],
+                    "end_us": closed["max"],
+                    "n_events": closed["count"],
+                }
+            )
+        row = g.loc[last_sid]
+        state.update((last_sid, int(row["min"]), int(row["max"]), int(row["count"])))
+        state.setTimeoutDuration(gap_us // 1000)
+
+    ev = spark.readStream.schema(_EVENTS_SCHEMA()).parquet(input_dir)
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    # append output mode: every emitted row is a FINALIZED session (closed
+    # by a later event or by timeout), so file sinks compose directly
+    return ev.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.ProcessingTimeTimeout
+    )
+
+
+def _EVENTS_SCHEMA():
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
+
 def stream_windowed_counts(
     spark: SparkSession,
     input_dir: str,

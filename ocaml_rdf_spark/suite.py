@@ -1825,6 +1825,40 @@ QUERIES.update(
 )
 
 
+def q_sparql_update(spark, sf):
+    """SPARQL 1.1 UPDATE sequence (engine addition — reference is
+    query-only): DELETE WHERE, INSERT DATA, and a DELETE/INSERT ... WHERE
+    rename, applied functionally to the region graph; the result is the
+    full post-update region graph."""
+    from .sparql import execute_update
+
+    upd = """
+    PREFIX p: <urn:p:>
+    DELETE WHERE { GRAPH <urn:g:region> { <urn:r:1> p:name ?n } } ;
+    INSERT DATA { GRAPH <urn:g:region> { <urn:r:9> p:name "NEWLAND" } } ;
+    DELETE { GRAPH <urn:g:region> { ?r p:name ?n } }
+    INSERT { GRAPH <urn:g:region> { ?r <urn:p:name2> ?n } }
+    WHERE { GRAPH <urn:g:region> { ?r p:name ?n . FILTER(STRSTARTS(?n, "A")) } }
+    """
+    out = execute_update(upd, triples_view(spark, sf))
+    return out.filter(F.col("graph") == "urn:g:region").select(
+        F.col("s_lex").alias("s"), F.col("pred").alias("p"), F.col("o_lex").alias("o")
+    )
+
+
+SQL_SPARQL_UPDATE = f"""
+SELECT 'urn:r:'||r_regionkey AS s, '{RDF_TYPE}' AS p, 'urn:c:Region' AS o FROM region
+UNION ALL
+SELECT 'urn:r:'||r_regionkey,
+       CASE WHEN r_name LIKE 'A%' THEN 'urn:p:name2' ELSE 'urn:p:name' END, r_name
+FROM region WHERE r_regionkey <> 1
+UNION ALL
+SELECT 'urn:r:9', 'urn:p:name', 'NEWLAND'
+"""
+
+QUERIES["sparql_update"] = (q_sparql_update, SQL_SPARQL_UPDATE)
+
+
 def q_graph_addrem(spark, sf):
     """Graph mutators (rdf_graph.ml :: add_triple / rem_triple, set
     semantics): add one new + one duplicate triple to the region graph,

@@ -75,3 +75,49 @@ def test_ask_formats():
     root = ET.fromstring(to_ask_xml(True))
     ns = {"s": "http://www.w3.org/2005/sparql-results#"}
     assert root.find("s:boolean", ns).text == "true"
+
+
+def test_sparql_csv_golden(solutions):
+    from ocaml_rdf_spark.results import to_sparql_csv
+
+    csv = to_sparql_csv(solutions)
+    lines = csv.split("\r\n")
+    assert lines[0] in ("r,rname", "rname,r")
+    assert len([l for l in lines if l]) == 6  # header + 5 rows
+    assert any("ASIA" in l for l in lines[1:])
+
+
+def test_sparql_tsv_roundtrip(solutions):
+    """TSV is the lossless text format: serialize → parse → identical
+    (kind, lex, dtype, lang) tuples, unbound cells stay unbound."""
+    from ocaml_rdf_spark.results import parse_sparql_tsv, to_sparql_tsv
+
+    tsv = to_sparql_tsv(solutions)
+    vars_, rows = parse_sparql_tsv(tsv)
+    assert set(vars_) == {"r", "rname"}
+    got = {
+        (row["r"], row["rname"]) for row in rows
+    }
+    want = set()
+    for r in solutions.collect():
+        want.add(
+            (
+                (0, r["r"]["lex"], None, None),
+                (2, r["rname"]["lex"], r["rname"]["dtype"], None),
+            )
+        )
+    assert got == want
+
+
+def test_sparql_tsv_term_syntax():
+    from ocaml_rdf_spark.results import parse_sparql_tsv
+
+    tsv = '?a\t?b\n<urn:x>\t"v"@en\n_:b0\t"3"^^<http://www.w3.org/2001/XMLSchema#integer>\n"tab\\there"\t\n'
+    vars_, rows = parse_sparql_tsv(tsv)
+    assert vars_ == ["a", "b"]
+    assert rows[0]["a"] == (0, "urn:x", None, None)
+    assert rows[0]["b"] == (2, "v", "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString", "en")
+    assert rows[1]["a"] == (1, "b0", None, None)
+    assert rows[1]["b"] == (2, "3", "http://www.w3.org/2001/XMLSchema#integer", None)
+    assert rows[2]["a"] == (2, "tab\there", "http://www.w3.org/2001/XMLSchema#string", None)
+    assert "b" not in rows[2]

@@ -1,0 +1,130 @@
+"""SPARQL 1.1 UPDATE over the functional quad store (sparql.execute_update).
+
+Engine addition: the fork-era reference is query-only (SURVEY §8), so these
+tests encode the W3C SPARQL 1.1 Update semantics directly — INSERT DATA is
+a set insert, DELETE DATA removes exactly the named triple (null-safe on
+dtype/lang like Graph.rem_triple), DELETE/INSERT WHERE computes both
+template sets against the pre-update store, CLEAR slices by graph.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ocaml_rdf_spark.graph import Graph
+from ocaml_rdf_spark.sparql import execute_update
+from ocaml_rdf_spark.types import DEFAULT_GRAPH, Iri, Literal
+
+
+EX = "http://ex.org/"
+
+
+@pytest.fixture(scope="module")
+def g(spark):
+    triples = [
+        (Iri(EX + "a"), Iri(EX + "name"), Literal("Alice")),
+        (Iri(EX + "a"), Iri(EX + "age"), Literal("30", dtype="http://www.w3.org/2001/XMLSchema#integer")),
+        (Iri(EX + "b"), Iri(EX + "name"), Literal("Bob")),
+        (Iri(EX + "b"), Iri(EX + "name"), Literal("Bob", lang="en")),
+    ]
+    return Graph.from_triples(spark, triples, name=DEFAULT_GRAPH)
+
+
+def _spo(df):
+    return {
+        (r["s_lex"], r["pred"], r["o_lex"], r["o_dtype"], r["o_lang"], r["graph"])
+        for r in df.select("s_lex", "pred", "o_lex", "o_dtype", "o_lang", "graph").collect()
+    }
+
+
+def test_insert_data_set_semantics(g):
+    out = execute_update(
+        f'INSERT DATA {{ <{EX}c> <{EX}name> "Carol" . <{EX}a> <{EX}name> "Alice" }}',
+        g.df,
+    )
+    rows = _spo(out)
+    assert (EX + "c", EX + "name", "Carol", "http://www.w3.org/2001/XMLSchema#string", None, DEFAULT_GRAPH) in rows
+    # duplicate insert is a no-op (set semantics)
+    assert len(rows) == 5
+
+
+def test_delete_data_null_safe_twins(g):
+    # removing the lang-tagged "Bob"@en must NOT remove plain "Bob"
+    out = execute_update(f'DELETE DATA {{ <{EX}b> <{EX}name> "Bob"@en }}', g.df)
+    rows = _spo(out)
+    lexes = {(r[0], r[2], r[4]) for r in rows}
+    assert (EX + "b", "Bob", None) in lexes
+    assert (EX + "b", "Bob", "en") not in lexes
+    assert len(rows) == 3
+
+
+def test_delete_where(g):
+    out = execute_update(f"DELETE WHERE {{ ?s <{EX}name> ?n }}", g.df)
+    rows = _spo(out)
+    assert len(rows) == 1  # only the age triple survives
+    assert next(iter(rows))[1] == EX + "age"
+
+
+def test_delete_insert_where(g):
+    out = execute_update(
+        f"""
+        DELETE {{ ?s <{EX}name> ?n }}
+        INSERT {{ ?s <{EX}label> ?n }}
+        WHERE {{ ?s <{EX}name> ?n . FILTER(LANG(?n) = "") }}
+        """,
+        g.df,
+    )
+    rows = _spo(out)
+    preds = sorted(r[1] for r in rows)
+    # plain-literal names renamed to label; "Bob"@en untouched
+    assert preds == [EX + "age", EX + "label", EX + "label", EX + "name"]
+
+
+def test_insert_graph_template_and_clear(g):
+    upd = f"""
+    INSERT {{ GRAPH <urn:g:copy> {{ ?s <{EX}name> ?n }} }}
+    WHERE {{ ?s <{EX}name> ?n }} ;
+    CLEAR DEFAULT
+    """
+    out = execute_update(upd, g.df)
+    rows = _spo(out)
+    assert rows and all(r[5] == "urn:g:copy" for r in rows)
+    assert len(rows) == 3
+
+
+def test_clear_graph_and_all(g):
+    out = execute_update("CLEAR GRAPH <urn:g:nope>", g.df)
+    assert out.count() == 4  # clearing an absent graph removes nothing
+    out = execute_update("CLEAR ALL", g.df)
+    assert out.count() == 0
+
+
+def test_with_graph_routing(g, spark):
+    out = execute_update(
+        f'WITH <urn:g:w> INSERT DATA {{ <{EX}x> <{EX}p> "v" }}', g.df
+    )
+    assert out.filter(out.graph == "urn:g:w").count() == 1
+
+
+def test_sequence_of_operations(g):
+    out = execute_update(
+        f"""
+        INSERT DATA {{ <{EX}c> <{EX}name> "Carol" }} ;
+        DELETE WHERE {{ <{EX}a> ?p ?o }} ;
+        CREATE GRAPH <urn:g:new>
+        """,
+        g.df,
+    )
+    rows = _spo(out)
+    assert not any(r[0] == EX + "a" for r in rows)
+    assert any(r[0] == EX + "c" for r in rows)
+
+
+def test_vars_in_data_rejected(g):
+    with pytest.raises(SyntaxError):
+        execute_update(f"INSERT DATA {{ ?s <{EX}p> 1 }}", g.df)
+
+
+def test_empty_update_rejected(g):
+    with pytest.raises(SyntaxError):
+        execute_update("", g.df)

@@ -95,3 +95,50 @@ def test_stream_windowed_counts_matches_batch(spark, tmp_path):
     closed = {k: v for k, v in want.items() if (k[0] + 1) * 3600 <= max_ts}
     assert got == closed or got == want  # ⊇ closed if Spark finalizes all on drain
     assert all(got[k] == want[k] for k in got)
+
+
+def test_stream_sessionize_matches_batch_closed_sessions(spark, tmp_path):
+    """applyInPandasWithState sessionization parity: draining a static
+    events directory emits exactly the CLOSED sessions (a later event
+    proved the gap passed); each user's final session stays in state
+    awaiting the timeout. Batch reference: operators.events.sessionize's
+    per-session aggregate minus each user's last session."""
+    from ocaml_rdf_spark.operators.events import sessionize
+    from ocaml_rdf_spark.streaming import stream_sessionize
+
+    inp = str(tmp_path / "events_s")
+    out = str(tmp_path / "sessions")
+    ckpt = str(tmp_path / "ckpt_sess")
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src.coalesce(1).write.parquet(inp)
+
+    sdf = stream_sessionize(spark, inp, gap_minutes=30)
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["user_id"], r["session_idx"]): (r["start_us"], r["end_us"], r["n_events"])
+        for r in spark.read.parquet(out).collect()
+    }
+
+    s = sessionize(src, 30).withColumn(
+        "us", F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    )
+    agg = s.groupBy("user_id", "session_idx").agg(
+        F.min("us").alias("start_us"), F.max("us").alias("end_us"), F.count(F.lit(1)).alias("n")
+    )
+    last = agg.groupBy("user_id").agg(F.max("session_idx").alias("last_idx"))
+    closed = agg.join(last, "user_id").filter(F.col("session_idx") != F.col("last_idx"))
+    want = {
+        (r["user_id"], r["session_idx"]): (r["start_us"], r["end_us"], r["n"])
+        for r in closed.collect()
+    }
+    assert got == want
+    assert len(got) > 0
