@@ -51,14 +51,29 @@ class TriplePattern:
 
 
 class Ctx:
-    """Dataset context: the quad DataFrame + active-graph state (rdf_ds.ml)."""
+    """Dataset context: the quad DataFrame + active-graph state (rdf_ds.ml).
 
-    def __init__(self, quads: DataFrame, graph: Union[Var, str, None] = None):
+    `default_graphs` / `named_graphs` realize SPARQL dataset clauses
+    (§13.2, FROM / FROM NAMED): None = unrestricted (default graph = RDF
+    merge of all graphs; GRAPH ?g ranges over all graphs); a list
+    restricts the respective side. All restrictions compile to graph-
+    column filters on the leaf scans, so they push down and prune the
+    graph-partitioned store."""
+
+    def __init__(
+        self,
+        quads: DataFrame,
+        graph: Union[Var, str, None] = None,
+        default_graphs: Optional[list] = None,
+        named_graphs: Optional[list] = None,
+    ):
         self.quads = quads
         self.graph = graph  # None = union of all graphs (RDF merge view)
+        self.default_graphs = default_graphs
+        self.named_graphs = named_graphs
 
     def with_graph(self, g: Union[Var, str, None]) -> "Ctx":
-        return Ctx(self.quads, g)
+        return Ctx(self.quads, g, self.default_graphs, self.named_graphs)
 
 
 #: compile result: (solutions DataFrame, certainly-bound vars, maybe-bound vars)
@@ -153,7 +168,14 @@ def _scan(ctx: Ctx, tp: TriplePattern) -> CompileOut:
     df = ctx.quads
     g = tp.g if tp.g is not None else ctx.graph
     if isinstance(g, str):
-        df = df.filter(F.col("graph") == g)
+        if ctx.named_graphs is not None and g not in ctx.named_graphs:
+            df = df.filter(F.lit(False))  # GRAPH <iri> outside FROM NAMED
+        else:
+            df = df.filter(F.col("graph") == g)
+    elif isinstance(g, Var) and ctx.named_graphs is not None:
+        df = df.filter(F.col("graph").isin(*ctx.named_graphs))
+    elif g is None and ctx.default_graphs is not None:
+        df = df.filter(F.col("graph").isin(*ctx.default_graphs))
 
     s_struct = F.struct(
         F.col("s_kind").alias("kind"),

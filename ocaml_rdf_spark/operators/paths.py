@@ -48,7 +48,11 @@ class Path:
 def _base(ctx: Ctx) -> DataFrame:
     df = ctx.quads
     if isinstance(ctx.graph, str):
-        df = df.filter(F.col("graph") == ctx.graph)
+        if ctx.named_graphs is not None and ctx.graph not in ctx.named_graphs:
+            return df.filter(F.lit(False))
+        return df.filter(F.col("graph") == ctx.graph)
+    if ctx.graph is None and ctx.default_graphs is not None:
+        return df.filter(F.col("graph").isin(*ctx.default_graphs))
     return df
 
 

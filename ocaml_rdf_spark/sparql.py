@@ -115,6 +115,8 @@ class Query:
     templates: list = field(default_factory=list)  # CONSTRUCT
     describe_terms: list = field(default_factory=list)
     describe_vars: list = field(default_factory=list)
+    from_graphs: list = field(default_factory=list)     # FROM <g> (default-graph merge)
+    from_named: list = field(default_factory=list)      # FROM NAMED <g>
 
 
 class Parser:
@@ -236,6 +238,19 @@ class Parser:
 
     # -- query forms --------------------------------------------------------
 
+    def _dataset_clause(self) -> tuple[list, list]:
+        """DatasetClause* (spec §13.2): FROM iri | FROM NAMED iri."""
+        froms: list[str] = []
+        named: list[str] = []
+        while self.at_kw("from"):
+            self.next()
+            if self.at_kw("named"):
+                self.next()
+                named.append(self.parse_iri_tok(self.next()).value)
+            else:
+                froms.append(self.parse_iri_tok(self.next()).value)
+        return froms, named
+
     def parse_select(self) -> Query:
         outer_aggs = self._aggs
         self._aggs = []
@@ -268,6 +283,7 @@ class Parser:
                     break
             if not proj:
                 raise SyntaxError("empty SELECT clause")
+        froms, named = self._dataset_clause()
         if self.at_kw("where"):
             self.next()
         node = self.parse_group_graph_pattern()
@@ -287,14 +303,15 @@ class Parser:
         if offset or limit is not None:
             node = A.Slice(node, offset or 0, limit)
         self._aggs = outer_aggs
-        return Query("select", node=node, projection=proj)
+        return Query("select", node=node, projection=proj, from_graphs=froms, from_named=named)
 
     def parse_ask(self) -> Query:
         self.eat_kw("ask")
+        froms, named = self._dataset_clause()
         if self.at_kw("where"):
             self.next()
         node = self.parse_group_graph_pattern()
-        return Query("ask", node=node)
+        return Query("ask", node=node, from_graphs=froms, from_named=named)
 
     def parse_construct(self) -> Query:
         self.eat_kw("construct")
@@ -305,13 +322,14 @@ class Parser:
             raise SyntaxError("property paths not allowed in CONSTRUCT template")
         templates = [Template(tp.s, tp.p, tp.o) for tp in tps]
         self.eat_op("}")
+        froms, named = self._dataset_clause()
         if self.at_kw("where"):
             self.next()
         node = self.parse_group_graph_pattern()
         node, offset, limit = self._solution_modifiers(node, None, [])
         if offset or limit is not None:
             node = A.Slice(node, offset or 0, limit)
-        return Query("construct", node=node, templates=templates)
+        return Query("construct", node=node, templates=templates, from_graphs=froms, from_named=named)
 
     def parse_describe(self) -> Query:
         self.eat_kw("describe")
@@ -325,12 +343,13 @@ class Parser:
                 terms.append(self.parse_iri_tok(self.next()))
             else:
                 break
+        froms, named = self._dataset_clause()
         node = None
         if self.at_kw("where") or self.at_op("{"):
             if self.at_kw("where"):
                 self.next()
             node = self.parse_group_graph_pattern()
-        return Query("describe", node=node, describe_terms=terms, describe_vars=dvars)
+        return Query("describe", node=node, describe_terms=terms, describe_vars=dvars, from_graphs=froms, from_named=named)
 
     def _solution_modifiers(self, node: Node, proj, select_exprs) -> tuple:
         """GROUP BY / HAVING / ORDER / LIMIT / OFFSET per spec §18.2.4-5:
@@ -999,6 +1018,13 @@ def execute(text: str, ctx: Ctx):
     lexical strings); ASK → bool; CONSTRUCT → TRIPLES DataFrame;
     DESCRIBE → TRIPLES DataFrame."""
     q = parse_query(text)
+    if q.from_graphs or q.from_named:
+        ctx = Ctx(
+            ctx.quads,
+            ctx.graph,
+            default_graphs=q.from_graphs or None,
+            named_graphs=q.from_named or None,
+        )
     if q.form == "select":
         df, c, m = q.node.compile(ctx)
         return df

@@ -955,6 +955,42 @@ def _sparql(spark, sf, text, *cols):
     return flatten(df).select(*cols)
 
 
+def q_sparql_text_from(spark, sf):
+    """Dataset clause (§13.2): FROM <g> restricts the default graph to the
+    merge of the listed graphs — non-GRAPH patterns see only those quads."""
+    return _sparql(
+        spark, sf,
+        """SELECT ?s ?n FROM <urn:g:region> WHERE { ?s p:name ?n }""",
+        "s", "n",
+    )
+
+
+SQL_SPARQL_TEXT_FROM = """
+SELECT 'urn:r:'||r_regionkey AS s, r_name AS n FROM region
+"""
+
+
+def q_sparql_text_from_named(spark, sf):
+    """FROM NAMED: GRAPH ?g ranges over exactly the listed graphs."""
+    return _sparql(
+        spark, sf,
+        """SELECT ?g (COUNT(*) AS ?n)
+           FROM NAMED <urn:g:region> FROM NAMED <urn:g:nation>
+           WHERE { GRAPH ?g { ?s ?p ?o } } GROUP BY ?g""",
+        "g", "n",
+    )
+
+
+SQL_SPARQL_TEXT_FROM_NAMED = """
+SELECT 'urn:g:region' AS g, CAST(COUNT(*) * 2 AS VARCHAR) AS n FROM region
+UNION ALL
+SELECT 'urn:g:nation', CAST(COUNT(*) * 3 AS VARCHAR) FROM nation
+"""
+
+QUERIES["sparql_text_from"] = (q_sparql_text_from, SQL_SPARQL_TEXT_FROM)
+QUERIES["sparql_text_from_named"] = (q_sparql_text_from_named, SQL_SPARQL_TEXT_FROM_NAMED)
+
+
 def q_sparql_text_bgp(spark, sf):
     """Textual SPARQL end-to-end: lex→parse→algebra→DataFrame (EP1)."""
     return _sparql(
