@@ -1078,6 +1078,8 @@ class UpdateOp:
     node: Optional[Node] = None
     target: Optional[str] = None                          # clear: 'default'|'named'|'all'|iri
     with_graph: Optional[str] = None
+    using_graphs: list = field(default_factory=list)      # USING <g> (WHERE default graph)
+    using_named: list = field(default_factory=list)       # USING NAMED <g>
 
 
 def _mk_update_parser_methods():
@@ -1164,6 +1166,19 @@ def _mk_update_parser_methods():
     def _templates(self, quads):
         return [(Template(tp.s, tp.p, tp.o), g) for tp, g in quads]
 
+    def _using_clause(self):
+        """UsingClause* (Update spec §3.1.3 — the WHERE-side dataset;
+        when present it REPLACES the WITH graph for pattern matching)."""
+        usings, named = [], []
+        while self.at_kw("using"):
+            self.next()
+            if self.at_kw("named"):
+                self.next()
+                named.append(self.parse_iri_tok(self.next()).value)
+            else:
+                usings.append(self.parse_iri_tok(self.next()).value)
+        return usings, named
+
     def _update_op(self):
         if self.at_kw("create"):
             self.next()
@@ -1193,9 +1208,17 @@ def _mk_update_parser_methods():
                 self.next()
                 return UpdateOp("insert_data", data=self._ground(self._quad_block()), with_graph=with_graph)
             ins = self._quad_block()
+            usings, unamed = self._using_clause()
             self.eat_kw("where")
             node = self.parse_group_graph_pattern()
-            return UpdateOp("modify", insert_templates=self._templates(ins), node=node, with_graph=with_graph)
+            return UpdateOp(
+                "modify",
+                insert_templates=self._templates(ins),
+                node=node,
+                with_graph=with_graph,
+                using_graphs=usings,
+                using_named=unamed,
+            )
         if self.at_kw("delete"):
             self.next()
             if self.at_kw("data"):
@@ -1215,6 +1238,7 @@ def _mk_update_parser_methods():
             if self.at_kw("insert"):
                 self.next()
                 ins = self._quad_block()
+            usings, unamed = self._using_clause()
             self.eat_kw("where")
             node = self.parse_group_graph_pattern()
             return UpdateOp(
@@ -1223,10 +1247,13 @@ def _mk_update_parser_methods():
                 insert_templates=self._templates(ins),
                 node=node,
                 with_graph=with_graph,
+                using_graphs=usings,
+                using_named=unamed,
             )
         raise SyntaxError(f"expected update operation, got {self.peek().text!r}")
 
     Parser.parse_update = parse_update
+    Parser._using_clause = _using_clause
     Parser._update_op = _update_op
     Parser._quad_block = _quad_block
     Parser._ground = _ground
@@ -1293,8 +1320,16 @@ def execute_update(text: str, quads, default_graph: Optional[str] = None):
             continue
         # modify: one WHERE compilation feeds both template sets, both
         # evaluated against the PRE-update store (spec: delete and insert
-        # sets are computed first, then applied delete-before-insert)
-        ctx = Ctx(df, op.with_graph)
+        # sets are computed first, then applied delete-before-insert).
+        # USING overrides WITH for the WHERE side (Update spec §3.1.3).
+        if op.using_graphs or op.using_named:
+            ctx = Ctx(
+                df, None,
+                default_graphs=op.using_graphs or None,
+                named_graphs=op.using_named or None,
+            )
+        else:
+            ctx = Ctx(df, op.with_graph)
         def inst(templates):
             items = [(t, g or op.with_graph or default_graph) for t, g in templates]
             return A.instantiate_quads(items, op.node, ctx)

@@ -128,3 +128,26 @@ def test_vars_in_data_rejected(g):
 def test_empty_update_rejected(g):
     with pytest.raises(SyntaxError):
         execute_update("", g.df)
+
+
+def test_using_overrides_with_for_where(g, spark):
+    """USING <g2> makes WHERE match only g2 while templates still route to
+    the WITH graph (Update spec 3.1.3)."""
+    from ocaml_rdf_spark.sparql import execute_update
+
+    seeded = execute_update(
+        f'INSERT DATA {{ GRAPH <urn:g:src> {{ <{EX}z> <{EX}name> "Zed" }} }}', g.df
+    )
+    out = execute_update(
+        f"""
+        WITH <urn:g:dst>
+        INSERT {{ ?s <{EX}label> ?n }}
+        USING <urn:g:src>
+        WHERE {{ ?s <{EX}name> ?n }}
+        """,
+        seeded,
+    )
+    added = out.filter(out.graph == "urn:g:dst")
+    rows = {(r["s_lex"], r["pred"], r["o_lex"]) for r in added.collect()}
+    # only the urn:g:src triple matched WHERE (not the 4 default-graph ones)
+    assert rows == {(EX + "z", EX + "label", "Zed")}
