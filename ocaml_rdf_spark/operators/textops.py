@@ -242,3 +242,47 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         F.regexp_replace(F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]", ""), r" +", " ")
     )
     return docs.select("doc_id", F.md5(norm).alias("fp"))
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    bands: int = 8,
+    band_min: int = 4,
+    jac_min: int = 60,
+    max_bucket: int = 50,
+    n: int = 3,
+) -> DataFrame:
+    """Corpus-level near-dup clustering — the composed production dedup
+    pipeline: MinHash-LSH blocking → n-gram Jaccard verification →
+    connected components → (doc_id, cluster_id, is_keeper).
+
+    cluster_id = the minimum doc_id of the near-dup component (padding the
+    ids before CC makes lexicographic component-min equal numeric min);
+    docs in no verified pair are their own singleton cluster. `is_keeper`
+    marks the canonical representative to keep.
+
+    Scale: candidate generation is the bucket-capped LSH join (never
+    all-pairs), verification is candidate-pair-bounded, and the component
+    step is O(log n) large-star/small-star rounds over the verified-pair
+    edge set — each stage is exactly the bounded shape its standalone
+    operator ships with (SURVEY §9)."""
+    from .cc import connected_components
+
+    pairs = minhash_candidates(docs, bands, max_bucket).filter(F.col("n_bands") >= band_min)
+    ver = ngram_jaccard(docs, pairs.select("doc_a", "doc_b"), n=n).filter(
+        F.col("jac_pct") >= jac_min
+    )
+
+    def pad(c: str) -> Column:
+        return F.lpad(F.col(c).cast("string"), 12, "0")
+
+    edges = ver.select(pad("doc_a").alias("src"), pad("doc_b").alias("dst"))
+    comp = connected_components(edges).select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("cluster_id"),
+    )
+    out = docs.select("doc_id").join(comp, "doc_id", "left")
+    out = out.withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")))
+    return out.withColumn(
+        "is_keeper", (F.col("cluster_id") == F.col("doc_id")).cast("long")
+    )

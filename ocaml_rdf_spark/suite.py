@@ -506,6 +506,67 @@ SELECT doc_a, doc_b, COUNT(*) AS n_bands FROM pairs GROUP BY doc_a, doc_b
 """
 
 
+def q_dedup_clusters(spark, sf):
+    """Composed corpus dedup pipeline: MinHash-LSH blocking → n-gram
+    Jaccard verify → connected components → cluster id + keeper flag per
+    document (the end-to-end near-dup dedup a training-data pipeline
+    actually runs; the DuckDB mirror computes components with a recursive
+    transitive-closure CTE)."""
+    from .operators.textops import near_dup_clusters
+
+    return near_dup_clusters(_docs(spark, sf), bands=8, band_min=4, jac_min=60)
+
+
+SQL_DEDUP_CLUSTERS = """
+WITH RECURSIVE wf AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS w FROM documents
+), wz AS (SELECT doc_id, w FROM wf WHERE w <> ''),
+b AS (SELECT doc_id, w, unnest(range(8)) AS band FROM wz),
+sig AS (SELECT doc_id, band, min(md5(band || ':' || w)) AS mh FROM b GROUP BY doc_id, band),
+sized AS (SELECT band, mh, COUNT(*) AS bsz FROM sig GROUP BY band, mh),
+small AS (SELECT sig.* FROM sig JOIN sized USING (band, mh) WHERE sized.bsz <= 50),
+bpairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.band
+  FROM small a JOIN small b ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id
+),
+cand AS (SELECT doc_a, doc_b FROM bpairs GROUP BY doc_a, doc_b HAVING COUNT(*) >= 4),
+wlist AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS ws FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS g
+  FROM wlist, unnest(range(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 3
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN grams ga ON ga.doc_id = c.doc_a
+  JOIN grams gb ON gb.doc_id = c.doc_b AND gb.g = ga.g
+  GROUP BY c.doc_a, c.doc_b
+),
+ver AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b
+  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  WHERE floor(COALESCE(i.n_inter, 0) * 100.0 /
+        (sa.n_grams + sb.n_grams - COALESCE(i.n_inter, 0))) >= 60
+),
+sym AS (SELECT doc_a AS a, doc_b AS b FROM ver UNION SELECT doc_b, doc_a FROM ver),
+closure AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT c.a, s.b FROM closure c JOIN sym s ON c.b = s.a
+),
+comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM closure GROUP BY a)
+SELECT d.doc_id,
+       COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+       CAST(CASE WHEN COALESCE(c.cluster_id, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
+FROM documents d LEFT JOIN comp c USING (doc_id)
+"""
+
+
 def q_dedup_simhash(spark, sf):
     from .operators.textops import simhash16
 
@@ -920,6 +981,7 @@ QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "quality": (q_quality, SQL_QUALITY),
