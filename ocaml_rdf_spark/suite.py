@@ -732,15 +732,72 @@ ORDER BY sim_x1e4 DESC, vec_id ASC LIMIT 10
 """
 
 
+#: deterministic md5 sign-hyperplane bucket ids, DuckDB side (bits=4,
+#: dim=64 — mirrors operators/ann.py :: lsh_bucket; list_dot_product is the
+#: same left-to-right double summation as Spark's F.aggregate fold)
+BUCKET_CTE = """WITH planes AS (
+  SELECT p, list(CASE WHEN (instr('0123456789abcdef', substr(md5(p || ':' || d), 1, 1)) - 1) % 2 = 1
+                      THEN 1.0 ELSE -1.0 END ORDER BY d) AS wl
+  FROM unnest(range(4)) t(p), unnest(range(64)) u(d)
+  GROUP BY p
+),
+signs AS (
+  SELECT e.vec_id, pl.p,
+         CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), pl.wl) >= 0 THEN 1 ELSE 0 END AS s
+  FROM embeddings e, planes pl
+),
+buckets AS (
+  SELECT vec_id, CAST(SUM(s * CAST(pow(2, 3 - p) AS BIGINT)) AS BIGINT) AS bucket
+  FROM signs GROUP BY vec_id
+)"""
+
+
 def q_ann_lsh(spark, sf):
-    """Rows-only: LSH-bucketed approximate neighbors (scale path)."""
+    """LSH-bucketed approximate neighbors (scale path). The DuckDB mirror
+    recomputes the deterministic md5 sign-hyperplane buckets with
+    list_dot_product (same left-to-right double summation — verified
+    bit-identical bucket ids across engines at sf0.01)."""
     from .operators.ann import lsh_topk
 
     return lsh_topk(_embs(spark, sf), query_id=0, k=10, bits=4, dim=64)
 
 
+SQL_ANN_LSH = BUCKET_CTE + """,
+q AS (SELECT b.bucket AS qb, CAST(e.embedding AS DOUBLE[]) AS qe
+      FROM buckets b JOIN embeddings e USING (vec_id) WHERE b.vec_id = 0)
+SELECT e.vec_id,
+       CAST(round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) * 10000) AS BIGINT) AS sim_x1e4
+FROM embeddings e JOIN buckets b USING (vec_id), q
+WHERE e.vec_id <> 0 AND b.bucket = q.qb
+ORDER BY sim_x1e4 DESC, e.vec_id ASC LIMIT 10
+"""
+
+
+SQL_ANN_IVF = """
+WITH comps AS (
+  SELECT vec_id, vec_id % 8 AS sc, d, CAST(embedding[d+1] AS DOUBLE) AS v
+  FROM embeddings, unnest(range(64)) t(d)
+),
+cent AS (SELECT sc, d, AVG(v) AS c FROM comps GROUP BY sc, d),
+cent_l AS (SELECT sc, list(c ORDER BY d) AS centroid FROM cent GROUP BY sc),
+sims AS (
+  SELECT e.vec_id, c.sc,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.centroid) AS sim
+  FROM embeddings e, cent_l c
+),
+best AS (
+  SELECT vec_id, sc, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, sc ASC) AS rn
+  FROM sims
+)
+SELECT sc AS cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM best WHERE rn = 1 GROUP BY sc ORDER BY cluster
+"""
+
+
 def q_ann_ivf(spark, sf):
-    """Rows-only: IVF coarse-assignment index build — cluster sizes."""
+    """IVF coarse-assignment index build — cluster sizes. Deterministic:
+    seed clusters are vec_id % n, centroids are per-dimension means, and
+    the DuckDB mirror reproduces the same argmax assignment (double math
+    agrees across engines; verified value-exact at sf0.01)."""
     from .operators.ann import knn_join_centroids
 
     return (
@@ -988,8 +1045,8 @@ QUERIES = {
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),
-    "ann_lsh": (q_ann_lsh, None),
-    "ann_ivf": (q_ann_ivf, None),
+    "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
+    "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
     # KG construction (north rule)
     "link_exact": (q_link_exact, SQL_LINK_EXACT),
     "link_fuzzy": (q_link_fuzzy, None),
@@ -1481,10 +1538,23 @@ WHERE round(list_cosine_similarity(a.e, b.e) * 10000) >= 3000
 
 
 def q_dedup_embedding_lsh(spark, sf):
-    """Rows-only: LSH-bucketed near-dup (the 10^12-vector path)."""
+    """LSH-bucketed embedding near-dup (the 10^12-vector path); DuckDB
+    mirror recomputes buckets + bucket-local pair cosines."""
     from .operators.ann import near_dup_pairs_lsh
 
     return near_dup_pairs_lsh(_embs(spark, sf), threshold_x1e4=3000, bits=4, dim=64)
+
+
+SQL_DEDUP_EMBEDDING_LSH = BUCKET_CTE + """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                         CAST(eb.embedding AS DOUBLE[])) * 10000) AS BIGINT) AS sim_x1e4
+FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+JOIN embeddings ea ON ea.vec_id = a.vec_id
+JOIN embeddings eb ON eb.vec_id = b.vec_id
+WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                   CAST(eb.embedding AS DOUBLE[])) * 10000) >= 3000
+"""
 
 
 def q_events_window(spark, sf):
@@ -1550,7 +1620,7 @@ QUERIES.update(
         "builtins_cond": (q_builtins_cond, SQL_BUILTINS_COND),
         "builtins_term": (q_builtins_term, SQL_BUILTINS_TERM),
         "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
-        "dedup_embedding_lsh": (q_dedup_embedding_lsh, None),
+        "dedup_embedding_lsh": (q_dedup_embedding_lsh, SQL_DEDUP_EMBEDDING_LSH),
         "events_window": (q_events_window, SQL_EVENTS_WINDOW),
         "events_session": (q_events_session, SQL_EVENTS_SESSION),
     }
