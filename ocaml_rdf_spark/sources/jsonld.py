@@ -6,7 +6,8 @@ the dominant structured-data carrier on the modern web.
 
 Supported: @context (prefix maps, @vocab, term→IRI, {"@id":..,"@type":"@id"}
 coercions), @id, @type (string or list), @graph, @value/@language/@type
-literals, nested node objects (→ linked bnodes), arrays, plain
+literals, @list (→ rdf:first/rest/nil chain, same desugaring as Turtle
+collections), nested node objects (→ linked bnodes), arrays, plain
 string/number/bool values, relative-IRI resolution against the page URL.
 Unsupported keywords are skipped, never fatal (web JSON-LD is dirty; an
 extractor that throws on 10^12 documents is useless — errors surface as
@@ -19,7 +20,19 @@ import json
 import re
 from typing import Any
 
-from ..types import RDF_TYPE, XSD_BOOLEAN, XSD_DOUBLE, XSD_INTEGER, BNode, Iri, Literal, Term
+from ..types import (
+    RDF_FIRST,
+    RDF_NIL,
+    RDF_REST,
+    RDF_TYPE,
+    XSD_BOOLEAN,
+    XSD_DOUBLE,
+    XSD_INTEGER,
+    BNode,
+    Iri,
+    Literal,
+    Term,
+)
 from .iri import is_absolute, resolve
 
 _KEYWORDS = frozenset(
@@ -174,11 +187,19 @@ class JsonLdExtractor:
             if "@value" in v:
                 return self._value_object(v, ctx)
             if "@list" in v:
-                # rare on the web; flatten to repeated values (documented deviation)
-                items = v["@list"]
-                if isinstance(items, list) and items:
-                    return self._to_object(items[0], ctx, coercion)
-                return None
+                # RDF list mapping: rdf:first/rest chain ending in rdf:nil
+                # (same desugaring as Turtle collections)
+                items = v["@list"] if isinstance(v["@list"], list) else [v["@list"]]
+                objs = [self._to_object(i, ctx, coercion) for i in items]
+                objs = [o for o in objs if o is not None]
+                if not objs:
+                    return Iri(RDF_NIL)
+                cells = [self.fresh_bnode() for _ in objs]
+                for i, o in enumerate(objs):
+                    self.triples.append((cells[i], Iri(RDF_FIRST), o))
+                    rest: Term = cells[i + 1] if i + 1 < len(cells) else Iri(RDF_NIL)
+                    self.triples.append((cells[i], Iri(RDF_REST), rest))
+                return cells[0]
             return self._node(v, ctx)
         if isinstance(v, bool):
             return Literal("true" if v else "false", dtype=XSD_BOOLEAN)

@@ -126,3 +126,23 @@ def test_text_extraction_rules():
 def test_text_extraction_deterministic():
     html = "<p>a</p><p>b</p>" * 100
     assert extract_text(html) == extract_text(html) == "\n".join(["a", "b"] * 100)
+
+
+def test_jsonld_list_chain():
+    """@list maps to an rdf:first/rest/nil chain (JSON-LD → RDF list
+    semantics, same desugaring as Turtle collections)."""
+    from ocaml_rdf_spark.sources.jsonld import extract_jsonld
+    from ocaml_rdf_spark.types import RDF_FIRST, RDF_NIL, RDF_REST, BNode, Iri, Literal
+
+    doc = '{"@context": {"ex": "http://e/"}, "@id": "http://e/s", "ex:steps": {"@list": ["a", "b"]}}'
+    ts = extract_jsonld(doc, base="http://b/")
+    firsts = [(s, o) for s, p, o in ts if p.value == RDF_FIRST]
+    rests = [(s, o) for s, p, o in ts if p.value == RDF_REST]
+    assert [o.lexical for _, o in firsts] == ["a", "b"]
+    assert rests[-1][1] == Iri(RDF_NIL)
+    # the subject property points at the chain head
+    head = [o for s, p, o in ts if p.value == "http://e/steps"]
+    assert head == [firsts[0][0]]
+    # empty list → rdf:nil directly
+    ts2 = extract_jsonld('{"@id": "http://e/s", "http://e/p": {"@list": []}}', base=None)
+    assert ts2 == [(Iri("http://e/s"), Iri("http://e/p"), Iri(RDF_NIL))]
