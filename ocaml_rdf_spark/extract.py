@@ -38,7 +38,7 @@ from .types import TRIPLE_KEY, TRIPLES_COLUMNS, TRIPLES_SCHEMA, BNode, Iri, Term
 
 ERROR_PRED = "urn:x-ords:error"
 
-EXTRACTORS = ("jsonld", "rdfa", "microdata", "turtle", "ntriples", "rdfxml")
+EXTRACTORS = ("jsonld", "rdfa", "microdata", "turtle", "trig", "ntriples", "rdfxml")
 
 
 def _global_bnode(term: Term, url: str, ext: str) -> Term:
@@ -87,6 +87,28 @@ def extract_page(url: str, html_bytes: bytes) -> tuple[list[tuple], list[tuple]]
                 emit(TurtleParser(raw, base=url).parse(), "turtle")
             except Exception as e:
                 err("turtle", e)
+        elif tag == "script" and btype == "application/trig":
+            # TriG carries its own graph labels: named-graph quads keep
+            # their label in the graph column; default-graph quads use the
+            # page url like every other extractor
+            try:
+                from .sources.trig import parse_trig
+                from .types import BNode as _B, Iri as _I
+
+                for s, p, o, g in parse_trig(raw, base=url):
+                    s2, o2 = _global_bnode(s, url, "trig"), _global_bnode(o, url, "trig")
+                    if isinstance(g, _B):
+                        gname = "_:" + _global_bnode(g, url, "trig").label
+                    elif isinstance(g, _I):
+                        gname = g.value
+                    else:
+                        gname = url
+                    try:
+                        rows.append(triple_row(s2, p, o2, graph=gname, src_url=url, extractor="trig"))
+                    except ValueError:
+                        pass
+            except Exception as e:
+                err("trig", e)
         elif tag == "script" and btype == "application/rdf+xml":
             # NOTE: no html-unescape — XML carries its own entities
             try:

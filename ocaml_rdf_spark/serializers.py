@@ -175,3 +175,35 @@ def to_rdfxml(df: DataFrame, namespaces: dict[str, str] | None = None) -> str:
         out.append("  </rdf:Description>")
     out.append("</rdf:RDF>")
     return "\n".join(out) + "\n"
+
+
+def to_trig(df: DataFrame, default_graph: str | None = None) -> str:
+    """Quad DataFrame → TriG string: one `<graph> { ... }` block per named
+    graph (rows whose graph equals `default_graph` emit as bare default-
+    graph statements). DRIVER-SIDE assembly like to_turtle — debug/result
+    graphs; the 100 TB store serializes line-parallel N-Quads instead."""
+    from .types import DEFAULT_GRAPH
+
+    default_graph = default_graph or DEFAULT_GRAPH
+    lines_df = df.select(
+        F.col("graph"),
+        F.concat_ws(
+            " ",
+            term_nt(F.col("s_kind"), F.col("s_lex")),
+            F.concat(F.lit("<"), F.col("pred"), F.lit(">")),
+            term_nt(F.col("o_kind"), F.col("o_lex"), F.col("o_dtype"), F.col("o_lang")),
+            F.lit("."),
+        ).alias("line"),
+    )
+    by_graph: dict[str, list[str]] = {}
+    for r in lines_df.collect():
+        by_graph.setdefault(r["graph"], []).append(r["line"])
+    out: list[str] = []
+    for g in sorted(by_graph):
+        if g == default_graph:
+            out.extend(sorted(by_graph[g]))
+        else:
+            out.append(f"<{g}> {{")
+            out.extend(f"  {l}" for l in sorted(by_graph[g]))
+            out.append("}")
+    return "\n".join(out) + "\n"
