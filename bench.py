@@ -85,6 +85,7 @@ def main() -> None:
         "path_plus",
         "dedup_exact",
         "dedup_minhash",
+        "dedup_clusters",
         "ann_cosine",
         "cc_components",
         "canonicalize",
@@ -93,6 +94,7 @@ def main() -> None:
         "bcast_join",
         "events_session",
         "sparql_text_bgp",
+        "sparql_update",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]
