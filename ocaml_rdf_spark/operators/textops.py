@@ -108,7 +108,18 @@ def minhash_candidates(docs: DataFrame, bands: int = 8, max_bucket: int = 50) ->
 
 def ngram_jaccard(docs: DataFrame, pairs: DataFrame, n: int = 3) -> DataFrame:
     """Exact word-n-gram Jaccard for candidate pairs → (doc_a, doc_b,
-    jac_pct int 0..100). Verification stage after LSH blocking."""
+    jac_pct int 0..100). Verification stage after LSH blocking.
+
+    Grams are generated ONLY for docs that appear in a candidate pair
+    (semi-join before the explode): at web scale the candidate set is a
+    tiny fraction of the corpus, so gram generation is candidate-bounded
+    instead of corpus-wide."""
+    cand_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    docs = docs.join(cand_ids, "doc_id", "left_semi")
     w = words(F.col("text"))
     # guard: sequence(1, k) with k<1 would generate a DESCENDING sequence
     idx = F.when(F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))).otherwise(
