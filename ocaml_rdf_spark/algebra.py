@@ -684,19 +684,52 @@ class Template:
     o: Position
 
 
+
+def _solution_fingerprint(vm: dict) -> Column:
+    """Deterministic per-solution id for CONSTRUCT/UPDATE template bnodes
+    (spec §16.2.1: template bnodes are FRESH per solution; the same label
+    within one solution's instantiation co-refers). sha1 over every
+    binding's full term; duplicate solutions collapse, which is harmless
+    because the output is set-deduped."""
+    parts = []
+    for v in sorted(vm):
+        t = vm[v]
+        parts.append(
+            F.coalesce(
+                F.concat_ws(
+                    "\x1e",
+                    t["kind"].cast("string"), t["lex"],
+                    F.coalesce(t["dtype"], F.lit("")), F.coalesce(t["lang"], F.lit("")),
+                ),
+                F.lit(""),
+            )
+        )
+    return F.sha1(F.concat_ws("\x1f", F.lit("s"), *parts))
+
+
+def _template_col(x: Position, vm: dict, sid: Column) -> Column:
+    """Template slot → term Column: vars bind, bnodes mint per-solution
+    labels (label ∥ solution-fingerprint), constants inline."""
+    from .types import BNode as _BNode
+
+    if isinstance(x, Var):
+        return vm[x.name]
+    if isinstance(x, _BNode):
+        from .functions.terms import t_bnode
+
+        return t_bnode(F.concat(F.lit(x.label + "."), F.substring(sid, 1, 16)))
+    return term_lit(x)
+
+
 def construct(templates: Sequence[Template], node: Node, ctx: Ctx, graph: str = "urn:x-ords:constructed") -> DataFrame:
     """CONSTRUCT: instantiate templates per solution, drop ill-formed
     triples, set-dedup (spec: CONSTRUCT yields a graph = triple set)."""
     df, c, m = node.compile(ctx)
     vm = _varmap(c | m)
+    sid = _solution_fingerprint(vm)
     outs = []
     for t in templates:
-        def col_of(x: Position) -> Column:
-            if isinstance(x, Var):
-                return vm[x.name]
-            return term_lit(x)
-
-        s, p, o = col_of(t.s), col_of(t.p), col_of(t.o)
+        s, p, o = _template_col(t.s, vm, sid), _template_col(t.p, vm, sid), _template_col(t.o, vm, sid)
         row = df.select(
             s["kind"].alias("s_kind"),
             s["lex"].alias("s_lex"),
@@ -734,14 +767,10 @@ def instantiate_quads(
     are dropped per spec, output is a set-semantics TRIPLES DataFrame."""
     df, c, m = node.compile(ctx)
     vm = _varmap(c | m)
+    sid = _solution_fingerprint(vm)
     outs = []
     for t, graph in items:
-        def col_of(x: Position) -> Column:
-            if isinstance(x, Var):
-                return vm[x.name]
-            return term_lit(x)
-
-        s, p, o = col_of(t.s), col_of(t.p), col_of(t.o)
+        s, p, o = _template_col(t.s, vm, sid), _template_col(t.p, vm, sid), _template_col(t.o, vm, sid)
         row = df.select(
             s["kind"].alias("s_kind"),
             s["lex"].alias("s_lex"),
