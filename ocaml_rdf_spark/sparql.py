@@ -315,6 +315,22 @@ class Parser:
 
     def parse_construct(self) -> Query:
         self.eat_kw("construct")
+        if self.at_kw("where") or self.at_kw("from"):
+            # CONSTRUCT WHERE { tp* } shorthand (§16.2.4): the pattern IS
+            # the template; spec restricts the pattern to a plain BGP
+            froms, named = self._dataset_clause()
+            self.eat_kw("where")
+            self.eat_op("{")
+            tps, paths = self._triples_block(allow_paths=False)
+            if paths:
+                raise SyntaxError("CONSTRUCT WHERE allows only triple patterns")
+            self.eat_op("}")
+            templates = [Template(tp.s, tp.p, tp.o) for tp in tps]
+            node = A.BGP(tps)
+            node, offset, limit = self._solution_modifiers(node, None, [])
+            if offset or limit is not None:
+                node = A.Slice(node, offset or 0, limit)
+            return Query("construct", node=node, templates=templates, from_graphs=froms, from_named=named)
         self.eat_op("{")
         templates: list[Template] = []
         tps, paths = self._triples_block(allow_paths=False)
