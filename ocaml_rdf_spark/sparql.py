@@ -62,6 +62,19 @@ _KEYWORDS = {
 
 _AGG_KEYWORDS = {"count", "sum", "avg", "min", "max", "sample", "group_concat"}
 
+#: keywords that may start a bare-function ORDER BY condition (§18 grammar:
+#: OrderCondition ::= ... | Constraint); excludes solution-modifier words
+_ORDER_FN_KWS = _AGG_KEYWORDS | {
+    "bound", "if", "coalesce", "sameterm", "isiri", "isuri", "isblank",
+    "isliteral", "isnumeric", "str", "lang", "datatype", "strlen", "ucase",
+    "lcase", "strstarts", "strends", "contains", "strbefore", "strafter",
+    "encode_for_uri", "concat", "langmatches", "abs", "ceil", "floor",
+    "round", "year", "month", "day", "hours", "minutes", "seconds", "tz",
+    "timezone", "md5", "sha1", "sha256", "sha384", "sha512", "rand", "now",
+    "uuid", "struuid", "bnode", "iri", "uri", "substr", "replace", "regex",
+    "strdt", "strlang",
+}
+
 
 @dataclass
 class Tok:
@@ -417,6 +430,11 @@ class Parser:
                     self.next()
                     order.append((self.parse_expr(), True))
                     self.eat_op(")")
+                elif self.peek().kind == "KW" and self.peek().text.lower() in _ORDER_FN_KWS:
+                    # bare BuiltInCall order condition, e.g. ORDER BY STR(?x)
+                    # or ORDER BY COUNT(*) (aggregate: routed through the
+                    # same __aggN synthesis as SELECT expressions)
+                    order.append((self._function_call(), True))
                 else:
                     break
         for _ in range(2):
