@@ -406,6 +406,13 @@ class Parser:
                     self.eat_op(")")
                     pre_extends.append((v, e))
                     group_by.append(v)
+                elif t.kind == "KW" and t.text.lower() in _ORDER_FN_KWS and t.text.lower() not in _AGG_KEYWORDS:
+                    # GroupCondition ::= BuiltInCall — anonymous key bound
+                    # to an internal var (spec: the key is not projectable)
+                    e = self._function_call()
+                    v = f"__gk{len(group_by)}"
+                    pre_extends.append((v, e))
+                    group_by.append(v)
                 else:
                     break
         if self.at_kw("having"):
