@@ -151,3 +151,42 @@ def test_using_overrides_with_for_where(g, spark):
     rows = {(r["s_lex"], r["pred"], r["o_lex"]) for r in added.collect()}
     # only the urn:g:src triple matched WHERE (not the 4 default-graph ones)
     assert rows == {(EX + "z", EX + "label", "Zed")}
+
+
+def test_update_model_based_random_sequences(g, spark):
+    """Model-based check: random INSERT DATA / DELETE DATA / DELETE WHERE
+    sequences applied both to the DataFrame executor and to a pure-Python
+    quad-set model must agree exactly (set semantics end-to-end)."""
+    import random
+
+    from ocaml_rdf_spark.types import DEFAULT_GRAPH
+
+    rng = random.Random(20260817)
+    subs = [f"{EX}s{i}" for i in range(4)]
+    preds = [f"{EX}p{i}" for i in range(3)]
+
+    def lit(i):
+        return f'"v{i}"'
+
+    # model: set of (s, p, lex)
+    model = set()
+    ops = []
+    for _ in range(12):
+        kind = rng.choice(["ins", "del", "delw"])
+        s, p, i = rng.choice(subs), rng.choice(preds), rng.randrange(4)
+        if kind == "ins":
+            ops.append(f"INSERT DATA {{ <{s}> <{p}> {lit(i)} }}")
+            model.add((s, p, f"v{i}"))
+        elif kind == "del":
+            ops.append(f"DELETE DATA {{ <{s}> <{p}> {lit(i)} }}")
+            model.discard((s, p, f"v{i}"))
+        else:
+            ops.append(f"DELETE WHERE {{ <{s}> <{p}> ?o }}")
+            model = {t for t in model if not (t[0] == s and t[1] == p)}
+
+    from ocaml_rdf_spark.graph import Graph
+
+    empty = Graph.empty(spark)
+    out = execute_update(" ;\n".join(ops), empty.df)
+    got = {(r["s_lex"], r["pred"], r["o_lex"]) for r in out.collect()}
+    assert got == model, f"\nops:\n" + "\n".join(ops)
