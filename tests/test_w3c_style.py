@@ -86,7 +86,7 @@ def load_manifest() -> list[dict]:
 MANIFEST = load_manifest()
 EVAL_CASES = [c for c in MANIFEST if not c.get("negative")]
 NEG_CASES = [c for c in MANIFEST if c.get("negative")]
-assert len(EVAL_CASES) == 41 and len(NEG_CASES) == 8, (
+assert len(EVAL_CASES) == 44 and len(NEG_CASES) == 8, (
     f"manifest parse found {len(EVAL_CASES)} eval / {len(NEG_CASES)} negative"
 )
 
