@@ -161,6 +161,12 @@ def _bound_filters(pos: str, t: Term) -> list[Column]:
     return conds
 
 
+def _graph_in(graphs: list) -> Column:
+    """Graph-restriction predicate; [] = match nothing (a dataset clause
+    replaced this side of the dataset with the empty set, §13.2)."""
+    return F.col("graph").isin(*graphs) if graphs else F.lit(False)
+
+
 def _scan(ctx: Ctx, tp: TriplePattern) -> CompileOut:
     """One triple-pattern scan: bound positions become pushed filters,
     var positions become TERM_STRUCT columns (rdf_sparql_eval.ml ::
@@ -173,9 +179,9 @@ def _scan(ctx: Ctx, tp: TriplePattern) -> CompileOut:
         else:
             df = df.filter(F.col("graph") == g)
     elif isinstance(g, Var) and ctx.named_graphs is not None:
-        df = df.filter(F.col("graph").isin(*ctx.named_graphs))
+        df = df.filter(_graph_in(ctx.named_graphs))
     elif g is None and ctx.default_graphs is not None:
-        df = df.filter(F.col("graph").isin(*ctx.default_graphs))
+        df = df.filter(_graph_in(ctx.default_graphs))
 
     s_struct = F.struct(
         F.col("s_kind").alias("kind"),
@@ -685,7 +691,7 @@ class Template:
 
 
 
-def _solution_fingerprint(vm: dict) -> Column:
+def _solution_fingerprint(vm: dict, nonce: Optional[str] = None) -> Column:
     """Deterministic per-solution id for CONSTRUCT/UPDATE template bnodes
     (spec §16.2.1: template bnodes are FRESH per solution; the same label
     within one solution's instantiation co-refers). sha1 over every
@@ -704,7 +710,7 @@ def _solution_fingerprint(vm: dict) -> Column:
                 F.lit(""),
             )
         )
-    return F.sha1(F.concat_ws("\x1f", F.lit("s"), *parts))
+    return F.sha1(F.concat_ws("\x1f", F.lit(nonce or "s"), *parts))
 
 
 def _template_col(x: Position, vm: dict, sid: Column) -> Column:
@@ -759,15 +765,20 @@ def construct(templates: Sequence[Template], node: Node, ctx: Ctx, graph: str = 
 
 
 def instantiate_quads(
-    items: Sequence[tuple["Template", str]], node: Node, ctx: Ctx, extractor: str = "update"
+    items: Sequence[tuple["Template", str]], node: Node, ctx: Ctx, extractor: str = "update",
+    nonce: Optional[str] = None,
 ) -> DataFrame:
     """Instantiate (template, graph-IRI) pairs per solution of `node` —
     the shared kernel of CONSTRUCT and SPARQL-Update DELETE/INSERT
     templates: ill-formed triples (unbound var, literal subject/predicate)
-    are dropped per spec, output is a set-semantics TRIPLES DataFrame."""
+    are dropped per spec, output is a set-semantics TRIPLES DataFrame.
+
+    `nonce` (UPDATE path) salts template-bnode fingerprints so each
+    request mints fresh bnodes (Update spec §3.1.1); CONSTRUCT omits it —
+    its output labels are arbitrary, and determinism helps the oracles."""
     df, c, m = node.compile(ctx)
     vm = _varmap(c | m)
-    sid = _solution_fingerprint(vm)
+    sid = _solution_fingerprint(vm, nonce=nonce)
     outs = []
     for t, graph in items:
         s, p, o = _template_col(t.s, vm, sid), _template_col(t.p, vm, sid), _template_col(t.o, vm, sid)
@@ -812,7 +823,12 @@ def describe(terms: Sequence[Term], ctx: Ctx, keys_df: Optional[DataFrame] = Non
     keys = [(term_kind(t), t.value if isinstance(t, PyIri) else getattr(t, "label", None)) for t in terms]
     kdf = spark.createDataFrame(keys, schema="s_kind tinyint, s_lex string")
     if keys_df is not None:
-        kdf = kdf.unionByName(keys_df)
-    # dropDuplicates keeps the broadcast side minimal; AQE demotes the
-    # broadcast to a shuffle hash join if the binding set is ever huge.
+        # DESCRIBE ?var: the binding set is unbounded (a large class at
+        # 100× would OOM a forced broadcast — an explicit hint is honored
+        # regardless of size). No hint: AQE/stats pick broadcast when the
+        # set is small and degrade to a shuffle hash semi join when not.
+        return ctx.quads.join(
+            kdf.unionByName(keys_df).dropDuplicates(), ["s_kind", "s_lex"], "left_semi"
+        )
+    # literal DESCRIBE <term> list: bounded by the query text — broadcast.
     return ctx.quads.join(F.broadcast(kdf.dropDuplicates()), ["s_kind", "s_lex"], "left_semi")

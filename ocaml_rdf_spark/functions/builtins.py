@@ -103,13 +103,13 @@ class E:
 
     # arithmetic (§17.4.1 operator mappings over the numeric tower)
     def __add__(self, other):
-        return _arith(self, _e(other), lambda a, b: a + b)
+        return _arith(self, _e(other), lambda a, b: a + b, dec_op=F.try_add)
 
     def __sub__(self, other):
-        return _arith(self, _e(other), lambda a, b: a - b)
+        return _arith(self, _e(other), lambda a, b: a - b, dec_op=F.try_subtract)
 
     def __mul__(self, other):
-        return _arith(self, _e(other), lambda a, b: a * b)
+        return _arith(self, _e(other), lambda a, b: a * b, dec_op=F.try_multiply)
 
     def __truediv__(self, other):
         # xsd divide: integer/integer -> decimal (never int division)
@@ -207,7 +207,7 @@ def _cmp(a: E, b: E, kernel) -> E:
     return E(lambda vm: t_bool(kernel(a(vm), b(vm))))
 
 
-def _arith(a: E, b: E, op, force_double: bool = False) -> E:
+def _arith(a: E, b: E, op, force_double: bool = False, dec_op=None) -> E:
     def fn(vm):
         from .terms import EXACT_DTYPES, dec, t_decimal, t_int_exact
 
@@ -234,10 +234,14 @@ def _arith(a: E, b: E, op, force_double: bool = False) -> E:
             & da.isNotNull()
             & db.isNotNull()
         )
-        dr = op(da, db)
+        # try_add/try_subtract/try_multiply: decimal(38,6) overflow yields
+        # NULL (plain ops THROW under ANSI, killing the job); a NULL exact
+        # result demotes to the double tier — an approximation, like the
+        # reference's float promotion, never a fatal error
+        dr = (dec_op or op)(da, db)
         return (
-            F.when(both_int, t_int_exact(dr))
-            .when(both_exact, t_decimal(dr))
+            F.when(both_int & dr.isNotNull(), t_int_exact(dr))
+            .when(both_exact & dr.isNotNull(), t_decimal(dr))
             .otherwise(t_double(r))
         )
 

@@ -164,12 +164,19 @@ EXACT_DTYPES = tuple(d for d in NUMERIC_DTYPES if d not in (XSD_DOUBLE, _XSD_FLO
 DEC_T = "decimal(38,6)"
 
 
+#: lexical does NOT round-trip through decimal(38,6): a nonzero digit past
+#: the 6th fractional place (Spark's cast ROUNDS rather than nulls, which
+#: would silently corrupt the "exact" tier — e.g. "0.0000001" → 0.000000)
+_INEXACT_LEX = r"\.\d{6}\d*[1-9]"
+
+
 def dec(t: Column) -> Column:
     """Exact numeric value as decimal(38,6), NULL when the term is not an
-    exact-tower literal or its lexical doesn't parse as a decimal."""
-    return F.when(t["dtype"].isin(*EXACT_DTYPES), t["lex"].try_cast(DEC_T)).otherwise(
-        F.lit(None).cast(DEC_T)
-    )
+    exact-tower literal, its lexical doesn't parse as a decimal, or the
+    lexical wouldn't round-trip at scale 6 (those fall back to the double
+    tier in _arith — approximate beats silently-rounded-but-labeled-exact)."""
+    fits = t["dtype"].isin(*EXACT_DTYPES) & ~t["lex"].rlike(_INEXACT_LEX)
+    return F.when(fits, t["lex"].try_cast(DEC_T)).otherwise(F.lit(None).cast(DEC_T))
 
 
 def dec_canon(c: Column) -> Column:

@@ -113,10 +113,25 @@ def triples_view(spark: SparkSession, sf_dir: str, materialize: bool = True) -> 
             cached = _STORE_CACHE.get(key)
             if cached is not None:
                 return cached
-            op = os.path.join(sf_dir, "orders.parquet")
-            mt = str(int(os.path.getmtime(op))) if os.path.exists(op) else "0"
-            tag = hashlib.sha1(f"{os.path.abspath(sf_dir)}|{mt}".encode()).hexdigest()[:12]
-            path = os.path.join(tempfile.gettempdir(), f"ords_pos_store_{tag}")
+            # staleness tag = fingerprint over EVERY source parquet file's
+            # (path, mtime, size) — regenerating any table invalidates the
+            # store, not just orders.parquet
+            h = hashlib.sha1(os.path.abspath(sf_dir).encode())
+            for root, _dirs, files in sorted(os.walk(sf_dir)):
+                for fn in sorted(files):
+                    if fn.endswith(".parquet") or fn == "_SUCCESS":
+                        fp = os.path.join(root, fn)
+                        st = os.stat(fp)
+                        h.update(f"|{fp}|{int(st.st_mtime)}|{st.st_size}".encode())
+            tag = h.hexdigest()[:12]
+            # per-user 0700 cache root: a shared system tempdir path is
+            # pre-creatable/poisonable by other local users
+            cache_root = os.path.join(
+                tempfile.gettempdir(), f"ords_pos_cache_{os.getuid()}"
+            )
+            os.makedirs(cache_root, mode=0o700, exist_ok=True)
+            os.chmod(cache_root, 0o700)
+            path = os.path.join(cache_root, f"store_{tag}")
             if not os.path.exists(os.path.join(path, "_SUCCESS")):
                 tmp = tempfile.mkdtemp(prefix="ords_pos_store_tmp_")
                 (

@@ -172,7 +172,14 @@ def to_sparql_csv(df: DataFrame, limit: int | None = None) -> str:
         cells = []
         for v in cols:
             t = r[v]
-            cells.append("" if t is None or t["kind"] is None else esc(t["lex"]))
+            if t is None or t["kind"] is None:
+                cells.append("")
+            elif t["kind"] == KIND_BNODE:
+                # W3C CSV results: blank nodes serialize as _:label
+                # (only IRIs and literals are written bare)
+                cells.append(esc("_:" + t["lex"]))
+            else:
+                cells.append(esc(t["lex"]))
         out.append(",".join(cells))
     return "\r\n".join(out) + "\r\n"
 

@@ -1060,11 +1060,15 @@ def execute(text: str, ctx: Ctx):
     DESCRIBE → TRIPLES DataFrame."""
     q = parse_query(text)
     if q.from_graphs or q.from_named:
+        # §13.2: any dataset clause replaces the WHOLE dataset — the
+        # unspecified side becomes EMPTY ([]), not unrestricted (None).
+        # FROM-only ⇒ GRAPH patterns match nothing; FROM NAMED-only ⇒
+        # non-GRAPH patterns see an empty default graph.
         ctx = Ctx(
             ctx.quads,
             ctx.graph,
-            default_graphs=q.from_graphs or None,
-            named_graphs=q.from_named or None,
+            default_graphs=list(q.from_graphs),
+            named_graphs=list(q.from_named),
         )
     if q.form == "select":
         df, c, m = q.node.compile(ctx)
@@ -1184,11 +1188,23 @@ def _mk_update_parser_methods():
         self.eat_op("}")
         return out
 
-    def _ground(self, quads):
+    def _ground(self, quads, forbid_bnodes=False):
         for tp, _g in quads:
             for x in (tp.s, tp.p, tp.o):
                 if isinstance(x, Var):
                     raise SyntaxError("variables not allowed in INSERT/DELETE DATA")
+                if forbid_bnodes and isinstance(x, BNode):
+                    raise SyntaxError("blank nodes not allowed in DELETE DATA")
+        return quads
+
+    def _no_bnodes(self, quads, where):
+        """Update grammar: DELETE templates / DELETE WHERE patterns must
+        not contain blank nodes (they could never match-by-label, and the
+        spec forbids them outright)."""
+        for tp, _g in quads:
+            for x in (tp.s, tp.p, tp.o):
+                if isinstance(x, BNode):
+                    raise SyntaxError(f"blank nodes not allowed in {where}")
         return quads
 
     def _quads_to_node(self, quads):
@@ -1264,17 +1280,21 @@ def _mk_update_parser_methods():
             self.next()
             if self.at_kw("data"):
                 self.next()
-                return UpdateOp("delete_data", data=self._ground(self._quad_block()), with_graph=with_graph)
+                return UpdateOp(
+                    "delete_data",
+                    data=self._ground(self._quad_block(), forbid_bnodes=True),
+                    with_graph=with_graph,
+                )
             if self.at_kw("where"):
                 self.next()
-                pat = self._quad_block()
+                pat = self._no_bnodes(self._quad_block(), "DELETE WHERE")
                 return UpdateOp(
                     "modify",
                     delete_templates=self._templates(pat),
                     node=self._quads_to_node(pat),
                     with_graph=with_graph,
                 )
-            dels = self._quad_block()
+            dels = self._no_bnodes(self._quad_block(), "DELETE templates")
             ins = []
             if self.at_kw("insert"):
                 self.next()
@@ -1298,6 +1318,7 @@ def _mk_update_parser_methods():
     Parser._update_op = _update_op
     Parser._quad_block = _quad_block
     Parser._ground = _ground
+    Parser._no_bnodes = _no_bnodes
     Parser._quads_to_node = _quads_to_node
     Parser._templates = _templates
 
@@ -1334,6 +1355,12 @@ def execute_update(text: str, quads, default_graph: Optional[str] = None):
     default_graph = default_graph or DEFAULT_GRAPH
     spark = quads.sparkSession
     ops = Parser(text).parse_update()
+    # per-request nonce: INSERT DATA / INSERT-template bnodes must be FRESH
+    # each request (re-running the same update mints new bnodes, and labels
+    # never collide with store bnodes)
+    import uuid
+
+    nonce = uuid.uuid4().hex[:12]
     df = quads
     for op in ops:
         if op.kind == "create":
@@ -1349,8 +1376,15 @@ def execute_update(text: str, quads, default_graph: Optional[str] = None):
                 df = df.filter(F.col("graph") != op.target)
             continue
         if op.kind in ("insert_data", "delete_data"):
+            # INSERT DATA bnode labels are scoped to the REQUEST (Update
+            # spec §3.1.1): salt them with the per-request nonce so they
+            # never co-refer with same-labeled bnodes already in the store
+            # (DELETE DATA bnodes are rejected at parse).
+            def _salt(x):
+                return BNode(f"{x.label}-{nonce}") if isinstance(x, BNode) else x
+
             rows = [
-                triple_row(tp.s, tp.p, tp.o, graph=g or op.with_graph or default_graph)
+                triple_row(_salt(tp.s), tp.p, _salt(tp.o), graph=g or op.with_graph or default_graph)
                 for tp, g in op.data
             ]
             lit = spark.createDataFrame(rows, schema=TRIPLES_SCHEMA)
@@ -1364,16 +1398,18 @@ def execute_update(text: str, quads, default_graph: Optional[str] = None):
         # sets are computed first, then applied delete-before-insert).
         # USING overrides WITH for the WHERE side (Update spec §3.1.3).
         if op.using_graphs or op.using_named:
+            # like FROM/FROM NAMED (§13.2): any USING clause replaces the
+            # whole WHERE-side dataset — the unspecified side is EMPTY
             ctx = Ctx(
                 df, None,
-                default_graphs=op.using_graphs or None,
-                named_graphs=op.using_named or None,
+                default_graphs=list(op.using_graphs),
+                named_graphs=list(op.using_named),
             )
         else:
             ctx = Ctx(df, op.with_graph)
         def inst(templates):
             items = [(t, g or op.with_graph or default_graph) for t, g in templates]
-            return A.instantiate_quads(items, op.node, ctx)
+            return A.instantiate_quads(items, op.node, ctx, nonce=nonce)
 
         dels = inst(op.delete_templates) if op.delete_templates else None
         ins = inst(op.insert_templates) if op.insert_templates else None

@@ -121,3 +121,21 @@ def test_sparql_tsv_term_syntax():
     assert rows[1]["b"] == (2, "3", "http://www.w3.org/2001/XMLSchema#integer", None)
     assert rows[2]["a"] == (2, "tab\there", "http://www.w3.org/2001/XMLSchema#string", None)
     assert "b" not in rows[2]
+
+
+def test_sparql_csv_bnode_prefixed(spark):
+    """W3C CSV results: blank nodes serialize as _:label (ADVICE r2 —
+    IRIs/literals bare is correct, bnodes are not)."""
+    from ocaml_rdf_spark.algebra import Ctx, select
+    from ocaml_rdf_spark.results import to_sparql_csv
+    from ocaml_rdf_spark.types import TRIPLES_SCHEMA, BNode, Iri, Literal, triple_row
+
+    df = spark.createDataFrame(
+        [triple_row(BNode("n1"), Iri("urn:p"), Literal("v"), graph="urn:g")],
+        schema=TRIPLES_SCHEMA,
+    )
+    node = BGP([T_(Var("s"), Iri("urn:p"), Var("o"))])
+    csv = to_sparql_csv(select(node, Ctx(df)))
+    lines = [l for l in csv.split("\r\n") if l]
+    body = lines[1].split(",")
+    assert "_:n1" in body and "v" in body

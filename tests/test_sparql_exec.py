@@ -178,3 +178,77 @@ def test_group_concat_sorted(ctx):
         PFX + 'SELECT (GROUP_CONCAT(?n; SEPARATOR=",") AS ?all) WHERE { ?x ex:name ?n }', ctx
     )
     assert rows(df) == [("Alice,Bob,Carol,Dave",)]
+
+
+# --- dataset-clause exclusivity (§13.2: any FROM/FROM NAMED replaces the
+# WHOLE dataset — the unspecified side is EMPTY, not unrestricted) ---------
+
+
+def test_from_only_empties_named_graphs(ctx):
+    df = execute(PFX + "SELECT ?g FROM <urn:g:main> WHERE { GRAPH ?g { ?x ex:name ?n } }", ctx)
+    assert df.count() == 0
+
+
+def test_from_named_only_empties_default_graph(ctx):
+    df = execute(PFX + "SELECT ?n FROM NAMED <urn:g:other> WHERE { ?x ex:name ?n }", ctx)
+    assert df.count() == 0
+
+
+def test_from_named_graph_iri_still_matches(ctx):
+    df = execute(
+        PFX + "SELECT ?n FROM NAMED <urn:g:other> WHERE { GRAPH <urn:g:other> { ?x ex:name ?n } }",
+        ctx,
+    )
+    assert rows(df, "n") == [("Dave",)]
+
+
+def test_from_both_sides_restrict(ctx):
+    df = execute(
+        PFX
+        + "SELECT ?n FROM <urn:g:main> FROM NAMED <urn:g:other> "
+        + "WHERE { ?x ex:name ?n . FILTER NOT EXISTS { GRAPH <urn:g:main> { ?x ex:age ?a } } }",
+        ctx,
+    )
+    # default graph = main only; GRAPH <main> is outside FROM NAMED → the
+    # NOT EXISTS probe matches nothing, so every name survives
+    assert rows(df, "n") == [("Alice",), ("Bob",), ("Carol",)]
+
+
+# --- exact-tier guardrails (rdf_dt.ml-style numeric tower, ADVICE r2) ------
+
+XSD_PFX = "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>\n"
+
+
+def _bind1(ctx, expr):
+    df = execute(PFX + XSD_PFX + f"SELECT ?r WHERE {{ BIND({expr} AS ?r) }}", ctx)
+    return df.collect()[0]["r"]
+
+
+def test_dec_sub_scale6_falls_back_to_double(ctx):
+    # "0.0000001" does not round-trip through decimal(38,6): the exact tier
+    # must DECLINE (double approximation), never silently round to 0
+    t = _bind1(ctx, '"0.0000001"^^xsd:decimal + "0"^^xsd:decimal')
+    assert t["dtype"].endswith("double")
+    assert abs(float(t["lex"]) - 1e-7) < 1e-20
+
+
+def test_dec_within_scale6_stays_exact(ctx):
+    t = _bind1(ctx, '"0.000001"^^xsd:decimal + "0.000001"^^xsd:decimal')
+    assert t["dtype"].endswith("decimal")
+    assert t["lex"] == "0.000002"
+
+
+def test_decimal_overflow_demotes_to_double(ctx):
+    # decimal(38,6) multiply overflow: must NOT throw (ANSI) nor return an
+    # expression error — demote to the double tier like float promotion
+    big = '"' + "9" * 30 + '"^^xsd:decimal'
+    t = _bind1(ctx, f"{big} * {big}")
+    assert t["dtype"].endswith("double")
+    assert float(t["lex"]) == pytest.approx(float("9" * 30) ** 2, rel=1e-12)
+
+
+def test_integer_exact_beyond_double(ctx):
+    # 2^53+1 survives the exact tier (would drift through double)
+    t = _bind1(ctx, '"9007199254740993"^^xsd:integer + "2"^^xsd:integer')
+    assert t["dtype"].endswith("integer")
+    assert t["lex"] == "9007199254740995"

@@ -190,3 +190,69 @@ def test_update_model_based_random_sequences(g, spark):
     out = execute_update(" ;\n".join(ops), empty.df)
     got = {(r["s_lex"], r["pred"], r["o_lex"]) for r in out.collect()}
     assert got == model, f"\nops:\n" + "\n".join(ops)
+
+
+# --- blank-node rules (Update spec §3.1.1 / grammar) -----------------------
+
+
+def test_bnodes_rejected_in_delete_data(g):
+    with pytest.raises(SyntaxError):
+        execute_update('DELETE DATA { _:b <http://ex.org/p> "v" }', g.df)
+
+
+def test_bnodes_rejected_in_delete_template(g):
+    with pytest.raises(SyntaxError):
+        execute_update(
+            "DELETE { _:b <http://ex.org/p> ?o } WHERE { ?s <http://ex.org/p> ?o }", g.df
+        )
+
+
+def test_bnodes_rejected_in_delete_where(g):
+    with pytest.raises(SyntaxError):
+        execute_update("DELETE WHERE { _:b <http://ex.org/p> ?o }", g.df)
+
+
+def test_insert_data_bnodes_fresh_per_request(g, spark):
+    """INSERT DATA bnode labels are request-scoped: the same label inserted
+    twice mints two distinct store bnodes, and neither is the raw label."""
+    from ocaml_rdf_spark.graph import Graph
+
+    df = Graph.empty(spark).df
+    df = execute_update('INSERT DATA { _:x <http://ex.org/p> "v" }', df)
+    df = execute_update('INSERT DATA { _:x <http://ex.org/p> "v" }', df)
+    subs = [r["s_lex"] for r in df.select("s_lex").collect()]
+    assert len(subs) == 2 and len(set(subs)) == 2
+    assert all(s != "x" for s in subs)
+
+
+def test_insert_template_bnodes_fresh_per_request(g, spark):
+    """Re-running the same INSERT…WHERE mints NEW bnodes each request."""
+    from ocaml_rdf_spark.graph import Graph
+    from ocaml_rdf_spark.types import TRIPLES_SCHEMA, triple_row
+
+    base = spark.createDataFrame(
+        [triple_row(Iri(EX + "s"), Iri(EX + "p"), Literal("v"), graph=DEFAULT_GRAPH)],
+        schema=TRIPLES_SCHEMA,
+    )
+    upd = "INSERT { ?s <http://ex.org/tag> _:t } WHERE { ?s <http://ex.org/p> ?o }"
+    df = execute_update(upd, base)
+    df = execute_update(upd, df)
+    tags = [r["o_lex"] for r in df.filter("pred = 'http://ex.org/tag'").collect()]
+    assert len(tags) == 2 and len(set(tags)) == 2
+
+
+def test_using_only_empties_named_side(g, spark):
+    """USING-only WHERE dataset: GRAPH ?g matches nothing (Update §3.1.3,
+    same exclusivity as FROM/FROM NAMED)."""
+    from ocaml_rdf_spark.graph import Graph
+    from ocaml_rdf_spark.types import TRIPLES_SCHEMA, triple_row
+
+    base = spark.createDataFrame(
+        [triple_row(Iri(EX + "s"), Iri(EX + "p"), Literal("v"), graph="urn:g:a")],
+        schema=TRIPLES_SCHEMA,
+    )
+    out = execute_update(
+        "DELETE { GRAPH <urn:g:a> { ?s ?p ?o } } USING <urn:g:a> WHERE { GRAPH ?g { ?s ?p ?o } }",
+        base,
+    )
+    assert out.count() == 1  # nothing matched, nothing deleted
