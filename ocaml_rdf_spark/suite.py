@@ -2063,13 +2063,14 @@ QUERIES["graph_addrem"] = (q_graph_addrem, SQL_GRAPH_ADDREM)
 
 
 def q_media_ann(spark, sf):
-    """Rows-only: composed multimodal path — binary column → stub feature
-    extraction (mapInPandas) → brute cosine top-k over the features. The
-    shape of a production image-dedup / similar-media query."""
+    """Composed multimodal path — binary column → stub feature extraction
+    (mapInPandas) → brute cosine top-k over the features. The shape of a
+    production image-dedup / similar-media query. Full value oracle: the
+    stub features are sha256-derived, so DuckDB rebuilds them exactly."""
     from .operators.ann import cosine_topk
     from .operators.media import media_features
 
-    docs = _docs(spark, sf).limit(300).select(
+    docs = _docs(spark, sf).filter(F.col("doc_id") < 300).select(
         F.col("doc_id").cast("string").alias("media_id"),
         F.col("text").cast("binary").alias("content"),
     )
@@ -2079,22 +2080,61 @@ def q_media_ann(spark, sf):
     return cosine_topk(feats, query_id=0, k=5)
 
 
+#: mirrors operators/media.py :: media_features — component i of the stub
+#: embedding is byte i of sha256(text) mapped to [-1, 1]
+SQL_MEDIA_ANN = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS vec_id, sha256(text) AS h
+  FROM documents WHERE doc_id < 300
+),
+comp AS (
+  SELECT vec_id, i,
+         (((instr('0123456789abcdef', substr(h, CAST(i*2+1 AS INT), 1)) - 1) * 16
+         + (instr('0123456789abcdef', substr(h, CAST(i*2+2 AS INT), 1)) - 1)) / 255.0) * 2 - 1 AS v
+  FROM d, unnest(range(16)) t(i)
+),
+vecs AS (SELECT vec_id, list(v ORDER BY i) AS emb FROM comp GROUP BY vec_id),
+q AS (SELECT emb AS qe FROM vecs WHERE vec_id = 0)
+SELECT vec_id,
+       CAST(round(list_cosine_similarity(emb, qe) * 10000) AS BIGINT) AS sim_x1e4
+FROM vecs, q WHERE vec_id <> 0
+ORDER BY sim_x1e4 DESC, vec_id ASC LIMIT 5
+"""
+
+
 def q_media_resize(spark, sf):
-    """Rows-only: resize plumbing — output payload is exactly w*h bytes."""
+    """Resize plumbing — output payload is exactly w*h bytes, and the
+    deterministic stub plane (sha256(content) tiled) is value-oracled via
+    its hex image."""
     from .operators.media import resize_media
 
-    docs = _docs(spark, sf).limit(200).select(
+    docs = _docs(spark, sf).filter(F.col("doc_id") < 200).select(
         F.col("doc_id").cast("string").alias("media_id"),
         F.col("text").cast("binary").alias("content"),
     )
     out = resize_media(docs, width=16, height=16)
-    return out.select("media_id", "width", "height", F.length("content").alias("n_bytes"))
+    return out.select(
+        "media_id", "width", "height",
+        F.length("content").alias("n_bytes"),
+        F.lower(F.hex("content")).alias("payload_hex"),
+    )
+
+
+#: 16×16 = 256 bytes = the 32-byte sha256 seed tiled 8× (media.py ::
+#: resize_media's _resize_stub)
+SQL_MEDIA_RESIZE = """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+       CAST(256 AS INT) AS n_bytes,
+       repeat(sha256(text), 8) AS payload_hex
+FROM documents WHERE doc_id < 200
+"""
 
 
 QUERIES.update(
     {
-        "media_ann": (q_media_ann, None),
-        "media_resize": (q_media_resize, None),
+        "media_ann": (q_media_ann, SQL_MEDIA_ANN),
+        "media_resize": (q_media_resize, SQL_MEDIA_RESIZE),
     }
 )
 
@@ -2155,3 +2195,191 @@ def q_cc_distributed(spark, sf):
 
 
 QUERIES["cc_distributed"] = (q_cc_distributed, SQL_CC_COMPONENTS)
+
+
+# ---------------------------------------------------------------------------
+# round-3 additions: dataset-clause exclusivity, deep-chain paths, bulk
+# UPDATE at store scale, HAVING+GROUP_CONCAT, mixed-kind ORDER BY
+# ---------------------------------------------------------------------------
+
+
+def q_sparql_text_from_empty(spark, sf):
+    """§13.2 exclusivity: FROM-only dataset ⇒ the named-graph side is
+    EMPTY — GRAPH ?g patterns match nothing (r2 ADVICE, fixed r3)."""
+    return _sparql(
+        spark, sf,
+        """SELECT ?g WHERE { GRAPH ?g { ?s p:name ?n } }""".replace(
+            "SELECT ?g", "SELECT ?g FROM <urn:g:region>"
+        ),
+        "g",
+    )
+
+
+SQL_SPARQL_TEXT_FROM_EMPTY = "SELECT 'never' AS g WHERE 1 = 0"
+
+
+def q_path_deep(spark, sf):
+    """Deep-chain p+ (the r2 scale flag): a 127-edge chain built from
+    documents doc_ids; the hybrid closure escalates from frontier rounds to
+    path DOUBLING, finishing in O(log d) rounds instead of O(d). Returns
+    descendants-per-source over the full 8128-pair closure."""
+    from .operators.paths import transitive_closure
+
+    d = _docs(spark, sf).filter(F.col("doc_id") < 128)
+    edges = d.select(
+        F.concat(F.lit("urn:d:"), F.col("doc_id")).alias("src"),
+        F.concat(F.lit("urn:d:"), F.col("doc_id") + 1).alias("dst"),
+    ).filter(F.col("doc_id") < 127)
+    closure = transitive_closure(edges)
+    return closure.groupBy("src").agg(F.count(F.lit(1)).alias("n_desc"))
+
+
+SQL_PATH_DEEP = """
+SELECT 'urn:d:'||doc_id AS src, CAST(127 - doc_id AS BIGINT) AS n_desc
+FROM documents WHERE doc_id < 127
+"""
+
+
+def q_update_bulk(spark, sf):
+    """Store-scale SPARQL UPDATE (r2 task 8): one DELETE/INSERT…WHERE
+    renames every customer segment triple (1.5k solutions at sf0.01, 15k
+    at sf0.1) against the full triple store — the request-sized
+    dropDuplicates path exercised at data scale, not parse scale."""
+    from .sparql import execute_update
+
+    upd = """
+    PREFIX p: <urn:p:>
+    DELETE { GRAPH <urn:g:customer> { ?c p:segment ?seg } }
+    INSERT { GRAPH <urn:g:customer> { ?c <urn:p:segment2> ?seg } }
+    WHERE { GRAPH <urn:g:customer> { ?c p:segment ?seg } }
+    """
+    out = execute_update(upd, triples_view(spark, sf))
+    return (
+        out.filter(F.col("pred").isin("urn:p:segment", "urn:p:segment2"))
+        .groupBy("pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_UPDATE_BULK = """
+SELECT 'urn:p:segment2' AS pred, COUNT(*) AS n FROM customer
+"""
+
+
+def q_agg_having(spark, sf):
+    """GROUP_CONCAT(DISTINCT …; SEPARATOR) + HAVING combined (the r2
+    bug-finding class): regions keep their sorted-distinct segment list
+    only when populous enough."""
+    return _sparql(
+        spark, sf,
+        """SELECT ?rname (GROUP_CONCAT(DISTINCT ?seg; SEPARATOR="|") AS ?segs)
+           WHERE {
+             ?c p:inNation ?n . ?n p:inRegion ?r .
+             ?r p:name ?rname . ?c p:segment ?seg .
+           }
+           GROUP BY ?rname HAVING (COUNT(?c) > 250)""",
+        "rname", "segs",
+    )
+
+
+SQL_AGG_HAVING = """
+SELECT r_name AS rname,
+       string_agg(DISTINCT c_mktsegment, '|' ORDER BY c_mktsegment) AS segs
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name HAVING COUNT(*) > 250
+"""
+
+
+def q_orderby_mixed(spark, sf):
+    """ORDER BY over mixed term kinds (SPARQL total order: IRI < literal)
+    made hash-observable via DESC + LIMIT: the surviving row set encodes
+    the cross-kind ordering."""
+    return _sparql(
+        spark, sf,
+        """SELECT ?s ?o WHERE { GRAPH <urn:g:region> { ?s ?p ?o } }
+           ORDER BY DESC(?o) DESC(?s) LIMIT 7""",
+        "s", "o",
+    )
+
+
+SQL_ORDERBY_MIXED = """
+SELECT s, o FROM (
+  SELECT 'urn:r:'||r_regionkey AS s, 'urn:c:Region' AS o, 0 AS k FROM region
+  UNION ALL SELECT 'urn:r:'||r_regionkey, r_name, 1 FROM region
+) ORDER BY k DESC, o DESC, s DESC LIMIT 7
+"""
+
+
+def q_sparql_text_construct_where(spark, sf):
+    """CONSTRUCT WHERE shorthand (§16.2.4, new in r2 — now driver-gated):
+    the pattern doubles as template."""
+    from .sparql import execute
+
+    out = execute(
+        _SPARQL_PFX + "CONSTRUCT WHERE { ?r a c:Region . ?r p:name ?n }",
+        _ctx(spark, sf),
+    )
+    return out.select(
+        F.col("s_lex").alias("s"), F.col("pred").alias("p"), F.col("o_lex").alias("o")
+    )
+
+
+SQL_SPARQL_TEXT_CONSTRUCT_WHERE = f"""
+SELECT 'urn:r:'||r_regionkey AS s, '{RDF_TYPE}' AS p, 'urn:c:Region' AS o FROM region
+UNION ALL
+SELECT 'urn:r:'||r_regionkey, 'urn:p:name', r_name FROM region
+"""
+
+
+QUERIES.update(
+    {
+        "sparql_text_from_empty": (q_sparql_text_from_empty, SQL_SPARQL_TEXT_FROM_EMPTY),
+        "path_deep": (q_path_deep, SQL_PATH_DEEP),
+        "update_bulk": (q_update_bulk, SQL_UPDATE_BULK),
+        "agg_having": (q_agg_having, SQL_AGG_HAVING),
+        "orderby_mixed": (q_orderby_mixed, SQL_ORDERBY_MIXED),
+        "sparql_text_construct_where": (
+            q_sparql_text_construct_where,
+            SQL_SPARQL_TEXT_CONSTRUCT_WHERE,
+        ),
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# driver window (VERDICT r2 task 1): the round driver snapshots the FIRST
+# 50 registry entries (r1/r2 CORRECTNESS keysets are exactly registry
+# positions 0-49), so dict order is an interface. Never-driver-checked
+# queries come first, then this round's new queries, then the three r1
+# greens that r2 insertions rotated out of the window, then flagship
+# re-confirmations; everything else keeps its historical row. The order is
+# FROZEN by tests/test_suite_registry.py — append new queries to the tail
+# of DRIVER_WINDOW (displacing a re-confirmation) or after position 49,
+# never by insertion into QUERIES construction order.
+# ---------------------------------------------------------------------------
+
+DRIVER_WINDOW = [
+    # 36 never-driver-checked as of CORRECTNESS_r02
+    "path_neg_inv", "reduced_types", "sample_region", "builtins_num",
+    "builtins_hash", "builtins_replace", "builtins_cond", "builtins_term",
+    "dedup_embedding", "dedup_embedding_lsh", "events_window", "events_session",
+    "sparql_text_optional", "sparql_text_union", "sparql_text_minus",
+    "sparql_text_exists", "sparql_text_values", "sparql_text_graph",
+    "sparql_text_subselect", "sparql_text_construct", "sparql_text_ask",
+    "sparql_text_describe", "graph_probes", "serialize_nq", "part_scan",
+    "bcast_join", "agg_variants", "agg_decimal", "builtins_term2",
+    "sparql_update", "graph_addrem", "media_ann", "media_resize",
+    "extract_errors", "sparql_text_describe_var", "cc_distributed",
+    # round-3 additions
+    "sparql_text_from_empty", "path_deep", "update_bulk", "agg_having",
+    "orderby_mixed", "sparql_text_construct_where",
+    # r1 greens rotated out of the r2 window
+    "path_star", "path_neg", "subselect",
+    # flagship re-confirmations
+    "bgp_join", "agg_nation", "dedup_clusters", "cc_components", "dedup_minhash",
+]
+
+assert len(DRIVER_WINDOW) == 50 and len(set(DRIVER_WINDOW)) == 50
+_rest = [n for n in QUERIES if n not in set(DRIVER_WINDOW)]
+QUERIES = {n: QUERIES[n] for n in [*DRIVER_WINDOW, *_rest]}

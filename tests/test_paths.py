@@ -87,3 +87,43 @@ def test_path_composes_with_bgp(ctx):
     )
     got = rows(select(node, ctx), "s", "o", "l")
     assert (EX + "a", EX + "d", EX + "d") in got
+
+
+def test_deep_chain_path_doubling(spark):
+    """≥64-deep chain: hybrid closure escalates to path doubling — round
+    count stays O(linear_rounds + log2 d), nowhere near d, and the pair
+    set is exactly the d*(d+1)/2 chain closure (r2 scale-flag fixture)."""
+    import math
+
+    from ocaml_rdf_spark.operators.paths import transitive_closure
+
+    d = 100  # edges a0→a1→…→a100
+    knows = Iri(EX + "knows")
+    triples = [(iri(f"n{i}"), knows, iri(f"n{i+1}")) for i in range(d)]
+    g = Graph.from_triples(spark, triples, name="urn:chain")
+    pairs = P(EX + "knows").pairs(Ctx(g.df))
+
+    rounds: list[int] = []
+    closure = transitive_closure(pairs, linear_rounds=4, rounds_out=rounds)
+    assert closure.count() == d * (d + 1) // 2
+    assert rounds[0] <= 4 + math.ceil(math.log2(d)) + 1, rounds
+    assert rounds[0] < d // 2
+
+    # spot-check endpoints: n0 reaches n100, nothing reaches n0
+    got = {(r["src"]["lex"], r["dst"]["lex"]) for r in closure.collect()}
+    assert (EX + "n0", EX + f"n{d}") in got
+    assert not any(dst == EX + "n0" for _src, dst in got)
+
+
+def test_plus_equivalent_under_doubling(ctx):
+    """Plus with linear_rounds forced to 0 (pure doubling) matches the
+    default hybrid on the same graph — algorithm choice is invisible."""
+    from ocaml_rdf_spark.operators.paths import transitive_closure
+
+    base = P(EX + "knows").pairs(ctx)
+    a = {(r["src"]["lex"], r["dst"]["lex"]) for r in transitive_closure(base).collect()}
+    b = {
+        (r["src"]["lex"], r["dst"]["lex"])
+        for r in transitive_closure(base, linear_rounds=0).collect()
+    }
+    assert a == b and len(a) > 0
