@@ -31,7 +31,9 @@ class TurtleSyntaxError(ValueError):
 
 
 _WS_COMMENT = re.compile(r"(?:[ \t\r\n]+|#[^\r\n]*)+")
-_IRIREF = re.compile(r'<([^<>"{}|^`\\\x00-\x20]*)>')
+# IRIREF ::= '<' ([^#x00-#x20<>"{}|^`\] | UCHAR)* '>' — \uXXXX/\UXXXXXXXX
+# escapes ARE legal inside IRIREFs (any other backslash breaks the match)
+_IRIREF = re.compile(r'<((?:[^<>"{}|^`\\\x00-\x20]|\\u[0-9a-fA-F]{4}|\\U[0-9a-fA-F]{8})*)>')
 # PLX = %-encoded pair | PN_LOCAL_ESC (backslash escape) \u2014 a single unit
 _PLX = r"(?:%[0-9A-Fa-f]{2}|\\[_~.\-!$&'()*+,;=/?#@%])"
 _PNL_CHAR = rf"(?:[\w\u00C0-\uFFFF:-]|{_PLX})"  # PN_CHARS | ':' (no dot)

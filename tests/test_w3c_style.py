@@ -29,6 +29,7 @@ CASES = os.path.join(os.path.dirname(__file__), "w3c_cases")
 BASE = "urn:x-cases/"
 MF = "http://www.w3.org/2001/sw/DataAccess/tests/test-manifest#"
 QT = "http://www.w3.org/2001/sw/DataAccess/tests/test-query#"
+UT = "http://www.w3.org/2009/sparql/tests/test-update#"
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
 SRX = "{http://www.w3.org/2005/sparql-results#}"
@@ -80,14 +81,42 @@ def load_manifest() -> list[dict]:
                     "negative": True,
                 }
             )
+        elif UT + "UpdateEvaluationTest" in types:
+            action = prop(skey, MF + "action")
+            akey = action.label if isinstance(action, BNode) else action.value
+            cases.append(
+                {
+                    "name": prop(skey, MF + "name").lexical,
+                    "request": _local(prop(akey, UT + "request")),
+                    "data": _local(prop(akey, UT + "data")),
+                    "result": _local(prop(skey, MF + "result")),
+                    "update": True,
+                }
+            )
+        elif MF + "NegativeUpdateSyntaxTest11" in types:
+            cases.append(
+                {
+                    "name": prop(skey, MF + "name").lexical,
+                    "request": _local(prop(skey, MF + "action")),
+                    "neg_update": True,
+                }
+            )
     return sorted(cases, key=lambda c: c["name"])
 
 
 MANIFEST = load_manifest()
-EVAL_CASES = [c for c in MANIFEST if not c.get("negative")]
+EVAL_CASES = [c for c in MANIFEST if not c.get("negative") and not c.get("update") and not c.get("neg_update")]
 NEG_CASES = [c for c in MANIFEST if c.get("negative")]
-assert len(EVAL_CASES) == 44 and len(NEG_CASES) == 8, (
-    f"manifest parse found {len(EVAL_CASES)} eval / {len(NEG_CASES)} negative"
+UPDATE_CASES = [c for c in MANIFEST if c.get("update")]
+NEG_UPDATE_CASES = [c for c in MANIFEST if c.get("neg_update")]
+assert (
+    len(EVAL_CASES) == 54
+    and len(NEG_CASES) == 8
+    and len(UPDATE_CASES) == 12
+    and len(NEG_UPDATE_CASES) == 3
+), (
+    f"manifest parse found {len(EVAL_CASES)} eval / {len(NEG_CASES)} negative / "
+    f"{len(UPDATE_CASES)} update / {len(NEG_UPDATE_CASES)} neg-update"
 )
 
 
@@ -250,3 +279,70 @@ def test_w3c_case(case, ctx_cache):
     assert _equal_mod_bnodes(got, want, ordered=ordered), (
         f"{case['name']}: solutions differ\ngot:  {_canon_multiset(got)}\nwant: {_canon_multiset(want)}"
     )
+
+
+# --- SPARQL 1.1 Update conformance (spec §3 examples as manifest data) ------
+
+
+def _trig_quads(text: str):
+    """TriG doc (parsed with OUR TriG parser — dogfooding) → normalized
+    4-tuple quads; the default graph maps to the engine's DEFAULT_GRAPH."""
+    from ocaml_rdf_spark.sources.trig import TriGParser
+    from ocaml_rdf_spark.types import DEFAULT_GRAPH
+
+    out = []
+    for s, p, o, g in TriGParser(text, base=BASE).parse_quads():
+        def t(x):
+            if isinstance(x, Iri):
+                return _norm(0, x.value, None, None)
+            if isinstance(x, BNode):
+                return _norm(1, x.label, None, None)
+            assert isinstance(x, Literal)
+            return _norm(2, x.lexical, x.dtype, x.lang)
+
+        gname = g.value if isinstance(g, Iri) else (g.label if g is not None else DEFAULT_GRAPH)
+        out.append((t(s), t(p), t(o), _norm(0, gname, None, None)))
+    return out
+
+
+def _store_quads(df):
+    out = []
+    for r in df.select("s_kind", "s_lex", "pred", "o_kind", "o_lex", "o_dtype", "o_lang", "graph").collect():
+        out.append(
+            (
+                _norm(r["s_kind"], r["s_lex"], None, None),
+                _norm(0, r["pred"], None, None),
+                _norm(r["o_kind"], r["o_lex"], r["o_dtype"], r["o_lang"]),
+                _norm(0, r["graph"], None, None),
+            )
+        )
+    return out
+
+
+@pytest.mark.parametrize("case", UPDATE_CASES, ids=[c["name"] for c in UPDATE_CASES])
+def test_w3c_update_case(case, spark):
+    """UpdateEvaluationTest: request applied to the TriG dataset must yield
+    exactly the expected quad store (modulo blank-node bijection)."""
+    from ocaml_rdf_spark.sources.trig import TriGParser
+    from ocaml_rdf_spark.sparql import execute_update
+    from ocaml_rdf_spark.types import DEFAULT_GRAPH, TRIPLES_SCHEMA, triple_row
+
+    rows = [
+        triple_row(s, p, o, graph=(g.value if isinstance(g, Iri) else DEFAULT_GRAPH))
+        for s, p, o, g in TriGParser(_read(case["data"]), base=BASE).parse_quads()
+    ]
+    df = spark.createDataFrame(rows, schema=TRIPLES_SCHEMA)
+    out = execute_update(_read(case["request"]), df)
+    got = _store_quads(out)
+    want = _trig_quads(_read(case["result"]))
+    assert _equal_mod_bnodes(got, want), (
+        f"{case['name']}: stores differ\ngot:  {sorted(got)}\nwant: {sorted(want)}"
+    )
+
+
+@pytest.mark.parametrize("case", NEG_UPDATE_CASES, ids=[c["name"] for c in NEG_UPDATE_CASES])
+def test_w3c_negative_update_syntax(case):
+    from ocaml_rdf_spark.sparql import Parser
+
+    with pytest.raises((SyntaxError, IndexError)):
+        Parser(_read(case["request"])).parse_update()
