@@ -83,6 +83,7 @@ def main() -> None:
         "agg_nation",
         "orderby_slice",
         "path_plus",
+        "path_deep",
         "dedup_exact",
         "dedup_minhash",
         "dedup_clusters",
@@ -95,12 +96,24 @@ def main() -> None:
         "events_session",
         "sparql_text_bgp",
         "sparql_update",
+        "update_bulk",
     ]
-    for name in bench_queries:
-        fn, _sql = QUERIES[name]
-        t0 = time.time()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+    # quiet-window protocol (r2 task 3): each query timed over R rounds,
+    # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal
+    # measured >3x on this VM) can no longer masquerade as a plan
+    # regression. Round 1 doubles as warmup for per-query shuffle reuse.
+    rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
+    import statistics
+
+    samples: dict[str, list[float]] = {name: [] for name in bench_queries}
+    for _ in range(rounds):
+        for name in bench_queries:
+            fn, _sql = QUERIES[name]
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            samples[name].append(time.time() - t0)
+    for name, ts in samples.items():
+        timings[name] = round(statistics.median(ts), 3)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -110,6 +123,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf_dir,
         "cpus": cpus,
+        "rounds": rounds,
         "bench_pages": n_pages,
         "n_triples": n_triples,
         "triples_per_sec": round(n_triples / extract_sec, 1),

@@ -1121,7 +1121,9 @@ class UpdateOp:
     delete_templates: list = field(default_factory=list)  # [(Template, graph|None)]
     insert_templates: list = field(default_factory=list)
     node: Optional[Node] = None
-    target: Optional[str] = None                          # clear: 'default'|'named'|'all'|iri
+    target: Optional[str] = None                          # clear: 'default'|'named'|'all'|iri; copy/move/add: source
+    target2: Optional[str] = None                         # copy/move/add: destination ('default'|iri); load: INTO graph
+    silent: bool = False                                  # load: failure → no-op
     with_graph: Optional[str] = None
     using_graphs: list = field(default_factory=list)      # USING <g> (WHERE default graph)
     using_named: list = field(default_factory=list)       # USING NAMED <g>
@@ -1255,6 +1257,41 @@ def _mk_update_parser_methods():
             if t not in ("default", "named", "all"):
                 raise SyntaxError(f"CLEAR: expected GRAPH/DEFAULT/NAMED/ALL, got {t!r}")
             return UpdateOp("clear", target=t)
+        if self.at_kw("load"):
+            # LOAD SILENT? iri (INTO GRAPH iri)? — §3.1.4. Only file:// (or
+            # bare-path) sources are supported: the sandbox/engine has no
+            # network; http IRIs raise at execution, SILENT downgrades any
+            # load failure to a no-op per spec.
+            self.next()
+            silent = False
+            if self.at_kw("silent"):
+                self.next()
+                silent = True
+            src = self.parse_iri_tok(self.next()).value
+            into = None
+            if self.at_kw("into"):
+                self.next()
+                self.eat_kw("graph")
+                into = self.parse_iri_tok(self.next()).value
+            return UpdateOp("load", target=src, target2=into, silent=silent)
+        if self.at_kw("copy", "move", "add"):
+            # (COPY|MOVE|ADD) SILENT? GraphOrDefault TO GraphOrDefault
+            # (Update spec §3.2.3–3.2.5)
+            kind = self.next().text.lower()
+            if self.at_kw("silent"):
+                self.next()
+
+            def graph_or_default():
+                if self.at_kw("default"):
+                    self.next()
+                    return "default"
+                if self.at_kw("graph"):
+                    self.next()
+                return self.parse_iri_tok(self.next()).value
+
+            src = graph_or_default()
+            self.eat_kw("to")
+            return UpdateOp(kind, target=src, target2=graph_or_default())
         with_graph = None
         if self.at_kw("with"):
             self.next()
@@ -1326,6 +1363,30 @@ def _mk_update_parser_methods():
 _mk_update_parser_methods()
 
 
+def _load_document(iri: str) -> list:
+    """LOAD source → [(s, p, o)]. file:// or bare local paths only;
+    format by extension (.nt, .ttl, .rdf/.xml), base = the source IRI."""
+    if iri.startswith(("http://", "https://")):
+        raise ValueError(f"LOAD over the network is not supported: {iri}")
+    path = iri[len("file://"):] if iri.startswith("file://") else iri
+    with open(path) as f:
+        text = f.read()
+    low = path.lower()
+    if low.endswith(".nt"):
+        from .sources.ntriples import parse_ntriples
+
+        return list(parse_ntriples(text))
+    if low.endswith(".ttl"):
+        from .sources.turtle import TurtleParser
+
+        return TurtleParser(text, base=iri).parse()
+    if low.endswith((".rdf", ".xml")):
+        from .sources.rdfxml import parse_rdfxml
+
+        return parse_rdfxml(text, base=iri)
+    raise ValueError(f"LOAD: unsupported document format: {path}")
+
+
 def _anti_join_quads(df, dels):
     """Remove every quad in `dels` from `df`: null-safe equality on all
     TRIPLE_KEY components — all-equi, so Catalyst plans a hash anti join
@@ -1374,6 +1435,41 @@ def execute_update(text: str, quads, default_graph: Optional[str] = None):
                 df = df.filter(F.col("graph") == default_graph)
             else:
                 df = df.filter(F.col("graph") != op.target)
+            continue
+        if op.kind == "load":
+            # §3.1.4 — file:// / local-path documents only (no network in
+            # this engine; http(s) raises, or no-ops under SILENT). The
+            # document's own format (by extension) picks the parser; the
+            # source IRI is the parse base per spec.
+            try:
+                triples = _load_document(op.target)
+            except Exception:
+                if op.silent:
+                    continue
+                raise
+            g = op.target2 or default_graph
+            rows = [triple_row(s, p, o, graph=g) for s, p, o in triples]
+            if rows:
+                lit = spark.createDataFrame(rows, schema=TRIPLES_SCHEMA)
+                df = df.unionByName(lit).dropDuplicates(TRIPLE_KEY)
+            continue
+        if op.kind in ("copy", "move", "add"):
+            # §3.2.3–3.2.5: COPY empties dst then inserts all of src; MOVE
+            # additionally drops src; ADD unions into dst (set semantics).
+            # All three are graph-column rewrites — no join, one narrow
+            # map + (ADD only) one set-dedup shuffle.
+            src = default_graph if op.target == "default" else op.target
+            dst = default_graph if op.target2 == "default" else op.target2
+            if src == dst:
+                continue
+            moved = df.filter(F.col("graph") == src).withColumn("graph", F.lit(dst))
+            if op.kind in ("copy", "move"):
+                df = df.filter(F.col("graph") != dst)
+            df = df.unionByName(moved)
+            if op.kind == "move":
+                df = df.filter(F.col("graph") != src)
+            if op.kind == "add":
+                df = df.dropDuplicates(TRIPLE_KEY)
             continue
         if op.kind in ("insert_data", "delete_data"):
             # INSERT DATA bnode labels are scoped to the REQUEST (Update

@@ -91,8 +91,27 @@ def main() -> None:
         ]),
         ("sparql_text_describe_var", [
             # DESCRIBE ?var: bindings flow as a DataFrame into a semi join —
-            # no driver-side collect of the binding set
+            # no driver-side collect of the binding set, and (r3) NO forced
+            # broadcast hint: the binding side is unbounded, so the join
+            # strategy must be left to stats/AQE (an explicit hint is
+            # honored regardless of size → OOM on a large class at 100×)
             ("described-set semi join", r"(LeftSemi|SEMI)"),
+            ("no forced broadcast of unbounded bindings", r"ResolvedHint", "absent"),
+        ]),
+        ("path_deep", [
+            # hybrid closure: the per-round joins run inside the fixpoint
+            # (localCheckpoint truncates their lineage out of the final
+            # plan), so the auditable surface is the closure aggregation —
+            # hash agg over the checkpointed pair set, no nested loop
+            ("closure hash aggregate", r"HashAggregate"),
+            ("no nested-loop round", r"BroadcastNestedLoopJoin", "absent"),
+        ]),
+        ("update_bulk", [
+            # store-scale DELETE/INSERT…WHERE: the anti join on the triple
+            # key must be hash-based, and the final set-dedup a hash agg
+            ("hash anti join", r"(LeftAnti|ANTI)"),
+            ("no nested-loop anti join", r"BroadcastNestedLoopJoin", "absent"),
+            ("set-semantics hash aggregate", r"HashAggregate"),
         ]),
     ]
 

@@ -256,3 +256,85 @@ def test_using_only_empties_named_side(g, spark):
         base,
     )
     assert out.count() == 1  # nothing matched, nothing deleted
+
+
+# --- graph management: COPY / MOVE / ADD (Update spec §3.2.3–3.2.5) --------
+
+
+@pytest.fixture()
+def gm(spark):
+    from ocaml_rdf_spark.types import TRIPLES_SCHEMA, triple_row
+
+    rows = [
+        triple_row(Iri(EX + "a"), Iri(EX + "p"), Literal("1"), graph=DEFAULT_GRAPH),
+        triple_row(Iri(EX + "b"), Iri(EX + "p"), Literal("2"), graph="urn:g:one"),
+        triple_row(Iri(EX + "c"), Iri(EX + "p"), Literal("3"), graph="urn:g:two"),
+    ]
+    return spark.createDataFrame(rows, schema=TRIPLES_SCHEMA)
+
+
+def _by_graph(df):
+    out = {}
+    for r in df.select("s_lex", "graph").collect():
+        out.setdefault(r["graph"], set()).add(r["s_lex"])
+    return out
+
+
+def test_copy_replaces_destination(gm):
+    out = execute_update("COPY <urn:g:one> TO <urn:g:two>", gm)
+    g = _by_graph(out)
+    assert g["urn:g:two"] == {EX + "b"}  # dst emptied, src copied
+    assert g["urn:g:one"] == {EX + "b"}  # src intact
+
+
+def test_move_drops_source(gm):
+    out = execute_update("MOVE <urn:g:one> TO <urn:g:two>", gm)
+    g = _by_graph(out)
+    assert g["urn:g:two"] == {EX + "b"}
+    assert "urn:g:one" not in g
+
+
+def test_add_unions_set_semantics(gm):
+    out = execute_update("ADD <urn:g:one> TO <urn:g:two> ; ADD <urn:g:one> TO <urn:g:two>", gm)
+    g = _by_graph(out)
+    assert g["urn:g:two"] == {EX + "b", EX + "c"}
+    assert g["urn:g:one"] == {EX + "b"}
+    assert out.count() == 4  # idempotent re-ADD (set semantics)
+
+
+def test_copy_default_roundtrip(gm):
+    out = execute_update("COPY DEFAULT TO GRAPH <urn:g:three> ; MOVE GRAPH <urn:g:three> TO DEFAULT", gm)
+    g = _by_graph(out)
+    assert g[DEFAULT_GRAPH] == {EX + "a"}
+    assert "urn:g:three" not in g
+
+
+def test_copy_to_self_noop(gm):
+    out = execute_update("COPY <urn:g:one> TO <urn:g:one>", gm)
+    assert out.count() == 3
+
+
+# --- LOAD (§3.1.4 — local file:// documents; no network) -------------------
+
+
+def test_load_ntriples_into_graph(gm, tmp_path):
+    doc = tmp_path / "d.nt"
+    doc.write_text('<http://ex.org/x> <http://ex.org/p> "lx" .\n')
+    out = execute_update(f"LOAD <file://{doc}> INTO GRAPH <urn:g:ld>", gm)
+    g = _by_graph(out)
+    assert g["urn:g:ld"] == {EX + "x"}
+
+
+def test_load_turtle_default_graph(gm, tmp_path):
+    doc = tmp_path / "d.ttl"
+    doc.write_text('@prefix ex: <http://ex.org/> . ex:y ex:p "ly" .\n')
+    out = execute_update(f"LOAD <file://{doc}>", gm)
+    g = _by_graph(out)
+    assert EX + "y" in g[DEFAULT_GRAPH]
+
+
+def test_load_http_raises_silent_noop(gm):
+    with pytest.raises(Exception):
+        execute_update("LOAD <http://example.org/remote.nt>", gm)
+    out = execute_update("LOAD SILENT <http://example.org/remote.nt>", gm)
+    assert out.count() == 3  # SILENT: failure is a no-op

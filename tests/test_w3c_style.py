@@ -112,7 +112,7 @@ NEG_UPDATE_CASES = [c for c in MANIFEST if c.get("neg_update")]
 assert (
     len(EVAL_CASES) == 54
     and len(NEG_CASES) == 8
-    and len(UPDATE_CASES) == 12
+    and len(UPDATE_CASES) == 15
     and len(NEG_UPDATE_CASES) == 3
 ), (
     f"manifest parse found {len(EVAL_CASES)} eval / {len(NEG_CASES)} negative / "
