@@ -260,3 +260,41 @@ def stream_windowed_counts(
             "sum_value_x100",
         )
     )
+
+
+def stream_dedup_exact(
+    spark: SparkSession,
+    input_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    event_time_col: Optional[str] = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup over an arriving documents table — the
+    in-stream half of the training-data dedup family (textops.py owns the
+    batch forms).
+
+    State discipline (the 100 TB concern): with an event-time column,
+    `dropDuplicatesWithinWatermark` on the content hash keeps ONLY
+    watermark-deep state — duplicates arriving within the lateness bound
+    are suppressed, and the state store evicts hashes older than the
+    watermark (bounded state, runs forever). Without an event-time
+    column it falls back to `dropDuplicates` (exact global set, state
+    grows with distinct keys — correct, but only for bounded streams;
+    the periodic batch `dedup_exact` compaction owns the global
+    guarantee, lambda-style, exactly like triple dedup).
+    """
+    from pyspark.sql import functions as F
+
+    # file-source streams need an explicit schema; take it from the files
+    # already present (production: the Iceberg table schema)
+    schema = spark.read.parquet(input_dir).schema
+    docs = spark.readStream.schema(schema).parquet(input_dir)
+    hashed = docs.withColumn("__h", F.md5(F.col(text_col).cast("binary")))
+    if event_time_col is not None:
+        return (
+            hashed.withWatermark(event_time_col, watermark)
+            .dropDuplicatesWithinWatermark(["__h"])
+            .drop("__h")
+        )
+    return hashed.dropDuplicates(["__h"]).drop("__h")

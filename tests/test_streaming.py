@@ -142,3 +142,68 @@ def test_stream_sessionize_matches_batch_closed_sessions(spark, tmp_path):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_stream_dedup_exact_matches_batch(spark, tmp_path):
+    """Streaming exact dedup (availableNow drain) keeps exactly one row
+    per distinct text — same key set as the batch dedup."""
+    import pandas as pd
+
+    from ocaml_rdf_spark.streaming import stream_dedup_exact
+
+    inp = str(tmp_path / "docs")
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(8)),
+            "text": ["aa", "bb", "aa", "cc", "bb", "aa", "dd", "cc"],
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(inp)
+
+    out = str(tmp_path / "deduped")
+    q = (
+        stream_dedup_exact(spark, inp)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    texts = sorted(r["text"] for r in got.collect())
+    assert texts == ["aa", "bb", "cc", "dd"]
+
+
+def test_stream_dedup_within_watermark_bounded_state(spark, tmp_path):
+    """Watermarked variant: dropDuplicatesWithinWatermark suppresses
+    duplicates inside the lateness bound with watermark-deep state."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from ocaml_rdf_spark.streaming import stream_dedup_exact
+
+    inp = str(tmp_path / "docs")
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(6)),
+            "ts": [t0 + dt.timedelta(minutes=m) for m in (0, 1, 2, 3, 4, 5)],
+            "text": ["aa", "aa", "bb", "bb", "aa", "cc"],
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(inp)
+
+    out = str(tmp_path / "deduped")
+    q = (
+        stream_dedup_exact(spark, inp, event_time_col="ts", watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    texts = sorted(r["text"] for r in spark.read.parquet(out).collect())
+    assert texts == ["aa", "bb", "cc"]
