@@ -86,6 +86,7 @@ def main() -> None:
         "path_deep",
         "dedup_exact",
         "dedup_minhash",
+        "dedup_paragraph",
         "dedup_clusters",
         "ann_cosine",
         "cc_components",

@@ -297,3 +297,38 @@ def near_dup_clusters(
     return out.withColumn(
         "is_keeper", (F.col("cluster_id") == F.col("doc_id")).cast("long")
     )
+
+
+def paragraph_dedup(
+    docs: DataFrame, delim: str = "\n\n", id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Paragraph-level exact dedup (the C4/RefinedWeb recipe): split each
+    document on `delim`, keep only the globally-FIRST occurrence of every
+    distinct paragraph (order = (doc_id, position)), reassemble what's
+    left → (id, text, n_paras). Documents whose every paragraph was seen
+    earlier drop out entirely.
+
+    100 TB shape: two shuffles — one window over md5(paragraph) (hash-
+    partitioned; row_number, no global sort) and one groupBy(doc) for
+    reassembly. Paragraph hashing keys the shuffle, so mega-duplicate
+    boilerplate paragraphs skew a single partition at worst (AQE skew-join
+    handles it; the paragraphs themselves are short rows).
+    """
+    from pyspark.sql import Window
+
+    parts = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), delim)).alias("pos", "para"),
+    )
+    w = Window.partitionBy(F.md5(F.col("para"))).orderBy(F.col(id_col), F.col("pos"))
+    kept = parts.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            delim,
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("n_paras"),
+    )

@@ -2383,3 +2383,65 @@ DRIVER_WINDOW = [
 assert len(DRIVER_WINDOW) == 50 and len(set(DRIVER_WINDOW)) == 50
 _rest = [n for n in QUERIES if n not in set(DRIVER_WINDOW)]
 QUERIES = {n: QUERIES[n] for n in [*DRIVER_WINDOW, *_rest]}
+
+
+def q_dedup_paragraph(spark, sf):
+    """Paragraph-level exact dedup (C4 recipe, textops.paragraph_dedup):
+    synthetic 4-paragraph documents where every paragraph text recurs
+    twice across the corpus (para i = documents text of i % 40) — the
+    second occurrence of each paragraph must be dropped and the survivors
+    reassembled in position order."""
+    from .operators.textops import paragraph_dedup
+
+    base = _docs(spark, sf).filter(F.col("doc_id") < 40).select(
+        F.col("doc_id").alias("k"), "text"
+    )
+    ids = _docs(spark, sf).filter(F.col("doc_id") < 80).select("doc_id")
+    combined = (
+        ids.join(base, ids["doc_id"] % 40 == base["k"])
+        .select(
+            (F.col("doc_id") / 4).cast("long").alias("gid"),
+            (F.col("doc_id") % 4).alias("pos"),
+            "text",
+        )
+        .groupBy("gid")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list(F.struct("pos", "text"))), lambda s: s["text"]),
+                "\n\n",
+            ).alias("text")
+        )
+        .withColumnRenamed("gid", "doc_id")
+    )
+    out = paragraph_dedup(combined)
+    return out.select(
+        "doc_id", F.md5("text").alias("text_md5"), F.col("n_paras").cast("long").alias("n_paras")
+    )
+
+
+SQL_DEDUP_PARAGRAPH = """
+WITH paras AS (
+  SELECT i.doc_id // 4 AS gid, i.doc_id % 4 AS pos, b.text, md5(b.text) AS h
+  FROM (SELECT doc_id FROM documents WHERE doc_id < 80) i
+  JOIN (SELECT doc_id AS k, text FROM documents WHERE doc_id < 40) b
+    ON i.doc_id % 40 = b.k
+),
+kept AS (
+  SELECT gid, pos, text,
+         ROW_NUMBER() OVER (PARTITION BY h ORDER BY gid, pos) AS rn
+  FROM paras
+)
+SELECT gid AS doc_id,
+       md5(string_agg(text, chr(10)||chr(10) ORDER BY pos)) AS text_md5,
+       COUNT(*) AS n_paras
+FROM kept WHERE rn = 1 GROUP BY gid
+"""
+
+QUERIES["dedup_paragraph"] = (q_dedup_paragraph, SQL_DEDUP_PARAGRAPH)
+
+# deliberate window edit (policy in the DRIVER_WINDOW comment): the new
+# paragraph-dedup operator takes the driver slot of re-confirmation
+# dedup_minhash (green in r1 AND r2 — its historical rows stand)
+DRIVER_WINDOW[DRIVER_WINDOW.index("dedup_minhash")] = "dedup_paragraph"
+_rest = [n for n in QUERIES if n not in set(DRIVER_WINDOW)]
+QUERIES = {n: QUERIES[n] for n in [*DRIVER_WINDOW, *_rest]}

@@ -200,3 +200,29 @@ def test_parse_sparql_xml_roundtrip(spark):
     assert len(rows) == 5 and all(r["r"][0] == 0 for r in rows)
     assert {"ASIA", "EUROPE"} <= {r["rname"][1] for r in rows}
     assert parse_sparql_xml(to_ask_xml(True)) == ([], [{"__ask": True}])
+
+
+def test_paragraph_dedup_semantics(spark):
+    """C4-style paragraph dedup: first occurrence wins (doc order, then
+    position), all-duplicate docs drop out, survivors keep order."""
+    import pandas as pd
+
+    from ocaml_rdf_spark.operators.textops import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "alpha\n\nbeta\n\ngamma",
+                    "beta\n\ndelta",      # beta already seen → only delta kept
+                    "alpha\n\nbeta",      # all seen → doc drops out
+                ],
+            }
+        )
+    )
+    out = {r["doc_id"]: (r["text"], r["n_paras"]) for r in paragraph_dedup(docs).collect()}
+    assert out == {
+        1: ("alpha\n\nbeta\n\ngamma", 3),
+        2: ("delta", 1),
+    }
