@@ -2230,7 +2230,10 @@ def q_path_deep(spark, sf):
         F.concat(F.lit("urn:d:"), F.col("doc_id")).alias("src"),
         F.concat(F.lit("urn:d:"), F.col("doc_id") + 1).alias("dst"),
     ).filter(F.col("doc_id") < 127)
-    closure = transitive_closure(edges)
+    # linear_rounds=2: the relation is KNOWN deep (that's the point of the
+    # query), so doubling starts almost immediately — 8 total rounds for
+    # d=127 instead of the general-purpose default's 13
+    closure = transitive_closure(edges, linear_rounds=2)
     return closure.groupBy("src").agg(F.count(F.lit(1)).alias("n_desc"))
 
 
@@ -2445,3 +2448,47 @@ QUERIES["dedup_paragraph"] = (q_dedup_paragraph, SQL_DEDUP_PARAGRAPH)
 DRIVER_WINDOW[DRIVER_WINDOW.index("dedup_minhash")] = "dedup_paragraph"
 _rest = [n for n in QUERIES if n not in set(DRIVER_WINDOW)]
 QUERIES = {n: QUERIES[n] for n in [*DRIVER_WINDOW, *_rest]}
+
+
+def q_olap_shipping(spark, sf):
+    """Classic OLAP join-agg-topk over the relational layer (TPC-H Q3
+    shape): orders × lineitem × customer, segment filter pushed to the
+    customer scan, map-side partial aggregation, TakeOrderedAndProject
+    top-10 — the relational counterpart of the SPARQL bgp_join plan."""
+    cu = spark.read.parquet(f"{sf}/customer.parquet").filter(F.col("c_mktsegment") == "BUILDING")
+    od = spark.read.parquet(f"{sf}/orders.parquet").filter(F.col("o_orderdate") < "1995-03-15")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").filter(F.col("l_shipdate") > "1995-03-15")
+    return (
+        li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        .join(F.broadcast(cu), od["o_custkey"] == cu["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+            ).alias("revenue_x100")
+        )
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+            "o_orderpriority",
+            "revenue_x100",
+        )
+        .orderBy(F.desc("revenue_x100"), F.asc("o_date"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_OLAP_SHIPPING = """
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_orderpriority,
+       CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_x100
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_x100 DESC, o_date ASC, l_orderkey ASC LIMIT 10
+"""
+
+QUERIES["olap_shipping"] = (q_olap_shipping, SQL_OLAP_SHIPPING)

@@ -106,6 +106,14 @@ def main() -> None:
             ("closure hash aggregate", r"HashAggregate"),
             ("no nested-loop round", r"BroadcastNestedLoopJoin", "absent"),
         ]),
+        ("olap_shipping", [
+            # TPC-H Q3 shape: segment filter pushed to the customer scan,
+            # dim side broadcast, partial agg, top-k without a full sort
+            ("pushed segment filter", r"PushedFilters:.*c_mktsegment"),
+            ("broadcast dim join", r"BroadcastHashJoin"),
+            ("partial hash aggregation", r"HashAggregate"),
+            ("top-k, no full sort", r"TakeOrderedAndProject"),
+        ]),
         ("update_bulk", [
             # store-scale DELETE/INSERT…WHERE: the anti join on the triple
             # key must be hash-based, and the final set-dedup a hash agg
