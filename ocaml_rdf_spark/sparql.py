@@ -299,8 +299,27 @@ class Parser:
         froms, named = self._dataset_clause()
         if self.at_kw("where"):
             self.next()
-        node = self.parse_group_graph_pattern()
-        node, offset, limit = self._solution_modifiers(node, proj, exprs)
+        pattern = self.parse_group_graph_pattern()
+        # §19.8 note 13: a SELECT (expr AS ?v) target must be neither
+        # in-scope in the WHERE pattern nor repeated in the SELECT clause
+        if proj is not None and exprs:
+            pat_scope = _in_scope_vars(pattern)
+            for v, _e in exprs:
+                if v in pat_scope:
+                    raise SyntaxError(f"SELECT: AS target ?{v} is already in scope")
+                if proj.count(v) > 1:
+                    raise SyntaxError(f"SELECT: duplicate variable ?{v}")
+        node, offset, limit = self._solution_modifiers(pattern, proj, exprs)
+        # §18.2.4: with GROUP BY (explicit, or implicit via aggregates) a
+        # projected plain variable must be a group key (SELECT expressions
+        # evaluate over the group and are fine)
+        if proj is not None and getattr(self, "_last_group_by", None) is not None:
+            expr_names = {v for v, _e in exprs}
+            for v in proj:
+                if v not in expr_names and v not in self._last_group_by:
+                    raise SyntaxError(
+                        f"SELECT: variable ?{v} is neither grouped nor aggregated"
+                    )
         if proj is not None:
             node = A.Project(node, proj)
         if distinct or reduced:
@@ -455,6 +474,7 @@ class Parser:
         for v, e in pre_extends:
             node = A.Extend(node, v, e)
 
+        self._last_group_by = group_by if (group_by or self._aggs) else None
         if group_by or self._aggs:
             node = A.Group(node, group_by, list(self._aggs))
         for e in having:
@@ -534,6 +554,10 @@ class Parser:
                 v = self.next().text[1:]
                 self.eat_op(")")
                 base = acc if acc is not None else A.BGP([])
+                # §19.8 grammar note 12: the BIND target must not be
+                # in-scope in the group at the point of the BIND
+                if v in _in_scope_vars(base):
+                    raise SyntaxError(f"BIND: variable ?{v} is already in scope")
                 acc = A.Extend(base, v, e)
             elif self.at_kw("values"):
                 self.next()
@@ -1046,6 +1070,46 @@ class Parser:
 # ---------------------------------------------------------------------------
 # public API (rdf_sparql.ml :: execute)
 # ---------------------------------------------------------------------------
+
+
+def _in_scope_vars(n) -> set:
+    """Syntactic in-scope variables of a pattern (spec §18.2.1): the vars
+    a later BIND/AS may NOT re-assign. MINUS right sides and anonymous
+    group keys don't project out; sub-SELECTs expose only their
+    projection."""
+    if n is None:
+        return set()
+    if isinstance(n, A.Project):
+        return set(n.vars)
+    if isinstance(n, A.Minus):
+        return _in_scope_vars(n.left)
+    if isinstance(n, A.BGP):
+        out = set()
+        for tp in n.patterns:
+            for x in (tp.s, tp.p, tp.o, tp.g):
+                if isinstance(x, Var):
+                    out.add(x.name)
+        return out
+    if isinstance(n, P.PathPattern):
+        return {x.name for x in (n.s, n.o) if isinstance(x, Var)}
+    if isinstance(n, A.Extend):
+        return _in_scope_vars(n.child) | {n.var}
+    if isinstance(n, A.GraphNode):
+        out = _in_scope_vars(n.child)
+        if isinstance(n.g, Var):
+            out.add(n.g.name)
+        return out
+    if isinstance(n, A.Values):
+        return {v for row in n.rows for v in row}
+    if isinstance(n, A.Group):
+        return set(n.by) | {a.out for a in n.aggs}
+    # generic: union over Node-valued attributes (Join, LeftJoin, Union,
+    # Filter, Distinct, OrderBy, Slice, ...)
+    out = set()
+    for v in vars(n).values():
+        if isinstance(v, A.Node):
+            out |= _in_scope_vars(v)
+    return out
 
 
 def parse_query(text: str) -> Query:
