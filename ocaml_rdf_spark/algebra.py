@@ -547,6 +547,72 @@ class ExistsFilter(Node):
         return L.join(R, cond, how), lc, lm
 
 
+@dataclass
+class ExistsMark(Node):
+    """Expression-level EXISTS (spec §17.4.1.4 used inside FILTER/BIND
+    expressions, not as a whole filter — rdf_sparql_eval.ml :: eval_exists,
+    SURVEY §2.8): decorrelate the sub-pattern into a boolean flag column
+    `marker` on the solution multiset.
+
+    The flag for a row depends only on that row's shared-var bindings, so
+    it is computed once per DISTINCT shared-key combo: semi-join the
+    distinct key set against the sub-pattern, then equi-join the flags
+    back. Two hash joins over a keyset ≤ |solutions|, no row duplication,
+    no correlated per-row subquery — the same scale shape as the
+    ExistsFilter semi join."""
+
+    child: Node
+    sub: Node
+    marker: str
+
+    def compile(self, ctx: Ctx) -> CompileOut:
+        ldf, lc, lm = self.child.compile(ctx)
+        rdf, rc, rm = self.sub.compile(ctx)
+        shared = sorted((lc | lm) & (rc | rm))
+        if not shared:
+            # uncorrelated: one flag for every row
+            nonempty = len(rdf.take(1)) > 0
+            return ldf.withColumn(self.marker, F.lit(nonempty)), lc, lm
+        lk = ldf.select(*shared).dropDuplicates()
+        certain = set(shared) & lc & rc
+        L, R = lk.alias("l"), rdf.alias("r")
+        cond = F.lit(True)
+        for v in shared:
+            lv, rv = F.col(f"l.{v}"), F.col(f"r.{v}")
+            if v in certain:
+                cond = cond & lv.eqNullSafe(rv)
+            else:
+                # maybe-bound: unbound is join-compatible with anything
+                cond = cond & (lv.eqNullSafe(rv) | lv.isNull() | rv.isNull())
+        matched = (
+            L.join(R, cond, "left_semi")
+            .select(*[F.col(v).alias(f"__k_{v}") for v in shared])
+            .withColumn(self.marker, F.lit(True))
+        )
+        back = F.lit(True)
+        for v in shared:
+            back = back & ldf[v].eqNullSafe(matched[f"__k_{v}"])
+        out = (
+            ldf.join(matched, back, "left_outer")
+            .drop(*[f"__k_{v}" for v in shared])
+            .withColumn(self.marker, F.coalesce(F.col(self.marker), F.lit(False)))
+        )
+        return out, lc, lm
+
+
+@dataclass
+class DropMarks(Node):
+    """Drop internal flag columns (ExistsMark markers) once every
+    expression that references them has been applied."""
+
+    child: Node
+    cols: Sequence[str]
+
+    def compile(self, ctx: Ctx) -> CompileOut:
+        df, c, m = self.child.compile(ctx)
+        return df.drop(*self.cols), c, m
+
+
 # ---------------------------------------------------------------------------
 # aggregation (spec §18.5.1; rdf_sparql_eval.ml :: eval_agg — SURVEY §2.4)
 # ---------------------------------------------------------------------------

@@ -257,6 +257,12 @@ def BOUND(v: str) -> E:
     return E(lambda vm: t_bool(vm[v].isNotNull()))
 
 
+def EXISTS_MARK(col_name: str) -> E:
+    """Reference to an algebra.ExistsMark flag column — the decorrelated
+    form of EXISTS used inside expressions (spec §17.4.1.4)."""
+    return E(lambda vm: t_bool(F.col(col_name)))
+
+
 def IF(c: E, t: E, e: E) -> E:
     return E(lambda vm: F.when(ebv(c(vm)), t(vm)).otherwise(e(vm)))
 

@@ -146,6 +146,13 @@ class Parser:
         #: tree references it as a plain var (spec §18.2.4.1 sample/agg
         #: separation). Scoped per (sub-)SELECT.
         self._aggs: list[Agg] = []
+        #: expression-level EXISTS patterns collected while parsing the
+        #: current FILTER/BIND expression; the enclosing group attaches
+        #: them as algebra.ExistsMark nodes. Leftovers at end of parse
+        #: mean EXISTS appeared in a context that can't host the mark
+        #: (SELECT expr / HAVING / ORDER BY) — rejected there.
+        self._pending_marks: list = []
+        self._mark_n = 0
 
     # -- token helpers ------------------------------------------------------
 
@@ -240,14 +247,21 @@ class Parser:
                 iri = self.parse_iri_tok(self.next())
                 self.prefixes[pfx] = iri.value
         if self.at_kw("select"):
-            return self.parse_select()
-        if self.at_kw("ask"):
-            return self.parse_ask()
-        if self.at_kw("construct"):
-            return self.parse_construct()
-        if self.at_kw("describe"):
-            return self.parse_describe()
-        raise SyntaxError(f"expected query form, got {self.peek().text!r}")
+            q = self.parse_select()
+        elif self.at_kw("ask"):
+            q = self.parse_ask()
+        elif self.at_kw("construct"):
+            q = self.parse_construct()
+        elif self.at_kw("describe"):
+            q = self.parse_describe()
+        else:
+            raise SyntaxError(f"expected query form, got {self.peek().text!r}")
+        if self._pending_marks:
+            # marks are consumed by the enclosing group pattern; leftovers
+            # mean EXISTS sat in SELECT/HAVING/ORDER BY expressions, where
+            # there is no group to host the flag join
+            raise SyntaxError("EXISTS is only supported inside FILTER/BIND expressions")
+        return q
 
     # -- query forms --------------------------------------------------------
 
@@ -496,8 +510,9 @@ class Parser:
             self.eat_op("}")
             return q.node
         acc: Optional[Node] = None
-        filters: list[E] = []
+        filters: list[tuple[E, list]] = []  # (expr, its EXISTS marks)
         exists_filters: list[tuple[Node, bool]] = []
+        group_marks: list[str] = []  # flag columns to drop at group end
 
         def join_acc(n: Node):
             nonlocal acc
@@ -540,15 +555,20 @@ class Parser:
                     self.next()
                     exists_filters.append((self.parse_group_graph_pattern(), True))
                 else:
+                    n0 = len(self._pending_marks)
                     if self.at_op("("):
                         self.next()
-                        filters.append(self.parse_expr())
+                        fe = self.parse_expr()
                         self.eat_op(")")
                     else:
-                        filters.append(self.parse_primary_expr())
+                        fe = self.parse_primary_expr()
+                    marks = self._pending_marks[n0:]
+                    del self._pending_marks[n0:]
+                    filters.append((fe, marks))
             elif self.at_kw("bind"):
                 self.next()
                 self.eat_op("(")
+                n0 = len(self._pending_marks)
                 e = self.parse_expr()
                 self.eat_kw("as")
                 v = self.next().text[1:]
@@ -558,6 +578,11 @@ class Parser:
                 # in-scope in the group at the point of the BIND
                 if v in _in_scope_vars(base):
                     raise SyntaxError(f"BIND: variable ?{v} is already in scope")
+                marks = self._pending_marks[n0:]
+                del self._pending_marks[n0:]
+                for sub_p, mk in marks:
+                    base = A.ExistsMark(base, sub_p, mk)
+                    group_marks.append(mk)
                 acc = A.Extend(base, v, e)
             elif self.at_kw("values"):
                 self.next()
@@ -581,10 +606,15 @@ class Parser:
                 self.next()
         self.eat_op("}")
         node = acc if acc is not None else A.BGP([])
-        for e in filters:
-            node = A.Filter(e, node)
+        for fe, marks in filters:
+            for sub_f, mk in marks:
+                node = A.ExistsMark(node, sub_f, mk)
+                group_marks.append(mk)
+            node = A.Filter(fe, node)
         for sub, neg in exists_filters:
             node = A.ExistsFilter(node, sub, neg)
+        if group_marks:
+            node = A.DropMarks(node, group_marks)
         return node
 
     def parse_values(self) -> Node:
@@ -941,12 +971,28 @@ class Parser:
             return B.E(lambda vm, iri=iri: B.term_lit(iri))
         raise SyntaxError(f"unexpected token {t.text!r} in expression")
 
+    def _exists_expr(self, negated: bool) -> E:
+        """EXISTS { P } inside an expression → a fresh flag var fed by an
+        ExistsMark node that the enclosing group attaches (decorrelated —
+        never a per-row subquery)."""
+        sub = self.parse_group_graph_pattern()
+        marker = f"__ex{self._mark_n}"
+        self._mark_n += 1
+        self._pending_marks.append((sub, marker))
+        e = B.EXISTS_MARK(marker)
+        return ~e if negated else e
+
     def _function_call(self) -> E:
         name = self.next().text.lower()
         if name in _AGG_KEYWORDS:
             return self._aggregate(name)
-        if name == "exists" or name == "not":
-            raise SyntaxError("EXISTS only supported at FILTER top level")
+        if name == "exists":
+            return self._exists_expr(False)
+        if name == "not":
+            # 'NOT IN' is consumed by _rel_expr before primaries; a bare
+            # NOT here can only begin NOT EXISTS.
+            self.eat_kw("exists")
+            return self._exists_expr(True)
 
         simple = {
             "bound": None, "if": B.IF, "coalesce": B.COALESCE, "sameterm": B.SAME_TERM,

@@ -2492,3 +2492,36 @@ ORDER BY revenue_x100 DESC, o_date ASC, l_orderkey ASC LIMIT 10
 """
 
 QUERIES["olap_shipping"] = (q_olap_shipping, SQL_OLAP_SHIPPING)
+
+
+def q_sparql_text_exists_expr(spark, sf):
+    """Expression-level EXISTS/NOT EXISTS (§17.4.1.4) — forms a top-level
+    semi/anti join cannot express: EXISTS under BIND and inside a FILTER
+    disjunction. Decorrelated into flag joins by algebra.ExistsMark (one
+    distinct-key semi join + one equi join back; never per-row)."""
+    return _sparql(
+        spark, sf,
+        """SELECT ?nname ?rich ?tag WHERE {
+             ?n a c:Nation ; p:name ?nname .
+             BIND(EXISTS { ?c p:inNation ?n ; p:acctbal ?b . FILTER(?b > 980000) } AS ?rich)
+             BIND(IF(NOT EXISTS { ?s a c:Supplier ; p:inNation ?n }, "nosup", "sup") AS ?tag)
+             FILTER(EXISTS { ?c2 p:inNation ?n } || ?nname = "KENYA")
+           }""",
+        "nname", "rich", "tag",
+    )
+
+
+SQL_SPARQL_TEXT_EXISTS_EXPR = """
+SELECT n_name AS nname,
+       CASE WHEN EXISTS (SELECT 1 FROM customer
+                         WHERE c_nationkey = n_nationkey
+                           AND round(c_acctbal*100) > 980000)
+            THEN 'true' ELSE 'false' END AS rich,
+       CASE WHEN NOT EXISTS (SELECT 1 FROM supplier WHERE s_nationkey = n_nationkey)
+            THEN 'nosup' ELSE 'sup' END AS tag
+FROM nation
+WHERE EXISTS (SELECT 1 FROM customer WHERE c_nationkey = n_nationkey)
+   OR n_name = 'KENYA'
+"""
+
+QUERIES["sparql_text_exists_expr"] = (q_sparql_text_exists_expr, SQL_SPARQL_TEXT_EXISTS_EXPR)

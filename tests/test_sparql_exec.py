@@ -7,7 +7,7 @@ from __future__ import annotations
 import pytest
 
 from ocaml_rdf_spark.algebra import Ctx, flatten
-from ocaml_rdf_spark.sparql import execute
+from ocaml_rdf_spark.sparql import execute, parse_query
 from ocaml_rdf_spark.types import TRIPLES_SCHEMA, Iri, Literal, triple_row
 
 EX = "http://ex.org/"
@@ -252,3 +252,66 @@ def test_integer_exact_beyond_double(ctx):
     t = _bind1(ctx, '"9007199254740993"^^xsd:integer + "2"^^xsd:integer')
     assert t["dtype"].endswith("integer")
     assert t["lex"] == "9007199254740995"
+
+
+# -- expression-level EXISTS / NOT EXISTS (spec §17.4.1.4) -------------------
+
+
+def test_exists_in_bind(ctx):
+    df = execute(
+        PFX + "SELECT ?n ?has WHERE { ?x ex:name ?n . "
+        "BIND(EXISTS { ?x ex:age ?a } AS ?has) }",
+        ctx,
+    )
+    assert rows(df, "n", "has") == [
+        ("Alice", "true"), ("Bob", "true"), ("Carol", "false"), ("Dave", "false"),
+    ]
+
+
+def test_exists_in_filter_disjunction(ctx):
+    # EXISTS as one arm of || — not expressible as a top-level semi join
+    df = execute(
+        PFX + 'SELECT ?n WHERE { ?x ex:name ?n . '
+        'FILTER(NOT EXISTS { ?x ex:age ?a } || ?n = "Alice") }',
+        ctx,
+    )
+    assert rows(df) == [("Alice",), ("Carol",), ("Dave",)]
+
+
+def test_exists_in_if(ctx):
+    df = execute(
+        PFX + 'SELECT ?n ?t WHERE { ?x ex:name ?n . '
+        'BIND(IF(EXISTS { ?x ex:knows ?y }, "social", "loner") AS ?t) }',
+        ctx,
+    )
+    assert rows(df, "n", "t") == [
+        ("Alice", "social"), ("Bob", "social"), ("Carol", "loner"), ("Dave", "loner"),
+    ]
+
+
+def test_exists_uncorrelated_expr(ctx):
+    # no shared vars: one flag for the whole multiset
+    df = execute(
+        PFX + 'SELECT ?n WHERE { ?x ex:name ?n . '
+        'FILTER(EXISTS { ?q ex:name "NoSuch" } || ?n = "Bob") }',
+        ctx,
+    )
+    assert rows(df) == [("Bob",)]
+
+
+def test_exists_expr_rejected_in_select(ctx):
+    import pytest as _pytest
+
+    with _pytest.raises(SyntaxError):
+        parse_query(
+            PFX + "SELECT (EXISTS { ?x ex:age ?a } AS ?b) WHERE { ?x ex:name ?n }"
+        )
+
+
+def test_exists_marker_not_in_result(ctx):
+    df = execute(
+        PFX + 'SELECT * WHERE { ?x ex:name ?n . '
+        'FILTER(EXISTS { ?x ex:age ?a } || ?n = "Carol") }',
+        ctx,
+    )
+    assert not [c for c in df.columns if c.startswith("__ex")]
