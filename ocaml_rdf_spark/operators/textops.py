@@ -332,3 +332,64 @@ def paragraph_dedup(
         ).alias(text_col),
         F.count(F.lit(1)).alias("n_paras"),
     )
+
+
+def repetition_stats(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    table A1): the fraction of characters sitting in duplicated lines and
+    the count fraction of the single most frequent word bigram. High
+    values flag boilerplate / template spam for training-data filtering.
+
+    Output: (id, n_lines, dup_line_x1000, n_bigrams, top_bigram_x1000) —
+    fractions as floor(x*1000) BIGINTs so the cross-engine oracle compares
+    exactly.
+
+    100 TB shape: every aggregation is keyed by the document id (or
+    (id, line) / (id, bigram) — strictly finer), so this is two map-side-
+    combinable shuffle chains with no cross-document join anywhere; a
+    mega-document skews one partition at worst and AQE splits it."""
+    lines = (
+        docs.select(id_col, F.explode(F.split(F.col(text_col), "\n")).alias("line"))
+        .withColumn("line", F.trim("line"))
+        .filter(F.length("line") > 0)
+    )
+    per_line = lines.groupBy(id_col, "line").agg(F.count(F.lit(1)).alias("cnt"))
+    line_stats = (
+        per_line.withColumn("chars", F.length("line") * F.col("cnt"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_lines"),
+            F.floor(
+                F.sum(F.when(F.col("cnt") > 1, F.col("chars")).otherwise(F.lit(0)))
+                * 1000.0
+                / F.sum("chars")
+            ).alias("dup_line_x1000"),
+        )
+    )
+    words = docs.select(
+        id_col, F.split(F.trim(F.col(text_col)), r"\s+").alias("__w")
+    )
+    bigrams = words.select(
+        id_col,
+        F.explode(
+            F.when(
+                F.size("__w") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(__w)-1),"
+                    " i -> concat(element_at(__w, i), ' ', element_at(__w, i+1)))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bg"),
+    )
+    per_bg = bigrams.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("cnt"))
+    bg_stats = per_bg.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_bigrams"),
+        F.floor(F.max("cnt") * 1000.0 / F.sum("cnt")).alias("top_bigram_x1000"),
+    )
+    return (
+        docs.select(id_col)
+        .dropDuplicates()
+        .join(line_stats, id_col, "left")
+        .join(bg_stats, id_col, "left")
+        .fillna(0, ["n_lines", "dup_line_x1000", "n_bigrams", "top_bigram_x1000"])
+    )

@@ -2525,3 +2525,62 @@ WHERE EXISTS (SELECT 1 FROM customer WHERE c_nationkey = n_nationkey)
 """
 
 QUERIES["sparql_text_exists_expr"] = (q_sparql_text_exists_expr, SQL_SPARQL_TEXT_EXISTS_EXPR)
+
+
+def q_repetition(spark, sf):
+    """Gopher-style repetition quality signals (textops.repetition_stats):
+    duplicated-line char fraction + top-bigram count fraction per doc.
+    Boilerplate is synthesized deterministically (2 of every 3 docs get a
+    repeated promo line appended) so both signals are exercised."""
+    from .operators.textops import repetition_stats
+
+    boiler = "CLICK HERE to subscribe CLICK HERE"
+    docs = _docs(spark, sf).filter(F.col("doc_id") < 200).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.col("text"))
+        .otherwise(F.concat_ws("\n", F.col("text"), F.lit(boiler), F.lit(boiler)))
+        .alias("text"),
+    )
+    return repetition_stats(docs)
+
+
+SQL_REPETITION = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN text
+              ELSE text || chr(10) || 'CLICK HERE to subscribe CLICK HERE'
+                        || chr(10) || 'CLICK HERE to subscribe CLICK HERE' END AS text
+  FROM documents WHERE doc_id < 200
+),
+lines AS (
+  SELECT doc_id, trim(l) AS line
+  FROM d, unnest(string_split(text, chr(10))) AS t(l)
+  WHERE length(trim(l)) > 0
+),
+per AS (SELECT doc_id, line, COUNT(*) AS cnt FROM lines GROUP BY 1, 2),
+ls AS (
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_lines,
+         CAST(floor(SUM(CASE WHEN cnt > 1 THEN length(line)*cnt ELSE 0 END)
+                    * 1000.0 / SUM(length(line)*cnt)) AS BIGINT) AS dup_line_x1000
+  FROM per GROUP BY 1
+),
+ws AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM d),
+bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+  FROM ws WHERE len(w) >= 2
+),
+pb AS (SELECT doc_id, bg, COUNT(*) AS cnt FROM bg GROUP BY 1, 2),
+bs AS (
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+         CAST(floor(MAX(cnt) * 1000.0 / SUM(cnt)) AS BIGINT) AS top_bigram_x1000
+  FROM pb GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(n_lines, 0) AS n_lines,
+       COALESCE(dup_line_x1000, 0) AS dup_line_x1000,
+       COALESCE(n_bigrams, 0) AS n_bigrams,
+       COALESCE(top_bigram_x1000, 0) AS top_bigram_x1000
+FROM d LEFT JOIN ls USING (doc_id) LEFT JOIN bs USING (doc_id)
+"""
+
+QUERIES["repetition"] = (q_repetition, SQL_REPETITION)

@@ -344,3 +344,31 @@ def test_dataset_named_graphs(spark):
     assert ds.union_all_graphs().size() > nation.size()
     assert nation.exists(sub=Iri("urn:n:0"))
     assert not nation.exists(sub=Iri("urn:r:0"))  # region subject not in nation graph
+
+
+def test_repetition_stats_micro(spark):
+    from ocaml_rdf_spark.operators.textops import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            # 4 lines, "dup dup" line repeated twice (2*7=14 of 24 chars);
+            # bigrams: "dup dup" x3 ("dup dup\ndup dup" splits to 4 words
+            # -> 3 bigrams all "dup dup") + ... compute explicitly below
+            (0, "alpha beta\ndup dup\ndup dup\ngamma"),
+            (1, "one two three"),  # no dup lines, all bigrams unique
+            (2, ""),  # degenerate: no lines, no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in repetition_stats(docs).collect()}
+    # doc 0 lines: "alpha beta"(10), "dup dup"(7) x2, "gamma"(5)
+    #   dup chars = 14, total = 29 -> floor(14000/29) = 482
+    assert out[0]["n_lines"] == 4
+    assert out[0]["dup_line_x1000"] == 482
+    # doc 0 words: alpha beta dup dup dup dup gamma -> 6 bigrams,
+    #   "dup dup" appears 3x -> floor(3000/6) = 500
+    assert out[0]["n_bigrams"] == 6
+    assert out[0]["top_bigram_x1000"] == 500
+    assert out[1]["dup_line_x1000"] == 0
+    assert out[1]["n_bigrams"] == 2 and out[1]["top_bigram_x1000"] == 500
+    assert out[2]["n_lines"] == 0 and out[2]["n_bigrams"] == 0
