@@ -96,8 +96,10 @@ def main() -> None:
         "bcast_join",
         "events_session",
         "sparql_text_bgp",
+        "sparql_text_exists_expr",
         "sparql_update",
         "update_bulk",
+        "repetition",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

@@ -121,6 +121,21 @@ def main() -> None:
             ("no nested-loop anti join", r"BroadcastNestedLoopJoin", "absent"),
             ("set-semantics hash aggregate", r"HashAggregate"),
         ]),
+        ("sparql_text_exists_expr", [
+            # expression-level EXISTS: every flag must decorrelate into
+            # hash semi joins + hash equi joins back — a nested-loop or
+            # cartesian product here means the per-row-subquery shape leaked
+            ("hash semi join for the flag", r"LeftSemi"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
+        ("repetition", [
+            # doc-keyed aggregation chains: partial+final hash aggregates,
+            # joins back to the doc-id spine are hash joins
+            ("map-side-combinable hash aggregate", r"HashAggregate"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
     ]
 
     lines = ["# PLANS — physical-plan audit (scripts/plan_audit.py)", "",
