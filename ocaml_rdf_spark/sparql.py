@@ -186,6 +186,22 @@ class Parser:
         self._anon += 1
         return BNode(f"qb{self._anon}")
 
+    # -- query-pattern bnodes are non-distinguished variables (§4.1.4) ------
+
+    def _bn_pos(self, x):
+        """In a graph PATTERN a blank node is a variable that can never be
+        selected — NOT a by-label probe of stored bnodes (spec §4.1.4;
+        rdf_sparql_algebra.ml treats pattern bnodes the same way). Same
+        label → same hidden var across the query (the grammar already
+        forbids reusing a label across BGPs, so one namespace is safe)."""
+        return Var(f"__bn_{x.label}") if isinstance(x, BNode) else x
+
+    def _bn_tp(self, tp):
+        return TriplePattern(self._bn_pos(tp.s), self._bn_pos(tp.p), self._bn_pos(tp.o), tp.g)
+
+    def _bn_path(self, pn):
+        return P.PathPattern(self._bn_pos(pn.s), pn.path, self._bn_pos(pn.o))
+
     # -- terms --------------------------------------------------------------
 
     def expand_pname(self, pname: str) -> str:
@@ -336,6 +352,13 @@ class Parser:
                     )
         if proj is not None:
             node = A.Project(node, proj)
+        else:
+            # SELECT *: project only the distinguished vars — pattern
+            # bnodes (hidden __bn_ vars) never reach the result (§18.2.4.4)
+            scope = _in_scope_vars(pattern)
+            vis = sorted(v for v in scope if not v.startswith("__bn_"))
+            if len(vis) != len(scope):
+                node = A.Project(node, vis)
         if distinct or reduced:
             node = A.Distinct(node)
             # Distinct is a shuffle (dropDuplicates) — it does NOT preserve
@@ -372,7 +395,9 @@ class Parser:
                 raise SyntaxError("CONSTRUCT WHERE allows only triple patterns")
             self.eat_op("}")
             templates = [Template(tp.s, tp.p, tp.o) for tp in tps]
-            node = A.BGP(tps)
+            # pattern side: bnodes are hidden vars; template side keeps
+            # them (minted fresh per solution at instantiation)
+            node = A.BGP([self._bn_tp(tp) for tp in tps])
             node, offset, limit = self._solution_modifiers(node, None, [])
             if offset or limit is not None:
                 node = A.Slice(node, offset or 0, limit)
@@ -599,9 +624,9 @@ class Parser:
             else:
                 tps, path_nodes = self._triples_block(allow_paths=True)
                 if tps:
-                    join_acc(A.BGP(tps))
+                    join_acc(A.BGP([self._bn_tp(tp) for tp in tps]))
                 for pn in path_nodes:
-                    join_acc(pn)
+                    join_acc(self._bn_path(pn))
             if self.at_op("."):
                 self.next()
         self.eat_op("}")

@@ -2584,3 +2584,37 @@ FROM d LEFT JOIN ls USING (doc_id) LEFT JOIN bs USING (doc_id)
 """
 
 QUERIES["repetition"] = (q_repetition, SQL_REPETITION)
+
+
+def q_canon_bnodes(spark, sf):
+    """Canonical blank-node labeling (operators/canon.py): one bnode per
+    customer carrying only its market segment — customers in the same
+    segment are structurally indistinguishable, so the WL refinement must
+    put them in one automorphism orbit whose size is the segment count."""
+    from .operators.canon import canonical_bnode_labels
+    from .types import XSD_STRING
+
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    tr = cust.select(
+        F.lit(1).cast("tinyint").alias("s_kind"),
+        F.concat(F.lit("cb"), F.col("c_custkey").cast("string")).alias("s_lex"),
+        F.lit("urn:p:seg").alias("pred"),
+        F.lit(2).cast("tinyint").alias("o_kind"),
+        F.col("c_mktsegment").alias("o_lex"),
+        F.lit(XSD_STRING).alias("o_dtype"),
+        F.lit(None).cast("string").alias("o_lang"),
+        F.lit("urn:g:canon").alias("graph"),
+        F.lit(None).cast("string").alias("src_url"),
+        F.lit(None).cast("string").alias("extractor"),
+        F.lit(None).cast("int").alias("part_id"),
+    )
+    return canonical_bnode_labels(tr).select("label", "n_shared")
+
+
+SQL_CANON_BNODES = """
+SELECT 'cb' || c_custkey AS label,
+       COUNT(*) OVER (PARTITION BY c_mktsegment) AS n_shared
+FROM customer
+"""
+
+QUERIES["canon_bnodes"] = (q_canon_bnodes, SQL_CANON_BNODES)

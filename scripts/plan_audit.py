@@ -129,6 +129,14 @@ def main() -> None:
             ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
             ("no cartesian product", r"CartesianProduct", "absent"),
         ]),
+        ("canon_bnodes", [
+            # WL color refinement: per-round joins are checkpointed away;
+            # the auditable tail is the orbit-count hash aggregate and the
+            # color join — hash-based, never nested-loop
+            ("orbit hash aggregate", r"HashAggregate"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
         ("repetition", [
             # doc-keyed aggregation chains: partial+final hash aggregates,
             # joins back to the doc-id spine are hash joins

@@ -372,3 +372,72 @@ def test_repetition_stats_micro(spark):
     assert out[1]["dup_line_x1000"] == 0
     assert out[1]["n_bigrams"] == 2 and out[1]["top_bigram_x1000"] == 500
     assert out[2]["n_lines"] == 0 and out[2]["n_bigrams"] == 0
+
+
+# -- canonical blank-node labeling (operators/canon.py) ----------------------
+
+
+def _tr(spark, rows):
+    from ocaml_rdf_spark.types import TRIPLES_SCHEMA, triple_row
+
+    return spark.createDataFrame(
+        [triple_row(s, p, o, graph="urn:g:c") for s, p, o in rows], schema=TRIPLES_SCHEMA
+    )
+
+
+def _canon_set(spark, rows):
+    from ocaml_rdf_spark.operators.canon import canonicalize_bnodes
+
+    df = canonicalize_bnodes(_tr(spark, rows))
+    return sorted(
+        (r["s_kind"], r["s_lex"], r["pred"], r["o_kind"], r["o_lex"]) for r in df.collect()
+    )
+
+
+def test_canon_isomorphism_invariance(spark):
+    from ocaml_rdf_spark.types import BNode, Iri, Literal
+
+    ex = "http://ex/"
+    g1 = [
+        (BNode("a"), Iri(ex + "name"), Literal("x")),
+        (BNode("a"), Iri(ex + "next"), BNode("b")),
+        (BNode("b"), Iri(ex + "name"), Literal("y")),
+        (Iri(ex + "root"), Iri(ex + "head"), BNode("a")),
+    ]
+    # same graph, bnodes relabeled by an arbitrary bijection
+    g2 = [
+        (BNode("zz9"), Iri(ex + "name"), Literal("x")),
+        (BNode("zz9"), Iri(ex + "next"), BNode("q")),
+        (BNode("q"), Iri(ex + "name"), Literal("y")),
+        (Iri(ex + "root"), Iri(ex + "head"), BNode("zz9")),
+    ]
+    assert _canon_set(spark, g1) == _canon_set(spark, g2)
+
+
+def test_canon_distinguishes_structure(spark):
+    from ocaml_rdf_spark.operators.canon import canonical_bnode_labels
+    from ocaml_rdf_spark.types import BNode, Iri, Literal
+
+    ex = "http://ex/"
+    rows = [
+        (BNode("a"), Iri(ex + "name"), Literal("x")),
+        (BNode("b"), Iri(ex + "name"), Literal("y")),
+        (BNode("c"), Iri(ex + "name"), Literal("x")),  # automorphic with a
+    ]
+    out = {r["label"]: r for r in canonical_bnode_labels(_tr(spark, rows)).collect()}
+    assert out["a"]["canon"] == out["c"]["canon"]
+    assert out["a"]["n_shared"] == 2 and out["c"]["n_shared"] == 2
+    assert out["b"]["canon"] != out["a"]["canon"] and out["b"]["n_shared"] == 1
+
+
+def test_canon_directed_chain_separates(spark):
+    from ocaml_rdf_spark.operators.canon import canonical_bnode_labels
+    from ocaml_rdf_spark.types import BNode, Iri
+
+    ex = "http://ex/"
+    n = 8
+    rows = [(BNode(f"c{i}"), Iri(ex + "next"), BNode(f"c{i+1}")) for i in range(n - 1)]
+    out = canonical_bnode_labels(_tr(spark, rows)).collect()
+    assert len(out) == n
+    assert len({r["canon"] for r in out}) == n  # fully separated
+    assert all(r["n_shared"] == 1 for r in out)

@@ -315,3 +315,22 @@ def test_exists_marker_not_in_result(ctx):
         ctx,
     )
     assert not [c for c in df.columns if c.startswith("__ex")]
+
+
+# -- pattern blank nodes are non-distinguished variables (§4.1.4) ------------
+
+
+def test_bnode_property_list_matches(ctx):
+    df = execute(PFX + "SELECT ?n WHERE { [ ex:name ?n ; ex:age ?a ] }", ctx)
+    assert rows(df) == [("Alice",), ("Bob",)]
+
+
+def test_labeled_pattern_bnode_is_var(ctx):
+    # _:w must NOT probe stored bnodes by label — it binds like a var
+    df = execute(PFX + "SELECT ?n WHERE { _:w ex:knows ?y . _:w ex:name ?n }", ctx)
+    assert rows(df) == [("Alice",), ("Bob",)]
+
+
+def test_select_star_hides_pattern_bnodes(ctx):
+    df = execute(PFX + "SELECT * WHERE { [ ex:name ?n ] }", ctx)
+    assert df.columns == ["n"]

@@ -140,11 +140,20 @@ def test_plain_iri_path_is_triple_pattern():
 
 def test_bnode_property_list_and_collection():
     q = parse_query(PFX + "SELECT * WHERE { ?x ex:addr [ ex:city ?c ; ex:zip ?z ] . ?l ex:items (ex:a ex:b) }")
-    bgp = q.node
+    # SELECT * hides the pattern-bnode vars behind a Project (§18.2.4.4)
+    assert isinstance(q.node, A.Project)
+    assert q.node.vars == ["c", "l", "x", "z"]
+    bgp = q.node.child
     assert isinstance(bgp, A.BGP)
     preds = [tp.p.value for tp in bgp.patterns if isinstance(tp.p, Iri)]
     assert "http://ex.org/city" in preds and "http://ex.org/zip" in preds
     assert any(p.endswith("#first") for p in preds) and any(p.endswith("#rest") for p in preds)
+    # pattern bnodes act as non-distinguished VARIABLES, not label probes
+    from ocaml_rdf_spark.types import BNode as _BN
+
+    assert not any(isinstance(t, _BN) for tp in bgp.patterns for t in (tp.s, tp.o))
+    anon_subjects = [tp.s for tp in bgp.patterns if getattr(tp.s, "name", "").startswith("__bn_")]
+    assert anon_subjects, "bnode property list must compile to hidden vars"
 
 
 def test_construct_ask_describe_forms():
