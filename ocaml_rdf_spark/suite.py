@@ -2618,3 +2618,18 @@ FROM customer
 """
 
 QUERIES["canon_bnodes"] = (q_canon_bnodes, SQL_CANON_BNODES)
+
+
+# deliberate window edits (policy in the DRIVER_WINDOW comment): this
+# round's remaining new oracled queries take the slots of doubly-confirmed
+# re-confirmations (bgp_join / agg_nation / cc_components green in r1 AND
+# r2, dedup_clusters green in r2 — their historical rows stand)
+for _old, _new in [
+    ("bgp_join", "olap_shipping"),
+    ("agg_nation", "sparql_text_exists_expr"),
+    ("dedup_clusters", "repetition"),
+    ("cc_components", "canon_bnodes"),
+]:
+    DRIVER_WINDOW[DRIVER_WINDOW.index(_old)] = _new
+_rest = [n for n in QUERIES if n not in set(DRIVER_WINDOW)]
+QUERIES = {n: QUERIES[n] for n in [*DRIVER_WINDOW, *_rest]}

@@ -26,7 +26,7 @@ WINDOW_MANIFEST = [
     "sparql_text_from_empty", "path_deep", "update_bulk", "agg_having",
     "orderby_mixed", "sparql_text_construct_where",
     "path_star", "path_neg", "subselect",
-    "bgp_join", "agg_nation", "dedup_clusters", "cc_components", "dedup_paragraph",
+    "olap_shipping", "sparql_text_exists_expr", "repetition", "canon_bnodes", "dedup_paragraph",
 ]
 
 
