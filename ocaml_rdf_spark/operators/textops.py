@@ -58,6 +58,25 @@ def exact_dup_groups(docs: DataFrame) -> DataFrame:
     )
 
 
+def minhash_signature_col(text: Column, bands: int = 8) -> Column:
+    """The full MinHash signature as ONE per-row column expression —
+    `bands` min-hashes over the word set, joined with '|'. Agrees
+    band-for-band with `minhash_signatures` (same md5(band:word) hash,
+    min over the same word set), but needs no explode/groupBy, so it is
+    legal in a streaming stage (no aggregation before a stateful op) and
+    keeps whole-stage codegen in batch plans. Empty/whitespace-only docs
+    hash to the empty signature (they dedup together)."""
+    ws = F.array_distinct(F.filter(words(text), lambda w: w != ""))
+
+    def band_min(i: int) -> Column:
+        # NB: the lambda must stay single-arg — a 2-arg transform lambda
+        # receives (element, index) and would shadow the band id
+        b = F.lit(i)
+        return F.array_min(F.transform(ws, lambda w: F.md5(F.concat_ws(":", b, w))))
+
+    return F.concat_ws("|", *[band_min(i) for i in range(bands)])
+
+
 def minhash_signatures(docs: DataFrame, bands: int = 8) -> DataFrame:
     """Per-doc MinHash over the word *set*: band b's hash is
     min(md5(b || ':' || word)). → (doc_id, band, mh).

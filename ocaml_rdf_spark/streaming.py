@@ -298,3 +298,44 @@ def stream_dedup_exact(
             .drop("__h")
         )
     return hashed.dropDuplicates(["__h"]).drop("__h")
+
+
+def stream_dedup_minhash(
+    spark: SparkSession,
+    input_dir: str,
+    text_col: str = "text",
+    bands: int = 8,
+    event_time_col: Optional[str] = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming NEAR-duplicate suppression: drop documents whose full
+    MinHash signature (textops.minhash_signature_col — a per-row column
+    expression, no pre-state aggregation) matches an earlier document.
+
+    Tier honesty: full-signature equality is the strictest LSH tier — it
+    catches near-identical documents (boilerplate re-crawls, trivial
+    whitespace/markup edits that leave the word set ~unchanged) but not
+    moderate-overlap near-dups, which need band-bucketed candidate
+    generation + Jaccard verify; that cross-document join is the batch
+    pipeline's job (textops.near_dup_clusters — the lambda-architecture
+    split used by stream_dedup_exact, same rationale).
+
+    State: with an event-time column, `dropDuplicatesWithinWatermark` on
+    the signature keeps watermark-deep state only (bounded, runs
+    forever); without one it is a global signature set (bounded streams
+    only).
+    """
+    from pyspark.sql import functions as F
+
+    from .operators.textops import minhash_signature_col
+
+    schema = spark.read.parquet(input_dir).schema
+    docs = spark.readStream.schema(schema).parquet(input_dir)
+    sig = docs.withColumn("__sig", minhash_signature_col(F.col(text_col), bands))
+    if event_time_col is not None:
+        return (
+            sig.withWatermark(event_time_col, watermark)
+            .dropDuplicatesWithinWatermark(["__sig"])
+            .drop("__sig")
+        )
+    return sig.dropDuplicates(["__sig"]).drop("__sig")

@@ -441,3 +441,26 @@ def test_canon_directed_chain_separates(spark):
     assert len(out) == n
     assert len({r["canon"] for r in out}) == n  # fully separated
     assert all(r["n_shared"] == 1 for r in out)
+
+
+def test_minhash_signature_col_agrees_with_batch(spark):
+    import pyspark.sql.functions as F
+
+    from ocaml_rdf_spark.operators.textops import (
+        minhash_signature_col,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "delta  epsilon"), (2, "alpha")],
+        "doc_id long, text string",
+    )
+    per_row = {
+        r["doc_id"]: r["sig"].split("|")
+        for r in docs.select("doc_id", minhash_signature_col(F.col("text")).alias("sig")).collect()
+    }
+    batch = {}
+    for r in minhash_signatures(docs).collect():
+        batch.setdefault(r["doc_id"], {})[r["band"]] = r["mh"]
+    for did, sig in per_row.items():
+        assert sig == [batch[did][b] for b in range(8)]

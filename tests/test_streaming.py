@@ -207,3 +207,56 @@ def test_stream_dedup_within_watermark_bounded_state(spark, tmp_path):
     q.awaitTermination(120)
     texts = sorted(r["text"] for r in spark.read.parquet(out).collect())
     assert texts == ["aa", "bb", "cc"]
+
+
+def test_stream_dedup_minhash_matches_batch(spark, tmp_path):
+    """Streaming near-dup: signature-equal docs (same word set — word
+    order / extra whitespace don't matter) collapse to one survivor;
+    the surviving signature set equals the batch signature dedup."""
+    import pandas as pd
+
+    from ocaml_rdf_spark.operators.textops import minhash_signature_col
+    from ocaml_rdf_spark.streaming import stream_dedup_minhash
+
+    inp = str(tmp_path / "docs")
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(6)),
+            "text": [
+                "the quick brown fox",
+                "fox  brown the quick",   # same word set -> near-dup
+                "a completely different document",
+                "the quick brown fox",    # exact dup
+                "different a completely document",  # near-dup of #2
+                "unique text here",
+            ],
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(inp)
+
+    out = str(tmp_path / "nd")
+    q = (
+        stream_dedup_minhash(spark, inp)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt_nd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 3  # one per word-set class
+
+    import pyspark.sql.functions as F
+
+    batch_sigs = sorted(
+        r[0]
+        for r in spark.read.parquet(inp)
+        .select(minhash_signature_col(F.col("text")))
+        .distinct()
+        .collect()
+    )
+    stream_sigs = sorted(
+        r[0] for r in got.select(minhash_signature_col(F.col("text"))).collect()
+    )
+    assert stream_sigs == batch_sigs
