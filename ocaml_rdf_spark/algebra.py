@@ -24,7 +24,7 @@ from typing import Optional, Sequence, Union
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .functions.builtins import E
+from .functions.builtins import E, ebv_e
 from .functions.terms import ebv, sort_key, t_iri, term_lit
 from .types import KIND_LITERAL, Term
 from .types import Iri as PyIri
@@ -250,7 +250,7 @@ def _merge_join(
                 vm[v] = F.col(f"l.{v}")
             else:
                 vm[v] = F.col(f"r.{v}")
-        cond = cond & F.coalesce(ebv(extra(vm)), F.lit(False))
+        cond = cond & F.coalesce(ebv_e(extra, vm), F.lit(False))
 
     out_cols = []
     for v in sorted(lvars | rvars):
@@ -320,7 +320,7 @@ class Filter(Node):
     def compile(self, ctx: Ctx) -> CompileOut:
         df, c, m = self.child.compile(ctx)
         vm = _varmap(c | m)
-        return df.filter(F.coalesce(ebv(self.expr(vm)), F.lit(False))), c, m
+        return df.filter(F.coalesce(ebv_e(self.expr, vm), F.lit(False))), c, m
 
 
 @dataclass
@@ -554,12 +554,22 @@ class ExistsMark(Node):
     SURVEY §2.8): decorrelate the sub-pattern into a boolean flag column
     `marker` on the solution multiset.
 
-    The flag for a row depends only on that row's shared-var bindings, so
-    it is computed once per DISTINCT shared-key combo: semi-join the
-    distinct key set against the sub-pattern, then equi-join the flags
-    back. Two hash joins over a keyset ≤ |solutions|, no row duplication,
-    no correlated per-row subquery — the same scale shape as the
-    ExistsFilter semi join."""
+    The flag for a row depends only on that row's shared-var bindings.
+    When every shared var is certain-bound on BOTH sides (the common
+    case), the flag keys come from the SUB-PATTERN side alone: one hash
+    left-outer join of the solutions against the distinct sub-pattern
+    key set (distinct ⇒ at most one match ⇒ no row duplication). The
+    left plan appears exactly once — chained EXISTS marks grow the
+    logical plan linearly. The earlier formulation (distinct LEFT keys →
+    semi-join → join back) embedded `ldf` on both sides of a self-join,
+    doubling the analyzed tree per mark: 3 chained marks made Catalyst
+    analyze the main subtree 8× (measured 4.9 s for one .filter call at
+    sf0.01), and cost an extra shuffle per mark at runtime.
+
+    Maybe-bound shared vars (non-well-designed patterns) keep the
+    two-join form: an unbound value is join-compatible with anything, so
+    a left row can match many sub-keys and the per-DISTINCT-left-key
+    semi join is what avoids row duplication."""
 
     child: Node
     sub: Node
@@ -573,8 +583,23 @@ class ExistsMark(Node):
             # uncorrelated: one flag for every row
             nonempty = len(rdf.take(1)) > 0
             return ldf.withColumn(self.marker, F.lit(nonempty)), lc, lm
-        lk = ldf.select(*shared).dropDuplicates()
         certain = set(shared) & lc & rc
+        if certain == set(shared):
+            rkeys = (
+                rdf.select(*[F.col(v).alias(f"__k_{v}") for v in shared])
+                .dropDuplicates()
+                .withColumn(self.marker, F.lit(True))
+            )
+            cond = F.lit(True)
+            for v in shared:
+                cond = cond & ldf[v].eqNullSafe(rkeys[f"__k_{v}"])
+            out = (
+                ldf.join(rkeys, cond, "left_outer")
+                .drop(*[f"__k_{v}" for v in shared])
+                .withColumn(self.marker, F.coalesce(F.col(self.marker), F.lit(False)))
+            )
+            return out, lc, lm
+        lk = ldf.select(*shared).dropDuplicates()
         L, R = lk.alias("l"), rdf.alias("r")
         cond = F.lit(True)
         for v in shared:

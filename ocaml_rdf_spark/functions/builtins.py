@@ -12,7 +12,7 @@ string fns/hashes) — whole-stage-codegen friendly, zero Python UDFs.
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Callable, Optional
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -62,12 +62,25 @@ VarMap = dict  # var name -> term-struct Column
 
 
 class E:
-    """Expression node: callable varmap → term-struct Column."""
+    """Expression node: callable varmap → term-struct Column.
 
-    __slots__ = ("fn", "_has_agg", "_agg_spec")
+    Boolean-producing nodes also carry `bfn`, the RAW boolean Column
+    builder (the argument `t_bool` would wrap). Since t_bool maps
+    NULL→null_term and ebv maps a valid xsd:boolean term back to its
+    value (NULL for null_term), `ebv(t_bool(c)) ≡ c` exactly — so every
+    EBV consumer (FILTER, &&/||/!, IF, join conditions) reads `bfn`
+    instead of re-deriving EBV from the term struct. Without this,
+    each ebv() wrap re-embeds its operand tree ~8× (one per CASE
+    branch), and nested boolean combinators grow the Catalyst
+    expression multiplicatively: one FILTER(EXISTS(..) || ?x = "k")
+    condition cost 6 s of analyzer time at plan-build (measured);
+    with bfn the comparison kernel appears once."""
 
-    def __init__(self, fn: Callable[[VarMap], Column]):
+    __slots__ = ("fn", "bfn", "_has_agg", "_agg_spec")
+
+    def __init__(self, fn: Callable[[VarMap], Column], bfn: Optional[Callable[[VarMap], Column]] = None):
         self.fn = fn
+        self.bfn = bfn
 
     def __call__(self, vm: VarMap) -> Column:
         return self.fn(vm)
@@ -93,13 +106,15 @@ class E:
 
     # logical (SPARQL 3VL, §17.4.1.5-6 — aligns with SQL 3VL on these tables)
     def __and__(self, other):
-        return E(lambda vm: t_bool(ebv(self(vm)) & ebv(_e(other)(vm))))
+        o = _e(other)
+        return bool_e(lambda vm: ebv_e(self, vm) & ebv_e(o, vm))
 
     def __or__(self, other):
-        return E(lambda vm: t_bool(ebv(self(vm)) | ebv(_e(other)(vm))))
+        o = _e(other)
+        return bool_e(lambda vm: ebv_e(self, vm) | ebv_e(o, vm))
 
     def __invert__(self):
-        return E(lambda vm: t_bool(~ebv(self(vm))))
+        return bool_e(lambda vm: ~ebv_e(self, vm))
 
     # arithmetic (§17.4.1 operator mappings over the numeric tower)
     def __add__(self, other):
@@ -158,6 +173,19 @@ def IRI_(value: str) -> E:
 # ---------------------------------------------------------------------------
 
 
+def bool_e(raw: Callable[[VarMap], Column]) -> E:
+    """E for a boolean-valued expression: term form is t_bool(raw), and
+    `bfn` exposes raw for EBV consumers (ebv(t_bool(c)) ≡ c)."""
+    return E(lambda vm: t_bool(raw(vm)), raw)
+
+
+def ebv_e(e: E, vm: VarMap) -> Column:
+    """EBV of an expression — the raw boolean when the node carries one
+    (no term-struct round trip, no tree duplication), §17.2.2 otherwise."""
+    b = getattr(e, "bfn", None)
+    return b(vm) if b is not None else ebv(e(vm))
+
+
 def _not3(c: Column) -> Column:
     return F.when(c.isNull(), _nullb()).otherwise(~c)
 
@@ -204,7 +232,7 @@ def lt_bool(a: Column, b: Column) -> Column:
 
 
 def _cmp(a: E, b: E, kernel) -> E:
-    return E(lambda vm: t_bool(kernel(a(vm), b(vm))))
+    return bool_e(lambda vm: kernel(a(vm), b(vm)))
 
 
 def _arith(a: E, b: E, op, force_double: bool = False, dec_op=None) -> E:
@@ -254,17 +282,17 @@ def _arith(a: E, b: E, op, force_double: bool = False, dec_op=None) -> E:
 
 
 def BOUND(v: str) -> E:
-    return E(lambda vm: t_bool(vm[v].isNotNull()))
+    return bool_e(lambda vm: vm[v].isNotNull())
 
 
 def EXISTS_MARK(col_name: str) -> E:
     """Reference to an algebra.ExistsMark flag column — the decorrelated
     form of EXISTS used inside expressions (spec §17.4.1.4)."""
-    return E(lambda vm: t_bool(F.col(col_name)))
+    return bool_e(lambda vm: F.col(col_name))
 
 
 def IF(c: E, t: E, e: E) -> E:
-    return E(lambda vm: F.when(ebv(c(vm)), t(vm)).otherwise(e(vm)))
+    return E(lambda vm: F.when(ebv_e(c, vm), t(vm)).otherwise(e(vm)))
 
 
 def COALESCE(*args: E) -> E:
@@ -272,7 +300,7 @@ def COALESCE(*args: E) -> E:
 
 
 def SAME_TERM(a: E, b: E) -> E:
-    return E(lambda vm: t_bool(a(vm).eqNullSafe(b(vm)) & a(vm).isNotNull() & b(vm).isNotNull()))
+    return bool_e(lambda vm: a(vm).eqNullSafe(b(vm)) & a(vm).isNotNull() & b(vm).isNotNull())
 
 
 def IN(x: E, *opts: E) -> E:
@@ -280,25 +308,25 @@ def IN(x: E, *opts: E) -> E:
         c = F.lit(False)
         for o in opts:
             c = c | F.coalesce(eq_bool(x(vm), o(vm)), F.lit(False))
-        return t_bool(F.when(x(vm).isNull(), _nullb()).otherwise(c))
+        return F.when(x(vm).isNull(), _nullb()).otherwise(c)
 
-    return E(fn)
+    return bool_e(fn)
 
 
 def IS_IRI(x: E) -> E:
-    return E(lambda vm: t_bool(F.when(x(vm).isNull(), _nullb()).otherwise(is_iri(x(vm)))))
+    return bool_e(lambda vm: F.when(x(vm).isNull(), _nullb()).otherwise(is_iri(x(vm))))
 
 
 def IS_BLANK(x: E) -> E:
-    return E(lambda vm: t_bool(F.when(x(vm).isNull(), _nullb()).otherwise(is_blank(x(vm)))))
+    return bool_e(lambda vm: F.when(x(vm).isNull(), _nullb()).otherwise(is_blank(x(vm))))
 
 
 def IS_LITERAL(x: E) -> E:
-    return E(lambda vm: t_bool(F.when(x(vm).isNull(), _nullb()).otherwise(is_literal(x(vm)))))
+    return bool_e(lambda vm: F.when(x(vm).isNull(), _nullb()).otherwise(is_literal(x(vm))))
 
 
 def IS_NUMERIC(x: E) -> E:
-    return E(lambda vm: t_bool(F.when(x(vm).isNull(), _nullb()).otherwise(num(x(vm)).isNotNull())))
+    return bool_e(lambda vm: F.when(x(vm).isNull(), _nullb()).otherwise(num(x(vm)).isNotNull()))
 
 
 def STR(x: E) -> E:
@@ -406,9 +434,9 @@ def _str2_bool(x: E, y: E, kernel) -> E:
     def fn(vm):
         a, b = x(vm), y(vm)
         ok = is_stringish(a) & is_stringish(b)
-        return t_bool(F.when(a.isNull() | b.isNull() | ~ok, _nullb()).otherwise(kernel(a["lex"], b["lex"])))
+        return F.when(a.isNull() | b.isNull() | ~ok, _nullb()).otherwise(kernel(a["lex"], b["lex"]))
 
-    return E(fn)
+    return bool_e(fn)
 
 
 def STRSTARTS(x: E, y: E) -> E:
@@ -477,11 +505,9 @@ def LANGMATCHES(tag: E, rng: E) -> E:
     def fn(vm):
         t, r = tag(vm)["lex"], rng(vm)["lex"]
         lt, lr = F.lower(t), F.lower(r)
-        return t_bool(
-            F.when(r == "*", F.length(t) > 0).otherwise((lt == lr) | lt.startswith(F.concat(lr, F.lit("-"))))
-        )
+        return F.when(r == "*", F.length(t) > 0).otherwise((lt == lr) | lt.startswith(F.concat(lr, F.lit("-"))))
 
-    return E(fn)
+    return bool_e(fn)
 
 
 def _xpath_flags(flags: str) -> str:
@@ -494,9 +520,9 @@ def REGEX(x: E, pattern: str, flags: str = "") -> E:
 
     def fn(vm):
         v = x(vm)
-        return t_bool(F.when(v.isNull() | ~is_stringish(v), _nullb()).otherwise(v["lex"].rlike(pat)))
+        return F.when(v.isNull() | ~is_stringish(v), _nullb()).otherwise(v["lex"].rlike(pat))
 
-    return E(fn)
+    return bool_e(fn)
 
 
 def REPLACE(x: E, pattern: str, replacement: str, flags: str = "") -> E:
