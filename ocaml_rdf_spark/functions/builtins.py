@@ -292,7 +292,15 @@ def EXISTS_MARK(col_name: str) -> E:
 
 
 def IF(c: E, t: E, e: E) -> E:
-    return E(lambda vm: F.when(ebv_e(c, vm), t(vm)).otherwise(e(vm)))
+    """§17.4.1.2: an ERROR condition makes the whole IF an error (it must
+    NOT fall through to the else branch), so the error case is pinned to
+    null_term via a double-sided when."""
+
+    def fn(vm):
+        b = ebv_e(c, vm)
+        return F.when(b, t(vm)).when(~b, e(vm)).otherwise(null_term())
+
+    return E(fn)
 
 
 def COALESCE(*args: E) -> E:

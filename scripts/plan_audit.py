@@ -122,10 +122,14 @@ def main() -> None:
             ("set-semantics hash aggregate", r"HashAggregate"),
         ]),
         ("sparql_text_exists_expr", [
-            # expression-level EXISTS: every flag must decorrelate into
-            # hash semi joins + hash equi joins back — a nested-loop or
-            # cartesian product here means the per-row-subquery shape leaked
-            ("hash semi join for the flag", r"LeftSemi"),
+            # expression-level EXISTS: each flag decorrelates into ONE hash
+            # left-outer join of the solutions against the DISTINCT
+            # sub-pattern key set (certain-bound fast path — the left plan
+            # appears once, no self-join; see algebra.ExistsMark). A
+            # nested-loop or cartesian product here means the
+            # per-row-subquery shape leaked
+            ("hash left-outer flag join", r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin).*LeftOuter"),
+            ("distinct flag keys", r"HashAggregate"),
             ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
             ("no cartesian product", r"CartesianProduct", "absent"),
         ]),

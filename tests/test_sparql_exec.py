@@ -334,3 +334,93 @@ def test_labeled_pattern_bnode_is_var(ctx):
 def test_select_star_hides_pattern_bnodes(ctx):
     df = execute(PFX + "SELECT * WHERE { [ ex:name ?n ] }", ctx)
     assert df.columns == ["n"]
+
+
+# ---------------------------------------------------------------------------
+# 3VL corners of the raw-boolean (bfn) EBV path (§17.2.2, §17.4.1.5-6):
+# SPARQL's error-tolerant logical table must survive the ebv(t_bool(c)) ≡ c
+# shortcut — errors are NULL booleans end-to-end
+# ---------------------------------------------------------------------------
+
+
+def test_or_error_true_is_true(ctx):
+    """error || true = true: Carol has no age, so ?a > 27 errors, but the
+    second disjunct rescues her row."""
+    df = execute(
+        PFX + 'SELECT ?n WHERE { ?x ex:name ?n OPTIONAL { ?x ex:age ?a } FILTER(?a > 27 || ?n = "Carol") }',
+        ctx,
+    )
+    assert rows(df) == [("Alice",), ("Carol",)]
+
+
+def test_or_error_false_is_error(ctx):
+    """error || false = error → row dropped (Carol/Dave have no age)."""
+    df = execute(
+        PFX + 'SELECT ?n WHERE { ?x ex:name ?n OPTIONAL { ?x ex:age ?a } FILTER(?a > 27 || ?n = "nobody") }',
+        ctx,
+    )
+    assert rows(df) == [("Alice",)]
+
+
+def test_and_false_error_is_false(ctx):
+    """false && error = false (not error): all rows dropped either way,
+    so probe the complement: !(?n = \"Alice\" && ?a > 0) keeps Carol —
+    false && error = false, negated true."""
+    df = execute(
+        PFX + 'SELECT ?n WHERE { ?x ex:name ?n OPTIONAL { ?x ex:age ?a } '
+        'FILTER(!(?n = "Alice" && ?a > 0) && ?n != "Dave") }',
+        ctx,
+    )
+    # Carol: (false && error)=false, !false=true, true && true = true ✓
+    # Bob: (false && true)=false → true ✓; Alice: (true && true) → false ✗
+    assert rows(df) == [("Bob",), ("Carol",)]
+
+
+def test_and_true_error_is_error(ctx):
+    """true && error = error → dropped (Carol: name matches, age errors)."""
+    df = execute(
+        PFX + 'SELECT ?n WHERE { ?x ex:name ?n OPTIONAL { ?x ex:age ?a } FILTER(?n = "Carol" && ?a > 0) }',
+        ctx,
+    )
+    assert rows(df) == []
+
+
+def test_not_error_is_error(ctx):
+    """!error = error → dropped, not flipped to true."""
+    df = execute(
+        PFX + "SELECT ?n WHERE { ?x ex:name ?n OPTIONAL { ?x ex:age ?a } FILTER(!(?a > 27)) }",
+        ctx,
+    )
+    assert rows(df) == [("Bob",)]
+
+
+def test_if_error_condition_is_error(ctx):
+    """§17.4.1.2: IF(error, t, e) = error — BIND leaves the var unbound,
+    it must NOT take the else branch."""
+    df = execute(
+        PFX + 'SELECT ?n ?tag WHERE { ?x ex:name ?n OPTIONAL { ?x ex:age ?a } '
+        'BIND(IF(?a > 27, "old", "young") AS ?tag) }',
+        ctx,
+    )
+    assert rows(df, "n", "tag") == [
+        ("Alice", "old"),
+        ("Bob", "young"),
+        ("Carol", None),
+        ("Dave", None),
+    ]
+
+
+def test_ebv_invalid_boolean_lexical_is_false(ctx, spark):
+    """§17.2.2: an xsd:boolean with an ill-formed lexical EBVs to false
+    (not error) — data-path booleans take the full-ebv branch, not bfn."""
+    rows_ = [
+        triple_row(Iri(EX + "s1"), Iri(EX + "flag"), Literal("true", dtype="http://www.w3.org/2001/XMLSchema#boolean"), graph="urn:g:main"),
+        triple_row(Iri(EX + "s2"), Iri(EX + "flag"), Literal("maybe", dtype="http://www.w3.org/2001/XMLSchema#boolean"), graph="urn:g:main"),
+    ]
+    c2 = Ctx(spark.createDataFrame(rows_, schema=TRIPLES_SCHEMA))
+    df = execute(PFX + "SELECT ?s WHERE { ?s ex:flag ?f FILTER(?f) }", c2)
+    got = rows(df)
+    assert got == [(EX + "s1",)]
+    # and the negation: EBV false (not error) ⇒ !false = true keeps s2
+    df2 = execute(PFX + "SELECT ?s WHERE { ?s ex:flag ?f FILTER(!?f) }", c2)
+    assert rows(df2) == [(EX + "s2",)]
