@@ -66,14 +66,17 @@ class Ctx:
         graph: Union[Var, str, None] = None,
         default_graphs: Optional[list] = None,
         named_graphs: Optional[list] = None,
+        services: Optional[dict] = None,
     ):
         self.quads = quads
         self.graph = graph  # None = union of all graphs (RDF merge view)
         self.default_graphs = default_graphs
         self.named_graphs = named_graphs
+        # SERVICE registry: endpoint IRI -> quad DataFrame (§SERVICE node).
+        self.services = services
 
     def with_graph(self, g: Union[Var, str, None]) -> "Ctx":
-        return Ctx(self.quads, g, self.default_graphs, self.named_graphs)
+        return Ctx(self.quads, g, self.default_graphs, self.named_graphs, self.services)
 
 
 #: compile result: (solutions DataFrame, certainly-bound vars, maybe-bound vars)
@@ -387,6 +390,72 @@ class GraphNode(Node):
         if isinstance(self.g, Var):
             return df, c | {self.g.name}, m - {self.g.name}
         return df, c, m
+
+
+@dataclass
+class ServiceNode(Node):
+    """SERVICE [SILENT] endpoint {P} — SPARQL 1.1 Federated Query, evaluated
+    against an in-process service REGISTRY (Ctx.services: endpoint IRI →
+    quad DataFrame). The reference leaves SERVICE unimplemented
+    (rdf_sparql_eval.ml raises — SURVEY §2.3); this goes beyond it the same
+    way UPDATE does, but keeps the sandbox's no-network mandate: a "remote"
+    endpoint is just another quad table (at 100 TB: a different Iceberg
+    catalog/table federated through the same metastore), so the service
+    sub-pattern compiles with the ordinary BGP/join machinery and Catalyst
+    co-plans BOTH sides — cross-source join pushdown a real HTTP federation
+    can't have. An HTTP transport would slot in exactly here (fetch →
+    createDataFrame), kept out of scope per the sandbox contract.
+
+    Semantics (Federated Query §2.2-2.4):
+    - known endpoint: evaluate P against THAT service's dataset (its own
+      default-graph merge; GRAPH inside ranges over its graphs).
+    - unknown endpoint: error — unless SILENT, which yields the single
+      empty solution (the join identity), so the enclosing group proceeds.
+    - SERVICE ?var: like GRAPH ?var over the registry — the union of every
+      registered endpoint's evaluation, ?var bound to the endpoint IRI
+      (the spec leaves variable endpoints implementation-defined)."""
+
+    endpoint: Union[Var, str]
+    pattern: Node
+    silent: bool = False
+
+    def _sub_ctx(self, ctx: Ctx, quads: DataFrame) -> Ctx:
+        # fresh dataset: the outer query's FROM/FROM NAMED restrictions and
+        # active graph do NOT propagate into the service's dataset
+        return Ctx(quads, None, None, None, ctx.services)
+
+    def compile(self, ctx: Ctx) -> CompileOut:
+        services = ctx.services or {}
+        if isinstance(self.endpoint, str):
+            quads = services.get(self.endpoint)
+            if quads is None:
+                if self.silent:
+                    return BGP([]).compile(ctx)  # one empty solution
+                raise ValueError(f"SERVICE: unknown endpoint <{self.endpoint}>")
+            return self.pattern.compile(self._sub_ctx(ctx, quads))
+        # variable endpoint: union over the registry, tagging the IRI
+        v = self.endpoint.name
+        outs = []
+        c0 = m0 = None
+        for iri in sorted(services):
+            df, c, m = self.pattern.compile(self._sub_ctx(ctx, services[iri]))
+            if v in c | m:
+                # ?v also used inside P: keep only solutions matching this
+                # endpoint's IRI (join-compatibility, not overwrite)
+                df = df.filter(F.col(v).eqNullSafe(term_lit(PyIri(iri))) | F.col(v).isNull())
+            df = df.withColumn(v, term_lit(PyIri(iri)))
+            outs.append(df)
+            c0, m0 = c, m
+        if not outs:
+            empty = self.pattern.compile(self._sub_ctx(ctx, ctx.quads.filter(F.lit(False))))
+            df, c, m = empty
+            return df.withColumn(
+                v, F.lit(None).cast("struct<kind:tinyint,lex:string,dtype:string,lang:string>")
+            ), c | {v}, m - {v}
+        out = outs[0]
+        for nxt in outs[1:]:
+            out = out.unionByName(nxt)
+        return out, (c0 | {v}), m0 - {v}
 
 
 @dataclass

@@ -16,8 +16,9 @@ collections `(...)`; property paths (^, /, |, ?, *, +, !); OPTIONAL,
 UNION, MINUS, GRAPH, FILTER (incl. EXISTS/NOT EXISTS), BIND, VALUES,
 sub-SELECT; GROUP BY / HAVING / aggregates (COUNT SUM AVG MIN MAX SAMPLE
 GROUP_CONCAT, DISTINCT, SEPARATOR); ORDER BY / LIMIT / OFFSET; all §17
-builtins in functions/builtins.py. SERVICE raises (unimplemented in the
-reference too — rdf_sparql_eval.ml, SURVEY §2.3).
+builtins in functions/builtins.py. SERVICE [SILENT] evaluates against an
+in-process endpoint registry (Ctx.services — algebra.ServiceNode; the
+reference leaves SERVICE unimplemented, rdf_sparql_eval.ml / SURVEY §2.3).
 """
 
 from __future__ import annotations
@@ -613,7 +614,21 @@ class Parser:
                 self.next()
                 join_acc(self.parse_values())
             elif self.at_kw("service"):
-                raise NotImplementedError("SERVICE is not implemented (matches reference)")
+                # SERVICE [SILENT] (iri|?var) GroupGraphPattern — Federated
+                # Query; evaluated against Ctx.services (algebra.ServiceNode)
+                self.next()
+                silent = False
+                if self.at_kw("silent"):
+                    self.next()
+                    silent = True
+                t = self.next()
+                ep: Union[Var, str]
+                if t.kind == "VAR":
+                    ep = Var(t.text[1:])
+                else:
+                    ep = self.parse_iri_tok(t).value
+                sub = self.parse_group_graph_pattern()
+                join_acc(A.ServiceNode(ep, sub, silent))
             elif self.at_op("{"):
                 sub = self.parse_group_graph_pattern()
                 # union chain?
@@ -1204,6 +1219,7 @@ def execute(text: str, ctx: Ctx):
             ctx.graph,
             default_graphs=list(q.from_graphs),
             named_graphs=list(q.from_named),
+            services=ctx.services,
         )
     if q.form == "select":
         df, c, m = q.node.compile(ctx)

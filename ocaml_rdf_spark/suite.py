@@ -2620,6 +2620,42 @@ FROM customer
 QUERIES["canon_bnodes"] = (q_canon_bnodes, SQL_CANON_BNODES)
 
 
+def q_sparql_text_service(spark, sf):
+    """SERVICE federation (algebra.ServiceNode) against the in-process
+    endpoint registry: the 'geo' endpoint owns the nation/region graphs
+    (at 100 TB: a second Iceberg catalog federated through the metastore),
+    the local dataset keeps only customers. Both sides are quad DataFrames,
+    so Catalyst co-plans the cross-source join — the nation side is
+    dimension-sized and broadcast."""
+    from .sparql import execute
+
+    tv = triples_view(spark, sf)
+    local = tv.filter(F.col("graph") == "urn:g:customer")
+    geo = tv.filter(F.col("graph").isin("urn:g:nation", "urn:g:region"))
+    ctx = Ctx(local, services={"urn:svc:geo": geo})
+    df = execute(
+        _SPARQL_PFX
+        + """SELECT ?cname ?nname WHERE {
+              ?cu a c:Customer ; p:name ?cname ; p:inNation ?n .
+              SERVICE <urn:svc:geo> { ?n p:name ?nname ; p:inRegion ?r .
+                                      ?r p:name "AFRICA" }
+              SERVICE SILENT <urn:svc:absent> { ?n p:missing ?z }
+           }""",
+        ctx,
+    )
+    return flatten(df).select("cname", "nname")
+
+
+SQL_SPARQL_TEXT_SERVICE = """
+SELECT c_name AS cname, n_name AS nname
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'AFRICA'
+"""
+
+QUERIES["sparql_text_service"] = (q_sparql_text_service, SQL_SPARQL_TEXT_SERVICE)
+
+
 # deliberate window edits (policy in the DRIVER_WINDOW comment): this
 # round's remaining new oracled queries take the slots of doubly-confirmed
 # re-confirmations (bgp_join / agg_nation / cc_components green in r1 AND

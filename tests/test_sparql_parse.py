@@ -179,9 +179,18 @@ def test_distinct_after_projection_before_slice():
     assert isinstance(q.node.child.child, A.Project)
 
 
-def test_service_raises():
-    with pytest.raises(NotImplementedError):
-        parse_query(PFX + "SELECT * WHERE { SERVICE <http://remote/> { ?s ?p ?o } }")
+def test_service_parses():
+    q = parse_query(PFX + "SELECT * WHERE { SERVICE <http://remote/> { ?s ?p ?o } }")
+    svc = q.node.child if isinstance(q.node, A.Project) else q.node
+    assert isinstance(svc, A.ServiceNode)
+    assert svc.endpoint == "http://remote/"
+    assert svc.silent is False
+
+    q2 = parse_query(PFX + "SELECT * WHERE { SERVICE SILENT ?ep { ?s ?p ?o } }")
+    svc2 = q2.node.child if isinstance(q2.node, A.Project) else q2.node
+    assert isinstance(svc2, A.ServiceNode)
+    assert isinstance(svc2.endpoint, A.Var)
+    assert svc2.silent is True
 
 
 def test_expression_builtins_parse():
