@@ -942,6 +942,17 @@ def instantiate_quads(
     outs = []
     for t, graph in items:
         s, p, o = _template_col(t.s, vm, sid), _template_col(t.p, vm, sid), _template_col(t.o, vm, sid)
+        if isinstance(graph, Var):
+            # GRAPH ?g template: the graph name comes from the solution —
+            # must be a bound IRI, else the quad is dropped (ill-formed
+            # instantiation, same rule as unbound template vars)
+            if graph.name in vm:
+                gterm = vm[graph.name]
+                gcol, gok = gterm["lex"], gterm["kind"].isNotNull() & (gterm["kind"] == 0)
+            else:  # never bound: no instantiation from this template
+                gcol, gok = F.lit(None).cast("string"), F.lit(False)
+        else:
+            gcol, gok = F.lit(graph), F.lit(True)
         row = df.select(
             s["kind"].alias("s_kind"),
             s["lex"].alias("s_lex"),
@@ -950,7 +961,7 @@ def instantiate_quads(
             o["lex"].alias("o_lex"),
             o["dtype"].alias("o_dtype"),
             o["lang"].alias("o_lang"),
-            F.lit(graph).alias("graph"),
+            gcol.alias("graph"),
             F.lit(None).cast("string").alias("src_url"),
             F.lit(extractor).alias("extractor"),
             F.lit(None).cast("int").alias("part_id"),
@@ -960,6 +971,7 @@ def instantiate_quads(
             & p["kind"].isNotNull()
             & (p["kind"] == 0)
             & o["kind"].isNotNull()
+            & gok
         )
         outs.append(row)
     out = outs[0]

@@ -510,6 +510,13 @@ class Parser:
             elif self.at_kw("offset"):
                 self.next()
                 offset = int(self.next().text)
+        # trailing ValuesClause (grammar [28]; §18.2.4.3): textually LAST,
+        # but in the algebra the inline data joins the pattern after HAVING
+        # and before SELECT expressions / ORDER / slice
+        values_node = None
+        if self.at_kw("values"):
+            self.next()
+            values_node = self.parse_values()
 
         for v, e in pre_extends:
             node = A.Extend(node, v, e)
@@ -519,6 +526,8 @@ class Parser:
             node = A.Group(node, group_by, list(self._aggs))
         for e in having:
             node = A.Filter(e, node)
+        if values_node is not None:
+            node = A.Join(node, values_node)
         for v, e in select_exprs:
             node = A.Extend(node, v, e)
         if order:
@@ -788,8 +797,12 @@ class Parser:
         if t.kind == "VAR":
             return Var(self.next().text[1:])
         if (t.kind == "KW" and t.text == "a") or (t.kind == "OP" and t.text == "a"):
-            self.next()
-            return Iri(RDF_TYPE)
+            if not allow_paths:
+                self.next()
+                return Iri(RDF_TYPE)
+            # fall through: 'a' may START a path (a/ex:p, a+, ...) —
+            # _path_primary handles the keyword; a bare 'a' comes back
+            # through the simple-IRI slot as an ordinary triple pattern
         if allow_paths:
             path, simple = self._parse_path()
             if simple is not None:
@@ -1258,10 +1271,11 @@ def execute(text: str, ctx: Ctx):
 # these become Iceberg MERGE INTO / DELETE FROM snapshot commits
 # (pipeline.py); nothing here collects to the driver.
 #
-# v1 scope: INSERT DATA, DELETE DATA, DELETE WHERE, [WITH g] DELETE/INSERT
-# ... WHERE, CLEAR/DROP (GRAPH g | DEFAULT | NAMED | ALL), CREATE (no-op —
-# graphs exist implicitly as quad rows). Not supported: LOAD (no network),
-# USING (use WITH), GRAPH ?var in templates.
+# Scope: INSERT DATA, DELETE DATA, DELETE WHERE, [WITH g] DELETE/INSERT
+# ... WHERE (incl. GRAPH ?var templates, instantiated per solution),
+# USING / USING NAMED, CLEAR/DROP (GRAPH g | DEFAULT | NAMED | ALL),
+# CREATE (no-op — graphs exist implicitly as quad rows), COPY/MOVE/ADD,
+# LOAD file:// only (no network).
 # ---------------------------------------------------------------------------
 
 
@@ -1323,7 +1337,10 @@ def _mk_update_parser_methods():
         while not self.at_op("}"):
             if self.at_kw("graph"):
                 self.next()
-                g = self.parse_iri_tok(self.next()).value
+                gt = self.next()
+                # GRAPH ?var is legal in modify templates (instantiated per
+                # solution); DATA forms reject it via _ground
+                g = Var(gt.text[1:]) if gt.kind == "VAR" else self.parse_iri_tok(gt).value
                 self.eat_op("{")
                 if not self.at_op("}"):
                     tps, paths = self._triples_block(allow_paths=False)
@@ -1342,8 +1359,8 @@ def _mk_update_parser_methods():
         return out
 
     def _ground(self, quads, forbid_bnodes=False):
-        for tp, _g in quads:
-            for x in (tp.s, tp.p, tp.o):
+        for tp, g in quads:
+            for x in (tp.s, tp.p, tp.o, g):
                 if isinstance(x, Var):
                     raise SyntaxError("variables not allowed in INSERT/DELETE DATA")
                 if forbid_bnodes and isinstance(x, BNode):

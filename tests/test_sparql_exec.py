@@ -424,3 +424,34 @@ def test_ebv_invalid_boolean_lexical_is_false(ctx, spark):
     # and the negation: EBV false (not error) ⇒ !false = true keeps s2
     df2 = execute(PFX + "SELECT ?s WHERE { ?s ex:flag ?f FILTER(!?f) }", c2)
     assert rows(df2) == [(EX + "s2",)]
+
+
+def test_trailing_values_clause(ctx):
+    # grammar [28] ValuesClause: textually after the solution modifiers,
+    # algebraically joined after HAVING (§18.2.4.3) — filters + extends
+    df = execute(
+        PFX
+        + """SELECT ?n ?tag WHERE { ?x ex:name ?n }
+             VALUES (?n ?tag) { ("Alice" "seen") ("Carol" UNDEF) }""",
+        ctx,
+    )
+    assert rows(df, "n", "tag") == [("Alice", "seen"), ("Carol", None)]
+
+
+def test_trailing_values_after_order_limit(ctx):
+    df = execute(
+        PFX
+        + """SELECT ?n WHERE { ?x ex:name ?n }
+             ORDER BY ?n LIMIT 10
+             VALUES ?n { "Bob" "Dave" "Nobody" }""",
+        ctx,
+    )
+    assert rows(df, "n") == [("Bob",), ("Dave",)]
+
+
+def test_a_keyword_in_path(ctx):
+    # 'a' (rdf:type) as a path step and with modifiers — grammar PathPrimary
+    df = execute(PFX + "SELECT ?n WHERE { ?x a/^a ?y . ?y ex:name ?n . FILTER(?x = ex:alice) }", ctx)
+    assert rows(df, "n") == [("Alice",), ("Bob",)]
+    df2 = execute(PFX + "SELECT ?t WHERE { ?x ex:knows/a ?t }", ctx)
+    assert rows(df2, "t") == [(EX + "Person",)]

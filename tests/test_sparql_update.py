@@ -338,3 +338,40 @@ def test_load_http_raises_silent_noop(gm):
         execute_update("LOAD <http://example.org/remote.nt>", gm)
     out = execute_update("LOAD SILENT <http://example.org/remote.nt>", gm)
     assert out.count() == 3  # SILENT: failure is a no-op
+
+
+def test_graph_var_template(spark):
+    # GRAPH ?g in modify templates: instantiated per solution, so the
+    # rewrite stays inside each source graph (copy name->label per graph)
+    triples = [(Iri(EX + "x"), Iri(EX + "name"), Literal("X"))]
+    g1 = Graph.from_triples(spark, triples, name="urn:g:one").df
+    g2 = Graph.from_triples(spark, [(Iri(EX + "y"), Iri(EX + "name"), Literal("Y"))], name="urn:g:two").df
+    store = g1.unionByName(g2)
+    out = execute_update(
+        f"INSERT {{ GRAPH ?g {{ ?s <{EX}label> ?n }} }} WHERE {{ GRAPH ?g {{ ?s <{EX}name> ?n }} }}",
+        store,
+    )
+    rows = _spo(out)
+    assert (EX + "x", EX + "label", "X", "http://www.w3.org/2001/XMLSchema#string", None, "urn:g:one") in rows
+    assert (EX + "y", EX + "label", "Y", "http://www.w3.org/2001/XMLSchema#string", None, "urn:g:two") in rows
+    assert len(rows) == 4
+
+
+def test_graph_var_delete_template(spark):
+    store = Graph.from_triples(
+        spark,
+        [(Iri(EX + "x"), Iri(EX + "name"), Literal("X")),
+         (Iri(EX + "x"), Iri(EX + "age"), Literal("1"))],
+        name="urn:g:one",
+    ).df
+    out = execute_update(
+        f"DELETE {{ GRAPH ?g {{ ?s <{EX}name> ?n }} }} WHERE {{ GRAPH ?g {{ ?s <{EX}name> ?n }} }}",
+        store,
+    )
+    rows = _spo(out)
+    assert len(rows) == 1 and next(iter(rows))[1] == EX + "age"
+
+
+def test_graph_var_in_data_rejected(g):
+    with pytest.raises(SyntaxError):
+        execute_update(f'INSERT DATA {{ GRAPH ?g {{ <{EX}c> <{EX}p> "v" }} }}', g.df)
