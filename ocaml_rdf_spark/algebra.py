@@ -299,6 +299,12 @@ class Join(Node):
     right: Node
 
     def compile(self, ctx: Ctx) -> CompileOut:
+        # a SILENT service on an unknown endpoint is STATICALLY the unit
+        # multiset (one empty solution — the join identity): elide it here
+        # instead of emitting a 1-row cross join into the plan
+        for keep, drop in ((self.left, self.right), (self.right, self.left)):
+            if isinstance(drop, ServiceNode) and drop.is_join_identity(ctx):
+                return keep.compile(ctx)
         return _merge_join(self.left.compile(ctx), self.right.compile(ctx), "inner")
 
 
@@ -423,6 +429,16 @@ class ServiceNode(Node):
         # fresh dataset: the outer query's FROM/FROM NAMED restrictions and
         # active graph do NOT propagate into the service's dataset
         return Ctx(quads, None, None, None, ctx.services)
+
+    def is_join_identity(self, ctx: Ctx) -> bool:
+        """True iff this node compiles to exactly one empty solution —
+        SILENT + unknown endpoint. Lets Join elide the node instead of
+        planning a 1-row cross join."""
+        return (
+            self.silent
+            and isinstance(self.endpoint, str)
+            and self.endpoint not in (ctx.services or {})
+        )
 
     def compile(self, ctx: Ctx) -> CompileOut:
         services = ctx.services or {}

@@ -141,6 +141,17 @@ def main() -> None:
             ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
             ("no cartesian product", r"CartesianProduct", "absent"),
         ]),
+        ("sparql_text_service", [
+            # federation over the in-process registry: both sides are quad
+            # DataFrames, so the cross-source join is an ordinary hash join
+            # (the geo endpoint's nation/region side is dim-sized →
+            # broadcast); the endpoint boundary must NOT force a
+            # nested-loop or cartesian shape
+            ("cross-source hash join", r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("pred filter pushed into service scan", r"PushedFilters: \[.*EqualTo\(pred,"),
+        ]),
         ("repetition", [
             # doc-keyed aggregation chains: partial+final hash aggregates,
             # joins back to the doc-id spine are hash joins
