@@ -100,6 +100,13 @@ def main() -> None:
         "sparql_update",
         "update_bulk",
         "repetition",
+        "sparql_text_service",
+        "asof_attribution",
+        "range_prior_activity",
+        "kmv_users",
+        "hash_split",
+        "host_profile",
+        "stratified_sample",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

@@ -1,0 +1,126 @@
+"""Temporal join operators: as-of join and bounded range join.
+
+The reference is a batch RDF library with no temporal operators
+(SURVEY §2.9); these are engine-side additions in the training-data-ops
+family — the two joins every event/feature pipeline needs and vanilla
+Spark lacks as primitives (Spark can only express them as inequality
+joins, which plan as nested-loop/cartesian shapes).
+
+Scale design — both operators are ONE hash shuffle, never a BNLJ:
+
+- `asof_join`: the classic union+sort formulation. Tag both inputs,
+  union them, and carry the latest right-side payload forward with a
+  single `last(ignorenulls)` window over (keys) ordered by (ts, side).
+  One shuffle on the keys; per-key state is a sort, exactly what a
+  1000-executor run wants (the MergeJoin-free equivalent of pandas
+  `merge_asof` / DuckDB ASOF JOIN). Strict inequality (right.ts <
+  left.ts) falls out of the tie-break ordering: left rows sort BEFORE
+  right rows at equal ts, so an equal-ts right row is never visible.
+
+- `range_join`: right rows with ts in [left.ts+lower, left.ts+upper)
+  per key. Implemented by BINNING: both sides bucket ts into
+  width = (upper-lower) bins; each left row probes its (at most two)
+  overlapping bins via a tiny `sequence`+`explode`, then an EQUI-join
+  on (keys, bin) + an exact range filter. The inequality never reaches
+  the join condition, so Catalyst plans a hash join; bin width tied to
+  the window span bounds the fan-out at 2x regardless of data volume.
+
+Both require the right side to be unique per (keys, ts) when payload
+determinism matters — pre-aggregate ties (e.g. max event_id per
+(user, ts)) before calling, as the suite queries do.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _epoch(col):
+    # parquet naive timestamps arrive as TIMESTAMP_NTZ; LTZ-cast under the
+    # UTC session tz (session.py) makes epoch math exact and portable
+    return F.unix_micros(col.cast("timestamp_ltz"))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    payload: Optional[Sequence[str]] = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Backward as-of join: each left row picks the right row with the
+    greatest right_ts strictly below its left_ts (per key). Right payload
+    columns come back `<name>_asof`; `how="left"` keeps unmatched left
+    rows with NULL payload, `"inner"` drops them (DuckDB ASOF JOIN
+    default, which the oracle mirrors)."""
+    on = list(on)
+    pay = [c for c in (payload or right.columns) if c not in on and c != right_ts]
+    pstruct = F.struct(
+        F.col(right_ts).alias(f"{right_ts}_asof"), *[F.col(c).alias(f"{c}_asof") for c in pay]
+    )
+    r = right.select(*on, F.col(right_ts).alias("__ats"), F.lit(1).alias("__side"), pstruct.alias("__p"))
+    l = (
+        left.withColumn("__ats", F.col(left_ts))
+        .withColumn("__side", F.lit(0))
+        .withColumn("__p", F.lit(None).cast(r.schema["__p"].dataType))
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+    # left __side=0 sorts before right __side=1 at equal ts → strict <
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ats").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = u.withColumn("__m", F.last("__p", ignorenulls=True).over(w))
+    out = u.filter(F.col("__side") == 0)
+    if how == "inner":
+        out = out.filter(F.col("__m").isNotNull())
+    return out.select(*left.columns, F.col("__m.*"))
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower_s: int = -3600,
+    upper_s: int = 0,
+    payload: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Bounded range join: pairs (l, r) sharing `on` keys with
+    r.right_ts in [l.left_ts + lower_s, l.left_ts + upper_s) seconds
+    (half-open; lower_s/upper_s may be negative = look-back). Binned
+    equi-join — see module docstring. Right payload columns come back
+    `<name>_r`."""
+    if upper_s <= lower_s:
+        raise ValueError("range_join: require upper_s > lower_s")
+    on = list(on)
+    width_us = (upper_s - lower_s) * 1_000_000
+    pay = [c for c in (payload or right.columns) if c not in on]
+    r = right.select(
+        *on,
+        F.floor(_epoch(F.col(right_ts)) / width_us).alias("__bin"),
+        _epoch(F.col(right_ts)).alias("__rus"),
+        *[F.col(c).alias(f"{c}_r") for c in pay],
+    )
+    lo = _epoch(F.col(left_ts)) + F.lit(lower_s * 1_000_000)
+    hi = _epoch(F.col(left_ts)) + F.lit(upper_s * 1_000_000)
+    l = (
+        left.withColumn("__lo", lo)
+        .withColumn("__hi", hi)
+        .withColumn(
+            "__bin",
+            F.explode(F.sequence(F.floor(F.col("__lo") / width_us), F.floor((F.col("__hi") - 1) / width_us))),
+        )
+    )
+    out = l.join(r, on=[*on, "__bin"], how="inner").filter(
+        (F.col("__rus") >= F.col("__lo")) & (F.col("__rus") < F.col("__hi"))
+    )
+    return out.drop("__bin", "__lo", "__hi", "__rus")

@@ -89,7 +89,14 @@ def resolve(ref: str, base: str | None) -> str:
     """RFC 3986 §5.2 reference resolution. `base` None ⇒ ref must be absolute."""
     r_scheme, r_auth, r_path, r_query, r_frag = split_iri(ref)
     if r_scheme is not None:
-        return _recompose(r_scheme, r_auth, remove_dot_segments(r_path), r_query, r_frag)
+        # already-absolute: return VERBATIM. Strict §5.2.2 would
+        # remove_dot_segments here too, but that makes the Turtle path
+        # disagree with the N-Triples parser (no resolution) on the same
+        # document — e.g. <http://ex.org/.> would lose its final '.' —
+        # and mainstream parsers (rdflib, Jena, Serd) pass absolute IRIs
+        # through untouched. Interop wins; dot-segment removal still
+        # applies to every RELATIVE reference below.
+        return ref
     if base is None:
         raise IriError(f"relative IRI {ref!r} with no base")
     b_scheme, b_auth, b_path, b_query, _ = split_iri(base)

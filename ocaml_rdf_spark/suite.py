@@ -2656,6 +2656,176 @@ WHERE r_name = 'AFRICA'
 QUERIES["sparql_text_service"] = (q_sparql_text_service, SQL_SPARQL_TEXT_SERVICE)
 
 
+def q_asof_attribution(spark, sf):
+    """As-of join (operators/temporal.py): each purchase attributed to the
+    user's most recent STRICTLY-prior view. One shuffle on user_id
+    (union+sort, no inequality join) — the plan a 100 TB event log needs.
+    Views are pre-deduped per (user, ts) so the payload is deterministic."""
+    from .operators.temporal import asof_join
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+    )
+    out = asof_join(purchases, views, on=["user_id"], payload=["view_id"])
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp_ltz"))
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("view_id_asof").alias("view_id"),
+        (us("ts") - us("ts_asof")).alias("gap_us"),
+    )
+
+
+SQL_ASOF_ATTRIBUTION = """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+v AS (SELECT user_id, ts, MAX(event_id) AS view_id
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+SELECT p.event_id, p.user_id, v.view_id,
+       epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts > v.ts
+"""
+
+QUERIES["asof_attribution"] = (q_asof_attribution, SQL_ASOF_ATTRIBUTION)
+
+
+def q_range_prior_activity(spark, sf):
+    """Bounded range join (operators/temporal.py): per purchase, the
+    user's activity in the strictly-prior hour. Binned equi-join on
+    (user_id, hour-bucket) — the inequality never reaches the join
+    condition, so no BNLJ/cartesian at any scale."""
+    from .operators.temporal import range_join
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    activity = ev.select("user_id", "ts", "event_id", "value")
+    rj = range_join(purchases, activity, on=["user_id"], lower_s=-3600, upper_s=0,
+                    payload=["ts", "event_id", "value"])
+    return rj.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_prior"),
+        F.sum(F.round(F.col("value_r") * 100).cast("long")).alias("sum_value_x100"),
+    )
+
+
+SQL_RANGE_PRIOR_ACTIVITY = """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, COUNT(*) AS n_prior,
+       CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_value_x100
+FROM p JOIN events e
+  ON e.user_id = p.user_id
+ AND e.ts >= p.ts - INTERVAL 1 HOUR AND e.ts < p.ts
+GROUP BY 1
+"""
+
+QUERIES["range_prior_activity"] = (q_range_prior_activity, SQL_RANGE_PRIOR_ACTIVITY)
+
+
+def q_kmv_users(spark, sf):
+    """KMV distinct-count sketch (operators/sketches.py) over event
+    user_ids — deterministic (md5, no RNG), so the sketch state AND the
+    estimate carry an exact cross-engine oracle, unlike HLL."""
+    from .operators.sketches import kmv_distinct
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return kmv_distinct(ev, "user_id", k=128)
+
+
+from .operators.sketches import kmv_oracle_sql as _kmv_sql  # noqa: E402
+
+QUERIES["kmv_users"] = (q_kmv_users, _kmv_sql("events", "user_id", 128))
+
+
+def q_hash_split(spark, sf):
+    """Deterministic md5-bucket train/val/test split of the document
+    corpus (operators/sketches.py) — leak-proof membership that is a
+    pure function of doc_id. Map-only + one tiny count shuffle."""
+    from .operators.sketches import hash_split
+
+    docs = _docs(spark, sf)
+    return hash_split(docs, "doc_id").groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("checksum"),
+    )
+
+
+SQL_HASH_SPLIT = """
+WITH b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+       COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS checksum
+FROM b GROUP BY 1
+"""
+
+QUERIES["hash_split"] = (q_hash_split, SQL_HASH_SPLIT)
+
+
+def q_host_profile(spark, sf):
+    """Per-host corpus profile (operators/urls.py) — the mega-host skew
+    axis: two-stage (host, lang) → host aggregation so no reducer sees a
+    mega-host's full row set; deterministic dominant language. URLs are
+    synthesized from doc_id (documents carries none) with the SAME
+    expression in the oracle."""
+    from .operators.urls import host_profile
+
+    docs = _docs(spark, sf).withColumn(
+        "url",
+        F.concat(F.lit("https://h"), (F.col("doc_id") % 37).cast("string"),
+                 F.lit(".example/p/"), F.col("doc_id").cast("string")),
+    )
+    return host_profile(docs)
+
+
+SQL_HOST_PROFILE = """
+WITH d AS (
+  SELECT 'https://h' || CAST(doc_id % 37 AS VARCHAR) || '.example/p/' || CAST(doc_id AS VARCHAR) AS url,
+         lang, n_chars
+  FROM documents
+),
+c AS (
+  SELECT regexp_extract(url, 'https?://([^/]+)', 1) AS host, lang,
+         COUNT(*) AS n, SUM(n_chars) AS chars
+  FROM d GROUP BY 1, 2
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY host ORDER BY n DESC, lang ASC) AS rk FROM c
+)
+SELECT host, CAST(SUM(n) AS BIGINT) AS n_docs, CAST(SUM(chars) AS BIGINT) AS total_chars,
+       COUNT(*) AS n_langs, MAX(CASE WHEN rk = 1 THEN lang END) AS top_lang
+FROM r GROUP BY 1
+"""
+
+QUERIES["host_profile"] = (q_host_profile, SQL_HOST_PROFILE)
+
+
+def q_stratified_sample(spark, sf):
+    """Deterministic hash-ordered stratified sample (operators/sketches.py):
+    5 docs per language, identical on every run/engine/partitioning."""
+    from .operators.sketches import stratified_sample
+
+    return stratified_sample(_docs(spark, sf), "lang", "doc_id", 5).select("doc_id", "lang")
+
+
+SQL_STRATIFIED_SAMPLE = """
+WITH h AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM documents
+),
+r AS (
+  SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rk FROM h
+)
+SELECT doc_id, lang FROM r WHERE rk <= 5
+"""
+
+QUERIES["stratified_sample"] = (q_stratified_sample, SQL_STRATIFIED_SAMPLE)
+
+
 # deliberate window edits (policy in the DRIVER_WINDOW comment): this
 # round's remaining new oracled queries take the slots of doubly-confirmed
 # re-confirmations (bgp_join / agg_nation / cc_components green in r1 AND

@@ -152,6 +152,35 @@ def main() -> None:
             ("no cartesian product", r"CartesianProduct", "absent"),
             ("pred filter pushed into service scan", r"PushedFilters: \[.*EqualTo\(pred,"),
         ]),
+        ("asof_attribution", [
+            # union+sort as-of join: ONE window over user_id — no
+            # inequality join shape anywhere in the plan
+            ("single window carry-forward", r"\(\d+\) Window"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("no sort-merge inequality join", r"SortMergeJoin .*(<|>)", "absent"),
+        ]),
+        ("range_prior_activity", [
+            # binned range join: the inequality is a post-join FILTER on an
+            # EQUI hash join over (user_id, bin) — never a join condition
+            ("equi hash join on the bin", r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
+        ("kmv_users", [
+            # KMV sketch: distinct + per-partition top-k merge — the scan
+            # must not feed a full global sort
+            ("top-k, no full sort", r"TakeOrderedAndProject"),
+            ("distinct via hash aggregate", r"HashAggregate"),
+        ]),
+        ("host_profile", [
+            # mega-host skew: the per-host profile must be the two-stage
+            # shape — hash aggregates with partial combine, the final agg
+            # reusing the window's host partitioning; no per-host funnel
+            ("partial+final hash aggregates", r"HashAggregate"),
+            ("host window for dominant lang", r"\(\d+\) Window"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+        ]),
         ("repetition", [
             # doc-keyed aggregation chains: partial+final hash aggregates,
             # joins back to the doc-id spine are hash joins

@@ -67,3 +67,13 @@ def test_relative_without_base_raises():
 def test_url_host():
     assert url_host("https://User@Host07.Example.ORG:8443/p?q#f") == "host07.example.org"
     assert url_host("https://plain.org/x") == "plain.org"
+
+
+def test_absolute_iri_passes_through_verbatim():
+    # interop rule: absolute references are NOT dot-normalized (N-Triples
+    # and Turtle must agree on the same document; rdflib/Jena/Serd do this)
+    assert resolve("http://ex.org/.", "http://base.org/") == "http://ex.org/."
+    assert resolve("http://ex.org/a/../b", None) == "http://ex.org/a/../b"
+    # relative references still get full RFC 3986 treatment
+    assert resolve("../b", "http://ex.org/a/c") == "http://ex.org/b"
+    assert resolve("./", "http://ex.org/a/c") == "http://ex.org/a/"

@@ -1,0 +1,115 @@
+"""Edge-case tests for the temporal joins (asof/range) and deterministic
+sketches (KMV, hash_split) — operators/temporal.py, operators/sketches.py.
+The suite oracles cover bulk parity; these pin the corner semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from ocaml_rdf_spark.operators.sketches import hash_split, kmv_distinct
+from ocaml_rdf_spark.operators.temporal import asof_join, range_join
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, "user_id long, ts timestamp, tag string")
+
+
+def test_asof_strict_inequality(spark):
+    # a right row at EXACTLY the left ts must not match (strict <)
+    left = _events(spark, [(1, _ts("2024-01-01T10:00:00"), "L")])
+    right = _events(
+        spark,
+        [(1, _ts("2024-01-01T10:00:00"), "same"), (1, _ts("2024-01-01T09:59:00"), "prior")],
+    )
+    out = asof_join(left, right, on=["user_id"], payload=["tag"]).collect()
+    assert len(out) == 1 and out[0]["tag_asof"] == "prior"
+
+
+def test_asof_picks_greatest_prior(spark):
+    left = _events(spark, [(1, _ts("2024-01-01T12:00:00"), "L")])
+    right = _events(
+        spark,
+        [
+            (1, _ts("2024-01-01T08:00:00"), "old"),
+            (1, _ts("2024-01-01T11:59:59"), "newest-prior"),
+            (1, _ts("2024-01-01T13:00:00"), "future"),
+        ],
+    )
+    out = asof_join(left, right, on=["user_id"], payload=["tag"]).collect()
+    assert out[0]["tag_asof"] == "newest-prior"
+
+
+def test_asof_inner_vs_left(spark):
+    left = _events(spark, [(1, _ts("2024-01-01T10:00:00"), "has"), (2, _ts("2024-01-01T10:00:00"), "none")])
+    right = _events(spark, [(1, _ts("2024-01-01T09:00:00"), "r")])
+    inner = asof_join(left, right, on=["user_id"], payload=["tag"]).collect()
+    assert [r["user_id"] for r in inner] == [1]
+    outer = asof_join(left, right, on=["user_id"], payload=["tag"], how="left")
+    rows = {r["user_id"]: r["tag_asof"] for r in outer.collect()}
+    assert rows == {1: "r", 2: None}
+
+
+def test_asof_keys_do_not_cross(spark):
+    left = _events(spark, [(1, _ts("2024-01-01T10:00:00"), "L")])
+    right = _events(spark, [(2, _ts("2024-01-01T09:00:00"), "other-user")])
+    assert asof_join(left, right, on=["user_id"], payload=["tag"]).count() == 0
+
+
+def test_range_join_half_open_bounds(spark):
+    # window [ts-60s, ts): left edge IN, right edge OUT
+    left = _events(spark, [(1, _ts("2024-01-01T10:01:00"), "L")])
+    right = _events(
+        spark,
+        [
+            (1, _ts("2024-01-01T10:00:00"), "at-lower"),      # == ts-60 → in
+            (1, _ts("2024-01-01T10:00:30"), "inside"),
+            (1, _ts("2024-01-01T10:01:00"), "at-upper"),      # == ts → out
+            (1, _ts("2024-01-01T09:59:59"), "below"),
+        ],
+    )
+    out = range_join(left, right, on=["user_id"], lower_s=-60, upper_s=0, payload=["tag"])
+    assert sorted(r["tag_r"] for r in out.collect()) == ["at-lower", "inside"]
+
+
+def test_range_join_crosses_bin_boundary(spark):
+    # right rows in different width-sized bins than the left row must
+    # still match (the 2-bin probe): window spans a bin edge
+    left = _events(spark, [(1, _ts("2024-01-01T00:00:30"), "L")])
+    right = _events(spark, [(1, _ts("2024-01-01T00:00:00"), "r0"), (1, _ts("2023-12-31T23:59:45"), "r1")])
+    out = range_join(left, right, on=["user_id"], lower_s=-60, upper_s=0, payload=["tag"])
+    assert sorted(r["tag_r"] for r in out.collect()) == ["r0", "r1"]
+
+
+def test_kmv_exact_below_k(spark):
+    # fewer distinct values than k → the sketch is exact
+    df = spark.range(0, 500).select((F.col("id") % 37).alias("v"))
+    row = kmv_distinct(df, "v", k=128).collect()[0]
+    assert row["k_used"] == 37 and row["est"] == 37
+
+
+def test_kmv_estimate_reasonable(spark):
+    n = 20_000
+    df = spark.range(0, n).select(F.col("id").alias("v"))
+    row = kmv_distinct(df, "v", k=256).collect()[0]
+    assert row["k_used"] == 256
+    # KMV standard error ~ 1/sqrt(k-2) ≈ 6.3%; allow 4 sigma
+    assert abs(row["est"] - n) / n < 0.25
+
+
+def test_hash_split_covers_everything(spark):
+    df = spark.range(0, 1000).select(F.col("id").alias("doc_id"))
+    out = hash_split(df, "doc_id")
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == 1000
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # deterministic: same assignment on recompute
+    a = {r["doc_id"]: r["split"] for r in out.collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id").collect()}
+    assert a == b
