@@ -183,6 +183,12 @@ def _scan(ctx: Ctx, tp: TriplePattern) -> CompileOut:
             df = df.filter(F.col("graph") == g)
     elif isinstance(g, Var) and ctx.named_graphs is not None:
         df = df.filter(_graph_in(ctx.named_graphs))
+    elif isinstance(g, Var):
+        # GRAPH ?var ranges over NAMED graphs only (§13.3): rows living in
+        # the store's distinguished default graph are not named
+        from .types import DEFAULT_GRAPH
+
+        df = df.filter(F.col("graph") != DEFAULT_GRAPH)
     elif g is None and ctx.default_graphs is not None:
         df = df.filter(_graph_in(ctx.default_graphs))
 
