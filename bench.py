@@ -107,6 +107,8 @@ def main() -> None:
         "hash_split",
         "host_profile",
         "stratified_sample",
+        "vocab_topk",
+        "quantile_sketch",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

@@ -79,6 +79,55 @@ FROM mins
 """
 
 
+def hash_sample_quantiles(
+    df: DataFrame, val_col: str, id_col: str, k: int = 256,
+    qs: Sequence[float] = (0.25, 0.5, 0.75, 0.9),
+) -> DataFrame:
+    """Deterministic quantile sketch: exact quantiles of a k-row
+    hash-minimum sample (the KMV idea applied to quantiles — t-digest/KLL
+    give tighter bounds but are merge-order-dependent; this sample is a
+    pure function of the ids, so the estimate carries an exact
+    cross-engine oracle). Quantile rule: sorted sample value at index
+    floor(q * (n-1)) (lower interpolation), returned as (q, value).
+
+    Plan: TakeOrderedAndProject(k) on the hash (per-partition top-k +
+    merge), then an O(k) single-partition window — bounded by k, never
+    by data volume."""
+    s = df.select(_h60(F.col(id_col)).alias("hv"), F.col(val_col).alias("v")).orderBy(
+        "hv", "v"
+    ).limit(k)
+    w = Window.orderBy(F.col("v").asc(), F.col("hv").asc())
+    ranked = s.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy(F.lit(1)))
+    )
+    spark = df.sparkSession
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    return (
+        ranked.join(F.broadcast(qdf))
+        .filter(F.col("rn") == F.floor(F.col("q") * (F.col("n") - 1)) + 1)
+        .select("q", F.col("v").alias("value"))
+    )
+
+
+def quantile_oracle_sql(table: str, val_col: str, id_col: str, k: int = 256,
+                        qs: Sequence[float] = (0.25, 0.5, 0.75, 0.9)) -> str:
+    """Exact DuckDB mirror of hash_sample_quantiles."""
+    qvals = ", ".join(f"({float(q)})" for q in qs)
+    return f"""
+WITH s AS (
+  SELECT ('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 15))::BIGINT AS hv,
+         {val_col} AS v
+  FROM {table} ORDER BY hv, v LIMIT {k}
+),
+r AS (
+  SELECT v, ROW_NUMBER() OVER (ORDER BY v, hv) AS rn, COUNT(*) OVER () AS n FROM s
+)
+SELECT q.q, r.v AS value
+FROM r, (VALUES {qvals}) AS q(q)
+WHERE r.rn = CAST(floor(q.q * (r.n - 1)) AS BIGINT) + 1
+"""
+
+
 def stratified_sample(df: DataFrame, group_col: str, id_col: str, n_per_group: int) -> DataFrame:
     """Deterministic stratified sample: the n rows per group whose md5
     hash is smallest (a hash-ordered reservoir — same sample every run,

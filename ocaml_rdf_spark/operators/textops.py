@@ -264,6 +264,38 @@ def token_counts(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", ws.alias("ws_tokens"), bpe.alias("bpe_ish_tokens"))
 
 
+def vocab_topk(docs: DataFrame, k: int = 50, text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary: top-k tokens by term frequency with document
+    frequency — the tokenizer-training / stopword-mining primitive.
+    Tokens are lowercase alnum words (non-alnum → space, collapsed).
+
+    Skew-safe by construction: a stopword ('the') appears in every doc,
+    so a single groupBy(tok).agg(countDistinct(doc_id)) would funnel the
+    mega-token's raw occurrences through one reducer. Instead the first
+    groupBy is on (tok, doc_id) — map-side combine bounds the exchange at
+    one row per (tok, doc) — and the second aggregates the bounded cells.
+    Top-k is TakeOrderedAndProject (count desc, token asc tie-break —
+    fully deterministic), never a full sort."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(
+                F.trim(
+                    F.regexp_replace(
+                        F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9 ]", " "), r" +", " "
+                    )
+                ),
+                " ",
+            )
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    pairs = toks.groupBy("tok", "doc_id").agg(F.count(F.lit(1)).alias("n"))
+    counts = pairs.groupBy("tok").agg(
+        F.sum("n").alias("tf"), F.count(F.lit(1)).alias("df")
+    )
+    return counts.orderBy(F.col("tf").desc(), F.col("tok").asc()).limit(k)
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Normalized content fingerprint: md5 of lowercased alnum+space text
     with collapsed whitespace → (doc_id, fp). Near-exact dedup key robust

@@ -2826,6 +2826,44 @@ SELECT doc_id, lang FROM r WHERE rk <= 5
 QUERIES["stratified_sample"] = (q_stratified_sample, SQL_STRATIFIED_SAMPLE)
 
 
+def q_vocab_topk(spark, sf):
+    """Corpus vocabulary top-50 by term frequency with doc frequency
+    (operators/textops.py) — skew-safe two-stage (tok, doc) → tok
+    aggregation, deterministic tf-desc/tok-asc top-k."""
+    from .operators.textops import vocab_topk
+
+    return vocab_topk(_docs(spark, sf), k=50)
+
+
+SQL_VOCAB_TOPK = """
+WITH toks AS (
+  SELECT doc_id, t AS tok
+  FROM documents,
+       unnest(string_split(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS u(t)
+  WHERE t <> ''
+),
+pairs AS (SELECT tok, doc_id, COUNT(*) AS n FROM toks GROUP BY 1, 2),
+c AS (SELECT tok, CAST(SUM(n) AS BIGINT) AS tf, COUNT(*) AS df FROM pairs GROUP BY 1)
+SELECT tok, tf, df FROM c ORDER BY tf DESC, tok ASC LIMIT 50
+"""
+
+QUERIES["vocab_topk"] = (q_vocab_topk, SQL_VOCAB_TOPK)
+
+
+def q_quantile_sketch(spark, sf):
+    """Deterministic hash-sample quantile sketch (operators/sketches.py)
+    over document lengths — exact cross-engine oracle by construction."""
+    from .operators.sketches import hash_sample_quantiles
+
+    return hash_sample_quantiles(_docs(spark, sf), "n_chars", "doc_id", k=256)
+
+
+from .operators.sketches import quantile_oracle_sql as _q_sql  # noqa: E402
+
+QUERIES["quantile_sketch"] = (q_quantile_sketch, _q_sql("documents", "n_chars", "doc_id", 256))
+
+
 # deliberate window edits (policy in the DRIVER_WINDOW comment): this
 # round's remaining new oracled queries take the slots of doubly-confirmed
 # re-confirmations (bgp_join / agg_nation / cc_components green in r1 AND

@@ -181,6 +181,14 @@ def main() -> None:
             ("host window for dominant lang", r"\(\d+\) Window"),
             ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
         ]),
+        ("vocab_topk", [
+            # stopword-skew-safe vocabulary: two hash aggregates (the
+            # (tok, doc) cell stage bounds every reducer) + top-k merge,
+            # never a full sort of the vocabulary
+            ("two-stage hash aggregates", r"HashAggregate"),
+            ("top-k, no full sort", r"TakeOrderedAndProject"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+        ]),
         ("repetition", [
             # doc-keyed aggregation chains: partial+final hash aggregates,
             # joins back to the doc-id spine are hash joins
