@@ -109,6 +109,7 @@ def main() -> None:
         "stratified_sample",
         "vocab_topk",
         "quantile_sketch",
+        "rdfstar_prov",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

@@ -43,6 +43,19 @@ Position = Union[Var, Term]
 
 
 @dataclass(frozen=True)
+class QuotedPattern:
+    """RDF-star quoted-triple pattern `<< s p o >>` in a subject/object
+    position: matches stored quoted-triple terms (kind 3) whose components
+    unify with s/p/o. Ground components become flat string filters on the
+    field encoding; Var components bind via exact splits (types.QuotedTriple
+    encoding). Inner patterns must be single-level (v1)."""
+
+    s: Position
+    p: Position
+    o: Position
+
+
+@dataclass(frozen=True)
 class TriplePattern:
     s: Position
     p: Position
@@ -153,6 +166,10 @@ def _bound_filters(pos: str, t: Term) -> list[Column]:
         return [F.col(kcol) == KIND_IRI, F.col(lcol) == t.value]
     if isinstance(t, BNode):
         return [F.col(kcol) == KIND_BNODE, F.col(lcol) == t.label]
+    from .types import KIND_TRIPLE, QuotedTriple
+
+    if isinstance(t, QuotedTriple):  # ground RDF-star term: canonical lex
+        return [F.col(kcol) == KIND_TRIPLE, F.col(lcol) == t.encode()]
     assert isinstance(t, Literal)
     if pos == "s":
         return [F.lit(False)]  # literal subjects match nothing (rdf_term.ml)
@@ -213,6 +230,31 @@ def _scan(ctx: Ctx, tp: TriplePattern) -> CompileOut:
                 df = df.filter(pos_cols[pos].eqNullSafe(out[item.name]))
             else:
                 out[item.name] = pos_cols[pos]
+        elif isinstance(item, QuotedPattern):
+            # RDF-star: match kind-3 terms; ground inner components are
+            # exact string filters on the canonical field encoding, Var
+            # components bind via splits (the kind filter pushes to the
+            # scan; component work is scan-local string ops)
+            from .types import KIND_TRIPLE, QT_FSEP, QT_SEP, _qt_field
+
+            kcol, lcol = f"{pos}_kind", f"{pos}_lex"
+            df = df.filter(F.col(kcol) == KIND_TRIPLE)
+            for i, inner in ((1, item.s), (2, item.p), (3, item.o)):
+                fld = F.element_at(F.split(F.col(lcol), QT_SEP), i)
+                if isinstance(inner, Var):
+                    fs = F.split(fld, QT_FSEP)
+                    col = F.struct(
+                        F.element_at(fs, 1).cast("tinyint").alias("kind"),
+                        F.element_at(fs, 2).alias("lex"),
+                        F.nullif(F.element_at(fs, 3), F.lit("")).alias("dtype"),
+                        F.nullif(F.element_at(fs, 4), F.lit("")).alias("lang"),
+                    )
+                    if inner.name in out:
+                        df = df.filter(col.eqNullSafe(out[inner.name]))
+                    else:
+                        out[inner.name] = col
+                else:
+                    df = df.filter(fld == _qt_field(inner))
         else:
             # bound position: flat per-field equality predicates, NOT a
             # struct comparison — struct equality cannot push to the
@@ -861,8 +903,19 @@ def select(node: Node, ctx: Ctx) -> DataFrame:
 
 def flatten(df: DataFrame) -> DataFrame:
     """Term-struct solution DF → plain string columns (lex only) — for
-    display, tests, and DuckDB-oracle comparison."""
-    return df.select(*[F.col(c)["lex"].alias(c) for c in df.columns])
+    display, tests, and DuckDB-oracle comparison. Quoted triples (kind 3)
+    render as `<< s p o >>` component lexicals instead of the raw
+    field encoding."""
+    from .types import KIND_TRIPLE, QT_FSEP, QT_SEP
+
+    def render(c: Column) -> Column:
+        def comp(i: int) -> Column:
+            return F.element_at(F.split(F.element_at(F.split(c["lex"], QT_SEP), i), QT_FSEP), 2)
+
+        qt = F.concat(F.lit("<< "), comp(1), F.lit(" "), comp(2), F.lit(" "), comp(3), F.lit(" >>"))
+        return F.when(c["kind"] == KIND_TRIPLE, qt).otherwise(c["lex"])
+
+    return df.select(*[render(F.col(c)).alias(c) for c in df.columns])
 
 
 @dataclass
@@ -906,6 +959,15 @@ def _template_col(x: Position, vm: dict, sid: Column) -> Column:
         from .functions.terms import t_bnode
 
         return t_bnode(F.concat(F.lit(x.label + "."), F.substring(sid, 1, 16)))
+    if isinstance(x, QuotedPattern):
+        # CONSTRUCT/UPDATE-star: build the quoted term per solution (the
+        # TRIPLE() constructor errors → NULL → the quad is dropped, same
+        # rule as other ill-formed instantiations)
+        from .functions.terms import t_quoted
+
+        return t_quoted(
+            _template_col(x.s, vm, sid), _template_col(x.p, vm, sid), _template_col(x.o, vm, sid)
+        )
     return term_lit(x)
 
 

@@ -337,6 +337,39 @@ def IS_NUMERIC(x: E) -> E:
     return bool_e(lambda vm: F.when(x(vm).isNull(), _nullb()).otherwise(num(x(vm)).isNotNull()))
 
 
+# SPARQL-star functions (§ RDF-star CG report; beyond the reference)
+
+
+def IS_TRIPLE(x: E) -> E:
+    from .terms import is_triple
+
+    return bool_e(lambda vm: is_triple(x(vm)))
+
+
+def TRIPLE_FN(s: E, p: E, o: E) -> E:
+    from .terms import t_quoted
+
+    return E(lambda vm: t_quoted(s(vm), p(vm), o(vm)))
+
+
+def SUBJECT(x: E) -> E:
+    from .terms import qt_component
+
+    return E(lambda vm: qt_component(x(vm), 1))
+
+
+def PREDICATE(x: E) -> E:
+    from .terms import qt_component
+
+    return E(lambda vm: qt_component(x(vm), 2))
+
+
+def OBJECT(x: E) -> E:
+    from .terms import qt_component
+
+    return E(lambda vm: qt_component(x(vm), 3))
+
+
 def STR(x: E) -> E:
     def fn(vm):
         v = x(vm)

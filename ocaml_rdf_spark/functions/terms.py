@@ -101,14 +101,79 @@ def t_double(c: Column) -> Column:
 
 def term_lit(t: Term) -> Column:
     """A constant Term → literal term-struct Column."""
+    from ..types import KIND_TRIPLE, QuotedTriple
+
     if isinstance(t, Iri):
         return t_iri(t.value)
     if isinstance(t, BNode):
         return t_bnode(t.label)
+    if isinstance(t, QuotedTriple):
+        return mk_term(F.lit(KIND_TRIPLE), F.lit(t.encode()))
     assert isinstance(t, Literal)
     if t.lang:
         return t_lang(F.lit(t.lexical), F.lit(t.lang))
     return t_typed(F.lit(t.lexical), t.dtype or XSD_STRING)
+
+
+# ---------------------------------------------------------------------------
+# RDF-star quoted-triple kernels (types.QuotedTriple encoding: components
+# split on QT_SEP, fields on QT_FSEP — raw lexicals, exact splits)
+# ---------------------------------------------------------------------------
+
+
+def _qt_field_col(t: Column) -> Column:
+    from ..types import QT_FSEP
+
+    return F.concat_ws(
+        QT_FSEP,
+        t["kind"].cast("string"),
+        t["lex"],
+        F.coalesce(t["dtype"], F.lit("")),
+        F.coalesce(t["lang"], F.lit("")),
+    )
+
+
+def t_quoted(s: Column, p: Column, o: Column) -> Column:
+    """TRIPLE(s, p, o) — SPARQL-star constructor. Errors (NULL) on: any
+    NULL argument, literal/quoted subject, non-IRI predicate, quoted
+    object (v1 single-level), or separator chars in a literal lexical."""
+    from ..types import KIND_TRIPLE, QT_FSEP, QT_SEP
+
+    def clean(t: Column) -> Column:
+        return (t["kind"] != KIND_LITERAL) | (
+            ~t["lex"].contains(QT_SEP) & ~t["lex"].contains(QT_FSEP)
+        )
+
+    ok = (
+        s.isNotNull() & p.isNotNull() & o.isNotNull()
+        & s["kind"].isin(KIND_IRI, KIND_BNODE)
+        & (p["kind"] == KIND_IRI)
+        & (o["kind"] != KIND_TRIPLE)
+        & clean(o)
+    )
+    enc = F.concat_ws(QT_SEP, _qt_field_col(s), _qt_field_col(p), _qt_field_col(o))
+    return F.when(ok, mk_term(F.lit(KIND_TRIPLE), enc)).otherwise(null_term())
+
+
+def qt_component(t: Column, i: int) -> Column:
+    """SUBJECT/PREDICATE/OBJECT(t) for i=1/2/3 — error (NULL) unless t is
+    a quoted triple."""
+    from ..types import KIND_TRIPLE, QT_FSEP, QT_SEP
+
+    fields = F.split(F.element_at(F.split(t["lex"], QT_SEP), i), QT_FSEP)
+    out = mk_term(
+        F.element_at(fields, 1).cast("tinyint"),
+        F.element_at(fields, 2),
+        F.nullif(F.element_at(fields, 3), F.lit("")),
+        F.nullif(F.element_at(fields, 4), F.lit("")),
+    )
+    return F.when(t.isNotNull() & (t["kind"] == KIND_TRIPLE), out).otherwise(null_term())
+
+
+def is_triple(t: Column) -> Column:
+    from ..types import KIND_TRIPLE
+
+    return F.when(t.isNotNull(), t["kind"] == KIND_TRIPLE).otherwise(F.lit(None).cast("boolean"))
 
 
 # ---------------------------------------------------------------------------
@@ -257,10 +322,13 @@ def ebv(t: Column) -> Column:
 
 
 def sort_key(t: Column) -> Column:
+    from ..types import KIND_TRIPLE
+
     kind_rank = (
         F.when(t.isNull(), 0)
         .when(t["kind"] == KIND_BNODE, 1)
         .when(t["kind"] == KIND_IRI, 2)
+        .when(t["kind"] == KIND_TRIPLE, 4)  # triple terms order after literals
         .otherwise(3)
     )
     return F.struct(

@@ -24,6 +24,30 @@ def _term_json(t) -> dict:
         return {"type": "uri", "value": t["lex"]}
     if t["kind"] == KIND_BNODE:
         return {"type": "bnode", "value": t["lex"]}
+    from .types import KIND_TRIPLE, qt_decode, term_kind
+
+    if t["kind"] == KIND_TRIPLE:
+        # SPARQL 1.2 results JSON: nested triple term
+        qt = qt_decode(t["lex"])
+
+        def py(term):
+            from .types import Iri as _I, BNode as _B
+
+            if isinstance(term, _I):
+                return {"type": "uri", "value": term.value}
+            if isinstance(term, _B):
+                return {"type": "bnode", "value": term.label}
+            out = {"type": "literal", "value": term.lexical}
+            if term.lang:
+                out["xml:lang"] = term.lang
+            elif term.dtype and term.dtype not in (XSD_STRING,):
+                out["datatype"] = term.dtype
+            return out
+
+        return {
+            "type": "triple",
+            "value": {"subject": py(qt.s), "predicate": py(qt.p), "object": py(qt.o)},
+        }
     out = {"type": "literal", "value": t["lex"]}
     if t["lang"]:
         out["xml:lang"] = t["lang"]
@@ -70,6 +94,27 @@ def to_sparql_xml(df: DataFrame, limit: int | None = None) -> str:
                 body = f"<uri>{escape(t['lex'])}</uri>"
             elif t["kind"] == KIND_BNODE:
                 body = f"<bnode>{escape(t['lex'])}</bnode>"
+            elif t["kind"] == 3:  # SPARQL 1.2 XML triple term
+                from .types import qt_decode
+
+                qt = qt_decode(t["lex"])
+
+                def x(term, tag):
+                    from .types import BNode as _B, Iri as _I
+
+                    if isinstance(term, _I):
+                        inner = f"<uri>{escape(term.value)}</uri>"
+                    elif isinstance(term, _B):
+                        inner = f"<bnode>{escape(term.label)}</bnode>"
+                    elif term.lang:
+                        inner = f"<literal xml:lang={quoteattr(term.lang)}>{escape(term.lexical)}</literal>"
+                    elif term.dtype and term.dtype != XSD_STRING:
+                        inner = f"<literal datatype={quoteattr(term.dtype)}>{escape(term.lexical)}</literal>"
+                    else:
+                        inner = f"<literal>{escape(term.lexical)}</literal>"
+                    return f"<{tag}>{inner}</{tag}>"
+
+                body = f"<triple>{x(qt.s, 'subject')}{x(qt.p, 'predicate')}{x(qt.o, 'object')}</triple>"
             elif t["lang"]:
                 body = f"<literal xml:lang={quoteattr(t['lang'])}>{escape(t['lex'])}</literal>"
             elif t["dtype"] and t["dtype"] != XSD_STRING:
@@ -178,6 +223,10 @@ def to_sparql_csv(df: DataFrame, limit: int | None = None) -> str:
                 # W3C CSV results: blank nodes serialize as _:label
                 # (only IRIs and literals are written bare)
                 cells.append(esc("_:" + t["lex"]))
+            elif t["kind"] == 3:
+                from .types import qt_decode
+
+                cells.append(esc(qt_decode(t["lex"]).nt()))
             else:
                 cells.append(esc(t["lex"]))
         out.append(",".join(cells))
@@ -191,6 +240,10 @@ def _term_tsv(t) -> str:
         return f"<{t['lex']}>"
     if t["kind"] == KIND_BNODE:
         return f"_:{t['lex']}"
+    if t["kind"] == 3:  # TSV cells use NT syntax; NT-star for triple terms
+        from .types import qt_decode
+
+        return qt_decode(t["lex"]).nt()
     lex = (
         t["lex"].replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
         .replace("\r", "\\r").replace("\t", "\\t")
@@ -240,7 +293,12 @@ def parse_sparql_tsv(s: str) -> tuple[list[str], list[dict]]:
             elif isinstance(t, _B):
                 row[v] = (KIND_BNODE, t.label, None, None)
             else:
-                dt = RDF_LANGSTRING if t.lang else (t.dtype or XSD_STRING)
-                row[v] = (2, t.lexical, dt, t.lang)
+                from .types import QuotedTriple as _QT
+
+                if isinstance(t, _QT):
+                    row[v] = (3, t.encode(), None, None)
+                else:
+                    dt = RDF_LANGSTRING if t.lang else (t.dtype or XSD_STRING)
+                    row[v] = (2, t.lexical, dt, t.lang)
         rows.append(row)
     return vars_, rows

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .types import KIND_BNODE, KIND_IRI, RDF_LANGSTRING, XSD_STRING
+from .types import KIND_BNODE, KIND_IRI, KIND_TRIPLE, QT_FSEP, QT_SEP, RDF_LANGSTRING, XSD_STRING
 
 
 def _esc(c: Column) -> Column:
@@ -21,12 +21,38 @@ def _esc(c: Column) -> Column:
     return c
 
 
+def _qt_nt(enc: Column) -> Column:
+    """Quoted-triple lex encoding → N-Triples-star `<< s p o >>` text."""
+
+    def comp(i: int) -> Column:
+        fs = F.split(F.element_at(F.split(enc, QT_SEP), i), QT_FSEP)
+        k, l = F.element_at(fs, 1), F.element_at(fs, 2)
+        d, g = F.element_at(fs, 3), F.element_at(fs, 4)
+        lit_body = F.concat(F.lit('"'), _esc(l), F.lit('"'))
+        return (
+            F.when(k == str(KIND_IRI), F.concat(F.lit("<"), l, F.lit(">")))
+            .when(k == str(KIND_BNODE), F.concat(F.lit("_:"), l))
+            .when(g != "", F.concat(lit_body, F.lit("@"), g))
+            .when(
+                (d != "") & (d != XSD_STRING) & (d != RDF_LANGSTRING),
+                F.concat(lit_body, F.lit("^^<"), d, F.lit(">")),
+            )
+            .otherwise(lit_body)
+        )
+
+    return F.concat(F.lit("<< "), comp(1), F.lit(" "), comp(2), F.lit(" "), comp(3), F.lit(" >>"))
+
+
 def term_nt(kind: Column, lex: Column, dtype: Column | None = None, lang: Column | None = None) -> Column:
-    """One term in N-Triples syntax."""
+    """One term in N-Triples syntax (incl. N-Triples-star quoted terms)."""
     iri = F.concat(F.lit("<"), lex, F.lit(">"))
     bnode = F.concat(F.lit("_:"), lex)
     if dtype is None:
-        return F.when(kind == KIND_IRI, iri).otherwise(bnode)
+        return (
+            F.when(kind == KIND_IRI, iri)
+            .when(kind == KIND_TRIPLE, _qt_nt(lex))
+            .otherwise(bnode)
+        )
     lit_body = F.concat(F.lit('"'), _esc(lex), F.lit('"'))
     lit = (
         F.when(lang.isNotNull(), F.concat(lit_body, F.lit("@"), lang))
@@ -36,7 +62,12 @@ def term_nt(kind: Column, lex: Column, dtype: Column | None = None, lang: Column
         )
         .otherwise(lit_body)
     )
-    return F.when(kind == KIND_IRI, iri).when(kind == KIND_BNODE, bnode).otherwise(lit)
+    return (
+        F.when(kind == KIND_IRI, iri)
+        .when(kind == KIND_BNODE, bnode)
+        .when(kind == KIND_TRIPLE, _qt_nt(lex))
+        .otherwise(lit)
+    )
 
 
 def to_ntriples(df: DataFrame) -> DataFrame:
@@ -84,8 +115,10 @@ def to_turtle(df: DataFrame, namespaces: dict[str, str] | None = None) -> str:
     assembly of the final string — intended for result graphs / debug, not
     the 100 TB store (use write_ntriples there; same graph, line-parallel)."""
     ns = dict(namespaces or {})
-    s_txt = F.when(F.col("s_kind") == KIND_IRI, _compact(F.col("s_lex"), ns)).otherwise(
-        F.concat(F.lit("_:"), F.col("s_lex"))
+    s_txt = (
+        F.when(F.col("s_kind") == KIND_IRI, _compact(F.col("s_lex"), ns))
+        .when(F.col("s_kind") == KIND_TRIPLE, _qt_nt(F.col("s_lex")))
+        .otherwise(F.concat(F.lit("_:"), F.col("s_lex")))
     )
     p_txt = F.when(F.col("pred") == "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", F.lit("a")).otherwise(
         _compact(F.col("pred"), ns)
@@ -94,6 +127,7 @@ def to_turtle(df: DataFrame, namespaces: dict[str, str] | None = None) -> str:
     o_txt = (
         F.when(F.col("o_kind") == KIND_IRI, _compact(F.col("o_lex"), ns))
         .when(F.col("o_kind") == KIND_BNODE, F.concat(F.lit("_:"), F.col("o_lex")))
+        .when(F.col("o_kind") == KIND_TRIPLE, _qt_nt(F.col("o_lex")))
         .when(F.col("o_lang").isNotNull(), F.concat(lit_body, F.lit("@"), F.col("o_lang")))
         .when(
             F.col("o_dtype").isNotNull() & (F.col("o_dtype") != XSD_STRING),

@@ -96,6 +96,24 @@ class _Line:
         if self.i >= self.n:
             self.err("unexpected end of line")
         c = self.s[self.i]
+        if self.s.startswith("<<", self.i):
+            # N-Triples-star quoted triple << s p o >> (single-level v1)
+            if as_predicate:
+                self.err("predicate must be an IRI")
+            from ..types import QuotedTriple
+
+            self.i += 2
+            s = self.term(allow_literal=False)
+            p = self.term(as_predicate=True)
+            o = self.term()
+            self.skip_ws()
+            if self.s[self.i : self.i + 2] != ">>":
+                self.err("expected '>>' closing quoted triple")
+            self.i += 2
+            try:
+                return QuotedTriple(s, p, o)
+            except ValueError as e:
+                self.err(str(e))
         if c == "<":
             self.i += 1
             raw = self._until(">")

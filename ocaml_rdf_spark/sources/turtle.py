@@ -273,9 +273,49 @@ class TurtleParser:
         subj = self.subject()
         self.predicate_object_list(subj)
 
+    def quoted_triple(self):
+        """Turtle-star `<< qtSubject verb qtObject >>` (RDF-star CG).
+        v1: single-level — a nested quote errors."""
+        from ..types import QuotedTriple
+
+        self.i += 2  # '<<'
+        self.ws()
+        if self.s.startswith("<<", self.i):
+            self.err("nested quoted triples are not supported (v1)")
+        m = self.match(_BLANK)
+        if m:
+            s: Term = BNode(m.group(1))
+        else:
+            s = self.iriref_or_pname()
+            if s is None:
+                self.err("expected quoted-triple subject")
+        p = self.verb()
+        self.ws()
+        if self.s.startswith("<<", self.i):
+            self.err("nested quoted triples are not supported (v1)")
+        m = self.match(_BLANK)
+        if m:
+            o: Term = BNode(m.group(1))
+        else:
+            o = self.literal()
+            if o is None:
+                o = self.iriref_or_pname()
+            if o is None:
+                self.err("expected quoted-triple object")
+        self.ws()
+        if not self.s.startswith(">>", self.i):
+            self.err("expected '>>' closing quoted triple")
+        self.i += 2
+        try:
+            return QuotedTriple(s, p, o)
+        except ValueError as e:
+            self.err(str(e))
+
     def subject(self) -> Term:
         self.ws()
         c = self.peek()
+        if self.s.startswith("<<", self.i):
+            return self.quoted_triple()
         if c == "(":
             return self.collection()
         m = self.match(_ANON)
@@ -303,6 +343,8 @@ class TurtleParser:
     def object_(self) -> Term:
         self.ws()
         c = self.peek()
+        if self.s.startswith("<<", self.i):
+            return self.quoted_triple()
         if c == "(":
             return self.collection()
         if c == "[":
@@ -329,6 +371,22 @@ class TurtleParser:
                 o = self.object_()
                 self.triples.append((subj, p, o))
                 self.ws()
+                if self.s.startswith("{|", self.i):
+                    # RDF-star annotation: assert (s, p, o) AND annotate
+                    # << s p o >> with the bracketed predicateObjectList
+                    from ..types import QuotedTriple
+
+                    self.i += 2
+                    try:
+                        qt = QuotedTriple(subj, p, o)
+                    except ValueError as e:
+                        self.err(str(e))
+                    self.predicate_object_list(qt)
+                    self.ws()
+                    if not self.s.startswith("|}", self.i):
+                        self.err("expected '|}' closing annotation")
+                    self.i += 2
+                    self.ws()
                 if self.peek() == ",":
                     self.i += 1
                     continue

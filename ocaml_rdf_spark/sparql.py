@@ -32,7 +32,10 @@ from .algebra import Agg, Ctx, Node, Template, TriplePattern, Var
 from .functions import builtins as B
 from .functions.builtins import E, L, V
 from .operators import paths as P
-from .types import RDF_FIRST, RDF_NIL, RDF_NS, RDF_REST, RDF_TYPE, XSD_NS, BNode, Iri, Literal, Term
+from .types import (
+    RDF_FIRST, RDF_NIL, RDF_NS, RDF_REST, RDF_TYPE, XSD_NS,
+    BNode, Iri, Literal, QuotedTriple, Term,
+)
 
 # ---------------------------------------------------------------------------
 # tokenizer (rdf_sparql_lex.ml)
@@ -48,7 +51,7 @@ _TOKEN_RE = re.compile(
   | (?P<PNAME>[A-Za-z_][A-Za-z_0-9.-]*?:[A-Za-z_0-9:%.-]*[A-Za-z_0-9:%-]|[A-Za-z_][A-Za-z_0-9.-]*?:|:[A-Za-z_0-9:%.-]*[A-Za-z_0-9:%-]|:)
   | (?P<NUM>[+-]?(?:\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?))
   | (?P<KW>[A-Za-z][A-Za-z_0-9]*)
-  | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}()\[\].,;*/+\-!=<>|^?@a])
+  | (?P<OP>\^\^|&&|\|\||!=|<<|>>|<=|>=|\{\||\|\}|[{}()\[\].,;*/+\-!=<>|^?@a])
     """,
     re.VERBOSE,
 )
@@ -73,7 +76,7 @@ _ORDER_FN_KWS = _AGG_KEYWORDS | {
     "round", "year", "month", "day", "hours", "minutes", "seconds", "tz",
     "timezone", "md5", "sha1", "sha256", "sha384", "sha512", "rand", "now",
     "uuid", "struuid", "bnode", "iri", "uri", "substr", "replace", "regex",
-    "strdt", "strlang",
+    "strdt", "strlang", "istriple", "triple", "subject", "predicate", "object",
 }
 
 
@@ -720,10 +723,29 @@ class Parser:
             return BNode(t.text[2:])
         raise SyntaxError(f"expected RDF term, got {t.text!r}")
 
+    def _quoted(self, tps, path_nodes):
+        """`<< s p o >>` — ground → types.QuotedTriple term; any Var →
+        algebra.QuotedPattern (SPARQL-star quoted triple pattern)."""
+        self.next()  # '<<'
+        s = self._var_or_term(tps, path_nodes)
+        p = self._parse_verb(allow_paths=False)
+        o = self._var_or_term(tps, path_nodes)
+        if not (self.peek().kind == "OP" and self.peek().text == ">>"):
+            raise SyntaxError("expected '>>' closing quoted triple")
+        self.next()
+        for x in (s, p, o):
+            if isinstance(x, (A.QuotedPattern, QuotedTriple)):
+                raise SyntaxError("nested quoted triples are not supported (v1)")
+        if any(isinstance(x, Var) for x in (s, p, o)):
+            return A.QuotedPattern(s, p, o)
+        return QuotedTriple(s, p, o)
+
     def _var_or_term(self, tps, path_nodes):
         t = self.peek()
         if t.kind == "VAR":
             return Var(self.next().text[1:])
+        if t.kind == "OP" and t.text == "<<":
+            return self._quoted(tps, path_nodes)
         if t.kind == "OP" and t.text == "[":
             self.next()
             b = self.fresh_bnode()
@@ -781,6 +803,23 @@ class Parser:
                     path_nodes.append(P.PathPattern(s, pred[1], o))
                 else:
                     tps.append(TriplePattern(s, pred, o))
+                if self.at_op("{|"):
+                    # RDF-star annotation: s p o {| a1 v1 ; ... |} — the
+                    # asserted triple PLUS annotations on << s p o >>
+                    if isinstance(pred, tuple):
+                        raise SyntaxError("annotation on a property-path triple")
+                    for x in (s, pred, o):
+                        if isinstance(x, (A.QuotedPattern, QuotedTriple)):
+                            raise SyntaxError("nested quoted triples are not supported (v1)")
+                    if any(isinstance(x, Var) for x in (s, pred, o)):
+                        qsubj = A.QuotedPattern(s, pred, o)
+                    else:
+                        qsubj = QuotedTriple(s, pred, o)
+                    self.next()
+                    self._pred_obj_list(qsubj, tps, path_nodes, allow_paths=False)
+                    if not (self.peek().kind == "OP" and self.peek().text == "|}"):
+                        raise SyntaxError("expected '|}' closing annotation")
+                    self.next()
                 if self.at_op(","):
                     self.next()
                     continue
@@ -1062,6 +1101,9 @@ class Parser:
             "timezone": B.TIMEZONE,
             "md5": B.MD5, "sha1": B.SHA1, "sha256": B.SHA256, "sha384": B.SHA384,
             "sha512": B.SHA512,
+            # SPARQL-star (RDF-star CG; beyond the reference)
+            "istriple": B.IS_TRIPLE, "triple": B.TRIPLE_FN, "subject": B.SUBJECT,
+            "predicate": B.PREDICATE, "object": B.OBJECT,
         }
         if name == "bound":
             self.eat_op("(")
@@ -1361,7 +1403,7 @@ def _mk_update_parser_methods():
     def _ground(self, quads, forbid_bnodes=False):
         for tp, g in quads:
             for x in (tp.s, tp.p, tp.o, g):
-                if isinstance(x, Var):
+                if isinstance(x, (Var, A.QuotedPattern)):
                     raise SyntaxError("variables not allowed in INSERT/DELETE DATA")
                 if forbid_bnodes and isinstance(x, BNode):
                     raise SyntaxError("blank nodes not allowed in DELETE DATA")

@@ -2864,6 +2864,82 @@ from .operators.sketches import quantile_oracle_sql as _q_sql  # noqa: E402
 QUERIES["quantile_sketch"] = (q_quantile_sketch, _q_sql("documents", "n_chars", "doc_id", 256))
 
 
+def q_rdfstar_prov(spark, sf):
+    """RDF-star provenance round-trip (beyond the reference): build a
+    quoted-term annotation store from the customer table — each quoted
+    triple << cust a Customer >> annotated with an integer confidence —
+    then run a SPARQL-star text query (quoted pattern + SUBJECT builtin)
+    over it. Exercises the full v1 stack: TRIPLE encoding, kind-3 scans
+    (pushed s_kind filter), component binding via exact splits."""
+    from .functions.terms import t_iri, t_quoted
+    from .types import RDF_TYPE, XSD_INTEGER
+
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    q = t_quoted(
+        t_iri(F.concat(F.lit("urn:c:"), F.col("c_custkey").cast("string"))),
+        t_iri(F.lit(RDF_TYPE)),
+        t_iri(F.lit("urn:c:Customer")),
+    )
+    tr = cust.select(
+        q["kind"].alias("s_kind"),
+        q["lex"].alias("s_lex"),
+        F.lit("urn:p:conf").alias("pred"),
+        F.lit(2).cast("tinyint").alias("o_kind"),
+        F.round(F.col("c_acctbal") * 100).cast("long").cast("string").alias("o_lex"),
+        F.lit(XSD_INTEGER).alias("o_dtype"),
+        F.lit(None).cast("string").alias("o_lang"),
+        F.lit("urn:g:star").alias("graph"),
+        F.lit(None).cast("string").alias("src_url"),
+        F.lit(None).cast("string").alias("extractor"),
+        F.lit(None).cast("int").alias("part_id"),
+    )
+    from .sparql import execute
+
+    df = execute(
+        """PREFIX p: <urn:p:> PREFIX c: <urn:c:>
+           PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+           SELECT ?who ?conf WHERE {
+             << ?who rdf:type c:Customer >> p:conf ?conf
+             FILTER(?conf > 900000)
+           }""",
+        Ctx(tr),
+    )
+    return flatten(df).select("who", "conf")
+
+
+SQL_RDFSTAR_PROV = """
+SELECT 'urn:c:' || CAST(c_custkey AS VARCHAR) AS who,
+       CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS VARCHAR) AS conf
+FROM customer
+WHERE round(c_acctbal * 100) > 900000
+"""
+
+QUERIES["rdfstar_prov"] = (q_rdfstar_prov, SQL_RDFSTAR_PROV)
+
+
+def q_rdfstar_store_probe(spark, sf):
+    """Quoted-pattern probe over the MATERIALIZED relational store (which
+    holds no quoted terms — result is empty by construction, asserted by
+    the oracle). Exists to pin the scan shape: the kind-3 discriminator
+    is a flat pushed parquet filter, so at 100 TB a SPARQL-star query
+    prunes every non-annotation file via min/max stats before reading."""
+    from .sparql import execute
+
+    df = execute(
+        _SPARQL_PFX
+        + "SELECT ?who ?c WHERE { << ?who p:name ?n >> p:conf ?c }",
+        _ctx(spark, sf),
+    )
+    return flatten(df).select("who", "c")
+
+
+SQL_RDFSTAR_STORE_PROBE = """
+SELECT CAST(NULL AS VARCHAR) AS who, CAST(NULL AS VARCHAR) AS c WHERE 1 = 0
+"""
+
+QUERIES["rdfstar_store_probe"] = (q_rdfstar_store_probe, SQL_RDFSTAR_STORE_PROBE)
+
+
 # deliberate window edits (policy in the DRIVER_WINDOW comment): this
 # round's remaining new oracled queries take the slots of doubly-confirmed
 # re-confirmations (bgp_join / agg_nation / cc_components green in r1 AND

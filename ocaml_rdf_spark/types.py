@@ -40,6 +40,17 @@ from pyspark.sql import types as T
 KIND_IRI = 0
 KIND_BNODE = 1
 KIND_LITERAL = 2
+#: RDF-star quoted triple (beyond the reference — rdf_term.ml predates
+#: RDF-star). lex carries the field-encoded embedded triple; see
+#: QuotedTriple for the encoding and the single-level restriction.
+KIND_TRIPLE = 3
+
+#: separators for the quoted-triple lex encoding: components split on
+#: US (unit sep), fields within a component split on RS (record sep) —
+#: both forbidden inside IRIs outright and rejected in embedded literal
+#: lexicals at construction, so splits are exact (no escaping needed)
+QT_SEP = "\x1f"
+QT_FSEP = "\x1e"
 
 # Well-known IRIs
 RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
@@ -173,7 +184,78 @@ class Literal:
         return f'"{esc}"'
 
 
-Term = Union[Iri, BNode, Literal]
+@dataclass(frozen=True)
+class QuotedTriple:
+    """RDF-star quoted triple term `<< s p o >>` (RDF 1.2 / RDF-star CG).
+
+    v1 scope: SINGLE-LEVEL quoting — components must be Iri/BNode/Literal,
+    not further quoted triples (the annotation/provenance use case; a
+    nested quote raises at construction). The flat-column store encodes a
+    quoted term's components losslessly into its lex with control-char
+    separators (QT_SEP between components, QT_FSEP between a component's
+    kind/lex/dtype/lang fields — raw lexicals, NO escaping), so SPARQL-star
+    accessors (SUBJECT/PREDICATE/OBJECT) and quoted patterns are pure
+    `split` Column expressions. Literals containing U+001E/U+001F are
+    rejected at construction to keep the splits exact."""
+
+    s: "Term"
+    p: Iri
+    o: "Term"
+
+    def __post_init__(self):
+        if isinstance(self.s, (QuotedTriple,)) or isinstance(self.o, (QuotedTriple,)):
+            raise ValueError("nested quoted triples are not supported (v1 single-level)")
+        if isinstance(self.s, Literal):
+            raise ValueError("literal subject inside a quoted triple")
+        if not isinstance(self.p, Iri):
+            raise ValueError("quoted-triple predicate must be an IRI")
+        for t in (self.s, self.o):
+            if isinstance(t, Literal) and (QT_SEP in t.lexical or QT_FSEP in t.lexical):
+                raise ValueError("U+001E/U+001F in embedded literal lexical")
+
+    def encode(self) -> str:
+        return QT_SEP.join(_qt_field(t) for t in (self.s, self.p, self.o))
+
+    def nt(self) -> str:
+        return f"<< {self.s.nt()} {self.p.nt()} {self.o.nt()} >>"
+
+
+def _qt_field(t: "Term") -> str:
+    if isinstance(t, Iri):
+        return f"{KIND_IRI}{QT_FSEP}{t.value}{QT_FSEP}{QT_FSEP}"
+    if isinstance(t, BNode):
+        return f"{KIND_BNODE}{QT_FSEP}{t.label}{QT_FSEP}{QT_FSEP}"
+    assert isinstance(t, Literal)
+    if t.lang:
+        dtype, lang = RDF_LANGSTRING, t.lang
+    else:
+        dtype, lang = (t.dtype or XSD_STRING), ""
+    return f"{KIND_LITERAL}{QT_FSEP}{t.lexical}{QT_FSEP}{dtype}{QT_FSEP}{lang}"
+
+
+def qt_decode(enc: str) -> "QuotedTriple":
+    """Inverse of QuotedTriple.encode."""
+    parts = enc.split(QT_SEP)
+    if len(parts) != 3:
+        raise ValueError(f"malformed quoted-triple encoding: {enc!r}")
+
+    def term(f: str) -> "Term":
+        k, lex, dtype, lang = f.split(QT_FSEP)
+        k = int(k)
+        if k == KIND_IRI:
+            return Iri(lex)
+        if k == KIND_BNODE:
+            return BNode(lex)
+        if dtype == RDF_LANGSTRING:
+            return Literal(lex, lang=lang)
+        return Literal(lex, dtype=None if dtype == XSD_STRING else dtype)
+
+    s, p, o = (term(f) for f in parts)
+    assert isinstance(p, Iri)
+    return QuotedTriple(s, p, o)
+
+
+Term = Union[Iri, BNode, Literal, QuotedTriple]
 
 
 def term_kind(t: Term) -> int:
@@ -181,6 +263,8 @@ def term_kind(t: Term) -> int:
         return KIND_IRI
     if isinstance(t, BNode):
         return KIND_BNODE
+    if isinstance(t, QuotedTriple):
+        return KIND_TRIPLE
     return KIND_LITERAL
 
 
@@ -211,8 +295,10 @@ def triple_row(
         elif o_dtype is None:
             o_dtype = XSD_STRING
         lex = o_lex
+    elif ok == KIND_TRIPLE:
+        lex, o_dtype, o_lang = o.encode(), None, None
     else:
         lex = o.value if ok == KIND_IRI else o.label
         o_dtype, o_lang = None, None
-    s_lex = s.value if sk == KIND_IRI else s.label
+    s_lex = s.encode() if sk == KIND_TRIPLE else (s.value if sk == KIND_IRI else s.label)
     return (sk, s_lex, p.value, ok, lex, o_dtype, o_lang, graph, src_url, extractor, part_id)

@@ -189,6 +189,20 @@ def main() -> None:
             ("top-k, no full sort", r"TakeOrderedAndProject"),
             ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
         ]),
+        ("rdfstar_prov", [
+            # SPARQL-star quoted pattern over a DERIVED store (computed
+            # columns — nothing to push to parquet here): the kind-3
+            # discriminator and component access must stay scan-local
+            # codegen'd string ops, never a join or UDF
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("whole-stage codegen", r"codegen id :"),
+        ]),
+        ("rdfstar_store_probe", [
+            # same quoted-pattern shape over the MATERIALIZED parquet
+            # store: the kind-3 discriminator is a pushed flat filter
+            ("quoted-kind filter pushed", r"PushedFilters: \[.*EqualTo\(s_kind,3\)"),
+            ("pred filter pushed", r"EqualTo\(pred,"),
+        ]),
         ("repetition", [
             # doc-keyed aggregation chains: partial+final hash aggregates,
             # joins back to the doc-id spine are hash joins
