@@ -237,3 +237,50 @@ def test_results_formats_with_triple_terms(star_ctx):
     assert rows_[0]["t"] == (3, qt.encode(), None, None)
     csv = to_sparql_csv(df)
     assert "<< <" in csv
+
+
+def test_trig_star_inherits_quoting():
+    from ocaml_rdf_spark.sources.trig import TriGParser
+
+    doc = f"""@prefix ex: <{EX}> .
+<urn:g:one> {{ << ex:a ex:says "hi" >> ex:certainty "0.9"^^<{XD}> . }}
+ex:doc ex:claims << ex:b ex:says "yo" >> .
+"""
+    quads = TriGParser(doc).parse_quads()
+    qt = QuotedTriple(Iri(EX + "a"), Iri(EX + "says"), Literal("hi"))
+    assert (qt, Iri(EX + "certainty"), Literal("0.9", dtype=XD), Iri("urn:g:one")) in quads
+    qt2 = QuotedTriple(Iri(EX + "b"), Iri(EX + "says"), Literal("yo"))
+    assert (Iri(EX + "doc"), Iri(EX + "claims"), qt2, None) in quads
+
+
+def test_quoted_term_property_roundtrip():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    lex = st.text(
+        alphabet=st.characters(blacklist_characters="\x1e\x1f", blacklist_categories=("Cs",)),
+        max_size=30,
+    )
+    name = st.text(alphabet="abcdefghij", min_size=1, max_size=8)
+
+    terms = st.one_of(
+        name.map(lambda x: Iri(EX + x)),
+        name.map(lambda x: __import__("ocaml_rdf_spark.types", fromlist=["BNode"]).BNode(x)),
+        st.tuples(lex, st.one_of(st.none(), st.just("en"), st.just("de-DE"))).map(
+            lambda t: Literal(t[0], lang=t[1])
+        ),
+        st.tuples(lex, name).map(lambda t: Literal(t[0], dtype=EX + t[1])),
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(s=st.one_of(name.map(lambda x: Iri(EX + x))), p=name.map(lambda x: Iri(EX + x)), o=terms)
+    def check(s, p, o):
+        qt = QuotedTriple(s, p, o)
+        assert qt_decode(qt.encode()) == qt
+        # NT-star text round-trips through the N-Triples parser when the
+        # lexical is NT-escapable (parse the full statement line)
+        line = f"{qt.nt()} <{EX}p> <{EX}o> ."
+        (t,) = list(parse_ntriples(line))
+        assert t[0] == qt
+
+    check()
