@@ -154,6 +154,20 @@ def parse_sparql_json(s: str) -> tuple[list[str], list[dict]]:
                 row[v] = (0, t["value"], None, None)
             elif t["type"] == "bnode":
                 row[v] = (1, t["value"], None, None)
+            elif t["type"] == "triple":
+                # SPARQL 1.2 nested triple term → QuotedTriple encoding
+                from .types import BNode as _B, Iri as _I, Literal as _L, QuotedTriple as _QT
+
+                def term(d):
+                    if d["type"] == "uri":
+                        return _I(d["value"])
+                    if d["type"] == "bnode":
+                        return _B(d["value"])
+                    return _L(d["value"], lang=d.get("xml:lang"), dtype=d.get("datatype"))
+
+                val = t["value"]
+                qt = _QT(term(val["subject"]), term(val["predicate"]), term(val["object"]))
+                row[v] = (3, qt.encode(), None, None)
             else:
                 lang = t.get("xml:lang")
                 dt = t.get("datatype") or (RDF_LANGSTRING if lang else XSD_STRING)

@@ -284,3 +284,35 @@ def test_quoted_term_property_roundtrip():
         assert t[0] == qt
 
     check()
+
+
+def test_results_json_roundtrip_triple_term(star_ctx):
+    from ocaml_rdf_spark.results import parse_sparql_json, to_sparql_json
+
+    df = execute(PFX + "SELECT ?t WHERE { ?t ex:certainty ?c FILTER(?c > 0.5) }", star_ctx)
+    _vars, rows_ = parse_sparql_json(to_sparql_json(df))
+    qt = QuotedTriple(Iri(EX + "a"), Iri(EX + "says"), Literal("hi"))
+    assert rows_[0]["t"] == (3, qt.encode(), None, None)
+
+
+def test_paths_inside_service(spark):
+    # property-path fixpoints evaluate against the SERVICE's own dataset
+    from ocaml_rdf_spark.types import TRIPLES_SCHEMA, triple_row
+
+    chain = [
+        triple_row(Iri(EX + f"n{i}"), Iri(EX + "next"), Iri(EX + f"n{i+1}"), graph="urn:g:svc")
+        for i in range(4)
+    ]
+    svc = spark.createDataFrame(chain, schema=TRIPLES_SCHEMA)
+    local = spark.createDataFrame(
+        [triple_row(Iri(EX + "n0"), Iri(EX + "name"), Literal("start"), graph="urn:g:l")],
+        schema=TRIPLES_SCHEMA,
+    )
+    ctx = Ctx(local, services={"urn:svc:graph": svc})
+    df = execute(
+        PFX
+        + """SELECT ?far WHERE { ?s ex:name "start"
+             SERVICE <urn:svc:graph> { ?s ex:next+ ?far } }""",
+        ctx,
+    )
+    assert rows(df) == [(EX + f"n{i}",) for i in range(1, 5)]
