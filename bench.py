@@ -110,6 +110,7 @@ def main() -> None:
         "vocab_topk",
         "quantile_sketch",
         "rdfstar_prov",
+        "rollup_cascade",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

@@ -71,6 +71,55 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     return events.withColumn("session_idx", F.sum(new_sess).over(running))
 
 
+def rollup_cascade(events: DataFrame, tiers_minutes: tuple = (1, 60, 1440)) -> DataFrame:
+    """Hypertable-style continuous-aggregate cascade: per-event_type
+    counts/sums at multiple time granularities, where each COARSER tier is
+    derived from the previous tier's partial aggregates — the raw table is
+    scanned exactly once no matter how many tiers are requested (the
+    TimescaleDB continuous-aggregate / OLAP rollup pattern).
+
+    Output: (tier_minutes, bucket, event_type, n_events, sum_value_x100)
+    with bucket = epoch-start / (tier * 60). Counts and x100-integer sums
+    re-aggregate losslessly, which is WHY the cascade is exact — avg/
+    percentiles would need their decomposable forms (sum+count, sketches).
+
+    Scale: tier 1 is one map-side-combined shuffle over the raw events;
+    every further tier aggregates the PREVIOUS tier's (already tiny,
+    bucket-bounded) output — at 100 TB the hour tier reads minute rows,
+    not events."""
+    t0 = tiers_minutes[0]
+    us = F.col("ts").cast("timestamp_ltz").cast("long")
+    tier = (
+        events.groupBy(
+            F.floor(us / (t0 * 60)).cast("long").alias("bucket"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_x100"),
+        )
+        .withColumn("tier_minutes", F.lit(t0).cast("int"))
+    )
+    out = tier
+    prev, prev_m = tier, t0
+    for m in tiers_minutes[1:]:
+        if m % prev_m != 0:
+            raise ValueError(f"tier {m} not a multiple of previous tier {prev_m}")
+        nxt = (
+            prev.groupBy(
+                F.floor(F.col("bucket") / (m // prev_m)).cast("long").alias("bucket"),
+                "event_type",
+            )
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("sum_value_x100").alias("sum_value_x100"),
+            )
+            .withColumn("tier_minutes", F.lit(m).cast("int"))
+        )
+        out = out.unionByName(nxt)
+        prev, prev_m = nxt, m
+    return out.select("tier_minutes", "bucket", "event_type", "n_events", "sum_value_x100")
+
+
 def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Per-user session summary: number of sessions and events."""
     s = sessionize(events, gap_minutes)

@@ -2940,6 +2940,43 @@ SELECT CAST(NULL AS VARCHAR) AS who, CAST(NULL AS VARCHAR) AS c WHERE 1 = 0
 QUERIES["rdfstar_store_probe"] = (q_rdfstar_store_probe, SQL_RDFSTAR_STORE_PROBE)
 
 
+def q_rollup_cascade(spark, sf):
+    """Hypertable-style rollup cascade (operators/events.py): minute /
+    hour / day continuous aggregates where each coarser tier re-aggregates
+    the previous tier's partials — raw events scanned exactly once."""
+    from .operators.events import rollup_cascade
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return rollup_cascade(ev, (1, 60, 1440))
+
+
+SQL_ROLLUP_CASCADE = """
+WITH m AS (
+  SELECT CAST(floor(epoch(ts) / 60) AS BIGINT) AS bucket, event_type,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_x100
+  FROM events GROUP BY 1, 2
+),
+h AS (
+  SELECT CAST(floor(bucket / 60) AS BIGINT) AS bucket, event_type,
+         CAST(SUM(n_events) AS BIGINT) AS n_events,
+         CAST(SUM(sum_value_x100) AS BIGINT) AS sum_value_x100
+  FROM m GROUP BY 1, 2
+),
+d AS (
+  SELECT CAST(floor(bucket / 24) AS BIGINT) AS bucket, event_type,
+         CAST(SUM(n_events) AS BIGINT) AS n_events,
+         CAST(SUM(sum_value_x100) AS BIGINT) AS sum_value_x100
+  FROM h GROUP BY 1, 2
+)
+SELECT 1 AS tier_minutes, * FROM m
+UNION ALL SELECT 60, * FROM h
+UNION ALL SELECT 1440, * FROM d
+"""
+
+QUERIES["rollup_cascade"] = (q_rollup_cascade, SQL_ROLLUP_CASCADE)
+
+
 # deliberate window edits (policy in the DRIVER_WINDOW comment): this
 # round's remaining new oracled queries take the slots of doubly-confirmed
 # re-confirmations (bgp_join / agg_nation / cc_components green in r1 AND

@@ -6,6 +6,7 @@ from __future__ import annotations
 import datetime as dt
 
 import pyspark.sql.functions as F
+import pytest
 
 
 def _events(spark, rows):
@@ -226,3 +227,28 @@ def test_paragraph_dedup_semantics(spark):
         1: ("alpha\n\nbeta\n\ngamma", 3),
         2: ("delta", 1),
     }
+
+
+def test_rollup_cascade_tiers_consistent(spark):
+    # coarser tiers must be exact re-aggregations of finer tiers
+    import datetime as dt
+
+    from ocaml_rdf_spark.operators.events import rollup_cascade
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + (i % 3), i % 24, (i * 7) % 60), i % 4, "t" + str(i % 2), float(i))
+        for i in range(200)
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, event_type string, value double")
+    out = rollup_cascade(ev, (1, 60, 1440)).collect()
+    per_tier = {}
+    for r in out:
+        t = per_tier.setdefault(r["tier_minutes"], [0, 0])
+        t[0] += r["n_events"]
+        t[1] += r["sum_value_x100"]
+    # every tier preserves grand totals
+    assert per_tier[1] == per_tier[60] == per_tier[1440] == [200, sum(i * 100 for i in range(200))]
+    # day tier has at most 3 buckets per type
+    assert len([r for r in out if r["tier_minutes"] == 1440]) <= 6
+    with pytest.raises(ValueError):
+        rollup_cascade(ev, (1, 90, 100))
