@@ -48,11 +48,27 @@ def _global_bnode(term: Term, url: str, ext: str) -> Term:
     return term
 
 
+#: conservative structured-data markers: every extractor's trigger implies
+#: at least one of these substrings (script types for the raw-block
+#: formats; itemscope for microdata; property/typeof/vocab/prefix for
+#: RDFa). A page containing NONE cannot emit a triple OR an error row, so
+#: the DOM parse — ~40% of per-page CPU — is skipped outright. On this
+#: synthetic corpus ~0.6% of pages skip; on real Common Crawl the
+#: no-structured-data majority makes this the dominant fast path.
+_MARKERS = (
+    "ld+json", "text/turtle", "application/trig", "rdf+xml", "ntriples",
+    "itemscope", "property", "typeof", "vocab", "prefix",
+)
+
+
 def extract_page(url: str, html_bytes: bytes) -> tuple[list[tuple], list[tuple]]:
     """Parse one page; returns (triple_rows, error_rows) in TRIPLES row form."""
     rows: list[tuple] = []
     errors: list[tuple] = []
     html = html_bytes.decode("utf-8", errors="replace")
+    low = html.lower()
+    if not any(m in low for m in _MARKERS):
+        return rows, errors
 
     def emit(triples, ext: str):
         for s, p, o in triples:

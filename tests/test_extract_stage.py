@@ -102,3 +102,26 @@ def test_error_rows_for_bad_turtle(spark):
     assert triples.filter(F.col("extractor") == "turtle").count() == 0
     errs = errors.collect()
     assert len(errs) == 1 and errs[0]["extractor"] == "turtle"
+
+
+def test_marker_prescreen_is_conservative():
+    # a page with no structured-data marker emits nothing (fast path);
+    # each extractor's trigger contains a marker so nothing real is skipped
+    from ocaml_rdf_spark.extract import _MARKERS, extract_page
+
+    plain = b"<html><head><title>x</title></head><body><p>just text</p></body></html>"
+    assert extract_page("http://h/p", plain) == ([], [])
+    triggers = [
+        '<script type="application/ld+json">{}</script>',
+        '<script type="text/turtle"></script>',
+        '<script type="application/trig"></script>',
+        '<script type="application/rdf+xml"></script>',
+        '<pre class="ntriples"></pre>',
+        "<div itemscope></div>",
+        '<span property="p">v</span>',
+        '<div typeof="T"></div>',
+        '<body vocab="http://v/"></body>',
+        '<html prefix="a: http://a/"></html>',
+    ]
+    for t in triggers:
+        assert any(m in t.lower() for m in _MARKERS), t
