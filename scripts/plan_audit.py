@@ -42,10 +42,11 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # (query, [(check name, regex) | (check name, regex, "absent")]) — the
-    # 3-tuple form asserts the pattern does NOT occur in the plan (a negative
-    # lookahead regex is vacuous with re.M: some line start always satisfies
-    # it, so absence must be a plain containment test).
+    # (query, [(check name, regex) | (check name, regex, "absent")
+    #          | (check name, regex, "count", n)]) — "absent" asserts the
+    # pattern does NOT occur (a negative lookahead regex is vacuous with
+    # re.M: some line start always satisfies it, so absence must be a plain
+    # containment test); "count" asserts it occurs EXACTLY n times.
     audits = [
         ("part_scan", [
             ("filter pushed to parquet scan", r"PushedFilters: \[.*GreaterThanOrEqual\(p_size,40\)"),
@@ -203,6 +204,15 @@ def main() -> None:
             ("quoted-kind filter pushed", r"PushedFilters: \[.*EqualTo\(s_kind,3\)"),
             ("pred filter pushed", r"EqualTo\(pred,"),
         ]),
+        ("rollup_cascade", [
+            # continuous-aggregate cascade: the raw events parquet is
+            # scanned EXACTLY once — hour/day tiers re-aggregate the
+            # minute tier's partials, never the source
+            ("raw table scanned exactly once", r"^\(\d+\) Scan parquet", "count", 1),
+            ("tier exchanges reused, not recomputed", r"^\(\d+\) ReusedExchange", "count", 2),
+            ("map-side-combinable hash aggregates", r"HashAggregate"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+        ]),
         ("repetition", [
             # doc-keyed aggregation chains: partial+final hash aggregates,
             # joins back to the doc-id spine are hash joins
@@ -223,8 +233,11 @@ def main() -> None:
         lines.append(f"## {name}")
         for check in checks:
             label, pat = check[0], check[1]
-            found = re.search(pat, plan, re.S | re.M) is not None
-            ok = (not found) if (len(check) > 2 and check[2] == "absent") else found
+            if len(check) > 2 and check[2] == "count":
+                ok = len(re.findall(pat, plan, re.S | re.M)) == check[3]
+            else:
+                found = re.search(pat, plan, re.S | re.M) is not None
+                ok = (not found) if (len(check) > 2 and check[2] == "absent") else found
             failures += 0 if ok else 1
             lines.append(f"- {'PASS' if ok else 'FAIL'} — {label}")
             print(f"{name}: {'PASS' if ok else 'FAIL'} {label}")
