@@ -566,7 +566,12 @@ class Values(Node):
                     elif isinstance(t, Iri):
                         rec.append((0, t.value, None, None))
                     else:
-                        rec.append((1, t.label, None, None))
+                        from .types import KIND_TRIPLE, QuotedTriple
+
+                        if isinstance(t, QuotedTriple):
+                            rec.append((KIND_TRIPLE, t.encode(), None, None))
+                        else:
+                            rec.append((1, t.label, None, None))
             data.append(tuple(rec))
         schema = ", ".join(f"{v} struct<kind:tinyint,lex:string,dtype:string,lang:string>" for v in vars_)
         df = spark.createDataFrame(data, schema=schema)

@@ -699,6 +699,12 @@ class Parser:
 
     def _values_term(self):
         t = self.peek()
+        if t.kind == "OP" and t.text == "<<":
+            # SPARQL-star DataBlockValue: ground quoted triple only
+            q = self._quoted([], [])
+            if isinstance(q, A.QuotedPattern):
+                raise SyntaxError("variables not allowed in VALUES data")
+            return q
         if t.kind == "KW" and t.text.lower() == "undef":
             self.next()
             return None

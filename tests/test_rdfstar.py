@@ -316,3 +316,16 @@ def test_paths_inside_service(spark):
         ctx,
     )
     assert rows(df) == [(EX + f"n{i}",) for i in range(1, 5)]
+
+
+def test_quoted_triple_in_values(star_ctx):
+    df = execute(
+        PFX
+        + """SELECT ?c WHERE {
+             VALUES ?t { << ex:a ex:says "hi" >> }
+             ?t ex:certainty ?c }""",
+        star_ctx,
+    )
+    assert rows(df) == [("0.9",)]
+    with pytest.raises(SyntaxError):
+        execute(PFX + "SELECT * WHERE { VALUES ?t { << ?v ex:p ex:o >> } }", star_ctx)
