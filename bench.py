@@ -111,6 +111,7 @@ def main() -> None:
         "quantile_sketch",
         "rdfstar_prov",
         "rollup_cascade",
+        "rdfs_closure",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

@@ -2977,6 +2977,48 @@ UNION ALL SELECT 1440, * FROM d
 QUERIES["rollup_cascade"] = (q_rollup_cascade, SQL_ROLLUP_CASCADE)
 
 
+def q_rdfs_closure(spark, sf):
+    """RDFS entailment materialization (operators/rdfs.py): a small
+    ontology over the TPC-H KG (Customer/Supplier ⊑ Party ⊑ Agent,
+    inNation ⊑ locatedIn, domain/range classes) drives rules
+    rdfs2/3/5/7/9/11 — schema hierarchies closed distributedly then
+    broadcast, instance rules are single broadcast-join passes. Returns
+    the ENTAILED triples only; the oracle reproduces each rule's output
+    relationally."""
+    from .operators.rdfs import DOMAIN, RANGE, SUBCLASS, SUBPROP, rdfs_closure
+    from .types import TRIPLES_SCHEMA, triple_row as _tr
+
+    schema = [
+        ("urn:c:Customer", SUBCLASS, "urn:c:Party"),
+        ("urn:c:Supplier", SUBCLASS, "urn:c:Party"),
+        ("urn:c:Party", SUBCLASS, "urn:c:Agent"),
+        ("urn:p:inNation", SUBPROP, "urn:p:locatedIn"),
+        ("urn:p:inNation", DOMAIN, "urn:c:Located"),
+        ("urn:p:locatedIn", RANGE, "urn:c:Place"),
+    ]
+    rows = [_tr(Iri(s), Iri(p), Iri(o), graph="urn:g:schema") for s, p, o in schema]
+    sdf = spark.createDataFrame(rows, schema=TRIPLES_SCHEMA)
+    store = triples_view(spark, sf).unionByName(sdf)
+    ent = rdfs_closure(store)
+    return ent.select(F.col("s_lex").alias("s"), F.col("pred").alias("p"), F.col("o_lex").alias("o"))
+
+
+SQL_RDFS_CLOSURE = """
+SELECT 'urn:c:Customer' AS s, 'http://www.w3.org/2000/01/rdf-schema#subClassOf' AS p, 'urn:c:Agent' AS o
+UNION ALL SELECT 'urn:c:Supplier', 'http://www.w3.org/2000/01/rdf-schema#subClassOf', 'urn:c:Agent'
+UNION ALL SELECT 'urn:cu:' || c_custkey, 'urn:p:locatedIn', 'urn:n:' || c_nationkey FROM customer
+UNION ALL SELECT 'urn:su:' || s_suppkey, 'urn:p:locatedIn', 'urn:n:' || s_nationkey FROM supplier
+UNION ALL SELECT 'urn:cu:' || c_custkey, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', cls
+          FROM customer, (VALUES ('urn:c:Located'), ('urn:c:Party'), ('urn:c:Agent')) AS t(cls)
+UNION ALL SELECT 'urn:su:' || s_suppkey, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', cls
+          FROM supplier, (VALUES ('urn:c:Located'), ('urn:c:Party'), ('urn:c:Agent')) AS t(cls)
+UNION ALL SELECT DISTINCT 'urn:n:' || k, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 'urn:c:Place'
+          FROM (SELECT c_nationkey AS k FROM customer UNION SELECT s_nationkey FROM supplier)
+"""
+
+QUERIES["rdfs_closure"] = (q_rdfs_closure, SQL_RDFS_CLOSURE)
+
+
 # deliberate window edits (policy in the DRIVER_WINDOW comment): this
 # round's remaining new oracled queries take the slots of doubly-confirmed
 # re-confirmations (bgp_join / agg_nation / cc_components green in r1 AND

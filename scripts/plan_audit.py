@@ -213,6 +213,14 @@ def main() -> None:
             ("map-side-combinable hash aggregates", r"HashAggregate"),
             ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
         ]),
+        ("rdfs_closure", [
+            # instance-side RDFS rules: every schema join is a BROADCAST
+            # hash join (closed hierarchies are tiny); no instance-data
+            # fixpoint, no nested loop
+            ("schema sides broadcast", r"BroadcastHashJoin"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
         ("repetition", [
             # doc-keyed aggregation chains: partial+final hash aggregates,
             # joins back to the doc-id spine are hash joins
