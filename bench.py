@@ -112,6 +112,7 @@ def main() -> None:
         "rdfstar_prov",
         "rollup_cascade",
         "rdfs_closure",
+        "owl_rl",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

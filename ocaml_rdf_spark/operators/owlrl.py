@@ -1,0 +1,128 @@
+"""OWL 2 RL property-axiom materialization — the companion to
+operators/rdfs.py (and to the owl:sameAs handling in operators/cc.py):
+the three instance-scale property axioms every KG pipeline materializes:
+
+  prp-inv   x p y, p owl:inverseOf q (either direction) ⇒ y q x
+  prp-symp  x p y, p a owl:SymmetricProperty            ⇒ y p x
+  prp-trp   x p y, y p z, p a owl:TransitiveProperty    ⇒ x p z
+
+Evaluation order reaches the combined fixpoint without iterating the
+rule set: mirror symmetric edges and expand inverses FIRST (so a
+transitive property fed through its inverse is closed too), close each
+transitive property, then re-apply inverse/symmetric to the closure
+output (closure(p) pairs seen through inverseOf / symmetry). The
+per-property transitive closure runs as ONE fixpoint over ALL
+transitive properties simultaneously: node ids are prefixed with the
+property (`pred US node`), so the frontier join's dst=src equality
+implies pred equality — k properties cost one closure, not k.
+
+Scale: axiom triples broadcast; symmetric/inverse expansion is one
+broadcast join pass; the closure iterates only over rows of transitive
+properties (pred-pushed scan), diameter-bounded with path doubling
+(operators/paths.transitive_closure).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..types import RDF_TYPE, TRIPLE_KEY
+
+OWL_NS = "http://www.w3.org/2002/07/owl#"
+INVERSE_OF = OWL_NS + "inverseOf"
+SYMMETRIC = OWL_NS + "SymmetricProperty"
+TRANSITIVE = OWL_NS + "TransitiveProperty"
+
+_SEP = "\x1f"
+
+
+def owl_rl_closure(triples: DataFrame, graph: str = "urn:g:owl") -> DataFrame:
+    """→ ENTAILED triples only (graph = `graph`, extractor = 'owl'),
+    asserted statements excluded. IRI/BNode positions only (property
+    axioms never touch literals' object slots other than pass-through:
+    literal objects are kept for symmetric/inverse? No — an inverse or
+    symmetric edge with a literal object would put a literal in subject
+    position, which RDF forbids; such statements are skipped)."""
+    from .paths import transitive_closure
+
+    inv = (
+        triples.filter((F.col("pred") == INVERSE_OF) & (F.col("s_kind") == 0) & (F.col("o_kind") == 0))
+        .select(F.col("s_lex").alias("a"), F.col("o_lex").alias("b"))
+        .distinct()
+    )
+    # inverseOf is symmetric in effect: expand both directions
+    inv_both = inv.unionByName(inv.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    sym = (
+        triples.filter((F.col("pred") == RDF_TYPE) & (F.col("o_lex") == SYMMETRIC))
+        .select(F.col("s_lex").alias("p")).distinct()
+    )
+    trp = (
+        triples.filter((F.col("pred") == RDF_TYPE) & (F.col("o_lex") == TRANSITIVE))
+        .select(F.col("s_lex").alias("p")).distinct()
+    )
+
+    # resource-to-resource statements only (literal objects cannot flip)
+    stmts = (
+        triples.filter(F.col("o_kind").isin(0, 1) & F.col("s_kind").isin(0, 1))
+        .select("s_kind", "s_lex", "pred", "o_kind", "o_lex")
+        .distinct()
+    )
+
+    def flip(df):
+        return df.select(
+            F.col("o_kind").alias("s_kind"), F.col("o_lex").alias("s_lex"),
+            F.col("pred"), F.col("s_kind").alias("o_kind"), F.col("s_lex").alias("o_lex"),
+        )
+
+    def inv_of(df):
+        return (
+            df.join(F.broadcast(inv_both.withColumnRenamed("a", "pred")), "pred", "inner")
+            .select(
+                F.col("o_kind").alias("s_kind"), F.col("o_lex").alias("s_lex"),
+                F.col("b").alias("pred"), F.col("s_kind").alias("o_kind"), F.col("s_lex").alias("o_lex"),
+            )
+        )
+
+    def sym_of(df):
+        return flip(df.join(F.broadcast(sym.withColumnRenamed("p", "pred")), "pred", "inner"))
+
+    # phase 1: inverse + symmetric expansion over asserted statements
+    expanded = stmts.unionByName(inv_of(stmts)).unionByName(sym_of(stmts)).distinct()
+
+    # phase 2: one simultaneous closure over every transitive property —
+    # node ids carry the property prefix so dst=src implies same pred
+    tedges = expanded.join(F.broadcast(trp.withColumnRenamed("p", "pred")), "pred", "inner")
+    keyed = tedges.select(
+        F.concat_ws(_SEP, "pred", F.col("s_kind").cast("string"), "s_lex").alias("src"),
+        F.concat_ws(_SEP, "pred", F.col("o_kind").cast("string"), "o_lex").alias("dst"),
+    )
+    closed = transitive_closure(keyed)
+    closure_stmts = closed.select(
+        F.split(F.col("src"), _SEP).alias("s3"), F.split(F.col("dst"), _SEP).alias("o3")
+    ).select(
+        F.element_at("s3", 2).cast("tinyint").alias("s_kind"),
+        F.element_at("s3", 3).alias("s_lex"),
+        F.element_at("s3", 1).alias("pred"),
+        F.element_at("o3", 2).cast("tinyint").alias("o_kind"),
+        F.element_at("o3", 3).alias("o_lex"),
+    )
+
+    # phase 3: closure pairs seen through inverse / symmetry
+    out5 = (
+        expanded.unionByName(closure_stmts)
+        .unionByName(inv_of(closure_stmts))
+        .unionByName(sym_of(closure_stmts))
+        .distinct()
+    )
+    out = (
+        out5.withColumn("o_dtype", F.lit(None).cast("string"))
+        .withColumn("o_lang", F.lit(None).cast("string"))
+        .withColumn("graph", F.lit(graph))
+        .withColumn("src_url", F.lit(None).cast("string"))
+        .withColumn("extractor", F.lit("owl"))
+        .withColumn("part_id", F.lit(None).cast("int"))
+        .dropDuplicates(TRIPLE_KEY)
+    )
+    asserted = triples.select("s_kind", "s_lex", "pred", "o_kind", "o_lex").distinct()
+    return out.join(asserted, ["s_kind", "s_lex", "pred", "o_kind", "o_lex"], "left_anti")

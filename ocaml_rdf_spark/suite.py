@@ -3019,6 +3019,55 @@ UNION ALL SELECT DISTINCT 'urn:n:' || k, 'http://www.w3.org/1999/02/22-rdf-synta
 QUERIES["rdfs_closure"] = (q_rdfs_closure, SQL_RDFS_CLOSURE)
 
 
+def q_owl_rl(spark, sf):
+    """OWL-RL property axioms (operators/owlrl.py): a locatedIn edge set
+    (customer→nation→region) declared owl:TransitiveProperty and
+    owl:inverseOf hosts — entails customer→region hops plus the full
+    inverse 'hosts' relation (including over closure pairs)."""
+    from .operators.owlrl import INVERSE_OF, TRANSITIVE, owl_rl_closure
+    from .types import TRIPLES_SCHEMA, triple_row as _tr
+
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    nat = spark.read.parquet(f"{sf}/nation.parquet")
+
+    def edge(src, dst):
+        return F.struct(
+            F.lit(0).cast("tinyint").alias("s_kind"), src.alias("s_lex"),
+            F.lit("urn:p:locatedIn").alias("pred"),
+            F.lit(0).cast("tinyint").alias("o_kind"), dst.alias("o_lex"),
+            F.lit(None).cast("string").alias("o_dtype"), F.lit(None).cast("string").alias("o_lang"),
+            F.lit("urn:g:owl-data").alias("graph"), F.lit(None).cast("string").alias("src_url"),
+            F.lit(None).cast("string").alias("extractor"), F.lit(None).cast("int").alias("part_id"),
+        )
+
+    e1 = cust.select(edge(F.concat(F.lit("urn:cu:"), F.col("c_custkey").cast("string")),
+                          F.concat(F.lit("urn:n:"), F.col("c_nationkey").cast("string"))).alias("t")).select("t.*")
+    e2 = nat.select(edge(F.concat(F.lit("urn:n:"), F.col("n_nationkey").cast("string")),
+                         F.concat(F.lit("urn:r:"), F.col("n_regionkey").cast("string"))).alias("t")).select("t.*")
+    axioms = spark.createDataFrame(
+        [
+            _tr(Iri("urn:p:locatedIn"), Iri(RDF_TYPE), Iri(TRANSITIVE), graph="urn:g:owl-schema"),
+            _tr(Iri("urn:p:locatedIn"), Iri(INVERSE_OF), Iri("urn:p:hosts"), graph="urn:g:owl-schema"),
+        ],
+        schema=TRIPLES_SCHEMA,
+    )
+    store = e1.unionByName(e2).unionByName(axioms)
+    ent = owl_rl_closure(store)
+    return ent.select(F.col("s_lex").alias("s"), F.col("pred").alias("p"), F.col("o_lex").alias("o"))
+
+
+SQL_OWL_RL = """
+SELECT 'urn:cu:' || c_custkey AS s, 'urn:p:locatedIn' AS p, 'urn:r:' || n_regionkey AS o
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+UNION ALL SELECT 'urn:n:' || c_nationkey, 'urn:p:hosts', 'urn:cu:' || c_custkey FROM customer
+UNION ALL SELECT 'urn:r:' || n_regionkey, 'urn:p:hosts', 'urn:n:' || n_nationkey FROM nation
+UNION ALL SELECT 'urn:r:' || n_regionkey, 'urn:p:hosts', 'urn:cu:' || c_custkey
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+"""
+
+QUERIES["owl_rl"] = (q_owl_rl, SQL_OWL_RL)
+
+
 # deliberate window edits (policy in the DRIVER_WINDOW comment): this
 # round's remaining new oracled queries take the slots of doubly-confirmed
 # re-confirmations (bgp_join / agg_nation / cc_components green in r1 AND

@@ -221,6 +221,14 @@ def main() -> None:
             ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
             ("no cartesian product", r"CartesianProduct", "absent"),
         ]),
+        ("owl_rl", [
+            # property-axiom materialization: axiom sides broadcast; the
+            # multi-property closure is pred-prefixed (one fixpoint for
+            # all transitive properties); no nested loop/cartesian
+            ("axiom sides broadcast", r"BroadcastHashJoin"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
         ("repetition", [
             # doc-keyed aggregation chains: partial+final hash aggregates,
             # joins back to the doc-id spine are hash joins

@@ -1,0 +1,70 @@
+"""Unit tests for OWL-RL property-axiom materialization (operators/owlrl.py)."""
+
+from __future__ import annotations
+
+from ocaml_rdf_spark.operators.owlrl import INVERSE_OF, SYMMETRIC, TRANSITIVE, owl_rl_closure
+from ocaml_rdf_spark.types import RDF_TYPE, TRIPLES_SCHEMA, Iri, Literal, triple_row
+
+EX = "http://ex.org/"
+
+
+def _store(spark, triples):
+    rows = [
+        triple_row(Iri(s), Iri(p), o if isinstance(o, Literal) else Iri(o), graph="urn:g:d")
+        for s, p, o in triples
+    ]
+    return spark.createDataFrame(rows, schema=TRIPLES_SCHEMA)
+
+
+def _spo(df):
+    return {(r["s_lex"], r["pred"], r["o_lex"]) for r in df.collect()}
+
+
+def test_symmetric_property(spark):
+    got = _spo(owl_rl_closure(_store(spark, [
+        (EX + "knows", RDF_TYPE, SYMMETRIC),
+        (EX + "a", EX + "knows", EX + "b"),
+    ])))
+    assert got == {(EX + "b", EX + "knows", EX + "a")}
+
+
+def test_inverse_both_directions(spark):
+    got = _spo(owl_rl_closure(_store(spark, [
+        (EX + "parentOf", INVERSE_OF, EX + "childOf"),
+        (EX + "a", EX + "parentOf", EX + "b"),
+        (EX + "c", EX + "childOf", EX + "d"),
+    ])))
+    assert (EX + "b", EX + "childOf", EX + "a") in got
+    assert (EX + "d", EX + "parentOf", EX + "c") in got
+
+
+def test_transitive_through_inverse(spark):
+    # edges asserted via the INVERSE predicate still participate in the
+    # transitive property's closure (phase-1 expansion before closure)
+    got = _spo(owl_rl_closure(_store(spark, [
+        (EX + "anc", RDF_TYPE, TRANSITIVE),
+        (EX + "anc", INVERSE_OF, EX + "desc"),
+        (EX + "a", EX + "anc", EX + "b"),
+        (EX + "c", EX + "desc", EX + "b"),  # i.e. b anc c
+    ])))
+    assert (EX + "a", EX + "anc", EX + "c") in got       # via the flipped edge
+    assert (EX + "c", EX + "desc", EX + "a") in got      # inverse of the closure pair
+
+
+def test_two_transitive_properties_do_not_mix(spark):
+    got = _spo(owl_rl_closure(_store(spark, [
+        (EX + "p", RDF_TYPE, TRANSITIVE),
+        (EX + "q", RDF_TYPE, TRANSITIVE),
+        (EX + "a", EX + "p", EX + "b"),
+        (EX + "b", EX + "q", EX + "c"),
+    ])))
+    # no cross-property chaining
+    assert not any(o == EX + "c" and s == EX + "a" for s, _p, o in got)
+
+
+def test_literal_objects_never_flip(spark):
+    got = _spo(owl_rl_closure(_store(spark, [
+        (EX + "p", RDF_TYPE, SYMMETRIC),
+        (EX + "a", EX + "p", Literal("v")),
+    ])))
+    assert got == set()
