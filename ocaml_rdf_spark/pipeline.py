@@ -138,17 +138,27 @@ class Pipeline:
         return self.log
 
 
-def kg_pipeline(spark: SparkSession, root: str, n_pages: int, parts: int = 8) -> Pipeline:
+def kg_pipeline(
+    spark: SparkSession, root: str, n_pages: int, parts: int = 8,
+    ontology: Optional[DataFrame] = None,
+) -> Pipeline:
     """The full KG-construction pipeline (north rule order): extract →
-    link → canonicalize → materialize SPO/POS. Each stage committed with
-    lineage + metrics; resumable mid-way."""
+    link → canonicalize → [infer] → materialize SPO/POS. Each stage
+    committed with lineage + metrics; resumable mid-way.
+
+    `ontology`: optional TRIPLES DataFrame of schema axioms (rdfs:
+    subClassOf/subPropertyOf/domain/range, owl: inverseOf/Symmetric/
+    TransitiveProperty). When given, an `infer` stage materializes the
+    RDFS + OWL-RL entailments over the canonical store (operators/rdfs,
+    operators/owlrl — broadcast-schema passes, no instance fixpoints)
+    and the SPO/POS sinks serve the asserted ∪ entailed closure."""
     from .datagen import gen_aliases_pandas, gen_pages_df
     from .extract import dedup_triples, extract_triples, salted_repartition, split_errors
     from .operators.cc import canonicalize, connected_components, sameas_edges
     from .operators.linking import link_exact
     from .types import TRIPLE_KEY
 
-    fp = f"pages:{n_pages}:v1"
+    fp = f"pages:{n_pages}:v1" + (":inf" if ontology is not None else "")
     pipe = Pipeline(spark, root, fp)
 
     def s_extract(sp, p):
@@ -200,17 +210,34 @@ def kg_pipeline(spark: SparkSession, root: str, n_pages: int, parts: int = 8) ->
         mapping = connected_components(edges)
         return canonicalize(triples, mapping).dropDuplicates(TRIPLE_KEY)
 
+    def s_infer(sp, p):
+        from .operators.owlrl import owl_rl_closure
+        from .operators.rdfs import rdfs_closure
+
+        store = p.output("canonical").unionByName(ontology)
+        return (
+            rdfs_closure(store)
+            .unionByName(owl_rl_closure(store))
+            .dropDuplicates(TRIPLE_KEY)
+        )
+
+    def closure(p):
+        base = p.output("canonical")
+        if ontology is not None:
+            base = base.unionByName(ontology).unionByName(p.output("infer")).dropDuplicates(TRIPLE_KEY)
+        return base
+
     def s_spo(sp, p):
-        return p.output("canonical").repartition(parts, "s_lex")
+        return closure(p).repartition(parts, "s_lex")
 
     def s_pos(sp, p):
-        return p.output("canonical").repartition(parts, "pred")
+        return closure(p).repartition(parts, "pred")
 
-    return (
-        pipe.stage("extract", s_extract)
-        .stage("dedup", s_dedup)
-        .stage("link", s_link)
-        .stage("canonical", s_canonical)
-        .stage("spo", s_spo, sort_cols=["s_lex", "pred", "o_lex"])
-        .stage("pos", s_pos, sort_cols=["pred", "o_lex", "s_lex"])
+    pipe.stage("extract", s_extract).stage("dedup", s_dedup).stage("link", s_link).stage(
+        "canonical", s_canonical
+    )
+    if ontology is not None:
+        pipe.stage("infer", s_infer)
+    return pipe.stage("spo", s_spo, sort_cols=["s_lex", "pred", "o_lex"]).stage(
+        "pos", s_pos, sort_cols=["pred", "o_lex", "s_lex"]
     )

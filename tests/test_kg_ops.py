@@ -464,3 +464,43 @@ def test_minhash_signature_col_agrees_with_batch(spark):
         batch.setdefault(r["doc_id"], {})[r["band"]] = r["mh"]
     for did, sig in per_row.items():
         assert sig == [batch[did][b] for b in range(8)]
+
+
+def test_pipeline_with_inference_stage(spark, tmp_path):
+    from ocaml_rdf_spark.operators.owlrl import INVERSE_OF
+    from ocaml_rdf_spark.operators.rdfs import DOMAIN, RANGE, SUBCLASS
+    from ocaml_rdf_spark.pipeline import kg_pipeline
+    from ocaml_rdf_spark.types import RDF_TYPE, TRIPLES_SCHEMA, Iri, triple_row
+
+    S = "https://schema.org/"
+    axioms = [
+        (S + "Person", SUBCLASS, S + "Thing"),
+        (S + "Organization", SUBCLASS, S + "Thing"),
+        (S + "worksFor", DOMAIN, S + "Person"),
+        (S + "worksFor", RANGE, S + "Organization"),
+        (S + "worksFor", INVERSE_OF, S + "employee"),
+    ]
+    onto = spark.createDataFrame(
+        [triple_row(Iri(s), Iri(p), Iri(o), graph="urn:g:onto") for s, p, o in axioms],
+        schema=TRIPLES_SCHEMA,
+    )
+    root = str(tmp_path / "pipe-inf")
+    pipe = kg_pipeline(spark, root, n_pages=40, parts=2, ontology=onto)
+    log = pipe.run()
+    assert [not e["skipped"] for e in log] == [True] * 7  # infer stage present
+
+    spo = spark.read.parquet(os.path.join(root, "spo", "data"))
+    ent = spo.filter(F.col("extractor").isin("rdfs", "owl"))
+    assert ent.count() > 0
+    # every worksFor subject is entailed a Person and a Thing type
+    workers = {r["s_lex"] for r in spo.filter(F.col("pred") == S + "worksFor").collect()}
+    thing_typed = {
+        r["s_lex"]
+        for r in spo.filter((F.col("pred") == RDF_TYPE) & (F.col("o_lex") == S + "Thing")).collect()
+    }
+    assert workers and workers <= thing_typed
+    # inverse employee edges materialized
+    assert spo.filter(F.col("pred") == S + "employee").count() > 0
+    # resume: everything skips, including infer
+    log2 = kg_pipeline(spark, root, n_pages=40, parts=2, ontology=onto).run()
+    assert all(e["skipped"] for e in log2)
