@@ -113,6 +113,7 @@ def main() -> None:
         "rollup_cascade",
         "rdfs_closure",
         "owl_rl",
+        "shacl_report",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

@@ -1,0 +1,127 @@
+"""SHACL-lite validation — the constraint layer of a KG pipeline
+(W3C SHACL core, the subset that covers most real shape graphs):
+per-(targetClass, path) property shapes with
+
+  minCount / maxCount        cardinality over each focus node
+  datatype                   every value a literal of the given datatype
+  class                      every value an instance of the given class
+  nodeKind                   sh:IRI | sh:Literal | sh:BlankNode
+
+Output is a violation report table (focus, shape_id, constraint,
+detail), empty = conforms — the distributed analogue of a SHACL
+engine's sh:ValidationReport.
+
+Scale design: one pass per constraint family, all joins keyed on the
+focus/value columns with the (tiny) shape table BROADCAST:
+- targeting is a semi-join of rdf:type rows against the shape's class;
+- cardinality is a per-(focus, shape) count with map-side combine —
+  minCount violations come from a LEFT anti/left join (absent focus =
+  count 0), maxCount from a filter on the same aggregate;
+- datatype/nodeKind are scan-local predicates on the value rows;
+- class constraints semi-join values against typed instances.
+No fixpoints, no per-row Python; the report is itself a DataFrame that
+can be committed as a pipeline stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..types import RDF_TYPE
+
+#: shape table schema (one row per property shape):
+#: shape_id string, target_class string, path string,
+#: min_count int?, max_count int?, datatype string?, cls string?,
+#: node_kind string? ('IRI' | 'Literal' | 'BlankNode')
+SHAPES_SCHEMA = (
+    "shape_id string, target_class string, path string, min_count int, "
+    "max_count int, datatype string, cls string, node_kind string"
+)
+
+_KIND_OF = {"IRI": 0, "BlankNode": 1, "Literal": 2}
+
+
+def validate(triples: DataFrame, shapes: DataFrame) -> DataFrame:
+    """→ violations (focus, shape_id, constraint, detail). Empty ⇒ the
+    data graph conforms to every shape."""
+    b_shapes = F.broadcast(shapes)
+
+    # focus nodes: instances of each shape's target class
+    focus = (
+        triples.filter(F.col("pred") == RDF_TYPE)
+        .select(F.col("s_kind").alias("f_kind"), F.col("s_lex").alias("focus"), F.col("o_lex").alias("target_class"))
+        .join(b_shapes, "target_class")
+    )
+
+    # value rows per (focus, shape): the shape path's statements
+    vals = focus.join(
+        triples.select(
+            F.col("s_kind").alias("f_kind"), F.col("s_lex").alias("focus"),
+            F.col("pred").alias("path"), F.col("o_kind"), F.col("o_lex"), F.col("o_dtype"),
+        ),
+        ["f_kind", "focus", "path"],
+        "left",
+    )
+
+    reports = []
+
+    # cardinality: count value rows per focus+shape (0 when the left join
+    # found none — o_kind NULL marks the miss)
+    counts = vals.groupBy("focus", "shape_id", "min_count", "max_count").agg(
+        F.sum(F.when(F.col("o_kind").isNotNull(), 1).otherwise(0)).alias("n")
+    )
+    reports.append(
+        counts.filter(F.col("min_count").isNotNull() & (F.col("n") < F.col("min_count"))).select(
+            "focus", "shape_id", F.lit("minCount").alias("constraint"),
+            F.concat(F.lit("found "), F.col("n").cast("string"), F.lit(" < "), F.col("min_count").cast("string")).alias("detail"),
+        )
+    )
+    reports.append(
+        counts.filter(F.col("max_count").isNotNull() & (F.col("n") > F.col("max_count"))).select(
+            "focus", "shape_id", F.lit("maxCount").alias("constraint"),
+            F.concat(F.lit("found "), F.col("n").cast("string"), F.lit(" > "), F.col("max_count").cast("string")).alias("detail"),
+        )
+    )
+
+    present = vals.filter(F.col("o_kind").isNotNull())
+
+    # datatype: every value a literal of the given datatype
+    reports.append(
+        present.filter(
+            F.col("datatype").isNotNull()
+            & ((F.col("o_kind") != 2) | (F.col("o_dtype") != F.col("datatype")))
+        ).select(
+            "focus", "shape_id", F.lit("datatype").alias("constraint"),
+            F.concat(F.lit("value "), F.col("o_lex")).alias("detail"),
+        ).distinct()
+    )
+
+    # nodeKind
+    kind_expr = F.create_map(
+        *[x for k, v in _KIND_OF.items() for x in (F.lit(k), F.lit(v))]
+    )[F.col("node_kind")]
+    reports.append(
+        present.filter(F.col("node_kind").isNotNull() & (F.col("o_kind") != kind_expr)).select(
+            "focus", "shape_id", F.lit("nodeKind").alias("constraint"),
+            F.concat(F.lit("value "), F.col("o_lex")).alias("detail"),
+        ).distinct()
+    )
+
+    # class: every value typed with the constraint class (semi-join the
+    # typed-instance set; violations = anti side)
+    typed = triples.filter(F.col("pred") == RDF_TYPE).select(
+        F.col("s_kind").alias("o_kind"), F.col("s_lex").alias("o_lex"), F.col("o_lex").alias("cls")
+    ).distinct()
+    cls_vals = present.filter(F.col("cls").isNotNull())
+    reports.append(
+        cls_vals.join(typed, ["o_kind", "o_lex", "cls"], "left_anti").select(
+            "focus", "shape_id", F.lit("class").alias("constraint"),
+            F.concat(F.lit("value "), F.col("o_lex"), F.lit(" not a "), F.col("cls")).alias("detail"),
+        ).distinct()
+    )
+
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out

@@ -3068,6 +3068,41 @@ FROM customer JOIN nation ON c_nationkey = n_nationkey
 QUERIES["owl_rl"] = (q_owl_rl, SQL_OWL_RL)
 
 
+def q_shacl_report(spark, sf):
+    """SHACL-lite validation (operators/shacl.py) of the TPC-H KG against
+    six property shapes — two conforming (name/inRegion cardinality +
+    datatype + class + nodeKind), four violating by construction
+    (missing property, maxCount 0, wrong class, wrong nodeKind). The
+    report is the distributed sh:ValidationReport."""
+    from .operators.shacl import SHAPES_SCHEMA, validate
+
+    shapes = spark.createDataFrame(
+        [
+            ("s1", "urn:c:Nation", "urn:p:name", 1, 1, "http://www.w3.org/2001/XMLSchema#string", None, "Literal"),
+            ("s2", "urn:c:Nation", "urn:p:inRegion", 1, 1, None, "urn:c:Region", "IRI"),
+            ("s3", "urn:c:Nation", "urn:p:phone", 1, None, None, None, None),
+            ("s4", "urn:c:Region", "urn:p:name", None, 0, None, None, None),
+            ("s5", "urn:c:Nation", "urn:p:inRegion", None, None, None, "urn:c:Supplier", None),
+            ("s6", "urn:c:Nation", "urn:p:name", None, None, None, None, "IRI"),
+        ],
+        schema=SHAPES_SCHEMA,
+    )
+    rep = validate(triples_view(spark, sf), shapes)
+    return rep.select("focus", "shape_id", "constraint", "detail")
+
+
+SQL_SHACL_REPORT = """
+SELECT 'urn:n:' || n_nationkey AS focus, 's3' AS shape_id, 'minCount' AS constraint,
+       'found 0 < 1' AS detail FROM nation
+UNION ALL SELECT 'urn:r:' || r_regionkey, 's4', 'maxCount', 'found 1 > 0' FROM region
+UNION ALL SELECT 'urn:n:' || n_nationkey, 's5', 'class',
+       'value urn:r:' || n_regionkey || ' not a urn:c:Supplier' FROM nation
+UNION ALL SELECT 'urn:n:' || n_nationkey, 's6', 'nodeKind', 'value ' || n_name FROM nation
+"""
+
+QUERIES["shacl_report"] = (q_shacl_report, SQL_SHACL_REPORT)
+
+
 # deliberate window edits (policy in the DRIVER_WINDOW comment): this
 # round's remaining new oracled queries take the slots of doubly-confirmed
 # re-confirmations (bgp_join / agg_nation / cc_components green in r1 AND

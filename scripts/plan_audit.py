@@ -229,6 +229,15 @@ def main() -> None:
             ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
             ("no cartesian product", r"CartesianProduct", "absent"),
         ]),
+        ("shacl_report", [
+            # validation: shape table broadcast everywhere; cardinality is
+            # a map-side-combinable aggregate; class check is an anti join
+            ("shape table broadcast", r"BroadcastHashJoin|BroadcastExchange"),
+            ("cardinality hash aggregate", r"HashAggregate"),
+            ("class check anti join", r"(LeftAnti|ANTI)"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
         ("repetition", [
             # doc-keyed aggregation chains: partial+final hash aggregates,
             # joins back to the doc-id spine are hash joins
