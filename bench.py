@@ -114,6 +114,9 @@ def main() -> None:
         "rdfs_closure",
         "owl_rl",
         "shacl_report",
+        "decontaminate",
+        "span_dedup",
+        "pack_offsets",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

@@ -141,8 +141,11 @@ def _e(x) -> E:
 
 
 def V(name: str) -> E:
-    """Variable reference."""
-    return E(lambda vm: vm[name])
+    """Variable reference. A variable with NO binding in scope evaluates
+    to the error value (§17.2 — an expression error, not a compile
+    failure): COALESCE(?never_bound) must catch it, and BIND of it must
+    leave the target unbound."""
+    return E(lambda vm: vm[name] if name in vm else null_term())
 
 
 def L(value) -> E:
@@ -312,10 +315,15 @@ def SAME_TERM(a: E, b: E) -> E:
 
 
 def IN(x: E, *opts: E) -> E:
+    # §17.3.1: IN ≡ (x = e1) || (x = e2) || … under Kleene 3VL OR — an
+    # erroring comparison is tolerated when another branch is TRUE, but
+    # poisons a would-be-false result (error, not false). NOT IN (¬ of
+    # this, §17.3.2) therefore DROPS rows whose membership test errored;
+    # the old coalesce-to-false form wrongly kept them.
     def fn(vm):
         c = F.lit(False)
         for o in opts:
-            c = c | F.coalesce(eq_bool(x(vm), o(vm)), F.lit(False))
+            c = _or3(c, eq_bool(x(vm), o(vm)))
         return F.when(x(vm).isNull(), _nullb()).otherwise(c)
 
     return bool_e(fn)
@@ -471,11 +479,24 @@ def LCASE(x: E) -> E:
     return _str1(x, F.lower)
 
 
+def _str_compat(a: Column, b: Column) -> Column:
+    """§17.4.3 argument-compatibility rules for the two-string builtins:
+    both simple/xsd:string; or arg1 lang-tagged with arg2 simple/
+    xsd:string; or both lang-tagged with EQUAL tags. Anything else
+    (including "abc"@en vs "b"@cy) is an error."""
+    return (
+        is_stringish(a)
+        & is_stringish(b)
+        & ((b["dtype"] == XSD_STRING) | a["lang"].eqNullSafe(b["lang"]))
+    )
+
+
 def _str2_bool(x: E, y: E, kernel) -> E:
     def fn(vm):
         a, b = x(vm), y(vm)
-        ok = is_stringish(a) & is_stringish(b)
-        return F.when(a.isNull() | b.isNull() | ~ok, _nullb()).otherwise(kernel(a["lex"], b["lex"]))
+        return F.when(a.isNull() | b.isNull() | ~_str_compat(a, b), _nullb()).otherwise(
+            kernel(a["lex"], b["lex"])
+        )
 
     return bool_e(fn)
 
@@ -493,13 +514,24 @@ def CONTAINS(x: E, y: E) -> E:
 
 
 def STRBEFORE(x: E, y: E) -> E:
+    # §17.4.3.12: on a MATCH (incl. empty pattern) the result carries the
+    # first argument's lang tag / datatype ("abc"@en,"b" → "a"@en); on no
+    # match the result is the simple literal "" (no tag); incompatible
+    # arguments are an error.
     y = _e(y)
 
     def fn(vm):
-        a, b = x(vm)["lex"], y(vm)["lex"]
-        pos = F.instr(a, b)
-        r = F.when(b == "", F.lit("")).when(pos > 0, F.substring(a, F.lit(1), pos - 1)).otherwise(F.lit(""))
-        return t_string(r)
+        a, b = x(vm), y(vm)
+        al, bl = a["lex"], b["lex"]
+        pos = F.instr(al, bl)
+        matched = (bl == "") | (pos > 0)
+        r = F.when(bl == "", F.lit("")).otherwise(F.substring(al, F.lit(1), pos - 1))
+        carried = mk_term(F.lit(KIND_LITERAL), r, a["dtype"], a["lang"])
+        return (
+            F.when(a.isNull() | b.isNull() | ~_str_compat(a, b), null_term())
+            .when(matched, carried)
+            .otherwise(t_string(F.lit("")))
+        )
 
     return E(fn)
 
@@ -508,14 +540,19 @@ def STRAFTER(x: E, y: E) -> E:
     y = _e(y)
 
     def fn(vm):
-        a, b = x(vm)["lex"], y(vm)["lex"]
-        pos = F.instr(a, b)
-        r = (
-            F.when(b == "", a)
-            .when(pos > 0, F.substring(a, pos + F.length(b), F.lit(2**31 - 1)))
-            .otherwise(F.lit(""))
+        a, b = x(vm), y(vm)
+        al, bl = a["lex"], b["lex"]
+        pos = F.instr(al, bl)
+        matched = (bl == "") | (pos > 0)
+        r = F.when(bl == "", al).otherwise(
+            F.substring(al, pos + F.length(bl), F.lit(2**31 - 1))
         )
-        return t_string(r)
+        carried = mk_term(F.lit(KIND_LITERAL), r, a["dtype"], a["lang"])
+        return (
+            F.when(a.isNull() | b.isNull() | ~_str_compat(a, b), null_term())
+            .when(matched, carried)
+            .otherwise(t_string(F.lit("")))
+        )
 
     return E(fn)
 

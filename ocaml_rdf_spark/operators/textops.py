@@ -444,3 +444,181 @@ def repetition_stats(docs, text_col: str = "text", id_col: str = "doc_id"):
         .join(bg_stats, id_col, "left")
         .fillna(0, ["n_lines", "dup_line_x1000", "n_bigrams", "top_bigram_x1000"])
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination + exact substring-span dedup
+# ---------------------------------------------------------------------------
+
+
+def _shingle_arr(tok_col: str, n: int) -> Column:
+    """Array of n-token shingles (space-joined) over an array<string>
+    column, empty when the doc has fewer than n tokens. SQL `sequence`
+    would count DOWN for start > stop, hence the explicit guard."""
+    return F.expr(
+        f"CASE WHEN size({tok_col}) >= {n} THEN "
+        f"transform(sequence(1, size({tok_col}) - {n - 1}), "
+        f"i -> array_join(slice({tok_col}, i, {n}), ' ')) "
+        f"ELSE array() END"
+    ).cast("array<string>")
+
+
+def _norm_tokens(text_col: str = "text") -> Column:
+    """Case/punct-normalized token array (the fingerprint normalization):
+    lowercase, non-alnum → space, collapsed. Decontamination matches on
+    normalized text so cosmetic edits can't hide benchmark overlap."""
+    return F.split(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9 ]", " "), r" +", " "
+            )
+        ),
+        " ",
+    )
+
+
+def decontaminate(
+    docs: DataFrame, bench: DataFrame, n: int = 8, threshold_pct: int = 50
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/PaLM n-gram recipe): flag
+    corpus documents whose normalized n-gram sets overlap a benchmark/
+    eval set. `bench` needs a `text` column.
+
+    Returns (doc_id, n_grams, n_matched, contam_pct, flagged) for EVERY
+    corpus doc (0s when the doc is shorter than n tokens).
+
+    Scale shape: the benchmark side is eval-set-sized (MBs) → its distinct
+    gram set is broadcast; the corpus side is a map-only shingle explode
+    feeding a broadcast hash semi-join, so NO corpus-sized shuffle ever
+    happens — only matched grams (tiny) reach the per-doc aggregation.
+    Per-doc totals come from the pre-explode array, not a second pass."""
+    corpus = (
+        docs.select("doc_id", _norm_tokens().alias("__t"))
+        .select("doc_id", F.array_distinct(_shingle_arr("__t", n)).alias("gs"))
+        .withColumn("n_grams", F.size("gs").cast("long"))
+    )
+    bench_grams = (
+        bench.select(_norm_tokens().alias("__t"))
+        .select(F.explode(_shingle_arr("__t", n)).alias("g"))
+        .dropDuplicates()
+    )
+    matched = (
+        corpus.select("doc_id", F.explode("gs").alias("g"))
+        .join(F.broadcast(bench_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    pct = F.floor(
+        F.coalesce(F.col("n_matched"), F.lit(0)) * 100.0 / F.greatest(F.col("n_grams"), F.lit(1))
+    ).cast("long")
+    return (
+        corpus.select("doc_id", "n_grams")
+        .join(matched, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_matched"), F.lit(0)).cast("long").alias("n_matched"),
+            pct.alias("contam_pct"),
+            F.when(pct >= threshold_pct, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("flagged"),
+        )
+    )
+
+
+def span_dedup(docs: DataFrame, w: int = 8, stride: int = 1) -> DataFrame:
+    """Exact substring-span dedup stats (the suffix-array recipe of
+    "Deduplicating Training Data Makes Language Models Better",
+    re-expressed as a distributed shingle-hash count): a w-token window
+    whose hash occurs more than once ANYWHERE in the corpus is a
+    duplicated span. Returns per-doc
+    (doc_id, n_windows, n_dup_windows, dup_pct).
+
+    Scale shape: windows are generated map-side from the token array
+    (one row per stride-th position — `stride` is the scale lever: w/2
+    keeps detection of any ≥1.5w-token clone while cutting the exchange
+    by w/2×); the only corpus-sized shuffle is the groupBy on the 16-byte
+    window hash (map-side combined). The hash→count join back is a plain
+    hash join on the same key, so AQE can reuse the exchange."""
+    toks = docs.select("doc_id", words(F.col("text")).alias("__t"))
+    wins = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(__t) >= {w} THEN "
+                f"transform(sequence(1, size(__t) - {w - 1}, {stride}), "
+                f"i -> md5(array_join(slice(__t, i, {w}), ' '))) "
+                f"ELSE array() END"
+            ).cast("array<string>")
+        ).alias("h"),
+    )
+    hot = wins.groupBy("h").agg(F.count(F.lit(1)).alias("cnt")).filter(F.col("cnt") > 1)
+    dups = wins.join(hot, "h").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_windows")
+    )
+    sizes = toks.select(
+        "doc_id",
+        F.when(F.size("__t") >= w, ((F.size("__t") - w) / stride).cast("long") + 1)
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_windows"),
+    )
+    nd = F.coalesce(F.col("n_dup_windows"), F.lit(0)).cast("long")
+    return sizes.join(dups, "doc_id", "left").select(
+        "doc_id",
+        "n_windows",
+        nd.alias("n_dup_windows"),
+        F.floor(nd * 100.0 / F.greatest(F.col("n_windows"), F.lit(1))).cast("long").alias("dup_pct"),
+    )
+
+
+def pack_offsets(docs: DataFrame, seq_len: int = 2048, buckets: int = 64) -> DataFrame:
+    """Sequence-packing offsets (the GPT-style concat-and-chunk recipe):
+    conceptually concatenate every document's tokens in doc_id order and
+    cut the stream into fixed `seq_len` chunks; report where each doc
+    lands. Returns (doc_id, n_tok, tok_offset, first_chunk, last_chunk,
+    n_chunks) — the metadata a training loader needs to materialize packed
+    sequences without ever shuffling the text itself.
+
+    Distributed prefix-sum shape (the classic two-stage scan): a naive
+    `sum() OVER (ORDER BY doc_id)` with no partition key funnels the whole
+    corpus through ONE reducer. Instead (1) docs are range-bucketed on
+    doc_id; per-bucket token totals (`buckets` rows, map-side combined)
+    get a driver-small cumulative scan and are BROADCAST back; (2) the
+    intra-bucket cumsum is a window PARTITIONED BY bucket — so the only
+    corpus-wide movement is one bucket-keyed exchange, and every reducer
+    scans ~1/buckets of the corpus. Global offset = bucket prefix +
+    intra-bucket prefix. Exact, deterministic, engine-portable ints."""
+    from pyspark.sql import Window
+
+    ids = docs.select(F.max("doc_id").alias("mx"), F.min("doc_id").alias("mn")).first()
+    width = max(1, (int(ids["mx"]) - int(ids["mn"])) // buckets + 1)
+    base = docs.select(
+        "doc_id",
+        ((F.col("doc_id") - F.lit(int(ids["mn"]))) / width).cast("long").alias("__b"),
+        F.size(words(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    btot = base.groupBy("__b").agg(F.sum("n_tok").alias("bt"))
+    boff = btot.select(
+        "__b",
+        F.coalesce(
+            F.sum("bt").over(Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("long").alias("boff"),
+    )
+    intra = F.coalesce(
+        F.sum("n_tok").over(
+            Window.partitionBy("__b").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    ).cast("long")
+    off = (F.col("boff") + intra).alias("tok_offset")
+    out = base.join(F.broadcast(boff), "__b").select("doc_id", "n_tok", off)
+    first = F.floor(F.col("tok_offset") / seq_len).cast("long")
+    last = F.floor((F.col("tok_offset") + F.col("n_tok") - 1) / seq_len).cast("long")
+    return out.select(
+        "doc_id",
+        "n_tok",
+        "tok_offset",
+        F.when(F.col("n_tok") > 0, first).otherwise(F.lit(None)).alias("first_chunk"),
+        F.when(F.col("n_tok") > 0, last).otherwise(F.lit(None)).alias("last_chunk"),
+        F.when(F.col("n_tok") > 0, (last - first + 1)).otherwise(F.lit(0)).cast("long").alias("n_chunks"),
+    )

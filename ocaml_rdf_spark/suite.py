@@ -3116,3 +3116,120 @@ for _old, _new in [
     DRIVER_WINDOW[DRIVER_WINDOW.index(_old)] = _new
 _rest = [n for n in QUERIES if n not in set(DRIVER_WINDOW)]
 QUERIES = {n: QUERIES[n] for n in [*DRIVER_WINDOW, *_rest]}
+
+
+def q_decontaminate(spark, sf):
+    """Benchmark decontamination (GPT-3/PaLM 8-gram recipe): the "eval
+    set" is synthesized deterministically as the first 200 chars of every
+    97th document; every corpus doc gets its normalized-8-gram overlap
+    stats against the broadcast benchmark gram set."""
+    from .operators.textops import decontaminate
+
+    docs = _docs(spark, sf)
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.substring("text", 1, 200).alias("text")
+    )
+    return decontaminate(docs, bench, n=8, threshold_pct=50)
+
+
+SQL_DECONTAMINATE = """
+WITH nt AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+  FROM documents
+),
+cg AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+7], ' ') AS g
+  FROM nt, unnest(range(1, len(toks) - 6)) AS t(i)
+  WHERE len(toks) >= 8
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM cg GROUP BY doc_id),
+bnt AS (
+  SELECT string_split(trim(regexp_replace(regexp_replace(lower(substr(text, 1, 200)),
+             '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+  FROM documents WHERE doc_id % 97 = 0
+),
+bg AS (
+  SELECT DISTINCT array_to_string(toks[i:i+7], ' ') AS g
+  FROM bnt, unnest(range(1, len(toks) - 6)) AS t(i)
+  WHERE len(toks) >= 8
+),
+m AS (SELECT c.doc_id, COUNT(*) AS n_matched FROM cg c JOIN bg USING (g) GROUP BY c.doc_id)
+SELECT d.doc_id,
+       COALESCE(s.n_grams, 0) AS n_grams,
+       COALESCE(m.n_matched, 0) AS n_matched,
+       CAST(floor(COALESCE(m.n_matched, 0) * 100.0 /
+            greatest(COALESCE(s.n_grams, 0), 1)) AS BIGINT) AS contam_pct,
+       CAST(CASE WHEN floor(COALESCE(m.n_matched, 0) * 100.0 /
+            greatest(COALESCE(s.n_grams, 0), 1)) >= 50
+            THEN 1 ELSE 0 END AS BIGINT) AS flagged
+FROM documents d LEFT JOIN sizes s USING (doc_id) LEFT JOIN m USING (doc_id)
+"""
+
+QUERIES["decontaminate"] = (q_decontaminate, SQL_DECONTAMINATE)
+
+
+def q_span_dedup(spark, sf):
+    """Exact substring-span dedup stats (w=8 token windows, stride 1):
+    a window hash occurring >1 time anywhere in the corpus marks a
+    duplicated span; per-doc duplicated-window fraction."""
+    from .operators.textops import span_dedup
+
+    return span_dedup(_docs(spark, sf), w=8, stride=1)
+
+
+SQL_SPAN_DEDUP = """
+WITH wt AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM documents
+),
+wins AS (
+  SELECT doc_id, md5(array_to_string(toks[i:i+7], ' ')) AS h
+  FROM wt, unnest(range(1, len(toks) - 6)) AS t(i)
+  WHERE len(toks) >= 8
+),
+hot AS (SELECT h, COUNT(*) AS cnt FROM wins GROUP BY h HAVING COUNT(*) > 1),
+dups AS (SELECT w.doc_id, COUNT(*) AS n_dup FROM wins w JOIN hot USING (h) GROUP BY w.doc_id),
+sizes AS (
+  SELECT doc_id, CASE WHEN len(toks) >= 8 THEN len(toks) - 7 ELSE 0 END AS n_windows
+  FROM wt
+)
+SELECT s.doc_id, CAST(s.n_windows AS BIGINT) AS n_windows,
+       CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup_windows,
+       CAST(floor(COALESCE(d.n_dup, 0) * 100.0 / greatest(s.n_windows, 1)) AS BIGINT) AS dup_pct
+FROM sizes s LEFT JOIN dups d USING (doc_id)
+"""
+
+QUERIES["span_dedup"] = (q_span_dedup, SQL_SPAN_DEDUP)
+
+
+def q_pack_offsets(spark, sf):
+    """Sequence-packing offsets (concat-and-chunk at seq_len=2048) via the
+    two-stage distributed prefix-sum — global doc_id order, no
+    single-reducer window."""
+    from .operators.textops import pack_offsets
+
+    return pack_offsets(_docs(spark, sf), seq_len=2048, buckets=16)
+
+
+SQL_PACK_OFFSETS = """
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tok
+  FROM documents
+),
+o AS (
+  SELECT doc_id, n_tok,
+         CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+  FROM t
+)
+SELECT doc_id, n_tok, tok_offset,
+       CAST(CASE WHEN n_tok > 0 THEN tok_offset // 2048 END AS BIGINT) AS first_chunk,
+       CAST(CASE WHEN n_tok > 0 THEN (tok_offset + n_tok - 1) // 2048 END AS BIGINT) AS last_chunk,
+       CAST(CASE WHEN n_tok > 0
+            THEN (tok_offset + n_tok - 1) // 2048 - tok_offset // 2048 + 1
+            ELSE 0 END AS BIGINT) AS n_chunks
+FROM o
+"""
+
+QUERIES["pack_offsets"] = (q_pack_offsets, SQL_PACK_OFFSETS)

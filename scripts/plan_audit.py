@@ -245,6 +245,30 @@ def main() -> None:
             ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
             ("no cartesian product", r"CartesianProduct", "absent"),
         ]),
+        ("decontaminate", [
+            # the benchmark gram set is eval-set-sized and must be the
+            # BROADCAST side; the corpus explode feeds it map-only
+            ("bench grams broadcast", r"BroadcastHashJoin|BroadcastExchange"),
+            ("no sort-merge on the corpus explode", r"SortMergeJoin", "absent"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("per-doc agg is hash (map-side combined)", r"HashAggregate"),
+        ]),
+        ("pack_offsets", [
+            # two-stage prefix sum: the corpus-wide window MUST be
+            # partitioned by the range bucket (a partition-less window
+            # would funnel the corpus through one reducer); the tiny
+            # bucket-offset side is broadcast back
+            ("corpus window is bucket-partitioned", r"windowspecdefinition\(__b"),
+            ("bucket offsets broadcast back", r"BroadcastHashJoin|BroadcastExchange"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
+        ("span_dedup", [
+            # ONE corpus-sized shuffle: the groupBy on the window hash;
+            # the count join back is a hash join on the same key
+            ("window-hash aggregate", r"HashAggregate"),
+            ("hash join back (never nested loop)", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
     ]
 
     lines = ["# PLANS — physical-plan audit (scripts/plan_audit.py)", "",

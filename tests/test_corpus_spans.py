@@ -1,0 +1,113 @@
+"""Unit tests for decontaminate() and span_dedup() (operators/textops.py):
+edge cases the sf-level oracle parity test can't isolate — short docs,
+empty benchmark sets, exact clone detection, stride behavior."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocaml_rdf_spark.operators.textops import decontaminate, span_dedup
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_decontaminate_flags_contained_doc(spark):
+    eight = "a b c d e f g h"
+    docs = _docs(
+        spark,
+        [
+            (1, eight + " extra tail words here"),   # shares the bench 8-gram
+            (2, "totally different content " * 4),   # no overlap
+            (3, "tiny"),                             # < 8 tokens -> 0 grams
+        ],
+    )
+    bench = spark.createDataFrame([(eight,)], "text string")
+    out = {r["doc_id"]: r for r in decontaminate(docs, bench, n=8, threshold_pct=10).collect()}
+    assert out[1]["n_matched"] == 1 and out[1]["flagged"] == 1
+    assert out[2]["n_matched"] == 0 and out[2]["flagged"] == 0
+    assert out[3]["n_grams"] == 0 and out[3]["contam_pct"] == 0
+    # every corpus doc gets a row even with zero overlap
+    assert set(out) == {1, 2, 3}
+
+
+def test_decontaminate_normalizes_case_and_punct(spark):
+    docs = _docs(spark, [(1, "The Quick, Brown FOX jumps over the lazy dog!!")])
+    bench = spark.createDataFrame([("the quick brown fox jumps over the lazy dog",)], "text string")
+    row = decontaminate(docs, bench, n=8, threshold_pct=50).collect()[0]
+    assert row["n_matched"] > 0 and row["flagged"] == 1
+
+
+def test_decontaminate_empty_bench(spark):
+    docs = _docs(spark, [(1, "one two three four five six seven eight nine")])
+    bench = spark.createDataFrame([], "text string")
+    row = decontaminate(docs, bench).collect()[0]
+    assert row["n_matched"] == 0 and row["flagged"] == 0 and row["n_grams"] == 2
+
+
+def test_span_dedup_detects_cross_doc_clone(spark):
+    clone = "w1 w2 w3 w4 w5 w6 w7 w8"
+    docs = _docs(
+        spark,
+        [
+            (1, clone + " unique1 unique2 unique3"),
+            (2, "other prefix words " + clone),
+            (3, "no duplication at all in this document body here"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in span_dedup(docs, w=8).collect()}
+    # the shared 8-token run is a duplicated window in BOTH docs
+    assert out[1]["n_dup_windows"] >= 1 and out[2]["n_dup_windows"] >= 1
+    assert out[3]["n_dup_windows"] == 0 and out[3]["dup_pct"] == 0
+
+
+def test_span_dedup_repeat_within_one_doc(spark):
+    run = "r1 r2 r3 r4 r5 r6 r7 r8"
+    docs = _docs(spark, [(1, run + " mid " + run)])
+    row = span_dedup(docs, w=8).collect()[0]
+    assert row["n_dup_windows"] >= 2  # both occurrences count
+
+
+def test_span_dedup_short_doc_and_counts(spark):
+    docs = _docs(spark, [(1, "a b c"), (2, " ".join(f"t{i}" for i in range(12)))])
+    out = {r["doc_id"]: r for r in span_dedup(docs, w=8, stride=1).collect()}
+    assert out[1]["n_windows"] == 0
+    assert out[2]["n_windows"] == 5  # 12 - 8 + 1
+
+
+def test_span_dedup_stride(spark):
+    docs = _docs(spark, [(1, " ".join(f"t{i}" for i in range(20)))])
+    row = span_dedup(docs, w=8, stride=4).collect()[0]
+    assert row["n_windows"] == 4  # positions 1,5,9,13 -> (20-8)//4 + 1
+
+
+def test_pack_offsets_contiguous(spark):
+    from ocaml_rdf_spark.operators.textops import pack_offsets
+
+    docs = _docs(
+        spark,
+        [(i, " ".join(f"w{j}" for j in range(5 + (i * 7) % 11))) for i in range(30)],
+    )
+    rows = sorted(pack_offsets(docs, seq_len=16, buckets=4).collect(), key=lambda r: r["doc_id"])
+    # offsets form an exact prefix sum in doc_id order (no gaps/overlap)
+    expect = 0
+    for r in rows:
+        assert r["tok_offset"] == expect
+        expect += r["n_tok"]
+    # chunk arithmetic
+    for r in rows:
+        assert r["first_chunk"] == r["tok_offset"] // 16
+        assert r["last_chunk"] == (r["tok_offset"] + r["n_tok"] - 1) // 16
+        assert r["n_chunks"] == r["last_chunk"] - r["first_chunk"] + 1
+
+
+def test_pack_offsets_spanning_doc(spark):
+    from ocaml_rdf_spark.operators.textops import pack_offsets
+
+    docs = _docs(spark, [(1, " ".join(["a"] * 10)), (2, " ".join(["b"] * 40)), (3, "c")])
+    out = {r["doc_id"]: r for r in pack_offsets(docs, seq_len=16, buckets=2).collect()}
+    assert out[1]["first_chunk"] == 0 and out[1]["last_chunk"] == 0
+    assert out[2]["tok_offset"] == 10 and out[2]["first_chunk"] == 0 and out[2]["last_chunk"] == 3
+    assert out[2]["n_chunks"] == 4
+    assert out[3]["tok_offset"] == 50 and out[3]["first_chunk"] == 3
