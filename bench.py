@@ -117,6 +117,8 @@ def main() -> None:
         "decontaminate",
         "span_dedup",
         "pack_offsets",
+        "olap_cube",
+        "pagerank",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

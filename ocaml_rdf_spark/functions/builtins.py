@@ -18,6 +18,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from ..types import (
+    KIND_BNODE,
     KIND_IRI,
     KIND_LITERAL,
     RDF_LANGSTRING,
@@ -421,10 +422,32 @@ def BNODE(x: E | None = None) -> E:
     fresh-per-call, SURVEY §2.8: counters don't distribute)."""
 
     def fn(vm):
+        # §17.4.2.9: the SAME label maps to the same bnode WITHIN a
+        # solution but to DISTINCT bnodes across solutions — so the seed
+        # always mixes in the solution's bindings; the label argument
+        # only differentiates bnodes inside one solution. Bnode-valued
+        # bindings are EXCLUDED from the seed: a previously-BOUND
+        # BNODE() output would otherwise make the second BNODE("k") in
+        # the same solution disagree with the first (documented
+        # deviation: solutions distinguished ONLY by blank-node bindings
+        # share BNODE outputs).
+        row = F.concat_ws(
+            "\x1f",
+            *[
+                # NULL (not "") so concat_ws drops the component entirely
+                # and the pre-/post-BIND varmaps produce the same seed
+                F.when(c["kind"] == KIND_BNODE, F.lit(None).cast("string")).otherwise(
+                    F.coalesce(c["lex"], F.lit(""))
+                )
+                for c in vm.values()
+            ],
+        )
         if x is None:
-            seed = F.concat_ws("\x1f", *[F.coalesce(c["lex"], F.lit("")) for c in vm.values()])
+            seed = row
         else:
-            seed = x(vm)["lex"]
+            seed = F.when(x(vm).isNull(), F.lit(None)).otherwise(
+                F.concat_ws("\x1e", x(vm)["lex"], row)
+            )
         return t_bnode(F.substring(F.sha1(seed.cast("string")), 1, 16))
 
     return E(fn)

@@ -190,3 +190,50 @@ def canonicalize(triples: DataFrame, mapping: DataFrame) -> DataFrame:
         .drop("new_ok", "new_ol")
     )
     return out.select(*triples.columns)
+
+
+def pagerank(edges: DataFrame, iters: int = 3, damping_pct: int = 85, scale: int = 1_000_000) -> DataFrame:
+    """Integer-exact PageRank over (src, dst) string edges → (node, rank)
+    with `rank` in 1/`scale` units.
+
+    All arithmetic is BIGINT (per-edge contribution = rank div out-degree,
+    new rank = scale·(100-d)//100 + d·Σcontrib//100): integer sums are
+    associative, so the result is bit-identical across partitionings,
+    cluster sizes, AND engines — float PageRank can't be oracled exactly
+    (non-associative fp addition drifts per shuffle order). Dangling nodes
+    keep their base rank and leak the rest (the standard simplification;
+    deterministic).
+
+    Scale shape per iteration: edges ⋈ ranks on src (both big — hash
+    join; the tiny degree table rides along pre-joined), one map-side-
+    combined groupBy(dst) carrying exactly |E| rows, then a left join back
+    onto the node spine. `localCheckpoint` cuts the O(iters) lineage for
+    deep runs; ranks are re-used, never recollected at the driver."""
+    edges = edges.select("src", "dst").dropDuplicates()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .dropDuplicates()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("odeg"))
+    ed = edges.join(deg, "src")  # degree rides with the edge (one join, reused every iter)
+    ed = ed.localCheckpoint(eager=False)
+    base = (scale * (100 - damping_pct)) // 100
+    ranks = nodes.select("node", F.lit(int(scale)).cast("long").alias("rank"))
+    for i in range(iters):
+        contrib = (
+            ed.join(ranks, ed["src"] == ranks["node"])
+            .select("dst", F.expr("rank div odeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (F.lit(base) + F.expr(f"{damping_pct} * coalesce(s, 0L) div 100")).cast("long").alias("rank"),
+            )
+        )
+        if iters > 4:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks

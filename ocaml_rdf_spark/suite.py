@@ -3233,3 +3233,79 @@ FROM o
 """
 
 QUERIES["pack_offsets"] = (q_pack_offsets, SQL_PACK_OFFSETS)
+
+
+def q_olap_cube(spark, sf):
+    """CUBE rollup with grouping_id over lineitem (TPC-H Q1 cells at all
+    aggregation levels in ONE pass): Spark expands the grouping sets
+    map-side and partial-aggregates each — one shuffle for all 4 levels,
+    never 4 scans. Integer cents keep the cross-engine sums exact."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").filter(F.col("l_shipdate") <= "1998-09-02")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("price_x100"),
+            F.grouping_id("l_returnflag", "l_linestatus").cast("long").alias("gid"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n_rows", "price_x100")
+    )
+
+
+SQL_OLAP_CUBE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_x100
+FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+QUERIES["olap_cube"] = (q_olap_cube, SQL_OLAP_CUBE)
+
+
+def q_pagerank(spark, sf):
+    """Integer-exact PageRank (3 iterations, d=0.85) on the TPC-H entity
+    graph: customers and suppliers point at their nation, nations and
+    regions point at each other (cyclic core, dangling leaves). Exact
+    BIGINT arithmetic makes the iterative result bit-comparable to the
+    unrolled DuckDB mirror."""
+    from .operators.cc import pagerank
+
+    cu = spark.read.parquet(f"{sf}/customer.parquet")
+    su = spark.read.parquet(f"{sf}/supplier.parquet")
+    na = spark.read.parquet(f"{sf}/nation.parquet")
+    e = (
+        cu.select(F.concat(F.lit("c:"), "c_custkey").alias("src"), F.concat(F.lit("n:"), "c_nationkey").alias("dst"))
+        .unionByName(su.select(F.concat(F.lit("s:"), "s_suppkey").alias("src"), F.concat(F.lit("n:"), "s_nationkey").alias("dst")))
+        .unionByName(na.select(F.concat(F.lit("n:"), "n_nationkey").alias("src"), F.concat(F.lit("r:"), "n_regionkey").alias("dst")))
+        .unionByName(na.select(F.concat(F.lit("r:"), "n_regionkey").alias("src"), F.concat(F.lit("n:"), "n_nationkey").alias("dst")))
+    )
+    return pagerank(e, iters=3, damping_pct=85)
+
+
+def _pagerank_sql(iters: int = 3) -> str:
+    head = """
+WITH edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT 'c:' || c_custkey AS src, 'n:' || c_nationkey AS dst FROM customer
+    UNION ALL SELECT 's:' || s_suppkey, 'n:' || s_nationkey FROM supplier
+    UNION ALL SELECT 'n:' || n_nationkey, 'r:' || n_regionkey FROM nation
+    UNION ALL SELECT 'r:' || n_regionkey, 'n:' || n_nationkey FROM nation
+  )
+),
+nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+deg AS (SELECT src, COUNT(*) AS odeg FROM edges GROUP BY src),
+n0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes)"""
+    parts = [head]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+c{i} AS (SELECT e.dst AS node, SUM(r.rank // d.odeg) AS s
+        FROM edges e JOIN n{i-1} r ON e.src = r.node JOIN deg d ON d.src = e.src GROUP BY e.dst),
+n{i} AS (SELECT n.node, CAST(150000 + 85 * COALESCE(c.s, 0) // 100 AS BIGINT) AS rank
+        FROM nodes n LEFT JOIN c{i} c USING (node))""")
+    parts.append(f"\nSELECT node, rank FROM n{iters}")
+    return "".join(parts)
+
+
+QUERIES["pagerank"] = (q_pagerank, _pagerank_sql(3))

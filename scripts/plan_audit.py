@@ -253,6 +253,20 @@ def main() -> None:
             ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
             ("per-doc agg is hash (map-side combined)", r"HashAggregate"),
         ]),
+        ("olap_cube", [
+            # all 4 grouping levels from ONE scan: Expand + partial agg,
+            # never 4 reads of lineitem
+            ("grouping-set expansion", r"Expand"),
+            ("single lineitem scan", r"\(\d+\) Scan parquet", "count", 1),
+            ("date filter pushed", r"PushedFilters: \[.*LessThanOrEqual\(l_shipdate"),
+            ("partial+final agg", r"HashAggregate"),
+        ]),
+        ("pagerank", [
+            # per-iteration: hash joins + map-side-combined groupBy(dst)
+            ("hash aggregation per iteration", r"HashAggregate"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
         ("pack_offsets", [
             # two-stage prefix sum: the corpus-wide window MUST be
             # partitioned by the range bucket (a partition-less window

@@ -504,3 +504,43 @@ def test_pipeline_with_inference_stage(spark, tmp_path):
     # resume: everything skips, including infer
     log2 = kg_pipeline(spark, root, n_pages=40, parts=2, ontology=onto).run()
     assert all(e["skipped"] for e in log2)
+
+
+def test_pagerank_symmetric_cycle(spark):
+    from ocaml_rdf_spark.operators.cc import pagerank
+
+    e = spark.createDataFrame([("a", "b"), ("b", "a")], "src string, dst string")
+    out = {r["node"]: r["rank"] for r in pagerank(e, iters=5).collect()}
+    # a perfectly symmetric 2-cycle keeps both ranks equal at the start mass
+    assert out["a"] == out["b"] == 1_000_000
+
+
+def test_pagerank_hub_dominates(spark):
+    from ocaml_rdf_spark.operators.cc import pagerank
+
+    e = spark.createDataFrame(
+        [("l1", "hub"), ("l2", "hub"), ("l3", "hub"), ("hub", "l1")],
+        "src string, dst string",
+    )
+    out = {r["node"]: r["rank"] for r in pagerank(e, iters=3).collect()}
+    assert out["hub"] > out["l1"] > out["l2"] == out["l3"]  # l1 gets the hub's back-edge
+
+
+def test_pagerank_dangling_keeps_base(spark):
+    from ocaml_rdf_spark.operators.cc import pagerank
+
+    e = spark.createDataFrame([("a", "sink")], "src string, dst string")
+    out = {r["node"]: r["rank"] for r in pagerank(e, iters=2).collect()}
+    assert out["a"] == 150_000  # no in-edges: base only
+    # sink receives a's contribution but its own mass leaks (dangling)
+    assert out["sink"] > out["a"]
+
+
+def test_pagerank_partitioning_invariant(spark):
+    from ocaml_rdf_spark.operators.cc import pagerank
+
+    rows = [(f"u{i}", f"u{(i * 7 + 3) % 50}") for i in range(200)]
+    e = spark.createDataFrame(rows, "src string, dst string")
+    a = sorted(map(tuple, pagerank(e.repartition(2), iters=3).collect()))
+    b = sorted(map(tuple, pagerank(e.repartition(16), iters=3).collect()))
+    assert a == b  # integer arithmetic: bit-identical across partitionings
