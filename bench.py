@@ -119,6 +119,7 @@ def main() -> None:
         "pack_offsets",
         "olap_cube",
         "pagerank",
+        "triangles",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

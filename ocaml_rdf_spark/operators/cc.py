@@ -192,6 +192,63 @@ def canonicalize(triples: DataFrame, mapping: DataFrame) -> DataFrame:
     return out.select(*triples.columns)
 
 
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over (src, dst) string edges →
+    (node, triangles), zero rows included for triangle-free nodes.
+
+    Degree-ordered wedge join (Suri & Vassilvitskii, WWW'11 — the
+    "curse of the last reducer" fix): orient every undirected edge from
+    its lower-(degree, id) endpoint to the higher one, so each node's
+    OUT-degree in the oriented graph is O(√m) even when its raw degree
+    is huge (a mega-hub's wedges are generated at its low-degree
+    neighbors, never concentrated on the hub's own reducer). Wedges =
+    oriented self-join on the center; triangles = wedges semi-closed
+    against the canonical a<b edge set. Every stage is a hash equi-join
+    or map-side-combined groupBy — no Python in the loop, no all-pairs
+    product, skew bounded by the orientation. Counts are exact integers,
+    so the result is bit-identical across partitionings and engines.
+    (Reference scope: graph analytics over the materialized store,
+    SURVEY §2.5 iterative-ops family.)"""
+    e = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("dg"))
+    )
+    ed = (
+        e.join(deg.select(F.col("node").alias("a"), F.col("dg").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("dg").alias("db")), "b")
+    )
+    lower_is_a = (F.col("da") < F.col("db")) | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    o = ed.select(
+        F.when(lower_is_a, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_is_a, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    # wedges centered at u; v1 < v2 by id matches the canonical a < b edge
+    # key exactly, so the closing join is a plain two-column equi-join
+    wedges = (
+        o.select("u", F.col("v").alias("v1"))
+        .join(o.select("u", F.col("v").alias("v2")), "u")
+        .filter(F.col("v1") < F.col("v2"))
+    )
+    tri = wedges.join(e, (F.col("v1") == F.col("a")) & (F.col("v2") == F.col("b")))
+    contrib = (
+        tri.select(F.col("u").alias("node"))
+        .unionByName(tri.select(F.col("v1").alias("node")))
+        .unionByName(tri.select(F.col("v2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    return deg.join(contrib, "node", "left").select(
+        "node", F.coalesce("t", F.lit(0)).cast("long").alias("triangles")
+    )
+
+
 def pagerank(edges: DataFrame, iters: int = 3, damping_pct: int = 85, scale: int = 1_000_000) -> DataFrame:
     """Integer-exact PageRank over (src, dst) string edges → (node, rank)
     with `rank` in 1/`scale` units.

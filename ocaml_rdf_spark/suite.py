@@ -3309,3 +3309,59 @@ n{i} AS (SELECT n.node, CAST(150000 + 85 * COALESCE(c.s, 0) // 100 AS BIGINT) AS
 
 
 QUERIES["pagerank"] = (q_pagerank, _pagerank_sql(3))
+
+
+def q_triangles(spark, sf):
+    """Per-node triangle counts on a chain-with-chords graph: within each
+    nation, customer rank r links to ranks r+1 and r+2 — a deterministic
+    triangle strip (every interior rank closes two triangles). Exercises
+    the degree-ordered wedge join end-to-end; counts are exact integers,
+    bit-comparable to the DuckDB a<b<c enumeration."""
+    from pyspark.sql.window import Window
+
+    from .operators.cc import triangle_count
+
+    cu = spark.read.parquet(f"{sf}/customer.parquet")
+    r = cu.select(
+        F.col("c_custkey").cast("string").alias("k"),
+        "c_nationkey",
+        F.row_number().over(Window.partitionBy("c_nationkey").orderBy("c_custkey")).alias("rn"),
+    )
+    hop1 = r.select("c_nationkey", (F.col("rn") - 1).alias("rn"), F.col("k").alias("dst"))
+    hop2 = r.select("c_nationkey", (F.col("rn") - 2).alias("rn"), F.col("k").alias("dst"))
+    e = (
+        r.join(hop1, ["c_nationkey", "rn"]).select(F.col("k").alias("src"), "dst")
+        .unionByName(r.join(hop2, ["c_nationkey", "rn"]).select(F.col("k").alias("src"), "dst"))
+    )
+    return triangle_count(e)
+
+
+SQL_TRIANGLES = """
+WITH r AS (
+  SELECT CAST(c_custkey AS VARCHAR) AS k, c_nationkey,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS rn
+  FROM customer
+),
+raw AS (
+  SELECT a.k AS src, b.k AS dst FROM r a JOIN r b
+    ON a.c_nationkey = b.c_nationkey AND b.rn = a.rn + 1
+  UNION ALL
+  SELECT a.k, b.k FROM r a JOIN r b
+    ON a.c_nationkey = b.c_nationkey AND b.rn = a.rn + 2
+),
+e AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM raw WHERE src <> dst),
+nodes AS (SELECT DISTINCT node FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)),
+t AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+c AS (
+  SELECT node, COUNT(*) AS t FROM (
+    SELECT x AS node FROM t UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t
+  ) GROUP BY node
+)
+SELECT n.node, CAST(COALESCE(c.t, 0) AS BIGINT) AS triangles
+FROM nodes n LEFT JOIN c USING (node)
+"""
+
+QUERIES["triangles"] = (q_triangles, SQL_TRIANGLES)

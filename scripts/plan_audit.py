@@ -267,6 +267,14 @@ def main() -> None:
             ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
             ("no cartesian product", r"CartesianProduct", "absent"),
         ]),
+        ("triangles", [
+            # degree-ordered wedge join: every join is a hash equi-join
+            # (wedge self-join on the center, closing join on (v1,v2));
+            # per-node counts are map-side-combined hash aggregates
+            ("hash aggregation (degrees + counts)", r"HashAggregate"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
         ("pack_offsets", [
             # two-stage prefix sum: the corpus-wide window MUST be
             # partitioned by the range bucket (a partition-less window

@@ -544,3 +544,52 @@ def test_pagerank_partitioning_invariant(spark):
     a = sorted(map(tuple, pagerank(e.repartition(2), iters=3).collect()))
     b = sorted(map(tuple, pagerank(e.repartition(16), iters=3).collect()))
     assert a == b  # integer arithmetic: bit-identical across partitionings
+
+
+def test_triangles_k4(spark):
+    from ocaml_rdf_spark.operators.cc import triangle_count
+
+    nodes = ["a", "b", "c", "d"]
+    e = spark.createDataFrame(
+        [(x, y) for x in nodes for y in nodes if x < y], "src string, dst string"
+    )
+    out = {r["node"]: r["triangles"] for r in triangle_count(e).collect()}
+    # K4: each vertex sits in C(3,2) = 3 triangles
+    assert out == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_triangles_square_has_none(spark):
+    from ocaml_rdf_spark.operators.cc import triangle_count
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")], "src string, dst string"
+    )
+    out = {r["node"]: r["triangles"] for r in triangle_count(e).collect()}
+    assert out == {"a": 0, "b": 0, "c": 0, "d": 0}
+
+
+def test_triangles_direction_and_dup_invariant(spark):
+    from ocaml_rdf_spark.operators.cc import triangle_count
+
+    # same triangle given twice, once per direction, plus a self loop
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"), ("a", "c"), ("a", "a")],
+        "src string, dst string",
+    )
+    out = {r["node"]: r["triangles"] for r in triangle_count(e).collect()}
+    assert out == {"a": 1, "b": 1, "c": 1}
+
+
+def test_triangles_hub_skew(spark):
+    from ocaml_rdf_spark.operators.cc import triangle_count
+
+    # hub connected to 40 leaves; leaves form a chain, so triangle i =
+    # (hub, leaf_i, leaf_{i+1}); hub's raw degree is 40 but the degree
+    # orientation generates its wedges at the low-degree leaves
+    rows = [("hub", f"l{i}") for i in range(40)]
+    rows += [(f"l{i}", f"l{i+1}") for i in range(39)]
+    e = spark.createDataFrame(rows, "src string, dst string")
+    out = {r["node"]: r["triangles"] for r in triangle_count(e).collect()}
+    assert out["hub"] == 39
+    assert out["l0"] == out["l39"] == 1
+    assert out["l5"] == 2  # interior leaf: two adjacent chain triangles
