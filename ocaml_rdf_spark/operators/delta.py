@@ -1,0 +1,61 @@
+"""RDF graph delta: diff two quad stores, apply/invert the patch.
+
+The incremental-build primitive for a KG-construction pipeline
+(SURVEY §2.1 graph mutation surface; reference analogue:
+`rdf_graph.ml :: add_triple/rem_triple` applied batch-wise): a re-crawl
+produces a new snapshot, `graph_diff` emits the RDF-Patch-style change
+set (op '+'/'-' per quad), `apply_patch` replays it onto a base store,
+`invert_patch` rolls it back. diff/apply/invert satisfy
+``apply_patch(old, graph_diff(old, new)) == new`` (set semantics).
+
+Scale notes (100 TB):
+- `graph_diff` is two EXCEPT DISTINCTs — Catalyst compiles each to ONE
+  hash aggregation + null-safe hash ANTI join on the 8-column quad key
+  (never a nested loop; NULL o_dtype/o_lang compare equal under set-op
+  semantics, the same rule the store's set-dedup uses).
+- Both sides shuffle on the same key, so AQE co-partitions the two
+  anti joins; with both snapshots stored bucket-sorted by (pred, s_lex)
+  (the POS layout `relational.triples_view` materializes) the exchange
+  is avoidable entirely via storage-partitioned join.
+- The patch is usually ≪ either snapshot (crawl deltas are sparse), so
+  `apply_patch`'s anti join broadcasts the removal side when stats
+  allow — AQE decides; no explicit hint (the r2 DESCRIBE lesson).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..types import TRIPLE_KEY
+
+OP_COL = "op"
+
+
+def graph_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Change set turning `old` into `new`: quads only in `new` tagged
+    op='+', quads only in `old` tagged op='-'. Set semantics (duplicate
+    rows within a snapshot are one logical quad, matching the store's
+    set-dedup invariant)."""
+    o = old.select(*TRIPLE_KEY)
+    n = new.select(*TRIPLE_KEY)
+    added = n.subtract(o).withColumn(OP_COL, F.lit("+"))
+    removed = o.subtract(n).withColumn(OP_COL, F.lit("-"))
+    return added.unionByName(removed)
+
+
+def apply_patch(base: DataFrame, patch: DataFrame) -> DataFrame:
+    """Replay a graph_diff change set onto `base` (set semantics):
+    remove op='-' quads, add op='+' quads. Idempotent: re-applying the
+    same patch is a no-op."""
+    adds = patch.filter(F.col(OP_COL) == "+").select(*TRIPLE_KEY)
+    rems = patch.filter(F.col(OP_COL) == "-").select(*TRIPLE_KEY)
+    kept = base.select(*TRIPLE_KEY).subtract(rems)
+    return kept.unionByName(adds).dropDuplicates(TRIPLE_KEY)
+
+
+def invert_patch(patch: DataFrame) -> DataFrame:
+    """Swap '+' and '-': apply_patch(new, invert_patch(d)) == old."""
+    return patch.withColumn(
+        OP_COL, F.when(F.col(OP_COL) == "+", F.lit("-")).otherwise(F.lit("+"))
+    )

@@ -3365,3 +3365,51 @@ FROM nodes n LEFT JOIN c USING (node)
 """
 
 QUERIES["triangles"] = (q_triangles, SQL_TRIANGLES)
+
+
+def q_graph_diff(spark, sf):
+    """RDF-Patch delta between two KG snapshots (incremental re-crawl
+    shape): snapshot B drops every supplier name triple and adds an
+    'active' status literal per region. graph_diff emits the change set
+    as (quad, op) rows — two null-safe hash anti joins, no nested loop."""
+    from .operators.delta import graph_diff
+    from .types import TRIPLE_KEY, XSD_STRING
+
+    a = triples_view(spark, sf).select(*TRIPLE_KEY)
+    dropped = (F.col("graph") == "urn:g:supplier") & (F.col("pred") == P_NAME)
+    adds = spark.read.parquet(f"{sf}/region.parquet").select(
+        F.lit(0).alias("s_kind"),
+        F.concat(F.lit("urn:r:"), F.col("r_regionkey")).alias("s_lex"),
+        F.lit("urn:p:status").alias("pred"),
+        F.lit(2).alias("o_kind"),
+        F.lit("active").alias("o_lex"),
+        F.lit(XSD_STRING).alias("o_dtype"),
+        F.lit(None).cast("string").alias("o_lang"),
+        F.lit("urn:g:region").alias("graph"),
+    )
+    b = a.filter(~dropped).unionByName(adds)
+    return graph_diff(a, b).select(
+        "s_lex", "pred", "o_kind", "o_lex", "o_dtype", "graph", "op"
+    )
+
+
+SQL_GRAPH_DIFF = (
+    W
+    + """,
+b AS (
+  SELECT * FROM triples
+  WHERE NOT (graph = 'urn:g:supplier' AND pred = 'urn:p:name')
+  UNION ALL
+  SELECT 'urn:r:'||r_regionkey, 'urn:p:status', 2, 'active',
+         'http://www.w3.org/2001/XMLSchema#string', 'urn:g:region'
+  FROM region
+)
+SELECT s_lex, pred, o_kind, o_lex, o_dtype, graph, '+' AS op
+FROM (SELECT * FROM b EXCEPT SELECT * FROM triples)
+UNION ALL
+SELECT s_lex, pred, o_kind, o_lex, o_dtype, graph, '-' AS op
+FROM (SELECT * FROM triples EXCEPT SELECT * FROM b)
+"""
+)
+
+QUERIES["graph_diff"] = (q_graph_diff, SQL_GRAPH_DIFF)

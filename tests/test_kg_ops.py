@@ -593,3 +593,75 @@ def test_triangles_hub_skew(spark):
     assert out["hub"] == 39
     assert out["l0"] == out["l39"] == 1
     assert out["l5"] == 2  # interior leaf: two adjacent chain triangles
+
+
+# --- graph delta (diff / patch / invert) ------------------------------------
+
+
+def _quads(spark, rows):
+    from ocaml_rdf_spark.types import TRIPLE_KEY
+
+    return spark.createDataFrame(
+        [
+            (0, s, p, 2, o, dt, lang, g)
+            for (s, p, o, dt, lang, g) in rows
+        ],
+        "s_kind int, s_lex string, pred string, o_kind int, o_lex string,"
+        " o_dtype string, o_lang string, graph string",
+    ).select(*TRIPLE_KEY)
+
+
+def _qset(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_graph_diff_patch_roundtrip(spark):
+    from ocaml_rdf_spark.operators.delta import apply_patch, graph_diff, invert_patch
+
+    old = _quads(
+        spark,
+        [
+            ("s1", "p", "a", None, None, "g"),
+            ("s2", "p", "b", "urn:dt", None, "g"),
+            ("s3", "p", "c", None, "en", "g2"),
+        ],
+    )
+    new = _quads(
+        spark,
+        [
+            ("s1", "p", "a", None, None, "g"),   # unchanged
+            ("s2", "p", "b2", "urn:dt", None, "g"),  # value changed: -old +new
+            ("s4", "p", "d", None, None, "g"),   # added
+        ],
+    )
+    d = graph_diff(old, new)
+    ops = {(r["s_lex"], r["op"]) for r in d.collect()}
+    assert ops == {("s2", "+"), ("s2", "-"), ("s3", "-"), ("s4", "+")}
+    # apply: old + diff == new (set equality)
+    assert _qset(apply_patch(old, d)) == _qset(new)
+    # invert: new + inverse == old
+    assert _qset(apply_patch(new, invert_patch(d))) == _qset(old)
+    # idempotent re-apply
+    assert _qset(apply_patch(apply_patch(old, d), d)) == _qset(new)
+
+
+def test_graph_diff_null_semantics(spark):
+    """NULL o_dtype/o_lang compare equal — a quad differing only in dtype
+    presence is a real change, identical NULL-bearing quads are not."""
+    from ocaml_rdf_spark.operators.delta import graph_diff
+
+    old = _quads(spark, [("s", "p", "x", None, None, "g")])
+    same = _quads(spark, [("s", "p", "x", None, None, "g")])
+    typed = _quads(spark, [("s", "p", "x", "urn:dt", None, "g")])
+    assert graph_diff(old, same).count() == 0
+    ops = sorted(r["op"] for r in graph_diff(old, typed).collect())
+    assert ops == ["+", "-"]
+
+
+def test_graph_diff_set_semantics(spark):
+    """Duplicate rows within a snapshot are one logical quad."""
+    from ocaml_rdf_spark.operators.delta import graph_diff
+
+    old = _quads(spark, [("s", "p", "x", None, None, "g")] * 3)
+    new = _quads(spark, [("s", "p", "x", None, None, "g")])
+    assert graph_diff(old, new).count() == 0
