@@ -34,6 +34,120 @@ def url_host(col: Column) -> Column:
     return F.regexp_extract(col, _HOST_RE, 1)
 
 
+# --- URL canonicalization ----------------------------------------------------
+#
+# Crawl frontiers and re-crawls hand the pipeline the same page under many
+# spellings: scheme/host case, explicit default ports, tracking query params,
+# param order, fragments. Canonicalizing BEFORE url-keyed dedup/joins is the
+# standard web-pipeline fix (cf. RFC 3986 §6.2 normalization + the tracking-
+# param strip every production crawler applies). Everything below is pure
+# `pyspark.sql.functions` Column algebra — scan-local, whole-stage codegen,
+# no shuffle, no UDF — and each rule is mirrored expression-for-expression
+# by the DuckDB oracle (suite `url_canon`).
+
+#: query-param names that never identify content (analytics/click tracking);
+#: any name starting with "utm_" is dropped too
+TRACKING_PARAMS = [
+    "fbclid", "gclid", "dclid", "msclkid", "yclid", "twclid",
+    "igshid", "mc_cid", "mc_eid", "wbraid", "gbraid", "_ga", "ref",
+]
+
+_SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+_HOSTPORT_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_PATH_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([/][^?#]*)"
+
+
+def canonical_url(col: Column) -> Column:
+    """RFC-3986-style canonical form of an http(s) URL:
+
+    - scheme and host lowercased; explicit default port (:80 http,
+      :443 https) dropped;
+    - empty path becomes "/";
+    - fragment dropped;
+    - query params: tracking params removed (utm_* + TRACKING_PARAMS,
+      name match case-insensitive), survivors sorted bytewise, empty
+      query dropped.
+
+    Non-http(s) values pass through trimmed but otherwise untouched
+    (canonicalization is only defined for web URLs here).
+    """
+    u = F.trim(col)
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    hostport = F.lower(F.regexp_extract(u, _HOSTPORT_RE, 1))
+    host = (
+        F.when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
+        .otherwise(hostport)
+    )
+    path = F.regexp_extract(u, _PATH_RE, 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    q = F.regexp_extract(u, r"\?([^#]*)", 1)
+    name = lambda p: F.lower(F.split_part(p, F.lit("="), F.lit(1)))  # noqa: E731
+    kept = F.filter(
+        F.split(q, "&"),
+        lambda p: (p != "")
+        & ~name(p).startswith("utm_")
+        & ~name(p).isin(TRACKING_PARAMS),
+    )
+    qs = F.array_join(F.array_sort(kept), "&")
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )
+    return F.when(scheme.isin("http", "https") & (host != ""), canon).otherwise(u)
+
+
+def canonical_url_sql(expr: str) -> str:
+    """DuckDB mirror of canonical_url over a VARCHAR SQL expression —
+    the same regexes and rules, kept adjacent so they evolve together."""
+    tracking = ", ".join(f"'{t}'" for t in TRACKING_PARAMS)
+    return f"""(
+  CASE WHEN lower(regexp_extract(trim({expr}), '{_SCHEME_RE}', 1)) IN ('http','https')
+            AND regexp_extract(trim({expr}), '{_HOSTPORT_RE}', 1) <> ''
+  THEN lower(regexp_extract(trim({expr}), '{_SCHEME_RE}', 1)) || '://' ||
+       CASE WHEN lower(regexp_extract(trim({expr}), '{_SCHEME_RE}', 1)) = 'http'
+            THEN regexp_replace(lower(regexp_extract(trim({expr}), '{_HOSTPORT_RE}', 1)), ':80$', '')
+            ELSE regexp_replace(lower(regexp_extract(trim({expr}), '{_HOSTPORT_RE}', 1)), ':443$', '')
+       END ||
+       CASE WHEN regexp_extract(trim({expr}), '{_PATH_RE}', 1) = '' THEN '/'
+            ELSE regexp_extract(trim({expr}), '{_PATH_RE}', 1) END ||
+       CASE WHEN COALESCE(array_to_string(list_sort(list_filter(
+                 string_split(regexp_extract(trim({expr}), '\\?([^#]*)', 1), '&'),
+                 p -> p <> '' AND NOT starts_with(lower(string_split(p, '=')[1]), 'utm_')
+                      AND lower(string_split(p, '=')[1]) NOT IN ({tracking}))), '&'), '') = ''
+            THEN ''
+            ELSE '?' || array_to_string(list_sort(list_filter(
+                 string_split(regexp_extract(trim({expr}), '\\?([^#]*)', 1), '&'),
+                 p -> p <> '' AND NOT starts_with(lower(string_split(p, '=')[1]), 'utm_')
+                      AND lower(string_split(p, '=')[1]) NOT IN ({tracking}))), '&')
+       END
+  ELSE trim({expr}) END
+)"""
+
+
+def url_dedup(
+    docs: DataFrame, url_col: str = "url", order_col: str = "doc_id"
+) -> DataFrame:
+    """Crawl dedup by canonical URL: one row per canonical form, keeping
+    the first occurrence under `order_col` ascending (earliest crawl /
+    smallest id — a pure-function tie-break, never first-seen-by-task).
+
+    One shuffle on the canonical url (window row_number); at 100 TB the
+    canonical column is also the right bucketing key for the pages table
+    so re-crawl merges become storage-partitioned joins.
+    """
+    w = Window.partitionBy("canon_url").orderBy(F.col(order_col).asc())
+    return (
+        docs.withColumn("canon_url", canonical_url(F.col(url_col)))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+
+
 def host_profile(
     docs: DataFrame, url_col: str = "url", lang_col: str = "lang", chars_col: str = "n_chars"
 ) -> DataFrame:

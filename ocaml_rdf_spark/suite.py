@@ -3413,3 +3413,95 @@ FROM (SELECT * FROM triples EXCEPT SELECT * FROM b)
 )
 
 QUERIES["graph_diff"] = (q_graph_diff, SQL_GRAPH_DIFF)
+
+
+def _messy_urls(spark, sf):
+    """Deterministic messy-URL corpus (documents carries no url column):
+    mixed-case scheme/host, explicit default ports, tracking params,
+    unsorted params, fragments, empty paths, one non-http passthrough —
+    the SAME expression is synthesized in the DuckDB oracle."""
+    d = F.col("doc_id")
+    mess = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
+        F.lit("://WWW.Ex"), (d % 5).cast("string"), F.lit(".COM"),
+        F.when(d % 3 == 0,
+               F.when(d % 2 == 0, F.lit(":80")).otherwise(F.lit(":443"))
+               ).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("/p/"), (d % 50).cast("string"))),
+        F.when(d % 4 == 0, F.lit("?utm_source=x&b=2&a=1"))
+        .when(d % 4 == 1, F.concat(F.lit("?fbclid=f"), d.cast("string")))
+        .when(d % 4 == 2, F.lit("?z=9&y=8&utm_campaign=c"))
+        .otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    url = F.when(d % 97 == 0, F.lit("ftp://Mixed.Case/Z")).otherwise(mess)
+    return _docs(spark, sf).withColumn("url", url)
+
+
+_SQL_MESSY_URL = """
+  CASE WHEN doc_id % 97 = 0 THEN 'ftp://Mixed.Case/Z'
+  ELSE
+    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+    || '://WWW.Ex' || CAST(doc_id % 5 AS VARCHAR) || '.COM'
+    || (CASE WHEN doc_id % 3 = 0
+             THEN (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+             ELSE '' END)
+    || (CASE WHEN doc_id % 7 = 0 THEN ''
+             ELSE '/p/' || CAST(doc_id % 50 AS VARCHAR) END)
+    || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x&b=2&a=1'
+             WHEN doc_id % 4 = 1 THEN '?fbclid=f' || CAST(doc_id AS VARCHAR)
+             WHEN doc_id % 4 = 2 THEN '?z=9&y=8&utm_campaign=c'
+             ELSE '' END)
+    || (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END)
+  END
+""".strip()
+
+
+def q_url_canon(spark, sf):
+    """URL canonicalization (RFC 3986 §6.2 + tracking-param strip) —
+    scan-local Column algebra, no UDF/shuffle; every rule value-oracled."""
+    from .operators.urls import canonical_url
+
+    return _messy_urls(spark, sf).select(
+        "doc_id", "url", canonical_url(F.col("url")).alias("canon")
+    )
+
+
+def _sql_url_canon() -> str:
+    from .operators.urls import canonical_url_sql
+
+    return f"""
+WITH d AS (SELECT doc_id, {_SQL_MESSY_URL} AS url FROM documents)
+SELECT doc_id, url, {canonical_url_sql('url')} AS canon FROM d
+"""
+
+
+SQL_URL_CANON = _sql_url_canon()
+
+QUERIES["url_canon"] = (q_url_canon, SQL_URL_CANON)
+
+
+def q_url_dedup(spark, sf):
+    """Crawl dedup by canonical URL: one row per canonical form, keeping
+    the smallest doc_id (deterministic earliest-crawl stand-in). One
+    shuffle (canonical-url window)."""
+    from .operators.urls import url_dedup
+
+    return url_dedup(_messy_urls(spark, sf)).select("doc_id", "canon_url")
+
+
+def _sql_url_dedup() -> str:
+    from .operators.urls import canonical_url_sql
+
+    return f"""
+WITH d AS (SELECT doc_id, {_SQL_MESSY_URL} AS url FROM documents),
+c AS (SELECT doc_id, {canonical_url_sql('url')} AS canon_url FROM d)
+SELECT doc_id, canon_url FROM c
+QUALIFY ROW_NUMBER() OVER (PARTITION BY canon_url ORDER BY doc_id) = 1
+"""
+
+
+SQL_URL_DEDUP = _sql_url_dedup()
+
+QUERIES["url_dedup"] = (q_url_dedup, SQL_URL_DEDUP)

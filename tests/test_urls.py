@@ -31,3 +31,49 @@ def test_host_profile_stats_and_tiebreak(spark):
     h1, h2 = out["h1.example"], out["h2.example"]
     assert (h1["n_docs"], h1["total_chars"], h1["n_langs"], h1["top_lang"]) == (3, 35, 2, "en")
     assert (h2["n_docs"], h2["total_chars"], h2["n_langs"], h2["top_lang"]) == (2, 14, 2, "de")
+
+
+def _canon(spark, urls):
+    from ocaml_rdf_spark.operators.urls import canonical_url
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [r[0] for r in df.select(canonical_url(F.col("url"))).collect()]
+
+
+def test_canonical_url_rules(spark):
+    got = _canon(
+        spark,
+        [
+            "HTTP://WWW.Example.COM:80/Path?b=2&a=1#frag",  # case+port+sort+frag
+            "https://ex.com:443",                 # default port + empty path
+            "https://ex.com:8443/x",              # non-default port kept
+            "http://ex.com:443/x",                # 443 is NOT http's default
+            "https://ex.com/x?utm_source=a&UTM_Medium=b&fbclid=1",  # all tracking
+            "https://ex.com/x?flag&b=2",          # valueless param kept, sorted
+            "ftp://Mixed.Case/Z",                 # non-http passthrough
+            "  https://ex.com/x  ",               # trimmed
+        ],
+    )
+    assert got == [
+        "http://www.example.com/Path?a=1&b=2",
+        "https://ex.com/",
+        "https://ex.com:8443/x",
+        "http://ex.com:443/x",
+        "https://ex.com/x",
+        "https://ex.com/x?b=2&flag",
+        "ftp://Mixed.Case/Z",
+        "https://ex.com/x",
+    ]
+
+
+def test_url_dedup_keeps_first(spark):
+    from ocaml_rdf_spark.operators.urls import url_dedup
+
+    rows = [
+        (3, "https://ex.com/p?utm_source=x"),
+        (1, "HTTPS://EX.COM/p#top"),       # same canonical, smaller id wins
+        (2, "https://ex.com/q"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string")
+    kept = {r["doc_id"]: r["canon_url"] for r in url_dedup(docs).collect()}
+    assert kept == {1: "https://ex.com/p", 2: "https://ex.com/q"}
