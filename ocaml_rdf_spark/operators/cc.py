@@ -294,3 +294,59 @@ def pagerank(edges: DataFrame, iters: int = 3, damping_pct: int = 85, scale: int
         if iters > 4:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+def kcore(
+    edges: DataFrame, k: int = 3, rounds: int | None = None
+) -> DataFrame:
+    """k-core peeling over (src, dst) string edges → surviving
+    (node, deg): synchronously remove every node of degree < k (with its
+    incident edges) per round, over the canonicalized undirected simple
+    graph (a < b, self-loops dropped).
+
+    `rounds=None` runs to the true k-core fixpoint — O(peel-depth)
+    rounds, each costing one map-side-combined degree aggregation + two
+    hash anti joins, with an isEmpty convergence probe (one aggregate
+    job, not a collect). `rounds=R` runs EXACTLY R peel rounds and skips
+    the probes — the pagerank-style fixed-iteration contract whose state
+    is bit-identical across partitionings and engines, so the suite can
+    value-oracle it against an R-times-unrolled DuckDB mirror (a
+    data-dependent fixpoint has no bounded SQL mirror). R ≥ the graph's
+    peel depth gives the fixpoint.
+
+    Scale: degrees never funnel a hub through one reducer (partial
+    aggregation); the weak-node side of each anti join is the round's
+    peeled set — usually tiny, AQE broadcasts it; localCheckpoint each
+    round caps lineage depth exactly like transitive_closure."""
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    i = 0
+    while rounds is None or i < rounds:
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionByName(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        weak = deg.filter(F.col("n") < k).select("node")
+        if rounds is None and weak.isEmpty():
+            break
+        e = (
+            e.join(weak.withColumnRenamed("node", "a"), "a", "left_anti")
+            .join(weak.withColumnRenamed("node", "b"), "b", "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        i += 1
+        if rounds is None and i > 100_000:  # malformed-input backstop
+            raise RuntimeError("kcore: peeling did not converge")
+    return (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )

@@ -622,3 +622,39 @@ def pack_offsets(docs: DataFrame, seq_len: int = 2048, buckets: int = 64) -> Dat
         F.when(F.col("n_tok") > 0, last).otherwise(F.lit(None)).alias("last_chunk"),
         F.when(F.col("n_tok") > 0, (last - first + 1)).otherwise(F.lit(0)).cast("long").alias("n_chunks"),
     )
+
+
+def bpe_pair_counts(docs: DataFrame, k: int = 50, text_col: str = "text") -> DataFrame:
+    """Adjacent-token-pair frequencies — the inner loop of a BPE/WordPiece
+    merge step (count all adjacent symbol pairs, merge the argmax) lifted
+    to the corpus: top-k (pair, n) by occurrence count. Tokens are the
+    same lowercase-alnum words as `vocab_topk`.
+
+    Scale: pair generation is a scan-local array transform (no UDF); the
+    count is ONE map-side-combined hash aggregation — partial aggregation
+    bounds the exchange at distinct-pairs-per-partition even though hot
+    pairs ('of the') dominate raw occurrences — and top-k is
+    TakeOrderedAndProject, never a full sort. One shuffle total."""
+    toks = F.split(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9 ]", " "), r" +", " "
+            )
+        ),
+        " ",
+    )
+    pairs = docs.withColumn("toks", toks).select(
+        F.explode(
+            F.when(
+                F.size("toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.concat(
+                        F.element_at("toks", i), F.lit(" "), F.element_at("toks", i + 1)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+    return counts.orderBy(F.col("n").desc(), F.col("pair").asc()).limit(k)

@@ -3505,3 +3505,95 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY canon_url ORDER BY doc_id) = 1
 SQL_URL_DEDUP = _sql_url_dedup()
 
 QUERIES["url_dedup"] = (q_url_dedup, SQL_URL_DEDUP)
+
+
+def q_bpe_pairs(spark, sf):
+    """BPE merge-step pair counts: top-50 adjacent lowercase-alnum token
+    pairs by corpus occurrence count — one map-side-combined shuffle +
+    TakeOrderedAndProject."""
+    from .operators.textops import bpe_pair_counts
+
+    return bpe_pair_counts(_docs(spark, sf), k=50)
+
+
+SQL_BPE_PAIRS = """
+WITH nt AS (
+  SELECT string_split(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+  FROM documents
+),
+p AS (
+  SELECT toks[i] || ' ' || toks[i+1] AS pair
+  FROM nt, unnest(range(1, len(toks))) AS t(i)
+  WHERE len(toks) >= 2
+)
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+FROM p GROUP BY pair
+ORDER BY n DESC, pair ASC
+LIMIT 50
+"""
+
+QUERIES["bpe_pairs"] = (q_bpe_pairs, SQL_BPE_PAIRS)
+
+
+def q_kcore(spark, sf):
+    """4 rounds of k=3 core peeling on the chain-with-chords customer
+    graph (the q_triangles strip) — fixed-round contract, bit-exact vs
+    the unrolled DuckDB mirror; rounds ≥ peel depth would give the true
+    3-core (pytest covers the fixpoint mode on closed-form graphs)."""
+    from pyspark.sql.window import Window
+
+    from .operators.cc import kcore
+
+    cu = spark.read.parquet(f"{sf}/customer.parquet")
+    r = cu.select(
+        F.col("c_custkey").cast("string").alias("k"),
+        "c_nationkey",
+        F.row_number().over(Window.partitionBy("c_nationkey").orderBy("c_custkey")).alias("rn"),
+    )
+    hop1 = r.select("c_nationkey", (F.col("rn") - 1).alias("rn"), F.col("k").alias("dst"))
+    hop2 = r.select("c_nationkey", (F.col("rn") - 2).alias("rn"), F.col("k").alias("dst"))
+    e = (
+        r.join(hop1, ["c_nationkey", "rn"]).select(F.col("k").alias("src"), "dst")
+        .unionByName(r.join(hop2, ["c_nationkey", "rn"]).select(F.col("k").alias("src"), "dst"))
+    )
+    return kcore(e, k=3, rounds=4)
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    parts = [
+        """WITH r AS (
+  SELECT CAST(c_custkey AS VARCHAR) AS kk, c_nationkey,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS rn
+  FROM customer
+),
+raw AS (
+  SELECT a.kk AS src, b.kk AS dst FROM r a JOIN r b
+    ON a.c_nationkey = b.c_nationkey AND b.rn = a.rn + 1
+  UNION ALL
+  SELECT a.kk, b.kk FROM r a JOIN r b
+    ON a.c_nationkey = b.c_nationkey AND b.rn = a.rn + 2
+),
+e0 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+       FROM raw WHERE src <> dst)"""
+    ]
+    # MATERIALIZED: DuckDB inlines plain CTEs, so each round re-evaluating
+    # its predecessor twice would re-run the whole prefix — 2^rounds blowup
+    for i in range(rounds):
+        parts.append(
+            f""",
+w{i} AS MATERIALIZED (SELECT node FROM (SELECT a AS node FROM e{i} UNION ALL SELECT b FROM e{i})
+         GROUP BY node HAVING COUNT(*) < {k}),
+e{i + 1} AS MATERIALIZED (SELECT * FROM e{i} WHERE a NOT IN (SELECT node FROM w{i})
+           AND b NOT IN (SELECT node FROM w{i}))"""
+        )
+    parts.append(
+        f"""
+SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+FROM (SELECT a AS node FROM e{rounds} UNION ALL SELECT b FROM e{rounds})
+GROUP BY node"""
+    )
+    return "".join(parts)
+
+
+QUERIES["kcore"] = (q_kcore, _kcore_sql(3, 4))

@@ -111,3 +111,27 @@ def test_pack_offsets_spanning_doc(spark):
     assert out[2]["tok_offset"] == 10 and out[2]["first_chunk"] == 0 and out[2]["last_chunk"] == 3
     assert out[2]["n_chunks"] == 4
     assert out[3]["tok_offset"] == 50 and out[3]["first_chunk"] == 3
+
+
+def test_bpe_pair_counts_exact(spark):
+    from ocaml_rdf_spark.operators.textops import bpe_pair_counts
+
+    rows = [
+        (1, "the cat sat"),          # pairs: "the cat", "cat sat"
+        (2, "THE cat! sat."),        # normalizes to the same two pairs
+        (3, "cat"),                  # single token: no pairs
+        (4, "!!"),                   # no tokens: no pairs
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["pair"]: r["n"] for r in bpe_pair_counts(docs, k=10).collect()}
+    assert out == {"the cat": 2, "cat sat": 2}
+
+
+def test_bpe_pair_counts_topk_tiebreak(spark):
+    from ocaml_rdf_spark.operators.textops import bpe_pair_counts
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "b a"), (3, "a b")], "doc_id long, text string"
+    )
+    got = [(r["pair"], r["n"]) for r in bpe_pair_counts(docs, k=2).collect()]
+    assert got == [("a b", 2), ("b a", 1)]

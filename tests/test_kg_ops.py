@@ -665,3 +665,56 @@ def test_graph_diff_set_semantics(spark):
     old = _quads(spark, [("s", "p", "x", None, None, "g")] * 3)
     new = _quads(spark, [("s", "p", "x", None, None, "g")])
     assert graph_diff(old, new).count() == 0
+
+
+# --- k-core peeling ----------------------------------------------------------
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def test_kcore_k4_with_tail(spark):
+    """K4 is the 3-core; the pendant tail peels away (one node per round
+    from the free end — the cascade the fixpoint loop must follow)."""
+    from ocaml_rdf_spark.operators.cc import kcore
+
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    tail = [("d", "t1"), ("t1", "t2"), ("t2", "t3")]
+    out = {r["node"]: r["deg"] for r in kcore(_edges(spark, k4 + tail), k=3).collect()}
+    assert out == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_kcore_chain_dissolves(spark):
+    from ocaml_rdf_spark.operators.cc import kcore
+
+    chain = [(f"n{i}", f"n{i+1}") for i in range(6)]
+    assert kcore(_edges(spark, chain), k=2).count() == 0
+
+
+def test_kcore_cycle_survives_k2(spark):
+    from ocaml_rdf_spark.operators.cc import kcore
+
+    cyc = [(f"n{i}", f"n{(i+1) % 5}") for i in range(5)]
+    out = {r["node"]: r["deg"] for r in kcore(_edges(spark, cyc), k=2).collect()}
+    assert out == {f"n{i}": 2 for i in range(5)}
+
+
+def test_kcore_direction_dup_selfloop_invariant(spark):
+    """Both directions + duplicates + self-loops canonicalize away."""
+    from ocaml_rdf_spark.operators.cc import kcore
+
+    tri = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"), ("a", "c"), ("a", "a")]
+    out = {r["node"]: r["deg"] for r in kcore(_edges(spark, tri), k=2).collect()}
+    assert out == {"a": 2, "b": 2, "c": 2}
+
+
+def test_kcore_fixed_rounds_intermediate_state(spark):
+    """rounds=1 on K4+tail: only the current free end is gone."""
+    from ocaml_rdf_spark.operators.cc import kcore
+
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    tail = [("d", "t1"), ("t1", "t2")]
+    out = {r["node"]: r["deg"] for r in kcore(_edges(spark, k4 + tail), k=3, rounds=1).collect()}
+    # round 1 removes t2 (deg1) and t1 (deg 2 < 3)... both < 3 → both gone
+    assert out == {"a": 3, "b": 3, "c": 3, "d": 3}
