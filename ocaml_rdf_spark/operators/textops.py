@@ -658,3 +658,21 @@ def bpe_pair_counts(docs: DataFrame, k: int = 50, text_col: str = "text") -> Dat
     )
     counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
     return counts.orderBy(F.col("n").desc(), F.col("pair").asc()).limit(k)
+
+
+def nfc_normalize_col(col: Column) -> Column:
+    """Unicode NFC normalization (canonical composition) — the step that
+    runs BEFORE any hash-keyed dedup so 'café' composed and 'cafe' +
+    U+0301 dedup together (md5 sees bytes, not canonical equivalence).
+
+    This is the one textops column that cannot stay JVM-side: Spark has
+    no built-in normalizer, so it is an Arrow-batched pandas UDF
+    (vectorized batch transfer, never row-at-a-time Python). The DuckDB
+    oracle uses its native nfc_normalize, verified char-identical to
+    Python's unicodedata on composed/decomposed/combining forms."""
+    from pyspark.sql.functions import pandas_udf
+
+    # functional form: the module's `from __future__ import annotations`
+    # would turn Series type hints into unevaluable strings
+    _nfc = pandas_udf(lambda s: s.str.normalize("NFC"), "string")
+    return _nfc(col)

@@ -3597,3 +3597,42 @@ GROUP BY node"""
 
 
 QUERIES["kcore"] = (q_kcore, _kcore_sql(3, 4))
+
+
+def q_nfc_text(spark, sf):
+    """Unicode NFC normalization ahead of hash dedup: documents text is
+    ASCII, so decomposed/composed suffixes are synthesized per doc_id
+    (same expression in the oracle); returns the normalized text plus a
+    changed flag."""
+    from .operators.textops import nfc_normalize_col
+
+    d = F.col("doc_id")
+    raw = F.concat(
+        F.substring(F.col("text"), 1, 40),
+        F.when(d % 3 == 0, F.lit(" cafe\u0301"))   # e + combining acute
+        .when(d % 3 == 1, F.lit(" caf\u00e9"))     # precomposed é
+        .otherwise(F.lit(" A\u030amlaut")),        # A + combining ring
+    )
+    norm = nfc_normalize_col(raw)
+    return _docs(spark, sf).select(
+        "doc_id",
+        norm.alias("norm"),
+        (norm != raw).cast("int").alias("changed"),
+    )
+
+
+SQL_NFC_TEXT = """
+WITH d AS (
+  SELECT doc_id,
+         substr(text, 1, 40) ||
+         CASE WHEN doc_id % 3 = 0 THEN ' cafe' || chr(769)
+              WHEN doc_id % 3 = 1 THEN ' caf' || chr(233)
+              ELSE ' A' || chr(778) || 'mlaut' END AS raw
+  FROM documents
+)
+SELECT doc_id, nfc_normalize(raw) AS norm,
+       CAST(CASE WHEN nfc_normalize(raw) <> raw THEN 1 ELSE 0 END AS INT) AS changed
+FROM d
+"""
+
+QUERIES["nfc_text"] = (q_nfc_text, SQL_NFC_TEXT)

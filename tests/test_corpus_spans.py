@@ -135,3 +135,18 @@ def test_bpe_pair_counts_topk_tiebreak(spark):
     )
     got = [(r["pair"], r["n"]) for r in bpe_pair_counts(docs, k=2).collect()]
     assert got == [("a b", 2), ("b a", 1)]
+
+
+def test_nfc_normalize_unifies_hash_keys(spark):
+    """Composed and decomposed spellings of the same word must share a
+    dedup hash after NFC."""
+    from ocaml_rdf_spark.operators.textops import nfc_normalize_col
+
+    rows = [(1, "cafe\u0301"), (2, "caf\u00e9"), (3, "plain")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = docs.select(
+        "doc_id", F.md5(nfc_normalize_col(F.col("text"))).alias("h")
+    ).collect()
+    h = {r["doc_id"]: r["h"] for r in out}
+    assert h[1] == h[2]
+    assert h[1] != h[3]
