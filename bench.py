@@ -120,6 +120,11 @@ def main() -> None:
         "olap_cube",
         "pagerank",
         "triangles",
+        "graph_diff",
+        "url_dedup",
+        "bpe_pairs",
+        "kcore",
+        "nfc_text",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

@@ -291,6 +291,49 @@ def main() -> None:
             ("hash join back (never nested loop)", r"BroadcastNestedLoopJoin", "absent"),
             ("no cartesian product", r"CartesianProduct", "absent"),
         ]),
+        ("graph_diff", [
+            # snapshot delta: each EXCEPT DISTINCT must compile to a hash
+            # aggregate + null-safe hash ANTI join on the quad key — a
+            # nested loop here is quadratic in snapshot size at 100 TB
+            ("anti joins on the quad key", r"(LeftAnti|ANTI)"),
+            ("set-semantics hash aggregates", r"HashAggregate"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
+        ("url_canon", [
+            # canonicalization is scan-local Column algebra: NO exchange,
+            # NO Python eval in the plan, codegen throughout
+            ("map-only (no shuffle)", r"Exchange", "absent"),
+            ("no Python in the loop", r"EvalPython", "absent"),
+            ("whole-stage codegen", r"codegen id :"),
+        ]),
+        ("url_dedup", [
+            # one shuffle: the canonical-url window; no joins at all
+            ("canonical-url window", r"\(\d+\) Window"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no Python in the loop", r"EvalPython", "absent"),
+        ]),
+        ("bpe_pairs", [
+            # pair counting: map-side-combined hash aggregate + top-k
+            # merge; pair generation never leaves codegen
+            ("partial+final hash aggregate", r"HashAggregate"),
+            ("top-k, no full sort", r"TakeOrderedAndProject"),
+            ("no Python in the loop", r"EvalPython", "absent"),
+        ]),
+        ("kcore", [
+            # fixed-round peeling: per-round degree aggregates are hash;
+            # weak-node anti joins are hash joins, never nested loops
+            ("degree hash aggregates", r"HashAggregate"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
+        ("nfc_text", [
+            # the ONE sanctioned Python column: must be the Arrow-batched
+            # pandas-UDF path, never row-at-a-time BatchEvalPython
+            ("Arrow-batched pandas UDF", r"ArrowEvalPython"),
+            ("no row-at-a-time Python", r"BatchEvalPython", "absent"),
+            ("map-only (no shuffle)", r"Exchange", "absent"),
+        ]),
     ]
 
     lines = ["# PLANS — physical-plan audit (scripts/plan_audit.py)", "",
