@@ -676,3 +676,135 @@ def nfc_normalize_col(col: Column) -> Column:
     # would turn Series type hints into unevaluable strings
     _nfc = pandas_udf(lambda s: s.str.normalize("NFC"), "string")
     return _nfc(col)
+
+
+def bm25_rank(
+    docs: DataFrame, terms: list, k: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """BM25-style relevance ranking of the corpus against a bag of query
+    terms → top-k (doc_id, score). Classic retrieval scoring (k1=1.2,
+    b=0.75) with ONE deliberate change: the idf log is omitted — the raw
+    Robertson odds ratio (N - df + 0.5)/(df + 0.5) is used directly,
+    floor-scaled ×1000. Rationale: ln() is the only non-correctly-rounded
+    op in the formula, so with it the score could differ between engines
+    in the last ulp and break the exact value oracle; without it every
+    step is integer arithmetic + IEEE correctly-rounded double division,
+    bit-identical across Spark/DuckDB/partitionings. The ratio is
+    monotone in df, so per-term discrimination ordering is preserved
+    (scores skew further toward rare terms than log-idf BM25 — this is a
+    ranking surrogate with an exact oracle, like the integer PageRank).
+
+    score(d) = Σ_t idf_x1k(t) * tfn_x1k(d, t)
+      idf_x1k = floor(1000 * (2N - 2df + 1) / (2df + 1))      [×2 trick]
+      tfn_x1k = floor(22000 * L * tf / (10*L*tf + 3*L + 9*dl*N))
+                 = floor(1000 * tf*(k1+1) / (tf + k1*(1-b+b*dl/avdl)))
+                   with avdl = L/N, scaled by 10L
+    (N docs, L total tokens, dl doc length, tf term frequency.)
+
+    Scale: term stats and corpus totals are tiny aggregates (|terms| and
+    1 rows) → broadcast; the per-doc side is one map-side-combined
+    groupBy(doc_id, term) over tokens filtered to the query terms BEFORE
+    the explode-shuffle. Intermediate products stay < 2^53 up to ~10^13
+    total tokens; past that the same formula runs in DECIMAL(38).
+    Top-k is TakeOrderedAndProject."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(
+                F.trim(
+                    F.regexp_replace(
+                        F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9 ]", " "),
+                        r" +",
+                        " ",
+                    )
+                ),
+                " ",
+            )
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    totals = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    qt = toks.filter(F.col("tok").isin(list(terms)))
+    tf = qt.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    j = (
+        tf.join(F.broadcast(df_), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(totals))
+    )
+    idf = F.floor(
+        (F.lit(1000) * (2 * F.col("n_docs") - 2 * F.col("df") + 1)).cast("double")
+        / (2 * F.col("df") + 1)
+    )
+    tfn = F.floor(
+        (F.lit(22000) * F.col("total_len") * F.col("tf")).cast("double")
+        / (
+            F.lit(10) * F.col("total_len") * F.col("tf")
+            + F.lit(3) * F.col("total_len")
+            + F.lit(9) * F.col("dl") * F.col("n_docs")
+        )
+    )
+    scores = (
+        j.select("doc_id", (idf * tfn).alias("s"))
+        .groupBy("doc_id")
+        .agg(F.sum("s").alias("score"))
+    )
+    return scores.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = 5, window: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken MOSS):
+    hash every k-token gram, then in each sliding window of `window`
+    consecutive gram positions keep the minimum hash → (doc_id, pos, fp).
+    Guarantee: any two documents sharing a token run of length ≥
+    window + k - 1 share at least one fingerprint, at ~1/window the
+    storage of all-grams — the clone-detection index primitive.
+
+    Determinism/portability: the per-window argmin is the min of the
+    STRING md5(gram) || ':' || lpad(pos) — lexicographic (hash, pos), so
+    ties (and engines) agree; selection is a single doc-partitioned
+    window min over a [0, window-1] row frame (ONE shuffle on doc_id),
+    full windows only. At 100 TB the fingerprint table is the join key
+    for cross-corpus clone search (bucket by fp)."""
+    toks = F.split(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9 ]", " "), r" +", " "
+            )
+        ),
+        " ",
+    )
+    idx = F.when(
+        F.size("toks") >= k, F.sequence(F.lit(1), F.size("toks") - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = (
+        docs.withColumn("toks", toks)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(idx, lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i, k))))
+            ).alias("p0", "h"),
+        )
+        .select("doc_id", (F.col("p0") + 1).alias("pos"), "h")
+    )
+    n = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    from pyspark.sql.window import Window as W
+
+    key = F.concat(F.col("h"), F.lit(":"), F.lpad(F.col("pos").cast("string"), 8, "0"))
+    win = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
+    sel = (
+        grams.withColumn("minkey", F.min(key).over(win))
+        .join(n, "doc_id")
+        .filter(F.col("pos") <= F.col("n_grams") - (window - 1))
+        .select("doc_id", "minkey")
+        .distinct()
+    )
+    return sel.select(
+        "doc_id",
+        F.split_part(F.col("minkey"), F.lit(":"), F.lit(2)).cast("int").alias("pos"),
+        F.split_part(F.col("minkey"), F.lit(":"), F.lit(1)).alias("fp"),
+    )

@@ -3636,3 +3636,77 @@ FROM d
 """
 
 QUERIES["nfc_text"] = (q_nfc_text, SQL_NFC_TEXT)
+
+
+def q_bm25_rank(spark, sf):
+    """Integer-exact BM25-style retrieval ranking (log-free Robertson idf
+    — see operators/textops.py::bm25_rank) for a 3-term query; top-20."""
+    from .operators.textops import bm25_rank
+
+    return bm25_rank(_docs(spark, sf), ["spark", "window", "customer"], k=20)
+
+
+SQL_BM25_RANK = """
+WITH nt AS (
+  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+  FROM documents
+),
+tok AS (SELECT doc_id, t.tok FROM nt, unnest(toks) AS t(tok) WHERE t.tok <> ''),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+tot AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM dl),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok
+       WHERE tok IN ('spark', 'window', 'customer') GROUP BY doc_id, tok),
+dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+s AS (
+  SELECT tf.doc_id,
+         floor(CAST(1000 * (2*t.n_docs - 2*dfq.df + 1) AS DOUBLE) / (2*dfq.df + 1))
+         * floor(CAST(22000 * t.total_len * tf.tf AS DOUBLE)
+                 / (10*t.total_len*tf.tf + 3*t.total_len + 9*dl.dl*t.n_docs)) AS s
+  FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id) CROSS JOIN tot t
+)
+SELECT doc_id, CAST(SUM(s) AS BIGINT) AS score FROM s GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 20
+"""
+
+QUERIES["bm25_rank"] = (q_bm25_rank, SQL_BM25_RANK)
+
+
+def q_winnow(spark, sf):
+    """Winnowing fingerprints (k=5-gram hashes, window=4): the MOSS
+    clone-detection index — per-doc selected (pos, fp) set."""
+    from .operators.textops import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf), k=5, window=4)
+
+
+SQL_WINNOW = """
+WITH nt AS (
+  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(toks[i:i+4], ' ')) AS h,
+         len(toks) - 4 AS n_grams
+  FROM nt, unnest(range(1, len(toks) - 3)) AS t(i)
+  WHERE len(toks) >= 5
+),
+m AS (
+  SELECT doc_id, pos, n_grams,
+         MIN(h || ':' || lpad(CAST(pos AS VARCHAR), 8, '0'))
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS minkey
+  FROM g
+),
+s AS (
+  SELECT DISTINCT doc_id, minkey FROM m WHERE pos <= n_grams - 3
+)
+SELECT doc_id,
+       CAST(string_split(minkey, ':')[2] AS INT) AS pos,
+       string_split(minkey, ':')[1] AS fp
+FROM s
+"""
+
+QUERIES["winnow"] = (q_winnow, SQL_WINNOW)

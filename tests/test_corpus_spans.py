@@ -150,3 +150,64 @@ def test_nfc_normalize_unifies_hash_keys(spark):
     h = {r["doc_id"]: r["h"] for r in out}
     assert h[1] == h[2]
     assert h[1] != h[3]
+
+
+def test_bm25_rank_hand_computed(spark):
+    """Tiny corpus, every integer verified by hand:
+    N=3, L=8; idf_x1k(apple, df=1)=floor(5000/3)=1666,
+    idf_x1k(cherry, df=2)=600; tfn doc1(tf=2,dl=3)=floor(352000/265)=1328,
+    doc2(tf=1,dl=2)=floor(176000/158)=1113, doc3(tf=3,dl=3)=
+    floor(528000/345)=1530."""
+    from ocaml_rdf_spark.operators.textops import bm25_rank
+
+    rows = [(1, "apple banana apple"), (2, "banana cherry"), (3, "cherry cherry cherry")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r["doc_id"], r["score"]) for r in bm25_rank(docs, ["apple", "cherry"], k=5).collect()]
+    assert got == [(1, 1666 * 1328), (3, 600 * 1530), (2, 600 * 1113)]
+
+
+def test_bm25_rank_rare_term_dominates(spark):
+    """A doc matching only the rare term outranks one matching only the
+    common term (idf monotone in df without the log)."""
+    from ocaml_rdf_spark.operators.textops import bm25_rank
+
+    rows = [(i, "common filler words here") for i in range(1, 9)]
+    rows += [(9, "rare common"), (10, "common filler")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [r["doc_id"] for r in bm25_rank(docs, ["rare", "common"], k=3).collect()]
+    assert got[0] == 9
+
+
+def test_winnow_guarantee_shared_run(spark):
+    """Matching token runs of length >= window + k - 1 (= 8 at k=5, w=4)
+    must share at least one fingerprint regardless of offset."""
+    from ocaml_rdf_spark.operators.textops import winnow_fingerprints
+
+    clone = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (1, f"one two three {clone} four five six"),
+        (2, f"{clone} completely different tail words here"),
+        (3, "unrelated text with no overlap at all whatsoever ok"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = winnow_fingerprints(docs, k=5, window=4).collect()
+    fps = {}
+    for r in out:
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[1] & fps[2], "clone run must share a fingerprint"
+    assert not (fps[1] & fps[3])
+    assert not (fps[2] & fps[3])
+
+
+def test_winnow_density_and_short_doc(spark):
+    from ocaml_rdf_spark.operators.textops import winnow_fingerprints
+
+    rows = [(1, "a b c d"), (2, " ".join(f"t{i}" for i in range(30)))]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = winnow_fingerprints(docs, k=5, window=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["pos"])
+    assert 1 not in by_doc          # 4 tokens < k: no grams, no fps
+    # 30 tokens -> 26 grams -> 23 full windows; selections are ~1/window
+    assert 5 <= len(by_doc[2]) <= 23
