@@ -125,6 +125,8 @@ def main() -> None:
         "bpe_pairs",
         "kcore",
         "nfc_text",
+        "bm25_rank",
+        "winnow",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

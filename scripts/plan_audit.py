@@ -327,6 +327,21 @@ def main() -> None:
             ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
             ("no cartesian product", r"CartesianProduct", "absent"),
         ]),
+        ("bm25_rank", [
+            # retrieval scoring: term stats + corpus totals broadcast,
+            # per-doc tf is a map-side-combined hash agg, top-k merge
+            ("stats sides broadcast", r"BroadcastHashJoin|BroadcastExchange"),
+            ("partial+final hash aggregates", r"HashAggregate"),
+            ("top-k, no full sort", r"TakeOrderedAndProject"),
+            ("no Python in the loop", r"EvalPython", "absent"),
+        ]),
+        ("winnow", [
+            # fingerprint selection: one doc-partitioned window min +
+            # distinct — no joins beyond the per-doc gram-count hash join
+            ("doc-partitioned window min", r"\(\d+\) Window"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no Python in the loop", r"EvalPython", "absent"),
+        ]),
         ("nfc_text", [
             # the ONE sanctioned Python column: must be the Arrow-batched
             # pandas-UDF path, never row-at-a-time BatchEvalPython
