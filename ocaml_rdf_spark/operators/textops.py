@@ -808,3 +808,40 @@ def winnow_fingerprints(
         F.split_part(F.col("minkey"), F.lit(":"), F.lit(2)).cast("int").alias("pos"),
         F.split_part(F.col("minkey"), F.lit(":"), F.lit(1)).alias("fp"),
     )
+
+
+def clone_pairs(
+    docs: DataFrame,
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    max_fp_docs: int = 50,
+) -> DataFrame:
+    """Cross-document clone search over winnowing fingerprints:
+    (doc_a < doc_b, n_shared) for pairs sharing ≥ `min_shared` distinct
+    fingerprints. The MOSS join stage: candidate generation is
+    fingerprint-bucketed (never all-pairs), with the same mega-bucket
+    guard as MinHash-LSH — a fingerprint present in > `max_fp_docs`
+    documents is boilerplate and is dropped before the self-join, so a
+    license-header fp can never go quadratic at 100 TB."""
+    fps = winnow_fingerprints(docs, k=k, window=window, text_col="text").select(
+        "doc_id", "fp"
+    ).distinct()
+    small = fps.join(
+        fps.groupBy("fp").agg(F.count(F.lit(1)).alias("nd")).filter(
+            F.col("nd") <= max_fp_docs
+        ),
+        "fp",
+    ).select("doc_id", "fp")
+    a, b = small.alias("a"), small.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

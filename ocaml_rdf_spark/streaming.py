@@ -339,3 +339,36 @@ def stream_dedup_minhash(
             .drop("__sig")
         )
     return sig.dropDuplicates(["__sig"]).drop("__sig")
+
+
+def stream_url_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    url_col: str = "url",
+    event_time_col: Optional[str] = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming crawl dedup by CANONICAL url — the in-stream half of
+    `operators/urls.url_dedup` (which owns the batch/global form): a
+    re-fetch of the same page under a different spelling (tracking
+    params, fragment, case, default port) is suppressed as it arrives.
+
+    canonical_url is pure scan-local Column algebra, so it is legal in a
+    streaming stage; the state discipline is stream_dedup_exact's —
+    `dropDuplicatesWithinWatermark` keeps watermark-deep state when an
+    event-time column exists, else an exact global set for bounded
+    streams (the periodic batch url_dedup compaction owns the global
+    guarantee, lambda-style)."""
+    from pyspark.sql import functions as F
+
+    from .operators.urls import canonical_url
+
+    schema = spark.read.parquet(input_dir).schema
+    docs = spark.readStream.schema(schema).parquet(input_dir)
+    keyed = docs.withColumn("canon_url", canonical_url(F.col(url_col)))
+    if event_time_col is not None:
+        return (
+            keyed.withWatermark(event_time_col, watermark)
+            .dropDuplicatesWithinWatermark(["canon_url"])
+        )
+    return keyed.dropDuplicates(["canon_url"])

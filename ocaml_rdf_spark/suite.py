@@ -3710,3 +3710,38 @@ FROM s
 """
 
 QUERIES["winnow"] = (q_winnow, SQL_WINNOW)
+
+
+def q_clone_pairs(spark, sf):
+    """MOSS clone search: document pairs sharing >= 2 winnowing
+    fingerprints (fp-bucketed join with the boilerplate-fp guard)."""
+    from .operators.textops import clone_pairs
+
+    return clone_pairs(_docs(spark, sf), k=5, window=4, min_shared=2)
+
+
+_WINNOW_TAIL = """
+SELECT doc_id,
+       CAST(string_split(minkey, ':')[2] AS INT) AS pos,
+       string_split(minkey, ':')[1] AS fp
+FROM s
+"""
+
+# reuse SQL_WINNOW's CTE chain (everything up to the final SELECT) and
+# continue it with the clone-join stages
+SQL_CLONE_PAIRS = (
+    SQL_WINNOW.replace(_WINNOW_TAIL.rstrip() + "\n", "").rstrip()
+    + """,
+fpt AS (
+  SELECT DISTINCT doc_id, string_split(minkey, ':')[1] AS fp FROM s
+),
+keepfp AS (SELECT fp FROM fpt GROUP BY fp HAVING COUNT(*) <= 50),
+fk AS (SELECT doc_id, fp FROM fpt JOIN keepfp USING (fp))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= 2
+"""
+)
+
+QUERIES["clone_pairs"] = (q_clone_pairs, SQL_CLONE_PAIRS)

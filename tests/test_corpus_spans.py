@@ -211,3 +211,24 @@ def test_winnow_density_and_short_doc(spark):
     assert 1 not in by_doc          # 4 tokens < k: no grams, no fps
     # 30 tokens -> 26 grams -> 23 full windows; selections are ~1/window
     assert 5 <= len(by_doc[2]) <= 23
+
+
+def test_clone_pairs_finds_clone_and_guards_boilerplate(spark):
+    from ocaml_rdf_spark.operators.textops import clone_pairs
+
+    clone = " ".join(f"c{i}" for i in range(12))
+    rows = [
+        (1, f"{clone} unique one tail"),
+        (2, f"other head {clone}"),
+        (3, "totally different words without any shared runs here at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_a"], r["doc_b"]): r["n_shared"] for r in clone_pairs(docs, min_shared=1).collect()}
+    assert (1, 2) in got and got[(1, 2)] >= 1
+    assert all(p == (1, 2) for p in got)
+
+    # boilerplate guard: a fingerprint in >max_fp_docs docs never joins
+    boiler = " ".join(f"b{i}" for i in range(12))
+    many = [(i, f"{boiler} doc specific {i} word") for i in range(1, 6)]
+    docs2 = spark.createDataFrame(many, "doc_id long, text string")
+    assert clone_pairs(docs2, min_shared=1, max_fp_docs=3).count() == 0

@@ -260,3 +260,41 @@ def test_stream_dedup_minhash_matches_batch(spark, tmp_path):
         r[0] for r in got.select(minhash_signature_col(F.col("text"))).collect()
     )
     assert stream_sigs == batch_sigs
+
+
+def test_stream_url_dedup_canonical_suppression(spark, tmp_path):
+    """Streaming url dedup (availableNow drain) keeps one row per
+    CANONICAL url — re-fetches under tracking params/fragments/case are
+    suppressed, matching the batch url_dedup key set."""
+    import pandas as pd
+
+    from ocaml_rdf_spark.streaming import stream_url_dedup
+
+    inp = str(tmp_path / "pages")
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "url": [
+                "https://ex.com/p",
+                "HTTPS://EX.COM/p#frag",          # same canonical as 0
+                "https://ex.com/p?utm_source=x",  # same canonical as 0
+                "https://ex.com/q?b=2&a=1",
+                "https://ex.com/q?a=1&b=2",       # same canonical as 3
+            ],
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(inp)
+
+    out = str(tmp_path / "deduped")
+    q = (
+        stream_url_dedup(spark, inp)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    canon = sorted(r["canon_url"] for r in got.collect())
+    assert canon == ["https://ex.com/p", "https://ex.com/q?a=1&b=2"]
