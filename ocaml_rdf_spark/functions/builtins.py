@@ -489,9 +489,18 @@ def STRLEN(x: E) -> E:
 
 
 def SUBSTR(x: E, start: int, length: int | None = None) -> E:
+    """XPath fn:substring bounds (§17.4.3.3): keep 1-based positions p
+    with round(start) <= p < round(start) + round(length). start <= 0
+    therefore CLIPS — SUBSTR("Alice", 0, 2) = "A" — it must not fall
+    through to Spark's substring, which reads a negative start as
+    from-the-end and start 0 as 1 without shortening the window."""
+    s_eff = max(start, 1)
     if length is None:
-        return _str1(x, lambda c: F.substring(c, start, 2**31 - 1))
-    return _str1(x, lambda c: F.substring(c, start, length))
+        return _str1(x, lambda c: F.substring(c, s_eff, 2**31 - 1))
+    l_eff = start + length - s_eff
+    if l_eff <= 0:
+        return _str1(x, lambda c: F.lit(""))
+    return _str1(x, lambda c: F.substring(c, s_eff, l_eff))
 
 
 def UCASE(x: E) -> E:
