@@ -241,3 +241,69 @@ def kg_pipeline(
     return pipe.stage("spo", s_spo, sort_cols=["s_lex", "pred", "o_lex"]).stage(
         "pos", s_pos, sort_cols=["pred", "o_lex", "s_lex"]
     )
+
+
+# --- incremental delta commits (re-crawl path) -------------------------------
+
+
+def commit_delta(
+    spark: SparkSession, root: str, stage: str, new_df: DataFrame, fingerprint: str
+) -> dict:
+    """Incremental re-commit of a committed quad stage: diff the current
+    committed output against `new_df` (operators/delta.graph_diff), write
+    the RDF-Patch change set as a VERSIONED patch directory, then commit
+    the patched store as the new current output.
+
+    Layout: <root>/<stage>__patches/v<N>/ holds patch N (op '+'/'-'
+    quads); <stage>/data/ always holds the latest store. The patch chain gives
+    (a) a cheap audit artifact per re-crawl — crawl deltas are sparse, so
+    the patch is ≪ the snapshot — and (b) time travel via
+    `store_at_version` (replaying INVERTED patches backward from latest).
+    At 100 TB the store re-commit becomes Iceberg MERGE at the TableIO
+    seam; the patch directory maps to the snapshot's changelog.
+    """
+    from .operators.delta import graph_diff
+
+    io = TableIO(root)
+    old = io.read(spark, stage)
+    # materialize BEFORE the overwrite: TableIO.commit rmtrees the stage
+    # dir first, and both the patch and (typically) new_df read from it
+    patch = graph_diff(old, new_df).localCheckpoint()
+    new_mat = new_df.localCheckpoint()
+    # the patch chain lives BESIDE the stage dir — commit's atomic
+    # replace must never take the history with it
+    pdir = os.path.join(root, f"{stage}__patches")
+    n_prev = len(os.listdir(pdir)) if os.path.isdir(pdir) else 0
+    vdir = os.path.join(pdir, f"v{n_prev + 1}")
+    patch.write.mode("overwrite").parquet(vdir)
+    ops = {r["op"]: r["n"] for r in patch.groupBy("op").agg(F.count(F.lit(1)).alias("n")).collect()}
+    marker = io.commit(new_mat, stage, fingerprint)
+    marker.update(
+        {"patch_version": n_prev + 1, "n_added": ops.get("+", 0), "n_removed": ops.get("-", 0)}
+    )
+    with open(os.path.join(io.stage_dir(stage), "_SUCCESS.json"), "w") as f:
+        json.dump(marker, f)
+    return marker
+
+
+def store_at_version(spark: SparkSession, root: str, stage: str, version: int) -> DataFrame:
+    """Time travel: reconstruct the stage's store as of patch `version`
+    (0 = the original commit) by applying INVERTED patches backward from
+    the latest store — each step two hash anti joins + a union
+    (operators/delta.apply_patch/invert_patch), so rolling back k sparse
+    re-crawls costs k small joins, never a full-history replay."""
+    from .operators.delta import apply_patch, invert_patch
+
+    io = TableIO(root)
+    pdir = os.path.join(root, f"{stage}__patches")
+    n = len(os.listdir(pdir)) if os.path.isdir(pdir) else 0
+    if not 0 <= version <= n:
+        raise ValueError(f"store_at_version: version {version} not in [0, {n}]")
+    df = io.read(spark, stage)
+    from .types import TRIPLE_KEY
+
+    df = df.select(*TRIPLE_KEY)
+    for v in range(n, version, -1):
+        patch = spark.read.parquet(os.path.join(pdir, f"v{v}"))
+        df = apply_patch(df, invert_patch(patch))
+    return df

@@ -718,3 +718,36 @@ def test_kcore_fixed_rounds_intermediate_state(spark):
     out = {r["node"]: r["deg"] for r in kcore(_edges(spark, k4 + tail), k=3, rounds=1).collect()}
     # round 1 removes t2 (deg1) and t1 (deg 2 < 3)... both < 3 → both gone
     assert out == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_commit_delta_and_time_travel(spark, tmp_path):
+    """Incremental re-crawl path: commit_delta records a versioned patch
+    per re-commit and store_at_version reconstructs any snapshot by
+    replaying inverted patches backward."""
+    from ocaml_rdf_spark.pipeline import Pipeline, commit_delta, store_at_version
+
+    root = str(tmp_path / "pipe")
+
+    def quads(rows):
+        return _quads(spark, rows)
+
+    v0 = quads([("s1", "p", "a", None, None, "g"), ("s2", "p", "b", None, None, "g")])
+    v1 = quads([("s1", "p", "a", None, None, "g"), ("s3", "p", "c", None, None, "g")])
+    v2 = quads([("s3", "p", "c2", None, None, "g")])
+
+    pipe = Pipeline(spark, root, "fp0").stage("store", lambda sp, p: v0)
+    pipe.run()
+
+    m1 = commit_delta(spark, root, "store", v1, "fp1")
+    assert (m1["n_added"], m1["n_removed"]) == (1, 1)   # +s3, -s2
+    m2 = commit_delta(spark, root, "store", v2, "fp2")
+    assert (m2["n_added"], m2["n_removed"]) == (1, 2)   # +c2, -s1, -c
+
+    assert _qset(store_at_version(spark, root, "store", 2)) == _qset(v2)
+    assert _qset(store_at_version(spark, root, "store", 1)) == _qset(v1)
+    assert _qset(store_at_version(spark, root, "store", 0)) == _qset(v0)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        store_at_version(spark, root, "store", 3)
