@@ -49,14 +49,48 @@ def _schema_edges(triples: DataFrame, pred: str) -> DataFrame:
     )
 
 
-def rdfs_closure(triples: DataFrame, graph: str = "urn:g:rdfs") -> DataFrame:
+#: schema hierarchies at or below this edge count close on the driver
+#: (one collect + BFS) instead of the distributed fixpoint — the cc.py
+#: adaptive-union-find precedent: real ontologies are kilobytes, and the
+#: fixpoint's per-round jobs cost seconds of pure scheduling on a 6-edge
+#: hierarchy. Above the threshold (or with threshold 0, as the forced
+#: test path does) the distributed transitive_closure runs unchanged.
+SCHEMA_DRIVER_EDGE_LIMIT = 100_000
+
+
+def _close_hierarchy(edges: DataFrame, driver_limit: int = SCHEMA_DRIVER_EDGE_LIMIT) -> DataFrame:
+    """Transitive closure of a (src, dst) schema edge set, adaptive."""
+    from .paths import transitive_closure
+
+    rows = edges.limit(driver_limit + 1).collect() if driver_limit else None
+    if rows is None or len(rows) > driver_limit:
+        return transitive_closure(edges)
+    adj: dict = {}
+    for r in rows:
+        adj.setdefault(r["src"], set()).add(r["dst"])
+    closed = []
+    for start in adj:
+        seen, frontier = set(), list(adj[start])
+        while frontier:
+            n = frontier.pop()
+            if n not in seen:
+                seen.add(n)
+                frontier.extend(adj.get(n, ()))
+        closed.extend((start, d) for d in seen)
+    spark = edges.sparkSession
+    return spark.createDataFrame(closed or [], "src string, dst string")
+
+
+def rdfs_closure(
+    triples: DataFrame,
+    graph: str = "urn:g:rdfs",
+    schema_driver_limit: int = SCHEMA_DRIVER_EDGE_LIMIT,
+) -> DataFrame:
     """→ the ENTAILED triples (IRI-only positions, set semantics, graph =
     `graph`, extractor = 'rdfs'), excluding triples already asserted.
     Union with the input for the materialized closure."""
-    from .paths import transitive_closure
-
-    cls = transitive_closure(_schema_edges(triples, SUBCLASS))      # rdfs11
-    prp = transitive_closure(_schema_edges(triples, SUBPROP))       # rdfs5
+    cls = _close_hierarchy(_schema_edges(triples, SUBCLASS), schema_driver_limit)  # rdfs11
+    prp = _close_hierarchy(_schema_edges(triples, SUBPROP), schema_driver_limit)   # rdfs5
     dom = _schema_edges(triples, DOMAIN)
     rng = _schema_edges(triples, RANGE)
 

@@ -70,3 +70,25 @@ def test_asserted_triples_not_re_emitted(spark):
     ])
     got = _spo(rdfs_closure(store))
     assert (EX + "x", RDF_TYPE, EX + "B") not in got
+
+
+def test_schema_closure_driver_vs_distributed(spark):
+    """The adaptive driver fast path (cc.py precedent) must agree with
+    the forced-distributed fixpoint on chains and cycles."""
+    from ocaml_rdf_spark.operators.rdfs import SUBCLASS, rdfs_closure
+    from ocaml_rdf_spark.types import TRIPLES_SCHEMA, Iri, triple_row
+
+    chain = [(f"urn:c:C{i}", SUBCLASS, f"urn:c:C{i+1}") for i in range(6)]
+    cyc = [("urn:c:X", SUBCLASS, "urn:c:Y"), ("urn:c:Y", SUBCLASS, "urn:c:X")]
+    inst = [("urn:i:a", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "urn:c:C0")]
+    rows = [triple_row(Iri(s), Iri(p), Iri(o), graph="urn:g:t") for s, p, o in chain + cyc + inst]
+    df = spark.createDataFrame(rows, schema=TRIPLES_SCHEMA)
+
+    fast = rdfs_closure(df)
+    slow = rdfs_closure(df, schema_driver_limit=0)
+    key = ["s_kind", "s_lex", "pred", "o_kind", "o_lex"]
+    f = {tuple(r) for r in fast.select(*key).collect()}
+    s = {tuple(r) for r in slow.select(*key).collect()}
+    assert f == s
+    # chain inheritance reached the top
+    assert (0, "urn:i:a", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", 0, "urn:c:C6") in f
