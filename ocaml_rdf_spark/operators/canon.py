@@ -160,3 +160,64 @@ def canonicalize_bnodes(triples: DataFrame, max_rounds: int = 16) -> DataFrame:
         .drop("s_lex_old", "s_canon", "o_lex_old", "o_canon")
     )
     return out
+
+
+# --- literal normal form ------------------------------------------------------
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+
+def normalize_literals(triples: DataFrame) -> DataFrame:
+    """Datatype-aware literal normal form for the set-semantics store:
+    "01"^^xsd:integer, "+1"^^xsd:integer and "1"^^xsd:integer denote the
+    same value but are three distinct quads to a byte-keyed dedup — the
+    same drift problem NFC solves for strings, at the typed-literal tier.
+
+    Rules (a deterministic DEDUP normal form; documented where it differs
+    from the XSD canonical mapping):
+    - xsd:integer/long/int/short/byte (± unsigned/negative/positive/non*):
+      exact integer re-serialization (leading zeros/plus dropped, -0 → 0);
+    - xsd:decimal: exact decimal(38,6) value, trailing fractional zeros
+      and a bare trailing point dropped — integral values render WITHOUT
+      ".0" (XSD's canonical keeps one fractional digit; a normal form
+      must only be injective on values, and "1" is friendlier to joins
+      against integer-typed literals' lexicals);
+    - xsd:boolean: "1"/"0" → "true"/"false";
+    - lexicals that do not parse keep their original form (an invalid
+      literal is semantic garbage but must not be silently altered);
+    - every other datatype, plain/lang strings, IRIs, bnodes: unchanged.
+
+    Scan-local Column algebra — no UDF, no shuffle; run it BEFORE
+    dedup_triples so the set semantics see values, not spellings."""
+    lex = F.col("o_lex")
+    is_lit = F.col("o_kind") == 2
+    int_types = [
+        XSD + t
+        for t in (
+            "integer", "long", "int", "short", "byte",
+            "nonNegativeInteger", "nonPositiveInteger",
+            "negativeInteger", "positiveInteger",
+            "unsignedLong", "unsignedInt", "unsignedShort", "unsignedByte",
+        )
+    ]
+    from ..functions.terms import _INEXACT_LEX, dec_canon
+
+    int_norm = lex.try_cast("decimal(38,0)").cast("string")
+    # _INEXACT_LEX guard (functions/terms.py): Spark's decimal cast ROUNDS
+    # a 7th+ nonzero fractional digit instead of nulling — normalizing such
+    # a lexical would silently change the value, so it keeps its spelling
+    dec_norm = F.when(
+        ~lex.rlike(_INEXACT_LEX), dec_canon(lex.try_cast("decimal(38,6)"))
+    ).otherwise(F.lit(None).cast("string"))
+    bool_norm = (
+        F.when(lex.isin("1", "true"), F.lit("true"))
+        .when(lex.isin("0", "false"), F.lit("false"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    normed = (
+        F.when(is_lit & F.col("o_dtype").isin(int_types), F.coalesce(int_norm, lex))
+        .when(is_lit & (F.col("o_dtype") == XSD + "decimal"), F.coalesce(dec_norm, lex))
+        .when(is_lit & (F.col("o_dtype") == XSD + "boolean"), F.coalesce(bool_norm, lex))
+        .otherwise(lex)
+    )
+    return triples.withColumn("o_lex", normed)

@@ -3745,3 +3745,66 @@ HAVING COUNT(*) >= 2
 )
 
 QUERIES["clone_pairs"] = (q_clone_pairs, SQL_CLONE_PAIRS)
+
+
+def q_lit_norm(spark, sf):
+    """Datatype-aware literal normal form (operators/canon.py): messy
+    integer/decimal/boolean lexicals synthesized per doc_id (same
+    expressions in the oracle), invalid lexicals pass through."""
+    from .operators.canon import normalize_literals
+
+    d = F.col("doc_id")
+    kind = d % 4
+    lex = (
+        F.when(kind == 0, F.concat(F.lit("+0"), (d % 100).cast("string")))
+        .when(kind == 1, F.when(d % 8 == 1, F.lit("-0.000"))
+              .otherwise(F.concat((d % 10).cast("string"), F.lit(".500"))))
+        .when(kind == 2, F.when(d % 8 == 2, F.lit("1")).otherwise(F.lit("true")))
+        .otherwise(F.concat(F.lit("x"), d.cast("string")))
+    )
+    dtype = (
+        F.when(kind == 1, F.lit("http://www.w3.org/2001/XMLSchema#decimal"))
+        .when(kind == 2, F.lit("http://www.w3.org/2001/XMLSchema#boolean"))
+        .otherwise(F.lit("http://www.w3.org/2001/XMLSchema#integer"))
+    )
+    quads = _docs(spark, sf).select(
+        F.lit(0).alias("s_kind"),
+        F.concat(F.lit("urn:d:"), d.cast("string")).alias("s_lex"),
+        F.lit("urn:p:val").alias("pred"),
+        F.lit(2).alias("o_kind"),
+        lex.alias("o_lex"),
+        dtype.alias("o_dtype"),
+        F.lit(None).cast("string").alias("o_lang"),
+        F.lit("urn:g:x").alias("graph"),
+    )
+    return normalize_literals(quads).select("s_lex", "o_dtype", "o_lex")
+
+
+SQL_LIT_NORM = r"""
+WITH q AS (
+  SELECT 'urn:d:' || CAST(doc_id AS VARCHAR) AS s_lex,
+         CASE WHEN doc_id % 4 = 0 THEN '+0' || CAST(doc_id % 100 AS VARCHAR)
+              WHEN doc_id % 4 = 1 THEN (CASE WHEN doc_id % 8 = 1 THEN '-0.000'
+                   ELSE CAST(doc_id % 10 AS VARCHAR) || '.500' END)
+              WHEN doc_id % 4 = 2 THEN (CASE WHEN doc_id % 8 = 2 THEN '1' ELSE 'true' END)
+              ELSE 'x' || CAST(doc_id AS VARCHAR) END AS lex,
+         CASE WHEN doc_id % 4 = 1 THEN 'http://www.w3.org/2001/XMLSchema#decimal'
+              WHEN doc_id % 4 = 2 THEN 'http://www.w3.org/2001/XMLSchema#boolean'
+              ELSE 'http://www.w3.org/2001/XMLSchema#integer' END AS o_dtype
+  FROM documents
+)
+SELECT s_lex, o_dtype,
+       CASE WHEN o_dtype LIKE '%#integer'
+            THEN COALESCE(CAST(TRY_CAST(lex AS HUGEINT) AS VARCHAR), lex)
+            WHEN o_dtype LIKE '%#decimal'
+            THEN COALESCE(regexp_replace(regexp_replace(
+                   CAST(TRY_CAST(lex AS DECIMAL(38,6)) AS VARCHAR),
+                   '^(-?\d+)\.0*$', '\1'), '(\.\d*?)0+$', '\1'), lex)
+            WHEN o_dtype LIKE '%#boolean'
+            THEN CASE WHEN lex IN ('1','true') THEN 'true'
+                      WHEN lex IN ('0','false') THEN 'false' ELSE lex END
+            ELSE lex END AS o_lex
+FROM q
+"""
+
+QUERIES["lit_norm"] = (q_lit_norm, SQL_LIT_NORM)

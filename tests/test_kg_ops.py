@@ -751,3 +751,40 @@ def test_commit_delta_and_time_travel(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         store_at_version(spark, root, "store", 3)
+
+
+def test_normalize_literals_rules(spark):
+    from ocaml_rdf_spark.operators.canon import normalize_literals
+
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    rows = [
+        # (lex, dtype, expected)
+        ("+042", XSD + "integer", "42"),
+        ("-0", XSD + "integer", "0"),
+        ("007", XSD + "long", "7"),
+        ("1.500", XSD + "decimal", "1.5"),
+        ("-0.000", XSD + "decimal", "0"),
+        (".5", XSD + "decimal", "0.5"),
+        ("0.0000001", XSD + "decimal", "0.0000001"),  # >6 frac digits: UNCHANGED (cast would round)
+        ("1", XSD + "boolean", "true"),
+        ("0", XSD + "boolean", "false"),
+        ("maybe", XSD + "boolean", "maybe"),          # invalid: unchanged
+        ("xyz", XSD + "integer", "xyz"),              # invalid: unchanged
+        ("01", XSD + "string", "01"),                 # untyped-for-us dtype: unchanged
+        ("01", None, "01"),                           # plain literal: unchanged
+    ]
+    quads = spark.createDataFrame(
+        [(0, f"s{i}", "p", 2, lex, dt, None, "g") for i, (lex, dt, _e) in enumerate(rows)],
+        "s_kind int, s_lex string, pred string, o_kind int, o_lex string,"
+        " o_dtype string, o_lang string, graph string",
+    )
+    got = {r["s_lex"]: r["o_lex"] for r in normalize_literals(quads).collect()}
+    for i, (lex, dt, exp) in enumerate(rows):
+        assert got[f"s{i}"] == exp, (lex, dt, got[f"s{i}"], exp)
+    # IRI objects untouched even if they look numeric
+    iri = spark.createDataFrame(
+        [(0, "s", "p", 0, "01", "http://www.w3.org/2001/XMLSchema#integer", None, "g")],
+        "s_kind int, s_lex string, pred string, o_kind int, o_lex string,"
+        " o_dtype string, o_lang string, graph string",
+    )
+    assert normalize_literals(iri).first()["o_lex"] == "01"
