@@ -3808,3 +3808,28 @@ FROM q
 """
 
 QUERIES["lit_norm"] = (q_lit_norm, SQL_LIT_NORM)
+
+
+def q_bgp_join_stats(spark, sf):
+    """The bgp_join 6-pattern query planned with ANALYZE statistics
+    (algebra.analyze → Ctx.stats): greedy smallest-estimate-first,
+    connectivity-constrained join order. Same solutions as bgp_join —
+    the oracle is identical; what changes is the join tree."""
+    from .algebra import analyze
+
+    quads = triples_view(spark, sf)
+    ctx = Ctx(quads, stats=analyze(quads))
+    node = BGP(
+        [
+            T_(Var("c"), Iri(RDF_TYPE), Iri("urn:c:Customer")),
+            T_(Var("c"), Iri(P_NAME), Var("cname")),
+            T_(Var("c"), Iri(P_IN_NATION), Var("n")),
+            T_(Var("n"), Iri(P_NAME), Var("nname")),
+            T_(Var("n"), Iri(P_IN_REGION), Var("r")),
+            T_(Var("r"), Iri(P_NAME), Literal("ASIA")),
+        ]
+    )
+    return _flat(Project(node, ["cname", "nname"]), ctx, "cname", "nname")
+
+
+QUERIES["bgp_join_stats"] = (q_bgp_join_stats, SQL_BGP_JOIN)

@@ -293,3 +293,41 @@ def test_arithmetic_division_and_round(ctx):
     r = flatten(select(node, ctx)).collect()[0]
     assert float(r["half"]) == 12.5
     assert r["r"] == "13"  # round-half-up toward +inf
+
+
+def test_bgp_order_stats_connectivity_and_selectivity():
+    """Pure-planner test: with stats the order is smallest-estimate-first
+    but must stay CONNECTED (no cross join between disconnected
+    prefixes); without stats, boundness order is unchanged."""
+    from ocaml_rdf_spark.algebra import TriplePattern, Var, _bgp_order
+    from ocaml_rdf_spark.types import Iri, Literal
+
+    def T(s, p, o):
+        return TriplePattern(s, p, o)
+
+    pats = [
+        T(Var("a"), Iri("urn:p:big"), Var("b")),        # est 1000
+        T(Var("b"), Iri("urn:p:mid"), Var("c")),        # est 100
+        T(Var("x"), Iri("urn:p:tiny"), Literal("k")),   # est 10/50 — smallest, but DISCONNECTED
+        T(Var("c"), Iri("urn:p:link"), Var("x")),       # est 200 — bridges c↔x
+    ]
+    stats = {
+        "urn:p:big": (1000, 100, 100),
+        "urn:p:mid": (100, 50, 50),
+        "urn:p:tiny": (10, 5, 50),
+        "urn:p:link": (200, 100, 100),
+    }
+    order = _bgp_order(pats, stats)
+    # seed = tiny (global min); then connectivity forces link before mid/big
+    assert order[0] == 2
+    assert order[1] == 3  # only pattern sharing ?x
+    assert set(order[2:]) == {0, 1}
+    assert order[2] == 1  # mid (est 100) before big (est 1000), both connected via c/b
+
+    # without stats: boundness first (pattern 2 has 2 bound positions)
+    assert _bgp_order(pats, None)[0] == 2
+
+    # absent predicate = empty scan seeds first
+    stats2 = dict(stats)
+    pats2 = pats + [T(Var("a"), Iri("urn:p:nowhere"), Var("z"))]
+    assert _bgp_order(pats2, stats2)[0] == 4
