@@ -127,6 +127,9 @@ def main() -> None:
         "nfc_text",
         "bm25_rank",
         "winnow",
+        "clone_pairs",
+        "lit_norm",
+        "bgp_join_stats",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

@@ -342,6 +342,20 @@ def main() -> None:
             ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
             ("no Python in the loop", r"EvalPython", "absent"),
         ]),
+        ("lit_norm", [
+            # literal normal form: scan-local CASE/cast algebra — no
+            # exchange, no Python, codegen throughout
+            ("map-only (no shuffle)", r"Exchange", "absent"),
+            ("no Python in the loop", r"EvalPython", "absent"),
+            ("whole-stage codegen", r"codegen id :"),
+        ]),
+        ("bgp_join_stats", [
+            # stats-planned BGP: same physical guarantees as bgp_join —
+            # pushed pred filters, hash joins only
+            ("pred filter pushed to store scan", r"PushedFilters: \[.*EqualTo\(pred,"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
         ("nfc_text", [
             # the ONE sanctioned Python column: must be the Arrow-batched
             # pandas-UDF path, never row-at-a-time BatchEvalPython
