@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .types import KIND_BNODE, KIND_IRI, KIND_TRIPLE, QT_FSEP, QT_SEP, RDF_LANGSTRING, XSD_STRING
+from .types import KIND_BNODE, KIND_IRI, KIND_LITERAL, KIND_TRIPLE, QT_FSEP, QT_SEP, RDF_LANGSTRING, XSD_STRING
 
 
 def _esc(c: Column) -> Column:
@@ -241,3 +241,69 @@ def to_trig(df: DataFrame, default_graph: str | None = None) -> str:
             out.extend(f"  {l}" for l in sorted(by_graph[g]))
             out.append("}")
     return "\n".join(out) + "\n"
+
+
+def to_jsonld(df: DataFrame) -> str:
+    """Flat EXPANDED-form JSON-LD document: {"@graph": [node, ...]} with
+    full-IRI property keys and {"@id"} / {"@value", "@type"/"@language"}
+    object forms — completing the writer set (the JSON-LD READER landed
+    in round 1; the reference family likewise ships serializer pairs,
+    SURVEY §2.2). rdf:type stays a plain property key (expanded JSON-LD
+    treats it identically to "@type" for triple emission, and it keeps
+    the writer symmetric with sources/jsonld.py — round-trip tested).
+
+    DRIVER-SIDE string assembly of the final document, like to_turtle:
+    intended for result graphs / debug, not the 100 TB store. The
+    per-object JSON is built distributed via to_json (null struct fields
+    are omitted, which yields exactly the @id-vs-@value shapes), and
+    nodes/predicates/objects are sorted — byte-deterministic output.
+    """
+    subj = F.when(F.col("s_kind") == KIND_IRI, F.col("s_lex")).otherwise(
+        F.concat(F.lit("_:"), F.col("s_lex"))
+    )
+    is_lit = F.col("o_kind") == KIND_LITERAL
+    o_json = F.to_json(
+        F.struct(
+            F.when(F.col("o_kind") == KIND_IRI, F.col("o_lex"))
+            .when(F.col("o_kind") == KIND_BNODE, F.concat(F.lit("_:"), F.col("o_lex")))
+            .alias("@id"),
+            F.when(is_lit, F.col("o_lex")).alias("@value"),
+            F.when(
+                is_lit
+                & F.col("o_lang").isNull()
+                & F.col("o_dtype").isNotNull()
+                & (F.col("o_dtype") != XSD_STRING),
+                F.col("o_dtype"),
+            ).alias("@type"),
+            F.when(is_lit & F.col("o_lang").isNotNull(), F.col("o_lang")).alias(
+                "@language"
+            ),
+        )
+    )
+    # IRIs and bnode labels cannot contain '"' or '\', so the property key
+    # and @id embed directly; literal content goes through to_json above
+    props = (
+        df.select(subj.alias("s"), F.col("pred").alias("p"), o_json.alias("oj"))
+        .groupBy("s", "p")
+        .agg(F.sort_array(F.collect_list("oj")).alias("ojs"))
+        .select(
+            "s",
+            F.concat(
+                F.lit('"'), F.col("p"), F.lit('":['),
+                F.concat_ws(",", F.col("ojs")), F.lit("]"),
+            ).alias("pj"),
+        )
+    )
+    nodes = (
+        props.groupBy("s")
+        .agg(F.sort_array(F.collect_list("pj")).alias("pjs"))
+        .select(
+            F.col("s"),
+            F.concat(
+                F.lit('{"@id":"'), F.col("s"), F.lit('",'),
+                F.concat_ws(",", F.col("pjs")), F.lit("}"),
+            ).alias("node"),
+        )
+        .orderBy("s")
+    )
+    return '{"@graph":[' + ",".join(r["node"] for r in nodes.collect()) + "]}"

@@ -62,3 +62,49 @@ def test_rdf_type_abbreviated_as_a(spark):
 def test_dot_export(g):
     dot = to_dot(g.df)
     assert dot.startswith("digraph") and "->" in dot
+
+
+def test_jsonld_writer_roundtrip(spark):
+    """to_jsonld -> sources/jsonld extractor reproduces the exact triple
+    set (IRI/typed/lang/plain objects; bnode subject and object)."""
+    import json
+
+    from ocaml_rdf_spark.serializers import to_jsonld
+    from ocaml_rdf_spark.sources.jsonld import extract_jsonld
+    from ocaml_rdf_spark.types import BNode, Iri, Literal
+
+    rows = [
+        (0, "http://ex.org/a", "http://ex.org/p", 0, "http://ex.org/b", None, None, "g"),
+        (0, "http://ex.org/a", "http://ex.org/q", 2, "plain \"quoted\"", None, None, "g"),
+        (0, "http://ex.org/a", "http://ex.org/q", 2, "hallo", None, "de", "g"),
+        (0, "http://ex.org/a", "http://ex.org/n", 2, "42", "http://www.w3.org/2001/XMLSchema#integer", None, "g"),
+        (0, "http://ex.org/a", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", 0, "http://ex.org/T", None, None, "g"),
+        (1, "bn1", "http://ex.org/p", 1, "bn2", None, None, "g"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "s_kind int, s_lex string, pred string, o_kind int, o_lex string,"
+        " o_dtype string, o_lang string, graph string",
+    )
+    doc = to_jsonld(df)
+    json.loads(doc)  # well-formed JSON
+    got = extract_jsonld(doc, base=None)
+
+    def term_key(t):
+        if isinstance(t, Iri):
+            return ("iri", t.value)
+        if isinstance(t, BNode):
+            return ("bn", t.label)  # labels round-trip via _: ids
+        return ("lit", t.lexical, t.dtype, t.lang)
+
+    got_set = {(term_key(s), p.value, term_key(o)) for s, p, o in got}
+    assert (("iri", "http://ex.org/a"), "http://ex.org/p", ("iri", "http://ex.org/b")) in got_set
+    assert (("iri", "http://ex.org/a"), "http://ex.org/q", ("lit", 'plain "quoted"', None, None)) in got_set or \
+           (("iri", "http://ex.org/a"), "http://ex.org/q", ("lit", 'plain "quoted"', "http://www.w3.org/2001/XMLSchema#string", None)) in got_set
+    assert any(k == ("lit", "hallo", None, "de") for (_s, _p, k) in got_set)
+    assert any(k == ("lit", "42", "http://www.w3.org/2001/XMLSchema#integer", None) for (_s, _p, k) in got_set)
+    assert any(p == "http://www.w3.org/1999/02/22-rdf-syntax-ns#type" for (_s, p, _o) in got_set)
+    # the bnode-to-bnode edge survives with SOME labels
+    bn_edges = [(s, o) for (s, p, o) in got_set if s[0] == "bn" and o[0] == "bn"]
+    assert len(bn_edges) == 1
+    assert len(got_set) == len(rows)
