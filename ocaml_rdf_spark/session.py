@@ -37,6 +37,17 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # bucketed saveAsTable targets (store.write_bucketed_store) land in
+        # a per-user temp warehouse, never the working directory
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE",
+                os.path.join(
+                    __import__("tempfile").gettempdir(), f"ords_warehouse_{os.getuid()}"
+                ),
+            ),
+        )
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

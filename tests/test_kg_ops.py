@@ -788,3 +788,42 @@ def test_normalize_literals_rules(spark):
         " o_dtype string, o_lang string, graph string",
     )
     assert normalize_literals(iri).first()["o_lex"] == "01"
+
+
+def test_bucketed_store_star_join_has_no_shuffle(spark, tmp_path):
+    """A star-pattern self-join over the bucketed store must be
+    exchange-free: both sides read co-located buckets."""
+    import io
+    from contextlib import redirect_stdout
+
+    from ocaml_rdf_spark.relational import triples_view
+    from ocaml_rdf_spark.store import write_bucketed_store
+
+    quads = triples_view(spark, "/root/testdata/sf0.001").select(
+        "s_kind", "s_lex", "pred", "o_kind", "o_lex", "o_dtype", "o_lang", "graph"
+    )
+    name = "ords_test_bucketed_store"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    write_bucketed_store(quads, name, buckets=4)
+    t = spark.table(name)
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = t.filter(F.col("pred") == "urn:p:name").select(
+            "s_lex", F.col("o_lex").alias("name")
+        )
+        b = t.filter(F.col("pred") == "urn:p:inNation").select(
+            "s_lex", F.col("o_lex").alias("nation")
+        )
+        j = a.join(b, "s_lex")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "Exchange hashpartitioning" not in plan, plan
+        # and the join is real: every customer/supplier has both preds
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
