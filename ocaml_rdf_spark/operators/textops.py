@@ -845,3 +845,62 @@ def clone_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def quality_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher/C4-style heuristic quality rules, the per-document filter
+    battery (Rae et al. Gopher §A1.1, Raffel et al. C4 §2.2) — each
+    signal an exact integer, each rule a 0/1 flag, `keep` their AND:
+
+    - n_words (whitespace tokens) in [50, 100000]  (gopher bounds)
+    - mean word length ×100 in [300, 1000]         (gopher 3..10 chars)
+    - bullet-started lines < 90% of lines          (gopher)
+    - ellipsis-ended lines < 30% of lines          (gopher)
+    - '#' symbols per word < 10%                   (gopher symbol ratio)
+    - lines ending in terminal punctuation .!?" ≥ 1 (C4's sentence test,
+      relaxed to document granularity here)
+
+    Pure Column algebra over split arrays — scan-local, no shuffle; at
+    100 TB this runs inside the same stage as lang-ID/token counts.
+    documents.text is one synthetic line, so the line-level rules mostly
+    pass there — the unit tests exercise each rule's trip wire."""
+    lines = F.split(F.col(text_col), "\n")
+    words_ = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != "")
+    n_words = F.size(words_)
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    total_chars = F.aggregate(
+        F.transform(words_, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+    )
+    # explicit floor: Spark's double→long cast truncates but DuckDB's
+    # rounds — floor() is the portable spelling
+    mean_wl_x100 = F.floor(
+        F.when(n_words > 0, (F.lit(100) * total_chars) / n_words).otherwise(F.lit(0))
+    ).cast("long")
+    n_bullet = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*•]"))
+    )
+    n_ellipsis = F.size(
+        F.filter(lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$"))
+    )
+    n_terminal = F.size(
+        F.filter(lines, lambda l: F.rtrim(l).rlike('[.!?"]$'))
+    )
+    n_hash = F.size(F.filter(words_, lambda w: w.contains("#")))
+    out = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl_x100.alias("mean_wl_x100"),
+        F.floor(F.lit(100) * n_bullet / n_lines).cast("long").alias("bullet_pct"),
+        F.floor(F.lit(100) * n_ellipsis / n_lines).cast("long").alias("ellipsis_pct"),
+        n_terminal.cast("long").alias("n_terminal_lines"),
+        F.floor(F.lit(100) * n_hash / F.greatest(n_words, F.lit(1))).cast("long").alias("hash_pct"),
+    )
+    flags = (
+        (F.col("n_words") >= 50) & (F.col("n_words") <= 100000)
+        & (F.col("mean_wl_x100") >= 300) & (F.col("mean_wl_x100") <= 1000)
+        & (F.col("bullet_pct") < 90)
+        & (F.col("ellipsis_pct") < 30)
+        & (F.col("hash_pct") < 10)
+        & (F.col("n_terminal_lines") >= 1)
+    )
+    return out.withColumn("keep", flags.cast("int"))

@@ -3833,3 +3833,52 @@ def q_bgp_join_stats(spark, sf):
 
 
 QUERIES["bgp_join_stats"] = (q_bgp_join_stats, SQL_BGP_JOIN)
+
+
+def q_quality_rules(spark, sf):
+    """Gopher/C4 heuristic quality-rule battery: exact integer signals +
+    0/1 flags per document (operators/textops.py::quality_rules)."""
+    from .operators.textops import quality_rules
+
+    return quality_rules(_docs(spark, sf))
+
+
+SQL_QUALITY_RULES = r"""
+WITH d AS (
+  SELECT doc_id,
+         string_split(text, chr(10)) AS lines,
+         list_filter(string_split_regex(trim(text), '\s+'), w -> w <> '') AS ws
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(ws) AS n_words,
+         greatest(len(lines), 1) AS n_lines,
+         list_sum(list_transform(ws, w -> strlen(w))) AS total_chars,
+         len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS n_bullet,
+         len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\.\.\.|…)$'))) AS n_ellipsis,
+         len(list_filter(lines, l -> regexp_matches(rtrim(l), '[.!?"]$'))) AS n_terminal,
+         len(list_filter(ws, w -> contains(w, '#'))) AS n_hash
+  FROM d
+),
+s AS (
+  SELECT doc_id,
+         CAST(n_words AS BIGINT) AS n_words,
+         CAST(floor(CASE WHEN n_words > 0
+              THEN 100.0 * COALESCE(total_chars, 0) / n_words ELSE 0 END) AS BIGINT) AS mean_wl_x100,
+         CAST(floor(100.0 * n_bullet / n_lines) AS BIGINT) AS bullet_pct,
+         CAST(floor(100.0 * n_ellipsis / n_lines) AS BIGINT) AS ellipsis_pct,
+         CAST(n_terminal AS BIGINT) AS n_terminal_lines,
+         CAST(floor(100.0 * n_hash / greatest(n_words, 1)) AS BIGINT) AS hash_pct
+  FROM m
+)
+SELECT *,
+       CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+                  AND mean_wl_x100 BETWEEN 300 AND 1000
+                  AND bullet_pct < 90 AND ellipsis_pct < 30
+                  AND hash_pct < 10 AND n_terminal_lines >= 1
+            THEN 1 ELSE 0 END AS INT) AS keep
+FROM s
+"""
+
+QUERIES["quality_rules"] = (q_quality_rules, SQL_QUALITY_RULES)

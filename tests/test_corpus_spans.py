@@ -232,3 +232,28 @@ def test_clone_pairs_finds_clone_and_guards_boilerplate(spark):
     many = [(i, f"{boiler} doc specific {i} word") for i in range(1, 6)]
     docs2 = spark.createDataFrame(many, "doc_id long, text string")
     assert clone_pairs(docs2, min_shared=1, max_fp_docs=3).count() == 0
+
+
+def test_quality_rules_trip_wires(spark):
+    from ocaml_rdf_spark.operators.textops import quality_rules
+
+    good = " ".join(["word"] * 60) + "."
+    rows = [
+        (1, good),                                        # passes all
+        (2, "short doc."),                                # word count
+        (3, " ".join(["a"] * 60) + "."),                  # mean word len < 3
+        (4, "\n".join(f"- item {i}" for i in range(10)) + "\nplain."),  # bullets... 10/11 lines = 90%? floor(1000/11)=90 -> fails <90
+        (5, "\n".join((f"cliffhanger {i}..." if i else good) for i in range(4))),  # 3/4 ellipsis = 75%
+        (6, " ".join(["#tag"] * 60) + "."),               # hash ratio 100%
+        (7, " ".join(["word"] * 60)),                     # no terminal punctuation
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in quality_rules(docs).collect()}
+    assert out[1]["keep"] == 1
+    for d in (2, 3, 4, 5, 6, 7):
+        assert out[d]["keep"] == 0, (d, dict(out[d].asDict()))
+    assert out[1]["n_words"] == 60 and out[1]["mean_wl_x100"] < 500
+    assert out[4]["bullet_pct"] >= 90
+    assert out[5]["ellipsis_pct"] == 75
+    assert out[6]["hash_pct"] == 100
+    assert out[7]["n_terminal_lines"] == 0
