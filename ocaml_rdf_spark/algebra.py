@@ -1150,13 +1150,31 @@ def instantiate_quads(
     return out.dropDuplicates(TRIPLE_KEY)
 
 
-def describe(terms: Sequence[Term], ctx: Ctx, keys_df: Optional[DataFrame] = None) -> DataFrame:
-    """DESCRIBE (naive variant, as the reference: emit triples whose subject
-    is a described resource — rdf_sparql.ml, SURVEY §2.3).
+def describe(
+    terms: Sequence[Term],
+    ctx: Ctx,
+    keys_df: Optional[DataFrame] = None,
+    cbd: bool = False,
+    max_rounds: int = 32,
+) -> DataFrame:
+    """DESCRIBE. Default: the naive variant, as the reference — emit
+    triples whose subject is a described resource (rdf_sparql.ml, SURVEY
+    §2.3). `cbd=True` upgrades to the Concise Bounded Description
+    (the de-facto DESCRIBE of SPARQL endpoints): blank-node OBJECTS of
+    included triples are followed transitively, so anonymous structure
+    (addresses, geo nodes, rdf lists) comes back whole — IRI objects are
+    never followed (that's the "bounded" in CBD).
 
     `keys_df` (s_kind tinyint, s_lex string) carries DESCRIBE ?var bindings
     as a DataFrame — semi-joined directly, never collected to the driver
-    (DESCRIBE over a large class stays distributed)."""
+    (DESCRIBE over a large class stays distributed).
+
+    Scale: the CBD loop is a frontier fixpoint like transitive_closure —
+    per round one anti join (new bnode keys) + one semi join (their
+    triples); rounds = bnode-chain depth, which is document-structure
+    depth (single digits in the wild), and cycles terminate via the
+    done-set anti join. localCheckpoint caps lineage."""
+    from .types import KIND_BNODE as _BN
     from .types import term_kind
 
     spark = ctx.quads.sparkSession
@@ -1167,8 +1185,30 @@ def describe(terms: Sequence[Term], ctx: Ctx, keys_df: Optional[DataFrame] = Non
         # 100× would OOM a forced broadcast — an explicit hint is honored
         # regardless of size). No hint: AQE/stats pick broadcast when the
         # set is small and degrade to a shuffle hash semi join when not.
-        return ctx.quads.join(
-            kdf.unionByName(keys_df).dropDuplicates(), ["s_kind", "s_lex"], "left_semi"
+        done = kdf.unionByName(keys_df).dropDuplicates()
+        seed = ctx.quads.join(done, ["s_kind", "s_lex"], "left_semi")
+    else:
+        # literal DESCRIBE <term> list: bounded by the query text — broadcast.
+        done = kdf.dropDuplicates()
+        seed = ctx.quads.join(F.broadcast(done), ["s_kind", "s_lex"], "left_semi")
+    if not cbd:
+        return seed
+    out = seed
+    for _ in range(max_rounds):
+        bn = (
+            out.filter(F.col("o_kind") == _BN)
+            .select(
+                F.lit(_BN).cast("tinyint").alias("s_kind"),
+                F.col("o_lex").alias("s_lex"),
+            )
+            .distinct()
+            .join(done, ["s_kind", "s_lex"], "left_anti")
+            .localCheckpoint()
         )
-    # literal DESCRIBE <term> list: bounded by the query text — broadcast.
-    return ctx.quads.join(F.broadcast(kdf.dropDuplicates()), ["s_kind", "s_lex"], "left_semi")
+        if bn.isEmpty():
+            break
+        out = out.unionByName(
+            ctx.quads.join(bn, ["s_kind", "s_lex"], "left_semi")
+        ).localCheckpoint(eager=False)
+        done = done.unionByName(bn)
+    return out

@@ -3882,3 +3882,58 @@ FROM s
 """
 
 QUERIES["quality_rules"] = (q_quality_rules, SQL_QUALITY_RULES)
+
+
+def q_describe_cbd(spark, sf):
+    """Concise Bounded Description: the store is augmented with per-
+    customer anonymous address structure (cu -> _:a -> _:g bnode chain);
+    DESCRIBE <urn:cu:5> with cbd=True must return the base triples plus
+    the whole 2-level bnode closure — and nothing else."""
+    from .algebra import describe
+    from .types import TRIPLE_KEY, Iri as TIri
+
+    cu = spark.read.parquet(f"{sf}/customer.parquet")
+    k = F.col("c_custkey").cast("string")
+
+    def syn(skind, slex, pred, okind, olex):
+        return cu.select(
+            F.lit(skind).alias("s_kind"), slex.alias("s_lex"),
+            F.lit(pred).alias("pred"),
+            F.lit(okind).alias("o_kind"), olex.alias("o_lex"),
+            F.lit(None).cast("string").alias("o_dtype"),
+            F.lit(None).cast("string").alias("o_lang"),
+            F.lit("urn:g:addr").alias("graph"),
+        )
+
+    aug = (
+        triples_view(spark, sf).select(*TRIPLE_KEY)
+        .unionByName(syn(0, F.concat(F.lit("urn:cu:"), k), "urn:p:addr", 1, F.concat(F.lit("a"), k)))
+        .unionByName(syn(1, F.concat(F.lit("a"), k), "urn:p:street", 2, F.concat(F.lit("S"), k)))
+        .unionByName(syn(1, F.concat(F.lit("a"), k), "urn:p:geo", 1, F.concat(F.lit("g"), k)))
+        .unionByName(syn(1, F.concat(F.lit("g"), k), "urn:p:lat", 2, k))
+    )
+    out = describe([TIri("urn:cu:5")], Ctx(aug), cbd=True)
+    # coalesce: the harness sorts row tuples, and a column mixing NULL and
+    # strings is unorderable in Python
+    return out.select(
+        "s_lex", "pred", "o_kind", "o_lex",
+        F.coalesce(F.col("o_dtype"), F.lit("")).alias("o_dtype"), "graph",
+    )
+
+
+SQL_DESCRIBE_CBD = (
+    W
+    + """,
+aug AS (
+  SELECT * FROM triples
+  UNION ALL SELECT 'urn:cu:'||c_custkey, 'urn:p:addr', 1, 'a'||c_custkey, NULL, 'urn:g:addr' FROM customer
+  UNION ALL SELECT 'a'||c_custkey, 'urn:p:street', 2, 'S'||c_custkey, NULL, 'urn:g:addr' FROM customer
+  UNION ALL SELECT 'a'||c_custkey, 'urn:p:geo', 1, 'g'||c_custkey, NULL, 'urn:g:addr' FROM customer
+  UNION ALL SELECT 'g'||c_custkey, 'urn:p:lat', 2, CAST(c_custkey AS VARCHAR), NULL, 'urn:g:addr' FROM customer
+)
+SELECT s_lex, pred, o_kind, o_lex, COALESCE(o_dtype, '') AS o_dtype, graph FROM aug
+WHERE s_lex IN ('urn:cu:5', 'a5', 'g5')
+"""
+)
+
+QUERIES["describe_cbd"] = (q_describe_cbd, SQL_DESCRIBE_CBD)

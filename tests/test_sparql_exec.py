@@ -455,3 +455,38 @@ def test_a_keyword_in_path(ctx):
     assert rows(df, "n") == [("Alice",), ("Bob",)]
     df2 = execute(PFX + "SELECT ?t WHERE { ?x ex:knows/a ?t }", ctx)
     assert rows(df2, "t") == [(EX + "Person",)]
+
+
+def test_describe_cbd_cycle_and_bounds(spark):
+    """CBD: bnode cycles terminate; IRI objects are never followed;
+    shared bnodes come back once."""
+    from ocaml_rdf_spark.algebra import Ctx, describe
+    from ocaml_rdf_spark.types import Iri
+
+    rows = [
+        # seed -> bnode cycle a <-> b, each with a literal leaf
+        (0, "urn:s", "urn:p", 1, "a", None, None, "g"),
+        (1, "a", "urn:p", 1, "b", None, None, "g"),
+        (1, "b", "urn:p", 1, "a", None, None, "g"),
+        (1, "a", "urn:leaf", 2, "la", None, None, "g"),
+        (1, "b", "urn:leaf", 2, "lb", None, None, "g"),
+        # IRI object: must NOT be followed
+        (0, "urn:s", "urn:q", 0, "urn:other", None, None, "g"),
+        (0, "urn:other", "urn:leaf", 2, "nope", None, None, "g"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "s_kind int, s_lex string, pred string, o_kind int, o_lex string,"
+        " o_dtype string, o_lang string, graph string",
+    )
+    out = describe([Iri("urn:s")], Ctx(df), cbd=True)
+    got = {(r["s_lex"], r["pred"], r["o_lex"]) for r in out.collect()}
+    assert ("urn:s", "urn:p", "a") in got
+    assert ("a", "urn:p", "b") in got and ("b", "urn:p", "a") in got
+    assert ("a", "urn:leaf", "la") in got and ("b", "urn:leaf", "lb") in got
+    assert ("urn:s", "urn:q", "urn:other") in got
+    assert ("urn:other", "urn:leaf", "nope") not in got
+    assert len(got) == 6
+    # naive mode unchanged: only direct triples
+    naive = describe([Iri("urn:s")], Ctx(df))
+    assert naive.count() == 2
