@@ -350,3 +350,51 @@ def kcore(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
+
+
+def incremental_components(
+    mapping: DataFrame, new_edges: DataFrame, **cc_kwargs
+) -> DataFrame:
+    """Merge a NEW edge batch into an existing component mapping without
+    recomputing history: (node, component) ∪ edges(src, dst) → updated
+    (node, component), equal to connected_components over old ∪ new
+    edges (connectivity is invariant under quotienting by existing
+    components — standard union-find batching).
+
+    Cost at 10^12 docs: the historical sameAs edge set never re-enters
+    the computation — 2 hash joins rewrite the batch's endpoints to
+    their current representatives, CC runs on the QUOTIENT graph (at
+    most one edge per batch row, and intra-component edges collapse to
+    self-loops and vanish), and 1 join composes the old mapping through
+    the quotient result. Component ids stay the min node id: every rep
+    is the min of its old component, so the quotient min equals the
+    global min.
+    """
+    ms = mapping.select(F.col("node").alias("src"), F.col("component").alias("sr"))
+    md = mapping.select(F.col("node").alias("dst"), F.col("component").alias("dr"))
+    e = (
+        new_edges.join(ms, "src", "left")
+        .join(md, "dst", "left")
+        .select(
+            F.coalesce(F.col("sr"), F.col("src")).alias("src"),
+            F.coalesce(F.col("dr"), F.col("dst")).alias("dst"),
+        )
+    )
+    q = connected_components(e, **cc_kwargs)
+    q2 = q.select(F.col("node").alias("component"), F.col("component").alias("c2"))
+    updated = mapping.join(q2, "component", "left").select(
+        "node", F.coalesce(F.col("c2"), F.col("component")).alias("component")
+    )
+    # self-loops carry no connectivity: a node seen only in (n, n) stays
+    # absent, matching connected_components' isolated-node rule
+    real = new_edges.filter(F.col("src") != F.col("dst"))
+    ends = (
+        real.select(F.col("src").alias("node"))
+        .unionByName(real.select(F.col("dst").alias("node")))
+        .distinct()
+        .join(mapping.select("node"), "node", "left_anti")
+    )
+    fresh = ends.join(q, "node", "left").select(
+        "node", F.coalesce(F.col("component"), F.col("node")).alias("component")
+    )
+    return updated.unionByName(fresh)

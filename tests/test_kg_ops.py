@@ -827,3 +827,44 @@ def test_bucketed_store_star_join_has_no_shuffle(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_incremental_components_equals_full_recompute(spark):
+    from ocaml_rdf_spark.operators.cc import connected_components, incremental_components
+
+    old = [("a", "b"), ("b", "c"), ("x", "y"), ("p", "q")]
+    # batch: intra-component (a,c), merges two comps (c,x), brand-new
+    # chain (m,n)+(n,o), new node onto old comp (q,z), isolated self (s,s)
+    new = [("a", "c"), ("c", "x"), ("m", "n"), ("n", "o"), ("q", "z"), ("s", "s")]
+
+    def edges(rows):
+        return spark.createDataFrame(rows, "src string, dst string")
+
+    mapping = connected_components(edges(old))
+    inc = incremental_components(mapping, edges(new))
+    full = connected_components(edges(old + new))
+    got = {(r["node"], r["component"]) for r in inc.collect()}
+    want = {(r["node"], r["component"]) for r in full.collect()}
+    # full CC drops isolated nodes ('s' self-loop); incremental likewise
+    assert got == want
+    # spot checks: merged component keeps the global min id
+    comp = dict(got)
+    assert comp["y"] == comp["a"] == "a"
+    assert comp["z"] == comp["p"] == "p"
+    assert comp["o"] == "m"
+
+
+def test_incremental_components_quotient_only_batch(spark):
+    """A batch fully inside one existing component must be a no-op."""
+    from ocaml_rdf_spark.operators.cc import connected_components, incremental_components
+
+    old = [("a", "b"), ("b", "c")]
+    mapping = connected_components(
+        spark.createDataFrame(old, "src string, dst string")
+    )
+    inc = incremental_components(
+        mapping, spark.createDataFrame([("a", "c"), ("c", "b")], "src string, dst string")
+    )
+    assert {(r["node"], r["component"]) for r in inc.collect()} == {
+        ("a", "a"), ("b", "a"), ("c", "a")
+    }
