@@ -130,6 +130,8 @@ def main() -> None:
         "clone_pairs",
         "lit_norm",
         "bgp_join_stats",
+        "quality_rules",
+        "describe_cbd",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

@@ -349,6 +349,19 @@ def main() -> None:
             ("no Python in the loop", r"EvalPython", "absent"),
             ("whole-stage codegen", r"codegen id :"),
         ]),
+        ("quality_rules", [
+            # rule battery: scan-local array algebra — no exchange, no
+            # Python, codegen
+            ("map-only (no shuffle)", r"Exchange", "absent"),
+            ("no Python in the loop", r"EvalPython", "absent"),
+            ("whole-stage codegen", r"codegen id :"),
+        ]),
+        ("describe_cbd", [
+            # CBD: per-round joins are checkpointed away; the auditable
+            # tail must stay hash-join shaped (semi joins, no BNLJ)
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
         ("bgp_join_stats", [
             # stats-planned BGP: same physical guarantees as bgp_join —
             # pushed pred filters, hash joins only
