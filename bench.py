@@ -132,6 +132,7 @@ def main() -> None:
         "bgp_join_stats",
         "quality_rules",
         "describe_cbd",
+        "encode_tokens",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

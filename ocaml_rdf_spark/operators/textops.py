@@ -904,3 +904,59 @@ def quality_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
         & (F.col("n_terminal_lines") >= 1)
     )
     return out.withColumn("keep", flags.cast("int"))
+
+
+def encode_tokens(
+    docs: DataFrame, vocab_size: int = 256, text_col: str = "text"
+) -> DataFrame:
+    """Vocabulary-rank token encoding — the step between `vocab_topk`
+    (mine the vocabulary) and `pack_offsets` (pack the id stream):
+    every document becomes its token-id sequence under a corpus-derived
+    vocabulary of the `vocab_size` most frequent tokens (id = frequency
+    rank, 1-based, ties broken token-asc; 0 = OOV) →
+    (doc_id, n_tok, ids_csv).
+
+    Scale: the vocabulary is `vocab_size` rows by construction, so the
+    rank window (partition-less, but over k rows) and the encode join
+    (BROADCAST) are both bounded by a parameter, not the corpus; the
+    only corpus-sized shuffles are the vocab count and the per-doc
+    regroup. ids_csv is a string so the value oracle is
+    representation-stable across engines (array renderings differ)."""
+    from pyspark.sql.window import Window as W
+
+    norm = F.split(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9 ]", " "), r" +", " "
+            )
+        ),
+        " ",
+    )
+    toks = (
+        docs.withColumn("toks", norm)
+        .select("doc_id", F.posexplode("toks").alias("pos", "tok"))
+        .filter(F.col("tok") != "")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.col("n").desc(), F.col("tok").asc()).limit(vocab_size)
+    vocab = top.withColumn(
+        "tid", F.row_number().over(W.orderBy(F.col("n").desc(), F.col("tok").asc()))
+    ).select("tok", "tid")
+    enc = toks.join(F.broadcast(vocab), "tok", "left").select(
+        "doc_id", "pos", F.coalesce(F.col("tid"), F.lit(0)).alias("tid")
+    )
+    return (
+        enc.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("tid")))
+                    ),
+                    lambda s: s["tid"].cast("string"),
+                ),
+                ",",
+            ).alias("ids_csv"),
+        )
+    )

@@ -3937,3 +3937,38 @@ WHERE s_lex IN ('urn:cu:5', 'a5', 'g5')
 )
 
 QUERIES["describe_cbd"] = (q_describe_cbd, SQL_DESCRIBE_CBD)
+
+
+def q_encode_tokens(spark, sf):
+    """Vocab-rank token encoding (256-token vocabulary): each document
+    as its token-id CSV — the tokenizer step between vocab_topk and
+    pack_offsets."""
+    from .operators.textops import encode_tokens
+
+    return encode_tokens(_docs(spark, sf), vocab_size=256)
+
+
+SQL_ENCODE_TOKENS = """
+WITH nt AS (
+  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, i AS pos, toks[i] AS tok
+  FROM nt, unnest(range(1, len(toks) + 1)) AS t(i)
+  WHERE toks[i] <> ''
+),
+vocab AS (
+  SELECT tok, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok ASC) AS tid
+  FROM tok GROUP BY tok
+  ORDER BY COUNT(*) DESC, tok ASC LIMIT 256
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tok,
+       string_agg(CAST(COALESCE(v.tid, 0) AS VARCHAR), ',' ORDER BY pos) AS ids_csv
+FROM tok LEFT JOIN vocab v USING (tok)
+GROUP BY doc_id
+"""
+
+QUERIES["encode_tokens"] = (q_encode_tokens, SQL_ENCODE_TOKENS)

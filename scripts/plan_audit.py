@@ -349,6 +349,13 @@ def main() -> None:
             ("no Python in the loop", r"EvalPython", "absent"),
             ("whole-stage codegen", r"codegen id :"),
         ]),
+        ("encode_tokens", [
+            # vocab is parameter-bounded -> BROADCAST encode join; the
+            # per-doc regroup is the only corpus shuffle beyond counting
+            ("vocab side broadcast", r"BroadcastHashJoin|BroadcastExchange"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no Python in the loop", r"EvalPython", "absent"),
+        ]),
         ("quality_rules", [
             # rule battery: scan-local array algebra — no exchange, no
             # Python, codegen

@@ -257,3 +257,19 @@ def test_quality_rules_trip_wires(spark):
     assert out[5]["ellipsis_pct"] == 75
     assert out[6]["hash_pct"] == 100
     assert out[7]["n_terminal_lines"] == 0
+
+
+def test_encode_tokens_ranks_and_oov(spark):
+    from ocaml_rdf_spark.operators.textops import encode_tokens
+
+    rows = [
+        (1, "b b b a a c"),   # freq: b=3, a=2(+1 below)=3... see below
+        (2, "a rare"),
+    ]
+    # corpus counts: b=3, a=3, c=1, rare=1 → rank by (n desc, tok asc):
+    # a=1, b=2, c=3, rare=4; vocab_size=3 ⇒ rare is OOV (0)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in encode_tokens(docs, vocab_size=3).collect()}
+    assert out[1]["ids_csv"] == "2,2,2,1,1,3"
+    assert out[2]["ids_csv"] == "1,0"
+    assert out[1]["n_tok"] == 6 and out[2]["n_tok"] == 2
