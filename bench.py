@@ -133,6 +133,7 @@ def main() -> None:
         "quality_rules",
         "describe_cbd",
         "encode_tokens",
+        "random_walks",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

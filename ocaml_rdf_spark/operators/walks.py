@@ -1,0 +1,80 @@
+"""Deterministic random walks — DeepWalk/node2vec corpus generation
+(Perozzi et al. KDD'14) with this repo's engine-portable determinism
+twist: the "random" neighbor at each step is the argmin of
+md5(cur ␟ neighbor ␟ walk ␟ step) over the current node's out-neighbors.
+That makes every walk a pure function of (graph, walk id) — the same
+sequences on any partitioning, cluster size, or engine, so the walk
+corpus carries an exact cross-engine value oracle (true RNG walks can
+only be distribution-tested) and regenerating embeddings training data
+is reproducible by construction.
+
+Scale design: one hash join per step against the adjacency (frontier ⋈
+edges on cur), then a map-side-combined min aggregation per (node,
+walk, step) — the frontier never exceeds nodes × walks_per_node rows,
+and walk_len bounds the rounds. Dead ends terminate the walk (shorter
+sequence, standard DeepWalk). Mega-hubs cost |degree| candidate rows
+per visiting walk for one aggregation — the same bound as one
+large-star CC round, and AQE skew-split applies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SEP = "\x1f"
+
+
+def random_walks(
+    edges: DataFrame, walks_per_node: int = 1, walk_len: int = 4
+) -> DataFrame:
+    """edges(src, dst) directed → (start, walk, seq) where seq is the
+    ␟-free comma-joined node sequence (start included; length ≤
+    walk_len+1, shorter at dead ends). Deterministic — see module doc."""
+    starts = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .crossJoin(
+            edges.sparkSession.range(walks_per_node).select(
+                F.col("id").cast("int").alias("walk")
+            )
+        )
+    )
+    cur = starts.select(
+        F.col("node").alias("start"), "walk", F.col("node").alias("cur"),
+        F.col("node").alias("seq"),
+    )
+    adj = edges.select(F.col("src").alias("cur"), F.col("dst"))
+    for step in range(walk_len):
+        # argmin via the min-string trick (md5 is fixed-width hex, so the
+        # lexicographic min of "hash␟dst" is the hash argmin and carries
+        # its dst) — min_by/arg_min null semantics differ across engines,
+        # min(CASE ...) does not
+        key = F.when(
+            F.col("dst").isNotNull(),
+            F.concat(
+                F.md5(
+                    F.concat_ws(
+                        SEP, F.col("cur"), F.col("dst"), F.col("walk"), F.lit(step)
+                    )
+                ),
+                F.lit(SEP),
+                F.col("dst"),
+            ),
+        )
+        nxt = (
+            cur.join(adj, "cur", "left")
+            .groupBy("start", "walk", "seq")
+            .agg(F.min(key).alias("k"))
+        )
+        chosen = F.split_part(F.col("k"), F.lit(SEP), F.lit(2))
+        cur = nxt.select(
+            "start",
+            "walk",
+            F.when(F.col("k").isNotNull(), chosen).alias("cur"),
+            F.when(
+                F.col("k").isNotNull(), F.concat(F.col("seq"), F.lit(","), chosen)
+            ).otherwise(F.col("seq")).alias("seq"),
+        ).localCheckpoint(eager=False)
+    return cur.select("start", "walk", "seq")

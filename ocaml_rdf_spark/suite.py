@@ -3972,3 +3972,74 @@ GROUP BY doc_id
 """
 
 QUERIES["encode_tokens"] = (q_encode_tokens, SQL_ENCODE_TOKENS)
+
+
+def q_random_walks(spark, sf):
+    """Deterministic DeepWalk corpus (2 walks/node, length 3) over the
+    directed chain-with-chords customer graph — hash-argmin neighbor
+    choice makes every sequence bit-identical across engines."""
+    from pyspark.sql.window import Window
+
+    from .operators.walks import random_walks
+
+    cu = spark.read.parquet(f"{sf}/customer.parquet")
+    r = cu.select(
+        F.col("c_custkey").cast("string").alias("k"),
+        "c_nationkey",
+        F.row_number().over(Window.partitionBy("c_nationkey").orderBy("c_custkey")).alias("rn"),
+    )
+    hop1 = r.select("c_nationkey", (F.col("rn") - 1).alias("rn"), F.col("k").alias("dst"))
+    hop2 = r.select("c_nationkey", (F.col("rn") - 2).alias("rn"), F.col("k").alias("dst"))
+    e = (
+        r.join(hop1, ["c_nationkey", "rn"]).select(F.col("k").alias("src"), "dst")
+        .unionByName(r.join(hop2, ["c_nationkey", "rn"]).select(F.col("k").alias("src"), "dst"))
+    )
+    return random_walks(e, walks_per_node=2, walk_len=3)
+
+
+def _walks_sql(walks_per_node: int, walk_len: int) -> str:
+    parts = [
+        f"""WITH r AS (
+  SELECT CAST(c_custkey AS VARCHAR) AS kk, c_nationkey,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS rn
+  FROM customer
+),
+raw AS (
+  SELECT a.kk AS src, b.kk AS dst FROM r a JOIN r b
+    ON a.c_nationkey = b.c_nationkey AND b.rn = a.rn + 1
+  UNION ALL
+  SELECT a.kk, b.kk FROM r a JOIN r b
+    ON a.c_nationkey = b.c_nationkey AND b.rn = a.rn + 2
+),
+nodes AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM raw UNION ALL SELECT dst FROM raw)),
+s0 AS MATERIALIZED (
+  SELECT n.node AS start, CAST(t.w AS INT) AS walk, n.node AS cur, n.node AS seq
+  FROM nodes n, unnest(range({walks_per_node})) AS t(w)
+)"""
+    ]
+    for i in range(walk_len):
+        parts.append(
+            f""",
+s{i + 1} AS MATERIALIZED (
+  SELECT start, walk,
+         CASE WHEN k IS NOT NULL THEN string_split(k, chr(31))[2] END AS cur,
+         CASE WHEN k IS NOT NULL THEN seq || ',' || string_split(k, chr(31))[2]
+              ELSE seq END AS seq
+  FROM (
+    SELECT start, walk, seq,
+           MIN(CASE WHEN e.dst IS NOT NULL THEN
+               md5(w.cur || chr(31) || e.dst || chr(31) ||
+                   CAST(w.walk AS VARCHAR) || chr(31) || '{i}')
+               || chr(31) || e.dst END) AS k
+    FROM s{i} w LEFT JOIN raw e ON e.src = w.cur
+    GROUP BY start, walk, seq
+  )
+)"""
+        )
+    parts.append(f"""
+SELECT start, walk, seq FROM s{walk_len}""")
+    return "".join(parts)
+
+
+QUERIES["random_walks"] = (q_random_walks, _walks_sql(2, 3))

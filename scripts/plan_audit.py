@@ -349,6 +349,14 @@ def main() -> None:
             ("no Python in the loop", r"EvalPython", "absent"),
             ("whole-stage codegen", r"codegen id :"),
         ]),
+        ("random_walks", [
+            # per-step join+agg live inside the checkpointed fixpoint
+            # (lineage truncated) — the auditable tail is the checkpoint
+            # scan, and must stay free of nested-loop/cartesian shapes
+            ("checkpointed fixpoint tail", r"ExistingRDD|Scan"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
         ("encode_tokens", [
             # vocab is parameter-bounded -> BROADCAST encode join; the
             # per-doc regroup is the only corpus shuffle beyond counting

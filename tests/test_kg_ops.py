@@ -868,3 +868,36 @@ def test_incremental_components_quotient_only_batch(spark):
     assert {(r["node"], r["component"]) for r in inc.collect()} == {
         ("a", "a"), ("b", "a"), ("c", "a")
     }
+
+
+def test_random_walks_determinism_and_dead_ends(spark):
+    from ocaml_rdf_spark.operators.cc import kcore  # noqa: F401  (module warm)
+    from ocaml_rdf_spark.operators.walks import random_walks
+
+    # a -> b -> c (dead end); d isolated source edge d -> a
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "a")], "src string, dst string"
+    )
+    out = {(r["start"], r["walk"]): r["seq"] for r in random_walks(e, 1, walk_len=5).collect()}
+    # chains are forced (single out-neighbor); dead ends truncate
+    assert out[("a", 0)] == "a,b,c"
+    assert out[("b", 0)] == "b,c"
+    assert out[("c", 0)] == "c"
+    assert out[("d", 0)] == "d,a,b,c"
+
+    # determinism across partitionings: same sequences from repartitioned edges
+    out2 = {
+        (r["start"], r["walk"]): r["seq"]
+        for r in random_walks(e.repartition(7), 1, walk_len=5).collect()
+    }
+    assert out == out2
+
+    # branching: the choice is a pure function -> two runs agree, and
+    # different walk ids may diverge but each is stable
+    eb = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("a", "z")], "src string, dst string"
+    )
+    w1 = {(r["start"], r["walk"]): r["seq"] for r in random_walks(eb, 3, 1).collect()}
+    w2 = {(r["start"], r["walk"]): r["seq"] for r in random_walks(eb, 3, 1).collect()}
+    assert w1 == w2
+    assert len({w1[("a", i)] for i in range(3)}) >= 2  # hash spreads choices
