@@ -78,3 +78,45 @@ def random_walks(
             ).otherwise(F.col("seq")).alias("seq"),
         ).localCheckpoint(eager=False)
     return cur.select("start", "walk", "seq")
+
+
+def skipgram_pairs(
+    walks: DataFrame, window: int = 2, seq_col: str = "seq"
+) -> DataFrame:
+    """Skip-gram training pairs from walk sequences (word2vec over the
+    graph, the DeepWalk §4.2 step): every (center, context) pair within
+    ±`window` positions, counted corpus-wide → (center, context, n).
+
+    Scan-local pair generation (array transform over the split sequence,
+    flatten, explode) + ONE map-side-combined count — the hub-pair skew
+    story is bpe_pair_counts'. Window clipping at sequence edges; the
+    center itself is excluded."""
+    toks = F.split(F.col(seq_col), ",")
+    n = F.size(toks)
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.filter(
+                F.transform(
+                    F.sequence(i - window, i + window),
+                    lambda j: F.when(
+                        (j >= 1) & (j <= n) & (j != i),
+                        F.concat(
+                            F.element_at(toks, i), F.lit("\x1f"), F.element_at(toks, j)
+                        ),
+                    ),
+                ),
+                lambda p: p.isNotNull(),
+            ),
+        )
+    )
+    return (
+        walks.select(F.explode(pairs).alias("p"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.split_part(F.col("p"), F.lit("\x1f"), F.lit(1)).alias("center"),
+            F.split_part(F.col("p"), F.lit("\x1f"), F.lit(2)).alias("context"),
+            "n",
+        )
+    )

@@ -4043,3 +4043,47 @@ SELECT start, walk, seq FROM s{walk_len}""")
 
 
 QUERIES["random_walks"] = (q_random_walks, _walks_sql(2, 3))
+
+
+def q_skipgram(spark, sf):
+    """Skip-gram (center, context) pair counts (window ±2) over the
+    deterministic walk corpus — the walks → word2vec training-pairs
+    composition, exact end-to-end."""
+    from .operators.walks import random_walks, skipgram_pairs
+
+    from pyspark.sql.window import Window
+
+    cu = spark.read.parquet(f"{sf}/customer.parquet")
+    r = cu.select(
+        F.col("c_custkey").cast("string").alias("k"),
+        "c_nationkey",
+        F.row_number().over(Window.partitionBy("c_nationkey").orderBy("c_custkey")).alias("rn"),
+    )
+    hop1 = r.select("c_nationkey", (F.col("rn") - 1).alias("rn"), F.col("k").alias("dst"))
+    hop2 = r.select("c_nationkey", (F.col("rn") - 2).alias("rn"), F.col("k").alias("dst"))
+    e = (
+        r.join(hop1, ["c_nationkey", "rn"]).select(F.col("k").alias("src"), "dst")
+        .unionByName(r.join(hop2, ["c_nationkey", "rn"]).select(F.col("k").alias("src"), "dst"))
+    )
+    return skipgram_pairs(random_walks(e, walks_per_node=2, walk_len=3), window=2)
+
+
+def _skipgram_sql() -> str:
+    base = _walks_sql(2, 3)
+    tail = "\nSELECT start, walk, seq FROM s3"
+    assert base.endswith(tail)
+    return base[: -len(tail)] + """,
+sq AS (SELECT string_split(seq, ',') AS t FROM s3),
+pr AS (
+  SELECT t[i] AS center, t[j] AS context
+  FROM sq,
+       unnest(range(1, len(t) + 1)) AS a(i),
+       unnest(range(1, len(t) + 1)) AS b(j)
+  WHERE j <> i AND abs(j - i) <= 2
+)
+SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n
+FROM pr GROUP BY center, context
+"""
+
+
+QUERIES["skipgram"] = (q_skipgram, _skipgram_sql())

@@ -901,3 +901,23 @@ def test_random_walks_determinism_and_dead_ends(spark):
     w2 = {(r["start"], r["walk"]): r["seq"] for r in random_walks(eb, 3, 1).collect()}
     assert w1 == w2
     assert len({w1[("a", i)] for i in range(3)}) >= 2  # hash spreads choices
+
+
+def test_skipgram_pairs_window_and_counts(spark):
+    from ocaml_rdf_spark.operators.walks import skipgram_pairs
+
+    walks = spark.createDataFrame(
+        [("a", 0, "a,b,c,d"), ("x", 0, "x")], "start string, walk int, seq string"
+    )
+    out = {(r["center"], r["context"]): r["n"] for r in skipgram_pairs(walks, window=1).collect()}
+    # window 1 over a,b,c,d: adjacent pairs both directions; singleton emits nothing
+    assert out == {
+        ("a", "b"): 1, ("b", "a"): 1, ("b", "c"): 1,
+        ("c", "b"): 1, ("c", "d"): 1, ("d", "c"): 1,
+    }
+    # window 2 adds distance-2 pairs and counts accumulate across walks
+    walks2 = spark.createDataFrame(
+        [("a", 0, "a,b,c"), ("a", 1, "a,b,c")], "start string, walk int, seq string"
+    )
+    out2 = {(r["center"], r["context"]): r["n"] for r in skipgram_pairs(walks2, window=2).collect()}
+    assert out2[("a", "c")] == 2 and out2[("a", "b")] == 2 and out2[("c", "a")] == 2
