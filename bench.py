@@ -134,6 +134,7 @@ def main() -> None:
         "describe_cbd",
         "encode_tokens",
         "random_walks",
+        "skipgram",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal
