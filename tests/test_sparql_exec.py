@@ -490,3 +490,29 @@ def test_describe_cbd_cycle_and_bounds(spark):
     # naive mode unchanged: only direct triples
     naive = describe([Iri("urn:s")], Ctx(df))
     assert naive.count() == 2
+
+
+def test_now_constant_within_query_uuid_unique_per_solution(spark):
+    """§17.4.5.1: NOW() returns the SAME value for every solution of one
+    query execution (Spark's current_timestamp is query-constant, which
+    realizes exactly this); UUID()/STRUUID() must differ per solution."""
+    from ocaml_rdf_spark.graph import Graph
+    from ocaml_rdf_spark.sparql import execute
+    from ocaml_rdf_spark.types import Iri, Literal
+
+    g = Graph.from_triples(
+        spark, [(Iri(f"urn:s{i}"), Iri("urn:p"), Literal(str(i))) for i in range(6)]
+    )
+    from ocaml_rdf_spark.algebra import Ctx
+
+    rows = execute(
+        "SELECT ?o ?t ?u WHERE { ?s <urn:p> ?o BIND(NOW() AS ?t) BIND(STRUUID() AS ?u) }",
+        Ctx(g.df),
+    ).collect()
+    assert len(rows) == 6
+    ts = {r["t"]["lex"] for r in rows}
+    assert len(ts) == 1, f"NOW() must be query-constant, got {ts}"
+    us = [r["u"]["lex"] for r in rows]
+    assert len(set(us)) == 6, "STRUUID() must be fresh per solution"
+    import re
+    assert all(re.fullmatch(r"[0-9a-f-]{36}", u) for u in us)
