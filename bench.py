@@ -135,6 +135,7 @@ def main() -> None:
         "encode_tokens",
         "random_walks",
         "skipgram",
+        "neg_samples",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

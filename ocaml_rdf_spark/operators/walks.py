@@ -120,3 +120,62 @@ def skipgram_pairs(
             "n",
         )
     )
+
+
+def negative_samples(
+    pairs: DataFrame, k: int = 2, table_size: int = 1024
+) -> DataFrame:
+    """k deterministic negatives per (center, context) pair → (center,
+    context, j, neg). word2vec draws negatives from a FIXED-SIZE unigram
+    table, which is what keeps this scale-sound: the table here is the
+    `table_size` most frequent centers (freq desc, node asc), so the
+    rank window and both sampling joins are parameter-bounded BROADCASTs
+    no matter the graph. Negative j = table[md5(center ␟ context ␟ j)
+    mod m]; a draw that hits the true context bumps one slot (word2vec's
+    resample, made deterministic — pure function of the pair, so the
+    sample set is engine/partitioning-exact)."""
+    tbl = (
+        pairs.groupBy("center")
+        .agg(F.sum("n").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("center").asc())
+        .limit(table_size)
+    )
+    from pyspark.sql.window import Window as W
+
+    ranked = tbl.withColumn(
+        "rank", F.row_number().over(W.orderBy(F.col("freq").desc(), F.col("center").asc()))
+    ).select(F.col("center").alias("node"), "rank")
+    m = ranked.agg(F.count(F.lit(1)).alias("m"))
+    drawn = (
+        pairs.select("center", "context")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "center", "context", "m",
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j"),
+        )
+        .withColumn(
+            "idx",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("\x1f", F.col("center"), F.col("context"), F.col("j"))),
+                        1, 15,
+                    ),
+                    16, 10,
+                ).cast("long")
+                % F.col("m")
+            ) + 1,
+        )
+        .withColumn("bump", (F.col("idx") % F.col("m")) + 1)
+    )
+    r1 = ranked.select(F.col("rank").alias("idx"), F.col("node").alias("n1"))
+    r2 = ranked.select(F.col("rank").alias("bump"), F.col("node").alias("n2"))
+    return (
+        drawn.join(F.broadcast(r1), "idx")
+        .join(F.broadcast(r2), "bump")
+        .select(
+            "center", "context", "j",
+            F.when(F.col("n1") != F.col("context"), F.col("n1"))
+            .otherwise(F.col("n2")).alias("neg"),
+        )
+    )

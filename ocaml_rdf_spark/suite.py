@@ -4087,3 +4087,46 @@ FROM pr GROUP BY center, context
 
 
 QUERIES["skipgram"] = (q_skipgram, _skipgram_sql())
+
+
+def q_neg_samples(spark, sf):
+    """Deterministic word2vec negative sampling (k=2, 64-slot unigram
+    table) over the skip-gram pairs — pure function of each pair, exact
+    cross-engine."""
+    from .operators.walks import negative_samples
+
+    return negative_samples(q_skipgram(spark, sf), k=2, table_size=64)
+
+
+def _neg_samples_sql(k: int, table_size: int) -> str:
+    base = _skipgram_sql()
+    tail = base.rstrip().rsplit("SELECT center, context", 1)
+    return (
+        tail[0]
+        + f""", pairs AS MATERIALIZED (
+SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n
+FROM pr GROUP BY center, context
+),
+tbl AS MATERIALIZED (
+  SELECT center AS node,
+         ROW_NUMBER() OVER (ORDER BY SUM(n) DESC, center ASC) AS rank
+  FROM pairs GROUP BY center
+  ORDER BY SUM(n) DESC, center ASC LIMIT {table_size}
+),
+mm AS (SELECT COUNT(*) AS m FROM tbl),
+drawn AS (
+  SELECT center, context, t.j,
+         (('0x' || substr(md5(center || chr(31) || context || chr(31) ||
+            CAST(t.j AS VARCHAR)), 1, 15))::BIGINT % m) + 1 AS idx, m
+  FROM pairs, mm, unnest(range({k})) AS t(j)
+)
+SELECT d.center, d.context, CAST(d.j AS INT) AS j,
+       CASE WHEN t1.node <> d.context THEN t1.node ELSE t2.node END AS neg
+FROM drawn d
+JOIN tbl t1 ON t1.rank = d.idx
+JOIN tbl t2 ON t2.rank = (d.idx % d.m) + 1
+"""
+    )
+
+
+QUERIES["neg_samples"] = (q_neg_samples, _neg_samples_sql(2, 64))

@@ -921,3 +921,23 @@ def test_skipgram_pairs_window_and_counts(spark):
     )
     out2 = {(r["center"], r["context"]): r["n"] for r in skipgram_pairs(walks2, window=2).collect()}
     assert out2[("a", "c")] == 2 and out2[("a", "b")] == 2 and out2[("c", "a")] == 2
+
+
+def test_negative_samples_determinism_and_bump(spark):
+    from ocaml_rdf_spark.operators.walks import negative_samples
+
+    pairs = spark.createDataFrame(
+        [("a", "b", 3), ("b", "a", 3), ("a", "c", 1)],
+        "center string, context string, n long",
+    )
+    out1 = {(r["center"], r["context"], r["j"]): r["neg"] for r in negative_samples(pairs, k=3).collect()}
+    out2 = {(r["center"], r["context"], r["j"]): r["neg"] for r in negative_samples(pairs, k=3).collect()}
+    assert out1 == out2 and len(out1) == 9
+    # a negative never equals the true context unless the table has one slot
+    for (c, ctx, _j), neg in out1.items():
+        assert neg != ctx or len({"a", "b"}) == 1
+    # table capped: with table_size=1 every negative is the top center
+    # ('a' or 'b' tie -> freq desc, node asc -> 'a'); pairs with context
+    # 'a' bump back onto the single slot (degenerate, documented)
+    out3 = {(r["center"], r["context"], r["j"]): r["neg"] for r in negative_samples(pairs, k=1, table_size=1).collect()}
+    assert all(n == "a" for n in out3.values())
