@@ -69,11 +69,12 @@ def stream_extract_foreach_batch(
     checkpoint_dir: str,
     batch_fn,
     available_now: bool = True,
+    max_files_per_batch: int = 16,
 ):
     """foreachBatch variant: `batch_fn(triples_df, batch_id)` receives each
     micro-batch's extracted triples — the hook where production code does
     Iceberg MERGE (set-semantics upsert) instead of blind append."""
-    pages = read_pages_stream(spark, input_dir)
+    pages = read_pages_stream(spark, input_dir, max_files_per_batch)
 
     def run(batch_df: DataFrame, batch_id: int) -> None:
         batch_fn(extract_triples(batch_df), batch_id)

@@ -298,3 +298,55 @@ def test_stream_url_dedup_canonical_suppression(spark, tmp_path):
     got = spark.read.parquet(out)
     canon = sorted(r["canon_url"] for r in got.collect())
     assert canon == ["https://ex.com/p", "https://ex.com/q?a=1&b=2"]
+
+
+def test_stream_extract_with_delta_commits(spark, tmp_path):
+    """End-to-end incremental KG: micro-batched extraction feeds
+    commit_delta per batch — the store converges to the batch-mode
+    triple set, and the patch chain records one version per micro-batch
+    with time travel back to the first commit."""
+    from ocaml_rdf_spark.datagen import gen_pages_df
+    from ocaml_rdf_spark.extract import dedup_triples, extract_triples, split_errors
+    from ocaml_rdf_spark.pipeline import Pipeline, commit_delta, store_at_version
+    from ocaml_rdf_spark.streaming import stream_extract_foreach_batch
+    from ocaml_rdf_spark.types import TRIPLE_KEY
+
+    pages_dir = str(tmp_path / "pages")
+    # two files -> with maxFilesPerTrigger=1 the drain yields 2 micro-batches
+    gen_pages_df(spark, 40, parts=1).write.parquet(pages_dir + "/p1")
+    gen_pages_df(spark, 80, parts=1).filter("url LIKE '%4%'").write.parquet(
+        pages_dir + "/p2"
+    )
+
+    root = str(tmp_path / "pipe")
+    state = {"versions": []}
+
+    def apply_batch(triples, batch_id):
+        batch = dedup_triples(split_errors(triples)[0]).select(*TRIPLE_KEY)
+        marker = Pipeline(spark, root, "seed").io.is_committed("store")
+        if marker is None:
+            Pipeline(spark, root, f"b{batch_id}").stage(
+                "store", lambda sp, p: batch
+            ).run()
+        else:
+            prev = Pipeline(spark, root, "x").io.read(spark, "store")
+            merged = prev.unionByName(batch).dropDuplicates(TRIPLE_KEY)
+            m = commit_delta(spark, root, "store", merged, f"b{batch_id}")
+            state["versions"].append((m["n_added"], m["n_removed"]))
+
+    q = stream_extract_foreach_batch(
+        spark, pages_dir + "/p*", str(tmp_path / "ckpt"), apply_batch,
+        available_now=True, max_files_per_batch=1,
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(root + "/store/data").select(*TRIPLE_KEY)
+    # batch-mode reference over the SAME page files
+    all_pages = spark.read.parquet(pages_dir + "/p1", pages_dir + "/p2")
+    want = dedup_triples(split_errors(extract_triples(all_pages))[0]).select(*TRIPLE_KEY)
+    assert got.subtract(want).count() == 0 and want.subtract(got).count() == 0
+    # incremental commits only ADD (monotone union), and v0 time-travels
+    # back to the first micro-batch's store
+    assert state["versions"] and all(rm == 0 for _a, rm in state["versions"])
+    v0 = store_at_version(spark, root, "store", 0)
+    assert 0 < v0.count() < got.count()
