@@ -3854,7 +3854,9 @@ m AS (
   SELECT doc_id,
          len(ws) AS n_words,
          greatest(len(lines), 1) AS n_lines,
-         list_sum(list_transform(ws, w -> strlen(w))) AS total_chars,
+         -- length() = characters (Spark's length); strlen() is BYTES and
+         -- diverges on multibyte codepoints (caught by the fuzz harness)
+         list_sum(list_transform(ws, w -> length(w))) AS total_chars,
          len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS n_bullet,
          len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\.\.\.|…)$'))) AS n_ellipsis,
          len(list_filter(lines, l -> regexp_matches(rtrim(l), '[.!?"]$'))) AS n_terminal,

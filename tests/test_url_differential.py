@@ -109,3 +109,38 @@ def test_normalize_literals_cross_engine(spark):
     }
     diffs = [(rows[i][1], rows[i][2], got[i], want[i]) for i in got if got[i] != want[i]]
     assert not diffs, diffs[:8]
+
+
+def test_quality_rules_cross_engine(spark):
+    """quality_rules vs the suite's DuckDB mirror on seeded-random
+    multi-line texts (bullets, ellipses both spellings, hashes, unicode,
+    empty/whitespace lines) — the rule battery is regex-heavy dual code."""
+    from ocaml_rdf_spark.operators.textops import quality_rules
+    from ocaml_rdf_spark.suite import SQL_QUALITY_RULES
+
+    rng = random.Random(7)
+    words = ["word", "a", "hyperlongword", "#tag", "x1", "…", "...", "end."]
+    line_starts = ["", "- ", "* ", "• ", "  - ", "plain "]
+    line_ends = ["", ".", "...", "…", "!", '?"', " "]
+
+    def gen_text():
+        lines = []
+        for _ in range(rng.randint(0, 6)):
+            body = " ".join(rng.choice(words) for _ in range(rng.randint(0, 12)))
+            lines.append(rng.choice(line_starts) + body + rng.choice(line_ends))
+        return "\n".join(lines)
+
+    rows = [(i, gen_text()) for i in range(250)]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    sdf = spark.createDataFrame(pdf)
+    got = {r["doc_id"]: tuple(r[c] for c in sorted(r.asDict()) if c != "doc_id")
+           for r in quality_rules(sdf).collect()}
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    ddf = con.sql(SQL_QUALITY_RULES).df()
+    cols = [c for c in sorted(ddf.columns) if c != "doc_id"]
+    want = {int(r["doc_id"]): tuple(r[c] for c in cols)
+            for r in ddf.to_dict("records")}
+    diffs = [(rows[i][1][:60], got[i], want[i]) for i in got if got[i] != want[i]]
+    assert not diffs, diffs[:3]
