@@ -136,6 +136,7 @@ def main() -> None:
         "random_walks",
         "skipgram",
         "neg_samples",
+        "pair_lift",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

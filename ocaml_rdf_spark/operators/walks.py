@@ -179,3 +179,32 @@ def negative_samples(
             .otherwise(F.col("n2")).alias("neg"),
         )
     )
+
+
+def pair_lift(pairs: DataFrame, scale: int = 1_000_000) -> DataFrame:
+    """Association (lift) scores for a (center, context, n) pair table →
+    (center, context, n, lift_x1M) where lift = P(c,ctx)/(P(c)P(ctx)) =
+    n * N / (n_c * n_ctx), floor-scaled ×`scale`. log(lift) is PMI; the
+    log is omitted for the same reason as bm25_rank's idf — it is the
+    only non-correctly-rounded op, and lift is monotone in PMI, so
+    ranking/thresholding behavior is identical while every value stays
+    an exact cross-engine integer (inputs < 2^53 ⇒ IEEE division is
+    exact-then-floored identically everywhere).
+
+    Shape: two marginal aggregations (center, context) + one 1-row grand
+    total — all broadcast back; the pair table is touched once."""
+    nc = pairs.groupBy("center").agg(F.sum("n").alias("n_c"))
+    nx = pairs.groupBy("context").agg(F.sum("n").alias("n_x"))
+    tot = pairs.agg(F.sum("n").alias("nn"))
+    return (
+        pairs.join(F.broadcast(nc), "center")
+        .join(F.broadcast(nx), "context")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "center", "context", "n",
+            F.floor(
+                (F.lit(scale) * F.col("n") * F.col("nn")).cast("double")
+                / (F.col("n_c") * F.col("n_x"))
+            ).cast("long").alias("lift_x1m"),
+        )
+    )

@@ -4132,3 +4132,33 @@ JOIN tbl t2 ON t2.rank = (d.idx % d.m) + 1
 
 
 QUERIES["neg_samples"] = (q_neg_samples, _neg_samples_sql(2, 64))
+
+
+def q_pair_lift(spark, sf):
+    """Lift (PMI-surrogate) scores over the skip-gram pair table —
+    integer-exact association mining on the walk corpus."""
+    from .operators.walks import pair_lift
+
+    return pair_lift(q_skipgram(spark, sf))
+
+
+def _pair_lift_sql() -> str:
+    base = _skipgram_sql()
+    tail = base.rstrip().rsplit("SELECT center, context", 1)
+    return (
+        tail[0]
+        + """, pairs AS MATERIALIZED (
+SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n
+FROM pr GROUP BY center, context
+),
+nc AS (SELECT center, SUM(n) AS n_c FROM pairs GROUP BY center),
+nx AS (SELECT context, SUM(n) AS n_x FROM pairs GROUP BY context),
+tot AS (SELECT SUM(n) AS nn FROM pairs)
+SELECT p.center, p.context, p.n,
+       CAST(floor(CAST(1000000 * p.n * t.nn AS DOUBLE) / (c.n_c * x.n_x)) AS BIGINT) AS lift_x1m
+FROM pairs p JOIN nc c USING (center) JOIN nx x USING (context) CROSS JOIN tot t
+"""
+    )
+
+
+QUERIES["pair_lift"] = (q_pair_lift, _pair_lift_sql())

@@ -941,3 +941,17 @@ def test_negative_samples_determinism_and_bump(spark):
     # 'a' bump back onto the single slot (degenerate, documented)
     out3 = {(r["center"], r["context"], r["j"]): r["neg"] for r in negative_samples(pairs, k=1, table_size=1).collect()}
     assert all(n == "a" for n in out3.values())
+
+
+def test_pair_lift_hand_computed(spark):
+    from ocaml_rdf_spark.operators.walks import pair_lift
+
+    pairs = spark.createDataFrame(
+        [("a", "b", 4), ("a", "c", 1), ("d", "b", 1)],
+        "center string, context string, n long",
+    )
+    # N=6; n_a=5, n_d=1; n_b=5, n_c=1
+    out = {(r["center"], r["context"]): r["lift_x1m"] for r in pair_lift(pairs).collect()}
+    assert out[("a", "b")] == 1_000_000 * 4 * 6 // (5 * 5)   # 960000
+    assert out[("a", "c")] == 1_000_000 * 1 * 6 // (5 * 1)   # 1200000
+    assert out[("d", "b")] == 1_000_000 * 1 * 6 // (1 * 5)   # 1200000
