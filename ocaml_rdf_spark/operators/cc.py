@@ -398,3 +398,103 @@ def incremental_components(
         "node", F.coalesce(F.col("component"), F.col("node")).alias("component")
     )
     return updated.unionByName(fresh)
+
+
+def bfs_distances(edges: DataFrame, seeds: DataFrame, max_hops: int = 8) -> DataFrame:
+    """Multi-source BFS hop distance over directed (src, dst) string
+    edges: (node, dist) for every node reachable from `seeds` (a
+    one-column `node` frame) within `max_hops` hops, dist = MINIMUM hop
+    count (seed rows are dist 0).
+
+    Level-synchronous frontier expansion — the standard distributed-BFS
+    shape (Pregel's SSSP specialization for unit weights): each round
+    joins the CURRENT frontier against the edge table (hash join keyed
+    on src), dedups the hop's discoveries, and anti-joins the visited
+    set so a node is claimed by its first (= shortest) level. Integer
+    hop counts mean no fp drift; the result is bit-identical across
+    partitionings and engines, so the suite value-oracles it against a
+    `max_hops`-times-unrolled DuckDB min-dist mirror.
+
+    Scale: the visited set grows monotonically but participates only as
+    the build side of a left_anti hash join; `localCheckpoint` caps the
+    O(hops) lineage exactly like transitive_closure (paths.py). Work per
+    round is |frontier ⋈ edges| — never |visited|² — and the early-out
+    isEmpty probe is one aggregate job, so a graph with diameter <
+    `max_hops` stops paying as soon as the frontier drains. Deep
+    graphs want the path-doubling closure instead (paths.py); BFS keeps
+    exact hop LABELS, which doubling destroys."""
+    e = edges.select("src", "dst").dropDuplicates()
+    dist = seeds.select("node").dropDuplicates().select(
+        "node", F.lit(0).cast("long").alias("dist")
+    )
+    frontier = dist
+    for h in range(1, max_hops + 1):
+        # cap lineage at the top of each round; the RETURNED frame keeps
+        # its last union+anti-join plan visible for the plan audit
+        if h > 1:
+            dist = dist.localCheckpoint(eager=False)
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .dropDuplicates()
+            .join(dist, "node", "left_anti")
+            .select("node", F.lit(h).cast("long").alias("dist"))
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt)
+        frontier = nxt
+    return dist
+
+
+def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007, the deterministic variant) over undirected (src, dst)
+    string edges, run for EXACTLY `rounds` rounds → (node, label).
+
+    Every node starts labeled with its own id; each round it adopts the
+    MOST FREQUENT label among its neighbors, ties broken by minimum
+    label (isolated nodes keep their label). The fixed round count +
+    lexicographic tiebreak make the state bit-identical across
+    partitionings and engines — the suite value-oracles it against a
+    `rounds`-times-unrolled DuckDB mirror (QUALIFY row_number) — unlike
+    the classic randomized-order variant, which is unreproducible by
+    construction. Distinct from connected_components: CC converges to
+    one label per component; bounded mode-propagation finds DENSE
+    sub-communities inside a component.
+
+    Scale: each round is one hash join (edges ⋈ labels, keyed on the
+    neighbor endpoint), one map-side-combined count per (node, label),
+    and one min_by-struct argmax — no windows, no driver state; the
+    label frame is localCheckpoint'ed so lineage stays O(1) per round.
+    Hub nodes cost |their degree| count rows, partial-aggregated before
+    the shuffle."""
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates()
+    )
+    bi = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).dropDuplicates()
+    nodes = bi.select(F.col("src").alias("node")).dropDuplicates()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for i in range(rounds):
+        nbr = bi.join(
+            labels.select(F.col("node").alias("dst"), F.col("label").alias("nl")),
+            "dst",
+        ).select(F.col("src").alias("node"), F.col("nl"))
+        counts = nbr.groupBy("node", "nl").agg(F.count(F.lit(1)).alias("n"))
+        pick = counts.groupBy("node").agg(
+            F.min(F.struct((-F.col("n")).alias("negn"), F.col("nl").alias("l")))
+            .getField("l")
+            .alias("new_label")
+        )
+        labels = labels.join(pick, "node", "left").select(
+            "node", F.coalesce("new_label", "label").alias("label")
+        )
+        # cap lineage between rounds; keep the LAST round's plan visible
+        # (a trailing checkpoint would truncate it to an RDD scan)
+        if i < rounds - 1:
+            labels = labels.localCheckpoint(eager=False)
+    return labels

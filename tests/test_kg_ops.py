@@ -955,3 +955,63 @@ def test_pair_lift_hand_computed(spark):
     assert out[("a", "b")] == 1_000_000 * 4 * 6 // (5 * 5)   # 960000
     assert out[("a", "c")] == 1_000_000 * 1 * 6 // (5 * 1)   # 1200000
     assert out[("d", "b")] == 1_000_000 * 1 * 6 // (1 * 5)   # 1200000
+
+
+def test_bfs_multi_source_min_distance(spark):
+    from ocaml_rdf_spark.operators.cc import bfs_distances
+
+    # diamond + tail: s→a→c, s→b→c, c→d; second seed t→d gives d dist 1
+    e = spark.createDataFrame(
+        [("s", "a"), ("s", "b"), ("a", "c"), ("b", "c"), ("c", "d"), ("t", "d")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("s",), ("t",)], "node string")
+    out = {r["node"]: r["dist"] for r in bfs_distances(e, seeds, max_hops=8).collect()}
+    assert out == {"s": 0, "t": 0, "a": 1, "b": 1, "c": 2, "d": 1}
+
+
+def test_bfs_hop_cap_and_unreachable(spark):
+    from ocaml_rdf_spark.operators.cc import bfs_distances
+
+    # chain a→b→c→d, cap at 2 hops: d stays out; island never appears
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    out = {r["node"]: r["dist"] for r in bfs_distances(e, seeds, max_hops=2).collect()}
+    assert out == {"a": 0, "b": 1, "c": 2}
+
+
+def test_bfs_cycle_terminates(spark):
+    from ocaml_rdf_spark.operators.cc import bfs_distances
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    out = {r["node"]: r["dist"] for r in bfs_distances(e, seeds, max_hops=50).collect()}
+    assert out == {"a": 0, "b": 1, "c": 2}
+
+
+def test_label_prop_two_cliques_bridge(spark):
+    from ocaml_rdf_spark.operators.cc import label_propagation
+
+    # two 4-cliques {a,b,c,d} and {p,q,r,s} joined by bridge d–p: the mode
+    # vote keeps each clique on its own label; CC would merge them into one
+    cl = lambda ns: [(x, y) for i, x in enumerate(ns) for y in ns[i + 1:]]
+    e = spark.createDataFrame(
+        cl(["a", "b", "c", "d"]) + cl(["p", "q", "r", "s"]) + [("d", "p")],
+        "src string, dst string",
+    )
+    out = {r["node"]: r["label"] for r in label_propagation(e, rounds=3).collect()}
+    assert {out[n] for n in "abcd"} == {"a"}
+    assert {out[n] for n in "pqrs"} == {"p"}
+
+
+def test_label_prop_round_zero_is_identity(spark):
+    from ocaml_rdf_spark.operators.cc import label_propagation
+
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    out = {r["node"]: r["label"] for r in label_propagation(e, rounds=0).collect()}
+    assert out == {"a": "a", "b": "b"}
