@@ -137,6 +137,11 @@ def main() -> None:
         "skipgram",
         "neg_samples",
         "pair_lift",
+        "bfs_dist",
+        "label_prop",
+        "lm_score",
+        "cms_sketch",
+        "cms_estimate",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

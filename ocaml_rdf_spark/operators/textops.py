@@ -960,3 +960,150 @@ def encode_tokens(
             ).alias("ids_csv"),
         )
     )
+
+
+def lm_score(docs: DataFrame, scale: int = 1_000_000, text_col: str = "text") -> DataFrame:
+    """Bigram-LM pseudo-likelihood quality score — the CCNet/KenLM
+    LM-filter shape with the model trained on the corpus itself:
+    (doc_id, n_bigrams, score_sum, score_avg) where each bigram (w1, w2)
+    contributes q = (scale · n(w1,w2)) div n(w1,·), the integer-quantized
+    conditional probability. Low score_avg = improbable word sequences
+    (boilerplate, gibberish, OCR noise); high = fluent running text.
+
+    Integer-exact by construction (the integer-PageRank/BM25 precedent):
+    counts are BIGINT, q is one exact integer division, per-doc sums are
+    associative — bit-identical across partitionings and engines, so the
+    suite value-oracles it where a log-prob float LM could never hash
+    equal. Docs with < 2 tokens emit no bigrams and are absent (same rule
+    both engines).
+
+    Scale: bigram generation is scan-local (transform over the token
+    array — no self-join); the model is two map-side-combined aggs whose
+    output is vocabulary²-bounded, NOT corpus-bounded; the score join is
+    a hash join on (w1, w2) with AQE skew handling for stop-word pairs.
+    At extreme corpus sizes prune the model to top-k bigrams per w1
+    before the join (the table stays a filter-pushed parquet side) and
+    drop `scale` to 10⁴ so scale·n stays far from 2⁶³."""
+    toks = docs.withColumn("__t", _norm_tokens(text_col))
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(__t) >= 2 THEN transform(sequence(1, size(__t) - 1), "
+                "i -> struct(element_at(__t, i) AS w1, element_at(__t, i + 1) AS w2)) "
+                "ELSE array() END"
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    cp = cb.groupBy("w1").agg(F.sum("n").alias("np"))
+    q = cb.join(cp, "w1").select("w1", "w2", F.expr(f"{scale} * n div np").alias("q"))
+    return (
+        bg.join(q, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("q").alias("score_sum"),
+            F.expr("sum(q) div count(1)").alias("score_avg"),
+        )
+    )
+
+
+def cms_sketch(docs: DataFrame, depth: int = 4, width: int = 64, text_col: str = "text") -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) of corpus token
+    frequencies: a depth×width BIGINT counter grid as (r, c, cnt) rows
+    (nonzero cells only) — counter(r, c) = Σ occurrences of tokens with
+    h_r(tok) = c, h_r = md5-derived (deterministic, seeded by the row
+    index). Point estimate for any token = min over r of
+    counter[r, h_r(tok)] — see `cms_estimate` for the read path.
+
+    The sketch is THE mergeable-summary scale story: per partition the
+    reducer state is ≤ depth·width counters regardless of corpus size,
+    one map-side-combined shuffle carries ≤ depth·width rows per task,
+    and sketches of shards merge by cell-wise addition (integer sums ⇒
+    associative ⇒ bit-identical across partitionings and engines, so the
+    cells value-oracle exactly — a uniqueness no sampled summary has)."""
+    toks = docs.select(F.explode(_norm_tokens(text_col)).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat_ws("\x1f", F.lit(str(r)), F.col("tok"))), 1, 15
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % width
+                ).alias("c"),
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        toks.select(F.explode(arr).alias("x"))
+        .select(F.col("x.r").alias("r"), F.col("x.c").alias("c"))
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    docs: DataFrame, probe_k: int = 20, depth: int = 4, width: int = 64, text_col: str = "text"
+) -> DataFrame:
+    """Count-min read path over `cms_sketch`: for the probe_k most
+    frequent tokens (exact top-k, ties token-asc — a deterministic probe
+    set), (tok, exact_n, est) where est = min over rows r of the sketch
+    cell the token hashes into. CMS guarantees est ≥ exact_n; the suite
+    oracle pins the exact estimate values, and the ≥ invariant is
+    pytest-checked.
+
+    Scale: the probe set is probe_k rows and the sketch depth·width rows
+    — both parameter-bounded, so the probe⋈sketch join broadcasts no
+    matter the corpus size; only the exact top-k (already the audited
+    vocab_topk shape) touches corpus-sized data."""
+    sk = cms_sketch(docs, depth=depth, width=width, text_col=text_col)
+    toks = docs.select(F.explode(_norm_tokens(text_col)).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("tok").asc())
+        .limit(probe_k)
+    )
+    probes = top.select(
+        "tok",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(F.concat_ws("\x1f", F.lit(str(r)), F.col("tok"))),
+                                    1,
+                                    15,
+                                ),
+                                16,
+                                10,
+                            ).cast("long")
+                            % width
+                        ).alias("c"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("x"),
+    ).select("tok", "exact_n", F.col("x.r").alias("r"), F.col("x.c").alias("c"))
+    return (
+        probes.join(F.broadcast(sk), ["r", "c"])
+        .groupBy("tok", "exact_n")
+        .agg(F.min("cnt").alias("est"))
+    )

@@ -4162,3 +4162,206 @@ FROM pairs p JOIN nc c USING (center) JOIN nx x USING (context) CROSS JOIN tot t
 
 
 QUERIES["pair_lift"] = (q_pair_lift, _pair_lift_sql())
+
+
+def _chain_graph(spark, sf):
+    """The deterministic chain-with-chords customer graph shared by the
+    walk/BFS/label-prop queries: per-nation custkey order gives rn, edges
+    rn→rn+1 and rn→rn+2 (a DAG with known structure on any scale)."""
+    from pyspark.sql.window import Window
+
+    cu = spark.read.parquet(f"{sf}/customer.parquet")
+    r = cu.select(
+        F.col("c_custkey").cast("string").alias("k"),
+        "c_nationkey",
+        F.row_number().over(Window.partitionBy("c_nationkey").orderBy("c_custkey")).alias("rn"),
+    )
+    hop1 = r.select("c_nationkey", (F.col("rn") - 1).alias("rn"), F.col("k").alias("dst"))
+    hop2 = r.select("c_nationkey", (F.col("rn") - 2).alias("rn"), F.col("k").alias("dst"))
+    e = (
+        r.join(hop1, ["c_nationkey", "rn"]).select(F.col("k").alias("src"), "dst")
+        .unionByName(r.join(hop2, ["c_nationkey", "rn"]).select(F.col("k").alias("src"), "dst"))
+    )
+    return r, e
+
+
+#: shared CTE text for the same graph on the DuckDB side (kept in lockstep
+#: with _chain_graph and _walks_sql)
+_CHAIN_SQL = """r AS (
+  SELECT CAST(c_custkey AS VARCHAR) AS kk, c_nationkey,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS rn
+  FROM customer
+),
+raw AS (
+  SELECT a.kk AS src, b.kk AS dst FROM r a JOIN r b
+    ON a.c_nationkey = b.c_nationkey AND b.rn = a.rn + 1
+  UNION ALL
+  SELECT a.kk, b.kk FROM r a JOIN r b
+    ON a.c_nationkey = b.c_nationkey AND b.rn = a.rn + 2
+)"""
+
+
+def q_bfs_dist(spark, sf):
+    """Multi-source BFS hop distances (max 8 hops) from each nation
+    chain's head over the chain-with-chords graph — the Pregel-SSSP
+    shape (unit weights) with exact integer hop labels."""
+    from .operators.cc import bfs_distances
+
+    r, e = _chain_graph(spark, sf)
+    seeds = r.filter(F.col("rn") == 1).select(F.col("k").alias("node"))
+    return bfs_distances(e, seeds, max_hops=8)
+
+
+def _bfs_sql(hops: int) -> str:
+    parts = [
+        "WITH " + _CHAIN_SQL + """,
+s0 AS (SELECT kk AS node, 0 AS dist FROM r WHERE rn = 1)"""
+    ]
+    for h in range(1, hops + 1):
+        parts.append(
+            f""",
+s{h} AS MATERIALIZED (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM s{h - 1}
+    UNION ALL
+    SELECT e.dst, s.dist + 1 FROM s{h - 1} s JOIN raw e ON e.src = s.node
+  ) GROUP BY node
+)"""
+        )
+    parts.append(f"\nSELECT node, CAST(dist AS BIGINT) AS dist FROM s{hops}")
+    return "".join(parts)
+
+
+QUERIES["bfs_dist"] = (q_bfs_dist, _bfs_sql(8))
+
+
+def q_label_prop(spark, sf):
+    """Deterministic synchronous label propagation (3 rounds, mode label,
+    min tiebreak) over the undirected chain-with-chords graph — bounded
+    community detection, exact against a 3×-unrolled QUALIFY mirror."""
+    from .operators.cc import label_propagation
+
+    _r, e = _chain_graph(spark, sf)
+    return label_propagation(e, rounds=3)
+
+
+def _label_prop_sql(rounds: int) -> str:
+    parts = [
+        "WITH " + _CHAIN_SQL + """,
+bi AS (SELECT src, dst FROM raw WHERE src <> dst
+       UNION SELECT dst, src FROM raw WHERE src <> dst),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM bi)"""
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f""",
+c{t} AS (
+  SELECT b.src AS node, l.label AS nl, COUNT(*) AS n
+  FROM bi b JOIN l{t - 1} l ON l.node = b.dst
+  GROUP BY b.src, l.label
+),
+l{t} AS MATERIALIZED (
+  SELECT node, nl AS label FROM c{t}
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY node ORDER BY n DESC, nl ASC) = 1
+)"""
+        )
+    parts.append(f"\nSELECT node, label FROM l{rounds}")
+    return "".join(parts)
+
+
+QUERIES["label_prop"] = (q_label_prop, _label_prop_sql(3))
+
+
+#: shared DuckDB tokenization CTE (lockstep with textops._norm_tokens)
+_TOKS_SQL = """nt AS (
+  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+  FROM documents
+)"""
+
+
+def q_lm_score(spark, sf):
+    """Bigram-LM pseudo-likelihood quality scores (corpus-trained model,
+    integer-quantized conditional probabilities) — the CCNet-style LM
+    quality filter, value-exact cross-engine."""
+    from .operators.textops import lm_score
+
+    return lm_score(_docs(spark, sf))
+
+
+SQL_LM_SCORE = f"""
+WITH {_TOKS_SQL},
+bg AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM nt, unnest(range(1, len(toks))) AS t(i)
+),
+cb AS (SELECT w1, w2, COUNT(*) AS n FROM bg GROUP BY w1, w2),
+cp AS (SELECT w1, SUM(n) AS np FROM cb GROUP BY w1),
+q AS (SELECT w1, w2, (1000000 * n) // np AS qv FROM cb JOIN cp USING (w1))
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(qv) AS BIGINT) AS score_sum,
+       CAST(SUM(qv) // COUNT(*) AS BIGINT) AS score_avg
+FROM bg JOIN q USING (w1, w2) GROUP BY doc_id
+"""
+
+QUERIES["lm_score"] = (q_lm_score, SQL_LM_SCORE)
+
+
+def q_cms_sketch(spark, sf):
+    """Count-min sketch cells (4×64 BIGINT grid) over the corpus token
+    stream — the mergeable-summary shape; cell counts are integer sums,
+    bit-identical across partitionings and engines."""
+    from .operators.textops import cms_sketch
+
+    return cms_sketch(_docs(spark, sf))
+
+
+_CMS_CELLS_SQL = """tok AS (
+  SELECT toks[i] AS tok
+  FROM nt, unnest(range(1, len(toks) + 1)) AS t(i)
+  WHERE toks[i] <> ''
+),
+cells AS (
+  SELECT rr.r AS r,
+         ('0x' || substr(md5(CAST(rr.r AS VARCHAR) || chr(31) || tok), 1, 15))::BIGINT % 64 AS c
+  FROM tok, unnest(range(4)) AS rr(r)
+),
+sketch AS (
+  SELECT CAST(r AS INT) AS r, c, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM cells GROUP BY r, c
+)"""
+
+SQL_CMS_SKETCH = f"""
+WITH {_TOKS_SQL},
+{_CMS_CELLS_SQL}
+SELECT r, c, cnt FROM sketch
+"""
+
+QUERIES["cms_sketch"] = (q_cms_sketch, SQL_CMS_SKETCH)
+
+
+def q_cms_estimate(spark, sf):
+    """Count-min read path: point estimates (min over sketch rows) for
+    the 20 most frequent tokens, alongside their exact counts — pins the
+    over-estimate values exactly, not just the CMS ≥ invariant."""
+    from .operators.textops import cms_estimate
+
+    return cms_estimate(_docs(spark, sf))
+
+
+SQL_CMS_ESTIMATE = f"""
+WITH {_TOKS_SQL},
+{_CMS_CELLS_SQL},
+tokc AS (SELECT tok, COUNT(*) AS exact_n FROM tok GROUP BY tok),
+top AS (SELECT tok, exact_n FROM tokc ORDER BY exact_n DESC, tok ASC LIMIT 20),
+probes AS (
+  SELECT tok, exact_n, CAST(rr.r AS INT) AS r,
+         ('0x' || substr(md5(CAST(rr.r AS VARCHAR) || chr(31) || tok), 1, 15))::BIGINT % 64 AS c
+  FROM top, unnest(range(4)) AS rr(r)
+)
+SELECT p.tok, CAST(p.exact_n AS BIGINT) AS exact_n, CAST(MIN(s.cnt) AS BIGINT) AS est
+FROM probes p JOIN sketch s ON s.r = p.r AND s.c = p.c
+GROUP BY p.tok, p.exact_n
+"""
+
+QUERIES["cms_estimate"] = (q_cms_estimate, SQL_CMS_ESTIMATE)

@@ -384,6 +384,35 @@ def main() -> None:
             ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
             ("no cartesian product", r"CartesianProduct", "absent"),
         ]),
+        ("bfs_dist", [
+            # level-synchronous BFS: frontier ⋈ edges is a hash equi-join;
+            # visited-set exclusion is a hash anti join, never nested-loop
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
+        ("label_prop", [
+            # per-round: edges ⋈ labels hash join, map-side-combined
+            # (node, label) counts, min_by-struct argmax — the argmax is
+            # an aggregate, NOT a per-node window (the only Window nodes
+            # allowed are the test graph builder's row_number edges)
+            ("hash aggregation (votes + argmax)", r"HashAggregate"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
+        ("lm_score", [
+            # model training = two map-side-combined aggs; score join is a
+            # hash equi-join on (w1, w2); bigram generation is scan-local
+            ("hash aggregation (model + per-doc)", r"HashAggregate"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
+        ("cms_sketch", [
+            # the mergeable summary: map-side partial agg means each task
+            # emits ≤ depth·width rows; ONE exchange, no joins at all
+            ("map-side-combined aggregation", r"HashAggregate"),
+            ("single shuffle", r"\(\d+\) Exchange", "count", 1),
+            ("no joins", r"Join", "absent"),
+        ]),
         ("nfc_text", [
             # the ONE sanctioned Python column: must be the Arrow-batched
             # pandas-UDF path, never row-at-a-time BatchEvalPython

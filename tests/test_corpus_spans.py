@@ -273,3 +273,78 @@ def test_encode_tokens_ranks_and_oov(spark):
     assert out[1]["ids_csv"] == "2,2,2,1,1,3"
     assert out[2]["ids_csv"] == "1,0"
     assert out[1]["n_tok"] == 6 and out[2]["n_tok"] == 2
+
+
+# ---------------------------------------------------------------------------
+# bigram LM scoring + count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def test_lm_score_hand_computed(spark):
+    from ocaml_rdf_spark.operators.textops import lm_score
+
+    # corpus: "a b" ×3 and "a c" ×1 → n(a,b)=3, n(a,c)=1, n(a,·)=4
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a b"), (4, "a c")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in lm_score(docs).collect()}
+    assert out[1]["n_bigrams"] == 1
+    assert out[1]["score_sum"] == 750_000  # 1e6 * 3 // 4
+    assert out[4]["score_sum"] == 250_000  # 1e6 * 1 // 4
+    assert out[1]["score_avg"] == 750_000
+
+
+def test_lm_score_fluent_beats_shuffled(spark):
+    from ocaml_rdf_spark.operators.textops import lm_score
+
+    # repeated fluent sentence vs a one-off scramble of the same words:
+    # the scramble's bigrams are rare under the corpus model
+    fluent = "the cat sat on the mat"
+    docs = spark.createDataFrame(
+        [(i, fluent) for i in range(5)] + [(99, "mat the on sat cat the")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["score_avg"] for r in lm_score(docs).collect()}
+    assert out[0] > out[99]
+
+
+def test_lm_score_short_docs_absent(spark):
+    from ocaml_rdf_spark.operators.textops import lm_score
+
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, "a b")], "doc_id long, text string"
+    )
+    ids = {r["doc_id"] for r in lm_score(docs).collect()}
+    assert ids == {3}
+
+
+def test_cms_overestimates_and_totals(spark):
+    import pyspark.sql.functions as F
+
+    from ocaml_rdf_spark.operators.textops import cms_estimate, cms_sketch
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma alpha") for i in range(10)], "doc_id long, text string"
+    )
+    cells = cms_sketch(docs).collect()
+    # every sketch row r sums to the total token count (40)
+    per_row = {}
+    for r in cells:
+        per_row[r["r"]] = per_row.get(r["r"], 0) + r["cnt"]
+    assert per_row == {0: 40, 1: 40, 2: 40, 3: 40}
+    est = {r["tok"]: r for r in cms_estimate(docs, probe_k=3).collect()}
+    assert est["alpha"]["exact_n"] == 20
+    for r in est.values():
+        assert r["est"] >= r["exact_n"]  # CMS never under-estimates
+
+
+def test_cms_partitioning_invariant(spark):
+    from ocaml_rdf_spark.operators.textops import cms_sketch
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{i % 3} common") for i in range(50)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, cms_sketch(docs.repartition(1)).collect()))
+    b = sorted(map(tuple, cms_sketch(docs.repartition(13)).collect()))
+    assert a == b
