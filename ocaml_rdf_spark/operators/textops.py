@@ -1107,3 +1107,57 @@ def cms_estimate(
         .groupBy("tok", "exact_n")
         .agg(F.min("cnt").alias("est"))
     )
+
+
+def chunk_docs(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """Context-window chunking: split each document's normalized token
+    stream into windows of `chunk_tokens` tokens advancing by
+    `chunk_tokens - overlap` (so consecutive chunks share `overlap`
+    tokens — the standard training/RAG chunking shape) →
+    (doc_id, chunk_id, start_tok, n_toks, chunk_text).
+
+    Semantics pinned for the cross-engine oracle: chunk i starts at
+    token i·step (0-based); chunks stop as soon as the window covers
+    the final token — ⌈(n-chunk_tokens)/step⌉+1 chunks, so only the
+    LAST chunk may be short and no degenerate tail window is emitted;
+    a doc with n ≤ chunk_tokens yields exactly one chunk;
+    empty/whitespace docs yield none. Offsets are exact integers.
+
+    Scale: scan-local — tokenize, a `sequence`+`explode` bounded by
+    ⌈n/step⌉ per doc, and two `slice`/`array_join` projections; no
+    shuffle, no Python, whole-stage codegen end to end. Output row
+    width is bounded by chunk_tokens, so downstream (embedding,
+    packing) partitions stay balanced even when source docs are
+    pathologically long — exactly why chunking exists at 100 TB."""
+    if not (0 <= overlap < chunk_tokens):
+        raise ValueError("chunk_docs: require 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    t = docs.select(
+        "doc_id", _norm_tokens(text_col).alias("__t")
+    ).withColumn("__n", F.size("__t")).filter(
+        (F.col("__n") > 0) & (F.element_at("__t", 1) != "")
+    )
+    # chunk count: 1 for n <= chunk_tokens, else 1 + ceil((n - chunk_tokens)/step)
+    nchunks = F.when(F.col("__n") <= chunk_tokens, F.lit(1)).otherwise(
+        F.lit(1) + F.expr(f"(__n - {chunk_tokens} + {step} - 1) div {step}")
+    )
+    out = t.select(
+        "doc_id", "__t", "__n",
+        F.explode(F.sequence(F.lit(0), nchunks - 1)).alias("chunk_id"),
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        (F.col("chunk_id") * step).cast("long").alias("start_tok"),
+        F.least(F.lit(chunk_tokens), F.col("__n") - F.col("chunk_id") * step)
+        .cast("long")
+        .alias("n_toks"),
+        F.array_join(
+            F.slice(F.col("__t"), F.col("chunk_id") * step + 1, F.lit(chunk_tokens)), " "
+        ).alias("chunk_text"),
+    )
+    return out

@@ -4365,3 +4365,105 @@ GROUP BY p.tok, p.exact_n
 """
 
 QUERIES["cms_estimate"] = (q_cms_estimate, SQL_CMS_ESTIMATE)
+
+
+def q_hll_sketch(spark, sf):
+    """Per-group HyperLogLog register state (64 buckets, md5-ranked):
+    distinct-user sketch per event_type — the fixed-size mergeable
+    per-KEY summary (cell-wise MAX merge), one map-side-combined agg."""
+    from .operators.sketches import hll_sketch
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return hll_sketch(ev, "user_id", ["event_type"])
+
+
+def q_hll_estimate(spark, sf):
+    """HLL read path: integer-exact raw estimator + the 64-entry
+    linear-counting literal table for the small range — every value
+    (nb, s_sum, est) oracled exactly, unlike library approx_count_distinct."""
+    from .operators.sketches import hll_estimate
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return hll_estimate(ev, "user_id", ["event_type"])
+
+
+from .operators.sketches import hll_oracle_sql as _hll_sql  # noqa: E402
+
+QUERIES["hll_sketch"] = (q_hll_sketch, _hll_sql("events", "user_id", ["event_type"]))
+QUERIES["hll_estimate"] = (q_hll_estimate, _hll_sql("events", "user_id", ["event_type"], estimate=True))
+
+
+def q_chunk_docs(spark, sf):
+    """Context-window chunking (64-token windows, 16-token overlap) over
+    the documents table — scan-local, integer offsets, bounded row width."""
+    from .operators.textops import chunk_docs
+
+    return chunk_docs(_docs(spark, sf), chunk_tokens=64, overlap=16)
+
+
+def _chunk_sql(chunk: int, overlap: int) -> str:
+    step = chunk - overlap
+    return f"""
+WITH {_TOKS_SQL},
+d AS (
+  SELECT doc_id, toks, len(toks) AS n FROM nt
+  WHERE len(toks) > 0 AND toks[1] <> ''
+),
+c AS (
+  SELECT doc_id, CAST(t.i AS BIGINT) AS chunk_id, n, toks
+  FROM d, unnest(range(0,
+      CASE WHEN n <= {chunk} THEN 1 ELSE 1 + (n - {chunk} + {step} - 1) // {step} END
+  )) AS t(i)
+)
+SELECT doc_id, chunk_id,
+       CAST(chunk_id * {step} AS BIGINT) AS start_tok,
+       CAST(LEAST({chunk}, n - chunk_id * {step}) AS BIGINT) AS n_toks,
+       array_to_string(list_slice(toks, chunk_id * {step} + 1, chunk_id * {step} + {chunk}), ' ') AS chunk_text
+FROM c
+"""
+
+
+QUERIES["chunk_docs"] = (q_chunk_docs, _chunk_sql(64, 16))
+
+
+def q_linkpred(spark, sf):
+    """Link-prediction scoring (common neighbors + integer resource-
+    allocation index) over the undirected chain-with-chords customer
+    graph — wedge-generated, hub-capped, direct edges anti-joined out."""
+    from .operators.linking import linkpred_scores
+
+    _r, e = _chain_graph(spark, sf)
+    return linkpred_scores(e, max_degree=1000)
+
+
+SQL_LINKPRED = (
+    "WITH "
+    + _CHAIN_SQL
+    + """,
+e AS (
+  SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM raw WHERE src <> dst GROUP BY 1, 2
+),
+deg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY node
+),
+adj AS (SELECT a AS z, b AS x FROM e UNION ALL SELECT b, a FROM e),
+centers AS (SELECT node AS z, 1000000 // deg AS w FROM deg WHERE deg <= 1000),
+cadj AS (SELECT adj.z, x, w FROM adj JOIN centers USING (z)),
+wedges AS (
+  SELECT c1.z, c1.w, c1.x AS a, c2.x AS b
+  FROM cadj c1 JOIN cadj c2 ON c1.z = c2.z AND c1.x < c2.x
+),
+scored AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cn, CAST(SUM(w) AS BIGINT) AS ra
+  FROM wedges GROUP BY a, b
+)
+SELECT s.a, s.b, s.cn, s.ra
+FROM scored s LEFT JOIN e ON s.a = e.a AND s.b = e.b
+WHERE e.a IS NULL
+"""
+)
+
+QUERIES["linkpred"] = (q_linkpred, SQL_LINKPRED)

@@ -348,3 +348,68 @@ def test_cms_partitioning_invariant(spark):
     a = sorted(map(tuple, cms_sketch(docs.repartition(1)).collect()))
     b = sorted(map(tuple, cms_sketch(docs.repartition(13)).collect()))
     assert a == b
+
+
+# --- chunk_docs ---------------------------------------------------------------
+
+
+def test_chunk_docs_offsets_and_overlap(spark):
+    from ocaml_rdf_spark.operators.textops import chunk_docs
+
+    toks = [f"w{i}" for i in range(10)]
+    docs = _docs(spark, [(1, " ".join(toks))])
+    out = sorted(
+        chunk_docs(docs, chunk_tokens=4, overlap=1).collect(), key=lambda r: r["chunk_id"]
+    )
+    # step 3: starts 0,3,6 — the chunk at 6 already covers the final token,
+    # so no degenerate tail chunk is emitted
+    assert [(r["start_tok"], r["n_toks"]) for r in out] == [(0, 4), (3, 4), (6, 4)]
+    assert out[0]["chunk_text"] == "w0 w1 w2 w3"
+    assert out[1]["chunk_text"] == "w3 w4 w5 w6"  # 1-token overlap
+    assert out[2]["chunk_text"] == "w6 w7 w8 w9"
+
+
+def test_chunk_docs_single_chunk_and_exact_fit(spark):
+    from ocaml_rdf_spark.operators.textops import chunk_docs
+
+    docs = _docs(spark, [(1, "a b c"), (2, " ".join(f"t{i}" for i in range(4)))])
+    out = chunk_docs(docs, chunk_tokens=4, overlap=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # n <= chunk_tokens → exactly one chunk, even at exact fit
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["n_toks"] == 3
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["n_toks"] == 4
+
+
+def test_chunk_docs_empty_doc_yields_nothing(spark):
+    from ocaml_rdf_spark.operators.textops import chunk_docs
+
+    docs = _docs(spark, [(1, ""), (2, "   "), (3, "!!!"), (4, "one")])
+    out = chunk_docs(docs, chunk_tokens=4, overlap=1).collect()
+    assert {r["doc_id"] for r in out} == {4}
+
+
+def test_chunk_docs_covers_every_token(spark):
+    from ocaml_rdf_spark.operators.textops import chunk_docs
+
+    n = 53
+    docs = _docs(spark, [(7, " ".join(f"w{i}" for i in range(n)))])
+    out = chunk_docs(docs, chunk_tokens=8, overlap=3).collect()
+    covered = set()
+    for r in out:
+        covered |= set(range(r["start_tok"], r["start_tok"] + r["n_toks"]))
+    assert covered == set(range(n))
+    # every chunk's text matches its offsets exactly
+    for r in out:
+        assert r["chunk_text"] == " ".join(
+            f"w{i}" for i in range(r["start_tok"], r["start_tok"] + r["n_toks"])
+        )
+
+
+def test_chunk_docs_rejects_bad_overlap(spark):
+    from ocaml_rdf_spark.operators.textops import chunk_docs
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        chunk_docs(_docs(spark, [(1, "a")]), chunk_tokens=4, overlap=4)

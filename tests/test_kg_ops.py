@@ -1015,3 +1015,50 @@ def test_label_prop_round_zero_is_identity(spark):
     e = spark.createDataFrame([("a", "b")], "src string, dst string")
     out = {r["node"]: r["label"] for r in label_propagation(e, rounds=0).collect()}
     assert out == {"a": "a", "b": "b"}
+
+
+def test_linkpred_path_graph(spark):
+    # a-b-c: the only candidate pair is (a,c) via center b (deg 2)
+    from ocaml_rdf_spark.operators.linking import linkpred_scores
+
+    e = _edges(spark, [("a", "b"), ("b", "c")])
+    out = linkpred_scores(e).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["a"], r["b"], r["cn"], r["ra"]) == ("a", "c", 1, 500_000)
+
+
+def test_linkpred_excludes_direct_edges(spark):
+    # triangle: every pair is adjacent → no candidates at all
+    from ocaml_rdf_spark.operators.linking import linkpred_scores
+
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("a", "c")])
+    assert linkpred_scores(e).count() == 0
+
+
+def test_linkpred_two_common_neighbors_sum(spark):
+    # a-x-b and a-y-b (a,b non-adjacent): cn=2, ra = 1/2 + 1/2 scaled
+    from ocaml_rdf_spark.operators.linking import linkpred_scores
+
+    e = _edges(spark, [("a", "x"), ("x", "b"), ("a", "y"), ("y", "b")])
+    rows = {(r["a"], r["b"]): (r["cn"], r["ra"]) for r in linkpred_scores(e).collect()}
+    assert rows[("a", "b")] == (2, 1_000_000)
+    # x and y also share {a, b} as common neighbors
+    assert rows[("x", "y")] == (2, 1_000_000)
+
+
+def test_linkpred_hub_cap_drops_mega_center(spark):
+    # star center with deg > cap generates no wedges; the true degree
+    # still feeds RA weights of surviving centers
+    from ocaml_rdf_spark.operators.linking import linkpred_scores
+
+    star = [("hub", f"s{i}") for i in range(5)] + [("s0", "s1")]
+    e = _edges(spark, star)
+    out = {(r["a"], r["b"]): (r["cn"], r["ra"]) for r in linkpred_scores(e, max_degree=4).collect()}
+    # hub (deg 5) is dropped as a center: s_i pairs via hub vanish,
+    # but (hub, s-neighbors-of-s0/s1 wedges) survive via centers s0/s1
+    assert all("hub" in pair for pair in out)
+    # undirected dup/direction invariance
+    rev = _edges(spark, [(b, a) for a, b in star] + star)
+    out2 = {(r["a"], r["b"]): (r["cn"], r["ra"]) for r in linkpred_scores(rev, max_degree=4).collect()}
+    assert out == out2

@@ -113,3 +113,59 @@ def test_hash_split_covers_everything(spark):
     a = {r["doc_id"]: r["split"] for r in out.collect()}
     b = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id").collect()}
     assert a == b
+
+
+# --- HyperLogLog ------------------------------------------------------------
+
+
+def _hll_vals(spark, vals, group="g"):
+    return spark.createDataFrame([(group, v) for v in vals], "g string, v string")
+
+
+def test_hll_sketch_is_set_function(spark):
+    # duplicates never change the register state (pure function of the SET)
+    from ocaml_rdf_spark.operators.sketches import hll_sketch
+
+    once = _hll_vals(spark, [f"u{i}" for i in range(50)])
+    thrice = once.unionByName(once).unionByName(once)
+    a = sorted(map(tuple, hll_sketch(once, "v", ["g"]).collect()))
+    b = sorted(map(tuple, hll_sketch(thrice, "v", ["g"]).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_hll_merge_is_cellwise_max(spark):
+    # sketch(A ∪ B) == per-bucket max of sketch(A), sketch(B) — the
+    # mergeable-summary contract that makes per-key rollups one agg
+    from ocaml_rdf_spark.operators.sketches import hll_sketch
+
+    a = _hll_vals(spark, [f"a{i}" for i in range(200)])
+    b = _hll_vals(spark, [f"b{i}" for i in range(200)])
+    whole = {r["r_bucket"]: r["reg"] for r in hll_sketch(a.unionByName(b), "v", ["g"]).collect()}
+    pa = {r["r_bucket"]: r["reg"] for r in hll_sketch(a, "v", ["g"]).collect()}
+    pb = {r["r_bucket"]: r["reg"] for r in hll_sketch(b, "v", ["g"]).collect()}
+    merged = {k: max(pa.get(k, 0), pb.get(k, 0)) for k in set(pa) | set(pb)}
+    assert whole == merged
+
+
+def test_hll_estimate_accuracy_tiers(spark):
+    # small range: linear counting keeps tiny sets near-exact;
+    # large range: raw estimator within the ~13% rse tier (3 sigma)
+    from ocaml_rdf_spark.operators.sketches import hll_estimate
+
+    small = _hll_vals(spark, [f"s{i}" for i in range(20)])
+    est = hll_estimate(small, "v", ["g"]).collect()[0]["est"]
+    assert abs(est - 20) <= 6
+
+    big = _hll_vals(spark, [f"x{i}" for i in range(20000)])
+    est = hll_estimate(big, "v", ["g"]).collect()[0]["est"]
+    assert abs(est - 20000) <= 20000 * 0.40
+
+
+def test_hll_groups_are_independent(spark):
+    from ocaml_rdf_spark.operators.sketches import hll_estimate
+
+    df = _hll_vals(spark, [f"u{i}" for i in range(300)], group="g1").unionByName(
+        _hll_vals(spark, ["only"], group="g2")
+    )
+    rows = {r["g"]: r["est"] for r in hll_estimate(df, "v", ["g"]).collect()}
+    assert rows["g2"] == 1 and rows["g1"] > 100
