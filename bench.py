@@ -142,6 +142,11 @@ def main() -> None:
         "lm_score",
         "cms_sketch",
         "cms_estimate",
+        "hll_sketch",
+        "hll_estimate",
+        "chunk_docs",
+        "linkpred",
+        "scd2_asof",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

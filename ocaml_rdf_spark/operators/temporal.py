@@ -124,3 +124,55 @@ def range_join(
         (F.col("__rus") >= F.col("__lo")) & (F.col("__rus") < F.col("__hi"))
     )
     return out.drop("__bin", "__lo", "__hi", "__rus")
+
+
+def snapshot_intervals(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    order_cols: Sequence[str] = (),
+    payload: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """SCD2 interval reconstruction: turn a per-key history of observed
+    states (e.g. re-crawled page snapshots keyed by url) into half-open
+    validity intervals → (keys…, valid_from_us, valid_to_us, payload…),
+    `valid_to_us` NULL for the currently-valid row. A later probe
+    `valid_from <= T < valid_to` answers "what did we believe at time T"
+    — the point-in-time join every re-crawl corpus needs (and the batch
+    shape of pipeline.py's time travel, per-row instead of per-commit).
+
+    Ties on ts are ordered by `order_cols` (pass a unique id for
+    determinism); the earlier row of a tie gets a zero-length interval,
+    which no half-open probe can match — exactly the "overwritten within
+    one batch" semantics. Timestamps come back as epoch MICROSECONDS
+    (integers travel exactly across engines; the raw ts stays available
+    via valid_from_us for reconstruction).
+
+    Scale: ONE shuffle on the keys (the lead window); the probe is a
+    map-only filter afterward, and at warehouse scale valid_from is the
+    partition column so a point-in-time read prunes to one partition
+    per key range."""
+    keys = list(keys)
+    if payload is None:
+        # default: every non-key, non-ts, non-tiebreak column
+        pay = [c for c in df.columns if c not in keys and c != ts_col and c not in order_cols]
+    else:
+        pay = [c for c in payload if c not in keys and c != ts_col]
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(ts_col).asc(), *[F.col(c).asc() for c in order_cols]
+    )
+    out = df.withColumn("valid_from_us", _epoch(F.col(ts_col))).withColumn(
+        "valid_to_us", F.lead("valid_from_us").over(w)
+    )
+    return out.select(*keys, "valid_from_us", "valid_to_us", *pay)
+
+
+def as_of_snapshot(intervals: DataFrame, ts_us: int) -> DataFrame:
+    """Point-in-time read over snapshot_intervals output: the rows valid
+    at epoch-micros `ts_us` (valid_from <= T < valid_to, open current
+    rows included). Map-only filter — no shuffle, no join."""
+    t = F.lit(int(ts_us)).cast("long")
+    return intervals.filter(
+        (F.col("valid_from_us") <= t)
+        & (F.col("valid_to_us").isNull() | (F.col("valid_to_us") > t))
+    )

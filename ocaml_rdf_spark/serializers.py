@@ -307,3 +307,28 @@ def to_jsonld(df: DataFrame) -> str:
         .orderBy("s")
     )
     return '{"@graph":[' + ",".join(r["node"] for r in nodes.collect()) + "]}"
+
+
+def write_sorted_ntriples(df: DataFrame, path: str, shards: int = 8, mode: str = "overwrite") -> None:
+    """Globally-sorted N-Triples export in `shards` files: shard i's
+    lines all sort before shard i+1's, and each shard is internally
+    sorted — so `cat part-00000 part-00001 …` (the natural shard order)
+    yields one globally-ordered file without any merge step. This is
+    what a canonical-dump publisher needs (diffable dumps, binary-
+    searchable shards, stable byte output for signing).
+
+    Plan shape: `repartitionByRange` samples the key distribution and
+    range-partitions the lines (ONE shuffle, skew-balanced by sampling),
+    then `sortWithinPartitions` sorts each shard independently — the
+    scalable alternative to `orderBy.coalesce(1)`, whose single final
+    partition caps throughput at one task regardless of cluster size.
+    Deterministic given deterministic input: the line set is exact;
+    only shard BOUNDARIES may move with sampling, never line content or
+    global order."""
+    lines = to_ntriples(df)
+    (
+        lines.repartitionByRange(shards, F.col("line"))
+        .sortWithinPartitions("line")
+        .write.mode(mode)
+        .text(path)
+    )

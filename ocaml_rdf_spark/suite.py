@@ -4467,3 +4467,42 @@ WHERE e.a IS NULL
 )
 
 QUERIES["linkpred"] = (q_linkpred, SQL_LINKPRED)
+
+
+#: probe instant for the SCD2 point-in-time query — mid-range at every SF
+_SCD2_TS = "2024-01-15 12:00:00"
+
+
+def q_scd2_asof(spark, sf):
+    """SCD2 point-in-time state: rebuild per-user validity intervals from
+    the event history (value observed at ts is valid until the next
+    observation) and read the state as of a fixed instant — one window
+    shuffle + a map-only probe filter."""
+    from .operators.temporal import as_of_snapshot, snapshot_intervals
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    iv = snapshot_intervals(
+        ev,
+        keys=["user_id"],
+        ts_col="ts",
+        order_cols=["event_id"],
+        payload=["event_id", "event_type"],
+    )
+    return as_of_snapshot(iv, _ts_us := 1705320000000000)  # 2024-01-15T12:00:00Z
+
+
+SQL_SCD2_ASOF = f"""
+WITH iv AS (
+  SELECT user_id,
+         epoch_us(ts) AS valid_from_us,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_us,
+         event_id, event_type
+  FROM events
+)
+SELECT user_id, valid_from_us, valid_to_us, event_id, event_type
+FROM iv
+WHERE valid_from_us <= 1705320000000000
+  AND (valid_to_us IS NULL OR valid_to_us > 1705320000000000)
+"""
+
+QUERIES["scd2_asof"] = (q_scd2_asof, SQL_SCD2_ASOF)

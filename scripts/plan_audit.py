@@ -420,6 +420,38 @@ def main() -> None:
             ("no row-at-a-time Python", r"BatchEvalPython", "absent"),
             ("map-only (no shuffle)", r"Exchange", "absent"),
         ]),
+        ("hll_sketch", [
+            # fixed per-key state: one map-side-combined agg, nothing else
+            ("map-side-combined aggregation", r"HashAggregate"),
+            ("single shuffle", r"\(\d+\) Exchange", "count", 1),
+            ("no joins", r"Join", "absent"),
+            ("only the two needed columns read", r"ReadSchema: struct<ts:timestamp,user_id:bigint,event_type:string>|ReadSchema: struct<user_id:bigint,event_type:string>"),
+        ]),
+        ("hll_estimate", [
+            # read path folds registers per group — still join-free
+            ("no joins", r"Join", "absent"),
+            ("codegen", r"codegen id :"),
+        ]),
+        ("chunk_docs", [
+            # scan-local chunking: explode+slice only, no shuffle anywhere
+            ("map-only (no shuffle)", r"Exchange", "absent"),
+            ("no joins", r"Join", "absent"),
+            ("generator (explode) present", r"Generate"),
+            ("columns pruned to doc_id+text", r"ReadSchema: struct<doc_id:bigint,text:string>"),
+        ]),
+        ("linkpred", [
+            # wedge join must stay an equi-join; candidate pairs are
+            # never produced by a product
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("direct edges removed by hash anti join", r"LeftAnti"),
+        ]),
+        ("scd2_asof", [
+            # one key shuffle for the lead() window; probe is a filter
+            ("window over the key shuffle", r"Window"),
+            ("no joins", r"Join", "absent"),
+            ("single shuffle", r"\(\d+\) Exchange", "count", 1),
+        ]),
     ]
 
     lines = ["# PLANS — physical-plan audit (scripts/plan_audit.py)", "",

@@ -108,3 +108,35 @@ def test_jsonld_writer_roundtrip(spark):
     bn_edges = [(s, o) for (s, p, o) in got_set if s[0] == "bn" and o[0] == "bn"]
     assert len(bn_edges) == 1
     assert len(got_set) == len(rows)
+
+
+def test_write_sorted_ntriples_global_order(spark, tmp_path):
+    import glob
+    import os
+
+    from ocaml_rdf_spark.serializers import write_sorted_ntriples
+
+    triples = [
+        (Iri(EX + f"s{i:04d}"), Iri(EX + "p"), Literal(str(i * 7 % 1000)))
+        for i in range(500)
+    ]
+    g2 = Graph.from_triples(spark, triples, name="urn:sorted")
+    out = str(tmp_path / "nt_sorted")
+    write_sorted_ntriples(g2.df, out, shards=4)
+
+    parts = sorted(glob.glob(os.path.join(out, "part-*")))
+    assert len(parts) >= 2  # actually sharded, not a single file
+    all_lines, prev_last = [], None
+    for p in parts:
+        with open(p, encoding="utf-8") as fh:
+            lines = fh.read().splitlines()
+        assert lines == sorted(lines)  # shard-internal order
+        if lines and prev_last is not None:
+            assert prev_last <= lines[0]  # cross-shard boundaries ordered
+        if lines:
+            prev_last = lines[-1]
+        all_lines.extend(lines)
+    # concatenation in shard order IS the global sort, content exact
+    assert all_lines == sorted(all_lines)
+    expected = sorted(r["line"] for r in to_ntriples(g2.df).collect())
+    assert all_lines == expected

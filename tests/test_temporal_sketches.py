@@ -169,3 +169,58 @@ def test_hll_groups_are_independent(spark):
     )
     rows = {r["g"]: r["est"] for r in hll_estimate(df, "v", ["g"]).collect()}
     assert rows["g2"] == 1 and rows["g1"] > 100
+
+
+# --- SCD2 snapshot intervals --------------------------------------------------
+
+
+def test_scd2_interval_chain(spark):
+    from ocaml_rdf_spark.operators.temporal import snapshot_intervals
+
+    df = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), 100, "a"),
+            (1, _ts("2024-01-01T12:00:00"), 101, "b"),
+            (2, _ts("2024-01-01T11:00:00"), 200, "z"),
+        ],
+        "user_id long, ts timestamp, event_id long, tag string",
+    )
+    iv = snapshot_intervals(df, keys=["user_id"], order_cols=["event_id"], payload=["tag"])
+    rows = sorted(iv.collect(), key=lambda r: (r["user_id"], r["valid_from_us"]))
+    # per-key chain: each valid_to equals the next valid_from; last is open
+    assert rows[0]["valid_to_us"] == rows[1]["valid_from_us"]
+    assert rows[1]["valid_to_us"] is None
+    assert rows[2]["valid_to_us"] is None  # single-row key stays open
+    assert [r["tag"] for r in rows] == ["a", "b", "z"]
+
+
+def test_scd2_probe_boundaries(spark):
+    from ocaml_rdf_spark.operators.temporal import as_of_snapshot, snapshot_intervals
+
+    df = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), 1, "old"), (1, _ts("2024-01-01T12:00:00"), 2, "new")],
+        "user_id long, ts timestamp, event_id long, tag string",
+    )
+    iv = snapshot_intervals(df, keys=["user_id"], order_cols=["event_id"], payload=["tag"])
+    t10 = 1704103200000000  # 2024-01-01T10:00:00Z exactly
+    t12 = 1704110400000000  # 2024-01-01T12:00:00Z exactly
+    # inclusive at valid_from, exclusive at valid_to (half-open)
+    assert [r["tag"] for r in as_of_snapshot(iv, t10).collect()] == ["old"]
+    assert [r["tag"] for r in as_of_snapshot(iv, t12 - 1).collect()] == ["old"]
+    assert [r["tag"] for r in as_of_snapshot(iv, t12).collect()] == ["new"]
+    # before history: nothing was believed yet
+    assert as_of_snapshot(iv, t10 - 1).count() == 0
+
+
+def test_scd2_tie_gets_zero_length_interval(spark):
+    from ocaml_rdf_spark.operators.temporal import as_of_snapshot, snapshot_intervals
+
+    ts = _ts("2024-01-01T10:00:00")
+    df = spark.createDataFrame(
+        [(1, ts, 1, "first"), (1, ts, 2, "second")],
+        "user_id long, ts timestamp, event_id long, tag string",
+    )
+    iv = snapshot_intervals(df, keys=["user_id"], order_cols=["event_id"], payload=["tag"])
+    # the tie loser's interval is [t, t) — unmatchable by any half-open probe
+    out = as_of_snapshot(iv, 1704103200000000).collect()
+    assert [r["tag"] for r in out] == ["second"]
