@@ -147,6 +147,9 @@ def main() -> None:
         "chunk_docs",
         "linkpred",
         "scd2_asof",
+        "score_resample",
+        "scc_cycles",
+        "compaction_plan",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

@@ -498,3 +498,33 @@ def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
         if i < rounds - 1:
             labels = labels.localCheckpoint(eager=False)
     return labels
+
+
+def scc_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Strongly connected components restricted to CYCLE members: every
+    node on a directed cycle (SCC size ≥ 2, or a self-loop) →
+    (node, component), component = lexicographic SCC minimum. Nodes in
+    singleton SCCs don't appear — in a KG the cycle members ARE the
+    answer: a cycle through skos:broader / rdfs:subClassOf is a data
+    error whose members form one equivalence class, and this mapping
+    feeds `canonicalize` exactly like the sameAs CC mapping does (but
+    respects DIRECTION, which undirected CC can't: a→b, b→a is a cycle;
+    a→b, a→b is not).
+
+    Algorithm: mutual reachability over the transitive closure —
+    SCC(x) = {y : x→+y ∧ y→+x}; cycle members are x with x→+x. The
+    closure comes from paths.transitive_closure (frontier rounds
+    escalating to path doubling, O(log diameter)); on top of it this is
+    ONE self-join (closure ⋈ reversed closure, hash equi-join on both
+    endpoints) + a min agg. Scale honesty: closure size is the budget —
+    right for schema/taxonomy graphs and per-host link subgraphs (the
+    cycle-repair use), wrong for the raw web graph (where only
+    undirected CC is tractable); same tiering as dedup_embedding's
+    exact path vs LSH."""
+    from .paths import transitive_closure
+
+    c = transitive_closure(edges.select("src", "dst"), max_iter=max_iter)
+    rev = c.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # x→+y ∧ y→+x; any src here is a cycle member by composition (x→+y→+x)
+    mutual = c.join(rev, ["src", "dst"])
+    return mutual.groupBy(F.col("src").alias("node")).agg(F.min("dst").alias("component"))

@@ -291,3 +291,25 @@ def hash_split(
         expr = F.when(cond, label) if expr is None else expr.when(cond, label)
         acc += w
     return df.withColumn("split", expr)
+
+
+def score_resample(
+    df: DataFrame, id_col: str, score_col: str, max_score: int
+) -> DataFrame:
+    """Deterministic quality-weighted resampling: keep each row with
+    probability min(score, max_score)/max_score, decided by the row's
+    OWN hash — keep iff h60(id) % max_score < score. The corpus-curation
+    step after quality scoring (CCNet-style buckets): high-quality docs
+    survive, low-quality docs thin out proportionally, and (unlike
+    `rand()`-based sampling) membership is a pure function of the id —
+    stable across runs/engines/partitionings, so downstream dedup and
+    splits never see a different corpus. Adds a `kept` flag rather than
+    filtering, so the caller can audit the drop rate per stratum.
+
+    Map-only; no shuffle; exact cross-engine (integer hash mod)."""
+    if max_score <= 0:
+        raise ValueError("score_resample: max_score must be positive")
+    keep = (_h60(F.col(id_col)) % max_score) < F.least(
+        F.col(score_col).cast("long"), F.lit(int(max_score))
+    )
+    return df.withColumn("kept", keep.cast("boolean"))

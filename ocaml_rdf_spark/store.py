@@ -107,3 +107,36 @@ def write_bucketed_store(
         .saveAsTable(name)
     )
     return name
+
+
+def compaction_plan(
+    files: DataFrame, target_bytes: int, path_col: str = "path", size_col: str = "bytes"
+) -> DataFrame:
+    """Small-file compaction planning over a file listing
+    (path, bytes, …) → (path, bytes, bin): consecutive files (path
+    order) are packed into bins of ~`target_bytes` via an exclusive
+    running sum — bin = cum_before div target — so every bin except
+    possibly the last reaches the target before spilling to the next,
+    and a file larger than the target gets a bin to itself by the same
+    rule. This is the sequential variant of bin-packing (Iceberg's
+    binpack rewrite sorts then packs the same way): path order keeps
+    key-sorted layouts sorted after the rewrite, and the assignment is
+    a pure function of the listing — the whole plan carries an exact
+    SQL mirror, unlike first-fit-decreasing (whose bin choice depends
+    on mutable bin state).
+
+    One window over a constant partition: the plan is metadata-sized
+    (one row per FILE, not per data row) — at 10^12 docs the listing is
+    ~10^6 rows, driver-adjacent by nature; the data move it plans is
+    the distributed part and stays a partitioned read→write."""
+    if target_bytes <= 0:
+        raise ValueError("compaction_plan: target_bytes must be positive")
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("path").asc()).rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        files.select(F.col(path_col).alias("path"), F.col(size_col).cast("long").alias("bytes"))
+        .withColumn("__cum", F.coalesce(F.sum("bytes").over(w), F.lit(0)))
+        .withColumn("bin", F.expr(f"__cum div {int(target_bytes)}").cast("long"))
+        .drop("__cum")
+    )

@@ -4506,3 +4506,94 @@ WHERE valid_from_us <= 1705320000000000
 """
 
 QUERIES["scd2_asof"] = (q_scd2_asof, SQL_SCD2_ASOF)
+
+
+def q_score_resample(spark, sf):
+    """Deterministic quality-weighted resampling flags: keep w.p.
+    min(n_chars, 2000)/2000 decided by the doc's own hash — map-only,
+    engine-stable corpus curation (never rand())."""
+    from .operators.sketches import score_resample
+
+    d = _docs(spark, sf).select("doc_id", "n_chars")
+    return score_resample(d, "doc_id", "n_chars", 2000)
+
+
+SQL_SCORE_RESAMPLE = """
+SELECT doc_id, n_chars,
+       (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 2000)
+         < LEAST(n_chars, 2000) AS kept
+FROM documents
+"""
+
+QUERIES["score_resample"] = (q_score_resample, SQL_SCORE_RESAMPLE)
+
+
+def q_scc_cycles(spark, sf):
+    """Directed-cycle detection (SCC members + min-member component) over
+    the chain graph with deterministic loop-back chords every 10 ranks —
+    the hierarchy-repair op: skos:broader/subClassOf cycles collapse to
+    equivalence classes before closure computation."""
+    from .operators.cc import scc_components
+
+    r, e = _chain_graph(spark, sf)
+    # back edge: rank 10k → rank 10k-9 (src is the 10k row's key)
+    back = (
+        r.filter(F.col("rn") % 10 == 0)
+        .select("c_nationkey", "rn", F.col("k").alias("src"))
+        .withColumn("rn", F.col("rn") - 9)
+        .join(r.select("c_nationkey", "rn", F.col("k").alias("dst")), ["c_nationkey", "rn"])
+        .select("src", "dst")
+    )
+    return scc_components(e.unionByName(back))
+
+
+SQL_SCC_CYCLES = (
+    "WITH RECURSIVE "
+    + _CHAIN_SQL
+    + """,
+back AS (
+  SELECT a.kk AS src, b.kk AS dst
+  FROM r a JOIN r b
+    ON a.c_nationkey = b.c_nationkey AND a.rn % 10 = 0 AND b.rn = a.rn - 9
+),
+g AS (SELECT src, dst FROM raw UNION SELECT src, dst FROM back),
+c(src, dst) AS (
+  SELECT src, dst FROM g
+  UNION
+  SELECT c.src, g.dst FROM c JOIN g ON c.dst = g.src
+)
+SELECT c1.src AS node, MIN(c1.dst) AS component
+FROM c c1 JOIN c c2 ON c2.src = c1.dst AND c2.dst = c1.src
+GROUP BY c1.src
+"""
+)
+
+QUERIES["scc_cycles"] = (q_scc_cycles, SQL_SCC_CYCLES)
+
+
+def q_compaction_plan(spark, sf):
+    """Small-file compaction planning (sequential binpack toward a 4 KiB
+    target) over a deterministic file listing synthesized from the
+    documents table — metadata-sized plan with an exact SQL mirror."""
+    from .store import compaction_plan
+
+    files = _docs(spark, sf).select(
+        F.concat_ws("/", F.col("source"), F.col("doc_id").cast("string")).alias("path"),
+        F.col("n_chars").alias("bytes"),
+    )
+    return compaction_plan(files, target_bytes=4096)
+
+
+SQL_COMPACTION_PLAN = """
+WITH files AS (
+  SELECT source || '/' || CAST(doc_id AS VARCHAR) AS path,
+         CAST(n_chars AS BIGINT) AS bytes
+  FROM documents
+)
+SELECT path, bytes,
+       CAST(COALESCE(SUM(bytes) OVER (ORDER BY path ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096 AS BIGINT) AS bin
+FROM files
+"""
+
+QUERIES["compaction_plan"] = (q_compaction_plan, SQL_COMPACTION_PLAN)

@@ -452,6 +452,26 @@ def main() -> None:
             ("no joins", r"Join", "absent"),
             ("single shuffle", r"\(\d+\) Exchange", "count", 1),
         ]),
+        ("score_resample", [
+            # deterministic curation flag: pure scan-side projection
+            ("map-only (no shuffle)", r"Exchange", "absent"),
+            ("no joins", r"Join", "absent"),
+            ("codegen", r"codegen id :"),
+        ]),
+        ("scc_cycles", [
+            # mutual reachability = hash equi-joins over the closure
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            # sorted SMJ output → Catalyst picks SortAggregate; partial
+            # (below the Exchange) + final is still map-side-combined
+            ("map-side-combined min agg", r"HashAggregate|SortAggregate"),
+        ]),
+        ("compaction_plan", [
+            # metadata-sized plan: the single-partition window is the
+            # POINT (one row per file, not per data row)
+            ("running-sum window", r"Window"),
+            ("no joins", r"Join", "absent"),
+        ]),
     ]
 
     lines = ["# PLANS — physical-plan audit (scripts/plan_audit.py)", "",

@@ -1062,3 +1062,83 @@ def test_linkpred_hub_cap_drops_mega_center(spark):
     rev = _edges(spark, [(b, a) for a, b in star] + star)
     out2 = {(r["a"], r["b"]): (r["cn"], r["ra"]) for r in linkpred_scores(rev, max_degree=4).collect()}
     assert out == out2
+
+
+def test_scc_two_cycle_vs_parallel_edges(spark):
+    # direction matters: a⇄b is a cycle; a→b twice is not
+    from ocaml_rdf_spark.operators.cc import scc_components
+
+    cyc = _edges(spark, [("a", "b"), ("b", "a")])
+    out = {r["node"]: r["component"] for r in scc_components(cyc).collect()}
+    assert out == {"a": "a", "b": "a"}
+    dag = _edges(spark, [("a", "b"), ("a", "b")])
+    assert scc_components(dag).count() == 0
+
+
+def test_scc_self_loop_and_dag_tail(spark):
+    from ocaml_rdf_spark.operators.cc import scc_components
+
+    e = _edges(spark, [("x", "x"), ("x", "y"), ("y", "z")])
+    out = {r["node"]: r["component"] for r in scc_components(e).collect()}
+    assert out == {"x": "x"}  # the DAG tail never enters a component
+
+
+def test_scc_two_separate_cycles_bridged(spark):
+    # two 3-cycles joined by a one-way bridge stay separate SCCs
+    from ocaml_rdf_spark.operators.cc import scc_components
+
+    e = _edges(
+        spark,
+        [("a", "b"), ("b", "c"), ("c", "a"),
+         ("c", "p"),  # one-way bridge
+         ("p", "q"), ("q", "r"), ("r", "p")],
+    )
+    out = {r["node"]: r["component"] for r in scc_components(e).collect()}
+    assert out == {"a": "a", "b": "a", "c": "a", "p": "p", "q": "p", "r": "p"}
+
+
+def test_scc_feeds_canonicalize_like_cc(spark):
+    # the SCC mapping slots into canonicalize() the same way sameAs CC does
+    from ocaml_rdf_spark.operators.cc import scc_components
+
+    e = _edges(spark, [("0|urn:a", "0|urn:b"), ("0|urn:b", "0|urn:a")])
+    out = {r["node"]: r["component"] for r in scc_components(e).collect()}
+    assert out == {"0|urn:a": "0|urn:a", "0|urn:b": "0|urn:a"}
+
+
+def test_compaction_plan_packs_toward_target(spark):
+    from ocaml_rdf_spark.store import compaction_plan
+
+    files = spark.createDataFrame(
+        [(f"f{i:02d}", 100) for i in range(10)], "path string, bytes long"
+    )
+    out = {r["path"]: r["bin"] for r in compaction_plan(files, target_bytes=300).collect()}
+    # exclusive cumsum: f00-f02 (cum 0,100,200) → bin 0; f03-f05 → bin 1; …
+    assert out == {f"f{i:02d}": i // 3 for i in range(10)}
+
+
+def test_compaction_plan_oversize_file_gets_own_bin(spark):
+    from ocaml_rdf_spark.store import compaction_plan
+
+    files = spark.createDataFrame(
+        [("a", 50), ("b", 9000), ("c", 50), ("d", 50)], "path string, bytes long"
+    )
+    rows = {r["path"]: r["bin"] for r in compaction_plan(files, target_bytes=100).collect()}
+    # the rule cuts the concatenated byte stream at every multiple of the
+    # target and assigns each file to the bin where it STARTS: a and b
+    # share bin 0 (b starts at 50), then the giant eats bins 1..90 so c
+    # starts in bin 90 and d in bin 91
+    assert rows == {"a": 0, "b": 0, "c": 90, "d": 91}
+
+
+def test_compaction_plan_is_path_deterministic(spark):
+    from ocaml_rdf_spark.store import compaction_plan
+
+    files = [(f"p{i}", (i * 37) % 400 + 1) for i in range(30)]
+    df = spark.createDataFrame(files, "path string, bytes long")
+    a = sorted(map(tuple, compaction_plan(df, 512).collect()))
+    b = sorted(map(tuple, compaction_plan(df.repartition(5), 512).collect()))
+    assert a == b
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        compaction_plan(df, 0)

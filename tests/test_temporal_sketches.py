@@ -224,3 +224,44 @@ def test_scd2_tie_gets_zero_length_interval(spark):
     # the tie loser's interval is [t, t) — unmatchable by any half-open probe
     out = as_of_snapshot(iv, 1704103200000000).collect()
     assert [r["tag"] for r in out] == ["second"]
+
+
+# --- score_resample -----------------------------------------------------------
+
+
+def test_score_resample_extremes_and_determinism(spark):
+    from ocaml_rdf_spark.operators.sketches import score_resample
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in [(1, 0), (2, 1000), (3, 999999), (4, 500), (5, -3)]],
+        "doc_id long, score long",
+    )
+    out = {r["doc_id"]: r["kept"] for r in score_resample(df, "doc_id", "score", 1000).collect()}
+    assert out[1] is False        # score 0 never kept
+    assert out[2] is True         # score == max_score always kept
+    assert out[3] is True         # clamped above max_score → always kept
+    assert out[5] is False        # negative scores never kept
+    # pure function of the id: same answer at any partitioning
+    out2 = {
+        r["doc_id"]: r["kept"]
+        for r in score_resample(df.repartition(7), "doc_id", "score", 1000).collect()
+    }
+    assert out == out2
+
+
+def test_score_resample_rate_tracks_score(spark):
+    from ocaml_rdf_spark.operators.sketches import score_resample
+
+    n = 4000
+    df = spark.createDataFrame([(i, 250) for i in range(n)], "doc_id long, score long")
+    kept = score_resample(df, "doc_id", "score", 1000).filter("kept").count()
+    assert abs(kept / n - 0.25) < 0.05  # ~score/max_score survival
+
+
+def test_score_resample_rejects_bad_max(spark):
+    from ocaml_rdf_spark.operators.sketches import score_resample
+    import pytest as _pt
+
+    df = spark.createDataFrame([(1, 1)], "doc_id long, score long")
+    with _pt.raises(ValueError):
+        score_resample(df, "doc_id", "score", 0)
