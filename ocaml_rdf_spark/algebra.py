@@ -733,18 +733,47 @@ class Slice(Node):
 @dataclass
 class ExistsFilter(Node):
     """FILTER EXISTS / NOT EXISTS — decorrelated by construction into a
-    semi/anti join on shared vars (SURVEY §4 subquery-decorrelation row)."""
+    semi/anti join on shared vars (SURVEY §4 subquery-decorrelation row).
+
+    Substitution semantics (spec §8.1.1 + the EXISTS errata): a
+    top-level filter INSIDE the sub-pattern may reference outer-scope
+    variables the sub-pattern itself never binds (FILTER EXISTS { ?s
+    :limit ?lim . FILTER(?lim < ?age) } with ?age bound outside).
+    Evaluating such a filter sub-side would read ?age as unbound →
+    error → drop, making EXISTS false everywhere. Instead, each
+    top-level sub filter is probed for its variable set
+    (builtins.expr_vars); filters that reference outer-only variables
+    are HOISTED into the semi/anti-join condition, where both scopes
+    are visible — outer binding wins where both bind (coalesce(l, r),
+    the substitution rule; equal anyway for certain-bound shared vars).
+    Local filters stay sub-side so predicate pushdown is unaffected."""
 
     child: Node
     sub: Node
     negated: bool = False
 
     def compile(self, ctx: Ctx) -> CompileOut:
+        from .functions.builtins import expr_vars
+
         ldf, lc, lm = self.child.compile(ctx)
-        rdf, rc, rm = self.sub.compile(ctx)
-        shared = (lc | lm) & (rc | rm)
+        sub, top_filters = self.sub, []
+        while isinstance(sub, Filter):
+            top_filters.append(sub.expr)
+            sub = sub.child
+        rdf, rc, rm = sub.compile(ctx)
+        inner_vars, outer_vars = rc | rm, lc | lm
+        hoisted = []
+        vmr = _varmap(inner_vars)
+        for e in top_filters:
+            vs = expr_vars(e)
+            if vs is not None and (vs - inner_vars) & outer_vars:
+                hoisted.append(e)
+            else:
+                # local (or unprobeable): evaluate sub-side, as before
+                rdf = rdf.filter(F.coalesce(ebv_e(e, vmr), F.lit(False)))
+        shared = outer_vars & inner_vars
         how = "left_anti" if self.negated else "left_semi"
-        if not shared:
+        if not shared and not hoisted:
             # uncorrelated: keep all iff sub (non)empty
             nonempty = len(rdf.take(1)) > 0
             keep = (not nonempty) if self.negated else nonempty
@@ -761,6 +790,17 @@ class ExistsFilter(Node):
                 cond = cond & lv.eqNullSafe(rv)
             else:
                 cond = cond & (lv.eqNullSafe(rv) | lv.isNull() | rv.isNull())
+        if hoisted:
+            vmc = {}
+            for v in outer_vars | inner_vars:
+                if v in outer_vars and v in inner_vars:
+                    vmc[v] = F.coalesce(F.col(f"l.{v}"), F.col(f"r.{v}"))
+                elif v in inner_vars:
+                    vmc[v] = F.col(f"r.{v}")
+                else:
+                    vmc[v] = F.col(f"l.{v}")
+            for e in hoisted:
+                cond = cond & F.coalesce(ebv_e(e, vmc), F.lit(False))
         return L.join(R, cond, how), lc, lm
 
 
@@ -793,9 +833,69 @@ class ExistsMark(Node):
     marker: str
 
     def compile(self, ctx: Ctx) -> CompileOut:
+        from .functions.builtins import expr_vars
+
         ldf, lc, lm = self.child.compile(ctx)
-        rdf, rc, rm = self.sub.compile(ctx)
-        shared = sorted((lc | lm) & (rc | rm))
+        sub, top_filters = self.sub, []
+        while isinstance(sub, Filter):
+            top_filters.append(sub.expr)
+            sub = sub.child
+        rdf, rc, rm = sub.compile(ctx)
+        inner_vars, outer_vars = rc | rm, lc | lm
+        hoisted, hoist_outer = [], set()
+        vmr = _varmap(inner_vars)
+        for e in top_filters:
+            vs = expr_vars(e)
+            if vs is not None and (vs - inner_vars) & outer_vars:
+                hoisted.append(e)
+                hoist_outer |= (vs - inner_vars) & outer_vars
+            else:
+                rdf = rdf.filter(F.coalesce(ebv_e(e, vmr), F.lit(False)))
+        shared = sorted(outer_vars & inner_vars)
+        if hoisted:
+            # correlated mark (substitution semantics, same hoisting rule
+            # as ExistsFilter): the flag depends on shared vars AND the
+            # outer-only vars the hoisted filters read, so key the
+            # decorrelation on both — distinct key rows → semi-join with
+            # the full condition → join back (≤1 match per key combo, no
+            # row duplication)
+            keys = sorted(set(shared) | hoist_outer)
+            certain = set(shared) & lc & rc
+            lk = ldf.select(*keys).dropDuplicates()
+            L, R = lk.alias("l"), rdf.alias("r")
+            cond = F.lit(True)
+            for v in shared:
+                lv, rv = F.col(f"l.{v}"), F.col(f"r.{v}")
+                if v in certain:
+                    cond = cond & lv.eqNullSafe(rv)
+                else:
+                    cond = cond & (lv.eqNullSafe(rv) | lv.isNull() | rv.isNull())
+            vmc = {}
+            for v in outer_vars | inner_vars:
+                if v in outer_vars and v in inner_vars:
+                    vmc[v] = F.coalesce(F.col(f"l.{v}"), F.col(f"r.{v}"))
+                elif v in inner_vars:
+                    vmc[v] = F.col(f"r.{v}")
+                elif v in hoist_outer:
+                    vmc[v] = F.col(f"l.{v}")
+                # other outer vars are invisible at the key join; hoisted
+                # exprs never read them (that's what hoist_outer means)
+            for e in hoisted:
+                cond = cond & F.coalesce(ebv_e(e, vmc), F.lit(False))
+            matched = (
+                L.join(R, cond, "left_semi")
+                .select(*[F.col(v).alias(f"__k_{v}") for v in keys])
+                .withColumn(self.marker, F.lit(True))
+            )
+            back = F.lit(True)
+            for v in keys:
+                back = back & ldf[v].eqNullSafe(matched[f"__k_{v}"])
+            out = (
+                ldf.join(matched, back, "left_outer")
+                .drop(*[f"__k_{v}" for v in keys])
+                .withColumn(self.marker, F.coalesce(F.col(self.marker), F.lit(False)))
+            )
+            return out, lc, lm
         if not shared:
             # uncorrelated: one flag for every row
             nonempty = len(rdf.take(1)) > 0

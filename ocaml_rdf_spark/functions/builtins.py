@@ -149,6 +149,47 @@ def V(name: str) -> E:
     return E(lambda vm: vm[name] if name in vm else null_term())
 
 
+class _VarProbe(dict):
+    """Recording varmap: collects every variable name an expression looks
+    up. V() resolves through `in` (then `[]`) and BOUND through `[]`, so
+    both paths are observed; lookups answer "unbound" / null_term so the
+    probed expression still builds."""
+
+    def __init__(self):
+        super().__init__()
+        self.seen: set = set()
+
+    def __contains__(self, k):
+        self.seen.add(k)
+        return False
+
+    def __getitem__(self, k):
+        self.seen.add(k)
+        return null_term()
+
+    def get(self, k, default=None):
+        self.seen.add(k)
+        return default
+
+
+def expr_vars(e: E):
+    """Variable names referenced by an (opaque, lambda-based) expression,
+    discovered by probing it with a recording varmap — the introspection
+    EXISTS substitution semantics needs to tell correlated sub-pattern
+    filters from local ones (algebra.ExistsFilter/ExistsMark). Returns a
+    frozenset, or None if probing fails (callers must fall back to
+    treating the expression as local — the pre-probe behavior).
+
+    Requires an active SparkSession (probing builds throwaway Columns),
+    which every compile-time caller has."""
+    p = _VarProbe()
+    try:
+        e.fn(p)
+    except Exception:
+        return None
+    return frozenset(p.seen)
+
+
 def L(value) -> E:
     """Constant: Python value or Term → literal/IRI term. Column
     construction is deferred to compile time (lambda body) so queries can
