@@ -746,7 +746,10 @@ class ExistsFilter(Node):
     are HOISTED into the semi/anti-join condition, where both scopes
     are visible — outer binding wins where both bind (coalesce(l, r),
     the substitution rule; equal anyway for certain-bound shared vars).
-    Local filters stay sub-side so predicate pushdown is unaffected."""
+    Local filters stay sub-side so predicate pushdown is unaffected.
+    Known limit: only TOP-LEVEL sub filters are substituted; a
+    correlated filter nested deeper (inside an OPTIONAL/UNION within
+    the EXISTS group) still evaluates its outer reference as unbound."""
 
     child: Node
     sub: Node
@@ -799,6 +802,14 @@ class ExistsFilter(Node):
                     vmc[v] = F.col(f"r.{v}")
                 else:
                     vmc[v] = F.col(f"l.{v}")
+            # non-var columns an expression may read (ExistsMark flags of a
+            # nested EXISTS) live on the sub-side frame, not in rc/rm
+            for e in hoisted:
+                for v in (expr_vars(e) or frozenset()) - vmc.keys():
+                    if v in rdf.columns:
+                        vmc[v] = F.col(f"r.{v}")
+                    elif v in ldf.columns:
+                        vmc[v] = F.col(f"l.{v}")
             for e in hoisted:
                 cond = cond & F.coalesce(ebv_e(e, vmc), F.lit(False))
         return L.join(R, cond, how), lc, lm
