@@ -214,7 +214,14 @@ def hll_estimate(df: DataFrame, col: str, group_cols: Sequence[str] = ()) -> Dat
     linear-counting table when registers are empty and the raw estimate
     is under 2.5m (the standard small-range rule, made exact by the
     64-entry literal lookup)."""
-    sk = hll_sketch(df, col, group_cols)
+    return hll_estimate_from_sketch(hll_sketch(df, col, group_cols), group_cols)
+
+
+def hll_estimate_from_sketch(sk: DataFrame, group_cols: Sequence[str] = ()) -> DataFrame:
+    """The same read path over an EXISTING register table — hll_sketch
+    output, or a register fold maintained across streaming micro-batches
+    (streaming.stream_hll_estimate): the sketch/read split is what makes
+    the summary mergeable."""
     per = sk.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("nb"),
         F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RMAX} - reg)")).alias("s_sum"),

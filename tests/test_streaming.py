@@ -350,3 +350,42 @@ def test_stream_extract_with_delta_commits(spark, tmp_path):
     assert state["versions"] and all(rm == 0 for _a, rm in state["versions"])
     v0 = store_at_version(spark, root, "store", 0)
     assert 0 < v0.count() < got.count()
+
+
+def test_stream_hll_matches_batch_bitwise(spark, tmp_path):
+    """Streaming HLL fold (per-micro-batch register merge via cell-wise
+    MAX) drained with availableNow equals the batch hll_sketch /
+    hll_estimate over the same files bit-for-bit — the mergeable-summary
+    contract driven through the streaming surface."""
+    import pandas as pd
+
+    from ocaml_rdf_spark.operators.sketches import hll_estimate, hll_sketch
+    from ocaml_rdf_spark.streaming import stream_hll_estimate
+
+    inp = str(tmp_path / "ev")
+    # multiple files → multiple micro-batches under maxFilesPerTrigger
+    for i in range(3):
+        pdf = pd.DataFrame(
+            {
+                "g": ["a"] * 40 + ["b"] * 10,
+                "v": [f"u{i}_{j}" for j in range(40)] + [f"shared{j}" for j in range(10)],
+            }
+        )
+        spark.createDataFrame(pdf).repartition(1).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(inp)
+
+    h = stream_hll_estimate(spark, inp, "v", ["g"])
+    h.query.awaitTermination(120)
+
+    batch = spark.read.parquet(inp)
+    want_regs = sorted(map(tuple, hll_sketch(batch, "v", ["g"]).collect()))
+    got_regs = sorted(map(tuple, h.registers().collect()))
+    assert got_regs == want_regs
+
+    want_est = sorted(map(tuple, hll_estimate(batch, "v", ["g"]).collect()))
+    got_est = sorted(map(tuple, h.estimates().collect()))
+    assert got_est == want_est
+    # 'shared' values repeat across files: the fold must not double-count
+    ests = {r["g"]: r["est"] for r in h.estimates().collect()}
+    assert ests["b"] <= 14  # ~10 distinct, small-range linear counting
