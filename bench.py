@@ -150,6 +150,7 @@ def main() -> None:
         "score_resample",
         "scc_cycles",
         "compaction_plan",
+        "tfidf_pairs",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

@@ -1161,3 +1161,72 @@ def chunk_docs(
         ).alias("chunk_text"),
     )
     return out
+
+
+def tfidf_pairs(
+    docs: DataFrame,
+    df_cap: int = 100,
+    min_shared: int = 2,
+    scale: int = 1_000_000,
+    text_col: str = "text",
+    term_ngram: int = 1,
+) -> DataFrame:
+    """Related-document mining by weighted term overlap (the
+    term-at-a-time all-pairs-similarity shape — Elsayed et al. 2008,
+    "Pairwise document similarity in large collections with MapReduce"):
+    for every unordered doc pair sharing ≥ `min_shared` distinct terms,
+    emit (a, b, shared, w_overlap) with w_overlap = Σ_t ⌊scale/df(t)⌋
+    over shared terms — the integer-exact idf surrogate (1/df is
+    monotone in idf; log would be fp, the bm25_rank precedent). Rare
+    shared vocabulary dominates, which is the signal that survives
+    paraphrase better than the shingle/winnowing families (clone_pairs
+    catches verbatim runs; this catches topical twins).
+
+    Scale: pairs are generated AT the term via the inverted index
+    (postings self-join — two hash equi-joins), never all-pairs; terms
+    with df > `df_cap` are dropped BEFORE the join, which is
+    simultaneously the skew guard (a stop-word's df² pair fan-out never
+    happens) and the signal cut (⌊scale/df⌋ → 0 for common terms) —
+    the same cap-at-the-center rule as linkpred_scores and the LSH
+    mega-bucket guard. Per-doc term SETS (distinct), so repeated words
+    don't inflate overlap.
+
+    `term_ngram` sets the term granularity: 1 = single tokens (natural
+    corpora), n>1 = word n-gram shingles — the right unit when the
+    vocabulary is small relative to the corpus (every unigram becomes a
+    stop word and the df cap would empty the index)."""
+    if term_ngram <= 1:
+        toks = (
+            docs.select("doc_id", F.explode(_norm_tokens(text_col)).alias("tok"))
+            .filter(F.col("tok") != "")
+            .dropDuplicates(["doc_id", "tok"])
+        )
+    else:
+        t = _norm_tokens(text_col)
+        n = term_ngram
+        idx = F.when(F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - (n - 1))).otherwise(
+            F.array().cast("array<int>")
+        )
+        toks = (
+            docs.select(
+                "doc_id",
+                F.explode(F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, n)))).alias("tok"),
+            )
+            .filter(F.length("tok") > 0)
+            .dropDuplicates(["doc_id", "tok"])
+        )
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    rare = dfreq.filter(F.col("df") <= df_cap).select(
+        "tok", F.expr(f"CAST({int(scale)} AS BIGINT) div df").alias("w")
+    )
+    post = toks.join(rare, "tok")
+    pairs = (
+        post.select("tok", "w", F.col("doc_id").alias("a"))
+        .join(post.select("tok", F.col("doc_id").alias("b")), "tok")
+        .filter(F.col("a") < F.col("b"))
+    )
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("shared"), F.sum("w").alias("w_overlap"))
+        .filter(F.col("shared") >= min_shared)
+    )

@@ -4597,3 +4597,35 @@ FROM files
 """
 
 QUERIES["compaction_plan"] = (q_compaction_plan, SQL_COMPACTION_PLAN)
+
+
+def q_tfidf_pairs(spark, sf):
+    """Weighted term-overlap document pairs (inverted-index all-pairs,
+    idf-surrogate integer weights, df-capped postings) over 3-gram
+    shingle terms (the synthetic corpus's 31-word vocabulary makes every
+    unigram a stop word) — the topical-twin complement of the
+    shingle/winnowing dedup family."""
+    from .operators.textops import tfidf_pairs
+
+    return tfidf_pairs(_docs(spark, sf), df_cap=20, min_shared=2, term_ngram=3)
+
+
+SQL_TFIDF_PAIRS = f"""
+WITH {_TOKS_SQL},
+g AS (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS tok
+  FROM nt, unnest(range(1, len(toks) - 1)) AS t(i)
+  WHERE len(toks) >= 3
+),
+dfreq AS (SELECT tok, COUNT(*) AS df FROM g GROUP BY tok),
+rare AS (SELECT tok, 1000000 // df AS w FROM dfreq WHERE df <= 20),
+post AS (SELECT t.doc_id, t.tok, r.w FROM g t JOIN rare r USING (tok)),
+pairs AS (
+  SELECT p1.doc_id AS a, p2.doc_id AS b, p1.w
+  FROM post p1 JOIN post p2 ON p1.tok = p2.tok AND p1.doc_id < p2.doc_id
+)
+SELECT a, b, CAST(COUNT(*) AS BIGINT) AS shared, CAST(SUM(w) AS BIGINT) AS w_overlap
+FROM pairs GROUP BY a, b HAVING COUNT(*) >= 2
+"""
+
+QUERIES["tfidf_pairs"] = (q_tfidf_pairs, SQL_TFIDF_PAIRS)

@@ -472,6 +472,13 @@ def main() -> None:
             ("running-sum window", r"Window"),
             ("no joins", r"Join", "absent"),
         ]),
+        ("tfidf_pairs", [
+            # inverted-index pair generation: equi-joins only, postings
+            # df-capped before the self-join
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("map-side-combined pair agg", r"HashAggregate|SortAggregate"),
+        ]),
     ]
 
     lines = ["# PLANS — physical-plan audit (scripts/plan_audit.py)", "",

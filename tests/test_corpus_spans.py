@@ -413,3 +413,49 @@ def test_chunk_docs_rejects_bad_overlap(spark):
 
     with _pt.raises(ValueError):
         chunk_docs(_docs(spark, [(1, "a")]), chunk_tokens=4, overlap=4)
+
+
+# --- tfidf_pairs ----------------------------------------------------------------
+
+
+def test_tfidf_pairs_rare_term_dominates(spark):
+    from ocaml_rdf_spark.operators.textops import tfidf_pairs
+
+    docs = _docs(
+        spark,
+        [
+            (1, "alpha beta zzz qqq"),
+            (2, "alpha beta zzz qqq"),   # shares rare zzz+qqq with 1
+            (3, "alpha beta"),            # shares only common terms
+            (4, "alpha beta"),
+            (5, "alpha beta"),
+            (6, "alpha beta"),
+        ],
+    )
+    out = {(r["a"], r["b"]): (r["shared"], r["w_overlap"]) for r in
+           tfidf_pairs(docs, df_cap=3, min_shared=2).collect()}
+    # alpha/beta have df 6 > cap → excluded; zzz/qqq df 2 → weight 500k each
+    assert out == {(1, 2): (2, 1_000_000)}
+
+
+def test_tfidf_pairs_set_semantics_and_threshold(spark):
+    from ocaml_rdf_spark.operators.textops import tfidf_pairs
+
+    docs = _docs(spark, [(1, "zzz zzz zzz qqq"), (2, "zzz qqq"), (3, "zzz www")])
+    out = {(r["a"], r["b"]): r["shared"] for r in
+           tfidf_pairs(docs, df_cap=10, min_shared=2).collect()}
+    # repeated zzz counts once; (1,3)/(2,3) share only 1 term → filtered
+    assert out == {(1, 2): 2}
+
+
+def test_tfidf_pairs_shingle_terms(spark):
+    from ocaml_rdf_spark.operators.textops import tfidf_pairs
+
+    docs = _docs(
+        spark,
+        [(1, "the quick brown fox jumps"), (2, "a quick brown fox runs"), (3, "the slow red fox sits")],
+    )
+    out = {(r["a"], r["b"]): r["shared"] for r in
+           tfidf_pairs(docs, df_cap=10, min_shared=1, term_ngram=3).collect()}
+    # only 1 and 2 share a trigram ("quick brown fox")
+    assert out == {(1, 2): 1}
