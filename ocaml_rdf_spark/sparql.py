@@ -463,8 +463,13 @@ class Parser:
                 elif self.at_op("("):
                     self.next()
                     e = self.parse_expr()
-                    self.eat_kw("as")
-                    v = self.next().text[1:]
+                    if self.at_kw("as"):
+                        self.next()
+                        v = self.next().text[1:]
+                    else:
+                        # grammar [20]: '(' Expression ')' — AS is optional;
+                        # an anonymous key binds an internal, unprojectable var
+                        v = f"__gk{len(group_by)}"
                     self.eat_op(")")
                     pre_extends.append((v, e))
                     group_by.append(v)
