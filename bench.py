@@ -34,6 +34,11 @@ def main() -> None:
     n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "200000"))
     n_warm = min(5000, n_pages)
 
+    # headroom for the iterative-closure queries at sf0.1 with 32 concurrent
+    # tasks — a local-mode driver IS the executor, and 8g left no slack for
+    # shuffle read-ahead buffers under the heaviest joins (observed OOM)
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+
     from ocaml_rdf_spark.session import get_spark
 
     spark = get_spark(app="ords-bench", cpus=cpus, shuffle_partitions=cpus)

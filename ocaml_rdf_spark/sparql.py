@@ -281,6 +281,11 @@ class Parser:
             # mean EXISTS sat in SELECT/HAVING/ORDER BY expressions, where
             # there is no group to host the flag join
             raise SyntaxError("EXISTS is only supported inside FILTER/BIND expressions")
+        if self.peek().kind != "EOF":
+            # a grammar slip (e.g. an unsupported solution-modifier form)
+            # must be an error, not silently-ignored trailing tokens that
+            # would make the query "succeed" with different semantics
+            raise SyntaxError(f"unexpected trailing tokens at {self.peek().text!r}")
         return q
 
     # -- query forms --------------------------------------------------------
@@ -484,10 +489,18 @@ class Parser:
                     break
         if self.at_kw("having"):
             self.next()
-            while self.at_op("("):
-                self.next()
-                having.append(self.parse_expr())
-                self.eat_op(")")
+            while True:
+                if self.at_op("("):
+                    self.next()
+                    having.append(self.parse_expr())
+                    self.eat_op(")")
+                elif self.peek().kind == "KW" and self.peek().text.lower() in _ORDER_FN_KWS:
+                    # HavingCondition ::= Constraint, which admits a bare
+                    # BuiltInCall (HAVING CONTAINS(...)); aggregates route
+                    # through the same __aggN synthesis as ORDER BY
+                    having.append(self._function_call())
+                else:
+                    break
         if self.at_kw("order"):
             self.next()
             self.eat_kw("by")

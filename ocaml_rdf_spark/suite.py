@@ -4530,12 +4530,25 @@ QUERIES["score_resample"] = (q_score_resample, SQL_SCORE_RESAMPLE)
 
 def q_scc_cycles(spark, sf):
     """Directed-cycle detection (SCC members + min-member component) over
-    the chain graph with deterministic loop-back chords every 10 ranks —
-    the hierarchy-repair op: skos:broader/subClassOf cycles collapse to
-    equivalence classes before closure computation."""
+    a TAXONOMY-SIZED slice of the chain graph (rn ≤ 50 per nation) with
+    deterministic loop-back chords every 10 ranks — the hierarchy-repair
+    op: skos:broader/subClassOf cycles collapse to equivalence classes
+    before closure computation. The slice models the operator's
+    documented tier (ontologies don't grow with the corpus); the
+    UNBOUNDED chain would make the suite pay the full chain closure —
+    path-doubling's seen⋈seen compose step is ~O(n³/6) rows pre-distinct
+    on an n-deep chain, which at sf0.1 (n≈600/nation) is a ~1e9-row
+    join no 8 GiB bench driver should attempt."""
     from .operators.cc import scc_components
 
-    r, e = _chain_graph(spark, sf)
+    r, e0 = _chain_graph(spark, sf)
+    r = r.filter(F.col("rn") <= 50)
+    keys = r.select(F.col("k"))
+    e = (
+        e0.join(keys.withColumnRenamed("k", "src"), "src", "left_semi")
+        .join(keys.withColumnRenamed("k", "dst"), "dst", "left_semi")
+        .select("src", "dst")
+    )
     # back edge: rank 10k → rank 10k-9 (src is the 10k row's key)
     back = (
         r.filter(F.col("rn") % 10 == 0)
@@ -4551,12 +4564,17 @@ SQL_SCC_CYCLES = (
     "WITH RECURSIVE "
     + _CHAIN_SQL
     + """,
+rs AS (SELECT kk, c_nationkey, rn FROM r WHERE rn <= 50),
+e AS (
+  SELECT raw.src, raw.dst FROM raw
+  JOIN rs s1 ON s1.kk = raw.src JOIN rs s2 ON s2.kk = raw.dst
+),
 back AS (
   SELECT a.kk AS src, b.kk AS dst
-  FROM r a JOIN r b
+  FROM rs a JOIN rs b
     ON a.c_nationkey = b.c_nationkey AND a.rn % 10 = 0 AND b.rn = a.rn - 9
 ),
-g AS (SELECT src, dst FROM raw UNION SELECT src, dst FROM back),
+g AS (SELECT src, dst FROM e UNION SELECT src, dst FROM back),
 c(src, dst) AS (
   SELECT src, dst FROM g
   UNION
