@@ -156,6 +156,7 @@ def main() -> None:
         "scc_cycles",
         "compaction_plan",
         "tfidf_pairs",
+        "harmonic",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

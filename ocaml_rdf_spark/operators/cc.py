@@ -528,3 +528,60 @@ def scc_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     # x→+y ∧ y→+x; any src here is a cycle member by composition (x→+y→+x)
     mutual = c.join(rev, ["src", "dst"])
     return mutual.groupBy(F.col("src").alias("node")).agg(F.min("dst").alias("component"))
+
+
+def bfs_distances_per_seed(
+    edges: DataFrame, seeds: DataFrame, max_hops: int = 8
+) -> DataFrame:
+    """Per-seed BFS hop distances: (seed, node, dist) for every node
+    reachable from each seed within `max_hops` (seed rows at dist 0) —
+    `bfs_distances` keyed by (seed, node) instead of collapsing to the
+    multi-source minimum, so per-source labels survive (what centrality
+    estimation needs). Same level-synchronous shape; state and per-round
+    join work scale with |seeds|·reach, which is why callers SAMPLE
+    seeds (Eppstein & Wang 2001) rather than running all-pairs."""
+    e = edges.select("src", "dst").dropDuplicates()
+    dist = seeds.select(F.col("node").alias("seed")).dropDuplicates().select(
+        "seed", F.col("seed").alias("node"), F.lit(0).cast("long").alias("dist")
+    )
+    frontier = dist
+    for h in range(1, max_hops + 1):
+        if h > 1:
+            dist = dist.localCheckpoint(eager=False)
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select("seed", F.col("dst").alias("node"))
+            .dropDuplicates()
+            .join(dist, ["seed", "node"], "left_anti")
+            .select("seed", "node", F.lit(h).cast("long").alias("dist"))
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt)
+        frontier = nxt
+    return dist
+
+
+def harmonic_centrality(
+    edges: DataFrame, seeds: DataFrame, max_hops: int = 8, scale: int = 1_000_000
+) -> DataFrame:
+    """Sampled inward harmonic centrality (Eppstein & Wang 2001;
+    harmonic = the centrality that stays well-defined on disconnected
+    graphs, Boldi & Vigna 2014): h(n) = Σ over sampled seeds s ≠ n that
+    REACH n of ⌊scale / dist(s, n)⌋ → (node, h, n_sources). Integer
+    reciprocal-distances (the bm25/pagerank exactness rule), so the
+    estimate is bit-identical across engines and partitionings.
+
+    Scale: |seeds| per-seed BFS frontiers (bounded by max_hops rounds) +
+    ONE map-side-combined sum; the all-pairs exact version is O(n·m) and
+    intentionally not offered — sampling IS the scale path (HyperBall's
+    HLL-counter variant trades exactness for all-node coverage; this
+    trades coverage per seed for exact oracled values)."""
+    d = bfs_distances_per_seed(edges, seeds, max_hops).filter(F.col("dist") > 0)
+    # nullif guard: on a degenerate graph the BFS breaks in round 1 and
+    # dist is still the seed LITERAL 0 — ANSI ConstantFolding would
+    # evaluate `div 0` at plan time, before the filter above ever runs
+    return d.groupBy("node").agg(
+        F.sum(F.expr(f"CAST({int(scale)} AS BIGINT) div nullif(dist, 0)")).alias("h"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )

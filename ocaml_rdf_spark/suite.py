@@ -4647,3 +4647,41 @@ FROM pairs GROUP BY a, b HAVING COUNT(*) >= 2
 """
 
 QUERIES["tfidf_pairs"] = (q_tfidf_pairs, SQL_TFIDF_PAIRS)
+
+
+def q_harmonic(spark, sf):
+    """Sampled inward harmonic centrality (per-seed BFS, 6 hops, seeds =
+    the two chain heads per nation) — integer reciprocal-distance sums,
+    exact against a 6×-unrolled per-seed min-dist mirror."""
+    from .operators.cc import harmonic_centrality
+
+    r, e = _chain_graph(spark, sf)
+    seeds = r.filter(F.col("rn") <= 2).select(F.col("k").alias("node"))
+    return harmonic_centrality(e, seeds, max_hops=6)
+
+
+def _harmonic_sql(hops: int) -> str:
+    parts = [
+        "WITH " + _CHAIN_SQL + """,
+s0 AS (SELECT kk AS seed, kk AS node, 0 AS dist FROM r WHERE rn <= 2)"""
+    ]
+    for h in range(1, hops + 1):
+        parts.append(
+            f""",
+s{h} AS MATERIALIZED (
+  SELECT seed, node, MIN(dist) AS dist FROM (
+    SELECT seed, node, dist FROM s{h - 1}
+    UNION ALL
+    SELECT s.seed, e.dst, s.dist + 1 FROM s{h - 1} s JOIN raw e ON e.src = s.node
+  ) GROUP BY seed, node
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node, CAST(SUM(1000000 // dist) AS BIGINT) AS h, CAST(COUNT(*) AS BIGINT) AS n_sources
+FROM s{hops} WHERE dist > 0 GROUP BY node"""
+    )
+    return "".join(parts)
+
+
+QUERIES["harmonic"] = (q_harmonic, _harmonic_sql(6))

@@ -472,6 +472,13 @@ def main() -> None:
             ("running-sum window", r"Window"),
             ("no joins", r"Join", "absent"),
         ]),
+        ("harmonic", [
+            # per-seed frontiers stay hash equi-joins; reciprocal sums
+            # are one combined aggregation
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("map-side-combined sum", r"HashAggregate|SortAggregate"),
+        ]),
         ("tfidf_pairs", [
             # inverted-index pair generation: equi-joins only, postings
             # df-capped before the self-join

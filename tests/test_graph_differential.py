@@ -240,3 +240,30 @@ def test_scc_fuzz(spark, pairs):
         GROUP BY c1.src
     """).fetchall()))
     assert got == want
+
+
+@pytest.mark.usefixtures("spark")
+@settings(**_SETTINGS)
+@given(pairs=edges_st, hops=st.integers(1, 3))
+def test_harmonic_fuzz(spark, pairs, hops):
+    from ocaml_rdf_spark.operators.cc import harmonic_centrality
+
+    seeds = spark.createDataFrame([("n0",), ("n2",)], "node string")
+    got = sorted(map(tuple, harmonic_centrality(_edf(spark, pairs), seeds, max_hops=hops).collect()))
+    con = _duck(pairs)
+    con.execute("CREATE TABLE d (seed VARCHAR, node VARCHAR, dist BIGINT)")
+    con.execute("INSERT INTO d VALUES ('n0','n0',0), ('n2','n2',0)")
+    for h in range(1, hops + 1):
+        con.execute(f"""
+            CREATE OR REPLACE TABLE d AS
+            SELECT seed, node, MIN(dist) AS dist FROM (
+              SELECT seed, node, dist FROM d
+              UNION ALL
+              SELECT d.seed, e.dst, d.dist + 1 FROM d JOIN e ON e.src = d.node WHERE d.dist = {h - 1}
+            ) GROUP BY seed, node
+        """)
+    want = sorted(map(tuple, con.execute("""
+        SELECT node, CAST(SUM(1000000 // dist) AS BIGINT), CAST(COUNT(*) AS BIGINT)
+        FROM d WHERE dist > 0 GROUP BY node
+    """).fetchall()))
+    assert got == want

@@ -1142,3 +1142,35 @@ def test_compaction_plan_is_path_deterministic(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         compaction_plan(df, 0)
+
+
+def test_harmonic_centrality_path_graph(spark):
+    # a→b→c, seeds {a}: h(b) = 1/1, h(c) = 1/2 (scaled); a unreachable from itself
+    from ocaml_rdf_spark.operators.cc import harmonic_centrality
+
+    e = _edges(spark, [("a", "b"), ("b", "c")])
+    seeds = spark.createDataFrame([("a",)], "node string")
+    out = {r["node"]: (r["h"], r["n_sources"]) for r in harmonic_centrality(e, seeds).collect()}
+    assert out == {"b": (1_000_000, 1), "c": (500_000, 1)}
+
+
+def test_harmonic_centrality_multi_seed_sums(spark):
+    # x→m and y→m: h(m) = 1/1 + 1/1 from two sources
+    from ocaml_rdf_spark.operators.cc import harmonic_centrality
+
+    e = _edges(spark, [("x", "m"), ("y", "m"), ("m", "z")])
+    seeds = spark.createDataFrame([("x",), ("y",)], "node string")
+    out = {r["node"]: (r["h"], r["n_sources"]) for r in harmonic_centrality(e, seeds).collect()}
+    assert out["m"] == (2_000_000, 2)
+    assert out["z"] == (1_000_000, 2)  # dist 2 from both: 500k + 500k
+
+
+def test_per_seed_bfs_keeps_labels(spark):
+    # the multi-source collapse would lose this: two seeds, different dists
+    from ocaml_rdf_spark.operators.cc import bfs_distances_per_seed
+
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("s2", "c")])
+    seeds = spark.createDataFrame([("a",), ("s2",)], "node string")
+    out = {(r["seed"], r["node"]): r["dist"] for r in bfs_distances_per_seed(e, seeds).collect()}
+    assert out[("a", "c")] == 2 and out[("s2", "c")] == 1
+    assert ("s2", "b") not in out  # unreachable pairs absent, not null
