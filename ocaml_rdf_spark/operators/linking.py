@@ -27,7 +27,10 @@ from pyspark.sql.window import Window
 def detect_mentions(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_n: int = 3) -> DataFrame:
     """Candidate mentions: runs of Capitalized tokens, emitted as 1..max_n
     word n-grams → (id, mention, norm). Vectorized: split/explode only."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # materialized word array: the gram lambda below would otherwise
+    # re-split the text once per token (O(len²) — the tfidf_pairs lesson)
+    docs = docs.withColumn("__toks", F.split(F.trim(F.col(text_col)), r"\s+"))
+    toks = F.col("__toks")
     out = None
     for n in range(1, max_n + 1):
         idx = F.when(F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))).otherwise(

@@ -139,7 +139,11 @@ def ngram_jaccard(docs: DataFrame, pairs: DataFrame, n: int = 3) -> DataFrame:
         .distinct()
     )
     docs = docs.join(cand_ids, "doc_id", "left_semi")
-    w = words(F.col("text"))
+    # materialize the word array before the gram lambda (a raw expression
+    # referenced inside transform() re-evaluates per element — the split
+    # would run len(words) times per doc, O(len²); cf. tfidf_pairs)
+    docs = docs.withColumn("__w", words(F.col("text")))
+    w = F.col("__w")
     # guard: sequence(1, k) with k<1 would generate a DESCENDING sequence
     idx = F.when(F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))).otherwise(
         F.array().cast("array<int>")
@@ -1202,24 +1206,35 @@ def tfidf_pairs(
             .dropDuplicates(["doc_id", "tok"])
         )
     else:
-        t = _norm_tokens(text_col)
         n = term_ngram
-        idx = F.when(F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - (n - 1))).otherwise(
+        # materialize the token array BEFORE the gram lambda: an expression
+        # referenced inside transform() re-evaluates per element, so using
+        # _norm_tokens(text) directly would run the regex normalization
+        # len(toks) times per doc — O(len²) (measured 15s → 1s at sf0.1)
+        base = docs.select("doc_id", _norm_tokens(text_col).alias("__t"))
+        tcol = F.col("__t")
+        idx = F.when(F.size(tcol) >= n, F.sequence(F.lit(1), F.size(tcol) - (n - 1))).otherwise(
             F.array().cast("array<int>")
         )
         toks = (
-            docs.select(
+            base.select(
                 "doc_id",
-                F.explode(F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, n)))).alias("tok"),
+                F.explode(F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tcol, i, n)))).alias("tok"),
             )
             .filter(F.length("tok") > 0)
             .dropDuplicates(["doc_id", "tok"])
         )
+    # materialize the postings once: the df aggregate and BOTH self-join
+    # sides reference this subtree, and Catalyst doesn't dedupe it across
+    # a self-join — without this the normalize+explode runs 3× (the
+    # minhash_candidates precedent; at scale the postings ARE the
+    # inverted index the pipeline would persist anyway)
+    toks = toks.localCheckpoint(eager=False)
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     rare = dfreq.filter(F.col("df") <= df_cap).select(
         "tok", F.expr(f"CAST({int(scale)} AS BIGINT) div df").alias("w")
     )
-    post = toks.join(rare, "tok")
+    post = toks.join(rare, "tok").localCheckpoint(eager=False)
     pairs = (
         post.select("tok", "w", F.col("doc_id").alias("a"))
         .join(post.select("tok", F.col("doc_id").alias("b")), "tok")

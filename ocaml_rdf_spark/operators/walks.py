@@ -91,7 +91,10 @@ def skipgram_pairs(
     flatten, explode) + ONE map-side-combined count — the hub-pair skew
     story is bpe_pair_counts'. Window clipping at sequence edges; the
     center itself is excluded."""
-    toks = F.split(F.col(seq_col), ",")
+    # bind the split sequence to a column first: element_at(toks, …)
+    # inside the nested lambdas would re-split the CSV per (i, j) pair
+    # otherwise (cf. tfidf_pairs)
+    toks = F.col("__toks")
     n = F.size(toks)
     pairs = F.flatten(
         F.transform(
@@ -111,7 +114,8 @@ def skipgram_pairs(
         )
     )
     return (
-        walks.select(F.explode(pairs).alias("p"))
+        walks.withColumn("__toks", F.split(F.col(seq_col), ","))
+        .select(F.explode(pairs).alias("p"))
         .groupBy("p")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(

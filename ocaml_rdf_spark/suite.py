@@ -4625,7 +4625,11 @@ def q_tfidf_pairs(spark, sf):
     shingle/winnowing dedup family."""
     from .operators.textops import tfidf_pairs
 
-    return tfidf_pairs(_docs(spark, sf), df_cap=20, min_shared=2, term_ngram=3)
+    # the test table is ONE parquet file = one input split; fan the scan
+    # out before the trigram explode (a real corpus arrives in thousands
+    # of splits and needs no such shuffle)
+    docs = _docs(spark, sf).repartition(32, "doc_id")
+    return tfidf_pairs(docs, df_cap=20, min_shared=2, term_ngram=3)
 
 
 SQL_TFIDF_PAIRS = f"""
