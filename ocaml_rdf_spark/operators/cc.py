@@ -433,13 +433,17 @@ def bfs_distances(edges: DataFrame, seeds: DataFrame, max_hops: int = 8) -> Data
         # its last union+anti-join plan visible for the plan audit
         if h > 1:
             dist = dist.localCheckpoint(eager=False)
+        # checkpoint BEFORE the isEmpty probe: the probe materializes the
+        # frontier, and the union below then reuses that materialization —
+        # without it every frontier is computed twice (probe + next
+        # round's lineage), doubling per-round wall time
         nxt = (
             frontier.join(e, frontier["node"] == e["src"])
             .select(F.col("dst").alias("node"))
             .dropDuplicates()
             .join(dist, "node", "left_anti")
             .select("node", F.lit(h).cast("long").alias("dist"))
-        )
+        ).localCheckpoint(eager=False)
         if nxt.isEmpty():
             break
         dist = dist.unionByName(nxt)
@@ -548,13 +552,15 @@ def bfs_distances_per_seed(
     for h in range(1, max_hops + 1):
         if h > 1:
             dist = dist.localCheckpoint(eager=False)
+        # checkpoint before the probe — same double-compute avoidance as
+        # bfs_distances
         nxt = (
             frontier.join(e, frontier["node"] == e["src"])
             .select("seed", F.col("dst").alias("node"))
             .dropDuplicates()
             .join(dist, ["seed", "node"], "left_anti")
             .select("seed", "node", F.lit(h).cast("long").alias("dist"))
-        )
+        ).localCheckpoint(eager=False)
         if nxt.isEmpty():
             break
         dist = dist.unionByName(nxt)
