@@ -246,6 +246,23 @@ def kg_pipeline(
 # --- incremental delta commits (re-crawl path) -------------------------------
 
 
+def _latest_version(pdir: str) -> int:
+    """Highest committed patch number — robust to retention gaps and the
+    `_expired.json` marker (a bare len(listdir) miscounts after expiry)."""
+    if not os.path.isdir(pdir):
+        return 0
+    vs = [int(d[1:]) for d in os.listdir(pdir) if d.startswith("v") and d[1:].isdigit()]
+    return max(vs) if vs else 0
+
+
+def _expiry_horizon(pdir: str) -> int:
+    p = os.path.join(pdir, "_expired.json")
+    if not os.path.exists(p):
+        return 0
+    with open(p) as f:
+        return int(json.load(f).get("horizon", 0))
+
+
 def commit_delta(
     spark: SparkSession, root: str, stage: str, new_df: DataFrame, fingerprint: str
 ) -> dict:
@@ -273,7 +290,7 @@ def commit_delta(
     # the patch chain lives BESIDE the stage dir — commit's atomic
     # replace must never take the history with it
     pdir = os.path.join(root, f"{stage}__patches")
-    n_prev = len(os.listdir(pdir)) if os.path.isdir(pdir) else 0
+    n_prev = _latest_version(pdir)
     vdir = os.path.join(pdir, f"v{n_prev + 1}")
     patch.write.mode("overwrite").parquet(vdir)
     ops = {r["op"]: r["n"] for r in patch.groupBy("op").agg(F.count(F.lit(1)).alias("n")).collect()}
@@ -296,9 +313,14 @@ def store_at_version(spark: SparkSession, root: str, stage: str, version: int) -
 
     io = TableIO(root)
     pdir = os.path.join(root, f"{stage}__patches")
-    n = len(os.listdir(pdir)) if os.path.isdir(pdir) else 0
+    n = _latest_version(pdir)
     if not 0 <= version <= n:
         raise ValueError(f"store_at_version: version {version} not in [0, {n}]")
+    horizon = _expiry_horizon(pdir)
+    if version < horizon:
+        raise ValueError(
+            f"store_at_version: version {version} expired (retention horizon {horizon})"
+        )
     df = io.read(spark, stage)
     from .types import TRIPLE_KEY
 
@@ -307,3 +329,34 @@ def store_at_version(spark: SparkSession, root: str, stage: str, version: int) -
         patch = spark.read.parquet(os.path.join(pdir, f"v{v}"))
         df = apply_patch(df, invert_patch(patch))
     return df
+
+
+def expire_versions(root: str, stage: str, keep_last: int = 3) -> dict:
+    """Patch-chain retention (the Iceberg `expire_snapshots` maintenance
+    op): drop the OLDEST patches so only the latest `keep_last` remain
+    reachable, bounding history storage on long-running re-crawl
+    pipelines — without retention the chain grows one patch per
+    re-crawl forever. Time travel keeps working for versions ≥
+    (n - keep_last); older versions become unreachable and
+    `store_at_version` refuses them (the horizon is recorded in
+    `_expired.json` beside the chain, so the error is precise rather
+    than a missing-file crash).
+
+    Pure metadata/filesystem work — no Spark job; the patch dirs ARE
+    the snapshots' changelogs, so removal is O(expired patches)."""
+    import shutil
+
+    pdir = os.path.join(root, f"{stage}__patches")
+    versions = sorted(
+        (int(d[1:]) for d in os.listdir(pdir) if d.startswith("v")), reverse=True
+    ) if os.path.isdir(pdir) else []
+    n = versions[0] if versions else 0
+    horizon = max(0, n - max(0, keep_last))
+    expired = [v for v in versions if v <= horizon]
+    for v in expired:
+        shutil.rmtree(os.path.join(pdir, f"v{v}"), ignore_errors=True)
+    meta = {"stage": stage, "latest": n, "horizon": horizon, "expired": sorted(expired)}
+    if os.path.isdir(pdir):
+        with open(os.path.join(pdir, "_expired.json"), "w") as f:
+            json.dump(meta, f)
+    return meta

@@ -431,3 +431,64 @@ def stream_hll_estimate(
             return hll_estimate_from_sketch(state["regs"], gl)
 
     return StreamingHllHandle(q)
+
+
+def stream_cms_sketch(
+    spark: SparkSession,
+    input_dir: str,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 64,
+) -> "StreamingCmsHandle":
+    """Streaming token-frequency sketching: fold each micro-batch's
+    count-min cells into a running grid by CELL-WISE ADDITION — the
+    sum-merge counterpart of stream_hll_estimate's max-merge, together
+    covering both mergeable-summary algebras. State is ≤ depth·width
+    counters forever; after an availableNow drain the folded grid is
+    bit-identical to the batch cms_sketch over the same files
+    (integer sums are associative, so batch/stream/shard orderings all
+    agree — pytest-pinned).
+
+    `estimate(tokens)` is the driver-side point-read: min over rows of
+    the token's cells, computed with the same md5 derivation the JVM
+    side uses (hashlib reproduces it bit-for-bit)."""
+    from pyspark.sql import functions as F
+
+    from .operators.textops import cms_sketch
+
+    schema = spark.read.parquet(input_dir).schema
+    src = spark.readStream.schema(schema).parquet(input_dir)
+    state: dict = {"cells": None}
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        part = cms_sketch(batch_df, depth=depth, width=width, text_col=text_col)
+        cur = state["cells"]
+        merged = part if cur is None else (
+            cur.unionByName(part).groupBy("r", "c").agg(F.sum("cnt").alias("cnt"))
+        )
+        state["cells"] = spark.createDataFrame(merged.collect(), merged.schema)
+
+    q = src.writeStream.foreachBatch(fold).trigger(availableNow=True).start()
+
+    class StreamingCmsHandle:
+        def __init__(self, query):
+            self.query = query
+
+        def cells(self) -> DataFrame:
+            return state["cells"]
+
+        def estimate(self, tokens) -> dict:
+            import hashlib
+
+            grid = {(r["r"], r["c"]): r["cnt"] for r in state["cells"].collect()}
+            out = {}
+            for tok in tokens:
+                vals = []
+                for r in range(depth):
+                    h = hashlib.md5(f"{r}\x1f{tok}".encode("utf-8")).hexdigest()
+                    c = int(h[:15], 16) % width
+                    vals.append(grid.get((r, c), 0))
+                out[tok] = min(vals)
+            return out
+
+    return StreamingCmsHandle(q)

@@ -1174,3 +1174,44 @@ def test_per_seed_bfs_keeps_labels(spark):
     out = {(r["seed"], r["node"]): r["dist"] for r in bfs_distances_per_seed(e, seeds).collect()}
     assert out[("a", "c")] == 2 and out[("s2", "c")] == 1
     assert ("s2", "b") not in out  # unreachable pairs absent, not null
+
+
+def test_expire_versions_retention(spark, tmp_path):
+    """Patch-chain retention: old versions become unreachable with a
+    precise error, newer time travel still works, and the NEXT commit
+    numbers correctly despite the gap."""
+    from ocaml_rdf_spark.pipeline import (
+        Pipeline, commit_delta, expire_versions, store_at_version,
+    )
+
+    root = str(tmp_path / "pipe")
+
+    def quads(rows):
+        return _quads(spark, rows)
+
+    vs = [
+        quads([(f"s{i}", "p", f"o{i}", None, None, "g")]) for i in range(5)
+    ]
+    Pipeline(spark, root, "fp0").stage("store", lambda sp, p: vs[0]).run()
+    for i, v in enumerate(vs[1:], start=1):
+        commit_delta(spark, root, "store", v, f"fp{i}")
+
+    meta = expire_versions(root, "store", keep_last=2)
+    # latest patch is v4 → horizon 2: v1, v2 expired; v3, v4 kept
+    assert meta["latest"] == 4 and meta["horizon"] == 2
+    assert meta["expired"] == [1, 2]
+
+    # versions >= horizon still reconstruct exactly
+    assert _qset(store_at_version(spark, root, "store", 4)) == _qset(vs[4])
+    assert _qset(store_at_version(spark, root, "store", 3)) == _qset(vs[3])
+    assert _qset(store_at_version(spark, root, "store", 2)) == _qset(vs[2])
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="expired"):
+        store_at_version(spark, root, "store", 1)
+
+    # the chain keeps numbering correctly after the gap
+    m = commit_delta(spark, root, "store", vs[0], "fp5")
+    assert m["patch_version"] == 5
+    assert _qset(store_at_version(spark, root, "store", 5)) == _qset(vs[0])
