@@ -100,7 +100,10 @@ def rdfs_closure(
     expanded = inst.join(
         F.broadcast(prp.withColumnRenamed("src", "pred")), "pred", "inner"
     ).select("s_kind", "s_lex", F.col("dst").alias("pred"), "o_kind", "o_lex")
-    stmts = inst.unionByName(expanded)
+    # three consumers read stmts (dom/rng/base_types); checkpoint so the
+    # scan+broadcast-join subtree runs once, not once per consumer — the
+    # recompute showed up as ~500 tiny map tasks in the final dedup stage
+    stmts = inst.unionByName(expanded).localCheckpoint(eager=False)
 
     # rdfs2 / rdfs3: domain and range over the expanded statements
     dom_types = stmts.join(
@@ -114,7 +117,7 @@ def rdfs_closure(
     base_types = stmts.filter(F.col("pred") == RDF_TYPE).select(
         "s_kind", "s_lex", F.col("o_lex").alias("cls")
     )
-    all_types = base_types.unionByName(dom_types).unionByName(rng_types)
+    all_types = base_types.unionByName(dom_types).unionByName(rng_types).localCheckpoint(eager=False)
 
     # rdfs9: inherit through the closed subclass relation
     inherited = all_types.join(
@@ -148,6 +151,11 @@ def rdfs_closure(
         )
     )
 
+    # NB: the union's map side stacks every branch's partitions (~15× the
+    # store's) into the dedup stage — many tiny tasks. A coalesce() here
+    # was tried and REGRESSED (6.7s → 10.1s at sf0.1): merged tasks
+    # compute branches serially and straggle; the wide-but-tiny map side
+    # schedules better
     out = (
         type_triples.unionByName(prop_triples).unionByName(schema_triples)
         .withColumn("graph", F.lit(graph))
