@@ -11,7 +11,7 @@ with large-star/small-star for the giant-component case).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Sequence
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -269,3 +269,56 @@ class PathPattern(Node):
         if not out:
             return d.select(F.lit(1).alias("__m")), frozenset(), frozenset()
         return d.select(*[c.alias(v) for v, c in out.items()]), frozenset(out), frozenset()
+
+
+@dataclass
+class Repeat(Path):
+    """p{n,m} — quantified path (public proposal SEP-0002, adopted into
+    the SPARQL 1.2 path discussion; not in 1.1): between `n` and `m`
+    hops of p, `m=None` = unbounded (p{n,}). Special cases reduce to
+    1.1 forms — p{0,1}=p?, p{0,}=p*, p{1,}=p+ — but the bounded general
+    case is genuinely new and what hierarchy queries want ("2 to 4
+    levels up").
+
+    Evaluation: the single-hop pair set materializes ONCE
+    (localCheckpoint — every composition round joins against it), the
+    exact-n prefix composes n joins, and the bounded tail unions one
+    frontier⋈hop round per extra hop — m-n rounds, each a hash
+    equi-join, never re-reading the store. n=0 starts from the
+    zero-length identity over the graph's term universe (the p* rule,
+    spec §9.3). Unbounded tails reuse the closure machinery
+    (transitive_closure — frontier rounds escalating to path doubling)."""
+
+    p: Path
+    n: int
+    m: Optional[int] = None
+
+    def pairs(self, ctx: Ctx) -> DataFrame:
+        if self.n < 0 or (self.m is not None and self.m < self.n):
+            raise ValueError("Repeat: require 0 <= n <= m")
+        hop = self.p.pairs(ctx).localCheckpoint(eager=False)
+
+        def compose(a: DataFrame, b: DataFrame) -> DataFrame:
+            return (
+                a.alias("a")
+                .join(b.alias("b"), F.col("a.dst").eqNullSafe(F.col("b.src")), "inner")
+                .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+                .distinct()
+            )
+
+        if self.n == 0:
+            base = _identity_pairs(ctx)
+        else:
+            base = hop
+            for _ in range(self.n - 1):
+                base = compose(base, hop)
+        if self.m is None:
+            # n-or-more: exact-n prefix composed with the reflexive closure
+            closure = transitive_closure(hop.select(F.col("src"), F.col("dst")))
+            tail = closure.unionByName(_identity_pairs(ctx)).distinct()
+            return compose(base, tail)
+        acc, frontier = base, base
+        for _ in range(self.m - self.n):
+            frontier = compose(frontier, hop).localCheckpoint(eager=False)
+            acc = acc.unionByName(frontier)
+        return acc.distinct()

@@ -910,6 +910,23 @@ class Parser:
         elif self.at_op("+"):
             self.next()
             p = P.Plus(p)
+        elif self.at_op("{"):
+            # path quantifier p{n}, p{n,}, p{n,m}, p{,m} (SEP-0002 /
+            # SPARQL 1.2 paths; unambiguous here — an object term never
+            # starts with '{')
+            self.next()
+            lo = None
+            if self.peek().kind == "NUM":
+                lo = int(self.next().text)
+            if self.at_op(","):
+                self.next()
+                hi = int(self.next().text) if self.peek().kind == "NUM" else None
+            else:
+                hi = lo  # {n} = exactly n
+            self.eat_op("}")
+            if lo is None and hi is None:
+                raise SyntaxError("path quantifier needs at least one bound")
+            p = P.Repeat(p, lo or 0, hi)
         if inv:
             p = P.Inv(p)
         return p

@@ -4689,3 +4689,25 @@ FROM s{hops} WHERE dist > 0 GROUP BY node"""
 
 
 QUERIES["harmonic"] = (q_harmonic, _harmonic_sql(6))
+
+
+def q_path_repeat(spark, sf):
+    """Quantified path (inNation|inRegion){2,} — SEP-0002/SPARQL-1.2
+    quantifiers via Repeat: exactly-n prefix composed with the reflexive
+    closure tail; here = exactly the 2-hop customer/supplier→region
+    pairs (the hierarchy is 2 deep, so {2,} ≡ {2})."""
+    from .operators.paths import Repeat
+
+    node = PathPattern(VS, Repeat(Alt(PP(P_IN_NATION), PP(P_IN_REGION)), 2, None), VO)
+    return _flat(node, _ctx(spark, sf), "s", "o")
+
+
+SQL_PATH_REPEAT = """
+SELECT 'urn:cu:'||c_custkey AS s, 'urn:r:'||n_regionkey AS o
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+UNION
+SELECT 'urn:su:'||s_suppkey, 'urn:r:'||n_regionkey
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+"""
+
+QUERIES["path_repeat"] = (q_path_repeat, SQL_PATH_REPEAT)

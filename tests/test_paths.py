@@ -127,3 +127,78 @@ def test_plus_equivalent_under_doubling(ctx):
         for r in transitive_closure(base, linear_rounds=0).collect()
     }
     assert a == b and len(a) > 0
+
+
+def _chain_ctx(spark, n=6):
+    from ocaml_rdf_spark.algebra import Ctx
+    from ocaml_rdf_spark.types import Iri, TRIPLES_SCHEMA, triple_row
+
+    EX = "http://ex.org/"
+    t = [
+        triple_row(Iri(f"{EX}n{i}"), Iri(EX + "p"), Iri(f"{EX}n{i+1}"), graph="urn:g")
+        for i in range(n)
+    ]
+    return Ctx(spark.createDataFrame(t, schema=TRIPLES_SCHEMA))
+
+
+def _ends(pairs_df, start="http://ex.org/n0"):
+    return sorted(
+        int(r["dst"]["lex"].rsplit("n", 1)[1])
+        for r in pairs_df.collect()
+        if r["src"]["lex"] == start
+    )
+
+
+def test_repeat_exact_and_range(spark):
+    from ocaml_rdf_spark.operators.paths import P, Repeat
+
+    ctx = _chain_ctx(spark)
+    assert _ends(Repeat(P("http://ex.org/p"), 3, 3).pairs(ctx)) == [3]
+    assert _ends(Repeat(P("http://ex.org/p"), 2, 4).pairs(ctx)) == [2, 3, 4]
+
+
+def test_repeat_zero_lower_bound_includes_identity(spark):
+    from ocaml_rdf_spark.operators.paths import P, Repeat
+
+    ctx = _chain_ctx(spark)
+    # {0,2}: zero-length (the node itself) plus 1 and 2 hops
+    assert _ends(Repeat(P("http://ex.org/p"), 0, 2).pairs(ctx)) == [0, 1, 2]
+
+
+def test_repeat_unbounded_tail_matches_plus_star(spark):
+    from ocaml_rdf_spark.operators.paths import P, Plus, Repeat, Star
+
+    ctx = _chain_ctx(spark)
+    pp = "http://ex.org/p"
+    one_up = sorted(map(str, Repeat(P(pp), 1, None).pairs(ctx).collect()))
+    plus = sorted(map(str, Plus(P(pp)).pairs(ctx).collect()))
+    assert one_up == plus
+    zero_up = sorted(map(str, Repeat(P(pp), 0, None).pairs(ctx).collect()))
+    star = sorted(map(str, Star(P(pp)).pairs(ctx).collect()))
+    assert zero_up == star
+
+
+def test_repeat_cycle_terminates(spark):
+    from ocaml_rdf_spark.algebra import Ctx
+    from ocaml_rdf_spark.operators.paths import P, Repeat
+    from ocaml_rdf_spark.types import Iri, TRIPLES_SCHEMA, triple_row
+
+    EX = "http://ex.org/"
+    t = [
+        triple_row(Iri(EX + "a"), Iri(EX + "p"), Iri(EX + "b"), graph="urn:g"),
+        triple_row(Iri(EX + "b"), Iri(EX + "p"), Iri(EX + "a"), graph="urn:g"),
+    ]
+    ctx = Ctx(spark.createDataFrame(t, schema=TRIPLES_SCHEMA))
+    # on a 2-cycle, {2,5} from a reaches a (even hops) and b (odd hops)
+    out = {(r["src"]["lex"], r["dst"]["lex"]) for r in Repeat(P(EX + "p"), 2, 5).pairs(ctx).collect()}
+    assert (EX + "a", EX + "a") in out and (EX + "a", EX + "b") in out
+
+
+def test_repeat_validates_bounds(spark):
+    import pytest as _pt
+
+    from ocaml_rdf_spark.operators.paths import P, Repeat
+
+    ctx = _chain_ctx(spark)
+    with _pt.raises(ValueError):
+        Repeat(P("http://ex.org/p"), 3, 2).pairs(ctx)
