@@ -157,6 +157,7 @@ def main() -> None:
         "compaction_plan",
         "tfidf_pairs",
         "harmonic",
+        "path_repeat",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

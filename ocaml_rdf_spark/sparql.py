@@ -369,13 +369,28 @@ class Parser:
             if len(vis) != len(scope):
                 node = A.Project(node, vis)
         if distinct or reduced:
+            # §15.1: with DISTINCT/REDUCED, ORDER BY may only reference
+            # projected variables — enforce for plain-var conditions (an
+            # unprojected var would otherwise sort by null, silently).
+            # Expression conditions are opaque pre-session and stay
+            # unchecked here.
+            if getattr(self, "_order_conds", None):
+                projected = set(proj) if proj is not None else set(
+                    v for v in _in_scope_vars(pattern) if not v.startswith("__bn_")
+                )
+                for cond in self._order_conds:
+                    c = cond[0] if isinstance(cond, tuple) else cond
+                    if isinstance(c, str) and c not in projected and not c.startswith("__agg"):
+                        raise SyntaxError(
+                            f"ORDER BY ?{c} with SELECT DISTINCT requires ?{c} to be projected"
+                        )
             node = A.Distinct(node)
             # Distinct is a shuffle (dropDuplicates) — it does NOT preserve
             # the ORDER BY ordering the spec's sequence semantics require
             # (§18.2.4: DISTINCT keeps the solution sequence ordered), so
             # re-apply the sort on the deduped projection. ORDER BY vars
-            # must be projected when DISTINCT is used (spec constraint),
-            # so the conditions still resolve.
+            # must be projected when DISTINCT is used (spec constraint,
+            # enforced above), so the conditions still resolve.
             if getattr(self, "_order_conds", None):
                 node = A.OrderBy(node, self._order_conds)
         if offset or limit is not None:

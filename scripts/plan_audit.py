@@ -479,6 +479,13 @@ def main() -> None:
             ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
             ("map-side-combined sum", r"HashAggregate|SortAggregate"),
         ]),
+        ("path_repeat", [
+            # quantifier tail reuses the closure machinery; the auditable
+            # surface is hash joins + the distinct aggregate, no BNLJ
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("distinct pair aggregate", r"HashAggregate|SortAggregate"),
+        ]),
         ("tfidf_pairs", [
             # inverted-index pair generation: equi-joins only, postings
             # df-capped before the self-join
