@@ -158,6 +158,7 @@ def main() -> None:
         "tfidf_pairs",
         "harmonic",
         "path_repeat",
+        "funnel",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

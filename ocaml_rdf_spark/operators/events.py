@@ -23,6 +23,8 @@ Scale notes:
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -126,4 +128,72 @@ def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     return s.groupBy("user_id").agg(
         F.max("session_idx").alias("n_sessions"),
         F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def funnel(
+    events: DataFrame,
+    steps: Sequence[str],
+    within_s: int = 3600,
+) -> DataFrame:
+    """Ordered-funnel analysis: per user, how far through the `steps`
+    event-type sequence they progressed → (user_id, depth, t1_us,
+    completed). Semantics pinned exactly (so the result value-oracles):
+    the funnel anchors at the user's EARLIEST step-1 event (t1); step
+    k+1 matches the earliest event of its type STRICTLY after the step-k
+    match and no later than t1 + within_s; `depth` counts matched steps,
+    `completed` = all steps matched. Epoch-microsecond integers
+    throughout — no fp, bit-identical cross-engine.
+
+    Scale: ONE shuffle (groupBy user_id with map-side combine into a
+    sorted (ts, event_id, type) array), then a scan-local F.aggregate
+    fold — no per-step join cascade (k steps would otherwise cost k
+    shuffles), no Python, whole-stage codegen. Power-user arrays are
+    bounded by per-user event counts, the same budget sessionize
+    already carries; ties at equal ts break by event_id via the array
+    sort, and the strict `>` means same-instant events can't satisfy
+    consecutive steps (matching the SQL mirror's MIN/> formulation)."""
+    steps = list(steps)
+    if not steps:
+        raise ValueError("funnel: steps must be non-empty")
+    ev = events.select(
+        "user_id",
+        F.struct(
+            F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("t"),
+            F.col("event_id").alias("eid"),
+            F.col("event_type").alias("typ"),
+        ).alias("e"),
+    )
+    seq = ev.groupBy("user_id").agg(F.array_sort(F.collect_list("e")).alias("es"))
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    zero = F.struct(
+        F.lit(0).cast("int").alias("depth"),
+        F.lit(None).cast("long").alias("t1"),
+        F.lit(None).cast("long").alias("last"),
+    )
+    fold = F.aggregate(
+        F.col("es"),
+        zero,
+        lambda acc, e: F.when(
+            (acc["depth"] < len(steps))
+            & (e["typ"] == F.element_at(steps_arr, acc["depth"] + 1))
+            & (
+                (acc["depth"] == 0)
+                | ((e["t"] > acc["last"]) & (e["t"] <= acc["t1"] + within_s * 1_000_000))
+            ),
+            F.struct(
+                (acc["depth"] + 1).alias("depth"),
+                F.coalesce(acc["t1"], e["t"]).alias("t1"),
+                e["t"].alias("last"),
+            ),
+        ).otherwise(acc),
+    )
+    return seq.select(
+        "user_id",
+        fold.alias("__f"),
+    ).select(
+        "user_id",
+        F.col("__f.depth").cast("long").alias("depth"),
+        F.col("__f.t1").alias("t1_us"),
+        (F.col("__f.depth") == len(steps)).alias("completed"),
     )

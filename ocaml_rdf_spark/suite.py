@@ -4711,3 +4711,44 @@ FROM supplier JOIN nation ON s_nationkey = n_nationkey
 """
 
 QUERIES["path_repeat"] = (q_path_repeat, SQL_PATH_REPEAT)
+
+
+def q_funnel(spark, sf):
+    """Ordered funnel view→click→purchase within 24h: one user_id
+    shuffle + a scan-local array fold (no per-step join cascade);
+    greedy-earliest matching, strict ordering, integer timestamps."""
+    from .operators.events import funnel
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return funnel(ev, ["view", "click", "purchase"], within_s=86400)
+
+
+SQL_FUNNEL = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+s1 AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+    AND epoch_us(e.ts) <= s1.t1 + 86400000000
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+  FROM events e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+    AND epoch_us(e.ts) <= s1.t1 + 86400000000
+  GROUP BY e.user_id
+)
+SELECT u.user_id,
+       CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+                 WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS depth,
+       s1.t1 AS t1_us,
+       (t3 IS NOT NULL) AS completed
+FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+"""
+
+QUERIES["funnel"] = (q_funnel, SQL_FUNNEL)

@@ -479,6 +479,12 @@ def main() -> None:
             ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
             ("map-side-combined sum", r"HashAggregate|SortAggregate"),
         ]),
+        ("funnel", [
+            # one user_id shuffle + scan-local fold: no per-step joins
+            ("single shuffle", r"\(\d+\) Exchange", "count", 1),
+            ("no joins", r"Join", "absent"),
+            ("map-side-combined collect", r"HashAggregate|SortAggregate|ObjectHashAggregate"),
+        ]),
         ("path_repeat", [
             # quantifier tail reuses the closure machinery; the auditable
             # surface is hash joins + the distinct aggregate, no BNLJ

@@ -265,3 +265,67 @@ def test_score_resample_rejects_bad_max(spark):
     df = spark.createDataFrame([(1, 1)], "doc_id long, score long")
     with _pt.raises(ValueError):
         score_resample(df, "doc_id", "score", 0)
+
+
+# --- funnel -------------------------------------------------------------------
+
+
+def _fev(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+
+
+def test_funnel_depths_and_anchor(spark):
+    from ocaml_rdf_spark.operators.events import funnel
+
+    T = _ts
+    ev = _fev(spark, [
+        # u1 completes in order
+        (1, T("2024-01-01T10:00:00"), 1, "view"),
+        (2, T("2024-01-01T10:05:00"), 1, "click"),
+        (3, T("2024-01-01T10:10:00"), 1, "purchase"),
+        # u2: purchase BEFORE click — order matters, depth 2
+        (4, T("2024-01-01T10:00:00"), 2, "view"),
+        (5, T("2024-01-01T10:01:00"), 2, "purchase"),
+        (6, T("2024-01-01T10:02:00"), 2, "click"),
+        # u3: never starts
+        (7, T("2024-01-01T10:00:00"), 3, "click"),
+    ])
+    out = {r["user_id"]: (r["depth"], r["completed"]) for r in
+           funnel(ev, ["view", "click", "purchase"], within_s=3600).collect()}
+    assert out[1] == (3, True)
+    assert out[2] == (2, False)
+    assert out[3] == (0, False)
+
+
+def test_funnel_window_and_strictness(spark):
+    from ocaml_rdf_spark.operators.events import funnel
+
+    T = _ts
+    ev = _fev(spark, [
+        # click outside the window from the FIRST view → depth 1
+        (1, T("2024-01-01T10:00:00"), 1, "view"),
+        (2, T("2024-01-01T12:00:01"), 1, "click"),
+        # same-instant events can't satisfy consecutive steps (strict >)
+        (3, T("2024-01-01T10:00:00"), 2, "view"),
+        (4, T("2024-01-01T10:00:00"), 2, "click"),
+    ])
+    out = {r["user_id"]: r["depth"] for r in
+           funnel(ev, ["view", "click"], within_s=7200).collect()}
+    assert out[1] == 1 and out[2] == 1
+
+
+def test_funnel_anchors_at_earliest_first_step(spark):
+    from ocaml_rdf_spark.operators.events import funnel
+
+    T = _ts
+    # a LATER view would fit the window, but the funnel anchors at the
+    # earliest view — the click at +3h misses the 1h window from 10:00
+    ev = _fev(spark, [
+        (1, T("2024-01-01T10:00:00"), 1, "view"),
+        (2, T("2024-01-01T12:30:00"), 1, "view"),
+        (3, T("2024-01-01T13:00:00"), 1, "click"),
+    ])
+    out = funnel(ev, ["view", "click"], within_s=3600).collect()[0]
+    assert out["depth"] == 1 and out["t1_us"] == 1704103200000000
