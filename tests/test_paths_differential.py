@@ -109,3 +109,57 @@ SELECT DISTINCT p.src, s.dst FROM p JOIN qstar s ON p.dst = s.src
     ).fetchall())
     con.close()
     assert got == want
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(pe=p_edges, qe=q_edges, n=st.integers(0, 3), extra=st.integers(0, 2))
+def test_repeat_range_fuzz(spark, pe, qe, n, extra):
+    """p{n,m} vs a hop-unrolled DuckDB mirror on random digraphs —
+    exact-n composition, bounded tail, and the n=0 zero-length rule."""
+    from ocaml_rdf_spark.operators.paths import Repeat
+
+    m = n + extra
+    got = _spark_pairs(spark, pe, qe, Repeat(P(PPRED), n, m))
+    con = _duck(pe, qe)
+    # hop k pair sets: h0 = identity over the term universe, hk = h(k-1)⋈p
+    parts = [f"h0 AS (SELECT t AS src, t AS dst FROM ({_TERMS}))"]
+    for k in range(1, m + 1):
+        parts.append(
+            f"h{k} AS (SELECT DISTINCT h.src, e.dst FROM h{k - 1} h JOIN p e ON h.dst = e.src)"
+        )
+    union = " UNION ".join(f"SELECT src, dst FROM h{k}" for k in range(n, m + 1))
+    want = sorted(
+        (_n(a), _n(b))
+        for a, b in con.execute("WITH " + ", ".join(parts) + " " + union).fetchall()
+    )
+    con.close()
+    assert got == want
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(pe=p_edges, qe=q_edges, n=st.integers(1, 3))
+def test_repeat_unbounded_fuzz(spark, pe, qe, n):
+    """p{n,} vs exact-n hops composed with the recursive-CTE closure."""
+    from ocaml_rdf_spark.operators.paths import Repeat
+
+    got = _spark_pairs(spark, pe, qe, Repeat(P(PPRED), n, None))
+    con = _duck(pe, qe)
+    parts = ["h1 AS (SELECT DISTINCT src, dst FROM p)"]
+    for k in range(2, n + 1):
+        parts.append(
+            f"h{k} AS (SELECT DISTINCT h.src, e.dst FROM h{k - 1} h JOIN p e ON h.dst = e.src)"
+        )
+    want = sorted((_n(a), _n(b)) for a, b in con.execute(
+        "WITH RECURSIVE c(src, dst) AS (SELECT src, dst FROM p UNION "
+        "SELECT c.src, e.dst FROM c JOIN p e ON c.dst = e.src), "
+        + ", ".join(parts)
+        + f""",
+cstar AS (SELECT DISTINCT src, dst FROM c
+          UNION SELECT t, t FROM ({_TERMS}))
+SELECT DISTINCT h.src, s.dst FROM h{n} h JOIN cstar s ON h.dst = s.src
+"""
+    ).fetchall())
+    con.close()
+    assert got == want
