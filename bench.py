@@ -159,6 +159,10 @@ def main() -> None:
         "harmonic",
         "path_repeat",
         "funnel",
+        "pii_scrub",
+        "line_dedup",
+        "kmeans",
+        "semdedup",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

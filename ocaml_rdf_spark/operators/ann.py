@@ -175,3 +175,116 @@ def near_dup_pairs_lsh(
         )
         .filter(F.col("sim_x1e4") >= threshold_x1e4)
     )
+
+
+# ---------------------------------------------------------------------------
+# integer-exact Lloyd k-means + SemDeDup
+# ---------------------------------------------------------------------------
+
+
+def _quantize(emb: Column, scale: int) -> Column:
+    """Exact float→int component quantization (round(x·scale) as BIGINT).
+    All distance/centroid math downstream is integer (or floor-of-exact),
+    so Spark and the SQL oracle agree bit-for-bit — unlike avg-of-double
+    centroid updates, whose result depends on aggregation order."""
+    return F.transform(emb, lambda x: F.round(x.cast("double") * scale).cast("long"))
+
+
+def _sqdist(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_int(
+    vectors: DataFrame, k: int = 8, iters: int = 2, scale: int = 1000
+) -> DataFrame:
+    """Lloyd k-means over the embedding column in exact integer arithmetic
+    (components quantized ×`scale`): deterministic init (centroid i := the
+    vector with vec_id == i), argmin of integer squared-L2 with min-cluster
+    tiebreak, centroid update = elementwise floor(mean) (sums ≪ 2^53, so
+    the floor is exact in both engines). `iters` is a static unroll — each
+    round is one broadcast join + one centroid aggregation, which is the
+    shape Lloyd has at 10^12 rows too (k·dim is tiny; the data never
+    re-partitions).
+
+    → (vec_id, cluster int). Fully SQL-expressible, so the oracle replays
+    the identical iterations in DuckDB CTEs."""
+    q = vectors.select("vec_id", _quantize(F.col("embedding"), scale).alias("qe"))
+    cents = q.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("int").alias("cl"), F.col("qe").alias("ce")
+    )
+    for _ in range(iters):
+        assigned = (
+            q.crossJoin(F.broadcast(cents))
+            .groupBy("vec_id")
+            .agg(F.min(F.struct(_sqdist(F.col("qe"), F.col("ce")).alias("d"), F.col("cl"))).alias("m"))
+            .select("vec_id", F.col("m.cl").alias("cl"))
+        )
+        cents = (
+            q.join(assigned, "vec_id")
+            .select("cl", F.posexplode("qe").alias("pos", "v"))
+            .groupBy("cl", "pos")
+            .agg(F.floor(F.avg(F.col("v").cast("double"))).alias("c"))
+            .groupBy("cl")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+            .select("cl", F.transform("pc", lambda s: s["c"]).alias("ce"))
+        )
+    final = (
+        q.crossJoin(F.broadcast(cents))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct(_sqdist(F.col("qe"), F.col("ce")).alias("d"), F.col("cl"))).alias("m"))
+        .select("vec_id", F.col("m.cl").alias("cluster"))
+    )
+    return final
+
+
+def semdedup_keep(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    scale: int = 1000,
+    threshold_x1e4: int = 9000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings with k-means, then
+    within each cluster drop every vector that has a LOWER-id cluster-mate
+    with cosine ≥ threshold (the kept one is the min id of each semantic
+    duplicate group reachable by such an edge chain's first hop — the
+    paper's 'keep one per ε-ball', made deterministic by id order).
+
+    → (vec_id, cluster, keep ∈ {0,1}). The pairwise stage is
+    cluster-local: Σ cluster² ≪ N², same bound as the LSH bucket join —
+    the k-means index IS what makes semantic dedup feasible at 10^12
+    vectors; a global pair join would be O(N²).
+
+    100 TB: cluster sizes are balanced by Lloyd itself (mega-clusters →
+    raise k or sub-cluster recursively); the pair join is an equi-join on
+    cluster so AQE skew-split applies."""
+    assigned = kmeans_int(vectors, k=k, iters=iters, scale=scale).join(vectors, "vec_id")
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"), "cluster"
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"), "cluster"
+    )
+    dup_edges = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.round(cosine(F.col("emb_a"), F.col("emb_b")) * 10000).cast("long")
+            >= threshold_x1e4
+        )
+        .select(F.col("id_b").alias("vec_id"))
+        .dropDuplicates()
+        .withColumn("dropped", F.lit(1))
+    )
+    return (
+        assigned.join(dup_edges, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.when(F.col("dropped").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("keep"),
+        )
+    )

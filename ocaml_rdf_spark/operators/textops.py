@@ -1245,3 +1245,103 @@ def tfidf_pairs(
         .agg(F.count(F.lit(1)).alias("shared"), F.sum("w").alias("w_overlap"))
         .filter(F.col("shared") >= min_shared)
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing + corpus-level line dedup (CCNet-style)
+# ---------------------------------------------------------------------------
+
+# Deterministic patterns shared verbatim with the DuckDB oracle. Both
+# engines (Java regex / RE2) agree on these constructs: character
+# classes, bounded repetition, \d, and leftmost matching with no
+# ambiguous alternation. Replacement order matters (email first, so an
+# address's host part can't later be half-eaten by the IP pattern) and
+# is mirrored in the SQL.
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_IPV4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+PII_PHONE = "\\+\\d{1,2}-\\d{3}-\\d{4}"
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Regex PII detection + redaction (emails, IPv4 addresses, phone
+    numbers) — the standard pre-training scrub pass. Counts each PII kind
+    and redacts occurrences with typed placeholders (<EMAIL>/<IP>/<PHONE>).
+
+    Output: (id, n_email, n_ipv4, n_phone, clean_md5, chars_removed) —
+    the redacted text itself is returned as an md5 so the oracle compares
+    it exactly without hashing megabytes of strings through the driver.
+
+    100 TB shape: map-only (regexp_count/regexp_replace are JVM-side,
+    whole-stage codegen) — no shuffle at all; this pass pipelines into
+    whatever scan feeds it."""
+    t = F.col(text_col)
+    clean = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(t, PII_EMAIL, "<EMAIL>"), PII_IPV4, "<IP>"),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return docs.select(
+        id_col,
+        F.regexp_count(t, F.lit(PII_EMAIL)).cast("long").alias("n_email"),
+        F.regexp_count(t, F.lit(PII_IPV4)).cast("long").alias("n_ipv4"),
+        F.regexp_count(t, F.lit(PII_PHONE)).cast("long").alias("n_phone"),
+        F.md5(clean).alias("clean_md5"),
+        (F.length(t) - F.length(clean)).cast("long").alias("chars_removed"),
+    )
+
+
+def line_dedup_corpus(
+    docs: DataFrame, min_docs: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-level line deduplication (CCNet, Wenzek et al. 2020): drop
+    every line whose exact trimmed content appears in ≥ `min_docs`
+    DISTINCT documents (boilerplate: nav bars, cookie banners, footers).
+    Unlike repetition_stats (within-doc), the counting here is across the
+    corpus, so it needs one global shuffle keyed by the line hash.
+
+    Output: (id, n_lines_in, n_lines_kept, kept_md5) where kept_md5 is
+    the md5 of the surviving lines re-joined with \\n in original order
+    (docs whose every line is boilerplate keep md5('')).
+
+    100 TB shape: explode lines → groupBy(line md5) countDistinct(doc) is
+    map-side-combinable; the join back is an equi-join on the same key so
+    Catalyst reuses the shuffle partitioning. Mega-common lines (the
+    whole point) are count-only on the build side — no row blow-up — and
+    AQE skew-split covers the probe side."""
+    lines = (
+        docs.select(
+            id_col,
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        )
+        .withColumn("line", F.trim("line"))
+        .filter(F.length("line") > 0)
+        .withColumn("lh", F.md5("line"))
+    )
+    boiler = (
+        lines.groupBy("lh")
+        .agg(F.countDistinct(id_col).alias("ndocs"))
+        .filter(F.col("ndocs") >= min_docs)
+        .select("lh")
+    )
+    kept = lines.join(boiler, "lh", "left_anti")
+    kept_agg = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lines_kept"),
+        F.md5(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+            )
+        ).alias("kept_md5"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines_in"))
+    return (
+        docs.select(id_col)
+        .dropDuplicates()
+        .join(totals, id_col, "left")
+        .join(kept_agg, id_col, "left")
+        .fillna(0, ["n_lines_in", "n_lines_kept"])
+        .fillna({"kept_md5": "d41d8cd98f00b204e9800998ecf8427e"})
+    )

@@ -4752,3 +4752,232 @@ FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id) LEFT JOIN s3 US
 """
 
 QUERIES["funnel"] = (q_funnel, SQL_FUNNEL)
+
+
+# ---------------------------------------------------------------------------
+# PII scrub, corpus line dedup, integer k-means, SemDeDup (round 3 batch 3)
+# ---------------------------------------------------------------------------
+
+
+def _pii_docs(spark, sf):
+    """documents with deterministic PII injected (the synthetic corpus has
+    none): doc_id%4 selects email / IPv4 / phone / clean; mirrored
+    verbatim in the oracle's CASE."""
+    d = _docs(spark, sf)
+    did = F.col("doc_id")
+    tail = (
+        F.when(
+            did % 4 == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com now")),
+        )
+        .when(
+            did % 4 == 1,
+            F.concat(
+                F.lit(" server 10."),
+                (did % 256).cast("string"),
+                F.lit(".0."),
+                (did % 100).cast("string"),
+                F.lit(" up"),
+            ),
+        )
+        .when(
+            did % 4 == 2,
+            F.concat(F.lit(" call +1-555-"), (did % 9000 + 1000).cast("string"), F.lit(" or +44-020-7946")),
+        )
+        .otherwise(F.lit(""))
+    )
+    return d.select("doc_id", F.concat(F.col("text"), tail).alias("text"))
+
+
+def q_pii_scrub(spark, sf):
+    """Regex PII detect + redact (emails / IPv4 / phone): counts per kind,
+    md5 of the redacted text, chars removed. Map-only, codegen (SURVEY
+    training-data ops)."""
+    from .operators.textops import pii_scrub
+
+    return pii_scrub(_pii_docs(spark, sf))
+
+
+_PII_TEXT_SQL = """
+  SELECT doc_id, text || CASE
+    WHEN doc_id % 4 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+    WHEN doc_id % 4 = 1 THEN ' server 10.' || CAST(doc_id % 256 AS VARCHAR)
+                             || '.0.' || CAST(doc_id % 100 AS VARCHAR) || ' up'
+    WHEN doc_id % 4 = 2 THEN ' call +1-555-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) || ' or +44-020-7946'
+    ELSE '' END AS text
+  FROM documents
+"""
+
+SQL_PII_SCRUB = f"""
+WITH d AS ({_PII_TEXT_SQL}),
+c AS (
+  SELECT doc_id, text,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+             '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g'),
+           '\\+\\d{{1,2}}-\\d{{3}}-\\d{{4}}', '<PHONE>', 'g') AS clean
+  FROM d
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(text, '\\+\\d{{1,2}}-\\d{{3}}-\\d{{4}}')) AS BIGINT) AS n_phone,
+       md5(clean) AS clean_md5,
+       CAST(length(text) - length(clean) AS BIGINT) AS chars_removed
+FROM c
+"""
+
+QUERIES["pii_scrub"] = (q_pii_scrub, SQL_PII_SCRUB)
+
+
+def q_line_dedup(spark, sf):
+    """CCNet-style corpus-level line dedup: lines appearing in ≥5 distinct
+    docs (injected per-source copyright + global newsletter boilerplate)
+    are dropped; per-doc kept-line count + md5 of surviving text."""
+    from .operators.textops import line_dedup_corpus
+
+    d = _docs(spark, sf)
+    text2 = F.concat(
+        F.col("text"),
+        F.lit("\n(C) "),
+        F.col("source"),
+        F.lit(" all rights reserved"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("\nsubscribe to our newsletter")).otherwise(F.lit("")),
+    )
+    return line_dedup_corpus(d.select("doc_id", text2.alias("text")), min_docs=5)
+
+
+SQL_LINE_DEDUP = """
+WITH d AS (
+  SELECT doc_id, text || chr(10) || '(C) ' || source || ' all rights reserved'
+         || CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'subscribe to our newsletter' ELSE '' END AS text
+  FROM documents
+),
+p AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM d),
+lines AS (
+  SELECT doc_id, pos, line FROM (
+    SELECT doc_id, unnest(range(1, len(parts)+1)) AS pos,
+           unnest(list_transform(parts, x -> trim(x))) AS line
+    FROM p
+  ) WHERE length(line) > 0
+),
+boiler AS (
+  SELECT line FROM lines GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 5
+),
+kept AS (
+  SELECT l.* FROM lines l LEFT JOIN boiler b USING (line) WHERE b.line IS NULL
+),
+ka AS (
+  SELECT doc_id, COUNT(*) AS n_lines_kept,
+         md5(string_agg(line, chr(10) ORDER BY pos)) AS kept_md5
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, COUNT(*) AS n_lines_in FROM lines GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(tot.n_lines_in, 0) AS n_lines_in,
+       COALESCE(ka.n_lines_kept, 0) AS n_lines_kept,
+       COALESCE(ka.kept_md5, md5('')) AS kept_md5
+FROM d LEFT JOIN tot USING (doc_id) LEFT JOIN ka USING (doc_id)
+"""
+
+QUERIES["line_dedup"] = (q_line_dedup, SQL_LINE_DEDUP)
+
+
+def q_kmeans(spark, sf):
+    """Integer-exact Lloyd k-means (k=8, 2 iterations, components ×1000):
+    deterministic init from vec_id<k, argmin integer L2, floor-mean
+    centroid update — the oracle replays identical iterations as CTEs."""
+    from .operators.ann import kmeans_int
+
+    return kmeans_int(_embs(spark, sf), k=8, iters=2, scale=1000)
+
+
+_KMEANS_CTES = """
+q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
+  FROM embeddings
+),
+c0 AS (SELECT CAST(vec_id AS INT) AS cl, qe AS ce FROM q WHERE vec_id < 8),
+a1 AS (
+  SELECT vec_id, cl FROM (
+    SELECT q.vec_id, c.cl,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_sum(list_transform(range(1, len(q.qe)+1),
+                                              i -> (q.qe[i]-c.ce[i])*(q.qe[i]-c.ce[i]))), c.cl
+           ) AS rn
+    FROM q CROSS JOIN c0 c
+  ) WHERE rn = 1
+),
+c1 AS (
+  SELECT cl, list(c ORDER BY pos) AS ce FROM (
+    SELECT a1.cl, r.i AS pos, CAST(floor(AVG(q.qe[r.i])) AS BIGINT) AS c
+    FROM q JOIN a1 USING (vec_id), range(1, 65) r(i)
+    GROUP BY a1.cl, r.i
+  ) GROUP BY cl
+),
+a2 AS (
+  SELECT vec_id, cl FROM (
+    SELECT q.vec_id, c.cl,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_sum(list_transform(range(1, len(q.qe)+1),
+                                              i -> (q.qe[i]-c.ce[i])*(q.qe[i]-c.ce[i]))), c.cl
+           ) AS rn
+    FROM q CROSS JOIN c1 c
+  ) WHERE rn = 1
+),
+c2 AS (
+  SELECT cl, list(c ORDER BY pos) AS ce FROM (
+    SELECT a2.cl, r.i AS pos, CAST(floor(AVG(q.qe[r.i])) AS BIGINT) AS c
+    FROM q JOIN a2 USING (vec_id), range(1, 65) r(i)
+    GROUP BY a2.cl, r.i
+  ) GROUP BY cl
+),
+km AS (
+  SELECT vec_id, cl AS cluster FROM (
+    SELECT q.vec_id, c.cl,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_sum(list_transform(range(1, len(q.qe)+1),
+                                              i -> (q.qe[i]-c.ce[i])*(q.qe[i]-c.ce[i]))), c.cl
+           ) AS rn
+    FROM q CROSS JOIN c2 c
+  ) WHERE rn = 1
+)
+"""
+
+SQL_KMEANS = "WITH " + _KMEANS_CTES + """
+SELECT vec_id, cluster FROM km
+"""
+
+QUERIES["kmeans"] = (q_kmeans, SQL_KMEANS)
+
+
+def q_semdedup(spark, sf):
+    """SemDeDup (Abbas et al. 2023): k-means clusters → cluster-local
+    cosine pairs → drop any vector with a lower-id cluster-mate at
+    sim ≥ 0.30 (the synthetic embeddings' same-cluster P99; a real corpus
+    uses ~0.95). Pairwise cost is Σ cluster², not N²."""
+    from .operators.ann import semdedup_keep
+
+    return semdedup_keep(_embs(spark, sf), k=8, iters=2, scale=1000, threshold_x1e4=3000)
+
+
+SQL_SEMDEDUP = "WITH " + _KMEANS_CTES + """,
+emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+dup AS (
+  SELECT DISTINCT b.vec_id
+  FROM km a JOIN km b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  JOIN emb ea ON ea.vec_id = a.vec_id
+  JOIN emb eb ON eb.vec_id = b.vec_id
+  WHERE CAST(round(list_cosine_similarity(ea.e, eb.e) * 10000) AS BIGINT) >= 3000
+)
+SELECT km.vec_id, km.cluster,
+       CASE WHEN dup.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+FROM km LEFT JOIN dup USING (vec_id)
+"""
+
+QUERIES["semdedup"] = (q_semdedup, SQL_SEMDEDUP)

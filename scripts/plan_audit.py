@@ -499,6 +499,36 @@ def main() -> None:
             ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
             ("map-side-combined pair agg", r"HashAggregate|SortAggregate"),
         ]),
+        ("pii_scrub", [
+            # regex scrub is pure projection: pipelines into the scan,
+            # nothing to shuffle at any scale
+            ("map-only: zero exchanges", r"Exchange", "absent"),
+            ("no joins", r"Join", "absent"),
+            ("columns pruned to (doc_id, text)", r"ReadSchema: struct<doc_id:bigint,text:string>"),
+        ]),
+        ("line_dedup", [
+            # cross-corpus line counting: map-side-combined agg keyed by
+            # line hash; the boilerplate set is small by construction so
+            # the drop join broadcasts it
+            ("boilerplate set broadcast", r"BroadcastHashJoin"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("map-side-combined line counts", r"HashAggregate"),
+        ]),
+        ("kmeans", [
+            # Lloyd unroll: exactly 3 assignment passes (2 iterations +
+            # final), each a k-row broadcast cross — the ONLY place a
+            # nested-loop join is the right plan (k·dim is bytes)
+            ("exactly 3 k-row broadcast assignments", r"\(\d+\) BroadcastNestedLoopJoin", "count", 3),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("partial+final centroid agg", r"HashAggregate"),
+        ]),
+        ("semdedup", [
+            # the pairwise stage must be cluster-equi, never all-pairs:
+            # only k-means's 3 intended k-row BNLJ appear
+            ("pair join is cluster-equi (sort-merge)", r"SortMergeJoin"),
+            ("only k-means's 3 k-row BNLJ", r"\(\d+\) BroadcastNestedLoopJoin", "count", 3),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
     ]
 
     lines = ["# PLANS — physical-plan audit (scripts/plan_audit.py)", "",

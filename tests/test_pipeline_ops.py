@@ -1,0 +1,173 @@
+"""Unit tests for the round-3 batch-3 pipeline operators: PII scrubbing,
+corpus-level line dedup (textops), integer-exact Lloyd k-means, and
+SemDeDup keep/drop (ann). The suite oracles cover the cross-engine value
+contract; these tests pin the SEMANTICS on hand-built inputs."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyspark.sql.functions as F
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# pii_scrub
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, schema="doc_id long, text string")
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    from ocaml_rdf_spark.operators.textops import pii_scrub
+
+    d = _docs(
+        spark,
+        [
+            (0, "mail a.b+c@x-mail.org and d@e.io today"),
+            (1, "hosts 10.0.0.1 and 192.168.255.3"),
+            (2, "call +1-555-0100 or +49-301-2345"),
+            (3, "nothing sensitive here"),
+            (4, "mixed a@b.co at 8.8.8.8 dial +4-123-4567"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in pii_scrub(d).collect()}
+    assert (out[0]["n_email"], out[0]["n_ipv4"], out[0]["n_phone"]) == (2, 0, 0)
+    assert out[0]["clean_md5"] == _md5("mail <EMAIL> and <EMAIL> today")
+    assert (out[1]["n_email"], out[1]["n_ipv4"]) == (0, 2)
+    assert out[1]["clean_md5"] == _md5("hosts <IP> and <IP>")
+    assert out[2]["n_phone"] == 2
+    assert out[2]["clean_md5"] == _md5("call <PHONE> or <PHONE>")
+    assert (out[3]["n_email"], out[3]["n_ipv4"], out[3]["n_phone"]) == (0, 0, 0)
+    assert out[3]["chars_removed"] == 0
+    assert (out[4]["n_email"], out[4]["n_ipv4"], out[4]["n_phone"]) == (1, 1, 1)
+    assert out[4]["clean_md5"] == _md5("mixed <EMAIL> at <IP> dial <PHONE>")
+
+
+def test_pii_scrub_order_email_before_ip(spark):
+    """The email pattern consumes dotted hosts BEFORE the IP pass, so an
+    address at a numeric-looking domain is one <EMAIL>, not email+IP."""
+    from ocaml_rdf_spark.operators.textops import pii_scrub
+
+    d = _docs(spark, [(0, "x u@mail.example.com y")])
+    r = pii_scrub(d).collect()[0]
+    assert (r["n_email"], r["n_ipv4"]) == (1, 0)
+    assert r["clean_md5"] == _md5("x <EMAIL> y")
+
+
+# ---------------------------------------------------------------------------
+# line_dedup_corpus
+# ---------------------------------------------------------------------------
+
+
+def test_line_dedup_drops_boilerplate(spark):
+    from ocaml_rdf_spark.operators.textops import line_dedup_corpus
+
+    boiler = "all rights reserved"
+    rows = [(i, f"unique body {i}\n{boiler}") for i in range(5)]
+    rows.append((5, boiler))  # doc that is ONLY boilerplate
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup_corpus(_docs(spark, rows), min_docs=5).collect()
+    }
+    for i in range(5):
+        assert (out[i]["n_lines_in"], out[i]["n_lines_kept"]) == (2, 1)
+        assert out[i]["kept_md5"] == _md5(f"unique body {i}")
+    # fully-boilerplate doc survives as a row with md5('')
+    assert (out[5]["n_lines_in"], out[5]["n_lines_kept"]) == (1, 0)
+    assert out[5]["kept_md5"] == _md5("")
+
+
+def test_line_dedup_threshold_counts_distinct_docs(spark):
+    """A line repeated many times WITHIN one doc doesn't count toward the
+    cross-doc threshold (countDistinct doc_id)."""
+    from ocaml_rdf_spark.operators.textops import line_dedup_corpus
+
+    spam = "repeat me"
+    d = _docs(spark, [(0, "\n".join([spam] * 10)), (1, f"other\n{spam}")])
+    out = {r["doc_id"]: r for r in line_dedup_corpus(d, min_docs=3).collect()}
+    assert out[0]["n_lines_kept"] == 10  # only 2 distinct docs carry it
+    assert out[1]["n_lines_kept"] == 2
+
+
+def test_line_dedup_preserves_order(spark):
+    from ocaml_rdf_spark.operators.textops import line_dedup_corpus
+
+    d = _docs(spark, [(0, "z line\na line\nm line")])
+    r = line_dedup_corpus(d, min_docs=2).collect()[0]
+    assert r["kept_md5"] == _md5("z line\na line\nm line")  # original, not sorted
+
+
+# ---------------------------------------------------------------------------
+# kmeans_int / semdedup_keep
+# ---------------------------------------------------------------------------
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        schema="vec_id long, embedding array<float>",
+    )
+
+
+def test_kmeans_recovers_separated_clusters(spark):
+    from ocaml_rdf_spark.operators.ann import kmeans_int
+
+    # two tight blobs on opposite corners; seeds 0 and 1 land one per blob
+    blob_a = [(0, [1.0, 1.0, 0.9, 1.1]), (2, [1.1, 0.9, 1.0, 1.0]), (4, [0.9, 1.0, 1.1, 0.9])]
+    blob_b = [(1, [-1.0, -1.0, -0.9, -1.1]), (3, [-1.1, -0.9, -1.0, -1.0]), (5, [-0.9, -1.0, -1.1, -0.9])]
+    out = {r["vec_id"]: r["cluster"] for r in kmeans_int(_vecs(spark, blob_a + blob_b), k=2, iters=2).collect()}
+    assert out[0] == out[2] == out[4]
+    assert out[1] == out[3] == out[5]
+    assert out[0] != out[1]
+
+
+def test_kmeans_deterministic_across_partitioning(spark):
+    """Integer arithmetic ⇒ the assignment is identical however the input
+    is partitioned (the reason this isn't avg-of-double Lloyd)."""
+    from ocaml_rdf_spark.operators.ann import kmeans_int
+
+    rows = [(i, [((i * 37 + j * 11) % 19) / 7.0 - 1.2 for j in range(8)]) for i in range(40)]
+    base = _vecs(spark, rows)
+    r1 = sorted((r["vec_id"], r["cluster"]) for r in kmeans_int(base, k=4, iters=2).collect())
+    r8 = sorted(
+        (r["vec_id"], r["cluster"])
+        for r in kmeans_int(base.repartition(8), k=4, iters=2).collect()
+    )
+    assert r1 == r8
+
+
+def test_semdedup_keeps_min_id_of_duplicate_group(spark):
+    from ocaml_rdf_spark.operators.ann import semdedup_keep
+
+    dup = [1.0, 0.5, -0.25, 0.8]
+    rows = [(0, dup), (1, [-1.0, 0.9, 0.3, -0.7]), (2, [x * 2 for x in dup]), (3, dup)]
+    out = {r["vec_id"]: r["keep"] for r in semdedup_keep(_vecs(spark, rows), k=2, iters=1, threshold_x1e4=9999).collect()}
+    # 0, 2, 3 are colinear (cosine 1.0) and cluster with seed 0: min id 0
+    # kept, rest dropped; 1 seeds its own cluster, no high-sim mate.
+    assert out[0] == 1 and out[1] == 1
+    assert out[2] == 0 and out[3] == 0
+
+
+def test_semdedup_respects_cluster_boundary(spark):
+    """Pairs are only compared within a k-means cluster — two identical
+    vectors seeded into different clusters both survive (the recall/cost
+    trade the SemDeDup paper makes explicit)."""
+    from ocaml_rdf_spark.operators.ann import semdedup_keep
+
+    # seeds 0 and 1 are opposite corners; 2 == seed 0's vector, 3 == seed 1's
+    rows = [
+        (0, [1.0, 1.0, 1.0, 1.0]),
+        (1, [-1.0, -1.0, -1.0, -1.0]),
+        (2, [1.0, 1.0, 1.0, 1.0]),
+        (3, [-1.0, -1.0, -1.0, -1.0]),
+    ]
+    out = {r["vec_id"]: (r["cluster"], r["keep"]) for r in semdedup_keep(_vecs(spark, rows), k=2, iters=1, threshold_x1e4=9999).collect()}
+    assert out[2] == (out[0][0], 0)  # same cluster as 0 -> dropped
+    assert out[3] == (out[1][0], 0)
+    assert out[0][1] == 1 and out[1][1] == 1
