@@ -163,6 +163,7 @@ def main() -> None:
         "line_dedup",
         "kmeans",
         "semdedup",
+        "domain_filter",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

@@ -173,3 +173,60 @@ def host_profile(
             F.max_by("lang", -F.col("rk")).alias("top_lang"),
         )
     )
+
+
+def domain_suffixes(host: Column) -> Column:
+    """All dot-suffix chains of a host: 'a.ads.ex.com' →
+    ['a.ads.ex.com', 'ads.ex.com', 'ex.com', 'com'] — scan-local array
+    algebra, bounded by the label count (≤ ~6 real-world)."""
+    labels = F.split(host, "\\.")
+    n = F.size(labels)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat_ws(".", F.slice(labels, i, n - i + 1)),
+    )
+
+
+def domain_filter(
+    docs: DataFrame, blocklist: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Domain-blocklist filtering with parent-domain matching (the
+    standard crawl-corpus safety/quality gate): a document is blocked when
+    its url host — or ANY parent domain of it — appears in `blocklist
+    (domain)`, so 'bad.com' blocks 'ads.tracker.bad.com'. `blocked_by`
+    reports the MOST-specific matching entry (deterministic min suffix
+    index).
+
+    → (id, host, blocked_by ('' when kept), keep ∈ {0,1}).
+
+    100 TB shape: suffix expansion is scan-local (≤6 rows per doc,
+    no corpus-length explode); the blocklist — even a multi-million-entry
+    industry list is MBs — broadcasts, so the match is a map-side hash
+    join with zero shuffle of the corpus; the final left join back is
+    keyed by the doc id. No regex-per-entry scan anywhere."""
+    hosts = docs.select(
+        id_col,
+        # lowercase BEFORE host extraction: the scheme regex is
+        # case-sensitive and crawl urls arrive as 'HTTP://HOST'
+        F.regexp_replace(url_host(F.lower(F.col(url_col))), ":[0-9]+$", "").alias("host"),
+    )
+    sufs = hosts.filter(F.length("host") > 0).select(
+        id_col,
+        F.posexplode(domain_suffixes(F.col("host"))).alias("i", "suf"),
+    )
+    hits = (
+        sufs.join(F.broadcast(blocklist.select(F.col("domain").alias("suf"))), "suf")
+        .groupBy(id_col)
+        .agg(F.min_by("suf", "i").alias("blocked_by"))
+    )
+    return (
+        hosts.join(hits, id_col, "left")
+        .select(
+            id_col,
+            "host",
+            # '' (not NULL) for unblocked: the value-hash gate sorts rows,
+            # and a mixed NULL/string column is unorderable there
+            F.coalesce("blocked_by", F.lit("")).alias("blocked_by"),
+            F.when(F.col("blocked_by").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("keep"),
+        )
+    )

@@ -4981,3 +4981,42 @@ FROM km LEFT JOIN dup USING (vec_id)
 """
 
 QUERIES["semdedup"] = (q_semdedup, SQL_SEMDEDUP)
+
+
+def q_domain_filter(spark, sf):
+    """Domain-blocklist filter with parent-domain suffix matching: the
+    broadcast blocklist blocks messy-URL hosts www.ex1/ex3.com via their
+    parent domains; the ftp passthrough yields an empty host (kept)."""
+    from .operators.urls import domain_filter
+
+    bl = spark.createDataFrame(
+        [("ex1.com",), ("ex3.com",), ("mixed.case",)], schema="domain string"
+    )
+    return domain_filter(_messy_urls(spark, sf), bl)
+
+
+SQL_DOMAIN_FILTER = f"""
+WITH d AS (SELECT doc_id, {_SQL_MESSY_URL} AS url FROM documents),
+h AS (
+  SELECT doc_id,
+         regexp_replace(regexp_extract(lower(url), 'https?://([^/]+)', 1), ':[0-9]+$', '') AS host
+  FROM d
+),
+bl AS (SELECT * FROM (VALUES ('ex1.com'), ('ex3.com'), ('mixed.case')) v(domain)),
+s AS (
+  SELECT doc_id, unnest(range(1, len(labels)+1)) AS i,
+         unnest(list_transform(range(1, len(labels)+1), j -> array_to_string(labels[j:], '.'))) AS suf
+  FROM (SELECT doc_id, string_split(host, '.') AS labels FROM h WHERE length(host) > 0)
+),
+m AS (
+  SELECT doc_id, MIN(i) AS mi FROM s JOIN bl ON s.suf = bl.domain GROUP BY doc_id
+),
+mb AS (
+  SELECT m.doc_id, s.suf AS blocked_by FROM m JOIN s ON s.doc_id = m.doc_id AND s.i = m.mi
+)
+SELECT h.doc_id, h.host, COALESCE(mb.blocked_by, '') AS blocked_by,
+       CASE WHEN mb.blocked_by IS NULL THEN 1 ELSE 0 END AS keep
+FROM h LEFT JOIN mb USING (doc_id)
+"""
+
+QUERIES["domain_filter"] = (q_domain_filter, SQL_DOMAIN_FILTER)

@@ -522,6 +522,13 @@ def main() -> None:
             ("no cartesian product", r"CartesianProduct", "absent"),
             ("partial+final centroid agg", r"HashAggregate"),
         ]),
+        ("domain_filter", [
+            # blocklist broadcast: map-side hash join, corpus never shuffles
+            # for the match itself (only the id-keyed join back)
+            ("blocklist broadcast", r"BroadcastHashJoin"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
         ("semdedup", [
             # the pairwise stage must be cluster-equi, never all-pairs:
             # only k-means's 3 intended k-row BNLJ appear

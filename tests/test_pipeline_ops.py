@@ -171,3 +171,52 @@ def test_semdedup_respects_cluster_boundary(spark):
     assert out[2] == (out[0][0], 0)  # same cluster as 0 -> dropped
     assert out[3] == (out[1][0], 0)
     assert out[0][1] == 1 and out[1][1] == 1
+
+
+# ---------------------------------------------------------------------------
+# domain_filter
+# ---------------------------------------------------------------------------
+
+
+def _urls(spark, rows):
+    return spark.createDataFrame(rows, schema="doc_id long, url string")
+
+
+def _bl(spark, domains):
+    return spark.createDataFrame([(d,) for d in domains], schema="domain string")
+
+
+def test_domain_filter_parent_domain_blocks_subdomain(spark):
+    from ocaml_rdf_spark.operators.urls import domain_filter
+
+    d = _urls(
+        spark,
+        [
+            (0, "https://ads.tracker.bad.com/x"),
+            (1, "https://bad.com/y"),
+            (2, "https://notbad.com/z"),       # suffix of the NAME, not a parent domain
+            (3, "HTTP://GOOD.ORG:80/a"),       # case + port normalization
+        ],
+    )
+    out = {r["doc_id"]: (r["keep"], r["blocked_by"]) for r in domain_filter(d, _bl(spark, ["bad.com"])).collect()}
+    assert out[0] == (0, "bad.com")
+    assert out[1] == (0, "bad.com")
+    assert out[2] == (1, "")  # label-boundary match, not substring
+    assert out[3] == (1, "")
+
+
+def test_domain_filter_most_specific_entry_wins(spark):
+    from ocaml_rdf_spark.operators.urls import domain_filter
+
+    d = _urls(spark, [(0, "https://a.sub.ex.com/")])
+    r = domain_filter(d, _bl(spark, ["ex.com", "sub.ex.com"])).collect()[0]
+    assert (r["keep"], r["blocked_by"]) == (0, "sub.ex.com")
+
+
+def test_domain_filter_non_http_kept_with_empty_host(spark):
+    from ocaml_rdf_spark.operators.urls import domain_filter
+
+    d = _urls(spark, [(0, "ftp://bad.com/z"), (1, "mailto:x@bad.com")])
+    out = {r["doc_id"]: (r["keep"], r["host"]) for r in domain_filter(d, _bl(spark, ["bad.com"])).collect()}
+    assert out[0] == (1, "")  # only web URLs are in scope for host filtering
+    assert out[1] == (1, "")
