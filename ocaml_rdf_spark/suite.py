@@ -5020,3 +5020,85 @@ FROM h LEFT JOIN mb USING (doc_id)
 """
 
 QUERIES["domain_filter"] = (q_domain_filter, SQL_DOMAIN_FILTER)
+
+
+def q_hits(spark, sf):
+    """Integer-exact HITS (3 unnormalized power iterations) on the
+    chain-with-chords customer graph: hub/auth BIGINTs bit-comparable to
+    the unrolled DuckDB mirror (normalization is a positive scalar, so
+    ranking matches normalized HITS exactly)."""
+    from .operators.cc import hits
+
+    _r, e = _chain_graph(spark, sf)
+    return hits(e, iters=3)
+
+
+def _hits_sql(iters: int = 3) -> str:
+    parts = [
+        "WITH " + _CHAIN_SQL + """,
+edges AS (SELECT DISTINCT src, dst FROM raw),
+nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+h0 AS (SELECT node, CAST(1 AS BIGINT) AS hub FROM nodes)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+sa{i} AS (SELECT e.dst AS node, SUM(h.hub) AS s
+         FROM edges e JOIN h{i-1} h ON h.node = e.src GROUP BY e.dst),
+a{i} AS (SELECT n.node, CAST(COALESCE(sa.s, 0) AS BIGINT) AS auth
+        FROM nodes n LEFT JOIN sa{i} sa USING (node)),
+sh{i} AS (SELECT e.src AS node, SUM(a.auth) AS s
+         FROM edges e JOIN a{i} a ON a.node = e.dst GROUP BY e.src),
+h{i} AS (SELECT n.node, CAST(COALESCE(sh.s, 0) AS BIGINT) AS hub
+        FROM nodes n LEFT JOIN sh{i} sh USING (node))""")
+    parts.append(
+        f"\nSELECT h.node, h.hub, a.auth FROM h{iters} h JOIN a{iters} a USING (node)"
+    )
+    return "".join(parts)
+
+
+QUERIES["hits"] = (q_hits, _hits_sql(3))
+
+
+def q_modularity(spark, sf):
+    """Exact modularity contributions (q_num = 4·m·e_c − d_c², BIGINT) of
+    the 3-round label-propagation partition of the chain graph — the
+    community-QUALITY half of detection, value-oracled because the (2m)²
+    denominator is cleared instead of divided."""
+    from .operators.cc import label_propagation, modularity
+
+    _r, e = _chain_graph(spark, sf)
+    return modularity(e, label_propagation(e, rounds=3))
+
+
+def _modularity_sql(rounds: int = 3) -> str:
+    # the label-prop mirror, then the modularity algebra on top
+    lp = _label_prop_sql(rounds)
+    head, _tail = lp.rsplit("\nSELECT", 1)
+    return head + f""",
+labels AS (SELECT node, label FROM l{rounds}),
+se AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM raw WHERE src <> dst
+),
+lab AS (
+  SELECT la.label AS la, lb.label AS lb
+  FROM se JOIN labels la ON la.node = se.a JOIN labels lb ON lb.node = se.b
+),
+m AS (SELECT COUNT(*) AS m FROM lab),
+ein AS (SELECT la AS label, COUNT(*) AS edges_in FROM lab WHERE la = lb GROUP BY la),
+deg AS (
+  SELECT label, COUNT(*) AS deg_sum FROM (
+    SELECT la AS label FROM lab UNION ALL SELECT lb FROM lab
+  ) GROUP BY label
+),
+nn AS (SELECT label, COUNT(*) AS n_nodes FROM labels GROUP BY label)
+SELECT nn.label, nn.n_nodes,
+       CAST(COALESCE(ein.edges_in, 0) AS BIGINT) AS edges_in,
+       CAST(COALESCE(deg.deg_sum, 0) AS BIGINT) AS deg_sum,
+       CAST(4 * m.m * COALESCE(ein.edges_in, 0)
+            - COALESCE(deg.deg_sum, 0) * COALESCE(deg.deg_sum, 0) AS BIGINT) AS q_num
+FROM nn LEFT JOIN ein USING (label) LEFT JOIN deg USING (label) CROSS JOIN m
+"""
+
+
+QUERIES["modularity"] = (q_modularity, _modularity_sql(3))

@@ -267,6 +267,18 @@ def main() -> None:
             ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
             ("no cartesian product", r"CartesianProduct", "absent"),
         ]),
+        ("hits", [
+            # per iteration: two hash joins + two map-side-combined sums
+            ("hash aggregation per half-iteration", r"HashAggregate"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
+        ("modularity", [
+            # community-keyed aggs only; endpoint labeling is equi-joined
+            ("community-keyed hash aggregation", r"HashAggregate"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
         ("triangles", [
             # degree-ordered wedge join: every join is a hash equi-join
             # (wedge self-join on the center, closing join on (v1,v2));

@@ -1215,3 +1215,61 @@ def test_expire_versions_retention(spark, tmp_path):
     m = commit_delta(spark, root, "store", vs[0], "fp5")
     assert m["patch_version"] == 5
     assert _qset(store_at_version(spark, root, "store", 5)) == _qset(vs[0])
+
+
+def test_hits_star_hub(spark):
+    from ocaml_rdf_spark.operators.cc import hits
+
+    # one hub pointing at 3 authorities: after any #iters the hub has the
+    # max hub score and zero auth; leaves have zero hub, equal auth
+    e = spark.createDataFrame(
+        [("h", "a1"), ("h", "a2"), ("h", "a3")], "src string, dst string"
+    )
+    out = {r["node"]: (r["hub"], r["auth"]) for r in hits(e, iters=2).collect()}
+    assert out["h"][1] == 0 and out["h"][0] > 0
+    assert out["a1"] == out["a2"] == out["a3"]
+    assert out["a1"][0] == 0 and out["a1"][1] > 0
+
+
+def test_hits_partitioning_invariant(spark):
+    from ocaml_rdf_spark.operators.cc import hits
+
+    rows = [(f"u{i}", f"u{(i * 7 + 3) % 40}") for i in range(150)]
+    e = spark.createDataFrame(rows, "src string, dst string")
+    a = sorted(map(tuple, hits(e.repartition(2), iters=3).collect()))
+    b = sorted(map(tuple, hits(e.repartition(16), iters=3).collect()))
+    assert a == b  # integer arithmetic: bit-identical across partitionings
+
+
+def test_modularity_two_cliques(spark):
+    from ocaml_rdf_spark.operators.cc import modularity
+
+    # two triangles joined by one bridge edge; the natural partition
+    clique = [("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
+              ("b1", "b2"), ("b2", "b3"), ("b1", "b3"), ("a1", "b1")]
+    e = spark.createDataFrame(clique, "src string, dst string")
+    labels = spark.createDataFrame(
+        [("a1", "A"), ("a2", "A"), ("a3", "A"), ("b1", "B"), ("b2", "B"), ("b3", "B")],
+        "node string, label string",
+    )
+    rows = {r["label"]: r for r in modularity(e, labels).collect()}
+    m = 7
+    for lab in ("A", "B"):
+        r = rows[lab]
+        assert r["edges_in"] == 3 and r["deg_sum"] == 7  # 2*3 intra + 1 bridge end
+        assert r["q_num"] == 4 * m * 3 - 7 * 7
+    # Q = Σ q_num / (4m²) ≈ 0.357 > 0: community structure detected
+    q = sum(r["q_num"] for r in rows.values()) / (4 * m * m)
+    assert 0.3 < q < 0.4
+
+
+def test_modularity_single_community_is_zero(spark):
+    from ocaml_rdf_spark.operators.cc import modularity
+
+    # everything in one community: e_c = m, d_c = 2m → q_num = 4m·m − 4m² = 0
+    e = spark.createDataFrame([("x", "y"), ("y", "z")], "src string, dst string")
+    labels = spark.createDataFrame(
+        [("x", "C"), ("y", "C"), ("z", "C")], "node string, label string"
+    )
+    rows = modularity(e, labels).collect()
+    assert len(rows) == 1 and rows[0]["q_num"] == 0
