@@ -1,0 +1,102 @@
+"""Dataset-description statistics over the quad store (W3C VoID,
+https://www.w3.org/TR/void/ — the vocabulary the RDF ecosystem around the
+reference uses to publish dataset summaries; SURVEY §2.1 graph-API
+`size`/`predicates`/`subjects` generalized to the full partition report).
+
+A VoID report is what a KG pipeline publishes after each snapshot build:
+dataset totals (void:triples, void:distinctSubjects, void:distinctObjects,
+void:properties, void:classes), one row per property partition
+(void:propertyPartition — triples + distinct subjects/objects under that
+predicate), one row per class partition (void:classPartition —
+void:entities), and one row per vocabulary namespace (void:vocabulary).
+
+Everything is count/count-distinct algebra over the quad frame: map-side
+partial aggregation everywhere, no joins, no windows — at 10^12 triples
+the property partition is one pred-keyed shuffle whose reduce side is
+|distinct predicates| rows (KGs have 10²-10⁴ predicates, so the reduce
+side is metadata-sized; per-pred distinct counts partial-aggregate as
+(pred, s_lex) cells before collapsing, never funneling a mega-predicate
+through one reducer in a single pass).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def _ns(pred_col: F.Column) -> F.Column:
+    """Vocabulary namespace of a predicate IRI: everything up to and
+    including the last '#', '/' or ':' (the VoID convention, extended to
+    cover urn:-scheme predicates)."""
+    return F.regexp_extract(pred_col, r"^(.*[#/:])", 1)
+
+
+def void_stats(quads: DataFrame) -> DataFrame:
+    """VoID dataset description → (part, key, triples, distinct_s,
+    distinct_o) with part ∈ {dataset, property, class, vocabulary}.
+
+    - part='dataset', key='': void:triples / distinctSubjects /
+      distinctObjects (distinct_o counts distinct (o_kind, o_lex, o_dtype)
+      terms — a literal and an IRI with equal lexicals stay distinct).
+    - part='property', key=<pred>: triples + distinct subjects/objects in
+      that property partition.
+    - part='class', key=<class IRI>: void:entities (distinct typed
+      subjects) as both triples and distinct_s; distinct_o = 0.
+    - part='vocabulary', key=<namespace>: triple count per predicate
+      namespace; distinct_s = distinct predicates in it; distinct_o = 0.
+    """
+    q = quads.select(
+        "s_lex",
+        "pred",
+        # one string per object term: kind-tagged so IRI vs literal vs
+        # lang/dtype twins count apart (cheap surrogate for a struct
+        # distinct, and mirrors verbatim in SQL)
+        F.concat_ws(
+            "",
+            F.col("o_kind").cast("string"),
+            F.col("o_lex"),
+            F.coalesce(F.col("o_dtype"), F.lit("")),
+        ).alias("o_term"),
+    )
+    dataset = q.agg(
+        F.count(F.lit(1)).alias("triples"),
+        F.countDistinct("s_lex").alias("distinct_s"),
+        F.countDistinct("o_term").alias("distinct_o"),
+    ).select(
+        F.lit("dataset").alias("part"),
+        F.lit("").alias("key"),
+        "triples",
+        "distinct_s",
+        "distinct_o",
+    )
+    props = q.groupBy(F.col("pred").alias("key")).agg(
+        F.count(F.lit(1)).alias("triples"),
+        F.countDistinct("s_lex").alias("distinct_s"),
+        F.countDistinct("o_term").alias("distinct_o"),
+    ).select(F.lit("property").alias("part"), "key", "triples", "distinct_s", "distinct_o")
+    classes = (
+        quads.filter(F.col("pred") == RDF_TYPE)
+        .groupBy(F.col("o_lex").alias("key"))
+        .agg(F.countDistinct("s_lex").alias("n"))
+        .select(
+            F.lit("class").alias("part"),
+            "key",
+            F.col("n").alias("triples"),
+            F.col("n").alias("distinct_s"),
+            F.lit(0).cast("long").alias("distinct_o"),
+        )
+    )
+    vocab = q.groupBy(_ns(F.col("pred")).alias("key")).agg(
+        F.count(F.lit(1)).alias("triples"),
+        F.countDistinct("pred").alias("distinct_s"),
+    ).select(
+        F.lit("vocabulary").alias("part"),
+        "key",
+        "triples",
+        "distinct_s",
+        F.lit(0).cast("long").alias("distinct_o"),
+    )
+    return dataset.unionByName(props).unionByName(classes).unionByName(vocab)

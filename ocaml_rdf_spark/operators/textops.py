@@ -1345,3 +1345,116 @@ def line_dedup_corpus(
         .fillna(0, ["n_lines_in", "n_lines_kept"])
         .fillna({"kept_md5": "d41d8cd98f00b204e9800998ecf8427e"})
     )
+
+
+def incremental_dedup(
+    index_docs: DataFrame,
+    new_docs: DataFrame,
+    bands: int = 8,
+    band_min: int = 4,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Incremental snapshot dedup: admit each NEW doc only if it is not a
+    MinHash near-dup of (a) any already-indexed doc or (b) a lower-id doc
+    in the same new batch → (doc_id, keep, dup_of, reason) for every new
+    doc, reason ∈ {'', 'index', 'batch'}, dup_of = min matching partner.
+
+    This is how a crawl pipeline actually runs dedup at 10^12 docs: the
+    indexed corpus is never re-paired against itself (that cost was paid
+    when those snapshots landed); each incremental batch costs
+    new×index + new×new candidate generation ONLY, both LSH-bucketed
+    equi-joins on (band, mh) — Σ bucket_new·bucket_idx ≪ |new|·|index|.
+    The within-batch rule is the deterministic keep-min-id ball
+    (semdedup_keep's rule): a new doc drops if ANY lower-id batch mate
+    agrees on ≥ band_min bands, independent of that mate's own fate —
+    order-free, so bit-identical across partitionings and engines.
+
+    Mega-bucket guard: buckets larger than `max_bucket` PER SIDE are
+    dropped before pairing (boilerplate signatures would otherwise pair
+    quadratically); the index side's signatures are what the pipeline
+    persists per snapshot — here they are recomputed from text, the
+    store-and-reuse being a sink concern (pipeline.py), not a dedup one.
+    """
+    sig_i = minhash_signatures(index_docs, bands)
+    sig_n = minhash_signatures(new_docs, bands)
+
+    def small(sig: DataFrame) -> DataFrame:
+        sized = sig.groupBy("band", "mh").agg(F.count(F.lit(1)).alias("bsz"))
+        return sig.join(sized.filter(F.col("bsz") <= max_bucket), ["band", "mh"]).select(
+            "doc_id", "band", "mh"
+        )
+    si, sn = small(sig_i), small(sig_n)
+
+    # new × index candidates: agree on >= band_min bands
+    xi = (
+        sn.join(si.select(F.col("doc_id").alias("idx_id"), "band", "mh"), ["band", "mh"])
+        .dropDuplicates(["doc_id", "idx_id", "band"])
+        .groupBy("doc_id", "idx_id")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+        .filter(F.col("n_bands") >= band_min)
+        .groupBy("doc_id")
+        .agg(F.min("idx_id").alias("idx_dup"))
+    )
+    # new × new candidates against LOWER ids only
+    s2 = sn.select(F.col("doc_id").alias("doc_b"), "band", "mh")
+    xn = (
+        sn.join(s2, ["band", "mh"])
+        .filter(F.col("doc_b") < F.col("doc_id"))
+        .dropDuplicates(["doc_id", "doc_b", "band"])
+        .groupBy("doc_id", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+        .filter(F.col("n_bands") >= band_min)
+        .groupBy("doc_id")
+        .agg(F.min("doc_b").alias("batch_dup"))
+    )
+    return (
+        new_docs.select("doc_id")
+        .join(xi, "doc_id", "left")
+        .join(xn, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("idx_dup").isNull() & F.col("batch_dup").isNull(), 1)
+            .otherwise(0)
+            .alias("keep"),
+            F.coalesce(
+                # an index hit wins the report (the doc already exists)
+                F.col("idx_dup").cast("string"),
+                F.col("batch_dup").cast("string"),
+                F.lit(""),
+            ).alias("dup_of"),
+            F.when(F.col("idx_dup").isNotNull(), "index")
+            .when(F.col("batch_dup").isNotNull(), "batch")
+            .otherwise("")
+            .alias("reason"),
+        )
+    )
+
+
+def freq_spectrum(docs: DataFrame) -> DataFrame:
+    """Token frequency-of-frequencies spectrum with Good-Turing
+    numerators (Gale & Sampson 1995 simple GT, the vocabulary-analysis /
+    smoothing input): → (r, n_r, gt_num) where n_r = |{w : count(w)=r}|
+    and gt_num = (r+1)·n_{r+1}, so the GT re-estimate r* = gt_num / n_r
+    — the division is left to the consumer, keeping every engine-side
+    value an exact BIGINT (the pagerank rule).
+
+    Scale: one (token)-keyed map-side-combined count over the corpus,
+    then a count over counts — the spectrum is at most |distinct
+    frequencies| rows (≈ log-scale few thousand even at web scale), and
+    the n_{r+1} lookup is a self-join on that metadata-sized frame."""
+    counts = (
+        docs.select(F.explode(_norm_tokens("text")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("r"))
+    )
+    spec = counts.groupBy("r").agg(F.count(F.lit(1)).alias("n_r"))
+    nxt = spec.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("n_next"))
+    return (
+        spec.join(nxt, "r", "left")
+        .select(
+            "r",
+            "n_r",
+            ((F.col("r") + 1) * F.coalesce("n_next", F.lit(0))).cast("long").alias("gt_num"),
+        )
+    )

@@ -5102,3 +5102,111 @@ FROM nn LEFT JOIN ein USING (label) LEFT JOIN deg USING (label) CROSS JOIN m
 
 
 QUERIES["modularity"] = (q_modularity, _modularity_sql(3))
+
+
+def q_void_stats(spark, sf):
+    """W3C VoID dataset description of the quad store: dataset totals,
+    property partitions (triples + distinct s/o per predicate), class
+    partitions (entities), vocabulary namespaces — the snapshot summary a
+    KG pipeline publishes after each build."""
+    from .operators.stats import void_stats
+
+    return void_stats(triples_view(spark, sf))
+
+
+SQL_VOID_STATS = W + """,
+q AS (
+  SELECT s_lex, pred,
+         CAST(o_kind AS VARCHAR) || o_lex || COALESCE(o_dtype, '') AS o_term
+  FROM triples
+)
+SELECT 'dataset' AS part, '' AS key, COUNT(*) AS triples,
+       COUNT(DISTINCT s_lex) AS distinct_s, COUNT(DISTINCT o_term) AS distinct_o
+FROM q
+UNION ALL
+SELECT 'property', pred, COUNT(*), COUNT(DISTINCT s_lex), COUNT(DISTINCT o_term)
+FROM q GROUP BY pred
+UNION ALL
+SELECT 'class', o_lex, COUNT(DISTINCT s_lex), COUNT(DISTINCT s_lex), 0
+FROM triples WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+GROUP BY o_lex
+UNION ALL
+SELECT 'vocabulary', regexp_extract(pred, '^(.*[#/:])', 1), COUNT(*),
+       COUNT(DISTINCT pred), 0
+FROM q GROUP BY regexp_extract(pred, '^(.*[#/:])', 1)
+"""
+
+QUERIES["void_stats"] = (q_void_stats, SQL_VOID_STATS)
+
+
+def q_incr_dedup(spark, sf):
+    """Incremental snapshot dedup: the batch (doc_id % 5 == 0) is admitted
+    against the already-indexed rest — MinHash-LSH bucket joins new×index
+    and new×lower-id-new only; the indexed corpus is never re-paired."""
+    from .operators.textops import incremental_dedup
+
+    d = _docs(spark, sf)
+    return incremental_dedup(
+        d.filter(F.col("doc_id") % 5 != 0),
+        d.filter(F.col("doc_id") % 5 == 0),
+        bands=8,
+        band_min=4,
+        max_bucket=50,
+    )
+
+
+def _incr_dedup_sql() -> str:
+    return """
+WITH wf AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS w FROM documents
+), wz AS (SELECT DISTINCT doc_id, w FROM wf WHERE w <> ''),
+b AS (SELECT doc_id, w, unnest(range(8)) AS band FROM wz),
+sig AS (SELECT doc_id, band, min(md5(band || ':' || w)) AS mh FROM b GROUP BY doc_id, band),
+si0 AS (SELECT * FROM sig WHERE doc_id % 5 <> 0),
+sn0 AS (SELECT * FROM sig WHERE doc_id % 5 = 0),
+si AS (SELECT s.* FROM si0 s JOIN (SELECT band, mh FROM si0 GROUP BY band, mh HAVING COUNT(*) <= 50) z USING (band, mh)),
+sn AS (SELECT s.* FROM sn0 s JOIN (SELECT band, mh FROM sn0 GROUP BY band, mh HAVING COUNT(*) <= 50) z USING (band, mh)),
+pi AS (
+  SELECT a.doc_id, i.doc_id AS idx_id, COUNT(DISTINCT a.band) AS nb
+  FROM sn a JOIN si i ON a.band = i.band AND a.mh = i.mh
+  GROUP BY a.doc_id, i.doc_id
+),
+xi AS (SELECT doc_id, MIN(idx_id) AS idx_dup FROM pi WHERE nb >= 4 GROUP BY doc_id),
+pn AS (
+  SELECT a.doc_id, n2.doc_id AS doc_b, COUNT(DISTINCT a.band) AS nb
+  FROM sn a JOIN sn n2 ON a.band = n2.band AND a.mh = n2.mh AND n2.doc_id < a.doc_id
+  GROUP BY a.doc_id, n2.doc_id
+),
+xn AS (SELECT doc_id, MIN(doc_b) AS batch_dup FROM pn WHERE nb >= 4 GROUP BY doc_id)
+SELECT d.doc_id,
+       CASE WHEN xi.idx_dup IS NULL AND xn.batch_dup IS NULL THEN 1 ELSE 0 END AS keep,
+       COALESCE(CAST(xi.idx_dup AS VARCHAR), CAST(xn.batch_dup AS VARCHAR), '') AS dup_of,
+       CASE WHEN xi.idx_dup IS NOT NULL THEN 'index'
+            WHEN xn.batch_dup IS NOT NULL THEN 'batch' ELSE '' END AS reason
+FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+LEFT JOIN xi USING (doc_id) LEFT JOIN xn USING (doc_id)
+"""
+
+
+QUERIES["incr_dedup"] = (q_incr_dedup, _incr_dedup_sql())
+
+
+def q_freq_spectrum(spark, sf):
+    """Token frequency-of-frequencies with Good-Turing numerators
+    (gt_num = (r+1)·n_{r+1}; r* = gt_num/n_r left to the consumer so the
+    engine-side values stay exact BIGINTs)."""
+    from .operators.textops import freq_spectrum
+
+    return freq_spectrum(_docs(spark, sf))
+
+
+SQL_FREQ_SPECTRUM = f"""
+WITH {_TOKS_SQL},
+w AS (SELECT unnest(toks) AS w FROM nt),
+c AS (SELECT w, COUNT(*) AS r FROM w WHERE w <> '' GROUP BY w),
+s AS (SELECT r, COUNT(*) AS n_r FROM c GROUP BY r)
+SELECT s.r, s.n_r, CAST((s.r + 1) * COALESCE(nx.n_r, 0) AS BIGINT) AS gt_num
+FROM s LEFT JOIN s nx ON nx.r = s.r + 1
+"""
+
+QUERIES["freq_spectrum"] = (q_freq_spectrum, SQL_FREQ_SPECTRUM)

@@ -267,6 +267,23 @@ def main() -> None:
             ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
             ("no cartesian product", r"CartesianProduct", "absent"),
         ]),
+        ("void_stats", [
+            # count/count-distinct algebra only: no joins over the quad frame
+            ("partial+final aggregation", r"HashAggregate"),
+            ("distinct counts via Expand, single scan per section", r"Expand"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
+        ("incr_dedup", [
+            # all candidate generation is (band, mh)-bucketed equi-joins
+            ("bucketed equi-joins", r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
+        ("freq_spectrum", [
+            ("map-side-combined counts", r"HashAggregate"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
         ("hits", [
             # per iteration: two hash joins + two map-side-combined sums
             ("hash aggregation per half-iteration", r"HashAggregate"),

@@ -220,3 +220,75 @@ def test_domain_filter_non_http_kept_with_empty_host(spark):
     out = {r["doc_id"]: (r["keep"], r["host"]) for r in domain_filter(d, _bl(spark, ["bad.com"])).collect()}
     assert out[0] == (1, "")  # only web URLs are in scope for host filtering
     assert out[1] == (1, "")
+
+
+def test_void_stats_small(spark):
+    from ocaml_rdf_spark.operators.stats import void_stats
+
+    quads = spark.createDataFrame(
+        [
+            ("urn:a", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", 0, "urn:c:T", None, "g"),
+            ("urn:b", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", 0, "urn:c:T", None, "g"),
+            ("urn:a", "http://ex.org/v#name", 2, "x", "http://www.w3.org/2001/XMLSchema#string", "g"),
+            # same lexical as an IRI object: must count as a SECOND distinct object
+            ("urn:b", "http://ex.org/v#name", 0, "x", None, "g"),
+        ],
+        "s_lex string, pred string, o_kind int, o_lex string, o_dtype string, graph string",
+    )
+    rows = {(r["part"], r["key"]): r for r in void_stats(quads).collect()}
+    d = rows[("dataset", "")]
+    assert d["triples"] == 4 and d["distinct_s"] == 2 and d["distinct_o"] == 3
+    p = rows[("property", "http://ex.org/v#name")]
+    assert p["triples"] == 2 and p["distinct_s"] == 2 and p["distinct_o"] == 2
+    c = rows[("class", "urn:c:T")]
+    assert c["triples"] == 2 and c["distinct_s"] == 2
+    v = rows[("vocabulary", "http://ex.org/v#")]
+    assert v["triples"] == 2 and v["distinct_s"] == 1
+
+
+def test_incremental_dedup_rules(spark):
+    from ocaml_rdf_spark.operators.textops import incremental_dedup
+
+    idx = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"), (2, "totally different words here now")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon"),   # dup of indexed 1
+            (11, "unique fresh content nothing like"),  # clean
+            (12, "unique fresh content nothing like"),  # batch dup of 11
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in incremental_dedup(idx, new, band_min=4).collect()}
+    assert out[10]["keep"] == 0 and out[10]["reason"] == "index" and out[10]["dup_of"] == "1"
+    assert out[11]["keep"] == 1 and out[11]["reason"] == ""
+    assert out[12]["keep"] == 0 and out[12]["reason"] == "batch" and out[12]["dup_of"] == "11"
+
+
+def test_incremental_dedup_index_never_reported(spark):
+    from ocaml_rdf_spark.operators.textops import incremental_dedup
+
+    # index-side near-dups of EACH OTHER produce no rows: only new docs report
+    idx = spark.createDataFrame(
+        [(1, "same text twice over here"), (2, "same text twice over here")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame([(10, "brand new material")], "doc_id long, text string")
+    rows = incremental_dedup(idx, new).collect()
+    assert [r["doc_id"] for r in rows] == [10] and rows[0]["keep"] == 1
+
+
+def test_freq_spectrum_good_turing(spark):
+    from ocaml_rdf_spark.operators.textops import freq_spectrum
+
+    docs = spark.createDataFrame(
+        # a a a b b c d e -> r=1: 3 types (c,d,e); r=2: 1 (b); r=3: 1 (a)
+        [(1, "a a a b b c"), (2, "d e")],
+        "doc_id long, text string",
+    )
+    rows = {r["r"]: r for r in freq_spectrum(docs).collect()}
+    assert rows[1]["n_r"] == 3 and rows[1]["gt_num"] == 2 * 1   # (1+1)*n_2
+    assert rows[2]["n_r"] == 1 and rows[2]["gt_num"] == 3 * 1   # (2+1)*n_3
+    assert rows[3]["n_r"] == 1 and rows[3]["gt_num"] == 0       # no n_4
