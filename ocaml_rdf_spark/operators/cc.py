@@ -705,3 +705,40 @@ def modularity(edges: DataFrame, labels: DataFrame, scale_cols: bool = True) -> 
             ).cast("long").alias("q_num"),
         )
     )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Exact integer components of the degree-assortativity coefficient
+    (Newman 2002) over undirected (src, dst) string edges → ONE row
+    (m2, sx, sxx, sxy): summing over both orientations of each simple
+    edge (m2 = 2m terms, x = deg(endpoint), y = deg(other end)),
+    r = (m2·sxy − sx²) / (m2·sxx − sx²). The division is the consumer's
+    — every engine-side value is an exact BIGINT sum (the
+    pagerank/modularity rule), so the web-graph characterization number
+    (social nets assortative r>0, the web/KGs disassortative r<0) is
+    value-oracled cross-engine; by symmetry Σx = Σy and Σx² = Σy², so
+    four sums determine r.
+
+    Scale: one degree aggregation (map-side-combined), two hash joins to
+    label edge endpoints with degrees, one global sum — no all-pairs
+    anything; degrees ≤ 10^8 and m ≤ 10^11 keep m2·sxx within BIGINT for
+    any per-host or taxonomy slice (the full 10^12-edge web graph would
+    need DECIMAL(38) sums — same switch the agg layer already has)."""
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates()
+    )
+    bi = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = bi.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("x"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("y"))
+    lab = bi.join(da, "a").join(db, "b")
+    return lab.agg(
+        F.count(F.lit(1)).cast("long").alias("m2"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )

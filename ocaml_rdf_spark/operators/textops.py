@@ -1458,3 +1458,57 @@ def freq_spectrum(docs: DataFrame) -> DataFrame:
             ((F.col("r") + 1) * F.coalesce("n_next", F.lit(0))).cast("long").alias("gt_num"),
         )
     )
+
+
+def encoding_quality(docs, text_col: str = "text", scale: int = 1_000_000):
+    """Encoding-quality / mojibake scoring — the crawl-text filter that
+    catches mis-decoded pages (CCNet/Gopher-style pipelines drop them
+    before any language or quality model sees them): per doc, exact
+    counts of
+
+    - ``n_repl``   U+FFFD replacement characters (the decoder gave up),
+    - ``n_ctrl``   C0/C1 control characters minus tab/newline/CR — raw
+                   bytes or cp1252-as-latin1 mis-decodes land here,
+    - ``n_double`` UTF-8 double-encoding digraphs (U+00C3/U+00C2 followed
+                   by a Latin-1-supplement continuation: 'Ã©' is 'é'
+                   encoded twice, the classic mojibake signature),
+
+    and ``penalty`` = scale·(5·n_repl + 2·n_ctrl + 3·n_double) div
+    n_chars (integer division — the pagerank exactness rule; weights
+    follow severity: a replacement char proves loss, a digraph only
+    suggests it).
+
+    Pure regexp_count/length column algebra: map-only, whole-stage
+    codegen, ZERO shuffles at any corpus size; the regex subset
+    (character classes with hex escapes, no lookaround) parses
+    identically in Java regex and RE2, so the DuckDB mirror runs the
+    verbatim same patterns."""
+    t = F.col(text_col)
+    counted = docs.select(
+        "doc_id",
+        F.regexp_count(t, F.lit("\uFFFD")).cast("long").alias("n_repl"),
+        F.regexp_count(t, F.lit(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]"))
+        .cast("long")
+        .alias("n_ctrl"),
+        F.regexp_count(t, F.lit(r"[\xc3\xc2][\x80-\xbf\xa0-\xff]"))
+        .cast("long")
+        .alias("n_double"),
+        F.length(t).cast("long").alias("n_chars"),
+    )
+    return counted.select(
+        "doc_id",
+        "n_repl",
+        "n_ctrl",
+        "n_double",
+        "n_chars",
+        F.when(
+            F.col("n_chars") > 0,
+            F.expr(
+                f"CAST({int(scale)} AS BIGINT)"
+                " * (5*n_repl + 2*n_ctrl + 3*n_double) div n_chars"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("penalty"),
+    )

@@ -5210,3 +5210,83 @@ FROM s LEFT JOIN s nx ON nx.r = s.r + 1
 """
 
 QUERIES["freq_spectrum"] = (q_freq_spectrum, SQL_FREQ_SPECTRUM)
+
+
+def q_encoding_quality(spark, sf):
+    """Mojibake / encoding-quality scoring over a deterministically
+    corrupted corpus variant (documents text + per-doc_id injected
+    replacement chars, C0/C1 controls, double-encoding digraphs — the
+    SAME expression synthesized in the oracle)."""
+    from .operators.textops import encoding_quality
+
+    d = F.col("doc_id")
+    corrupted = _docs(spark, sf).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(d % 4 == 0, F.lit(" \uFFFD\uFFFD"))
+            .when(d % 4 == 1, F.lit(" \x01x\x9f"))
+            .when(d % 4 == 2, F.lit(" \u00c3\u00a9 \u00c2\u00a0"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return encoding_quality(corrupted)
+
+
+SQL_ENCODING_QUALITY = r"""
+WITH c AS (
+  SELECT doc_id, text ||
+    CASE CAST(doc_id % 4 AS INTEGER)
+      WHEN 0 THEN ' ' || chr(65533) || chr(65533)
+      WHEN 1 THEN ' ' || chr(1) || 'x' || chr(159)
+      WHEN 2 THEN ' ' || chr(195) || chr(169) || ' ' || chr(194) || chr(160)
+      ELSE ''
+    END AS text
+  FROM documents
+),
+n AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(text, '\x{FFFD}')) AS BIGINT) AS n_repl,
+    CAST(len(regexp_extract_all(text, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x{9f}]')) AS BIGINT) AS n_ctrl,
+    CAST(len(regexp_extract_all(text, '[\x{c3}\x{c2}][\x{80}-\x{ff}]')) AS BIGINT) AS n_double,
+    CAST(length(text) AS BIGINT) AS n_chars
+  FROM c
+)
+SELECT doc_id, n_repl, n_ctrl, n_double, n_chars,
+       CASE WHEN n_chars > 0
+            THEN (1000000 * (5*n_repl + 2*n_ctrl + 3*n_double)) // n_chars
+            ELSE 0 END AS penalty
+FROM n
+"""
+
+QUERIES["encoding_quality"] = (q_encoding_quality, SQL_ENCODING_QUALITY)
+
+
+def q_assortativity(spark, sf):
+    """Exact degree-assortativity components (m2, sx, sxx, sxy; r is the
+    consumer's division) of the chain-with-chords graph — the
+    assortative/disassortative web-graph characterization, BIGINT-exact
+    cross-engine."""
+    from .operators.cc import degree_assortativity
+
+    _r, e = _chain_graph(spark, sf)
+    return degree_assortativity(e)
+
+
+SQL_ASSORTATIVITY = "WITH " + _CHAIN_SQL + """,
+se AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM raw WHERE src <> dst
+),
+bi AS (SELECT a, b FROM se UNION ALL SELECT b, a FROM se),
+deg AS (SELECT a AS node, COUNT(*) AS d FROM bi GROUP BY a),
+lab AS (
+  SELECT da.d AS x, db.d AS y
+  FROM bi JOIN deg da ON da.node = bi.a JOIN deg db ON db.node = bi.b
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS m2, CAST(SUM(x) AS BIGINT) AS sx,
+       CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(x*y) AS BIGINT) AS sxy
+FROM lab
+"""
+
+QUERIES["assortativity"] = (q_assortativity, SQL_ASSORTATIVITY)

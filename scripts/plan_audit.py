@@ -267,6 +267,16 @@ def main() -> None:
             ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
             ("no cartesian product", r"CartesianProduct", "absent"),
         ]),
+        ("encoding_quality", [
+            # map-only column algebra: no exchange anywhere in the plan
+            ("zero shuffles", r"Exchange", "absent"),
+            ("columns pruned to doc_id+text", r"ReadSchema: struct<doc_id:bigint,text:string>"),
+        ]),
+        ("assortativity", [
+            ("degree agg is partial+final", r"HashAggregate"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
         ("void_stats", [
             # count/count-distinct algebra only: no joins over the quad frame
             ("partial+final aggregation", r"HashAggregate"),

@@ -1273,3 +1273,29 @@ def test_modularity_single_community_is_zero(spark):
     )
     rows = modularity(e, labels).collect()
     assert len(rows) == 1 and rows[0]["q_num"] == 0
+
+
+def test_assortativity_star_is_disassortative(spark):
+    from ocaml_rdf_spark.operators.cc import degree_assortativity
+
+    # star K1,3: every edge joins deg 3 with deg 1 -> r = -1
+    e = spark.createDataFrame(
+        [("h", "a"), ("h", "b"), ("h", "c")], "src string, dst string"
+    )
+    r = degree_assortativity(e).collect()[0]
+    m2, sx, sxx, sxy = r["m2"], r["sx"], r["sxx"], r["sxy"]
+    assert m2 == 6
+    num = m2 * sxy - sx * sx
+    den = m2 * sxx - sx * sx
+    assert den > 0 and num / den == -1.0
+
+
+def test_assortativity_cycle_is_degenerate(spark):
+    from ocaml_rdf_spark.operators.cc import degree_assortativity
+
+    # 3-cycle: all degrees equal -> variance 0 (den == 0, r undefined)
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    r = degree_assortativity(e).collect()[0]
+    assert r["m2"] * r["sxx"] - r["sx"] * r["sx"] == 0

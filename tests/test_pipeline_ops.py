@@ -292,3 +292,34 @@ def test_freq_spectrum_good_turing(spark):
     assert rows[1]["n_r"] == 3 and rows[1]["gt_num"] == 2 * 1   # (1+1)*n_2
     assert rows[2]["n_r"] == 1 and rows[2]["gt_num"] == 3 * 1   # (2+1)*n_3
     assert rows[3]["n_r"] == 1 and rows[3]["gt_num"] == 0       # no n_4
+
+
+def test_encoding_quality_counts(spark):
+    from ocaml_rdf_spark.operators.textops import encoding_quality
+
+    docs = spark.createDataFrame(
+        [
+            (1, "clean ascii text"),
+            (2, "lost � here"),
+            (3, "ctrl\x01\x9f"),
+            (4, "cafÃ© again"),  # 'café' double-encoded
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in encoding_quality(docs).collect()}
+    assert out[1]["penalty"] == 0
+    assert out[2]["n_repl"] == 1 and out[2]["penalty"] == 1_000_000 * 5 // 11
+    assert out[3]["n_ctrl"] == 2 and out[3]["n_repl"] == 0
+    assert out[4]["n_double"] == 1
+    assert out[5]["n_chars"] == 0 and out[5]["penalty"] == 0
+
+
+def test_encoding_quality_tabs_newlines_are_clean(spark):
+    from ocaml_rdf_spark.operators.textops import encoding_quality
+
+    docs = spark.createDataFrame(
+        [(1, "line one\nline two\ttabbed\r\n")], "doc_id long, text string"
+    )
+    r = encoding_quality(docs).collect()[0]
+    assert r["n_ctrl"] == 0 and r["penalty"] == 0
