@@ -164,6 +164,13 @@ def main() -> None:
         "kmeans",
         "semdedup",
         "domain_filter",
+        "hits",
+        "modularity",
+        "void_stats",
+        "incr_dedup",
+        "freq_spectrum",
+        "encoding_quality",
+        "assortativity",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

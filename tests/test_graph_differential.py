@@ -267,3 +267,100 @@ def test_harmonic_fuzz(spark, pairs, hops):
         FROM d WHERE dist > 0 GROUP BY node
     """).fetchall()))
     assert got == want
+
+
+@pytest.mark.usefixtures("spark")
+@settings(**_SETTINGS)
+@given(pairs=edges_st, iters=st.integers(1, 3))
+def test_hits_fuzz(spark, pairs, iters):
+    from ocaml_rdf_spark.operators.cc import hits
+
+    got = sorted(map(tuple, hits(_edf(spark, pairs), iters=iters).collect()))
+    con = _duck(pairs)
+    con.execute("CREATE TABLE ed AS SELECT DISTINCT src, dst FROM e")
+    con.execute("""
+        CREATE TABLE nodes AS SELECT DISTINCT node FROM
+        (SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed)
+    """)
+    con.execute("CREATE TABLE h AS SELECT node, CAST(1 AS BIGINT) AS hub FROM nodes")
+    for _ in range(iters):
+        con.execute("""
+            CREATE OR REPLACE TABLE a AS
+            SELECT n.node, CAST(COALESCE(s.s, 0) AS BIGINT) AS auth FROM nodes n
+            LEFT JOIN (SELECT ed.dst AS node, SUM(h.hub) AS s
+                       FROM ed JOIN h ON h.node = ed.src GROUP BY ed.dst) s USING (node)
+        """)
+        con.execute("""
+            CREATE OR REPLACE TABLE h AS
+            SELECT n.node, CAST(COALESCE(s.s, 0) AS BIGINT) AS hub FROM nodes n
+            LEFT JOIN (SELECT ed.src AS node, SUM(a.auth) AS s
+                       FROM ed JOIN a ON a.node = ed.dst GROUP BY ed.src) s USING (node)
+        """)
+    want = sorted(map(tuple, con.execute(
+        "SELECT h.node, h.hub, a.auth FROM h JOIN a USING (node)").fetchall()))
+    assert got == want
+
+
+@pytest.mark.usefixtures("spark")
+@settings(**_SETTINGS)
+@given(pairs=edges_st, rounds=st.integers(0, 2))
+def test_modularity_fuzz(spark, pairs, rounds):
+    from ocaml_rdf_spark.operators.cc import label_propagation, modularity
+
+    e = _edf(spark, pairs)
+    labels = label_propagation(e, rounds=rounds)
+    got = sorted(map(tuple, modularity(e, labels).collect()))
+    lrows = [(r["node"], r["label"]) for r in labels.collect()]
+    con = _duck(pairs)
+    con.execute("CREATE TABLE labels (node VARCHAR, label VARCHAR)")
+    if lrows:
+        con.executemany("INSERT INTO labels VALUES (?, ?)", lrows)
+    want = sorted(map(tuple, con.execute("""
+        WITH se AS (
+          SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+          FROM e WHERE src <> dst
+        ),
+        lab AS (
+          SELECT la.label AS la, lb.label AS lb
+          FROM se JOIN labels la ON la.node = se.a JOIN labels lb ON lb.node = se.b
+        ),
+        m AS (SELECT COUNT(*) AS m FROM lab),
+        ein AS (SELECT la AS label, COUNT(*) AS n FROM lab WHERE la = lb GROUP BY la),
+        deg AS (SELECT label, COUNT(*) AS d FROM
+                (SELECT la AS label FROM lab UNION ALL SELECT lb FROM lab) GROUP BY label),
+        nn AS (SELECT label, COUNT(*) AS n_nodes FROM labels GROUP BY label)
+        SELECT nn.label, nn.n_nodes,
+               CAST(COALESCE(ein.n, 0) AS BIGINT),
+               CAST(COALESCE(deg.d, 0) AS BIGINT),
+               CAST(4 * m.m * COALESCE(ein.n, 0)
+                    - COALESCE(deg.d, 0) * COALESCE(deg.d, 0) AS BIGINT)
+        FROM nn LEFT JOIN ein USING (label) LEFT JOIN deg USING (label) CROSS JOIN m
+    """).fetchall()))
+    assert got == want
+
+
+@pytest.mark.usefixtures("spark")
+@settings(**_SETTINGS)
+@given(pairs=edges_st)
+def test_assortativity_fuzz(spark, pairs):
+    from ocaml_rdf_spark.operators.cc import degree_assortativity
+
+    got = tuple(degree_assortativity(_edf(spark, pairs)).collect()[0])
+    con = _duck(pairs)
+    row = con.execute("""
+        WITH se AS (
+          SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+          FROM e WHERE src <> dst
+        ),
+        bi AS (SELECT a, b FROM se UNION ALL SELECT b, a FROM se),
+        deg AS (SELECT a AS node, COUNT(*) AS d FROM bi GROUP BY a),
+        lab AS (SELECT da.d AS x, db.d AS y
+                FROM bi JOIN deg da ON da.node = bi.a JOIN deg db ON db.node = bi.b)
+        SELECT CAST(COUNT(*) AS BIGINT), CAST(SUM(x) AS BIGINT),
+               CAST(SUM(x*x) AS BIGINT), CAST(SUM(x*y) AS BIGINT) FROM lab
+    """).fetchone()
+    # an all-self-loop input yields zero simple edges: DuckDB sums go NULL,
+    # Spark's empty-agg count is 0 with NULL sums — normalize both to 0
+    want = tuple(0 if v is None else v for v in row)
+    got = tuple(0 if v is None else v for v in got)
+    assert got == want
