@@ -171,6 +171,8 @@ def main() -> None:
         "freq_spectrum",
         "encoding_quality",
         "assortativity",
+        "ppr_seeds",
+        "clustering_coef",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

@@ -249,7 +249,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     )
 
 
-def pagerank(edges: DataFrame, iters: int = 3, damping_pct: int = 85, scale: int = 1_000_000) -> DataFrame:
+def pagerank(edges: DataFrame, iters: int = 3, damping_pct: int = 85, scale: int = 1_000_000, seeds: DataFrame | None = None) -> DataFrame:
     """Integer-exact PageRank over (src, dst) string edges → (node, rank)
     with `rank` in 1/`scale` units.
 
@@ -265,7 +265,17 @@ def pagerank(edges: DataFrame, iters: int = 3, damping_pct: int = 85, scale: int
     join; the tiny degree table rides along pre-joined), one map-side-
     combined groupBy(dst) carrying exactly |E| rows, then a left join back
     onto the node spine. `localCheckpoint` cuts the O(iters) lineage for
-    deep runs; ranks are re-used, never recollected at the driver."""
+    deep runs; ranks are re-used, never recollected at the driver.
+
+    With `seeds` (a (node) DataFrame): PERSONALIZED PageRank (TrustRank /
+    topic-sensitive PR) — the teleport mass lands only on the seed set
+    (base per seed = scale·(100−d)//100; non-seeds restart at 0), so rank
+    flows outward from the seeds and scores nodes by proximity to them —
+    KG entity relevance around a query's entities, or trust propagation
+    from a vetted host list. Keeping the per-seed base UNDIVIDED (not
+    /|S|) preserves exact integers; it equals standard PPR up to the
+    positive scalar |S|, so rankings are identical. Same per-iteration
+    plan; the seed flag rides the node spine as a 0/1 column."""
     edges = edges.select("src", "dst").dropDuplicates()
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -276,7 +286,16 @@ def pagerank(edges: DataFrame, iters: int = 3, damping_pct: int = 85, scale: int
     ed = edges.join(deg, "src")  # degree rides with the edge (one join, reused every iter)
     ed = ed.localCheckpoint(eager=False)
     base = (scale * (100 - damping_pct)) // 100
-    ranks = nodes.select("node", F.lit(int(scale)).cast("long").alias("rank"))
+    if seeds is None:
+        spine = nodes.select("node", F.lit(1).alias("is_seed"))
+    else:
+        sd = seeds.select(F.col("node").alias("node"), F.lit(1).alias("sflag")).dropDuplicates()
+        spine = nodes.join(sd, "node", "left").select(
+            "node", F.coalesce("sflag", F.lit(0)).alias("is_seed")
+        )
+    ranks = spine.select(
+        "node", (F.col("is_seed") * F.lit(int(scale))).cast("long").alias("rank")
+    )
     for i in range(iters):
         contrib = (
             ed.join(ranks, ed["src"] == ranks["node"])
@@ -285,10 +304,10 @@ def pagerank(edges: DataFrame, iters: int = 3, damping_pct: int = 85, scale: int
             .agg(F.sum("c").alias("s"))
         )
         ranks = (
-            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            spine.join(contrib, spine["node"] == contrib["dst"], "left")
             .select(
                 "node",
-                (F.lit(base) + F.expr(f"{damping_pct} * coalesce(s, 0L) div 100")).cast("long").alias("rank"),
+                (F.col("is_seed") * F.lit(base) + F.expr(f"{damping_pct} * coalesce(s, 0L) div 100")).cast("long").alias("rank"),
             )
         )
         if iters > 4:
@@ -741,4 +760,37 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
         F.sum("x").cast("long").alias("sx"),
         F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
         F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+
+
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """Exact local clustering coefficient components per node →
+    (node, triangles, deg, cc_num, cc_den) with cc = cc_num/cc_den =
+    2·triangles / (deg·(deg−1)) (Watts & Strogatz 1998); the division is
+    the consumer's, every engine-side value an exact BIGINT (the
+    pagerank/modularity rule). Degree-1 nodes carry cc_den = 0
+    (coefficient undefined — callers filter or treat as 0).
+
+    Built ON `triangle_count` (degree-ordered wedge join, skew-bounded
+    at O(√m) per reducer) plus one simple-graph degree aggregation and a
+    node-spine join — the coefficient costs one extra map-side-combined
+    agg over what triangles already paid."""
+    e = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    tri = triangle_count(edges)
+    return tri.join(deg, "node").select(
+        "node",
+        "triangles",
+        F.col("deg").cast("long").alias("deg"),
+        (F.lit(2) * F.col("triangles")).cast("long").alias("cc_num"),
+        (F.col("deg") * (F.col("deg") - F.lit(1))).cast("long").alias("cc_den"),
     )

@@ -5290,3 +5290,74 @@ FROM lab
 """
 
 QUERIES["assortativity"] = (q_assortativity, SQL_ASSORTATIVITY)
+
+
+def q_ppr_seeds(spark, sf):
+    """Personalized PageRank (TrustRank shape): teleport mass restricted
+    to the per-nation chain heads (rn=1) — rank measures proximity to the
+    seed set, integer-exact against the unrolled seeded mirror."""
+    from .operators.cc import pagerank
+
+    r, e = _chain_graph(spark, sf)
+    seeds = r.filter(F.col("rn") == 1).select(F.col("k").alias("node"))
+    return pagerank(e, iters=3, damping_pct=85, seeds=seeds)
+
+
+def _ppr_sql(iters: int = 3) -> str:
+    head = "WITH " + _CHAIN_SQL + """,
+edges AS (SELECT DISTINCT src, dst FROM raw),
+nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+sd AS (SELECT kk AS node FROM r WHERE rn = 1),
+spine AS (SELECT n.node, CASE WHEN sd.node IS NULL THEN 0 ELSE 1 END AS is_seed
+          FROM nodes n LEFT JOIN sd ON sd.node = n.node),
+deg AS (SELECT src, COUNT(*) AS odeg FROM edges GROUP BY src),
+n0 AS (SELECT node, CAST(is_seed * 1000000 AS BIGINT) AS rank FROM spine)"""
+    parts = [head]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+c{i} AS (SELECT e.dst AS node, SUM(r.rank // d.odeg) AS s
+        FROM edges e JOIN n{i-1} r ON e.src = r.node JOIN deg d ON d.src = e.src GROUP BY e.dst),
+n{i} AS (SELECT sp.node, CAST(sp.is_seed * 150000 + 85 * COALESCE(c.s, 0) // 100 AS BIGINT) AS rank
+        FROM spine sp LEFT JOIN c{i} c USING (node))""")
+    parts.append(f"\nSELECT node, rank FROM n{iters}")
+    return "".join(parts)
+
+
+QUERIES["ppr_seeds"] = (q_ppr_seeds, _ppr_sql(3))
+
+
+def q_clustering_coef(spark, sf):
+    """Local clustering coefficient components (2·tri, deg·(deg−1)) per
+    node of the chain-with-chords graph — exact BIGINTs on top of the
+    degree-ordered triangle join."""
+    from .operators.cc import clustering_coefficient
+
+    _r, e = _chain_graph(spark, sf)
+    return clustering_coefficient(e)
+
+
+SQL_CLUSTERING_COEF = "WITH " + _CHAIN_SQL + """,
+e AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM raw WHERE src <> dst),
+nodes AS (SELECT DISTINCT node FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)),
+t AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+c AS (
+  SELECT node, COUNT(*) AS t FROM (
+    SELECT x AS node FROM t UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t
+  ) GROUP BY node
+),
+dg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY node
+)
+SELECT n.node, CAST(COALESCE(c.t, 0) AS BIGINT) AS triangles,
+       CAST(dg.deg AS BIGINT) AS deg,
+       CAST(2 * COALESCE(c.t, 0) AS BIGINT) AS cc_num,
+       CAST(dg.deg * (dg.deg - 1) AS BIGINT) AS cc_den
+FROM nodes n JOIN dg USING (node) LEFT JOIN c USING (node)
+"""
+
+QUERIES["clustering_coef"] = (q_clustering_coef, SQL_CLUSTERING_COEF)

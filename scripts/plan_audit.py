@@ -267,6 +267,16 @@ def main() -> None:
             ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
             ("no cartesian product", r"CartesianProduct", "absent"),
         ]),
+        ("ppr_seeds", [
+            ("hash aggregation per iteration", r"HashAggregate"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
+        ("clustering_coef", [
+            ("wedge join is equi (hash/sort-merge)", r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
         ("encoding_quality", [
             # map-only column algebra: no exchange anywhere in the plan
             ("zero shuffles", r"Exchange", "absent"),

@@ -1299,3 +1299,51 @@ def test_assortativity_cycle_is_degenerate(spark):
     )
     r = degree_assortativity(e).collect()[0]
     assert r["m2"] * r["sxx"] - r["sx"] * r["sx"] == 0
+
+
+def test_ppr_mass_flows_from_seeds(spark):
+    from ocaml_rdf_spark.operators.cc import pagerank
+
+    # path s -> a -> b with seed {s}: rank decays with distance from the seed
+    e = spark.createDataFrame([("s", "a"), ("a", "b")], "src string, dst string")
+    seeds = spark.createDataFrame([("s",)], "node string")
+    out = {r["node"]: r["rank"] for r in pagerank(e, iters=3, seeds=seeds).collect()}
+    assert out["s"] > out["a"] > out["b"] > 0
+
+
+def test_ppr_unreachable_node_scores_zero(spark):
+    from ocaml_rdf_spark.operators.cc import pagerank
+
+    e = spark.createDataFrame([("s", "a"), ("x", "y")], "src string, dst string")
+    seeds = spark.createDataFrame([("s",)], "node string")
+    out = {r["node"]: r["rank"] for r in pagerank(e, iters=3, seeds=seeds).collect()}
+    assert out["x"] == 0 and out["y"] == 0 and out["a"] > 0
+
+
+def test_ppr_all_seeds_equals_vanilla(spark):
+    from ocaml_rdf_spark.operators.cc import pagerank
+
+    rows = [(f"u{i}", f"u{(i * 3 + 1) % 10}") for i in range(20)]
+    e = spark.createDataFrame(rows, "src string, dst string")
+    every = e.select(F.col("src").alias("node")).unionByName(
+        e.select(F.col("dst").alias("node"))
+    ).dropDuplicates()
+    a = sorted(map(tuple, pagerank(e, iters=3).collect()))
+    b = sorted(map(tuple, pagerank(e, iters=3, seeds=every).collect()))
+    assert a == b
+
+
+def test_clustering_coefficient_k4_and_path(spark):
+    from ocaml_rdf_spark.operators.cc import clustering_coefficient
+
+    # K4 plus a pendant: K4 nodes have cc 1 (deg-3 node: 3 tri, den 6),
+    # the pendant has deg 1 -> den 0 (undefined)
+    nodes = ["a", "b", "c", "d"]
+    e = spark.createDataFrame(
+        [(x, y) for x in nodes for y in nodes if x < y] + [("d", "p")],
+        "src string, dst string",
+    )
+    out = {r["node"]: r for r in clustering_coefficient(e).collect()}
+    assert out["a"]["cc_num"] == 6 and out["a"]["cc_den"] == 6      # cc = 1
+    assert out["d"]["triangles"] == 3 and out["d"]["cc_den"] == 12  # deg 4
+    assert out["p"]["cc_den"] == 0 and out["p"]["triangles"] == 0
