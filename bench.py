@@ -173,6 +173,7 @@ def main() -> None:
         "assortativity",
         "ppr_seeds",
         "clustering_coef",
+        "shacl_sparql",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

@@ -5361,3 +5361,39 @@ FROM nodes n JOIN dg USING (node) LEFT JOIN c USING (node)
 """
 
 QUERIES["clustering_coef"] = (q_clustering_coef, SQL_CLUSTERING_COEF)
+
+
+def q_shacl_sparql(spark, sf):
+    """SHACL-SPARQL constraints (sh:sparql): violations ARE the rows of a
+    SELECT ?this query run through the engine's own EP1 path — negative
+    account balances and orders above a price cap, over the TPC-H KG."""
+    from .operators.shacl import validate_sparql
+
+    constraints = [
+        (
+            "s:acctbal-nonneg",
+            "account balance must be non-negative",
+            _SPARQL_PFX
+            + "SELECT ?this ?value WHERE { ?this a c:Customer ; p:acctbal ?value . FILTER(?value < 0) }",
+        ),
+        (
+            "s:price-cap",
+            "order exceeds price cap",
+            _SPARQL_PFX
+            + "SELECT ?this WHERE { ?this a c:Order ; p:price ?v . FILTER(?v > 50000000) }",
+        ),
+    ]
+    return validate_sparql(triples_view(spark, sf), constraints)
+
+
+SQL_SHACL_SPARQL = """
+SELECT 'urn:cu:' || c_custkey AS focus, 's:acctbal-nonneg' AS shape_id,
+       'sparql' AS constraint,
+       'account balance must be non-negative: ' || CAST(CAST(round(c_acctbal*100) AS BIGINT) AS VARCHAR) AS detail
+FROM customer WHERE round(c_acctbal*100) < 0
+UNION ALL
+SELECT 'urn:o:' || o_orderkey, 's:price-cap', 'sparql', 'order exceeds price cap'
+FROM orders WHERE round(o_totalprice*100) > 50000000
+"""
+
+QUERIES["shacl_sparql"] = (q_shacl_sparql, SQL_SHACL_SPARQL)

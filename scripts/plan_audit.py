@@ -267,6 +267,13 @@ def main() -> None:
             ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
             ("no cartesian product", r"CartesianProduct", "absent"),
         ]),
+        ("shacl_sparql", [
+            # constraint queries compile through EP1: bound-predicate scans
+            ("predicate pushed to store scan", r"PushedFilters: \[.*EqualTo\(pred"),
+            ("hash joins only", r"BroadcastHashJoin|SortMergeJoin"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
         ("ppr_seeds", [
             ("hash aggregation per iteration", r"HashAggregate"),
             ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),

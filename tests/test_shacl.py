@@ -74,3 +74,64 @@ def test_class_constraint_and_bnode_kind(spark):
         ("bk", EX + "T", EX + "q", None, None, None, None, "BlankNode"),
     ])
     assert _viol(validate(store, shapes)) == [(EX + "x", "cl", "class")]
+
+
+def test_validate_sparql_violations_and_value_detail(spark):
+    from ocaml_rdf_spark.operators.shacl import validate_sparql
+
+    quads = spark.createDataFrame(
+        [
+            (0, "urn:a", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", 0, "urn:c:T", None, None, "g"),
+            (0, "urn:a", "urn:p:n", 2, "-5", "http://www.w3.org/2001/XMLSchema#integer", None, "g"),
+            (0, "urn:b", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", 0, "urn:c:T", None, None, "g"),
+            (0, "urn:b", "urn:p:n", 2, "7", "http://www.w3.org/2001/XMLSchema#integer", None, "g"),
+        ],
+        "s_kind int, s_lex string, pred string, o_kind int, o_lex string, o_dtype string, o_lang string, graph string",
+    )
+    out = validate_sparql(
+        quads,
+        [(
+            "s:n-nonneg",
+            "n must be non-negative",
+            "PREFIX p: <urn:p:> PREFIX c: <urn:c:> "
+            "SELECT ?this ?value WHERE { ?this a c:T ; p:n ?value . FILTER(?value < 0) }",
+        )],
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["focus"] == "urn:a" and r["shape_id"] == "s:n-nonneg"
+    assert r["constraint"] == "sparql" and r["detail"].endswith(": -5")
+
+
+def test_validate_sparql_requires_this(spark):
+    from ocaml_rdf_spark.operators.shacl import validate_sparql
+
+    quads = spark.createDataFrame(
+        [(0, "urn:a", "urn:p:n", 2, "1", None, None, "g")],
+        "s_kind int, s_lex string, pred string, o_kind int, o_lex string, o_dtype string, o_lang string, graph string",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="must project"):
+        validate_sparql(quads, [("s:x", "m", "SELECT ?s WHERE { ?s ?p ?o }")]).collect()
+
+
+def test_validate_sparql_conforming_graph_is_empty(spark):
+    from ocaml_rdf_spark.operators.shacl import validate_sparql
+
+    quads = spark.createDataFrame(
+        [
+            (0, "urn:a", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", 0, "urn:c:T", None, None, "g"),
+            (0, "urn:a", "urn:p:n", 2, "3", "http://www.w3.org/2001/XMLSchema#integer", None, "g"),
+        ],
+        "s_kind int, s_lex string, pred string, o_kind int, o_lex string, o_dtype string, o_lang string, graph string",
+    )
+    out = validate_sparql(
+        quads,
+        [(
+            "s:n-nonneg", "n must be non-negative",
+            "PREFIX p: <urn:p:> PREFIX c: <urn:c:> "
+            "SELECT ?this WHERE { ?this a c:T ; p:n ?v . FILTER(?v < 0) }",
+        )],
+    )
+    assert out.count() == 0
