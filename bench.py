@@ -174,6 +174,10 @@ def main() -> None:
         "ppr_seeds",
         "clustering_coef",
         "shacl_sparql",
+        "kmv_overlap",
+        "cohort_retention",
+        "event_transitions",
+        "ip_host_filter",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

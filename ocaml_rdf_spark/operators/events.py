@@ -197,3 +197,57 @@ def funnel(
         F.col("__f.t1").alias("t1_us"),
         (F.col("__f.depth") == len(steps)).alias("completed"),
     )
+
+
+def cohort_retention(events: DataFrame, weeks: int = 8) -> DataFrame:
+    """Cohort retention triangle (the product-analytics staple): cohort =
+    each user's first-event date truncated to week; → (cohort_week,
+    week_offset, n_users) where n_users = DISTINCT users of that cohort
+    active week_offset weeks after their cohort week (offset 0 row =
+    cohort size), offsets beyond `weeks` dropped.
+
+    Scale: one user-keyed min-agg for the cohort assignment (map-side
+    combined), one hash join back onto events (user spine is |users|,
+    broadcast-or-shuffle by stats), one distinct-count per
+    (cohort_week, offset) cell — the output is a triangle of ≤ weeks²/2
+    metadata-sized cells regardless of event volume."""
+    first = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    joined = events.join(first, "user_id").select(
+        "user_id",
+        "cohort_week",
+        F.floor(
+            F.datediff(F.to_date(F.col("ts")), F.to_date(F.col("cohort_week"))) / 7
+        ).cast("long").alias("week_offset"),
+    )
+    return (
+        joined.filter(F.col("week_offset") <= weeks)
+        .groupBy(F.to_date("cohort_week").cast("string").alias("cohort_week"), "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition counts over per-user event streams:
+    → (from_type, to_type, n) where consecutive = next event of the SAME
+    user in (ts, event_id) order (event_id breaks timestamp ties, so the
+    count table is deterministic and cross-engine exact). The row set is
+    |event types|² at most — the navigation-pattern summary behind
+    'users who view then search then buy' analyses, and the transition
+    matrix a Markov session model trains on.
+
+    Scale: ONE user_id-keyed window (the same exchange sessionization
+    uses) + one map-side-combined count; no self-joins."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = events.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    return (
+        nxt.filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -320,3 +320,78 @@ def score_resample(
         F.col(score_col).cast("long"), F.lit(int(max_score))
     )
     return df.withColumn("kept", keep.cast("boolean"))
+
+
+def kmv_set_ops(a: DataFrame, col_a: str, b: DataFrame, col_b: str, k: int = 128) -> DataFrame:
+    """KMV sketch SET OPERATIONS (Beyer et al. 2007): estimate |A∪B| and
+    |A∩B| from the two k-min-value sketches ALONE → one row
+    (k_used, est_union, n_inter, est_intersect).
+
+    Union sketch = the k smallest of sketchA ∪ sketchB (KMV's defining
+    mergeability — this is how per-partition / per-day sketches combine
+    without touching raw data). Intersection: ρ = |{h ∈ union-sketch :
+    h ∈ A-sketch ∧ h ∈ B-sketch}| / k_used, est = round(ρ · est_union)
+    — the classic audience-overlap estimator. Everything derives from
+    the same deterministic 60-bit md5 hash as `kmv_distinct`, so the
+    whole row is value-exact cross-engine (impossible for HLL's
+    register interactions).
+
+    Scale: each side is scan + distinct + TakeOrdered(k); the set algebra
+    after that touches ≤ 2k rows of sketch state — merging n per-shard
+    sketches is O(n·k), never a second pass over data."""
+    ha = a.select(_h60(F.col(col_a)).alias("hv")).distinct().orderBy("hv").limit(k)
+    hb = b.select(_h60(F.col(col_b)).alias("hv")).distinct().orderBy("hv").limit(k)
+    union_k = ha.unionByName(hb).distinct().orderBy("hv").limit(k)
+    both = ha.join(hb, "hv")  # sketch-sized hash join (≤ k rows each side)
+    marked = union_k.join(both.select("hv", F.lit(1).alias("in_both")), "hv", "left")
+    return marked.agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.max("hv").alias("kth_min"),
+        F.sum(F.coalesce("in_both", F.lit(0))).alias("n_inter"),
+    ).select(
+        "k_used",
+        F.when(F.col("k_used") < k, F.col("k_used").cast("long"))
+        .otherwise(
+            F.round(
+                (F.lit(float(k - 1)) * F.lit(float(_U))) / F.col("kth_min").cast("double")
+            ).cast("long")
+        )
+        .alias("est_union"),
+        F.col("n_inter").cast("long").alias("n_inter"),
+    ).select(
+        "k_used",
+        "est_union",
+        "n_inter",
+        F.round(
+            F.col("n_inter").cast("double") / F.col("k_used").cast("double")
+            * F.col("est_union").cast("double")
+        )
+        .cast("long")
+        .alias("est_intersect"),
+    )
+
+
+def kmv_set_ops_oracle_sql(table_a: str, col_a: str, table_b: str, col_b: str, k: int = 128) -> str:
+    """Exact DuckDB mirror of kmv_set_ops (same hash, same math)."""
+    return f"""
+WITH ha AS (
+  SELECT hv FROM (SELECT DISTINCT ('0x' || substr(md5(CAST({col_a} AS VARCHAR)), 1, 15))::BIGINT AS hv FROM {table_a}) ORDER BY hv LIMIT {k}
+),
+hb AS (
+  SELECT hv FROM (SELECT DISTINCT ('0x' || substr(md5(CAST({col_b} AS VARCHAR)), 1, 15))::BIGINT AS hv FROM {table_b}) ORDER BY hv LIMIT {k}
+),
+u AS (SELECT hv FROM (SELECT hv FROM ha UNION SELECT hv FROM hb) ORDER BY hv LIMIT {k}),
+m AS (
+  SELECT u.hv, CASE WHEN ha.hv IS NOT NULL AND hb.hv IS NOT NULL THEN 1 ELSE 0 END AS in_both
+  FROM u LEFT JOIN ha ON ha.hv = u.hv LEFT JOIN hb ON hb.hv = u.hv
+),
+s AS (SELECT COUNT(*) AS k_used, MAX(hv) AS kth_min, SUM(in_both) AS n_inter FROM m)
+SELECT k_used,
+       CASE WHEN k_used < {k} THEN k_used
+            ELSE CAST(round({float(k - 1)} * {float(_U)} / kth_min) AS BIGINT) END AS est_union,
+       CAST(n_inter AS BIGINT) AS n_inter,
+       CAST(round(CAST(n_inter AS DOUBLE) / CAST(k_used AS DOUBLE) *
+            (CASE WHEN k_used < {k} THEN k_used
+                  ELSE CAST(round({float(k - 1)} * {float(_U)} / kth_min) AS BIGINT) END)) AS BIGINT) AS est_intersect
+FROM s
+"""

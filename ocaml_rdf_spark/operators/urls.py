@@ -230,3 +230,42 @@ def domain_filter(
             F.when(F.col("blocked_by").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("keep"),
         )
     )
+
+
+def ip_host_filter(docs: DataFrame, host_col: str = "host", id_col: str = "doc_id") -> DataFrame:
+    """Raw-IP-host crawl filter: pages served from a bare IPv4 address
+    instead of a hostname are a strong spam/misconfiguration signal
+    (no DNS identity, no domain reputation), and PRIVATE ranges
+    (RFC 1918 10/8, 172.16/12, 192.168/16, loopback 127/8, link-local
+    169.254/16) additionally indicate an intranet leak that must not
+    enter a training corpus. → (doc_id, host, is_ip, is_private, keep):
+    keep = 1 only for non-IP hosts (the standard crawl policy).
+
+    A host is an IP only if it is EXACTLY four dotted decimal octets
+    each 0-255 ('256.1.2.3' and '1.2.3.4.5' are hostnames, kept).
+    Pure split/cast/comparison column algebra — map-only, zero shuffles,
+    whole-stage codegen at any corpus size; identical semantics in the
+    DuckDB mirror (same split, same bounds)."""
+    h = F.col(host_col)
+    parts = F.split(h, r"\.")
+    octet_ok = F.forall(
+        parts, lambda p: p.rlike("^[0-9]{1,3}$") & (p.try_cast("int") <= 255)
+    )
+    is_ip = (F.size(parts) == 4) & octet_ok
+    # F.get (not getItem): out-of-bounds must be NULL, not an ANSI error,
+    # for hosts with < 2 labels
+    o = [F.get(parts, i).try_cast("int") for i in range(2)]
+    is_private = is_ip & (
+        (o[0] == 10)
+        | ((o[0] == 172) & (o[1] >= 16) & (o[1] <= 31))
+        | ((o[0] == 192) & (o[1] == 168))
+        | (o[0] == 127)
+        | ((o[0] == 169) & (o[1] == 254))
+    )
+    return docs.select(
+        id_col,
+        h.alias("host"),
+        is_ip.cast("int").alias("is_ip"),
+        is_private.cast("int").alias("is_private"),
+        (~is_ip).cast("int").alias("keep"),
+    )

@@ -5397,3 +5397,123 @@ FROM orders WHERE round(o_totalprice*100) > 50000000
 """
 
 QUERIES["shacl_sparql"] = (q_shacl_sparql, SQL_SHACL_SPARQL)
+
+
+def q_kmv_overlap(spark, sf):
+    """KMV sketch set operations: union/intersection estimates for
+    {orders.o_custkey} vs {customer.c_custkey} from the two 128-min-value
+    sketches alone — the audience-overlap estimator, value-exact because
+    KMV state is deterministic (HLL's isn't)."""
+    from .operators.sketches import kmv_set_ops
+
+    return kmv_set_ops(
+        spark.read.parquet(f"{sf}/orders.parquet"), "o_custkey",
+        spark.read.parquet(f"{sf}/customer.parquet"), "c_custkey",
+        k=128,
+    )
+
+
+def _kmv_overlap_sql():
+    from .operators.sketches import kmv_set_ops_oracle_sql
+
+    return kmv_set_ops_oracle_sql("orders", "o_custkey", "customer", "c_custkey", k=128)
+
+
+QUERIES["kmv_overlap"] = (q_kmv_overlap, _kmv_overlap_sql())
+
+
+def q_cohort_retention(spark, sf):
+    """Cohort retention triangle over the event stream: first-event week
+    cohorts × week offsets × distinct active users."""
+    from .operators.events import cohort_retention
+
+    return cohort_retention(spark.read.parquet(f"{sf}/events.parquet"), weeks=8)
+
+
+SQL_COHORT_RETENTION = """
+WITH first AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week FROM events GROUP BY user_id
+),
+j AS (
+  SELECT e.user_id, f.cohort_week,
+         CAST(floor(date_diff('day', CAST(f.cohort_week AS DATE), CAST(e.ts AS DATE)) / 7.0) AS BIGINT) AS week_offset
+  FROM events e JOIN first f USING (user_id)
+)
+SELECT strftime(CAST(cohort_week AS DATE), '%Y-%m-%d') AS cohort_week, week_offset,
+       COUNT(DISTINCT user_id) AS n_users
+FROM j WHERE week_offset <= 8 GROUP BY 1, 2
+"""
+
+QUERIES["cohort_retention"] = (q_cohort_retention, SQL_COHORT_RETENTION)
+
+
+def q_event_transitions(spark, sf):
+    """First-order Markov transition counts between consecutive per-user
+    events ((ts, event_id)-ordered, deterministic tiebreak)."""
+    from .operators.events import event_transitions
+
+    return event_transitions(spark.read.parquet(f"{sf}/events.parquet"))
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH nx AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+)
+SELECT from_type, to_type, COUNT(*) AS n FROM nx WHERE to_type IS NOT NULL
+GROUP BY from_type, to_type
+"""
+
+QUERIES["event_transitions"] = (q_event_transitions, SQL_EVENT_TRANSITIONS)
+
+
+#: deterministic host corpus for the IP filter (documents carries no host)
+_IP_HOST_CASE = """CASE CAST(doc_id % 5 AS INTEGER)
+      WHEN 0 THEN '10.1.' || CAST(doc_id % 200 AS VARCHAR) || '.5'
+      WHEN 1 THEN '93.184.' || CAST(doc_id % 250 AS VARCHAR) || '.34'
+      WHEN 2 THEN 'www.ex' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+      WHEN 3 THEN '256.300.1.' || CAST(doc_id % 9 AS VARCHAR)
+      ELSE '192.168.0.' || CAST(doc_id % 250 AS VARCHAR)
+    END"""
+
+
+def q_ip_host_filter(spark, sf):
+    """Raw-IP-host crawl filter over a deterministic host mix: RFC-1918
+    private, public IP, hostname, not-quite-an-IP ('256.300.…' kept as a
+    hostname), link-local — keep = non-IP only."""
+    from .operators.urls import ip_host_filter
+
+    d = F.col("doc_id")
+    hosts = _docs(spark, sf).select(
+        "doc_id",
+        F.when(d % 5 == 0, F.concat(F.lit("10.1."), (d % 200).cast("string"), F.lit(".5")))
+        .when(d % 5 == 1, F.concat(F.lit("93.184."), (d % 250).cast("string"), F.lit(".34")))
+        .when(d % 5 == 2, F.concat(F.lit("www.ex"), (d % 7).cast("string"), F.lit(".com")))
+        .when(d % 5 == 3, F.concat(F.lit("256.300.1."), (d % 9).cast("string")))
+        .otherwise(F.concat(F.lit("192.168.0."), (d % 250).cast("string")))
+        .alias("host"),
+    )
+    return ip_host_filter(hosts)
+
+
+SQL_IP_HOST_FILTER = f"""
+WITH h AS (SELECT doc_id, {_IP_HOST_CASE} AS host FROM documents),
+p AS (
+  SELECT doc_id, host, string_split(host, '.') AS parts FROM h
+),
+c AS (
+  SELECT doc_id, host, parts,
+         (len(parts) = 4 AND len(list_filter(parts,
+             x -> regexp_matches(x, '^[0-9]{{1,3}}$') AND TRY_CAST(x AS INTEGER) <= 255)) = 4) AS is_ip,
+         TRY_CAST(parts[1] AS INTEGER) AS o0, TRY_CAST(parts[2] AS INTEGER) AS o1
+  FROM p
+)
+SELECT doc_id, host, CAST(is_ip AS INTEGER) AS is_ip,
+       CAST(is_ip AND (o0 = 10 OR (o0 = 172 AND o1 BETWEEN 16 AND 31)
+            OR (o0 = 192 AND o1 = 168) OR o0 = 127 OR (o0 = 169 AND o1 = 254)) AS INTEGER) AS is_private,
+       CAST(NOT is_ip AS INTEGER) AS keep
+FROM c
+"""
+
+QUERIES["ip_host_filter"] = (q_ip_host_filter, SQL_IP_HOST_FILTER)

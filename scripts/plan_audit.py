@@ -267,6 +267,25 @@ def main() -> None:
             ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
             ("no cartesian product", r"CartesianProduct", "absent"),
         ]),
+        ("kmv_overlap", [
+            # each side: scan + distinct + TakeOrdered(k); set algebra on ≤2k rows
+            ("top-k, no full sort", r"TakeOrderedAndProject"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
+        ("cohort_retention", [
+            ("user-keyed min agg + distinct count", r"HashAggregate"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
+        ("event_transitions", [
+            ("one user window then count", r"Window"),
+            ("map-side-combined count", r"HashAggregate"),
+            ("no join at all", r"Join", "absent"),
+        ]),
+        ("ip_host_filter", [
+            ("map-only: zero shuffles", r"Exchange", "absent"),
+            ("columns pruned to doc_id", r"ReadSchema: struct<doc_id:bigint>"),
+        ]),
         ("shacl_sparql", [
             # constraint queries compile through EP1: bound-predicate scans
             ("predicate pushed to store scan", r"PushedFilters: \[.*EqualTo\(pred"),

@@ -252,3 +252,58 @@ def test_rollup_cascade_tiers_consistent(spark):
     assert len([r for r in out if r["tier_minutes"] == 1440]) <= 6
     with pytest.raises(ValueError):
         rollup_cascade(ev, (1, 90, 100))
+
+
+def test_cohort_retention_triangle(spark):
+    from ocaml_rdf_spark.operators.events import cohort_retention
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 100, "view"),   # cohort week of Jan 1 (Mon)
+        (2, "2024-01-10 10:00:00", 100, "view"),   # +1 week
+        (3, "2024-01-02 10:00:00", 200, "view"),   # same cohort
+        (4, "2024-01-25 10:00:00", 200, "view"),   # +3 weeks
+    ]
+    events = spark.createDataFrame(rows, "event_id long, ts string, user_id long, event_type string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    out = {(r["cohort_week"], r["week_offset"]): r["n_users"]
+           for r in cohort_retention(events).collect()}
+    assert out[("2024-01-01", 0)] == 2
+    assert out[("2024-01-01", 1)] == 1
+    assert out[("2024-01-01", 3)] == 1
+
+
+def test_event_transitions_tiebreak(spark):
+    from ocaml_rdf_spark.operators.events import event_transitions
+
+    # equal timestamps: event_id order decides -> view->search->buy exactly
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "view"),
+        (2, "2024-01-01 10:00:00", 1, "search"),
+        (3, "2024-01-01 10:00:00", 1, "buy"),
+        (4, "2024-01-01 09:00:00", 2, "view"),  # other user: no cross-user pair
+    ]
+    events = spark.createDataFrame(rows, "event_id long, ts string, user_id long, event_type string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    out = {(r["from_type"], r["to_type"]): r["n"] for r in event_transitions(events).collect()}
+    assert out == {("view", "search"): 1, ("search", "buy"): 1}
+
+
+def test_kmv_set_ops_exact_below_k(spark):
+    from ocaml_rdf_spark.operators.sketches import kmv_set_ops
+
+    a = spark.createDataFrame([(i,) for i in range(40)], "v long")
+    b = spark.createDataFrame([(i,) for i in range(30, 60)], "v long")
+    r = kmv_set_ops(a, "v", b, "v", k=128).collect()[0]
+    # below k the union sketch is the union itself: everything exact
+    assert r["k_used"] == 60 and r["est_union"] == 60
+    assert r["n_inter"] == 10 and r["est_intersect"] == 10
+
+
+def test_kmv_set_ops_disjoint(spark):
+    from ocaml_rdf_spark.operators.sketches import kmv_set_ops
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(500)], "v string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(500)], "v string")
+    r = kmv_set_ops(a, "v", b, "v", k=64).collect()[0]
+    assert r["n_inter"] == 0 and r["est_intersect"] == 0
+    assert 700 <= r["est_union"] <= 1400  # ~1000 within KMV error at k=64

@@ -77,3 +77,26 @@ def test_url_dedup_keeps_first(spark):
     docs = spark.createDataFrame(rows, "doc_id long, url string")
     kept = {r["doc_id"]: r["canon_url"] for r in url_dedup(docs).collect()}
     assert kept == {1: "https://ex.com/p", 2: "https://ex.com/q"}
+
+
+def test_ip_host_filter_classes(spark):
+    from ocaml_rdf_spark.operators.urls import ip_host_filter
+
+    rows = [
+        (1, "10.0.0.1"),        # private
+        (2, "172.20.1.1"),      # private (172.16/12)
+        (3, "172.32.1.1"),      # PUBLIC (past the /12)
+        (4, "192.168.5.5"),     # private
+        (5, "169.254.0.9"),     # link-local
+        (6, "127.0.0.1"),       # loopback
+        (7, "93.184.216.34"),   # public
+        (8, "256.1.2.3"),       # invalid octet -> hostname
+        (9, "1.2.3.4.5"),       # five labels -> hostname
+        (10, "example.com"),    # hostname
+        (11, ""),               # empty
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, host string")
+    out = {r["doc_id"]: r for r in ip_host_filter(docs).collect()}
+    assert [out[i]["is_ip"] for i in range(1, 12)] == [1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0]
+    assert [out[i]["is_private"] for i in range(1, 8)] == [1, 1, 0, 1, 1, 1, 0]
+    assert [out[i]["keep"] for i in (7, 8, 10)] == [0, 1, 1]
