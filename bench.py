@@ -178,6 +178,8 @@ def main() -> None:
         "cohort_retention",
         "event_transitions",
         "ip_host_filter",
+        "merge_upsert",
+        "kn_counts",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

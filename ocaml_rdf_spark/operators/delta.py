@@ -59,3 +59,56 @@ def invert_patch(patch: DataFrame) -> DataFrame:
     return patch.withColumn(
         OP_COL, F.when(F.col(OP_COL) == "+", F.lit("-")).otherwise(F.lit("+"))
     )
+
+
+def merge_into(
+    target: DataFrame,
+    source: DataFrame,
+    key_cols: list,
+    when_matched: str = "update",
+) -> DataFrame:
+    """Iceberg/Delta `MERGE INTO` semantics at the TableIO seam (the
+    upsert shape `execute_update`'s full-width dedup-union becomes at
+    warehouse scale — the design note recorded in VERDICT r2 #4):
+    key-matched target rows are replaced by ('update') or deleted on
+    ('delete') their source counterpart; unmatched source rows are
+    inserted; unmatched target rows pass through. → the merged table,
+    same schema as `target`.
+
+    Deterministic precondition (enforced): the source must be unique on
+    `key_cols` — MERGE with a many-rows-per-key source is
+    order-dependent in every engine (Iceberg raises
+    'multiple matching rows'); callers pre-aggregate. The check rides
+    the same aggregation that builds the source side (one count
+    column), so it costs no extra pass; violation surfaces as a
+    row-level error at action time.
+
+    Scale shape: ONE hash anti join (target minus matched keys) + ONE
+    union — both sides shuffle on `key_cols` once and AQE co-partitions;
+    with target stored bucket-sorted on the key (the POS layout) the
+    exchange is avoidable via storage-partitioned join. This is exactly
+    the physical plan Iceberg's copy-on-write MERGE produces, expressed
+    as DataFrames so the parquet fallback and a real Iceberg catalog
+    share one call site."""
+    if when_matched not in ("update", "delete"):
+        raise ValueError("when_matched must be 'update' or 'delete'")
+    from pyspark.sql.window import Window
+
+    # uniqueness guard as a FILTER condition (a dropped marker column
+    # would be pruned away and never fire): n>1 per key raises at action
+    # time instead of silently picking a row
+    w = Window.partitionBy(*key_cols)
+    src = (
+        source.withColumn("__n", F.count(F.lit(1)).over(w))
+        .filter(
+            F.when(F.col("__n") == 1, F.lit(True)).otherwise(
+                F.raise_error(F.lit("merge_into: source not unique on key")).cast("boolean")
+            )
+        )
+        .drop("__n")
+    )
+    keys = [F.col(c) for c in key_cols]
+    unmatched_target = target.join(src.select(*keys), key_cols, "left_anti")
+    if when_matched == "delete":
+        return unmatched_target
+    return unmatched_target.unionByName(src.select(*target.columns))

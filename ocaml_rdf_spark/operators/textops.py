@@ -1512,3 +1512,61 @@ def encoding_quality(docs, text_col: str = "text", scale: int = 1_000_000):
         .cast("long")
         .alias("penalty"),
     )
+
+
+def kn_counts(docs: DataFrame) -> DataFrame:
+    """Kneser-Ney continuation counts (Kneser & Ney 1995; the quantities
+    interpolated-KN smoothing is built from) per vocabulary word →
+    (w, c_w, n1plus_left, n1plus_right):
+
+    - ``c_w``            raw unigram count,
+    - ``n1plus_left``    N1+(•w) = |{w1 : c(w1 w) > 0}| — the KN
+                         lower-order numerator ('how many contexts does
+                         w CONTINUE?', the insight that makes KN beat
+                         raw-frequency backoff: 'Francisco' is frequent
+                         but continues only 'San'),
+    - ``n1plus_right``   N1+(w •) = |{w2 : c(w w2) > 0}| — the backoff
+                         normalizer.
+
+    The smoothed probability assembles driver/consumer-side from these
+    exact BIGINTs (plus |distinct bigrams| = Σ n1plus_right); keeping
+    division out keeps the table value-exact cross-engine (the lm_score
+    rule). Scale: one bigram distinct (map-side-combined on (w1, w2)),
+    two distinct-counts over it, one unigram count — all token-keyed
+    shuffles with partial aggregation, nothing per-doc stateful."""
+    toks = docs.select("doc_id", _norm_tokens("text").alias("t"))
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    bg = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(slice(t, 1, greatest(size(t) - 1, 0)),"
+                    " (x, i) -> struct(x AS w1, t[i + 1] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+        .dropDuplicates()
+    )
+    left = bg.groupBy(F.col("w2").alias("w")).agg(
+        F.count(F.lit(1)).alias("n1plus_left")
+    )
+    right = bg.groupBy(F.col("w1").alias("w")).agg(
+        F.count(F.lit(1)).alias("n1plus_right")
+    )
+    return (
+        uni.join(left, "w", "left")
+        .join(right, "w", "left")
+        .select(
+            "w",
+            F.col("c_w").cast("long").alias("c_w"),
+            F.coalesce("n1plus_left", F.lit(0)).cast("long").alias("n1plus_left"),
+            F.coalesce("n1plus_right", F.lit(0)).cast("long").alias("n1plus_right"),
+        )
+    )

@@ -5517,3 +5517,72 @@ FROM c
 """
 
 QUERIES["ip_host_filter"] = (q_ip_host_filter, SQL_IP_HOST_FILTER)
+
+
+def q_kn_counts(spark, sf):
+    """Kneser-Ney continuation counts (N1+(·w), N1+(w·), unigram c_w) —
+    the exact-integer quantities interpolated-KN smoothing assembles
+    from."""
+    from .operators.textops import kn_counts
+
+    return kn_counts(_docs(spark, sf))
+
+
+SQL_KN_COUNTS = f"""
+WITH {_TOKS_SQL},
+uni AS (
+  SELECT w, COUNT(*) AS c_w FROM (SELECT unnest(toks) AS w FROM nt) WHERE w <> '' GROUP BY w
+),
+bg AS (
+  SELECT DISTINCT toks[i] AS w1, toks[i + 1] AS w2
+  FROM nt, unnest(range(1, len(toks))) AS t(i)
+  WHERE toks[i] <> '' AND toks[i + 1] <> ''
+),
+l AS (SELECT w2 AS w, COUNT(*) AS n1plus_left FROM bg GROUP BY w2),
+r AS (SELECT w1 AS w, COUNT(*) AS n1plus_right FROM bg GROUP BY w1)
+SELECT uni.w, uni.c_w,
+       CAST(COALESCE(l.n1plus_left, 0) AS BIGINT) AS n1plus_left,
+       CAST(COALESCE(r.n1plus_right, 0) AS BIGINT) AS n1plus_right
+FROM uni LEFT JOIN l USING (w) LEFT JOIN r USING (w)
+"""
+
+QUERIES["kn_counts"] = (q_kn_counts, SQL_KN_COUNTS)
+
+
+def q_merge_upsert(spark, sf):
+    """Iceberg-style MERGE INTO at the TableIO seam (the warehouse-scale
+    form of execute_update's dedup-union, VERDICT r2 design note):
+    upsert refreshed acctbal rows for every 10th customer plus one brand-new
+    key into the customer-keyed balance table."""
+    from .operators.delta import merge_into
+
+    cu = spark.read.parquet(f"{sf}/customer.parquet")
+    target = cu.select(
+        "c_custkey", F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents")
+    )
+    src = cu.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey", (F.round(F.col("c_acctbal") * 100).cast("long") + 777).alias("bal_cents")
+    ).unionByName(
+        cu.groupBy().agg((F.max("c_custkey") + 1).alias("c_custkey"))
+        .select("c_custkey", F.lit(123456).cast("long").alias("bal_cents"))
+    )
+    return merge_into(target, src, ["c_custkey"])
+
+
+SQL_MERGE_UPSERT = """
+WITH target AS (
+  SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents FROM customer
+),
+src AS (
+  SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) + 777 AS bal_cents
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT (SELECT MAX(c_custkey) + 1 FROM customer), CAST(123456 AS BIGINT)
+)
+SELECT t.c_custkey, t.bal_cents FROM target t
+WHERE t.c_custkey NOT IN (SELECT c_custkey FROM src)
+UNION ALL
+SELECT c_custkey, bal_cents FROM src
+"""
+
+QUERIES["merge_upsert"] = (q_merge_upsert, SQL_MERGE_UPSERT)

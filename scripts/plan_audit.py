@@ -267,6 +267,17 @@ def main() -> None:
             ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
             ("no cartesian product", r"CartesianProduct", "absent"),
         ]),
+        ("merge_upsert", [
+            # MERGE = one key-shuffled anti join + union, the Iceberg CoW shape
+            ("hash anti join on the key", r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin).*LeftAnti"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
+        ("kn_counts", [
+            ("token-keyed partial aggregation", r"HashAggregate"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
         ("kmv_overlap", [
             # each side: scan + distinct + TakeOrdered(k); set algebra on ≤2k rows
             ("top-k, no full sort", r"TakeOrderedAndProject"),

@@ -323,3 +323,52 @@ def test_encoding_quality_tabs_newlines_are_clean(spark):
     )
     r = encoding_quality(docs).collect()[0]
     assert r["n_ctrl"] == 0 and r["penalty"] == 0
+
+
+def test_merge_into_upsert(spark):
+    from ocaml_rdf_spark.operators.delta import merge_into
+
+    target = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    src = spark.createDataFrame([(2, "B"), (4, "D")], "k long, v string")
+    out = {r["k"]: r["v"] for r in merge_into(target, src, ["k"]).collect()}
+    assert out == {1: "a", 2: "B", 3: "c", 4: "D"}
+
+
+def test_merge_into_delete(spark):
+    from ocaml_rdf_spark.operators.delta import merge_into
+
+    target = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    src = spark.createDataFrame([(2, "x")], "k long, v string")
+    out = merge_into(target, src, ["k"], when_matched="delete").collect()
+    assert [(r["k"], r["v"]) for r in out] == [(1, "a")]
+
+
+def test_merge_into_rejects_duplicate_source_keys(spark):
+    from ocaml_rdf_spark.operators.delta import merge_into
+
+    target = spark.createDataFrame([(1, "a")], "k long, v string")
+    src = spark.createDataFrame([(1, "x"), (1, "y")], "k long, v string")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="not unique"):
+        merge_into(target, src, ["k"]).collect()
+
+
+def test_kn_counts_francisco(spark):
+    from ocaml_rdf_spark.operators.textops import kn_counts
+
+    # 'francisco' appears 3x but ONLY after 'san'; 'day' appears 2x after
+    # 2 distinct contexts -> KN's continuation count ranks day > francisco
+    docs = spark.createDataFrame(
+        [
+            (1, "san francisco san francisco san francisco"),
+            (2, "good day nice day"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["w"]: r for r in kn_counts(docs).collect()}
+    assert out["francisco"]["c_w"] == 3 and out["francisco"]["n1plus_left"] == 1
+    assert out["day"]["c_w"] == 2 and out["day"]["n1plus_left"] == 2
+    # 'san' continues into {francisco, san}? no: pairs are (san,francisco)x3,
+    # (francisco,san)x2 -> right(san)=1, left(san)=1
+    assert out["san"]["n1plus_right"] == 1 and out["san"]["n1plus_left"] == 1
