@@ -180,6 +180,7 @@ def main() -> None:
         "ip_host_filter",
         "merge_upsert",
         "kn_counts",
+        "same_as_keys",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

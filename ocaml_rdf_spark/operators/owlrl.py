@@ -126,3 +126,94 @@ def owl_rl_closure(triples: DataFrame, graph: str = "urn:g:owl") -> DataFrame:
     )
     asserted = triples.select("s_kind", "s_lex", "pred", "o_kind", "o_lex").distinct()
     return out.join(asserted, ["s_kind", "s_lex", "pred", "o_kind", "o_lex"], "left_anti")
+
+
+FUNCTIONAL = OWL_NS + "FunctionalProperty"
+INV_FUNCTIONAL = OWL_NS + "InverseFunctionalProperty"
+SAME_AS = OWL_NS + "sameAs"
+
+
+def functional_same_as(triples: DataFrame, graph: str = "urn:g:owl") -> DataFrame:
+    """OWL 2 RL entity-resolution rules prp-fp / prp-ifp → owl:sameAs
+    triples (entailments only):
+
+      prp-fp   p a owl:FunctionalProperty;  x p y₁, x p y₂ ⇒ y₁ sameAs y₂
+      prp-ifp  p a owl:InverseFunctionalProperty; x₁ p y, x₂ p y
+                                                  ⇒ x₁ sameAs x₂
+
+    THE mechanical entity-resolution step of a KG pipeline: declare
+    foaf:mbox inverse-functional and every pair of subjects sharing an
+    email collapses — the produced sameAs edges feed `cc.canonicalize`
+    exactly like asserted sameAs does. prp-ifp keys may be literals
+    (emails ARE literals); prp-fp emits resource pairs only (a literal
+    in subject position is an inconsistency report, not a triple —
+    skipped, matching the owl_rl_closure literal rule).
+
+    Scale + determinism: groups emit STAR form (each member sameAs the
+    group minimum), not pairwise — O(k) rows per k-member collision
+    group instead of O(k²), and under sameAs transitivity the closure
+    is identical (CC re-derives the classes either way). One
+    (pred, key)-keyed min aggregation per rule, axioms broadcast; a
+    mega-collision key (half the web shares mailto:'') partial-
+    aggregates to ONE min before the shuffle — callers drop junk keys
+    beforehand like every blocking step."""
+    fp = (
+        triples.filter((F.col("pred") == RDF_TYPE) & (F.col("o_lex") == FUNCTIONAL))
+        .select(F.col("s_lex").alias("p")).distinct()
+    )
+    ifp = (
+        triples.filter((F.col("pred") == RDF_TYPE) & (F.col("o_lex") == INV_FUNCTIONAL))
+        .select(F.col("s_lex").alias("p")).distinct()
+    )
+    stmts = triples.select("s_kind", "s_lex", "pred", "o_kind", "o_lex", "o_dtype", "o_lang")
+
+    # prp-fp: group by (pred, subject term), values must be resources
+    fp_rows = (
+        stmts.join(F.broadcast(fp.withColumnRenamed("p", "pred")), "pred")
+        .filter(F.col("o_kind").isin(0, 1))
+        .select(
+            F.concat_ws(_SEP, "pred", F.col("s_kind").cast("string"), "s_lex").alias("grp"),
+            F.col("o_kind").alias("m_kind"), F.col("o_lex").alias("m_lex"),
+        )
+    )
+    # prp-ifp: group by (pred, object term incl. datatype/lang), members are subjects
+    ifp_rows = (
+        stmts.join(F.broadcast(ifp.withColumnRenamed("p", "pred")), "pred")
+        .select(
+            F.concat_ws(
+                _SEP, "pred", F.col("o_kind").cast("string"), "o_lex",
+                F.coalesce("o_dtype", F.lit("")), F.coalesce("o_lang", F.lit("")),
+            ).alias("grp"),
+            F.col("s_kind").alias("m_kind"), F.col("s_lex").alias("m_lex"),
+        )
+    )
+
+    def star(rows):
+        members = rows.dropDuplicates()
+        canon = members.groupBy("grp").agg(
+            F.min(F.struct("m_kind", "m_lex")).alias("c"),
+            F.countDistinct("m_kind", "m_lex").alias("n"),
+        ).filter(F.col("n") > 1)
+        return (
+            members.join(canon, "grp")
+            .filter((F.col("m_kind") != F.col("c.m_kind")) | (F.col("m_lex") != F.col("c.m_lex")))
+            .select(
+                F.col("m_kind").cast("tinyint").alias("s_kind"),
+                F.col("m_lex").alias("s_lex"),
+                F.lit(SAME_AS).alias("pred"),
+                F.col("c.m_kind").cast("tinyint").alias("o_kind"),
+                F.col("c.m_lex").alias("o_lex"),
+            )
+        )
+
+    out5 = star(fp_rows).unionByName(star(ifp_rows)).distinct()
+    out = (
+        out5.withColumn("o_dtype", F.lit(None).cast("string"))
+        .withColumn("o_lang", F.lit(None).cast("string"))
+        .withColumn("graph", F.lit(graph))
+        .withColumn("src_url", F.lit(None).cast("string"))
+        .withColumn("extractor", F.lit("owl"))
+        .withColumn("part_id", F.lit(None).cast("int"))
+    )
+    asserted = triples.select("s_kind", "s_lex", "pred", "o_kind", "o_lex").distinct()
+    return out.join(asserted, ["s_kind", "s_lex", "pred", "o_kind", "o_lex"], "left_anti")

@@ -5586,3 +5586,72 @@ SELECT c_custkey, bal_cents FROM src
 """
 
 QUERIES["merge_upsert"] = (q_merge_upsert, SQL_MERGE_UPSERT)
+
+
+def q_same_as_keys(spark, sf):
+    """OWL entity-resolution rules prp-fp/prp-ifp: a functional 'rep'
+    property (one representative per bucket — multiple values collapse
+    the values) plus an inverse-functional 'segment' key (subjects
+    sharing a segment literal collapse) → owl:sameAs star edges feeding
+    canonicalization."""
+    from .operators.owlrl import FUNCTIONAL, INV_FUNCTIONAL, functional_same_as
+    from .types import TRIPLES_SCHEMA, triple_row as _tr
+
+    cu = spark.read.parquet(f"{sf}/customer.parquet")
+    base = F.lit(None).cast("string")
+    rep = cu.select(
+        F.lit(0).cast("tinyint").alias("s_kind"),
+        F.concat(F.lit("urn:grp:"), (F.col("c_custkey") % 50).cast("string")).alias("s_lex"),
+        F.lit("urn:p:rep").alias("pred"),
+        F.lit(0).cast("tinyint").alias("o_kind"),
+        F.concat(F.lit("urn:cu:"), F.col("c_custkey").cast("string")).alias("o_lex"),
+        base.alias("o_dtype"), base.alias("o_lang"),
+        F.lit("urn:g:er").alias("graph"), base.alias("src_url"),
+        base.alias("extractor"), F.lit(None).cast("int").alias("part_id"),
+    )
+    seg = cu.select(
+        F.lit(0).cast("tinyint").alias("s_kind"),
+        F.concat(F.lit("urn:cu:"), F.col("c_custkey").cast("string")).alias("s_lex"),
+        F.lit("urn:p:segkey").alias("pred"),
+        F.lit(2).cast("tinyint").alias("o_kind"),
+        F.col("c_mktsegment").alias("o_lex"),
+        F.lit("http://www.w3.org/2001/XMLSchema#string").alias("o_dtype"), base.alias("o_lang"),
+        F.lit("urn:g:er").alias("graph"), base.alias("src_url"),
+        base.alias("extractor"), F.lit(None).cast("int").alias("part_id"),
+    )
+    axioms = spark.createDataFrame(
+        [
+            _tr(Iri("urn:p:rep"), Iri(RDF_TYPE), Iri(FUNCTIONAL), graph="urn:g:er-schema"),
+            _tr(Iri("urn:p:segkey"), Iri(RDF_TYPE), Iri(INV_FUNCTIONAL), graph="urn:g:er-schema"),
+        ],
+        schema=TRIPLES_SCHEMA,
+    )
+    ents = functional_same_as(rep.unionByName(seg).unionByName(axioms))
+    return ents.select("s_lex", "pred", "o_lex")
+
+
+SQL_SAME_AS_KEYS = """
+WITH fp_m AS (
+  SELECT DISTINCT 'urn:grp:' || CAST(c_custkey % 50 AS VARCHAR) AS grp,
+         'urn:cu:' || CAST(c_custkey AS VARCHAR) AS m
+  FROM customer
+),
+fp_c AS (SELECT grp, MIN(m) AS cm, COUNT(DISTINCT m) AS n FROM fp_m GROUP BY grp),
+fp AS (
+  SELECT m.m AS s_lex, c.cm AS o_lex FROM fp_m m JOIN fp_c c USING (grp)
+  WHERE c.n > 1 AND m.m <> c.cm
+),
+ifp_m AS (
+  SELECT DISTINCT c_mktsegment AS grp, 'urn:cu:' || CAST(c_custkey AS VARCHAR) AS m
+  FROM customer
+),
+ifp_c AS (SELECT grp, MIN(m) AS cm, COUNT(DISTINCT m) AS n FROM ifp_m GROUP BY grp),
+ifp AS (
+  SELECT m.m AS s_lex, c.cm AS o_lex FROM ifp_m m JOIN ifp_c c USING (grp)
+  WHERE c.n > 1 AND m.m <> c.cm
+)
+SELECT s_lex, 'http://www.w3.org/2002/07/owl#sameAs' AS pred, o_lex
+FROM (SELECT DISTINCT * FROM (SELECT * FROM fp UNION ALL SELECT * FROM ifp))
+"""
+
+QUERIES["same_as_keys"] = (q_same_as_keys, SQL_SAME_AS_KEYS)

@@ -267,6 +267,13 @@ def main() -> None:
             ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
             ("no cartesian product", r"CartesianProduct", "absent"),
         ]),
+        ("same_as_keys", [
+            # star form: one (pred,key)-keyed min agg per rule, axioms broadcast
+            ("key-grouped partial aggregation", r"HashAggregate"),
+            ("axiom side broadcast", r"BroadcastHashJoin|BroadcastExchange"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
         ("merge_upsert", [
             # MERGE = one key-shuffled anti join + union, the Iceberg CoW shape
             ("hash anti join on the key", r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin).*LeftAnti"),

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 from ocaml_rdf_spark.operators.owlrl import INVERSE_OF, SYMMETRIC, TRANSITIVE, owl_rl_closure
 from ocaml_rdf_spark.types import RDF_TYPE, TRIPLES_SCHEMA, Iri, Literal, triple_row
 
@@ -68,3 +69,52 @@ def test_literal_objects_never_flip(spark):
         (EX + "a", EX + "p", Literal("v")),
     ])))
     assert got == set()
+
+
+def test_functional_same_as_fp_and_ifp(spark):
+    from ocaml_rdf_spark.operators.owlrl import (
+        FUNCTIONAL, INV_FUNCTIONAL, SAME_AS, functional_same_as,
+    )
+    from ocaml_rdf_spark.types import RDF_TYPE
+
+    rows = [
+        # fp: x rep y1 / y2 -> y1 sameAs y2 (star to min)
+        (0, "urn:x", "urn:p:rep", 0, "urn:b", None, None),
+        (0, "urn:x", "urn:p:rep", 0, "urn:a", None, None),
+        # ifp: two subjects share a literal email key
+        (0, "urn:p1", "urn:p:mbox", 2, "a@ex.org", "http://www.w3.org/2001/XMLSchema#string", None),
+        (0, "urn:p2", "urn:p:mbox", 2, "a@ex.org", "http://www.w3.org/2001/XMLSchema#string", None),
+        # same lexical but different LANGUAGE tag: NOT the same key
+        (0, "urn:p3", "urn:p:mbox", 2, "b@ex.org", None, "en"),
+        (0, "urn:p4", "urn:p:mbox", 2, "b@ex.org", None, "fr"),
+        (0, "urn:p:rep", RDF_TYPE, 0, FUNCTIONAL, None, None),
+        (0, "urn:p:mbox", RDF_TYPE, 0, INV_FUNCTIONAL, None, None),
+    ]
+    quads = spark.createDataFrame(
+        rows,
+        "s_kind int, s_lex string, pred string, o_kind int, o_lex string, o_dtype string, o_lang string",
+    ).withColumn("graph", F.lit("g")).withColumn("src_url", F.lit(None).cast("string")) \
+     .withColumn("extractor", F.lit(None).cast("string")).withColumn("part_id", F.lit(None).cast("int"))
+    out = [(r["s_lex"], r["pred"], r["o_lex"]) for r in functional_same_as(quads).collect()]
+    assert sorted(out) == [
+        ("urn:b", SAME_AS, "urn:a"),      # fp star to the min value
+        ("urn:p2", SAME_AS, "urn:p1"),    # ifp email collision
+    ]
+
+
+def test_functional_same_as_literal_values_skipped_for_fp(spark):
+    from ocaml_rdf_spark.operators.owlrl import FUNCTIONAL, functional_same_as
+    from ocaml_rdf_spark.types import RDF_TYPE
+
+    rows = [
+        # fp with LITERAL values: inconsistency, not a sameAs between literals
+        (0, "urn:x", "urn:p:age", 2, "4", None, None),
+        (0, "urn:x", "urn:p:age", 2, "5", None, None),
+        (0, "urn:p:age", RDF_TYPE, 0, FUNCTIONAL, None, None),
+    ]
+    quads = spark.createDataFrame(
+        rows,
+        "s_kind int, s_lex string, pred string, o_kind int, o_lex string, o_dtype string, o_lang string",
+    ).withColumn("graph", F.lit("g")).withColumn("src_url", F.lit(None).cast("string")) \
+     .withColumn("extractor", F.lit(None).cast("string")).withColumn("part_id", F.lit(None).cast("int"))
+    assert functional_same_as(quads).count() == 0
