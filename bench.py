@@ -181,6 +181,7 @@ def main() -> None:
         "merge_upsert",
         "kn_counts",
         "same_as_keys",
+        "owl_chain",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

@@ -217,3 +217,92 @@ def functional_same_as(triples: DataFrame, graph: str = "urn:g:owl") -> DataFram
     )
     asserted = triples.select("s_kind", "s_lex", "pred", "o_kind", "o_lex").distinct()
     return out.join(asserted, ["s_kind", "s_lex", "pred", "o_kind", "o_lex"], "left_anti")
+
+
+CHAIN_AXIOM = OWL_NS + "propertyChainAxiom"
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+RDF_FIRST = RDF_NS + "first"
+RDF_REST = RDF_NS + "rest"
+RDF_NIL = RDF_NS + "nil"
+
+
+def chain_closure(triples: DataFrame, graph: str = "urn:g:owl") -> DataFrame:
+    """OWL 2 RL rule prp-spo2 — property chains: for each axiom
+    ``p owl:propertyChainAxiom (p1 … pn)``, entail ``x p y`` wherever
+    ``x p1∘…∘pn y`` (e.g. hasParent∘hasParent ⇒ hasGrandparent; the KG
+    use: collapse multi-hop shapes the ontology names). → entailed
+    triples only, asserted excluded — the owl_rl_closure contract.
+
+    The axiom side (chain heads + rdf:first/rest list spine) is
+    ONTOLOGY-sized metadata: it is collected and unrolled at the driver
+    (same documented bounded-collect tier as the serializer helpers —
+    ontologies don't grow with the corpus). Each n-step chain then
+    compiles to n instance-scale DataFrames equi-joined head-to-tail
+    (hash joins on the shared node term), exactly the plan the SPARQL
+    Seq path operator produces — O(n−1) joins per chain, predicates
+    pushed to the store scan, nothing iterative (prp-spo2 is not a
+    fixpoint; combined with prp-trp the caller re-runs owl passes to
+    their joint fixpoint, matching the standard rule-engine loop)."""
+    ax = triples.filter(F.col("pred") == CHAIN_AXIOM).select(
+        F.col("s_lex").alias("p"), F.col("o_lex").alias("head")
+    )
+    spine = triples.filter(F.col("pred").isin(RDF_FIRST, RDF_REST)).select(
+        "s_lex", "pred", "o_lex"
+    )
+    # driver-side unroll (ontology-sized by contract)
+    firsts, rests = {}, {}
+    for r in spine.collect():
+        (firsts if r["pred"] == RDF_FIRST else rests)[r["s_lex"]] = r["o_lex"]
+    chains = []
+    for r in ax.collect():
+        node, steps = r["head"], []
+        while node != RDF_NIL and node in firsts:
+            steps.append(firsts[node])
+            node = rests.get(node, RDF_NIL)
+        if len(steps) >= 2:
+            chains.append((r["p"], steps))
+    stmts = triples.select("s_kind", "s_lex", "pred", "o_kind", "o_lex")
+    outs = []
+    for p, steps in chains:
+        cur = stmts.filter(F.col("pred") == steps[0]).select(
+            "s_kind", "s_lex", F.col("o_kind").alias("m_kind"), F.col("o_lex").alias("m_lex")
+        )
+        for q in steps[1:]:
+            nxt = stmts.filter(F.col("pred") == q).select(
+                F.col("s_kind").alias("m_kind"), F.col("s_lex").alias("m_lex"),
+                F.col("o_kind").alias("n_kind"), F.col("o_lex").alias("n_lex"),
+            )
+            cur = cur.join(nxt, ["m_kind", "m_lex"]).select(
+                "s_kind", "s_lex",
+                F.col("n_kind").alias("m_kind"), F.col("n_lex").alias("m_lex"),
+            )
+        outs.append(
+            cur.select(
+                F.col("s_kind").cast("tinyint").alias("s_kind"), "s_lex",
+                F.lit(p).alias("pred"),
+                F.col("m_kind").cast("tinyint").alias("o_kind"),
+                F.col("m_lex").alias("o_lex"),
+            )
+        )
+    if not outs:
+        return triples.select("s_kind", "s_lex", "pred", "o_kind", "o_lex").limit(0).withColumn(
+            "o_dtype", F.lit(None).cast("string")
+        ).withColumn("o_lang", F.lit(None).cast("string")).withColumn(
+            "graph", F.lit(graph)
+        ).withColumn("src_url", F.lit(None).cast("string")).withColumn(
+            "extractor", F.lit("owl")
+        ).withColumn("part_id", F.lit(None).cast("int"))
+    out5 = outs[0]
+    for o in outs[1:]:
+        out5 = out5.unionByName(o)
+    out = (
+        out5.distinct()
+        .withColumn("o_dtype", F.lit(None).cast("string"))
+        .withColumn("o_lang", F.lit(None).cast("string"))
+        .withColumn("graph", F.lit(graph))
+        .withColumn("src_url", F.lit(None).cast("string"))
+        .withColumn("extractor", F.lit("owl"))
+        .withColumn("part_id", F.lit(None).cast("int"))
+    )
+    asserted = triples.select("s_kind", "s_lex", "pred", "o_kind", "o_lex").distinct()
+    return out.join(asserted, ["s_kind", "s_lex", "pred", "o_kind", "o_lex"], "left_anti")

@@ -53,7 +53,7 @@ from .relational import (
     TRIPLES_CTE,
     triples_view,
 )
-from .types import RDF_TYPE, Iri, Literal
+from .types import RDF_TYPE, BNode, Iri, Literal
 
 W = f"WITH {TRIPLES_CTE}"
 VS = Var("s")
@@ -5655,3 +5655,38 @@ FROM (SELECT DISTINCT * FROM (SELECT * FROM fp UNION ALL SELECT * FROM ifp))
 """
 
 QUERIES["same_as_keys"] = (q_same_as_keys, SQL_SAME_AS_KEYS)
+
+
+def q_owl_chain(spark, sf):
+    """OWL property chain prp-spo2: inNation ∘ inRegion declared as the
+    chain of urn:p:inRegionVia — entails customer→region hops; the chain
+    axiom arrives as a real rdf:first/rest list, unrolled driver-side
+    (ontology-sized), instances joined head-to-tail."""
+    from .operators.owlrl import CHAIN_AXIOM, RDF_FIRST, RDF_NIL, RDF_REST, chain_closure
+    from .types import TRIPLES_SCHEMA, triple_row as _tr
+
+    axioms = spark.createDataFrame(
+        [
+            _tr(Iri("urn:p:inRegionVia"), Iri(CHAIN_AXIOM), BNode("l1"), graph="urn:g:owl-schema"),
+            _tr(BNode("l1"), Iri(RDF_FIRST), Iri(P_IN_NATION), graph="urn:g:owl-schema"),
+            _tr(BNode("l1"), Iri(RDF_REST), BNode("l2"), graph="urn:g:owl-schema"),
+            _tr(BNode("l2"), Iri(RDF_FIRST), Iri(P_IN_REGION), graph="urn:g:owl-schema"),
+            _tr(BNode("l2"), Iri(RDF_REST), Iri(RDF_NIL), graph="urn:g:owl-schema"),
+        ],
+        schema=TRIPLES_SCHEMA,
+    )
+    ents = chain_closure(triples_view(spark, sf).unionByName(axioms, allowMissingColumns=True))
+    return ents.select("s_lex", "pred", "o_lex")
+
+
+SQL_OWL_CHAIN = """
+SELECT DISTINCT s_lex, 'urn:p:inRegionVia' AS pred, o_lex FROM (
+  SELECT 'urn:cu:' || c_custkey AS s_lex, 'urn:r:' || n_regionkey AS o_lex
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  UNION ALL
+  SELECT 'urn:su:' || s_suppkey, 'urn:r:' || n_regionkey
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+)
+"""
+
+QUERIES["owl_chain"] = (q_owl_chain, SQL_OWL_CHAIN)

@@ -267,6 +267,12 @@ def main() -> None:
             ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
             ("no cartesian product", r"CartesianProduct", "absent"),
         ]),
+        ("owl_chain", [
+            # n-step chain = n-1 hash equi-joins, predicates pushed to scan
+            ("predicate pushed to store scan", r"PushedFilters: \[.*EqualTo\(pred"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
         ("same_as_keys", [
             # star form: one (pred,key)-keyed min agg per rule, axioms broadcast
             ("key-grouped partial aggregation", r"HashAggregate"),

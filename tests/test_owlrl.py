@@ -118,3 +118,53 @@ def test_functional_same_as_literal_values_skipped_for_fp(spark):
     ).withColumn("graph", F.lit("g")).withColumn("src_url", F.lit(None).cast("string")) \
      .withColumn("extractor", F.lit(None).cast("string")).withColumn("part_id", F.lit(None).cast("int"))
     assert functional_same_as(quads).count() == 0
+
+
+def test_chain_closure_grandparent(spark):
+    from ocaml_rdf_spark.operators.owlrl import (
+        CHAIN_AXIOM, RDF_FIRST, RDF_NIL, RDF_REST, chain_closure,
+    )
+
+    rows = [
+        (0, "urn:a", "urn:p:parent", 0, "urn:b"),
+        (0, "urn:b", "urn:p:parent", 0, "urn:c"),
+        (0, "urn:c", "urn:p:parent", 0, "urn:d"),
+        (0, "urn:gp", CHAIN_AXIOM, 1, "l1"),
+        (1, "l1", RDF_FIRST, 0, "urn:p:parent"),
+        (1, "l1", RDF_REST, 1, "l2"),
+        (1, "l2", RDF_FIRST, 0, "urn:p:parent"),
+        (1, "l2", RDF_REST, 0, RDF_NIL),
+    ]
+    quads = spark.createDataFrame(
+        rows, "s_kind int, s_lex string, pred string, o_kind int, o_lex string"
+    ).withColumn("o_dtype", F.lit(None).cast("string")) \
+     .withColumn("o_lang", F.lit(None).cast("string")) \
+     .withColumn("graph", F.lit("g"))
+    out = sorted(
+        (r["s_lex"], r["pred"], r["o_lex"]) for r in chain_closure(quads).collect()
+    )
+    # 2-step chain: grandparent pairs only (a->c, b->d), no transitive bleed
+    assert out == [("urn:a", "urn:gp", "urn:c"), ("urn:b", "urn:gp", "urn:d")]
+
+
+def test_chain_closure_entailments_exclude_asserted(spark):
+    from ocaml_rdf_spark.operators.owlrl import (
+        CHAIN_AXIOM, RDF_FIRST, RDF_NIL, RDF_REST, chain_closure,
+    )
+
+    rows = [
+        (0, "urn:a", "urn:p:p1", 0, "urn:b"),
+        (0, "urn:b", "urn:p:p2", 0, "urn:c"),
+        (0, "urn:a", "urn:pc", 0, "urn:c"),  # already asserted
+        (0, "urn:pc", CHAIN_AXIOM, 1, "l1"),
+        (1, "l1", RDF_FIRST, 0, "urn:p:p1"),
+        (1, "l1", RDF_REST, 1, "l2"),
+        (1, "l2", RDF_FIRST, 0, "urn:p:p2"),
+        (1, "l2", RDF_REST, 0, RDF_NIL),
+    ]
+    quads = spark.createDataFrame(
+        rows, "s_kind int, s_lex string, pred string, o_kind int, o_lex string"
+    ).withColumn("o_dtype", F.lit(None).cast("string")) \
+     .withColumn("o_lang", F.lit(None).cast("string")) \
+     .withColumn("graph", F.lit("g"))
+    assert chain_closure(quads).count() == 0
