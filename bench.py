@@ -182,6 +182,7 @@ def main() -> None:
         "kn_counts",
         "same_as_keys",
         "owl_chain",
+        "exact_quantiles",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

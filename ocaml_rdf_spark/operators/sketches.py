@@ -395,3 +395,67 @@ SELECT k_used,
                   ELSE CAST(round({float(k - 1)} * {float(_U)} / kth_min) AS BIGINT) END)) AS BIGINT) AS est_intersect
 FROM s
 """
+
+
+def exact_quantiles(df: DataFrame, col: str, qs: Sequence[float], buckets: int = 65536) -> DataFrame:
+    """EXACT order statistics of a BIGINT column WITHOUT a global sort —
+    the 2-pass histogram-refine selection (the distributed classic): →
+    (q_pct, rank, value) with rank = max(1, ceil(q·n)) (1-indexed lower
+    quantile: value = the rank-th smallest, ties included naturally).
+
+    Pass 1: min/max + fixed-width bucket counts — ONE map-side-combined
+    aggregation; the ≤`buckets` count rows collect to the driver
+    (metadata-sized by construction). Pass 2: for each requested rank,
+    the bucket holding it is known from the cumulative counts, so a
+    filter prunes the scan to that bucket's rows and a
+    TakeOrderedAndProject(local_rank) selects within it — top-k, never
+    a full sort. Cost = 2 data passes TOTAL for ANY number of
+    quantiles; a 100 TB global sort for one median is the anti-pattern
+    this replaces (quantile_sketch is the 1-pass approximate tier; this
+    is the exact tier when the answer must be reproducible). Degenerate
+    skew (one value dominating a bucket) bounds pass 2's k by that
+    bucket's count — callers widen `buckets` if a bucket exceeds
+    executor memory."""
+    import math
+
+    stats = df.agg(
+        F.min(col).alias("lo"), F.max(col).alias("hi"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    lo, hi, n = stats["lo"], stats["hi"], stats["n"]
+    spark = df.sparkSession
+    if n == 0:
+        return spark.createDataFrame([], "q_pct long, rank long, value long")
+    width = max(1, (int(hi) - int(lo)) // buckets + 1)
+    bcounts = (
+        df.select(((F.col(col) - F.lit(int(lo))) / F.lit(width)).cast("long").alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    cum, acc = {}, 0
+    for r in sorted(bcounts, key=lambda r: r["b"]):
+        cum[r["b"]] = (acc, r["c"])  # rows before this bucket, rows in it
+        acc += r["c"]
+    parts = []
+    for q in qs:
+        rank = max(1, math.ceil(q * n))
+        b = next(bb for bb, (before, c) in cum.items() if before < rank <= before + c)
+        before, _c = cum[b]
+        blo, bhi = int(lo) + b * width, int(lo) + (b + 1) * width
+        # pass 2 stays LAZY: each quantile is a bucket-pruned
+        # TakeOrderedAndProject branch; the union executes as one job
+        parts.append(
+            df.filter((F.col(col) >= blo) & (F.col(col) < bhi))
+            .orderBy(col)
+            .limit(rank - before)
+            .agg(F.max(col).alias("value"))
+            .select(
+                F.lit(int(q * 100)).cast("long").alias("q_pct"),
+                F.lit(rank).cast("long").alias("rank"),
+                F.col("value").cast("long").alias("value"),
+            )
+        )
+    out = parts[0]
+    for pdf in parts[1:]:
+        out = out.unionByName(pdf)
+    return out

@@ -5690,3 +5690,31 @@ SELECT DISTINCT s_lex, 'urn:p:inRegionVia' AS pred, o_lex FROM (
 """
 
 QUERIES["owl_chain"] = (q_owl_chain, SQL_OWL_CHAIN)
+
+
+def q_exact_quantiles(spark, sf):
+    """Exact order statistics of order price cents (p25/p50/p75/p99)
+    via 2-pass histogram-refine selection — no global sort; rank =
+    max(1, ceil(q·n)), value = rank-th smallest."""
+    from .operators.sketches import exact_quantiles
+
+    o = spark.read.parquet(f"{sf}/orders.parquet").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    return exact_quantiles(o, "cents", [0.25, 0.50, 0.75, 0.99])
+
+
+SQL_EXACT_QUANTILES = """
+WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+n AS (SELECT COUNT(*) AS n FROM v),
+r AS (SELECT UNNEST([25, 50, 75, 99]) AS q_pct),
+k AS (
+  SELECT q_pct, GREATEST(1, CAST(ceil(q_pct / 100.0 * n.n) AS BIGINT)) AS rank
+  FROM r CROSS JOIN n
+)
+SELECT k.q_pct, k.rank, w.cents AS value
+FROM k JOIN (SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rn FROM v) w
+  ON w.rn = k.rank
+"""
+
+QUERIES["exact_quantiles"] = (q_exact_quantiles, SQL_EXACT_QUANTILES)

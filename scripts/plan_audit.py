@@ -267,6 +267,11 @@ def main() -> None:
             ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
             ("no cartesian product", r"CartesianProduct", "absent"),
         ]),
+        ("exact_quantiles", [
+            # pass 2 is a bucket-pruned top-k, never a global sort
+            ("bucket selection is top-k", r"TakeOrderedAndProject"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
         ("owl_chain", [
             # n-step chain = n-1 hash equi-joins, predicates pushed to scan
             ("predicate pushed to store scan", r"PushedFilters: \[.*EqualTo\(pred"),

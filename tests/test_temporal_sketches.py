@@ -329,3 +329,34 @@ def test_funnel_anchors_at_earliest_first_step(spark):
     ])
     out = funnel(ev, ["view", "click"], within_s=3600).collect()[0]
     assert out["depth"] == 1 and out["t1_us"] == 1704103200000000
+
+
+def test_exact_quantiles_small(spark):
+    from ocaml_rdf_spark.operators.sketches import exact_quantiles
+
+    df = spark.createDataFrame([(v,) for v in [10, 20, 30, 40, 50, 60, 70, 80, 90, 100]], "v long")
+    out = {r["q_pct"]: (r["rank"], r["value"]) for r in
+           exact_quantiles(df, "v", [0.1, 0.5, 1.0]).collect()}
+    assert out[10] == (1, 10)     # ceil(0.1*10)=1 -> smallest
+    assert out[50] == (5, 50)     # 5th smallest
+    assert out[100] == (10, 100)  # max
+
+
+def test_exact_quantiles_ties_and_skew(spark):
+    from ocaml_rdf_spark.operators.sketches import exact_quantiles
+
+    # 999 copies of 7 and one 9: p50 lands inside the tie run
+    rows = [(7,)] * 999 + [(9,)]
+    df = spark.createDataFrame(rows, "v long").repartition(8)
+    out = {r["q_pct"]: r["value"] for r in exact_quantiles(df, "v", [0.5, 1.0], buckets=4).collect()}
+    assert out[50] == 7 and out[100] == 9
+
+
+def test_exact_quantiles_partitioning_invariant(spark):
+    from ocaml_rdf_spark.operators.sketches import exact_quantiles
+
+    rows = [((i * 37) % 1000,) for i in range(500)]
+    df = spark.createDataFrame(rows, "v long")
+    a = sorted(map(tuple, exact_quantiles(df.repartition(2), "v", [0.25, 0.75]).collect()))
+    b = sorted(map(tuple, exact_quantiles(df.repartition(16), "v", [0.25, 0.75]).collect()))
+    assert a == b
