@@ -183,6 +183,8 @@ def main() -> None:
         "same_as_keys",
         "owl_chain",
         "exact_quantiles",
+        "graph_digest",
+        "skolemize",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

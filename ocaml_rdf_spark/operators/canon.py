@@ -221,3 +221,78 @@ def normalize_literals(triples: DataFrame) -> DataFrame:
         .otherwise(lex)
     )
     return triples.withColumn("o_lex", normed)
+
+
+SKOLEM_BASE = "https://ords.invalid/.well-known/genid/"
+
+
+def skolemize(quads: DataFrame, base: str = SKOLEM_BASE) -> DataFrame:
+    """Blank-node skolemization (RDF 1.1 Concepts §3.5): replace every
+    blank node with a fresh globally-unique IRI under
+    `.well-known/genid/` so the data can leave the local scope (bnode
+    labels are file-scoped; skolem IRIs survive joins across snapshots,
+    exports, and federation). Map-only column algebra — kind 1 terms
+    become kind 0 with lex = base || label; everything else passes
+    through. Inverse of `unskolemize` for round-trips."""
+    def sk(kind, lex):
+        return (
+            F.when(F.col(kind) == 1, F.concat(F.lit(base), F.col(lex))).otherwise(F.col(lex)).alias(lex),
+            F.when(F.col(kind) == 1, F.lit(0)).otherwise(F.col(kind)).cast("tinyint").alias(kind),
+        )
+
+    s_lex, s_kind = sk("s_kind", "s_lex")
+    o_lex, o_kind = sk("o_kind", "o_lex")
+    others = [c for c in quads.columns if c not in ("s_kind", "s_lex", "o_kind", "o_lex")]
+    return quads.select(s_kind, s_lex, o_kind, o_lex, *others)
+
+
+def unskolemize(quads: DataFrame, base: str = SKOLEM_BASE) -> DataFrame:
+    """Inverse of `skolemize`: IRIs under `base` become blank nodes with
+    the trailing label. skolemize∘unskolemize is the identity on any
+    graph whose IRIs don't collide with `base` (the .well-known contract)."""
+    n = len(base)
+
+    def unsk(kind, lex):
+        hit = (F.col(kind) == 0) & F.col(lex).startswith(base)
+        return (
+            F.when(hit, F.substring(F.col(lex), n + 1, 1 << 30)).otherwise(F.col(lex)).alias(lex),
+            F.when(hit, F.lit(1)).otherwise(F.col(kind)).cast("tinyint").alias(kind),
+        )
+
+    s_lex, s_kind = unsk("s_kind", "s_lex")
+    o_lex, o_kind = unsk("o_kind", "o_lex")
+    others = [c for c in quads.columns if c not in ("s_kind", "s_lex", "o_kind", "o_lex")]
+    return quads.select(s_kind, s_lex, o_kind, o_lex, *others)
+
+
+def graph_digest(quads: DataFrame) -> DataFrame:
+    """Order-independent dataset digest → ONE row (n_quads, digest):
+    digest = Σ (mod 2^63) of each distinct quad's 60-bit md5 — a
+    COMMUTATIVE hash combine, so the value is independent of row order,
+    partitioning, AND engine (the associative-integer rule), and two
+    snapshots compare with one scan each + an 8-byte equality instead of
+    a full EXCEPT join (graph_diff is the tool when you need the WHICH;
+    this answers the cheaper DID-anything-change). Set semantics: the
+    distinct collapses duplicate assertions exactly like the store's
+    dedup. Collision odds for k quads ≈ k²/2^61 — fine for change
+    DETECTION (a pipeline gate re-verifies with graph_diff on mismatch,
+    never trusts equality for correctness-critical merges)."""
+    key = F.concat_ws(
+        "\x1f",
+        F.col("s_kind").cast("string"), "s_lex", "pred",
+        F.col("o_kind").cast("string"), "o_lex",
+        F.coalesce("o_dtype", F.lit("")), F.coalesce("o_lang", F.lit("")),
+        F.coalesce("graph", F.lit("")),
+    )
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    return (
+        quads.select(h.alias("h")).distinct()
+        .agg(
+            F.count(F.lit(1)).alias("n_quads"),
+            # sum in DECIMAL(38,0): BIGINT would overflow past ~8k quads
+            # (k × 2^60); decimal holds 10^38 ≈ 10^20 quads
+            F.pmod(F.sum(F.col("h").cast("decimal(38,0)")), F.lit(2**63 - 1))
+            .cast("long")
+            .alias("digest"),
+        )
+    )

@@ -5718,3 +5718,55 @@ FROM k JOIN (SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rn FROM v) w
 """
 
 QUERIES["exact_quantiles"] = (q_exact_quantiles, SQL_EXACT_QUANTILES)
+
+
+def q_graph_digest(spark, sf):
+    """Order-independent dataset digest (commutative 60-bit-md5 sum mod
+    2^63−1 over distinct quads): snapshot equality in one scan + an
+    8-byte compare — graph_diff's cheap DID-anything-change companion."""
+    from .operators.canon import graph_digest
+
+    return graph_digest(triples_view(spark, sf))
+
+
+SQL_GRAPH_DIGEST = W + """,
+k AS (
+  SELECT DISTINCT ('0x' || substr(md5(
+    CAST(0 AS VARCHAR) || chr(31) || s_lex || chr(31) || pred || chr(31) ||
+    CAST(o_kind AS VARCHAR) || chr(31) || o_lex || chr(31) ||
+    COALESCE(o_dtype, '') || chr(31) || '' || chr(31) || COALESCE(graph, '')
+  ), 1, 15))::BIGINT AS h
+  FROM triples
+)
+SELECT COUNT(*) AS n_quads,
+       CAST(SUM(CAST(h AS HUGEINT)) % 9223372036854775807 AS BIGINT) AS digest
+FROM k
+"""
+
+QUERIES["graph_digest"] = (q_graph_digest, SQL_GRAPH_DIGEST)
+
+
+def q_skolemize(spark, sf):
+    """RDF 1.1 §3.5 skolemization: bnode subjects (derived per customer)
+    become .well-known/genid IRIs; IRI/literal positions pass through."""
+    from .operators.canon import skolemize
+
+    cu = spark.read.parquet(f"{sf}/customer.parquet")
+    quads = cu.select(
+        F.lit(1).cast("tinyint").alias("s_kind"),
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("s_lex"),
+        F.lit("urn:p:name").alias("pred"),
+        F.lit(2).cast("tinyint").alias("o_kind"),
+        F.col("c_name").alias("o_lex"),
+    )
+    return skolemize(quads).select("s_kind", "s_lex", "pred", "o_kind", "o_lex")
+
+
+SQL_SKOLEMIZE = """
+SELECT CAST(0 AS TINYINT) AS s_kind,
+       'https://ords.invalid/.well-known/genid/c' || CAST(c_custkey AS VARCHAR) AS s_lex,
+       'urn:p:name' AS pred, CAST(2 AS TINYINT) AS o_kind, c_name AS o_lex
+FROM customer
+"""
+
+QUERIES["skolemize"] = (q_skolemize, SQL_SKOLEMIZE)

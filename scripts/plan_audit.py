@@ -267,6 +267,14 @@ def main() -> None:
             ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
             ("no cartesian product", r"CartesianProduct", "absent"),
         ]),
+        ("graph_digest", [
+            # one distinct + one decimal-sum agg, no joins anywhere
+            ("single aggregation pipeline", r"HashAggregate"),
+            ("no join at all", r"Join", "absent"),
+        ]),
+        ("skolemize", [
+            ("map-only: zero shuffles", r"Exchange", "absent"),
+        ]),
         ("exact_quantiles", [
             # pass 2 is a bucket-pruned top-k, never a global sort
             ("bucket selection is top-k", r"TakeOrderedAndProject"),

@@ -1347,3 +1347,41 @@ def test_clustering_coefficient_k4_and_path(spark):
     assert out["a"]["cc_num"] == 6 and out["a"]["cc_den"] == 6      # cc = 1
     assert out["d"]["triangles"] == 3 and out["d"]["cc_den"] == 12  # deg 4
     assert out["p"]["cc_den"] == 0 and out["p"]["triangles"] == 0
+
+
+def test_skolemize_round_trip(spark):
+    from ocaml_rdf_spark.operators.canon import skolemize, unskolemize
+
+    quads = spark.createDataFrame(
+        [
+            (1, "b0", "urn:p:knows", 1, "b1", None, None, "g"),
+            (0, "urn:x", "urn:p:name", 2, "x", None, None, "g"),
+        ],
+        "s_kind int, s_lex string, pred string, o_kind int, o_lex string, o_dtype string, o_lang string, graph string",
+    )
+    sk = skolemize(quads)
+    rows = {r["s_lex"]: r for r in sk.collect()}
+    assert all(r["s_kind"] != 1 and r["o_kind"] != 1 for r in sk.collect())
+    assert "https://ords.invalid/.well-known/genid/b0" in rows
+    back = sorted(map(tuple, unskolemize(sk).select(*quads.columns).collect()))
+    orig = sorted(map(tuple, quads.collect()))
+    assert back == orig
+
+
+def test_graph_digest_detects_change_and_ignores_order(spark):
+    from ocaml_rdf_spark.operators.canon import graph_digest
+
+    rows = [
+        (0, "urn:a", "urn:p:x", 2, "1", None, None, "g"),
+        (0, "urn:b", "urn:p:x", 2, "2", None, None, "g"),
+        (0, "urn:c", "urn:p:x", 2, "3", None, None, "g"),
+    ]
+    schema = "s_kind int, s_lex string, pred string, o_kind int, o_lex string, o_dtype string, o_lang string, graph string"
+    a = spark.createDataFrame(rows, schema)
+    b = spark.createDataFrame(list(reversed(rows)) + [rows[0]], schema)  # reordered + dup
+    da = graph_digest(a).collect()[0]
+    db = graph_digest(b.repartition(7)).collect()[0]
+    assert (da["n_quads"], da["digest"]) == (db["n_quads"], db["digest"])
+    c = spark.createDataFrame(rows[:2], schema)
+    dc = graph_digest(c).collect()[0]
+    assert (dc["n_quads"], dc["digest"]) != (da["n_quads"], da["digest"])
