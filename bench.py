@@ -185,6 +185,7 @@ def main() -> None:
         "exact_quantiles",
         "graph_digest",
         "skolemize",
+        "mixture_plan",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

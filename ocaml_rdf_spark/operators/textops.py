@@ -1570,3 +1570,61 @@ def kn_counts(docs: DataFrame) -> DataFrame:
             F.coalesce("n1plus_right", F.lit(0)).cast("long").alias("n1plus_right"),
         )
     )
+
+
+def mixture_plan(
+    group_tokens: DataFrame,
+    targets: DataFrame,
+    budget_tokens: int,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Training-data MIXTURE planner: given available tokens per source
+    group (`group_tokens`: (grp, n_tokens)) and target mixture shares
+    (`targets`: (grp, share_ppm), Σ ≤ 10^6), compute for each group the
+    deterministic integer sampling plan toward a `budget_tokens` run →
+    (grp, n_tokens, share_ppm, want_tokens, rate_ppm, planned_tokens,
+    starved):
+
+      want_tokens    = budget · share ÷ 10^6 (the mixture's ask),
+      rate_ppm       = min(10^6, want·10^6 ÷ available) — the per-doc
+                       acceptance rate a downstream hash-mod sampler
+                       (score_resample's mechanism) applies,
+      planned_tokens = available · rate ÷ 10^6 (what the run will get),
+      starved        = 1 when available < want (the group can't fill its
+                       share without upsampling — the signal mixture
+                       designers act on).
+
+    All fixed-point BIGINT (the pagerank rule) so the plan is
+    reproducible cross-engine. Scale: `group_tokens` is the output of a
+    corpus aggregation (langid/host/domain groups — metadata-sized);
+    this op itself is a broadcast join over that metadata. The plan's
+    rate_ppm column drives the actual corpus pass (one map-only
+    hash-mod filter per doc), keeping planning and execution separate
+    exactly like compaction_plan."""
+    t = F.broadcast(targets.select("grp", "share_ppm"))
+    j = group_tokens.join(t, "grp", "inner")
+    want = F.expr(f"CAST({int(budget_tokens)} AS BIGINT) * share_ppm div {int(scale)}")
+    out = j.select(
+        "grp",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("share_ppm").cast("long").alias("share_ppm"),
+        want.cast("long").alias("want_tokens"),
+    )
+    return out.select(
+        "grp",
+        "n_tokens",
+        "share_ppm",
+        "want_tokens",
+        F.least(
+            F.lit(int(scale)).cast("long"),
+            F.expr(f"CAST({int(scale)} AS BIGINT) * want_tokens div n_tokens"),
+        ).alias("rate_ppm"),
+    ).select(
+        "grp",
+        "n_tokens",
+        "share_ppm",
+        "want_tokens",
+        "rate_ppm",
+        F.expr(f"n_tokens * rate_ppm div {int(scale)}").cast("long").alias("planned_tokens"),
+        (F.col("n_tokens") < F.col("want_tokens")).cast("int").alias("starved"),
+    )

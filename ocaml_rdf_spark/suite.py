@@ -5770,3 +5770,58 @@ FROM customer
 """
 
 QUERIES["skolemize"] = (q_skolemize, SQL_SKOLEMIZE)
+
+
+def q_mixture_plan(spark, sf):
+    """Training-mixture planner over langid groups: available tokens per
+    detected language vs target shares → integer sampling rates +
+    starvation flags for a 100k-token run."""
+    from .operators.textops import lang_id, mixture_plan, token_counts
+
+    d = _docs(spark, sf)
+    toks = token_counts(d).select("doc_id", "ws_tokens")
+    groups = (
+        lang_id(d)
+        .join(toks, "doc_id")
+        .groupBy(F.col("lang_guess").alias("grp"))
+        .agg(F.sum("ws_tokens").alias("n_tokens"))
+    )
+    targets = spark.createDataFrame(
+        [("en", 600000), ("de", 250000), ("fr", 150000)], "grp string, share_ppm long"
+    )
+    return mixture_plan(groups, targets, budget_tokens=100000)
+
+
+SQL_MIXTURE_PLAN = f"""
+WITH s AS (
+  SELECT doc_id,
+    len(list_filter(string_split_regex(trim(text), ' +'), x -> lower(x) IN ({_SW_DE}))) AS s_de,
+    len(list_filter(string_split_regex(trim(text), ' +'), x -> lower(x) IN ({_SW_EN}))) AS s_en,
+    len(list_filter(string_split_regex(trim(text), ' +'), x -> lower(x) IN ({_SW_FR}))) AS s_fr,
+    len(string_split_regex(trim(text), ' +')) AS ws
+  FROM documents
+),
+lg AS (
+  SELECT doc_id, ws,
+    CASE WHEN greatest(s_de, s_en, s_fr) = 0 THEN 'und'
+         WHEN s_de = greatest(s_de, s_en, s_fr) THEN 'de'
+         WHEN s_en = greatest(s_de, s_en, s_fr) THEN 'en'
+         ELSE 'fr' END AS grp
+  FROM s
+),
+g AS (SELECT grp, SUM(ws) AS n_tokens FROM lg GROUP BY grp),
+t AS (SELECT * FROM (VALUES ('en', 600000), ('de', 250000), ('fr', 150000)) v(grp, share_ppm)),
+j AS (
+  SELECT g.grp, CAST(g.n_tokens AS BIGINT) AS n_tokens,
+         CAST(t.share_ppm AS BIGINT) AS share_ppm,
+         CAST(100000 AS BIGINT) * t.share_ppm // 1000000 AS want_tokens
+  FROM g JOIN t USING (grp)
+)
+SELECT grp, n_tokens, share_ppm, CAST(want_tokens AS BIGINT) AS want_tokens,
+       CAST(LEAST(1000000, 1000000 * want_tokens // n_tokens) AS BIGINT) AS rate_ppm,
+       CAST(n_tokens * LEAST(1000000, 1000000 * want_tokens // n_tokens) // 1000000 AS BIGINT) AS planned_tokens,
+       CAST(n_tokens < want_tokens AS INTEGER) AS starved
+FROM j
+"""
+
+QUERIES["mixture_plan"] = (q_mixture_plan, SQL_MIXTURE_PLAN)

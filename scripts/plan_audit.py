@@ -267,6 +267,12 @@ def main() -> None:
             ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
             ("no cartesian product", r"CartesianProduct", "absent"),
         ]),
+        ("mixture_plan", [
+            # corpus agg once; the plan itself is a broadcast join on metadata
+            ("target side broadcast", r"BroadcastHashJoin|BroadcastExchange"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
         ("graph_digest", [
             # one distinct + one decimal-sum agg, no joins anywhere
             ("single aggregation pipeline", r"HashAggregate"),

@@ -372,3 +372,23 @@ def test_kn_counts_francisco(spark):
     # 'san' continues into {francisco, san}? no: pairs are (san,francisco)x3,
     # (francisco,san)x2 -> right(san)=1, left(san)=1
     assert out["san"]["n1plus_right"] == 1 and out["san"]["n1plus_left"] == 1
+
+
+def test_mixture_plan_rates_and_starvation(spark):
+    from ocaml_rdf_spark.operators.textops import mixture_plan
+
+    groups = spark.createDataFrame(
+        [("en", 1_000_000), ("de", 50_000), ("code", 500_000)], "grp string, n_tokens long"
+    )
+    targets = spark.createDataFrame(
+        [("en", 500_000), ("de", 300_000), ("fr", 200_000)], "grp string, share_ppm long"
+    )
+    out = {r["grp"]: r for r in mixture_plan(groups, targets, budget_tokens=200_000).collect()}
+    # en: want 100k of 1M avail -> rate 10%, planned 100k, not starved
+    assert out["en"]["want_tokens"] == 100_000 and out["en"]["rate_ppm"] == 100_000
+    assert out["en"]["planned_tokens"] == 100_000 and out["en"]["starved"] == 0
+    # de: want 60k of 50k avail -> rate capped at 100%, starved
+    assert out["de"]["rate_ppm"] == 1_000_000 and out["de"]["planned_tokens"] == 50_000
+    assert out["de"]["starved"] == 1
+    # fr has a target but no tokens; code has tokens but no target: both absent
+    assert "fr" not in out and "code" not in out
