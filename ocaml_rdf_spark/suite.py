@@ -5825,3 +5825,200 @@ FROM j
 """
 
 QUERIES["mixture_plan"] = (q_mixture_plan, SQL_MIXTURE_PLAN)
+
+def _fuse_claims(spark, sf):
+    """Three source graphs asserting each supplier's inNation: srcA is
+    always right; srcB corrupts every 7th supplier (+1 mod 25); srcC
+    corrupts every 5th (+2 mod 25). At lcm(5,7) the three disagree
+    three ways (a tie under uniform weights — exercises the
+    deterministic tie-break); at %7-only or %5-only the majority is
+    right 2:1."""
+    su = spark.read.parquet(f"{sf}/supplier.parquet")
+    base = F.lit(None).cast("string")
+
+    def claim(graph, nation_col):
+        return su.select(
+            F.lit(0).cast("tinyint").alias("s_kind"),
+            F.concat(F.lit("urn:su:"), F.col("s_suppkey").cast("string")).alias("s_lex"),
+            F.lit(P_IN_NATION).alias("pred"),
+            F.lit(0).cast("tinyint").alias("o_kind"),
+            F.concat(F.lit("urn:n:"), nation_col.cast("string")).alias("o_lex"),
+            base.alias("o_dtype"),
+            base.alias("o_lang"),
+            F.lit(graph).alias("graph"),
+        )
+
+    a = claim("urn:g:srcA", F.col("s_nationkey"))
+    b = claim(
+        "urn:g:srcB",
+        F.when(F.col("s_suppkey") % 7 == 0, (F.col("s_nationkey") + 1) % 25).otherwise(
+            F.col("s_nationkey")
+        ),
+    )
+    c = claim(
+        "urn:g:srcC",
+        F.when(F.col("s_suppkey") % 5 == 0, (F.col("s_nationkey") + 2) % 25).otherwise(
+            F.col("s_nationkey")
+        ),
+    )
+    return a.unionByName(b).unionByName(c)
+
+
+#: DuckDB mirror of _fuse_claims (columns s_lex, pred, o_lex, graph)
+_FUSE_CLAIMS_CTE = """
+claims AS (
+  SELECT 'urn:su:' || s_suppkey AS s_lex, 'urn:p:inNation' AS pred,
+         'urn:n:' || s_nationkey AS o_lex, 'urn:g:srcA' AS graph FROM supplier
+  UNION ALL
+  SELECT 'urn:su:' || s_suppkey, 'urn:p:inNation',
+         'urn:n:' || CASE WHEN s_suppkey % 7 = 0 THEN (s_nationkey + 1) % 25
+                          ELSE s_nationkey END, 'urn:g:srcB' FROM supplier
+  UNION ALL
+  SELECT 'urn:su:' || s_suppkey, 'urn:p:inNation',
+         'urn:n:' || CASE WHEN s_suppkey % 5 = 0 THEN (s_nationkey + 2) % 25
+                          ELSE s_nationkey END, 'urn:g:srcC' FROM supplier
+)
+"""
+
+
+def q_fuse_vote(spark, sf):
+    """Knowledge fusion by uniform source voting (Knowledge-Vault-style
+    truth discovery, one round): winner per (supplier, inNation) fact
+    key with vote mass + confidence; deterministic tie-break."""
+    from .operators.fusion import fuse_functional
+
+    out = fuse_functional(_fuse_claims(spark, sf))
+    return out.select(
+        "s_lex", "pred", "o_lex", "votes", "total_votes", "n_values", "n_sources", "confidence"
+    )
+
+
+SQL_FUSE_VOTE = f"""
+WITH {_FUSE_CLAIMS_CTE},
+votes AS (
+  SELECT s_lex, pred, o_lex, COUNT(*) AS votes, COUNT(DISTINCT graph) AS n_sources
+  FROM (SELECT DISTINCT * FROM claims) GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT *, SUM(votes) OVER (PARTITION BY s_lex, pred) AS total_votes,
+         COUNT(*) OVER (PARTITION BY s_lex, pred) AS n_values,
+         ROW_NUMBER() OVER (PARTITION BY s_lex, pred ORDER BY votes DESC, o_lex ASC) AS rn
+  FROM votes
+)
+SELECT s_lex, pred, o_lex, CAST(votes AS BIGINT) AS votes,
+       CAST(total_votes AS BIGINT) AS total_votes, CAST(n_values AS BIGINT) AS n_values,
+       CAST(n_sources AS BIGINT) AS n_sources,
+       CAST(votes AS DOUBLE) / total_votes AS confidence
+FROM ranked WHERE rn = 1
+"""
+
+QUERIES["fuse_vote"] = (q_fuse_vote, SQL_FUSE_VOTE)
+
+
+def q_truth_weighted(spark, sf):
+    """Iterative truth discovery (2 rounds): uniform vote -> per-source
+    integer accuracy (n_correct*1000 div n_claims) -> re-vote. srcA
+    scores 1000, the corrupting sources less, so round-2 winners are
+    srcA's values everywhere — including the lcm(5,7) keys the uniform
+    round could only tie-break lexicographically."""
+    from .operators.fusion import truth_discovery
+
+    out = truth_discovery(_fuse_claims(spark, sf), iters=2, scale=1000)
+    return out.select(
+        "s_lex", "pred", "o_lex", "votes", "total_votes", "n_values", "n_sources", "confidence"
+    )
+
+
+SQL_TRUTH_WEIGHTED = f"""
+WITH {_FUSE_CLAIMS_CTE},
+dclaims AS (SELECT DISTINCT * FROM claims),
+v1 AS (
+  SELECT s_lex, pred, o_lex, COUNT(*) AS votes
+  FROM dclaims GROUP BY 1, 2, 3
+),
+w1 AS (
+  SELECT s_lex, pred, o_lex FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY s_lex, pred ORDER BY votes DESC, o_lex ASC) AS rn
+    FROM v1
+  ) WHERE rn = 1
+),
+acc AS (
+  SELECT c.graph, COUNT(*) AS n_claims,
+         SUM(CASE WHEN w.o_lex IS NOT NULL THEN 1 ELSE 0 END) AS n_correct
+  FROM dclaims c
+  LEFT JOIN w1 w ON c.s_lex = w.s_lex AND c.pred = w.pred AND c.o_lex = w.o_lex
+  GROUP BY c.graph
+),
+wt AS (SELECT graph, n_correct * 1000 // n_claims AS weight FROM acc),
+v2 AS (
+  SELECT c.s_lex, c.pred, c.o_lex, SUM(wt.weight) AS votes,
+         COUNT(DISTINCT c.graph) AS n_sources
+  FROM dclaims c JOIN wt USING (graph)
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT *, SUM(votes) OVER (PARTITION BY s_lex, pred) AS total_votes,
+         COUNT(*) OVER (PARTITION BY s_lex, pred) AS n_values,
+         ROW_NUMBER() OVER (PARTITION BY s_lex, pred ORDER BY votes DESC, o_lex ASC) AS rn
+  FROM v2
+)
+SELECT s_lex, pred, o_lex, CAST(votes AS BIGINT) AS votes,
+       CAST(total_votes AS BIGINT) AS total_votes, CAST(n_values AS BIGINT) AS n_values,
+       CAST(n_sources AS BIGINT) AS n_sources,
+       CAST(votes AS DOUBLE) / total_votes AS confidence
+FROM ranked WHERE rn = 1
+"""
+
+QUERIES["truth_weighted"] = (q_truth_weighted, SQL_TRUTH_WEIGHTED)
+
+
+def q_char_sets(spark, sf):
+    """Characteristic sets (ICDE'11 cardinality-estimation catalog stat):
+    subjects grouped by their distinct-predicate SET — the multi-join
+    refinement of the per-predicate stats the BGP planner uses."""
+    from .operators.stats import characteristic_sets
+
+    return characteristic_sets(triples_view(spark, sf))
+
+
+SQL_CHAR_SETS = W + """,
+per_s AS (
+  SELECT s_lex, array_to_string(list_sort(list(DISTINCT pred)), ' ') AS cset,
+         COUNT(*) AS nt
+  FROM triples GROUP BY s_lex
+)
+SELECT cset, CAST(len(string_split(cset, ' ')) AS BIGINT) AS n_preds,
+       COUNT(*) AS n_subjects, CAST(SUM(nt) AS BIGINT) AS n_triples
+FROM per_s GROUP BY cset
+"""
+
+QUERIES["char_sets"] = (q_char_sets, SQL_CHAR_SETS)
+
+
+def q_schema_sum(spark, sf):
+    """Schema/linkset induction: which (subject class, object class)
+    pairs each IRI-valued predicate actually connects, per the store's
+    own rdf:type triples — the induced ontology of the extracted KG."""
+    from .operators.stats import schema_summary
+
+    return schema_summary(triples_view(spark, sf))
+
+
+SQL_SCHEMA_SUM = W + f""",
+types AS (
+  SELECT DISTINCT s_lex AS ent, o_lex AS cls FROM triples WHERE pred = '{RDF_TYPE}'
+),
+inst AS (
+  SELECT s_lex, pred, o_lex FROM triples WHERE pred <> '{RDF_TYPE}' AND o_kind = 0
+)
+SELECT i.pred, COALESCE(ts.cls, '(untyped)') AS s_class,
+       COALESCE(tob.cls, '(untyped)') AS o_class,
+       COUNT(*) AS n_triples, COUNT(DISTINCT i.s_lex) AS n_subjects,
+       COUNT(DISTINCT i.o_lex) AS n_objects
+FROM inst i
+LEFT JOIN types ts ON i.s_lex = ts.ent
+LEFT JOIN types tob ON i.o_lex = tob.ent
+GROUP BY 1, 2, 3
+"""
+
+QUERIES["schema_sum"] = (q_schema_sum, SQL_SCHEMA_SUM)
