@@ -100,3 +100,80 @@ def void_stats(quads: DataFrame) -> DataFrame:
         F.lit(0).cast("long").alias("distinct_o"),
     )
     return dataset.unionByName(props).unionByName(classes).unionByName(vocab)
+
+
+def characteristic_sets(quads: DataFrame) -> DataFrame:
+    """Characteristic sets (Neumann & Moerkotte, "Characteristic Sets:
+    Accurate Cardinality Estimation for RDF Queries with Multiple Joins",
+    ICDE 2011 — the standard RDF-store catalog statistic): group subjects
+    by the SET of predicates they carry; the distribution of these sets
+    is what a cost-based BGP planner uses to estimate star-join
+    cardinalities (algebra.py's stats-planned BGP ordering consumes
+    per-predicate counts today; characteristic sets are the multi-
+    predicate refinement).
+
+    Output: (cset: string — the sorted distinct predicates joined by a
+    space, n_preds, n_subjects, n_triples), one row per distinct set.
+
+    Scale shape: two shuffles, both map-side combinable — subject-keyed
+    (collect_set of predicates is bounded by the vocabulary: KGs carry
+    10²-10⁴ predicates, and one SUBJECT touches far fewer) then
+    cset-keyed (reduce side = |distinct characteristic sets|, which is
+    catalog-sized: thousands, not billions — the paper's core
+    observation). No joins, no windows, no Python.
+    """
+    per_subject = quads.groupBy("s_kind", "s_lex").agg(
+        F.concat_ws(" ", F.sort_array(F.collect_set("pred"))).alias("cset"),
+        F.count(F.lit(1)).alias("nt"),
+    )
+    return per_subject.groupBy("cset").agg(
+        F.count(F.lit(1)).alias("n_subjects"),
+        F.sum("nt").alias("n_triples"),
+    ).select(
+        "cset",
+        (F.size(F.split(F.col("cset"), " "))).cast("long").alias("n_preds"),
+        "n_subjects",
+        "n_triples",
+    )
+
+
+def schema_summary(quads: DataFrame) -> DataFrame:
+    """Schema/linkset induction (the VoID void:Linkset idea plus what the
+    literature calls a quotient or summary graph): for every predicate
+    whose objects are IRIs, count the (subject class, object class)
+    pairs it connects, using the store's own rdf:type triples. The
+    result is the *induced ontology* of an extracted KG — which classes
+    each predicate actually links — the artifact a KG-construction
+    pipeline publishes for schema validation and drift alerts.
+
+    Output: (pred, s_class, o_class, n_triples, n_subjects, n_objects).
+    Untyped endpoints are reported under class '(untyped)' rather than
+    dropped — missing rdf:type is itself a data-quality signal.
+
+    Scale shape: the type side is one row per typed entity (≈ entity
+    count), so this is two entity-keyed shuffle joins (s_lex then o_lex)
+    + one catalog-keyed aggregation whose reduce side is
+    |preds| × |class pairs| — metadata-sized. A multi-typed entity
+    contributes one row per type (standard linkset semantics).
+    """
+    types = quads.filter(F.col("pred") == RDF_TYPE).select(
+        F.col("s_lex").alias("ent"), F.col("o_lex").alias("cls")
+    ).dropDuplicates()
+    inst = quads.filter((F.col("pred") != RDF_TYPE) & (F.col("o_kind") == 0)).select(
+        "s_lex", "pred", "o_lex"
+    )
+    j = (
+        inst.join(types.withColumnRenamed("ent", "s_lex"), "s_lex", "left")
+        .withColumnRenamed("cls", "s_class")
+        .join(
+            types.withColumnRenamed("ent", "o_lex").withColumnRenamed("cls", "o_class"),
+            "o_lex",
+            "left",
+        )
+        .fillna("(untyped)", subset=["s_class", "o_class"])
+    )
+    return j.groupBy("pred", "s_class", "o_class").agg(
+        F.count(F.lit(1)).alias("n_triples"),
+        F.countDistinct("s_lex").alias("n_subjects"),
+        F.countDistinct("o_lex").alias("n_objects"),
+    )
