@@ -205,3 +205,49 @@ def linkpred_scores(
         F.count(F.lit(1)).alias("cn"), F.sum("w").alias("ra")
     )
     return scored.join(e, ["a", "b"], "left_anti")
+
+
+def mine_aliases(
+    quads: DataFrame,
+    label_preds: list | None = None,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Alias-dictionary CONSTRUCTION — the upstream producer of the
+    (alias, uri, prior) table `link_exact` broadcasts. A web-scale KG
+    mines surface forms from the graph's own label assertions
+    (rdfs:label / skos:altLabel / name predicates): every label literal
+    becomes an alias of its subject, normalized the same way
+    `detect_mentions` normalizes mentions, with an INTEGER prior
+    `n * scale div total` (exact, engine-portable — no float division).
+
+    Output: (alias, uri, n_assertions, n_entities, prior_ppm) — one row
+    per (alias, entity); `n_entities` > 1 flags ambiguous aliases
+    ('UNITED' → UNITED STATES + UNITED KINGDOM) whose prior splits by
+    assertion mass.
+
+    Scale shape: one filter + two shuffles — a map-side-combined
+    groupBy on (alias, uri), then an alias-keyed window whose per-key
+    group is the ambiguity fan-out (single digits for real label data;
+    a spam alias asserted for millions of entities is exactly what the
+    n_entities column exists to catch and cap upstream).
+    """
+    preds = label_preds or ["urn:p:name"]
+    labels = quads.filter(
+        F.col("pred").isin(list(preds)) & (F.col("o_kind") == 2)
+    ).select(
+        F.lower(F.regexp_replace("o_lex", r"[^A-Za-z0-9 ]", "")).alias("alias"),
+        F.col("s_lex").alias("uri"),
+    )
+    counts = labels.groupBy("alias", "uri").agg(F.count(F.lit(1)).alias("n_assertions"))
+    w = Window.partitionBy("alias")
+    return (
+        counts.withColumn("__tot", F.sum("n_assertions").over(w))
+        .withColumn("n_entities", F.count(F.lit(1)).over(w))
+        .select(
+            "alias",
+            "uri",
+            "n_assertions",
+            "n_entities",
+            F.expr(f"n_assertions * {int(scale)} div __tot").alias("prior_ppm"),
+        )
+    )

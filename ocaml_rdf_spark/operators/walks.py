@@ -212,3 +212,98 @@ def pair_lift(pairs: DataFrame, scale: int = 1_000_000) -> DataFrame:
             ).cast("long").alias("lift_x1m"),
         )
     )
+
+
+def entity_dense_ids(quads: DataFrame, buckets: int = 64) -> DataFrame:
+    """Dense 0..N-1 entity ids over the store's IRI vocabulary (subjects
+    plus IRI objects) — the entity dictionary every KG-embedding trainer
+    needs. Distributed two-stage rank (the pack_offsets prefix-sum
+    shape): entities hash into `buckets` md5 buckets; per-bucket counts
+    get a driver-small cumulative scan broadcast back; the global id is
+    bucket offset + intra-bucket rank under the total order
+    (bucket, ent). No global single-reducer window, exact and
+    deterministic at any parallelism."""
+    from pyspark.sql import Window
+
+    ents = (
+        quads.filter(F.col("s_kind") == 0).select(F.col("s_lex").alias("ent"))
+        .unionByName(quads.filter(F.col("o_kind") == 0).select(F.col("o_lex").alias("ent")))
+        .distinct()
+        .withColumn(
+            "__b",
+            F.conv(F.substring(F.md5(F.col("ent")), 1, 15), 16, 10)
+            .cast("long") % buckets,
+        )
+    )
+    btot = ents.groupBy("__b").agg(F.count(F.lit(1)).alias("bt"))
+    boff = btot.select(
+        "__b",
+        F.coalesce(
+            F.sum("bt").over(
+                Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("long").alias("boff"),
+    )
+    rank = F.row_number().over(Window.partitionBy("__b").orderBy("ent")) - 1
+    return (
+        ents.join(F.broadcast(boff), "__b")
+        .select("ent", (F.col("boff") + rank).cast("long").alias("ent_id"))
+    )
+
+
+def kg_negative_samples(quads: DataFrame, k: int = 2, buckets: int = 64) -> DataFrame:
+    """Corrupt-object negative triples for KG-embedding training (the
+    TransE/DistMult recipe, Bordes et al. NeurIPS 2013): for every
+    positive (s, p, o) with an IRI object, emit up to `k` negatives
+    (s, p, o') where o' is a hash-picked entity, under the FILTERED
+    protocol — candidates that happen to be true triples (or equal the
+    positive object) are dropped, so no negative is a false negative.
+
+    Deterministic: candidate i for a triple is the entity whose dense id
+    is md5(s ∥ p ∥ o ∥ i) mod N — reruns and reshuffles emit identical
+    samples, and the same arithmetic re-derives them in any engine.
+
+    Output: (s_lex, pred, o_lex, neg_ix, neg_o).
+
+    Scale shape: dense ids via `entity_dense_ids` (two bounded
+    shuffles); candidate pick is one int-keyed equi-join against the
+    entity dictionary (broadcastable while the vocabulary fits, shuffle
+    hash join beyond); the filtered-protocol check is one hash anti
+    join on (s, p, o') against the positive set. Everything whole-stage
+    codegen; no Python."""
+    ents = entity_dense_ids(quads, buckets=buckets)
+    n = ents.count()  # driver scalar: vocabulary size (metadata-sized)
+    pos = (
+        quads.filter((F.col("s_kind") == 0) & (F.col("o_kind") == 0))
+        .select("s_lex", "pred", "o_lex")
+        .distinct()
+    )
+    sep = "\x1f"
+    cand = pos.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(int(k) - 1))).alias("neg_ix")
+    ).withColumn(
+        "__nid",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(sep, F.col("s_lex"), F.col("pred"), F.col("o_lex"),
+                                F.col("neg_ix").cast("string"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n,
+    )
+    picked = cand.join(
+        ents.select(F.col("ent_id").alias("__nid"), F.col("ent").alias("neg_o")), "__nid"
+    ).filter(F.col("neg_o") != F.col("o_lex"))
+    truth = pos.select(
+        F.col("s_lex").alias("s_lex"), F.col("pred").alias("pred"), F.col("o_lex").alias("neg_o")
+    )
+    return picked.join(truth, ["s_lex", "pred", "neg_o"], "left_anti").select(
+        "s_lex", "pred", "o_lex", "neg_ix", "neg_o"
+    )

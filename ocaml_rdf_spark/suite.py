@@ -6022,3 +6022,89 @@ GROUP BY 1, 2, 3
 """
 
 QUERIES["schema_sum"] = (q_schema_sum, SQL_SCHEMA_SUM)
+
+
+def q_alias_mine(spark, sf):
+    """Alias-dictionary mining (the producer of link_exact's broadcast
+    table): nation names plus digit-stripped altLabels — the shared stem
+    ('nation') becomes a genuinely ambiguous alias whose integer prior
+    splits across all bearers, the n_entities fan-out mine_aliases
+    exists to expose."""
+    from .operators.linking import mine_aliases
+
+    na = spark.read.parquet(f"{sf}/nation.parquet")
+
+    def lab(pred, o):
+        return na.select(
+            F.lit(0).cast("tinyint").alias("s_kind"),
+            F.concat(F.lit("urn:n:"), F.col("n_nationkey").cast("string")).alias("s_lex"),
+            F.lit(pred).alias("pred"),
+            F.lit(2).cast("tinyint").alias("o_kind"),
+            o.alias("o_lex"),
+        )
+
+    quads = lab("urn:p:name", F.col("n_name")).unionByName(
+        lab("urn:p:altLabel", F.regexp_replace(F.col("n_name"), r"[0-9]", ""))
+    )
+    return mine_aliases(quads, ["urn:p:name", "urn:p:altLabel"])
+
+
+SQL_ALIAS_MINE = """
+WITH labels AS (
+  SELECT lower(regexp_replace(n_name, '[^A-Za-z0-9 ]', '', 'g')) AS alias,
+         'urn:n:' || n_nationkey AS uri FROM nation
+  UNION ALL
+  SELECT lower(regexp_replace(regexp_replace(n_name, '[0-9]', '', 'g'),
+                              '[^A-Za-z0-9 ]', '', 'g')),
+         'urn:n:' || n_nationkey FROM nation
+),
+c AS (SELECT alias, uri, COUNT(*) AS n_assertions FROM labels GROUP BY 1, 2)
+SELECT alias, uri, CAST(n_assertions AS BIGINT) AS n_assertions,
+       COUNT(*) OVER (PARTITION BY alias) AS n_entities,
+       CAST(n_assertions * 1000000 // SUM(n_assertions) OVER (PARTITION BY alias) AS BIGINT)
+         AS prior_ppm
+FROM c
+"""
+
+QUERIES["alias_mine"] = (q_alias_mine, SQL_ALIAS_MINE)
+
+
+def q_kg_negs(spark, sf):
+    """Corrupt-object negative sampling for KG-embedding training
+    (filtered TransE protocol) over the store's IRI-object triples:
+    deterministic md5-picked entities from a distributed dense-id
+    dictionary; true triples and the positive object are excluded."""
+    from .operators.walks import kg_negative_samples
+
+    return kg_negative_samples(triples_view(spark, sf), k=2, buckets=64)
+
+
+SQL_KG_NEGS = W + """,
+evoc AS (
+  SELECT DISTINCT ent, ('0x' || substr(md5(ent), 1, 15))::BIGINT % 64 AS b FROM (
+    SELECT s_lex AS ent FROM triples
+    UNION SELECT o_lex FROM triples WHERE o_kind = 0
+  )
+),
+ents AS (SELECT ent, ROW_NUMBER() OVER (ORDER BY b, ent) - 1 AS ent_id FROM evoc),
+nn AS (SELECT COUNT(*) AS c FROM ents),
+pos AS (SELECT DISTINCT s_lex, pred, o_lex FROM triples WHERE o_kind = 0),
+cand AS (
+  SELECT p.s_lex, p.pred, p.o_lex, i.neg_ix,
+         ('0x' || substr(md5(p.s_lex || chr(31) || p.pred || chr(31) || p.o_lex
+                          || chr(31) || CAST(i.neg_ix AS VARCHAR)), 1, 15))::BIGINT
+           % (SELECT c FROM nn) AS nid
+  FROM pos p CROSS JOIN (SELECT UNNEST([0, 1]) AS neg_ix) i
+),
+picked AS (
+  SELECT c.s_lex, c.pred, c.o_lex, CAST(c.neg_ix AS INTEGER) AS neg_ix, e.ent AS neg_o
+  FROM cand c JOIN ents e ON c.nid = e.ent_id
+  WHERE e.ent <> c.o_lex
+)
+SELECT p.s_lex, p.pred, p.o_lex, p.neg_ix, p.neg_o FROM picked p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pos t WHERE t.s_lex = p.s_lex AND t.pred = p.pred AND t.o_lex = p.neg_o
+)
+"""
+
+QUERIES["kg_negs"] = (q_kg_negs, SQL_KG_NEGS)
