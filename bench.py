@@ -186,6 +186,12 @@ def main() -> None:
         "graph_digest",
         "skolemize",
         "mixture_plan",
+        "fuse_vote",
+        "truth_weighted",
+        "char_sets",
+        "schema_sum",
+        "alias_mine",
+        "kg_negs",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

@@ -654,6 +654,50 @@ def main() -> None:
             ("only k-means's 3 k-row BNLJ", r"\(\d+\) BroadcastNestedLoopJoin", "count", 3),
             ("no cartesian product", r"CartesianProduct", "absent"),
         ]),
+        ("fuse_vote", [
+            # vote collapse is one map-side-combined agg; ranking is a
+            # (s,pred)-keyed window, never a join
+            ("map-side-combined vote aggregation", r"HashAggregate"),
+            ("winner via window, not self-join", r"Window"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
+        ("truth_weighted", [
+            # round 2 adds a claims⋈winners hash join + |sources|-row
+            # broadcast of the weight table — still no quadratic shape
+            ("weight table broadcast", r"BroadcastHashJoin|BroadcastExchange"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
+        ("char_sets", [
+            # two aggregations (subject-keyed set-collect, then cset count);
+            # a pure group-by pipeline — no join of any kind
+            ("set-collect + count aggregations", r"HashAggregate"),
+            ("no join at all", r"Join", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
+        ("schema_sum", [
+            # two entity-keyed equi-joins against the type map + one
+            # catalog-keyed agg — hash joins only
+            ("type-map joins are hash joins", r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
+        ("alias_mine", [
+            # label filter + (alias,uri) agg + alias-keyed window; no joins
+            ("alias-keyed aggregation", r"HashAggregate"),
+            ("prior split via window", r"Window"),
+            ("no join at all", r"Join", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
+        ("kg_negs", [
+            # dense-id dictionary: bucket offsets broadcast back; candidate
+            # pick + filtered-protocol check are hash equi/anti joins
+            ("bucket offsets broadcast", r"BroadcastHashJoin|BroadcastExchange"),
+            ("filtered protocol is hash anti join", r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin).*LeftAnti"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
     ]
 
     lines = ["# PLANS — physical-plan audit (scripts/plan_audit.py)", "",
