@@ -192,6 +192,8 @@ def main() -> None:
         "schema_sum",
         "alias_mine",
         "kg_negs",
+        "key_profile",
+        "blocking_eval",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

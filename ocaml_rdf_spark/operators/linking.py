@@ -251,3 +251,50 @@ def mine_aliases(
             F.expr(f"n_assertions * {int(scale)} div __tot").alias("prior_ppm"),
         )
     )
+
+
+def blocking_metrics(
+    cand: DataFrame,
+    truth: DataFrame,
+    n_items: int,
+    a: str = "doc_a",
+    b: str = "doc_b",
+) -> DataFrame:
+    """Blocking-quality report for an ER/dedup blocker (the two standard
+    record-linkage metrics, Christen 2012): pairs completeness (recall —
+    what fraction of TRUE matching pairs the blocker's candidate set
+    retains) and reduction ratio (what fraction of the O(N²) comparison
+    space it prunes). One row:
+
+      n_cand, n_truth, n_matched,
+      recall_ppm    = n_matched · 10⁶ div n_truth   (NULL if no truth)
+      n_possible    = n_items·(n_items−1)/2
+      reduction_ppm = 10⁶ − n_cand · 10⁶ div n_possible
+
+    Pairs are canonicalized unordered (least, greatest), so either input
+    may arrive in any orientation. Integer ppm — exact cross-engine.
+    Scale: one pair-keyed semi-join + three metadata-sized counts; the
+    1-row × 1-row cross joins are intentional (ann_cosine's pattern)."""
+    c = cand.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b")).distinct()
+    t = truth.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b")).distinct()
+    nm = t.join(c, ["a", "b"], "left_semi").agg(F.count(F.lit(1)).alias("n_matched"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_cand"))
+    nt = t.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_poss = int(n_items) * (int(n_items) - 1) // 2
+    return (
+        nc.crossJoin(nt)
+        .crossJoin(nm)
+        .select(
+            "n_cand",
+            "n_truth",
+            "n_matched",
+            F.expr(
+                "CASE WHEN n_truth = 0 THEN NULL"
+                " ELSE n_matched * 1000000 div n_truth END"
+            ).alias("recall_ppm"),
+            F.lit(n_poss).cast("long").alias("n_possible"),
+            (F.lit(1000000) - F.expr(f"n_cand * 1000000 div {n_poss}"))
+            .cast("long")
+            .alias("reduction_ppm"),
+        )
+    )

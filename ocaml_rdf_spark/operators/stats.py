@@ -177,3 +177,65 @@ def schema_summary(quads: DataFrame) -> DataFrame:
         F.countDistinct("s_lex").alias("n_subjects"),
         F.countDistinct("o_lex").alias("n_objects"),
     )
+
+
+def key_discovery(quads: DataFrame, min_support: int = 2) -> DataFrame:
+    """Candidate-key profiling — discover which predicates BEHAVE as
+    functional / inverse-functional keys in the instance data (the
+    empirical input to owlrl.functional_same_as when no ontology declares
+    prp-fp/prp-ifp axioms; key discovery over RDF is the SAKey/ROCKER
+    line of work, here as the exact one-pass profile a pipeline can
+    threshold).
+
+    Per predicate:
+      n_triples, n_subjects, n_values              — exact counts
+      max_vals_per_subject                          — 1 ⟹ functional in
+        this snapshot (every subject has a single value)
+      max_subjects_per_value                        — 1 ⟹ inverse-
+        functional (a value identifies its subject; the ER-key signal)
+      fp_ok / ifp_ok                                — the two flags above
+        as 0/1, gated on n_subjects ≥ min_support so a predicate seen
+        once can't claim keyhood
+
+    Scale shape: two map-side-combined aggregations per orientation
+    ((pred, subject) then pred; (pred, value) then pred) — reduce side is
+    |predicates| rows, metadata-sized; no joins except the final
+    |preds|-row merge of the two profiles (broadcastable by definition).
+    A mega-predicate (rdf:type at 10^12 rows) partial-aggregates before
+    the shuffle, so no single reducer sees its raw rows.
+    """
+    val = F.concat_ws(
+        "\x1f",
+        F.col("o_kind").cast("string"),
+        F.col("o_lex"),
+        F.coalesce(F.col("o_dtype"), F.lit("")),
+        F.coalesce(F.col("o_lang"), F.lit("")),
+    )
+    base = quads.select("pred", F.col("s_lex").alias("s"), val.alias("v"))
+    per_subj = base.groupBy("pred", "s").agg(
+        F.countDistinct("v").alias("nv"), F.count(F.lit(1)).alias("nt")
+    )
+    fp = per_subj.groupBy("pred").agg(
+        F.sum("nt").alias("n_triples"),
+        F.count(F.lit(1)).alias("n_subjects"),
+        F.max("nv").alias("max_vals_per_subject"),
+    )
+    per_val = base.groupBy("pred", "v").agg(F.countDistinct("s").alias("ns"))
+    ifp = per_val.groupBy("pred").agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.max("ns").alias("max_subjects_per_value"),
+    )
+    prof = fp.join(ifp, "pred")
+    sup = F.col("n_subjects") >= min_support
+    return prof.select(
+        "pred",
+        "n_triples",
+        "n_subjects",
+        "n_values",
+        "max_vals_per_subject",
+        "max_subjects_per_value",
+        F.when(sup & (F.col("max_vals_per_subject") == 1), F.lit(1))
+        .otherwise(F.lit(0)).alias("fp_ok"),
+        F.when(sup & (F.col("max_subjects_per_value") == 1), F.lit(1))
+        .otherwise(F.lit(0)).alias("ifp_ok"),
+    )

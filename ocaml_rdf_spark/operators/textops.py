@@ -1628,3 +1628,45 @@ def mixture_plan(
         F.expr(f"n_tokens * rate_ppm div {int(scale)}").cast("long").alias("planned_tokens"),
         (F.col("n_tokens") < F.col("want_tokens")).cast("int").alias("starved"),
     )
+
+
+def allpairs_jaccard(
+    docs: DataFrame, n: int = 3, jac_min: int = 60, max_df: int = 50
+) -> DataFrame:
+    """EXACT all-pairs near-duplicate ground truth via a gram inverted
+    index: every document pair sharing at least one (document-frequency
+    ≤ max_df) word n-gram is verified with full-gram-set Jaccard and
+    kept at jac_pct ≥ jac_min. This is the evaluation/ground-truth tier
+    the LSH blocker is *measured against* (blocking_metrics) — the
+    production dedup path stays minhash_candidates → ngram_jaccard.
+
+    Completeness: a pair can be missed only if EVERY shared gram has
+    df > max_df — i.e. the overlap is pure boilerplate — which is the
+    same guard (and the same argument) as minhash_candidates'
+    max_bucket. Scale: the candidate self-join is bounded by
+    Σ_g df(g)² ≤ max_df · Σ_g df(g) — linear in corpus grams with a
+    constant-factor cap, never O(N²) over documents."""
+    docs = docs.withColumn("__w", words(F.col("text")))
+    w = F.col("__w")
+    idx = F.when(F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = (
+        docs.select(
+            "doc_id",
+            F.explode(F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, n)))).alias("g"),
+        )
+        .filter(F.length("g") > 0)
+        .distinct()
+    )
+    dfreq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
+    keep = grams.join(dfreq.filter(F.col("__df") <= max_df), "g").select("doc_id", "g")
+    pairs = (
+        keep.alias("a")
+        .join(keep.alias("b"), "g")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    scored = ngram_jaccard(docs.drop("__w"), pairs, n=n)
+    return scored.filter(F.col("jac_pct") >= jac_min)

@@ -6108,3 +6108,125 @@ WHERE NOT EXISTS (
 """
 
 QUERIES["kg_negs"] = (q_kg_negs, SQL_KG_NEGS)
+
+
+def q_key_profile(spark, sf):
+    """Empirical key discovery over the store: per-predicate functional /
+    inverse-functional profile (the data-driven input to same_as_keys
+    when no ontology declares prp-fp/prp-ifp)."""
+    from .operators.stats import key_discovery
+
+    return key_discovery(triples_view(spark, sf), min_support=2)
+
+
+SQL_KEY_PROFILE = W + """,
+base AS (
+  SELECT pred, s_lex AS s,
+         CAST(o_kind AS VARCHAR) || chr(31) || o_lex || chr(31) ||
+         COALESCE(o_dtype, '') || chr(31) || '' AS v
+  FROM triples
+),
+per_s AS (SELECT pred, s, COUNT(DISTINCT v) AS nv, COUNT(*) AS nt FROM base GROUP BY 1, 2),
+fp AS (
+  SELECT pred, SUM(nt) AS n_triples, COUNT(*) AS n_subjects,
+         MAX(nv) AS max_vals_per_subject
+  FROM per_s GROUP BY pred
+),
+per_v AS (SELECT pred, v, COUNT(DISTINCT s) AS ns FROM base GROUP BY 1, 2),
+ifp AS (
+  SELECT pred, COUNT(*) AS n_values, MAX(ns) AS max_subjects_per_value
+  FROM per_v GROUP BY pred
+)
+SELECT f.pred, CAST(n_triples AS BIGINT) AS n_triples,
+       CAST(n_subjects AS BIGINT) AS n_subjects,
+       CAST(n_values AS BIGINT) AS n_values,
+       CAST(max_vals_per_subject AS BIGINT) AS max_vals_per_subject,
+       CAST(max_subjects_per_value AS BIGINT) AS max_subjects_per_value,
+       CAST(CASE WHEN n_subjects >= 2 AND max_vals_per_subject = 1
+                 THEN 1 ELSE 0 END AS INTEGER) AS fp_ok,
+       CAST(CASE WHEN n_subjects >= 2 AND max_subjects_per_value = 1
+                 THEN 1 ELSE 0 END AS INTEGER) AS ifp_ok
+FROM fp f JOIN ifp USING (pred)
+"""
+
+QUERIES["key_profile"] = (q_key_profile, SQL_KEY_PROFILE)
+
+
+def q_blocking_eval(spark, sf):
+    """Blocking-quality report: the MinHash-LSH blocker (8 bands, any
+    band hit) measured against the EXACT inverted-index all-pairs
+    Jaccard>=60 ground truth — pairs-completeness (recall) + reduction
+    ratio, the two standard record-linkage blocking metrics. On this
+    synthetic ~30-word-vocabulary corpus the report is genuinely
+    diagnostic: the max_bucket boilerplate guard drops the mega-buckets
+    a tiny vocabulary produces, costing recall — exactly the
+    miscalibration signal this operator exists to surface before a
+    production run."""
+    from .operators.linking import blocking_metrics
+    from .operators.textops import allpairs_jaccard, minhash_candidates
+
+    docs = _docs(spark, sf)
+    cand = minhash_candidates(docs, bands=8, max_bucket=50)
+    truth = allpairs_jaccard(docs, n=3, jac_min=60, max_df=50)
+    return blocking_metrics(cand, truth, docs.count())
+
+
+SQL_BLOCKING_EVAL = """
+WITH wf AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS w FROM documents
+), wz AS (SELECT doc_id, w FROM wf WHERE w <> ''),
+b AS (SELECT doc_id, w, unnest(range(8)) AS band FROM wz),
+sig AS (SELECT doc_id, band, min(md5(band || ':' || w)) AS mh FROM b GROUP BY doc_id, band),
+sized AS (SELECT band, mh, COUNT(*) AS bsz FROM sig GROUP BY band, mh),
+small AS (SELECT sig.* FROM sig JOIN sized USING (band, mh) WHERE sized.bsz <= 50),
+bpairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.band
+  FROM small a JOIN small b ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id
+),
+cand AS (SELECT DISTINCT doc_a, doc_b FROM bpairs),
+wlist AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS ws FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS g
+  FROM wlist, unnest(range(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 3
+),
+dfreq AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY g),
+keep AS (SELECT gr.doc_id, gr.g FROM grams gr JOIN dfreq USING (g) WHERE dfreq.df <= 50),
+tpairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM keep a JOIN keep b ON a.g = b.g AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+  FROM tpairs p
+  JOIN grams ga ON ga.doc_id = p.doc_a
+  JOIN grams gb ON gb.doc_id = p.doc_b AND gb.g = ga.g
+  GROUP BY 1, 2
+),
+ver AS (
+  SELECT p.doc_a, p.doc_b
+  FROM tpairs p
+  JOIN sizes sa ON sa.doc_id = p.doc_a
+  JOIN sizes sb ON sb.doc_id = p.doc_b
+  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+  WHERE floor(COALESCE(i.n_inter, 0) * 100.0 /
+        (sa.n_grams + sb.n_grams - COALESCE(i.n_inter, 0))) >= 60
+),
+m AS (
+  SELECT (SELECT COUNT(*) FROM cand) AS n_cand,
+         (SELECT COUNT(*) FROM ver) AS n_truth,
+         (SELECT COUNT(*) FROM ver v JOIN cand c
+            ON v.doc_a = c.doc_a AND v.doc_b = c.doc_b) AS n_matched,
+         (SELECT COUNT(*) FROM documents) AS nd
+)
+SELECT CAST(n_cand AS BIGINT) AS n_cand, CAST(n_truth AS BIGINT) AS n_truth,
+       CAST(n_matched AS BIGINT) AS n_matched,
+       CAST(CASE WHEN n_truth = 0 THEN NULL
+                 ELSE n_matched * 1000000 // n_truth END AS BIGINT) AS recall_ppm,
+       CAST(nd * (nd - 1) // 2 AS BIGINT) AS n_possible,
+       CAST(1000000 - n_cand * 1000000 // (nd * (nd - 1) // 2) AS BIGINT) AS reduction_ppm
+FROM m
+"""
+
+QUERIES["blocking_eval"] = (q_blocking_eval, SQL_BLOCKING_EVAL)

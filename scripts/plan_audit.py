@@ -690,6 +690,19 @@ def main() -> None:
             ("no join at all", r"Join", "absent"),
             ("no cartesian product", r"CartesianProduct", "absent"),
         ]),
+        ("key_profile", [
+            # two orientations × two map-side-combined aggs; the only join
+            # is the |preds|-row profile merge
+            ("map-side-combined profile aggs", r"HashAggregate"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
+        ("blocking_eval", [
+            # inverted-index truth + LSH candidates meet in hash equi-joins;
+            # the trailing 1-row×1-row metric cross joins are intentional
+            ("pair joins are hash equi-joins", r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
         ("kg_negs", [
             # dense-id dictionary: bucket offsets broadcast back; candidate
             # pick + filtered-protocol check are hash equi/anti joins
