@@ -194,6 +194,8 @@ def main() -> None:
         "kg_negs",
         "key_profile",
         "blocking_eval",
+        "path_profile",
+        "crawl_schedule",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

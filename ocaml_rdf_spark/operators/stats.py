@@ -239,3 +239,37 @@ def key_discovery(quads: DataFrame, min_support: int = 2) -> DataFrame:
         F.when(sup & (F.col("max_subjects_per_value") == 1), F.lit(1))
         .otherwise(F.lit(0)).alias("ifp_ok"),
     )
+
+
+def path_profile(quads: DataFrame) -> DataFrame:
+    """Chain-join cardinality statistics — the PATH companion to
+    characteristic_sets (Neumann & Moerkotte's path statistics): for
+    every predicate pair (p1, p2), how many 2-hop chains
+    x —p1→ m —p2→ z the instance data contains, and through how many
+    distinct mid nodes. This is what a BGP planner consults to order a
+    chain join (`?x p1 ?m . ?m p2 ?z`), the way characteristic sets
+    order star joins.
+
+    Scale shape — the naive edge⋈edge join explodes on hub entities;
+    instead both sides pre-aggregate to (pred, mid) COUNTS first, so the
+    join is over the (pred × entity) count table and every hub
+    contributes one row per predicate, not one row per edge:
+      chains(p1,p2) = Σ_m in(p1,m) · out(p2,m)
+    Two map-side-combined aggs + one mid-keyed equi-join + one
+    catalog-keyed sum; exact BIGINTs.
+    """
+    inst = quads.filter(F.col("o_kind") == 0).select("s_lex", "pred", "o_lex")
+    into = inst.groupBy(F.col("pred").alias("p1"), F.col("o_lex").alias("mid")).agg(
+        F.count(F.lit(1)).alias("n_in")
+    )
+    outof = inst.groupBy(F.col("pred").alias("p2"), F.col("s_lex").alias("mid")).agg(
+        F.count(F.lit(1)).alias("n_out")
+    )
+    return (
+        into.join(outof, "mid")
+        .groupBy("p1", "p2")
+        .agg(
+            F.sum(F.col("n_in") * F.col("n_out")).alias("n_chains"),
+            F.countDistinct("mid").alias("n_mid"),
+        )
+    )

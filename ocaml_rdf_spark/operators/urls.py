@@ -269,3 +269,46 @@ def ip_host_filter(docs: DataFrame, host_col: str = "host", id_col: str = "doc_i
         is_private.cast("int").alias("is_private"),
         (~is_ip).cast("int").alias("keep"),
     )
+
+
+def crawl_schedule(
+    frontier: DataFrame,
+    host_col: str = "host",
+    url_col: str = "url",
+    priority_col: str | None = None,
+    delay_ms: int = 1000,
+) -> DataFrame:
+    """Politeness-aware crawl-frontier scheduling: per-host fetch slots
+    under a fixed crawl delay, with a deterministic per-host stagger so
+    the fleet's first requests don't all fire at t=0 (the thundering-
+    herd guard every polite crawler carries).
+
+      slot        — 0-based position within the host's queue, ordered by
+                    (priority DESC, url) — deterministic under ties
+      fetch_at_ms — slot · delay_ms + (md5(host) mod delay_ms)
+
+    Scale shape: ONE host-keyed window. A mega-host queue landing on one
+    reducer is not an accident here — politeness SERIALIZES a host, so
+    its queue order is inherently a per-host total order; the window
+    group is exactly that queue. Hosts are the parallelism unit (the
+    same salted-repartition story as extract.py's url-host salting does
+    NOT apply: order within host is the semantics). Cap per-host queue
+    length upstream if a single host's frontier outgrows executor
+    memory — that cap is crawl policy, not an engine limit."""
+    from pyspark.sql import Window
+
+    order = [F.col(url_col).asc()]
+    if priority_col:
+        order = [F.col(priority_col).desc()] + order
+    w = Window.partitionBy(host_col).orderBy(*order)
+    slot = (F.row_number().over(w) - 1).cast("long")
+    stagger = (
+        F.conv(F.substring(F.md5(F.col(host_col)), 1, 15), 16, 10).cast("long")
+        % int(delay_ms)
+    )
+    return frontier.select(
+        F.col(url_col).alias("url"),
+        F.col(host_col).alias("host"),
+        slot.alias("slot"),
+        (slot * int(delay_ms) + stagger).alias("fetch_at_ms"),
+    )

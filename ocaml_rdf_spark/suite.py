@@ -6230,3 +6230,62 @@ FROM m
 """
 
 QUERIES["blocking_eval"] = (q_blocking_eval, SQL_BLOCKING_EVAL)
+
+
+def q_path_profile(spark, sf):
+    """Chain-join cardinality catalog (path statistics): 2-hop predicate
+    chain counts via pre-aggregated (pred, mid) count products — the
+    hub-safe shape."""
+    from .operators.stats import path_profile
+
+    return path_profile(triples_view(spark, sf))
+
+
+SQL_PATH_PROFILE = W + """,
+inst AS (SELECT s_lex, pred, o_lex FROM triples WHERE o_kind = 0),
+inta AS (SELECT pred AS p1, o_lex AS mid, COUNT(*) AS n_in FROM inst GROUP BY 1, 2),
+outa AS (SELECT pred AS p2, s_lex AS mid, COUNT(*) AS n_out FROM inst GROUP BY 1, 2)
+SELECT p1, p2, CAST(SUM(n_in * n_out) AS BIGINT) AS n_chains,
+       COUNT(DISTINCT mid) AS n_mid
+FROM inta JOIN outa USING (mid)
+GROUP BY p1, p2
+"""
+
+QUERIES["path_profile"] = (q_path_profile, SQL_PATH_PROFILE)
+
+
+def q_crawl_schedule(spark, sf):
+    """Politeness scheduling of a synthetic frontier (one url per
+    document, host = source, bigger docs first): per-host slots + fetch
+    times under a 1s crawl delay with md5 host stagger."""
+    from .operators.urls import crawl_schedule
+
+    d = _docs(spark, sf)
+    frontier = d.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example/d/"),
+            F.col("doc_id").cast("string")
+        ).alias("url"),
+        F.col("source").alias("host"),
+        F.col("n_chars").cast("long").alias("prio"),
+    )
+    return crawl_schedule(frontier, priority_col="prio", delay_ms=1000)
+
+
+SQL_CRAWL_SCHEDULE = """
+WITH f AS (
+  SELECT 'https://' || source || '.example/d/' || CAST(doc_id AS VARCHAR) AS url,
+         source AS host, n_chars AS prio
+  FROM documents
+),
+s AS (
+  SELECT url, host,
+         CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY prio DESC, url ASC) - 1
+              AS BIGINT) AS slot,
+         ('0x' || substr(md5(host), 1, 15))::BIGINT % 1000 AS stagger
+  FROM f
+)
+SELECT url, host, slot, CAST(slot * 1000 + stagger AS BIGINT) AS fetch_at_ms FROM s
+"""
+
+QUERIES["crawl_schedule"] = (q_crawl_schedule, SQL_CRAWL_SCHEDULE)

@@ -703,6 +703,21 @@ def main() -> None:
             ("pair joins are hash equi-joins", r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin"),
             ("no cartesian product", r"CartesianProduct", "absent"),
         ]),
+        ("path_profile", [
+            # hub-safe: both sides pre-aggregate to (pred, mid) counts
+            # BEFORE the mid-keyed join — aggs below the join in the plan
+            ("pre-aggregation below the join", r"HashAggregate"),
+            ("mid-keyed equi-join", r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
+        ("crawl_schedule", [
+            # one host-keyed window (politeness serializes a host); the md5
+            # stagger is scalar column algebra, no joins anywhere
+            ("single host-keyed window", r"Window"),
+            ("no join at all", r"Join", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
         ("kg_negs", [
             # dense-id dictionary: bucket offsets broadcast back; candidate
             # pick + filtered-protocol check are hash equi/anti joins
