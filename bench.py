@@ -196,6 +196,8 @@ def main() -> None:
         "blocking_eval",
         "path_profile",
         "crawl_schedule",
+        "khop_slice",
+        "prov_graph",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

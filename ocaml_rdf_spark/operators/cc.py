@@ -794,3 +794,41 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
         (F.lit(2) * F.col("triangles")).cast("long").alias("cc_num"),
         (F.col("deg") * (F.col("deg") - F.lit(1))).cast("long").alias("cc_den"),
     )
+
+
+def khop_subgraph(quads: DataFrame, seeds: DataFrame, hops: int = 2) -> DataFrame:
+    """K-hop neighborhood extraction around a seed entity set — the
+    standard KG operation behind entity cards, GNN mini-batch fixtures,
+    and debugging slices ('give me everything within 2 hops of these
+    ids'). Expansion is UNDIRECTED over IRI/IRI edges but literal leaves
+    ride along: a triple is included when its subject or object is in
+    the current node set; both endpoints of every included triple join
+    the next frontier.
+
+    seeds: one column `ent`. Returns the distinct included quads.
+
+    Scale shape: `hops` rounds of (frontier semi-join against the SPO
+    and POS orientations + endpoint union) — the same frontier-fixpoint
+    discipline as transitive_closure / bfs_distances, localCheckpoint
+    per round to cut lineage; each round is two pushed-predicate-free
+    hash semi-joins keyed on the node id. The node set grows by the
+    neighborhood, not the corpus; a 2-hop ball around a hub can be huge,
+    which is a property of the query, not the plan (cap hops/seeds in
+    policy)."""
+    nodes = seeds.select(F.col("ent").cast("string")).distinct().localCheckpoint(eager=True)
+    out = None
+    for _ in range(max(0, int(hops))):
+        by_s = quads.join(
+            nodes.withColumnRenamed("ent", "s_lex"), "s_lex", "left_semi"
+        )
+        by_o = quads.filter(F.col("o_kind") == 0).join(
+            nodes.withColumnRenamed("ent", "o_lex"), "o_lex", "left_semi"
+        )
+        hop = by_s.unionByName(by_o.select(by_s.columns)).dropDuplicates()
+        out = hop if out is None else out.unionByName(hop).dropDuplicates()
+        ends = (
+            hop.select(F.col("s_lex").alias("ent"))
+            .unionByName(hop.filter(F.col("o_kind") == 0).select(F.col("o_lex").alias("ent")))
+        )
+        nodes = nodes.unionByName(ends).distinct().localCheckpoint(eager=True)
+    return out if out is not None else quads.limit(0)

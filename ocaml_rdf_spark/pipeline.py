@@ -360,3 +360,94 @@ def expire_versions(root: str, stage: str, keep_last: int = 3) -> dict:
         with open(os.path.join(pdir, "_expired.json"), "w") as f:
             json.dump(meta, f)
     return meta
+
+
+PROV_NS = "http://www.w3.org/ns/prov#"
+ORDS_NS = "urn:x-ords:"
+
+
+def lineage_to_prov(
+    lineage: DataFrame, run_id: str, stage_order: Optional[list] = None
+) -> DataFrame:
+    """Emit the pipeline's own lineage table as W3C PROV-O triples — the
+    provenance the KG publishes about ITSELF (north rule: 'per-partition
+    lineage + metrics tables'; PROV-O is how the RDF ecosystem around
+    the reference exchanges that metadata). Per stage:
+
+      urn:x-ords:run:{run}:act:{stage}   a prov:Activity
+      urn:x-ords:run:{run}:data:{stage}  a prov:Entity ;
+        prov:wasGeneratedBy the activity ;
+        urn:x-ords:rowCount  Σ row_count  (xsd:integer) ;
+        urn:x-ords:partCount COUNT(part)  (xsd:integer)
+
+    and, when `stage_order` (the driver-side stage list — config, not
+    data) is given, prov:wasDerivedFrom / prov:used edges chain each
+    stage to its predecessor.
+
+    Scale: the lineage table is parts × stages rows (metadata); one
+    stage-keyed agg + a constant-width melt (relational.py's explode
+    pattern) + a driver-built derivation frame. Output matches the
+    TRIPLES quad columns used by the serializers."""
+    per_stage = lineage.groupBy("stage").agg(
+        F.sum("row_count").alias("n_rows"), F.count(F.lit(1)).alias("n_parts")
+    )
+    act = F.concat(F.lit(f"{ORDS_NS}run:{run_id}:act:"), F.col("stage"))
+    ent = F.concat(F.lit(f"{ORDS_NS}run:{run_id}:data:"), F.col("stage"))
+    xsd_int = "http://www.w3.org/2001/XMLSchema#integer"
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    items = [
+        (act, F.lit(rdf_type), 0, F.lit(PROV_NS + "Activity"), None),
+        (ent, F.lit(rdf_type), 0, F.lit(PROV_NS + "Entity"), None),
+        (ent, F.lit(PROV_NS + "wasGeneratedBy"), 0, act, None),
+        (ent, F.lit(ORDS_NS + "rowCount"), 2, F.col("n_rows").cast("string"), xsd_int),
+        (ent, F.lit(ORDS_NS + "partCount"), 2, F.col("n_parts").cast("string"), xsd_int),
+    ]
+    structs = [
+        F.struct(
+            s.alias("s_lex"),
+            p.alias("pred"),
+            F.lit(k).cast("tinyint").alias("o_kind"),
+            o.cast("string").alias("o_lex"),
+            F.lit(dt).cast("string").alias("o_dtype"),
+        )
+        for s, p, k, o, dt in items
+    ]
+    out = per_stage.select(F.explode(F.array(*structs)).alias("t")).select(
+        F.lit(0).cast("tinyint").alias("s_kind"),
+        F.col("t.s_lex").alias("s_lex"),
+        F.col("t.pred").alias("pred"),
+        F.col("t.o_kind").alias("o_kind"),
+        F.col("t.o_lex").alias("o_lex"),
+        F.col("t.o_dtype").alias("o_dtype"),
+        F.lit(None).cast("string").alias("o_lang"),
+        F.lit(f"{ORDS_NS}run:{run_id}:prov").alias("graph"),
+    )
+    if stage_order and len(stage_order) > 1:
+        spark = lineage.sparkSession
+        chain = [
+            (
+                f"{ORDS_NS}run:{run_id}:data:{cur}",
+                PROV_NS + "wasDerivedFrom",
+                f"{ORDS_NS}run:{run_id}:data:{prev}",
+            )
+            for prev, cur in zip(stage_order, stage_order[1:])
+        ] + [
+            (
+                f"{ORDS_NS}run:{run_id}:act:{cur}",
+                PROV_NS + "used",
+                f"{ORDS_NS}run:{run_id}:data:{prev}",
+            )
+            for prev, cur in zip(stage_order, stage_order[1:])
+        ]
+        cdf = spark.createDataFrame(chain, "s_lex string, pred string, o_lex string").select(
+            F.lit(0).cast("tinyint").alias("s_kind"),
+            "s_lex",
+            "pred",
+            F.lit(0).cast("tinyint").alias("o_kind"),
+            "o_lex",
+            F.lit(None).cast("string").alias("o_dtype"),
+            F.lit(None).cast("string").alias("o_lang"),
+            F.lit(f"{ORDS_NS}run:{run_id}:prov").alias("graph"),
+        )
+        out = out.unionByName(cdf)
+    return out

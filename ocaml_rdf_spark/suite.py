@@ -6289,3 +6289,94 @@ SELECT url, host, slot, CAST(slot * 1000 + stagger AS BIGINT) AS fetch_at_ms FRO
 """
 
 QUERIES["crawl_schedule"] = (q_crawl_schedule, SQL_CRAWL_SCHEDULE)
+
+
+def q_khop_slice(spark, sf):
+    """2-hop neighborhood extraction around two region seeds (entity-card
+    / GNN-fixture slice); undirected expansion, literal leaves included."""
+    from .operators.cc import khop_subgraph
+
+    seeds = spark.createDataFrame([("urn:r:0",), ("urn:r:1",)], "ent string")
+    out = khop_subgraph(triples_view(spark, sf), seeds, hops=2)
+    return out.select("s_lex", "pred", "o_kind", "o_lex").distinct()
+
+
+SQL_KHOP_SLICE = W + """,
+n0 AS (SELECT 'urn:r:0' AS ent UNION SELECT 'urn:r:1'),
+t1 AS (
+  SELECT * FROM triples
+  WHERE s_lex IN (SELECT ent FROM n0)
+     OR (o_kind = 0 AND o_lex IN (SELECT ent FROM n0))
+),
+n1 AS (
+  SELECT ent FROM n0
+  UNION SELECT s_lex FROM t1
+  UNION SELECT o_lex FROM t1 WHERE o_kind = 0
+)
+SELECT DISTINCT s_lex, pred, CAST(o_kind AS TINYINT) AS o_kind, o_lex
+FROM triples
+WHERE s_lex IN (SELECT ent FROM n1)
+   OR (o_kind = 0 AND o_lex IN (SELECT ent FROM n1))
+"""
+
+QUERIES["khop_slice"] = (q_khop_slice, SQL_KHOP_SLICE)
+
+
+def q_prov_graph(spark, sf):
+    """PROV-O emission of a (synthetic, orders-derived) 3-stage lineage
+    table: Activity/Entity typing, generation, exact row/part counts,
+    and the wasDerivedFrom/used chain — the pipeline's provenance AS
+    triples in its own store."""
+    from .pipeline import lineage_to_prov
+
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    lineage = (
+        o.groupBy(
+            F.concat(F.lit("p"), (F.col("o_orderkey") % 3).cast("string")).alias("stage"),
+            (F.col("o_custkey") % 8).alias("part_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("row_count"))
+    )
+    out = lineage_to_prov(lineage, "r1", stage_order=["p0", "p1", "p2"])
+    return out.select("s_lex", "pred", "o_kind", "o_lex", "o_dtype")
+
+
+SQL_PROV_GRAPH = """
+WITH lin AS (
+  SELECT 'p' || CAST(o_orderkey % 3 AS VARCHAR) AS stage,
+         o_custkey % 8 AS part_id, COUNT(*) AS row_count
+  FROM orders GROUP BY 1, 2
+),
+per AS (SELECT stage, SUM(row_count) AS n_rows, COUNT(*) AS n_parts FROM lin GROUP BY stage)
+SELECT 'urn:x-ords:run:r1:act:' || stage AS s_lex,
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+       CAST(0 AS TINYINT) AS o_kind,
+       'http://www.w3.org/ns/prov#Activity' AS o_lex, NULL AS o_dtype
+FROM per
+UNION ALL
+SELECT 'urn:x-ords:run:r1:data:' || stage,
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', CAST(0 AS TINYINT),
+       'http://www.w3.org/ns/prov#Entity', NULL FROM per
+UNION ALL
+SELECT 'urn:x-ords:run:r1:data:' || stage, 'http://www.w3.org/ns/prov#wasGeneratedBy',
+       CAST(0 AS TINYINT), 'urn:x-ords:run:r1:act:' || stage, NULL FROM per
+UNION ALL
+SELECT 'urn:x-ords:run:r1:data:' || stage, 'urn:x-ords:rowCount', CAST(2 AS TINYINT),
+       CAST(n_rows AS VARCHAR), 'http://www.w3.org/2001/XMLSchema#integer' FROM per
+UNION ALL
+SELECT 'urn:x-ords:run:r1:data:' || stage, 'urn:x-ords:partCount', CAST(2 AS TINYINT),
+       CAST(n_parts AS VARCHAR), 'http://www.w3.org/2001/XMLSchema#integer' FROM per
+UNION ALL
+SELECT * FROM (VALUES
+  ('urn:x-ords:run:r1:data:p1', 'http://www.w3.org/ns/prov#wasDerivedFrom',
+   CAST(0 AS TINYINT), 'urn:x-ords:run:r1:data:p0', NULL),
+  ('urn:x-ords:run:r1:data:p2', 'http://www.w3.org/ns/prov#wasDerivedFrom',
+   CAST(0 AS TINYINT), 'urn:x-ords:run:r1:data:p1', NULL),
+  ('urn:x-ords:run:r1:act:p1', 'http://www.w3.org/ns/prov#used',
+   CAST(0 AS TINYINT), 'urn:x-ords:run:r1:data:p0', NULL),
+  ('urn:x-ords:run:r1:act:p2', 'http://www.w3.org/ns/prov#used',
+   CAST(0 AS TINYINT), 'urn:x-ords:run:r1:data:p1', NULL)
+) v(s_lex, pred, o_kind, o_lex, o_dtype)
+"""
+
+QUERIES["prov_graph"] = (q_prov_graph, SQL_PROV_GRAPH)

@@ -718,6 +718,20 @@ def main() -> None:
             ("no join at all", r"Join", "absent"),
             ("no cartesian product", r"CartesianProduct", "absent"),
         ]),
+        ("khop_slice", [
+            # frontier expansion = node-keyed LeftSemi hash joins per hop
+            ("frontier probes are hash semi-joins", r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin).*LeftSemi"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
+        ("prov_graph", [
+            # metadata-sized: one stage agg + constant-width melt; the only
+            # join-free plan with an explode
+            ("stage aggregation", r"HashAggregate"),
+            ("melt is a generator, not a join", r"Generate"),
+            ("no join at all", r"Join", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
         ("kg_negs", [
             # dense-id dictionary: bucket offsets broadcast back; candidate
             # pick + filtered-protocol check are hash equi/anti joins
