@@ -198,6 +198,9 @@ def main() -> None:
         "crawl_schedule",
         "khop_slice",
         "prov_graph",
+        "rdf_lists",
+        "snm_pairs",
+        "skew_report",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

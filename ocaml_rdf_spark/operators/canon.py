@@ -296,3 +296,65 @@ def graph_digest(quads: DataFrame) -> DataFrame:
             .alias("digest"),
         )
     )
+
+
+def rdf_lists(quads: DataFrame, max_len: int = 64) -> DataFrame:
+    """Flatten every rdf:first/rdf:rest collection spine in the store to
+    (head, idx, o_kind, item, o_dtype) rows — the distributed inverse of
+    the Turtle reader's `(...)` expansion (sources/turtle.py) and the
+    JSON-LD @list chains (sources/jsonld.py). A 'head' is a spine node
+    that is not itself the rdf:rest of another node, so nested/shared
+    tails flatten once per entry point; idx is 0-based.
+
+    Scale shape: one iterative walk, each round = ONE node-keyed hash
+    join frontier→rest + a first-lookup join, localCheckpoint per round
+    (the paths.py fixpoint discipline). RDF collections are data-
+    structure-sized (argument lists, chain axioms — tens of entries,
+    not millions), so `max_len` rounds is a correctness cap, not a
+    scalability concern; rounds stop early when the frontier drains.
+    Malformed spines (missing rdf:first) contribute no row at that cell
+    but the walk continues through rdf:rest."""
+    from pyspark.sql import functions as _F
+
+    RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    first = quads.filter(_F.col("pred") == RDF_NS + "first").select(
+        _F.col("s_lex").alias("node"),
+        _F.col("o_kind").alias("item_kind"),
+        _F.col("o_lex").alias("item"),
+        _F.col("o_dtype").alias("item_dtype"),
+    )
+    rest = quads.filter(_F.col("pred") == RDF_NS + "rest").select(
+        _F.col("s_lex").alias("node"), _F.col("o_lex").alias("next")
+    )
+    spine_nodes = first.select("node").unionByName(rest.select("node")).distinct()
+    tails = rest.select(_F.col("next").alias("node")).distinct()
+    heads = spine_nodes.join(tails, "node", "left_anti").select(
+        _F.col("node").alias("head"), _F.col("node").alias("cur")
+    )
+    out = None
+    frontier = heads.localCheckpoint(eager=True)
+    for idx in range(max_len):
+        cell = frontier.join(first, frontier.cur == first.node, "inner").select(
+            "head",
+            _F.lit(idx).cast("long").alias("idx"),
+            _F.col("item_kind").alias("o_kind"),
+            _F.col("item").alias("item"),
+            _F.col("item_dtype").alias("o_dtype"),
+        )
+        out = cell if out is None else out.unionByName(cell)
+        nxt = (
+            frontier.join(rest, frontier.cur == rest.node, "inner")
+            .filter(_F.col("next") != RDF_NS + "nil")
+            .select("head", _F.col("next").alias("cur"))
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        frontier = nxt
+    return out if out is not None else quads.limit(0).select(
+        _F.col("s_lex").alias("head"),
+        _F.lit(0).cast("long").alias("idx"),
+        _F.col("o_kind"),
+        _F.col("o_lex").alias("item"),
+        _F.col("o_dtype"),
+    )

@@ -298,3 +298,72 @@ def blocking_metrics(
             .alias("reduction_ppm"),
         )
     )
+
+
+def snm_positions(df: DataFrame, order_cols: list, buckets: int = 32) -> DataFrame:
+    """Global 0-based position of every row under the total order
+    `order_cols` — the distributed sort-rank SNM needs. Two-stage:
+    range-repartition on the order columns (order-ALIGNED buckets),
+    per-bucket counts get a driver-small cumulative scan broadcast back,
+    position = bucket offset + intra-bucket rank. The VALUE depends only
+    on the total order, not on where the sampled range bounds land, so
+    results are deterministic at any parallelism. Ties broken by the
+    full order_cols list — pass a unique trailing column."""
+    from pyspark.sql import Window
+
+    part = df.repartitionByRange(buckets, *[F.col(c) for c in order_cols]).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    counts = part.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c"))
+    boff = counts.select(
+        "__pid",
+        F.coalesce(
+            F.sum("__c").over(
+                Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("long").alias("__boff"),
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("__pid").orderBy(*[F.col(c).asc() for c in order_cols])
+    ) - 1
+    return part.join(F.broadcast(boff), "__pid").withColumn(
+        "pos", (F.col("__boff") + rank).cast("long")
+    ).drop("__pid", "__boff")
+
+
+def snm_pairs(
+    records: DataFrame,
+    key_col: str,
+    id_col: str,
+    window: int = 3,
+    buckets: int = 32,
+) -> DataFrame:
+    """Sorted-Neighborhood blocking (Hernández & Stolfo 1995 — the
+    classic ER blocker next to LSH): sort by a fuzzy key, emit every
+    pair within `window` positions. Complements minhash_candidates
+    (blocking_metrics compares them): SNM catches prefix-typo neighbors
+    LSH's set semantics can miss, at a guaranteed
+    |records|·(window−1) candidate bound.
+
+    Output: (id_a, id_b, dist) with id_a's position < id_b's.
+
+    Scale shape: global positions via `snm_positions` (no single-reducer
+    window), then the band trick — self-join on block = pos div window
+    restricted to same + adjacent blocks, filtered to distance <
+    window. Both sides are (id, pos) projections; the join key is an
+    integer block id, uniform by construction."""
+    pos = snm_positions(
+        records.select(F.col(key_col).alias("__k"), F.col(id_col).alias("id")),
+        ["__k", "id"],
+        buckets=buckets,
+    ).select("id", "pos", (F.col("pos") / window).cast("long").alias("blk"))
+    a = pos.select(F.col("id").alias("id_a"), F.col("pos").alias("pa"), F.col("blk").alias("ba"))
+    b = pos.select(F.col("id").alias("id_b"), F.col("pos").alias("pb"), F.col("blk").alias("bb"))
+    cand = a.join(b, (F.col("bb") == F.col("ba")) | (F.col("bb") == F.col("ba") + 1))
+    return (
+        cand.filter(
+            (F.col("pb") > F.col("pa")) & (F.col("pb") - F.col("pa") < window)
+        )
+        .select("id_a", "id_b", (F.col("pb") - F.col("pa")).alias("dist"))
+    )

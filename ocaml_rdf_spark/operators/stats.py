@@ -273,3 +273,38 @@ def path_profile(quads: DataFrame) -> DataFrame:
             F.countDistinct("mid").alias("n_mid"),
         )
     )
+
+
+def skew_report(df: DataFrame, key_col: str, k: int = 10) -> DataFrame:
+    """Pre-flight skew diagnosis for a planned join/agg key — the report
+    an operator consults before shuffling 100 TB on `key_col`: top-k
+    hottest keys with exact counts and integer ppm share of all rows,
+    plus the global totals on every row for context.
+
+    Output: (rank, key, n, total_rows, n_keys, share_ppm), rank 1-based
+    by (count DESC, key ASC) — deterministic under ties.
+
+    Scale shape: one map-side-combined count + TakeOrdered(k) (never a
+    full sort) + a 1-row totals agg cross-joined onto k rows. If
+    share_ppm of rank 1 approaches the per-task memory budget, that is
+    the cue for salting / AQE skew hints on the real job."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.agg(
+        F.sum("n").alias("total_rows"), F.count(F.lit(1)).alias("n_keys")
+    )
+    top = counts.orderBy(F.desc("n"), F.asc("key")).limit(int(k))
+    ranked = top.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("n"), F.asc("key")))
+    )
+    return ranked.crossJoin(F.broadcast(totals)).select(
+        "rank",
+        "key",
+        "n",
+        "total_rows",
+        "n_keys",
+        F.expr("n * 1000000 div total_rows").alias("share_ppm"),
+    )

@@ -6380,3 +6380,107 @@ SELECT * FROM (VALUES
 """
 
 QUERIES["prov_graph"] = (q_prov_graph, SQL_PROV_GRAPH)
+
+
+def q_rdf_lists(spark, sf):
+    """Distributed rdf:first/rest collection flattening: one list per
+    region (its nations in key order) built as real spine triples, then
+    walked back to (head, idx, item) by the iterative operator."""
+    from pyspark.sql import Window
+    from .operators.canon import rdf_lists
+
+    RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    na = spark.read.parquet(f"{sf}/nation.parquet")
+    w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+    rows = na.select(
+        F.col("n_regionkey").alias("rk"),
+        F.col("n_nationkey").alias("nk"),
+        (F.row_number().over(w) - 1).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy("n_regionkey")).alias("cnt"),
+    )
+    node = F.concat(F.lit("urn:l:"), F.col("rk").cast("string"), F.lit(":"), F.col("i").cast("string"))
+    nxt = F.when(
+        F.col("i") + 1 < F.col("cnt"),
+        F.concat(F.lit("urn:l:"), F.col("rk").cast("string"), F.lit(":"), (F.col("i") + 1).cast("string")),
+    ).otherwise(F.lit(RDF_NS + "nil"))
+    firsts = rows.select(
+        node.alias("s_lex"),
+        F.lit(RDF_NS + "first").alias("pred"),
+        F.lit(0).cast("tinyint").alias("o_kind"),
+        F.concat(F.lit("urn:n:"), F.col("nk").cast("string")).alias("o_lex"),
+        F.lit(None).cast("string").alias("o_dtype"),
+    )
+    rests = rows.select(
+        node.alias("s_lex"),
+        F.lit(RDF_NS + "rest").alias("pred"),
+        F.lit(0).cast("tinyint").alias("o_kind"),
+        nxt.alias("o_lex"),
+        F.lit(None).cast("string").alias("o_dtype"),
+    )
+    return rdf_lists(firsts.unionByName(rests), max_len=32).select(
+        "head", "idx", "o_kind", "item", "o_dtype"
+    )
+
+
+SQL_RDF_LISTS = """
+SELECT 'urn:l:' || CAST(n_regionkey AS VARCHAR) || ':0' AS head,
+       CAST(ROW_NUMBER() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) - 1
+            AS BIGINT) AS idx,
+       CAST(0 AS TINYINT) AS o_kind,
+       'urn:n:' || CAST(n_nationkey AS VARCHAR) AS item,
+       CAST(NULL AS VARCHAR) AS o_dtype
+FROM nation
+"""
+
+QUERIES["rdf_lists"] = (q_rdf_lists, SQL_RDF_LISTS)
+
+
+def q_snm_pairs(spark, sf):
+    """Sorted-neighborhood blocking over customers keyed by
+    (segment | name): every pair within 3 sort positions — the classic
+    ER blocker beside MinHash-LSH, with a guaranteed candidate bound."""
+    from .operators.linking import snm_pairs
+
+    cu = spark.read.parquet(f"{sf}/customer.parquet").select(
+        F.concat(F.col("c_mktsegment"), F.lit("|"), F.col("c_name")).alias("key"),
+        F.col("c_custkey").alias("id"),
+    )
+    return snm_pairs(cu, "key", "id", window=3, buckets=8)
+
+
+SQL_SNM_PAIRS = """
+WITH pos AS (
+  SELECT c_custkey AS id,
+         ROW_NUMBER() OVER (ORDER BY c_mktsegment || '|' || c_name, c_custkey) - 1 AS pos
+  FROM customer
+)
+SELECT a.id AS id_a, b.id AS id_b, CAST(b.pos - a.pos AS BIGINT) AS dist
+FROM pos a JOIN pos b ON b.pos > a.pos AND b.pos - a.pos < 3
+"""
+
+QUERIES["snm_pairs"] = (q_snm_pairs, SQL_SNM_PAIRS)
+
+
+def q_skew_report(spark, sf):
+    """Pre-flight join-key skew report: top-10 hottest o_custkey values
+    with exact counts and integer ppm share — the evidence a pipeline
+    reads before shuffling on that key."""
+    from .operators.stats import skew_report
+
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    return skew_report(o, "o_custkey", k=10)
+
+
+SQL_SKEW_REPORT = """
+WITH c AS (SELECT CAST(o_custkey AS VARCHAR) AS key, COUNT(*) AS n FROM orders GROUP BY 1),
+t AS (SELECT SUM(n) AS total_rows, COUNT(*) AS n_keys FROM c),
+ranked AS (
+  SELECT key, n, ROW_NUMBER() OVER (ORDER BY n DESC, key ASC) AS rank FROM c
+)
+SELECT CAST(rank AS INTEGER) AS rank, key, CAST(n AS BIGINT) AS n,
+       CAST(total_rows AS BIGINT) AS total_rows, CAST(n_keys AS BIGINT) AS n_keys,
+       CAST(n * 1000000 // total_rows AS BIGINT) AS share_ppm
+FROM ranked, t WHERE rank <= 10
+"""
+
+QUERIES["skew_report"] = (q_skew_report, SQL_SKEW_REPORT)

@@ -732,6 +732,24 @@ def main() -> None:
             ("no join at all", r"Join", "absent"),
             ("no cartesian product", r"CartesianProduct", "absent"),
         ]),
+        ("rdf_lists", [
+            # per-round frontier→first/rest probes are node-keyed hash joins
+            ("spine walk is hash equi-joins", r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
+        ("snm_pairs", [
+            # positions: range exchange + bucket offsets broadcast; the pair
+            # join keys on integer block ids — never a raw inequality join
+            ("bucket offsets broadcast", r"BroadcastHashJoin|BroadcastExchange"),
+            ("pair join keyed on block ids", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
+        ("skew_report", [
+            ("map-side-combined key counts", r"HashAggregate"),
+            ("top-k not full sort", r"TakeOrderedAndProject"),
+            ("no cartesian shuffle beyond the 1-row totals", r"CartesianProduct", "absent"),
+        ]),
         ("kg_negs", [
             # dense-id dictionary: bucket offsets broadcast back; candidate
             # pick + filtered-protocol check are hash equi/anti joins
