@@ -6338,7 +6338,12 @@ def q_prov_graph(spark, sf):
         .agg(F.count(F.lit(1)).alias("row_count"))
     )
     out = lineage_to_prov(lineage, "r1", stage_order=["p0", "p1", "p2"])
-    return out.select("s_lex", "pred", "o_kind", "o_lex", "o_dtype")
+    # NULL-free dtype: a column mixing NULLs and strings sorts/hashes
+    # differently across compare layers — '' means "no datatype" here
+    return out.select(
+        "s_lex", "pred", "o_kind", "o_lex",
+        F.coalesce(F.col("o_dtype"), F.lit("")).alias("o_dtype"),
+    )
 
 
 SQL_PROV_GRAPH = """
@@ -6351,15 +6356,15 @@ per AS (SELECT stage, SUM(row_count) AS n_rows, COUNT(*) AS n_parts FROM lin GRO
 SELECT 'urn:x-ords:run:r1:act:' || stage AS s_lex,
        'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
        CAST(0 AS TINYINT) AS o_kind,
-       'http://www.w3.org/ns/prov#Activity' AS o_lex, NULL AS o_dtype
+       'http://www.w3.org/ns/prov#Activity' AS o_lex, '' AS o_dtype
 FROM per
 UNION ALL
 SELECT 'urn:x-ords:run:r1:data:' || stage,
        'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', CAST(0 AS TINYINT),
-       'http://www.w3.org/ns/prov#Entity', NULL FROM per
+       'http://www.w3.org/ns/prov#Entity', '' FROM per
 UNION ALL
 SELECT 'urn:x-ords:run:r1:data:' || stage, 'http://www.w3.org/ns/prov#wasGeneratedBy',
-       CAST(0 AS TINYINT), 'urn:x-ords:run:r1:act:' || stage, NULL FROM per
+       CAST(0 AS TINYINT), 'urn:x-ords:run:r1:act:' || stage, '' FROM per
 UNION ALL
 SELECT 'urn:x-ords:run:r1:data:' || stage, 'urn:x-ords:rowCount', CAST(2 AS TINYINT),
        CAST(n_rows AS VARCHAR), 'http://www.w3.org/2001/XMLSchema#integer' FROM per
@@ -6369,13 +6374,13 @@ SELECT 'urn:x-ords:run:r1:data:' || stage, 'urn:x-ords:partCount', CAST(2 AS TIN
 UNION ALL
 SELECT * FROM (VALUES
   ('urn:x-ords:run:r1:data:p1', 'http://www.w3.org/ns/prov#wasDerivedFrom',
-   CAST(0 AS TINYINT), 'urn:x-ords:run:r1:data:p0', NULL),
+   CAST(0 AS TINYINT), 'urn:x-ords:run:r1:data:p0', ''),
   ('urn:x-ords:run:r1:data:p2', 'http://www.w3.org/ns/prov#wasDerivedFrom',
-   CAST(0 AS TINYINT), 'urn:x-ords:run:r1:data:p1', NULL),
+   CAST(0 AS TINYINT), 'urn:x-ords:run:r1:data:p1', ''),
   ('urn:x-ords:run:r1:act:p1', 'http://www.w3.org/ns/prov#used',
-   CAST(0 AS TINYINT), 'urn:x-ords:run:r1:data:p0', NULL),
+   CAST(0 AS TINYINT), 'urn:x-ords:run:r1:data:p0', ''),
   ('urn:x-ords:run:r1:act:p2', 'http://www.w3.org/ns/prov#used',
-   CAST(0 AS TINYINT), 'urn:x-ords:run:r1:data:p1', NULL)
+   CAST(0 AS TINYINT), 'urn:x-ords:run:r1:data:p1', '')
 ) v(s_lex, pred, o_kind, o_lex, o_dtype)
 """
 

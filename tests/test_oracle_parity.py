@@ -46,7 +46,13 @@ def _canon(v):
 
 
 def _rows(records, cols):
-    return sorted(tuple(_canon(r[c]) for c in cols) for r in records)
+    # sort key wraps each value as (is_null, canon) — a column mixing NULLs
+    # and strings would otherwise hit Python's None < str TypeError while
+    # still needing NULL ≠ '' in the equality
+    return sorted(
+        tuple((c is None, "" if c is None else c) for c in (_canon(r[col]) for col in cols))
+        for r in records
+    )
 
 
 @pytest.mark.parametrize("name", ORACLED)
