@@ -201,6 +201,7 @@ def main() -> None:
         "rdf_lists",
         "snm_pairs",
         "skew_report",
+        "bloom_urls",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

@@ -459,3 +459,70 @@ def exact_quantiles(df: DataFrame, col: str, qs: Sequence[float], buckets: int =
     for pdf in parts[1:]:
         out = out.unionByName(pdf)
     return out
+
+
+def bloom_build(df: DataFrame, col: str, m_bits: int = 1 << 20, k: int = 4) -> DataFrame:
+    """Build a Bloom filter over a column as a DataFrame of 32-bit blocks
+    (blk: long, bits: long) — the crawl-history membership sketch (has
+    this URL ever been fetched?) that admits a new frontier without
+    joining it against the full multi-trillion-row history. Bit
+    positions are md5(v ∥ ':' ∥ i) mod m for i < k — deterministic, so
+    the SAME filter materializes from any partitioning and any engine;
+    32-bit blocks keep every mask positive in a signed 64-bit lane (no
+    sign-bit edge cases across engines).
+
+    Scale: one distinct + one explode(k) + one map-side-combined bit_or
+    per block; the filter is m/32 rows ≤ a few million for billions of
+    members — broadcastable at probe time. Sizing is the standard
+    m ≈ −n·ln(p)/ln(2)², k ≈ (m/n)·ln(2)."""
+    vals = df.select(F.col(col).cast("string").alias("__v")).distinct()
+    pos_exprs = [
+        _h60(F.concat(F.col("__v"), F.lit(f":{i}"))) % int(m_bits) for i in range(int(k))
+    ]
+    pos = vals.select(F.explode(F.array(*pos_exprs)).alias("__p"))
+    return (
+        pos.select(
+            (F.col("__p") / 32).cast("long").alias("blk"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__p % 32 AS INT))").alias("__m"),
+        )
+        .groupBy("blk")
+        .agg(F.bit_or("__m").alias("bits"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    col: str,
+    bloom: DataFrame,
+    id_col: str,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> DataFrame:
+    """Probe a `bloom_build` filter: (id, maybe_seen) — maybe_seen = 1
+    iff ALL k bit positions are set (Bloom's no-false-negative side
+    holds by construction; false positives at the designed rate).
+
+    Scale: candidate positions explode k-wide, the filter side is
+    m/32 rows → broadcast hash join, then one id-keyed count —
+    the probe never shuffles the corpus on anything but its own id."""
+    pos_exprs = [
+        _h60(F.concat(F.col(col).cast("string"), F.lit(f":{i}"))) % int(m_bits)
+        for i in range(int(k))
+    ]
+    probes = df.select(
+        F.col(id_col).alias("id"), F.explode(F.array(*pos_exprs)).alias("__p")
+    ).select(
+        "id",
+        (F.col("__p") / 32).cast("long").alias("blk"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__p % 32 AS INT))").alias("__m"),
+    )
+    joined = probes.join(F.broadcast(bloom), "blk", "left").withColumn(
+        "__hit",
+        F.when(
+            F.col("bits").isNotNull() & ((F.col("bits").bitwiseAND(F.col("__m"))) != 0),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return joined.groupBy("id").agg(
+        F.when(F.sum("__hit") == int(k), F.lit(1)).otherwise(F.lit(0)).alias("maybe_seen")
+    )

@@ -6489,3 +6489,65 @@ FROM ranked, t WHERE rank <= 10
 """
 
 QUERIES["skew_report"] = (q_skew_report, SQL_SKEW_REPORT)
+
+
+def q_bloom_urls(spark, sf):
+    """Crawl-history Bloom filter: build over the 80% 'already fetched'
+    urls, probe the full frontier — (doc_id, member, maybe_seen); no
+    false negatives by construction, false positives at the designed
+    deterministic rate."""
+    from .operators.sketches import bloom_build, bloom_probe
+
+    d = _docs(spark, sf).select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example/d/"),
+            F.col("doc_id").cast("string")
+        ).alias("url"),
+    )
+    members = d.filter(F.col("doc_id") % 5 != 0)
+    bloom = bloom_build(members, "url", m_bits=1 << 16, k=4)
+    probed = bloom_probe(d, "url", bloom, "doc_id", m_bits=1 << 16, k=4)
+    truth = d.select(
+        "doc_id", (F.col("doc_id") % 5 != 0).cast("int").alias("member")
+    )
+    return probed.withColumnRenamed("id", "doc_id").join(truth, "doc_id")
+
+
+SQL_BLOOM_URLS = """
+WITH d AS (
+  SELECT doc_id,
+         'https://' || source || '.example/d/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+),
+mem AS (SELECT DISTINCT url FROM d WHERE doc_id % 5 <> 0),
+pos AS (
+  SELECT ('0x' || substr(md5(url || ':' || i), 1, 15))::BIGINT % 65536 AS p
+  FROM mem, unnest(range(4)) AS t(i)
+),
+bloom AS (
+  SELECT p // 32 AS blk,
+         bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS bits
+  FROM pos GROUP BY 1
+),
+probes AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(url || ':' || i), 1, 15))::BIGINT % 65536 AS p
+  FROM d, unnest(range(4)) AS t(i)
+),
+hits AS (
+  SELECT doc_id,
+         CASE WHEN b.bits IS NOT NULL
+                   AND (b.bits & (CAST(1 AS BIGINT) << CAST(pr.p % 32 AS INTEGER))) <> 0
+              THEN 1 ELSE 0 END AS hit
+  FROM probes pr LEFT JOIN bloom b ON pr.p // 32 = b.blk
+),
+agg AS (
+  SELECT doc_id, CAST(CASE WHEN SUM(hit) = 4 THEN 1 ELSE 0 END AS INTEGER) AS maybe_seen
+  FROM hits GROUP BY doc_id
+)
+SELECT a.doc_id, a.maybe_seen, CAST(d.doc_id % 5 <> 0 AS INTEGER) AS member
+FROM agg a JOIN d USING (doc_id)
+"""
+
+QUERIES["bloom_urls"] = (q_bloom_urls, SQL_BLOOM_URLS)

@@ -750,6 +750,14 @@ def main() -> None:
             ("top-k not full sort", r"TakeOrderedAndProject"),
             ("no cartesian shuffle beyond the 1-row totals", r"CartesianProduct", "absent"),
         ]),
+        ("bloom_urls", [
+            # filter side is m/32 rows → broadcast; probe never shuffles the
+            # corpus on anything but its own id
+            ("filter side broadcast", r"BroadcastHashJoin"),
+            ("map-side-combined bit_or blocks", r"HashAggregate"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
         ("kg_negs", [
             # dense-id dictionary: bucket offsets broadcast back; candidate
             # pick + filtered-protocol check are hash equi/anti joins
