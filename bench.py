@@ -202,6 +202,7 @@ def main() -> None:
         "snm_pairs",
         "skew_report",
         "bloom_urls",
+        "transe_rank",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

@@ -307,3 +307,51 @@ def kg_negative_samples(quads: DataFrame, k: int = 2, buckets: int = 64) -> Data
     return picked.join(truth, ["s_lex", "pred", "neg_o"], "left_anti").select(
         "s_lex", "pred", "o_lex", "neg_ix", "neg_o"
     )
+
+
+def transe_scores(
+    triples: DataFrame,
+    ent_emb: DataFrame,
+    rel_emb: DataFrame | None = None,
+    scale: int = 10_000,
+) -> DataFrame:
+    """TransE plausibility scoring (Bordes et al. 2013): score(s,p,o) =
+    −‖e_s + r_p − e_o‖₁, the translation-model energy used to rank
+    candidate facts (fusion tie-breaking, link-prediction reranking) and
+    to monitor embedding-training batches built from kg_negative_samples.
+
+    triples: (s_lex, pred, o_lex); ent_emb: (ent, embedding);
+    rel_emb: (pred, embedding) or None for the zero relation (score
+    degenerates to −L1(e_s, e_o) — pure embedding proximity).
+
+    All math in double after exact float widening, summed left-to-right
+    by F.aggregate (the ann.py discipline — bit-identical to DuckDB's
+    list fold), exposed as integer ×scale. Output: (s_lex, pred, o_lex,
+    score_x1e4).
+
+    Scale shape: two entity-keyed hash joins against the embedding
+    dictionary (broadcast when it fits, shuffle beyond) + one
+    |predicates|-row broadcast; scoring itself is codegen'd array
+    algebra — no Python, no shuffle beyond the joins."""
+    se = ent_emb.select(F.col("ent").alias("s_lex"), F.col("embedding").alias("__se"))
+    oe = ent_emb.select(F.col("ent").alias("o_lex"), F.col("embedding").alias("__oe"))
+    j = triples.join(se, "s_lex").join(oe, "o_lex")
+    if rel_emb is not None:
+        re_ = rel_emb.select("pred", F.col("embedding").alias("__re"))
+        j = j.join(F.broadcast(re_), "pred")
+        moved = F.zip_with(
+            F.col("__se"), F.col("__re"), lambda x, y: x.cast("double") + y.cast("double")
+        )
+    else:
+        moved = F.transform(F.col("__se"), lambda x: x.cast("double"))
+    l1 = F.aggregate(
+        F.zip_with(moved, F.col("__oe"), lambda x, y: F.abs(x - y.cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return j.select(
+        "s_lex",
+        "pred",
+        "o_lex",
+        F.round(-l1 * int(scale)).cast("long").alias("score_x1e4"),
+    )

@@ -6551,3 +6551,46 @@ FROM agg a JOIN d USING (doc_id)
 """
 
 QUERIES["bloom_urls"] = (q_bloom_urls, SQL_BLOOM_URLS)
+
+
+def q_transe_rank(spark, sf):
+    """TransE energy ranking of consecutive-id embedding pairs under the
+    zero relation (pure −L1 proximity): top-20 most plausible
+    'urn:p:near' facts — the scoring face of the kg_negs training
+    pipeline."""
+    from .operators.walks import transe_scores
+
+    e = _embs(spark, sf)
+    ent_emb = e.select(
+        F.concat(F.lit("urn:v:"), F.col("vec_id").cast("string")).alias("ent"),
+        "embedding",
+    )
+    ids = e.select("vec_id")
+    pairs = (
+        ids.alias("a")
+        .join(ids.alias("b"), F.col("b.vec_id") == F.col("a.vec_id") + 1)
+        .select(
+            F.concat(F.lit("urn:v:"), F.col("a.vec_id").cast("string")).alias("s_lex"),
+            F.lit("urn:p:near").alias("pred"),
+            F.concat(F.lit("urn:v:"), F.col("b.vec_id").cast("string")).alias("o_lex"),
+        )
+    )
+    out = transe_scores(pairs, ent_emb)
+    return out.orderBy(F.desc("score_x1e4"), F.asc("s_lex")).limit(20)
+
+
+SQL_TRANSE_RANK = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+p AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib, a.emb AS ea, b.emb AS eb
+  FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+)
+SELECT 'urn:v:' || CAST(ia AS VARCHAR) AS s_lex, 'urn:p:near' AS pred,
+       'urn:v:' || CAST(ib AS VARCHAR) AS o_lex,
+       CAST(round(-10000 * list_aggregate(
+         list_transform(range(1, len(ea) + 1), i -> abs(ea[i] - eb[i])), 'sum'
+       )) AS BIGINT) AS score_x1e4
+FROM p ORDER BY score_x1e4 DESC, s_lex ASC LIMIT 20
+"""
+
+QUERIES["transe_rank"] = (q_transe_rank, SQL_TRANSE_RANK)

@@ -758,6 +758,13 @@ def main() -> None:
             ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
             ("no cartesian product", r"CartesianProduct", "absent"),
         ]),
+        ("transe_rank", [
+            # embedding-dict hash joins + codegen'd array fold; ranking is
+            # top-k, never a full sort
+            ("embedding joins are hash joins", r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin"),
+            ("top-k not full sort", r"TakeOrderedAndProject"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
         ("kg_negs", [
             # dense-id dictionary: bucket offsets broadcast back; candidate
             # pick + filtered-protocol check are hash equi/anti joins
