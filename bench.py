@@ -203,6 +203,7 @@ def main() -> None:
         "skew_report",
         "bloom_urls",
         "transe_rank",
+        "bisim_summary",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

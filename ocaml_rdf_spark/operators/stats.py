@@ -308,3 +308,75 @@ def skew_report(df: DataFrame, key_col: str, k: int = 10) -> DataFrame:
         "n_keys",
         F.expr("n * 1000000 div total_rows").alias("share_ppm"),
     )
+
+
+def bisim_summary(quads: DataFrame, k: int = 2) -> DataFrame:
+    """K-bisimulation quotient/summary graph (the SchemEX / structural-
+    index line of work — Kaushik et al. A(k)-index, Schätzle et al. RDF
+    bisimulation on MapReduce): nodes colored by k rounds of forward
+    color refinement (color' = md5(color ∥ sorted set of
+    (pred ∥ target color)); round 0 = the node's sorted rdf:type set),
+    then the instance graph collapses to one row per
+    (source color, predicate, target color):
+
+      (s_color, pred, o_color, n_edges, n_src)
+
+    The summary is what query planners and schema-drift monitors consult
+    instead of the 10^12-edge instance graph: two nodes share a color
+    iff they are indistinguishable by any outgoing path of length ≤ k.
+
+    Scale shape per round: one edge⋈color join (target side) + one
+    map-side-combined sorted-set aggregation per node — the same plan as
+    canon.canonical_bnode_labels, generalized from bnodes to the whole
+    node set with a FIXED k (structural indexes use k=1..3; colors
+    stabilize long before the graph diameter). Exact, deterministic:
+    every color is an md5 of canonical strings, so the same summary
+    materializes from any partitioning or engine."""
+    edges = quads.filter(
+        (F.col("pred") != RDF_TYPE) & (F.col("o_kind") == 0)
+    ).select("s_lex", "pred", F.col("o_lex").alias("t"))
+    nodes = (
+        quads.select(F.col("s_lex").alias("n"))
+        .unionByName(quads.filter(F.col("o_kind") == 0).select(F.col("o_lex").alias("n")))
+        .distinct()
+    )
+    types = quads.filter(F.col("pred") == RDF_TYPE).select(
+        F.col("s_lex").alias("n"), F.col("o_lex").alias("ty")
+    )
+    colors = (
+        nodes.join(types, "n", "left")
+        .groupBy("n")
+        .agg(F.sort_array(F.collect_set("ty")).alias("tys"))
+        .select("n", F.md5(F.concat_ws("\x1f", F.col("tys"))).alias("color"))
+    )
+    for _ in range(max(0, int(k))):
+        tgt = colors.select(F.col("n").alias("t"), F.col("color").alias("t_color"))
+        desc = edges.join(tgt, "t", "inner").select(
+            F.col("s_lex").alias("n"),
+            F.concat_ws("\x1e", F.col("pred"), F.col("t_color")).alias("d"),
+        )
+        descs = desc.groupBy("n").agg(F.sort_array(F.collect_set("d")).alias("ds"))
+        colors = (
+            colors.join(descs, "n", "left")
+            .select(
+                "n",
+                F.md5(
+                    F.concat_ws(
+                        "\x1d",
+                        F.col("color"),
+                        F.concat_ws("\x1f", F.coalesce(F.col("ds"), F.array())),
+                    )
+                ).alias("color"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    sc = colors.select(F.col("n").alias("s_lex"), F.col("color").alias("s_color"))
+    oc = colors.select(F.col("n").alias("t"), F.col("color").alias("o_color"))
+    return (
+        edges.join(sc, "s_lex").join(oc, "t")
+        .groupBy("s_color", "pred", "o_color")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.countDistinct("s_lex").alias("n_src"),
+        )
+    )

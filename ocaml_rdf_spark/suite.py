@@ -6594,3 +6594,62 @@ FROM p ORDER BY score_x1e4 DESC, s_lex ASC LIMIT 20
 """
 
 QUERIES["transe_rank"] = (q_transe_rank, SQL_TRANSE_RANK)
+
+
+def q_bisim_summary(spark, sf):
+    """2-bisimulation quotient graph of the store (structural index):
+    nodes colored by 2 rounds of forward refinement from their type
+    sets, instance edges collapsed per (s_color, pred, o_color)."""
+    from .operators.stats import bisim_summary
+
+    return bisim_summary(triples_view(spark, sf), k=2)
+
+
+SQL_BISIM_SUMMARY = W + f""",
+edges AS (
+  SELECT s_lex, pred, o_lex AS t FROM triples
+  WHERE pred <> '{RDF_TYPE}' AND o_kind = 0
+),
+nodes AS (
+  SELECT DISTINCT n FROM (
+    SELECT s_lex AS n FROM triples
+    UNION SELECT o_lex FROM triples WHERE o_kind = 0
+  )
+),
+ty AS (SELECT s_lex AS n, o_lex AS ty FROM triples WHERE pred = '{RDF_TYPE}'),
+c0 AS (
+  SELECT nodes.n,
+         md5(COALESCE(array_to_string(
+           list_sort(list(DISTINCT ty.ty) FILTER (WHERE ty.ty IS NOT NULL)), chr(31)
+         ), '')) AS color
+  FROM nodes LEFT JOIN ty ON nodes.n = ty.n GROUP BY nodes.n
+),
+d1 AS (
+  SELECT e.s_lex AS n, e.pred || chr(30) || c.color AS d
+  FROM edges e JOIN c0 c ON e.t = c.n
+),
+ds1 AS (SELECT n, list_sort(list(DISTINCT d)) AS ds FROM d1 GROUP BY n),
+c1 AS (
+  SELECT c0.n,
+         md5(c0.color || chr(29) || COALESCE(array_to_string(ds1.ds, chr(31)), '')) AS color
+  FROM c0 LEFT JOIN ds1 ON c0.n = ds1.n
+),
+d2 AS (
+  SELECT e.s_lex AS n, e.pred || chr(30) || c.color AS d
+  FROM edges e JOIN c1 c ON e.t = c.n
+),
+ds2 AS (SELECT n, list_sort(list(DISTINCT d)) AS ds FROM d2 GROUP BY n),
+c2 AS (
+  SELECT c1.n,
+         md5(c1.color || chr(29) || COALESCE(array_to_string(ds2.ds, chr(31)), '')) AS color
+  FROM c1 LEFT JOIN ds2 ON c1.n = ds2.n
+)
+SELECT sc.color AS s_color, e.pred, oc.color AS o_color,
+       COUNT(*) AS n_edges, COUNT(DISTINCT e.s_lex) AS n_src
+FROM edges e
+JOIN c2 sc ON e.s_lex = sc.n
+JOIN c2 oc ON e.t = oc.n
+GROUP BY 1, 2, 3
+"""
+
+QUERIES["bisim_summary"] = (q_bisim_summary, SQL_BISIM_SUMMARY)

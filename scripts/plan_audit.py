@@ -765,6 +765,14 @@ def main() -> None:
             ("top-k not full sort", r"TakeOrderedAndProject"),
             ("no cartesian product", r"CartesianProduct", "absent"),
         ]),
+        ("bisim_summary", [
+            # per-round: one target-color hash join + sorted-set agg; the
+            # final collapse is two color joins + a catalog-keyed count
+            ("color joins are hash joins", r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin"),
+            ("sorted-set refinement aggs", r"HashAggregate|ObjectHashAggregate"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
         ("kg_negs", [
             # dense-id dictionary: bucket offsets broadcast back; candidate
             # pick + filtered-protocol check are hash equi/anti joins

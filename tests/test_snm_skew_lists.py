@@ -95,3 +95,32 @@ def test_rdf_lists_shared_tail_flattens_per_entry_point(spark):
 def test_rdf_lists_empty_store(spark):
     q = _list_quads(spark, []).limit(0)
     assert rdf_lists(q).count() == 0
+
+
+def test_bisim_summary_distinguishes_at_depth_two(spark):
+    """Two 'a'-class nodes point via :p at 'b'-class nodes; only one of
+    those b-nodes has an outgoing :q edge — at k=1 the a-nodes already
+    split because their targets' round-0 colors agree but round-1
+    colors differ... at k=2 the split is guaranteed. Checks the quotient
+    collapses regular structure and separates irregular structure."""
+    from ocaml_rdf_spark.operators.stats import bisim_summary
+
+    RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    rows = [
+        ("a1", RDF_TYPE, 0, "A"), ("a2", RDF_TYPE, 0, "A"),
+        ("b1", RDF_TYPE, 0, "B"), ("b2", RDF_TYPE, 0, "B"),
+        ("a1", "urn:p:p", 0, "b1"), ("a2", "urn:p:p", 0, "b2"),
+        ("b1", "urn:p:q", 0, "c1"),  # only b1 continues
+    ]
+    df = spark.createDataFrame(
+        rows, "s_lex string, pred string, o_kind int, o_lex string"
+    ).withColumn("o_kind", F.col("o_kind").cast("tinyint"))
+    out = bisim_summary(df, k=2).collect()
+    # b1 and b2 must have different colors (q-edge visible at k>=1), so
+    # the two p-edges land in two separate summary rows
+    p_rows = [r for r in out if r["pred"] == "urn:p:p"]
+    assert len(p_rows) == 2 and all(r["n_edges"] == 1 for r in p_rows)
+    # and at k=0 the p-edges collapse into ONE row (b1,b2 same type color)
+    out0 = bisim_summary(df, k=0).collect()
+    p0 = [r for r in out0 if r["pred"] == "urn:p:p"]
+    assert len(p0) == 1 and p0[0]["n_edges"] == 2 and p0[0]["n_src"] == 2
