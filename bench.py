@@ -204,6 +204,8 @@ def main() -> None:
         "bloom_urls",
         "transe_rank",
         "bisim_summary",
+        "containment",
+        "ns_migrate",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

@@ -358,3 +358,23 @@ def rdf_lists(quads: DataFrame, max_len: int = 64) -> DataFrame:
         _F.col("o_lex").alias("item"),
         _F.col("o_dtype"),
     )
+
+
+def rewrite_namespace(quads: DataFrame, old_prefix: str, new_prefix: str) -> DataFrame:
+    """Namespace migration — rewrite every IRI under `old_prefix` to
+    `new_prefix` across subject / predicate / IRI-object positions (the
+    admin operation behind vocabulary upgrades and .invalid→production
+    domain moves; cf. rdf_graph.ml's namespace bindings, SURVEY §2.1).
+    Literals and non-matching IRIs pass through untouched. Map-only
+    anchored-prefix column algebra: ZERO shuffles at any store size, and
+    the same quad count out as in (rewriting never merges rows here —
+    run the store's set-dedup sink after if the rewrite can collide)."""
+    def rw(col: F.Column, is_iri: F.Column) -> F.Column:
+        hit = is_iri & col.startswith(old_prefix)
+        return F.when(
+            hit, F.concat(F.lit(new_prefix), F.substring(col, len(old_prefix) + 1, 2**30))
+        ).otherwise(col)
+
+    out = quads.withColumn("s_lex", rw(F.col("s_lex"), F.col("s_kind") == 0))
+    out = out.withColumn("pred", rw(F.col("pred"), F.lit(True)))
+    return out.withColumn("o_lex", rw(F.col("o_lex"), F.col("o_kind") == 0))

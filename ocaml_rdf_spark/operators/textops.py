@@ -1670,3 +1670,67 @@ def allpairs_jaccard(
     )
     scored = ngram_jaccard(docs.drop("__w"), pairs, n=n)
     return scored.filter(F.col("jac_pct") >= jac_min)
+
+
+def containment_pairs(
+    docs: DataFrame, n: int = 3, cont_min: int = 80, max_df: int = 50
+) -> DataFrame:
+    """Directional containment dedup (Broder's containment coefficient
+    C(A,B) = |A∩B| / |A|): catches the quote/wrapper/expansion cases
+    symmetric Jaccard misses — a short doc fully embedded in a long one
+    has tiny Jaccard but containment ≈ 100. Pairs come from the same
+    df-capped gram inverted index as allpairs_jaccard; emitted when
+    EITHER direction reaches cont_min.
+
+    Output: (doc_a, doc_b, cont_a_pct, cont_b_pct, jac_pct) — cont_a is
+    how much of doc_a's gram set lies inside doc_b.
+
+    Scale: identical shape to allpairs_jaccard (candidate self-join
+    bounded by Σ df² ≤ max_df·Σ df); the extra columns are free — same
+    intersection count, two more integer divisions."""
+    docs = docs.withColumn("__w", words(F.col("text")))
+    w = F.col("__w")
+    idx = F.when(F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = (
+        docs.select(
+            "doc_id",
+            F.explode(F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, n)))).alias("g"),
+        )
+        .filter(F.length("g") > 0)
+        .distinct()
+    )
+    dfreq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
+    keep = grams.join(dfreq.filter(F.col("__df") <= max_df), "g").select("doc_id", "g")
+    pairs = (
+        keep.alias("a")
+        .join(keep.alias("b"), "g")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ga = grams.select(F.col("doc_id").alias("doc_a"), "g")
+    gb = grams.select(F.col("doc_id").alias("doc_b"), "g")
+    inter = (
+        pairs.join(ga, "doc_a").join(gb, ["doc_b", "g"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    scored = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_grams", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_grams", "sz_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.floor(F.col("n_inter") * 100 / F.col("sz_a")).cast("long").alias("cont_a_pct"),
+            F.floor(F.col("n_inter") * 100 / F.col("sz_b")).cast("long").alias("cont_b_pct"),
+            F.floor(
+                F.col("n_inter") * 100 / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+            ).cast("long").alias("jac_pct"),
+        )
+    )
+    return scored.filter(
+        (F.col("cont_a_pct") >= cont_min) | (F.col("cont_b_pct") >= cont_min)
+    )

@@ -6653,3 +6653,75 @@ GROUP BY 1, 2, 3
 """
 
 QUERIES["bisim_summary"] = (q_bisim_summary, SQL_BISIM_SUMMARY)
+
+
+def q_containment(spark, sf):
+    """Directional containment dedup over documents: pairs where either
+    gram set is >=80% inside the other — the quote/wrapper cases
+    symmetric Jaccard misses."""
+    from .operators.textops import containment_pairs
+
+    return containment_pairs(_docs(spark, sf), n=3, cont_min=80, max_df=50)
+
+
+SQL_CONTAINMENT = """
+WITH wlist AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS ws FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS g
+  FROM wlist, unnest(range(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 3
+),
+dfreq AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY g),
+keep AS (SELECT gr.doc_id, gr.g FROM grams gr JOIN dfreq USING (g) WHERE dfreq.df <= 50),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM keep a JOIN keep b ON a.g = b.g AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+  FROM pairs p
+  JOIN grams ga ON ga.doc_id = p.doc_a
+  JOIN grams gb ON gb.doc_id = p.doc_b AND gb.g = ga.g
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id)
+SELECT i.doc_a, i.doc_b,
+       CAST(floor(n_inter * 100.0 / sa.n_grams) AS BIGINT) AS cont_a_pct,
+       CAST(floor(n_inter * 100.0 / sb.n_grams) AS BIGINT) AS cont_b_pct,
+       CAST(floor(n_inter * 100.0 / (sa.n_grams + sb.n_grams - n_inter)) AS BIGINT) AS jac_pct
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE floor(n_inter * 100.0 / sa.n_grams) >= 80
+   OR floor(n_inter * 100.0 / sb.n_grams) >= 80
+"""
+
+QUERIES["containment"] = (q_containment, SQL_CONTAINMENT)
+
+
+def q_ns_migrate(spark, sf):
+    """Namespace migration: move the nation vocabulary urn:n: to an
+    https namespace across subject/object positions (map-only anchored
+    prefix rewrite); returns the inNation slice to show both rewritten
+    objects and untouched subjects."""
+    from .operators.canon import rewrite_namespace
+
+    # filter BEFORE the rewrite: the predicate equality then pushes to the
+    # store scan (the rewritten pred is a CASE expression Catalyst can't
+    # push); equivalent here because the migration can't mint urn:p: IRIs
+    sl = triples_view(spark, sf).filter(F.col("pred") == P_IN_NATION)
+    out = rewrite_namespace(sl, "urn:n:", "https://ex.invalid/nation/")
+    return out.select("s_lex", "pred", "o_lex")
+
+
+SQL_NS_MIGRATE = """
+SELECT 'urn:cu:' || c_custkey AS s_lex, 'urn:p:inNation' AS pred,
+       'https://ex.invalid/nation/' || c_nationkey AS o_lex
+FROM customer
+UNION ALL
+SELECT 'urn:su:' || s_suppkey, 'urn:p:inNation',
+       'https://ex.invalid/nation/' || s_nationkey
+FROM supplier
+"""
+
+QUERIES["ns_migrate"] = (q_ns_migrate, SQL_NS_MIGRATE)

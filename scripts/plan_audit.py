@@ -773,6 +773,16 @@ def main() -> None:
             ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
             ("no cartesian product", r"CartesianProduct", "absent"),
         ]),
+        ("containment", [
+            # same bounded inverted-index shape as blocking_eval's truth
+            ("pair joins are hash equi-joins", r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
+        ("ns_migrate", [
+            # anchored-prefix rewrite is map-only over the store scan
+            ("zero shuffles", r"Exchange", "absent"),
+            ("pred filter pushed to store scan", r"PushedFilters: \[.*EqualTo\(pred"),
+        ]),
         ("kg_negs", [
             # dense-id dictionary: bucket offsets broadcast back; candidate
             # pick + filtered-protocol check are hash equi/anti joins

@@ -110,3 +110,46 @@ def test_blocking_metrics_null_recall_on_empty_truth(spark):
     truth = spark.createDataFrame([], "doc_a long, doc_b long")
     row = blocking_metrics(cand, truth, n_items=5).collect()[0]
     assert row["n_truth"] == 0 and row["recall_ppm"] is None
+
+
+def test_containment_catches_embedded_doc(spark):
+    from ocaml_rdf_spark.operators.textops import containment_pairs
+
+    long = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon"),  # fully inside 2
+            (2, long),
+            (3, "one two three four five"),  # unrelated
+        ],
+    )
+    out = {(r["doc_a"], r["doc_b"]): r for r in
+           containment_pairs(docs, n=3, cont_min=80, max_df=10).collect()}
+    assert (1, 2) in out
+    r = out[(1, 2)]
+    assert r["cont_a_pct"] == 100  # every gram of 1 is in 2
+    assert r["cont_b_pct"] < 50 and r["jac_pct"] < 50  # jaccard alone misses it
+    assert not any(3 in p for p in out)
+
+
+def test_rewrite_namespace_positions_and_passthrough(spark):
+    from pyspark.sql import functions as F
+    from ocaml_rdf_spark.operators.canon import rewrite_namespace
+
+    rows = [
+        (0, "urn:a:s1", "urn:a:p", 0, "urn:a:o1", None),
+        (0, "urn:b:s2", "urn:a:p", 2, "urn:a:looks-like-iri", None),  # literal untouched
+        (1, "urn:a:bnode-label", "urn:b:p", 0, "urn:b:o", None),  # bnode subject untouched
+    ]
+    df = spark.createDataFrame(
+        rows, "s_kind int, s_lex string, pred string, o_kind int, o_lex string, o_dtype string"
+    ).select(
+        F.col("s_kind").cast("tinyint"), "s_lex", "pred",
+        F.col("o_kind").cast("tinyint"), "o_lex", "o_dtype",
+    )
+    out = rewrite_namespace(df, "urn:a:", "urn:z:").collect()
+    got = {(r["s_kind"], r["s_lex"], r["pred"], r["o_kind"], r["o_lex"]) for r in out}
+    assert (0, "urn:z:s1", "urn:z:p", 0, "urn:z:o1") in got
+    assert (0, "urn:b:s2", "urn:z:p", 2, "urn:a:looks-like-iri") in got
+    assert (1, "urn:a:bnode-label", "urn:b:p", 0, "urn:b:o") in got
