@@ -206,6 +206,8 @@ def main() -> None:
         "bisim_summary",
         "containment",
         "ns_migrate",
+        "corpus_card",
+        "rel_extract",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

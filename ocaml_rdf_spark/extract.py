@@ -224,3 +224,43 @@ def salted_repartition(pages: DataFrame, num_partitions: int, salt_buckets: int 
     host = F.lower(F.regexp_extract("url", r"^[a-z][a-z0-9+.-]*://([^/:@]+@)?([^/:?#]+)", 2))
     salt = F.pmod(F.xxhash64("url"), F.lit(salt_buckets))
     return pages.repartition(num_partitions, F.xxhash64(host), salt)
+
+
+def extract_relations(
+    docs: DataFrame,
+    patterns: list,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pattern-based relation extraction (the Hearst-pattern family —
+    'X such as Y', 'X works for Y'): each pattern is (pred_iri, regex
+    with exactly TWO capture groups); every non-overlapping match emits
+    a mention-level (doc_id, subj, pred, obj) row for the linking stage
+    to resolve into IRIs. Deduplicated per (doc, pred, subj, obj).
+
+    Map-only per pattern: two regexp_extract_all projections zipped and
+    exploded — no UDF, no shuffle before the final distinct; N patterns
+    scan the corpus once each (union of narrow projections over the
+    same scan — Catalyst caches the parquet footer work, and at 100 TB
+    patterns are better batched into one alternation per predicate
+    family if the pattern list grows past a handful)."""
+    outs = []
+    for pred, rx in patterns:
+        g1 = F.regexp_extract_all(F.col(text_col), F.lit(rx), F.lit(1))
+        g2 = F.regexp_extract_all(F.col(text_col), F.lit(rx), F.lit(2))
+        pairs = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.arrays_zip(g1.alias("s"), g2.alias("o"))).alias("z"),
+        )
+        outs.append(
+            pairs.select(
+                "doc_id",
+                F.col("z.s").alias("subj"),
+                F.lit(pred).alias("pred"),
+                F.col("z.o").alias("obj"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.distinct()

@@ -1734,3 +1734,56 @@ def containment_pairs(
     return scored.filter(
         (F.col("cont_a_pct") >= cont_min) | (F.col("cont_b_pct") >= cont_min)
     )
+
+
+def corpus_card(docs: DataFrame) -> DataFrame:
+    """Dataset-card rollup — the per-language corpus report a training-
+    data pipeline publishes next to each snapshot (docs, token supply,
+    exact-dup rate, quality profile). ONE text scan: the lang-ID,
+    quality, token, and dup-hash columns are the same audited
+    expressions as lang_id / quality_score / token_counts /
+    exact_dup_groups, fused into a single projection so the corpus is
+    read once (three separate operator joins would re-scan the text
+    column per feature at 100 TB); then one map-side-combined
+    per-language aggregation whose reduce side is |languages| rows.
+
+    Output per lang: (lang, n_docs, ws_tokens, dup_docs, quality_sum,
+    mean_quality_x100) — all exact BIGINTs (mean = sum·100 div n)."""
+    t = F.col("text")
+    w = words(t)
+    langs = sorted(LANG_STOPWORDS)
+    def _score(sw):
+        # closure factory, NOT a default-arg lambda: PySpark passes one
+        # Column per lambda PARAMETER (a 2-arg lambda means value+index)
+        return F.size(F.filter(w, lambda x: F.lower(x).isin(*sw)))
+
+    scores = {lg: _score(sw) for lg, sw in sorted(LANG_STOPWORDS.items())}
+    best = F.greatest(*scores.values())
+    guess = F.coalesce(*[F.when(scores[lg] == best, F.lit(lg)) for lg in langs])
+    lang = F.when(best > 0, guess).otherwise(F.lit("und"))
+    n_tok = F.size(w).cast("long")
+    n_chars = F.length(t).cast("long")
+    n_punct = (n_chars - F.length(F.regexp_replace(t, r"[.,;:!?]", ""))).cast("long")
+    en = LANG_STOPWORDS["en"]
+    n_stop = F.size(F.filter(w, lambda x: F.lower(x).isin(*en))).cast("long")
+    mean_tok_x100 = F.floor(n_chars * 100 / F.greatest(n_tok, F.lit(1))).cast("long")
+    punct_x1000 = F.floor(n_punct * 1000 / F.greatest(n_chars, F.lit(1))).cast("long")
+    stop_x1000 = F.floor(n_stop * 1000 / F.greatest(n_tok, F.lit(1))).cast("long")
+    quality = (
+        F.when((n_tok >= 10) & (mean_tok_x100 >= 300) & (mean_tok_x100 <= 1200), 50).otherwise(0)
+        + F.when(stop_x1000 > 0, 30).otherwise(0)
+        + F.when(punct_x1000 <= 200, 20).otherwise(0)
+    ).cast("long")
+    per_doc = docs.select(
+        lang.alias("lang"),
+        n_tok.alias("ws_tokens"),
+        quality.alias("q"),
+        F.md5(t).alias("h"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws_tokens").alias("ws_tokens"),
+        (F.count(F.lit(1)) - F.countDistinct("h")).alias("dup_docs"),
+        F.sum("q").alias("quality_sum"),
+        F.expr("sum(q) * 100 div count(1)").alias("mean_quality_x100"),
+    )

@@ -6725,3 +6725,84 @@ FROM supplier
 """
 
 QUERIES["ns_migrate"] = (q_ns_migrate, SQL_NS_MIGRATE)
+
+
+def q_corpus_card(spark, sf):
+    """Per-language dataset card: docs, token supply, exact-dup count,
+    quality profile — one text scan, one language-keyed agg."""
+    from .operators.textops import corpus_card
+
+    return corpus_card(_docs(spark, sf))
+
+
+SQL_CORPUS_CARD = f"""
+WITH per AS (
+  SELECT
+    CASE WHEN greatest(s_de, s_en, s_fr) = 0 THEN 'und'
+         WHEN s_de = greatest(s_de, s_en, s_fr) THEN 'de'
+         WHEN s_en = greatest(s_de, s_en, s_fr) THEN 'en'
+         ELSE 'fr' END AS lang,
+    ws, q, h
+  FROM (
+    SELECT
+      len(list_filter(string_split_regex(trim(text), ' +'), x -> lower(x) IN ({_SW_DE}))) AS s_de,
+      len(list_filter(string_split_regex(trim(text), ' +'), x -> lower(x) IN ({_SW_EN}))) AS s_en,
+      len(list_filter(string_split_regex(trim(text), ' +'), x -> lower(x) IN ({_SW_FR}))) AS s_fr,
+      CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS ws,
+      (CASE WHEN len(string_split_regex(trim(text), ' +')) >= 10
+                 AND floor(length(text) * 100.0 / greatest(len(string_split_regex(trim(text), ' +')), 1)) BETWEEN 300 AND 1200
+            THEN 50 ELSE 0 END)
+      + (CASE WHEN floor(len(list_filter(string_split_regex(trim(text), ' +'), x -> lower(x) IN ({_SW_EN}))) * 1000.0
+                     / greatest(len(string_split_regex(trim(text), ' +')), 1)) > 0 THEN 30 ELSE 0 END)
+      + (CASE WHEN floor((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) * 1000.0
+                     / greatest(length(text), 1)) <= 200 THEN 20 ELSE 0 END) AS q,
+      md5(text) AS h
+    FROM documents
+  )
+)
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+       CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS dup_docs,
+       CAST(SUM(q) AS BIGINT) AS quality_sum,
+       CAST(SUM(q) * 100 // COUNT(*) AS BIGINT) AS mean_quality_x100
+FROM per GROUP BY lang
+"""
+
+QUERIES["corpus_card"] = (q_corpus_card, SQL_CORPUS_CARD)
+
+
+def q_rel_extract(spark, sf):
+    """Hearst-style pattern relation extraction over the document corpus:
+    'X merge Y' / 'X join Y' patterns to mention-level triples for the
+    linking stage."""
+    from .extract import extract_relations
+
+    pats = [
+        ("urn:p:mergesWith", r"([a-z]+) merge ([a-z]+)"),
+        ("urn:p:joinsWith", r"([a-z]+) join ([a-z]+)"),
+    ]
+    return extract_relations(_docs(spark, sf), pats)
+
+
+SQL_REL_EXTRACT = """
+WITH m AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '([a-z]+) merge ([a-z]+)', 1) AS a,
+         regexp_extract_all(text, '([a-z]+) merge ([a-z]+)', 2) AS b
+  FROM documents
+),
+j AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '([a-z]+) join ([a-z]+)', 1) AS a,
+         regexp_extract_all(text, '([a-z]+) join ([a-z]+)', 2) AS b
+  FROM documents
+)
+SELECT DISTINCT doc_id, subj, pred, obj FROM (
+  SELECT doc_id, a[i] AS subj, 'urn:p:mergesWith' AS pred, b[i] AS obj
+  FROM m, unnest(range(1, len(a) + 1)) t(i)
+  UNION ALL
+  SELECT doc_id, a[i], 'urn:p:joinsWith', b[i]
+  FROM j, unnest(range(1, len(a) + 1)) t(i)
+)
+"""
+
+QUERIES["rel_extract"] = (q_rel_extract, SQL_REL_EXTRACT)

@@ -783,6 +783,19 @@ def main() -> None:
             ("zero shuffles", r"Exchange", "absent"),
             ("pred filter pushed to store scan", r"PushedFilters: \[.*EqualTo\(pred"),
         ]),
+        ("corpus_card", [
+            # ONE text scan (fused projection), one lang-keyed agg
+            ("single fused aggregation", r"HashAggregate"),
+            ("no join at all", r"Join", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
+        ("rel_extract", [
+            # map-only regexp projections + explode; only the final
+            # distinct shuffles
+            ("match expansion is a generator", r"Generate"),
+            ("no join at all", r"Join", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
         ("kg_negs", [
             # dense-id dictionary: bucket offsets broadcast back; candidate
             # pick + filtered-protocol check are hash equi/anti joins
