@@ -1658,6 +1658,10 @@ def allpairs_jaccard(
         )
         .filter(F.length("g") > 0)
         .distinct()
+        # the gram table feeds FOUR consumers (df counts, the pair
+        # self-join's two sides, sizes, intersections) — without a
+        # checkpoint each re-derives the corpus-wide explode from lineage
+        .localCheckpoint(eager=False)
     )
     dfreq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
     keep = grams.join(dfreq.filter(F.col("__df") <= max_df), "g").select("doc_id", "g")
@@ -1668,7 +1672,27 @@ def allpairs_jaccard(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    scored = ngram_jaccard(docs.drop("__w"), pairs, n=n)
+    ga = grams.select(F.col("doc_id").alias("doc_a"), "g")
+    gb = grams.select(F.col("doc_id").alias("doc_b"), "g")
+    inter = (
+        pairs.join(ga, "doc_a").join(gb, ["doc_b", "g"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    scored = (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .na.fill({"n_inter": 0})
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_grams", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_grams", "sz_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.floor(
+                F.col("n_inter") * 100 / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+            ).cast("long").alias("jac_pct"),
+        )
+    )
     return scored.filter(F.col("jac_pct") >= jac_min)
 
 
@@ -1700,6 +1724,8 @@ def containment_pairs(
         )
         .filter(F.length("g") > 0)
         .distinct()
+        # four consumers below — checkpoint or the explode re-runs per use
+        .localCheckpoint(eager=False)
     )
     dfreq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
     keep = grams.join(dfreq.filter(F.col("__df") <= max_df), "g").select("doc_id", "g")
