@@ -208,6 +208,8 @@ def main() -> None:
         "ns_migrate",
         "corpus_card",
         "rel_extract",
+        "type_infer",
+        "trans_reduce",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

@@ -322,3 +322,29 @@ class Repeat(Path):
             frontier = compose(frontier, hop).localCheckpoint(eager=False)
             acc = acc.unionByName(frontier)
         return acc.distinct()
+
+
+def transitive_reduction(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Transitive reduction of a DAG edge set (src, dst): drop every edge
+    implied by a longer path — the ontology-maintenance pass that prunes
+    redundant skos:broader / rdfs:subClassOf shortcuts after merges, so
+    the stored hierarchy stays minimal and the closure stays derivable.
+
+    An edge (a,c) is redundant iff some b exists with edge (a,b) and c
+    reachable from b — i.e. (a,c) also appears as edge ∘ closure. For a
+    DAG the reduction is unique (Aho, Garey & Ullman 1972). Cycles would
+    make 'redundant' ill-defined; run scc_components first and reduce
+    the condensation if the input may have cycles.
+
+    Scale shape: one `transitive_closure` (frontier → path-doubling, the
+    audited O(log d) plan) + one edge⋈closure hash join + one hash anti
+    join — hierarchy edges are ontology-tier data (≪ instance scale)."""
+    e = edges.select("src", "dst").distinct()
+    clo = transitive_closure(e, max_iter=max_iter)
+    via = (
+        e.alias("d")
+        .join(clo.alias("c"), F.col("d.dst") == F.col("c.src"), "inner")
+        .select(F.col("d.src").alias("src"), F.col("c.dst").alias("dst"))
+        .distinct()
+    )
+    return e.join(via, ["src", "dst"], "left_anti")

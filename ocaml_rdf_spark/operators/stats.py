@@ -380,3 +380,56 @@ def bisim_summary(quads: DataFrame, k: int = 2) -> DataFrame:
             F.countDistinct("s_lex").alias("n_src"),
         )
     )
+
+
+def sdtype_infer(quads: DataFrame) -> DataFrame:
+    """Type inference for untyped entities from their predicate profile
+    (the SDType idea, Paulheim & Bizer ISWC 2013, as an exact integer
+    vote): every TYPED subject contributes weight 1 to (pred, type) for
+    each predicate it carries; an untyped subject's score for a type is
+    the sum over its own predicates — argmax wins, with the evidence
+    mass and an integer ppm confidence reported so a pipeline can
+    threshold. KG-completion's 'fill the missing rdf:type' pass.
+
+    Output: (s_lex, type_guess, score, evidence, conf_ppm), one row per
+    untyped subject that shares at least one predicate with typed data.
+
+    Scale shape: the (pred, type) weight table is catalog-sized
+    (|preds| × |classes|) → broadcast into the untyped side's
+    subject-pred pairs; one (subject, type)-keyed map-side-combined sum
+    + one subject-keyed argmax window whose per-key group is |classes|.
+    No instance-scale self-joins."""
+    types = quads.filter(F.col("pred") == RDF_TYPE).select(
+        F.col("s_lex").alias("s"), F.col("o_lex").alias("ty")
+    ).dropDuplicates()
+    sp = quads.filter(F.col("pred") != RDF_TYPE).select(
+        F.col("s_lex").alias("s"), "pred"
+    ).dropDuplicates()
+    weights = (
+        sp.join(types, "s", "inner")
+        .groupBy("pred", "ty")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    pred_tot = weights.groupBy("pred").agg(F.sum("w").alias("n"))
+    untyped = sp.join(types.select("s").distinct(), "s", "left_anti")
+    scored = (
+        untyped.join(F.broadcast(weights), "pred")
+        .groupBy("s", "ty")
+        .agg(F.sum("w").alias("score"))
+    )
+    evid = (
+        untyped.join(F.broadcast(pred_tot), "pred")
+        .groupBy("s")
+        .agg(F.sum("n").alias("evidence"))
+    )
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("s").orderBy(F.desc("score"), F.asc("ty"))
+    best = scored.withColumn("_rn", F.row_number().over(win)).filter(F.col("_rn") == 1)
+    return best.join(evid, "s").select(
+        F.col("s").alias("s_lex"),
+        F.col("ty").alias("type_guess"),
+        "score",
+        "evidence",
+        F.expr("score * 1000000 div evidence").alias("conf_ppm"),
+    )

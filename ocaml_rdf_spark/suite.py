@@ -6811,3 +6811,82 @@ SELECT DISTINCT doc_id, subj, pred, obj FROM (
 """
 
 QUERIES["rel_extract"] = (q_rel_extract, SQL_REL_EXTRACT)
+
+
+def q_type_infer(spark, sf):
+    """SDType-style type inference: hide every 10th customer's rdf:type,
+    infer it back from the predicate profile (segment/name/inNation/
+    acctbal) — the KG-completion 'fill missing types' pass."""
+    from .operators.stats import sdtype_infer
+
+    t = triples_view(spark, sf)
+    hidden = (F.col("pred") == RDF_TYPE) & F.col("s_lex").startswith("urn:cu:") & (
+        F.regexp_extract("s_lex", r"urn:cu:(\d+)", 1).cast("long") % 10 == 0
+    )
+    return sdtype_infer(t.filter(~hidden))
+
+
+SQL_TYPE_INFER = W + f""",
+t AS (
+  SELECT * FROM triples
+  WHERE NOT (pred = '{RDF_TYPE}' AND s_lex LIKE 'urn:cu:%'
+             AND TRY_CAST(regexp_extract(s_lex, 'urn:cu:(\\d+)', 1) AS BIGINT) % 10 = 0)
+),
+ty AS (SELECT DISTINCT s_lex AS s, o_lex AS tyv FROM t WHERE pred = '{RDF_TYPE}'),
+sp AS (SELECT DISTINCT s_lex AS s, pred FROM t WHERE pred <> '{RDF_TYPE}'),
+w AS (
+  SELECT sp.pred, ty.tyv, COUNT(*) AS w
+  FROM sp JOIN ty USING (s) GROUP BY 1, 2
+),
+pt AS (SELECT pred, SUM(w) AS n FROM w GROUP BY pred),
+un AS (SELECT sp.s, sp.pred FROM sp LEFT JOIN ty USING (s) WHERE ty.s IS NULL),
+sc AS (
+  SELECT un.s, w.tyv, SUM(w.w) AS score
+  FROM un JOIN w USING (pred) GROUP BY 1, 2
+),
+ev AS (SELECT un.s, SUM(pt.n) AS evidence FROM un JOIN pt USING (pred) GROUP BY 1),
+best AS (
+  SELECT s, tyv, score, ROW_NUMBER() OVER (PARTITION BY s ORDER BY score DESC, tyv ASC) AS rn
+  FROM sc
+)
+SELECT b.s AS s_lex, b.tyv AS type_guess, CAST(b.score AS BIGINT) AS score,
+       CAST(e.evidence AS BIGINT) AS evidence,
+       CAST(b.score * 1000000 // e.evidence AS BIGINT) AS conf_ppm
+FROM best b JOIN ev e ON b.s = e.s WHERE b.rn = 1
+"""
+
+QUERIES["type_infer"] = (q_type_infer, SQL_TYPE_INFER)
+
+
+def q_trans_reduce(spark, sf):
+    """Transitive reduction of the location hierarchy after redundant
+    shortcuts are injected (every customer/supplier also edged straight
+    to its region): the reduction must return exactly the minimal
+    two-level hierarchy — the ontology-maintenance pruning pass."""
+    from .operators.paths import transitive_reduction
+
+    t = triples_view(spark, sf)
+    cn = t.filter(F.col("pred") == P_IN_NATION).select(
+        F.col("s_lex").alias("src"), F.col("o_lex").alias("dst")
+    )
+    nr = t.filter(F.col("pred") == P_IN_REGION).select(
+        F.col("s_lex").alias("src"), F.col("o_lex").alias("dst")
+    )
+    shortcut = (
+        cn.alias("a")
+        .join(nr.alias("b"), F.col("a.dst") == F.col("b.src"))
+        .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+    )
+    edges = cn.unionByName(nr).unionByName(shortcut)
+    return transitive_reduction(edges)
+
+
+SQL_TRANS_REDUCE = """
+SELECT 'urn:cu:' || c_custkey AS src, 'urn:n:' || c_nationkey AS dst FROM customer
+UNION
+SELECT 'urn:su:' || s_suppkey, 'urn:n:' || s_nationkey FROM supplier
+UNION
+SELECT 'urn:n:' || n_nationkey, 'urn:r:' || n_regionkey FROM nation
+"""
+
+QUERIES["trans_reduce"] = (q_trans_reduce, SQL_TRANS_REDUCE)

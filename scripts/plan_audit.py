@@ -796,6 +796,21 @@ def main() -> None:
             ("no join at all", r"Join", "absent"),
             ("no cartesian product", r"CartesianProduct", "absent"),
         ]),
+        ("trans_reduce", [
+            # closure is the audited frontier/doubling plan; the reduction
+            # itself is one hash join + one hash anti join
+            ("redundancy check is a hash anti join", r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin).*LeftAnti"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
+        ("type_infer", [
+            # (pred, type) weights are catalog-sized → broadcast into the
+            # untyped side; argmax is a subject-keyed window
+            ("weight table broadcast", r"BroadcastHashJoin"),
+            ("argmax via window", r"Window"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
         ("kg_negs", [
             # dense-id dictionary: bucket offsets broadcast back; candidate
             # pick + filtered-protocol check are hash equi/anti joins
