@@ -210,6 +210,7 @@ def main() -> None:
         "rel_extract",
         "type_infer",
         "trans_reduce",
+        "rank_metrics",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

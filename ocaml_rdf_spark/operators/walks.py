@@ -355,3 +355,41 @@ def transe_scores(
         "o_lex",
         F.round(-l1 * int(scale)).cast("long").alias("score_x1e4"),
     )
+
+
+def rank_eval(scored: DataFrame, k_list: tuple = (1, 3, 10)) -> DataFrame:
+    """Link-prediction ranking metrics (the standard KG-embedding eval:
+    MRR + Hits@k under the filtered protocol): `scored` holds one row
+    per (query, candidate) with an integer `score` and `is_true` ∈
+    {0,1} marking the held-out positive. Rank = 1 + number of
+    candidates strictly better than the positive, ties broken AGAINST
+    the positive (pessimistic — the honest convention; optimistic tie
+    handling inflates MRR on constant scorers).
+
+    Output: one row (n_queries, mrr_x1e6, hits1_ppm, hits3_ppm,
+    hits10_ppm) — every metric an exact integer (per-query reciprocal
+    rank is 10⁶ div rank, summed then divided by n).
+
+    Scale shape: one query-keyed window to rank (per-key group =
+    candidate count, bounded by the sampler's k), one filter to the
+    positives, one global 1-row aggregation."""
+    from pyspark.sql import Window
+
+    # pessimistic: order equal scores with is_true LAST
+    pess = Window.partitionBy("query").orderBy(
+        F.desc("score"), F.asc("is_true"), F.asc("candidate")
+    )
+    ranked = scored.withColumn("_rk", F.row_number().over(pess)).filter(
+        F.col("is_true") == 1
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_queries"),
+        F.expr("sum(1000000 div _rk) * 1 div count(1)").alias("mrr_x1e6"),
+    ]
+    for k in k_list:
+        aggs.append(
+            F.expr(
+                f"sum(CASE WHEN _rk <= {int(k)} THEN 1 ELSE 0 END) * 1000000 div count(1)"
+            ).alias(f"hits{int(k)}_ppm")
+        )
+    return ranked.agg(*aggs)

@@ -6890,3 +6890,100 @@ SELECT 'urn:n:' || n_nationkey, 'urn:r:' || n_regionkey FROM nation
 """
 
 QUERIES["trans_reduce"] = (q_trans_reduce, SQL_TRANS_REDUCE)
+
+
+def q_rank_metrics(spark, sf):
+    """Filtered-protocol ranking eval of the zero-relation TransE scorer:
+    per query vector, the consecutive-id vector (true) vs 4 md5-picked
+    decoys, ranked by -L1 energy -> MRR + Hits@k as exact integers."""
+    from .operators.walks import rank_eval, transe_scores
+
+    e = _embs(spark, sf)
+    n = e.count()
+    ids = e.select("vec_id").filter(F.col("vec_id") < 100)
+    true_c = ids.select(
+        F.col("vec_id").alias("q"), ((F.col("vec_id") + 1) % n).alias("c"),
+        F.lit(1).alias("is_true"),
+    )
+    negs = (
+        ids.select("vec_id", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j"))
+        .select(
+            F.col("vec_id").alias("q"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("\x1f", F.col("vec_id").cast("string"),
+                                          F.col("j").cast("string"))), 1, 15
+                    ), 16, 10
+                ).cast("long") % n
+            ).alias("c"),
+            F.lit(0).alias("is_true"),
+        )
+        .filter((F.col("c") != F.col("q")) & (F.col("c") != (F.col("q") + 1) % n))
+    )
+    cand = true_c.unionByName(negs).dropDuplicates(["q", "c"])
+    triples = cand.select(
+        F.concat(F.lit("urn:v:"), F.col("q").cast("string")).alias("s_lex"),
+        F.lit("urn:p:near").alias("pred"),
+        F.concat(F.lit("urn:v:"), F.col("c").cast("string")).alias("o_lex"),
+    )
+    ent_emb = e.select(
+        F.concat(F.lit("urn:v:"), F.col("vec_id").cast("string")).alias("ent"), "embedding"
+    )
+    scored = transe_scores(triples, ent_emb).join(
+        cand.select(
+            F.concat(F.lit("urn:v:"), F.col("q").cast("string")).alias("s_lex"),
+            F.concat(F.lit("urn:v:"), F.col("c").cast("string")).alias("o_lex"),
+            "is_true",
+        ),
+        ["s_lex", "o_lex"],
+    ).select(
+        F.col("s_lex").alias("query"), F.col("o_lex").alias("candidate"),
+        F.col("score_x1e4").alias("score"), "is_true",
+    )
+    return rank_eval(scored, k_list=(1, 3, 10))
+
+
+SQL_RANK_METRICS = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+n AS (SELECT COUNT(*) AS c FROM e),
+ids AS (SELECT vec_id AS q FROM e WHERE vec_id < 100),
+true_c AS (SELECT q, (q + 1) % (SELECT c FROM n) AS c, 1 AS is_true FROM ids),
+negs AS (
+  SELECT q,
+         ('0x' || substr(md5(CAST(q AS VARCHAR) || chr(31) || CAST(j AS VARCHAR)), 1, 15))::BIGINT
+           % (SELECT c FROM n) AS c,
+         0 AS is_true
+  FROM ids, unnest(range(4)) t(j)
+),
+fneg AS (SELECT * FROM negs WHERE c <> q AND c <> (q + 1) % (SELECT c FROM n)),
+cand AS (
+  SELECT q, c, MAX(is_true) AS is_true FROM (
+    SELECT * FROM true_c UNION ALL SELECT * FROM fneg
+  ) GROUP BY q, c
+),
+scored AS (
+  SELECT cand.q, cand.c, cand.is_true,
+         CAST(round(-10000 * list_aggregate(
+           list_transform(range(1, len(a.emb) + 1), i -> abs(a.emb[i] - b.emb[i])), 'sum'
+         )) AS BIGINT) AS score
+  FROM cand JOIN e a ON a.vec_id = cand.q JOIN e b ON b.vec_id = cand.c
+),
+ranked AS (
+  SELECT is_true,
+         ROW_NUMBER() OVER (
+           PARTITION BY q
+           ORDER BY score DESC, is_true ASC, 'urn:v:' || CAST(c AS VARCHAR) ASC
+         ) AS rk
+  FROM scored
+),
+pos AS (SELECT rk FROM ranked WHERE is_true = 1)
+SELECT COUNT(*) AS n_queries,
+       CAST(SUM(1000000 // rk) // COUNT(*) AS BIGINT) AS mrr_x1e6,
+       CAST(SUM(CASE WHEN rk <= 1 THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS hits1_ppm,
+       CAST(SUM(CASE WHEN rk <= 3 THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS hits3_ppm,
+       CAST(SUM(CASE WHEN rk <= 10 THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS hits10_ppm
+FROM pos
+"""
+
+QUERIES["rank_metrics"] = (q_rank_metrics, SQL_RANK_METRICS)

@@ -811,6 +811,14 @@ def main() -> None:
             ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
             ("no cartesian product", r"CartesianProduct", "absent"),
         ]),
+        ("rank_metrics", [
+            # candidate scoring joins + one query-keyed rank window + a
+            # 1-row metric agg
+            ("scoring joins are hash joins", r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin"),
+            ("rank via window", r"Window"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
         ("kg_negs", [
             # dense-id dictionary: bucket offsets broadcast back; candidate
             # pick + filtered-protocol check are hash equi/anti joins

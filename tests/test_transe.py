@@ -36,3 +36,23 @@ def test_transe_missing_embedding_drops_fact(spark):
         [("a", "p", "ghost")], "s_lex string, pred string, o_lex string"
     )
     assert transe_scores(t, ents).count() == 0  # inner joins: unscorable facts drop
+
+
+def test_rank_eval_metrics_and_pessimistic_ties(spark):
+    from ocaml_rdf_spark.operators.walks import rank_eval
+
+    rows = [
+        # q1: positive ranks 1st
+        ("q1", "a", 90, 1), ("q1", "b", 50, 0), ("q1", "c", 10, 0),
+        # q2: positive ranks 2nd
+        ("q2", "a", 90, 0), ("q2", "b", 50, 1), ("q2", "c", 10, 0),
+        # q3: positive TIES the best score -> pessimistic rank 2
+        ("q3", "a", 70, 0), ("q3", "b", 70, 1), ("q3", "c", 10, 0),
+    ]
+    df = spark.createDataFrame(rows, "query string, candidate string, score long, is_true int")
+    r = rank_eval(df, k_list=(1, 3)).collect()[0]
+    assert r["n_queries"] == 3
+    # ranks: 1, 2, 2 -> MRR = (1e6 + 5e5 + 5e5) div 3
+    assert r["mrr_x1e6"] == (1000000 + 500000 + 500000) // 3
+    assert r["hits1_ppm"] == 1000000 // 3
+    assert r["hits3_ppm"] == 1000000
