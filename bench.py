@@ -211,6 +211,9 @@ def main() -> None:
         "type_infer",
         "trans_reduce",
         "rank_metrics",
+        "host_split",
+        "best_keeper",
+        "entity_card",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

@@ -433,3 +433,36 @@ def sdtype_infer(quads: DataFrame) -> DataFrame:
         "evidence",
         F.expr("score * 1000000 div evidence").alias("conf_ppm"),
     )
+
+
+def entity_facts_topk(quads: DataFrame, k: int = 5) -> DataFrame:
+    """Entity summarization (the RELIN/FACES line of work, reduced to
+    its exact-integer core): rank each subject's facts by predicate
+    informativeness — rarer predicates say more about an entity than
+    ubiquitous ones — and keep the top-k per subject. This is what an
+    entity card / search snippet shows at 10^12 triples without reading
+    the full record.
+
+    Output: (s_lex, pred, o_kind, o_lex, fact_rank), fact_rank 1..k by
+    (predicate frequency ASC, pred ASC, o_lex ASC) — fully
+    deterministic. rdf:type rows are excluded (types head the card
+    separately; they would otherwise crowd out informative facts).
+
+    Scale: predicate frequencies are catalog-sized → broadcast; one
+    subject-keyed top-k window whose per-key group is the subject's
+    degree."""
+    from pyspark.sql import Window
+
+    facts = quads.filter(F.col("pred") != RDF_TYPE).select(
+        "s_lex", "pred", "o_kind", "o_lex"
+    )
+    pf = facts.groupBy("pred").agg(F.count(F.lit(1)).alias("__pf"))
+    win = Window.partitionBy("s_lex").orderBy(
+        F.asc("__pf"), F.asc("pred"), F.asc("o_lex")
+    )
+    return (
+        facts.join(F.broadcast(pf), "pred")
+        .withColumn("fact_rank", F.row_number().over(win))
+        .filter(F.col("fact_rank") <= int(k))
+        .select("s_lex", "pred", "o_kind", "o_lex", "fact_rank")
+    )

@@ -1813,3 +1813,29 @@ def corpus_card(docs: DataFrame) -> DataFrame:
         F.sum("q").alias("quality_sum"),
         F.expr("sum(q) * 100 div count(1)").alias("mean_quality_x100"),
     )
+
+
+def keeper_by_quality(clusters: DataFrame, quality: DataFrame) -> DataFrame:
+    """Quality-aware dedup keeper selection: near_dup_clusters keeps the
+    min doc_id per cluster (deterministic but arbitrary); production
+    pipelines keep the BEST duplicate instead (highest quality score —
+    the Gopher/CCNet practice). Joins the (doc_id, cluster_id) map with
+    (doc_id, quality) and re-elects each cluster's keeper by
+    (quality DESC, doc_id ASC).
+
+    Output: (doc_id, cluster_id, quality, is_keeper).
+
+    Scale: one doc-keyed hash join + one cluster-keyed argmax window
+    whose per-key group is the cluster size (near-dup clusters are
+    small by construction — mega-clusters were already capped by the
+    LSH max_bucket guard upstream)."""
+    from pyspark.sql import Window
+
+    j = clusters.select("doc_id", "cluster_id").join(
+        quality.select("doc_id", "quality"), "doc_id", "inner"
+    )
+    win = Window.partitionBy("cluster_id").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return j.withColumn(
+        "is_keeper",
+        F.when(F.row_number().over(win) == 1, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+    )

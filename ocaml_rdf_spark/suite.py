@@ -6987,3 +6987,103 @@ FROM pos
 """
 
 QUERIES["rank_metrics"] = (q_rank_metrics, SQL_RANK_METRICS)
+
+
+def q_host_split(spark, sf):
+    """Leak-free train/val/test split keyed on the HOST, not the doc —
+    near-dup pages from one site can never straddle splits. The output
+    proves disjointness: per-split host counts sum to the global host
+    count."""
+    from .operators.sketches import hash_split
+
+    d = _docs(spark, sf)
+    s = hash_split(d, "source", splits=(("train", 90), ("val", 5), ("test", 5)))
+    return s.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_hosts"),
+    )
+
+
+SQL_HOST_SPLIT = """
+WITH b AS (
+  SELECT source,
+         ('0x' || substr(md5(source), 1, 15))::BIGINT % 100 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+       COUNT(*) AS n_docs, COUNT(DISTINCT source) AS n_hosts
+FROM b GROUP BY 1
+"""
+
+QUERIES["host_split"] = (q_host_split, SQL_HOST_SPLIT)
+
+
+def q_best_keeper(spark, sf):
+    """Quality-aware dedup keeper: re-elect each near-dup cluster's
+    keeper by quality score instead of min doc_id (keep the BEST
+    duplicate — the Gopher/CCNet practice)."""
+    from .operators.textops import keeper_by_quality, near_dup_clusters, quality_score
+
+    d = _docs(spark, sf)
+    clusters = near_dup_clusters(d, bands=8, band_min=4, jac_min=60)
+    return keeper_by_quality(clusters, quality_score(d))
+
+
+SQL_BEST_KEEPER = SQL_DEDUP_CLUSTERS.replace(
+    """SELECT d.doc_id,
+       COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+       CAST(CASE WHEN COALESCE(c.cluster_id, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
+FROM documents d LEFT JOIN comp c USING (doc_id)""",
+    """,
+cl AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c USING (doc_id)),
+q AS (
+  SELECT doc_id,
+    CAST((CASE WHEN len(string_split_regex(trim(text), ' +')) >= 10
+               AND floor(length(text) * 100.0 / greatest(len(string_split_regex(trim(text), ' +')), 1)) BETWEEN 300 AND 1200
+          THEN 50 ELSE 0 END)
+       + (CASE WHEN floor(len(list_filter(string_split_regex(trim(text), ' +'), x -> lower(x) IN ('the','and','of','to','in','is','that','for','with','as'))) * 1000.0
+                / greatest(len(string_split_regex(trim(text), ' +')), 1)) > 0 THEN 30 ELSE 0 END)
+       + (CASE WHEN floor((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) * 1000.0
+                / greatest(length(text), 1)) <= 200 THEN 20 ELSE 0 END) AS BIGINT) AS quality
+  FROM documents
+)
+SELECT cl.doc_id, cl.cluster_id, q.quality,
+       CAST(CASE WHEN ROW_NUMBER() OVER (
+         PARTITION BY cl.cluster_id ORDER BY q.quality DESC, cl.doc_id ASC
+       ) = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
+FROM cl JOIN q USING (doc_id)""",
+)
+
+QUERIES["best_keeper"] = (q_best_keeper, SQL_BEST_KEEPER)
+
+
+def q_entity_card(spark, sf):
+    """Entity-card fact summarization: top-3 most informative facts per
+    customer subject (rare predicates first), types excluded."""
+    from .operators.stats import entity_facts_topk
+
+    t = triples_view(spark, sf).filter(F.col("s_lex").startswith("urn:cu:"))
+    return entity_facts_topk(t, k=3)
+
+
+SQL_ENTITY_CARD = W + f""",
+facts AS (
+  SELECT s_lex, pred, o_kind, o_lex FROM triples
+  WHERE pred <> '{RDF_TYPE}' AND s_lex LIKE 'urn:cu:%'
+),
+pf AS (SELECT pred, COUNT(*) AS pf FROM facts GROUP BY pred),
+r AS (
+  SELECT f.s_lex, f.pred, f.o_kind, f.o_lex,
+         ROW_NUMBER() OVER (
+           PARTITION BY f.s_lex ORDER BY pf.pf ASC, f.pred ASC, f.o_lex ASC
+         ) AS fact_rank
+  FROM facts f JOIN pf USING (pred)
+)
+SELECT s_lex, pred, CAST(o_kind AS TINYINT) AS o_kind, o_lex,
+       CAST(fact_rank AS INTEGER) AS fact_rank
+FROM r WHERE fact_rank <= 3
+"""
+
+QUERIES["entity_card"] = (q_entity_card, SQL_ENTITY_CARD)

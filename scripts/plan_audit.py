@@ -819,6 +819,26 @@ def main() -> None:
             ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
             ("no cartesian product", r"CartesianProduct", "absent"),
         ]),
+        ("host_split", [
+            # map-only md5 bucketing + one split-keyed agg
+            ("map-side-combined split counts", r"HashAggregate"),
+            ("no join at all", r"Join", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
+        ("best_keeper", [
+            # cluster pipeline is the audited shape; the re-election is one
+            # doc-keyed hash join + a cluster-keyed window
+            ("keeper window present", r"Window"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
+        ("entity_card", [
+            # predicate frequencies broadcast; subject top-k window
+            ("predicate stats broadcast", r"BroadcastHashJoin|BroadcastExchange"),
+            ("per-subject top-k window", r"Window"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
         ("kg_negs", [
             # dense-id dictionary: bucket offsets broadcast back; candidate
             # pick + filtered-protocol check are hash equi/anti joins
