@@ -1,0 +1,292 @@
+"""Hyperlink graph construction — the web-link layer of a KG pipeline.
+
+A Common-Crawl-style corpus is not just pages: the `<a href>` edges
+BETWEEN pages are a first-class KG signal. Production web-KG systems
+mine three artifacts from them, all built here with pure
+`pyspark.sql.functions` column algebra (no UDF, no driver loop):
+
+- `extract_links`  — (src_url, dst_url, anchor) edge list from raw
+  html. Scan-local: two zipped `regexp_extract_all` projections (the
+  `rel_extract` pattern) + CASE-based reference resolution. No shuffle.
+- `host_link_graph` — host-level weighted edge list. ONE map-side-
+  combined shuffle on (src_host, dst_host); self-loops dropped. A
+  mega-host's outlinks spread across its distinct destination hosts,
+  so no reducer sees a mega-host's full row set.
+- `anchor_dictionary` — normalized anchor text → top-k target URLs
+  with counts: the classic alias-dictionary source that feeds entity
+  linking (`operators/linking.py` consumes exactly this (alias, uri)
+  shape). Two stages: (anchor, dst) cell counts WITH map-side combine,
+  then a per-anchor top-k window over the already-partitioned cells.
+
+Reference parity: ocaml-rdf models the page graph only implicitly
+(RDFa `href` objects become IRI terms — `rdf_rdfa.ml`); the explicit
+link-graph operators are engine additions mandated by the north rule's
+web-scale KG-construction scope (SURVEY §2.2, §8).
+
+Scale notes (100 TB): link extraction is embarrassingly parallel and
+pipelines with the triple-extraction scan (same pass over html).
+The host graph is orders of magnitude smaller than the page graph
+(|hosts|² bounded, counts combined map-side). The anchor dictionary
+is bounded by distinct (anchor, dst) pairs; the `min_count` filter is
+applied BEFORE the window so tail anchors never reach the rank stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .urls import url_host
+
+# one <a ...> tag with a double-quoted href and a tag-free anchor body;
+# mirrored verbatim by the DuckDB oracles (RE2/Java-common subset:
+# character classes + lazy-free alternation only)
+_A_HREF = '<a [^>]*href="([^"]*)"[^>]*>([^<]*)</a>'
+#: scheme+host of an absolute http(s) URL (the resolution origin)
+_ORIGIN_RE = "^(https?://[^/?#]+)"
+
+
+def extract_links(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(src_url, dst_url, anchor) hyperlink edges from raw html.
+
+    Resolution is the engine-portable subset of RFC 3986 §5 relative
+    resolution: absolute http(s) hrefs pass through, root-relative
+    hrefs (``/path``) resolve against the source URL's scheme+host,
+    protocol-relative hrefs (``//host/path``) inherit the source
+    scheme. Everything else — fragment-only, mailto:, javascript:,
+    path-relative — is dropped (documented subset; the full resolver
+    lives in sources/iri.py for parser-side use where exactness is
+    mandated). Fragments are stripped from resolved targets, anchor
+    text is whitespace-normalized, and empty targets are dropped.
+
+    Scan-local, zero shuffles; the html column never leaves the scan.
+    """
+    html = F.col(html_col)
+    hrefs = F.regexp_extract_all(html, F.lit(_A_HREF), F.lit(1))
+    texts = F.regexp_extract_all(html, F.lit(_A_HREF), F.lit(2))
+    src = F.col(url_col)
+    scheme = F.regexp_extract(src, "^(https?):", 1)
+    origin = F.regexp_extract(src, _ORIGIN_RE, 1)
+
+    out = (
+        pages.select(
+            src.alias("src_url"),
+            scheme.alias("_scheme"),
+            origin.alias("_origin"),
+            F.explode(F.arrays_zip(hrefs.alias("href"), texts.alias("anchor"))).alias("_a"),
+        )
+        .select(
+            "src_url",
+            "_scheme",
+            "_origin",
+            F.col("_a.href").alias("_href"),
+            F.trim(F.regexp_replace(F.col("_a.anchor"), r"\s+", " ")).alias("anchor"),
+        )
+        .withColumn(
+            "dst_url",
+            F.when(F.col("_href").rlike("^https?://"), F.col("_href"))
+            .when(
+                F.col("_href").startswith("//"),
+                F.concat(F.col("_scheme"), F.lit(":"), F.col("_href")),
+            )
+            .when(
+                F.col("_href").startswith("/"),
+                F.concat(F.col("_origin"), F.col("_href")),
+            ),
+        )
+        .withColumn("dst_url", F.regexp_replace(F.col("dst_url"), "#.*$", ""))
+        .filter(F.col("dst_url").isNotNull() & (F.col("dst_url") != ""))
+    )
+    return out.select("src_url", "dst_url", "anchor")
+
+
+def host_link_graph(links: DataFrame, keep_self: bool = False) -> DataFrame:
+    """Host-level link graph: (src_host, dst_host, n_links, n_src_pages).
+
+    ONE shuffle — the (src_host, dst_host) groupBy, map-side combined.
+    `n_src_pages` (distinct linking pages per host edge) rides the same
+    shuffle as an exact count-distinct over the grouped cells: the
+    pre-aggregation on (src_host, dst_host, src_url) bounds every
+    reducer by the edge's distinct page count, never a mega-host's raw
+    outlink multiset. Self-edges (intra-host navigation, the vast
+    majority of real-web links) are dropped unless `keep_self`.
+    """
+    e = links.select(
+        url_host(F.col("src_url")).alias("src_host"),
+        url_host(F.col("dst_url")).alias("dst_host"),
+        F.col("src_url"),
+    )
+    if not keep_self:
+        e = e.filter(F.col("src_host") != F.col("dst_host"))
+    cells = e.groupBy("src_host", "dst_host", "src_url").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    return cells.groupBy("src_host", "dst_host").agg(
+        F.sum("_n").cast("long").alias("n_links"),
+        F.count(F.lit(1)).cast("long").alias("n_src_pages"),
+    )
+
+
+def anchor_dictionary(
+    links: DataFrame, min_count: int = 2, k: int = 1
+) -> DataFrame:
+    """Anchor-text alias dictionary: (alias, dst_url, n_links, rank).
+
+    The web's crowd-sourced entity lexicon: how pages NAME the things
+    they link to. Anchor text is lowercased + whitespace-collapsed;
+    anchors that are empty or longer than 64 chars (navigation
+    boilerplate) are dropped. Per (alias, dst_url) counts aggregate
+    with map-side combine; `min_count` prunes the tail BEFORE the
+    per-alias top-k window, and the window reuses the cells' alias
+    partitioning. Output feeds `linking.link_exact`'s broadcast
+    dictionary directly.
+    """
+    cells = (
+        links.select(
+            F.lower(F.trim(F.regexp_replace(F.col("anchor"), r"\s+", " "))).alias("alias"),
+            F.col("dst_url"),
+        )
+        .filter((F.col("alias") != "") & (F.length("alias") <= 64))
+        .groupBy("alias", "dst_url")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_links"))
+        .filter(F.col("n_links") >= min_count)
+    )
+    w = Window.partitionBy("alias").orderBy(
+        F.col("n_links").desc(), F.col("dst_url").asc()
+    )
+    return (
+        cells.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("alias", "dst_url", "n_links", "rank")
+    )
+
+
+def resolve_redirects(redirects: DataFrame, max_hops: int = 64) -> DataFrame:
+    """Resolve redirect chains to their final targets by pointer doubling.
+
+    Input: single-hop (src, dst) redirect pairs — a functional graph
+    (one outgoing edge per src; duplicate srcs are rejected upstream by
+    the caller or collapse arbitrarily). Output: one row per input src
+    with (src, final_url, hops, is_cycle). `final_url` is the first URL
+    reached that has no outgoing redirect; chains longer than
+    `max_hops` — which on a functional graph means a cycle — surface
+    `is_cycle = true` with `final_url` NULL.
+
+    O(log max_hops) rounds: each round composes the current jump table
+    with itself (`state.cur ⇄ jump.src` equi-join), exactly the
+    path-doubling discipline of `paths.transitive_closure` — after r
+    rounds every chain of length ≤ 2^r is fully resolved. Each round is
+    one hash join on the shrinking unresolved set + one on the jump
+    table; lineage is cut per round with localCheckpoint so plans stay
+    flat. Redirect sets are crawl-metadata-sized (≪ corpus), so every
+    join side is small; at 100 TB the jump table still fits the
+    broadcast threshold for all real crawls (<1B redirects).
+    """
+    import math
+
+    rounds = max(1, math.ceil(math.log2(max_hops)))
+    # jump[src] = (reach, hops): the 2^r-step transition table
+    jump = redirects.select(
+        F.col("src").alias("j_src"), F.col("dst").alias("j_dst"), F.lit(1).alias("j_hops")
+    ).localCheckpoint(eager=False)
+    # state: one row per original src
+    state = redirects.select(
+        F.col("src"), F.col("dst").alias("cur"), F.lit(1).alias("hops")
+    ).localCheckpoint(eager=False)
+
+    for _ in range(rounds):
+        state = (
+            state.join(jump, state["cur"] == jump["j_src"], "left")
+            .select(
+                "src",
+                F.coalesce(F.col("j_dst"), F.col("cur")).alias("cur"),
+                (F.col("hops") + F.coalesce(F.col("j_hops"), F.lit(0))).alias("hops"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        jump = (
+            jump.alias("a")
+            .join(
+                jump.select(
+                    F.col("j_src").alias("b_src"),
+                    F.col("j_dst").alias("b_dst"),
+                    F.col("j_hops").alias("b_hops"),
+                ).alias("b"),
+                F.col("a.j_dst") == F.col("b.b_src"),
+                "left",
+            )
+            .select(
+                F.col("a.j_src").alias("j_src"),
+                F.coalesce(F.col("b.b_dst"), F.col("a.j_dst")).alias("j_dst"),
+                (F.col("a.j_hops") + F.coalesce(F.col("b.b_hops"), F.lit(0))).alias("j_hops"),
+            )
+            .localCheckpoint(eager=False)
+        )
+
+    # terminal = cur has no outgoing redirect; anything still moving
+    # after 2^rounds ≥ max_hops steps is a cycle
+    srcs = redirects.select(F.col("src").alias("t_src")).distinct()
+    return (
+        state.join(srcs, state["cur"] == srcs["t_src"], "left")
+        .select(
+            "src",
+            F.when(F.col("t_src").isNull(), F.col("cur")).alias("final_url"),
+            F.col("hops").cast("long").alias("hops"),
+            F.col("t_src").isNotNull().alias("is_cycle"),
+        )
+    )
+
+
+def robots_filter(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Apply robots.txt-style longest-prefix-match rules to a URL set.
+
+    `rules`: (host, prefix, allow) — parsed Allow/Disallow lines, one
+    row each (prefix = path prefix, '' matches everything). Matching
+    per REP (RFC 9309 §2.2.2): among the rules of the URL's host whose
+    prefix is a prefix of the URL path, the LONGEST prefix wins; Allow
+    wins prefix-length ties; a URL with no matching rule (or no rules
+    for its host) is allowed.
+
+    Plan — ZERO shuffles on the URL set: the rules collapse to ONE row
+    per host (`collect_list`, a rules-sized agg), broadcast-hash-join
+    to the URLs (1:1, no row multiplication), and the longest-match
+    argmax runs as array algebra (`filter` + `array_max` over a
+    (len, allow, prefix) struct — struct comparison is field-order
+    lexicographic in Spark, so the max IS the REP winner) inside the
+    scan stage. Returns the input rows + (rule_prefix, allowed).
+    """
+    path = F.coalesce(
+        F.nullif(F.regexp_extract(F.col(url_col), "^https?://[^/?#]+([/][^#]*)?", 1), F.lit("")),
+        F.lit("/"),
+    )
+    per_host = rules.groupBy(F.col("host").alias("_rhost")).agg(
+        F.collect_list(F.struct(F.col("prefix"), F.col("allow"))).alias("_rules")
+    )
+    u = urls.withColumn("_host", url_host(F.col(url_col))).withColumn("_path", path)
+    j = u.join(F.broadcast(per_host), F.col("_host") == F.col("_rhost"), "left")
+
+    def _matches(p):
+        return lambda r: p.startswith(r["prefix"])
+
+    matched = F.filter(F.coalesce(F.col("_rules"), F.array()), _matches(F.col("_path")))
+
+    def _key(r):
+        return F.struct(
+            F.length(r["prefix"]).alias("len"),
+            r["allow"].cast("int").alias("a"),
+            r["prefix"].alias("prefix"),
+        )
+
+    best = F.array_max(F.transform(matched, _key))
+    return j.select(
+        *[F.col(c) for c in urls.columns],
+        F.coalesce(best["prefix"], F.lit("")).alias("rule_prefix"),
+        F.coalesce(best["a"] == 1, F.lit(True)).alias("allowed"),
+    )

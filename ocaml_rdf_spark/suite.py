@@ -7087,3 +7087,227 @@ FROM r WHERE fact_rank <= 3
 """
 
 QUERIES["entity_card"] = (q_entity_card, SQL_ENTITY_CARD)
+
+
+# --- web-link-graph family (operators/weblinks.py) ---------------------------
+#
+# The corpus tables carry no html, so each query synthesizes a per-doc page
+# with the SAME deterministic column expressions the oracle reproduces (the
+# host_profile convention): the Spark side runs the REAL operators over the
+# synthesized html; the DuckDB side computes the expected result from the
+# formulas INDEPENDENTLY (no regex mirroring — a stronger oracle than
+# expression translation).
+
+
+def _link_pages(spark, sf):
+    """Synthetic page set: url + html with 5 anchors per doc — one absolute
+    cross-host, one root-relative (self-host), one protocol-relative
+    cross-host, one fragment-only and one mailto (both must be dropped)."""
+    d = F.col("doc_id")
+    return _docs(spark, sf).select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"), (d % 37).cast("string"), F.lit(".example/p/"), d.cast("string")
+        ).alias("url"),
+        F.concat(
+            F.lit('<p>intro</p><a href="https://h'), (d % 5).cast("string"),
+            F.lit('.example/idx">doc '), (d % 7).cast("string"),
+            F.lit('</a><a href="/d/'), d.cast("string"),
+            F.lit('">self</a><a href="//h'), ((d * 11 + 5) % 37).cast("string"),
+            F.lit('.example/x">'), F.col("lang"),
+            F.lit('</a><a href="#top">top</a><a href="mailto:z@w">mail</a>'),
+        ).alias("html"),
+    )
+
+
+def q_link_graph(spark, sf):
+    """Host-level link graph over extracted hyperlinks: regex href
+    extraction + RFC-3986-subset resolution (absolute / root-relative /
+    protocol-relative; fragment+mailto dropped), then ONE map-side-combined
+    (src_host, dst_host) aggregation with self-loops removed."""
+    from .operators.weblinks import extract_links, host_link_graph
+
+    return host_link_graph(extract_links(_link_pages(spark, sf)))
+
+
+SQL_LINK_GRAPH = """
+WITH links AS (
+  SELECT 'h' || (doc_id % 37) AS sh, 'h' || (doc_id % 5) AS dh, doc_id FROM documents
+  UNION ALL
+  SELECT 'h' || (doc_id % 37), 'h' || ((doc_id * 11 + 5) % 37), doc_id FROM documents
+)
+SELECT sh || '.example' AS src_host, dh || '.example' AS dst_host,
+       COUNT(*) AS n_links, COUNT(DISTINCT doc_id) AS n_src_pages
+FROM links WHERE sh <> dh GROUP BY 1, 2
+"""
+
+QUERIES["link_graph"] = (q_link_graph, SQL_LINK_GRAPH)
+
+
+def q_anchor_dict(spark, sf):
+    """Anchor-text alias dictionary: normalized anchor → top-2 target URLs
+    by inbound-link count (the entity-linking lexicon the web crowd-writes).
+    The per-doc self links are unique targets, so min_count=2 prunes them —
+    only the shared 'doc N' and language anchors survive."""
+    from .operators.weblinks import anchor_dictionary, extract_links
+
+    return anchor_dictionary(extract_links(_link_pages(spark, sf)), min_count=2, k=2)
+
+
+SQL_ANCHOR_DICT = """
+WITH links AS (
+  SELECT 'doc ' || (doc_id % 7) AS alias,
+         'https://h' || (doc_id % 5) || '.example/idx' AS dst_url FROM documents
+  UNION ALL
+  SELECT lang, 'https://h' || ((doc_id * 11 + 5) % 37) || '.example/x' FROM documents
+  UNION ALL
+  SELECT 'self', 'https://h' || (doc_id % 37) || '.example/d/' || doc_id FROM documents
+),
+cells AS (
+  SELECT alias, dst_url, COUNT(*) AS n_links FROM links GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+)
+SELECT alias, dst_url, n_links, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY alias ORDER BY n_links DESC, dst_url ASC) AS rank
+  FROM cells
+) WHERE rank <= 2
+"""
+
+QUERIES["anchor_dict"] = (q_anchor_dict, SQL_ANCHOR_DICT)
+
+
+def q_redirects(spark, sf):
+    """Redirect-chain resolution by pointer doubling (O(log hops) rounds):
+    customer-key chains k→k-1 ending at multiples of 8 (length ≤ 7) plus
+    planted 2-cycles every 100th key; cycles surface is_cycle with NULL
+    final — coalesced to ''/-1 for cross-engine hashing."""
+    from .operators.weblinks import resolve_redirects
+
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    k = F.col("c_custkey")
+    chain = c.filter(k % 8 != 0).select(
+        F.concat(F.lit("u"), k.cast("string")).alias("src"),
+        F.concat(F.lit("u"), (k - 1).cast("string")).alias("dst"),
+    )
+    cyc_keys = c.filter(k % 100 == 0)
+    cyc = cyc_keys.select(
+        F.concat(F.lit("c"), k.cast("string")).alias("src"),
+        F.concat(F.lit("cx"), k.cast("string")).alias("dst"),
+    ).unionByName(
+        cyc_keys.select(
+            F.concat(F.lit("cx"), k.cast("string")).alias("src"),
+            F.concat(F.lit("c"), k.cast("string")).alias("dst"),
+        )
+    )
+    out = resolve_redirects(chain.unionByName(cyc), max_hops=16)
+    return out.select(
+        "src",
+        F.coalesce(F.col("final_url"), F.lit("")).alias("final_url"),
+        F.when(F.col("is_cycle"), F.lit(-1)).otherwise(F.col("hops")).cast("long").alias("hops"),
+        "is_cycle",
+    )
+
+
+SQL_REDIRECTS = """
+WITH RECURSIVE r AS (
+  SELECT 'u' || c_custkey AS src, 'u' || (c_custkey - 1) AS dst
+  FROM customer WHERE c_custkey % 8 <> 0
+  UNION ALL
+  SELECT 'c' || c_custkey, 'cx' || c_custkey FROM customer WHERE c_custkey % 100 = 0
+  UNION ALL
+  SELECT 'cx' || c_custkey, 'c' || c_custkey FROM customer WHERE c_custkey % 100 = 0
+),
+walk(src, cur, hops) AS (
+  SELECT src, dst, 1 FROM r
+  UNION ALL
+  SELECT w.src, r.dst, w.hops + 1 FROM walk w JOIN r ON w.cur = r.src WHERE w.hops < 20
+),
+last AS (
+  SELECT src, cur, hops, ROW_NUMBER() OVER (PARTITION BY src ORDER BY hops DESC) AS rn
+  FROM walk
+)
+SELECT src,
+       CASE WHEN hops >= 20 THEN '' ELSE cur END AS final_url,
+       CAST(CASE WHEN hops >= 20 THEN -1 ELSE hops END AS BIGINT) AS hops,
+       hops >= 20 AS is_cycle
+FROM last WHERE rn = 1
+"""
+
+QUERIES["redirects"] = (q_redirects, SQL_REDIRECTS)
+
+
+def q_robots(spark, sf):
+    """Robots-rules URL admission: REP longest-prefix match (RFC 9309
+    §2.2.2, Allow wins length ties) with rules collapsed to one array row
+    per host, broadcast, and the argmax run as scan-local array algebra —
+    zero shuffles on the URL set. Hosts ≥ 25 have no rules (default
+    allow)."""
+    from .operators.weblinks import robots_filter
+
+    n = spark.read.parquet(f"{sf}/nation.parquet")
+    nk = F.col("n_nationkey")
+    host = F.concat(F.lit("h"), nk.cast("string"), F.lit(".example"))
+    rules = (
+        n.select(host.alias("host"), F.lit("").alias("prefix"), F.lit(True).alias("allow"))
+        .unionByName(n.select(host.alias("host"), F.lit("/private").alias("prefix"), F.lit(False).alias("allow")))
+        .unionByName(
+            n.filter(nk % 2 == 0).select(
+                host.alias("host"), F.lit("/private/pub").alias("prefix"), F.lit(True).alias("allow")
+            )
+        )
+        .unionByName(
+            n.filter(nk % 3 == 0).select(
+                host.alias("host"), F.lit("/p").alias("prefix"), F.lit(False).alias("allow")
+            )
+        )
+    )
+    d = F.col("doc_id")
+    path = (
+        F.when(d % 5 == 0, F.concat(F.lit("/p/"), d.cast("string")))
+        .when(d % 5 == 1, F.lit("/private/x"))
+        .when(d % 5 == 2, F.lit("/private/pub/y"))
+        .when(d % 5 == 3, F.lit("/open"))
+        .otherwise(F.lit(""))
+    )
+    urls = _docs(spark, sf).select(
+        "doc_id",
+        F.concat(F.lit("https://h"), (d % 30).cast("string"), F.lit(".example"), path).alias("url"),
+    )
+    return robots_filter(urls, rules)
+
+
+SQL_ROBOTS = """
+WITH rules AS (
+  SELECT 'h' || n_nationkey || '.example' AS host, '' AS prefix, TRUE AS allow FROM nation
+  UNION ALL
+  SELECT 'h' || n_nationkey || '.example', '/private', FALSE FROM nation
+  UNION ALL
+  SELECT 'h' || n_nationkey || '.example', '/private/pub', TRUE FROM nation WHERE n_nationkey % 2 = 0
+  UNION ALL
+  SELECT 'h' || n_nationkey || '.example', '/p', FALSE FROM nation WHERE n_nationkey % 3 = 0
+),
+u AS (
+  SELECT doc_id,
+         'https://h' || (doc_id % 30) || '.example' ||
+           CASE doc_id % 5 WHEN 0 THEN '/p/' || doc_id WHEN 1 THEN '/private/x'
+                WHEN 2 THEN '/private/pub/y' WHEN 3 THEN '/open' ELSE '' END AS url,
+         'h' || (doc_id % 30) || '.example' AS host,
+         CASE doc_id % 5 WHEN 0 THEN '/p/' || doc_id WHEN 1 THEN '/private/x'
+              WHEN 2 THEN '/private/pub/y' WHEN 3 THEN '/open' ELSE '/' END AS path
+  FROM documents
+),
+m AS (
+  SELECT u.doc_id, u.url, r.prefix, r.allow,
+         ROW_NUMBER() OVER (
+           PARTITION BY u.doc_id
+           ORDER BY length(COALESCE(r.prefix, '')) DESC,
+                    CAST(COALESCE(r.allow, TRUE) AS INT) DESC,
+                    COALESCE(r.prefix, '') DESC
+         ) AS rn
+  FROM u LEFT JOIN rules r ON u.host = r.host AND starts_with(u.path, r.prefix)
+)
+SELECT doc_id, url, COALESCE(prefix, '') AS rule_prefix, COALESCE(allow, TRUE) AS allowed
+FROM m WHERE rn = 1
+"""
+
+QUERIES["robots"] = (q_robots, SQL_ROBOTS)

@@ -1,0 +1,141 @@
+"""Web-link-graph operators: extraction, host graph, anchor dictionary,
+redirect resolution, robots rules (operators/weblinks.py).
+
+Reference parity: ocaml-rdf surfaces hrefs only as RDFa/microdata IRI
+objects (rdf_rdfa.ml); the explicit link-graph layer is an engine
+addition per the north rule's web-KG scope (SURVEY §2.2/§8)."""
+
+from __future__ import annotations
+
+import pytest
+
+from ocaml_rdf_spark.operators.weblinks import (
+    anchor_dictionary,
+    extract_links,
+    host_link_graph,
+    resolve_redirects,
+    robots_filter,
+)
+
+
+@pytest.fixture(scope="module")
+def links(spark):
+    pages = spark.createDataFrame(
+        [
+            (
+                "https://a.example/p/1",
+                '<p>x</p><a href="https://b.example/q">B  Page</a>'
+                '<a class="z" href="/local">Loc</a>'
+                '<a href="//c.example/r">CC</a>'
+                '<a href="#frag">skip</a><a href="mailto:x@y">m</a>'
+                '<a href="https://a.example/self#sec">Self</a>',
+            ),
+            (
+                "https://b.example/p/2",
+                '<a href="https://a.example/p/1">A   page</a> '
+                '<a href="https://a.example/p/1">a page</a>',
+            ),
+        ],
+        ["url", "html"],
+    )
+    return extract_links(pages)
+
+
+def test_extract_links_resolution(links):
+    rows = {(r.src_url, r.dst_url, r.anchor) for r in links.collect()}
+    assert rows == {
+        # absolute passes through; anchor whitespace collapsed
+        ("https://a.example/p/1", "https://b.example/q", "B Page"),
+        # root-relative resolves against the source origin
+        ("https://a.example/p/1", "https://a.example/local", "Loc"),
+        # protocol-relative inherits the source scheme
+        ("https://a.example/p/1", "https://c.example/r", "CC"),
+        # fragment stripped from resolved target
+        ("https://a.example/p/1", "https://a.example/self", "Self"),
+        # duplicates preserved at the edge level (counted downstream) —
+        # but these two differ in anchor case anyway
+        ("https://b.example/p/2", "https://a.example/p/1", "A page"),
+        ("https://b.example/p/2", "https://a.example/p/1", "a page"),
+    }
+
+
+def test_host_link_graph_drops_self_loops(links):
+    hg = {
+        (r.src_host, r.dst_host): (r.n_links, r.n_src_pages)
+        for r in host_link_graph(links).collect()
+    }
+    assert hg == {
+        ("a.example", "b.example"): (1, 1),
+        ("a.example", "c.example"): (1, 1),
+        ("b.example", "a.example"): (2, 1),
+    }
+    withself = {
+        (r.src_host, r.dst_host): r.n_links
+        for r in host_link_graph(links, keep_self=True).collect()
+    }
+    assert withself[("a.example", "a.example")] == 2
+
+
+def test_anchor_dictionary_casefold_and_topk(links):
+    ad = {
+        (r.alias, r.rank): (r.dst_url, r.n_links)
+        for r in anchor_dictionary(links, min_count=2, k=1).collect()
+    }
+    # 'A page' + 'a page' casefold together and clear min_count=2
+    assert ad == {("a page", 1): ("https://a.example/p/1", 2)}
+
+
+def test_resolve_redirects_chains_and_cycles(spark):
+    red = spark.createDataFrame(
+        [("u1", "u2"), ("u2", "u3"), ("u3", "u4"),
+         ("c1", "c2"), ("c2", "c1"), ("x1", "u2")],
+        ["src", "dst"],
+    )
+    out = {r.src: (r.final_url, r.hops, r.is_cycle)
+           for r in resolve_redirects(red, max_hops=16).collect()}
+    assert out["u1"] == ("u4", 3, False)
+    assert out["u2"] == ("u4", 2, False)
+    assert out["u3"] == ("u4", 1, False)
+    assert out["x1"] == ("u4", 3, False)
+    assert out["c1"][0] is None and out["c1"][2] is True
+    assert out["c2"][0] is None and out["c2"][2] is True
+
+
+def test_resolve_redirects_deep_chain_logarithmic(spark):
+    # 60-deep chain resolves within ceil(log2(64)) = 6 doubling rounds
+    red = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(60)], ["src", "dst"]
+    )
+    out = {r.src: (r.final_url, r.hops, r.is_cycle)
+           for r in resolve_redirects(red, max_hops=64).collect()}
+    assert out["n0"] == ("n60", 60, False)
+    assert out["n59"] == ("n60", 1, False)
+
+
+def test_robots_longest_prefix_match(spark):
+    rules = spark.createDataFrame(
+        [("a.example", "/private", False),
+         ("a.example", "/private/pub", True),
+         ("a.example", "", True),
+         ("b.example", "/", False)],
+        ["host", "prefix", "allow"],
+    )
+    urls = spark.createDataFrame(
+        [("https://a.example/private/x",),
+         ("https://a.example/private/pub/y",),
+         ("https://a.example/open",),
+         ("https://a.example",),  # no path → '/'
+         ("https://b.example/anything",),
+         ("https://c.example/no-rules",)],
+        ["url"],
+    )
+    out = {r.url: (r.rule_prefix, r.allowed)
+           for r in robots_filter(urls, rules).collect()}
+    assert out["https://a.example/private/x"] == ("/private", False)
+    # longest prefix wins over the shorter Disallow
+    assert out["https://a.example/private/pub/y"] == ("/private/pub", True)
+    assert out["https://a.example/open"] == ("", True)
+    assert out["https://a.example"] == ("", True)
+    assert out["https://b.example/anything"] == ("/", False)
+    # host without rules → allowed by default
+    assert out["https://c.example/no-rules"] == ("", True)
