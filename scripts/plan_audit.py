@@ -847,6 +847,39 @@ def main() -> None:
             ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
             ("no cartesian product", r"CartesianProduct", "absent"),
         ]),
+        ("link_graph", [
+            # scan-local href extraction (explode stays in the scan stage);
+            # ONE (src_host, dst_host) shuffle — cells + final = 2 aggs each
+            # split partial/final by Catalyst
+            ("generate (href explode) present", r"Generate|Expand"),
+            ("map-side-combined host agg", r"HashAggregate"),
+            ("no join at all", r"Join", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
+        ("anchor_dict", [
+            # (alias, dst) cells agg THEN per-alias top-k window over the
+            # already-partitioned cells; min_count filter before the window
+            ("cell counts hash-aggregated", r"HashAggregate"),
+            ("per-alias top-k window", r"Window"),
+            ("no join at all", r"Join", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
+        ("redirects", [
+            # pointer doubling: every round is a hash equi-join; terminal
+            # probe is a hash left join
+            ("doubling rounds are hash joins", r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
+        ("robots", [
+            # rules collapse to one array row per host and BROADCAST; the
+            # longest-prefix argmax is scan-local array algebra — the URL
+            # set is never shuffled (no exchange on the probe side)
+            ("per-host rules broadcast", r"BroadcastHashJoin|BroadcastExchange"),
+            ("no sort-merge join of the URL set", r"SortMergeJoin", "absent"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
     ]
 
     lines = ["# PLANS — physical-plan audit (scripts/plan_audit.py)", "",
