@@ -38,7 +38,7 @@ from .types import TRIPLE_KEY, TRIPLES_COLUMNS, TRIPLES_SCHEMA, BNode, Iri, Term
 
 ERROR_PRED = "urn:x-ords:error"
 
-EXTRACTORS = ("jsonld", "rdfa", "microdata", "turtle", "trig", "ntriples", "rdfxml")
+EXTRACTORS = ("jsonld", "rdfa", "microdata", "turtle", "trig", "ntriples", "rdfxml", "tables")
 
 
 def _global_bnode(term: Term, url: str, ext: str) -> Term:
@@ -61,13 +61,22 @@ _MARKERS = (
 )
 
 
-def extract_page(url: str, html_bytes: bytes) -> tuple[list[tuple], list[tuple]]:
-    """Parse one page; returns (triple_rows, error_rows) in TRIPLES row form."""
+def extract_page(
+    url: str, html_bytes: bytes, tables: bool = False
+) -> tuple[list[tuple], list[tuple]]:
+    """Parse one page; returns (triple_rows, error_rows) in TRIPLES row form.
+
+    `tables` opts into the WebTables recovery path (sources/tables.py):
+    OFF by default because table triples are lower-precision than
+    explicit RDF markup (no vocabulary, heuristic header detection) —
+    a pipeline turns it on for coverage, not correctness. With it on,
+    `<table` joins the marker fast-path set so table-only pages still
+    reach the DOM parse."""
     rows: list[tuple] = []
     errors: list[tuple] = []
     html = html_bytes.decode("utf-8", errors="replace")
     low = html.lower()
-    if not any(m in low for m in _MARKERS):
+    if not any(m in low for m in _MARKERS) and not (tables and "<table" in low):
         return rows, errors
 
     def emit(triples, ext: str):
@@ -148,16 +157,26 @@ def extract_page(url: str, html_bytes: bytes) -> tuple[list[tuple], list[tuple]]
         emit(extract_microdata_tree(dom, base=url), "microdata")
     except Exception as e:
         err("microdata", e)
+    if tables:
+        try:
+            from .sources.tables import extract_tables_tree
+
+            emit(extract_tables_tree(dom, base=url), "tables")
+        except Exception as e:
+            err("tables", e)
 
     return rows, errors
 
 
-def extract_triples(pages: DataFrame, with_text: bool = False) -> DataFrame:
+def extract_triples(
+    pages: DataFrame, with_text: bool = False, tables: bool = False
+) -> DataFrame:
     """pages (url, warc_ts, html, ...) → TRIPLES DataFrame (+ error rows).
 
     One Arrow batch in, one triples batch out; parser instances are
     per-document but allocation-light. Set-semantics dedup is NOT applied
     here (do it once globally at materialization — cheaper than per-batch).
+    `tables=True` adds the WebTables recovery extractor (extract_page).
     """
     cols = ["url", "html"] + (["text"] if with_text else [])
 
@@ -165,7 +184,7 @@ def extract_triples(pages: DataFrame, with_text: bool = False) -> DataFrame:
         for pdf in batches:
             out: list[tuple] = []
             for url, html_bytes in zip(pdf["url"], pdf["html"]):
-                rows, errors = extract_page(url, bytes(html_bytes))
+                rows, errors = extract_page(url, bytes(html_bytes), tables=tables)
                 out.extend(rows)
                 out.extend(errors)
             yield pd.DataFrame(out, columns=TRIPLES_COLUMNS)

@@ -470,6 +470,64 @@ def bfs_distances(edges: DataFrame, seeds: DataFrame, max_hops: int = 8) -> Data
     return dist
 
 
+def sssp(edges: DataFrame, seeds: DataFrame, max_rounds: int = 16) -> DataFrame:
+    """Weighted multi-source shortest paths — distributed Bellman-Ford
+    over (src, dst, w) edges with NON-NEGATIVE integer weights; returns
+    (node, dist) for every node reachable from `seeds` (one `node`
+    column, dist 0) within `max_rounds` relaxation rounds.
+
+    Frontier-based relaxation (Pregel's SSSP proper — `bfs_distances`
+    is its unit-weight specialization): each round joins only the nodes
+    whose distance IMPROVED last round against the edge table (hash
+    join on src), min-combines candidate distances per target (map-side
+    combine), and keeps the strict improvements. Integer weights mean
+    no fp drift: the labels are bit-identical across partitionings and
+    engines, so the suite value-oracles the result against a
+    rounds-unrolled DuckDB min-relaxation mirror.
+
+    Scale: per-round work is |frontier ⋈ edges|, never |dist|²; the
+    settled-distance table participates only as the probe side of one
+    left join per round. `localCheckpoint` caps the O(rounds) lineage
+    and the early-out isEmpty probe reuses the improved-set
+    materialization (the bfs_distances lesson — without it every
+    frontier is derived twice). `max_rounds` bounds the hop count of
+    the longest optimal path, NOT the diameter of the graph: weighted
+    detours never force extra rounds beyond the optimal path's edge
+    count."""
+    e = edges.select(
+        "src", "dst", F.col("w").cast("long").alias("w")
+    ).dropDuplicates()
+    dist = seeds.select("node").dropDuplicates().select(
+        "node", F.lit(0).cast("long").alias("dist")
+    )
+    frontier = dist
+    for r in range(max_rounds):
+        # cap lineage at the top of each round; the RETURNED frame keeps
+        # its last anti-join+union plan visible (the bfs_distances
+        # discipline — checkpointing the returned union would hide the
+        # join/agg shapes from the plan audit)
+        if r > 0:
+            dist = dist.localCheckpoint(eager=False)
+        cand = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("nd"))
+            .groupBy("node")
+            .agg(F.min("nd").alias("nd"))
+        )
+        # checkpoint BEFORE the isEmpty probe so the probe's
+        # materialization is reused by the union below
+        improved = (
+            cand.join(dist.select("node", F.col("dist").alias("old")), "node", "left")
+            .filter(F.col("old").isNull() | (F.col("nd") < F.col("old")))
+            .select("node", F.col("nd").alias("dist"))
+        ).localCheckpoint(eager=False)
+        if improved.isEmpty():
+            break
+        dist = dist.join(improved.select("node"), "node", "left_anti").unionByName(improved)
+        frontier = improved
+    return dist
+
+
 def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
     """Synchronous label-propagation community detection (Raghavan et
     al. 2007, the deterministic variant) over undirected (src, dst)

@@ -165,3 +165,61 @@ def truth_discovery(quads: DataFrame, iters: int = 2, scale: int = 1000) -> Data
         wts = wts.localCheckpoint(eager=True)
         winners = fuse_functional(quads, weights=wts, default_weight=0)
     return winners
+
+
+def class_alignment(
+    types_a: DataFrame,
+    types_b: DataFrame,
+    k: int = 1,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Instance-based ontology alignment: match classes across two type
+    systems by shared-instance Jaccard (the PARIS/extensional-overlap
+    family — align `a:`-vocabulary classes to `b:`-vocabulary classes
+    by who their members are, no lexical signal needed).
+
+    Inputs: (inst, cls_a) and (inst, cls_b) type-assertion frames
+    (duplicates tolerated — set semantics applied). Output: per
+    surviving (cls_a, cls_b) pair the exact member counts, the Jaccard
+    as an integer ppm (`n_both * 1e6 div (n_a + n_b - n_both)` — the
+    engine-portable exactness rule), and the per-cls_a rank; rows with
+    `n_both < min_overlap` never reach the rank stage.
+
+    Scale: the only large join is the instance equi-join, bounded by
+    type-assertion volume (each instance contributes |classes_a(i)| ×
+    |classes_b(i)| pairs — small constants in real ontologies); class
+    sizes are |classes|-row aggregates joined back BROADCAST, and the
+    top-k window runs over the already-grouped (cls_a, cls_b) cells."""
+    ta = types_a.select("inst", "cls_a").dropDuplicates()
+    tb = types_b.select("inst", "cls_b").dropDuplicates()
+    na = ta.groupBy("cls_a").agg(F.count(F.lit(1)).alias("n_a"))
+    nb = tb.groupBy("cls_b").agg(F.count(F.lit(1)).alias("n_b"))
+    inter = (
+        ta.join(tb, "inst")
+        .groupBy("cls_a", "cls_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= min_overlap)
+    )
+    j = (
+        inter.join(F.broadcast(na), "cls_a")
+        .join(F.broadcast(nb), "cls_b")
+        .withColumn(
+            "jac_ppm",
+            F.expr("CAST(n_both * 1000000 AS BIGINT) div (n_a + n_b - n_both)"),
+        )
+    )
+    w = Window.partitionBy("cls_a").orderBy(
+        F.col("jac_ppm").desc(), F.col("n_both").desc(), F.col("cls_b").asc()
+    )
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "cls_a", "cls_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("n_both").cast("long").alias("n_both"),
+            "jac_ppm",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

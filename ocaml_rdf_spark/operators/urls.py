@@ -312,3 +312,56 @@ def crawl_schedule(
         slot.alias("slot"),
         (slot * int(delay_ms) + stagger).alias("fetch_at_ms"),
     )
+
+
+def change_rate(
+    snaps: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    hash_col: str = "content_hash",
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-URL content change rate from crawl-snapshot history — the
+    recrawl-scheduling estimator (Cho & Garcia-Molina's change-frequency
+    model, the counting tier): how often did successive fetches of the
+    same URL produce different content?
+
+    Input: one row per fetch with the URL, fetch timestamp, and a
+    content hash (any stable digest — md5 of the extracted text is the
+    pipeline's convention). `order_cols` breaks timestamp ties
+    deterministically (pass the fetch id when timestamps can collide).
+    Output per URL: n_obs, n_changes (hash differs from the previous
+    fetch's), change_ppm = n_changes * 1e6 div (n_obs - 1) (0 for a
+    single observation — no evidence is 'cold', matching the
+    scheduler's conservative default), and the priority tier the crawl
+    scheduler consumes ('hot' ≥ 50%, 'warm' ≥ 10%, else 'cold').
+
+    ONE url-keyed shuffle: the lag window and the per-URL aggregate
+    share the same partitioning, and all math is integer (exact,
+    engine-portable)."""
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in order_cols]
+    w = Window.partitionBy(url_col).orderBy(*order)
+    per = snaps.select(
+        F.col(url_col).alias("url"),
+        F.when(
+            F.lag(F.col(hash_col)).over(w).isNotNull()
+            & (F.col(hash_col) != F.lag(F.col(hash_col)).over(w)),
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("chg"),
+    )
+    agg = per.groupBy("url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum("chg").cast("long").alias("n_changes"),
+    )
+    rate = F.when(F.col("n_obs") <= 1, F.lit(0)).otherwise(
+        F.expr("CAST(n_changes * 1000000 AS BIGINT) div (n_obs - 1)")
+    )
+    return agg.select(
+        "url", "n_obs", "n_changes",
+        rate.cast("long").alias("change_ppm"),
+    ).withColumn(
+        "priority",
+        F.when(F.col("change_ppm") >= 500000, F.lit("hot"))
+        .when(F.col("change_ppm") >= 100000, F.lit("warm"))
+        .otherwise(F.lit("cold")),
+    )

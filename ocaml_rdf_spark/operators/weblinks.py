@@ -290,3 +290,37 @@ def robots_filter(
         F.coalesce(best["prefix"], F.lit("")).alias("rule_prefix"),
         F.coalesce(best["a"] == 1, F.lit(True)).alias("allowed"),
     )
+
+
+def host_authority(host_edges: DataFrame) -> DataFrame:
+    """Per-host authority profile over a `host_link_graph` edge list:
+    out_degree / in_degree (distinct peer hosts), out_links / in_links
+    (link volumes), and authority_ppm = in_links * 1e6 div
+    (in_links + out_links) — the link-economy asymmetry signal quality
+    classifiers consume (content farms link out, authorities get linked
+    to).
+
+    Two host-keyed aggregates over the (already tiny) host graph + one
+    full outer join; all-integer math."""
+    out_ = host_edges.groupBy(F.col("src_host").alias("host")).agg(
+        F.count(F.lit(1)).cast("long").alias("out_degree"),
+        F.sum("n_links").cast("long").alias("out_links"),
+    )
+    in_ = host_edges.groupBy(F.col("dst_host").alias("host")).agg(
+        F.count(F.lit(1)).cast("long").alias("in_degree"),
+        F.sum("n_links").cast("long").alias("in_links"),
+    )
+    j = out_.join(in_, "host", "full_outer").select(
+        "host",
+        F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+        F.coalesce("out_links", F.lit(0)).alias("out_links"),
+        F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+        F.coalesce("in_links", F.lit(0)).alias("in_links"),
+    )
+    return j.withColumn(
+        "authority_ppm",
+        F.expr(
+            "CASE WHEN in_links + out_links = 0 THEN 0 "
+            "ELSE CAST(in_links * 1000000 AS BIGINT) div (in_links + out_links) END"
+        ),
+    )

@@ -7311,3 +7311,270 @@ FROM m WHERE rn = 1
 """
 
 QUERIES["robots"] = (q_robots, SQL_ROBOTS)
+
+
+def q_sssp(spark, sf):
+    """Weighted shortest paths (distributed Bellman-Ford, 6 relaxation
+    rounds = exact min cost over ≤6-edge paths) from each nation chain's
+    head over the chain-with-chords graph, md5-derived integer edge
+    weights 1..9. The oracle is the same relaxation unrolled as
+    materialized CTEs (the bfs_dist protocol, weighted)."""
+    from .operators.cc import sssp
+
+    r, e = _chain_graph(spark, sf)
+    ew = e.withColumn(
+        "w",
+        F.conv(F.substring(F.md5(F.concat(F.col("src"), F.lit(">"), F.col("dst"))), 1, 15), 16, 10)
+        .cast("long") % 9 + 1,
+    )
+    seeds = r.filter(F.col("rn") == 1).select(F.col("k").alias("node"))
+    return sssp(ew, seeds, max_rounds=6)
+
+
+def _sssp_sql(rounds: int) -> str:
+    parts = [
+        "WITH " + _CHAIN_SQL + """,
+we AS (
+  SELECT src, dst,
+         ('0x' || substr(md5(src || '>' || dst), 1, 15))::BIGINT % 9 + 1 AS w
+  FROM raw
+),
+s0 AS (SELECT kk AS node, CAST(0 AS BIGINT) AS dist FROM r WHERE rn = 1)"""
+    ]
+    for h in range(1, rounds + 1):
+        parts.append(
+            f""",
+s{h} AS MATERIALIZED (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM s{h - 1}
+    UNION ALL
+    SELECT e.dst, s.dist + e.w FROM s{h - 1} s JOIN we e ON e.src = s.node
+  ) GROUP BY node
+)"""
+        )
+    parts.append(f"\nSELECT node, CAST(dist AS BIGINT) AS dist FROM s{rounds}")
+    return "".join(parts)
+
+
+SQL_SSSP = _sssp_sql(6)
+
+QUERIES["sssp"] = (q_sssp, SQL_SSSP)
+
+
+def q_class_align(spark, sf):
+    """Instance-based ontology alignment: nation classes (vocabulary a)
+    matched against region + customer-parity classes (vocabulary b) by
+    shared-member Jaccard — each nation class must elect its region
+    (containment, jac = |nation|/|region|) over the uninformative parity
+    split."""
+    from .operators.fusion import class_alignment
+
+    cu = spark.read.parquet(f"{sf}/customer.parquet")
+    na = spark.read.parquet(f"{sf}/nation.parquet")
+    inst = F.concat(F.lit("i"), F.col("c_custkey").cast("string")).alias("inst")
+    ta = cu.select(
+        inst,
+        F.concat(F.lit("a:n"), F.col("c_nationkey").cast("string")).alias("cls_a"),
+    )
+    tb = (
+        cu.join(na, cu["c_nationkey"] == na["n_nationkey"])
+        .select(
+            inst,
+            F.concat(F.lit("b:r"), F.col("n_regionkey").cast("string")).alias("cls_b"),
+        )
+        .unionByName(
+            cu.select(
+                inst,
+                F.concat(F.lit("b:par"), (F.col("c_custkey") % 2).cast("string")).alias("cls_b"),
+            )
+        )
+    )
+    return class_alignment(ta, tb, k=2)
+
+
+SQL_CLASS_ALIGN = """
+WITH ta AS (
+  SELECT DISTINCT 'i' || c_custkey AS inst, 'a:n' || c_nationkey AS cls_a FROM customer
+),
+tb AS (
+  SELECT DISTINCT 'i' || c_custkey AS inst, 'b:r' || n_regionkey AS cls_b
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  UNION
+  SELECT DISTINCT 'i' || c_custkey, 'b:par' || (c_custkey % 2) FROM customer
+),
+na AS (SELECT cls_a, COUNT(*) AS n_a FROM ta GROUP BY 1),
+nb AS (SELECT cls_b, COUNT(*) AS n_b FROM tb GROUP BY 1),
+inter AS (
+  SELECT cls_a, cls_b, COUNT(*) AS n_both
+  FROM ta JOIN tb USING (inst) GROUP BY 1, 2
+),
+j AS (
+  SELECT i.cls_a, i.cls_b, na.n_a, nb.n_b, i.n_both,
+         CAST(i.n_both * 1000000 AS BIGINT) // (na.n_a + nb.n_b - i.n_both) AS jac_ppm
+  FROM inter i JOIN na USING (cls_a) JOIN nb USING (cls_b)
+)
+SELECT cls_a, cls_b, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(n_both AS BIGINT) AS n_both, jac_ppm, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY cls_a ORDER BY jac_ppm DESC, n_both DESC, cls_b ASC
+  ) AS rank FROM j
+) WHERE rank <= 2
+"""
+
+QUERIES["class_align"] = (q_class_align, SQL_CLASS_ALIGN)
+
+
+def q_change_rate(spark, sf):
+    """Per-URL content change rate from crawl snapshots (events stream as
+    fetch history: user bucket = URL, event_type hash = content digest):
+    exact integer change_ppm + the hot/warm/cold recrawl tier."""
+    from .operators.urls import change_rate
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    snaps = ev.select(
+        F.concat(F.lit("u"), (F.col("user_id") % 97).cast("string")).alias("url"),
+        F.col("ts"),
+        F.col("event_id"),
+        F.md5(F.col("event_type")).alias("content_hash"),
+    )
+    return change_rate(snaps, order_cols=("event_id",))
+
+
+SQL_CHANGE_RATE = """
+WITH s AS (
+  SELECT 'u' || (user_id % 97) AS url, ts, event_id, md5(event_type) AS h
+  FROM events
+),
+per AS (
+  SELECT url,
+         CASE WHEN lag(h) OVER (PARTITION BY url ORDER BY ts ASC, event_id ASC) IS NOT NULL
+                   AND h <> lag(h) OVER (PARTITION BY url ORDER BY ts ASC, event_id ASC)
+              THEN 1 ELSE 0 END AS chg
+  FROM s
+),
+agg AS (
+  SELECT url, COUNT(*) AS n_obs, SUM(chg) AS n_changes FROM per GROUP BY 1
+)
+SELECT url, CAST(n_obs AS BIGINT) AS n_obs, CAST(n_changes AS BIGINT) AS n_changes,
+       CAST(CASE WHEN n_obs <= 1 THEN 0
+                 ELSE CAST(n_changes * 1000000 AS BIGINT) // (n_obs - 1) END AS BIGINT) AS change_ppm,
+       CASE WHEN (CASE WHEN n_obs <= 1 THEN 0
+                       ELSE n_changes * 1000000 // (n_obs - 1) END) >= 500000 THEN 'hot'
+            WHEN (CASE WHEN n_obs <= 1 THEN 0
+                       ELSE n_changes * 1000000 // (n_obs - 1) END) >= 100000 THEN 'warm'
+            ELSE 'cold' END AS priority
+FROM agg
+"""
+
+QUERIES["change_rate"] = (q_change_rate, SQL_CHANGE_RATE)
+
+
+def q_host_authority(spark, sf):
+    """Per-host link-economy profile over the extracted host graph:
+    in/out degree + link volumes + integer authority share."""
+    from .operators.weblinks import extract_links, host_authority, host_link_graph
+
+    return host_authority(host_link_graph(extract_links(_link_pages(spark, sf))))
+
+
+SQL_HOST_AUTHORITY = """
+WITH links AS (
+  SELECT 'h' || (doc_id % 37) AS sh, 'h' || (doc_id % 5) AS dh, doc_id FROM documents
+  UNION ALL
+  SELECT 'h' || (doc_id % 37), 'h' || ((doc_id * 11 + 5) % 37), doc_id FROM documents
+),
+hg AS (
+  SELECT sh || '.example' AS src_host, dh || '.example' AS dst_host, COUNT(*) AS n_links
+  FROM links WHERE sh <> dh GROUP BY 1, 2
+),
+o AS (SELECT src_host AS host, COUNT(*) AS out_degree, SUM(n_links) AS out_links FROM hg GROUP BY 1),
+i AS (SELECT dst_host AS host, COUNT(*) AS in_degree, SUM(n_links) AS in_links FROM hg GROUP BY 1)
+SELECT COALESCE(o.host, i.host) AS host,
+       CAST(COALESCE(out_degree, 0) AS BIGINT) AS out_degree,
+       CAST(COALESCE(out_links, 0) AS BIGINT) AS out_links,
+       CAST(COALESCE(in_degree, 0) AS BIGINT) AS in_degree,
+       CAST(COALESCE(in_links, 0) AS BIGINT) AS in_links,
+       CAST(CASE WHEN COALESCE(in_links, 0) + COALESCE(out_links, 0) = 0 THEN 0
+                 ELSE COALESCE(in_links, 0) * 1000000 // (COALESCE(in_links, 0) + COALESCE(out_links, 0))
+            END AS BIGINT) AS authority_ppm
+FROM o FULL OUTER JOIN i ON o.host = i.host
+"""
+
+QUERIES["host_authority"] = (q_host_authority, SQL_HOST_AUTHORITY)
+
+
+def q_table_triples(spark, sf):
+    """WebTables recovery end-to-end: synthesized header-rowed tables →
+    the REAL mapInPandas extraction stage with the tables extractor on →
+    non-bnode-object triples. The oracle computes the expected mapping
+    (type/counts/rowIndex/typed cells/resolved link IRIs) from the
+    synthesis formulas independently — no html parsing on the DuckDB
+    side."""
+    from .extract import extract_triples, split_errors
+    from .types import KIND_BNODE
+
+    d = F.col("doc_id")
+    pages = _docs(spark, sf).select(
+        F.concat(
+            F.lit("https://h"), (d % 37).cast("string"), F.lit(".example/p/"), d.cast("string")
+        ).alias("url"),
+        F.encode(
+            F.concat(
+                F.lit("<table><tr><th>K</th><th>N Chars</th><th>Link</th></tr><tr><td>d"),
+                d.cast("string"),
+                F.lit("</td><td>"),
+                F.col("n_chars").cast("string"),
+                F.lit('</td><td><a href="/e/'),
+                (d % 41).cast("string"),
+                F.lit('">x</a></td></tr><tr><td>'),
+                F.col("lang"),
+                F.lit("</td><td>-7</td><td>plain text</td></tr></table>"),
+            ),
+            "utf-8",
+        ).alias("html"),
+    )
+    triples, _errs = split_errors(extract_triples(pages, tables=True))
+    return triples.filter(F.col("o_kind") != KIND_BNODE).select(
+        "graph", "pred",
+        F.col("o_kind").cast("tinyint").alias("o_kind"),
+        "o_lex",
+        F.coalesce(F.col("o_dtype"), F.lit("")).alias("o_dtype"),
+    )
+
+
+SQL_TABLE_TRIPLES = """
+WITH d AS (
+  SELECT 'https://h' || (doc_id % 37) || '.example/p/' || doc_id AS graph,
+         'https://h' || (doc_id % 37) || '.example/e/' || (doc_id % 41) AS link,
+         'd' || doc_id AS k1, lang AS k2, CAST(n_chars AS VARCHAR) AS nc
+  FROM documents
+),
+xsd AS (SELECT 'http://www.w3.org/2001/XMLSchema#' AS ns)
+SELECT graph, pred, CAST(o_kind AS TINYINT) AS o_kind, o_lex, o_dtype FROM (
+  SELECT graph, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+         0 AS o_kind, 'urn:x-ords:table:Table' AS o_lex, '' AS o_dtype FROM d
+  UNION ALL
+  SELECT graph, 'urn:x-ords:table:columnCount', 2, '3', ns || 'integer' FROM d, xsd
+  UNION ALL
+  SELECT graph, 'urn:x-ords:table:rowCount', 2, '2', ns || 'integer' FROM d, xsd
+  UNION ALL
+  SELECT graph, 'urn:x-ords:table:rowIndex', 2, '0', ns || 'integer' FROM d, xsd
+  UNION ALL
+  SELECT graph, 'urn:x-ords:table:rowIndex', 2, '1', ns || 'integer' FROM d, xsd
+  UNION ALL
+  SELECT graph, 'urn:x-ords:table:col/k', 2, k1, ns || 'string' FROM d, xsd
+  UNION ALL
+  SELECT graph, 'urn:x-ords:table:col/k', 2, k2, ns || 'string' FROM d, xsd
+  UNION ALL
+  SELECT graph, 'urn:x-ords:table:col/n-chars', 2, nc, ns || 'integer' FROM d, xsd
+  UNION ALL
+  SELECT graph, 'urn:x-ords:table:col/n-chars', 2, '-7', ns || 'integer' FROM d, xsd
+  UNION ALL
+  SELECT graph, 'urn:x-ords:table:col/link', 0, link, '' FROM d
+  UNION ALL
+  SELECT graph, 'urn:x-ords:table:col/link', 2, 'plain text', ns || 'string' FROM d, xsd
+)
+"""
+
+QUERIES["table_triples"] = (q_table_triples, SQL_TABLE_TRIPLES)

@@ -880,6 +880,44 @@ def main() -> None:
             ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
             ("no cartesian product", r"CartesianProduct", "absent"),
         ]),
+        ("sssp", [
+            # Bellman-Ford rounds: the final round's settled-set exclusion
+            # (hash LEFT ANTI) + union stay visible; earlier rounds' min-
+            # combine aggs sit behind the per-round checkpoints (same
+            # truncation as bfs_dist)
+            ("settled-set exclusion is a hash anti join", r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin).*LeftAnti"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
+        ("class_align", [
+            # instance equi-join bounded by assertion volume; class sizes
+            # broadcast back; per-class top-k window
+            ("class sizes broadcast", r"BroadcastHashJoin|BroadcastExchange"),
+            ("per-class top-k window", r"Window"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
+        ("change_rate", [
+            # one url-keyed shuffle shared by the lag window and the agg
+            ("lag window present", r"Window"),
+            ("map-side-combined agg", r"HashAggregate"),
+            ("no join at all", r"Join", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
+        ("host_authority", [
+            # two host-keyed aggs + one outer join of |hosts|-sized sides
+            ("degree aggs hash-aggregated", r"HashAggregate"),
+            ("outer join is hash/merge", r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
+        ("table_triples", [
+            # WebTables extraction is the sanctioned Arrow-batched Python
+            # path and stays MAP-ONLY: no exchange, no join
+            ("Arrow-batched mapInPandas extraction", r"MapInPandas"),
+            ("map-only (no shuffle)", r"Exchange", "absent"),
+            ("no join at all", r"Join", "absent"),
+        ]),
     ]
 
     lines = ["# PLANS — physical-plan audit (scripts/plan_audit.py)", "",

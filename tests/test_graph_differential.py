@@ -364,3 +364,32 @@ def test_assortativity_fuzz(spark, pairs):
     want = tuple(0 if v is None else v for v in row)
     got = tuple(0 if v is None else v for v in got)
     assert got == want
+
+
+@pytest.mark.usefixtures("spark")
+@settings(**_SETTINGS)
+@given(
+    pairs=edges_st,
+    ws=st.lists(st.integers(1, 5), min_size=12, max_size=12),
+    rounds=st.integers(1, 4),
+)
+def test_sssp_fuzz(spark, pairs, ws, rounds):
+    """Weighted Bellman-Ford vs a synchronous pure-Python relaxation:
+    after k rounds both must hold EXACTLY min cost over ≤k-edge paths."""
+    from ocaml_rdf_spark.operators.cc import sssp
+
+    wpairs = [(f"n{a}", f"n{b}", ws[i]) for i, (a, b) in enumerate(pairs)]
+    edf = spark.createDataFrame(wpairs, "src string, dst string, w long")
+    seeds = spark.createDataFrame([("n0",), ("n3",)], "node string")
+    got = sorted(map(tuple, sssp(edf, seeds, max_rounds=rounds).collect()))
+
+    INF = float("inf")
+    dist = {"n0": 0, "n3": 0}
+    for _ in range(rounds):
+        nd = dict(dist)
+        for a, b, w in wpairs:
+            if a in dist and dist[a] + w < nd.get(b, INF):
+                nd[b] = dist[a] + w
+        dist = nd
+    want = sorted(dist.items())
+    assert got == want
