@@ -214,6 +214,18 @@ def main() -> None:
         "host_split",
         "best_keeper",
         "entity_card",
+        "link_graph",
+        "anchor_dict",
+        "redirects",
+        "robots",
+        "sssp",
+        "class_align",
+        "change_rate",
+        "host_authority",
+        "table_triples",
+        "cidr_map",
+        "reify_store",
+        "reify_rt",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

@@ -378,3 +378,115 @@ def rewrite_namespace(quads: DataFrame, old_prefix: str, new_prefix: str) -> Dat
     out = quads.withColumn("s_lex", rw(F.col("s_lex"), F.col("s_kind") == 0))
     out = out.withColumn("pred", rw(F.col("pred"), F.lit(True)))
     return out.withColumn("o_lex", rw(F.col("o_lex"), F.col("o_kind") == 0))
+
+
+# --- RDF reification (rdf:Statement) ------------------------------------------
+#
+# The classic statement-about-statements mechanism (RDF 1.1 §5.3 /
+# rdf:Statement vocabulary) — the pre-RDF-star way to attach provenance or
+# qualifiers to individual triples, still what most legacy KGs (Wikidata
+# dumps, YAGO2) ship. ocaml-rdf exposes the vocabulary terms (rdf_rdf.ml);
+# the distributed rewrite both ways is the engine's store-level addition.
+# The RDF-star path (types.py KIND_TRIPLE + the SPARQL-star surface) is the
+# modern equivalent; reify/unreify interoperate with stores that predate it.
+
+_RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+_QKEY_COLS = ("s_kind", "s_lex", "pred", "o_kind", "o_lex", "o_dtype", "o_lang", "graph")
+
+
+def _stmt_iri() -> F.Column:
+    """Deterministic statement IRI: md5 of the full quad key (unit-separated,
+    null-coalesced) — re-reifying the same store yields the same ids, so
+    set-semantics dedup keeps reification idempotent."""
+    parts = []
+    for c in _QKEY_COLS:
+        parts.append(F.coalesce(F.col(c).cast("string"), F.lit("")))
+        parts.append(F.lit("\x1f"))
+    return F.concat(F.lit("urn:x-ords:stmt:"), F.md5(F.concat(*parts[:-1])))
+
+
+def reify(quads: DataFrame) -> DataFrame:
+    """Quad store slice → RDF reification quads: per input quad a
+    deterministic statement IRI carrying rdf:type rdf:Statement,
+    rdf:subject, rdf:predicate, rdf:object (object keeps its
+    kind/dtype/lang), in the SAME graph. Map-only: a constant-width
+    melt (one explode of a 4-struct array), no shuffle, no UDF."""
+    from ..types import KIND_IRI
+
+    stmt = _stmt_iri()
+    i = F.lit(KIND_IRI).cast("tinyint")
+    nul = F.lit(None).cast("string")
+
+    def row(pred: str, ok, olex, odt, olang):
+        return F.struct(
+            F.lit(_RDF_NS + pred).alias("pred"),
+            ok.cast("tinyint").alias("o_kind"),
+            olex.alias("o_lex"),
+            odt.alias("o_dtype"),
+            olang.alias("o_lang"),
+        )
+
+    melted = quads.select(
+        i.alias("s_kind"),
+        stmt.alias("s_lex"),
+        F.col("graph"),
+        F.explode(
+            F.array(
+                row("type", i, F.lit(_RDF_NS + "Statement"), nul, nul),
+                row("subject", F.col("s_kind"), F.col("s_lex"), nul, nul),
+                row("predicate", i, F.col("pred"), nul, nul),
+                row("object", F.col("o_kind"), F.col("o_lex"), F.col("o_dtype"), F.col("o_lang")),
+            )
+        ).alias("_r"),
+    )
+    return melted.select(
+        "s_kind", "s_lex",
+        F.col("_r.pred").alias("pred"),
+        F.col("_r.o_kind").alias("o_kind"),
+        F.col("_r.o_lex").alias("o_lex"),
+        F.col("_r.o_dtype").alias("o_dtype"),
+        F.col("_r.o_lang").alias("o_lang"),
+        "graph",
+    )
+
+
+def unreify(quads: DataFrame) -> DataFrame:
+    """Inverse of `reify`: collapse rdf:subject/predicate/object groups
+    back to plain quads. ONE (statement, graph)-keyed aggregation with
+    map-side combine; statements missing any of the three component
+    arcs are dropped (incomplete reification — the W3C vocabulary makes
+    no integrity promise, so silence is the only spec-true option).
+    Works on ANY store: non-reification rows are pre-filtered by
+    predicate, which pushes to the scan."""
+    rei = quads.filter(
+        F.col("pred").isin(
+            _RDF_NS + "subject", _RDF_NS + "predicate", _RDF_NS + "object"
+        )
+    )
+
+    def pick(pred: str, col: str):
+        return F.max(
+            F.when(F.col("pred") == _RDF_NS + pred, F.col(col))
+        )
+
+    g = rei.groupBy("s_lex", "graph").agg(
+        pick("subject", "o_kind").alias("s_kind2"),
+        pick("subject", "o_lex").alias("s_lex2"),
+        pick("predicate", "o_lex").alias("pred2"),
+        pick("object", "o_kind").alias("o_kind2"),
+        pick("object", "o_lex").alias("o_lex2"),
+        pick("object", "o_dtype").alias("o_dtype2"),
+        pick("object", "o_lang").alias("o_lang2"),
+    )
+    return g.filter(
+        F.col("s_lex2").isNotNull() & F.col("pred2").isNotNull() & F.col("o_lex2").isNotNull()
+    ).select(
+        F.col("s_kind2").cast("tinyint").alias("s_kind"),
+        F.col("s_lex2").alias("s_lex"),
+        F.col("pred2").alias("pred"),
+        F.col("o_kind2").cast("tinyint").alias("o_kind"),
+        F.col("o_lex2").alias("o_lex"),
+        F.col("o_dtype2").alias("o_dtype"),
+        F.col("o_lang2").alias("o_lang"),
+        "graph",
+    )

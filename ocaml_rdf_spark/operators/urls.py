@@ -365,3 +365,80 @@ def change_rate(
         .when(F.col("change_ppm") >= 100000, F.lit("warm"))
         .otherwise(F.lit("cold")),
     )
+
+
+def _ip_int(col: Column) -> Column:
+    """Dotted-quad IPv4 → 32-bit integer (exact, engine-portable)."""
+    p = F.split(col, r"\.")
+    return (
+        p[0].cast("long") * 16777216
+        + p[1].cast("long") * 65536
+        + p[2].cast("long") * 256
+        + p[3].cast("long")
+    )
+
+
+def cidr_join(
+    ips: DataFrame,
+    blocks: DataFrame,
+    ip_col: str = "ip",
+    cidr_col: str = "cidr",
+) -> DataFrame:
+    """Longest-prefix-match of IPv4 addresses to CIDR netblocks — the
+    geo/ASN enrichment join (host IP → registry block), expressed as an
+    EQUI join so it scales: the inequality "ip falls inside block" never
+    reaches a join condition.
+
+    Mechanics: both sides are bucketed at /16. A block with prefix_len
+    ≥ 16 lands in exactly one bucket; a coarser block explodes into its
+    2^(16-k) covered buckets (bounded by the block table itself —
+    registry data is metadata-sized, so the expansion is cheap and the
+    bucketed block table broadcasts). The join is then bucket == bucket
+    (hash), the exact prefix test `ip >> (32-k) == net >> (32-k)` is a
+    post-join FILTER, and RFC-longest-prefix wins via one max_by per ip
+    (prefix_len desc, cidr asc on ties).
+
+    Returns ONE ROW PER DISTINCT ip value: (ip, cidr, prefix_len,
+    <every other block column>) with NULLs for unmatched ips — a mapping
+    table the caller joins back to its fact rows (broadcast at real
+    scale; re-joining here would force a second pass over the facts).
+    """
+    meta = [c for c in blocks.columns if c != cidr_col]
+    k = F.split(F.col(cidr_col), "/")[1].cast("int")
+    net = _ip_int(F.split(F.col(cidr_col), "/")[0])
+    lo16 = F.floor(net / 65536).cast("long")
+    n_buckets = F.when(k >= 16, F.lit(1).cast("long")).otherwise(
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(16 - _k AS INT))")
+    )
+    b = (
+        blocks.withColumn("_k", k)
+        .withColumn("_net", net)
+        .withColumn("_lo", lo16)
+        .withColumn("_bucket", F.explode(F.sequence(F.col("_lo"), F.col("_lo") + n_buckets - 1)))
+        .select(cidr_col, "_k", "_net", "_bucket", *meta)
+    )
+    u = ips.select(F.col(ip_col).alias("ip")).dropDuplicates().withColumn(
+        "_ip", _ip_int(F.col("ip"))
+    )
+    matched = (
+        u.join(
+            F.broadcast(b),
+            F.floor(F.col("_ip") / 65536).cast("long") == F.col("_bucket"),
+        )
+        .filter(F.expr("_ip div shiftleft(CAST(1 AS BIGINT), CAST(32 - _k AS INT)) = _net div shiftleft(CAST(1 AS BIGINT), CAST(32 - _k AS INT))"))
+        .groupBy("ip")
+        .agg(
+            F.max_by(
+                F.struct(F.col(cidr_col).alias("cidr"), F.col("_k").alias("prefix_len"),
+                         *[F.col(c).alias(c) for c in meta]),
+                F.struct(F.col("_k"), F.col(cidr_col)),
+            ).alias("_best")
+        )
+    )
+    out = u.select("ip").join(matched, "ip", "left")
+    return out.select(
+        "ip",
+        F.col("_best.cidr").alias("cidr"),
+        F.col("_best.prefix_len").alias("prefix_len"),
+        *[F.col(f"_best.{c}").alias(c) for c in meta],
+    )

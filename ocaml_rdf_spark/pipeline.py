@@ -141,24 +141,36 @@ class Pipeline:
 def kg_pipeline(
     spark: SparkSession, root: str, n_pages: int, parts: int = 8,
     ontology: Optional[DataFrame] = None,
+    mine_anchors: bool = False,
 ) -> Pipeline:
     """The full KG-construction pipeline (north rule order): extract →
-    link → canonicalize → [infer] → materialize SPO/POS. Each stage
-    committed with lineage + metrics; resumable mid-way.
+    [weblinks] → link → canonicalize → [infer] → materialize SPO/POS.
+    Each stage committed with lineage + metrics; resumable mid-way.
 
     `ontology`: optional TRIPLES DataFrame of schema axioms (rdfs:
     subClassOf/subPropertyOf/domain/range, owl: inverseOf/Symmetric/
     TransitiveProperty). When given, an `infer` stage materializes the
     RDFS + OWL-RL entailments over the canonical store (operators/rdfs,
     operators/owlrl — broadcast-schema passes, no instance fixpoints)
-    and the SPO/POS sinks serve the asserted ∪ entailed closure."""
+    and the SPO/POS sinks serve the asserted ∪ entailed closure.
+
+    `mine_anchors`: adds a `weblinks` stage that mines the corpus's own
+    `<a href>` anchor texts into an alias dictionary
+    (operators/weblinks.py — the web's crowd-written entity lexicon) and
+    UNIONS it into the link stage's dictionary at top prior: a page that
+    links the surface form to a URI is first-hand evidence, so mined
+    entries outrank the curated dictionary's priors on collisions."""
     from .datagen import gen_aliases_pandas, gen_pages_df
     from .extract import dedup_triples, extract_triples, salted_repartition, split_errors
     from .operators.cc import canonicalize, connected_components, sameas_edges
     from .operators.linking import link_exact
     from .types import TRIPLE_KEY
 
-    fp = f"pages:{n_pages}:v1" + (":inf" if ontology is not None else "")
+    fp = (
+        f"pages:{n_pages}:v1"
+        + (":inf" if ontology is not None else "")
+        + (":anch" if mine_anchors else "")
+    )
     pipe = Pipeline(spark, root, fp)
 
     def s_extract(sp, p):
@@ -169,6 +181,18 @@ def kg_pipeline(
     def s_dedup(sp, p):
         triples, _ = split_errors(p.output("extract"))
         return dedup_triples(triples)
+
+    def s_weblinks(sp, p):
+        """Anchor-text alias mining over the SAME page set (deterministic
+        regeneration, like s_extract): href extraction → normalized
+        anchor → top-1 target per alias. Output is the mined dictionary
+        (alias, dst_url, n_links, rank)."""
+        from .operators.weblinks import anchor_dictionary, extract_links
+
+        pages = gen_pages_df(sp, n_pages, parts=parts).withColumn(
+            "html", F.col("html").cast("string")
+        )
+        return anchor_dictionary(extract_links(pages), min_count=2, k=1)
 
     def s_link(sp, p):
         """Entity linking (north rule): string-literal objects of the
@@ -189,6 +213,15 @@ def kg_pipeline(
             .distinct()
         )
         aliases = sp.createDataFrame(gen_aliases_pandas(500))
+        if mine_anchors:
+            mined = p.output("weblinks").select(
+                F.col("alias"),
+                F.col("dst_url").alias("uri"),
+                # first-hand corpus evidence outranks every curated prior
+                # (gen priors are < 1); deterministic constant, no rand()
+                F.lit(0.999999).alias("prior"),
+            )
+            aliases = aliases.unionByName(mined)
         links = link_exact(mentions, aliases)
         return links.select(
             F.lit(0).cast("tinyint").alias("s_kind"),
@@ -233,9 +266,10 @@ def kg_pipeline(
     def s_pos(sp, p):
         return closure(p).repartition(parts, "pred")
 
-    pipe.stage("extract", s_extract).stage("dedup", s_dedup).stage("link", s_link).stage(
-        "canonical", s_canonical
-    )
+    pipe.stage("extract", s_extract).stage("dedup", s_dedup)
+    if mine_anchors:
+        pipe.stage("weblinks", s_weblinks)
+    pipe.stage("link", s_link).stage("canonical", s_canonical)
     if ontology is not None:
         pipe.stage("infer", s_infer)
     return pipe.stage("spo", s_spo, sort_cols=["s_lex", "pred", "o_lex"]).stage(

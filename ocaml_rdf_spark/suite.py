@@ -7578,3 +7578,135 @@ SELECT graph, pred, CAST(o_kind AS TINYINT) AS o_kind, o_lex, o_dtype FROM (
 """
 
 QUERIES["table_triples"] = (q_table_triples, SQL_TABLE_TRIPLES)
+
+
+def q_cidr_map(spark, sf):
+    """IP→netblock longest-prefix enrichment (geo/ASN shape): /13 blocks
+    per nation plus /16 overrides at each block base — the /16 must win
+    where both match; high ip buckets (b ≥ 200) have no block (NULL →
+    coalesced for hashing). The bucket-expansion equi-join is the
+    operator; the oracle uses a direct theta join + window, so the
+    bucketing mechanics are verified against an independent plan."""
+    from .operators.urls import cidr_join
+
+    n = spark.read.parquet(f"{sf}/nation.parquet")
+    nk = F.col("n_nationkey")
+    blocks = n.select(
+        F.concat(F.lit("10."), (nk * 8).cast("string"), F.lit(".0.0/13")).alias("cidr"),
+        F.concat(F.lit("n"), nk.cast("string")).alias("owner"),
+    ).unionByName(
+        n.select(
+            F.concat(F.lit("10."), (nk * 8).cast("string"), F.lit(".0.0/16")).alias("cidr"),
+            F.concat(F.lit("n"), nk.cast("string"), F.lit("x")).alias("owner"),
+        )
+    )
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    ips = ev.select(
+        F.concat(
+            F.lit("10."), (F.col("user_id") % 210).cast("string"),
+            F.lit("."), (F.col("event_id") % 250).cast("string"),
+            F.lit("."), (F.col("event_id") % 97).cast("string"),
+        ).alias("ip")
+    )
+    out = cidr_join(ips, blocks)
+    return out.select(
+        "ip",
+        F.coalesce(F.col("cidr"), F.lit("")).alias("cidr"),
+        F.coalesce(F.col("prefix_len"), F.lit(-1)).cast("int").alias("prefix_len"),
+        F.coalesce(F.col("owner"), F.lit("")).alias("owner"),
+    )
+
+
+SQL_CIDR_MAP = """
+WITH blocks AS (
+  SELECT '10.' || (n_nationkey * 8) || '.0.0/13' AS cidr, 13 AS k,
+         'n' || n_nationkey AS owner,
+         CAST(10 * 16777216 + n_nationkey * 8 * 65536 AS BIGINT) AS net
+  FROM nation
+  UNION ALL
+  SELECT '10.' || (n_nationkey * 8) || '.0.0/16', 16, 'n' || n_nationkey || 'x',
+         CAST(10 * 16777216 + n_nationkey * 8 * 65536 AS BIGINT)
+  FROM nation
+),
+ips AS (
+  SELECT DISTINCT
+    '10.' || (user_id % 210) || '.' || (event_id % 250) || '.' || (event_id % 97) AS ip,
+    CAST(10 * 16777216 + (user_id % 210) * 65536 + (event_id % 250) * 256 + (event_id % 97) AS BIGINT) AS ipint
+  FROM events
+),
+m AS (
+  SELECT ip, cidr, k, owner,
+         ROW_NUMBER() OVER (PARTITION BY ip ORDER BY k DESC, cidr ASC) AS rn
+  FROM ips JOIN blocks ON (ipint >> (32 - k)) = (net >> (32 - k))
+)
+SELECT i.ip, COALESCE(m.cidr, '') AS cidr,
+       CAST(COALESCE(m.k, -1) AS INTEGER) AS prefix_len,
+       COALESCE(m.owner, '') AS owner
+FROM ips i LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (ip)
+"""
+
+QUERIES["cidr_map"] = (q_cidr_map, SQL_CIDR_MAP)
+
+
+def q_reify_store(spark, sf):
+    """RDF reification of the inNation slice: per input quad a
+    deterministic statement IRI (md5 of the quad key) with the four
+    rdf:Statement arcs — map-only constant-width melt, ids reproduced
+    bit-identically by the DuckDB oracle."""
+    from .operators.canon import reify
+
+    sl = triples_view(spark, sf).filter(F.col("pred") == P_IN_NATION)
+    out = reify(sl)
+    return out.select(
+        "s_lex", "pred",
+        F.col("o_kind").cast("tinyint").alias("o_kind"),
+        "o_lex",
+        F.coalesce(F.col("o_dtype"), F.lit("")).alias("o_dtype"),
+        "graph",
+    )
+
+
+_STMT_MD5 = (
+    "'urn:x-ords:stmt:' || md5('0' || chr(31) || s_lex || chr(31) || pred || chr(31) "
+    "|| CAST(o_kind AS VARCHAR) || chr(31) || o_lex || chr(31) || COALESCE(o_dtype, '') "
+    "|| chr(31) || '' || chr(31) || graph)"
+)
+
+SQL_REIFY_STORE = W + f""",
+sl AS (SELECT *, {_STMT_MD5} AS stmt FROM triples WHERE pred = 'urn:p:inNation')
+SELECT stmt AS s_lex, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+       CAST(0 AS TINYINT) AS o_kind,
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#Statement' AS o_lex, '' AS o_dtype, graph
+FROM sl
+UNION ALL
+SELECT stmt, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#subject', CAST(0 AS TINYINT), s_lex, '', graph FROM sl
+UNION ALL
+SELECT stmt, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#predicate', CAST(0 AS TINYINT), pred, '', graph FROM sl
+UNION ALL
+SELECT stmt, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#object', CAST(o_kind AS TINYINT), o_lex,
+       COALESCE(o_dtype, ''), graph FROM sl
+"""
+
+QUERIES["reify_store"] = (q_reify_store, SQL_REIFY_STORE)
+
+
+def q_reify_rt(spark, sf):
+    """Reification round-trip: unreify(reify(slice)) must reproduce the
+    slice exactly — the oracle IS the untouched slice."""
+    from .operators.canon import reify, unreify
+
+    sl = triples_view(spark, sf).filter(F.col("pred") == P_IN_NATION)
+    rt = unreify(reify(sl))
+    return rt.select(
+        "s_lex", "pred",
+        F.col("o_kind").cast("tinyint").alias("o_kind"),
+        "o_lex", "graph",
+    )
+
+
+SQL_REIFY_RT = W + """
+SELECT s_lex, pred, CAST(o_kind AS TINYINT) AS o_kind, o_lex, graph
+FROM triples WHERE pred = 'urn:p:inNation'
+"""
+
+QUERIES["reify_rt"] = (q_reify_rt, SQL_REIFY_RT)

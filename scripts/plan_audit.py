@@ -918,6 +918,28 @@ def main() -> None:
             ("map-only (no shuffle)", r"Exchange", "absent"),
             ("no join at all", r"Join", "absent"),
         ]),
+        ("cidr_map", [
+            # bucket-expanded netblocks BROADCAST; prefix test is a filter,
+            # never a join condition → hash equi-join only
+            ("netblocks broadcast", r"BroadcastHashJoin|BroadcastExchange"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
+        ("reify_store", [
+            # constant-width melt: one Generate, zero joins, zero shuffles
+            ("melt via Generate", r"Generate"),
+            ("map-only (no shuffle)", r"Exchange", "absent"),
+            ("no join at all", r"Join", "absent"),
+        ]),
+        ("reify_rt", [
+            # unreify = ONE (stmt, graph)-keyed agg; string-typed max
+            # buffers plan as SortAggregate (immutable buffer rule), still
+            # partial+final around a single exchange — assert that shape
+            ("pivot agg partial+final", r"^\s*(?:\+- )?\*?\s?(?:Sort|Hash)Aggregate \(", "count", 2),
+            ("single shuffle", r"^\(\d+\) Exchange", "count", 1),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
     ]
 
     lines = ["# PLANS — physical-plan audit (scripts/plan_audit.py)", "",

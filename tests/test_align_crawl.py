@@ -79,3 +79,77 @@ def test_host_authority_degrees(spark):
     assert out["a"] == (2, 15, 1, 1, 62500)       # 1e6 // 16
     assert out["b"] == (1, 1, 1, 10, 909090)      # 10e6 // 11
     assert out["c"] == (0, 0, 1, 5, 1000000)      # pure sink
+
+
+def test_cidr_join_longest_prefix(spark):
+    from ocaml_rdf_spark.operators.urls import cidr_join
+
+    ips = spark.createDataFrame(
+        [("10.0.0.1",), ("10.0.5.9",), ("10.9.0.1",), ("11.0.0.1",),
+         ("10.0.0.1",)],  # duplicate → one output row
+        ["ip"],
+    )
+    blocks = spark.createDataFrame(
+        [("10.0.0.0/13", "A"), ("10.0.0.0/16", "B"), ("10.8.0.0/14", "C")],
+        ["cidr", "owner"],
+    )
+    out = {r.ip: (r.cidr, r.prefix_len, r.owner)
+           for r in cidr_join(ips, blocks).collect()}
+    assert len(out) == 4
+    # /16 beats the enclosing /13
+    assert out["10.0.0.1"] == ("10.0.0.0/16", 16, "B")
+    assert out["10.0.5.9"] == ("10.0.0.0/16", 16, "B")
+    # coarse /14 block found through bucket expansion
+    assert out["10.9.0.1"] == ("10.8.0.0/14", 14, "C")
+    assert out["11.0.0.1"] == (None, None, None)
+
+
+def test_cidr_join_host_route(spark):
+    from ocaml_rdf_spark.operators.urls import cidr_join
+
+    # /32 host route wins over everything; /8 covers the rest of 10/8
+    ips = spark.createDataFrame([("10.1.2.3",), ("10.1.2.4",)], ["ip"])
+    blocks = spark.createDataFrame(
+        [("10.0.0.0/8", "net"), ("10.1.2.3/32", "host")], ["cidr", "owner"]
+    )
+    out = {r.ip: (r.prefix_len, r.owner) for r in cidr_join(ips, blocks).collect()}
+    assert out["10.1.2.3"] == (32, "host")
+    assert out["10.1.2.4"] == (8, "net")
+
+
+def _quads(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "s_kind tinyint, s_lex string, pred string, o_kind tinyint, "
+        "o_lex string, o_dtype string, o_lang string, graph string",
+    )
+
+
+def test_reify_roundtrip_and_determinism(spark):
+    from ocaml_rdf_spark.operators.canon import reify, unreify
+
+    XS = "http://www.w3.org/2001/XMLSchema#string"
+    quads = _quads(spark, [
+        (0, "urn:a", "urn:p", 0, "urn:b", None, None, "g1"),
+        (0, "urn:a", "urn:q", 2, "hi", XS, None, "g1"),
+        (1, "bn1", "urn:p", 2, "bonjour", "langstring", "fr", "g2"),
+    ])
+    r = reify(quads)
+    assert r.count() == 12  # 4 arcs per quad
+    # deterministic statement ids: re-reifying yields the identical set
+    assert sorted(map(tuple, r.collect())) == sorted(map(tuple, reify(quads).collect()))
+    rt = unreify(r)
+    assert sorted(map(tuple, rt.collect())) == sorted(map(tuple, quads.collect()))
+
+
+def test_unreify_drops_incomplete_statements(spark):
+    from ocaml_rdf_spark.operators.canon import unreify
+
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    partial = _quads(spark, [
+        (0, "urn:stmt1", RDF + "subject", 0, "urn:a", None, None, "g"),
+        (0, "urn:stmt1", RDF + "predicate", 0, "urn:p", None, None, "g"),
+        # no rdf:object arc → dropped
+        (0, "urn:x", "urn:unrelated", 2, "keepout", None, None, "g"),
+    ])
+    assert unreify(partial).count() == 0

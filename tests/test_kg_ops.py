@@ -1385,3 +1385,36 @@ def test_graph_digest_detects_change_and_ignores_order(spark):
     c = spark.createDataFrame(rows[:2], schema)
     dc = graph_digest(c).collect()[0]
     assert (dc["n_quads"], dc["digest"]) != (da["n_quads"], da["digest"])
+
+
+def test_pipeline_mine_anchors_stage(spark, tmp_path):
+    """mine_anchors=True adds the weblinks stage (corpus anchor-text
+    alias mining) and its dictionary feeds entity linking at top prior:
+    org mentions must resolve to the SITE org URIs the pages themselves
+    link (https://<host>/org/<Org>), outranking the curated kb.example
+    dictionary."""
+    from pyspark.sql import functions as F
+
+    from ocaml_rdf_spark.pipeline import kg_pipeline
+
+    root = str(tmp_path / "pipe_anch")
+    pipe = kg_pipeline(spark, root, n_pages=60, parts=2, mine_anchors=True)
+    log = pipe.run()
+    assert [e["stage"] for e in log] == [
+        "extract", "dedup", "weblinks", "link", "canonical", "spo", "pos"
+    ]
+    assert not any(e["skipped"] for e in log)
+    mined = pipe.output("weblinks")
+    assert mined.count() > 0
+    # every mined alias is a page-visible anchor pointing at a site URI
+    assert mined.filter(~F.col("dst_url").startswith("https://")).count() == 0
+    links = pipe.output("link")
+    site_org = links.filter(F.col("o_lex").rlike("^https://[^/]+/org/")).count()
+    assert site_org > 0, "anchor-mined org URIs must win some links"
+    # resume: a second run replays from commits (no stage re-runs)
+    log2 = kg_pipeline(spark, root, n_pages=60, parts=2, mine_anchors=True).run()
+    assert all(e["skipped"] for e in log2)
+    # the baseline pipeline (mine_anchors off) is untouched: different
+    # fingerprint, no weblinks stage
+    base = kg_pipeline(spark, str(tmp_path / "pipe_base"), n_pages=60, parts=2)
+    assert "weblinks" not in [st.name for st in base.stages]
