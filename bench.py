@@ -226,6 +226,8 @@ def main() -> None:
         "cidr_map",
         "reify_store",
         "reify_rt",
+        "sitemap_parse",
+        "canon_link",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

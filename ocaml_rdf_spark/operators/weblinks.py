@@ -324,3 +324,69 @@ def host_authority(host_edges: DataFrame) -> DataFrame:
             "ELSE CAST(in_links * 1000000 AS BIGINT) div (in_links + out_links) END"
         ),
     )
+
+
+def parse_sitemaps(sitemaps: DataFrame, xml_col: str = "xml") -> DataFrame:
+    """XML sitemap (sitemaps.org <urlset>) → one row per <url> entry:
+    (loc, lastmod, changefreq, priority_x100) plus every other input
+    column passed through (host, fetch time, …).
+
+    Scan-local zipped-regex parsing (the rel_extract pattern): one
+    `(?s)<url>…</url>` block explode, then per-field extracts inside
+    the block — no XML DOM, no UDF, no shuffle; a malformed block
+    yields NULL fields, never an error. `priority` is surfaced as an
+    exact integer ×100 (the engine-wide no-floats rule); `lastmod`
+    stays the lexical W3C datetime (typed interpretation is the
+    consumer's try_cast, the same lazy rule as RDF literals).
+
+    At 100 TB: sitemap fetches are crawl metadata (≪ corpus); the op
+    composes with `change_rate` (lastmod vs observed change) and
+    `crawl_schedule` (priority → slot ordering)."""
+    passthrough = [c for c in sitemaps.columns if c != xml_col]
+    blocks = F.regexp_extract_all(F.col(xml_col), F.lit(r"(?s)<url>(.*?)</url>"), F.lit(1))
+    b = F.col("_block")
+    pr = F.regexp_extract(b, r"<priority>\s*([0-9.]+)\s*</priority>", 1)
+    return (
+        sitemaps.select(*passthrough, F.explode(blocks).alias("_block"))
+        .select(
+            *passthrough,
+            F.nullif(F.regexp_extract(b, r"<loc>\s*([^<]*?)\s*</loc>", 1), F.lit("")).alias("loc"),
+            F.nullif(F.regexp_extract(b, r"<lastmod>\s*([^<]*?)\s*</lastmod>", 1), F.lit("")).alias("lastmod"),
+            F.nullif(F.regexp_extract(b, r"<changefreq>\s*([a-z]+)\s*</changefreq>", 1), F.lit("")).alias("changefreq"),
+            F.when(pr != "", (pr.cast("decimal(4,2)") * 100).cast("int")).alias("priority_x100"),
+        )
+        .filter(F.col("loc").isNotNull())
+    )
+
+
+def canonical_links(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Page-declared canonical URL (`<link rel="canonical" href=…>`) per
+    page: (url, canonical_url, is_cross) — the dedup-preference signal
+    crawlers honor BEFORE any content comparison (a page declaring a
+    different canonical is a self-identified duplicate).
+
+    Handles both attribute orders (rel-then-href and href-then-rel),
+    resolves root-/protocol-relative hrefs like `extract_links`, strips
+    fragments, and falls back to the page's own URL when no canonical
+    is declared (is_cross = false then, by definition). Scan-local,
+    zero shuffles."""
+    html = F.col(html_col)
+    h1 = F.regexp_extract(html, r'<link [^>]*rel="canonical"[^>]*href="([^"]*)"', 1)
+    h2 = F.regexp_extract(html, r'<link [^>]*href="([^"]*)"[^>]*rel="canonical"', 1)
+    href = F.coalesce(F.nullif(h1, F.lit("")), F.nullif(h2, F.lit("")))
+    src = F.col(url_col)
+    scheme = F.regexp_extract(src, "^(https?):", 1)
+    origin = F.regexp_extract(src, _ORIGIN_RE, 1)
+    resolved = (
+        F.when(href.rlike("^https?://"), href)
+        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+        .when(href.startswith("/"), F.concat(origin, href))
+    )
+    canon = F.coalesce(F.regexp_replace(resolved, "#.*$", ""), src)
+    return pages.select(
+        src.alias("url"),
+        canon.alias("canonical_url"),
+        (canon != src).alias("is_cross"),
+    )

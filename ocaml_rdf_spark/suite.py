@@ -7710,3 +7710,91 @@ FROM triples WHERE pred = 'urn:p:inNation'
 """
 
 QUERIES["reify_rt"] = (q_reify_rt, SQL_REIFY_RT)
+
+
+def q_sitemap_parse(spark, sf):
+    """Sitemap XML → url entries: zipped-regex block parsing with exact
+    integer priorities; the third (loc-less) block must be dropped.
+    Oracle computes the expected entries from the synthesis formulas —
+    no XML handling on the DuckDB side."""
+    from .operators.weblinks import parse_sitemaps
+
+    d = F.col("doc_id")
+    sm = _docs(spark, sf).select(
+        F.concat(F.lit("h"), (d % 37).cast("string")).alias("host"),
+        F.concat(
+            F.lit("<urlset><url><loc>https://h"), (d % 37).cast("string"),
+            F.lit(".example/p/"), d.cast("string"),
+            F.lit("</loc><lastmod>2026-0"), (d % 9 + 1).cast("string"),
+            F.lit("-11</lastmod><changefreq>"),
+            F.when(d % 3 == 0, F.lit("daily")).when(d % 3 == 1, F.lit("weekly")).otherwise(F.lit("monthly")),
+            F.lit("</changefreq><priority>0."), (d % 5 + 5).cast("string"),
+            F.lit("</priority></url><url><loc>https://h"), (d % 37).cast("string"),
+            F.lit(".example/idx</loc></url><url><changefreq>never</changefreq></url></urlset>"),
+        ).alias("xml"),
+    )
+    out = parse_sitemaps(sm)
+    return out.select(
+        "host", "loc",
+        F.coalesce(F.col("lastmod"), F.lit("")).alias("lastmod"),
+        F.coalesce(F.col("changefreq"), F.lit("")).alias("changefreq"),
+        F.coalesce(F.col("priority_x100"), F.lit(-1)).cast("int").alias("priority_x100"),
+    )
+
+
+SQL_SITEMAP_PARSE = """
+SELECT 'h' || (doc_id % 37) AS host,
+       'https://h' || (doc_id % 37) || '.example/p/' || doc_id AS loc,
+       '2026-0' || (doc_id % 9 + 1) || '-11' AS lastmod,
+       CASE doc_id % 3 WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly' ELSE 'monthly' END AS changefreq,
+       CAST((doc_id % 5 + 5) * 10 AS INTEGER) AS priority_x100
+FROM documents
+UNION ALL
+SELECT 'h' || (doc_id % 37), 'https://h' || (doc_id % 37) || '.example/idx',
+       '', '', -1
+FROM documents
+"""
+
+QUERIES["sitemap_parse"] = (q_sitemap_parse, SQL_SITEMAP_PARSE)
+
+
+def q_canon_link(spark, sf):
+    """rel=canonical extraction: both attribute orders, root-/protocol-
+    relative resolution, no-declaration fallback to self."""
+    from .operators.weblinks import canonical_links
+
+    d = F.col("doc_id")
+    origin = F.concat(F.lit("https://h"), (d % 37).cast("string"), F.lit(".example"))
+    pages = _docs(spark, sf).select(
+        F.concat(origin, F.lit("/p/"), d.cast("string"), F.lit("?ref=x")).alias("url"),
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit('<head><link rel="canonical" href="/p/'), d.cast("string"), F.lit('"></head>')),
+        )
+        .when(
+            d % 3 == 1,
+            F.concat(
+                F.lit('<head><link href="//h'), (d % 37).cast("string"),
+                F.lit(".example/p/"), d.cast("string"), F.lit('#top" rel="canonical"></head>'),
+            ),
+        )
+        .otherwise(F.lit("<head><title>none</title></head>"))
+        .alias("html"),
+    )
+    return canonical_links(pages)
+
+
+SQL_CANON_LINK = """
+WITH d AS (
+  SELECT doc_id,
+         'https://h' || (doc_id % 37) || '.example' AS origin,
+         'https://h' || (doc_id % 37) || '.example/p/' || doc_id AS clean
+  FROM documents
+)
+SELECT clean || '?ref=x' AS url,
+       CASE WHEN doc_id % 3 IN (0, 1) THEN clean ELSE clean || '?ref=x' END AS canonical_url,
+       doc_id % 3 IN (0, 1) AS is_cross
+FROM d
+"""
+
+QUERIES["canon_link"] = (q_canon_link, SQL_CANON_LINK)

@@ -931,6 +931,17 @@ def main() -> None:
             ("map-only (no shuffle)", r"Exchange", "absent"),
             ("no join at all", r"Join", "absent"),
         ]),
+        ("sitemap_parse", [
+            # one block explode + field extracts, all inside the scan stage
+            ("block explode via Generate", r"Generate"),
+            ("map-only (no shuffle)", r"Exchange", "absent"),
+            ("no join at all", r"Join", "absent"),
+        ]),
+        ("canon_link", [
+            # pure per-row column algebra: no explode, no shuffle, no join
+            ("map-only (no shuffle)", r"Exchange", "absent"),
+            ("no join at all", r"Join", "absent"),
+        ]),
         ("reify_rt", [
             # unreify = ONE (stmt, graph)-keyed agg; string-typed max
             # buffers plan as SortAggregate (immutable buffer rule), still

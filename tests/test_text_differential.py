@@ -117,3 +117,47 @@ def test_score_resample_fuzz(spark, scores, max_score):
         FROM t
     """).fetchall()))
     assert got == want
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.tuples(
+        st.sampled_from(["https://x.ex/a", "/rel/p", "//y.ex/q", "#f", "mailto:a@b", ""]),
+        st.text(alphabet="ab <>&\n\t", max_size=8),
+    ),
+    max_size=5,
+))
+def test_extract_links_fuzz(spark, anchors):
+    """extract_links (Java-regex column algebra) vs a pure-Python re
+    mirror on randomized href kinds + anchor bodies (anchor text uses a
+    tag-free alphabet after escaping — the operator's documented
+    contract excludes nested markup)."""
+    import re as _re
+
+    from ocaml_rdf_spark.operators.weblinks import extract_links
+
+    def esc(t):
+        return t.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+    src = "http://s.ex/d/1"
+    html = "".join(f'<a href="{h}">{esc(a)}</a>' for h, a in anchors)
+    df = spark.createDataFrame([(src, html)], ["url", "html"])
+    got = sorted((r.dst_url, r.anchor) for r in extract_links(df).collect())
+
+    want = []
+    for h, a in [(m.group(1), m.group(2)) for m in
+                 _re.finditer(r'<a [^>]*href="([^"]*)"[^>]*>([^<]*)</a>', html)]:
+        if _re.match(r"^https?://", h):
+            dst = h
+        elif h.startswith("//"):
+            dst = "http:" + h
+        elif h.startswith("/"):
+            dst = "http://s.ex" + h
+        else:
+            continue
+        dst = _re.sub(r"#.*$", "", dst)
+        if dst:
+            want.append((dst, _re.sub(r"\s+", " ", a).strip()))
+    assert got == sorted(want)

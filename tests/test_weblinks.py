@@ -139,3 +139,41 @@ def test_robots_longest_prefix_match(spark):
     assert out["https://b.example/anything"] == ("/", False)
     # host without rules → allowed by default
     assert out["https://c.example/no-rules"] == ("", True)
+
+
+def test_parse_sitemaps_fields_and_dropped_blocks(spark):
+    from ocaml_rdf_spark.operators.weblinks import parse_sitemaps
+
+    sm = spark.createDataFrame(
+        [("h1",
+          '<?xml version="1.0"?><urlset>'
+          "<url><loc>https://h1/a</loc><lastmod>2026-01-02</lastmod>"
+          "<changefreq>daily</changefreq><priority>0.8</priority></url>"
+          "<url><loc> https://h1/b </loc><priority>1.0</priority></url>"
+          "<url><changefreq>never</changefreq></url></urlset>")],
+        ["host", "xml"],
+    )
+    rows = {r.loc: (r.host, r.lastmod, r.changefreq, r.priority_x100)
+            for r in parse_sitemaps(sm).collect()}
+    # loc-less block dropped; loc whitespace trimmed; priority exact x100
+    assert rows == {
+        "https://h1/a": ("h1", "2026-01-02", "daily", 80),
+        "https://h1/b": ("h1", None, None, 100),
+    }
+
+
+def test_canonical_links_orders_resolution_fallback(spark):
+    from ocaml_rdf_spark.operators.weblinks import canonical_links
+
+    pg = spark.createDataFrame(
+        [("https://a.ex/p?x=1", '<head><link rel="canonical" href="https://a.ex/p"></head>'),
+         ("https://a.ex/q", '<head><link href="/q" rel="canonical"></head>'),
+         ("https://a.ex/r", "<head><title>none</title></head>"),
+         ("https://a.ex/s", '<head><link rel="canonical" href="//b.ex/s2#frag"></head>')],
+        ["url", "html"],
+    )
+    out = {r.url: (r.canonical_url, r.is_cross) for r in canonical_links(pg).collect()}
+    assert out["https://a.ex/p?x=1"] == ("https://a.ex/p", True)   # query stripped by declaration
+    assert out["https://a.ex/q"] == ("https://a.ex/q", False)       # href-then-rel order, self
+    assert out["https://a.ex/r"] == ("https://a.ex/r", False)       # no declaration → self
+    assert out["https://a.ex/s"] == ("https://b.ex/s2", True)       # protocol-relative + fragment strip
