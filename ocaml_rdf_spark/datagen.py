@@ -29,6 +29,7 @@ from .types import (
     TRIPLES_COLUMNS,
     TRIPLES_SCHEMA,
     XSD_DATETIME,
+    XSD_DECIMAL,
     XSD_INTEGER,
     BNode,
     Iri,
@@ -82,8 +83,13 @@ def _sentence(rng: random.Random, nwords: int) -> str:
     return " ".join(rng.choice(_WORDS) for _ in range(nwords))
 
 
-def page_record(i: int, seed: int = SEED) -> dict:
-    """One page: html + golden text + golden triples. Pure function of (seed, i)."""
+def page_record(i: int, seed: int = SEED, tables: bool = False) -> dict:
+    """One page: html + golden text + golden triples. Pure function of
+    (seed, i). `tables=False` (the default) is frozen — byte-identical
+    output across rounds; `tables=True` appends an opt-in relational
+    html table (block 7) with its golden triples/text for the WebTables
+    extractor, drawn AFTER every frozen block so the default path's RNG
+    stream is untouched."""
     rng = random.Random((seed << 34) ^ (i * 0x9E3779B97F4A7C15))
     host = _pick_host(rng.random())
     url = f"https://{host}/page/{i}"
@@ -244,6 +250,40 @@ def page_record(i: int, seed: int = SEED) -> dict:
             (e, Iri(SCHEMA_NS + "startDate"), Literal(start, dtype=XSD_DATETIME), "rdfxml"),
         ]
 
+    # -- block 7 (opt-in): relational html table (WebTables recovery) ---------
+    # golden bnode labels mirror extract._global_bnode's salt (url|ext|label
+    # sha1/16) — kept in lockstep; the tables extractor mints tb1 (table),
+    # tb2.. (rows) in document order, so labels are fully predictable
+    if tables and rng.random() < 0.6:
+        weight = f"{i % 50}.5"
+        frags.append(
+            "<table><tr><th>Spec</th><th>Value</th><th>More</th></tr>"
+            f'<tr><td>price</td><td>{price}</td><td><a href="/p/{product}">buy</a></td></tr>'
+            f"<tr><td>weight</td><td>{weight}</td><td>kg</td></tr></table>"
+        )
+        lines += ["Spec", "Value", "More", "price", str(price), "buy", "weight", weight, "kg"]
+
+        def _tb(label: str) -> BNode:
+            return BNode(hashlib.sha1(f"{url}|tables|{label}".encode()).hexdigest()[:16])
+
+        t, r1, r2 = _tb("tb1"), _tb("tb2"), _tb("tb3")
+        tns = "urn:x-ords:table:"
+        triples += [
+            (t, Iri(RDF_TYPE), Iri(tns + "Table"), "tables"),
+            (t, Iri(tns + "columnCount"), Literal("3", dtype=XSD_INTEGER), "tables"),
+            (t, Iri(tns + "rowCount"), Literal("2", dtype=XSD_INTEGER), "tables"),
+            (t, Iri(tns + "row"), r1, "tables"),
+            (r1, Iri(tns + "rowIndex"), Literal("0", dtype=XSD_INTEGER), "tables"),
+            (r1, Iri(tns + "col/spec"), Literal("price"), "tables"),
+            (r1, Iri(tns + "col/value"), Literal(str(price), dtype=XSD_INTEGER), "tables"),
+            (r1, Iri(tns + "col/more"), Iri(f"https://{host}/p/{product}"), "tables"),
+            (t, Iri(tns + "row"), r2, "tables"),
+            (r2, Iri(tns + "rowIndex"), Literal("1", dtype=XSD_INTEGER), "tables"),
+            (r2, Iri(tns + "col/spec"), Literal("weight"), "tables"),
+            (r2, Iri(tns + "col/value"), Literal(weight, dtype=XSD_DECIMAL), "tables"),
+            (r2, Iri(tns + "col/more"), Literal("kg"), "tables"),
+        ]
+
     frags.append("</body></html>")
     text = "\n".join(lines)
     ts = _EPOCH + dt.timedelta(seconds=i)
@@ -262,12 +302,12 @@ def page_record(i: int, seed: int = SEED) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def gen_pages_df(spark: SparkSession, n: int, seed: int = SEED, parts: int | None = None) -> DataFrame:
+def gen_pages_df(spark: SparkSession, n: int, seed: int = SEED, parts: int | None = None, tables: bool = False) -> DataFrame:
     """pages DataFrame (B1 schema) generated in parallel, deterministic."""
 
     def gen(batches):
         for pdf in batches:
-            recs = [page_record(int(i), seed) for i in pdf["id"]]
+            recs = [page_record(int(i), seed, tables=tables) for i in pdf["id"]]
             yield pd.DataFrame(
                 {
                     "url": [r["url"] for r in recs],
@@ -282,14 +322,14 @@ def gen_pages_df(spark: SparkSession, n: int, seed: int = SEED, parts: int | Non
     return rng_df.mapInPandas(gen, schema=PAGES_SCHEMA)
 
 
-def gen_golden_df(spark: SparkSession, n: int, seed: int = SEED, parts: int | None = None) -> DataFrame:
+def gen_golden_df(spark: SparkSession, n: int, seed: int = SEED, parts: int | None = None, tables: bool = False) -> DataFrame:
     """Golden triples (B2) the generator embedded — the P/R oracle."""
 
     def gen(batches):
         for pdf in batches:
             rows = []
             for i in pdf["id"]:
-                r = page_record(int(i), seed)
+                r = page_record(int(i), seed, tables=tables)
                 for s, p, o, ext in r["_triples"]:
                     rows.append(triple_row(s, p, o, graph=r["url"], src_url=r["url"], extractor=ext))
             yield pd.DataFrame(rows, columns=TRIPLES_COLUMNS)
@@ -298,9 +338,9 @@ def gen_golden_df(spark: SparkSession, n: int, seed: int = SEED, parts: int | No
     return rng_df.mapInPandas(gen, schema=TRIPLES_SCHEMA)
 
 
-def gen_pages_pandas(n: int, seed: int = SEED) -> pd.DataFrame:
+def gen_pages_pandas(n: int, seed: int = SEED, tables: bool = False) -> pd.DataFrame:
     """Driver-side tiny corpora for pytest."""
-    recs = [page_record(i, seed) for i in range(n)]
+    recs = [page_record(i, seed, tables=tables) for i in range(n)]
     return pd.DataFrame([{k: v for k, v in r.items() if k != "_triples"} for r in recs])
 
 

@@ -126,3 +126,39 @@ def test_extract_triples_tables_flag(spark):
     assert {r.extractor for r in rows} == {"tables"}
     assert sum(1 for r in rows if r.pred == NS + "rowIndex") == 3
     assert extract_triples(pages).count() == 0  # default: off
+
+
+def test_tables_corpus_golden_pr(spark):
+    """Opt-in corpus path: gen_pages_df(tables=True) + the tables
+    extractor must reproduce the generator's golden table triples with
+    P/R = 1.0 (same gate as every other extractor), keep the text
+    byte-identity invariant, and leave the frozen default corpus
+    untouched."""
+    from pyspark.sql import functions as F
+
+    from ocaml_rdf_spark.datagen import gen_golden_df, gen_pages_df
+    from ocaml_rdf_spark.extract import extract_text_df, extract_triples, split_errors
+    from ocaml_rdf_spark.types import TRIPLE_KEY
+
+    N = 120
+    pages = gen_pages_df(spark, N, parts=4, tables=True).cache()
+    triples, errors = split_errors(extract_triples(pages, tables=True))
+    assert errors.count() == 0
+    got = triples.filter(F.col("extractor") == "tables").select(*TRIPLE_KEY)
+    want = (
+        gen_golden_df(spark, N, parts=4, tables=True)
+        .filter(F.col("extractor") == "tables")
+        .select(*TRIPLE_KEY)
+    )
+    n_got, n_want = got.count(), want.count()
+    assert n_want > 0
+    assert got.intersect(want).count() == n_got == n_want  # exact P/R = 1.0
+    # byte-identical extracted text with the table block present
+    recomputed = extract_text_df(pages).withColumnRenamed("text", "text2")
+    bad = pages.select("url", "text").join(recomputed, "url").filter(
+        F.col("text") != F.col("text2")
+    )
+    assert bad.count() == 0
+    # frozen default corpus unchanged: tables=False html has no <table>
+    frozen = gen_pages_df(spark, 50, parts=2)
+    assert frozen.filter(F.col("html").cast("string").contains("<table")).count() == 0
