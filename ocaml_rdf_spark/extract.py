@@ -38,7 +38,9 @@ from .types import TRIPLE_KEY, TRIPLES_COLUMNS, TRIPLES_SCHEMA, BNode, Iri, Term
 
 ERROR_PRED = "urn:x-ords:error"
 
-EXTRACTORS = ("jsonld", "rdfa", "microdata", "turtle", "trig", "ntriples", "rdfxml", "tables")
+EXTRACTORS = (
+    "jsonld", "rdfa", "microdata", "turtle", "trig", "ntriples", "rdfxml", "tables", "meta",
+)
 
 
 def _global_bnode(term: Term, url: str, ext: str) -> Term:
@@ -62,7 +64,7 @@ _MARKERS = (
 
 
 def extract_page(
-    url: str, html_bytes: bytes, tables: bool = False
+    url: str, html_bytes: bytes, tables: bool = False, meta: bool = False
 ) -> tuple[list[tuple], list[tuple]]:
     """Parse one page; returns (triple_rows, error_rows) in TRIPLES row form.
 
@@ -71,12 +73,18 @@ def extract_page(
     explicit RDF markup (no vocabulary, heuristic header detection) —
     a pipeline turns it on for coverage, not correctness. With it on,
     `<table` joins the marker fast-path set so table-only pages still
-    reach the DOM parse."""
+    reach the DOM parse. `meta` likewise opts into the page-metadata
+    extractor (sources/meta.py: OpenGraph / Twitter cards / description
+    meta / title / hreflang alternates) with its own marker gate."""
     rows: list[tuple] = []
     errors: list[tuple] = []
     html = html_bytes.decode("utf-8", errors="replace")
     low = html.lower()
-    if not any(m in low for m in _MARKERS) and not (tables and "<table" in low):
+    if (
+        not any(m in low for m in _MARKERS)
+        and not (tables and "<table" in low)
+        and not (meta and ("<meta" in low or "<title" in low))
+    ):
         return rows, errors
 
     def emit(triples, ext: str):
@@ -164,19 +172,27 @@ def extract_page(
             emit(extract_tables_tree(dom, base=url), "tables")
         except Exception as e:
             err("tables", e)
+    if meta:
+        try:
+            from .sources.meta import extract_meta_tree
+
+            emit(extract_meta_tree(dom, base=url), "meta")
+        except Exception as e:
+            err("meta", e)
 
     return rows, errors
 
 
 def extract_triples(
-    pages: DataFrame, with_text: bool = False, tables: bool = False
+    pages: DataFrame, with_text: bool = False, tables: bool = False, meta: bool = False
 ) -> DataFrame:
     """pages (url, warc_ts, html, ...) → TRIPLES DataFrame (+ error rows).
 
     One Arrow batch in, one triples batch out; parser instances are
     per-document but allocation-light. Set-semantics dedup is NOT applied
     here (do it once globally at materialization — cheaper than per-batch).
-    `tables=True` adds the WebTables recovery extractor (extract_page).
+    `tables=True` adds the WebTables recovery extractor, `meta=True` the
+    page-metadata extractor (extract_page).
     """
     cols = ["url", "html"] + (["text"] if with_text else [])
 
@@ -184,7 +200,7 @@ def extract_triples(
         for pdf in batches:
             out: list[tuple] = []
             for url, html_bytes in zip(pdf["url"], pdf["html"]):
-                rows, errors = extract_page(url, bytes(html_bytes), tables=tables)
+                rows, errors = extract_page(url, bytes(html_bytes), tables=tables, meta=meta)
                 out.extend(rows)
                 out.extend(errors)
             yield pd.DataFrame(out, columns=TRIPLES_COLUMNS)

@@ -7798,3 +7798,125 @@ FROM d
 """
 
 QUERIES["canon_link"] = (q_canon_link, SQL_CANON_LINK)
+
+
+def q_warc_roundtrip(spark, sf):
+    """WARC 1.0 container round-trip (sources/warc.py — engine scope, not
+    in the query-only reference; the production pages table is read FROM
+    warc.gz segments per the north rule): synthesize one HTTP response
+    record per document (status / content-type / WARC-Date from doc_id
+    formulas), gzip one member per record (the splittable Common Crawl
+    layout), parse the segment bytes back with the REAL reader, and
+    return the parsed envelope + payload byte length. The oracle
+    recomputes every field from the synthesis formulas — no WARC parsing
+    on the DuckDB side, so any writer/parser disagreement surfaces."""
+    from .sources.warc import pages_to_warc, warc_to_pages
+
+    d = F.col("doc_id")
+    pages = _docs(spark, sf).select(
+        F.concat(
+            F.lit("https://w"), (d % 23).cast("string"), F.lit(".example/d/"), d.cast("string")
+        ).alias("url"),
+        F.concat(
+            F.lit("2026-05-1"), (d % 10).cast("string"),
+            F.lit("T12:34:5"), (d % 10).cast("string"), F.lit("Z"),
+        ).alias("warc_date"),
+        F.encode(F.col("text"), "utf-8").alias("html"),
+        F.when(d % 4 == 0, F.lit(200))
+        .when(d % 4 == 1, F.lit(301))
+        .when(d % 4 == 2, F.lit(404))
+        .otherwise(F.lit(500))
+        .alias("http_status"),
+        F.when(d % 2 == 0, F.lit("text/html; charset=utf-8"))
+        .otherwise(F.lit("application/xhtml+xml"))
+        .alias("content_type"),
+    )
+    parsed = warc_to_pages(pages_to_warc(pages))
+    return parsed.select(
+        "url",
+        "warc_date",
+        "http_status",
+        "content_type",
+        F.length("html").alias("payload_len"),
+        F.col("record_id").startswith("urn:uuid:").alias("id_ok"),
+    )
+
+
+SQL_WARC_ROUNDTRIP = """
+SELECT 'https://w' || (doc_id % 23) || '.example/d/' || doc_id AS url,
+       '2026-05-1' || (doc_id % 10) || 'T12:34:5' || (doc_id % 10) || 'Z' AS warc_date,
+       CASE doc_id % 4 WHEN 0 THEN 200 WHEN 1 THEN 301 WHEN 2 THEN 404 ELSE 500 END AS http_status,
+       CASE WHEN doc_id % 2 = 0 THEN 'text/html; charset=utf-8'
+            ELSE 'application/xhtml+xml' END AS content_type,
+       octet_length(encode(text)) AS payload_len,
+       TRUE AS id_ok
+FROM documents
+"""
+
+QUERIES["warc_roundtrip"] = (q_warc_roundtrip, SQL_WARC_ROUNDTRIP)
+
+
+def q_meta_triples(spark, sf):
+    """Page-metadata extraction (sources/meta.py, opt-in 9th extraction
+    branch): synthesize heads carrying <title>, OpenGraph (string + URL
+    typed + whitespace-collapse case), a Twitter card, a description
+    meta, a viewport meta that must NOT emit, and a rel=alternate
+    hreflang link — then run the REAL mapInPandas extraction stage with
+    meta=True and return (url, pred, o_kind, o_lex). The oracle
+    recomputes all six expected triples per page from the synthesis
+    formulas (no html parsing on the DuckDB side); the viewport row is
+    absent from both sides by the _PLAIN_META allowlist."""
+    from .extract import extract_triples, split_errors
+
+    d = F.col("doc_id")
+    origin = F.concat(F.lit("https://m"), (d % 13).cast("string"), F.lit(".example"))
+    pages = _docs(spark, sf).select(
+        F.concat(origin, F.lit("/p/"), d.cast("string")).alias("url"),
+        F.encode(
+            F.concat(
+                F.lit("<html><head><title>Doc  "), d.cast("string"),
+                F.lit('</title><meta property="og:title" content="T'),
+                d.cast("string"), F.lit("  "), F.col("lang"),
+                F.lit('"><meta property="og:image" content="/img/'),
+                (d % 7).cast("string"),
+                F.lit('.png"><meta name="twitter:card" content="'),
+                F.when(d % 2 == 0, F.lit("summary")).otherwise(F.lit("summary_large_image")),
+                F.lit('"><meta name="description" content="'),
+                F.col("source"),
+                F.lit('"><meta name="viewport" content="width=device-width">'),
+                F.lit('<link rel="alternate" hreflang="'), F.col("lang"),
+                F.lit('" href="/alt/'), d.cast("string"),
+                F.lit('"></head><body></body></html>'),
+            ),
+            "utf-8",
+        ).alias("html"),
+    )
+    triples, _errs = split_errors(extract_triples(pages, meta=True))
+    return triples.select(
+        F.col("src_url").alias("url"), "pred", "o_kind", "o_lex"
+    )
+
+
+SQL_META_TRIPLES = """
+WITH d AS (
+  SELECT doc_id, lang, source,
+         'https://m' || (doc_id % 13) || '.example' AS origin,
+         'https://m' || (doc_id % 13) || '.example/p/' || doc_id AS url
+  FROM documents
+)
+SELECT url, 'urn:x-ords:meta:title' AS pred, 2 AS o_kind,
+       'Doc ' || doc_id AS o_lex FROM d
+UNION ALL
+SELECT url, 'http://ogp.me/ns#title', 2, 'T' || doc_id || ' ' || lang FROM d
+UNION ALL
+SELECT url, 'http://ogp.me/ns#image', 0, origin || '/img/' || (doc_id % 7) || '.png' FROM d
+UNION ALL
+SELECT url, 'urn:x-ords:meta:twitter:card', 2,
+       CASE WHEN doc_id % 2 = 0 THEN 'summary' ELSE 'summary_large_image' END FROM d
+UNION ALL
+SELECT url, 'urn:x-ords:meta:description', 2, source FROM d
+UNION ALL
+SELECT url, 'urn:x-ords:meta:alternate:' || lang, 0, origin || '/alt/' || doc_id FROM d
+"""
+
+QUERIES["meta_triples"] = (q_meta_triples, SQL_META_TRIPLES)
