@@ -7920,3 +7920,53 @@ SELECT url, 'urn:x-ords:meta:alternate:' || lang, 0, origin || '/alt/' || doc_id
 """
 
 QUERIES["meta_triples"] = (q_meta_triples, SQL_META_TRIPLES)
+
+
+def q_boilerplate(spark, sf):
+    """Densitometric boilerplate removal (sources/boilerplate.py):
+    synthesize pages with a link-only nav (dropped: link density), the
+    document text as a content paragraph (kept: long, linkless), a short
+    probe paragraph that straddles the MIN_WORDS threshold by doc_id
+    parity, a mixed div holding one inline link under the 1/3 density
+    bound (kept), and a 4-word footer (dropped: word threshold even
+    though density passes) — then run the REAL mapInPandas classifier.
+    Oracle re-derives keep() per block from the synthesis formulas."""
+    from .sources.boilerplate import main_text_df
+
+    d = F.col("doc_id")
+    probe = F.when(d % 2 == 0, F.lit("short note here")).otherwise(
+        F.lit("a longer boilerplate threshold probe line")
+    )
+    pages = _docs(spark, sf).select(
+        F.concat(F.lit("https://b"), (d % 11).cast("string"), F.lit(".example/p/"), d.cast("string")).alias("url"),
+        F.encode(
+            F.concat(
+                F.lit('<html><body><nav><a href="/">home</a> <a href="/a">about</a> <a href="/b">more links</a></nav><p>'),
+                F.col("text"),
+                F.lit("</p><p>"), probe,
+                F.lit("</p><div>tail "), d.cast("string"),
+                F.lit(' with <a href="/r">a link</a> inside plus padding words</div>'),
+                F.lit('<footer>copyright 2026 <a href="/t">terms</a></footer></body></html>'),
+            ),
+            "utf-8",
+        ).alias("html"),
+    )
+    return main_text_df(pages)
+
+
+SQL_BOILERPLATE = """
+WITH d AS (
+  SELECT doc_id, text,
+         'https://b' || (doc_id % 11) || '.example/p/' || doc_id AS url,
+         CASE WHEN doc_id % 2 = 1 THEN 'a longer boilerplate threshold probe line' END AS probe,
+         'tail ' || doc_id || ' with a link inside plus padding words' AS divtext
+  FROM documents
+)
+SELECT url,
+       text || coalesce(chr(10) || probe, '') || chr(10) || divtext AS main_text,
+       5 AS n_blocks,
+       CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 2 END AS n_kept
+FROM d
+"""
+
+QUERIES["boilerplate"] = (q_boilerplate, SQL_BOILERPLATE)
