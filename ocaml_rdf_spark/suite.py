@@ -7970,3 +7970,73 @@ FROM d
 """
 
 QUERIES["boilerplate"] = (q_boilerplate, SQL_BOILERPLATE)
+
+
+def q_template_strip(spark, sf):
+    """Cross-page template removal (operators/templates.py): synthesize
+    7 hosts whose pages share a host-constant nav + footer (template:
+    on every host page), carry the document text as a unique content
+    block (kept: fp_pages == 1 except planted duplicate texts), and a
+    parity banner that recurs on ~half the host's pages — exactly the
+    `fp_pages * 2 >= host_pages` boundary. The oracle re-runs the WHOLE
+    algorithm in SQL over the same synthesized block structure (true
+    cross-engine differential, not a closed-form answer key)."""
+    from .operators.templates import strip_templates
+
+    d = F.col("doc_id")
+    h = (d % 7).cast("string")
+    parity = F.when(d % 2 == 0, F.concat(F.lit("even promo banner "), h)).otherwise(
+        F.concat(F.lit("odd teaser note "), h)
+    )
+    pages = _docs(spark, sf).select(
+        F.concat(F.lit("https://t"), h, F.lit(".example/p/"), d.cast("string")).alias("url"),
+        F.encode(
+            F.concat(
+                F.lit("<html><body><nav>nav home about t"), h,
+                F.lit("</nav><p>"), F.col("text"),
+                F.lit("</p><div>"), parity,
+                F.lit("</div><footer>footer terms t"), h,
+                F.lit("</footer></body></html>"),
+            ),
+            "utf-8",
+        ).alias("html"),
+    )
+    return strip_templates(pages)
+
+
+SQL_TEMPLATE_STRIP = """
+WITH d AS (
+  SELECT doc_id, text, CAST(doc_id % 7 AS VARCHAR) AS h,
+         'https://t' || (doc_id % 7) || '.example/p/' || doc_id AS url
+  FROM documents
+), blocks AS (
+  SELECT url, h, 0 AS idx, 'nav home about t' || h AS block FROM d
+  UNION ALL SELECT url, h, 1, text FROM d
+  UNION ALL SELECT url, h, 2,
+    CASE WHEN doc_id % 2 = 0 THEN 'even promo banner ' || h
+         ELSE 'odd teaser note ' || h END FROM d
+  UNION ALL SELECT url, h, 3, 'footer terms t' || h FROM d
+), hp AS (
+  SELECT h, COUNT(DISTINCT url) AS host_pages FROM blocks GROUP BY h
+), fpc AS (
+  SELECT h, block, COUNT(DISTINCT url) AS fp_pages FROM blocks GROUP BY h, block
+), tmpl AS (
+  SELECT fpc.h, fpc.block FROM fpc JOIN hp USING (h)
+  WHERE fp_pages >= 2 AND fp_pages * 2 >= host_pages
+), kept AS (
+  SELECT b.* FROM blocks b
+  WHERE NOT EXISTS (SELECT 1 FROM tmpl t WHERE t.h = b.h AND t.block = b.block)
+)
+SELECT t.url,
+       coalesce(k.main_text, '') AS main_text,
+       CAST(t.n_blocks AS INT) AS n_blocks,
+       CAST(coalesce(k.n_kept, 0) AS INT) AS n_kept
+FROM (SELECT url, COUNT(*) AS n_blocks FROM blocks GROUP BY url) t
+LEFT JOIN (
+  SELECT url, string_agg(block, chr(10) ORDER BY idx) AS main_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY url
+) k USING (url)
+"""
+
+QUERIES["template_strip"] = (q_template_strip, SQL_TEMPLATE_STRIP)
