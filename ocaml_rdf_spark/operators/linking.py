@@ -121,6 +121,48 @@ def link_fuzzy(
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
 
 
+def link_edit(mentions: DataFrame, aliases: DataFrame, max_dist: int = 2) -> DataFrame:
+    """Edit-distance verify tier (between `link_exact` and `link_fuzzy` in
+    the cascade): candidates blocked by shared first character + length
+    band |len(m) − len(a)| ≤ max_dist, verified with exact Levenshtein ≤
+    max_dist, scored prior − dist·0.1 (integer ×1e6), top-1 per mention.
+
+    Scale: the alias dictionary is a **broadcast** (like link_exact), so
+    blocking predicates prune inside the broadcast hash join — the 100 TB
+    mention side never shuffles, and Levenshtein runs JVM-side
+    (`F.levenshtein`, codegen) only on band-blocked pairs. Integer-exact
+    score ⇒ exact cross-engine oracle (DuckDB `levenshtein`).
+
+    → (id, mention, uri, dist, score_x1e6)."""
+    adf = aliases.select(
+        F.lower(F.regexp_replace("alias", r"[^A-Za-z0-9 ]", "")).alias("a_norm"),
+        "uri",
+        F.round(F.col("prior") * 1e6).cast("long").alias("prior_x1e6"),
+    ).dropDuplicates(["a_norm", "uri"])
+    cand = (
+        mentions.join(
+            F.broadcast(adf),
+            (F.substring("norm", 1, 1) == F.substring("a_norm", 1, 1))
+            & (F.abs(F.length("norm") - F.length("a_norm")) <= max_dist),
+        )
+        .withColumn("dist", F.levenshtein("norm", "a_norm"))
+        .filter(F.col("dist") <= max_dist)
+    )
+    w = Window.partitionBy("id", "mention").orderBy(F.desc("score_x1e6"), F.asc("uri"))
+    return (
+        cand.select(
+            "id",
+            "mention",
+            "uri",
+            "dist",
+            (F.col("prior_x1e6") - F.col("dist").cast("long") * 100000).alias("score_x1e6"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
 def links_to_triples(links: DataFrame, graph: str = "urn:g:links") -> DataFrame:
     """(id, mention, uri, …) → TRIPLES rows `<doc id> urn:p:mentions <uri>`
     with the surface form as a reified label triple."""

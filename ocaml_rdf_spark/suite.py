@@ -8040,3 +8040,67 @@ LEFT JOIN (
 """
 
 QUERIES["template_strip"] = (q_template_strip, SQL_TEMPLATE_STRIP)
+
+
+def q_link_edit(spark, sf):
+    """Edit-distance linking tier (operators/linking.py::link_edit):
+    probes are nation names with the 2nd character dropped (dist 1 from
+    their alias) plus the unchanged names (dist 0); the first-char +
+    length-band blocking and the Levenshtein verify are mirrored exactly
+    in DuckDB (same unit-cost edit distance both engines)."""
+    from .operators.linking import link_edit
+
+    nat = spark.read.parquet(f"{sf}/nation.parquet")
+    typo = F.concat(F.substring("n_name", 1, 1), F.expr("substring(n_name, 3)"))
+    probes = nat.select(
+        F.col("n_nationkey").cast("long").alias("id"),
+        typo.alias("mention"),
+        F.lower(F.regexp_replace(typo, r"[^A-Za-z0-9 ]", "")).alias("norm"),
+    ).unionByName(
+        nat.select(
+            (F.col("n_nationkey").cast("long") + 100).alias("id"),
+            F.col("n_name").alias("mention"),
+            F.lower(F.regexp_replace("n_name", r"[^A-Za-z0-9 ]", "")).alias("norm"),
+        )
+    )
+    aliases = nat.select(
+        F.col("n_name").alias("alias"),
+        F.concat(F.lit("urn:n:"), F.col("n_nationkey")).alias("uri"),
+        (F.lit(1.0) - F.col("n_nationkey") / 100.0).alias("prior"),
+    )
+    return link_edit(probes, aliases, max_dist=2)
+
+
+SQL_LINK_EDIT = """
+WITH probes AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS id,
+         substr(n_name,1,1) || substr(n_name,3) AS mention,
+         lower(regexp_replace(substr(n_name,1,1) || substr(n_name,3), '[^A-Za-z0-9 ]', '', 'g')) AS norm
+  FROM nation
+  UNION ALL
+  SELECT CAST(n_nationkey AS BIGINT) + 100,
+         n_name,
+         lower(regexp_replace(n_name, '[^A-Za-z0-9 ]', '', 'g'))
+  FROM nation
+), ali AS (
+  SELECT lower(regexp_replace(n_name, '[^A-Za-z0-9 ]', '', 'g')) AS a_norm,
+         'urn:n:'||n_nationkey AS uri,
+         CAST(round((1.0 - n_nationkey/100.0)*1000000) AS BIGINT) AS prior_x1e6
+  FROM nation
+), cand AS (
+  SELECT id, mention, uri,
+         CAST(levenshtein(norm, a_norm) AS INT) AS dist,
+         prior_x1e6 - levenshtein(norm, a_norm)*100000 AS score_x1e6
+  FROM probes JOIN ali
+    ON substr(norm,1,1) = substr(a_norm,1,1)
+   AND abs(length(norm) - length(a_norm)) <= 2
+  WHERE levenshtein(norm, a_norm) <= 2
+)
+SELECT id, mention, uri, dist, score_x1e6
+FROM (SELECT *, row_number() OVER (PARTITION BY id, mention
+                                   ORDER BY score_x1e6 DESC, uri ASC) AS rn
+      FROM cand)
+WHERE rn = 1
+"""
+
+QUERIES["link_edit"] = (q_link_edit, SQL_LINK_EDIT)

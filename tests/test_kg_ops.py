@@ -143,6 +143,29 @@ def test_link_fuzzy_recovers_near_miss(spark):
     assert len(out) == 1 and out[0]["uri"] == "urn:org:acme"
 
 
+def test_link_edit_distance_tier(spark):
+    from ocaml_rdf_spark.operators.linking import link_edit
+
+    aliases = spark.createDataFrame(
+        [("Acme Corp", "urn:org:acme", 0.9), ("Acme Core", "urn:org:core", 0.9),
+         ("Windmill", "urn:org:wind", 0.8)],
+        schema="alias string, uri string, prior double",
+    )
+    mentions = spark.createDataFrame(
+        [(1, "Acme Corp", "acme corp"),    # dist 0 to acme, 1 to core -> acme
+         (2, "Acme Cor", "acme cor"),      # dist 1 to BOTH -> uri tiebreak (acme < core)
+         (3, "Wind", "wind"),              # dist 4 > max_dist AND outside length band
+         (4, "Bcme Corp", "bcme corp")],   # dist 1 but first-char block excludes
+        schema="id long, mention string, norm string",
+    )
+    out = {r["id"]: r for r in link_edit(mentions, aliases, max_dist=2).collect()}
+    assert out[1]["uri"] == "urn:org:acme" and out[1]["dist"] == 0
+    assert out[1]["score_x1e6"] == 900000
+    assert out[2]["uri"] == "urn:org:acme" and out[2]["dist"] == 1
+    assert out[2]["score_x1e6"] == 800000
+    assert 3 not in out and 4 not in out
+
+
 # ---------------------------------------------------------------------------
 # staged pipeline: lineage, metrics, resume (pipeline.py)
 # ---------------------------------------------------------------------------
