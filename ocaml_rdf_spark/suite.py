@@ -8104,3 +8104,75 @@ WHERE rn = 1
 """
 
 QUERIES["link_edit"] = (q_link_edit, SQL_LINK_EDIT)
+
+
+def q_dict_terms(spark, sf):
+    """Term-dictionary build (operators/dictenc.py): distinct terms of the
+    nation graph with 60-bit md5 hash ids — the id assignment itself is
+    the oracle surface (DuckDB's ('0x'||substr(md5,1,15))::BIGINT equals
+    Spark's conv(...,16,10) bit-for-bit), so both engines must mint the
+    SAME integer for every term."""
+    from .operators.dictenc import term_dictionary
+
+    t = triples_view(spark, sf).filter(F.col("graph") == "urn:g:nation")
+    d = term_dictionary(t)
+    return d.select(
+        "id",
+        F.col("kind").cast("int").alias("kind"),
+        "lex",
+        F.coalesce("dtype", F.lit("")).alias("dtype"),
+        F.coalesce("lang", F.lit("")).alias("lang"),
+    )
+
+
+SQL_DICT_TERMS = f"""
+{W},
+t AS (SELECT * FROM triples WHERE graph = 'urn:g:nation'),
+terms AS (
+  SELECT 0 AS kind, s_lex AS lex, CAST(NULL AS VARCHAR) AS dtype, CAST(NULL AS VARCHAR) AS lang FROM t
+  UNION SELECT 0, pred, NULL, NULL FROM t
+  UNION SELECT 0, graph, NULL, NULL FROM t
+  UNION SELECT o_kind, o_lex, o_dtype, NULL FROM t
+)
+SELECT ('0x' || substr(md5(CAST(kind AS VARCHAR) || chr(31) || lex || chr(31)
+                           || coalesce(dtype,'') || chr(31) || coalesce(lang,'')), 1, 15))::BIGINT AS id,
+       CAST(kind AS INT) AS kind, lex,
+       coalesce(dtype,'') AS dtype, coalesce(lang,'') AS lang
+FROM terms
+"""
+
+QUERIES["dict_terms"] = (q_dict_terms, SQL_DICT_TERMS)
+
+
+def q_dict_bgp(spark, sf):
+    """Id-space BGP execution + late materialization (dictenc.py): the
+    6-pattern customer→nation→region join runs ENTIRELY on 8-byte hash
+    ids (bound terms folded to constant ids; joins shuffle longs, never
+    lexicals), and only the two projected columns decode through the
+    dictionary at the top — RDF-3X's layout on Spark. Oracle = the plain
+    string-space BGP SQL: the ids must cancel exactly."""
+    from .operators.dictenc import decode, encode_quads, iri_id, literal_id, term_dictionary
+    from .types import XSD_STRING
+
+    t = triples_view(spark, sf)
+    enc = encode_quads(t)
+
+    def pat(pred_iri):
+        return enc.filter(F.col("p_id") == iri_id(pred_iri))
+
+    c_type = pat(RDF_TYPE).filter(F.col("o_id") == iri_id("urn:c:Customer")).select(F.col("s_id").alias("c"))
+    c_name = pat(P_NAME).select(F.col("s_id").alias("c"), F.col("o_id").alias("cname_id"))
+    c_nat = pat(P_IN_NATION).select(F.col("s_id").alias("c"), F.col("o_id").alias("n"))
+    n_name = pat(P_NAME).select(F.col("s_id").alias("n"), F.col("o_id").alias("nname_id"))
+    n_reg = pat(P_IN_REGION).select(F.col("s_id").alias("n"), F.col("o_id").alias("r"))
+    r_asia = pat(P_NAME).filter(F.col("o_id") == literal_id("ASIA", XSD_STRING)).select(F.col("s_id").alias("r"))
+
+    res = c_type.join(c_name, "c").join(c_nat, "c").join(n_name, "n").join(n_reg, "n").join(r_asia, "r")
+    dic = term_dictionary(t)
+    out = decode(res.select("cname_id", "nname_id"), dic, "cname_id", "cname")
+    return decode(out, dic, "nname_id", "nname").select("cname", "nname")
+
+
+SQL_DICT_BGP = SQL_BGP_JOIN
+
+QUERIES["dict_bgp"] = (q_dict_bgp, SQL_DICT_BGP)
