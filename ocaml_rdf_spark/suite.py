@@ -8176,3 +8176,37 @@ def q_dict_bgp(spark, sf):
 SQL_DICT_BGP = SQL_BGP_JOIN
 
 QUERIES["dict_bgp"] = (q_dict_bgp, SQL_DICT_BGP)
+
+
+def q_prop_table_star(spark, sf):
+    """Property-table layout (operators/proptables.py): the customer
+    4-predicate star (name, balance, segment, nation) collapses to one
+    pred-pruned scan + one subject pivot, joined to a 1-column nation
+    property table — vs 6 self-joins in bgp_join. Same relational answer,
+    different physical shape; the oracle is plain SQL over the base
+    tables."""
+    from .operators.proptables import subject_table
+
+    t = triples_view(spark, sf)
+    cust = subject_table(
+        t,
+        {"cname": P_NAME, "bal": P_ACCTBAL, "seg": P_SEGMENT, "nation": P_IN_NATION},
+        cls="urn:c:Customer",
+    )
+    nat = subject_table(t, {"nname": P_NAME}, cls="urn:c:Nation")
+    return (
+        cust.filter((F.col("seg") == "AUTOMOBILE") & (F.col("bal").cast("long") > 750000))
+        .join(nat, cust["nation"] == nat["s"])
+        .select("cname", F.col("bal").cast("long").alias("bal"), "nname")
+    )
+
+
+SQL_PROP_TABLE_STAR = """
+SELECT c_name AS cname,
+       CAST(round(c_acctbal*100) AS BIGINT) AS bal,
+       n_name AS nname
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_mktsegment = 'AUTOMOBILE' AND round(c_acctbal*100) > 750000
+"""
+
+QUERIES["prop_table_star"] = (q_prop_table_star, SQL_PROP_TABLE_STAR)
