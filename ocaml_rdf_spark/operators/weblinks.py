@@ -390,3 +390,55 @@ def canonical_links(
         canon.alias("canonical_url"),
         (canon != src).alias("is_cross"),
     )
+
+
+def link_spam(
+    host_edges: DataFrame,
+    min_out: int = 2,
+    recip_ppm_threshold: int = 500000,
+) -> DataFrame:
+    """Link-farm signals per source host over a `host_link_graph` edge
+    list: reciprocity (fraction of out-edges whose reverse edge exists —
+    the farm-ring signature: SEO link exchanges reciprocate, editorial
+    links mostly don't; cf. Gyöngyi & Garcia-Molina, "Link spam
+    alliances", VLDB 2005) and destination concentration (top-1 target's
+    share of the host's outlink volume — farms pump few targets).
+
+    Shapes at scale: the host graph is orders smaller than the page
+    graph, so the reciprocity probe is a host-graph × host-graph hash
+    semi-join and both profiles are host-keyed aggs. All-integer ppm
+    math ⇒ exact cross-engine oracle.
+
+    → (host, out_degree, recip_edges, recip_ppm, top1_ppm, spam)."""
+    e = host_edges.select("src_host", "dst_host", "n_links")
+    rev = e.select(F.col("dst_host").alias("src_host"), F.col("src_host").alias("dst_host"))
+    recip = (
+        e.join(rev, ["src_host", "dst_host"], "left_semi")
+        .groupBy("src_host")
+        .agg(F.count(F.lit(1)).cast("long").alias("recip_edges"))
+    )
+    agg = e.groupBy("src_host").agg(
+        F.count(F.lit(1)).cast("long").alias("out_degree"),
+        F.sum("n_links").cast("long").alias("total_links"),
+        F.max("n_links").cast("long").alias("max_links"),
+    )
+    j = agg.join(recip, "src_host", "left").select(
+        F.col("src_host").alias("host"),
+        "out_degree",
+        F.coalesce("recip_edges", F.lit(0)).cast("long").alias("recip_edges"),
+        "total_links",
+        "max_links",
+    )
+    j = j.withColumn(
+        "recip_ppm", F.expr("CAST(recip_edges * 1000000 AS BIGINT) div out_degree")
+    ).withColumn("top1_ppm", F.expr("CAST(max_links * 1000000 AS BIGINT) div total_links"))
+    return j.select(
+        "host",
+        "out_degree",
+        "recip_edges",
+        "recip_ppm",
+        "top1_ppm",
+        ((F.col("recip_ppm") >= recip_ppm_threshold) & (F.col("out_degree") >= min_out))
+        .cast("int")
+        .alias("spam"),
+    )

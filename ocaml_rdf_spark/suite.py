@@ -8210,3 +8210,44 @@ WHERE c_mktsegment = 'AUTOMOBILE' AND round(c_acctbal*100) > 750000
 """
 
 QUERIES["prop_table_star"] = (q_prop_table_star, SQL_PROP_TABLE_STAR)
+
+
+def q_link_spam(spark, sf):
+    """Link-farm host scoring (operators/weblinks.py::link_spam) over the
+    same synthesized hyperlink corpus as link_graph: reciprocity via a
+    host-graph self-semi-join + destination-concentration ppm, mirrored
+    edge-for-edge in SQL."""
+    from .operators.weblinks import extract_links, host_link_graph, link_spam
+
+    return link_spam(host_link_graph(extract_links(_link_pages(spark, sf))))
+
+
+SQL_LINK_SPAM = """
+WITH links AS (
+  SELECT 'h' || (doc_id % 37) AS sh, 'h' || (doc_id % 5) AS dh, doc_id FROM documents
+  UNION ALL
+  SELECT 'h' || (doc_id % 37), 'h' || ((doc_id * 11 + 5) % 37), doc_id FROM documents
+), edges AS (
+  SELECT sh || '.example' AS src_host, dh || '.example' AS dst_host,
+         COUNT(*) AS n_links
+  FROM links WHERE sh <> dh GROUP BY 1, 2
+), recip AS (
+  SELECT e.src_host, COUNT(*) AS recip_edges
+  FROM edges e JOIN edges r
+    ON e.src_host = r.dst_host AND e.dst_host = r.src_host
+  GROUP BY e.src_host
+), agg AS (
+  SELECT src_host AS host, COUNT(*) AS out_degree,
+         SUM(n_links) AS total_links, MAX(n_links) AS max_links
+  FROM edges GROUP BY src_host
+)
+SELECT host, out_degree,
+       coalesce(recip_edges, 0) AS recip_edges,
+       coalesce(recip_edges, 0) * 1000000 // out_degree AS recip_ppm,
+       max_links * 1000000 // total_links AS top1_ppm,
+       CAST(coalesce(recip_edges, 0) * 1000000 // out_degree >= 500000
+            AND out_degree >= 2 AS INT) AS spam
+FROM agg LEFT JOIN recip ON agg.host = recip.src_host
+"""
+
+QUERIES["link_spam"] = (q_link_spam, SQL_LINK_SPAM)

@@ -177,3 +177,23 @@ def test_canonical_links_orders_resolution_fallback(spark):
     assert out["https://a.ex/q"] == ("https://a.ex/q", False)       # href-then-rel order, self
     assert out["https://a.ex/r"] == ("https://a.ex/r", False)       # no declaration → self
     assert out["https://a.ex/s"] == ("https://b.ex/s2", True)       # protocol-relative + fragment strip
+
+
+def test_link_spam_reciprocity_and_concentration(spark):
+    from ocaml_rdf_spark.operators.weblinks import link_spam
+
+    # farm ring a<->b, a<->c (recip 2/2); editorial host d -> a,b,c (recip 0/3);
+    # concentrated host e -> a with huge volume
+    edges = spark.createDataFrame(
+        [("a", "b", 10), ("b", "a", 10), ("a", "c", 10), ("c", "a", 1),
+         ("d", "a", 1), ("d", "b", 1), ("d", "c", 2),
+         ("e", "a", 99), ("e", "b", 1)],
+        "src_host string, dst_host string, n_links long",
+    )
+    out = {r["host"]: r for r in link_spam(edges).collect()}
+    assert out["a"]["recip_ppm"] == 1000000 and out["a"]["spam"] == 1
+    assert out["b"]["recip_ppm"] == 1000000  # out_degree 1 < min_out -> not spam
+    assert out["b"]["spam"] == 0
+    assert out["d"]["recip_ppm"] == 0 and out["d"]["spam"] == 0
+    assert out["d"]["top1_ppm"] == 500000  # 2 of 4 links to c
+    assert out["e"]["top1_ppm"] == 990000 and out["e"]["spam"] == 0
