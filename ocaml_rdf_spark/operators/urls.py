@@ -187,6 +187,46 @@ def domain_suffixes(host: Column) -> Column:
     )
 
 
+#: Embedded public-suffix subset (publicsuffix.org list format, exact
+#: rules only). A production run loads the full ~9k-rule PSL through the
+#: same membership test — as a broadcast array (still scan-local) or a
+#: broadcast join if the rule set outgrows a literal. Wildcard (*.ck) and
+#: exception (!www.ck) rules are out of scope for the subset; the
+#: fallback below matches the PSL's own prevailing-'*' default.
+PSL_SUBSET = [
+    "com", "org", "net", "io", "dev", "gov", "edu", "info", "biz",
+    "example", "test", "co.uk", "ac.uk", "org.uk", "gov.uk",
+    "com.au", "net.au", "org.au", "co.jp", "ne.jp", "or.jp",
+    "com.br", "com.cn", "co.in", "co.kr", "com.mx", "co.nz", "com.sg",
+]
+
+
+def pld(host: Column, rules: list[str] = PSL_SUBSET) -> Column:
+    """Pay-level domain (registrable domain): one label + the LONGEST
+    matching public suffix — the unit production pipelines group, rate-
+    limit, and dedup by ('bbc.co.uk', not 'co.uk' or 'news.bbc.co.uk').
+
+    Scan-local column algebra (no shuffle, no UDF): try every suffix
+    start position, keep those whose dot-joined tail is a PSL rule with
+    at least one label before it, take the smallest start (= longest
+    suffix), and emit that start minus one. Hosts with no matching rule
+    fall back to the PSL prevailing-'*' default (last two labels);
+    single-label hosts pass through."""
+    labels = F.split(host, "\\.")
+    n = F.size(labels)
+    rule_arr = F.array(*[F.lit(r) for r in rules])
+
+    def _is_rule(i: Column) -> Column:
+        return (i >= F.lit(2)) & F.array_contains(rule_arr, F.concat_ws(".", F.slice(labels, i, n - i + 1)))
+
+    best = F.array_min(F.filter(F.sequence(F.lit(1), n), _is_rule))
+    return (
+        F.when(best.isNotNull(), F.concat_ws(".", F.slice(labels, best - 1, n - best + 2)))
+        .when(n >= 2, F.concat_ws(".", F.slice(labels, n - 1, 2)))
+        .otherwise(host)
+    )
+
+
 def domain_filter(
     docs: DataFrame, blocklist: DataFrame, url_col: str = "url", id_col: str = "doc_id"
 ) -> DataFrame:

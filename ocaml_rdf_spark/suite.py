@@ -8251,3 +8251,60 @@ FROM agg LEFT JOIN recip ON agg.host = recip.src_host
 """
 
 QUERIES["link_spam"] = (q_link_spam, SQL_LINK_SPAM)
+
+
+def q_pld(spark, sf):
+    """Pay-level-domain extraction (operators/urls.py::pld): synthesize
+    hosts across the rule shapes — 2-level rule ('co.uk'), 1-level rule
+    ('com'), deep subdomains, unlisted TLD fallback, single label — and
+    mirror the longest-suffix match in DuckDB list algebra."""
+    from .operators.urls import pld
+
+    d = F.col("doc_id")
+    host = (
+        F.when(d % 5 == 0, F.concat(F.lit("news.brand"), (d % 9).cast("string"), F.lit(".co.uk")))
+        .when(d % 5 == 1, F.concat(F.lit("shop"), (d % 9).cast("string"), F.lit(".com")))
+        .when(d % 5 == 2, F.concat(F.lit("a.b.site"), (d % 9).cast("string"), F.lit(".dev")))
+        .when(d % 5 == 3, F.concat(F.lit("x.unlisted"), (d % 9).cast("string"), F.lit(".zz")))
+        .otherwise(F.lit("localhost"))
+    )
+    return (
+        _docs(spark, sf)
+        .select(host.alias("host"))
+        .withColumn("pld", pld(F.col("host")))
+        .groupBy("host", "pld")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_PLD = """
+WITH d AS (
+  SELECT CASE
+    WHEN doc_id % 5 = 0 THEN 'news.brand' || (doc_id % 9) || '.co.uk'
+    WHEN doc_id % 5 = 1 THEN 'shop' || (doc_id % 9) || '.com'
+    WHEN doc_id % 5 = 2 THEN 'a.b.site' || (doc_id % 9) || '.dev'
+    WHEN doc_id % 5 = 3 THEN 'x.unlisted' || (doc_id % 9) || '.zz'
+    ELSE 'localhost' END AS host
+  FROM documents
+), p AS (
+  SELECT host, string_split(host, '.') AS labels,
+         list_min(list_filter(range(1, len(string_split(host,'.')) + 1),
+           i -> i >= 2 AND list_contains(
+             ['com','org','net','io','dev','gov','edu','info','biz',
+              'example','test','co.uk','ac.uk','org.uk','gov.uk',
+              'com.au','net.au','org.au','co.jp','ne.jp','or.jp',
+              'com.br','com.cn','co.in','co.kr','com.mx','co.nz','com.sg'],
+             array_to_string(list_slice(string_split(host,'.'), i, len(string_split(host,'.'))), '.')))) AS best
+  FROM d
+)
+SELECT host,
+       CASE WHEN best IS NOT NULL
+              THEN array_to_string(list_slice(labels, best - 1, len(labels)), '.')
+            WHEN len(labels) >= 2
+              THEN array_to_string(list_slice(labels, len(labels) - 1, len(labels)), '.')
+            ELSE host END AS pld,
+       COUNT(*) AS n
+FROM p GROUP BY 1, 2
+"""
+
+QUERIES["pld"] = (q_pld, SQL_PLD)

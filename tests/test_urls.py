@@ -100,3 +100,22 @@ def test_ip_host_filter_classes(spark):
     assert [out[i]["is_ip"] for i in range(1, 12)] == [1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0]
     assert [out[i]["is_private"] for i in range(1, 8)] == [1, 1, 0, 1, 1, 1, 0]
     assert [out[i]["keep"] for i in (7, 8, 10)] == [0, 1, 1]
+
+
+def test_pld_rule_shapes(spark):
+    from ocaml_rdf_spark.operators.urls import pld
+    from pyspark.sql import functions as F
+
+    hosts = [
+        ("news.bbc.co.uk", "bbc.co.uk"),     # longest suffix wins over a hypothetical 'uk'
+        ("bbc.co.uk", "bbc.co.uk"),          # already registrable
+        ("deep.a.b.example", "b.example"),   # 1-level rule, deep subdomain
+        ("foo.com", "foo.com"),
+        ("x.y.unlisted.zz", "unlisted.zz"),  # no rule -> prevailing-* fallback (last 2)
+        ("localhost", "localhost"),          # single label passes through
+        ("co.uk", "co.uk"),                  # the suffix itself: no label before -> fallback
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in hosts], "host string")
+    out = dict(df.select("host", pld(F.col("host")).alias("p")).collect())
+    for h, want in hosts:
+        assert out[h] == want, (h, out[h], want)
