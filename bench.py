@@ -228,6 +228,16 @@ def main() -> None:
         "reify_rt",
         "sitemap_parse",
         "canon_link",
+        "boilerplate",
+        "template_strip",
+        "link_edit",
+        "dict_terms",
+        "dict_bgp",
+        "prop_table_star",
+        "link_spam",
+        "pld",
+        "meta_triples",
+        "warc_roundtrip",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

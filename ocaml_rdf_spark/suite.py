@@ -8146,19 +8146,21 @@ QUERIES["dict_terms"] = (q_dict_terms, SQL_DICT_TERMS)
 
 def q_dict_bgp(spark, sf):
     """Id-space BGP execution + late materialization (dictenc.py): the
-    6-pattern customer→nation→region join runs ENTIRELY on 8-byte hash
-    ids (bound terms folded to constant ids; joins shuffle longs, never
-    lexicals), and only the two projected columns decode through the
-    dictionary at the top — RDF-3X's layout on Spark. Oracle = the plain
-    string-space BGP SQL: the ids must cancel exactly."""
+    6-pattern customer→nation→region join runs on 8-byte hash ids: the
+    bound-predicate filter stays LEXICAL so it pushes to the parquet scan
+    (a function-of-column id compare would not; a materialized id store
+    gets the same pushdown from long min/max stats), every join carries
+    longs, bound objects compare as constant ids, and only the two
+    projected columns decode through the dictionary at the top — RDF-3X's
+    layout on Spark. Oracle = the plain string-space BGP SQL: the ids
+    must cancel exactly."""
     from .operators.dictenc import decode, encode_quads, iri_id, literal_id, term_dictionary
     from .types import XSD_STRING
 
     t = triples_view(spark, sf)
-    enc = encode_quads(t)
 
     def pat(pred_iri):
-        return enc.filter(F.col("p_id") == iri_id(pred_iri))
+        return encode_quads(t.filter(F.col("pred") == pred_iri))
 
     c_type = pat(RDF_TYPE).filter(F.col("o_id") == iri_id("urn:c:Customer")).select(F.col("s_id").alias("c"))
     c_name = pat(P_NAME).select(F.col("s_id").alias("c"), F.col("o_id").alias("cname_id"))

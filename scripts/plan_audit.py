@@ -951,6 +951,56 @@ def main() -> None:
             ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
             ("no cartesian product", r"CartesianProduct", "absent"),
         ]),
+        ("boilerplate", [
+            # densitometric classifier: one Arrow pass, map-only
+            ("Arrow-batched mapInPandas", r"MapInPandas"),
+            ("map-only (no shuffle)", r"Exchange", "absent"),
+            ("no join at all", r"Join", "absent"),
+        ]),
+        ("template_strip", [
+            # block stream → (host,fp) + host aggs; tiny template set
+            # BROADCAST back; no nested loop anywhere
+            ("template set broadcast back", r"BroadcastHashJoin|BroadcastExchange"),
+            ("map-side-combined aggs", r"HashAggregate"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
+        ("link_edit", [
+            # alias dictionary broadcast; Levenshtein verify is a filter
+            # inside the broadcast join, mention side never shuffles for it
+            ("alias dictionary broadcast", r"BroadcastHashJoin|BroadcastExchange"),
+            ("levenshtein JVM-side (no Python)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
+        ("dict_bgp", [
+            # id-space BGP: the bound predicate stays LEXICAL so it pushes
+            # to the scan; joins then carry 8-byte ids; decode at the top
+            ("pred filter pushed to scan", r"PushedFilters: \[.*EqualTo\(pred"),
+            ("hash joins on ids", r"BroadcastHashJoin|SortMergeJoin"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
+        ("prop_table_star", [
+            # star as pivot: pred IN (...) pushed; pivot = partial+final
+            # agg; only the nation property-table join remains
+            ("pred IN pushed to scan", r"PushedFilters: \[.*In\(pred"),
+            ("pivot partial+final agg", r"HashAggregate|SortAggregate"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
+        ("link_spam", [
+            # host-graph-sized reciprocity semi-join: hash, never BNLJ
+            ("reciprocity as hash semi-join", r"(BroadcastHashJoin|SortMergeJoin).*LeftSemi|LeftSemi.*(BroadcastHashJoin|SortMergeJoin)"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
+        ("pld", [
+            # PSL longest-match is scan-local array algebra: the only
+            # shuffle is the result groupBy; no join, no Python
+            ("single shuffle (the groupBy)", r"^\(\d+\) Exchange", "count", 1),
+            ("no join at all", r"Join", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
     ]
 
     lines = ["# PLANS — physical-plan audit (scripts/plan_audit.py)", "",
