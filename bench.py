@@ -237,6 +237,7 @@ def main() -> None:
         "link_spam",
         "pld",
         "meta_triples",
+        "mf2_triples",
         "warc_roundtrip",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,

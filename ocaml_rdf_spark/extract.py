@@ -20,6 +20,7 @@ Scale design:
 from __future__ import annotations
 
 import hashlib
+import re
 from typing import Iterator
 
 import pandas as pd
@@ -39,7 +40,7 @@ from .types import TRIPLE_KEY, TRIPLES_COLUMNS, TRIPLES_SCHEMA, BNode, Iri, Term
 ERROR_PRED = "urn:x-ords:error"
 
 EXTRACTORS = (
-    "jsonld", "rdfa", "microdata", "turtle", "trig", "ntriples", "rdfxml", "tables", "meta",
+    "jsonld", "rdfa", "microdata", "turtle", "trig", "ntriples", "rdfxml", "tables", "meta", "mf2",
 )
 
 
@@ -57,6 +58,9 @@ def _global_bnode(term: Term, url: str, ext: str) -> Term:
 #: the DOM parse — ~40% of per-page CPU — is skipped outright. On this
 #: synthetic corpus ~0.6% of pages skip; on real Common Crawl the
 #: no-structured-data majority makes this the dominant fast path.
+#: mf2 fast-path gate: an h- root token inside a class attribute
+_MF2_MARK = re.compile(r'class\s*=\s*["\'][^"\']*\bh-[a-z]')
+
 _MARKERS = (
     "ld+json", "text/turtle", "application/trig", "rdf+xml", "ntriples",
     "itemscope", "property", "typeof", "vocab", "prefix",
@@ -64,7 +68,7 @@ _MARKERS = (
 
 
 def extract_page(
-    url: str, html_bytes: bytes, tables: bool = False, meta: bool = False
+    url: str, html_bytes: bytes, tables: bool = False, meta: bool = False, mf2: bool = False
 ) -> tuple[list[tuple], list[tuple]]:
     """Parse one page; returns (triple_rows, error_rows) in TRIPLES row form.
 
@@ -75,7 +79,10 @@ def extract_page(
     `<table` joins the marker fast-path set so table-only pages still
     reach the DOM parse. `meta` likewise opts into the page-metadata
     extractor (sources/meta.py: OpenGraph / Twitter cards / description
-    meta / title / hreflang alternates) with its own marker gate."""
+    meta / title / hreflang alternates) with its own marker gate, and
+    `mf2` into the microformats2 extractor (sources/mf2.py: h-card/
+    h-entry class-token items, the IndieWeb structured-data idiom) gated
+    on an `h-` token inside a class attribute."""
     rows: list[tuple] = []
     errors: list[tuple] = []
     html = html_bytes.decode("utf-8", errors="replace")
@@ -84,6 +91,7 @@ def extract_page(
         not any(m in low for m in _MARKERS)
         and not (tables and "<table" in low)
         and not (meta and ("<meta" in low or "<title" in low))
+        and not (mf2 and _MF2_MARK.search(low) is not None)
     ):
         return rows, errors
 
@@ -179,12 +187,20 @@ def extract_page(
             emit(extract_meta_tree(dom, base=url), "meta")
         except Exception as e:
             err("meta", e)
+    if mf2:
+        try:
+            from .sources.mf2 import extract_mf2_tree
+
+            emit(extract_mf2_tree(dom, base=url), "mf2")
+        except Exception as e:
+            err("mf2", e)
 
     return rows, errors
 
 
 def extract_triples(
-    pages: DataFrame, with_text: bool = False, tables: bool = False, meta: bool = False
+    pages: DataFrame, with_text: bool = False, tables: bool = False, meta: bool = False,
+    mf2: bool = False,
 ) -> DataFrame:
     """pages (url, warc_ts, html, ...) → TRIPLES DataFrame (+ error rows).
 
@@ -192,7 +208,8 @@ def extract_triples(
     per-document but allocation-light. Set-semantics dedup is NOT applied
     here (do it once globally at materialization — cheaper than per-batch).
     `tables=True` adds the WebTables recovery extractor, `meta=True` the
-    page-metadata extractor (extract_page).
+    page-metadata extractor, `mf2=True` the microformats2 extractor
+    (extract_page).
     """
     cols = ["url", "html"] + (["text"] if with_text else [])
 
@@ -200,7 +217,7 @@ def extract_triples(
         for pdf in batches:
             out: list[tuple] = []
             for url, html_bytes in zip(pdf["url"], pdf["html"]):
-                rows, errors = extract_page(url, bytes(html_bytes), tables=tables, meta=meta)
+                rows, errors = extract_page(url, bytes(html_bytes), tables=tables, meta=meta, mf2=mf2)
                 out.extend(rows)
                 out.extend(errors)
             yield pd.DataFrame(out, columns=TRIPLES_COLUMNS)

@@ -142,6 +142,7 @@ def kg_pipeline(
     spark: SparkSession, root: str, n_pages: int, parts: int = 8,
     ontology: Optional[DataFrame] = None,
     mine_anchors: bool = False,
+    extract_opts: Optional[dict] = None,
 ) -> Pipeline:
     """The full KG-construction pipeline (north rule order): extract →
     [weblinks] → link → canonicalize → [infer] → materialize SPO/POS.
@@ -159,23 +160,29 @@ def kg_pipeline(
     (operators/weblinks.py — the web's crowd-written entity lexicon) and
     UNIONS it into the link stage's dictionary at top prior: a page that
     links the surface form to a URI is first-hand evidence, so mined
-    entries outrank the curated dictionary's priors on collisions."""
+    entries outrank the curated dictionary's priors on collisions.
+
+    `extract_opts`: opt-in extractor branches passed through to
+    extract_triples (tables / meta / mf2); enabled flags join the
+    pipeline fingerprint so a resume never mixes extractor sets."""
     from .datagen import gen_aliases_pandas, gen_pages_df
     from .extract import dedup_triples, extract_triples, salted_repartition, split_errors
     from .operators.cc import canonicalize, connected_components, sameas_edges
     from .operators.linking import link_exact
     from .types import TRIPLE_KEY
 
+    eo = {k: v for k, v in (extract_opts or {}).items() if v}
     fp = (
         f"pages:{n_pages}:v1"
         + (":inf" if ontology is not None else "")
         + (":anch" if mine_anchors else "")
+        + ((":" + ",".join(sorted(eo))) if eo else "")
     )
     pipe = Pipeline(spark, root, fp)
 
     def s_extract(sp, p):
         pages = salted_repartition(gen_pages_df(sp, n_pages, parts=parts), parts)
-        triples, errors = split_errors(extract_triples(pages))
+        triples, errors = split_errors(extract_triples(pages, **eo))
         return triples.unionByName(errors)
 
     def s_dedup(sp, p):

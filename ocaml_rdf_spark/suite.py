@@ -8310,3 +8310,68 @@ FROM p GROUP BY 1, 2
 """
 
 QUERIES["pld"] = (q_pld, SQL_PLD)
+
+
+def q_mf2_triples(spark, sf):
+    """Microformats2 extraction (sources/mf2.py, opt-in branch):
+    synthesize h-card pages — p-name span (whitespace collapse), u-url
+    relative link (base resolution), dt-bday time@datetime, a nested
+    p-author h-card whose own p-name must NOT leak to the parent — and
+    run the REAL mapInPandas stage with mf2=True. Returned as
+    (url, pred, o_kind, o_lex) with bnode lexicals projected away (the
+    item ids are per-page-deterministic but sha1-opaque); the nested
+    author edge is counted via o_kind=1 rows instead. Oracle recomputes
+    every row from the synthesis formulas."""
+    from .extract import extract_triples, split_errors
+
+    d = F.col("doc_id")
+    origin = F.concat(F.lit("https://f"), (d % 13).cast("string"), F.lit(".example"))
+    pages = _docs(spark, sf).select(
+        F.concat(origin, F.lit("/p/"), d.cast("string")).alias("url"),
+        F.encode(
+            F.concat(
+                F.lit('<html><body><div class="h-card"><span class="p-name">Card  '),
+                d.cast("string"),
+                F.lit('</span><a class="u-url" href="/c/'), d.cast("string"),
+                F.lit('">me</a><time class="dt-bday" datetime="19'),
+                F.lpad((d % 90).cast("string"), 2, "0"),
+                F.lit('-01-02">bday</time><div class="p-author h-card"><b class="p-name">'),
+                F.col("source"),
+                F.lit("</b></div></div></body></html>"),
+            ),
+            "utf-8",
+        ).alias("html"),
+    )
+    triples, _errs = split_errors(extract_triples(pages, mf2=True))
+    return triples.select(
+        F.col("src_url").alias("url"),
+        "pred",
+        F.col("o_kind").cast("int").alias("o_kind"),
+        F.when(F.col("o_kind") == 1, F.lit("")).otherwise(F.col("o_lex")).alias("o_lex"),
+    )
+
+
+SQL_MF2_TRIPLES = """
+WITH d AS (
+  SELECT doc_id, source,
+         'https://f' || (doc_id % 13) || '.example' AS origin,
+         'https://f' || (doc_id % 13) || '.example/p/' || doc_id AS url
+  FROM documents
+)
+SELECT url, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+       0 AS o_kind, 'urn:mf2:h-card' AS o_lex FROM d
+UNION ALL
+SELECT url, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 0, 'urn:mf2:h-card' FROM d
+UNION ALL
+SELECT url, 'urn:mf2:p:name', 2, 'Card ' || doc_id FROM d
+UNION ALL
+SELECT url, 'urn:mf2:p:url', 0, origin || '/c/' || doc_id FROM d
+UNION ALL
+SELECT url, 'urn:mf2:p:bday', 2, '19' || lpad(CAST(doc_id % 90 AS VARCHAR), 2, '0') || '-01-02' FROM d
+UNION ALL
+SELECT url, 'urn:mf2:p:author', 1, '' FROM d
+UNION ALL
+SELECT url, 'urn:mf2:p:name', 2, source FROM d
+"""
+
+QUERIES["mf2_triples"] = (q_mf2_triples, SQL_MF2_TRIPLES)

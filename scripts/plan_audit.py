@@ -994,6 +994,12 @@ def main() -> None:
             ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
             ("no cartesian product", r"CartesianProduct", "absent"),
         ]),
+        ("mf2_triples", [
+            # opt-in extraction branch: Arrow pass, map-only
+            ("Arrow-batched mapInPandas extraction", r"MapInPandas"),
+            ("map-only (no shuffle)", r"Exchange", "absent"),
+            ("no join at all", r"Join", "absent"),
+        ]),
         ("pld", [
             # PSL longest-match is scan-local array algebra: the only
             # shuffle is the result groupBy; no join, no Python
