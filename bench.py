@@ -239,6 +239,7 @@ def main() -> None:
         "meta_triples",
         "mf2_triples",
         "warc_roundtrip",
+        "bpe_train",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

@@ -1839,3 +1839,103 @@ def keeper_by_quality(clusters: DataFrame, quality: DataFrame) -> DataFrame:
         "is_keeper",
         F.when(F.row_number().over(win) == 1, F.lit(1)).otherwise(F.lit(0)).cast("long"),
     )
+
+
+def bpe_train(docs: DataFrame, n_merges: int = 10, text_col: str = "text") -> DataFrame:
+    """Full BPE merge-rule training (Sennrich et al., ACL 2016 — the
+    tokenizer-training loop itself, not just one pair count): learn the
+    ordered merge table over the corpus. Two-phase, the same shape every
+    production BPE trainer uses:
+
+    - **Phase 1 (corpus-sized, ONE shuffle)**: word-frequency table.
+      After this the corpus is never touched again — 100 TB of text
+      collapses to a vocabulary-sized (word, freq) table.
+    - **Phase 2 (vocab-sized, n_merges rounds)**: words as symbol
+      arrays (chars + '</w>' terminator); each round counts adjacent
+      symbol pairs weighted by word freq (map-side-combined agg over the
+      vocab table), takes the deterministic argmax (count DESC, pair
+      ASC — a 1-row driver fetch), and applies the merge with a
+      left-to-right greedy array fold (`F.aggregate`, JVM-side — the
+      same non-overlapping semantics as the reference implementation).
+      Each round localCheckpoints the vocab table: constant-depth plans
+      instead of n_merges-deep lineage.
+
+    Deterministic end-to-end (integer counts, total tiebreak) — verified
+    against a pure-Python mirror by differential fuzz; no SQL oracle
+    (iterative argmax is not SQL-expressible; the suite entry is
+    rows-only like extract_corpus).
+
+    → merges DataFrame (rank, left, right, pair_count), rank 1-based in
+    merge order."""
+    words = (
+        docs.select(
+            F.explode(
+                F.split(
+                    F.trim(
+                        F.regexp_replace(
+                            F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9 ]", " "),
+                            r" +",
+                            " ",
+                        )
+                    ),
+                    " ",
+                )
+            ).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    vocab = words.select(
+        "freq",
+        # split keeps a trailing '' (zero-width match at end-of-string
+        # with limit -1) — drop empties before appending the terminator
+        F.concat(
+            F.filter(F.split(F.col("word"), "(?!^)"), lambda x: x != ""),
+            F.array(F.lit("</w>")),
+        ).alias("sym"),
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple] = []
+    for rank in range(1, n_merges + 1):
+        pairs = vocab.select(
+            "freq",
+            F.explode(
+                F.when(
+                    F.size("sym") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("sym") - 1),
+                        lambda i: F.struct(
+                            F.element_at("sym", i).alias("a"),
+                            F.element_at("sym", i + 1).alias("b"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
+        merges.append((rank, a, b, n))
+        al, bl, ml = F.lit(a), F.lit(b), F.lit(a + b)
+        merged = F.aggregate(
+            F.col("sym"),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0) & (F.element_at(acc, -1) == al) & (x == bl),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(ml)),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        vocab = vocab.select("freq", merged.alias("sym")).localCheckpoint(eager=True)
+
+    return docs.sparkSession.createDataFrame(
+        merges or [(0, "", "", 0)][0:0],
+        "rank int, left string, right string, pair_count long",
+    )

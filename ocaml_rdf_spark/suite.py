@@ -8375,3 +8375,17 @@ SELECT url, 'urn:mf2:p:name', 2, source FROM d
 """
 
 QUERIES["mf2_triples"] = (q_mf2_triples, SQL_MF2_TRIPLES)
+
+
+def q_bpe_train(spark, sf):
+    """Iterative BPE tokenizer training (textops.bpe_train): the ordered
+    merge table, 8 rounds over the corpus's word-frequency table.
+    Rows-only by design: the per-round argmax loop is not
+    SQL-expressible (like extract_corpus); correctness is pinned by the
+    pure-Python reference differential in tests/test_bpe_train.py."""
+    from .operators.textops import bpe_train
+
+    return bpe_train(_docs(spark, sf), n_merges=8)
+
+
+QUERIES["bpe_train"] = (q_bpe_train, None)
