@@ -240,6 +240,7 @@ def main() -> None:
         "mf2_triples",
         "warc_roundtrip",
         "bpe_train",
+        "bitext_align",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

@@ -288,3 +288,79 @@ def semdedup_keep(
             F.when(F.col("dropped").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("keep"),
         )
     )
+
+
+def bitext_margin(
+    src: DataFrame,
+    dst: DataFrame,
+    k: int = 4,
+    margin_ppm_threshold: int = 1000000,
+) -> DataFrame:
+    """Margin-scored cross-set alignment (Artetxe & Schwenk, ACL 2019 —
+    the bitext-mining criterion behind CCMatrix/LASER parallel-corpus
+    construction): a source doc aligns to a target doc when their cosine
+    similarity stands out RELATIVE to each side's neighborhood,
+
+        margin(x, y) = 2·cos(x, y) / (avg_k(x→dst) + avg_k(y→src)),
+
+    which kills hub vectors that are merely close to everything.
+
+    Integer-exact cross-engine recipe: each cosine rounds to ×1e8 BEFORE
+    any summation (double sums are order-sensitive; integer sums are
+    not), avg_k stays as the integer SUM over exactly k neighbors
+    (row_number window, sim DESC / id ASC tiebreak), and
+
+        margin_ppm = (2k · sim_x1e8 · 1e6) div (sumk(x) + sumk(y)).
+
+    Output: top-1 target per source with margin_ppm ≥ threshold →
+    (src_id, dst_id, sim_x1e8, margin_ppm).
+
+    Scale: the suite runs the exact tier (bounded all-pairs — the same
+    documented bound as near_dup_pairs); production swaps candidate
+    generation to the sign-LSH bucket join (`lsh_bucket`) and computes
+    margins only over candidates, which is exactly how the published
+    pipelines run it at corpus scale."""
+    from pyspark.sql.window import Window
+
+    a = src.select(F.col("vec_id").alias("src_id"), F.col("embedding").alias("src_emb"))
+    b = dst.select(F.col("vec_id").alias("dst_id"), F.col("embedding").alias("dst_emb"))
+    pairs = a.crossJoin(b).select(
+        "src_id",
+        "dst_id",
+        F.round(cosine(F.col("src_emb"), F.col("dst_emb")) * 1e8).cast("long").alias("sim_x1e8"),
+    )
+    pairs = pairs.localCheckpoint(eager=False)  # 3 consumers below
+
+    wsrc = Window.partitionBy("src_id").orderBy(F.desc("sim_x1e8"), F.asc("dst_id"))
+    wdst = Window.partitionBy("dst_id").orderBy(F.desc("sim_x1e8"), F.asc("src_id"))
+    sumk_src = (
+        pairs.withColumn("rn", F.row_number().over(wsrc))
+        .filter(F.col("rn") <= k)
+        .groupBy("src_id")
+        .agg(F.sum("sim_x1e8").alias("sumk_src"))
+    )
+    sumk_dst = (
+        pairs.withColumn("rn", F.row_number().over(wdst))
+        .filter(F.col("rn") <= k)
+        .groupBy("dst_id")
+        .agg(F.sum("sim_x1e8").alias("sumk_dst"))
+    )
+    scored = (
+        pairs.join(sumk_src, "src_id")
+        .join(sumk_dst, "dst_id")
+        .withColumn(
+            "margin_ppm",
+            F.expr(
+                f"CASE WHEN sumk_src + sumk_dst = 0 THEN NULL "
+                f"ELSE CAST(2 * {k} * sim_x1e8 * 1000000 AS BIGINT) div (sumk_src + sumk_dst) END"
+            ),
+        )
+    )
+    wtop = Window.partitionBy("src_id").orderBy(
+        F.desc("margin_ppm"), F.desc("sim_x1e8"), F.asc("dst_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(wtop))
+        .filter((F.col("rn") == 1) & (F.col("margin_ppm") >= margin_ppm_threshold))
+        .select("src_id", "dst_id", "sim_x1e8", "margin_ppm")
+    )

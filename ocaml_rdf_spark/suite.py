@@ -8389,3 +8389,56 @@ def q_bpe_train(spark, sf):
 
 
 QUERIES["bpe_train"] = (q_bpe_train, None)
+
+
+def q_bitext_align(spark, sf):
+    """Margin-criterion cross-set alignment (operators/ann.py::
+    bitext_margin, the CCMatrix/LASER bitext-mining scorer): even
+    vec_ids as the source set, odd as the target, k=4 neighborhoods,
+    ratio margin >= 1.0 in exact ppm integers. Exact tier over a
+    bounded slice (the documented near_dup_pairs bound); the LSH bucket
+    join is the production candidate generator."""
+    from .operators.ann import bitext_margin
+
+    e = _embs(spark, sf).filter(F.col("vec_id") < 120)
+    return bitext_margin(
+        e.filter(F.col("vec_id") % 2 == 0),
+        e.filter(F.col("vec_id") % 2 == 1),
+        k=4,
+        margin_ppm_threshold=1000000,
+    )
+
+
+SQL_BITEXT_ALIGN = """
+WITH src AS (
+  SELECT vec_id AS src_id, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings WHERE vec_id % 2 = 0 AND vec_id < 120
+), dst AS (
+  SELECT vec_id AS dst_id, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings WHERE vec_id % 2 = 1 AND vec_id < 120
+), pairs AS (
+  SELECT src_id, dst_id,
+         CAST(round(list_cosine_similarity(src.e, dst.e) * 100000000) AS BIGINT) AS sim_x1e8
+  FROM src, dst
+), ks AS (
+  SELECT src_id, SUM(sim_x1e8) AS sumk_src
+  FROM (SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY sim_x1e8 DESC, dst_id ASC) AS rn FROM pairs)
+  WHERE rn <= 4 GROUP BY src_id
+), kd AS (
+  SELECT dst_id, SUM(sim_x1e8) AS sumk_dst
+  FROM (SELECT *, row_number() OVER (PARTITION BY dst_id ORDER BY sim_x1e8 DESC, src_id ASC) AS rn FROM pairs)
+  WHERE rn <= 4 GROUP BY dst_id
+), scored AS (
+  SELECT p.src_id, p.dst_id, p.sim_x1e8,
+         CASE WHEN sumk_src + sumk_dst = 0 THEN NULL
+              ELSE CAST(2 * 4 * sim_x1e8 * 1000000 AS BIGINT)
+                   // CAST(sumk_src + sumk_dst AS BIGINT) END AS margin_ppm
+  FROM pairs p JOIN ks USING (src_id) JOIN kd USING (dst_id)
+)
+SELECT src_id, dst_id, sim_x1e8, margin_ppm
+FROM (SELECT *, row_number() OVER (PARTITION BY src_id
+        ORDER BY margin_ppm DESC, sim_x1e8 DESC, dst_id ASC) AS rn FROM scored)
+WHERE rn = 1 AND margin_ppm >= 1000000
+"""
+
+QUERIES["bitext_align"] = (q_bitext_align, SQL_BITEXT_ALIGN)

@@ -1000,6 +1000,12 @@ def main() -> None:
             ("map-only (no shuffle)", r"Exchange", "absent"),
             ("no join at all", r"Join", "absent"),
         ]),
+        ("bitext_align", [
+            # exact tier: bounded cross score + two window sums; no BNLJ
+            # beyond the documented bounded cross join itself
+            ("window top-k neighborhoods", r"Window"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
         ("pld", [
             # PSL longest-match is scan-local array algebra: the only
             # shuffle is the result groupBy; no join, no Python

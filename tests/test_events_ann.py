@@ -307,3 +307,26 @@ def test_kmv_set_ops_disjoint(spark):
     r = kmv_set_ops(a, "v", b, "v", k=64).collect()[0]
     assert r["n_inter"] == 0 and r["est_intersect"] == 0
     assert 700 <= r["est_union"] <= 1400  # ~1000 within KMV error at k=64
+
+
+def test_bitext_margin_kills_hub_vectors(spark):
+    """A hub vector close to everything must lose to a mutually-exclusive
+    pair under the ratio margin, and top-1 is per source."""
+    from ocaml_rdf_spark.operators.ann import bitext_margin
+
+    def v(*xs):
+        return list(map(float, xs))
+
+    # src 0 <-> dst 1 and src 4 <-> dst 3 are aligned pairs; src 2 is a
+    # hub equally close to both dst vectors, and both dst neighborhoods
+    # are strong (each has a near-identical source) -> hub margin < 1.05
+    src = spark.createDataFrame(
+        [(0, v(1, 0, 0, 0)), (4, v(0, 1, 0, 0)), (2, v(0.7, 0.7, 0, 0))],
+        "vec_id long, embedding array<float>",
+    )
+    dst = spark.createDataFrame(
+        [(1, v(0.99, 0.05, 0, 0)), (3, v(0.05, 0.99, 0, 0))], "vec_id long, embedding array<float>"
+    )
+    out = {r["src_id"]: r for r in bitext_margin(src, dst, k=2, margin_ppm_threshold=1050000).collect()}
+    assert out[0]["dst_id"] == 1 and out[4]["dst_id"] == 3
+    assert 2 not in out  # hub: stands out from neither neighborhood
