@@ -241,6 +241,11 @@ def main() -> None:
         "warc_roundtrip",
         "bpe_train",
         "bitext_align",
+        "hreflang_clusters",
+        "feed_items",
+        "readability",
+        "url_templates",
+        "cocitation",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

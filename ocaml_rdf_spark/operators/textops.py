@@ -1939,3 +1939,50 @@ def bpe_train(docs: DataFrame, n_merges: int = 10, text_col: str = "text") -> Da
         merges or [(0, "", "", 0)][0:0],
         "rank int, left string, right string, pair_count long",
     )
+
+
+def readability(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Flesch-Kincaid readability in exact integer ppm — the classic
+    quality-filter feature (Kincaid 1975; a heuristic gate in
+    C4/CCNet-style pipeline configs):
+
+        grade = 0.39·(words/sentences) + 11.8·(syllables/words) − 15.59
+
+    computed entirely in scan-local column algebra with the
+    engine-portable integer recipe: sentences = count of ``[.!?]+``
+    runs (min 1), words = whitespace tokens (min 1), syllables = per
+    word the count of ``[aeiouy]+`` vowel groups in lowercase (min 1 —
+    'rhythm'-class words still syllabify), and
+
+        grade_ppm = 390000·W div S + 11800000·Y div W − 15590000.
+
+    The vowel-group syllable counter is the documented approximation
+    every streaming implementation uses (CMU-dict lookups don't fit a
+    scan); both engines run the same RE2/Java-common regexes, so the
+    oracle is exact. Map-only — no shuffle, no Python."""
+    text = F.col(text_col)
+    toks = F.regexp_extract_all(F.lower(text), F.lit("[^ \\t\\n]+"), F.lit(0))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.greatest(
+            F.size(F.regexp_extract_all(text, F.lit("[.!?]+"), F.lit(0))), F.lit(1)
+        ).cast("long").alias("n_sentences"),
+        F.greatest(F.size(toks), F.lit(1)).cast("long").alias("n_words"),
+        F.aggregate(
+            F.transform(
+                toks,
+                lambda t: F.greatest(
+                    F.size(F.regexp_extract_all(t, F.lit("[aeiouy]+"), F.lit(0))), F.lit(1)
+                ).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("n_syllables"),
+    )
+    return base.withColumn(
+        "fk_grade_ppm",
+        F.expr(
+            "CAST(390000 * n_words AS BIGINT) div n_sentences"
+            " + CAST(11800000 * n_syllables AS BIGINT) div n_words - 15590000"
+        ),
+    )

@@ -482,3 +482,39 @@ def cidr_join(
         F.col("_best.prefix_len").alias("prefix_len"),
         *[F.col(f"_best.{c}").alias(c) for c in meta],
     )
+
+
+def url_path_templates(urls: DataFrame, url_col: str = "url", k: int = 3) -> DataFrame:
+    """Sister-page template mining: generalize each URL's path by
+    collapsing variable segments — digit runs → ``{n}``, long lower-hex
+    runs (≥8 chars: ids, hashes) → ``{x}`` — then count URLs per
+    (host, template) and keep each host's top-`k` templates.
+
+    The classic crawl-scheduling/site-structure primitive (URL pattern
+    trees à la Koppula et al., WSDM'10 "Learning URL patterns for
+    webpage de-duplication"): template multiplicity separates
+    enumerable content series (/p/{n}) from singleton editorial pages,
+    and template-level counts drive dedup rules, crawl budgets, and
+    per-template sampling.
+
+    Shape: generalization is map-only regex algebra; ONE map-side-
+    combined (host, template) agg; per-host top-k is a window over the
+    already-partitioned cells. Mega-host safety: a host's rows are its
+    distinct templates (bounded by site structure), not its URLs."""
+    u = F.col(url_col)
+    host = url_host(u)
+    path = F.coalesce(F.regexp_extract(u, "^https?://[^/?#]+([^?#]*)", 1), F.lit(""))
+    tpl = F.regexp_replace(
+        F.regexp_replace(path, "[0-9]+", "{n}"), "\\b[a-f]{8,}\\b", "{x}"
+    )
+    cells = (
+        urls.select(host.alias("host"), F.when(tpl == "", F.lit("/")).otherwise(tpl).alias("template"))
+        .groupBy("host", "template")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_urls"))
+    )
+    w = Window.partitionBy("host").orderBy(F.desc("n_urls"), F.asc("template"))
+    return (
+        cells.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("host", "template", "n_urls", "rank")
+    )

@@ -442,3 +442,148 @@ def link_spam(
         .cast("int")
         .alias("spam"),
     )
+
+
+# one <link rel="alternate" hreflang="…" href="…"> tag in the synthesis
+# attribute order; mirrored verbatim by the DuckDB oracle
+_HREFLANG = '<link rel="alternate" hreflang="([^"]*)" href="([^"]*)"[^>]*>'
+
+
+def hreflang_edges(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(src_url, hreflang, alt_url) translation-alternate edges from
+    ``<link rel="alternate" hreflang>`` tags (the multilingual-site
+    idiom search engines consume; Google's hreflang guidelines ask for
+    reciprocal annotation, so the edge set is NEARLY symmetric — the
+    cluster step symmetrizes explicitly rather than trusting webmasters).
+
+    Scan-local like `extract_links`: two zipped `regexp_extract_all`
+    projections, fragment strip. Self-references are KEPT — a spec-
+    conformant hreflang block lists the page itself, and that row is
+    the page's own language claim (the cluster step uses it for lang
+    labeling and skips it when building CC edges). No shuffle."""
+    html = F.col(html_col)
+    langs = F.regexp_extract_all(html, F.lit(_HREFLANG), F.lit(1))
+    hrefs = F.regexp_extract_all(html, F.lit(_HREFLANG), F.lit(2))
+    src = F.col(url_col)
+    out = pages.select(
+        src.alias("src_url"),
+        F.explode(F.arrays_zip(langs.alias("hreflang"), hrefs.alias("href"))).alias("_l"),
+    ).select(
+        "src_url",
+        F.col("_l.hreflang").alias("hreflang"),
+        F.regexp_replace(F.col("_l.href"), "#.*$", "").alias("alt_url"),
+    )
+    return out.filter(F.col("alt_url") != "")
+
+
+def hreflang_clusters(edges: DataFrame) -> DataFrame:
+    """Translation clusters from hreflang edges: symmetrize (annotation
+    is only *supposed* to be reciprocal), connected-components over URL
+    nodes (large/small-star at scale — the same machinery as owl:sameAs
+    canonicalization), then one per-cluster aggregation:
+
+        (cluster_id = lexicographic-min URL, n_pages, langs)
+
+    where `langs` is the sorted distinct set of language codes CLAIMED
+    for each member URL by its in-edges (an x-default or regional code
+    shows up verbatim). This is the page-alignment prior that feeds
+    bitext mining (`operators/ann.py::bitext_margin`): cluster members
+    are translation candidates before any embedding is computed.
+
+    Scale: edges are host-local in the common case (same-site
+    alternates), so the symmetrize + CC shuffles are skew-light; the
+    per-cluster agg is map-side combined. Cluster sizes are bounded by
+    a site's language count (tens), never corpus-scale."""
+    from .cc import connected_components
+
+    e = edges.filter(F.col("src_url") != F.col("alt_url")).select(
+        F.col("src_url").alias("src"), F.col("alt_url").alias("dst")
+    )
+    sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    comp = connected_components(sym)
+    # language claimed for each member URL: every (alt_url, hreflang)
+    # row INCLUDING self-references (a page's own declared language)
+    node_lang = edges.select(
+        F.col("alt_url").alias("node"), F.col("hreflang").alias("lang")
+    ).distinct()
+    labeled = comp.join(node_lang, "node", "left")
+    return (
+        labeled.groupBy(F.col("component").alias("cluster_id"))
+        .agg(
+            F.countDistinct("node").cast("long").alias("n_pages"),
+            F.array_join(F.array_sort(F.collect_set("lang")), ",").alias("langs"),
+        )
+    )
+
+
+#: one RSS <item> or Atom <entry> block (non-greedy body)
+_RSS_ITEM = "<item>(.*?)</item>"
+_ATOM_ENTRY = "<entry>(.*?)</entry>"
+
+
+def parse_feeds(feeds: DataFrame, url_col: str = "feed_url", xml_col: str = "xml") -> DataFrame:
+    """RSS 2.0 / Atom feed items → (feed_url, title, item_url, ts_raw).
+
+    The discovery layer next to sitemaps (`parse_sitemaps`): feeds carry
+    the *fresh* URLs plus editorial titles. Documented parsing subset,
+    same contract as the sitemap parser: RSS ``<item>`` blocks with
+    ``<title>/<link>/<pubDate>`` children, Atom ``<entry>`` blocks with
+    ``<title>/<link href="…"/>/<updated>``; items without a link are
+    dropped; first match wins inside a block. Zipped regex projections,
+    map-only, html never leaves the scan — feed XML needs no DOM."""
+    xml = F.col(xml_col)
+
+    def _fields(block_re: str, link_re: str, ts_re: str):
+        blocks = F.regexp_extract_all(xml, F.lit(block_re), F.lit(1))
+        return F.transform(
+            blocks,
+            lambda b: F.struct(
+                F.regexp_extract(b, "<title>([^<]*)</title>", 1).alias("title"),
+                F.regexp_extract(b, link_re, 1).alias("item_url"),
+                F.regexp_extract(b, ts_re, 1).alias("ts_raw"),
+            ),
+        )
+
+    rss = _fields(_RSS_ITEM, "<link>([^<]*)</link>", "<pubDate>([^<]*)</pubDate>")
+    atom = _fields(_ATOM_ENTRY, '<link href="([^"]*)"[^>]*/>', "<updated>([^<]*)</updated>")
+    out = feeds.select(
+        F.col(url_col).alias("feed_url"),
+        F.explode(F.concat(rss, atom)).alias("_i"),
+    ).select("feed_url", F.col("_i.title").alias("title"),
+             F.col("_i.item_url").alias("item_url"), F.col("_i.ts_raw").alias("ts_raw"))
+    return out.filter(F.col("item_url") != "")
+
+
+def cocitation(
+    host_edges: DataFrame, max_out: int = 8, min_cocites: int = 2, k: int = 10
+) -> DataFrame:
+    """Related-host discovery by co-citation (Dean & Henzinger, WWW8:
+    two hosts are related when many sources link to BOTH): per-source
+    top-`max_out` destinations by link weight (the hub guard — a
+    directory page citing 10k hosts would otherwise contribute
+    O(out²) pairs), ordered self-join on the source key, pair count,
+    global top-k.
+
+    Scale shape: the self-join is equi on src_host AFTER the out-degree
+    cap, so each source contributes ≤ max_out·(max_out−1)/2 rows —
+    Σ bounded by |hosts|·max_out², never |edges|². The pair agg is
+    map-side combined; top-k is TakeOrdered."""
+    w = Window.partitionBy("src_host").orderBy(F.desc("n_links"), F.asc("dst_host"))
+    capped = (
+        host_edges.select("src_host", "dst_host", "n_links")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_out)
+        .select("src_host", "dst_host")
+    )
+    a = capped.select(F.col("src_host").alias("s"), F.col("dst_host").alias("h1"))
+    b = capped.select(F.col("src_host").alias("s"), F.col("dst_host").alias("h2"))
+    pairs = (
+        a.join(b, "s")
+        .filter(F.col("h1") < F.col("h2"))
+        .groupBy("h1", "h2")
+        .agg(F.countDistinct("s").cast("long").alias("n_cocites"))
+        .filter(F.col("n_cocites") >= min_cocites)
+    )
+    return pairs.orderBy(F.desc("n_cocites"), F.asc("h1"), F.asc("h2")).limit(k)

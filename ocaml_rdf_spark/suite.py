@@ -8442,3 +8442,246 @@ WHERE rn = 1 AND margin_ppm >= 1000000
 """
 
 QUERIES["bitext_align"] = (q_bitext_align, SQL_BITEXT_ALIGN)
+
+
+def q_hreflang_clusters(spark, sf):
+    """Translation-cluster mining (operators/weblinks.py::hreflang_edges
+    + hreflang_clusters): groups of 3 docs share a cluster (en/fr always,
+    de only for even groups), every 5th group's pages mis-annotate a
+    bridge to the previous group's en page (merging the two clusters —
+    the real-web CMS-misconfiguration case), CC over the symmetrized
+    URL graph. Oracle is the closed form of the synthesis — no
+    recursion needed on the DuckDB side."""
+    from .operators.weblinks import hreflang_clusters, hreflang_edges
+
+    d = F.col("doc_id")
+    g = (d - d % 3) / F.lit(3)
+    g = g.cast("long")
+    r = d % 3
+    lang = F.when(r == 0, "en").when(r == 1, "fr").otherwise("de")
+
+    def _u(gc, lc):
+        return F.concat(
+            F.lit("https://h"), (gc % 37).cast("string"), F.lit(".example/c/"),
+            gc.cast("string"), F.lit("/"), lc,
+        )
+
+    def _tag(lc, href):
+        return F.concat(
+            F.lit('<link rel="alternate" hreflang="'), lc, F.lit('" href="'), href, F.lit('">')
+        )
+
+    pages = (
+        _docs(spark, sf)
+        .filter(~((r == 2) & (g % 2 == 1)))
+        .select(
+            _u(g, lang).alias("url"),
+            F.concat(
+                _tag(F.lit("en"), _u(g, F.lit("en"))),
+                _tag(F.lit("fr"), _u(g, F.lit("fr"))),
+                F.when(g % 2 == 0, _tag(F.lit("de"), _u(g, F.lit("de")))).otherwise(F.lit("")),
+                F.when(
+                    (g % 5 == 0) & (g > 0), _tag(F.lit("en"), _u(g - 1, F.lit("en")))
+                ).otherwise(F.lit("")),
+            ).alias("html"),
+        )
+    )
+    return hreflang_clusters(hreflang_edges(pages))
+
+
+SQL_HREFLANG_CLUSTERS = """
+WITH grp AS (SELECT DISTINCT doc_id // 3 AS g FROM documents),
+m AS (SELECT g, CASE WHEN g % 5 = 0 AND g > 0 THEN g - 1 ELSE g END AS a FROM grp),
+nodes AS (
+  SELECT a, 'https://h' || (g % 37) || '.example/c/' || g || '/en' AS url, 'en' AS lang FROM m
+  UNION ALL
+  SELECT a, 'https://h' || (g % 37) || '.example/c/' || g || '/fr', 'fr' FROM m
+  UNION ALL
+  SELECT a, 'https://h' || (g % 37) || '.example/c/' || g || '/de', 'de' FROM m WHERE g % 2 = 0
+)
+SELECT MIN(url) AS cluster_id,
+       CAST(COUNT(DISTINCT url) AS BIGINT) AS n_pages,
+       array_to_string(list_sort(list(DISTINCT lang)), ',') AS langs
+FROM nodes GROUP BY a
+"""
+
+QUERIES["hreflang_clusters"] = (q_hreflang_clusters, SQL_HREFLANG_CLUSTERS)
+
+
+def q_feed_items(spark, sf):
+    """Feed-item extraction (operators/weblinks.py::parse_feeds): even
+    docs publish RSS 2.0 (two items, the second link-less — dropped per
+    the documented subset), odd docs publish Atom (two entries). Oracle
+    computes the expected items from the synthesis formulas — no XML on
+    the DuckDB side (the sitemap_parse pattern)."""
+    from .operators.weblinks import parse_feeds
+
+    d = F.col("doc_id")
+    h = (d % 37).cast("string")
+    rss = F.concat(
+        F.lit("<rss><channel><item><title>post "), d.cast("string"),
+        F.lit("-0</title><link>https://h"), h, F.lit(".example/p/"), (d * 2).cast("string"),
+        F.lit("</link><pubDate>ts"), d.cast("string"),
+        F.lit("</pubDate></item><item><title>draft "), d.cast("string"),
+        F.lit("</title><pubDate>tsx</pubDate></item></channel></rss>"),
+    )
+    atom = F.concat(
+        F.lit("<feed><entry><title>a "), d.cast("string"),
+        F.lit('-0</title><link href="https://h'), h, F.lit(".example/p/"), (d * 2).cast("string"),
+        F.lit('"/><updated>u'), d.cast("string"),
+        F.lit("</updated></entry><entry><title>a "), d.cast("string"),
+        F.lit('-1</title><link href="https://h'), h, F.lit(".example/p/"),
+        (d * 2 + 1).cast("string"), F.lit('"/><updated>u'), d.cast("string"),
+        F.lit("</updated></entry></feed>"),
+    )
+    feeds = _docs(spark, sf).select(
+        F.concat(F.lit("https://h"), h, F.lit(".example/feed")).alias("feed_url"),
+        F.when(d % 2 == 0, rss).otherwise(atom).alias("xml"),
+        "doc_id",
+    )
+    return parse_feeds(feeds)
+
+
+SQL_FEED_ITEMS = """
+WITH rss AS (
+  SELECT 'https://h' || (doc_id % 37) || '.example/feed' AS feed_url,
+         'post ' || doc_id || '-0' AS title,
+         'https://h' || (doc_id % 37) || '.example/p/' || (doc_id * 2) AS item_url,
+         'ts' || doc_id AS ts_raw
+  FROM documents WHERE doc_id % 2 = 0
+), atom AS (
+  SELECT 'https://h' || (doc_id % 37) || '.example/feed',
+         'a ' || doc_id || '-' || i,
+         'https://h' || (doc_id % 37) || '.example/p/' || (doc_id * 2 + i),
+         'u' || doc_id
+  FROM documents, (SELECT UNNEST([0, 1]) AS i) WHERE doc_id % 2 = 1
+)
+SELECT * FROM rss UNION ALL SELECT * FROM atom
+"""
+
+QUERIES["feed_items"] = (q_feed_items, SQL_FEED_ITEMS)
+
+
+def q_readability(spark, sf):
+    """Flesch-Kincaid integer-ppm readability over the documents table
+    (operators/textops.py::readability). Both engines run the same
+    sentence/word/vowel-group regexes, so counts AND the composed grade
+    are exact across engines."""
+    from .operators.textops import readability
+
+    return readability(_docs(spark, sf))
+
+
+SQL_READABILITY = """
+WITH t AS (
+  SELECT doc_id,
+         GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+         regexp_extract_all(lower(text), '[^ \t\n]+') AS toks
+  FROM documents
+), c AS (
+  SELECT doc_id, n_sentences,
+         GREATEST(len(toks), 1) AS n_words,
+         COALESCE(list_sum(list_transform(toks,
+             tok -> GREATEST(len(regexp_extract_all(tok, '[aeiouy]+')), 1))), 0) AS n_syllables
+  FROM t
+)
+SELECT doc_id,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_syllables AS BIGINT) AS n_syllables,
+       CAST(390000 * n_words AS BIGINT) // CAST(n_sentences AS BIGINT)
+         + CAST(11800000 * n_syllables AS BIGINT) // CAST(n_words AS BIGINT)
+         - 15590000 AS fk_grade_ppm
+FROM c
+"""
+
+QUERIES["readability"] = (q_readability, SQL_READABILITY)
+
+
+def q_url_templates(spark, sf):
+    """URL path-template mining (operators/urls.py::url_path_templates):
+    per doc an enumerable series URL (/p/{d}), an /about singleton, a
+    nested series for even docs, and a hex-id URL for every 10th doc —
+    top-3 templates per host with count-desc/template-asc ranking."""
+    from .operators.urls import url_path_templates
+
+    d = F.col("doc_id")
+    h = F.concat(F.lit("https://h"), (d % 13).cast("string"), F.lit(".example"))
+    docs = _docs(spark, sf)
+    urls = (
+        docs.select(F.concat(h, F.lit("/p/"), d.cast("string")).alias("url"))
+        .unionAll(docs.select(F.concat(h, F.lit("/about")).alias("url")))
+        .unionAll(
+            docs.filter(d % 2 == 0).select(
+                F.concat(
+                    h, F.lit("/cat/"), (d % 7).cast("string"), F.lit("/item/"), d.cast("string")
+                ).alias("url")
+            )
+        )
+        .unionAll(
+            docs.filter(d % 10 == 0).select(F.concat(h, F.lit("/s/deadbeefcafe")).alias("url"))
+        )
+    )
+    return url_path_templates(urls, k=3)
+
+
+SQL_URL_TEMPLATES = """
+WITH urls AS (
+  SELECT 'h' || (doc_id % 13) || '.example' AS host, '/p/{n}' AS template FROM documents
+  UNION ALL
+  SELECT 'h' || (doc_id % 13) || '.example', '/about' FROM documents
+  UNION ALL
+  SELECT 'h' || (doc_id % 13) || '.example', '/cat/{n}/item/{n}' FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT 'h' || (doc_id % 13) || '.example', '/s/{x}' FROM documents WHERE doc_id % 10 = 0
+),
+cells AS (
+  SELECT host, template, CAST(COUNT(*) AS BIGINT) AS n_urls FROM urls GROUP BY 1, 2
+)
+SELECT host, template, n_urls, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY host ORDER BY n_urls DESC, template ASC) AS rank
+  FROM cells
+) WHERE rank <= 3
+"""
+
+QUERIES["url_templates"] = (q_url_templates, SQL_URL_TEMPLATES)
+
+
+def q_cocitation(spark, sf):
+    """Related-host discovery by co-citation (operators/weblinks.py::
+    cocitation) over the same synthetic link corpus as link_graph:
+    out-degree-capped per-source destination sets, ordered pair counts,
+    global top-10."""
+    from .operators.weblinks import cocitation, extract_links, host_link_graph
+
+    return cocitation(
+        host_link_graph(extract_links(_link_pages(spark, sf))), max_out=8, min_cocites=2, k=10
+    )
+
+
+SQL_COCITATION = """
+WITH links AS (
+  SELECT 'h' || (doc_id % 37) AS sh, 'h' || (doc_id % 5) AS dh FROM documents
+  UNION ALL
+  SELECT 'h' || (doc_id % 37), 'h' || ((doc_id * 11 + 5) % 37) FROM documents
+),
+edges AS (
+  SELECT sh || '.example' AS src_host, dh || '.example' AS dst_host, COUNT(*) AS n_links
+  FROM links WHERE sh <> dh GROUP BY 1, 2
+),
+capped AS (
+  SELECT src_host, dst_host FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY src_host
+        ORDER BY n_links DESC, dst_host ASC) AS rn FROM edges
+  ) WHERE rn <= 8
+),
+pairs AS (
+  SELECT a.dst_host AS h1, b.dst_host AS h2, CAST(COUNT(DISTINCT a.src_host) AS BIGINT) AS n_cocites
+  FROM capped a JOIN capped b ON a.src_host = b.src_host AND a.dst_host < b.dst_host
+  GROUP BY 1, 2 HAVING COUNT(DISTINCT a.src_host) >= 2
+)
+SELECT h1, h2, n_cocites FROM pairs
+ORDER BY n_cocites DESC, h1 ASC, h2 ASC LIMIT 10
+"""
+
+QUERIES["cocitation"] = (q_cocitation, SQL_COCITATION)

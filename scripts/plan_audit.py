@@ -1013,6 +1013,36 @@ def main() -> None:
             ("no join at all", r"Join", "absent"),
             ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
         ]),
+        ("hreflang_clusters", [
+            # CC over URL nodes: hash joins only, JVM-side throughout
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
+        ("feed_items", [
+            # zipped-regex block parsing: map-only, xml never shuffled
+            ("map-only (no shuffle)", r"Exchange", "absent"),
+            ("no join at all", r"Join", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
+        ("readability", [
+            # scan-local column algebra: zero shuffles, zero Python
+            ("map-only (no shuffle)", r"Exchange", "absent"),
+            ("no join at all", r"Join", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
+        ("url_templates", [
+            # template agg + per-host top-k window; no join, no Python
+            ("no join at all", r"Join", "absent"),
+            ("per-host top-k window", r"Window"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
+        ("cocitation", [
+            # out-degree-capped self-join: equi hash join + TakeOrdered
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("global top-k as TakeOrdered", r"TakeOrderedAndProject"),
+        ]),
     ]
 
     lines = ["# PLANS — physical-plan audit (scripts/plan_audit.py)", "",

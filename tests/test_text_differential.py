@@ -161,3 +161,32 @@ def test_extract_links_fuzz(spark, anchors):
         if dst:
             want.append((dst, _re.sub(r"\s+", " ", a).strip()))
     assert got == sorted(want)
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcdefghy .!?XYZ'", min_size=0, max_size=30),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_readability_matches_python_reference(spark, texts):
+    """Flesch-Kincaid integer recipe: Spark column algebra == a direct
+    Python re-implementation of the documented formula on arbitrary
+    punctuation/whitespace soup."""
+    import re as _re
+
+    from ocaml_rdf_spark.operators.textops import readability
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {r["doc_id"]: r for r in readability(df).collect()}
+    for i, t in enumerate(texts):
+        n_sent = max(len(_re.findall(r"[.!?]+", t)), 1)
+        toks = _re.findall(r"[^ \t\n]+", t.lower())
+        n_words = max(len(toks), 1)
+        n_syll = sum(max(len(_re.findall(r"[aeiouy]+", w)), 1) for w in toks)
+        fk = (390000 * n_words) // n_sent + (11800000 * n_syll) // n_words - 15590000
+        r = got[i]
+        assert (r["n_sentences"], r["n_words"], r["n_syllables"]) == (n_sent, n_words, n_syll)
+        assert r["fk_grade_ppm"] == fk

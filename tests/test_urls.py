@@ -119,3 +119,21 @@ def test_pld_rule_shapes(spark):
     out = dict(df.select("host", pld(F.col("host")).alias("p")).collect())
     for h, want in hosts:
         assert out[h] == want, (h, out[h], want)
+
+
+def test_url_path_templates_generalization(spark):
+    """Digit runs -> {n}, long hex ids -> {x}, empty path -> '/', query
+    strings never enter the template."""
+    from ocaml_rdf_spark.operators.urls import url_path_templates
+
+    urls = spark.createDataFrame(
+        [
+            ("https://a.example/p/123",),
+            ("https://a.example/p/99?q=1",),
+            ("https://a.example/s/deadbeefdead",),
+            ("https://a.example",),
+        ],
+        "url string",
+    )
+    out = {r["template"]: r["n_urls"] for r in url_path_templates(urls, k=10).collect()}
+    assert out == {"/p/{n}": 2, "/s/{x}": 1, "/": 1}

@@ -197,3 +197,74 @@ def test_link_spam_reciprocity_and_concentration(spark):
     assert out["d"]["recip_ppm"] == 0 and out["d"]["spam"] == 0
     assert out["d"]["top1_ppm"] == 500000  # 2 of 4 links to c
     assert out["e"]["top1_ppm"] == 990000 and out["e"]["spam"] == 0
+
+
+def test_hreflang_one_directional_annotation_still_clusters(spark):
+    """Symmetrization must not require reciprocal annotation: only the
+    en page declares alternates, yet all three URLs share a cluster;
+    fragments are stripped and self-links dropped."""
+    from ocaml_rdf_spark.operators.weblinks import hreflang_clusters, hreflang_edges
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "https://s.example/en",
+                '<link rel="alternate" hreflang="en" href="https://s.example/en">'
+                '<link rel="alternate" hreflang="fr" href="https://s.example/fr#top">'
+                '<link rel="alternate" hreflang="de" href="https://s.example/de">',
+            ),
+            ("https://s.example/fr", "<p>no annotations here</p>"),
+            ("https://other.example/x", '<link rel="alternate" hreflang="en" href="https://other.example/y">'),
+        ],
+        "url string, html string",
+    )
+    e = hreflang_edges(pages)
+    assert e.filter("src_url = alt_url").count() == 1  # self-claim kept
+    assert e.filter("alt_url LIKE '%#%'").count() == 0  # fragment stripped
+    out = {r["cluster_id"]: r for r in hreflang_clusters(e).collect()}
+    big = out["https://s.example/de"]  # lexicographic min of the trio
+    assert big["n_pages"] == 3 and big["langs"] == "de,en,fr"
+    assert out["https://other.example/x"]["n_pages"] == 2
+
+
+def test_parse_feeds_subset_contract(spark):
+    """RSS linkless items drop; Atom entries parse; first match wins
+    inside a block."""
+    from ocaml_rdf_spark.operators.weblinks import parse_feeds
+
+    feeds = spark.createDataFrame(
+        [
+            (
+                "https://a.example/feed",
+                "<rss><channel>"
+                "<item><title>one</title><link>https://a.example/1</link>"
+                "<link>https://a.example/ignored</link><pubDate>t1</pubDate></item>"
+                "<item><title>linkless</title><pubDate>t2</pubDate></item>"
+                "</channel></rss>",
+            ),
+            (
+                "https://b.example/feed",
+                '<feed><entry><title>e1</title><link href="https://b.example/1"/>'
+                "<updated>u1</updated></entry></feed>",
+            ),
+        ],
+        "feed_url string, xml string",
+    )
+    rows = {(r["feed_url"], r["item_url"]): r for r in parse_feeds(feeds).collect()}
+    assert ("https://a.example/feed", "https://a.example/1") in rows
+    assert rows[("https://a.example/feed", "https://a.example/1")]["ts_raw"] == "t1"
+    assert len([k for k in rows if k[0] == "https://a.example/feed"]) == 1  # linkless dropped
+    assert rows[("https://b.example/feed", "https://b.example/1")]["title"] == "e1"
+
+
+def test_cocitation_hub_guard_caps_contribution(spark):
+    """A directory host citing many destinations contributes only its
+    top-max_out pairs; a pair needs min_cocites distinct sources."""
+    from ocaml_rdf_spark.operators.weblinks import cocitation
+
+    rows = [("hub", f"d{i}", 100 - i) for i in range(10)]  # d0..d9, weights desc
+    rows += [("s1", "d0", 1), ("s1", "d1", 1), ("s2", "d0", 1), ("s2", "d1", 1)]
+    edges = spark.createDataFrame(rows, "src_host string, dst_host string, n_links long")
+    out = {(r["h1"], r["h2"]): r["n_cocites"] for r in cocitation(edges, max_out=2, min_cocites=2, k=10).collect()}
+    # hub keeps only (d0,d1); with s1+s2 that pair has 3 cocites
+    assert out == {("d0", "d1"): 3}
