@@ -246,6 +246,11 @@ def main() -> None:
         "readability",
         "url_templates",
         "cocitation",
+        "rule_mine",
+        "cc_constrained",
+        "disambiguate",
+        "fuse_numeric",
+        "spam_mass",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

@@ -167,6 +167,50 @@ def truth_discovery(quads: DataFrame, iters: int = 2, scale: int = 1000) -> Data
     return winners
 
 
+def fuse_numeric(claims: DataFrame, k_num: int = 3) -> DataFrame:
+    """Robust NUMERIC fusion per fact key: `claims(s, p, src, val)` with
+    integer `val` → (s, p, n_claims, n_kept, fused_x100).
+
+    Numeric facts (population, price, lat/long grids) can't be voted on
+    like categorical values — near-agreeing sources assert slightly
+    different numbers, and a single stale/spam outlier wrecks a mean.
+    The standard robust recipe is median/MAD rejection (Hampel filter):
+    keep claims within `k_num`×MAD of the median, report the mean of
+    the survivors. All arithmetic stays exact-integer by carrying
+    DOUBLED quantities (a median of integers is integral or x.5, so
+    2×median is integral): M2 = 2·median(val), d = |2·val − M2|,
+    D2 = 2·median(d); the keep rule |val−med| ≤ k·MAD is exactly
+    `2·d ≤ k·D2` (MAD = D2/4, |val−med| = d/2). Survivor mean is
+    reported ×100 via integer div — bit-identical across engines and
+    partitionings.
+
+    Shape: two key-partitioned aggregations (median, then MAD) + one
+    hash join back on the fact key + one final map-side-combined
+    aggregate. Per-key groups are |sources|-bounded (single digits),
+    so the exact percentile is cheap and unskewed at any corpus size;
+    duplicate (src, val) assertions count once (set semantics)."""
+    c = claims.select("s", "p", "src", F.col("val").cast("long").alias("val")).dropDuplicates(
+        ["s", "p", "src", "val"]
+    )
+    med = c.groupBy("s", "p").agg(
+        (F.expr("percentile(val, 0.5)") * 2).cast("long").alias("m2")
+    )
+    d = c.join(med, ["s", "p"]).withColumn("d", F.abs(F.col("val") * 2 - F.col("m2")))
+    mad = d.groupBy("s", "p").agg(
+        (F.expr("percentile(d, 0.5)") * 2).cast("long").alias("d2")
+    )
+    kept = d.join(mad, ["s", "p"]).withColumn(
+        "keep", (F.col("d") * 2 <= F.lit(int(k_num)) * F.col("d2")).cast("int")
+    )
+    return kept.groupBy("s", "p").agg(
+        F.count(F.lit(1)).cast("long").alias("n_claims"),
+        F.sum("keep").cast("long").alias("n_kept"),
+        F.expr("sum(CASE WHEN keep = 1 THEN val * 100 ELSE 0 END) div sum(keep)").alias(
+            "fused_x100"
+        ),
+    )
+
+
 def class_alignment(
     types_a: DataFrame,
     types_b: DataFrame,

@@ -326,6 +326,63 @@ def host_authority(host_edges: DataFrame) -> DataFrame:
     )
 
 
+def spam_mass(
+    host_edges: DataFrame,
+    trusted: DataFrame,
+    iters: int = 3,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Spam mass per host (Gyöngyi et al., "Link Spam Detection Based on
+    Mass Estimation", VLDB 2006): the fraction of a host's PageRank that
+    does NOT flow from a trusted seed set. `host_edges(src_host,
+    dst_host, ...)` is the host link graph; `trusted(host)` the vetted
+    seed list (e.g. .gov/.edu cores). Returns (host, rank, trust,
+    spam_ppm) where `rank`/`trust` are the integer-exact global and
+    seed-personalized PageRank scores (operators/cc.py :: pagerank) and
+    spam_ppm = 1e6 − min(1e6, trust_share/rank_share in ppm): 0 for
+    fully-trusted hosts, →1e6 for hosts whose rank comes entirely from
+    the spam-reachable part of the web.
+
+    The share normalization (each score over its own global sum) makes
+    the two runs comparable without dividing the seed base (which would
+    break exact-integer PPR): nested integer div, deterministic and
+    engine-portable. Shape: two 3-iteration PR runs over the same
+    pre-joined degree-carrying edge set (each iteration = one hash join
+    + one map-side-combined aggregate), one 1-row total broadcast each,
+    one final host-keyed join."""
+    from .cc import pagerank
+
+    edges = host_edges.select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    seeds = trusted.select(F.col("host").alias("node"))
+    pr = pagerank(edges, iters=iters, damping_pct=damping_pct)
+    tr = pagerank(edges, iters=iters, damping_pct=damping_pct, seeds=seeds)
+    pr_tot = pr.agg(F.sum("rank").alias("rt"))
+    tr_tot = tr.agg(F.sum("rank").alias("tt"))
+    prs = pr.crossJoin(F.broadcast(pr_tot)).select(
+        "node", "rank", F.expr("rank * 1000000000 div rt").alias("rank_ppb")
+    )
+    trs = tr.crossJoin(F.broadcast(tr_tot)).select(
+        F.col("node").alias("tnode"),
+        F.col("rank").alias("trust"),
+        F.expr("rank * 1000000000 div tt").alias("trust_ppb"),
+    )
+    return (
+        prs.join(trs, prs["node"] == trs["tnode"])
+        .select(
+            F.col("node").alias("host"),
+            "rank",
+            "trust",
+            F.expr(
+                "CAST(1000000 - LEAST(CAST(1000000 AS BIGINT), "
+                "CASE WHEN rank_ppb = 0 THEN CAST(1000000 AS BIGINT) "
+                "ELSE trust_ppb * 1000000 div rank_ppb END) AS BIGINT)"
+            ).alias("spam_ppm"),
+        )
+    )
+
+
 def parse_sitemaps(sitemaps: DataFrame, xml_col: str = "xml") -> DataFrame:
     """XML sitemap (sitemaps.org <urlset>) → one row per <url> entry:
     (loc, lastmod, changefreq, priority_x100) plus every other input

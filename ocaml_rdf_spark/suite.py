@@ -8685,3 +8685,315 @@ ORDER BY n_cocites DESC, h1 ASC, h2 ASC LIMIT 10
 """
 
 QUERIES["cocitation"] = (q_cocitation, SQL_COCITATION)
+
+
+# ---------------------------------------------------------------------------
+# KG mining & repair family (operators/kgmine.py): AMIE-lite rule mining,
+# cannot-link constrained canonicalization, context disambiguation — plus
+# robust numeric fusion (operators/fusion.py) and spam mass (weblinks.py)
+# ---------------------------------------------------------------------------
+
+
+def _rule_triples(spark, sf):
+    """Deterministic triple store with planted horn rules: every customer
+    is inNation, every nation inRegion; custRegion holds for even
+    custkeys (⇒ path-rule confidence ≈ 50%), suppRegion for suppkey % 4
+    = 0 (≈ 25%), and likesNation ⊂ inNation on custkey % 3 = 0 (same-
+    pair rule at 100% one way, ≈ 33% the other)."""
+    cu = spark.read.parquet(f"{sf}/customer.parquet")
+    su = spark.read.parquet(f"{sf}/supplier.parquet")
+    na = spark.read.parquet(f"{sf}/nation.parquet")
+    c_nat = cu.select(
+        F.lit("inNation").alias("p"),
+        F.concat(F.lit("c:"), "c_custkey").alias("s"),
+        F.concat(F.lit("n:"), "c_nationkey").alias("o"),
+    )
+    s_nat = su.select(
+        F.lit("suppNation").alias("p"),
+        F.concat(F.lit("s:"), "s_suppkey").alias("s"),
+        F.concat(F.lit("n:"), "s_nationkey").alias("o"),
+    )
+    n_reg = na.select(
+        F.lit("inRegion").alias("p"),
+        F.concat(F.lit("n:"), "n_nationkey").alias("s"),
+        F.concat(F.lit("r:"), "n_regionkey").alias("o"),
+    )
+    c_reg = (
+        cu.filter(F.col("c_custkey") % 2 == 0)
+        .join(na, cu["c_nationkey"] == na["n_nationkey"])
+        .select(
+            F.lit("custRegion").alias("p"),
+            F.concat(F.lit("c:"), "c_custkey").alias("s"),
+            F.concat(F.lit("r:"), "n_regionkey").alias("o"),
+        )
+    )
+    s_reg = (
+        su.filter(F.col("s_suppkey") % 4 == 0)
+        .join(na, su["s_nationkey"] == na["n_nationkey"])
+        .select(
+            F.lit("suppRegion").alias("p"),
+            F.concat(F.lit("s:"), "s_suppkey").alias("s"),
+            F.concat(F.lit("r:"), "n_regionkey").alias("o"),
+        )
+    )
+    likes = cu.filter(F.col("c_custkey") % 3 == 0).select(
+        F.lit("likesNation").alias("p"),
+        F.concat(F.lit("c:"), "c_custkey").alias("s"),
+        F.concat(F.lit("n:"), "c_nationkey").alias("o"),
+    )
+    return c_nat.unionByName(s_nat).unionByName(n_reg).unionByName(c_reg).unionByName(s_reg).unionByName(likes)
+
+
+def q_rule_mine(spark, sf):
+    """AMIE-lite horn-rule mining over the planted-rule store: same-pair
+    rules p(x,y)⇒q(x,y) and path rules p(x,z)∧q(z,y)⇒r(x,y) with exact
+    integer support / ppm confidence, unioned under one schema (kind,
+    body_p, body_q, head_p, body_n, support, conf_ppm); low-confidence
+    noise rules (< 5%) are cut to keep the report rule-shaped."""
+    from .operators.kgmine import mine_path_rules, mine_same_pair_rules
+
+    t = _rule_triples(spark, sf)
+    same = mine_same_pair_rules(t, min_body=2).select(
+        F.lit("same").alias("kind"),
+        "body_p",
+        F.lit("").alias("body_q"),
+        "head_p",
+        "body_n",
+        "support",
+        "conf_ppm",
+    )
+    path = mine_path_rules(t, min_body=2, min_support=1).select(
+        F.lit("path").alias("kind"), "body_p", "body_q", "head_p", "body_n", "support", "conf_ppm"
+    )
+    return same.unionByName(path).filter(F.col("conf_ppm") >= 50000)
+
+
+SQL_RULE_MINE = """
+WITH t AS (
+  SELECT 'inNation' AS p, 'c:'||c_custkey AS s, 'n:'||c_nationkey AS o FROM customer
+  UNION ALL SELECT 'suppNation', 's:'||s_suppkey, 'n:'||s_nationkey FROM supplier
+  UNION ALL SELECT 'inRegion', 'n:'||n_nationkey, 'r:'||n_regionkey FROM nation
+  UNION ALL SELECT 'custRegion', 'c:'||c_custkey, 'r:'||n_regionkey
+    FROM customer JOIN nation ON c_nationkey = n_nationkey WHERE c_custkey % 2 = 0
+  UNION ALL SELECT 'suppRegion', 's:'||s_suppkey, 'r:'||n_regionkey
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey WHERE s_suppkey % 4 = 0
+  UNION ALL SELECT 'likesNation', 'c:'||c_custkey, 'n:'||c_nationkey FROM customer WHERE c_custkey % 3 = 0
+),
+pairs AS (SELECT DISTINCT p, s, o FROM t),
+cnt AS (SELECT p, COUNT(*) AS body_n FROM pairs GROUP BY p),
+keep AS (SELECT p, body_n FROM cnt WHERE body_n >= 2),
+pk AS (SELECT pairs.* FROM pairs JOIN keep USING (p)),
+same AS (
+  SELECT 'same' AS kind, a.p AS body_p, '' AS body_q, b.p AS head_p,
+         k.body_n, CAST(COUNT(*) AS BIGINT) AS support,
+         CAST(COUNT(*) AS BIGINT) * 1000000 // k.body_n AS conf_ppm
+  FROM pk a JOIN pairs b ON a.s = b.s AND a.o = b.o AND a.p <> b.p
+  JOIN keep k ON k.p = a.p
+  GROUP BY a.p, b.p, k.body_n
+),
+body AS (
+  SELECT DISTINCT a.p AS body_p, b.p AS body_q, a.s AS x, b.o AS y
+  FROM pk a JOIN pk b ON a.o = b.s
+),
+bn AS (SELECT body_p, body_q, CAST(COUNT(*) AS BIGINT) AS body_n FROM body GROUP BY 1, 2),
+sup AS (
+  SELECT body_p, body_q, h.p AS head_p, CAST(COUNT(*) AS BIGINT) AS support
+  FROM body JOIN pairs h ON body.x = h.s AND body.y = h.o
+  GROUP BY 1, 2, 3
+),
+path AS (
+  SELECT 'path' AS kind, sup.body_p, sup.body_q, head_p, bn.body_n, support,
+         support * 1000000 // bn.body_n AS conf_ppm
+  FROM sup JOIN bn USING (body_p, body_q)
+)
+SELECT * FROM same WHERE conf_ppm >= 50000
+UNION ALL SELECT * FROM path WHERE conf_ppm >= 50000
+"""
+
+QUERIES["rule_mine"] = (q_rule_mine, SQL_RULE_MINE)
+
+
+def q_cc_constrained(spark, sf):
+    """Cannot-link constrained canonicalization: per-nation custkey
+    chains (segments MIXED within a chain), strong id = mktsegment on
+    4/5 of the nodes (custkey % 5 = 0 carries none). Edges joining two
+    different non-null segments are cut; the surviving islands are the
+    components. Ground truth is a gaps-and-islands window computation."""
+    from pyspark.sql.window import Window
+
+    from .operators.kgmine import constrained_components
+
+    cu = spark.read.parquet(f"{sf}/customer.parquet")
+    r = cu.select(
+        F.concat(F.lit("urn:cu:"), "c_custkey").alias("node"),
+        "c_nationkey",
+        F.when(F.col("c_custkey") % 5 != 0, F.col("c_mktsegment")).alias("sid"),
+        F.row_number().over(Window.partitionBy("c_nationkey").orderBy("c_custkey")).alias("rn"),
+    )
+    nxt = r.select("c_nationkey", (F.col("rn") - 1).alias("rn"), F.col("node").alias("dst"))
+    edges = r.join(nxt, ["c_nationkey", "rn"]).select(F.col("node").alias("src"), "dst")
+    ids = r.select("node", "sid")
+    mapping = constrained_components(edges, ids)
+    return mapping.groupBy("component").agg(F.count(F.lit(1)).cast("long").alias("csize")).select(
+        F.col("component").alias("canon"), "csize"
+    )
+
+
+SQL_CC_CONSTRAINED = """
+WITH r AS (
+  SELECT c_custkey AS k, c_nationkey AS n,
+         CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_mktsegment END AS sid,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS rn
+  FROM customer
+),
+f AS (
+  SELECT k, n, rn, sid,
+         CASE WHEN LAG(sid) OVER w IS NOT NULL AND sid IS NOT NULL
+               AND LAG(sid) OVER w <> sid THEN 1 ELSE 0 END AS cut
+  FROM r WINDOW w AS (PARTITION BY n ORDER BY rn)
+),
+isl AS (SELECT k, n, SUM(cut) OVER (PARTITION BY n ORDER BY rn) AS island FROM f)
+SELECT MIN('urn:cu:'||k) AS canon, CAST(COUNT(*) AS BIGINT) AS csize
+FROM isl GROUP BY n, island HAVING COUNT(*) >= 2
+"""
+
+QUERIES["cc_constrained"] = (q_cc_constrained, SQL_CC_CONSTRAINED)
+
+
+def q_disambiguate(spark, sf):
+    """Context disambiguation over the embeddings table: candidates are
+    vec_id < 50 (alias = 'ent'||id%10, 5 per alias, priors descending in
+    id), mentions are vec_id ≥ 50 with their own vector as context;
+    winner = argmax prior×⟨ctx,emb⟩, reported as a rounded integer
+    score (the raw double is bit-identical cross-engine; rounding makes
+    it hash-stable)."""
+    from .operators.kgmine import disambiguate_mentions
+
+    e = _embs(spark, sf)
+    cands = e.filter(F.col("vec_id") < 50).select(
+        F.concat(F.lit("ent"), (F.col("vec_id") % 10).cast("string")).alias("alias"),
+        F.concat(F.lit("urn:e:"), "vec_id").alias("uri"),
+        (F.lit(1000000) - F.col("vec_id") * 1000).cast("long").alias("prior_ppm"),
+        F.col("embedding").alias("emb"),
+    )
+    mens = e.filter(F.col("vec_id") >= 50).select(
+        F.col("vec_id").alias("mention_id"),
+        F.concat(F.lit("ent"), (F.col("vec_id") % 10).cast("string")).alias("alias"),
+        F.col("embedding").alias("context"),
+    )
+    out = disambiguate_mentions(mens, cands)
+    return out.select("mention_id", "uri", F.round("score").cast("long").alias("score_x"))
+
+
+SQL_DISAMBIGUATE = """
+WITH cand AS (
+  SELECT 'ent'||(vec_id % 10) AS alias, 'urn:e:'||vec_id AS uri,
+         CAST(1000000 - vec_id * 1000 AS BIGINT) AS prior,
+         CAST(embedding AS DOUBLE[]) AS emb
+  FROM embeddings WHERE vec_id < 50
+),
+men AS (
+  SELECT vec_id AS mention_id, 'ent'||(vec_id % 10) AS alias,
+         CAST(embedding AS DOUBLE[]) AS ctx
+  FROM embeddings WHERE vec_id >= 50
+),
+scored AS (
+  SELECT mention_id, uri, prior * list_dot_product(ctx, emb) AS score
+  FROM men JOIN cand USING (alias)
+)
+SELECT mention_id, uri, CAST(round(score) AS BIGINT) AS score_x FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY mention_id ORDER BY score DESC, uri ASC) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
+
+QUERIES["disambiguate"] = (q_disambiguate, SQL_DISAMBIGUATE)
+
+
+def q_fuse_numeric(spark, sf):
+    """Hampel-filter numeric fusion: per-order quantity claims from each
+    supplier on the order, median/MAD outlier rejection (k=3) in doubled
+    integer space, survivor mean ×100 via integer div."""
+    from .operators.fusion import fuse_numeric
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").filter(F.col("l_orderkey") % 7 == 0)
+    claims = li.select(
+        F.concat(F.lit("o:"), "l_orderkey").alias("s"),
+        F.lit("qty").alias("p"),
+        F.concat(F.lit("s:"), "l_suppkey").alias("src"),
+        F.col("l_quantity").cast("long").alias("val"),
+    )
+    return fuse_numeric(claims, k_num=3)
+
+
+SQL_FUSE_NUMERIC = """
+WITH c AS (
+  SELECT DISTINCT 'o:'||l_orderkey AS s, 'qty' AS p, 's:'||l_suppkey AS src,
+         CAST(l_quantity AS BIGINT) AS val
+  FROM lineitem WHERE l_orderkey % 7 = 0
+),
+med AS (SELECT s, p, CAST(2 * median(val) AS BIGINT) AS m2 FROM c GROUP BY s, p),
+d AS (SELECT c.*, ABS(val * 2 - m2) AS d FROM c JOIN med USING (s, p)),
+mad AS (SELECT s, p, CAST(2 * median(d) AS BIGINT) AS d2 FROM d GROUP BY s, p),
+k AS (SELECT d.*, CASE WHEN d.d * 2 <= 3 * mad.d2 THEN 1 ELSE 0 END AS keep
+      FROM d JOIN mad USING (s, p))
+SELECT s, p, CAST(COUNT(*) AS BIGINT) AS n_claims, CAST(SUM(keep) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN keep = 1 THEN val * 100 ELSE 0 END) // SUM(keep) AS BIGINT) AS fused_x100
+FROM k GROUP BY s, p
+"""
+
+QUERIES["fuse_numeric"] = (q_fuse_numeric, SQL_FUSE_NUMERIC)
+
+
+def q_spam_mass(spark, sf):
+    """Spam mass over the extracted host link graph: trusted seeds are
+    the five hub hosts (h0–h4.example); every host's global PageRank
+    share is compared with its trust-personalized share. Hubs score
+    spam_ppm = 0-ish; hosts reachable only through the long tail
+    approach 1e6. Both PR runs are the integer-exact 3-iteration kernel,
+    so the whole report is bit-comparable to the unrolled SQL mirror."""
+    from .operators.weblinks import extract_links, host_link_graph, spam_mass
+
+    hg = host_link_graph(extract_links(_link_pages(spark, sf)))
+    trusted = spark.range(5).select(F.concat(F.lit("h"), "id", F.lit(".example")).alias("host"))
+    return spam_mass(hg, trusted, iters=3)
+
+
+def _spam_mass_sql(iters: int = 3) -> str:
+    head = """
+WITH links AS (
+  SELECT 'h' || (doc_id % 37) AS sh, 'h' || (doc_id % 5) AS dh FROM documents
+  UNION ALL
+  SELECT 'h' || (doc_id % 37), 'h' || ((doc_id * 11 + 5) % 37) FROM documents
+),
+edges AS (
+  SELECT DISTINCT sh || '.example' AS src, dh || '.example' AS dst FROM links WHERE sh <> dh
+),
+nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+deg AS (SELECT src, COUNT(*) AS odeg FROM edges GROUP BY src),
+seeds AS (SELECT 'h' || i || '.example' AS node FROM range(5) t(i)),
+spine AS (SELECT n.node, CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS is_seed
+          FROM nodes n LEFT JOIN seeds s USING (node)),
+p0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+t0 AS (SELECT node, CAST(is_seed * 1000000 AS BIGINT) AS rank FROM spine)"""
+    parts = [head]
+    for i in range(1, iters + 1):
+        for src, dst in [("p", "p"), ("t", "t")]:
+            base = "150000" if src == "p" else "sp.is_seed * 150000"
+            parts.append(f""",
+{src}c{i} AS (SELECT e.dst AS node, SUM(r.rank // d.odeg) AS s
+        FROM edges e JOIN {src}{i-1} r ON e.src = r.node JOIN deg d ON d.src = e.src GROUP BY e.dst),
+{dst}{i} AS (SELECT sp.node, CAST({base} + 85 * COALESCE(c.s, 0) // 100 AS BIGINT) AS rank
+        FROM spine sp LEFT JOIN {src}c{i} c USING (node))""")
+    parts.append(f""",
+prs AS (SELECT node, rank, rank * 1000000000 // (SELECT SUM(rank) FROM p{iters}) AS rank_ppb FROM p{iters}),
+trs AS (SELECT node, rank AS trust, rank * 1000000000 // (SELECT SUM(rank) FROM t{iters}) AS trust_ppb FROM t{iters})
+SELECT prs.node AS host, prs.rank, trs.trust,
+       CAST(1000000 - LEAST(CAST(1000000 AS BIGINT),
+            CASE WHEN rank_ppb = 0 THEN CAST(1000000 AS BIGINT)
+                 ELSE trust_ppb * 1000000 // rank_ppb END) AS BIGINT) AS spam_ppm
+FROM prs JOIN trs USING (node)""")
+    return "".join(parts)
+
+
+QUERIES["spam_mass"] = (q_spam_mass, _spam_mass_sql(3))

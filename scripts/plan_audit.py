@@ -1043,6 +1043,43 @@ def main() -> None:
             ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
             ("global top-k as TakeOrdered", r"TakeOrderedAndProject"),
         ]),
+        ("rule_mine", [
+            # AMIE body joins: every join is an equi hash join (the pair
+            # key / the z entity); min_body prune broadcast
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("min_body prune is broadcast", r"BroadcastHashJoin"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
+        ("cc_constrained", [
+            # two id hash joins in front of the audited CC kernel
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
+        ("disambiguate", [
+            # broadcast candidate dictionary; argmax is ONE map-side-
+            # combinable aggregate (no window shuffle)
+            ("candidate table broadcast", r"BroadcastHashJoin"),
+            ("no window (argmax via min_by agg)", r"^\(\d+\) Window", "absent"),
+            ("no sort-merge join", r"SortMergeJoin", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
+        ("fuse_numeric", [
+            # fact-key aggregations + key hash joins; filter pushed to scan
+            ("orderkey filter pushed to scan", r"PushedFilters: \[.*l_orderkey"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
+        ("spam_mass", [
+            # two PR runs: per-iter equi hash joins + 1-row total broadcasts
+            # (the two crossJoins ARE single-row broadcasts — the intended
+            # plan; assert nothing bigger leaks into a BNLJ than those)
+            ("1-row total broadcasts only", r"^\(\d+\) BroadcastNestedLoopJoin", "count", 2),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
     ]
 
     lines = ["# PLANS — physical-plan audit (scripts/plan_audit.py)", "",
