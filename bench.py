@@ -251,6 +251,11 @@ def main() -> None:
         "disambiguate",
         "fuse_numeric",
         "spam_mass",
+        "cc_incremental",
+        "er_metrics",
+        "shape_infer",
+        "interval_allen",
+        "interval_coalesce",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

@@ -409,3 +409,58 @@ def snm_pairs(
         )
         .select("id_a", "id_b", (F.col("pb") - F.col("pa")).alias("dist"))
     )
+
+
+def er_pair_metrics(pred: DataFrame, gold: DataFrame) -> DataFrame:
+    """Pairwise entity-resolution metrics: `pred(node, cluster)` the
+    pipeline's clustering (e.g. constrained/plain CC output), `gold
+    (node, cluster)` the truth — one row out: (tp_pairs, pred_pairs,
+    gold_pairs, precision_ppm, recall_ppm, f1_ppm), the standard
+    pairwise P/R/F1 (Menestrina et al., "Evaluating Entity Resolution
+    Results", VLDB 2010). Evaluated over the node intersection (an
+    inner join on node — nodes scored by only one side carry no pair
+    evidence).
+
+    The pair counts NEVER materialize pairs: tp = Σ C(n_ij, 2) over the
+    (pred, gold) contingency cells, pred/gold pairs likewise over the
+    marginals — three count aggregations over |nodes| rows, each with
+    map-side combine, so the metric costs the same at 10^12 nodes as
+    the clustering itself cost. f1_ppm uses 2tp/(pred+gold) (identity
+    of 2PR/(P+R)) to stay in exact integer ppm."""
+    j = pred.select("node", F.col("cluster").alias("pc")).join(
+        gold.select("node", F.col("cluster").alias("gc")), "node"
+    )
+    cells = j.groupBy("pc", "gc").agg(F.count(F.lit(1)).alias("n"))
+    tp = cells.agg(F.sum(F.expr("n * (n - 1) div 2")).alias("tp_pairs"))
+    pp = (
+        j.groupBy("pc").agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.expr("n * (n - 1) div 2")).alias("pred_pairs"))
+    )
+    gp = (
+        j.groupBy("gc").agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.expr("n * (n - 1) div 2")).alias("gold_pairs"))
+    )
+    return (
+        tp.crossJoin(pp)
+        .crossJoin(gp)
+        .select(
+            F.coalesce("tp_pairs", F.lit(0)).alias("tp_pairs"),
+            F.coalesce("pred_pairs", F.lit(0)).alias("pred_pairs"),
+            F.coalesce("gold_pairs", F.lit(0)).alias("gold_pairs"),
+        )
+        .select(
+            "tp_pairs",
+            "pred_pairs",
+            "gold_pairs",
+            F.expr(
+                "CASE WHEN pred_pairs = 0 THEN 0 ELSE tp_pairs * 1000000 div pred_pairs END"
+            ).alias("precision_ppm"),
+            F.expr(
+                "CASE WHEN gold_pairs = 0 THEN 0 ELSE tp_pairs * 1000000 div gold_pairs END"
+            ).alias("recall_ppm"),
+            F.expr(
+                "CASE WHEN pred_pairs + gold_pairs = 0 THEN 0 "
+                "ELSE 2 * tp_pairs * 1000000 div (pred_pairs + gold_pairs) END"
+            ).alias("f1_ppm"),
+        )
+    )

@@ -176,3 +176,110 @@ def as_of_snapshot(intervals: DataFrame, ts_us: int) -> DataFrame:
         (F.col("valid_from_us") <= t)
         & (F.col("valid_to_us").isNull() | (F.col("valid_to_us") > t))
     )
+
+
+def interval_coalesce(
+    intervals: DataFrame,
+    keys: Sequence[str],
+    from_col: str = "from_us",
+    to_col: str = "to_us",
+) -> DataFrame:
+    """Coalesce overlapping-or-adjacent half-open validity intervals per
+    key → (keys…, from_us, to_us, n_merged). The temporal-DB PACK
+    operator (Date/Darwen/Lorentzos), and the KG-construction use case
+    is observation collapsing: every crawl that re-confirms a triple
+    emits another [seen_at, seen_at+ttl) sliver, and the published KG
+    wants the maximal validity ranges instead of millions of slivers
+    per stable fact.
+
+    Gaps-and-islands, ONE key-partitioned window shuffle: running
+    maximum of `to` over preceding rows (ordered by from, to) marks a
+    new island exactly when `from` exceeds every earlier `to`
+    (strictly — touching intervals merge under half-open semantics),
+    then one groupBy collapses each island. Per-key group size =
+    observations per fact — crawl-frequency-bounded, no skew."""
+    keys = list(keys)
+    w = Window.partitionBy(*keys).orderBy(F.col(from_col).asc(), F.col(to_col).asc())
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    flagged = intervals.withColumn(
+        "__new",
+        # first row per key: the prev-max is NULL, the comparison is NULL,
+        # otherwise() applies → island counter starts at 0
+        F.when(F.col(from_col) > F.max(to_col).over(wprev), 1).otherwise(0),
+    ).withColumn("__island", F.sum("__new").over(w))
+    return (
+        flagged.groupBy(*keys, "__island")
+        .agg(
+            F.min(from_col).alias("from_us"),
+            F.max(to_col).alias("to_us"),
+            F.count(F.lit(1)).cast("long").alias("n_merged"),
+        )
+        .drop("__island")
+    )
+
+
+#: Allen relation names, LEFT interval relative to RIGHT; disjoint pairs
+#: (before / after) are NOT emitted — see interval_allen
+_ALLEN = """CASE
+  WHEN l_from = r_from AND l_to = r_to THEN 'equals'
+  WHEN l_to = r_from THEN 'meets'
+  WHEN r_to = l_from THEN 'met_by'
+  WHEN l_from = r_from AND l_to < r_to THEN 'starts'
+  WHEN l_from = r_from AND l_to > r_to THEN 'started_by'
+  WHEN l_to = r_to AND l_from > r_from THEN 'finishes'
+  WHEN l_to = r_to AND l_from < r_from THEN 'finished_by'
+  WHEN l_from > r_from AND l_to < r_to THEN 'during'
+  WHEN l_from < r_from AND l_to > r_to THEN 'contains'
+  WHEN l_from < r_from THEN 'overlaps'
+  ELSE 'overlapped_by' END"""
+
+
+def interval_allen(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    bin_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Allen's interval algebra join: pairs of key-sharing intervals
+    that touch or intersect, labeled with the Allen relation of LEFT
+    relative to RIGHT → (on…, l_id, r_id, l_from, l_to, r_from, r_to,
+    relation). Expects `(…on, id, from_us, to_us)` on both sides with
+    from_us < to_us. The two DISJOINT relations (before/after) are
+    deliberately not emitted: at corpus scale almost every pair is
+    disjoint, and emitting them is the all-pairs blowup every other
+    operator here avoids; callers needing them have the complement by
+    construction.
+
+    Scale shape: each interval explodes to its covering `bin_us` grid
+    cells (span/bin_us + 1 rows — crawl-validity spans are
+    minutes-to-days, so single digits), the join is a hash equi-join on
+    (keys, bin), duplicate hits from multi-bin overlaps collapse with
+    one dropDuplicates on the pair id, and the touch filter + CASE
+    classification are scan-local. Same binned-equi-join discipline as
+    range_join above."""
+    on = list(on)
+
+    def _binned(df: DataFrame, side: str) -> DataFrame:
+        return df.select(
+            *on,
+            F.col("id").alias(f"{side}_id"),
+            F.col("from_us").alias(f"{side}_from"),
+            F.col("to_us").alias(f"{side}_to"),
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("from_us") / bin_us),
+                    F.floor(F.col("to_us") / bin_us),
+                )
+            ).alias("__bin"),
+        )
+
+    pairs = (
+        _binned(left, "l")
+        .join(_binned(right, "r"), [*on, "__bin"])
+        .dropDuplicates([*on, "l_id", "r_id"])
+        .filter((F.col("l_from") <= F.col("r_to")) & (F.col("r_from") <= F.col("l_to")))
+    )
+    return pairs.select(
+        *on, "l_id", "r_id", "l_from", "l_to", "r_from", "r_to",
+        F.expr(_ALLEN).alias("relation"),
+    )

@@ -8997,3 +8997,244 @@ FROM prs JOIN trs USING (node)""")
 
 
 QUERIES["spam_mass"] = (q_spam_mass, _spam_mass_sql(3))
+
+
+# ---------------------------------------------------------------------------
+# incremental canonicalization, ER evaluation, shape induction, temporal
+# interval algebra (operators/cc.py, linking.py, shacl.py, temporal.py)
+# ---------------------------------------------------------------------------
+
+
+def q_cc_incremental(spark, sf):
+    """Incremental CC: batch 1 = the (nation, segment) chain components;
+    the new batch links every segment chain's min custkey to the
+    nation-wide min custkey, but ONLY for even nations — so even
+    nations collapse to one nation-wide component while odd nations
+    keep their (nation, segment) clusters untouched (and provably skip
+    the fixpoint: only touched components re-enter it). Ground truth is
+    closed-form from the construction."""
+    from pyspark.sql.window import Window
+
+    from .operators.cc import connected_components, incremental_components
+
+    mapping = connected_components(_cc_edges(spark, sf))
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    segmin = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.min("c_custkey").alias("sk")
+    )
+    natmin = cust.groupBy("c_nationkey").agg(F.min("c_custkey").alias("nk"))
+    new_edges = (
+        segmin.join(natmin, "c_nationkey")
+        .filter(F.col("c_nationkey") % 2 == 0)
+        .select(
+            F.concat(F.lit("0|urn:cu:"), "sk").alias("src"),
+            F.concat(F.lit("0|urn:cu:"), "nk").alias("dst"),
+        )
+    )
+    out = incremental_components(mapping, new_edges)
+    return (
+        out.groupBy("component")
+        .agg(F.count(F.lit(1)).cast("long").alias("csize"))
+        .select(F.regexp_replace("component", r"^0\|", "").alias("canon"), "csize")
+    )
+
+
+SQL_CC_INCREMENTAL = """
+WITH odd AS (
+  SELECT MIN('urn:cu:'||c_custkey) AS canon, CAST(COUNT(*) AS BIGINT) AS csize
+  FROM customer WHERE c_nationkey % 2 = 1
+  GROUP BY c_nationkey, c_mktsegment HAVING COUNT(*) >= 2
+),
+even AS (
+  SELECT MIN('urn:cu:'||c_custkey) AS canon, CAST(COUNT(*) AS BIGINT) AS csize
+  FROM customer WHERE c_nationkey % 2 = 0
+  GROUP BY c_nationkey HAVING COUNT(*) >= 2
+)
+SELECT * FROM odd UNION ALL SELECT * FROM even
+"""
+
+QUERIES["cc_incremental"] = (q_cc_incremental, SQL_CC_INCREMENTAL)
+
+
+def q_er_metrics(spark, sf):
+    """Pairwise ER evaluation: predicted clusters = gold nation clusters
+    with every 50th customer exiled to a per-segment error cluster;
+    pairwise P/R/F1 in exact ppm against the nation gold, computed from
+    contingency-cell combinatorics (no pair materialization)."""
+    from .operators.linking import er_pair_metrics
+
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    gold = cust.select(
+        F.concat(F.lit("urn:cu:"), "c_custkey").alias("node"),
+        F.concat(F.lit("n"), "c_nationkey").alias("cluster"),
+    )
+    pred = cust.select(
+        F.concat(F.lit("urn:cu:"), "c_custkey").alias("node"),
+        F.when(
+            F.col("c_custkey") % 50 == 0, F.concat(F.lit("x"), "c_mktsegment")
+        ).otherwise(F.concat(F.lit("n"), "c_nationkey")).alias("cluster"),
+    )
+    return er_pair_metrics(pred, gold)
+
+
+SQL_ER_METRICS = """
+WITH j AS (
+  SELECT 'urn:cu:'||c_custkey AS node,
+         CASE WHEN c_custkey % 50 = 0 THEN 'x'||c_mktsegment ELSE 'n'||c_nationkey END AS pc,
+         'n'||c_nationkey AS gc
+  FROM customer
+),
+tp AS (SELECT COALESCE(SUM(n*(n-1)//2), 0) AS tp_pairs
+       FROM (SELECT COUNT(*) AS n FROM j GROUP BY pc, gc)),
+pp AS (SELECT COALESCE(SUM(n*(n-1)//2), 0) AS pred_pairs
+       FROM (SELECT COUNT(*) AS n FROM j GROUP BY pc)),
+gp AS (SELECT COALESCE(SUM(n*(n-1)//2), 0) AS gold_pairs
+       FROM (SELECT COUNT(*) AS n FROM j GROUP BY gc))
+SELECT CAST(tp_pairs AS BIGINT) AS tp_pairs, CAST(pred_pairs AS BIGINT) AS pred_pairs,
+       CAST(gold_pairs AS BIGINT) AS gold_pairs,
+       CAST(CASE WHEN pred_pairs = 0 THEN 0 ELSE tp_pairs * 1000000 // pred_pairs END AS BIGINT) AS precision_ppm,
+       CAST(CASE WHEN gold_pairs = 0 THEN 0 ELSE tp_pairs * 1000000 // gold_pairs END AS BIGINT) AS recall_ppm,
+       CAST(CASE WHEN pred_pairs + gold_pairs = 0 THEN 0
+                 ELSE 2 * tp_pairs * 1000000 // (pred_pairs + gold_pairs) END AS BIGINT) AS f1_ppm
+FROM tp, pp, gp
+"""
+
+QUERIES["er_metrics"] = (q_er_metrics, SQL_ER_METRICS)
+
+
+def q_shape_infer(spark, sf):
+    """Shape induction over the relational triple view: per (class,
+    predicate) the observed cardinality envelope, node kind, datatype
+    uniformity, and optionality — the mined sh:PropertyShape table."""
+    from .operators.shacl import infer_shapes
+
+    return infer_shapes(triples_view(spark, sf))
+
+
+SQL_SHAPE_INFER = W + f""",
+types AS (
+  SELECT DISTINCT s_lex AS ent, o_lex AS cls FROM triples WHERE pred = '{RDF_TYPE}'
+),
+n_inst AS (SELECT cls, COUNT(*) AS n_instances FROM types GROUP BY cls),
+per_subj AS (
+  SELECT t.cls, v.pred AS path, v.s_lex, COUNT(*) AS cnt,
+         MIN(v.o_kind) AS kmin, MAX(v.o_kind) AS kmax,
+         MIN(COALESCE(v.o_dtype, '')) AS dmin, MAX(COALESCE(v.o_dtype, '')) AS dmax
+  FROM triples v JOIN types t ON v.s_lex = t.ent
+  WHERE v.pred <> '{RDF_TYPE}'
+  GROUP BY t.cls, v.pred, v.s_lex
+),
+prof AS (
+  SELECT cls, path, COUNT(*) AS n_with, MIN(cnt) AS min_count, MAX(cnt) AS max_count,
+         MIN(kmin) AS kmin, MAX(kmax) AS kmax, MIN(dmin) AS dmin, MAX(dmax) AS dmax
+  FROM per_subj GROUP BY cls, path
+)
+SELECT cls AS target_class, path,
+       CAST(n_instances AS BIGINT) AS n_instances, CAST(n_with AS BIGINT) AS n_with,
+       CAST(min_count AS BIGINT) AS min_count, CAST(max_count AS BIGINT) AS max_count,
+       CASE WHEN kmin <> kmax THEN '(mixed)' WHEN kmin = 0 THEN 'IRI'
+            WHEN kmin = 1 THEN 'BlankNode' ELSE 'Literal' END AS node_kind,
+       CASE WHEN kmax <> 2 THEN '' WHEN dmin <> dmax THEN '(mixed)' ELSE dmin END AS datatype,
+       CASE WHEN n_with < n_instances THEN 1 ELSE 0 END AS opt
+FROM prof JOIN n_inst USING (cls)
+"""
+
+QUERIES["shape_infer"] = (q_shape_infer, SQL_SHAPE_INFER)
+
+
+def _event_intervals(spark, sf, parity: int, span_s: int):
+    e = spark.read.parquet(f"{sf}/events.parquet").filter(
+        F.col("event_id") % 2 == parity
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    return e.select(
+        "user_id",
+        F.col("event_id").alias("id"),
+        us.alias("from_us"),
+        (us + span_s * 1_000_000).alias("to_us"),
+    )
+
+
+def q_interval_allen(spark, sf):
+    """Allen interval-algebra join over per-user event windows (even
+    event ids × odd event ids, 60s/90s spans): every touching or
+    intersecting pair labeled with the Allen relation, via the binned
+    equi-join (disjoint pairs by design not emitted)."""
+    from .operators.temporal import interval_allen
+
+    left = _event_intervals(spark, sf, 0, 60)
+    right = _event_intervals(spark, sf, 1, 90)
+    out = interval_allen(left, right, ["user_id"], bin_us=600_000_000)
+    return out.select(
+        "user_id", F.col("l_id").cast("long").alias("l_id"),
+        F.col("r_id").cast("long").alias("r_id"), "l_from", "l_to",
+        "r_from", "r_to", "relation",
+    )
+
+
+SQL_INTERVAL_ALLEN = """
+WITH l AS (
+  SELECT user_id, event_id AS l_id, epoch_us(ts) AS l_from,
+         epoch_us(ts) + 60000000 AS l_to
+  FROM events WHERE event_id % 2 = 0
+),
+r AS (
+  SELECT user_id, event_id AS r_id, epoch_us(ts) AS r_from,
+         epoch_us(ts) + 90000000 AS r_to
+  FROM events WHERE event_id % 2 = 1
+)
+SELECT l.user_id, l_id, r_id, l_from, l_to, r_from, r_to,
+  CASE
+    WHEN l_from = r_from AND l_to = r_to THEN 'equals'
+    WHEN l_to = r_from THEN 'meets'
+    WHEN r_to = l_from THEN 'met_by'
+    WHEN l_from = r_from AND l_to < r_to THEN 'starts'
+    WHEN l_from = r_from AND l_to > r_to THEN 'started_by'
+    WHEN l_to = r_to AND l_from > r_from THEN 'finishes'
+    WHEN l_to = r_to AND l_from < r_from THEN 'finished_by'
+    WHEN l_from > r_from AND l_to < r_to THEN 'during'
+    WHEN l_from < r_from AND l_to > r_to THEN 'contains'
+    WHEN l_from < r_from THEN 'overlaps'
+    ELSE 'overlapped_by' END AS relation
+FROM l JOIN r ON l.user_id = r.user_id
+WHERE l_from <= r_to AND r_from <= l_to
+"""
+
+QUERIES["interval_allen"] = (q_interval_allen, SQL_INTERVAL_ALLEN)
+
+
+def q_interval_coalesce(spark, sf):
+    """Temporal PACK: per-user [ts, ts+30min) observation slivers
+    coalesced into maximal validity ranges (overlapping-or-touching
+    merge), with the per-range sliver count."""
+    from .operators.temporal import interval_coalesce
+
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    iv = e.select(
+        "user_id", us.alias("from_us"), (us + 1_800_000_000).alias("to_us")
+    )
+    return interval_coalesce(iv, ["user_id"])
+
+
+SQL_INTERVAL_COALESCE = """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS f, epoch_us(ts) + 1800000000 AS t FROM events
+),
+flagged AS (
+  SELECT user_id, f, t,
+         CASE WHEN f > MAX(t) OVER (PARTITION BY user_id ORDER BY f, t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS newflag
+  FROM iv
+),
+isl AS (
+  SELECT user_id, f, t,
+         SUM(newflag) OVER (PARTITION BY user_id ORDER BY f, t) AS island
+  FROM flagged
+)
+SELECT user_id, MIN(f) AS from_us, MAX(t) AS to_us, CAST(COUNT(*) AS BIGINT) AS n_merged
+FROM isl GROUP BY user_id, island
+"""
+
+QUERIES["interval_coalesce"] = (q_interval_coalesce, SQL_INTERVAL_COALESCE)

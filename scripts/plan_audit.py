@@ -1072,6 +1072,37 @@ def main() -> None:
             ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
             ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
         ]),
+        ("cc_incremental", [
+            # touched-component routing: hash semi/anti joins only in
+            # front of the CC kernel
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
+        ("er_metrics", [
+            # pair counts from contingency cells: the ONLY non-equi joins
+            # are the two 1-row metric crossJoins
+            ("1-row metric crossJoins only", r"^\(\d+\) BroadcastNestedLoopJoin", "count", 2),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
+        ("shape_infer", [
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("class-size table broadcast", r"BroadcastHashJoin"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
+        ("interval_allen", [
+            # binned interval join = hash equi-join, never a range BNLJ
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
+        ("interval_coalesce", [
+            ("no join at all", r"Join", "absent"),
+            ("gaps-and-islands window", r"Window"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
         ("spam_mass", [
             # two PR runs: per-iter equi hash joins + 1-row total broadcasts
             # (the two crossJoins ARE single-row broadcasts — the intended
