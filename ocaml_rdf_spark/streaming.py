@@ -492,3 +492,113 @@ def stream_cms_sketch(
             return out
 
     return StreamingCmsHandle(q)
+
+
+#: sameAs / equivalence edge batch schema (node keys as strings)
+EDGES_SCHEMA = "src string, dst string"
+
+
+def stream_canonicalize(
+    spark: SparkSession,
+    edges_dir: str,
+    state_root: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    max_files_per_batch: int = 16,
+    driver_threshold: int = 2_000_000,
+):
+    """Streaming incremental canonicalization: micro-batches of sameAs /
+    bnode-equivalence edges fold into a persistent (node, component)
+    mapping with `incremental_components` (operators/cc.py) — the
+    north-rule canonicalization stage as a continuously-maintained
+    table instead of a nightly rebuild.
+
+    Per micro-batch: read the latest committed mapping version, quotient
+    the batch through it (CC runs on the BATCH-sized quotient graph, the
+    historical edge set never re-enters), and write the new mapping to
+    `state_root/v{batch_id}` — versioned like pipeline.py stages, so any
+    earlier component table stays time-travelable. Exactly-once without
+    a transactional sink: the fold is IDEMPOTENT (re-merging an already
+    applied edge batch is a union-find no-op) and the version write is
+    mode=overwrite, so a batch replayed after a crash between state
+    write and checkpoint commit converges to the same state. Returns
+    the started query; read the result with `latest_mapping`."""
+    from .operators.cc import connected_components, incremental_components
+
+    edges = (
+        spark.readStream.schema(EDGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_batch)
+        .parquet(edges_dir)
+    )
+
+    def run(batch_df: DataFrame, batch_id: int) -> None:
+        prev = latest_mapping(spark, state_root)
+        if prev is None:
+            new = connected_components(batch_df, driver_threshold=driver_threshold)
+        else:
+            new = incremental_components(
+                prev, batch_df, driver_threshold=driver_threshold
+            )
+        new.write.mode("overwrite").parquet(f"{state_root}/v{batch_id}")
+
+    writer = edges.writeStream.foreachBatch(run).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def latest_mapping(spark: SparkSession, state_root: str) -> Optional[DataFrame]:
+    """Highest committed `v{n}` mapping under `state_root`, or None."""
+    import os
+    import re
+
+    if not os.path.isdir(state_root):
+        return None
+    vs = sorted(
+        int(m.group(1))
+        for d in os.listdir(state_root)
+        if (m := re.fullmatch(r"v(\d+)", d))
+    )
+    return spark.read.parquet(f"{state_root}/v{vs[-1]}") if vs else None
+
+
+def stream_link_entities(
+    spark: SparkSession,
+    input_dir: str,
+    aliases: DataFrame,
+    checkpoint_dir: str,
+    batch_fn,
+    available_now: bool = True,
+    max_files_per_batch: int = 16,
+):
+    """Streaming entity linking: pages stream → per-batch mention
+    detection + broadcast alias join + top-1 (operators/linking.py),
+    `batch_fn(links_df, batch_id)` receives each micro-batch's links.
+
+    The top-1 window is legal here because it partitions by mention id
+    — a mention lives entirely inside the page row that produced it, so
+    micro-batch-local ranking equals global ranking (no cross-batch
+    state, unlike dedup). The alias dictionary is the stream-static
+    broadcast side, same argument as linking.link_exact."""
+    from .operators.linking import detect_mentions, link_exact
+
+    pages = read_pages_stream(spark, input_dir, max_files_per_batch)
+
+    def run(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        from .extract import extract_text_df
+
+        docs = extract_text_df(batch_df).select(
+            F.xxhash64("url").alias("doc_id"), F.col("text")
+        )
+        batch_fn(link_exact(detect_mentions(docs), aliases), batch_id)
+
+    writer = pages.writeStream.foreachBatch(run).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

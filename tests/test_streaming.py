@@ -428,3 +428,92 @@ def test_stream_cms_matches_batch_bitwise(spark, tmp_path):
     # wide grid, tiny vocab: the probes are collision-free here, so exact
     assert est["alpha"] == 60 and est["beta"] == 30
     assert est["w0"] == 10 and est["neverseen"] == 0
+
+
+def test_stream_canonicalize_matches_batch_and_resumes(spark, tmp_path):
+    """Micro-batched sameAs edges folded through incremental_components
+    equal the one-shot batch CC at every step, and a SECOND stream run
+    over the same checkpoint processes ONLY newly arrived files."""
+    from ocaml_rdf_spark.operators.cc import connected_components
+    from ocaml_rdf_spark.streaming import latest_mapping, stream_canonicalize
+
+    edges_dir = str(tmp_path / "edges")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def edges(rows):
+        return spark.createDataFrame(rows, "src string, dst string")
+
+    f1 = [("a", "b"), ("c", "d")]
+    f2 = [("b", "c"), ("x", "y")]
+    edges(f1).coalesce(1).write.mode("append").parquet(edges_dir)
+    edges(f2).coalesce(1).write.mode("append").parquet(edges_dir)
+
+    q = stream_canonicalize(
+        spark, edges_dir, state, ckpt, available_now=True, max_files_per_batch=1
+    )
+    q.awaitTermination(180)
+    got = sorted(map(tuple, latest_mapping(spark, state).select("node", "component").collect()))
+    want = sorted(map(tuple, connected_components(edges(f1 + f2)).collect()))
+    assert got == want
+    versions_after_first = sorted(os.listdir(state))
+    assert len(versions_after_first) >= 2  # one mapping version per micro-batch
+
+    # late batch merges two standing components; resume from the SAME
+    # checkpoint must fold only the new file
+    f3 = [("d", "x"), ("p", "q")]
+    edges(f3).coalesce(1).write.mode("append").parquet(edges_dir)
+    q2 = stream_canonicalize(
+        spark, edges_dir, state, ckpt, available_now=True, max_files_per_batch=1
+    )
+    q2.awaitTermination(180)
+    got2 = sorted(map(tuple, latest_mapping(spark, state).select("node", "component").collect()))
+    want2 = sorted(map(tuple, connected_components(edges(f1 + f2 + f3)).collect()))
+    assert got2 == want2
+    assert len(sorted(os.listdir(state))) == len(versions_after_first) + 1
+
+
+def test_stream_link_entities_matches_batch(spark, tmp_path):
+    """Stream-static entity linking: per-micro-batch link_exact over the
+    broadcast alias dictionary equals the batch run over the same pages."""
+    from ocaml_rdf_spark.extract import extract_text_df
+    from ocaml_rdf_spark.operators.linking import detect_mentions, link_exact
+    from ocaml_rdf_spark.streaming import stream_link_entities
+
+    pages_dir = str(tmp_path / "pages")
+    # DISJOINT url sets: ranking is mention-local, but a url recrawled in a
+    # later micro-batch would link twice (dedup is the batch compaction's
+    # job, per the module docstring)
+    _write_pages(spark, 0, 30, pages_dir + "/p1")
+    all60 = gen_pages_df(spark, 60, parts=1).withColumn(
+        "i", F.regexp_extract("url", r"/page/(\d+)$", 1).cast("long")
+    )
+    all60.filter("i >= 30").drop("i").coalesce(1).write.parquet(pages_dir + "/p2")
+    aliases = spark.createDataFrame(
+        [("data", "urn:e:data", 0.9), ("page", "urn:e:page", 0.8)],
+        "alias string, uri string, prior double",
+    )
+    got_batches = []
+
+    def collect_batch(links, batch_id):
+        got_batches.append(links.toPandas())
+
+    q = stream_link_entities(
+        spark, pages_dir + "/p*", aliases, str(tmp_path / "ckpt"),
+        collect_batch, available_now=True, max_files_per_batch=1,
+    )
+    q.awaitTermination(180)
+    assert len(got_batches) == 2
+
+    all_pages = spark.read.parquet(pages_dir + "/p1", pages_dir + "/p2")
+    docs = extract_text_df(all_pages).select(
+        F.xxhash64("url").alias("doc_id"), F.col("text")
+    )
+    want = link_exact(detect_mentions(docs), aliases).toPandas()
+    import pandas as pd
+
+    got = pd.concat(got_batches, ignore_index=True) if got_batches else want.iloc[:0]
+    key = sorted(want.columns)
+    a = sorted(map(tuple, got[key].astype(str).values.tolist()))
+    b = sorted(map(tuple, want[key].astype(str).values.tolist()))
+    assert a == b and len(b) > 0
