@@ -256,6 +256,9 @@ def main() -> None:
         "shape_infer",
         "interval_allen",
         "interval_coalesce",
+        "louvain",
+        "prop_align",
+        "metablocking",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

@@ -890,3 +890,73 @@ def khop_subgraph(quads: DataFrame, seeds: DataFrame, hops: int = 2) -> DataFram
         )
         nodes = nodes.unionByName(ends).distinct().localCheckpoint(eager=True)
     return out if out is not None else quads.limit(0)
+
+
+def louvain_move(edges: DataFrame, labels: DataFrame | None = None) -> DataFrame:
+    """One SYNCHRONOUS Louvain move sweep (Blondel et al. 2008, phase-1
+    step; parallel variant per Que et al.): every node evaluates moving
+    into each neighboring community and adopts the best — all gains in
+    cleared-denominator exact integers, so the sweep is bit-identical
+    across partitionings and engines (the `modularity` rule: float ΔQ
+    drifts per summation order; 2m-scaled integer ΔQ doesn't).
+
+    For node i and candidate community C (Σtot excluding i):
+        g(C) = 2m·k_{i,C} − Σtot(C∖i)·k_i     ∝ ΔQ(i→C)
+    i adopts argmax g over {neighbor communities} ∪ {its own}, ties by
+    minimum label — so one sweep from singletons is the canonical first
+    Louvain round, and iterating sweep→`modularity` gives the
+    accept/stop loop. `labels=None` starts from singletons.
+
+    Scale: degree table and community-total table are both one
+    map-side-combined agg; the per-(node, neighbor-community) count is
+    the only |E|-sized shuffle; argmax is a min_by struct — no windows.
+    Hub nodes cost their degree in count rows, combined map-side."""
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).dropDuplicates()
+    bi = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).dropDuplicates()
+    nodes = bi.select(F.col("src").alias("node")).dropDuplicates()
+    if labels is None:
+        labels = nodes.select("node", F.col("node").alias("label"))
+    deg = bi.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("k"))
+    m2 = bi.count()  # = 2m over the simple undirected graph
+    lab = labels.select("node", "label")
+    tot = (
+        lab.join(deg, "node")
+        .groupBy("label")
+        .agg(F.sum("k").alias("sigma"))
+    )
+    # k_{i,C}: neighbors of i per neighboring community
+    nbrc = (
+        bi.join(lab.select(F.col("node").alias("dst"), F.col("label").alias("c")), "dst")
+        .groupBy(F.col("src").alias("node"), "c")
+        .agg(F.count(F.lit(1)).alias("kic"))
+    )
+    cur = lab.select("node", F.col("label").alias("c"))
+    cand = (
+        nbrc.unionByName(cur.withColumn("kic", F.lit(0)))
+        .groupBy("node", "c")
+        .agg(F.max("kic").alias("kic"))  # own community keeps its kic if present
+    )
+    own = cur.withColumn("own", F.lit(1))
+    scored = (
+        cand.join(deg, "node")
+        .join(tot.withColumnRenamed("label", "c"), "c")
+        .join(own, ["node", "c"], "left")
+        .select(
+            "node",
+            "c",
+            (
+                F.lit(int(m2)) * F.col("kic")
+                # Σtot excludes i itself when C is i's current community
+                - (F.col("sigma") - F.coalesce(F.col("own"), F.lit(0)) * F.col("k"))
+                * F.col("k")
+            ).cast("long").alias("g"),
+        )
+    )
+    pick = scored.groupBy("node").agg(
+        F.min(F.struct((-F.col("g")).alias("ng"), F.col("c").alias("l")))
+        .getField("l")
+        .alias("new_label")
+    )
+    return lab.join(pick, "node", "left").select(
+        "node", F.coalesce("new_label", "label").alias("label")
+    )

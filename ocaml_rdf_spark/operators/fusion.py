@@ -267,3 +267,62 @@ def class_alignment(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def property_alignment(
+    pairs_a: DataFrame,
+    pairs_b: DataFrame,
+    min_overlap: int = 2,
+    max_value_df: int = 1000,
+    k: int = 3,
+) -> DataFrame:
+    """Instance-based PROPERTY alignment (the predicate-level sibling of
+    `class_alignment`; PARIS / instance-matching family): two vocabularies'
+    (pred, value) assertion sets → per left predicate the top-k right
+    predicates by shared-value Jaccard in exact ppm —
+    (pred_a, pred_b, n_a, n_b, overlap, jaccard_ppm, rank).
+
+    Web-extraction use: schema.org's `author`, microdata's `creator`,
+    and a site template's `byline` predicate all carry the same value
+    set; aligning them is how per-site predicates collapse onto the
+    target ontology.
+
+    Skew guard (the instance-matching stop-value rule): values asserted
+    under more than `max_value_df` (pred, side) combinations — "1",
+    "true", empty-ish strings — are dropped BEFORE the value join, both
+    sides symmetrically; without it one hot literal cross-products the
+    predicate space. Shape: two distinct-pair aggs, one df-capped value
+    equi-join, one (pa, pb) count, broadcast size tables, min_by top-k."""
+    a = pairs_a.select(F.col("pred").alias("pa"), F.col("value").alias("v")).dropDuplicates()
+    b = pairs_b.select(F.col("pred").alias("pb"), F.col("value").alias("v")).dropDuplicates()
+    vdf = (
+        a.select("v").unionByName(b.select("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_value_df)
+        .select("v")
+    )
+    a = a.join(vdf, "v", "left_semi")
+    b = b.join(vdf, "v", "left_semi")
+    na = a.groupBy("pa").agg(F.count(F.lit(1)).alias("n_a"))
+    nb = b.groupBy("pb").agg(F.count(F.lit(1)).alias("n_b"))
+    inter = a.join(b, "v").groupBy("pa", "pb").agg(F.count(F.lit(1)).alias("overlap"))
+    scored = (
+        inter.filter(F.col("overlap") >= int(min_overlap))
+        .join(F.broadcast(na), "pa")
+        .join(F.broadcast(nb), "pb")
+        .withColumn(
+            "jaccard_ppm",
+            F.expr("overlap * 1000000 div (n_a + n_b - overlap)"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("pa").orderBy(
+        F.col("jaccard_ppm").desc(), F.col("overlap").desc(), F.col("pb").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select("pa", "pb", "n_a", "n_b", "overlap", "jaccard_ppm", "rank")
+    )

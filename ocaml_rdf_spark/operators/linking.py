@@ -464,3 +464,51 @@ def er_pair_metrics(pred: DataFrame, gold: DataFrame) -> DataFrame:
             ).alias("f1_ppm"),
         )
     )
+
+
+def metablocking_wep(
+    blocks: DataFrame,
+    max_block_size: int = 64,
+) -> DataFrame:
+    """Meta-blocking with Weighted Edge Pruning (Papadakis et al., TKDE
+    2014): `blocks(block_id, rec_id)` from any blocking scheme (token /
+    q-gram / LSH band) → the pruned comparison graph
+    (rec_a, rec_b, weight), keeping pairs whose common-block count (CBS
+    weight) is STRICTLY above the global mean weight.
+
+    Dirty-ER blocking emits heavy-tailed comparison graphs: most
+    candidate pairs share exactly one block and are noise; pairs
+    sharing many blocks are near-certain matches. WEP drops the noise
+    tier without per-pair similarity computation — the standard
+    pre-verify cut that turns O(Σ|b|²) comparisons into the confident
+    subset.
+
+    Exactness: the mean cut `w > Σw/|edges|` is evaluated as
+    `w · n_edges > Σw` — cross-multiplied integers, no division, no
+    float, bit-identical across engines. Block purging first (drop
+    blocks over `max_block_size` — the oversized-block guard every
+    meta-blocking paper applies) bounds pair generation by
+    |blocks|·max_block_size²."""
+    bl = blocks.select("block_id", "rec_id").dropDuplicates()
+    sizes = bl.groupBy("block_id").agg(F.count(F.lit(1)).alias("n"))
+    kept = bl.join(
+        F.broadcast(sizes.filter(F.col("n") <= int(max_block_size)).select("block_id")),
+        "block_id",
+        "left_semi",
+    )
+    a = kept.select("block_id", F.col("rec_id").alias("rec_a"))
+    b = kept.select("block_id", F.col("rec_id").alias("rec_b"))
+    edges = (
+        a.join(b, "block_id")
+        .filter(F.col("rec_a") < F.col("rec_b"))
+        .groupBy("rec_a", "rec_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+    )
+    totals = edges.agg(
+        F.count(F.lit(1)).alias("n_edges"), F.sum("weight").alias("sum_w")
+    )
+    return (
+        edges.crossJoin(F.broadcast(totals))
+        .filter(F.col("weight") * F.col("n_edges") > F.col("sum_w"))
+        .select("rec_a", "rec_b", "weight")
+    )

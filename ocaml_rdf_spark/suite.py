@@ -9238,3 +9238,194 @@ FROM isl GROUP BY user_id, island
 """
 
 QUERIES["interval_coalesce"] = (q_interval_coalesce, SQL_INTERVAL_COALESCE)
+
+
+# ---------------------------------------------------------------------------
+# community moves, property alignment, meta-blocking (cc.py, fusion.py,
+# linking.py — round-3 batch 4)
+# ---------------------------------------------------------------------------
+
+
+def _strip_edges(spark, sf):
+    """The q_triangles chain-with-chords graph (rank r → r+1, r+2 within
+    each nation): known dense local structure for community moves."""
+    from pyspark.sql.window import Window
+
+    cu = spark.read.parquet(f"{sf}/customer.parquet")
+    r = cu.select(
+        F.col("c_custkey").cast("string").alias("k"),
+        "c_nationkey",
+        F.row_number().over(Window.partitionBy("c_nationkey").orderBy("c_custkey")).alias("rn"),
+    )
+    hop1 = r.select("c_nationkey", (F.col("rn") - 1).alias("rn"), F.col("k").alias("dst"))
+    hop2 = r.select("c_nationkey", (F.col("rn") - 2).alias("rn"), F.col("k").alias("dst"))
+    return (
+        r.join(hop1, ["c_nationkey", "rn"]).select(F.col("k").alias("src"), "dst")
+        .unionByName(r.join(hop2, ["c_nationkey", "rn"]).select(F.col("k").alias("src"), "dst"))
+    )
+
+
+def q_louvain(spark, sf):
+    """One synchronous Louvain sweep from singleton communities over the
+    triangle-strip graph — every node adopts the exact-integer argmax-ΔQ
+    neighbor community; reported as community sizes (nodes whose label
+    captured ≥ 1 neighbor)."""
+    from .operators.cc import louvain_move
+
+    out = louvain_move(_strip_edges(spark, sf))
+    return out.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+
+
+SQL_LOUVAIN = """
+WITH r AS (
+  SELECT CAST(c_custkey AS VARCHAR) AS k, c_nationkey,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS rn
+  FROM customer
+),
+e0 AS (
+  SELECT a.k AS src, b.k AS dst FROM r a JOIN r b
+    ON a.c_nationkey = b.c_nationkey AND b.rn = a.rn + 1
+  UNION ALL
+  SELECT a.k, b.k FROM r a JOIN r b
+    ON a.c_nationkey = b.c_nationkey AND b.rn = a.rn + 2
+),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+bi AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)),
+deg AS (SELECT src AS node, COUNT(*) AS k FROM bi GROUP BY src),
+m2 AS (SELECT COUNT(*) AS m2 FROM bi),
+-- singleton start: label(i) = i, sigma(label) = deg(label)
+nbrc AS (
+  SELECT bi.src AS node, bi.dst AS c, COUNT(*) AS kic FROM bi GROUP BY bi.src, bi.dst
+),
+cand AS (
+  SELECT node, c, MAX(kic) AS kic FROM (
+    SELECT node, c, kic FROM nbrc
+    UNION ALL SELECT node, node AS c, 0 AS kic FROM deg
+  ) GROUP BY node, c
+),
+scored AS (
+  SELECT cand.node, cand.c,
+         m2.m2 * cand.kic
+           - (dc.k - CASE WHEN cand.c = cand.node THEN dn.k ELSE 0 END) * dn.k AS g
+  FROM cand
+  JOIN deg dn ON dn.node = cand.node
+  JOIN deg dc ON dc.node = cand.c
+  CROSS JOIN m2
+),
+pick AS (
+  SELECT node, c AS label FROM (
+    SELECT node, c, ROW_NUMBER() OVER (PARTITION BY node ORDER BY g DESC, c ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members FROM pick GROUP BY label
+"""
+
+QUERIES["louvain"] = (q_louvain, SQL_LOUVAIN)
+
+
+def q_prop_align(spark, sf):
+    """Instance-based property alignment: vocabulary A asserts nation /
+    region / priority value sets, vocabulary B a 15-nation subset, all
+    regions, and priorities — Jaccard top-k must pair each A predicate
+    with its B sibling at the planted overlap ratio."""
+    from .operators.fusion import property_alignment
+
+    na = spark.read.parquet(f"{sf}/nation.parquet")
+    rg = spark.read.parquet(f"{sf}/region.parquet")
+    od = spark.read.parquet(f"{sf}/orders.parquet")
+    a = (
+        na.select(F.lit("a:nation").alias("pred"), F.col("n_name").alias("value"))
+        .unionByName(rg.select(F.lit("a:region").alias("pred"), F.col("r_name").alias("value")))
+        .unionByName(od.select(F.lit("a:priority").alias("pred"), F.col("o_orderpriority").alias("value")))
+    )
+    b = (
+        na.filter(F.col("n_nationkey") < 15)
+        .select(F.lit("b:countryName").alias("pred"), F.col("n_name").alias("value"))
+        .unionByName(rg.select(F.lit("b:zone").alias("pred"), F.col("r_name").alias("value")))
+        .unionByName(od.select(F.lit("b:prio").alias("pred"), F.col("o_orderpriority").alias("value")))
+    )
+    return property_alignment(a, b, min_overlap=2, max_value_df=1000, k=3)
+
+
+SQL_PROP_ALIGN = """
+WITH a AS (
+  SELECT DISTINCT pred AS pa, v FROM (
+    SELECT 'a:nation' AS pred, n_name AS v FROM nation
+    UNION ALL SELECT 'a:region', r_name FROM region
+    UNION ALL SELECT 'a:priority', o_orderpriority FROM orders
+  )
+),
+b AS (
+  SELECT DISTINCT pred AS pb, v FROM (
+    SELECT 'b:countryName' AS pred, n_name AS v FROM nation WHERE n_nationkey < 15
+    UNION ALL SELECT 'b:zone', r_name FROM region
+    UNION ALL SELECT 'b:prio', o_orderpriority FROM orders
+  )
+),
+vdf AS (
+  SELECT v FROM (
+    SELECT v, COUNT(*) AS df FROM (SELECT v FROM a UNION ALL SELECT v FROM b) GROUP BY v
+  ) WHERE df <= 1000
+),
+af AS (SELECT a.* FROM a SEMI JOIN vdf ON a.v = vdf.v),
+bf AS (SELECT b.* FROM b SEMI JOIN vdf ON b.v = vdf.v),
+na AS (SELECT pa, COUNT(*) AS n_a FROM af GROUP BY pa),
+nb AS (SELECT pb, COUNT(*) AS n_b FROM bf GROUP BY pb),
+inter AS (
+  SELECT pa, pb, CAST(COUNT(*) AS BIGINT) AS overlap
+  FROM af JOIN bf USING (v) GROUP BY pa, pb HAVING COUNT(*) >= 2
+),
+scored AS (
+  SELECT pa, pb, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b, overlap,
+         overlap * 1000000 // (n_a + n_b - overlap) AS jaccard_ppm
+  FROM inter JOIN na USING (pa) JOIN nb USING (pb)
+)
+SELECT pa, pb, n_a, n_b, overlap, CAST(jaccard_ppm AS BIGINT) AS jaccard_ppm,
+       CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY pa
+      ORDER BY jaccard_ppm DESC, overlap DESC, pb ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+QUERIES["prop_align"] = (q_prop_align, SQL_PROP_ALIGN)
+
+
+def q_metablocking(spark, sf):
+    """Meta-blocking WEP over token blocking of part names (first 400
+    parts): blocks over `max_block_size` purged, CBS edge weights, keep
+    pairs strictly above the global mean weight — exact via
+    cross-multiplied integers."""
+    from .operators.linking import metablocking_wep
+
+    pt = spark.read.parquet(f"{sf}/part.parquet").filter(F.col("p_partkey") < 400)
+    blocks = pt.select(
+        F.explode(F.split("p_name", " ")).alias("block_id"),
+        F.col("p_partkey").cast("long").alias("rec_id"),
+    )
+    return metablocking_wep(blocks, max_block_size=64)
+
+
+SQL_METABLOCKING = """
+WITH bl AS (
+  SELECT DISTINCT tok AS block_id, p_partkey AS rec_id
+  FROM (SELECT unnest(string_split(p_name, ' ')) AS tok, p_partkey
+        FROM part WHERE p_partkey < 400)
+),
+kept AS (
+  SELECT bl.* FROM bl SEMI JOIN (
+    SELECT block_id FROM bl GROUP BY block_id HAVING COUNT(*) <= 64
+  ) s ON bl.block_id = s.block_id
+),
+edges AS (
+  SELECT a.rec_id AS rec_a, b.rec_id AS rec_b, CAST(COUNT(*) AS BIGINT) AS weight
+  FROM kept a JOIN kept b ON a.block_id = b.block_id AND a.rec_id < b.rec_id
+  GROUP BY 1, 2
+),
+tot AS (SELECT COUNT(*) AS n_edges, SUM(weight) AS sum_w FROM edges)
+SELECT rec_a, rec_b, weight FROM edges, tot WHERE weight * n_edges > sum_w
+"""
+
+QUERIES["metablocking"] = (q_metablocking, SQL_METABLOCKING)

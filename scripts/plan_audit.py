@@ -1103,6 +1103,32 @@ def main() -> None:
             ("gaps-and-islands window", r"Window"),
             ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
         ]),
+        ("louvain", [
+            # gain argmax is a min_by agg, never a window; m2 folds to a
+            # literal (one count job before plan build). The only Window
+            # nodes allowed are the FIXTURE's row_number over c_nationkey
+            # (edge construction) — never one over the node/gain columns.
+            ("argmax window-free (no windowspec over node)", r"windowspecdefinition\(node", "absent"),
+            ("fixture windows only (c_nationkey row_number)", r"windowspecdefinition\(c_nationkey"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
+        ("prop_align", [
+            # stop-value df cap before the value join; size tables broadcast
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("size tables broadcast", r"BroadcastHashJoin"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
+        ("metablocking", [
+            # pair gen is a block-keyed equi self-join; the ONLY BNLJ is the
+            # 1-row totals broadcast for the mean cut
+            ("1-row totals broadcast only", r"^\(\d+\) BroadcastNestedLoopJoin", "count", 1),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("partkey filter pushed to scan", r"PushedFilters: \[.*p_partkey"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
         ("spam_mass", [
             # two PR runs: per-iter equi hash joins + 1-row total broadcasts
             # (the two crossJoins ARE single-row broadcasts — the intended
