@@ -259,6 +259,10 @@ def main() -> None:
         "louvain",
         "prop_align",
         "metablocking",
+        "conductance",
+        "dangling_refs",
+        "fs_weights",
+        "geo_nn",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

@@ -512,3 +512,56 @@ def metablocking_wep(
         .filter(F.col("weight") * F.col("n_edges") > F.col("sum_w"))
         .select("rec_a", "rec_b", "weight")
     )
+
+
+def fs_weights(comparisons: DataFrame, gold: DataFrame) -> DataFrame:
+    """Fellegi–Sunter field-weight estimation (Fellegi & Sunter 1969,
+    the probabilistic record-linkage model behind every serious ER
+    engine): `comparisons(rec_a, rec_b, field, agree)` — one row per
+    candidate pair per comparison field, agree ∈ {0,1} — and
+    `gold(rec_a, rec_b)` the labeled true matches → per field
+    (field, n_match, n_nonmatch, m_ppm, u_ppm, dominance_ppm) where
+        m = P(agree | match),   u = P(agree | non-match)
+    in exact ppm, and dominance_ppm = m_ppm·10⁶ div max(u_ppm, 1) — the
+    integer agreement-odds surrogate for the classic log₂(m/u) score
+    (monotone in it, so thresholding on it induces the same ordering;
+    the float log stays client-side).
+
+    Use: run once over a labeled sample, broadcast the resulting
+    |fields|-row weight table back over the 100 TB candidate stream, and
+    score pairs by summing per-field dominance — the supervised upgrade
+    of `verify_candidates`' single-similarity cut.
+
+    Scale: gold is a labeled sample (≤ millions) — broadcast hash join
+    onto the comparison stream, never a shuffle of it; then ONE
+    field-keyed map-side-combined agg; output is |fields| rows. Pair
+    labeling is left (absent-from-gold = non-match), per the model."""
+    g = gold.select("rec_a", "rec_b").dropDuplicates().withColumn("is_m", F.lit(1))
+    lab = comparisons.select("rec_a", "rec_b", "field", "agree").join(
+        F.broadcast(g), ["rec_a", "rec_b"], "left"
+    )
+    out = (
+        lab.groupBy("field")
+        .agg(
+            F.sum(F.coalesce("is_m", F.lit(0))).cast("long").alias("n_match"),
+            F.sum(F.when(F.col("is_m").isNull(), 1).otherwise(0)).cast("long").alias("n_nonmatch"),
+            F.sum(F.when(F.col("is_m").isNotNull(), F.col("agree")).otherwise(0)).cast("long").alias("agree_m"),
+            F.sum(F.when(F.col("is_m").isNull(), F.col("agree")).otherwise(0)).cast("long").alias("agree_u"),
+        )
+        .withColumn(
+            "m_ppm",
+            F.expr("CASE WHEN n_match = 0 THEN CAST(NULL AS BIGINT) ELSE agree_m * 1000000L div n_match END"),
+        )
+        .withColumn(
+            "u_ppm",
+            F.expr("CASE WHEN n_nonmatch = 0 THEN CAST(NULL AS BIGINT) ELSE agree_u * 1000000L div n_nonmatch END"),
+        )
+        .withColumn(
+            "dominance_ppm",
+            F.expr(
+                "CASE WHEN m_ppm IS NULL OR u_ppm IS NULL THEN CAST(NULL AS BIGINT) "
+                "ELSE m_ppm * 1000000L div greatest(u_ppm, 1L) END"
+            ),
+        )
+    )
+    return out.select("field", "n_match", "n_nonmatch", "m_ppm", "u_ppm", "dominance_ppm")

@@ -466,3 +466,50 @@ def entity_facts_topk(quads: DataFrame, k: int = 5) -> DataFrame:
         .filter(F.col("fact_rank") <= int(k))
         .select("s_lex", "pred", "o_kind", "o_lex", "fact_rank")
     )
+
+
+def dangling_report(quads: DataFrame) -> DataFrame:
+    """Referential-integrity audit: per predicate, how many of its
+    IRI/bnode object terms are DANGLING — used as an object but never
+    described (no triple has them as subject) → (pred, n_refs,
+    n_dangling, dangling_ppm), n_refs counting distinct (pred, object
+    term) pairs so a hot object skews no predicate's ratio.
+
+    The KG-repair staple behind 'fix your red links': extraction emits
+    schema:author → <person-uri> long before the person page is crawled,
+    and the per-predicate dangling ratio is the signal that routes
+    frontier scheduling (crawl what's referenced) and shape repair
+    (predicates whose range is essentially never materialized). Literals
+    are excluded — a literal object is terminal by design.
+
+    Scale: distinct described-subject set is one map-side-combined
+    distinct; the object side is one distinct on (pred, o_kind, o_lex);
+    the never-described probe is a hash LeftAnti on the term key (both
+    sides shuffle-partitioned on it, no broadcast assumption — the
+    subject set is corpus-sized); final agg is pred-keyed,
+    |predicates|-row output. dangling_ppm = n_dangling·10⁶ div n_refs,
+    exact BIGINT (the ppm rule)."""
+    from ..types import KIND_LITERAL
+
+    refs = (
+        quads.filter(F.col("o_kind") != KIND_LITERAL)
+        .select("pred", F.col("o_kind").alias("k"), F.col("o_lex").alias("lex"))
+        .dropDuplicates()
+    )
+    described = quads.select(
+        F.col("s_kind").alias("k"), F.col("s_lex").alias("lex")
+    ).dropDuplicates()
+    dangling = refs.join(described, ["k", "lex"], "left_anti")
+    n_refs = refs.groupBy("pred").agg(F.count(F.lit(1)).alias("n_refs"))
+    n_dang = dangling.groupBy("pred").agg(F.count(F.lit(1)).alias("n_dangling"))
+    return (
+        n_refs.join(n_dang, "pred", "left")
+        .select(
+            "pred",
+            F.col("n_refs").cast("long").alias("n_refs"),
+            F.coalesce("n_dangling", F.lit(0)).cast("long").alias("n_dangling"),
+        )
+        .withColumn(
+            "dangling_ppm", F.expr("n_dangling * 1000000L div n_refs")
+        )
+    )

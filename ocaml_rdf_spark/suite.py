@@ -9429,3 +9429,235 @@ SELECT rec_a, rec_b, weight FROM edges, tot WHERE weight * n_edges > sum_w
 """
 
 QUERIES["metablocking"] = (q_metablocking, SQL_METABLOCKING)
+
+
+# ---------------------------------------------------------------------------
+# conductance, dangling refs, Fellegi-Sunter weights, spatial grid join
+# (cc.py, stats.py, linking.py, spatial.py — round-3 batch 5)
+# ---------------------------------------------------------------------------
+
+
+def q_conductance(spark, sf):
+    """Per-nation conductance over the global customer chain+chord graph
+    (k -> k+1, k -> k+2): intra-nation runs are dense, nation boundaries
+    leak exactly the chain/chord edges that cross them — known small
+    cuts, exact integer phi in ppm."""
+    from .operators.cc import conductance
+
+    cu = spark.read.parquet(f"{sf}/customer.parquet")
+    k = F.col("c_custkey").cast("long")
+    e = cu.select(k.cast("string").alias("src"), (k + 1).cast("string").alias("dst")).unionByName(
+        cu.select(k.cast("string").alias("src"), (k + 2).cast("string").alias("dst"))
+    )
+    labels = cu.select(
+        k.cast("string").alias("node"), F.col("c_nationkey").cast("string").alias("label")
+    )
+    return conductance(e, labels)
+
+
+SQL_CONDUCTANCE = """
+WITH cu AS (
+  SELECT CAST(c_custkey AS BIGINT) AS k, CAST(c_nationkey AS VARCHAR) AS nat
+  FROM customer
+),
+e0 AS (
+  SELECT CAST(k AS VARCHAR) AS src, CAST(k + 1 AS VARCHAR) AS dst FROM cu
+  UNION ALL
+  SELECT CAST(k AS VARCHAR), CAST(k + 2 AS VARCHAR) FROM cu
+),
+e AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e0 WHERE src <> dst
+),
+nodes AS (SELECT CAST(k AS VARCHAR) AS node, nat FROM cu),
+lab AS (
+  SELECT e.a, e.b, la.nat AS la, lb.nat AS lb
+  FROM e JOIN nodes la ON la.node = e.a JOIN nodes lb ON lb.node = e.b
+),
+m2 AS (SELECT 2 * COUNT(*) AS m2 FROM lab),
+ein AS (SELECT la AS label, COUNT(*) AS edges_in FROM lab WHERE la = lb GROUP BY la),
+cut AS (SELECT la, lb FROM lab WHERE la <> lb),
+eout AS (
+  SELECT label, COUNT(*) AS edges_out FROM (
+    SELECT la AS label FROM cut UNION ALL SELECT lb FROM cut
+  ) GROUP BY label
+),
+nn AS (SELECT nat AS label, COUNT(*) AS n_nodes FROM nodes GROUP BY nat),
+base AS (
+  SELECT nn.label, CAST(nn.n_nodes AS BIGINT) AS n_nodes,
+         CAST(COALESCE(ein.edges_in, 0) AS BIGINT) AS edges_in,
+         CAST(COALESCE(eout.edges_out, 0) AS BIGINT) AS edges_out
+  FROM nn LEFT JOIN ein ON ein.label = nn.label
+          LEFT JOIN eout ON eout.label = nn.label
+),
+vol AS (
+  SELECT *, CAST(2 * edges_in + edges_out AS BIGINT) AS volume FROM base
+)
+SELECT label, n_nodes, edges_in, edges_out, volume,
+       CASE WHEN least(volume, m2.m2 - volume) <= 0 THEN CAST(NULL AS BIGINT)
+            ELSE CAST(edges_out * 1000000 // least(volume, m2.m2 - volume) AS BIGINT)
+       END AS conductance_ppm
+FROM vol CROSS JOIN m2
+"""
+
+QUERIES["conductance"] = (q_conductance, SQL_CONDUCTANCE)
+
+
+def q_dangling_refs(spark, sf):
+    """Referential-integrity audit of the quad store: per predicate, the
+    distinct IRI/bnode objects never described as a subject anywhere —
+    the crawl-frontier / shape-repair signal."""
+    from .operators.stats import dangling_report
+    from .relational import triples_view
+
+    return dangling_report(triples_view(spark, sf))
+
+
+SQL_DANGLING_REFS = W + """,
+refs AS (
+  SELECT DISTINCT pred, o_kind AS k, o_lex AS lex FROM triples WHERE o_kind <> 2
+),
+descr AS (SELECT DISTINCT 0 AS k, s_lex AS lex FROM triples),
+dang AS (
+  SELECT pred FROM refs
+  WHERE NOT EXISTS (SELECT 1 FROM descr WHERE descr.k = refs.k AND descr.lex = refs.lex)
+),
+nr AS (SELECT pred, COUNT(*) AS n_refs FROM refs GROUP BY pred),
+nd AS (SELECT pred, COUNT(*) AS n_dangling FROM dang GROUP BY pred)
+SELECT nr.pred, CAST(n_refs AS BIGINT) AS n_refs,
+       CAST(COALESCE(n_dangling, 0) AS BIGINT) AS n_dangling,
+       CAST(COALESCE(n_dangling, 0) * 1000000 // n_refs AS BIGINT) AS dangling_ppm
+FROM nr LEFT JOIN nd ON nd.pred = nr.pred
+"""
+
+QUERIES["dangling_refs"] = (q_dangling_refs, SQL_DANGLING_REFS)
+
+
+def q_fs_weights(spark, sf):
+    """Fellegi-Sunter m/u estimation over adjacent-customer candidate
+    pairs with two comparison fields (segment, nation agreement); gold =
+    segment-agreeing pairs (non-degenerate at every SF, so no NULL ppm
+    columns — the comparator NaN/NULL gotcha) — m_ppm / u_ppm / integer
+    dominance per field, exact ppm."""
+    from .operators.linking import fs_weights
+
+    cu = spark.read.parquet(f"{sf}/customer.parquet").select(
+        F.col("c_custkey").cast("long").alias("k"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    b = cu.select(
+        (F.col("k") - 1).alias("k"), F.col("nat").alias("nat_b"), F.col("seg").alias("seg_b")
+    )
+    pairs = cu.join(b, "k").select(
+        F.col("k").alias("rec_a"), (F.col("k") + 1).alias("rec_b"),
+        "nat", "seg", "nat_b", "seg_b",
+    )
+    comp = pairs.select(
+        "rec_a", "rec_b", F.lit("nation").alias("field"),
+        (F.col("nat") == F.col("nat_b")).cast("int").alias("agree"),
+    ).unionByName(
+        pairs.select(
+            "rec_a", "rec_b", F.lit("segment").alias("field"),
+            (F.col("seg") == F.col("seg_b")).cast("int").alias("agree"),
+        )
+    )
+    gold = pairs.filter(F.col("seg") == F.col("seg_b")).select("rec_a", "rec_b")
+    return fs_weights(comp, gold)
+
+
+SQL_FS_WEIGHTS = """
+WITH cu AS (
+  SELECT CAST(c_custkey AS BIGINT) AS k, c_nationkey AS nat, c_mktsegment AS seg
+  FROM customer
+),
+pairs AS (
+  SELECT a.k AS rec_a, a.k + 1 AS rec_b, a.nat, a.seg,
+         b.nat AS nat_b, b.seg AS seg_b
+  FROM cu a JOIN cu b ON b.k = a.k + 1
+),
+comp AS (
+  SELECT rec_a, rec_b, 'nation' AS field,
+         CASE WHEN nat = nat_b THEN 1 ELSE 0 END AS agree FROM pairs
+  UNION ALL
+  SELECT rec_a, rec_b, 'segment',
+         CASE WHEN seg = seg_b THEN 1 ELSE 0 END FROM pairs
+),
+gold AS (
+  SELECT rec_a, rec_b FROM pairs WHERE seg = seg_b
+),
+lab AS (
+  SELECT c.field, c.agree,
+         CASE WHEN g.rec_a IS NOT NULL THEN 1 ELSE 0 END AS is_m
+  FROM comp c LEFT JOIN gold g ON g.rec_a = c.rec_a AND g.rec_b = c.rec_b
+),
+agg AS (
+  SELECT field,
+         CAST(SUM(is_m) AS BIGINT) AS n_match,
+         CAST(SUM(1 - is_m) AS BIGINT) AS n_nonmatch,
+         CAST(SUM(CASE WHEN is_m = 1 THEN agree ELSE 0 END) AS BIGINT) AS agree_m,
+         CAST(SUM(CASE WHEN is_m = 0 THEN agree ELSE 0 END) AS BIGINT) AS agree_u
+  FROM lab GROUP BY field
+),
+mu AS (
+  SELECT field, n_match, n_nonmatch,
+         CASE WHEN n_match = 0 THEN CAST(NULL AS BIGINT)
+              ELSE CAST(agree_m * 1000000 // n_match AS BIGINT) END AS m_ppm,
+         CASE WHEN n_nonmatch = 0 THEN CAST(NULL AS BIGINT)
+              ELSE CAST(agree_u * 1000000 // n_nonmatch AS BIGINT) END AS u_ppm
+  FROM agg
+)
+SELECT field, n_match, n_nonmatch, m_ppm, u_ppm,
+       CASE WHEN m_ppm IS NULL OR u_ppm IS NULL THEN CAST(NULL AS BIGINT)
+            ELSE CAST(m_ppm * 1000000 // greatest(u_ppm, 1) AS BIGINT) END AS dominance_ppm
+FROM mu
+"""
+
+QUERIES["fs_weights"] = (q_fs_weights, SQL_FS_WEIGHTS)
+
+
+def q_geo_nn(spark, sf):
+    """Nearest gazetteer supplier within 5km for each customer point —
+    grid-bucketed radius join (cell = radius, 3x3 neighborhood probe,
+    exact integer distance) + min_by argmin; coordinates are synthetic
+    signed integers exercising the negative-floor cell path."""
+    from .operators.spatial import grid_nn_join
+
+    def pts(df, key):
+        k = F.col(key).cast("long")
+        return df.select(
+            k.alias("id"),
+            ((k * 48271) % 100000 - 50000).alias("x"),
+            ((k * 69621) % 100000 - 50000).alias("y"),
+        )
+
+    cu = pts(spark.read.parquet(f"{sf}/customer.parquet"), "c_custkey")
+    su = pts(spark.read.parquet(f"{sf}/supplier.parquet"), "s_suppkey")
+    return grid_nn_join(cu, su, radius=5000)
+
+
+SQL_GEO_NN = """
+WITH c AS (
+  SELECT CAST(c_custkey AS BIGINT) AS id,
+         (CAST(c_custkey AS BIGINT) * 48271) % 100000 - 50000 AS x,
+         (CAST(c_custkey AS BIGINT) * 69621) % 100000 - 50000 AS y
+  FROM customer
+),
+s AS (
+  SELECT CAST(s_suppkey AS BIGINT) AS id,
+         (CAST(s_suppkey AS BIGINT) * 48271) % 100000 - 50000 AS x,
+         (CAST(s_suppkey AS BIGINT) * 69621) % 100000 - 50000 AS y
+  FROM supplier
+),
+p AS (
+  SELECT c.id AS id_a, s.id AS id_b,
+         (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) AS dist2
+  FROM c CROSS JOIN s
+  WHERE (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) <= 25000000
+)
+SELECT id_a, id_b, CAST(dist2 AS BIGINT) AS dist2 FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY dist2, id_b) AS rn FROM p
+) WHERE rn = 1
+"""
+
+QUERIES["geo_nn"] = (q_geo_nn, SQL_GEO_NN)

@@ -1129,6 +1129,40 @@ def main() -> None:
             ("partkey filter pushed to scan", r"PushedFilters: \[.*p_partkey"),
             ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
         ]),
+        ("conductance", [
+            # endpoint labeling = equi hash joins; community metrics are
+            # map-side-combined aggs; m2 folds to a literal pre-plan
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("endpoint label hash joins", r"BroadcastHashJoin|SortMergeJoin"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
+        ("dangling_refs", [
+            # never-described probe is a hash LeftAnti on the term key —
+            # never a nested loop; store scan prunes to the melt columns
+            ("anti join is hash", r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin).*LeftAnti"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
+        ("fs_weights", [
+            # labeled-sample gold side broadcast onto the comparison stream;
+            # ONE field-keyed agg after it
+            ("gold side broadcast", r"BroadcastHashJoin.*LeftOuter"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
+        ("geo_nn", [
+            # THE spatial-join guarantee: cell-keyed equi join, never the
+            # cross product a naive radius join degenerates to; argmin is a
+            # min_by agg, not a window
+            ("cell-keyed equi join (hash)", r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("argmin via agg, not window", r"^\(\d+\) Window", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
         ("spam_mass", [
             # two PR runs: per-iter equi hash joins + 1-row total broadcasts
             # (the two crossJoins ARE single-row broadcasts — the intended
