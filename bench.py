@@ -263,6 +263,11 @@ def main() -> None:
         "dangling_refs",
         "fs_weights",
         "geo_nn",
+        "dbscan_venues",
+        "tri_support",
+        "ktruss",
+        "events_hopping",
+        "graph_ecc",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

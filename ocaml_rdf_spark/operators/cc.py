@@ -1029,3 +1029,128 @@ def conductance(edges: DataFrame, labels: DataFrame) -> DataFrame:
             "ELSE edges_out * 1000000L div denom END"
         ),
     ).drop("denom")
+
+
+def edge_support(edges: DataFrame) -> DataFrame:
+    """Per-edge triangle support over undirected (src, dst) string edges →
+    (a, b, support) on the canonical a < b representation: the number of
+    triangles each edge participates in — the edge-strength signal truss
+    decomposition peels on (Cohen, NSA TR'08), and on a host link graph
+    the cheapest 'is this edge part of a dense social structure or a
+    one-off' feature.
+
+    Shape: the `triangle_count` degree-oriented wedge join (out-degree
+    O(√m) after orientation — no hub reducer), then each found triangle
+    (u, v1, v2) credits its THREE edges: the closing edge (v1, v2) is
+    already canonical, the two wedge arms canonicalize with least/
+    greatest; ONE (a, b)-keyed map-side-combined count; left join back so
+    triangle-free edges report 0. Exact integers, bit-identical across
+    engines and partitionings."""
+    e = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("dg"))
+    )
+    ed = (
+        e.join(deg.select(F.col("node").alias("a"), F.col("dg").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("dg").alias("db")), "b")
+    )
+    lower_is_a = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = ed.select(
+        F.when(lower_is_a, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_is_a, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    wedges = (
+        o.select("u", F.col("v").alias("v1"))
+        .join(o.select("u", F.col("v").alias("v2")), "u")
+        .filter(F.col("v1") < F.col("v2"))
+    )
+    tri = wedges.join(e, (F.col("v1") == F.col("a")) & (F.col("v2") == F.col("b"))).select(
+        "u", "v1", "v2"
+    )
+    contrib = (
+        tri.select(F.col("v1").alias("a"), F.col("v2").alias("b"))
+        .unionByName(
+            tri.select(F.least("u", "v1").alias("a"), F.greatest("u", "v1").alias("b"))
+        )
+        .unionByName(
+            tri.select(F.least("u", "v2").alias("a"), F.greatest("u", "v2").alias("b"))
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("s"))
+    )
+    return e.join(contrib, ["a", "b"], "left").select(
+        "a", "b", F.coalesce("s", F.lit(0)).cast("long").alias("support")
+    )
+
+
+def ktruss(edges: DataFrame, k: int, max_rounds: int = 30) -> DataFrame:
+    """k-truss peeling (Cohen'08; the triangle-grounded dense-subgraph
+    notion that, unlike k-core, a star spammer cannot fake): repeatedly
+    drop every edge in fewer than k−2 triangles until stable → surviving
+    canonical edges with their final support (a, b, support). The
+    spam-farm / community-nucleus refinement of `triangle_count`:
+    membership requires witnessed closed triads, not raw degree.
+
+    Scale: each round is one `edge_support` pass (degree-oriented wedge
+    join — skew-bounded) + a filter; the round count is the peeling depth
+    (small in practice — boundary cascades are local), each round's edge
+    set localCheckpoint'd so lineage stays flat, convergence probed with
+    the CC kernel's 1-job (count, hash-sum) signature rather than an
+    exceptAll."""
+    if k < 3:
+        raise ValueError("k-truss requires k >= 3")
+    cur = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+        .localCheckpoint(eager=False)
+    )
+
+    def _sig(df: DataFrame) -> tuple:
+        row = df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    prev = _sig(cur)
+    sup = edge_support(cur.select(F.col("a").alias("src"), F.col("b").alias("dst")))
+    for _ in range(max_rounds):
+        nxt = (
+            sup.filter(F.col("support") >= int(k) - 2)
+            .select("a", "b")
+            .localCheckpoint(eager=False)
+        )
+        sig = _sig(nxt)
+        cur = nxt
+        if sig == prev:
+            break
+        prev = sig
+        sup = edge_support(cur.select(F.col("a").alias("src"), F.col("b").alias("dst")))
+    return sup.filter(F.col("support") >= int(k) - 2).select("a", "b", "support")
+
+
+def eccentricity(edges: DataFrame, seeds: DataFrame, max_hops: int = 8) -> DataFrame:
+    """Per-seed hop eccentricity over directed (src, dst) string edges →
+    (seed, ecc, n_reached): the max BFS distance and reach size within
+    `max_hops` — run over sampled seeds this is the textbook diameter
+    lower-bound / effective-diameter estimator (Magnien-Latapy-Habib),
+    and per crawl frontier it answers 'how deep does this host's link
+    tree go'. Reuses the level-synchronous per-seed BFS
+    (`bfs_distances_per_seed`) — one frontier join + anti-join per hop,
+    seeds sampled by the caller exactly as `harmonic_centrality`
+    documents; the reduction is ONE map-side-combined (max, count) agg."""
+    d = bfs_distances_per_seed(edges, seeds, max_hops)
+    return d.groupBy("seed").agg(
+        F.max("dist").cast("long").alias("ecc"),
+        F.count(F.lit(1)).cast("long").alias("n_reached"),
+    )

@@ -251,3 +251,43 @@ def event_transitions(events: DataFrame) -> DataFrame:
         .groupBy("from_type", "to_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def hopping_counts(
+    events: DataFrame, window_minutes: int = 60, hop_minutes: int = 15
+) -> DataFrame:
+    """Hopping (sliding) window counts + value sums per (window start,
+    event_type) → (bucket, event_type, n_events, sum_value_x100) where
+    `bucket` = window-start epoch in hop units — `tumbling_counts`'
+    overlapping sibling (window W, slide H, W a multiple of H), i.e. the
+    moving-average shape Structured Streaming's F.window(ts, W, H)
+    computes; an event lands in exactly W/H windows.
+
+    Exactness: the epoch-floor bucket rule from `tumbling_counts`
+    (timestamp_ltz cast under the UTC session, floor not truncate — sub-
+    epoch events bucket correctly), value sums in integer cents.
+
+    Scale: F.window with a slide is a deterministic W/H-way row expansion
+    THEN one partial+final hash agg — the expansion happens map-side
+    inside the project, so the shuffle carries (n_buckets × types) partial
+    rows, not W/H × |events|."""
+    if window_minutes % hop_minutes != 0:
+        raise ValueError("window_minutes must be a multiple of hop_minutes")
+    w = F.window(F.col("ts"), f"{window_minutes} minutes", f"{hop_minutes} minutes")
+    return (
+        events.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_x100"),
+        )
+        .select(
+            F.floor(
+                F.col("w.start").cast("timestamp_ltz").cast("long") / (hop_minutes * 60)
+            )
+            .cast("long")
+            .alias("bucket"),
+            "event_type",
+            "n_events",
+            "sum_value_x100",
+        )
+    )

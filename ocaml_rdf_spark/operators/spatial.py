@@ -106,3 +106,65 @@ def grid_nn_join(left: DataFrame, right: DataFrame, radius: int) -> DataFrame:
             F.col("best.dist2").alias("dist2"),
         )
     )
+
+
+def grid_dbscan(points: DataFrame, radius: int, min_pts: int = 3) -> DataFrame:
+    """Deterministic DBSCAN (Ester et al. KDD'96) over integer-coordinate
+    points (id, x, y) → (id, cluster, role) with role ∈ core|border|noise
+    and cluster = the lexicographic-minimum core id of the density
+    component ('' for noise) — the venue-conflation step after
+    `grid_nn_join`: many extracted listings of one physical place collapse
+    to a density cluster, not to whichever single gazetteer row happened
+    to be nearest.
+
+    Semantics: a point is CORE iff ≥ `min_pts` points (itself included,
+    the standard convention) lie within `radius`; clusters are the
+    connected components of the core-core proximity graph; a non-core
+    point within `radius` of ≥1 core is a BORDER point assigned to the
+    MINIMUM cluster label among its core neighbors — classic DBSCAN
+    leaves border assignment scan-order-dependent, this engine refuses
+    order-dependent results (the determinism rule every oracle relies
+    on), so the tie-break is part of the contract.
+
+    Scale: neighbor pairs come from `grid_radius_join` (cell-bucketed,
+    never quadratic); the degree count is one map-side-combined agg; the
+    component step is the package CC kernel (large/small-star, O(log n)
+    rounds); border attachment is one hash join + min agg. Dense blobs
+    cost what their true pair count costs — the DBSCAN lower bound."""
+    pairs = grid_radius_join(points, points, radius)  # includes self-pairs
+    deg = pairs.groupBy("id_a").agg(F.count(F.lit(1)).alias("n_nbrs"))
+    core = deg.filter(F.col("n_nbrs") >= int(min_pts)).select(F.col("id_a").alias("id"))
+    cast = F.col("id").cast("string")
+    core_s = core.select(cast.alias("id"))
+    cc_edges = (
+        pairs.filter(F.col("id_a") != F.col("id_b"))
+        .join(core_s.select(F.col("id").alias("id_a")), "id_a")
+        .join(core_s.select(F.col("id").alias("id_b")), "id_b")
+        .select(F.col("id_a").cast("string").alias("src"), F.col("id_b").cast("string").alias("dst"))
+    )
+    from .cc import connected_components
+
+    comp = connected_components(cc_edges)  # (node, component) — strings
+    # isolated cores (no other core in range) are their own cluster
+    core_lab = (
+        core_s.join(comp, core_s["id"] == comp["node"], "left")
+        .select("id", F.coalesce("component", "id").alias("cluster"))
+    )
+    border = (
+        pairs.filter(F.col("id_a") != F.col("id_b"))
+        .select(F.col("id_a").cast("string").alias("id"), F.col("id_b").cast("string").alias("nbr"))
+        .join(core_lab.select(F.col("id").alias("id")).withColumn("is_core", F.lit(1)), "id", "left")
+        .filter(F.col("is_core").isNull())  # non-core probe points
+        .join(core_lab.select(F.col("id").alias("nbr"), "cluster"), "nbr")
+        .groupBy("id")
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    allp = points.select(F.col("id").cast("string").alias("id"))
+    labeled = core_lab.withColumn("role", F.lit("core")).unionByName(
+        border.withColumn("role", F.lit("border"))
+    )
+    return allp.join(labeled, "id", "left").select(
+        "id",
+        F.coalesce("cluster", F.lit("")).alias("cluster"),
+        F.coalesce("role", F.lit("noise")).alias("role"),
+    )

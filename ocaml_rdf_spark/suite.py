@@ -9661,3 +9661,259 @@ SELECT id_a, id_b, CAST(dist2 AS BIGINT) AS dist2 FROM (
 """
 
 QUERIES["geo_nn"] = (q_geo_nn, SQL_GEO_NN)
+
+
+# ---------------------------------------------------------------------------
+# grid DBSCAN, triangle edge support, k-truss, hopping windows, eccentricity
+# (spatial.py, cc.py, events.py — round-3 batch 6)
+# ---------------------------------------------------------------------------
+
+
+def q_dbscan_venues(spark, sf):
+    """Deterministic DBSCAN over synthetic customer coordinates (the
+    geo_nn point cloud, radius 8000, min_pts 3): density clusters =
+    CC over core-core proximity, border points attach to the minimum
+    core cluster, noise labeled '' — the venue-conflation step."""
+    from .operators.spatial import grid_dbscan
+
+    cu = spark.read.parquet(f"{sf}/customer.parquet")
+    k = F.col("c_custkey").cast("long")
+    pts = cu.select(
+        k.alias("id"),
+        ((k * 48271) % 100000 - 50000).alias("x"),
+        ((k * 69621) % 100000 - 50000).alias("y"),
+    )
+    return grid_dbscan(pts, radius=8000, min_pts=3)
+
+
+SQL_DBSCAN_VENUES = """
+WITH RECURSIVE c AS (
+  SELECT CAST(c_custkey AS BIGINT) AS id,
+         (CAST(c_custkey AS BIGINT) * 48271) % 100000 - 50000 AS x,
+         (CAST(c_custkey AS BIGINT) * 69621) % 100000 - 50000 AS y
+  FROM customer
+),
+p AS (
+  SELECT a.id AS ia, b.id AS ib
+  FROM c a JOIN c b
+    ON (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 64000000
+),
+deg AS (SELECT ia AS id, COUNT(*) AS n FROM p GROUP BY ia),
+core AS (SELECT id FROM deg WHERE n >= 3),
+ce AS (
+  SELECT CAST(p.ia AS VARCHAR) AS src, CAST(p.ib AS VARCHAR) AS dst
+  FROM p JOIN core x ON x.id = p.ia JOIN core y ON y.id = p.ib
+  WHERE p.ia <> p.ib
+),
+reach(node, label) AS (
+  SELECT CAST(id AS VARCHAR), CAST(id AS VARCHAR) FROM core
+  UNION
+  SELECT ce.dst, reach.label FROM reach JOIN ce ON ce.src = reach.node
+),
+comp AS (SELECT node, MIN(label) AS cluster FROM reach GROUP BY node),
+corelab AS (
+  SELECT CAST(core.id AS VARCHAR) AS id, comp.cluster
+  FROM core JOIN comp ON comp.node = CAST(core.id AS VARCHAR)
+),
+border AS (
+  SELECT CAST(p.ia AS VARCHAR) AS id, MIN(cl.cluster) AS cluster
+  FROM p JOIN corelab cl ON cl.id = CAST(p.ib AS VARCHAR)
+  WHERE p.ia <> p.ib
+    AND CAST(p.ia AS VARCHAR) NOT IN (SELECT id FROM corelab)
+  GROUP BY p.ia
+)
+SELECT CAST(c.id AS VARCHAR) AS id,
+       COALESCE(cl.cluster, b.cluster, '') AS cluster,
+       CASE WHEN cl.id IS NOT NULL THEN 'core'
+            WHEN b.id IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role
+FROM c
+LEFT JOIN corelab cl ON cl.id = CAST(c.id AS VARCHAR)
+LEFT JOIN border b ON b.id = CAST(c.id AS VARCHAR)
+"""
+
+QUERIES["dbscan_venues"] = (q_dbscan_venues, SQL_DBSCAN_VENUES)
+
+
+def _chain_edges(spark, sf, gaps, dense_half_gaps=()):
+    """Customer chain+chord graph with zero-padded string keys (lex order
+    == numeric order); gaps in `dense_half_gaps` only emit from the low
+    half of the key space (the mixed-density truss fixture)."""
+    cu = spark.read.parquet(f"{sf}/customer.parquet").select(
+        F.col("c_custkey").cast("long").alias("k")
+    )
+    ks = cu.select(F.col("k").alias("d"))
+    half = cu.agg(F.max("k")).first()[0] // 2
+    edges = None
+    for g in tuple(gaps) + tuple(dense_half_gaps):
+        src = cu if g in gaps else cu.filter(F.col("k") <= half)
+        e = src.select("k", (F.col("k") + g).alias("d")).join(ks, "d").select(
+            F.format_string("%06d", "k").alias("src"),
+            F.format_string("%06d", "d").alias("dst"),
+        )
+        edges = e if edges is None else edges.unionByName(e)
+    return edges
+
+
+def q_tri_support(spark, sf):
+    """Per-edge triangle support on the customer chain+chord graph
+    (k->k+1, k->k+2): interior gap-1 edges sit in 2 triangles, gap-2
+    chords in 1, boundaries fewer — exact integers."""
+    from .operators.cc import edge_support
+
+    return edge_support(_chain_edges(spark, sf, (1, 2)))
+
+
+SQL_TRI_SUPPORT = """
+WITH cu AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer),
+e0 AS (
+  SELECT k AS s, k + 1 AS d FROM cu
+  UNION ALL SELECT k, k + 2 FROM cu
+),
+e1 AS (SELECT s, d FROM e0 WHERE d IN (SELECT k FROM cu)),
+e AS (
+  SELECT DISTINCT
+    least(lpad(CAST(s AS VARCHAR), 6, '0'), lpad(CAST(d AS VARCHAR), 6, '0')) AS a,
+    greatest(lpad(CAST(s AS VARCHAR), 6, '0'), lpad(CAST(d AS VARCHAR), 6, '0')) AS b
+  FROM e1
+),
+tri AS (
+  SELECT p.a AS x, p.b AS y, q.b AS z
+  FROM e p JOIN e q ON q.a = p.b JOIN e r ON r.a = p.a AND r.b = q.b
+),
+contrib AS (
+  SELECT x AS a, y AS b FROM tri
+  UNION ALL SELECT y, z FROM tri
+  UNION ALL SELECT x, z FROM tri
+),
+sup AS (SELECT a, b, COUNT(*) AS s FROM contrib GROUP BY a, b)
+SELECT e.a, e.b, CAST(COALESCE(sup.s, 0) AS BIGINT) AS support
+FROM e LEFT JOIN sup ON sup.a = e.a AND sup.b = e.b
+"""
+
+QUERIES["tri_support"] = (q_tri_support, SQL_TRI_SUPPORT)
+
+
+def q_ktruss(spark, sf):
+    """5-truss of the mixed-density customer graph (5-clique band gaps
+    1-4 on the low half, sparse chain gaps 1-2 on the high half): the
+    sparse half peels away (support < 3), the clique band survives, the
+    seam cascade is local — fixpoint in 2 effective peels at every SF."""
+    from .operators.cc import ktruss
+
+    return ktruss(_chain_edges(spark, sf, (1, 2), dense_half_gaps=(3, 4)), k=5)
+
+
+def _sql_ktruss(rounds: int) -> str:
+    """Unrolled k=5 truss peeling mirror: `rounds` triangle-support +
+    filter blocks (extra rounds past the fixpoint are no-ops), then one
+    final support computation on the converged edge set — exactly the
+    operator's return shape."""
+    head = """
+WITH cu AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer),
+half AS (SELECT MAX(k) // 2 AS h FROM cu),
+e0 AS (
+  SELECT k AS s, k + 1 AS d FROM cu
+  UNION ALL SELECT k, k + 2 FROM cu
+  UNION ALL SELECT k, k + 3 FROM cu, half WHERE k <= h
+  UNION ALL SELECT k, k + 4 FROM cu, half WHERE k <= h
+),
+e1 AS (SELECT s, d FROM e0 WHERE d IN (SELECT k FROM cu)),
+ed0 AS MATERIALIZED (
+  SELECT DISTINCT
+    least(lpad(CAST(s AS VARCHAR), 6, '0'), lpad(CAST(d AS VARCHAR), 6, '0')) AS a,
+    greatest(lpad(CAST(s AS VARCHAR), 6, '0'), lpad(CAST(d AS VARCHAR), 6, '0')) AS b
+  FROM e1
+)"""
+    # MATERIALIZED stops DuckDB's default CTE inlining — without it each
+    # round's 3-way self-join re-expands the whole chain below it and the
+    # base scan multiplies ~4x per round (observed: fd exhaustion at 4 rounds)
+    blocks = []
+    for i in range(rounds):
+        cur, nxt = f"ed{i}", f"ed{i + 1}"
+        blocks.append(f""",
+tri{i} AS MATERIALIZED (
+  SELECT p.a AS x, p.b AS y, q.b AS z
+  FROM {cur} p JOIN {cur} q ON q.a = p.b JOIN {cur} r ON r.a = p.a AND r.b = q.b
+),
+sup{i} AS MATERIALIZED (
+  SELECT a, b, COUNT(*) AS s FROM (
+    SELECT x AS a, y AS b FROM tri{i}
+    UNION ALL SELECT y, z FROM tri{i}
+    UNION ALL SELECT x, z FROM tri{i}
+  ) GROUP BY a, b
+),
+{nxt} AS MATERIALIZED (
+  SELECT e.a, e.b FROM {cur} e JOIN sup{i} su ON su.a = e.a AND su.b = e.b
+  WHERE su.s >= 3
+)""")
+        final = f"""
+SELECT su.a, su.b, CAST(su.s AS BIGINT) AS support
+FROM sup{i} su JOIN {nxt} e ON e.a = su.a AND e.b = su.b
+"""
+    return head + "".join(blocks) + final
+
+
+SQL_KTRUSS = _sql_ktruss(4)
+
+QUERIES["ktruss"] = (q_ktruss, SQL_KTRUSS)
+
+
+def q_events_hopping(spark, sf):
+    """Hopping-window counts (60-min window, 15-min hop) per event type
+    — every event lands in exactly 4 windows; bucket = window-start
+    epoch in hop units."""
+    from .operators.events import hopping_counts
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return hopping_counts(ev, window_minutes=60, hop_minutes=15)
+
+
+SQL_EVENTS_HOPPING = """
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) AS t,
+         CAST(round(value * 100) AS BIGINT) AS v100
+  FROM events
+),
+x AS (
+  SELECT event_type, v100,
+         unnest(generate_series(
+           (t - 3600000000) // 900000000 + 1,
+           t // 900000000)) AS bucket
+  FROM ev
+)
+SELECT CAST(bucket AS BIGINT) AS bucket, event_type,
+       COUNT(*) AS n_events, CAST(SUM(v100) AS BIGINT) AS sum_value_x100
+FROM x GROUP BY 1, 2
+"""
+
+QUERIES["events_hopping"] = (q_events_hopping, SQL_EVENTS_HOPPING)
+
+
+def q_graph_ecc(spark, sf):
+    """Per-seed BFS eccentricity + reach (hop cap 6) from the first
+    three customers over the directed customer chain — closed-form
+    truth: ecc = min(maxkey - seed, 6), reach = ecc + 1."""
+    from .operators.cc import eccentricity
+
+    cu = spark.read.parquet(f"{sf}/customer.parquet").select(
+        F.col("c_custkey").cast("long").alias("k")
+    )
+    ks = cu.select(F.col("k").alias("d"))
+    e = cu.select("k", (F.col("k") + 1).alias("d")).join(ks, "d").select(
+        F.col("k").cast("string").alias("src"), F.col("d").cast("string").alias("dst")
+    )
+    seeds = cu.filter(F.col("k") <= 3).select(F.col("k").cast("string").alias("node"))
+    return eccentricity(e, seeds, max_hops=6)
+
+
+SQL_GRAPH_ECC = """
+WITH mx AS (SELECT MAX(CAST(c_custkey AS BIGINT)) AS mk FROM customer)
+SELECT CAST(c_custkey AS VARCHAR) AS seed,
+       CAST(least(mk - CAST(c_custkey AS BIGINT), 6) AS BIGINT) AS ecc,
+       CAST(least(mk - CAST(c_custkey AS BIGINT), 6) + 1 AS BIGINT) AS n_reached
+FROM customer CROSS JOIN mx
+WHERE c_custkey <= 3
+"""
+
+QUERIES["graph_ecc"] = (q_graph_ecc, SQL_GRAPH_ECC)

@@ -1163,6 +1163,44 @@ def main() -> None:
             ("argmin via agg, not window", r"^\(\d+\) Window", "absent"),
             ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
         ]),
+        ("dbscan_venues", [
+            # DBSCAN = bounded radius join + CC + one border join; the
+            # all-pairs neighbor scan must never appear
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("cell-keyed neighbor join (hash)", r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
+        ("tri_support", [
+            # degree-oriented wedge join: hash equi-joins only, skew
+            # bounded by orientation; support agg is map-side combined
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("wedge equi joins (hash)", r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
+        ("ktruss", [
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
+        ("events_hopping", [
+            # F.window with slide = map-side expand + ONE partial+final agg
+            ("partial+final hash agg", r"HashAggregate"),
+            ("no window function", r"^\(\d+\) Window", "absent"),
+            ("no Python eval", r"ArrowEvalPython|BatchEvalPython", "absent"),
+            ("agg shuffle present (window expand is map-side)", r"Exchange"),
+        ]),
+        ("graph_ecc", [
+            # the BFS frontier joins run inside the per-round
+            # localCheckpoints (lineage deliberately cut — paths.py
+            # discipline), so the FINAL plan is the (max, count) reduction
+            # over the materialized distance set: agg only, nothing else
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("reduction is partial+final hash agg", r"HashAggregate"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
         ("spam_mass", [
             # two PR runs: per-iter equi hash joins + 1-row total broadcasts
             # (the two crossJoins ARE single-row broadcasts — the intended

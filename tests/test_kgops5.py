@@ -1,0 +1,210 @@
+"""Unit tests for grid_dbscan, edge_support / ktruss, eccentricity, and
+hopping windows on hand-built fixtures."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src string, dst string")
+
+
+def _pts(spark, rows):
+    return spark.createDataFrame(rows, "id long, x long, y long")
+
+
+# ---------------------------------------------------------------- grid_dbscan
+
+
+def test_dbscan_blobs_and_noise(spark):
+    # two tight blobs of 3 (all mutual neighbors at r=2), one pair below
+    # min_pts, one isolated point: blobs are core clusters labeled by
+    # their min id, pair + singleton are noise.
+    from ocaml_rdf_spark.operators.spatial import grid_dbscan
+
+    pts = _pts(
+        spark,
+        [
+            (1, 0, 0), (2, 1, 0), (3, 0, 1),          # blob A
+            (10, 100, 100), (11, 101, 100), (12, 100, 101),  # blob B
+            (20, 50, 50), (21, 51, 50),                # pair: 2 < min_pts
+            (30, 200, 200),                            # singleton
+        ],
+    )
+    out = {r["id"]: (r["cluster"], r["role"]) for r in grid_dbscan(pts, 2, 3).collect()}
+    assert out["1"] == ("1", "core")
+    assert out["2"] == ("1", "core")
+    assert out["3"] == ("1", "core")
+    for i in ("10", "11", "12"):
+        assert out[i] == ("10", "core")
+    for i in ("20", "21", "30"):
+        assert out[i] == ("", "noise")
+
+
+def test_dbscan_border_attaches_min_cluster(spark):
+    # point 50 is within r of cores from BOTH clusters but has only 3
+    # neighbors... make it non-core by keeping its own neighborhood < 4
+    # with min_pts=4: border points adopt the MINIMUM cluster label.
+    from ocaml_rdf_spark.operators.spatial import grid_dbscan
+
+    pts = _pts(
+        spark,
+        [
+            # cluster "1": 4 mutual points at r=2
+            (1, 0, 0), (2, 1, 0), (3, 0, 1), (4, 1, 1),
+            # cluster "5": 4 mutual points
+            (5, 10, 0), (6, 11, 0), (7, 10, 1), (8, 11, 1),
+            # border: within r=2 of core 4 (at 1,1) and core 7 (at 10,1)?
+            # no — keep it adjacent to exactly one side first: (3,1)
+            (9, 3, 1),
+        ],
+    )
+    out = {r["id"]: (r["cluster"], r["role"]) for r in grid_dbscan(pts, 2, 4).collect()}
+    # 9 has neighbors {self, 2?, 4} -> dist((3,1),(1,0))^2=5 > 4; nbrs are
+    # (1,1) d2=4 and (1,0)? 5 no. So {self, 4} = 2 < 4 -> not core; core
+    # neighbor 4 -> border of cluster "1"
+    assert out["9"] == ("1", "border")
+    assert out["1"] == ("1", "core")
+    assert out["5"] == ("5", "core")
+
+
+def test_dbscan_chain_merges_through_cores(spark):
+    # a chain of core points merges into ONE cluster via core-core CC
+    # (single-linkage through density), labeled by the min id string.
+    from ocaml_rdf_spark.operators.spatial import grid_dbscan
+
+    pts = _pts(spark, [(i, i * 2, 0) for i in range(1, 8)])  # spacing 2, r=2
+    out = {r["id"]: (r["cluster"], r["role"]) for r in grid_dbscan(pts, 2, 3).collect()}
+    # interior points have 3 nbrs (self + 2) = core; endpoints have 2 ->
+    # border attached to the single chain cluster
+    assert out["2"] == ("2", "core")
+    assert out["4"] == ("2", "core")
+    assert out["1"] == ("2", "border")
+    assert out["7"] == ("2", "border")
+
+
+# ------------------------------------------------------- edge_support/ktruss
+
+
+def test_edge_support_triangle_pendant(spark):
+    from ocaml_rdf_spark.operators.cc import edge_support
+
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")])
+    out = {(r["a"], r["b"]): r["support"] for r in edge_support(e).collect()}
+    assert out == {("a", "b"): 1, ("a", "c"): 1, ("b", "c"): 1, ("c", "d"): 0}
+
+
+def test_edge_support_two_triangles_shared_edge(spark):
+    # diamond: triangles abc + bcd share edge (b,c) -> its support is 2
+    from ocaml_rdf_spark.operators.cc import edge_support
+
+    e = _edges(spark, [("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d")])
+    out = {(r["a"], r["b"]): r["support"] for r in edge_support(e).collect()}
+    assert out[("b", "c")] == 2
+    assert out[("a", "b")] == 1
+    assert out[("c", "d")] == 1
+
+
+def test_ktruss_peels_cascade(spark):
+    # K4 plus a pendant triangle hanging off one vertex: 4-truss
+    # (support >= 2) keeps exactly the K4 — the hanging triangle's edges
+    # have support 1 and peel away in round 1; K4 edges keep support 2.
+    from ocaml_rdf_spark.operators.cc import ktruss
+
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    tail = [("d", "e"), ("d", "f"), ("e", "f")]
+    out = {(r["a"], r["b"]): r["support"] for r in ktruss(_edges(spark, k4 + tail), 4).collect()}
+    assert set(out) == {("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")}
+    assert all(s == 2 for s in out.values())
+
+
+def test_ktruss_cascade_to_empty(spark):
+    # one triangle: every edge has support 1, so the 4-truss is empty —
+    # and the peel terminates (round 2 confirms the empty fixpoint).
+    from ocaml_rdf_spark.operators.cc import ktruss
+
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("a", "c")])
+    assert ktruss(e, 4).count() == 0
+
+
+def test_ktruss_k_guard(spark):
+    from ocaml_rdf_spark.operators.cc import ktruss
+
+    with pytest.raises(ValueError):
+        ktruss(_edges(spark, [("a", "b")]), 2)
+
+
+# -------------------------------------------------------------- eccentricity
+
+
+def test_eccentricity_chain_and_cap(spark):
+    from ocaml_rdf_spark.operators.cc import eccentricity
+
+    ch = _edges(spark, [(str(i), str(i + 1)) for i in range(1, 8)])  # 1..8 chain
+    seeds = spark.createDataFrame([("1",), ("6",)], "node string")
+    out = {r["seed"]: (r["ecc"], r["n_reached"]) for r in eccentricity(ch, seeds, 4).collect()}
+    assert out["1"] == (4, 5)   # capped at max_hops
+    assert out["6"] == (2, 3)   # 6 -> 7 -> 8
+
+
+def test_eccentricity_isolated_seed(spark):
+    # a seed with no outgoing edges reaches only itself: ecc 0, reach 1
+    from ocaml_rdf_spark.operators.cc import eccentricity
+
+    ch = _edges(spark, [("1", "2")])
+    seeds = spark.createDataFrame([("9",)], "node string")
+    out = eccentricity(ch, seeds, 4).collect()
+    assert [(r["seed"], r["ecc"], r["n_reached"]) for r in out] == [("9", 0, 1)]
+
+
+# ------------------------------------------------------------ hopping_counts
+
+
+def test_hopping_counts_membership(spark):
+    # W=30, H=15: event at 00:05 lands in windows 23:45 and 00:00; event
+    # at 00:20 in 00:00 and 00:15 — the shared 00:00 window sums both.
+    from ocaml_rdf_spark.operators.events import hopping_counts
+
+    ev = spark.createDataFrame(
+        [
+            (1, "u", "click", datetime(2024, 1, 1, 0, 5), 1.0),
+            (2, "u", "click", datetime(2024, 1, 1, 0, 20), 2.5),
+        ],
+        "event_id long, user_id string, event_type string, ts timestamp, value double",
+    )
+    rows = {r["bucket"]: (r["n_events"], r["sum_value_x100"]) for r in hopping_counts(ev, 30, 15).collect()}
+    base = int(datetime(2024, 1, 1).timestamp()) // 900  # UTC session
+    assert rows[base - 1] == (1, 100)
+    assert rows[base] == (2, 350)
+    assert rows[base + 1] == (1, 250)
+    assert len(rows) == 3
+
+
+def test_hopping_counts_window_boundary_exclusive(spark):
+    # an event exactly at start+W belongs to the NEXT window, not the
+    # closing one: [s, s+W) half-open, matching F.window semantics.
+    from ocaml_rdf_spark.operators.events import hopping_counts
+
+    ev = spark.createDataFrame(
+        [(1, "u", "click", datetime(2024, 1, 1, 1, 0), 1.0)],
+        "event_id long, user_id string, event_type string, ts timestamp, value double",
+    )
+    rows = sorted(r["bucket"] for r in hopping_counts(ev, 30, 15).collect())
+    t = int(datetime(2024, 1, 1, 1).timestamp())
+    # windows containing t: starts t-15min and t exactly (t-30min excluded)
+    assert rows == [(t - 900) // 900, t // 900]
+
+
+def test_hopping_counts_hop_guard(spark):
+    from ocaml_rdf_spark.operators.events import hopping_counts
+
+    ev = spark.createDataFrame(
+        [(1, "u", "click", datetime(2024, 1, 1), 1.0)],
+        "event_id long, user_id string, event_type string, ts timestamp, value double",
+    )
+    with pytest.raises(ValueError):
+        hopping_counts(ev, 50, 15)
