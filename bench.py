@@ -268,6 +268,7 @@ def main() -> None:
         "ktruss",
         "events_hopping",
         "graph_ecc",
+        "betweenness",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

@@ -1154,3 +1154,97 @@ def eccentricity(edges: DataFrame, seeds: DataFrame, max_hops: int = 8) -> DataF
         F.max("dist").cast("long").alias("ecc"),
         F.count(F.lit(1)).cast("long").alias("n_reached"),
     )
+
+
+def betweenness(
+    edges: DataFrame, seeds: DataFrame, max_hops: int = 8, scale: int = 1_000_000
+) -> DataFrame:
+    """Seed-sampled Brandes betweenness (Brandes 2001; sampling per
+    Brandes-Pich 2007) over directed (src, dst) string edges →
+    (node, bc): Σ over sampled seeds s ≠ v of the dependency δ_s(v), in
+    1/`scale` units — the 'how much shortest-path traffic crosses this
+    node' centrality, the classic bridge/broker detector on host graphs.
+
+    Integer-exact surrogate: the true δ recursion
+    δ(v) = Σ_{w: succ on a shortest path} σv/σw · (1 + δ(w)) is rational;
+    floats drift per summation order (the modularity/PageRank problem),
+    so each edge contribution is computed as σv·(scale + δw) div σw in
+    BIGINT — deterministic, bit-identical across engines and
+    partitionings, exact whenever σw | σv·(scale + δw) (always on trees
+    and chains, where σ ≡ 1). The contract is this documented integer
+    recursion, not a float approximation of it.
+
+    Shape: forward pass = level-synchronous per-seed BFS carrying exact
+    path counts σ (frontier equi-join + (seed,node)-keyed σ-sum +
+    anti-join, the `bfs_distances_per_seed` discipline, localCheckpoint
+    per round); backward pass = one join+agg per level from the deepest
+    frontier back to the seeds (δ levels are disjoint by construction, so
+    accumulation is a union, never a merge). 2·max_hops bounded rounds;
+    |seeds| scales the state linearly — sampling IS the scale path, as
+    `harmonic_centrality` documents. Emits every node reached from at
+    least one OTHER seed (zero-dependency sinks included with bc 0)."""
+    e = edges.select("src", "dst").dropDuplicates()
+    dist = (
+        seeds.select(F.col("node").alias("seed"))
+        .dropDuplicates()
+        .select(
+            "seed",
+            F.col("seed").alias("node"),
+            F.lit(0).cast("long").alias("dist"),
+            F.lit(1).cast("long").alias("sigma"),
+        )
+    )
+    frontier = dist
+    deepest = 0
+    for h in range(1, max_hops + 1):
+        if h > 1:
+            dist = dist.localCheckpoint(eager=False)
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select("seed", F.col("dst").alias("node"), "sigma")
+            .groupBy("seed", "node")
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(dist.select("seed", "node"), ["seed", "node"], "left_anti")
+            .select("seed", "node", F.lit(h).cast("long").alias("dist"), "sigma")
+        ).localCheckpoint(eager=False)
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt)
+        frontier = nxt
+        deepest = h
+    dist = dist.localCheckpoint(eager=False)
+    delta = None  # (seed, node, delta) — levels are disjoint key sets
+    for h in range(deepest - 1, -1, -1):
+        vh = dist.filter(F.col("dist") == h).select("seed", "node", "sigma")
+        wh = dist.filter(F.col("dist") == h + 1).select(
+            "seed", F.col("node").alias("wnode"), F.col("sigma").alias("wsigma")
+        )
+        if delta is not None:
+            wh = wh.join(
+                delta.select("seed", F.col("node").alias("wnode"), "delta"),
+                ["seed", "wnode"],
+                "left",
+            ).select("seed", "wnode", "wsigma", F.coalesce("delta", F.lit(0)).alias("wdelta"))
+        else:
+            wh = wh.withColumn("wdelta", F.lit(0).cast("long"))
+        contrib = (
+            vh.join(e, vh["node"] == e["src"])
+            .join(wh, (F.col("dst") == F.col("wnode")) & (vh["seed"] == wh["seed"]))
+            .select(
+                vh["seed"].alias("seed"),
+                vh["node"].alias("node"),
+                F.expr(f"sigma * (CAST({int(scale)} AS BIGINT) + wdelta) div wsigma").alias("c"),
+            )
+        )
+        dh = contrib.groupBy("seed", "node").agg(F.sum("c").cast("long").alias("delta"))
+        dh = dh.localCheckpoint(eager=False)
+        delta = dh if delta is None else delta.unionByName(dh).localCheckpoint(eager=False)
+    reached = dist.filter(F.col("node") != F.col("seed")).select("seed", "node")
+    if delta is None:
+        return reached.groupBy("node").agg(F.lit(0).cast("long").alias("bc"))
+    return (
+        reached.join(delta, ["seed", "node"], "left")
+        .select("node", F.coalesce("delta", F.lit(0)).alias("delta"))
+        .groupBy("node")
+        .agg(F.sum("delta").cast("long").alias("bc"))
+    )

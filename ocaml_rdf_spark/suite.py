@@ -9917,3 +9917,38 @@ WHERE c_custkey <= 3
 """
 
 QUERIES["graph_ecc"] = (q_graph_ecc, SQL_GRAPH_ECC)
+
+
+def q_betweenness(spark, sf):
+    """Seed-sampled Brandes betweenness (integer surrogate, hop cap 6)
+    from the first customers over the directed customer chain — chain
+    closed form: delta_s(v) = (reach_end(s) - v)*SCALE, bc = sum over
+    seeds s < v within the cap."""
+    from .operators.cc import betweenness
+
+    cu = spark.read.parquet(f"{sf}/customer.parquet").select(
+        F.col("c_custkey").cast("long").alias("k")
+    )
+    ks = cu.select(F.col("k").alias("d"))
+    e = cu.select("k", (F.col("k") + 1).alias("d")).join(ks, "d").select(
+        F.col("k").cast("string").alias("src"), F.col("d").cast("string").alias("dst")
+    )
+    seeds = cu.filter(F.col("k") <= 3).select(F.col("k").cast("string").alias("node"))
+    return betweenness(e, seeds, max_hops=6)
+
+
+SQL_BETWEENNESS = """
+WITH cu AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer),
+mx AS (SELECT MAX(k) AS mk FROM cu),
+seeds AS (SELECT k AS s FROM cu WHERE k <= 3),
+pairs AS (
+  SELECT v.k AS v, least(mx.mk, se.s + 6) AS reach_end
+  FROM cu v CROSS JOIN mx
+  JOIN seeds se ON v.k > se.s AND v.k <= se.s + 6
+)
+SELECT CAST(v AS VARCHAR) AS node,
+       CAST(SUM((reach_end - v) * 1000000) AS BIGINT) AS bc
+FROM pairs GROUP BY v
+"""
+
+QUERIES["betweenness"] = (q_betweenness, SQL_BETWEENNESS)

@@ -1201,6 +1201,15 @@ def main() -> None:
             ("reduction is partial+final hash agg", r"HashAggregate"),
             ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
         ]),
+        ("betweenness", [
+            # forward/backward passes run inside per-round localCheckpoints;
+            # the final plan is the seed-summed reduction over materialized
+            # dependency rows — joins hash, reduction one agg
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("reduction is partial+final hash agg", r"HashAggregate"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
         ("spam_mass", [
             # two PR runs: per-iter equi hash joins + 1-row total broadcasts
             # (the two crossJoins ARE single-row broadcasts — the intended

@@ -208,3 +208,103 @@ def test_hopping_counts_hop_guard(spark):
     )
     with pytest.raises(ValueError):
         hopping_counts(ev, 50, 15)
+
+
+# --------------------------------------------------------------- betweenness
+
+
+def test_betweenness_diamond_split(spark):
+    # s->a, s->b, a->t, b->t: sigma(t)=2, so a and b each carry half the
+    # dependency: 1*(scale+0) div 2 = 500000; the sink carries none.
+    from ocaml_rdf_spark.operators.cc import betweenness
+
+    e = _edges(spark, [("s", "a"), ("s", "b"), ("a", "t"), ("b", "t")])
+    sd = spark.createDataFrame([("s",)], "node string")
+    out = {r["node"]: r["bc"] for r in betweenness(e, sd, 8).collect()}
+    assert out == {"a": 500000, "b": 500000, "t": 0}
+
+
+def test_betweenness_chain_two_seeds(spark):
+    # chain 1..6: delta_s(v) = (6 - v) * scale; bc sums over both seeds
+    from ocaml_rdf_spark.operators.cc import betweenness
+
+    ch = _edges(spark, [(str(i), str(i + 1)) for i in range(1, 6)])
+    sd = spark.createDataFrame([("1",), ("2",)], "node string")
+    out = {r["node"]: r["bc"] for r in betweenness(ch, sd, 8).collect()}
+    assert out == {"2": 4_000_000, "3": 6_000_000, "4": 4_000_000, "5": 2_000_000, "6": 0}
+    # seed 1 is reached by nobody, seed 2 only as an interior node: "2"
+    # appears (reached from seed 1) with seed-2's own dependency excluded
+
+
+def test_betweenness_hop_cap_truncates_dag(spark):
+    # hop cap 1: only direct successors are reached, all with delta 0
+    from ocaml_rdf_spark.operators.cc import betweenness
+
+    ch = _edges(spark, [("1", "2"), ("2", "3")])
+    sd = spark.createDataFrame([("1",)], "node string")
+    out = {r["node"]: r["bc"] for r in betweenness(ch, sd, 1).collect()}
+    assert out == {"2": 0}
+
+
+def test_betweenness_fuzz_vs_duckdb_mirror(spark):
+    # the same integer recursion on random digraphs, independently in
+    # DuckDB loops — exercises multi-path sigma, cycles, disconnects
+    import duckdb
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from ocaml_rdf_spark.operators.cc import betweenness
+
+    edge = st.tuples(st.integers(0, 5), st.integers(0, 5))
+    edges_st = st.lists(edge, min_size=1, max_size=12, unique=True)
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(pairs=edges_st, hops=st.integers(1, 4))
+    def _case(pairs, hops):
+        e = _edges(spark, [(f"n{a}", f"n{b}") for a, b in pairs])
+        sd = spark.createDataFrame([("n0",), ("n3",)], "node string")
+        got = sorted(map(tuple, betweenness(e, sd, hops).collect()))
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE e (src VARCHAR, dst VARCHAR)")
+        con.executemany(
+            "INSERT INTO e VALUES (?, ?)", [(f"n{a}", f"n{b}") for a, b in pairs]
+        )
+        con.execute("CREATE TABLE d (seed VARCHAR, node VARCHAR, dist BIGINT, sigma BIGINT)")
+        con.execute("INSERT INTO d VALUES ('n0','n0',0,1), ('n3','n3',0,1)")
+        deepest = 0
+        for h in range(1, hops + 1):
+            con.execute(f"""
+                INSERT INTO d
+                SELECT x.seed, x.node, {h}, x.sigma FROM (
+                  SELECT d.seed, e.dst AS node, SUM(d.sigma) AS sigma
+                  FROM d JOIN e ON e.src = d.node WHERE d.dist = {h - 1}
+                  GROUP BY d.seed, e.dst
+                ) x
+                WHERE NOT EXISTS (
+                  SELECT 1 FROM d p WHERE p.seed = x.seed AND p.node = x.node
+                )""")
+            n = con.execute(f"SELECT COUNT(*) FROM d WHERE dist = {h}").fetchone()[0]
+            if n == 0:
+                break
+            deepest = h
+        con.execute("CREATE TABLE dl (seed VARCHAR, node VARCHAR, delta BIGINT)")
+        for h in range(deepest - 1, -1, -1):
+            con.execute(f"""
+                INSERT INTO dl
+                SELECT v.seed, v.node,
+                       SUM(v.sigma * (1000000 + COALESCE(x.delta, 0)) // w.sigma)
+                FROM d v JOIN e ON e.src = v.node
+                JOIN d w ON w.seed = v.seed AND w.node = e.dst AND w.dist = {h + 1}
+                LEFT JOIN dl x ON x.seed = w.seed AND x.node = w.node
+                WHERE v.dist = {h}
+                GROUP BY v.seed, v.node""")
+        want = sorted(map(tuple, con.execute("""
+            SELECT r.node, CAST(SUM(COALESCE(dl.delta, 0)) AS BIGINT) AS bc
+            FROM (SELECT seed, node FROM d WHERE node <> seed) r
+            LEFT JOIN dl ON dl.seed = r.seed AND dl.node = r.node
+            GROUP BY r.node""").fetchall()))
+        assert got == want
+
+    _case()
