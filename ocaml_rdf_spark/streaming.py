@@ -602,3 +602,68 @@ def stream_link_entities(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_attribute_clicks(
+    spark: SparkSession,
+    input_dir: str,
+    horizon_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked STREAM-STREAM self-join — the attribution shape: every
+    (view impression, click) pair for the same user with the click inside
+    [view_ts, view_ts + horizon) → (user_id, imp_id, click_id, gap_us).
+    The batch twin is the `asof_attribution`/`range_prior_activity`
+    family; this is the online form Structured Streaming runs with both
+    sides unbounded.
+
+    State-boundedness is the whole design: the equality key (user_id)
+    routes both sides to the same state-store partition, the range
+    condition plus BOTH watermarks lets Spark evict impression state once
+    event-time passes imp_ts + horizon + watermark and click state at the
+    watermark — without the time bound the join state grows forever and a
+    100 TB/day stream OOMs its state store. Inner-join matches emit as
+    they arrive (no end-of-window withholding), so an availableNow drain
+    equals the batch join exactly — the parity test's contract.
+
+    gap_us is an exact integer (unix_micros difference), the engine-
+    portable exactness rule."""
+    from pyspark.sql import functions as F
+
+    ev = spark.readStream.schema(_EVENTS_SCHEMA()).parquet(input_dir)
+    imp = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("event_id").alias("imp_id"),
+            F.col("ts").alias("imp_ts"),
+        )
+        .withWatermark("imp_ts", watermark)
+    )
+    clk = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    joined = imp.join(
+        clk,
+        F.expr(
+            f"""
+            user_id = c_user_id AND
+            click_ts >= imp_ts AND
+            click_ts < imp_ts + interval {int(horizon_minutes)} minutes
+            """
+        ),
+        "inner",
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp_ltz"))  # noqa: E731
+    return joined.select(
+        "user_id",
+        "imp_id",
+        "click_id",
+        (us("click_ts") - us("imp_ts")).alias("gap_us"),
+    )
