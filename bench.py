@@ -269,6 +269,9 @@ def main() -> None:
         "events_hopping",
         "graph_ecc",
         "betweenness",
+        "burst_windows",
+        "compression_quality",
+        "hyperball",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

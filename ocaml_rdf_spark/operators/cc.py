@@ -1248,3 +1248,69 @@ def betweenness(
         .groupBy("node")
         .agg(F.sum("delta").cast("long").alias("bc"))
     )
+
+
+def hyperball_counters(edges: DataFrame, max_hops: int = 8) -> DataFrame:
+    """HyperBall register state (Boldi-Rosa-Vigna, WebGraph'11 — the
+    algorithm that measured Facebook's four degrees): per node, the HLL
+    registers of its OUT-ball within `max_hops` hops → (node, r_bucket,
+    reg), mergeable by MAX like every `hll_sketch` state.
+
+    Each round grows every ball one hop by MAX-merging each node's
+    registers with its successors': one edge equi-join + one
+    (node, bucket)-keyed map-side-combined max per round, per-node state
+    ≤ 64 rows FOREVER (the whole point — exact per-seed BFS state is
+    O(reach), this is O(1) per node, which is what makes all-node
+    neighborhood functions tractable on a web graph). Registers are a
+    pure function of the reached SET (md5-derived hashes, max-merge is
+    order-free), so the state is bit-identical across engines and
+    partitionings — the estimator can be oracled against an independent
+    set-based computation. Convergence short-circuits with the CC
+    kernel's 1-job (count, hash-sum) signature."""
+    from .sketches import hll_sketch
+
+    e = edges.select("src", "dst").dropDuplicates()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    cnt = hll_sketch(nodes, "node", ["node"]).localCheckpoint(eager=False)
+
+    def _sig(df: DataFrame) -> tuple:
+        row = df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("node", "r_bucket", "reg").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    prev = _sig(cnt)
+    for _ in range(max_hops):
+        grown = e.join(cnt, cnt["node"] == e["dst"]).select(
+            F.col("src").alias("node"), "r_bucket", "reg"
+        )
+        merged = (
+            cnt.unionByName(grown)
+            .groupBy("node", "r_bucket")
+            .agg(F.max("reg").alias("reg"))
+        ).localCheckpoint(eager=False)
+        sig = _sig(merged)
+        cnt = merged
+        if sig == prev:
+            break
+        prev = sig
+    return cnt
+
+
+def hyperball(edges: DataFrame, max_hops: int = 8) -> DataFrame:
+    """Per-node neighborhood-function point N(node, max_hops): the HLL
+    estimate of |out-ball(node, max_hops)| → (node, nb, s_sum, est) via
+    the package's exact-integer HLL read path. Summed over nodes per h
+    this is the neighborhood function N(h) whose saturation point is the
+    effective diameter — the standard web-graph connectivity report,
+    computed for ALL nodes at O(64 rows/node), where the sampled-seed
+    exact alternatives (`bfs_distances_per_seed`, `eccentricity`) trade
+    node coverage for exactness."""
+    from .sketches import hll_estimate_from_sketch
+
+    return hll_estimate_from_sketch(hyperball_counters(edges, max_hops), ["node"])

@@ -291,3 +291,52 @@ def hopping_counts(
             "sum_value_x100",
         )
     )
+
+
+def burst_windows(
+    events: DataFrame,
+    minutes: int = 60,
+    trailing: int = 3,
+    threshold_pct: int = 200,
+) -> DataFrame:
+    """Burst detection over tumbling windows: per (event_type, bucket),
+    flag windows whose count exceeds `threshold_pct`% of the trailing
+    mean over the previous `trailing` OBSERVED windows (gaps are skipped,
+    not zero-filled — documented; recrawl-scheduler semantics where a
+    quiet host simply has no row) → (bucket, event_type, n_events,
+    n_prev, trailing_sum, is_burst). The crawl-ops alarm: a host or
+    event type suddenly producing windows far above its own recent
+    baseline (Kleinberg's burst model reduced to its integer one-level
+    form).
+
+    Exactness: the mean comparison is cleared of division —
+    n·100·n_prev > pct·trailing_sum — all BIGINT, bit-identical across
+    engines; windows with fewer than `trailing` predecessors are never
+    bursts (cold start is not an anomaly).
+
+    Scale: one tumbling agg (partial+final), then ONE window function
+    partitioned by event_type ordered by bucket — per-type state is the
+    row stream, the frame is `trailing`-bounded; at 100 TB the partition
+    key generalizes to (host, type) so no single reducer sees more than
+    one type's buckets."""
+    base = tumbling_counts(events, minutes=minutes).select(
+        "bucket", "event_type", "n_events"
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(-int(trailing), -1)
+    )
+    out = base.withColumn(
+        "n_prev", F.count(F.lit(1)).over(w).cast("long")
+    ).withColumn("trailing_sum", F.coalesce(F.sum("n_events").over(w), F.lit(0)).cast("long"))
+    return out.withColumn(
+        "is_burst",
+        (
+            (F.col("n_prev") == int(trailing))
+            & (
+                F.col("n_events") * F.lit(100) * F.col("n_prev")
+                > F.lit(int(threshold_pct)) * F.col("trailing_sum")
+            )
+        ).cast("int"),
+    ).select("bucket", "event_type", "n_events", "n_prev", "trailing_sum", "is_burst")

@@ -9952,3 +9952,87 @@ FROM pairs GROUP BY v
 """
 
 QUERIES["betweenness"] = (q_betweenness, SQL_BETWEENNESS)
+
+
+def q_burst_windows(spark, sf):
+    """Burst alarm over 60-min tumbling windows per event type: count >
+    200% of the trailing-3 mean (division-cleared integers), cold-start
+    windows never flagged."""
+    from .operators.events import burst_windows
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return burst_windows(ev, minutes=60, trailing=3, threshold_pct=200)
+
+
+SQL_BURST_WINDOWS = """
+WITH base AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket, event_type,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+wd AS (
+  SELECT bucket, event_type, n_events,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n_prev,
+         CAST(COALESCE(SUM(n_events) OVER w, 0) AS BIGINT) AS trailing_sum
+  FROM base
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+)
+SELECT bucket, event_type, n_events, n_prev, trailing_sum,
+       CASE WHEN n_prev = 3 AND n_events * 100 * n_prev > 200 * trailing_sum
+            THEN 1 ELSE 0 END AS is_burst
+FROM wd
+"""
+
+QUERIES["burst_windows"] = (q_burst_windows, SQL_BURST_WINDOWS)
+
+
+def q_compression_quality(spark, sf):
+    """zlib compressibility signal over the documents corpus — rows-only
+    by design: zlib is not SQL-expressible (the extract_corpus
+    justification); verified by the direct-zlib differential test."""
+    from .operators.textops import compression_quality
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return compression_quality(docs)
+
+
+QUERIES["compression_quality"] = (q_compression_quality, None)
+
+
+def q_hyperball(spark, sf):
+    """HyperBall neighborhood function N(v, 6) over the directed customer
+    chain: the iterative register-merge must equal the HLL estimate of
+    the TRUE reachable set {v .. v+6} computed independently — registers
+    are a pure function of the set."""
+    from .operators.cc import hyperball
+
+    cu = spark.read.parquet(f"{sf}/customer.parquet").select(
+        F.col("c_custkey").cast("long").alias("k")
+    )
+    ks = cu.select(F.col("k").alias("d"))
+    e = cu.select("k", (F.col("k") + 1).alias("d")).join(ks, "d").select(
+        F.col("k").cast("string").alias("src"), F.col("d").cast("string").alias("dst")
+    )
+    return hyperball(e, max_hops=6)
+
+
+def _sql_hyperball() -> str:
+    from .operators.sketches import hll_oracle_sql
+
+    prefix = """WITH cu AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer),
+mx AS (SELECT MAX(k) AS mk FROM cu),
+reach AS (
+  SELECT CAST(v.k AS VARCHAR) AS node,
+         CAST(unnest(generate_series(v.k, least(v.k + 6, mx.mk))) AS VARCHAR) AS member
+  FROM cu v CROSS JOIN mx
+),
+h AS"""
+    return hll_oracle_sql("reach", "member", ["node"], estimate=True).replace(
+        "WITH h AS", prefix, 1
+    )
+
+
+SQL_HYPERBALL = _sql_hyperball()
+
+QUERIES["hyperball"] = (q_hyperball, SQL_HYPERBALL)

@@ -1201,6 +1201,21 @@ def main() -> None:
             ("reduction is partial+final hash agg", r"HashAggregate"),
             ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
         ]),
+        ("hyperball", [
+            # merge rounds run inside per-round localCheckpoints; the final
+            # plan is the register read path: one node-keyed agg, no joins
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("read path is hash agg", r"HashAggregate"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
+        ("burst_windows", [
+            # one tumbling agg + ONE type-partitioned window; no joins at all
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("no join anywhere", r"Join", "absent"),
+            ("single bounded-frame window", r"^\(\d+\) Window"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
         ("betweenness", [
             # forward/backward passes run inside per-round localCheckpoints;
             # the final plan is the seed-summed reduction over materialized

@@ -308,3 +308,186 @@ def test_betweenness_fuzz_vs_duckdb_mirror(spark):
         assert got == want
 
     _case()
+
+
+# ------------------------------------------------------------- burst_windows
+
+
+def test_burst_windows_flags_spike(spark):
+    # baseline 1,1,1 then a 10-count window: 10*100*3 > 200*3 -> burst;
+    # the first three windows lack a full trailing frame -> never bursts
+    from ocaml_rdf_spark.operators.events import burst_windows
+
+    rows = []
+    eid = 0
+    for h, n in enumerate((1, 1, 1, 10)):
+        for i in range(n):
+            eid += 1
+            rows.append((eid, "u", "click", datetime(2024, 1, 1, h, 1 + i), 1.0))
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id string, event_type string, ts timestamp, value double"
+    )
+    out = sorted(
+        (r["bucket"], r["n_events"], r["n_prev"], r["trailing_sum"], r["is_burst"])
+        for r in burst_windows(ev, minutes=60, trailing=3, threshold_pct=200).collect()
+    )
+    assert [o[1:] for o in out] == [
+        (1, 0, 0, 0),
+        (1, 1, 1, 0),
+        (1, 2, 2, 0),
+        (10, 3, 3, 1),
+    ]
+
+
+def test_burst_windows_steady_not_flagged(spark):
+    # 2,2,2,2: 2*100*3 = 600 == 200*3 -> strict inequality, no burst
+    from ocaml_rdf_spark.operators.events import burst_windows
+
+    rows = []
+    eid = 0
+    for h in range(4):
+        for i in range(2):
+            eid += 1
+            rows.append((eid, "u", "click", datetime(2024, 1, 1, h, 1 + i), 1.0))
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id string, event_type string, ts timestamp, value double"
+    )
+    out = burst_windows(ev, minutes=60, trailing=3, threshold_pct=200)
+    assert out.agg(F.sum("is_burst")).first()[0] == 0
+
+
+def test_burst_windows_gaps_skipped(spark):
+    # observed-window semantics: hours 0,1,2 then a gap to hour 10 —
+    # hour 10 still has n_prev=3 (the trailing frame is row-based)
+    from ocaml_rdf_spark.operators.events import burst_windows
+
+    rows = []
+    eid = 0
+    for h, n in ((0, 1), (1, 1), (2, 1), (10, 9)):
+        for i in range(n):
+            eid += 1
+            rows.append((eid, "u", "click", datetime(2024, 1, 1, h, 1 + i), 1.0))
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id string, event_type string, ts timestamp, value double"
+    )
+    got = {r["n_events"]: r for r in burst_windows(ev, 60, 3, 200).collect()}
+    assert got[9]["n_prev"] == 3 and got[9]["is_burst"] == 1
+
+
+# ------------------------------------------------------- compression_quality
+
+
+def test_compression_quality_differential(spark):
+    # the mapInPandas plumbing must agree with direct zlib on the same
+    # strings, including empty and unicode text
+    import zlib
+
+    from ocaml_rdf_spark.operators.textops import compression_quality
+
+    texts = [
+        (1, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),   # hyper-compressible
+        (2, "The quick brown fox jumps over the lazy dog."),
+        (3, ""),                                             # empty
+        (4, "héllo wörld ünicode ẞ" * 3),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_bytes"], r["n_compressed"], r["ratio_x1000"])
+           for r in compression_quality(docs).collect()}
+    for did, t in texts:
+        b = t.encode("utf-8")
+        c = len(zlib.compress(b, 6))
+        want = (len(b), c, (1000 * c) // len(b) if b else 1000 * c)
+        assert got[did] == want
+    # the repetitive doc compresses far better than prose
+    assert got[1][2] < got[2][2]
+
+
+def test_compression_quality_null_text(spark):
+    from ocaml_rdf_spark.operators.textops import compression_quality
+
+    docs = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    r = compression_quality(docs).collect()[0]
+    assert r["n_bytes"] == 0 and r["ratio_x1000"] == r["n_compressed"] * 1000
+
+
+# ----------------------------------------------------------------- hyperball
+
+
+def test_hyperball_equals_true_set_estimate(spark):
+    # registers are a pure function of the reached SET: the iterative
+    # merge on a chain must equal hll_estimate over the explicit ball
+    from ocaml_rdf_spark.operators.cc import hyperball
+    from ocaml_rdf_spark.operators.sketches import hll_estimate
+
+    ch = _edges(spark, [(str(i), str(i + 1)) for i in range(1, 5)])
+    got = {r["node"]: (r["nb"], r["s_sum"], r["est"]) for r in hyperball(ch, 8).collect()}
+    full = spark.createDataFrame([(str(v),) for v in range(1, 6)], "member string")
+    want1 = hll_estimate(full, "member").collect()[0]
+    assert got["1"] == (want1["nb"], want1["s_sum"], want1["est"])
+    assert got["5"][2] == 1  # sink reaches only itself
+
+
+def test_hyperball_cycle_uniform(spark):
+    # on a directed cycle every ball is the whole cycle: identical rows
+    from ocaml_rdf_spark.operators.cc import hyperball
+
+    cyc = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+    rows = hyperball(cyc, 8).collect()
+    assert len({(r["nb"], r["s_sum"], r["est"]) for r in rows}) == 1
+    assert rows[0]["est"] == 3
+
+
+def test_hyperball_hop_cap(spark):
+    # cap 1: each node's ball is itself + direct successors only
+    from ocaml_rdf_spark.operators.cc import hyperball
+
+    ch = _edges(spark, [("1", "2"), ("2", "3"), ("3", "4")])
+    got = {r["node"]: r["est"] for r in hyperball(ch, 1).collect()}
+    assert got == {"1": 2, "2": 2, "3": 2, "4": 1}
+
+
+def test_hyperball_fuzz_vs_duckdb_set_mirror(spark):
+    # random digraphs: iterative register merge ≡ registers of the TRUE
+    # reachable set computed by an independent DuckDB BFS + hash mirror
+    import duckdb
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from ocaml_rdf_spark.operators.cc import hyperball
+    from ocaml_rdf_spark.operators.sketches import hll_oracle_sql
+
+    edge = st.tuples(st.integers(0, 5), st.integers(0, 5))
+    edges_st = st.lists(edge, min_size=1, max_size=12, unique=True)
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(pairs=edges_st, hops=st.integers(1, 4))
+    def _case(pairs, hops):
+        got = sorted(
+            map(tuple, hyperball(_edges(spark, [(f"n{a}", f"n{b}") for a, b in pairs]), hops).collect())
+        )
+        con = duckdb.connect()
+        con.execute("CREATE TABLE e (src VARCHAR, dst VARCHAR)")
+        con.executemany("INSERT INTO e VALUES (?, ?)",
+                        [(f"n{a}", f"n{b}") for a, b in pairs])
+        con.execute("""
+            CREATE TABLE reach AS
+            SELECT node, node AS member, 0 AS dist FROM (
+              SELECT src AS node FROM e UNION SELECT dst FROM e
+            )""")
+        for h in range(1, hops + 1):
+            con.execute(f"""
+                INSERT INTO reach
+                SELECT x.node, x.member, {h} FROM (
+                  SELECT DISTINCT r.node, e.dst AS member
+                  FROM reach r JOIN e ON e.src = r.member WHERE r.dist = {h - 1}
+                ) x
+                WHERE NOT EXISTS (
+                  SELECT 1 FROM reach p WHERE p.node = x.node AND p.member = x.member
+                )""")
+        want = sorted(map(tuple, con.execute(
+            hll_oracle_sql("reach", "member", ["node"], estimate=True)
+        ).fetchall()))
+        assert got == want
+
+    _case()
