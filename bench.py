@@ -272,6 +272,7 @@ def main() -> None:
         "burst_windows",
         "compression_quality",
         "hyperball",
+        "er_bcubed",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

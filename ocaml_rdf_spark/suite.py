@@ -10036,3 +10036,55 @@ h AS"""
 SQL_HYPERBALL = _sql_hyperball()
 
 QUERIES["hyperball"] = (q_hyperball, SQL_HYPERBALL)
+
+
+def q_er_bcubed(spark, sf):
+    """B-cubed ER evaluation on the exact er_metrics fixture (every 50th
+    customer exiled): the per-record view that punishes big-cluster
+    errors pairwise F1 under-weights — reported beside er_metrics."""
+    from .operators.linking import er_bcubed_metrics
+
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    gold = cust.select(
+        F.concat(F.lit("urn:cu:"), "c_custkey").alias("node"),
+        F.concat(F.lit("n"), "c_nationkey").alias("cluster"),
+    )
+    pred = cust.select(
+        F.concat(F.lit("urn:cu:"), "c_custkey").alias("node"),
+        F.when(
+            F.col("c_custkey") % 50 == 0, F.concat(F.lit("x"), "c_mktsegment")
+        ).otherwise(F.concat(F.lit("n"), "c_nationkey")).alias("cluster"),
+    )
+    return er_bcubed_metrics(pred, gold)
+
+
+SQL_ER_BCUBED = """
+WITH j AS (
+  SELECT 'urn:cu:'||c_custkey AS node,
+         CASE WHEN c_custkey % 50 = 0 THEN 'x'||c_mktsegment ELSE 'n'||c_nationkey END AS pc,
+         'n'||c_nationkey AS gc
+  FROM customer
+),
+cells AS (SELECT pc, gc, COUNT(*) AS n FROM j GROUP BY pc, gc),
+psz AS (SELECT pc, COUNT(*) AS size_pc FROM j GROUP BY pc),
+gsz AS (SELECT gc, COUNT(*) AS size_gc FROM j GROUP BY gc),
+folded AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_records,
+         SUM(n * (n * 1000000 // size_pc)) AS ps,
+         SUM(n * (n * 1000000 // size_gc)) AS rs
+  FROM cells JOIN psz USING (pc) JOIN gsz USING (gc)
+),
+pr AS (
+  SELECT n_records,
+         CAST(CASE WHEN n_records = 0 THEN 0 ELSE ps // n_records END AS BIGINT) AS bcubed_p_ppm,
+         CAST(CASE WHEN n_records = 0 THEN 0 ELSE rs // n_records END AS BIGINT) AS bcubed_r_ppm
+  FROM folded
+)
+SELECT n_records, bcubed_p_ppm, bcubed_r_ppm,
+       CAST(CASE WHEN bcubed_p_ppm + bcubed_r_ppm = 0 THEN 0
+                 ELSE 2 * bcubed_p_ppm * bcubed_r_ppm // (bcubed_p_ppm + bcubed_r_ppm)
+            END AS BIGINT) AS bcubed_f1_ppm
+FROM pr
+"""
+
+QUERIES["er_bcubed"] = (q_er_bcubed, SQL_ER_BCUBED)

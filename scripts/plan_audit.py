@@ -1201,6 +1201,13 @@ def main() -> None:
             ("reduction is partial+final hash agg", r"HashAggregate"),
             ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
         ]),
+        ("er_bcubed", [
+            # three count aggs + two tiny size joins; nothing pair-shaped
+            ("no cartesian product in the fold", r"CartesianProduct", "absent"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("cell/marginal hash aggs", r"HashAggregate"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
         ("hyperball", [
             # merge rounds run inside per-round localCheckpoints; the final
             # plan is the register read path: one node-keyed agg, no joins

@@ -491,3 +491,71 @@ def test_hyperball_fuzz_vs_duckdb_set_mirror(spark):
         assert got == want
 
     _case()
+
+
+# ------------------------------------------------------------------- b-cubed
+
+
+def test_bcubed_perfect_clustering(spark):
+    from ocaml_rdf_spark.operators.linking import er_bcubed_metrics
+
+    pred = spark.createDataFrame(
+        [("a", "1"), ("b", "1"), ("c", "2")], "node string, cluster string"
+    )
+    r = er_bcubed_metrics(pred, pred).collect()[0]
+    assert (r["n_records"], r["bcubed_p_ppm"], r["bcubed_r_ppm"], r["bcubed_f1_ppm"]) == (
+        3, 1000000, 1000000, 1000000
+    )
+
+
+def test_bcubed_hand_computed_split(spark):
+    # gold: {a,b,c,d} one cluster; pred splits it {a,b} {c,d}:
+    # precision per record = 2/2 = 1; recall per record = 2/4 = 0.5
+    from ocaml_rdf_spark.operators.linking import er_bcubed_metrics
+
+    gold = spark.createDataFrame(
+        [("a", "g"), ("b", "g"), ("c", "g"), ("d", "g")], "node string, cluster string"
+    )
+    pred = spark.createDataFrame(
+        [("a", "p1"), ("b", "p1"), ("c", "p2"), ("d", "p2")], "node string, cluster string"
+    )
+    r = er_bcubed_metrics(pred, gold).collect()[0]
+    assert r["bcubed_p_ppm"] == 1000000
+    assert r["bcubed_r_ppm"] == 500000
+    # f1 = 2*1.0*0.5/1.5 = 2/3 -> 666666 ppm (floored)
+    assert r["bcubed_f1_ppm"] == 666666
+
+
+def test_bcubed_vs_pairwise_big_cluster_merge(spark):
+    # merging two gold clusters of 3 into one predicted cluster of 6:
+    # per-record precision = 3/6 = 0.5 exactly; pairwise precision =
+    # 6/15 = 0.4 — the known divergence B-cubed exists to expose
+    from ocaml_rdf_spark.operators.linking import er_bcubed_metrics, er_pair_metrics
+
+    gold = spark.createDataFrame(
+        [(c, "g1") for c in "abc"] + [(c, "g2") for c in "def"],
+        "node string, cluster string",
+    )
+    pred = spark.createDataFrame(
+        [(c, "p") for c in "abcdef"], "node string, cluster string"
+    )
+    b = er_bcubed_metrics(pred, gold).collect()[0]
+    p = er_pair_metrics(pred, gold).collect()[0]
+    assert b["bcubed_p_ppm"] == 500000
+    assert p["precision_ppm"] == 400000
+    assert b["bcubed_r_ppm"] == 1000000 and p["recall_ppm"] == 1000000
+
+
+def test_bcubed_scores_node_intersection_only(spark):
+    # nodes present on one side only carry no evidence (er_pair_metrics rule)
+    from ocaml_rdf_spark.operators.linking import er_bcubed_metrics
+
+    gold = spark.createDataFrame(
+        [("a", "g"), ("b", "g"), ("z", "g")], "node string, cluster string"
+    )
+    pred = spark.createDataFrame(
+        [("a", "p"), ("b", "p"), ("q", "p")], "node string, cluster string"
+    )
+    r = er_bcubed_metrics(pred, gold).collect()[0]
+    assert r["n_records"] == 2
+    assert r["bcubed_p_ppm"] == 1000000 and r["bcubed_r_ppm"] == 1000000
