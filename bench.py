@@ -273,6 +273,7 @@ def main() -> None:
         "compression_quality",
         "hyperball",
         "er_bcubed",
+        "jl_project",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

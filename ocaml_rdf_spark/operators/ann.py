@@ -364,3 +364,40 @@ def bitext_margin(
         .filter((F.col("rn") == 1) & (F.col("margin_ppm") >= margin_ppm_threshold))
         .select("src_id", "dst_id", "sim_x1e8", "margin_ppm")
     )
+
+
+def _jl_signs(j: int, dim: int) -> list:
+    """Deterministic ±1 row j of the projection matrix — one md5 hex
+    digit per (j, d), the hyperplane_sign convention."""
+    return [
+        1.0 if int(hashlib.md5(f"jl:{j}:{d}".encode()).hexdigest()[0], 16) % 2 == 1 else -1.0
+        for d in range(dim)
+    ]
+
+
+def jl_project(vectors: DataFrame, out_dim: int = 8, dim: int = 64) -> DataFrame:
+    """Johnson-Lindenstrauss random projection with a deterministic ±1
+    (Achlioptas 2003) matrix → (vec_id, proj array<double>): the
+    embedding-compression step before storing/joining 100 TB of vectors —
+    pairwise distances survive within (1±ε) at out_dim = O(log n / ε²),
+    and every downstream ANN/near-dup operator here runs unchanged on
+    the projected column at dim/out_dim of the IO.
+
+    Determinism contract: matrix entries are md5-derived (the
+    hyperplane_sign convention — no RNG state, reproducible across
+    sessions/engines); each output component is the package's standard
+    left-fold dot product, bit-identical to DuckDB's list_dot_product,
+    so the projection is value-oracle-able cross-engine with zero
+    tolerance. (Scaling by 1/√out_dim is deliberately NOT applied —
+    a constant factor is irrelevant to cosine/top-k and would cost
+    exactness; documented.)
+
+    Scale: map-only (zero shuffles) — out_dim fused dot products per
+    row inside one projection, whole-stage codegen'd."""
+    comps = [
+        F.array([F.lit(v) for v in _jl_signs(j, dim)]) for j in range(int(out_dim))
+    ]
+    return vectors.select(
+        "vec_id",
+        F.array([_dot(F.col("embedding"), c) for c in comps]).alias("proj"),
+    )

@@ -10088,3 +10088,44 @@ FROM pr
 """
 
 QUERIES["er_bcubed"] = (q_er_bcubed, SQL_ER_BCUBED)
+
+
+def q_jl_project(spark, sf):
+    """JL ±1 projection of the 64-d embeddings to 8 components, exploded
+    to (vec_id, j, val_x1e4) — each component is the left-fold dot
+    product, bit-identical to DuckDB list_dot_product."""
+    from .operators.ann import jl_project
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    p = jl_project(emb, out_dim=8, dim=64)
+    return p.select("vec_id", F.posexplode("proj").alias("j", "d")).select(
+        "vec_id",
+        F.col("j").cast("int").alias("j"),
+        F.round(F.col("d") * 10000).cast("long").alias("val_x1e4"),
+    )
+
+
+def _sql_jl_project() -> str:
+    from .operators.ann import _jl_signs
+
+    rows = []
+    for j in range(8):
+        arr = ", ".join(str(v) for v in _jl_signs(j, 64))
+        # DOUBLE[] cast is load-bearing: list_dot_product over the raw
+        # FLOAT[] column accumulates in float precision (500/500 last-ulp
+        # mismatches vs Spark's double left fold, measured); over DOUBLE[]
+        # it is bit-identical
+        rows.append(
+            f"SELECT vec_id, {j} AS j, "
+            f"list_dot_product(CAST(embedding AS DOUBLE[]), [{arr}]) AS d FROM embeddings"
+        )
+    return (
+        "WITH p AS (\n" + "\nUNION ALL\n".join(rows) + "\n)\n"
+        "SELECT vec_id, CAST(j AS INT) AS j, "
+        "CAST(round(d * 10000) AS BIGINT) AS val_x1e4 FROM p"
+    )
+
+
+SQL_JL_PROJECT = _sql_jl_project()
+
+QUERIES["jl_project"] = (q_jl_project, SQL_JL_PROJECT)

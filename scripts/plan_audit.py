@@ -1201,6 +1201,13 @@ def main() -> None:
             ("reduction is partial+final hash agg", r"HashAggregate"),
             ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
         ]),
+        ("jl_project", [
+            # linear map fused into the scan: zero shuffles, zero joins
+            ("map-only: zero shuffles", r"Exchange", "absent"),
+            ("no join anywhere", r"Join", "absent"),
+            ("pruned scan (vec_id + embedding only)", r"ReadSchema: struct<vec_id:bigint,embedding"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
         ("er_bcubed", [
             # three count aggs + two tiny size joins; nothing pair-shaped
             ("no cartesian product in the fold", r"CartesianProduct", "absent"),

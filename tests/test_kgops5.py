@@ -559,3 +559,40 @@ def test_bcubed_scores_node_intersection_only(spark):
     r = er_bcubed_metrics(pred, gold).collect()[0]
     assert r["n_records"] == 2
     assert r["bcubed_p_ppm"] == 1000000 and r["bcubed_r_ppm"] == 1000000
+
+
+# ---------------------------------------------------------------- jl_project
+
+
+def test_jl_project_shape_and_determinism(spark):
+    from ocaml_rdf_spark.operators.ann import jl_project
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(20)
+    a = {r["vec_id"]: r["proj"] for r in jl_project(emb, 8, 64).collect()}
+    b = {r["vec_id"]: r["proj"] for r in jl_project(emb, 8, 64).collect()}
+    assert all(len(v) == 8 for v in a.values())
+    assert a == b  # md5 matrix + left fold: no RNG state anywhere
+
+
+def test_jl_project_preserves_relative_distance(spark):
+    # identical vectors project identically; a vector vs its negation
+    # lands at the mirrored point — exact properties of a linear +/-1 map
+    from ocaml_rdf_spark.operators.ann import jl_project
+
+    base = [float(i % 7) - 3.0 for i in range(64)]
+    neg = [-x for x in base]
+    df = spark.createDataFrame(
+        [(1, base), (2, list(base)), (3, neg)], "vec_id long, embedding array<float>"
+    )
+    p = {r["vec_id"]: r["proj"] for r in jl_project(df, 8, 64).collect()}
+    assert p[1] == p[2]
+    assert p[3] == [-x for x in p[1]]
+
+
+def test_jl_project_distinguishes_far_vectors(spark):
+    # statistical sanity on the real table: nonzero distinct projections
+    from ocaml_rdf_spark.operators.ann import jl_project
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
+    rows = [tuple(r["proj"]) for r in jl_project(emb, 8, 64).collect()]
+    assert len(set(rows)) == len(rows)  # 64d->8d keeps 50 real vectors apart
