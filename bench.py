@@ -274,6 +274,7 @@ def main() -> None:
         "hyperball",
         "er_bcubed",
         "jl_project",
+        "zorder",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

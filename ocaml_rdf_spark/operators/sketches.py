@@ -526,3 +526,45 @@ def bloom_probe(
     return joined.groupBy("id").agg(
         F.when(F.sum("__hit") == int(k), F.lit(1)).otherwise(F.lit(0)).alias("maybe_seen")
     )
+
+
+def zorder_key(a: Column, b: Column, bits: int = 16) -> Column:
+    """Z-order (Morton) interleave of two non-negative integer columns'
+    low `bits` bits → BIGINT sort key — the multi-dimensional layout key
+    (Iceberg/Delta `ZORDER BY`): range-partition + sort the table by
+    this key and BOTH columns' min/max file statistics stay tight, so a
+    predicate on EITHER dimension prunes files (a plain (host, ts) sort
+    prunes only its leading column — the classic wide-table scan trap at
+    100 TB). Callers bucket/offset real values into the bit budget first
+    (2·bits ≤ 62 guard enforced).
+
+    Exactness: pure bit algebra, unrolled shift/mask terms — identical
+    BIGINT on every engine; value-oracled, no float anywhere."""
+    if bits < 1 or 2 * bits > 62:
+        raise ValueError("zorder_key: need 1 <= bits and 2*bits <= 62")
+    aa = a.cast("long")
+    bb = b.cast("long")
+    key = F.lit(0).cast("long")
+    for i in range(int(bits)):
+        abit = F.shiftright(aa, i).bitwiseAND(F.lit(1))
+        bbit = F.shiftright(bb, i).bitwiseAND(F.lit(1))
+        key = key + F.shiftleft(abit, 2 * i + 1) + F.shiftleft(bbit, 2 * i)
+    return key
+
+
+def zorder_layout(
+    df: DataFrame, col_a: str, col_b: str, bits: int = 16, partitions: int = 0
+) -> DataFrame:
+    """Apply the Z-order layout: range-repartition on the interleaved key
+    (one shuffle; range bounds from Spark's sampling) then sort each
+    output file by it — every written file covers a tight Z-curve
+    segment, i.e. a small rectangle in (a, b) space, which is exactly
+    what per-file min/max pruning needs. `partitions=0` keeps the
+    session's shuffle parallelism (AQE may coalesce)."""
+    keyed = df.withColumn("__z", zorder_key(F.col(col_a), F.col(col_b), bits))
+    parted = (
+        keyed.repartitionByRange(int(partitions), "__z")
+        if partitions
+        else keyed.repartitionByRange("__z")
+    )
+    return parted.sortWithinPartitions("__z").drop("__z")

@@ -10129,3 +10129,39 @@ def _sql_jl_project() -> str:
 SQL_JL_PROJECT = _sql_jl_project()
 
 QUERIES["jl_project"] = (q_jl_project, SQL_JL_PROJECT)
+
+
+def q_zorder(spark, sf):
+    """Z-order key of (custkey mod 1024, nationkey) at 10 bits — the
+    Iceberg multi-dimensional layout key, pure bit algebra."""
+    from .operators.sketches import zorder_key
+
+    cu = spark.read.parquet(f"{sf}/customer.parquet")
+    return cu.select(
+        F.col("c_custkey").cast("long").alias("id"),
+        zorder_key(
+            F.col("c_custkey").cast("long") % 1024,
+            F.col("c_nationkey").cast("long"),
+            bits=10,
+        ).alias("zkey"),
+    )
+
+
+def _sql_zorder(bits: int = 10) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((a >> {i}) & 1) << {2 * i + 1}) + (((b >> {i}) & 1) << {2 * i})")
+    return f"""
+WITH cu AS (
+  SELECT CAST(c_custkey AS BIGINT) AS id,
+         CAST(c_custkey AS BIGINT) % 1024 AS a,
+         CAST(c_nationkey AS BIGINT) AS b
+  FROM customer
+)
+SELECT id, CAST({" + ".join(terms)} AS BIGINT) AS zkey FROM cu
+"""
+
+
+SQL_ZORDER = _sql_zorder()
+
+QUERIES["zorder"] = (q_zorder, SQL_ZORDER)

@@ -1201,6 +1201,12 @@ def main() -> None:
             ("reduction is partial+final hash agg", r"HashAggregate"),
             ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
         ]),
+        ("zorder", [
+            # bit algebra fused into the scan: no shuffle, no join
+            ("map-only: zero shuffles", r"Exchange", "absent"),
+            ("no join anywhere", r"Join", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
         ("jl_project", [
             # linear map fused into the scan: zero shuffles, zero joins
             ("map-only: zero shuffles", r"Exchange", "absent"),

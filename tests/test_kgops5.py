@@ -596,3 +596,51 @@ def test_jl_project_distinguishes_far_vectors(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
     rows = [tuple(r["proj"]) for r in jl_project(emb, 8, 64).collect()]
     assert len(set(rows)) == len(rows)  # 64d->8d keeps 50 real vectors apart
+
+
+# -------------------------------------------------------------------- zorder
+
+
+def test_zorder_key_hand_values(spark):
+    from ocaml_rdf_spark.operators.sketches import zorder_key
+
+    df = spark.createDataFrame(
+        [(0, 0), (3, 1), (1, 3), (1023, 1023)], "a long, b long"
+    )
+    got = [r["z"] for r in df.select(zorder_key(F.col("a"), F.col("b"), 10).alias("z"))
+           .collect()]
+    # a bits land at odd positions, b bits at even: (3,1)->0b1011=11,
+    # (1,3)->0b0111=7, (1023,1023)->2^20-1
+    assert got == [0, 11, 7, (1 << 20) - 1]
+
+
+def test_zorder_key_guard(spark):
+    from ocaml_rdf_spark.operators.sketches import zorder_key
+
+    with pytest.raises(ValueError):
+        zorder_key(F.lit(1), F.lit(1), 32)
+
+
+def test_zorder_layout_partitions_are_z_disjoint(spark):
+    # range partitioning on the key => partitions cover disjoint z ranges
+    # (each output file = one tight Z-curve segment), rows preserved
+    from pyspark.sql.functions import spark_partition_id
+
+    from ocaml_rdf_spark.operators.sketches import zorder_key, zorder_layout
+
+    cu = spark.read.parquet("/root/testdata/sf0.001/customer.parquet").select(
+        (F.col("c_custkey").cast("long") % 64).alias("a"),
+        F.col("c_nationkey").cast("long").alias("b"),
+    )
+    out = zorder_layout(cu, "a", "b", bits=6, partitions=4)
+    assert out.count() == cu.count()
+    spans = (
+        out.withColumn("z", zorder_key(F.col("a"), F.col("b"), 6))
+        .withColumn("p", spark_partition_id())
+        .groupBy("p")
+        .agg(F.min("z").alias("lo"), F.max("z").alias("hi"))
+        .collect()
+    )
+    spans = sorted((r["lo"], r["hi"]) for r in spans)
+    for (l1, h1), (l2, h2) in zip(spans, spans[1:]):
+        assert h1 <= l2
