@@ -275,6 +275,7 @@ def main() -> None:
         "er_bcubed",
         "jl_project",
         "zorder",
+        "closeness",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

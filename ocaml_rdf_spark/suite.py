@@ -10165,3 +10165,37 @@ SELECT id, CAST({" + ".join(terms)} AS BIGINT) AS zkey FROM cu
 SQL_ZORDER = _sql_zorder()
 
 QUERIES["zorder"] = (q_zorder, SQL_ZORDER)
+
+
+def q_closeness(spark, sf):
+    """Sampled closeness from the first three customers over the chain:
+    node v reached by seeds s<v within 6 hops at distance v-s — k/D in
+    exact ppm, closed-form oracle."""
+    from .operators.cc import closeness_centrality
+
+    cu = spark.read.parquet(f"{sf}/customer.parquet").select(
+        F.col("c_custkey").cast("long").alias("k")
+    )
+    ks = cu.select(F.col("k").alias("d"))
+    e = cu.select("k", (F.col("k") + 1).alias("d")).join(ks, "d").select(
+        F.col("k").cast("string").alias("src"), F.col("d").cast("string").alias("dst")
+    )
+    seeds = cu.filter(F.col("k") <= 3).select(F.col("k").cast("string").alias("node"))
+    return closeness_centrality(e, seeds, max_hops=6)
+
+
+SQL_CLOSENESS = """
+WITH cu AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer),
+seeds AS (SELECT k AS s FROM cu WHERE k <= 3),
+pairs AS (
+  SELECT v.k AS v, v.k - se.s AS dist
+  FROM cu v JOIN seeds se ON v.k > se.s AND v.k <= se.s + 6
+)
+SELECT CAST(v AS VARCHAR) AS node,
+       CAST(COUNT(*) AS BIGINT) AS n_sources,
+       CAST(SUM(dist) AS BIGINT) AS total_dist,
+       CAST(1000000 * COUNT(*) // SUM(dist) AS BIGINT) AS closeness
+FROM pairs GROUP BY v
+"""
+
+QUERIES["closeness"] = (q_closeness, SQL_CLOSENESS)

@@ -644,3 +644,21 @@ def test_zorder_layout_partitions_are_z_disjoint(spark):
     spans = sorted((r["lo"], r["hi"]) for r in spans)
     for (l1, h1), (l2, h2) in zip(spans, spans[1:]):
         assert h1 <= l2
+
+
+# ----------------------------------------------------------------- closeness
+
+
+def test_closeness_chain(spark):
+    # chain 1..5, seeds {1,2}: node 3 reached at distances 2,1 ->
+    # closeness = 2e6 // 3 = 666666; node 2 only from seed 1 at 1 -> 1e6
+    from ocaml_rdf_spark.operators.cc import closeness_centrality
+
+    ch = _edges(spark, [(str(i), str(i + 1)) for i in range(1, 5)])
+    sd = spark.createDataFrame([("1",), ("2",)], "node string")
+    out = {r["node"]: (r["n_sources"], r["total_dist"], r["closeness"])
+           for r in closeness_centrality(ch, sd, 8).collect()}
+    assert out["2"] == (1, 1, 1000000)
+    assert out["3"] == (2, 3, 666666)
+    assert out["5"] == (2, 7, 285714)
+    assert "1" not in out  # seed reached by nobody -> no row (dist>0 filter)
