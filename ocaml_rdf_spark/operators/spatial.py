@@ -131,28 +131,45 @@ def grid_dbscan(points: DataFrame, radius: int, min_pts: int = 3) -> DataFrame:
     component step is the package CC kernel (large/small-star, O(log n)
     rounds); border attachment is one hash join + min agg. Dense blobs
     cost what their true pair count costs — the DBSCAN lower bound."""
-    pairs = grid_radius_join(points, points, radius)  # includes self-pairs
+    # pairs feeds THREE consumers (degree count, core-core edges, border
+    # attach) — checkpoint the shared node or the grid join re-executes
+    # per consumer (the textops gram-table discipline; measured 3x cost
+    # at sf0.1 without it). Ids go to string ONCE here: joining a long id
+    # against the string cluster labels later would coerce both sides
+    # (lossy for 2^53+ ids at corpus scale).
+    pairs = (
+        grid_radius_join(points, points, radius)
+        .select(
+            F.col("id_a").cast("string").alias("id_a"),
+            F.col("id_b").cast("string").alias("id_b"),
+        )
+        .localCheckpoint(eager=False)
+    )
     deg = pairs.groupBy("id_a").agg(F.count(F.lit(1)).alias("n_nbrs"))
-    core = deg.filter(F.col("n_nbrs") >= int(min_pts)).select(F.col("id_a").alias("id"))
-    cast = F.col("id").cast("string")
-    core_s = core.select(cast.alias("id"))
+    core_s = deg.filter(F.col("n_nbrs") >= int(min_pts)).select(
+        F.col("id_a").alias("id")
+    )
+    # one canonical direction only — the CC kernel symmetrizes internally
+    # (_large_star/_sym), so feeding both (a,b) and (b,a) just doubles the
+    # first round's dedup volume
     cc_edges = (
-        pairs.filter(F.col("id_a") != F.col("id_b"))
+        pairs.filter(F.col("id_a") < F.col("id_b"))
         .join(core_s.select(F.col("id").alias("id_a")), "id_a")
         .join(core_s.select(F.col("id").alias("id_b")), "id_b")
-        .select(F.col("id_a").cast("string").alias("src"), F.col("id_b").cast("string").alias("dst"))
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
     from .cc import connected_components
 
     comp = connected_components(cc_edges)  # (node, component) — strings
-    # isolated cores (no other core in range) are their own cluster
+    # isolated cores (no other core in range) are their own cluster;
+    # two consumers (its own rows + the border attach): same discipline
     core_lab = (
         core_s.join(comp, core_s["id"] == comp["node"], "left")
         .select("id", F.coalesce("component", "id").alias("cluster"))
-    )
+    ).localCheckpoint(eager=False)
     border = (
         pairs.filter(F.col("id_a") != F.col("id_b"))
-        .select(F.col("id_a").cast("string").alias("id"), F.col("id_b").cast("string").alias("nbr"))
+        .select(F.col("id_a").alias("id"), F.col("id_b").alias("nbr"))
         .join(core_lab.select(F.col("id").alias("id")).withColumn("is_core", F.lit(1)), "id", "left")
         .filter(F.col("is_core").isNull())  # non-core probe points
         .join(core_lab.select(F.col("id").alias("nbr"), "cluster"), "nbr")
