@@ -276,6 +276,7 @@ def main() -> None:
         "jl_project",
         "zorder",
         "closeness",
+        "ppr_push",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

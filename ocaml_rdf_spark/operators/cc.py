@@ -1342,3 +1342,82 @@ def closeness_centrality(
             f"ELSE CAST({int(scale)} AS BIGINT) * n_sources div total_dist END"
         ),
     )
+
+
+def ppr_push(
+    edges: DataFrame,
+    seeds: DataFrame,
+    alpha_pct: int = 15,
+    eps_ppm: int = 1000,
+    max_rounds: int = 20,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Forward-push approximate personalized PageRank (Andersen-Chung-
+    Lang FOCS'06) → (node, p, r): estimate p and residual r in 1/`scale`
+    units. The LOCAL alternative to the power-iteration `pagerank(seeds=
+    ...)`: state exists only where mass has actually reached — a seed's
+    neighborhood — so a single entity's context scores touch thousands
+    of rows of a 10^12-node graph, not all of it (power iteration is the
+    all-nodes tool; push is the per-query one).
+
+    Integer contract (the pagerank/modularity rule): a node with
+    r(v) ≥ eps_ppm·outdeg(v) pushes — p(v) += α·r(v) div 100, each
+    out-neighbor receives (100−α)·r(v) div (100·deg); the FLOOR
+    REMAINDERS STAY IN r(v) instead of leaking, so total mass
+    p+r == scale·|seeds| is conserved EXACTLY at every round (the
+    invariant the tests pin) and the fixpoint is bit-identical across
+    engines and partitionings. Dangling actives (outdeg 0) absorb their
+    whole residual into p. Terminates when no node is active or after
+    `max_rounds` (each round: one active×edges equi-join + one
+    map-side-combined sum, checkpointed)."""
+    if not (0 < alpha_pct < 100):
+        raise ValueError("alpha_pct must be in (0, 100)")
+    e = edges.select("src", "dst").dropDuplicates()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    state = (
+        seeds.select(F.col("node")).dropDuplicates()
+        .select("node", F.lit(0).cast("long").alias("p"), F.lit(int(scale)).cast("long").alias("r"))
+    )
+    a, s = int(alpha_pct), int(eps_ppm)
+    for _ in range(max_rounds):
+        st = state.join(deg, state["node"] == deg["src"], "left").select(
+            "node", "p", "r", F.coalesce("deg", F.lit(0)).alias("deg")
+        )
+        # r > 0 is part of activity: a drained dangling node (r = 0,
+        # deg = 0) must not count as active or the early-exit never fires
+        active = (F.col("r") > 0) & (F.col("r") >= F.lit(s) * F.col("deg"))
+        dangling = F.col("deg") == 0
+        # the residual an active node keeps = its floor remainders
+        push_p = F.when(
+            active & dangling, F.col("r")
+        ).when(active, F.expr(f"{a} * r div 100")).otherwise(F.lit(0))
+        share = F.when(
+            active & ~dangling, F.expr(f"(100 - {a}) * r div (100 * deg)")
+        ).otherwise(F.lit(0))
+        kept = st.select(
+            "node",
+            (F.col("p") + push_p).alias("p"),
+            F.when(active, F.col("r") - push_p - share * F.col("deg"))
+            .otherwise(F.col("r"))
+            .alias("r"),
+            share.alias("share"),
+        ).localCheckpoint(eager=False)
+        if st.filter(active).limit(1).isEmpty():
+            return kept.select("node", "p", "r")
+        inflow = (
+            kept.filter(F.col("share") > 0)
+            .join(e, kept["node"] == e["src"])
+            .select(F.col("dst").alias("node"), F.col("share").alias("dr"))
+            .groupBy("node")
+            .agg(F.sum("dr").alias("dr"))
+        )
+        state = (
+            kept.select("node", "p", "r")
+            .join(inflow, "node", "full_outer")
+            .select(
+                "node",
+                F.coalesce("p", F.lit(0)).cast("long").alias("p"),
+                (F.coalesce("r", F.lit(0)) + F.coalesce("dr", F.lit(0))).cast("long").alias("r"),
+            )
+        ).localCheckpoint(eager=False)
+    return state.select("node", "p", "r")

@@ -10199,3 +10199,76 @@ FROM pairs GROUP BY v
 """
 
 QUERIES["closeness"] = (q_closeness, SQL_CLOSENESS)
+
+
+def q_ppr_push(spark, sf):
+    """Forward-push approximate PPR from the lowest-key customers over
+    the chain (alpha 50%, eps 1000 ppm): geometric decay with exact
+    floor-remainder conservation — p+r sums to scale per seed."""
+    from .operators.cc import ppr_push
+
+    cu = spark.read.parquet(f"{sf}/customer.parquet").select(
+        F.col("c_custkey").cast("long").alias("k")
+    )
+    ks = cu.select(F.col("k").alias("d"))
+    e = cu.select("k", (F.col("k") + 1).alias("d")).join(ks, "d").select(
+        F.col("k").cast("string").alias("src"), F.col("d").cast("string").alias("dst")
+    )
+    seeds = cu.filter(F.col("k") <= 1).select(F.col("k").cast("string").alias("node"))
+    return ppr_push(e, seeds, alpha_pct=50, eps_ppm=1000, max_rounds=12)
+
+
+def _sql_ppr(rounds: int) -> str:
+    """Unrolled mirror of ppr_push's integer round semantics (MATERIALIZED
+    per round — the ktruss CTE-inlining lesson); extra rounds past the
+    no-active fixpoint are identities."""
+    head = """
+WITH cu AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer),
+e AS MATERIALIZED (
+  SELECT CAST(k AS VARCHAR) AS src, CAST(k + 1 AS VARCHAR) AS dst
+  FROM cu WHERE k + 1 IN (SELECT k FROM cu)
+),
+dg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+s0 AS MATERIALIZED (
+  SELECT CAST(k AS VARCHAR) AS node, CAST(0 AS BIGINT) AS p,
+         CAST(1000000 AS BIGINT) AS r
+  FROM cu WHERE k <= 1
+)"""
+    blocks = []
+    for i in range(rounds):
+        cur, nxt = f"s{i}", f"s{i + 1}"
+        blocks.append(f""",
+st{i} AS MATERIALIZED (
+  SELECT s.node, s.p, s.r, COALESCE(d.deg, 0) AS deg
+  FROM {cur} s LEFT JOIN dg d ON d.src = s.node
+),
+k{i} AS MATERIALIZED (
+  SELECT node,
+    p + CASE WHEN r > 0 AND r >= 1000 * deg AND deg = 0 THEN r
+             WHEN r > 0 AND r >= 1000 * deg THEN 50 * r // 100
+             ELSE 0 END AS p,
+    CASE WHEN r > 0 AND r >= 1000 * deg AND deg = 0 THEN 0
+         WHEN r > 0 AND r >= 1000 * deg
+              THEN r - 50 * r // 100 - ((50 * r) // (100 * deg)) * deg
+         ELSE r END AS r,
+    CASE WHEN r > 0 AND r >= 1000 * deg AND deg > 0
+         THEN (50 * r) // (100 * deg) ELSE 0 END AS share
+  FROM st{i}
+),
+{nxt} AS MATERIALIZED (
+  SELECT COALESCE(a.node, b.node) AS node,
+         CAST(COALESCE(a.p, 0) AS BIGINT) AS p,
+         CAST(COALESCE(a.r, 0) + COALESCE(b.dr, 0) AS BIGINT) AS r
+  FROM (SELECT node, p, r FROM k{i}) a
+  FULL OUTER JOIN (
+    SELECT e.dst AS node, SUM(x.share) AS dr
+    FROM k{i} x JOIN e ON e.src = x.node WHERE x.share > 0 GROUP BY e.dst
+  ) b ON b.node = a.node
+)""")
+        final = f"\nSELECT node, p, r FROM s{i + 1}"
+    return head + "".join(blocks) + final
+
+
+SQL_PPR_PUSH = _sql_ppr(12)
+
+QUERIES["ppr_push"] = (q_ppr_push, SQL_PPR_PUSH)

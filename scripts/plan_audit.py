@@ -1201,6 +1201,13 @@ def main() -> None:
             ("reduction is partial+final hash agg", r"HashAggregate"),
             ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
         ]),
+        ("ppr_push", [
+            # rounds run inside localCheckpoints; final plan = the last
+            # full-outer residual merge + projection — hash join, no BNLJ
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
         ("zorder", [
             # bit algebra fused into the scan: no shuffle, no join
             ("map-only: zero shuffles", r"Exchange", "absent"),

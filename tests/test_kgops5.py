@@ -662,3 +662,60 @@ def test_closeness_chain(spark):
     assert out["3"] == (2, 3, 666666)
     assert out["5"] == (2, 7, 285714)
     assert "1" not in out  # seed reached by nobody -> no row (dist>0 filter)
+
+
+# ------------------------------------------------------------------ ppr_push
+
+
+def test_ppr_push_chain_geometric(spark):
+    # alpha 50 on a chain: p halves per hop, dangling end absorbs, and
+    # total mass p+r stays EXACTLY scale (floor remainders never leak)
+    from ocaml_rdf_spark.operators.cc import ppr_push
+
+    ch = _edges(spark, [(str(i), str(i + 1)) for i in range(1, 5)])
+    sd = spark.createDataFrame([("1",)], "node string")
+    rows = {r["node"]: (r["p"], r["r"]) for r in ppr_push(ch, sd, 50, 1000, 10).collect()}
+    assert rows["1"] == (500000, 0)
+    assert rows["2"] == (250000, 0)
+    assert rows["5"] == (62500, 0)  # dangling end absorbed the tail
+    assert sum(p + r for p, r in rows.values()) == 1_000_000
+
+
+def test_ppr_push_locality(spark):
+    # a disconnected piece is NEVER touched — no rows for it (the whole
+    # point of push vs power iteration)
+    from ocaml_rdf_spark.operators.cc import ppr_push
+
+    e = _edges(spark, [("a", "b"), ("x", "y"), ("y", "z")])
+    out = ppr_push(e, spark.createDataFrame([("a",)], "node string"), 50, 1000, 10)
+    assert sorted(r["node"] for r in out.collect()) == ["a", "b"]
+
+
+def test_ppr_push_eps_stops_push(spark):
+    # huge eps: the seed itself is below threshold -> returns untouched
+    from ocaml_rdf_spark.operators.cc import ppr_push
+
+    ch = _edges(spark, [("1", "2")])
+    sd = spark.createDataFrame([("1",)], "node string")
+    rows = ppr_push(ch, sd, 50, 2_000_000, 10).collect()
+    assert [(r["node"], r["p"], r["r"]) for r in rows] == [("1", 0, 1_000_000)]
+
+
+def test_ppr_push_remainders_conserved_on_fanout(spark):
+    # deg 3 with r=1e6: share = 500000//3 = 166666, kept r = 1e6 -
+    # 500000 - 3*166666 = 2 — remainder stays, total mass exact
+    from ocaml_rdf_spark.operators.cc import ppr_push
+
+    e = _edges(spark, [("s", "a"), ("s", "b"), ("s", "c")])
+    sd = spark.createDataFrame([("s",)], "node string")
+    rows = {r["node"]: (r["p"], r["r"]) for r in ppr_push(e, sd, 50, 1000, 1).collect()}
+    assert rows["s"] == (500000, 2)
+    assert rows["a"] == (0, 166666)
+    assert sum(p + r for p, r in rows.values()) == 1_000_000
+
+
+def test_ppr_push_alpha_guard(spark):
+    from ocaml_rdf_spark.operators.cc import ppr_push
+
+    with pytest.raises(ValueError):
+        ppr_push(_edges(spark, [("a", "b")]), spark.createDataFrame([("a",)], "node string"), 100)
