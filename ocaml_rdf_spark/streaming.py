@@ -667,3 +667,42 @@ def stream_attribute_clicks(
         "click_id",
         (us("click_ts") - us("imp_ts")).alias("gap_us"),
     )
+
+
+def stream_hopping_counts(
+    spark: SparkSession,
+    input_dir: str,
+    window_minutes: int = 60,
+    hop_minutes: int = 15,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming hopping-window aggregation — `stream_windowed_counts`
+    with a slide: F.window(ts, W, H) expands each event to its W/H
+    containing windows map-side, the watermark finalizes and EVICTS a
+    window's state once event time passes its end (W/H live windows per
+    type at any moment, the bounded-state contract). Batch twin:
+    operators/events.hopping_counts — the parity test's oracle."""
+    from pyspark.sql import functions as F
+
+    if window_minutes % hop_minutes != 0:
+        raise ValueError("window_minutes must be a multiple of hop_minutes")
+    ev = spark.readStream.schema(_EVENTS_SCHEMA()).parquet(input_dir)
+    w = F.window(F.col("ts"), f"{window_minutes} minutes", f"{hop_minutes} minutes")
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_x100"),
+        )
+        .select(
+            F.floor(
+                F.col("w.start").cast("timestamp_ltz").cast("long") / (hop_minutes * 60)
+            )
+            .cast("long")
+            .alias("bucket"),
+            "event_type",
+            "n_events",
+            "sum_value_x100",
+        )
+    )

@@ -572,3 +572,43 @@ def test_stream_attribute_clicks_matches_batch(spark, tmp_path):
     )
     assert len(want) > 0  # the fixture must actually exercise the join
     assert got == want
+
+
+def test_stream_hopping_counts_matches_batch(spark, tmp_path):
+    """Hopping-window streaming plan drained with availableNow equals the
+    batch operator for every window the watermark closed."""
+    from ocaml_rdf_spark.operators.events import hopping_counts
+    from ocaml_rdf_spark.streaming import stream_hopping_counts
+
+    inp = str(tmp_path / "events")
+    out = str(tmp_path / "hop")
+    ckpt = str(tmp_path / "ckpt_hop")
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src.coalesce(1).write.parquet(inp)
+
+    sdf = stream_hopping_counts(spark, inp, window_minutes=60, hop_minutes=15,
+                                watermark="0 seconds")
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["bucket"], r["event_type"]): (r["n_events"], r["sum_value_x100"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r["bucket"], r["event_type"]): (r["n_events"], r["sum_value_x100"])
+        for r in hopping_counts(src, 60, 15).collect()
+    }
+    max_ts = src.agg(F.max(F.col("ts").cast("timestamp_ltz").cast("long"))).collect()[0][0]
+    # a window [bucket*900, bucket*900 + 3600) is closed once max event
+    # time passes its end
+    closed = {k: v for k, v in want.items() if k[0] * 900 + 3600 <= max_ts}
+    assert all(got[k] == want[k] for k in got)
+    assert set(closed) <= set(got)
