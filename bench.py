@@ -277,6 +277,7 @@ def main() -> None:
         "zorder",
         "closeness",
         "ppr_push",
+        "copy_detect",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

@@ -326,3 +326,60 @@ def property_alignment(
         .filter(F.col("rank") <= int(k))
         .select("pa", "pb", "n_a", "n_b", "overlap", "jaccard_ppm", "rank")
     )
+
+
+def copy_detection(quads: DataFrame, truth: DataFrame) -> DataFrame:
+    """Source copy detection via shared-FALSE evidence (Dong-Berti-Équille-
+    Srivastava VLDB'09's core insight, depth-1 form: agreeing on the
+    TRUTH is expected from independent good sources, agreeing on the same
+    ERROR is the fingerprint of copying): per unordered source pair →
+    (src_a, src_b, n_shared, n_shared_false, shared_false_ppm,
+    overlap_ppm). `quads` carries per-source claims in the fusion schema
+    (graph = source); `truth` is the fused table (`fuse_functional`'s
+    winners or an external gold) keyed like the claims. Feed high
+    shared_false_ppm pairs back into `truth_discovery` as discounted
+    duplicates instead of independent votes.
+
+    Scale: claims self-join on the FULL (key, value) tuple — co-claims
+    only, never source×source×facts; per-source claim sets are deduped
+    first (set semantics, the `_votes` rule); the pair agg output is
+    ≤ |sources|² rows, and sources are catalog-sized. A hot fact shared
+    by S sources fans out S·(S−1)/2 pairs — bounded by the source count,
+    not the corpus. All ratios exact ppm."""
+    # o_dtype/o_lang are NULL for plain terms and part of the claim
+    # identity — fold the full claim tuple into ONE non-null key column
+    # up front (the rem_triple eqNullSafe lesson, but hash-join-friendly:
+    # a single concat key keeps every join a plain equi-join on a
+    # non-null string instead of eight null-safe conditions)
+    # unit-separator join + null sentinel: unambiguous tuple encoding
+    # (bare concat would collide ("ab","c") with ("a","bc"))
+    ckey = F.concat_ws(
+        "\x1f",
+        *[F.coalesce(F.col(c).cast("string"), F.lit("\x1e")) for c in (_KEY_COLS + _VALUE_COLS)],
+    )
+    claims = (
+        quads.select(ckey.alias("ck"), "graph").dropDuplicates(["ck", "graph"])
+    )
+    t = truth.select(ckey.alias("ck")).dropDuplicates().withColumn("is_true", F.lit(1))
+    lab = claims.join(t, "ck", "left").select(
+        "ck", "graph", F.coalesce("is_true", F.lit(0)).alias("is_true")
+    )
+    a = lab.select("ck", F.col("graph").alias("src_a"), "is_true")
+    b = lab.select("ck", F.col("graph").alias("src_b"))
+    pairs = a.join(b, "ck").filter(F.col("src_a") < F.col("src_b"))
+    shared = pairs.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shared"),
+        F.sum(F.lit(1) - F.col("is_true")).cast("long").alias("n_shared_false"),
+    )
+    sizes = claims.groupBy("graph").agg(F.count(F.lit(1)).alias("n"))  # noqa: E501 — deduped claim-set sizes
+    return (
+        shared.join(sizes.select(F.col("graph").alias("src_a"), F.col("n").alias("na")), "src_a")
+        .join(sizes.select(F.col("graph").alias("src_b"), F.col("n").alias("nb")), "src_b")
+        .select(
+            "src_a", "src_b", "n_shared", "n_shared_false",
+            F.expr("CASE WHEN n_shared = 0 THEN 0 ELSE n_shared_false * 1000000 div n_shared END")
+            .cast("long").alias("shared_false_ppm"),
+            F.expr("n_shared * 1000000 div (na + nb - n_shared)")
+            .cast("long").alias("overlap_ppm"),
+        )
+    )

@@ -10272,3 +10272,76 @@ k{i} AS MATERIALIZED (
 SQL_PPR_PUSH = _sql_ppr(12)
 
 QUERIES["ppr_push"] = (q_ppr_push, SQL_PPR_PUSH)
+
+
+def q_copy_detect(spark, sf):
+    """Source copy detection: the fuse_vote fixture plus srcD which
+    COPIES srcB's corruption rule verbatim — (B,D) share every false
+    claim, independent pairs share none; truth = srcA (exact by
+    construction)."""
+    from .operators.fusion import copy_detection
+
+    claims = _fuse_claims(spark, sf)
+    su = spark.read.parquet(f"{sf}/supplier.parquet")
+    base = F.lit(None).cast("string")
+    srcD = su.select(
+        F.lit(0).cast("tinyint").alias("s_kind"),
+        F.concat(F.lit("urn:su:"), F.col("s_suppkey").cast("string")).alias("s_lex"),
+        F.lit("urn:p:inNation").alias("pred"),
+        F.lit(0).cast("tinyint").alias("o_kind"),
+        F.concat(
+            F.lit("urn:n:"),
+            F.when(F.col("s_suppkey") % 7 == 0, (F.col("s_nationkey") + 1) % 25)
+            .otherwise(F.col("s_nationkey"))
+            .cast("string"),
+        ).alias("o_lex"),
+        base.alias("o_dtype"),
+        base.alias("o_lang"),
+        F.lit("urn:g:srcD").alias("graph"),
+    )
+    all_claims = claims.unionByName(srcD)
+    truth = claims.filter(F.col("graph") == "urn:g:srcA").drop("graph")
+    return copy_detection(all_claims, truth)
+
+
+SQL_COPY_DETECT = f"""
+WITH {_FUSE_CLAIMS_CTE},
+all_claims AS (
+  SELECT * FROM claims
+  UNION ALL
+  SELECT 'urn:su:' || s_suppkey, 'urn:p:inNation',
+         'urn:n:' || CASE WHEN s_suppkey % 7 = 0 THEN (s_nationkey + 1) % 25
+                          ELSE s_nationkey END, 'urn:g:srcD' FROM supplier
+),
+dedup AS (SELECT DISTINCT s_lex, pred, o_lex, graph FROM all_claims),
+truth AS (
+  SELECT DISTINCT s_lex, pred, o_lex FROM claims WHERE graph = 'urn:g:srcA'
+),
+lab AS (
+  SELECT d.s_lex, d.pred, d.o_lex, d.graph,
+         CASE WHEN t.s_lex IS NOT NULL THEN 1 ELSE 0 END AS is_true
+  FROM dedup d LEFT JOIN truth t
+    ON t.s_lex = d.s_lex AND t.pred = d.pred AND t.o_lex = d.o_lex
+),
+pairs AS (
+  SELECT a.graph AS src_a, b.graph AS src_b, a.is_true
+  FROM lab a JOIN lab b
+    ON a.s_lex = b.s_lex AND a.pred = b.pred AND a.o_lex = b.o_lex
+  WHERE a.graph < b.graph
+),
+shared AS (
+  SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_shared,
+         CAST(SUM(1 - is_true) AS BIGINT) AS n_shared_false
+  FROM pairs GROUP BY src_a, src_b
+),
+sizes AS (SELECT graph, COUNT(*) AS n FROM dedup GROUP BY graph)
+SELECT s.src_a, s.src_b, s.n_shared, s.n_shared_false,
+       CAST(CASE WHEN n_shared = 0 THEN 0
+                 ELSE n_shared_false * 1000000 // n_shared END AS BIGINT) AS shared_false_ppm,
+       CAST(n_shared * 1000000 // (sa.n + sb.n - n_shared) AS BIGINT) AS overlap_ppm
+FROM shared s
+JOIN sizes sa ON sa.graph = s.src_a
+JOIN sizes sb ON sb.graph = s.src_b
+"""
+
+QUERIES["copy_detect"] = (q_copy_detect, SQL_COPY_DETECT)

@@ -1201,6 +1201,13 @@ def main() -> None:
             ("reduction is partial+final hash agg", r"HashAggregate"),
             ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
         ]),
+        ("copy_detect", [
+            # co-claim equi self-join on the encoded tuple key + pair agg
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("tuple-key hash joins", r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
         ("ppr_push", [
             # rounds run inside localCheckpoints; final plan = the last
             # full-outer residual merge + projection — hash join, no BNLJ

@@ -719,3 +719,62 @@ def test_ppr_push_alpha_guard(spark):
 
     with pytest.raises(ValueError):
         ppr_push(_edges(spark, [("a", "b")]), spark.createDataFrame([("a",)], "node string"), 100)
+
+
+# ------------------------------------------------------------ copy_detection
+
+
+def _quads_claims(spark, rows):
+    # rows: (source, subject, value)
+    return spark.createDataFrame(
+        [
+            (0, s, "urn:p:v", 0, v, None, None, g)
+            for g, s, v in rows
+        ],
+        "s_kind tinyint, s_lex string, pred string, o_kind tinyint, "
+        "o_lex string, o_dtype string, o_lang string, graph string",
+    )
+
+
+def test_copy_detection_shared_false_fingerprint(spark):
+    # A and B both claim the same WRONG value for s2 (copying); C agrees
+    # with them only on the true s1 value
+    from ocaml_rdf_spark.operators.fusion import copy_detection
+
+    claims = _quads_claims(
+        spark,
+        [
+            ("A", "s1", "t1"), ("A", "s2", "WRONG"),
+            ("B", "s1", "t1"), ("B", "s2", "WRONG"),
+            ("C", "s1", "t1"), ("C", "s2", "t2"),
+        ],
+    )
+    truth = _quads_claims(spark, [("T", "s1", "t1"), ("T", "s2", "t2")]).drop("graph")
+    out = {(r["src_a"], r["src_b"]): r for r in copy_detection(claims, truth).collect()}
+    ab = out[("A", "B")]
+    assert (ab["n_shared"], ab["n_shared_false"], ab["shared_false_ppm"]) == (2, 1, 500000)
+    assert out[("A", "C")]["n_shared_false"] == 0
+    assert out[("A", "B")]["overlap_ppm"] == 1000000  # identical claim sets
+
+
+def test_copy_detection_null_dtype_claims_pair(spark):
+    # o_dtype/o_lang are NULL — the tuple-encoded key must still pair
+    # identical claims (the equi-join-on-null trap this op encodes away)
+    from ocaml_rdf_spark.operators.fusion import copy_detection
+
+    claims = _quads_claims(spark, [("A", "s1", "x"), ("B", "s1", "x")])
+    truth = _quads_claims(spark, [("T", "s1", "x")]).drop("graph")
+    rows = copy_detection(claims, truth).collect()
+    assert len(rows) == 1 and rows[0]["n_shared"] == 1 and rows[0]["n_shared_false"] == 0
+
+
+def test_copy_detection_set_semantics(spark):
+    # duplicate assertions by one source count once
+    from ocaml_rdf_spark.operators.fusion import copy_detection
+
+    claims = _quads_claims(
+        spark, [("A", "s1", "x"), ("A", "s1", "x"), ("B", "s1", "x")]
+    )
+    truth = _quads_claims(spark, [("T", "s1", "x")]).drop("graph")
+    rows = copy_detection(claims, truth).collect()
+    assert rows[0]["n_shared"] == 1 and rows[0]["overlap_ppm"] == 1000000
