@@ -283,3 +283,65 @@ def interval_allen(
         *on, "l_id", "r_id", "l_from", "l_to", "r_from", "r_to",
         F.expr(_ALLEN).alias("relation"),
     )
+
+
+def earliest_arrival(
+    edges: DataFrame, seeds: DataFrame, max_rounds: int = 8
+) -> DataFrame:
+    """Time-respecting reachability (Holme-Saramäki temporal paths):
+    over edges (src, dst, ts) with BIGINT timestamps, a walk may only
+    traverse edges whose timestamp is ≥ the arrival time at their
+    source — the citation/crawl/retweet causality rule (static
+    reachability overstates influence: an edge that fired BEFORE the
+    information arrived cannot carry it). → (node, arrival): the
+    EARLIEST arrival time per reachable node, seeds at arrival
+    −2^62 (their information existed before every edge; exposed as
+    the module constant EA_SEED_TS so callers can filter seeds out).
+
+    Shape: label-correcting frontier iteration — each round relaxes
+    edges from nodes whose arrival improved (frontier equi-join +
+    (node)-keyed min-agg + improvement anti-probe, checkpointed, the
+    SSSP discipline); rounds bounded by the longest time-respecting
+    path's hop count, each round one |frontier ⋈ edges| shuffle. Exact
+    integer timestamps, so cross-engine value-oracle-able."""
+    e = edges.select(
+        "src", "dst", F.col("ts").cast("long").alias("ts")
+    ).dropDuplicates()
+    dist = (
+        seeds.select("node").dropDuplicates()
+        .select("node", F.lit(EA_SEED_TS).cast("long").alias("arrival"))
+    )
+    frontier = dist
+    for _ in range(max_rounds):
+        dist = dist.localCheckpoint(eager=False)
+        relaxed = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .filter(F.col("ts") >= F.col("arrival"))
+            .select(F.col("dst").alias("node"), F.col("ts").alias("cand"))
+            .groupBy("node")
+            .agg(F.min("cand").alias("cand"))
+        )
+        improved = (
+            relaxed.join(dist, "node", "left")
+            .filter(F.col("arrival").isNull() | (F.col("cand") < F.col("arrival")))
+            .select("node", F.col("cand").alias("arrival"))
+        ).localCheckpoint(eager=False)
+        if improved.isEmpty():
+            break
+        dist = (
+            dist.join(improved.select(F.col("node").alias("n2"), F.col("arrival").alias("a2")),
+                      dist["node"] == F.col("n2"), "full_outer")
+            .select(
+                F.coalesce("node", "n2").alias("node"),
+                F.least(
+                    F.coalesce("arrival", F.lit(2**62)),
+                    F.coalesce("a2", F.lit(2**62)),
+                ).alias("arrival"),
+            )
+        )
+        frontier = improved
+    return dist
+
+
+#: seed arrival sentinel: earlier than any real epoch
+EA_SEED_TS = -(2**62)

@@ -10345,3 +10345,64 @@ JOIN sizes sb ON sb.graph = s.src_b
 """
 
 QUERIES["copy_detect"] = (q_copy_detect, SQL_COPY_DETECT)
+
+
+def q_temporal_reach(spark, sf):
+    """Earliest-arrival temporal reachability over the customer chain
+    with NON-MONOTONE edge times ts(k) = (k*7) % 29 — the causality
+    filter prunes hops whose edge fired before the information arrived;
+    6 relaxation rounds, seeds = lowest-key customers."""
+    from .operators.temporal import earliest_arrival
+
+    cu = spark.read.parquet(f"{sf}/customer.parquet").select(
+        F.col("c_custkey").cast("long").alias("k")
+    )
+    ks = cu.select(F.col("k").alias("d"))
+    e = cu.select("k", (F.col("k") + 1).alias("d")).join(ks, "d").select(
+        F.col("k").cast("string").alias("src"),
+        F.col("d").cast("string").alias("dst"),
+        ((F.col("k") * 7) % 29).alias("ts"),
+    )
+    seeds = cu.filter(F.col("k") <= 1).select(F.col("k").cast("string").alias("node"))
+    return earliest_arrival(e, seeds, max_rounds=6)
+
+
+def _sql_temporal_reach(rounds: int) -> str:
+    seed_ts = -(2**62)
+    head = f"""
+WITH cu AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer),
+e AS MATERIALIZED (
+  SELECT CAST(k AS VARCHAR) AS src, CAST(k + 1 AS VARCHAR) AS dst,
+         (k * 7) % 29 AS ts
+  FROM cu WHERE k + 1 IN (SELECT k FROM cu)
+),
+d0 AS MATERIALIZED (
+  SELECT CAST(k AS VARCHAR) AS node, CAST({seed_ts} AS BIGINT) AS arrival
+  FROM cu WHERE k <= 1
+),
+f0 AS MATERIALIZED (SELECT * FROM d0)"""
+    blocks = []
+    for i in range(rounds):
+        blocks.append(f""",
+rx{i} AS MATERIALIZED (
+  SELECT e.dst AS node, MIN(e.ts) AS cand
+  FROM f{i} f JOIN e ON e.src = f.node WHERE e.ts >= f.arrival
+  GROUP BY e.dst
+),
+f{i + 1} AS MATERIALIZED (
+  SELECT r.node, r.cand AS arrival
+  FROM rx{i} r LEFT JOIN d{i} d ON d.node = r.node
+  WHERE d.node IS NULL OR r.cand < d.arrival
+),
+d{i + 1} AS MATERIALIZED (
+  SELECT COALESCE(d.node, f.node) AS node,
+         least(COALESCE(d.arrival, {2**62}), COALESCE(f.arrival, {2**62})) AS arrival
+  FROM d{i} d FULL OUTER JOIN f{i + 1} f ON f.node = d.node
+)""")
+        final = f"\nSELECT node, CAST(arrival AS BIGINT) AS arrival FROM d{i + 1}"
+    return head + "".join(blocks) + final
+
+
+SQL_TEMPORAL_REACH = _sql_temporal_reach(6)
+
+QUERIES["temporal_reach"] = (q_temporal_reach, SQL_TEMPORAL_REACH)

@@ -778,3 +778,84 @@ def test_copy_detection_set_semantics(spark):
     truth = _quads_claims(spark, [("T", "s1", "x")]).drop("graph")
     rows = copy_detection(claims, truth).collect()
     assert rows[0]["n_shared"] == 1 and rows[0]["overlap_ppm"] == 1000000
+
+
+# ------------------------------------------------------------ earliest_arrival
+
+
+def test_earliest_arrival_causality(spark):
+    # an edge that fired before the information arrived cannot carry it
+    from ocaml_rdf_spark.operators.temporal import EA_SEED_TS, earliest_arrival
+
+    e = spark.createDataFrame(
+        [("a", "b", 5), ("b", "c", 3), ("b", "c", 7), ("c", "d", 6)],
+        "src string, dst string, ts long",
+    )
+    sd = spark.createDataFrame([("a",)], "node string")
+    out = {r["node"]: r["arrival"] for r in earliest_arrival(e, sd, 8).collect()}
+    assert out == {"a": EA_SEED_TS, "b": 5, "c": 7}  # d unreachable (6 < 7)
+
+
+def test_earliest_arrival_label_correcting(spark):
+    # a later-found SHORTER-time path must overwrite an earlier arrival:
+    # a->b t9 (1 hop), a->x t1, x->b t2 — arrival(b) corrects 9 -> 2,
+    # and the correction re-opens b's outgoing edge at t5
+    from ocaml_rdf_spark.operators.temporal import earliest_arrival
+
+    e = spark.createDataFrame(
+        [("a", "b", 9), ("a", "x", 1), ("x", "b", 2), ("b", "c", 5)],
+        "src string, dst string, ts long",
+    )
+    sd = spark.createDataFrame([("a",)], "node string")
+    out = {r["node"]: r["arrival"] for r in earliest_arrival(e, sd, 8).collect()}
+    assert out["b"] == 2 and out["c"] == 5
+
+
+def test_earliest_arrival_fuzz_vs_duckdb(spark):
+    import duckdb
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from ocaml_rdf_spark.operators.temporal import earliest_arrival
+
+    edge = st.tuples(st.integers(0, 4), st.integers(0, 4), st.integers(0, 9))
+    edges_st = st.lists(edge, min_size=1, max_size=10, unique=True)
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(pairs=edges_st, rounds=st.integers(1, 4))
+    def _case(pairs, rounds):
+        e = spark.createDataFrame(
+            [(f"n{a}", f"n{b}", t) for a, b, t in pairs], "src string, dst string, ts long"
+        )
+        sd = spark.createDataFrame([("n0",)], "node string")
+        got = sorted(map(tuple, earliest_arrival(e, sd, rounds).collect()))
+        con = duckdb.connect()
+        con.execute("CREATE TABLE e (src VARCHAR, dst VARCHAR, ts BIGINT)")
+        con.executemany("INSERT INTO e VALUES (?, ?, ?)",
+                        [(f"n{a}", f"n{b}", t) for a, b, t in pairs])
+        con.execute(f"CREATE TABLE d (node VARCHAR, arrival BIGINT)")
+        con.execute(f"INSERT INTO d VALUES ('n0', {-(2**62)})")
+        con.execute("CREATE TABLE f AS SELECT * FROM d")
+        for _ in range(rounds):
+            con.execute("""
+                CREATE OR REPLACE TABLE imp AS
+                SELECT r.node, r.cand AS arrival FROM (
+                  SELECT e.dst AS node, MIN(e.ts) AS cand
+                  FROM f JOIN e ON e.src = f.node WHERE e.ts >= f.arrival
+                  GROUP BY e.dst
+                ) r LEFT JOIN d ON d.node = r.node
+                WHERE d.node IS NULL OR r.cand < d.arrival""")
+            if con.execute("SELECT COUNT(*) FROM imp").fetchone()[0] == 0:
+                break
+            con.execute("""
+                CREATE OR REPLACE TABLE d AS
+                SELECT COALESCE(d.node, i.node) AS node,
+                       least(COALESCE(d.arrival, 4611686018427387904),
+                             COALESCE(i.arrival, 4611686018427387904)) AS arrival
+                FROM d FULL OUTER JOIN imp i ON i.node = d.node""")
+            con.execute("CREATE OR REPLACE TABLE f AS SELECT * FROM imp")
+        want = sorted(map(tuple, con.execute("SELECT node, arrival FROM d").fetchall()))
+        assert got == want
+
+    _case()
