@@ -1201,6 +1201,13 @@ def main() -> None:
             ("reduction is partial+final hash agg", r"HashAggregate"),
             ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
         ]),
+        ("temporal_reach", [
+            # rounds inside localCheckpoints; final plan = the last
+            # full-outer min-merge — hash join, no BNLJ
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
         ("copy_detect", [
             # co-claim equi self-join on the encoded tuple key + pair agg
             ("no cartesian product", r"CartesianProduct", "absent"),
