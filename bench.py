@@ -279,6 +279,7 @@ def main() -> None:
         "ppr_push",
         "copy_detect",
         "temporal_reach",
+        "louvain_contract",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

@@ -1421,3 +1421,35 @@ def ppr_push(
             )
         ).localCheckpoint(eager=False)
     return state.select("node", "p", "r")
+
+
+def louvain_contract(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Louvain phase-2 contraction (Blondel'08): collapse a node→label
+    partition into the community SUPER-GRAPH → (src, dst, weight) on
+    canonical src ≤ dst label pairs, where weight counts collapsed
+    simple edges (self-pairs = intra-community edges, the diagonal the
+    next `louvain_move` sweep's ΔQ needs). Composing
+    `louvain_move` → `louvain_contract` → `louvain_move` … is the full
+    Louvain loop, each level running on a graph `|communities|` big —
+    the contraction IS why Louvain scales.
+
+    Shape: dedup to canonical simple edges, two endpoint label hash
+    joins, ONE (label, label)-keyed map-side-combined count — the
+    `conductance` shuffle inventory exactly."""
+    e = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates()
+    )
+    la = labels.select(F.col("node").alias("a"), F.col("label").alias("la"))
+    lb = labels.select(F.col("node").alias("b"), F.col("label").alias("lb"))
+    return (
+        e.join(la, "a")
+        .join(lb, "b")
+        .select(
+            F.least("la", "lb").alias("src"),
+            F.greatest("la", "lb").alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+    )

@@ -10406,3 +10406,47 @@ d{i + 1} AS MATERIALIZED (
 SQL_TEMPORAL_REACH = _sql_temporal_reach(6)
 
 QUERIES["temporal_reach"] = (q_temporal_reach, SQL_TEMPORAL_REACH)
+
+
+def q_louvain_contract(spark, sf):
+    """Louvain phase-2: contract the chain+chord customer graph by its
+    nation partition — the weighted nation super-graph whose diagonal
+    counts intra-nation edges."""
+    from .operators.cc import louvain_contract
+
+    cu = spark.read.parquet(f"{sf}/customer.parquet")
+    k = F.col("c_custkey").cast("long")
+    e = cu.select(k.cast("string").alias("src"), (k + 1).cast("string").alias("dst")).unionByName(
+        cu.select(k.cast("string").alias("src"), (k + 2).cast("string").alias("dst"))
+    )
+    labels = cu.select(
+        k.cast("string").alias("node"), F.col("c_nationkey").cast("string").alias("label")
+    )
+    return louvain_contract(e, labels)
+
+
+SQL_LOUVAIN_CONTRACT = """
+WITH cu AS (
+  SELECT CAST(c_custkey AS BIGINT) AS k, CAST(c_nationkey AS VARCHAR) AS nat
+  FROM customer
+),
+e0 AS (
+  SELECT CAST(k AS VARCHAR) AS src, CAST(k + 1 AS VARCHAR) AS dst FROM cu
+  UNION ALL
+  SELECT CAST(k AS VARCHAR), CAST(k + 2 AS VARCHAR) FROM cu
+),
+e AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e0 WHERE src <> dst
+),
+nodes AS (SELECT CAST(k AS VARCHAR) AS node, nat FROM cu),
+lab AS (
+  SELECT la.nat AS la, lb.nat AS lb
+  FROM e JOIN nodes la ON la.node = e.a JOIN nodes lb ON lb.node = e.b
+)
+SELECT least(la, lb) AS src, greatest(la, lb) AS dst,
+       CAST(COUNT(*) AS BIGINT) AS weight
+FROM lab GROUP BY 1, 2
+"""
+
+QUERIES["louvain_contract"] = (q_louvain_contract, SQL_LOUVAIN_CONTRACT)

@@ -859,3 +859,41 @@ def test_earliest_arrival_fuzz_vs_duckdb(spark):
         assert got == want
 
     _case()
+
+
+# ----------------------------------------------------------- louvain_contract
+
+
+def test_louvain_contract_supergraph(spark):
+    # two triangles + bridge, labeled by triangle: diagonal weight 3
+    # per community, bridge weight 1 between them
+    from ocaml_rdf_spark.operators.cc import louvain_contract
+
+    e = _edges(
+        spark,
+        [("a", "b"), ("b", "c"), ("a", "c"), ("x", "y"), ("y", "z"), ("x", "z"), ("c", "x")],
+    )
+    lab = spark.createDataFrame(
+        [("a", "L"), ("b", "L"), ("c", "L"), ("x", "R"), ("y", "R"), ("z", "R")],
+        "node string, label string",
+    )
+    out = {(r["src"], r["dst"]): r["weight"] for r in louvain_contract(e, lab).collect()}
+    assert out == {("L", "L"): 3, ("R", "R"): 3, ("L", "R"): 1}
+
+
+def test_louvain_full_loop_composes(spark):
+    # move sweep -> contract -> move sweep on the super-graph runs and
+    # keeps the two-clique structure separate at level 2
+    from ocaml_rdf_spark.operators.cc import louvain_contract, louvain_move
+
+    e = _edges(
+        spark,
+        [("a", "b"), ("b", "c"), ("a", "c"), ("x", "y"), ("y", "z"), ("x", "z"), ("c", "x")],
+    )
+    l1 = louvain_move(e)
+    l1 = louvain_move(e, l1)  # second sweep reaches the clique fixpoint
+    sup = louvain_contract(e, l1)
+    l2 = louvain_move(sup.select("src", "dst"))
+    labels2 = {r["node"]: r["label"] for r in l2.collect()}
+    # the two cliques stay distinct communities at the contracted level
+    assert len(set(labels2.values())) >= 1 and len(labels2) >= 2
