@@ -280,6 +280,7 @@ def main() -> None:
         "copy_detect",
         "temporal_reach",
         "louvain_contract",
+        "louvain_level2",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

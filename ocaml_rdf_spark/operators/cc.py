@@ -912,13 +912,21 @@ def louvain_move(edges: DataFrame, labels: DataFrame | None = None) -> DataFrame
     the only |E|-sized shuffle; argmax is a min_by struct — no windows.
     Hub nodes cost their degree in count rows, combined map-side."""
     e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).dropDuplicates()
-    bi = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).dropDuplicates()
+    # bi feeds 3 consumers and lab 5 — checkpoint both or composing
+    # sweeps (move -> contract -> move, the multi-level loop) re-expands
+    # each level's whole lineage per consumer: plan canonicalization was
+    # observed to OOM the driver at level 2 of a 7-edge graph
+    bi = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .dropDuplicates()
+        .localCheckpoint(eager=False)
+    )
     nodes = bi.select(F.col("src").alias("node")).dropDuplicates()
     if labels is None:
         labels = nodes.select("node", F.col("node").alias("label"))
     deg = bi.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("k"))
     m2 = bi.count()  # = 2m over the simple undirected graph
-    lab = labels.select("node", "label")
+    lab = labels.select("node", "label").localCheckpoint(eager=False)
     tot = (
         lab.join(deg, "node")
         .groupBy("label")
@@ -1452,4 +1460,96 @@ def louvain_contract(edges: DataFrame, labels: DataFrame) -> DataFrame:
         )
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+    )
+
+
+def louvain_move_w(edges: DataFrame, labels: DataFrame | None = None) -> DataFrame:
+    """Weighted synchronous Louvain move sweep — `louvain_move` for the
+    contracted levels, where edges carry weights and SELF-LOOPS carry a
+    supernode's internal mass: the full multi-level loop is
+    move → `louvain_contract` → move_w → contract → … Self-loops enter
+    the node's strength (k_i = Σ_{j≠i} w_ij + 2·w_ii — they travel WITH
+    the node) and the community totals, never the neighbor-community
+    gains. Same cleared-denominator integer ΔQ:
+        g(C) = 2m·k_{i,C} − Σtot(C∖i)·k_i
+    argmax over neighbor communities ∪ own, ties by minimum label; all
+    BIGINT, bit-identical across engines/partitionings.
+
+    Scale: identical shuffle inventory to the unweighted sweep (the
+    counts become weight sums); contracted graphs are |communities|
+    big, so upper levels are nearly free."""
+    # checkpoint the shared nodes (canon feeds selfw/ee; lab feeds 4
+    # consumers) — see louvain_move's composition-OOM note
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            F.col("weight").cast("long").alias("w"),
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    selfw = canon.filter(F.col("a") == F.col("b")).select(
+        F.col("a").alias("node"), F.col("w").alias("sw")
+    )
+    ee = canon.filter(F.col("a") != F.col("b"))
+    bi = ee.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w").unionByName(
+        ee.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
+    )
+    nodes = (
+        bi.select(F.col("src").alias("node"))
+        .unionByName(selfw.select("node"))
+        .dropDuplicates()
+    )
+    if labels is None:
+        labels = nodes.select("node", F.col("node").alias("label"))
+    s = bi.groupBy(F.col("src").alias("node")).agg(F.sum("w").alias("s"))
+    deg = (
+        nodes.join(s, "node", "left")
+        .join(selfw, "node", "left")
+        .select(
+            "node",
+            (F.coalesce("s", F.lit(0)) + 2 * F.coalesce("sw", F.lit(0))).alias("k"),
+        )
+    )
+    row = bi.agg(F.sum("w")).first()
+    m2 = int(row[0] or 0) + 2 * int(
+        selfw.agg(F.sum("sw")).first()[0] or 0
+    )
+    lab = labels.select("node", "label").localCheckpoint(eager=False)
+    tot = lab.join(deg, "node").groupBy("label").agg(F.sum("k").alias("sigma"))
+    nbrc = (
+        bi.join(lab.select(F.col("node").alias("dst"), F.col("label").alias("c")), "dst")
+        .groupBy(F.col("src").alias("node"), "c")
+        .agg(F.sum("w").alias("kic"))
+    )
+    cur = lab.select("node", F.col("label").alias("c"))
+    cand = (
+        nbrc.unionByName(cur.withColumn("kic", F.lit(0)))
+        .groupBy("node", "c")
+        .agg(F.max("kic").alias("kic"))
+    )
+    own = cur.withColumn("own", F.lit(1))
+    scored = (
+        cand.join(deg, "node")
+        .join(tot.withColumnRenamed("label", "c"), "c")
+        .join(own, ["node", "c"], "left")
+        .select(
+            "node",
+            "c",
+            (
+                F.lit(int(m2)) * F.col("kic")
+                - (F.col("sigma") - F.coalesce(F.col("own"), F.lit(0)) * F.col("k"))
+                * F.col("k")
+            ).cast("long").alias("g"),
+        )
+    )
+    pick = scored.groupBy("node").agg(
+        F.min(F.struct((-F.col("g")).alias("ng"), F.col("c").alias("l")))
+        .getField("l")
+        .alias("new_label")
+    )
+    return lab.join(pick, "node", "left").select(
+        "node", F.coalesce("new_label", "label").alias("label")
     )

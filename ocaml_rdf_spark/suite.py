@@ -10450,3 +10450,97 @@ FROM lab GROUP BY 1, 2
 """
 
 QUERIES["louvain_contract"] = (q_louvain_contract, SQL_LOUVAIN_CONTRACT)
+
+
+def q_louvain_level2(spark, sf):
+    """Weighted Louvain sweep on the CONTRACTED nation super-graph
+    (self-loops = intra-nation mass entering strength, never gains) —
+    the multi-level loop's level-2 step, exact-integer ΔQ argmax."""
+    from .operators.cc import louvain_contract, louvain_move_w
+
+    cu = spark.read.parquet(f"{sf}/customer.parquet")
+    k = F.col("c_custkey").cast("long")
+    e = cu.select(k.cast("string").alias("src"), (k + 1).cast("string").alias("dst")).unionByName(
+        cu.select(k.cast("string").alias("src"), (k + 2).cast("string").alias("dst"))
+    )
+    labels = cu.select(
+        k.cast("string").alias("node"), F.col("c_nationkey").cast("string").alias("label")
+    )
+    sup = louvain_contract(e, labels)
+    return louvain_move_w(sup)
+
+
+SQL_LOUVAIN_LEVEL2 = """
+WITH cu AS (
+  SELECT CAST(c_custkey AS BIGINT) AS k, CAST(c_nationkey AS VARCHAR) AS nat
+  FROM customer
+),
+e0 AS (
+  SELECT CAST(k AS VARCHAR) AS src, CAST(k + 1 AS VARCHAR) AS dst FROM cu
+  UNION ALL
+  SELECT CAST(k AS VARCHAR), CAST(k + 2 AS VARCHAR) FROM cu
+),
+base AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e0 WHERE src <> dst
+),
+nodes AS (SELECT CAST(k AS VARCHAR) AS node, nat FROM cu),
+sup AS (
+  SELECT least(la.nat, lb.nat) AS a, greatest(la.nat, lb.nat) AS b,
+         CAST(COUNT(*) AS BIGINT) AS w
+  FROM base JOIN nodes la ON la.node = base.a JOIN nodes lb ON lb.node = base.b
+  GROUP BY 1, 2
+),
+selfw AS (SELECT a AS node, w AS sw FROM sup WHERE a = b),
+ee AS (SELECT a, b, w FROM sup WHERE a <> b),
+bi AS (
+  SELECT a AS src, b AS dst, w FROM ee
+  UNION ALL SELECT b, a, w FROM ee
+),
+allnodes AS (
+  SELECT src AS node FROM bi UNION SELECT node FROM selfw
+),
+s AS (SELECT src AS node, SUM(w) AS s FROM bi GROUP BY src),
+deg AS (
+  SELECT n.node, COALESCE(s.s, 0) + 2 * COALESCE(sw.sw, 0) AS k
+  FROM allnodes n LEFT JOIN s ON s.node = n.node LEFT JOIN selfw sw ON sw.node = n.node
+),
+m2 AS (
+  SELECT COALESCE((SELECT SUM(w) FROM bi), 0)
+         + 2 * COALESCE((SELECT SUM(sw) FROM selfw), 0) AS m2
+),
+lab AS (SELECT node, node AS label FROM allnodes),
+tot AS (
+  SELECT l.label, SUM(d.k) AS sigma FROM lab l JOIN deg d ON d.node = l.node GROUP BY l.label
+),
+nbrc AS (
+  SELECT bi.src AS node, l.label AS c, SUM(bi.w) AS kic
+  FROM bi JOIN lab l ON l.node = bi.dst GROUP BY bi.src, l.label
+),
+cand AS (
+  SELECT node, c, MAX(kic) AS kic FROM (
+    SELECT node, c, kic FROM nbrc
+    UNION ALL SELECT node, label AS c, 0 FROM lab
+  ) GROUP BY node, c
+),
+scored AS (
+  SELECT cand.node, cand.c,
+         m2.m2 * cand.kic
+         - (tot.sigma - CASE WHEN cand.c = lab.label THEN deg.k ELSE 0 END) * deg.k AS g
+  FROM cand
+  JOIN deg ON deg.node = cand.node
+  JOIN tot ON tot.label = cand.c
+  JOIN lab ON lab.node = cand.node
+  CROSS JOIN m2
+),
+pick AS (
+  SELECT node, c AS new_label,
+         ROW_NUMBER() OVER (PARTITION BY node ORDER BY g DESC, c ASC) AS rn
+  FROM scored
+)
+SELECT lab.node, COALESCE(p.new_label, lab.label) AS label
+FROM lab LEFT JOIN (SELECT node, new_label FROM pick WHERE rn = 1) p
+  ON p.node = lab.node
+"""
+
+QUERIES["louvain_level2"] = (q_louvain_level2, SQL_LOUVAIN_LEVEL2)

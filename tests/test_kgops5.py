@@ -897,3 +897,24 @@ def test_louvain_full_loop_composes(spark):
     labels2 = {r["node"]: r["label"] for r in l2.collect()}
     # the two cliques stay distinct communities at the contracted level
     assert len(set(labels2.values())) >= 1 and len(labels2) >= 2
+
+
+def test_louvain_move_w_self_loop_strength(spark):
+    # unit-weight equivalence + self-loop mass entering strength: with a
+    # heavy self-loop on "a", a's k dominates and the Sigma-penalty keeps
+    # others from joining a spuriously — pin the exact unit-weight match
+    from ocaml_rdf_spark.operators.cc import louvain_move, louvain_move_w
+
+    e = _edges(
+        spark,
+        [("a", "b"), ("b", "c"), ("a", "c"), ("x", "y"), ("y", "z"), ("x", "z"), ("c", "x")],
+    )
+    u = sorted(map(tuple, louvain_move(e).collect()))
+    w = sorted(map(tuple, louvain_move_w(e.withColumn("weight", F.lit(1))).collect()))
+    assert u == w
+    # self-loop only changes k/Sigma, never candidate gains' kic
+    ew = spark.createDataFrame(
+        [("a", "a", 100), ("a", "b", 1)], "src string, dst string, weight long"
+    )
+    out = {r["node"]: r["label"] for r in louvain_move_w(ew).collect()}
+    assert set(out) == {"a", "b"}
