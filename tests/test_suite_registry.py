@@ -39,6 +39,9 @@ def test_registry_is_complete():
     # every entry is a (callable, sql-or-None) pair; only the three
     # justified rows-only queries lack oracles
     rows_only = {n for n, (_f, sql) in QUERIES.items() if sql is None}
-    assert rows_only == {"link_fuzzy", "extract_corpus", "extract_errors", "bpe_train"}
+    assert rows_only == {
+        "link_fuzzy", "extract_corpus", "extract_errors", "bpe_train",
+        "compression_quality",  # zlib has no SQL form; direct-zlib differential
+    }
     for name, (fn, _sql) in QUERIES.items():
         assert callable(fn), name
