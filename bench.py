@@ -281,6 +281,7 @@ def main() -> None:
         "temporal_reach",
         "louvain_contract",
         "louvain_level2",
+        "hyperball_nf",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

@@ -1553,3 +1553,60 @@ def louvain_move_w(edges: DataFrame, labels: DataFrame | None = None) -> DataFra
     return lab.join(pick, "node", "left").select(
         "node", F.coalesce("new_label", "label").alias("label")
     )
+
+
+def hyperball_nf(edges: DataFrame, max_hops: int = 8) -> DataFrame:
+    """The neighborhood function N(h) (Palmer-Gibbons-Faloutsos ANF,
+    computed HyperBall-style): for each hop h ≤ `max_hops`, the summed
+    HLL estimate of all nodes' out-ball sizes → (hop, n_nodes,
+    sum_est) — the curve whose saturation knee is the EFFECTIVE
+    DIAMETER, the single most-quoted connectivity statistic of web
+    graphs ("four degrees of separation" is this curve on Facebook).
+
+    Shape: the `hyperball_counters` merge loop, reading the register
+    estimate after every hop — each read is one node-keyed agg + one
+    1-row global sum (driver receives max_hops scalar rows, nothing
+    else). Registers are a pure function of the reached set, so every
+    point of the curve is exactly oracle-able against independently
+    constructed ball sets."""
+    from .sketches import hll_estimate_from_sketch, hll_sketch
+
+    e = edges.select("src", "dst").dropDuplicates().localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    cnt = hll_sketch(nodes, "node", ["node"]).localCheckpoint(eager=False)
+
+    def _point(h: int, c: DataFrame) -> tuple:
+        row = (
+            hll_estimate_from_sketch(c, ["node"])
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("est").alias("s"))
+            .first()
+        )
+        return (h, int(row["n"]), int(row["s"]))
+
+    points = [_point(0, cnt)]
+    prev = None
+    for h in range(1, max_hops + 1):
+        grown = e.join(cnt, cnt["node"] == e["dst"]).select(
+            F.col("src").alias("node"), "r_bucket", "reg"
+        )
+        cnt = (
+            cnt.unionByName(grown)
+            .groupBy("node", "r_bucket")
+            .agg(F.max("reg").alias("reg"))
+        ).localCheckpoint(eager=False)
+        pt = _point(h, cnt)
+        points.append(pt)
+        if prev is not None and pt[1:] == prev[1:]:
+            # converged: the remaining curve is flat — emit it without
+            # further rounds (the curve's length contract stays max_hops)
+            points.extend((hh, pt[1], pt[2]) for hh in range(h + 1, max_hops + 1))
+            break
+        prev = pt
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        points, "hop int, n_nodes long, sum_est long"
+    )

@@ -10544,3 +10544,45 @@ FROM lab LEFT JOIN (SELECT node, new_label FROM pick WHERE rn = 1) p
 """
 
 QUERIES["louvain_level2"] = (q_louvain_level2, SQL_LOUVAIN_LEVEL2)
+
+
+def q_hyperball_nf(spark, sf):
+    """Neighborhood-function curve N(h), h = 0..4, over the customer
+    chain — every point equals the HLL estimate of the true ball sets
+    {v .. v+h}, summed over nodes."""
+    from .operators.cc import hyperball_nf
+
+    cu = spark.read.parquet(f"{sf}/customer.parquet").select(
+        F.col("c_custkey").cast("long").alias("k")
+    )
+    ks = cu.select(F.col("k").alias("d"))
+    e = cu.select("k", (F.col("k") + 1).alias("d")).join(ks, "d").select(
+        F.col("k").cast("string").alias("src"), F.col("d").cast("string").alias("dst")
+    )
+    return hyperball_nf(e, max_hops=4)
+
+
+def _sql_hyperball_nf() -> str:
+    from .operators.sketches import hll_oracle_sql
+
+    prefix = """WITH cu AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer),
+mx AS (SELECT MAX(k) AS mk FROM cu),
+hops AS (SELECT unnest(generate_series(0, 4)) AS hop),
+reach AS (
+  SELECT hops.hop, CAST(v.k AS VARCHAR) AS node,
+         CAST(unnest(generate_series(v.k, least(v.k + hops.hop, mx.mk))) AS VARCHAR) AS member
+  FROM cu v CROSS JOIN mx CROSS JOIN hops
+),
+h AS"""
+    inner = hll_oracle_sql("reach", "member", ["hop", "node"], estimate=True).replace(
+        "WITH h AS", prefix, 1
+    )
+    return (
+        "SELECT CAST(hop AS INT) AS hop, COUNT(*) AS n_nodes, "
+        "CAST(SUM(est) AS BIGINT) AS sum_est FROM (\n" + inner + "\n) GROUP BY hop"
+    )
+
+
+SQL_HYPERBALL_NF = _sql_hyperball_nf()
+
+QUERIES["hyperball_nf"] = (q_hyperball_nf, SQL_HYPERBALL_NF)

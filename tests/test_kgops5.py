@@ -918,3 +918,27 @@ def test_louvain_move_w_self_loop_strength(spark):
     )
     out = {r["node"]: r["label"] for r in louvain_move_w(ew).collect()}
     assert set(out) == {"a", "b"}
+
+
+def test_hyperball_nf_curve(spark):
+    # chain 1..4: N(0)=4 (each node itself), N(1)=3+...: balls {1,2},{2,3},
+    # {3,4},{4} -> small-range linear counting is exact here
+    from ocaml_rdf_spark.operators.cc import hyperball_nf
+
+    ch = _edges(spark, [(str(i), str(i + 1)) for i in range(1, 4)])
+    pts = {r["hop"]: (r["n_nodes"], r["sum_est"]) for r in hyperball_nf(ch, 3).collect()}
+    assert pts[0] == (4, 4)
+    assert pts[1] == (4, 7)   # 2+2+2+1
+    assert pts[2] == (4, 9)   # 3+3+2+1
+    assert pts[3] == (4, 10)  # 4+3+2+1 (diameter reached)
+    assert len(pts) == 4
+
+
+def test_hyperball_nf_flat_after_convergence(spark):
+    # diameter 1: the curve flattens and the emitted tail repeats it
+    from ocaml_rdf_spark.operators.cc import hyperball_nf
+
+    e = _edges(spark, [("a", "b")])
+    pts = sorted((r["hop"], r["sum_est"]) for r in hyperball_nf(e, 5).collect())
+    assert pts[1][1] == pts[5][1] == 3  # {a,b} + {b}
+    assert len(pts) == 6
