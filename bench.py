@@ -282,6 +282,11 @@ def main() -> None:
         "louvain_contract",
         "louvain_level2",
         "hyperball_nf",
+        "sentence_spans",
+        "container_members",
+        "katz",
+        "butterflies",
+        "dsir",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

@@ -490,3 +490,61 @@ def unreify(quads: DataFrame) -> DataFrame:
         F.col("o_lang2").alias("o_lang"),
         "graph",
     )
+
+
+def container_members(quads: DataFrame) -> DataFrame:
+    """Flatten RDF container membership (rdf:Seq / rdf:Bag / rdf:Alt,
+    RDF 1.1 Schema §5.1) to (container, ctype, idx, o_kind, item,
+    o_dtype) rows — the container counterpart of `rdf_lists` and the
+    distributed realization of rdfs:member entailment (RDFS rule over
+    rdfs:ContainerMembershipProperty): every rdf:_n arc is a member at
+    1-based position n. ocaml-rdf models containers alongside
+    collections in its term API (SURVEY §2.1); this is the read side.
+
+    `ctype` is the container's declared rdf:type local name
+    ('Seq'/'Bag'/'Alt', NULL when undeclared — membership does not
+    require the type arc). idx ordering is only meaningful for Seq;
+    Bag/Alt rows keep n as an identity, per spec. Indexes need not be
+    contiguous (the spec imposes no gap rule) — rows surface exactly the
+    arcs present.
+
+    Scale shape: membership extraction is a map-only predicate-prefix
+    filter + integer extraction (pred-clustered store files prune to the
+    rdf:_n range via min/max stats); the type decoration is ONE hash
+    join against the rdf:type slice keyed by container id. Nothing
+    iterative — unlike list spines, containers index members directly,
+    which is exactly why RDF offers both."""
+    from pyspark.sql import functions as _F
+
+    from ..types import RDF_NS, RDF_TYPE
+
+    mem = quads.filter(
+        _F.col("pred").startswith(RDF_NS + "_")
+        & _F.col("pred").substr(_F.lit(len(RDF_NS) + 2), _F.length("pred")).rlike("^[0-9]+$")
+    ).select(
+        _F.col("s_lex").alias("container"),
+        # TRY_CAST, not CAST: Catalyst may constant-fold/reorder the
+        # projection ahead of the rlike filter, and ANSI CAST then
+        # errors on non-member preds (e.g. rdf:type) it would never see
+        _F.expr(f"TRY_CAST(substring(pred, {len(RDF_NS) + 2}) AS BIGINT)").alias("idx"),
+        "o_kind",
+        _F.col("o_lex").alias("item"),
+        "o_dtype",
+    )
+    ctypes = (
+        quads.filter(
+            (_F.col("pred") == RDF_TYPE)
+            & _F.col("o_lex").isin(RDF_NS + "Seq", RDF_NS + "Bag", RDF_NS + "Alt")
+        )
+        .select(
+            _F.col("s_lex").alias("container"),
+            _F.substring_index("o_lex", "#", -1).alias("ctype"),
+        )
+        # a (malformed) container declaring several types picks the
+        # lexicographic min — deterministic under any partitioning
+        .groupBy("container")
+        .agg(_F.min("ctype").alias("ctype"))
+    )
+    return mem.join(ctypes, "container", "left").select(
+        "container", "ctype", "idx", "o_kind", "item", "o_dtype"
+    )

@@ -1610,3 +1610,114 @@ def hyperball_nf(edges: DataFrame, max_hops: int = 8) -> DataFrame:
     return spark.createDataFrame(
         points, "hop int, n_nodes long, sum_est long"
     )
+
+
+def katz_centrality(
+    edges: DataFrame,
+    iters: int = 3,
+    alpha_pct: int = 20,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Katz centrality (Katz 1953), truncated to `iters` rounds of the
+    fixpoint x ← β + α·Aᵀx with β = `scale` and α = alpha_pct/100 —
+    i.e. each node scores 1 for itself plus α per in-path of length 1,
+    α² per length-2 path, … (PageRank without the out-degree
+    normalization, so prolific linkers transfer full weight — the
+    variant used for citation/endorsement graphs where fan-out should
+    not dilute credit). α must be < 1/λ_max for the untruncated series
+    to converge; the truncated form is well-defined for any α and is
+    what a fixed-round distributed pass computes.
+
+    Integer-exact (the integer-PageRank precedent at `pagerank`):
+    x_{t+1}(v) = scale + alpha_pct · Σ_{(u,v)∈E} x_t(u) // 100, all
+    BIGINT — bit-comparable to the unrolled DuckDB mirror and invariant
+    under partitioning. Returns (node, katz) for every node.
+
+    Scale shape: per round ONE hash join (edges ⋈ scores on src — the
+    score side is node-keyed, never larger than the node set) + ONE
+    map-side-combined sum keyed by dst; rounds are a constant. Hub skew
+    lands on the dst-sum, which partial-aggregates map-side, so a
+    mega-hub contributes one partial row per task, not |in(v)| rows to
+    one reducer. 100× data grows the join sides linearly; round count
+    and shuffle count are unchanged.
+    """
+    e = edges.select("src", "dst").dropDuplicates()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    x = nodes.select("node", F.lit(scale).cast("long").alias("katz"))
+    for i in range(iters):
+        # checkpoint BETWEEN rounds (not after the last): lineage stays
+        # constant-depth while the final round's join+agg remain in the
+        # returned plan, where the audit can see them
+        if i:
+            x = x.localCheckpoint(eager=False)
+        contrib = (
+            e.join(x, e["src"] == x["node"])
+            .groupBy("dst")
+            .agg(F.sum("katz").alias("s"))
+        )
+        x = nodes.join(contrib, nodes["node"] == contrib["dst"], "left").select(
+            "node",
+            (F.lit(scale) + F.expr(f"{alpha_pct} * coalesce(s, 0) div 100"))
+            .cast("long")
+            .alias("katz"),
+        )
+    return x
+
+
+def butterfly_counts(
+    edges: DataFrame,
+    left_col: str = "l",
+    right_col: str = "r",
+    max_right_degree: int = 1000,
+    k: int = 20,
+) -> DataFrame:
+    """Butterfly (bipartite 4-cycle) counting — the bipartite analogue
+    of triangle counting (Wang et al. VLDB'19 "Vertex Priority Based
+    Butterfly Counting"): a butterfly is two left vertices sharing two
+    right neighbors, the smallest unit of bipartite clustering. On web
+    bipartite graphs (docs×shingles, users×hosts, orders×parts) the
+    butterfly count is the standard cohesion/community-signal statistic
+    where triangles are structurally impossible.
+
+    Counting identity: for each left pair (l1 < l2) with c common right
+    neighbors, the pair closes C(c,2) butterflies; each butterfly is
+    counted once per its unique left pair. Per-left-vertex counts credit
+    BOTH endpoints. Returns the top-`k` left vertices by butterfly count
+    as (l, n_pairs, n_butterflies), ordered (count desc, l asc).
+
+    Scale shape: wedges are generated by a right-keyed self-join — the
+    ONLY quadratic step, bounded per right vertex at C(deg,2); right
+    hubs above `max_right_degree` (boilerplate shingles, mega-hosts) are
+    dropped with set semantics BEFORE the join (the LSH `max_bucket`
+    guard), so worst-case work is |R|·C(cap,2), never |L|². The pair agg
+    is map-side-combined; the final top-k is TakeOrderedAndProject.
+    """
+    e = edges.select(F.col(left_col).alias("l"), F.col(right_col).alias("r")).dropDuplicates()
+    deg = e.groupBy("r").agg(F.count(F.lit(1)).alias("rdeg"))
+    bounded = e.join(
+        F.broadcast(deg.where(F.col("rdeg") > max_right_degree).select("r")),
+        "r",
+        "left_anti",
+    )
+    o = bounded.select("l", "r")
+    wedges = (
+        o.alias("a")
+        .join(o.alias("b"), "r")
+        .where(F.col("a.l") < F.col("b.l"))
+        .select(F.col("a.l").alias("l1"), F.col("b.l").alias("l2"))
+    )
+    pairs = wedges.groupBy("l1", "l2").agg(F.count(F.lit(1)).alias("c")).where(F.col("c") >= 2)
+    per_pair = pairs.select("l1", "l2", F.expr("c * (c - 1) div 2").alias("bf"))
+    credit = per_pair.select(F.col("l1").alias("l"), "bf").unionByName(
+        per_pair.select(F.col("l2").alias("l"), "bf")
+    )
+    return (
+        credit.groupBy("l")
+        .agg(F.count(F.lit(1)).alias("n_pairs"), F.sum("bf").alias("n_butterflies"))
+        .orderBy(F.desc("n_butterflies"), F.asc("l"))
+        .limit(k)
+    )

@@ -2039,3 +2039,74 @@ def compression_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
             )
 
     return docs.select("doc_id", text_col).mapInPandas(run, schema=out_schema)
+
+def sentence_spans(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic sentence segmentation with token-offset spans →
+    (doc_id, sent_id, start_tok, n_toks, n_chars, sent). The span table
+    is the substrate for sentence-level pipelines (bitext mining feeds
+    on sentences, not documents; sentence-dedup and quality filters in
+    the CCNet/ROOTS family likewise), so the segmenter must be pinned,
+    not "smart": a sentence boundary is a run of [.!?] followed by
+    whitespace. That rule is regex-portable (no lookbehind — RE2 engines
+    lack it), reproducible, and — like all segmenters — approximate on
+    abbreviations, which downstream consumers tolerate by construction.
+
+    Pinned semantics for the cross-engine oracle: the terminator run
+    stays with its sentence; pieces are trimmed; empty pieces are
+    dropped BEFORE numbering, so sent_id is 1-based and contiguous;
+    n_chars counts the trimmed sentence; n_toks counts the sentence's
+    normalized tokens (the corpus-wide `_norm_tokens` normalization —
+    a sentence of pure punctuation has n_toks = 0 but keeps its row);
+    start_tok is the prefix sum of earlier sentences' n_toks, i.e. the
+    sentence's offset in the document's normalized token stream.
+
+    Scale shape: entirely scan-local — split, per-element trim/filter,
+    and an `aggregate` prefix sum over the sentence array, then ONE
+    posexplode; no shuffle, no window, no Python. The prefix sum rides
+    the array (not a doc-partitioned window) precisely so a 100x corpus
+    adds map parallelism with zero exchange; intermediate arrays are
+    bound to columns stage-by-stage (the transform-lambda re-evaluation
+    trap documented at tfidf_pairs)."""
+    sentinel = "\x1e"
+    pieces = F.split(
+        F.regexp_replace(F.col(text_col), r"([.!?]+)[ \t\n\r]+", "$1" + sentinel),
+        sentinel,
+    )
+    staged = (
+        docs.select(F.col(id_col).alias("doc_id"), pieces.alias("__p"))
+        .select(
+            "doc_id",
+            F.expr("filter(transform(__p, x -> trim(x)), x -> x <> '')").alias("__s"),
+        )
+        .filter(F.size("__s") > 0)
+        .select(
+            "doc_id",
+            "__s",
+            F.expr(
+                "transform(__s, s -> size(filter(split(trim(regexp_replace("
+                "regexp_replace(lower(s), '[^a-z0-9 ]', ' '), ' +', ' ')), ' '), "
+                "t -> t <> '')))"
+            ).alias("__nt"),
+        )
+        .select(
+            "doc_id",
+            "__s",
+            "__nt",
+            F.expr(
+                "aggregate(__nt, array(CAST(0 AS BIGINT)), "
+                "(acc, x) -> concat(acc, array(element_at(acc, -1) + x)))"
+            ).alias("__off"),
+        )
+    )
+    return staged.select(
+        "doc_id", F.posexplode("__s").alias("__i", "sent"), "__nt", "__off"
+    ).select(
+        "doc_id",
+        (F.col("__i") + 1).cast("long").alias("sent_id"),
+        F.element_at("__off", F.col("__i") + 1).cast("long").alias("start_tok"),
+        F.element_at("__nt", F.col("__i") + 1).cast("long").alias("n_toks"),
+        F.length("sent").cast("long").alias("n_chars"),
+        "sent",
+    )

@@ -10586,3 +10586,270 @@ h AS"""
 SQL_HYPERBALL_NF = _sql_hyperball_nf()
 
 QUERIES["hyperball_nf"] = (q_hyperball_nf, SQL_HYPERBALL_NF)
+
+
+def q_sentence_spans(spark, sf):
+    """Deterministic sentence segmentation with token-offset spans over
+    the documents table — scan-local split + array prefix sum, one
+    posexplode, no shuffle."""
+    from .operators.textops import sentence_spans
+
+    return sentence_spans(_docs(spark, sf))
+
+
+SQL_SENTENCE_SPANS = """
+WITH pieces AS (
+  SELECT doc_id,
+         str_split(regexp_replace(text, '([.!?]+)[ \t\n\r]+', '\\1' || chr(30), 'g'),
+                   chr(30)) AS p
+  FROM documents
+),
+kept AS (
+  SELECT doc_id, list_filter(list_transform(p, x -> trim(x)), x -> x <> '') AS s
+  FROM pieces
+),
+ex AS (
+  SELECT doc_id, unnest(generate_series(1, len(s))) AS i, s
+  FROM kept WHERE len(s) > 0
+),
+tok AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS sent_id, s[i] AS sent,
+         CAST(len(list_filter(str_split(trim(regexp_replace(regexp_replace(lower(s[i]),
+           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '), t -> t <> '')) AS BIGINT) AS n_toks,
+         CAST(length(s[i]) AS BIGINT) AS n_chars
+  FROM ex
+)
+SELECT doc_id, sent_id,
+       CAST(COALESCE(SUM(n_toks) OVER (PARTITION BY doc_id ORDER BY sent_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok,
+       n_toks, n_chars, sent
+FROM tok
+"""
+
+QUERIES["sentence_spans"] = (q_sentence_spans, SQL_SENTENCE_SPANS)
+
+
+def q_container_members(spark, sf):
+    """RDF container (Seq/Bag/Alt) membership flattening: one container
+    per region holding its nations as rdf:_n members plus a literal
+    member at idx 99; regions 0-2 carry a type arc (Seq/Bag/Alt by key
+    mod 3), the rest stay untyped; decoy arcs (non-membership preds)
+    must be ignored by the rlike prefix filter."""
+    from pyspark.sql.window import Window
+
+    from .operators.canon import container_members
+    from .types import RDF_NS, RDF_TYPE
+
+    na = spark.read.parquet(f"{sf}/nation.parquet")
+    re_ = spark.read.parquet(f"{sf}/region.parquet")
+    w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+    rows = na.select(
+        F.col("n_regionkey").alias("rk"),
+        F.col("n_nationkey").alias("nk"),
+        F.row_number().over(w).alias("i"),
+    )
+    cont = F.concat(F.lit("urn:c:"), F.col("rk").cast("string"))
+    members = rows.select(
+        cont.alias("s_lex"),
+        F.concat(F.lit(RDF_NS + "_"), F.col("i").cast("string")).alias("pred"),
+        F.lit(0).cast("tinyint").alias("o_kind"),
+        F.concat(F.lit("urn:n:"), F.col("nk").cast("string")).alias("o_lex"),
+        F.lit(None).cast("string").alias("o_dtype"),
+    )
+    rcont = F.concat(F.lit("urn:c:"), F.col("r_regionkey").cast("string"))
+    lits = re_.select(
+        rcont.alias("s_lex"),
+        F.lit(RDF_NS + "_99").alias("pred"),
+        F.lit(2).cast("tinyint").alias("o_kind"),
+        F.col("r_name").alias("o_lex"),
+        F.lit(None).cast("string").alias("o_dtype"),
+    )
+    types_ = re_.filter(F.col("r_regionkey") < 3).select(
+        rcont.alias("s_lex"),
+        F.lit(RDF_TYPE).alias("pred"),
+        F.lit(0).cast("tinyint").alias("o_kind"),
+        F.concat(
+            F.lit(RDF_NS),
+            F.element_at(
+                F.array(F.lit("Seq"), F.lit("Bag"), F.lit("Alt")),
+                (F.col("r_regionkey") % 3 + 1).cast("int"),
+            ),
+        ).alias("o_lex"),
+        F.lit(None).cast("string").alias("o_dtype"),
+    )
+    decoys = re_.select(
+        rcont.alias("s_lex"),
+        F.lit(RDF_NS + "_1a").alias("pred"),  # non-numeric suffix: not a member
+        F.lit(2).cast("tinyint").alias("o_kind"),
+        F.lit("decoy").alias("o_lex"),
+        F.lit(None).cast("string").alias("o_dtype"),
+    ).unionByName(
+        re_.select(
+            rcont.alias("s_lex"),
+            F.lit(RDF_NS + "value").alias("pred"),
+            F.lit(2).cast("tinyint").alias("o_kind"),
+            F.lit("decoy2").alias("o_lex"),
+            F.lit(None).cast("string").alias("o_dtype"),
+        )
+    )
+    quads = members.unionByName(lits).unionByName(types_).unionByName(decoys)
+    return container_members(quads)
+
+
+SQL_CONTAINER_MEMBERS = """
+WITH rows_ AS (
+  SELECT n_regionkey AS rk, n_nationkey AS nk,
+         ROW_NUMBER() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS i
+  FROM nation
+),
+mem AS (
+  SELECT 'urn:c:' || CAST(rk AS VARCHAR) AS container, CAST(i AS BIGINT) AS idx,
+         0 AS o_kind, 'urn:n:' || CAST(nk AS VARCHAR) AS item,
+         CAST(NULL AS VARCHAR) AS o_dtype
+  FROM rows_
+  UNION ALL
+  SELECT 'urn:c:' || CAST(r_regionkey AS VARCHAR), 99, 2, r_name, NULL FROM region
+),
+ct AS (
+  SELECT 'urn:c:' || CAST(r_regionkey AS VARCHAR) AS container,
+         CASE r_regionkey % 3 WHEN 0 THEN 'Seq' WHEN 1 THEN 'Bag' ELSE 'Alt' END AS ctype
+  FROM region WHERE r_regionkey < 3
+)
+SELECT mem.container, ct.ctype, mem.idx, mem.o_kind, mem.item, mem.o_dtype
+FROM mem LEFT JOIN ct ON ct.container = mem.container
+"""
+
+QUERIES["container_members"] = (q_container_members, SQL_CONTAINER_MEMBERS)
+
+
+def q_katz(spark, sf):
+    """Katz centrality (3 truncated rounds, alpha = 0.20, integer-exact)
+    over the chain-with-chords customer graph — per round one hash join
+    + one map-side-combined dst sum."""
+    from .operators.cc import katz_centrality
+
+    _r, e = _chain_graph(spark, sf)
+    return katz_centrality(e, iters=3, alpha_pct=20)
+
+
+def _katz_sql(iters: int) -> str:
+    parts = [
+        "WITH "
+        + _CHAIN_SQL
+        + """,
+e AS (SELECT DISTINCT src, dst FROM raw),
+n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+x0 AS (SELECT node, CAST(1000000 AS BIGINT) AS katz FROM n)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""",
+x{t} AS (
+  SELECT n.node,
+         CAST(1000000 + (20 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS katz
+  FROM n LEFT JOIN (
+    SELECT e.dst, CAST(SUM(x.katz) AS BIGINT) AS s
+    FROM e JOIN x{t - 1} x ON x.node = e.src GROUP BY e.dst
+  ) c ON c.dst = n.node
+)"""
+        )
+    parts.append(f"\nSELECT node, katz FROM x{iters}")
+    return "".join(parts)
+
+
+SQL_KATZ = _katz_sql(3)
+
+QUERIES["katz"] = (q_katz, SQL_KATZ)
+
+
+def q_butterflies(spark, sf):
+    """Butterfly counting on the customer x (nation, segment) bipartite
+    graph: two customers sharing BOTH their nation and market segment
+    close one butterfly per pair — top-20 left vertices by count."""
+    from .operators.cc import butterfly_counts
+
+    cu = spark.read.parquet(f"{sf}/customer.parquet")
+    k = F.col("c_custkey").cast("string")
+    e = cu.select(
+        k.alias("l"), F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias("r")
+    ).unionByName(
+        cu.select(k.alias("l"), F.concat(F.lit("s"), F.col("c_mktsegment")).alias("r"))
+    )
+    return butterfly_counts(e, max_right_degree=1000, k=20)
+
+
+SQL_BUTTERFLIES = """
+WITH e AS (
+  SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS l,
+         'n' || CAST(c_nationkey AS VARCHAR) AS r FROM customer
+  UNION
+  SELECT DISTINCT CAST(c_custkey AS VARCHAR), 's' || c_mktsegment FROM customer
+),
+deg AS (SELECT r, COUNT(*) AS rdeg FROM e GROUP BY r),
+bounded AS (SELECT l, e.r FROM e JOIN deg ON deg.r = e.r WHERE deg.rdeg <= 1000),
+wedges AS (
+  SELECT a.l AS l1, b.l AS l2 FROM bounded a JOIN bounded b
+  ON a.r = b.r AND a.l < b.l
+),
+pairs AS (SELECT l1, l2, COUNT(*) AS c FROM wedges GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+pp AS (SELECT l1, l2, CAST(c * (c - 1) // 2 AS BIGINT) AS bf FROM pairs),
+credit AS (SELECT l1 AS l, bf FROM pp UNION ALL SELECT l2, bf FROM pp)
+SELECT l, CAST(COUNT(*) AS BIGINT) AS n_pairs, CAST(SUM(bf) AS BIGINT) AS n_butterflies
+FROM credit GROUP BY l
+ORDER BY n_butterflies DESC, l ASC LIMIT 20
+"""
+
+QUERIES["butterflies"] = (q_butterflies, SQL_BUTTERFLIES)
+
+
+def q_dsir(spark, sf):
+    """DSIR importance weights of the whole corpus toward the English
+    slice (lang = 'en') — hashed-unigram target/raw models (256 buckets,
+    broadcast-sized forever), integer-quantized ratio sums."""
+    from .operators.selection import dsir_weights
+
+    docs = _docs(spark, sf)
+    target = docs.filter(F.col("lang") == "en").select("doc_id", "text")
+    return dsir_weights(docs, target, buckets=256, scale=1_000_000)
+
+
+SQL_DSIR = """
+WITH tb AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 15))::BIGINT % 256 AS b
+  FROM (
+    SELECT doc_id, unnest(list_filter(str_split(trim(regexp_replace(regexp_replace(
+             lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '),
+             t -> t <> '')) AS tok
+    FROM documents
+  )
+),
+tgt AS (
+  SELECT ('0x' || substr(md5(tok), 1, 15))::BIGINT % 256 AS b
+  FROM (
+    SELECT unnest(list_filter(str_split(trim(regexp_replace(regexp_replace(
+             lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '),
+             t -> t <> '')) AS tok
+    FROM documents WHERE lang = 'en'
+  )
+),
+raw_cnt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS r_cnt FROM tb GROUP BY b),
+tgt_cnt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS t_cnt FROM tgt GROUP BY b),
+tots AS (
+  SELECT (SELECT COUNT(*) FROM tb) AS r_tot, (SELECT COUNT(*) FROM tgt) AS t_tot
+),
+ratio AS (
+  SELECT raw_cnt.b,
+         CAST((1000000 * ((1000000 * (COALESCE(t_cnt, 0) + 1)) // (t_tot + 256)))
+              // GREATEST((1000000 * (r_cnt + 1)) // (r_tot + 256), 1) AS BIGINT) AS ratio
+  FROM raw_cnt LEFT JOIN tgt_cnt ON tgt_cnt.b = raw_cnt.b CROSS JOIN tots
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(ratio) AS BIGINT) AS w_sum,
+       CAST(SUM(ratio) // COUNT(*) AS BIGINT) AS w_avg,
+       (SUM(ratio) // COUNT(*)) >= 1000000 AS selected
+FROM tb JOIN ratio ON ratio.b = tb.b
+GROUP BY doc_id
+"""
+
+QUERIES["dsir"] = (q_dsir, SQL_DSIR)

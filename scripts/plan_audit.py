@@ -1105,11 +1105,12 @@ def main() -> None:
         ]),
         ("louvain", [
             # gain argmax is a min_by agg, never a window; m2 folds to a
-            # literal (one count job before plan build). The only Window
-            # nodes allowed are the FIXTURE's row_number over c_nationkey
-            # (edge construction) — never one over the node/gain columns.
-            ("argmax window-free (no windowspec over node)", r"windowspecdefinition\(node", "absent"),
-            ("fixture windows only (c_nationkey row_number)", r"windowspecdefinition\(c_nationkey"),
+            # literal (one count job before plan build). Since the
+            # lineage-blowup fix the fixture edges arrive via a
+            # localCheckpoint (its row_number window no longer appears in
+            # the plan), so the binding assertion is: NO window at all —
+            # the argmax must stay an aggregate
+            ("argmax window-free (no Window node)", r"^\(\d+\) Window", "absent"),
             ("no cartesian product", r"CartesianProduct", "absent"),
             ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
             ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
@@ -1270,6 +1271,48 @@ def main() -> None:
             # two PR runs: per-iter equi hash joins + 1-row total broadcasts
             # (the two crossJoins ARE single-row broadcasts — the intended
             # plan; assert nothing bigger leaks into a BNLJ than those)
+            ("1-row total broadcasts only", r"^\(\d+\) BroadcastNestedLoopJoin", "count", 2),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
+        ("sentence_spans", [
+            # scan-local segmentation: split + array prefix sum + ONE
+            # posexplode — zero shuffles, the offsets ride the array
+            ("map-only: zero shuffles", r"Exchange", "absent"),
+            ("no join anywhere", r"Join", "absent"),
+            ("explode via Generate", r"Generate"),
+            ("columns pruned to doc_id+text", r"ReadSchema: struct<doc_id:bigint,text:string>"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
+        ("container_members", [
+            # membership extraction is a predicate-prefix filter (map
+            # side); the only join is the container-keyed type decoration
+            ("type decoration is a hash join", r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
+        ("katz", [
+            # per round: ONE edges⋈scores hash join + ONE map-side-combined
+            # dst sum; rounds checkpointed — no quadratic shape anywhere
+            ("contribution sums are hash aggs", r"HashAggregate"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
+        ("butterflies", [
+            # wedge generation is a right-keyed equi self-join (hub-capped
+            # BEFORE the join via a broadcast anti join); top-k merges
+            ("wedge join is equi (hash/merge)", r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"),
+            ("hub cap is a broadcast anti join", r"BroadcastHashJoin.*LeftAnti|LeftAnti.*BuildRight"),
+            ("top-k, no full sort", r"TakeOrderedAndProject"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
+        ("dsir", [
+            # model fitting = two B-row aggs; the only BNLJ are the two
+            # 1-row total broadcasts; scoring joins the B-row ratio table
+            # broadcast onto the token stream
+            ("ratio table broadcast onto tokens", r"BroadcastHashJoin"),
             ("1-row total broadcasts only", r"^\(\d+\) BroadcastNestedLoopJoin", "count", 2),
             ("no cartesian product", r"CartesianProduct", "absent"),
             ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),

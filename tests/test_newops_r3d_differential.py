@@ -1,0 +1,277 @@
+"""Unit + differential tests for the final round-3 operator batch:
+sentence segmentation spans, RDF container membership, Katz centrality,
+butterfly counting, and DSIR importance weights — each checked against
+hand-computed goldens or an independent pure-Python mirror (the suite's
+DuckDB oracles cover the cross-engine axis; these pin the semantics on
+adversarial small cases the synthetic tables don't reach)."""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+import re
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+
+# --------------------------------------------------------------------------
+# sentence_spans
+# --------------------------------------------------------------------------
+
+def _py_sentences(text: str) -> list[str]:
+    pieces = re.sub(r"([.!?]+)[ \t\n\r]+", "\\1\x1e", text).split("\x1e")
+    return [p.strip() for p in pieces if p.strip()]
+
+
+def _py_norm_toks(s: str) -> list[str]:
+    s = re.sub(r"[^a-z0-9 ]", " ", s.lower())
+    s = re.sub(r" +", " ", s).strip()
+    return [t for t in s.split(" ") if t]
+
+
+def test_sentence_spans_golden(spark):
+    from ocaml_rdf_spark.operators.textops import sentence_spans
+
+    docs = [
+        (1, "Hello world. Second one!  Third?No split here. Tail"),
+        (2, "No terminator at all"),
+        (3, "Ends with terminator. "),
+        (4, "!!! ???"),           # punctuation-only sentences: n_toks = 0
+        (5, ""),                  # empty: no rows
+        (6, "A.B. then c! d"),    # "A.B" stays whole; ". " after it splits
+        (7, "Multi...  dots. Ok"),
+    ]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.sent_id): (r.start_tok, r.n_toks, r.n_chars, r.sent)
+        for r in sentence_spans(sdf).collect()
+    }
+
+    expected = {}
+    for doc_id, text in docs:
+        off = 0
+        for i, sent in enumerate(_py_sentences(text), start=1):
+            nt = len(_py_norm_toks(sent))
+            expected[(doc_id, i)] = (off, nt, len(sent), sent)
+            off += nt
+    assert got == expected
+    # spot-pin the interesting rows
+    assert expected[(1, 1)] == (0, 2, 12, "Hello world.")
+    assert expected[(1, 3)][3] == "Third?No split here."
+    assert (4, 1) in expected and expected[(4, 1)][1] == 0  # "!!!" keeps its row
+    assert all(k[0] != 5 for k in expected)
+    assert expected[(6, 1)][3] == "A.B." and expected[(6, 2)][3] == "then c!"
+
+
+def test_sentence_spans_offsets_are_prefix_sums(spark):
+    from ocaml_rdf_spark.operators.textops import sentence_spans
+
+    sdf = spark.createDataFrame(
+        [(1, "one two. three four five! six. seven eight nine ten?")],
+        "doc_id long, text string",
+    )
+    rows = sorted(sentence_spans(sdf).collect(), key=lambda r: r.sent_id)
+    assert [r.start_tok for r in rows] == [0, 2, 5, 6]
+    assert [r.n_toks for r in rows] == [2, 3, 1, 4]
+
+
+# --------------------------------------------------------------------------
+# container_members
+# --------------------------------------------------------------------------
+
+def _quads(spark, rows):
+    return spark.createDataFrame(
+        rows, "s_lex string, pred string, o_kind tinyint, o_lex string, o_dtype string"
+    )
+
+
+def test_container_members_golden(spark):
+    from ocaml_rdf_spark.operators.canon import container_members
+
+    q = _quads(spark, [
+        ("urn:c1", RDF_NS + "_1", 0, "urn:a", None),
+        ("urn:c1", RDF_NS + "_2", 2, "lit", "http://www.w3.org/2001/XMLSchema#string"),
+        ("urn:c1", RDF_NS + "_10", 0, "urn:b", None),      # gaps allowed
+        ("urn:c1", RDF_NS + "type", 0, RDF_NS + "Seq", None),
+        ("urn:c2", RDF_NS + "_1", 0, "urn:x", None),        # untyped container
+        ("urn:c2", RDF_NS + "_1a", 0, "urn:decoy", None),   # non-numeric: ignored
+        ("urn:c3", RDF_NS + "type", 0, RDF_NS + "Bag", None),  # typed, no members
+        ("urn:c1", "urn:p", 0, "urn:other", None),          # unrelated arc
+    ])
+    got = {
+        (r.container, r.idx): (r.ctype, r.o_kind, r.item, r.o_dtype)
+        for r in container_members(q).collect()
+    }
+    assert got == {
+        ("urn:c1", 1): ("Seq", 0, "urn:a", None),
+        ("urn:c1", 2): ("Seq", 2, "lit", "http://www.w3.org/2001/XMLSchema#string"),
+        ("urn:c1", 10): ("Seq", 0, "urn:b", None),
+        ("urn:c2", 1): (None, 0, "urn:x", None),
+    }
+
+
+def test_container_members_multi_type_is_deterministic(spark):
+    from ocaml_rdf_spark.operators.canon import container_members
+
+    q = _quads(spark, [
+        ("urn:c", RDF_NS + "_1", 0, "urn:a", None),
+        ("urn:c", RDF_NS + "type", 0, RDF_NS + "Seq", None),
+        ("urn:c", RDF_NS + "type", 0, RDF_NS + "Alt", None),  # malformed double type
+    ])
+    [r] = container_members(q).collect()
+    assert r.ctype == "Alt"  # lexicographic min, pinned
+
+
+# --------------------------------------------------------------------------
+# katz_centrality
+# --------------------------------------------------------------------------
+
+def _py_katz(edges, iters=3, alpha_pct=20, scale=1_000_000):
+    e = sorted(set(edges))
+    nodes = {n for p in e for n in p}
+    x = {n: scale for n in nodes}
+    for _ in range(iters):
+        s = Counter()
+        for u, v in e:
+            s[v] += x[u]
+        x = {n: scale + (alpha_pct * s.get(n, 0)) // 100 for n in nodes}
+    return x
+
+
+def test_katz_golden_star_and_chain(spark):
+    from ocaml_rdf_spark.operators.cc import katz_centrality
+
+    # hub with 3 in-edges plus a 3-chain feeding one spoke; a duplicate
+    # edge must not double-count (set semantics)
+    edges = [("a", "h"), ("b", "h"), ("c", "h"), ("x", "a"), ("y", "x"),
+             ("a", "h")]
+    sdf = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.katz for r in katz_centrality(sdf, iters=3).collect()}
+    assert got == _py_katz(edges)
+    # the hub outranks everything; a length-2 path contributes alpha^2
+    assert got["h"] == max(got.values())
+    assert got["a"] > got["y"] == 1_000_000
+
+
+def test_katz_cycle_is_finite_per_round(spark):
+    from ocaml_rdf_spark.operators.cc import katz_centrality
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a")]
+    sdf = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.katz for r in katz_centrality(sdf, iters=4).collect()}
+    exp = _py_katz(edges, iters=4)
+    assert got == exp
+    assert len(set(got.values())) == 1  # symmetric cycle: identical scores
+
+
+# --------------------------------------------------------------------------
+# butterfly_counts
+# --------------------------------------------------------------------------
+
+def _py_butterflies(edges, cap=1000, k=20):
+    e = sorted(set(edges))
+    rdeg = Counter(r for _, r in e)
+    kept = [(l, r) for l, r in e if rdeg[r] <= cap]
+    nbrs = {}
+    for l, r in kept:
+        nbrs.setdefault(l, set()).add(r)
+    credit = Counter()
+    bfs = Counter()
+    for l1, l2 in itertools.combinations(sorted(nbrs), 2):
+        c = len(nbrs[l1] & nbrs[l2])
+        if c >= 2:
+            bf = c * (c - 1) // 2
+            for l in (l1, l2):
+                credit[l] += 1
+                bfs[l] += bf
+    rows = sorted(((l, credit[l], bfs[l]) for l in credit),
+                  key=lambda t: (-t[2], t[0]))[:k]
+    return rows
+
+
+def test_butterfly_golden(spark):
+    from ocaml_rdf_spark.operators.cc import butterfly_counts
+
+    # K_{2,2} on (a,b)x(r1,r2) = exactly one butterfly; c shares only one
+    # right neighbor with each -> contributes nothing; duplicate edges
+    # collapse
+    edges = [("a", "r1"), ("a", "r2"), ("b", "r1"), ("b", "r2"),
+             ("c", "r1"), ("a", "r1"),
+             # a 3x3 biclique: every pair of (p,q,s) closes C(3,2)=3
+             ("p", "x"), ("p", "y"), ("p", "z"),
+             ("q", "x"), ("q", "y"), ("q", "z"),
+             ("s", "x"), ("s", "y"), ("s", "z")]
+    sdf = spark.createDataFrame(edges, "l string, r string")
+    got = [(r.l, r.n_pairs, r.n_butterflies) for r in butterfly_counts(sdf).collect()]
+    assert got == _py_butterflies(edges)
+    as_map = {l: (p, b) for l, p, b in got}
+    assert as_map["a"] == (1, 1) and as_map["b"] == (1, 1)
+    assert as_map["p"] == (2, 6) and "c" not in as_map
+
+
+def test_butterfly_hub_cap_drops_boilerplate(spark):
+    from ocaml_rdf_spark.operators.cc import butterfly_counts
+
+    # r_hub connects everyone (degree 4 > cap 3) and must not create
+    # wedges; only the r1/r2 pair survives
+    edges = [(l, "r_hub") for l in "abcd"] + [
+        ("a", "r1"), ("b", "r1"), ("a", "r2"), ("b", "r2")]
+    sdf = spark.createDataFrame(edges, "l string, r string")
+    got = [(r.l, r.n_pairs, r.n_butterflies)
+           for r in butterfly_counts(sdf, max_right_degree=3).collect()]
+    assert got == [("a", 1, 1), ("b", 1, 1)]
+    assert got == _py_butterflies(edges, cap=3)
+
+
+# --------------------------------------------------------------------------
+# dsir_weights
+# --------------------------------------------------------------------------
+
+def _py_bucket(tok: str, buckets: int) -> int:
+    return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % buckets
+
+
+def _py_dsir(docs, target, buckets=256, scale=1_000_000):
+    tb = [(d, _py_bucket(t, buckets)) for d, txt in docs for t in _py_norm_toks(txt)]
+    tg = [_py_bucket(t, buckets) for _, txt in target for t in _py_norm_toks(txt)]
+    r_cnt, t_cnt = Counter(b for _, b in tb), Counter(tg)
+    r_tot, t_tot = len(tb), len(tg)
+    ratio = {
+        b: (scale * ((scale * (t_cnt.get(b, 0) + 1)) // (t_tot + buckets)))
+        // max((scale * (r_cnt[b] + 1)) // (r_tot + buckets), 1)
+        for b in r_cnt
+    }
+    out = {}
+    for d, _ in docs:
+        rs = [ratio[b] for dd, b in tb if dd == d]
+        if rs:
+            w = sum(rs)
+            out[d] = (len(rs), w, w // len(rs), w // len(rs) >= scale)
+    return out
+
+
+def test_dsir_golden_shift(spark):
+    from ocaml_rdf_spark.operators.selection import dsir_weights
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "der schnelle braune fuchs springt"),
+        (3, "the dog sleeps. The fox runs!"),
+        (4, "zzz qqq unrelated junk tokens"),
+        (5, "   "),  # no tokens: no row
+    ]
+    target = [(t[0], t[1]) for t in docs if t[0] in (1, 3)]  # English slice
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    tdf = spark.createDataFrame(target, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.w_sum, r.w_avg, r.selected)
+        for r in dsir_weights(sdf, tdf, buckets=64).collect()
+    }
+    assert got == _py_dsir(docs, target, buckets=64)
+    # target-like docs select in; the German and junk docs score lower
+    assert got[1][3] and got[3][3]
+    assert got[1][2] > got[2][2] and got[3][2] > got[4][2]
+    assert 5 not in got
