@@ -10763,30 +10763,47 @@ QUERIES["katz"] = (q_katz, SQL_KATZ)
 
 
 def q_butterflies(spark, sf):
-    """Butterfly counting on the customer x (nation, segment) bipartite
-    graph: two customers sharing BOTH their nation and market segment
-    close one butterfly per pair — top-20 left vertices by count."""
+    """Butterfly counting on a bounded-degree customer bipartite graph:
+    rights are two staggered membership groups g=⌊k/50⌋ and h=⌊(k+25)/50⌋
+    (degree ≤ 50 at EVERY scale — right degree is a fixture constant, so
+    wedge volume grows linearly with the corpus, the operator's design
+    point) plus one planted boilerplate hub 'all' connected to every
+    customer, which the cap (100) drops at every SF — the guard is
+    exercised, never load-bearing on a mega-wedge. Two customers in the
+    same g AND h group (the 25-key run overlap) share 2 rights → one
+    butterfly per pair; top-20 by count."""
     from .operators.cc import butterfly_counts
 
     cu = spark.read.parquet(f"{sf}/customer.parquet")
-    k = F.col("c_custkey").cast("string")
-    e = cu.select(
-        k.alias("l"), F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias("r")
-    ).unionByName(
-        cu.select(k.alias("l"), F.concat(F.lit("s"), F.col("c_mktsegment")).alias("r"))
+    k = F.col("c_custkey").cast("long")
+    e = (
+        cu.select(
+            k.cast("string").alias("l"),
+            F.concat(F.lit("g"), (k / 50).cast("long").cast("string")).alias("r"),
+        )
+        .unionByName(
+            cu.select(
+                k.cast("string").alias("l"),
+                F.concat(F.lit("h"), ((k + 25) / 50).cast("long").cast("string")).alias("r"),
+            )
+        )
+        .unionByName(cu.select(k.cast("string").alias("l"), F.lit("all").alias("r")))
     )
-    return butterfly_counts(e, max_right_degree=1000, k=20)
+    return butterfly_counts(e, max_right_degree=100, k=20)
 
 
 SQL_BUTTERFLIES = """
 WITH e AS (
   SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS l,
-         'n' || CAST(c_nationkey AS VARCHAR) AS r FROM customer
+         'g' || CAST(c_custkey // 50 AS VARCHAR) AS r FROM customer
   UNION
-  SELECT DISTINCT CAST(c_custkey AS VARCHAR), 's' || c_mktsegment FROM customer
+  SELECT DISTINCT CAST(c_custkey AS VARCHAR),
+         'h' || CAST((c_custkey + 25) // 50 AS VARCHAR) FROM customer
+  UNION
+  SELECT DISTINCT CAST(c_custkey AS VARCHAR), 'all' FROM customer
 ),
 deg AS (SELECT r, COUNT(*) AS rdeg FROM e GROUP BY r),
-bounded AS (SELECT l, e.r FROM e JOIN deg ON deg.r = e.r WHERE deg.rdeg <= 1000),
+bounded AS (SELECT l, e.r FROM e JOIN deg ON deg.r = e.r WHERE deg.rdeg <= 100),
 wedges AS (
   SELECT a.l AS l1, b.l AS l2 FROM bounded a JOIN bounded b
   ON a.r = b.r AND a.l < b.l
