@@ -287,6 +287,10 @@ def main() -> None:
         "katz",
         "butterflies",
         "dsir",
+        "eff_diameter",
+        "bowtie",
+        "weighted_sample",
+        "surt",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

@@ -1721,3 +1721,107 @@ def butterfly_counts(
         .orderBy(F.desc("n_butterflies"), F.asc("l"))
         .limit(k)
     )
+
+
+def effective_diameter(
+    edges: DataFrame, max_hops: int = 8, pct: int = 90
+) -> DataFrame:
+    """Effective diameter from the HyperBall neighborhood-function curve
+    (Palmer-Gibbons-Faloutsos ANF; the number behind 'four degrees of
+    separation'): the interpolated hop count at which `pct`% of all
+    reachable (node, node) pairs are within distance d. Reads the N(h)
+    curve `hyperball_nf` produces and returns ONE row
+    (pct, max_hops, n_nodes, est_total, d_eff_milli) with the standard
+    linear interpolation in exact integer millihops:
+
+        d_eff = h-1 + (target − N(h-1)) / (N(h) − N(h-1)),
+        target = pct% · N(max_hops),  h = min hop with N(h) ≥ target
+
+    pinned division-cleared: the qualifying test is 100·N(h) ≥ pct·N(H)
+    (no rounding ambiguity) and the fractional part is
+    1000·(pct·N(H) − 100·N(h−1)) div (100·(N(h) − N(h−1))). N(0) already
+    qualifying ⇒ 0. If the curve hasn't converged by max_hops the value
+    is the bounded-curve estimate — same contract as hyperball_nf.
+
+    Scale shape: everything downstream of the audited hyperball rounds
+    operates on the CURVE — max_hops+1 rows forever — so the lag window
+    and the min-hop pick are metadata-sized (the compaction_plan rule:
+    a single-partition window over a constant-row frame is the point,
+    not a smell)."""
+    from pyspark.sql.window import Window
+
+    nf = hyperball_nf(edges, max_hops=max_hops)
+    last = nf.filter(F.col("hop") == max_hops).select(F.col("sum_est").alias("ntot"))
+    w = Window.orderBy("hop")
+    cur = nf.select(
+        "hop",
+        "n_nodes",
+        F.col("sum_est").alias("nh"),
+        F.lag("sum_est").over(w).alias("prev"),
+    ).crossJoin(F.broadcast(last))
+    qual = cur.filter(F.lit(100) * F.col("nh") >= F.lit(pct) * F.col("ntot"))
+    first = qual.orderBy("hop").limit(1)
+    return first.select(
+        F.lit(pct).cast("int").alias("pct"),
+        F.lit(max_hops).cast("int").alias("max_hops"),
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("ntot").cast("long").alias("est_total"),
+        F.when(F.col("hop") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.lit(1000) * (F.col("hop") - 1)
+            + F.expr(f"1000 * ({pct} * ntot - 100 * prev) div (100 * (nh - prev))")
+        )
+        .cast("long")
+        .alias("d_eff_milli"),
+    )
+
+
+def bowtie_classify(
+    edges: DataFrame, seeds: DataFrame, max_hops: int = 6
+) -> DataFrame:
+    """Bow-tie decomposition relative to a core seed set (Broder et al.
+    WWW'00 'Graph structure in the Web' — the IN/SCC/OUT/tendril map of
+    the web graph, measured exactly this way: BFS forward and backward
+    from sampled core members): every node in the edge universe (or the
+    seed set) is classed by bounded-hop reachability
+
+        CORE  — reaches the seeds AND is reached by them (on a DAG only
+                the seeds themselves; cycles through the seeds join)
+        IN    — reaches the seeds (backward-reachable only)
+        OUT   — reached from the seeds (forward-reachable only)
+        OTHER — neither within max_hops (tendrils + disconnected; a hop
+                bound cannot distinguish 'far' from 'disconnected' —
+                documented sampling semantics, same contract as the
+                other bounded BFS operators)
+
+    Returns (node, cls, f_dist, b_dist) with exact hop distances (NULL
+    on the unreached side). Scale shape: two audited `bfs_distances`
+    runs (per-round frontier hash joins, checkpointed) + two node-keyed
+    left joins over the node spine — nothing new at 100×; the edge
+    reversal for the backward pass is a projection, not a shuffle."""
+    e = edges.select("src", "dst").dropDuplicates()
+    fwd = bfs_distances(e, seeds, max_hops=max_hops).select(
+        "node", F.col("dist").alias("f_dist")
+    )
+    bwd = bfs_distances(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        seeds,
+        max_hops=max_hops,
+    ).select("node", F.col("dist").alias("b_dist"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .unionByName(seeds.select("node"))
+        .distinct()
+    )
+    out = nodes.join(fwd, "node", "left").join(bwd, "node", "left")
+    return out.select(
+        "node",
+        F.when(F.col("f_dist").isNotNull() & F.col("b_dist").isNotNull(), F.lit("CORE"))
+        .when(F.col("b_dist").isNotNull(), F.lit("IN"))
+        .when(F.col("f_dist").isNotNull(), F.lit("OUT"))
+        .otherwise(F.lit("OTHER"))
+        .alias("cls"),
+        "f_dist",
+        "b_dist",
+    )

@@ -568,3 +568,50 @@ def zorder_layout(
         else keyed.repartitionByRange("__z")
     )
     return parted.sortWithinPartitions("__z").drop("__z")
+
+
+def weighted_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight: Column,
+    k: int = 5,
+) -> DataFrame:
+    """Deterministic weighted k-sample WITHOUT replacement per group —
+    the quality-weighted analogue of `stratified_sample` (sample better
+    docs more often, but never more than once): rank every row by the
+    priority key r = h div max(w, 1) with h the row's deterministic
+    60-bit md5 hash, keep the k SMALLEST r per group
+    (Duffield-Lund-Thorup priority sampling's w/u key, with the uniform
+    in the NUMERATOR's place taken by the integer hash). Higher weight
+    ⇒ stochastically smaller r ⇒ more likely sampled; weight w versus
+    w' = 2w halves the expected key exactly.
+
+    Honest statistics note: exact Efraimidis-Spirakis probabilities
+    (P(i first) = w_i/Σw) need the exponential key −ln(u)/w; a libm log
+    is deterministic per build but NOT bit-pinned across engines, so
+    this operator uses the linear surrogate h/w — weight-monotone,
+    scale-free (doubling all weights changes nothing), and bit-exact
+    in DuckDB — and documents that pairwise inclusion odds are
+    first-order (not exactly) proportional to weight. Pipelines needing
+    exact E-S keep the same plan and swap the key expression.
+
+    Returns (group, id, w, r, rank) for the kept rows, rank 1..k by
+    (r, id). Scale shape: the hash/priority is scan-local; the ONLY
+    shuffle is the group-keyed top-k window whose per-group state is k
+    rows; ties are impossible in practice (md5 collisions) and pinned
+    by the (r, id) order anyway — the result is a pure function of the
+    data under any partitioning."""
+    w_col = F.greatest(weight.cast("long"), F.lit(1))
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast("long")
+    from pyspark.sql.window import Window
+
+    # bind h/w as columns first, then derive r (single-eval discipline)
+    scored = df.select(
+        F.col(group_col).alias("grp"), F.col(id_col).alias("id"), w_col.alias("w"), h.alias("h")
+    ).select("grp", "id", "w", F.expr("h div w").alias("r"))
+    win = Window.partitionBy("grp").orderBy(F.asc("r"), F.asc("id"))
+    return (
+        scored.select("grp", "id", "w", "r", F.row_number().over(win).alias("rank"))
+        .filter(F.col("rank") <= k)
+    )

@@ -518,3 +518,62 @@ def url_path_templates(urls: DataFrame, url_col: str = "url", k: int = 3) -> Dat
         .filter(F.col("rank") <= k)
         .select("host", "template", "n_urls", "rank")
     )
+
+
+def surt_key(col: Column) -> Column:
+    """SURT key (Sort-friendly URI Reordering Transform — the CDX /
+    Common-Crawl cc-index layout key): `com,example)/path?query` for
+    `https://www.Example.com/Path?Query`. Rows sorted/range-partitioned
+    by this key cluster a registered domain's pages CONTIGUOUSLY across
+    subdomains (www./m./blog. interleave under plain-URL order), which
+    is what makes per-domain scans of a petabyte URL index file-prunable
+    — the same layout argument as `zorder_key`, specialized to URLs.
+
+    Pinned subset (documented deviations from full CDX canonicalization,
+    which also strips session params etc. — compose with
+    `canonical_url` first for that): scheme dropped; host lowercased,
+    ONE leading `www.` stripped, any `:port` dropped, labels reversed
+    and comma-joined; `)` separator; path lowercased (empty → `/`);
+    query lowercased, kept verbatim after `?`; fragment dropped.
+    Non-http(s) rows (no scheme-host shape) yield NULL — a sort key is
+    only defined for web URLs.
+
+    Map-only column algebra: regex extracts + one array reverse, zero
+    shuffles at any index size; the DuckDB oracle mirrors every rule
+    expression-for-expression."""
+    u = F.trim(col)
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    host = F.lower(F.regexp_extract(u, _HOSTPORT_RE, 1))
+    host = F.regexp_replace(F.regexp_replace(host, ":[0-9]+$", ""), "^www\\.", "")
+    rev = F.array_join(F.reverse(F.split(host, "\\.")), ",")
+    path = F.lower(F.regexp_extract(u, _PATH_RE, 1))
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    q = F.lower(F.regexp_extract(u, r"\?([^#]*)", 1))
+    key = F.concat(
+        rev, F.lit(")"), path,
+        F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+    )
+    return F.when(scheme.isin("http", "https") & (host != ""), key).otherwise(
+        F.lit(None).cast("string")
+    )
+
+
+def surt_key_sql(expr: str) -> str:
+    """DuckDB mirror of surt_key — same regexes and rules, adjacent so
+    they evolve together (the canonical_url/canonical_url_sql pattern)."""
+    host = (
+        f"regexp_replace(regexp_replace(lower(regexp_extract(trim({expr}), "
+        f"'{_HOSTPORT_RE}', 1)), ':[0-9]+$', ''), '^www\\.', '')"
+    )
+    path = (
+        f"CASE WHEN lower(regexp_extract(trim({expr}), '{_PATH_RE}', 1)) = '' THEN '/' "
+        f"ELSE lower(regexp_extract(trim({expr}), '{_PATH_RE}', 1)) END"
+    )
+    q = f"lower(regexp_extract(trim({expr}), '\\?([^#]*)', 1))"
+    return f"""(
+  CASE WHEN lower(regexp_extract(trim({expr}), '{_SCHEME_RE}', 1)) IN ('http','https')
+            AND {host} <> ''
+  THEN array_to_string(list_reverse(string_split({host}, '.')), ',') || ')' || {path} ||
+       CASE WHEN {q} = '' THEN '' ELSE '?' || {q} END
+  ELSE NULL END
+)"""

@@ -10870,3 +10870,153 @@ GROUP BY doc_id
 """
 
 QUERIES["dsir"] = (q_dsir, SQL_DSIR)
+
+
+def q_eff_diameter(spark, sf):
+    """Effective diameter (90th-percentile interpolated hop count) from
+    the HyperBall N(h) curve over the customer chain — the ANF headline
+    statistic; everything past the audited rounds is curve-sized."""
+    from .operators.cc import effective_diameter
+
+    cu = spark.read.parquet(f"{sf}/customer.parquet").select(
+        F.col("c_custkey").cast("long").alias("k")
+    )
+    ks = cu.select(F.col("k").alias("d"))
+    e = cu.select("k", (F.col("k") + 1).alias("d")).join(ks, "d").select(
+        F.col("k").cast("string").alias("src"), F.col("d").cast("string").alias("dst")
+    )
+    return effective_diameter(e, max_hops=4, pct=90)
+
+
+def _sql_eff_diameter() -> str:
+    nf = _sql_hyperball_nf()
+    return f"""
+WITH nf AS ({nf}),
+lastv AS (SELECT sum_est AS nH FROM nf WHERE hop = 4),
+cur AS (
+  SELECT hop, n_nodes, sum_est AS nh, LAG(sum_est) OVER (ORDER BY hop) AS prev
+  FROM nf
+),
+q AS (
+  SELECT cur.hop, cur.n_nodes, cur.nh, cur.prev, lastv.nH
+  FROM cur CROSS JOIN lastv WHERE 100 * cur.nh >= 90 * lastv.nH
+),
+pick AS (SELECT * FROM q ORDER BY hop LIMIT 1)
+SELECT CAST(90 AS INT) AS pct, CAST(4 AS INT) AS max_hops,
+       CAST(n_nodes AS BIGINT) AS n_nodes, CAST(nH AS BIGINT) AS est_total,
+       CAST(CASE WHEN hop = 0 THEN 0
+                 ELSE 1000 * (hop - 1)
+                      + 1000 * (90 * nH - 100 * prev) // (100 * (nh - prev))
+            END AS BIGINT) AS d_eff_milli
+FROM pick
+"""
+
+
+SQL_EFF_DIAMETER = _sql_eff_diameter()
+
+QUERIES["eff_diameter"] = (q_eff_diameter, SQL_EFF_DIAMETER)
+
+
+def q_bowtie(spark, sf):
+    """Broder bow-tie decomposition of the chain-with-chords graph
+    relative to the rn=5 seed per nation (3-hop bound): CORE = the
+    seeds, IN = upstream chain, OUT = 6 chain positions downstream,
+    OTHER = beyond the bound — closed-form oracle-able because min hop
+    count over +1/+2 edges is ceil(gap/2)."""
+    from .operators.cc import bowtie_classify
+
+    r, e = _chain_graph(spark, sf)
+    seeds = r.filter(F.col("rn") == 5).select(F.col("k").alias("node"))
+    out = bowtie_classify(e, seeds, max_hops=3)
+    # nullable BIGINTs arrive from DuckDB->pandas as float NaN; the suite
+    # convention serializes nullable numerics as VARCHAR on both sides
+    return out.select(
+        "node", "cls",
+        F.col("f_dist").cast("string").alias("f_dist"),
+        F.col("b_dist").cast("string").alias("b_dist"),
+    )
+
+
+SQL_BOWTIE = """
+WITH r AS (
+  SELECT CAST(c_custkey AS VARCHAR) AS kk, c_nationkey,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS rn
+  FROM customer
+),
+cnt AS (SELECT c_nationkey AS nk, COUNT(*) AS n FROM customer GROUP BY 1),
+u AS (
+  SELECT r.kk AS node, r.rn, cnt.n
+  FROM r JOIN cnt ON cnt.nk = r.c_nationkey WHERE cnt.n >= 2
+),
+d AS (
+  SELECT node,
+         CASE WHEN n >= 5 AND rn >= 5 AND rn - 5 <= 6
+              THEN CAST((rn - 4) // 2 AS VARCHAR) END AS f_dist,
+         CASE WHEN n >= 5 AND rn <= 5 AND 5 - rn <= 6
+              THEN CAST((6 - rn) // 2 AS VARCHAR) END AS b_dist
+  FROM u
+)
+SELECT node,
+       CASE WHEN f_dist IS NOT NULL AND b_dist IS NOT NULL THEN 'CORE'
+            WHEN b_dist IS NOT NULL THEN 'IN'
+            WHEN f_dist IS NOT NULL THEN 'OUT'
+            ELSE 'OTHER' END AS cls,
+       f_dist, b_dist
+FROM d
+"""
+
+QUERIES["bowtie"] = (q_bowtie, SQL_BOWTIE)
+
+
+def q_weighted_sample(spark, sf):
+    """Deterministic weighted 5-sample per market segment, weight =
+    account balance shifted positive — the quality-weighted corpus
+    sampler; ONE group-keyed top-k window."""
+    from .operators.sketches import weighted_sample
+
+    cu = spark.read.parquet(f"{sf}/customer.parquet")
+    w = F.round(F.col("c_acctbal") * 100).cast("long") + 100000
+    return weighted_sample(cu, "c_mktsegment", "c_custkey", w, k=5)
+
+
+SQL_WEIGHTED_SAMPLE = """
+WITH s AS (
+  SELECT c_mktsegment AS grp, c_custkey AS id,
+         GREATEST(CAST(round(c_acctbal * 100) AS BIGINT) + 100000, 1) AS w,
+         ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM customer
+),
+p AS (SELECT grp, id, w, h // w AS r FROM s),
+rk AS (
+  SELECT grp, id, w, CAST(r AS BIGINT) AS r,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY r ASC, id ASC) AS rank
+  FROM p
+)
+SELECT grp, id, w, r, CAST(rank AS INT) AS rank FROM rk WHERE rank <= 5
+"""
+
+QUERIES["weighted_sample"] = (q_weighted_sample, SQL_WEIGHTED_SAMPLE)
+
+
+def q_surt(spark, sf):
+    """SURT layout keys (the cc-index/CDX sort key) over the messy-URL
+    corpus — map-only; non-web rows yield NULL keys by contract."""
+    from .operators.urls import surt_key
+
+    return _messy_urls(spark, sf).select(
+        "doc_id", "url", surt_key(F.col("url")).alias("surt")
+    )
+
+
+def _sql_surt() -> str:
+    from .operators.urls import surt_key_sql
+
+    return f"""
+WITH d AS (SELECT doc_id, {_SQL_MESSY_URL} AS url FROM documents)
+SELECT doc_id, url, {surt_key_sql('url')} AS surt FROM d
+"""
+
+
+SQL_SURT = _sql_surt()
+
+QUERIES["surt"] = (q_surt, SQL_SURT)

@@ -1308,6 +1308,37 @@ def main() -> None:
             ("top-k, no full sort", r"TakeOrderedAndProject"),
             ("no cartesian product", r"CartesianProduct", "absent"),
         ]),
+        ("eff_diameter", [
+            # downstream of the checkpointed hyperball rounds everything
+            # is curve-sized; the only BNLJ is the 1-row est_total
+            # broadcast; the lag window runs over max_hops+1 rows
+            ("1-row total broadcast only", r"^\(\d+\) BroadcastNestedLoopJoin", "count", 1),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
+        ("bowtie", [
+            # two checkpointed BFS passes; the visible tail is the two
+            # node-keyed left joins over the node spine — hash, not BNLJ
+            ("spine joins are hash joins", r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
+        ("weighted_sample", [
+            # priority key is scan-local; the ONLY shuffle is the
+            # group-keyed top-k window; no joins anywhere
+            ("single shuffle (the group window)", r"^\(\d+\) Exchange", "count", 1),
+            ("group-keyed top-k window", r"\(\d+\) Window"),
+            ("no join at all", r"Join", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
+        ("surt", [
+            # pure column algebra fused into the scan
+            ("map-only: zero shuffles", r"Exchange", "absent"),
+            ("no join anywhere", r"Join", "absent"),
+            ("whole-stage codegen", r"codegen id :"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
         ("dsir", [
             # model fitting = two B-row aggs; the only BNLJ are the two
             # 1-row total broadcasts; scoring joins the B-row ratio table

@@ -275,3 +275,147 @@ def test_dsir_golden_shift(spark):
     assert got[1][3] and got[3][3]
     assert got[1][2] > got[2][2] and got[3][2] > got[4][2]
     assert 5 not in got
+
+
+# --------------------------------------------------------------------------
+# effective_diameter
+# --------------------------------------------------------------------------
+
+def _py_eff_diameter(points, pct):
+    # points: [(hop, sum_est)] sorted; mirrors the pinned integer algebra
+    nH = dict(points)[max(h for h, _ in points)]
+    prev = None
+    for h, nh in points:
+        if 100 * nh >= pct * nH:
+            if h == 0:
+                return 0
+            return 1000 * (h - 1) + (1000 * (pct * nH - 100 * prev)) // (100 * (nh - prev))
+        prev = nh
+    raise AssertionError("unreachable: last point always qualifies")
+
+
+def test_effective_diameter_matches_curve_interpolation(spark):
+    from ocaml_rdf_spark.operators.cc import effective_diameter, hyperball_nf
+
+    n = 12
+    edges = [(str(i), str(i + 1)) for i in range(n)]
+    sdf = spark.createDataFrame(edges, "src string, dst string")
+    curve = sorted(
+        (r.hop, r.sum_est) for r in hyperball_nf(sdf, max_hops=6).collect()
+    )
+    for pct in (50, 90, 100):
+        [row] = effective_diameter(sdf, max_hops=6, pct=pct).collect()
+        assert row.d_eff_milli == _py_eff_diameter(curve, pct), pct
+        assert row.est_total == curve[-1][1] and row.pct == pct
+    # sanity: the 100% point is a whole number of hops <= max_hops
+    [row] = effective_diameter(sdf, max_hops=6, pct=100).collect()
+    assert row.d_eff_milli % 1000 == 0 and row.d_eff_milli <= 6000
+
+
+# --------------------------------------------------------------------------
+# bowtie_classify
+# --------------------------------------------------------------------------
+
+def test_bowtie_golden(spark):
+    from ocaml_rdf_spark.operators.cc import bowtie_classify
+
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("f", "c"),
+             ("c", "g"), ("g", "c"),     # cycle through the seed -> CORE
+             ("x", "y")]                 # disconnected -> OTHER
+    sdf = spark.createDataFrame(edges, "src string, dst string")
+    seeds = spark.createDataFrame([("c",)], "node string")
+    got = {r.node: (r.cls, r.f_dist, r.b_dist)
+           for r in bowtie_classify(sdf, seeds, max_hops=6).collect()}
+    assert got == {
+        "c": ("CORE", 0, 0), "g": ("CORE", 1, 1),
+        "a": ("IN", None, 2), "b": ("IN", None, 1), "f": ("IN", None, 1),
+        "d": ("OUT", 1, None), "e": ("OUT", 2, None),
+        "x": ("OTHER", None, None), "y": ("OTHER", None, None),
+    }
+
+
+def test_bowtie_hop_bound_moves_far_nodes_to_other(spark):
+    from ocaml_rdf_spark.operators.cc import bowtie_classify
+
+    chain = [(str(i), str(i + 1)) for i in range(10)]
+    sdf = spark.createDataFrame(chain, "src string, dst string")
+    seeds = spark.createDataFrame([("0",)], "node string")
+    got = {r.node: r.cls for r in bowtie_classify(sdf, seeds, max_hops=3).collect()}
+    assert got["3"] == "OUT" and got["4"] == "OTHER"  # bound at 3 hops
+
+
+# --------------------------------------------------------------------------
+# weighted_sample
+# --------------------------------------------------------------------------
+
+def _py_weighted_sample(rows, k):
+    # rows: (grp, id, w); mirrors the pinned h div w priority rule
+    out = {}
+    for grp, i, w in rows:
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+        out.setdefault(grp, []).append((h // max(w, 1), i, max(w, 1)))
+    res = []
+    for grp, lst in out.items():
+        for rank, (r, i, w) in enumerate(sorted(lst), start=1):
+            if rank <= k:
+                res.append((grp, i, w, r, rank))
+    return sorted(res)
+
+
+def test_weighted_sample_matches_python_mirror(spark):
+    from ocaml_rdf_spark.operators.sketches import weighted_sample
+
+    rows = [("g1", i, (i * 37) % 11 + 1) for i in range(1, 40)] + [
+        ("g2", i, 5) for i in range(100, 130)]
+    sdf = spark.createDataFrame(rows, "grp string, id long, w long")
+    got = sorted(
+        (r.grp, r.id, r.w, r.r, r.rank)
+        for r in weighted_sample(sdf, "grp", "id", F.col("w"), k=4).collect()
+    )
+    assert got == _py_weighted_sample(rows, 4)
+
+
+def test_weighted_sample_weight_dominates_and_partitioning_invariant(spark):
+    from ocaml_rdf_spark.operators.sketches import weighted_sample
+
+    rows = [("g", i, 1) for i in range(1, 50)] + [("g", 999, 1_000_000_000)]
+    sdf = spark.createDataFrame(rows, "grp string, id long, w long")
+    top = weighted_sample(sdf, "grp", "id", F.col("w"), k=1).collect()
+    assert [r.id for r in top] == [999]  # r = h div 1e9 ~ 0 beats every h div 1
+    a = sorted(map(tuple, weighted_sample(sdf.repartition(1), "grp", "id", F.col("w"), k=7).collect()))
+    b = sorted(map(tuple, weighted_sample(sdf.repartition(16), "grp", "id", F.col("w"), k=7).collect()))
+    assert a == b
+
+
+# --------------------------------------------------------------------------
+# surt_key
+# --------------------------------------------------------------------------
+
+def test_surt_key_golden(spark):
+    from ocaml_rdf_spark.operators.urls import surt_key
+
+    cases = [
+        ("https://www.Example.COM/Path/To?Q=1#frag", "com,example)/path/to?q=1"),
+        ("HTTP://blog.sub.Example.com:8080/A", "com,example,sub,blog)/a"),
+        ("https://example.com", "com,example)/"),
+        ("https://www.www2.org/x", "org,www2)/x"),      # only ONE leading www.
+        ("ftp://example.com/x", None),                   # non-web -> NULL
+        ("not a url", None),
+        ("http://Example.com:80/", "com,example)/"),
+    ]
+    sdf = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
+                                "i long, url string")
+    got = {r.i: r.k for r in sdf.select("i", surt_key(F.col("url")).alias("k")).collect()}
+    for i, (_u, want) in enumerate(cases):
+        assert got[i] == want, (i, _u, got[i], want)
+
+
+def test_surt_key_clusters_domain_contiguously(spark):
+    from ocaml_rdf_spark.operators.urls import surt_key
+
+    urls = ["https://a.example.com/1", "https://zz-other.net/x",
+            "https://www.example.com/2", "https://m.example.com/3"]
+    sdf = spark.createDataFrame([(u,) for u in urls], "url string")
+    keys = sorted(r.k for r in sdf.select(surt_key(F.col("url")).alias("k")).collect())
+    # the three example.com subdomains sort adjacent under SURT order
+    assert [k.startswith("com,example") for k in keys] == [True, True, True, False]
