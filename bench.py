@@ -291,6 +291,9 @@ def main() -> None:
         "bowtie",
         "weighted_sample",
         "surt",
+        "salsa",
+        "mis",
+        "phonetic",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

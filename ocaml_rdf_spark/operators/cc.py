@@ -1825,3 +1825,146 @@ def bowtie_classify(
         "f_dist",
         "b_dist",
     )
+
+
+def salsa(edges: DataFrame, iters: int = 2, scale: int = 1_000_000) -> DataFrame:
+    """SALSA hub/authority scores (Lempel-Moran WWW9 — HITS with the
+    mutual-reinforcement sums replaced by RANDOM-WALK normalization:
+    each endpoint divides its mass among its incident links, so a
+    mega-hub's endorsement counts per-link, not per-total — the variant
+    TREC web tracks found more spam-resistant than raw HITS). Fixed
+    `iters` alternating rounds, everything exact BIGINT:
+
+        a_{t+1}(v) = Σ_{(u,v)∈E}  h_t(u)     div out(u)
+        h_{t+1}(u) = Σ_{(u,v)∈E}  a_{t+1}(v) div in(v)
+
+    (floor per EDGE contribution, pinned — the oracle replays the same
+    floors). Start h_0 = `scale` everywhere. Ranking matches normalized
+    SALSA; absolute values are the unnormalized integer tier (the
+    hits()/pagerank precedent). Returns (node, hub, auth).
+
+    Scale shape: degrees are two map-side-combined aggs computed ONCE;
+    each half-round is one hash join (edges ⋈ scores on the shared
+    endpoint) + one map-side-combined sum — identical plan inventory to
+    the audited hits(), plus the two degree joins. Checkpointed between
+    rounds (the katz discipline: last round stays auditable)."""
+    e = edges.select("src", "dst").dropDuplicates()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outd"))
+    in_deg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("ind"))
+    ew = (
+        e.join(out_deg, "src")
+        .join(in_deg, "dst")
+        .select("src", "dst", "outd", "ind")
+        .localCheckpoint(eager=False)
+    )
+    h = nodes.select("node", F.lit(scale).cast("long").alias("hub"))
+    a = None
+    for i in range(iters):
+        if i:
+            h = h.localCheckpoint(eager=False)
+        a_contrib = (
+            ew.join(h, ew["src"] == h["node"])
+            .select("dst", F.expr("hub div outd").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        a = nodes.join(a_contrib, nodes["node"] == a_contrib["dst"], "left").select(
+            "node", F.coalesce("s", F.lit(0)).cast("long").alias("auth")
+        )
+        a_ck = a.localCheckpoint(eager=False)
+        h_contrib = (
+            ew.join(a_ck, ew["dst"] == a_ck["node"])
+            .select("src", F.expr("auth div ind").alias("c"))
+            .groupBy("src")
+            .agg(F.sum("c").alias("s"))
+        )
+        h = nodes.join(h_contrib, nodes["node"] == h_contrib["src"], "left").select(
+            "node", F.coalesce("s", F.lit(0)).cast("long").alias("hub")
+        )
+    return (
+        nodes.join(h, "node", "left")
+        .join(a, "node", "left")
+        .select("node", F.coalesce("hub", F.lit(0)).alias("hub"),
+                F.coalesce("auth", F.lit(0)).alias("auth"))
+    )
+
+
+def luby_mis(edges: DataFrame, max_rounds: int = 8) -> DataFrame:
+    """Maximal independent set via Luby's algorithm (Luby SICOMP'86 —
+    THE distributed symmetry-breaking primitive: conflict-free crawl /
+    update scheduling, one-per-neighborhood representative election),
+    made DETERMINISTIC by replacing the random priorities with the
+    node's 60-bit md5 hash (fixed across runs/engines/partitionings —
+    md5 of distinct nodes collides never in practice, and the
+    (priority, node) lexicographic pair breaks even that):
+
+    per round, an ACTIVE node joins the MIS iff its pair is strictly
+    smaller than every active neighbor's; selected nodes AND their
+    neighbors deactivate. O(log n) rounds w.h.p.; the loop stops early
+    when no nodes remain active (one aggregate probe per round, the
+    bfs_distances discipline). Nodes still active after `max_rounds`
+    are left undecided and NOT returned — callers sizing max_rounds get
+    the standard completeness contract (the fixture converges well
+    inside the bound; the oracle unrolls the same rounds).
+
+    Returns (node, mis_round) for MIS members (round = 1-based election
+    round). Edges are treated as undirected (symmetrized); self-loops
+    dropped (a self-looped node can never be independent of itself —
+    pinned: ignored, matching the usual MIS-on-simple-graph statement).
+
+    Scale shape: per round ONE neighbor-min hash join + one
+    map-side-combined min agg + two hash anti/semi joins (select /
+    deactivate); active set shrinks geometrically; localCheckpoint per
+    round caps lineage exactly like the other fixpoints."""
+    e0 = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    und = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).dropDuplicates()
+    pr = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")  # noqa: E731
+    nodes = (
+        und.select(F.col("src").alias("node")).distinct()
+        .select("node", pr(F.col("node")).alias("p"))
+    )
+    active = nodes
+    spark = edges.sparkSession
+    out = spark.createDataFrame([], "node string, mis_round int")
+    for rnd in range(1, max_rounds + 1):
+        active = active.localCheckpoint()  # eager: reused 4x below + probe
+        if active.isEmpty():
+            break
+        # min active-neighbor pair per active node (nodes with no active
+        # neighbor have NULL -> selected unconditionally)
+        nb = (
+            und.join(active.select(F.col("node").alias("src")), "src", "leftsemi")
+            .join(
+                active.select(F.col("node").alias("dst"), F.col("p").alias("np"),
+                              F.col("node").alias("nn")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min(F.struct("np", "nn")).alias("m"))
+        )
+        sel = (
+            active.join(nb, active["node"] == nb["src"], "left")
+            .filter(
+                F.col("m").isNull()
+                | (F.struct(F.col("p").alias("np"), F.col("node").alias("nn")) < F.col("m"))
+            )
+            .select("node")
+        )
+        sel = sel.localCheckpoint()
+        out = out.unionByName(
+            sel.select("node", F.lit(rnd).cast("int").alias("mis_round"))
+        )
+        # deactivate selected and their neighbors
+        dropped = sel.unionByName(
+            und.join(sel.select(F.col("node").alias("src")), "src", "leftsemi")
+            .select(F.col("dst").alias("node"))
+        ).distinct()
+        active = active.join(dropped, "node", "left_anti")
+    return out

@@ -626,3 +626,45 @@ def er_bcubed_metrics(pred: DataFrame, gold: DataFrame) -> DataFrame:
         .cast("long")
         .alias("bcubed_f1_ppm"),
     )
+
+
+def phonetic_key(col: Column) -> Column:
+    """Soundex-style phonetic blocking key (Russell/Odell 1918; the
+    classic ER blocker for person/org names beside SNM and LSH — names
+    that SOUND alike block together: 'Robert'/'Rupert' → R163):
+    first letter + three digits from the standard consonant code map,
+    adjacent equal codes collapsed, vowels dropped, zero-padded.
+
+    PINNED VARIANT (documented deviation): classic American Soundex
+    treats H/W as 'transparent' (same-code consonants separated by H/W
+    still collapse); that rule needs pattern backreferences, which RE2
+    (DuckDB) lacks — here H/W code to 0 like vowels, i.e. they SEPARATE
+    consonant runs. Every other rule is classic, and the whole key is
+    regex/translate algebra that parses identically in Java regex and
+    RE2 (the pii_scrub portability rule). Non-letter chars are stripped
+    first; an empty result yields NULL (no key, no block).
+
+    Blocking keys are scan-local (zero shuffles to derive); the
+    candidate join they feed is the standard equi self-join bounded by
+    block sizes — compose with `blocking_metrics` to audit recall."""
+    s = F.regexp_replace(F.upper(col), "[^A-Z]", "")
+    d = F.translate(s, "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "01230120022455012623010202")
+    for digit in "123456":
+        d = F.regexp_replace(d, digit + "{2,}", digit)
+    tail = F.regexp_replace(F.substring(d, 2, 1_000_000), "0", "")
+    key = F.concat(F.substring(s, 1, 1), F.rpad(F.substring(tail, 1, 3), 3, "0"))
+    return F.when(s != "", key).otherwise(F.lit(None).cast("string"))
+
+
+def phonetic_key_sql(expr: str) -> str:
+    """DuckDB mirror of phonetic_key — same translate map and collapse
+    regexes, adjacent so they evolve together."""
+    s = f"regexp_replace(upper({expr}), '[^A-Z]', '', 'g')"
+    d = f"translate({s}, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '01230120022455012623010202')"
+    for digit in "123456":
+        d = f"regexp_replace({d}, '{digit}{{2,}}', '{digit}', 'g')"
+    tail = f"regexp_replace(substr({d}, 2), '0', '', 'g')"
+    return (
+        f"(CASE WHEN {s} <> '' THEN substr({s}, 1, 1) || rpad(substr({tail}, 1, 3), 3, '0') "
+        f"ELSE NULL END)"
+    )

@@ -11020,3 +11020,146 @@ SELECT doc_id, url, {surt_key_sql('url')} AS surt FROM d
 SQL_SURT = _sql_surt()
 
 QUERIES["surt"] = (q_surt, SQL_SURT)
+
+
+def q_salsa(spark, sf):
+    """SALSA hub/authority (2 integer-exact rounds) over the
+    chain-with-chords graph — random-walk-normalized HITS; per
+    half-round one hash join + one map-side-combined sum."""
+    from .operators.cc import salsa
+
+    _r, e = _chain_graph(spark, sf)
+    return salsa(e, iters=2)
+
+
+def _salsa_sql(iters: int) -> str:
+    parts = [
+        "WITH "
+        + _CHAIN_SQL
+        + """,
+e AS (SELECT DISTINCT src, dst FROM raw),
+n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+od AS (SELECT src, COUNT(*) AS outd FROM e GROUP BY src),
+idg AS (SELECT dst, COUNT(*) AS ind FROM e GROUP BY dst),
+ew AS (
+  SELECT e.src, e.dst, od.outd, idg.ind
+  FROM e JOIN od ON od.src = e.src JOIN idg ON idg.dst = e.dst
+),
+h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS hub FROM n)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""",
+a{t} AS (
+  SELECT n.node, CAST(COALESCE(c.s, 0) AS BIGINT) AS auth
+  FROM n LEFT JOIN (
+    SELECT ew.dst, SUM(h.hub // ew.outd) AS s
+    FROM ew JOIN h{t - 1} h ON h.node = ew.src GROUP BY ew.dst
+  ) c ON c.dst = n.node
+),
+h{t} AS (
+  SELECT n.node, CAST(COALESCE(c.s, 0) AS BIGINT) AS hub
+  FROM n LEFT JOIN (
+    SELECT ew.src, SUM(a.auth // ew.ind) AS s
+    FROM ew JOIN a{t} a ON a.node = ew.dst GROUP BY ew.src
+  ) c ON c.src = n.node
+)"""
+        )
+    parts.append(
+        f"""
+SELECT n.node, h{iters}.hub, a{iters}.auth
+FROM n JOIN h{iters} ON h{iters}.node = n.node
+       JOIN a{iters} ON a{iters}.node = n.node"""
+    )
+    return "".join(parts)
+
+
+SQL_SALSA = _salsa_sql(2)
+
+QUERIES["salsa"] = (q_salsa, SQL_SALSA)
+
+
+def q_mis(spark, sf):
+    """Deterministic Luby maximal independent set over the (symmetrized)
+    chain-with-chords graph — md5 priorities, strictly-smaller-than-all-
+    active-neighbors election, 8-round bound (the fixture converges well
+    inside it; the oracle unrolls the same rounds)."""
+    from .operators.cc import luby_mis
+
+    _r, e = _chain_graph(spark, sf)
+    return luby_mis(e, max_rounds=8)
+
+
+def _mis_sql(rounds: int) -> str:
+    parts = [
+        "WITH "
+        + _CHAIN_SQL
+        + """,
+e0 AS (SELECT src, dst FROM raw WHERE src <> dst),
+und AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+  )
+),
+act1 AS MATERIALIZED (
+  SELECT node, ('0x' || substr(md5(node), 1, 15))::BIGINT AS p
+  FROM (SELECT DISTINCT src AS node FROM und)
+)"""
+    ]
+    sels = []
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+sel{r} AS MATERIALIZED (
+  SELECT a.node, a.p FROM act{r} a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM und e JOIN act{r} b ON b.node = e.dst
+    WHERE e.src = a.node
+      AND (b.p < a.p OR (b.p = a.p AND b.node < a.node))
+  )
+),
+act{r + 1} AS MATERIALIZED (
+  SELECT a.node, a.p FROM act{r} a
+  WHERE a.node NOT IN (SELECT node FROM sel{r})
+    AND a.node NOT IN (
+      SELECT e.dst FROM und e JOIN sel{r} s ON s.node = e.src
+    )
+)"""
+        )
+        sels.append(f"SELECT node, CAST({r} AS INT) AS mis_round FROM sel{r}")
+    parts.append("\n" + "\nUNION ALL\n".join(sels))
+    return "".join(parts)
+
+
+SQL_MIS = _mis_sql(8)
+
+QUERIES["mis"] = (q_mis, SQL_MIS)
+
+
+def q_phonetic(spark, sf):
+    """Soundex-style phonetic blocking keys (pinned RE2-portable
+    variant) over the first word of part names — scan-local key
+    derivation, the classic name-ER blocker."""
+    from .operators.linking import phonetic_key
+
+    pa = spark.read.parquet(f"{sf}/part.parquet")
+    w = F.split_part(F.col("p_name"), F.lit(" "), F.lit(1))
+    return pa.select(
+        F.col("p_partkey").alias("pk"),
+        w.alias("w"),
+        phonetic_key(w).alias("skey"),
+    )
+
+
+def _sql_phonetic() -> str:
+    from .operators.linking import phonetic_key_sql
+
+    return f"""
+WITH p AS (SELECT p_partkey AS pk, split_part(p_name, ' ', 1) AS w FROM part)
+SELECT pk, w, {phonetic_key_sql('w')} AS skey FROM p
+"""
+
+
+SQL_PHONETIC = _sql_phonetic()
+
+QUERIES["phonetic"] = (q_phonetic, SQL_PHONETIC)

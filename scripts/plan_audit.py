@@ -1339,6 +1339,29 @@ def main() -> None:
             ("whole-stage codegen", r"codegen id :"),
             ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
         ]),
+        ("salsa", [
+            # checkpointed between rounds (katz discipline): the final
+            # half-round's join + divided-contribution sum stay visible
+            ("contribution sums are hash aggs", r"HashAggregate"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
+        ("mis", [
+            # per-round state is eagerly checkpointed (reused 4x within
+            # the round); the returned plan is the union of the selected
+            # rounds — nothing quadratic anywhere
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
+        ("phonetic", [
+            # pure translate/regex column algebra fused into the scan
+            ("map-only: zero shuffles", r"Exchange", "absent"),
+            ("no join anywhere", r"Join", "absent"),
+            ("whole-stage codegen", r"codegen id :"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
         ("dsir", [
             # model fitting = two B-row aggs; the only BNLJ are the two
             # 1-row total broadcasts; scoring joins the B-row ratio table

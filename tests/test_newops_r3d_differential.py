@@ -419,3 +419,126 @@ def test_surt_key_clusters_domain_contiguously(spark):
     keys = sorted(r.k for r in sdf.select(surt_key(F.col("url")).alias("k")).collect())
     # the three example.com subdomains sort adjacent under SURT order
     assert [k.startswith("com,example") for k in keys] == [True, True, True, False]
+
+
+# --------------------------------------------------------------------------
+# salsa
+# --------------------------------------------------------------------------
+
+def _py_salsa(edges, iters=2, scale=1_000_000):
+    e = sorted(set(edges))
+    nodes = sorted({n for p in e for n in p})
+    outd = Counter(u for u, _ in e)
+    ind = Counter(v for _, v in e)
+    h = {n: scale for n in nodes}
+    a = {n: 0 for n in nodes}
+    for _ in range(iters):
+        a = {n: 0 for n in nodes}
+        for u, v in e:
+            a[v] += h[u] // outd[u]
+        h = {n: 0 for n in nodes}
+        for u, v in e:
+            h[u] += a[v] // ind[v]
+    return {n: (h[n], a[n]) for n in nodes}
+
+
+def test_salsa_golden(spark):
+    from ocaml_rdf_spark.operators.cc import salsa
+
+    # hub u fans out to 3 authorities; w endorses one of them too;
+    # dup edge collapses
+    edges = [("u", "x"), ("u", "y"), ("u", "z"), ("w", "x"), ("u", "x")]
+    sdf = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: (r.hub, r.auth) for r in salsa(sdf, iters=2).collect()}
+    assert got == _py_salsa(edges)
+    # x has 2 endorsers but each endorsement is divided per-link:
+    # SALSA's point vs HITS — w's whole weight lands on x
+    assert got["x"][1] > got["y"][1] == got["z"][1]
+
+
+def test_salsa_degree_normalization_vs_hits_shape(spark):
+    from ocaml_rdf_spark.operators.cc import salsa
+
+    # a 1000-out-degree spammer hub contributes 1/1000 per link: its
+    # targets gain ~nothing vs a focused endorser's target
+    edges = [("spam", f"t{i}") for i in range(10)] + [("focus", "good")]
+    sdf = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.auth for r in salsa(sdf, iters=1).collect()}
+    assert got["good"] == 1_000_000 and got["t0"] == 100_000
+
+
+# --------------------------------------------------------------------------
+# luby_mis
+# --------------------------------------------------------------------------
+
+def _py_mis(edges, max_rounds=8):
+    und = set()
+    for u, v in edges:
+        if u != v:
+            und.add((u, v)); und.add((v, u))
+    pr = {n: (int(hashlib.md5(n.encode()).hexdigest()[:15], 16), n)
+          for n in {x for p in und for x in p}}
+    active = set(pr)
+    out = {}
+    for rnd in range(1, max_rounds + 1):
+        if not active:
+            break
+        sel = {a for a in active
+               if not any(b in active and pr[b] < pr[a]
+                          for (x, b) in und if x == a)}
+        for s in sel:
+            out[s] = rnd
+        drop = set(sel) | {b for (a, b) in und if a in sel}
+        active -= drop
+    return out
+
+
+def test_luby_mis_matches_python_mirror_and_is_maximal(spark):
+    from ocaml_rdf_spark.operators.cc import luby_mis
+
+    edges = [(str(i), str(i + 1)) for i in range(30)] + [
+        ("0", "15"), ("7", "22"), ("a", "b"), ("c", "c")]  # chord + island + self-loop
+    sdf = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.mis_round for r in luby_mis(sdf, max_rounds=8).collect()}
+    assert got == _py_mis(edges)
+    # independence: no edge inside the set; maximality: every non-member
+    # has a member neighbor
+    und = {(u, v) for u, v in edges if u != v} | {(v, u) for u, v in edges if u != v}
+    members = set(got)
+    assert not any(u in members and v in members for u, v in und)
+    nodes = {x for p in und for x in p}
+    for n in nodes - members:
+        assert any(v in members for u, v in und if u == n), n
+
+
+def test_luby_mis_partitioning_invariant(spark):
+    from ocaml_rdf_spark.operators.cc import luby_mis
+
+    edges = [(str(i), str((i * 7) % 40)) for i in range(80)]
+    sdf = spark.createDataFrame(edges, "src string, dst string")
+    a = sorted(map(tuple, luby_mis(sdf.repartition(1), max_rounds=8).collect()))
+    b = sorted(map(tuple, luby_mis(sdf.repartition(16), max_rounds=8).collect()))
+    assert a == b and a
+
+
+# --------------------------------------------------------------------------
+# phonetic_key
+# --------------------------------------------------------------------------
+
+def test_phonetic_key_golden(spark):
+    from ocaml_rdf_spark.operators.linking import phonetic_key
+
+    cases = [
+        ("Robert", "R163"), ("Rupert", "R163"),       # classic pair blocks together
+        ("Tymczak", "T522"), ("Pfister", "P236"),
+        ("Honeyman", "H555"), ("Jackson", "J250"),
+        ("Ashcraft", "A226"),  # pinned deviation: classic (H/W-transparent) is A261
+        ("o'Brien", "O165"), ("  Lee  ", "L000"),
+        ("123", None), ("", None),
+    ]
+    sdf = spark.createDataFrame([(i, n) for i, (n, _) in enumerate(cases)],
+                                "i long, name string")
+    got = {r.i: r.k for r in sdf.select(
+        "i", phonetic_key(F.col("name")).alias("k")).collect()}
+    for i, (name, want) in enumerate(cases):
+        assert got[i] == want, (name, got[i], want)
