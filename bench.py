@@ -294,6 +294,9 @@ def main() -> None:
         "salsa",
         "mis",
         "phonetic",
+        "kappa",
+        "matching",
+        "pq",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

@@ -401,3 +401,48 @@ def jl_project(vectors: DataFrame, out_dim: int = 8, dim: int = 64) -> DataFrame
         "vec_id",
         F.array([_dot(F.col("embedding"), c) for c in comps]).alias("proj"),
     )
+
+
+def pq_encode(
+    vectors: DataFrame,
+    dim: int = 64,
+    m: int = 2,
+    k: int = 4,
+    iters: int = 2,
+    scale: int = 1000,
+) -> DataFrame:
+    """Product-quantization codes (Jégou et al. TPAMI'11 — THE vector
+    compression behind billion-scale ANN indexes: split each embedding
+    into `m` sub-blocks, k-means each block independently, store one
+    byte-ish code per block; 64 floats → m codes, and asymmetric
+    distance at query time reads a k×m lookup table instead of the
+    vector): per block b, `kmeans_int` (already integer-exact and
+    oracle-replayable) runs on the block SLICE with its deterministic
+    vec_id<k init, and the block's cluster id becomes code_b. Returns
+    (vec_id, code_0, …, code_{m-1}).
+
+    Compression story at 100 TB: with m=8, k=256, a 64-dim float vector
+    (256 B) becomes 8 bytes — the difference between an embedding table
+    that fits executor memory and one that doesn't; JL (`jl_project`)
+    shrinks dimensionality, PQ shrinks BYTES PER DIM; IVF (`ann_ivf`)
+    prunes candidates — the three compose into the standard IVF-PQ
+    stack. Scale shape: m independent audited k-means plans (k·block
+    tiny → broadcast assignment joins), one m-way vec_id hash join to
+    zip codes; the suite uses m=2, k=4 so the oracle stays a readable
+    2-block CTE replay.
+
+    `dim` must equal the embedding length and divide by `m` (checked;
+    silent ragged blocks would desync the oracle)."""
+    if dim % m != 0:
+        raise ValueError("pq_encode: dim must be divisible by m")
+    bd = dim // m
+    out = None
+    for b in range(m):
+        sub = vectors.select(
+            "vec_id", F.slice(F.col("embedding"), b * bd + 1, bd).alias("embedding")
+        )
+        codes = kmeans_int(sub, k=k, iters=iters, scale=scale).select(
+            "vec_id", F.col("cluster").alias(f"code_{b}")
+        )
+        out = codes if out is None else out.join(codes, "vec_id")
+    return out

@@ -668,3 +668,72 @@ def phonetic_key_sql(expr: str) -> str:
         f"(CASE WHEN {s} <> '' THEN substr({s}, 1, 1) || rpad(substr({tail}, 1, 3), 3, '0') "
         f"ELSE NULL END)"
     )
+
+
+def dominant_matching(pairs: DataFrame, max_rounds: int = 10) -> DataFrame:
+    """One-to-one match selection over scored candidate pairs — the
+    assignment step after pair scoring that `link_exact`'s per-mention
+    top-1 cannot provide (two mentions may claim the same entity; ER
+    merge needs each record matched AT MOST once). Distributed greedy
+    via LOCALLY DOMINANT edges (Preis STACS'99 / Manne-Bisseling's
+    parallel greedy matching, ~½-approximation of max-weight): per
+    round, a pair is matched iff it is the best-scored pair at BOTH
+    endpoints (total order pinned: score desc, then (a, b) asc — no
+    RNG, no scan-order dependence); matched endpoints leave, repeat.
+
+    Input (a, b, score BIGINT); self-pairs dropped, the unordered pair
+    (least, greatest) collapses duplicates to MAX score (pinned).
+    Returns (a, b, score, match_round). Pairs still live after
+    `max_rounds` are left unmatched (the luby_mis contract; the loop
+    early-outs when the pair set drains, and the oracle unrolls the
+    same rounds either way, so the bound is a completeness knob, never
+    a correctness one).
+
+    Scale shape: per round ONE endpoint-keyed min agg over 2|P| rows
+    (map-side combined), two equi joins back to the pair set, two hash
+    anti joins to evict matched endpoints; the pair set shrinks
+    geometrically; eager per-round checkpoint (state reused 4×)."""
+    from pyspark.sql import functions as F
+
+    p = (
+        pairs.filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"),
+            F.greatest("a", "b").alias("b"),
+            F.col("score").cast("long").alias("score"),
+        )
+        .groupBy("a", "b")
+        .agg(F.max("score").alias("score"))
+    )
+    spark = pairs.sparkSession
+    out = spark.createDataFrame([], "a string, b string, score long, match_round int")
+    key = F.struct((-F.col("score")).alias("ns"), F.col("a").alias("ka"), F.col("b").alias("kb"))
+    for rnd in range(1, max_rounds + 1):
+        p = p.localCheckpoint()  # eager: reused by probe + 2 joins + evict
+        if p.isEmpty():
+            break
+        ends = p.select(F.col("a").alias("node"), key.alias("k")).unionByName(
+            p.select(F.col("b").alias("node"), key.alias("k"))
+        )
+        best = ends.groupBy("node").agg(F.min("k").alias("m"))
+        sel = (
+            p.join(best.withColumnRenamed("node", "a"), "a")
+            .filter(key == F.col("m"))
+            .drop("m")
+            .join(best.withColumnRenamed("node", "b"), "b")
+            .filter(key == F.col("m"))
+            .select("a", "b", "score")
+        )
+        sel = sel.localCheckpoint()
+        out = out.unionByName(
+            sel.select("a", "b", "score", F.lit(rnd).cast("int").alias("match_round"))
+        )
+        matched = sel.select(F.col("a").alias("node")).unionByName(
+            sel.select(F.col("b").alias("node"))
+        ).distinct()
+        p = (
+            p.join(matched.withColumnRenamed("node", "a"), "a", "left_anti")
+            .join(matched.withColumnRenamed("node", "b"), "b", "left_anti")
+            .select("a", "b", "score")
+        )
+    return out

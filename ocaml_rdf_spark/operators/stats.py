@@ -513,3 +513,65 @@ def dangling_report(quads: DataFrame) -> DataFrame:
             "dangling_ppm", F.expr("n_dangling * 1000000L div n_refs")
         )
     )
+
+
+def cohen_kappa(
+    labels: DataFrame, rater_a: str, rater_b: str
+) -> DataFrame:
+    """Cohen's kappa inter-annotator agreement (Cohen 1960 — THE QA
+    statistic for labeled training data: raw percent agreement flatters
+    skewed label sets, kappa subtracts the agreement two raters would
+    reach by chance from their marginal label rates): over the items
+    BOTH raters labeled,
+
+        po = agree / n,   pe = Σ_label cntA(l)·cntB(l) / n²,
+        kappa = (po − pe) / (1 − pe)
+
+    all in exact integer ppm: po_ppm = 10⁶·agree div n,
+    pe_ppm = 10⁶·Σ div n², kappa_ppm = 10⁶·(po_ppm − pe_ppm) div
+    (10⁶ − pe_ppm) (NULL when pe = 1 — the degenerate one-label world
+    where kappa is undefined). Input (item, rater, label); multiple
+    labels by one rater for one item collapse to the MIN label (pinned
+    — a dup-labeled item must not count twice). Returns ONE row
+    (n_items, n_agree, po_ppm, pe_ppm, kappa_ppm).
+
+    Scale shape: two rater slices hash-join on item (each map-side
+    min-agged first), then two label-marginal aggs whose reduce side is
+    |label vocabulary| rows and one 1-row fold — label sets are
+    schema-sized, so nothing grows with the corpus except the item
+    join."""
+    a = (
+        labels.filter(F.col("rater") == rater_a)
+        .groupBy("item").agg(F.min("label").alias("la"))
+    )
+    b = (
+        labels.filter(F.col("rater") == rater_b)
+        .groupBy("item").agg(F.min("label").alias("lb"))
+    )
+    j = a.join(b, "item")
+    tot = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("la") == F.col("lb"), 1).otherwise(0)).alias("agree"),
+    )
+    ca = j.groupBy(F.col("la").alias("l")).agg(F.count(F.lit(1)).alias("na"))
+    cb = j.groupBy(F.col("lb").alias("l")).agg(F.count(F.lit(1)).alias("nb"))
+    pe_num = (
+        ca.join(cb, "l")
+        .agg(F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0)).alias("s"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(pe_num))
+        .select(
+            F.col("n").cast("long").alias("n_items"),
+            F.col("agree").cast("long").alias("n_agree"),
+            F.expr("1000000 * agree div n").alias("po_ppm"),
+            F.expr("1000000 * s div (n * n)").alias("pe_ppm"),
+        )
+        .select(
+            "n_items", "n_agree", "po_ppm", "pe_ppm",
+            F.when(
+                F.col("pe_ppm") < 1_000_000,
+                F.expr("1000000 * (po_ppm - pe_ppm) div (1000000 - pe_ppm)"),
+            ).alias("kappa_ppm"),
+        )
+    )

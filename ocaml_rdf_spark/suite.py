@@ -11163,3 +11163,201 @@ SELECT pk, w, {phonetic_key_sql('w')} AS skey FROM p
 SQL_PHONETIC = _sql_phonetic()
 
 QUERIES["phonetic"] = (q_phonetic, SQL_PHONETIC)
+
+
+def q_kappa(spark, sf):
+    """Cohen's kappa between two deterministic 'raters' of customer
+    segments (rater 2 mislabels every 4th customer with a decoy) —
+    the labeled-data QA statistic, exact integer ppm."""
+    from .operators.stats import cohen_kappa
+
+    cu = spark.read.parquet(f"{sf}/customer.parquet")
+    k = F.col("c_custkey")
+    r1 = cu.select(
+        k.alias("item"), F.lit("r1").alias("rater"), F.col("c_mktsegment").alias("label")
+    )
+    r2 = cu.select(
+        k.alias("item"),
+        F.lit("r2").alias("rater"),
+        F.when(k % 4 != 0, F.col("c_mktsegment"))
+        .otherwise(F.concat(F.lit("DECOY"), (k % 5).cast("string")))
+        .alias("label"),
+    )
+    return cohen_kappa(r1.unionByName(r2), "r1", "r2")
+
+
+SQL_KAPPA = """
+WITH j AS (
+  SELECT c_custkey AS item, c_mktsegment AS la,
+         CASE WHEN c_custkey % 4 <> 0 THEN c_mktsegment
+              ELSE 'DECOY' || CAST(c_custkey % 5 AS VARCHAR) END AS lb
+  FROM customer
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT) AS agree
+  FROM j
+),
+ca AS (SELECT la AS l, CAST(COUNT(*) AS BIGINT) AS na FROM j GROUP BY la),
+cb AS (SELECT lb AS l, CAST(COUNT(*) AS BIGINT) AS nb FROM j GROUP BY lb),
+pe AS (
+  SELECT CAST(COALESCE(SUM(na * nb), 0) AS BIGINT) AS s
+  FROM ca JOIN cb ON cb.l = ca.l
+),
+x AS (
+  SELECT n AS n_items, agree AS n_agree,
+         CAST(1000000 * agree // n AS BIGINT) AS po_ppm,
+         CAST(1000000 * s // (n * n) AS BIGINT) AS pe_ppm
+  FROM tot CROSS JOIN pe
+)
+SELECT n_items, n_agree, po_ppm, pe_ppm,
+       CASE WHEN pe_ppm < 1000000
+            THEN CAST(1000000 * (po_ppm - pe_ppm) // (1000000 - pe_ppm) AS BIGINT)
+       END AS kappa_ppm
+FROM x
+"""
+
+QUERIES["kappa"] = (q_kappa, SQL_KAPPA)
+
+
+def q_matching(spark, sf):
+    """Locally-dominant greedy matching over the chain-with-chords pairs
+    (md5 scores): one-to-one ER assignment — each customer matched at
+    most once, deterministic under any partitioning."""
+    from .operators.linking import dominant_matching
+
+    _r, e = _chain_graph(spark, sf)
+    pairs = e.select(
+        F.col("src").alias("a"),
+        F.col("dst").alias("b"),
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.col("src"), F.lit("|"), F.col("dst"))), 1, 15),
+                16, 10,
+            ).cast("long")
+            % 1000000
+        ).alias("score"),
+    )
+    return dominant_matching(pairs, max_rounds=10)
+
+
+def _matching_sql(rounds: int) -> str:
+    parts = [
+        "WITH "
+        + _CHAIN_SQL
+        + """,
+p1 AS MATERIALIZED (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b, MAX(score) AS score
+  FROM (
+    SELECT src, dst,
+           ('0x' || substr(md5(src || '|' || dst), 1, 15))::BIGINT % 1000000 AS score
+    FROM (SELECT DISTINCT src, dst FROM raw WHERE src <> dst)
+  ) GROUP BY 1, 2
+)"""
+    ]
+    better = (
+        "(p2.score > p.score OR (p2.score = p.score AND "
+        "(p2.a < p.a OR (p2.a = p.a AND p2.b < p.b))))"
+    )
+    sels = []
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+sel{r} AS MATERIALIZED (
+  SELECT p.a, p.b, p.score FROM p{r} p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM p{r} p2
+    WHERE (p2.a = p.a OR p2.b = p.a) AND NOT (p2.a = p.a AND p2.b = p.b)
+      AND {better}
+  ) AND NOT EXISTS (
+    SELECT 1 FROM p{r} p2
+    WHERE (p2.a = p.b OR p2.b = p.b) AND NOT (p2.a = p.a AND p2.b = p.b)
+      AND {better}
+  )
+),
+m{r} AS MATERIALIZED (SELECT a AS node FROM sel{r} UNION SELECT b FROM sel{r}),
+p{r + 1} AS MATERIALIZED (
+  SELECT p.a, p.b, p.score FROM p{r} p
+  WHERE p.a NOT IN (SELECT node FROM m{r})
+    AND p.b NOT IN (SELECT node FROM m{r})
+)"""
+        )
+        sels.append(
+            f"SELECT a, b, CAST(score AS BIGINT) AS score, "
+            f"CAST({r} AS INT) AS match_round FROM sel{r}"
+        )
+    parts.append("\n" + "\nUNION ALL\n".join(sels))
+    return "".join(parts)
+
+
+SQL_MATCHING = _matching_sql(10)
+
+QUERIES["matching"] = (q_matching, SQL_MATCHING)
+
+
+def q_pq(spark, sf):
+    """Product-quantization codes (2 blocks x 4 centroids over the
+    64-dim embeddings) — the bytes-per-dim compression leg of the
+    IVF-PQ stack; each block is the audited integer k-means."""
+    from .operators.ann import pq_encode
+
+    return pq_encode(_embs(spark, sf), dim=64, m=2, k=4, iters=2, scale=1000)
+
+
+def _pq_block_ctes(b: int, bd: int, k: int) -> str:
+    lo, hi = b * bd + 1, (b + 1) * bd
+    t = f"""
+q{b} AS (
+  SELECT vec_id,
+         list_transform(list_slice(embedding, {lo}, {hi}),
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
+  FROM embeddings
+),
+c{b}_0 AS (SELECT CAST(vec_id AS INT) AS cl, qe AS ce FROM q{b} WHERE vec_id < {k})"""
+    for it in (1, 2):
+        t += f""",
+a{b}_{it} AS (
+  SELECT vec_id, cl FROM (
+    SELECT q.vec_id, c.cl,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_sum(list_transform(range(1, len(q.qe)+1),
+                                              i -> (q.qe[i]-c.ce[i])*(q.qe[i]-c.ce[i]))), c.cl
+           ) AS rn
+    FROM q{b} q CROSS JOIN c{b}_{it - 1} c
+  ) WHERE rn = 1
+),
+c{b}_{it} AS (
+  SELECT cl, list(c ORDER BY pos) AS ce FROM (
+    SELECT a.cl, r.i AS pos, CAST(floor(AVG(q.qe[r.i])) AS BIGINT) AS c
+    FROM q{b} q JOIN a{b}_{it} a USING (vec_id), range(1, {bd + 1}) r(i)
+    GROUP BY a.cl, r.i
+  ) GROUP BY cl
+)"""
+    t += f""",
+km{b} AS (
+  SELECT vec_id, cl AS code FROM (
+    SELECT q.vec_id, c.cl,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_sum(list_transform(range(1, len(q.qe)+1),
+                                              i -> (q.qe[i]-c.ce[i])*(q.qe[i]-c.ce[i]))), c.cl
+           ) AS rn
+    FROM q{b} q CROSS JOIN c{b}_2 c
+  ) WHERE rn = 1
+)"""
+    return t
+
+
+SQL_PQ = (
+    "WITH "
+    + _pq_block_ctes(0, 32, 4).lstrip()
+    + ","
+    + _pq_block_ctes(1, 32, 4)
+    + """
+SELECT km0.vec_id, km0.code AS code_0, km1.code AS code_1
+FROM km0 JOIN km1 USING (vec_id)
+"""
+)
+
+QUERIES["pq"] = (q_pq, SQL_PQ)

@@ -1362,6 +1362,30 @@ def main() -> None:
             ("whole-stage codegen", r"codegen id :"),
             ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
         ]),
+        ("kappa", [
+            # item join + label-vocabulary-sized marginals + 1-row fold;
+            # the only BNLJ is the 1-row pe broadcast
+            ("1-row pe broadcast only", r"^\(\d+\) BroadcastNestedLoopJoin", "count", 1),
+            ("marginal hash aggregates", r"HashAggregate"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
+        ("matching", [
+            # per-round state eagerly checkpointed; the returned plan is
+            # the union of per-round selections — hash shapes only
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
+        ("pq", [
+            # two audited k-means plans (their k-row broadcast
+            # assignments are the only BNLJ: 3 per block) + one vec_id
+            # zip join
+            ("only the 2x3 k-row broadcast assignments", r"^\(\d+\) BroadcastNestedLoopJoin", "count", 6),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("code zip is a hash join", r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
         ("dsir", [
             # model fitting = two B-row aggs; the only BNLJ are the two
             # 1-row total broadcasts; scoring joins the B-row ratio table

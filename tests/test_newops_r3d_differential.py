@@ -542,3 +542,127 @@ def test_phonetic_key_golden(spark):
         "i", phonetic_key(F.col("name")).alias("k")).collect()}
     for i, (name, want) in enumerate(cases):
         assert got[i] == want, (name, got[i], want)
+
+
+# --------------------------------------------------------------------------
+# cohen_kappa
+# --------------------------------------------------------------------------
+
+def test_cohen_kappa_golden(spark):
+    from ocaml_rdf_spark.operators.stats import cohen_kappa
+
+    # classic worked example: 2 raters, yes/no, po=0.7, pe=0.5, kappa=0.4
+    rows = []
+    for i in range(20):
+        ra = "yes" if i < 10 else "no"
+        # agree on 14 items (7 yes-yes, 7 no-no), disagree on 6
+        rb = ra if (i % 10) < 7 else ("no" if ra == "yes" else "yes")
+        rows += [(i, "A", ra), (i, "B", rb)]
+    sdf = spark.createDataFrame(rows, "item long, rater string, label string")
+    [r] = cohen_kappa(sdf, "A", "B").collect()
+    assert (r.n_items, r.n_agree) == (20, 14)
+    assert r.po_ppm == 700000 and r.pe_ppm == 500000
+    assert r.kappa_ppm == 400000
+
+
+def test_cohen_kappa_degenerate_and_dups(spark):
+    from ocaml_rdf_spark.operators.stats import cohen_kappa
+
+    # one-label world: pe = 1 -> kappa undefined (NULL); duplicate labels
+    # by one rater collapse to min
+    rows = [(1, "A", "x"), (1, "A", "z"), (1, "B", "x"), (2, "A", "x"), (2, "B", "x"),
+            (3, "C", "ignored")]
+    sdf = spark.createDataFrame(rows, "item long, rater string, label string")
+    [r] = cohen_kappa(sdf, "A", "B").collect()
+    assert (r.n_items, r.n_agree, r.po_ppm, r.pe_ppm) == (2, 2, 1000000, 1000000)
+    assert r.kappa_ppm is None
+
+
+# --------------------------------------------------------------------------
+# dominant_matching
+# --------------------------------------------------------------------------
+
+def _py_matching(pairs, max_rounds=10):
+    canon = {}
+    for a, b, s in pairs:
+        if a == b:
+            continue
+        key = (min(a, b), max(a, b))
+        canon[key] = max(canon.get(key, -1), s)
+    p = {k: v for k, v in canon.items()}
+    out = {}
+    for rnd in range(1, max_rounds + 1):
+        if not p:
+            break
+        def k(ab):  # (score desc, a asc, b asc)
+            return (-p[ab], ab[0], ab[1])
+        best = {}
+        for (a, b) in p:
+            for x in (a, b):
+                if x not in best or k((a, b)) < k(best[x]):
+                    best[x] = (a, b)
+        sel = [ab for ab in p if best[ab[0]] == ab and best[ab[1]] == ab]
+        for ab in sel:
+            out[ab] = (p[ab], rnd)
+        matched = {x for ab in sel for x in ab}
+        p = {ab: s for ab, s in p.items() if ab[0] not in matched and ab[1] not in matched}
+    return {(a, b): v for (a, b), v in out.items()}
+
+
+def test_dominant_matching_is_a_matching_and_mirrors(spark):
+    from ocaml_rdf_spark.operators.linking import dominant_matching
+
+    pairs = [("a", "b", 90), ("b", "c", 80), ("c", "d", 85), ("d", "e", 10),
+             ("x", "y", 50), ("y", "x", 70),   # reverse dup -> max(score)
+             ("z", "z", 99)]                   # self-pair dropped
+    sdf = spark.createDataFrame(pairs, "a string, b string, score long")
+    got = {(r.a, r.b): (r.score, r.match_round)
+           for r in dominant_matching(sdf, max_rounds=10).collect()}
+    assert got == _py_matching(pairs)
+    # one-to-one: no endpoint twice
+    ends = [x for ab in got for x in ab]
+    assert len(ends) == len(set(ends))
+    # the path a-b-c-d-e with scores 90,80,85,10: (a,b) and (c,d) are
+    # locally dominant round 1; (d,e) dies with d; nothing left for b/e
+    assert ("a", "b") in got and ("c", "d") in got and ("x", "y") in got
+    assert got[("x", "y")][0] == 70
+
+
+def test_dominant_matching_round2_pickup(spark):
+    from ocaml_rdf_spark.operators.linking import dominant_matching
+
+    # chain with strictly decreasing scores: only the head pair is
+    # dominant each round -> rounds advance down the chain
+    pairs = [(f"n{i}", f"n{i+1}", 100 - i) for i in range(6)]
+    sdf = spark.createDataFrame(pairs, "a string, b string, score long")
+    got = {(r.a, r.b): r.match_round for r in dominant_matching(sdf, max_rounds=10).collect()}
+    assert got == {("n0", "n1"): 1, ("n2", "n3"): 2, ("n4", "n5"): 3}
+
+
+# --------------------------------------------------------------------------
+# pq_encode
+# --------------------------------------------------------------------------
+
+def test_pq_encode_blocks_equal_blockwise_kmeans(spark):
+    from ocaml_rdf_spark.operators.ann import kmeans_int, pq_encode
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = {r.vec_id: (r.code_0, r.code_1)
+           for r in pq_encode(emb, dim=64, m=2, k=4).collect()}
+    b0 = {r.vec_id: r.cluster for r in kmeans_int(
+        emb.select("vec_id", F.slice("embedding", 1, 32).alias("embedding")), k=4).collect()}
+    b1 = {r.vec_id: r.cluster for r in kmeans_int(
+        emb.select("vec_id", F.slice("embedding", 33, 32).alias("embedding")), k=4).collect()}
+    assert got == {v: (b0[v], b1[v]) for v in b0}
+    # codes actually use the space (more than one distinct code per block)
+    assert len({c for c, _ in got.values()}) > 1
+    assert len({c for _, c in got.values()}) > 1
+
+
+def test_pq_encode_guards_ragged_blocks(spark):
+    import pytest as _pytest
+    from ocaml_rdf_spark.operators.ann import pq_encode
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with _pytest.raises(ValueError):
+        pq_encode(emb, dim=64, m=3)
