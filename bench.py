@@ -297,6 +297,11 @@ def main() -> None:
         "kappa",
         "matching",
         "pq",
+        "soft404",
+        "postings",
+        "phrase",
+        "cluster_split",
+        "filter_funnel",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

@@ -2110,3 +2110,185 @@ def sentence_spans(
         F.length("sent").cast("long").alias("n_chars"),
         "sent",
     )
+
+
+#: pinned soft-404 phrase battery (portable subset: plain alternation,
+#: case handled by lower() — the rules both engines parse identically)
+SOFT404_PATTERNS = (
+    "page not found|not be found|error 404|404 error|404 not found|"
+    "does not exist|no longer available|has been removed|temporarily unavailable"
+)
+
+
+def soft404_flags(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Soft-404 / error-page detection (crawl hygiene: servers that
+    answer 200 with a 'page not found' body poison both the link graph
+    and the training corpus — Bar-Yossef et al. WWW'04 'Sic transit
+    gloria telae' made the case; every production crawler carries a
+    phrase battery like this): exact counts of the pinned error phrases
+    over the lowercased body, flagged when the signal is strong
+    (≥ 2 hits) or a weak page says it (≥ 1 hit on a < 50-token body —
+    real articles MENTIONING 404s are long, error pages are short).
+
+    → (doc_id, n_hits, n_toks, is_soft404). Map-only regexp_count +
+    token-count algebra, zero shuffles at any crawl size; the DuckDB
+    oracle runs the verbatim same pattern."""
+    toks = F.filter(_norm_tokens(text_col), lambda t: t != "")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.lower(F.col(text_col)), F.lit(SOFT404_PATTERNS)).alias("n_hits"),
+        F.size(toks).cast("long").alias("n_toks"),
+    ).select(
+        "doc_id", "n_hits", "n_toks",
+        ((F.col("n_hits") >= 2) | ((F.col("n_hits") >= 1) & (F.col("n_toks") < 50)))
+        .alias("is_soft404"),
+    )
+
+
+def build_postings(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Positional inverted index (the IR substrate under bm25_rank /
+    winnow / phrase queries, materialized as a first-class table the way
+    a search tier stores it): one row per (term, doc) with term
+    frequency and the 1-based positions of the term in the document's
+    NORMALIZED token stream (the corpus-wide `_norm_tokens` pinning —
+    the same coordinates chunk_docs / sentence_spans emit, so spans and
+    postings compose). Positions serialize as a sorted CSV string
+    (`pos_csv`) — cross-engine array stringification differs, CSV text
+    does not.
+
+    → (term, doc_id, tf, pos_csv). Scale shape: tokenize + posexplode
+    is scan-local; the ONLY shuffle is the (term, doc)-keyed aggregate,
+    map-side combined — stop-word skew is bounded because the key
+    includes doc_id (the vocab_topk cell argument). Per-term df / idf
+    stats are one further term-keyed agg downstream (bm25_rank owns
+    that)."""
+    t = (
+        docs.select("doc_id", _norm_tokens(text_col).alias("__t"))
+        .filter((F.size("__t") > 0) & (F.element_at("__t", 1) != ""))
+        .select("doc_id", F.posexplode("__t").alias("__i", "term"))
+        .filter(F.col("term") != "")
+    )
+    return (
+        t.groupBy("term", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.array_join(F.array_sort(F.collect_list(F.col("__i") + 1)), ",").alias("pos_csv"),
+        )
+        .select("term", "doc_id", F.col("tf").cast("long").alias("tf"), "pos_csv")
+    )
+
+
+def phrase_search(
+    docs: DataFrame, phrase: list, text_col: str = "text"
+) -> DataFrame:
+    """Exact phrase search over the positional index (the classic
+    adjacency chain: an occurrence of 'w₀ w₁ … wₖ' is a position p of w₀
+    with p+1 ∈ positions(w₁), p+2 ∈ positions(w₂), … — Manning/IR ch.2):
+    per-word position sets meet in k doc-keyed hash joins, and the
+    adjacency test is array algebra (shift + intersect), so the corpus
+    text is NEVER rescanned per query — the postings are index-sized,
+    which is the entire point of positional indexes at 100 TB.
+
+    `phrase` must be ≥ 2 already-normalized tokens (lowercase alnum —
+    the `_norm_tokens` alphabet; checked). Returns (doc_id,
+    n_occurrences) for documents containing the phrase at least once,
+    n_occurrences = number of distinct start positions."""
+    if len(phrase) < 2 or any(not w or not w.isalnum() or w != w.lower() for w in phrase):
+        raise ValueError("phrase_search: need >= 2 normalized lowercase tokens")
+    tok = (
+        docs.select("doc_id", _norm_tokens(text_col).alias("__t"))
+        .filter((F.size("__t") > 0) & (F.element_at("__t", 1) != ""))
+        .select("doc_id", F.posexplode("__t").alias("__i", "term"))
+        .filter(F.col("term").isin(*set(phrase)))
+    )
+    base = None
+    for k, w in enumerate(phrase):
+        pk = (
+            tok.filter(F.col("term") == w)
+            .groupBy("doc_id")
+            .agg(F.array_sort(F.collect_list(F.col("__i") + 1)).alias(f"__p{k}"))
+        )
+        base = pk if base is None else base.join(pk, "doc_id")
+    m = F.col("__p0")
+    for k in range(1, len(phrase)):
+        m = F.array_intersect(F.transform(m, lambda x: x + 1), F.col(f"__p{k}"))
+    return (
+        base.select("doc_id", F.size(m).cast("long").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= 1)
+    )
+
+
+def cluster_aware_split(
+    docs: DataFrame,
+    splits=(("train", 8), ("val", 1), ("test", 1)),
+    **cluster_kwargs,
+) -> DataFrame:
+    """Leak-free train/val/test assignment: split by the NEAR-DUP
+    CLUSTER, not the document — a near-duplicate pair straddling
+    train/test is benchmark leakage by construction (the Lee et al.
+    dedup paper's eval argument), and per-doc hashing guarantees
+    exactly that for every dup pair. Composes the audited
+    `near_dup_clusters` pipeline with `hash_split` keyed on cluster_id,
+    so every member of a cluster inherits one split.
+
+    → (doc_id, cluster_id, split). Adds ONE map-only hash over the
+    cluster column to the dedup pipeline's audited cost."""
+    from .sketches import hash_split
+
+    clusters = near_dup_clusters(docs, **cluster_kwargs)
+    return hash_split(clusters, "cluster_id", splits=splits).select(
+        "doc_id", "cluster_id", "split"
+    )
+
+
+def filter_funnel(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-filter funnel report (pipeline observability: which
+    filter kills how many docs, MARGINALLY, in cascade order — the
+    number a corpus curator actually reads; per-filter totals
+    double-count docs that fail several filters): four pinned stages
+    over ONE fused text scan (the corpus_card rule — k operator joins
+    would rescan text k times at 100 TB):
+
+        1 min_tokens    — ≥ 10 normalized tokens (drops e.g. non-Latin
+                          docs under the a-z normalization — a visible,
+                          pinned consequence, not a bug)
+        2 max_chars     — ≤ 20,000 chars
+        3 no_mojibake   — zero U+FFFD replacement chars
+        4 digit_ratio   — digits ≤ 25% of chars
+
+    → (stage, name, n_in, n_killed, n_out) per stage, cumulative. The
+    whole report is one map-side-combined aggregate + a constant-width
+    melt (Generate, no joins)."""
+    toks = F.filter(_norm_tokens(text_col), lambda t: t != "")
+    n_chars = F.length(text_col)
+    digits = n_chars - F.length(F.regexp_replace(F.col(text_col), "[0-9]", ""))
+    f1 = F.size(toks) >= 10
+    f2 = n_chars <= 20000
+    f3 = F.instr(F.col(text_col), "�") == 0
+    f4 = digits * 4 <= n_chars
+    agg = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(f1.cast("long")).alias("s1"),
+        F.sum((f1 & f2).cast("long")).alias("s2"),
+        F.sum((f1 & f2 & f3).cast("long")).alias("s3"),
+        F.sum((f1 & f2 & f3 & f4).cast("long")).alias("s4"),
+    )
+    names = ["min_tokens", "max_chars", "no_mojibake", "digit_ratio"]
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).cast("int").alias("stage"),
+                F.lit(nm).alias("name"),
+                F.col("n" if i == 0 else f"s{i}").alias("n_in"),
+                (F.col("n" if i == 0 else f"s{i}") - F.col(f"s{i + 1}")).alias("n_killed"),
+                F.col(f"s{i + 1}").alias("n_out"),
+            )
+            for i, nm in enumerate(names)
+        ]
+    )
+    return agg.select(F.explode(stages).alias("r")).select(
+        "r.stage", "r.name",
+        F.col("r.n_in").cast("long").alias("n_in"),
+        F.col("r.n_killed").cast("long").alias("n_killed"),
+        F.col("r.n_out").cast("long").alias("n_out"),
+    )

@@ -11361,3 +11361,165 @@ FROM km0 JOIN km1 USING (vec_id)
 )
 
 QUERIES["pq"] = (q_pq, SQL_PQ)
+
+
+def _soft404_docs(spark, sf):
+    """Documents with planted soft-404s: every 13th doc becomes a short
+    error page (strong signal); doc_id % 13 == 5 docs APPEND one error
+    phrase to a long body (a mention, not an error page — must NOT
+    flag). The same CASE is synthesized in the oracle."""
+    d = F.col("doc_id")
+    txt = (
+        F.when(d % 13 == 0, F.lit("Oops! Error 404 - page not found. It does not exist."))
+        .when(d % 13 == 5, F.concat(F.col("text"), F.lit(" note: one page has been removed")))
+        .otherwise(F.col("text"))
+    )
+    return _docs(spark, sf).withColumn("text", txt)
+
+
+_SQL_SOFT404_TEXT = """
+  CASE WHEN doc_id % 13 = 0 THEN 'Oops! Error 404 - page not found. It does not exist.'
+       WHEN doc_id % 13 = 5 THEN text || ' note: one page has been removed'
+       ELSE text END
+"""
+
+
+def q_soft404(spark, sf):
+    """Soft-404 detection over the planted corpus — map-only phrase
+    battery + token count; strong (≥2 hits) or short-body-weak rule."""
+    from .operators.textops import soft404_flags
+
+    return soft404_flags(_soft404_docs(spark, sf))
+
+
+def _sql_soft404() -> str:
+    from .operators.textops import SOFT404_PATTERNS
+
+    return f"""
+WITH d AS (SELECT doc_id, {_SQL_SOFT404_TEXT} AS text FROM documents),
+x AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '{SOFT404_PATTERNS}')) AS INT) AS n_hits,
+         CAST(len(list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text),
+              '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '), t -> t <> '')) AS BIGINT) AS n_toks
+  FROM d
+)
+SELECT doc_id, n_hits, n_toks,
+       (n_hits >= 2 OR (n_hits >= 1 AND n_toks < 50)) AS is_soft404
+FROM x
+"""
+
+
+SQL_SOFT404 = _sql_soft404()
+
+QUERIES["soft404"] = (q_soft404, SQL_SOFT404)
+
+
+def q_postings(spark, sf):
+    """Positional inverted index over documents — (term, doc, tf,
+    positions CSV); one (term, doc)-keyed map-side-combined shuffle."""
+    from .operators.textops import build_postings
+
+    return build_postings(_docs(spark, sf))
+
+
+SQL_POSTINGS = """
+WITH nt AS (
+  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+  FROM documents
+),
+d AS (SELECT doc_id, toks FROM nt WHERE len(toks) > 0 AND toks[1] <> ''),
+p AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS i, toks FROM d),
+x AS (SELECT toks[i] AS term, doc_id, i FROM p WHERE toks[i] <> '')
+SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf,
+       array_to_string(list_sort(list(i)), ',') AS pos_csv
+FROM x GROUP BY term, doc_id
+"""
+
+QUERIES["postings"] = (q_postings, SQL_POSTINGS)
+
+
+def q_phrase(spark, sf):
+    """Exact phrase search 'fast table' via positional-index adjacency
+    (shift + intersect over per-word position sets) — the corpus text is
+    never rescanned per query."""
+    from .operators.textops import phrase_search
+
+    return phrase_search(_docs(spark, sf), ["fast", "table"])
+
+
+SQL_PHRASE = """
+WITH nt AS (
+  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+  FROM documents
+),
+d AS (SELECT doc_id, toks FROM nt WHERE len(toks) > 0 AND toks[1] <> ''),
+p AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS i, toks FROM d),
+x AS (SELECT doc_id, i, toks[i] AS t FROM p),
+p0 AS (SELECT doc_id, list_sort(list(i)) AS l FROM x WHERE t = 'fast' GROUP BY doc_id),
+p1 AS (SELECT doc_id, list_sort(list(i)) AS l FROM x WHERE t = 'table' GROUP BY doc_id)
+SELECT p0.doc_id,
+       CAST(len(list_intersect(list_transform(p0.l, y -> y + 1), p1.l)) AS BIGINT)
+         AS n_occurrences
+FROM p0 JOIN p1 USING (doc_id)
+WHERE len(list_intersect(list_transform(p0.l, y -> y + 1), p1.l)) >= 1
+"""
+
+QUERIES["phrase"] = (q_phrase, SQL_PHRASE)
+
+
+def q_cluster_split(spark, sf):
+    """Leak-free splits: near-dup clusters (the audited dedup pipeline)
+    hashed to train/val/test BY CLUSTER, so no dup pair straddles
+    splits."""
+    from .operators.textops import cluster_aware_split
+
+    return cluster_aware_split(_docs(spark, sf), bands=8, band_min=4, jac_min=60)
+
+
+SQL_CLUSTER_SPLIT = (
+    "SELECT doc_id, cluster_id,\n"
+    "  CASE WHEN ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT % 10 < 8 THEN 'train'\n"
+    "       WHEN ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT % 10 < 9 THEN 'val'\n"
+    "       ELSE 'test' END AS split\n"
+    "FROM (\n" + SQL_DEDUP_CLUSTERS + "\n)"
+)
+
+QUERIES["cluster_split"] = (q_cluster_split, SQL_CLUSTER_SPLIT)
+
+
+def q_filter_funnel(spark, sf):
+    """Quality-filter funnel over documents — marginal kill counts per
+    cascade stage, ONE fused text scan + constant-width melt."""
+    from .operators.textops import filter_funnel
+
+    return filter_funnel(_docs(spark, sf))
+
+
+SQL_FILTER_FUNNEL = """
+WITH f AS (
+  SELECT
+    len(list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text),
+        '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '), t -> t <> '')) >= 10 AS f1,
+    length(text) <= 20000 AS f2,
+    strpos(text, chr(65533)) = 0 AS f3,
+    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 4 <= length(text) AS f4
+  FROM documents
+),
+a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+         CAST(SUM(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+         CAST(SUM(CASE WHEN f1 AND f2 AND f3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+         CAST(SUM(CASE WHEN f1 AND f2 AND f3 AND f4 THEN 1 ELSE 0 END) AS BIGINT) AS s4
+  FROM f
+)
+SELECT 1 AS stage, 'min_tokens' AS name, n AS n_in, n - s1 AS n_killed, s1 AS n_out FROM a
+UNION ALL SELECT 2, 'max_chars', s1, s1 - s2, s2 FROM a
+UNION ALL SELECT 3, 'no_mojibake', s2, s2 - s3, s3 FROM a
+UNION ALL SELECT 4, 'digit_ratio', s3, s3 - s4, s4 FROM a
+"""
+
+QUERIES["filter_funnel"] = (q_filter_funnel, SQL_FILTER_FUNNEL)

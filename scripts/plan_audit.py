@@ -1386,6 +1386,43 @@ def main() -> None:
             ("code zip is a hash join", r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin"),
             ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
         ]),
+        ("soft404", [
+            # phrase battery + token count fused into the scan
+            ("map-only: zero shuffles", r"Exchange", "absent"),
+            ("no join anywhere", r"Join", "absent"),
+            ("whole-stage codegen", r"codegen id :"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
+        ("postings", [
+            # tokenize+posexplode scan-local; ONE (term,doc)-keyed
+            # map-side-combined shuffle; no joins
+            ("single shuffle (the postings agg)", r"^\(\d+\) Exchange", "count", 1),
+            ("posexplode via Generate", r"Generate"),
+            ("no join anywhere", r"Join", "absent"),
+            ("map-side-combined agg", r"HashAggregate|ObjectHashAggregate|SortAggregate"),
+        ]),
+        ("phrase", [
+            # per-word position sets meet in doc-keyed hash joins; the
+            # adjacency test is array algebra, never a position join
+            ("doc-keyed hash joins", r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
+        ("cluster_split", [
+            # the audited dedup pipeline + one map-only hash over the
+            # cluster column — nothing new may appear
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
+        ("filter_funnel", [
+            # ONE fused scan -> 1-row aggregate -> constant-width melt
+            ("melt via Generate, not joins", r"Generate"),
+            ("no join anywhere", r"Join", "absent"),
+            ("fused flag aggregate", r"HashAggregate|SortAggregate"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
         ("dsir", [
             # model fitting = two B-row aggs; the only BNLJ are the two
             # 1-row total broadcasts; scoring joins the B-row ratio table

@@ -666,3 +666,113 @@ def test_pq_encode_guards_ragged_blocks(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     with _pytest.raises(ValueError):
         pq_encode(emb, dim=64, m=3)
+
+
+# --------------------------------------------------------------------------
+# soft404_flags
+# --------------------------------------------------------------------------
+
+def test_soft404_rules(spark):
+    from ocaml_rdf_spark.operators.textops import soft404_flags
+
+    long_filler = " ".join(["word"] * 100)
+    docs = [
+        (1, "Oops! Error 404 - page not found."),            # 2 hits, short
+        (2, long_filler + " error 404"),                      # 1 hit, long: NOT flagged
+        (3, "sorry this does not exist"),                     # 1 hit, short: flagged
+        (4, long_filler),                                     # clean
+        (5, long_filler + " error 404 ... page not found"),   # 2 hits, long: flagged
+    ]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.n_hits, r.is_soft404) for r in soft404_flags(sdf).collect()}
+    assert got[1] == (2, True) and got[2] == (1, False)
+    assert got[3] == (1, True) and got[4] == (0, False) and got[5] == (2, True)
+
+
+# --------------------------------------------------------------------------
+# build_postings / phrase_search
+# --------------------------------------------------------------------------
+
+def test_postings_positions_and_tf(spark):
+    from ocaml_rdf_spark.operators.textops import build_postings
+
+    sdf = spark.createDataFrame(
+        [(1, "to be or not to be"), (2, "Be!"), (3, "   ")],
+        "doc_id long, text string",
+    )
+    got = {(r.term, r.doc_id): (r.tf, r.pos_csv) for r in build_postings(sdf).collect()}
+    assert got[("to", 1)] == (2, "1,5")
+    assert got[("be", 1)] == (2, "2,6")
+    assert got[("or", 1)] == (1, "3") and got[("not", 1)] == (1, "4")
+    assert got[("be", 2)] == (1, "1")
+    assert all(d != 3 for (_t, d) in got)
+
+
+def test_phrase_search_adjacency(spark):
+    from ocaml_rdf_spark.operators.textops import phrase_search
+
+    sdf = spark.createDataFrame(
+        [
+            (1, "the quick fox. the quick fox jumps."),  # 2 occurrences of "quick fox"
+            (2, "quick brown fox"),                      # words present, not adjacent
+            (3, "fox quick"),                            # reversed: no match
+            (4, "a a a"),                                # repeated-word phrase case
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_occurrences for r in phrase_search(sdf, ["quick", "fox"]).collect()}
+    assert got == {1: 2}
+    rep = {r.doc_id: r.n_occurrences for r in phrase_search(sdf, ["a", "a"]).collect()}
+    assert rep == {4: 2}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        phrase_search(sdf, ["one"])
+    with _pytest.raises(ValueError):
+        phrase_search(sdf, ["Quick", "fox"])  # not normalized
+
+
+# --------------------------------------------------------------------------
+# cluster_aware_split
+# --------------------------------------------------------------------------
+
+def test_cluster_split_is_leak_free(spark):
+    from ocaml_rdf_spark.operators.textops import cluster_aware_split
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    docs = [(1, base), (2, base + "iota"), (3, "totally different content here " * 6),
+            (4, base + "kappa"), (5, "another unrelated body of words " * 6)]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = cluster_aware_split(sdf, bands=8, band_min=4, jac_min=60).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    # every cluster lands in exactly one split (the leak-free property)
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # docs 1/2/4 are near-dups -> one cluster
+    cl = {r.doc_id: r.cluster_id for r in rows}
+    assert cl[1] == cl[2] == cl[4] == 1 and cl[3] == 3 and cl[5] == 5
+
+
+# --------------------------------------------------------------------------
+# filter_funnel
+# --------------------------------------------------------------------------
+
+def test_filter_funnel_marginal_cascade(spark):
+    from ocaml_rdf_spark.operators.textops import filter_funnel
+
+    ok = " ".join(["tok"] * 20)
+    docs = [
+        (1, ok),                       # passes all
+        (2, "short"),                  # killed at stage 1
+        (3, "x" * 25000 + " " + ok),   # killed at stage 2 (long)
+        (4, ok + " �"),           # killed at stage 3 (mojibake)
+        (5, ok + " " + "9" * 200),     # killed at stage 4 (digits > 25%)
+        (6, "12 34 " + ok),            # digits fine: passes
+    ]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.stage: (r.name, r.n_in, r.n_killed, r.n_out)
+           for r in filter_funnel(sdf).collect()}
+    assert got[1] == ("min_tokens", 6, 1, 5)
+    assert got[2] == ("max_chars", 5, 1, 4)
+    assert got[3] == ("no_mojibake", 4, 1, 3)
+    assert got[4] == ("digit_ratio", 3, 1, 2)
