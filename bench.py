@@ -302,6 +302,8 @@ def main() -> None:
         "phrase",
         "cluster_split",
         "filter_funnel",
+        "log_asof",
+        "rrf",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

@@ -345,3 +345,44 @@ def earliest_arrival(
 
 #: seed arrival sentinel: earlier than any real epoch
 EA_SEED_TS = -(2**62)
+
+
+def log_replay_asof(
+    log: DataFrame,
+    ts_us: int,
+    keys: Sequence[str] = ("s_lex", "pred", "o_kind", "o_lex", "o_dtype"),
+) -> DataFrame:
+    """Reconstruct a triple store AS OF a timestamp from an append-only
+    assert/retract fact log (the RDF-Patch / LDES / Delta-log shape —
+    the versioning model where individual (s,p,o) FACTS toggle on and
+    off, vs `snapshot_intervals`' SCD2 model where a key's VALUE is
+    superseded; a multi-valued predicate needs this one): for every
+    distinct fact, take the latest log entry at or before `ts_us`; the
+    fact exists iff that entry is an assert.
+
+    Tie pinned: at equal ts the retract wins (delete-over-insert — the
+    copy-on-write MERGE rule, and the conservative reading for
+    provenance). Input (keys…, op ∈ {'assert','retract'}, ts_us);
+    returns the keys of live facts.
+
+    Scale shape: ONE fact-keyed max_by aggregate (map-side combined —
+    a fact's log history collapses per task before the shuffle), then a
+    map filter; no joins, no windows. At warehouse scale this is the
+    read path of an Iceberg MERGE-log compaction: replaying N days of
+    patches costs one aggregation over the patch volume, never a
+    day-by-day loop."""
+    keys = list(keys)
+    t = F.lit(int(ts_us)).cast("long")
+    last = (
+        log.filter(F.col("ts_us") <= t)
+        .groupBy(*keys)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("ts_us").alias("t"),
+                    (F.col("op") == "retract").cast("int").alias("r"),
+                )
+            ).alias("m")
+        )
+    )
+    return last.filter(F.col("m.r") == 0).select(*keys)

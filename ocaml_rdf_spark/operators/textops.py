@@ -2292,3 +2292,37 @@ def filter_funnel(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.col("r.n_killed").cast("long").alias("n_killed"),
         F.col("r.n_out").cast("long").alias("n_out"),
     )
+
+
+def rrf_fuse(runs: DataFrame, k: int = 60, scale: int = 1_000_000) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack-Clarke-Büttcher SIGIR'09 — the
+    standard hybrid-retrieval combiner: fuse a lexical run (bm25_rank)
+    with a vector run (ann_*) WITHOUT score calibration, since only
+    RANKS enter): fused score = Σ_runs scale div (k + rank), k = 60 per
+    the paper; integer division keeps every score an exact BIGINT (the
+    lm_score/bm25 rule — float 1/(k+r) sums drift by addition order).
+
+    Input (run, doc_id, rank) for ONE query (callers with many queries
+    add their query column to the grouping — noted so the single-query
+    shape stays oracle-readable); returns every fused doc as
+    (doc_id, n_runs, rrf_score, fused_rank), fused_rank by
+    (score desc, doc_id asc) — deterministic under ties, which RRF
+    produces freely on disjoint run tails.
+
+    Scale shape: the input is query-result-sized (runs × top-k rows),
+    so the doc-keyed agg and the rank window are metadata-sized by
+    construction — fusion is never a corpus operation; that is exactly
+    why retrieval stacks fuse ranks instead of re-scoring."""
+    from pyspark.sql.window import Window
+
+    scored = runs.select(
+        "run", "doc_id", F.expr(f"{scale} div ({k} + rank)").alias("c")
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.countDistinct("run").cast("long").alias("n_runs"),
+        F.sum("c").alias("rrf_score"),
+    )
+    w = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return agg.select(
+        "doc_id", "n_runs", "rrf_score", F.row_number().over(w).cast("int").alias("fused_rank")
+    )

@@ -11523,3 +11523,114 @@ UNION ALL SELECT 4, 'digit_ratio', s3, s3 - s4, s4 FROM a
 """
 
 QUERIES["filter_funnel"] = (q_filter_funnel, SQL_FILTER_FUNNEL)
+
+
+def q_log_asof(spark, sf):
+    """Assert/retract fact-log replay AS OF 1995-06-01: status facts
+    assert at order date; every 3rd order retracts at +10d; every 9th
+    re-asserts at +20d; every 5th carries a same-ts retract (the pinned
+    delete-over-insert tie). ONE fact-keyed max_by aggregate."""
+    from .operators.temporal import log_replay_asof
+
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    k = F.col("o_orderkey")
+    t0 = F.unix_micros(F.col("o_orderdate").cast("timestamp_ltz"))
+    DAY = 86_400_000_000
+
+    def entry(df, op, ts):
+        return df.select(
+            F.concat(F.lit("urn:o:"), k.cast("string")).alias("s_lex"),
+            F.lit("urn:x:status").alias("pred"),
+            F.lit(2).cast("int").alias("o_kind"),
+            F.col("o_orderstatus").alias("o_lex"),
+            F.lit(None).cast("string").alias("o_dtype"),
+            F.lit(op).alias("op"),
+            ts.cast("long").alias("ts_us"),
+        )
+
+    log = (
+        entry(o, "assert", t0)
+        .unionByName(entry(o.filter(k % 3 == 0), "retract", t0 + 10 * DAY))
+        .unionByName(entry(o.filter(k % 9 == 0), "assert", t0 + 20 * DAY))
+        .unionByName(entry(o.filter(k % 5 == 0), "retract", t0))
+    )
+    return log_replay_asof(log, 801_964_800_000_000)
+
+
+SQL_LOG_ASOF = """
+WITH f AS (
+  SELECT 'urn:o:' || CAST(o_orderkey AS VARCHAR) AS s_lex,
+         'urn:x:status' AS pred, CAST(2 AS INT) AS o_kind,
+         o_orderstatus AS o_lex, CAST(NULL AS VARCHAR) AS o_dtype,
+         o_orderkey AS k, epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS t0
+  FROM orders
+),
+log AS (
+  SELECT s_lex, pred, o_kind, o_lex, o_dtype, 'assert' AS op, t0 AS ts FROM f
+  UNION ALL
+  SELECT s_lex, pred, o_kind, o_lex, o_dtype, 'retract', t0 + 864000000000 FROM f WHERE k % 3 = 0
+  UNION ALL
+  SELECT s_lex, pred, o_kind, o_lex, o_dtype, 'assert', t0 + 1728000000000 FROM f WHERE k % 9 = 0
+  UNION ALL
+  SELECT s_lex, pred, o_kind, o_lex, o_dtype, 'retract', t0 FROM f WHERE k % 5 = 0
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY s_lex, pred, o_kind, o_lex, o_dtype
+    ORDER BY ts DESC, CASE WHEN op = 'retract' THEN 1 ELSE 0 END DESC
+  ) AS rn
+  FROM log WHERE ts <= 801964800000000
+)
+SELECT s_lex, pred, o_kind, o_lex, o_dtype FROM ranked WHERE rn = 1 AND op = 'assert'
+"""
+
+QUERIES["log_asof"] = (q_log_asof, SQL_LOG_ASOF)
+
+
+def q_rrf(spark, sf):
+    """Reciprocal-rank fusion of two deterministic top-30 document runs
+    (length-ranked vs hash-ranked) — the hybrid-retrieval combiner;
+    integer 1/(60+rank) masses, deterministic tie order."""
+    from pyspark.sql.window import Window
+
+    from .operators.textops import rrf_fuse
+
+    d = _docs(spark, sf)
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("long")
+    w1 = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    w2 = Window.orderBy(h.asc(), F.asc("doc_id"))
+    r1 = d.select(
+        F.lit("len").alias("run"), "doc_id", F.row_number().over(w1).alias("rank")
+    ).filter(F.col("rank") <= 30)
+    r2 = d.select(
+        F.lit("hash").alias("run"), "doc_id", F.row_number().over(w2).alias("rank")
+    ).filter(F.col("rank") <= 30)
+    return rrf_fuse(r1.unionByName(r2), k=60)
+
+
+SQL_RRF = """
+WITH r1 AS (
+  SELECT 'len' AS run, doc_id,
+         row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rank
+  FROM documents QUALIFY rank <= 30
+),
+r2 AS (
+  SELECT 'hash' AS run, doc_id,
+         row_number() OVER (
+           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT ASC,
+                    doc_id ASC
+         ) AS rank
+  FROM documents QUALIFY rank <= 30
+),
+runs AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2),
+agg AS (
+  SELECT doc_id, CAST(COUNT(DISTINCT run) AS BIGINT) AS n_runs,
+         CAST(SUM(1000000 // (60 + rank)) AS BIGINT) AS rrf_score
+  FROM runs GROUP BY doc_id
+)
+SELECT doc_id, n_runs, rrf_score,
+       CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS INT) AS fused_rank
+FROM agg
+"""
+
+QUERIES["rrf"] = (q_rrf, SQL_RRF)

@@ -1423,6 +1423,22 @@ def main() -> None:
             ("fused flag aggregate", r"HashAggregate|SortAggregate"),
             ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
         ]),
+        ("log_asof", [
+            # ONE fact-keyed max_by aggregate + map filter; no joins,
+            # no windows — replaying N days of patches is one agg pass
+            ("fact-keyed max_by hash agg", r"HashAggregate|ObjectHashAggregate|SortAggregate"),
+            ("no join anywhere", r"Join", "absent"),
+            ("no window", r"^\(\d+\) Window", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
+        ("rrf", [
+            # fusion is query-result-sized: doc-keyed agg + rank window;
+            # never a corpus operation
+            ("doc-keyed fusion agg", r"HashAggregate|SortAggregate"),
+            ("rank window present", r"\(\d+\) Window"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
         ("dsir", [
             # model fitting = two B-row aggs; the only BNLJ are the two
             # 1-row total broadcasts; scoring joins the B-row ratio table

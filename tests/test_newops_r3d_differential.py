@@ -776,3 +776,51 @@ def test_filter_funnel_marginal_cascade(spark):
     assert got[2] == ("max_chars", 5, 1, 4)
     assert got[3] == ("no_mojibake", 4, 1, 3)
     assert got[4] == ("digit_ratio", 3, 1, 2)
+
+
+# --------------------------------------------------------------------------
+# log_replay_asof
+# --------------------------------------------------------------------------
+
+def test_log_replay_asof_semantics(spark):
+    from ocaml_rdf_spark.operators.temporal import log_replay_asof
+
+    K = ("s_lex", "pred", "o_kind", "o_lex", "o_dtype")
+    mk = lambda s, o: (s, "urn:p", 2, o, None)  # noqa: E731
+    log = [
+        mk("a", "x") + ("assert", 100),                      # alive
+        mk("b", "x") + ("assert", 100), mk("b", "x") + ("retract", 200),   # dead
+        mk("c", "x") + ("assert", 100), mk("c", "x") + ("retract", 200),
+        mk("c", "x") + ("assert", 300),                      # re-asserted: alive
+        mk("d", "x") + ("assert", 100), mk("d", "x") + ("retract", 100),   # tie: retract wins
+        mk("e", "x") + ("assert", 999),                      # after T: invisible
+        mk("f", "x") + ("retract", 50),                      # retract-only: dead
+        mk("a", "y") + ("assert", 100),                      # second fact on a: independent
+    ]
+    sdf = spark.createDataFrame(
+        log, "s_lex string, pred string, o_kind int, o_lex string, o_dtype string, "
+             "op string, ts_us long")
+    got = {(r.s_lex, r.o_lex) for r in log_replay_asof(sdf, 500).collect()}
+    assert got == {("a", "x"), ("c", "x"), ("a", "y")}
+    # as-of BEFORE the retract: b alive, c alive (first assert)
+    got2 = {(r.s_lex, r.o_lex) for r in log_replay_asof(sdf, 150).collect()}
+    assert got2 == {("a", "x"), ("b", "x"), ("c", "x"), ("a", "y")}
+
+
+# --------------------------------------------------------------------------
+# rrf_fuse
+# --------------------------------------------------------------------------
+
+def test_rrf_fuse_golden(spark):
+    from ocaml_rdf_spark.operators.textops import rrf_fuse
+
+    runs = [("A", 1, 1), ("A", 2, 2), ("A", 3, 3),
+            ("B", 2, 1), ("B", 4, 2)]
+    sdf = spark.createDataFrame(runs, "run string, doc_id long, rank int")
+    got = {r.doc_id: (r.n_runs, r.rrf_score, r.fused_rank)
+           for r in rrf_fuse(sdf, k=60).collect()}
+    s = lambda r: 1_000_000 // (60 + r)  # noqa: E731
+    assert got[2] == (2, s(2) + s(1), 1)   # in both runs: wins
+    assert got[1] == (1, s(1), 2)
+    assert got[4] == (1, s(2), 3)
+    assert got[3] == (1, s(3), 4)
