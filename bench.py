@@ -304,6 +304,7 @@ def main() -> None:
         "filter_funnel",
         "log_asof",
         "rrf",
+        "direct_map",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

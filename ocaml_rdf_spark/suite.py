@@ -11634,3 +11634,46 @@ FROM agg
 """
 
 QUERIES["rrf"] = (q_rrf, SQL_RRF)
+
+
+def q_direct_map(spark, sf):
+    """W3C Direct Mapping of the nation table (PK n_nationkey, FK
+    n_regionkey → region) into quads — the principled relational→KG
+    ingestion; constant-width melt, zero joins."""
+    from .operators.directmap import direct_mapping
+
+    na = spark.read.parquet(f"{sf}/nation.parquet")
+    return direct_mapping(
+        na, "nation", pk=["n_nationkey"],
+        fks={"n_regionkey": ("region", "r_regionkey")},
+    )
+
+
+def _sql_direct_map() -> str:
+    from .operators.directmap import enc_sql
+    from .types import RDF_TYPE
+
+    s = f"'urn:dm:nation/n_nationkey=' || {enc_sql('n_nationkey')}"
+    return f"""
+WITH n AS (SELECT * FROM nation)
+SELECT {s} AS s_lex, '{RDF_TYPE}' AS pred, 0 AS o_kind,
+       'urn:dm:nation' AS o_lex, CAST(NULL AS VARCHAR) AS o_dtype FROM n
+UNION ALL
+SELECT {s}, 'urn:dm:nation#n_nationkey', 2, CAST(n_nationkey AS VARCHAR),
+       'http://www.w3.org/2001/XMLSchema#integer' FROM n WHERE n_nationkey IS NOT NULL
+UNION ALL
+SELECT {s}, 'urn:dm:nation#n_name', 2, n_name,
+       'http://www.w3.org/2001/XMLSchema#string' FROM n WHERE n_name IS NOT NULL
+UNION ALL
+SELECT {s}, 'urn:dm:nation#n_regionkey', 2, CAST(n_regionkey AS VARCHAR),
+       'http://www.w3.org/2001/XMLSchema#integer' FROM n WHERE n_regionkey IS NOT NULL
+UNION ALL
+SELECT {s}, 'urn:dm:nation#ref-n_regionkey', 0,
+       'urn:dm:region/r_regionkey=' || {enc_sql('n_regionkey')},
+       CAST(NULL AS VARCHAR) FROM n WHERE n_regionkey IS NOT NULL
+"""
+
+
+SQL_DIRECT_MAP = _sql_direct_map()
+
+QUERIES["direct_map"] = (q_direct_map, SQL_DIRECT_MAP)

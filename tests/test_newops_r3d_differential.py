@@ -824,3 +824,50 @@ def test_rrf_fuse_golden(spark):
     assert got[1] == (1, s(1), 2)
     assert got[4] == (1, s(2), 3)
     assert got[3] == (1, s(3), 4)
+
+
+# --------------------------------------------------------------------------
+# direct_mapping (W3C Direct Mapping subset)
+# --------------------------------------------------------------------------
+
+def test_direct_mapping_rules(spark):
+    import datetime
+
+    from ocaml_rdf_spark.operators.directmap import direct_mapping
+
+    rows = [
+        (1, "a b#c", 2.5, True, datetime.date(2020, 1, 2), 10),
+        (2, None, None, None, None, None),
+    ]
+    sdf = spark.createDataFrame(
+        rows, "id int, nm string, val double, ok boolean, d date, fk int"
+    )
+    quads = direct_mapping(
+        sdf, "t", pk=["id"], fks={"fk": ("u", "uid")}, base="urn:x:"
+    ).collect()
+    by = {}
+    for r in quads:
+        by.setdefault(r.s_lex, {})[r.pred] = (r.o_kind, r.o_lex, r.o_dtype)
+    s1, s2 = "urn:x:t/id=1", "urn:x:t/id=2"
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    # typed literals per column type; reserved chars encoded only in IRIs
+    assert by[s1]["urn:x:t#nm"] == (2, "a b#c", XSD + "string")
+    assert by[s1]["urn:x:t#val"] == (2, "2.5", XSD + "double")
+    assert by[s1]["urn:x:t#ok"] == (2, "true", XSD + "boolean")
+    assert by[s1]["urn:x:t#d"] == (2, "2020-01-02", XSD + "date")
+    assert by[s1]["urn:x:t#ref-fk"] == (0, "urn:x:u/uid=10", None)
+    # type arc on every row; NULL columns emit nothing
+    assert by[s1]["http://www.w3.org/1999/02/22-rdf-syntax-ns#type"][1] == "urn:x:t"
+    assert set(by[s2]) == {
+        "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "urn:x:t#id"}
+
+
+def test_direct_mapping_composite_pk_and_encoding(spark):
+    from ocaml_rdf_spark.operators.directmap import direct_mapping
+
+    sdf = spark.createDataFrame([("a b", "x/y=z", 1)], "k1 string, k2 string, v int")
+    [s] = direct_mapping(sdf, "t", pk=["k1", "k2"]).select("s_lex").distinct().collect()
+    assert s.s_lex == "urn:dm:t/k1=a%20b;k2=x%2Fy%3Dz"
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        direct_mapping(sdf, "t", pk=[])
