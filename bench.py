@@ -305,6 +305,7 @@ def main() -> None:
         "log_asof",
         "rrf",
         "direct_map",
+        "sparql_text_lateral",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

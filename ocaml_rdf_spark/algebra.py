@@ -1323,3 +1323,111 @@ def describe(
         ).localCheckpoint(eager=False)
         done = done.unionByName(bn)
     return out
+
+
+@dataclass
+class Lateral(Node):
+    """SPARQL 1.2 LATERAL (SEP-0006, adopted into the 1.2 draft — the
+    per-binding correlated group: evaluate the right pattern once per
+    LEFT solution with its bindings visible inside). The case plain
+    joins cannot express is a correlated sub-SELECT with LIMIT —
+    "top-n per outer binding" — and that is exactly what this node
+    distributes:
+
+    - right WITHOUT a top-level Slice: LATERAL ≡ Join (the spec's own
+      equivalence for modifier-free patterns; the correlated vars are
+      the join keys, so Catalyst plans the ordinary hash join).
+    - right = Slice(...) (a sub-SELECT with LIMIT/OFFSET): the global
+      slice becomes a WINDOW row_number PARTITIONED BY the correlated
+      vars (outer ∩ inner scope), ordered by the sub-SELECT's ORDER BY
+      keys — per-group top-n, ONE shuffle on the correlation key, never
+      a per-solution re-execution (the driver-loop shape a naive
+      LATERAL evaluator degrades to). Inner solutions depend only on
+      the correlated vars, so equal outer bindings sharing one group is
+      semantics, not an approximation.
+
+    Pinned: LIMIT without ORDER BY inside LATERAL is nondeterministic
+    per spec — here it orders by the SPARQL sort keys of all projected
+    vars ascending (deterministic, documented); DISTINCT dedups the
+    widened projection (correlated vars are constant within a group, so
+    per-group results are identical to the spec's)."""
+
+    left: Node
+    right: Node
+
+    def compile(self, ctx: Ctx) -> CompileOut:
+        lout = self.left.compile(ctx)
+        if not isinstance(self.right, Slice):
+            return _merge_join(lout, self.right.compile(ctx), "inner")
+        lvars = lout[1] | lout[2]
+        rout = self._rebuild(self.right, ctx, lvars)
+        return _merge_join(lout, rout, "inner")
+
+    # -- correlated-slice rebuild -------------------------------------------
+    def _rebuild(self, n: Node, ctx: Ctx, lvars: frozenset) -> CompileOut:
+        df, c, m, keys = self._below(n.child, ctx, lvars)
+        shared = sorted((c | m) & lvars)
+        if not keys:
+            # pinned fallback: deterministic order over the visible vars
+            keys = []
+            for i, v in enumerate(sorted(c | m)):
+                kn = f"__latk{i}"
+                df = df.withColumn(kn, sort_key(F.col(v)))
+                keys.append((kn, True))
+        part = [F.col(v) for v in shared] or [F.lit(1)]
+        order = [
+            (F.col(kn).asc_nulls_first() if asc else F.col(kn).desc_nulls_last())
+            for kn, asc in keys
+        ]
+        from pyspark.sql.window import Window as _W
+
+        w = _W.partitionBy(*part).orderBy(*order)
+        df = df.withColumn("__lat_rn", F.row_number().over(w))
+        cond = F.col("__lat_rn") > n.offset
+        if n.limit is not None:
+            cond = cond & (F.col("__lat_rn") <= n.offset + n.limit)
+        df = df.filter(cond).drop("__lat_rn", *[kn for kn, _ in keys])
+        return df, c, m
+
+    def _below(self, n: Node, ctx: Ctx, lvars: frozenset):
+        """Compile the chain under the Slice, deferring sorts: OrderBy
+        materializes its keys as __latk columns (a later OrderBy —
+        parse_select's post-DISTINCT re-sort — supersedes them);
+        Project widens with the correlated vars and live key columns;
+        Distinct drops key columns first (they are recomputed by the
+        superseding OrderBy in the only chain shape that has one)."""
+        if isinstance(n, OrderBy):
+            df, c, m, old = self._below(n.child, ctx, lvars)
+            df = df.drop(*[kn for kn, _ in old])
+            vm = _varmap(c | m)
+            keys = []
+            for i, cond in enumerate(n.conds):
+                asc = True
+                if isinstance(cond, tuple):
+                    cond, asc = cond
+                col = vm[cond] if isinstance(cond, str) else cond(vm)
+                kn = f"__latk{i}"
+                df = df.withColumn(kn, sort_key(col))
+                keys.append((kn, asc))
+            return df, c, m, keys
+        if isinstance(n, Distinct):
+            df, c, m, keys = self._below(n.child, ctx, lvars)
+            return df.drop(*[kn for kn, _ in keys]).dropDuplicates(), c, m, []
+        if isinstance(n, Project):
+            df, c, m, keys = self._below(n.child, ctx, lvars)
+            have = c | m
+            keep = list(dict.fromkeys(list(n.vars) + sorted(have & lvars)))
+            cols = []
+            for v in keep:
+                if v in have:
+                    cols.append(F.col(v))
+                else:
+                    cols.append(
+                        F.lit(None)
+                        .cast("struct<kind:tinyint,lex:string,dtype:string,lang:string>")
+                        .alias(v)
+                    )
+            cols += [F.col(kn) for kn, _ in keys]
+            return df.select(*cols), c & set(keep), (frozenset(n.vars) - c) | (m & set(keep)), keys
+        out = n.compile(ctx)
+        return out[0], out[1], out[2], []

@@ -61,7 +61,7 @@ _KEYWORDS = {
     "base", "prefix", "from", "named", "optional", "union", "minus", "graph",
     "filter", "bind", "values", "service", "group", "by", "having", "order",
     "asc", "desc", "limit", "offset", "as", "in", "not", "exists", "undef",
-    "true", "false", "a", "separator",
+    "true", "false", "a", "separator", "lateral",
 }
 
 _AGG_KEYWORDS = {"count", "sum", "avg", "min", "max", "sample", "group_concat"}
@@ -655,6 +655,15 @@ class Parser:
                     base = A.ExistsMark(base, sub_p, mk)
                     group_marks.append(mk)
                 acc = A.Extend(base, v, e)
+            elif self.at_kw("lateral"):
+                # SPARQL 1.2 LATERAL (SEP-0006): correlated group — the
+                # right side sees the left solution's bindings; a
+                # correlated sub-SELECT LIMIT becomes per-binding top-n
+                # (algebra.Lateral: window over the correlation key)
+                self.next()
+                right = self.parse_group_graph_pattern()
+                left = acc if acc is not None else A.BGP([])
+                acc = A.Lateral(left, right)
             elif self.at_kw("values"):
                 self.next()
                 join_acc(self.parse_values())
@@ -822,7 +831,7 @@ class Parser:
                     break
                 if t.kind == "KW" and t.text.lower() in (
                     "optional", "minus", "graph", "filter", "bind", "values", "service", "group",
-                    "order", "limit", "offset", "having",
+                    "order", "limit", "offset", "having", "lateral",
                 ):
                     break
                 if t.kind == "OP" and t.text == "{":

@@ -11677,3 +11677,35 @@ SELECT {s}, 'urn:dm:nation#ref-n_regionkey', 0,
 SQL_DIRECT_MAP = _sql_direct_map()
 
 QUERIES["direct_map"] = (q_direct_map, SQL_DIRECT_MAP)
+
+
+def q_sparql_text_lateral(spark, sf):
+    """SPARQL 1.2 LATERAL: per-nation top-2 customers by name — the
+    correlated sub-SELECT LIMIT that plain joins cannot express;
+    compiles to ONE window over the correlation key (algebra.Lateral),
+    never a per-binding re-execution."""
+    return _sparql(
+        spark, sf,
+        """SELECT ?nat ?cname WHERE {
+             ?nat a c:Nation .
+             LATERAL {
+               SELECT ?cname WHERE {
+                 ?cu p:inNation ?nat ; p:name ?cname .
+               } ORDER BY ?cname LIMIT 2
+             }
+           }""",
+        "nat", "cname",
+    )
+
+
+SQL_SPARQL_TEXT_LATERAL = """
+SELECT 'urn:n:' || n_nationkey AS nat, c_name AS cname
+FROM nation JOIN (
+  SELECT c_nationkey, c_name,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_name) AS rn
+  FROM customer
+) c ON c.c_nationkey = n_nationkey
+WHERE rn <= 2
+"""
+
+QUERIES["sparql_text_lateral"] = (q_sparql_text_lateral, SQL_SPARQL_TEXT_LATERAL)

@@ -1439,6 +1439,16 @@ def main() -> None:
             ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
             ("no cartesian product", r"CartesianProduct", "absent"),
         ]),
+        ("sparql_text_lateral", [
+            # correlated sub-SELECT LIMIT = ONE window over the
+            # correlation key + a hash join back — never a per-binding
+            # re-execution, never a nested loop
+            ("per-binding top-n via Window", r"\(\d+\) Window"),
+            ("correlation join is hash", r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("pred filters pushed to store scan", r"PushedFilters: \[.*EqualTo\(pred"),
+        ]),
         ("direct_map", [
             # schema-driven constant-width melt: one Generate, zero
             # joins, zero shuffles — each table maps in one scan

@@ -516,3 +516,77 @@ def test_now_constant_within_query_uuid_unique_per_solution(spark):
     assert len(set(us)) == 6, "STRUUID() must be fresh per solution"
     import re
     assert all(re.fullmatch(r"[0-9a-f-]{36}", u) for u in us)
+
+
+# --------------------------------------------------------------------------
+# SPARQL 1.2 LATERAL (SEP-0006)
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def lat_ctx(spark):
+    t = []
+    for g, members in (("g1", ["ann", "bob", "cat"]), ("g2", ["dan", "eve"])):
+        for m in members:
+            t.append((Iri(EX + m), Iri(EX + "inGroup"), Iri(EX + g)))
+            t.append((Iri(EX + m), Iri(EX + "name"), Literal(m.title())))
+    rows_ = [triple_row(s, p, o, graph="urn:g:main") for s, p, o in t]
+    df = spark.createDataFrame(rows_, schema=TRIPLES_SCHEMA)
+    return Ctx(df)
+
+
+def test_lateral_top1_per_binding(lat_ctx):
+    df = execute(PFX + """SELECT ?g ?n WHERE {
+        ?m0 ex:inGroup ?g .
+        LATERAL {
+          SELECT ?n WHERE { ?m ex:inGroup ?g ; ex:name ?n . }
+          ORDER BY ?n LIMIT 1
+        }
+    }""", lat_ctx)
+    # every member row of a group pairs with that group's FIRST name
+    assert rows(df, "g", "n") == [
+        (EX + "g1", "Ann")] * 3 + [(EX + "g2", "Dan")] * 2
+
+
+def test_lateral_desc_limit2_distinct_outer(lat_ctx):
+    df = execute(PFX + """SELECT DISTINCT ?g ?n WHERE {
+        ?m0 ex:inGroup ?g .
+        LATERAL {
+          SELECT ?n WHERE { ?m ex:inGroup ?g ; ex:name ?n . }
+          ORDER BY DESC(?n) LIMIT 2
+        }
+    }""", lat_ctx)
+    assert rows(df, "g", "n") == [
+        (EX + "g1", "Bob"), (EX + "g1", "Cat"),
+        (EX + "g2", "Dan"), (EX + "g2", "Eve"),
+    ]
+
+
+def test_lateral_offset(lat_ctx):
+    df = execute(PFX + """SELECT DISTINCT ?g ?n WHERE {
+        ?m0 ex:inGroup ?g .
+        LATERAL {
+          SELECT ?n WHERE { ?m ex:inGroup ?g ; ex:name ?n . }
+          ORDER BY ?n OFFSET 1 LIMIT 1
+        }
+    }""", lat_ctx)
+    assert rows(df, "g", "n") == [(EX + "g1", "Bob"), (EX + "g2", "Eve")]
+
+
+def test_lateral_plain_group_is_join(lat_ctx):
+    df = execute(PFX + """SELECT ?m ?n WHERE {
+        ?m ex:inGroup ?g .
+        LATERAL { ?m ex:name ?n . }
+    }""", lat_ctx)
+    assert rows(df, "n") == [("Ann",), ("Bob",), ("Cat",), ("Dan",), ("Eve",)]
+
+
+def test_lateral_limit_without_order_is_deterministic(lat_ctx, spark):
+    q = PFX + """SELECT DISTINCT ?g ?n WHERE {
+        ?m0 ex:inGroup ?g .
+        LATERAL { SELECT ?n WHERE { ?m ex:inGroup ?g ; ex:name ?n . } LIMIT 2 }
+    }"""
+    a = rows(execute(q, lat_ctx), "g", "n")
+    b = rows(execute(q, lat_ctx), "g", "n")
+    assert a == b
+    assert len([r for r in a if r[0] == EX + "g1"]) == 2
+    assert len([r for r in a if r[0] == EX + "g2"]) == 2
