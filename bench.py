@@ -306,6 +306,7 @@ def main() -> None:
         "rrf",
         "direct_map",
         "sparql_text_lateral",
+        "shacl_closed",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

@@ -252,3 +252,57 @@ def infer_shapes(quads: DataFrame, min_instances: int = 1) -> DataFrame:
             (F.col("n_with") < F.col("n_instances")).cast("int").alias("opt"),
         )
     )
+
+
+def validate_closed(
+    triples: DataFrame,
+    shapes: DataFrame,
+    ignored: tuple = (RDF_TYPE,),
+) -> DataFrame:
+    """sh:closed (W3C SHACL §4.8.1): a closed shape's focus nodes may
+    carry ONLY the predicates its property shapes declare (plus
+    `ignored` — sh:ignoredProperties; rdf:type by default, since
+    targeting itself uses it). Every shape in the `shapes` frame passed
+    here is treated as closed; open shapes simply aren't passed.
+
+    → the same report table as `validate`: one (focus, shape_id,
+    'closed', 'unexpected <pred>') row per distinct offending
+    (focus, pred). Typical use unions this onto `validate`'s report —
+    the suite query does exactly that, so the full core + closed report
+    stays one DataFrame.
+
+    Scale shape: focus targeting is the audited rdf:type semi-join with
+    the shape table broadcast; the allowed-path check is a broadcast
+    hash ANTI join of the focus nodes' outgoing arcs against the
+    (shape, path) list — shapes are ontology-sized, so the data graph
+    pays one scan + one broadcast anti join, never a shuffle keyed on
+    anything but its own subjects."""
+    b_shapes = F.broadcast(shapes.select("shape_id", "target_class").distinct())
+    allowed = F.broadcast(
+        shapes.select("shape_id", "path").distinct()
+    )
+    focus = (
+        triples.filter(F.col("pred") == RDF_TYPE)
+        .select(
+            F.col("s_kind").alias("f_kind"),
+            F.col("s_lex").alias("focus"),
+            F.col("o_lex").alias("target_class"),
+        )
+        .join(b_shapes, "target_class")
+        .select("f_kind", "focus", "shape_id")
+        .distinct()
+    )
+    arcs = triples.filter(~F.col("pred").isin(*ignored)).select(
+        F.col("s_kind").alias("f_kind"), F.col("s_lex").alias("focus"),
+        F.col("pred").alias("path"),
+    )
+    offending = (
+        focus.join(arcs, ["f_kind", "focus"])
+        .join(allowed, ["shape_id", "path"], "left_anti")
+        .select(
+            "focus", "shape_id", F.lit("closed").alias("constraint"),
+            F.concat(F.lit("unexpected "), F.col("path")).alias("detail"),
+        )
+        .distinct()
+    )
+    return offending

@@ -11709,3 +11709,31 @@ WHERE rn <= 2
 """
 
 QUERIES["sparql_text_lateral"] = (q_sparql_text_lateral, SQL_SPARQL_TEXT_LATERAL)
+
+
+def q_shacl_closed(spark, sf):
+    """sh:closed validation: a closed Customer shape allowing only name +
+    inNation (acctbal/segment arcs violate), a closed Nation shape that
+    conforms — SHACL §4.8.1 over the TPC-H KG, broadcast anti join."""
+    from .operators.shacl import SHAPES_SCHEMA, validate_closed
+
+    shapes = spark.createDataFrame(
+        [
+            ("cs1", "urn:c:Customer", "urn:p:name", None, None, None, None, None),
+            ("cs1", "urn:c:Customer", "urn:p:inNation", None, None, None, None, None),
+            ("cs2", "urn:c:Nation", "urn:p:name", None, None, None, None, None),
+            ("cs2", "urn:c:Nation", "urn:p:inRegion", None, None, None, None, None),
+        ],
+        schema=SHAPES_SCHEMA,
+    )
+    return validate_closed(triples_view(spark, sf), shapes)
+
+
+SQL_SHACL_CLOSED = """
+SELECT 'urn:cu:' || c_custkey AS focus, 'cs1' AS shape_id,
+       'closed' AS constraint, 'unexpected urn:p:acctbal' AS detail FROM customer
+UNION ALL
+SELECT 'urn:cu:' || c_custkey, 'cs1', 'closed', 'unexpected urn:p:segment' FROM customer
+"""
+
+QUERIES["shacl_closed"] = (q_shacl_closed, SQL_SHACL_CLOSED)

@@ -1449,6 +1449,14 @@ def main() -> None:
             ("no cartesian product", r"CartesianProduct", "absent"),
             ("pred filters pushed to store scan", r"PushedFilters: \[.*EqualTo\(pred"),
         ]),
+        ("shacl_closed", [
+            # shapes broadcast both for targeting and the allowed-path
+            # ANTI join; the data graph never shuffles on a foreign key
+            ("shape sides broadcast", r"BroadcastHashJoin|BroadcastExchange"),
+            ("allowed-path check is anti join", r"(LeftAnti|ANTI)"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+        ]),
         ("direct_map", [
             # schema-driven constant-width melt: one Generate, zero
             # joins, zero shuffles — each table maps in one scan

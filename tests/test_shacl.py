@@ -135,3 +135,32 @@ def test_validate_sparql_conforming_graph_is_empty(spark):
         )],
     )
     assert out.count() == 0
+
+
+def test_closed_shape(spark):
+    from pyspark.sql import functions as F
+
+    from ocaml_rdf_spark.operators.shacl import SHAPES_SCHEMA, validate_closed
+
+    RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    quads = spark.createDataFrame(
+        [
+            (0, "urn:a", RDF_TYPE, 0, "urn:C", None),
+            (0, "urn:a", "urn:p:ok", 2, "x", None),
+            (0, "urn:a", "urn:p:extra", 2, "y", None),   # violates
+            (0, "urn:a", "urn:p:extra", 2, "z", None),   # same pred: ONE distinct row
+            (0, "urn:b", RDF_TYPE, 0, "urn:C", None),
+            (0, "urn:b", "urn:p:ok", 2, "w", None),      # conforms
+            (0, "urn:c", "urn:p:extra", 2, "v", None),   # untargeted: ignored
+        ],
+        "s_kind tinyint, s_lex string, pred string, o_kind tinyint, o_lex string, o_dtype string",
+    )
+    shapes = spark.createDataFrame(
+        [("s", "urn:C", "urn:p:ok", None, None, None, None, None)], schema=SHAPES_SCHEMA
+    )
+    got = [(r.focus, r.shape_id, r.constraint, r.detail)
+           for r in validate_closed(quads, shapes).collect()]
+    assert got == [("urn:a", "s", "closed", "unexpected urn:p:extra")]
+    # sh:ignoredProperties: allow the extra pred explicitly
+    got2 = validate_closed(quads, shapes, ignored=(RDF_TYPE, "urn:p:extra")).collect()
+    assert got2 == []
