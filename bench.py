@@ -307,6 +307,8 @@ def main() -> None:
         "direct_map",
         "sparql_text_lateral",
         "shacl_closed",
+        "r2rml_map",
+        "skos_audit",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

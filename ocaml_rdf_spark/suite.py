@@ -11737,3 +11737,166 @@ SELECT 'urn:cu:' || c_custkey, 'cs1', 'closed', 'unexpected urn:p:segment' FROM 
 """
 
 QUERIES["shacl_closed"] = (q_shacl_closed, SQL_SHACL_CLOSED)
+
+
+def q_r2rml_map(spark, sf):
+    """R2RML-lite (W3C R2RML Recommendation): author-controlled
+    relational->RDF — nation under a name-keyed IRI template (IRI-safe
+    %20 escaping visible in 'UNITED STATES'), customer with a template
+    literal label, a language-tagged segment and a referencing object
+    map whose parent subject is built FROM THE JOINED nation row
+    (c_nationkey = n_nationkey). One equi-join for the ref arm, melt
+    everywhere else."""
+    from .operators.directmap import ObjectMap, TriplesMap, r2rml_map
+
+    tables = {
+        "nation": spark.read.parquet(f"{sf}/nation.parquet"),
+        "customer": spark.read.parquet(f"{sf}/customer.parquet"),
+    }
+    nation_map = TriplesMap(
+        name="NationMap",
+        table="nation",
+        subject_template="urn:v:nation/{n_name}",
+        subject_class="urn:v:Nation",
+        object_maps=(ObjectMap(pred="urn:v:name", column="n_name", language="en"),),
+    )
+    cust_map = TriplesMap(
+        name="CustMap",
+        table="customer",
+        subject_template="urn:v:cust/{c_custkey}",
+        subject_class="urn:v:Customer",
+        object_maps=(
+            ObjectMap(pred="urn:v:label", template="{c_name} ({c_mktsegment})",
+                      term_type="literal"),
+            ObjectMap(pred="urn:v:src", constant="urn:v:tpch"),
+            ObjectMap(pred="urn:v:nation",
+                      parent=("NationMap", [("c_nationkey", "n_nationkey")])),
+        ),
+    )
+    return r2rml_map(tables, [nation_map, cust_map])
+
+
+def _sql_r2rml_map() -> str:
+    from .operators.directmap import enc_sql
+    from .types import RDF_TYPE
+
+    nsub = f"'urn:v:nation/' || {enc_sql('n_name')}"
+    csub = "'urn:v:cust/' || CAST(c_custkey AS VARCHAR)"
+    return f"""
+SELECT {nsub} AS s_lex, '{RDF_TYPE}' AS pred, 0 AS o_kind,
+       'urn:v:Nation' AS o_lex, CAST(NULL AS VARCHAR) AS o_dtype,
+       CAST(NULL AS VARCHAR) AS o_lang FROM nation
+UNION ALL
+SELECT {nsub}, 'urn:v:name', 2, n_name, NULL, 'en' FROM nation
+  WHERE n_name IS NOT NULL
+UNION ALL
+SELECT {csub}, '{RDF_TYPE}', 0, 'urn:v:Customer', NULL, NULL FROM customer
+UNION ALL
+SELECT {csub}, 'urn:v:label', 2, c_name || ' (' || c_mktsegment || ')',
+       'http://www.w3.org/2001/XMLSchema#string', NULL FROM customer
+  WHERE c_name IS NOT NULL AND c_mktsegment IS NOT NULL
+UNION ALL
+SELECT {csub}, 'urn:v:src', 0, 'urn:v:tpch', NULL, NULL FROM customer
+UNION ALL
+SELECT {csub}, 'urn:v:nation', 0, {nsub}, NULL, NULL
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
+SQL_R2RML_MAP = _sql_r2rml_map()
+
+QUERIES["r2rml_map"] = (q_r2rml_map, SQL_R2RML_MAP)
+
+
+def q_skos_audit(spark, sf):
+    """SKOS taxonomy audit over a scheme derived from the TPC-H KG:
+    regions are top concepts, nations sit under their region, and five
+    anomalies are planted — a broader 2-cycle (n1<->n2), duplicate
+    English prefLabels (nations 0-2), S13 pref/alt label clashes
+    (nationkey%5==4), a top concept that still has a broader (n0), and
+    orphan segment concepts with no relations. Cycle check is the
+    shared transitive-closure fixpoint; everything else is one agg or
+    anti/semi join (taxonomies are catalog-sized at every corpus SF)."""
+    from .operators.skos import SKOS, skos_audit
+    from .types import RDF_TYPE
+
+    na = spark.read.parquet(f"{sf}/nation.parquet")
+    re_ = spark.read.parquet(f"{sf}/region.parquet")
+    cu = spark.read.parquet(f"{sf}/customer.parquet")
+    g = F.lit("urn:g:skos")
+    n_iri = F.concat(F.lit("urn:k:n"), F.col("n_nationkey").cast("string"))
+    r_iri = F.concat(F.lit("urn:k:r"), F.col("r_regionkey").cast("string"))
+
+    def quad(s, pred, o_kind, o_lex, o_lang=None):
+        return [
+            F.lit(0).cast("tinyint").alias("s_kind"), s.alias("s_lex"),
+            F.lit(pred).alias("pred"),
+            F.lit(o_kind).cast("tinyint").alias("o_kind"), o_lex.alias("o_lex"),
+            F.lit(None).cast("string").alias("o_dtype"),
+            (F.lit(o_lang) if o_lang else F.lit(None)).cast("string").alias("o_lang"),
+            g.alias("graph"),
+        ]
+
+    parts = [
+        re_.select(*quad(r_iri, RDF_TYPE, 0, F.lit(SKOS + "Concept"))),
+        re_.select(*quad(r_iri, SKOS + "topConceptOf", 0, F.lit("urn:k:scheme"))),
+        re_.select(*quad(r_iri, SKOS + "prefLabel", 2, F.col("r_name"), "en")),
+        na.select(*quad(n_iri, RDF_TYPE, 0, F.lit(SKOS + "Concept"))),
+        na.select(*quad(n_iri, SKOS + "broader", 0,
+                        F.concat(F.lit("urn:k:r"), F.col("n_regionkey").cast("string")))),
+        na.select(*quad(n_iri, SKOS + "prefLabel", 2, F.col("n_name"), "en")),
+        # planted: broader 2-cycle between n1 and n2
+        na.filter(F.col("n_nationkey") == 1).select(
+            *quad(n_iri, SKOS + "broader", 0, F.lit("urn:k:n2"))),
+        na.filter(F.col("n_nationkey") == 2).select(
+            *quad(n_iri, SKOS + "broader", 0, F.lit("urn:k:n1"))),
+        # planted: second en prefLabel for nations 0-2
+        na.filter(F.col("n_nationkey") < 3).select(
+            *quad(n_iri, SKOS + "prefLabel", 2,
+                  F.concat(F.col("n_name"), F.lit(" (alt)")), "en")),
+        # planted: S13 clash for nationkey%5==4
+        na.filter(F.col("n_nationkey") % 5 == 4).select(
+            *quad(n_iri, SKOS + "altLabel", 2, F.col("n_name"), "en")),
+        # planted: n0 claims top-concept status while having a broader
+        na.filter(F.col("n_nationkey") == 0).select(
+            *quad(n_iri, SKOS + "topConceptOf", 0, F.lit("urn:k:scheme"))),
+        # planted: orphan concept per market segment
+        cu.select(F.col("c_mktsegment").alias("seg")).distinct().select(
+            *quad(F.concat(F.lit("urn:k:seg-"), F.col("seg")), RDF_TYPE, 0,
+                  F.lit(SKOS + "Concept"))),
+    ]
+    quads = parts[0]
+    for p in parts[1:]:
+        quads = quads.unionByName(p)
+    return skos_audit(quads)
+
+
+SQL_SKOS_AUDIT = """
+WITH RECURSIVE edges AS (
+  SELECT 'urn:k:n' || n_nationkey AS src, 'urn:k:r' || n_regionkey AS dst FROM nation
+  UNION ALL SELECT 'urn:k:n1', 'urn:k:n2'
+  UNION ALL SELECT 'urn:k:n2', 'urn:k:n1'
+),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT DISTINCT src AS concept, 'broader_cycle' AS issue,
+       'skos:broader reaches itself' AS detail
+  FROM reach WHERE src = dst
+UNION ALL
+SELECT 'urn:k:n' || n_nationkey, 'multiple_pref_label', '2 prefLabels@en'
+  FROM nation WHERE n_nationkey < 3
+UNION ALL
+SELECT 'urn:k:n' || n_nationkey, 'label_clash',
+       'pref=alt ''' || n_name || '''@en'
+  FROM nation WHERE n_nationkey % 5 = 4
+UNION ALL
+SELECT 'urn:k:n0', 'top_with_broader', 'top concept has skos:broader'
+UNION ALL
+SELECT DISTINCT 'urn:k:seg-' || c_mktsegment, 'orphan', 'no semantic relations'
+  FROM customer
+"""
+
+QUERIES["skos_audit"] = (q_skos_audit, SQL_SKOS_AUDIT)

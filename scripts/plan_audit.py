@@ -1465,6 +1465,26 @@ def main() -> None:
             ("no join at all", r"Join", "absent"),
             ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
         ]),
+        ("r2rml_map", [
+            # non-ref arms are the same constant-width melt as direct_map;
+            # the ONE join is the referencing object map, hash on the join
+            # condition with the dimension-sized parent broadcast
+            ("melt via Generate", r"Generate"),
+            ("ref-object-map join is hash", r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
+        ("skos_audit", [
+            # taxonomy-sized inputs: label aggs + hash anti/semi joins;
+            # the cycle check is the shared closure fixpoint (checkpointed
+            # scans), never a nested loop
+            ("label agg present", r"HashAggregate|SortAggregate"),
+            ("orphan check is anti join", r"(LeftAnti|ANTI)"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
         ("dsir", [
             # model fitting = two B-row aggs; the only BNLJ are the two
             # 1-row total broadcasts; scoring joins the B-row ratio table
@@ -1475,6 +1495,16 @@ def main() -> None:
             ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
         ]),
     ]
+
+    # optional argv name filter: `python scripts/plan_audit.py q1 q2` audits
+    # only those queries and SKIPS the PLANS.md rewrite (fast iteration);
+    # no args = full audit + regenerate PLANS.md
+    only = set(sys.argv[1:])
+    if only:
+        unknown = only - {n for n, _c in audits}
+        if unknown:
+            raise SystemExit(f"unknown audit name(s): {sorted(unknown)}")
+        audits = [(n, c) for n, c in audits if n in only]
 
     lines = ["# PLANS — physical-plan audit (scripts/plan_audit.py)", "",
              f"Scale factor dir: `{SF}`. Every check is a regex the formatted",
@@ -1505,10 +1535,13 @@ def main() -> None:
             lines.append("```")
         lines.append("")
 
-    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH", "PLANS.md")
-    with open(out, "w") as f:
-        f.write("\n".join(lines) + "\n")
-    print(f"wrote {out}; {failures} failed checks")
+    if not only:
+        out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH", "PLANS.md")
+        with open(out, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        print(f"wrote {out}; {failures} failed checks")
+    else:
+        print(f"{failures} failed checks (filtered run, PLANS.md untouched)")
     sys.exit(1 if failures else 0)
 
 
