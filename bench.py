@@ -309,6 +309,7 @@ def main() -> None:
         "shacl_closed",
         "r2rml_map",
         "skos_audit",
+        "shacl_pairs",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

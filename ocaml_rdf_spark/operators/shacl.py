@@ -306,3 +306,131 @@ def validate_closed(
         .distinct()
     )
     return offending
+
+
+#: pair-constraint shape table (one row per property-pair shape):
+#: shape_id, target_class, path, path2, op ('equals' | 'disjoint' |
+#: 'lessThan' | 'lessThanOrEquals')
+PAIR_SHAPES_SCHEMA = (
+    "shape_id string, target_class string, path string, path2 string, op string"
+)
+
+_NUMERIC_DT = [
+    "http://www.w3.org/2001/XMLSchema#integer",
+    "http://www.w3.org/2001/XMLSchema#decimal",
+    "http://www.w3.org/2001/XMLSchema#double",
+    "http://www.w3.org/2001/XMLSchema#float",
+    "http://www.w3.org/2001/XMLSchema#long",
+    "http://www.w3.org/2001/XMLSchema#int",
+]
+
+
+def validate_pairs(triples: DataFrame, shapes: DataFrame) -> DataFrame:
+    """Property-pair constraint components (W3C SHACL §4.4): sh:equals,
+    sh:disjoint, sh:lessThan, sh:lessThanOrEquals between the value sets
+    of two predicates on each focus node.
+
+    Pinned comparison semantics for the order ops (§4.4.3 delegates to
+    SPARQL '<'): when BOTH values are literals with numeric datatypes the
+    comparison is numeric (decimal(38,6) cast); otherwise it is lexical
+    string comparison — which is also the correct order for xsd:date /
+    xsd:dateTime canonical forms. Pair ops over mixed IRI/literal values
+    compare on the lexical form.
+
+    → the standard report table (focus, shape_id, constraint, detail).
+
+    Scale shape: targeting = the broadcast rdf:type semi-join; each op
+    joins the TWO value-row sets of one focus node on (focus, shape) —
+    per-focus value sets are property-cardinality-sized (single digits),
+    so the pair join is |focus|-bounded, hash-partitioned on the focus
+    key, never a corpus cross product. equals/disjoint join on full value
+    identity; the order ops join per focus and filter the comparison."""
+    b_shapes = F.broadcast(shapes)
+    focus = (
+        triples.filter(F.col("pred") == RDF_TYPE)
+        .select(
+            F.col("s_kind").alias("f_kind"), F.col("s_lex").alias("focus"),
+            F.col("o_lex").alias("target_class"),
+        )
+        .join(b_shapes, "target_class")
+        .select("f_kind", "focus", "shape_id", "path", "path2", "op")
+        .distinct()
+    )
+
+    def side(path_col: str, prefix: str) -> DataFrame:
+        return (
+            focus.join(
+                triples.select(
+                    F.col("s_kind").alias("f_kind"), F.col("s_lex").alias("focus"),
+                    F.col("pred").alias(path_col), F.col("o_kind").alias(f"{prefix}_kind"),
+                    F.col("o_lex").alias(f"{prefix}_lex"), F.col("o_dtype").alias(f"{prefix}_dtype"),
+                ),
+                ["f_kind", "focus", path_col],
+                "inner",
+            )
+        )
+
+    v1 = side("path", "a")
+    v2 = side("path2", "b")
+    key = ["f_kind", "focus", "shape_id", "op"]
+
+    # equals: report every value of path absent from path2's value set,
+    # and every value of path2 absent from path's (both directions, §4.4.1)
+    eq1 = (
+        v1.filter(F.col("op") == "equals")
+        .join(
+            v2.select(*key, F.col("b_kind").alias("a_kind"),
+                      F.col("b_lex").alias("a_lex"), F.col("b_dtype").alias("a_dtype")),
+            key + ["a_kind", "a_lex", "a_dtype"], "left_anti",
+        )
+        .select("focus", "shape_id", F.lit("equals").alias("constraint"),
+                F.concat(F.lit("value "), F.col("a_lex"), F.lit(" missing from "),
+                         F.col("path2")).alias("detail"))
+    )
+    eq2 = (
+        v2.filter(F.col("op") == "equals")
+        .join(
+            v1.select(*key, F.col("a_kind").alias("b_kind"),
+                      F.col("a_lex").alias("b_lex"), F.col("a_dtype").alias("b_dtype")),
+            key + ["b_kind", "b_lex", "b_dtype"], "left_anti",
+        )
+        .select("focus", "shape_id", F.lit("equals").alias("constraint"),
+                F.concat(F.lit("value "), F.col("b_lex"), F.lit(" missing from "),
+                         F.col("path")).alias("detail"))
+    )
+
+    # disjoint: violation per value present in BOTH sets
+    dis = (
+        v1.filter(F.col("op") == "disjoint")
+        .join(
+            v2.select(*key, F.col("b_kind").alias("a_kind"),
+                      F.col("b_lex").alias("a_lex"), F.col("b_dtype").alias("a_dtype")),
+            key + ["a_kind", "a_lex", "a_dtype"], "left_semi",
+        )
+        .select("focus", "shape_id", F.lit("disjoint").alias("constraint"),
+                F.concat(F.lit("shared value "), F.col("a_lex")).alias("detail"))
+    )
+
+    # lessThan / lessThanOrEquals: per-focus pair join, comparison filtered
+    pairs = (
+        v1.filter(F.col("op").isin("lessThan", "lessThanOrEquals"))
+        .join(v2.select(*key, "b_kind", "b_lex", "b_dtype"), key, "inner")
+    )
+    num = (
+        F.col("a_dtype").isin(_NUMERIC_DT) & F.col("b_dtype").isin(_NUMERIC_DT)
+        & (F.col("a_kind") == 2) & (F.col("b_kind") == 2)
+    )
+    a_num = F.col("a_lex").try_cast("decimal(38,6)")
+    b_num = F.col("b_lex").try_cast("decimal(38,6)")
+    lt = F.when(num, a_num < b_num).otherwise(F.col("a_lex") < F.col("b_lex"))
+    le = F.when(num, a_num <= b_num).otherwise(F.col("a_lex") <= F.col("b_lex"))
+    ok = F.when(F.col("op") == "lessThan", lt).otherwise(le)
+    order_viol = (
+        pairs.filter(~F.coalesce(ok, F.lit(False)))
+        .select("focus", "shape_id", F.col("op").alias("constraint"),
+                F.concat(F.lit("value "), F.col("a_lex"), F.lit(" !< "),
+                         F.col("b_lex")).alias("detail"))
+        .distinct()
+    )
+
+    return eq1.unionByName(eq2).unionByName(dis).unionByName(order_viol)

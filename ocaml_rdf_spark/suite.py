@@ -11900,3 +11900,75 @@ SELECT DISTINCT 'urn:k:seg-' || c_mktsegment, 'orphan', 'no semantic relations'
 """
 
 QUERIES["skos_audit"] = (q_skos_audit, SQL_SKOS_AUDIT)
+
+
+def q_shacl_pairs(spark, sf):
+    """SHACL §4.4 property-pair constraints over the TPC-H KG with
+    planted companion arcs: p:budget = price±1 (sh:lessThan violated
+    when orderkey%7==0), p:status2 = status or 'X' (sh:equals violated
+    both directions when orderkey%11==3), p:nick = name or name||'~'
+    (sh:disjoint violated when custkey%13==5). Pair joins are keyed on
+    the focus node; shapes broadcast."""
+    from .operators.shacl import PAIR_SHAPES_SCHEMA, validate_pairs
+    from .relational import P_PRICE, P_STATUS, XSD_INTEGER, XSD_STRING
+
+    od = spark.read.parquet(f"{sf}/orders.parquet")
+    cu = spark.read.parquet(f"{sf}/customer.parquet")
+
+    def arcs(df, s, pred, lex, dtype):
+        return df.select(
+            F.lit(0).cast("tinyint").alias("s_kind"), s.alias("s_lex"),
+            F.lit(pred).alias("pred"), F.lit(2).cast("tinyint").alias("o_kind"),
+            lex.alias("o_lex"), F.lit(dtype).alias("o_dtype"),
+            F.lit(None).cast("string").alias("o_lang"),
+            F.lit("urn:g:derived").alias("graph"),
+        )
+
+    o_iri = F.concat(F.lit("urn:o:"), F.col("o_orderkey").cast("string"))
+    c_iri = F.concat(F.lit("urn:cu:"), F.col("c_custkey").cast("string"))
+    budget = (
+        F.round(F.col("o_totalprice") * 100).cast("long")
+        + F.when(F.col("o_orderkey") % 7 == 0, F.lit(-1)).otherwise(F.lit(1))
+    ).cast("string")
+    status2 = F.when(F.col("o_orderkey") % 11 == 3, F.lit("X")).otherwise(F.col("o_orderstatus"))
+    nick = F.when(F.col("c_custkey") % 13 == 5, F.col("c_name")).otherwise(
+        F.concat(F.col("c_name"), F.lit("~")))
+    derived = (
+        arcs(od, o_iri, "urn:p:budget", budget, XSD_INTEGER)
+        .unionByName(arcs(od, o_iri, "urn:p:status2", status2, XSD_STRING))
+        .unionByName(arcs(cu, c_iri, "urn:p:nick", nick, XSD_STRING))
+    )
+    store = triples_view(spark, sf).unionByName(derived, allowMissingColumns=True)
+    shapes = spark.createDataFrame(
+        [
+            ("lt1", "urn:c:Order", P_PRICE, "urn:p:budget", "lessThan"),
+            ("eq1", "urn:c:Order", P_STATUS, "urn:p:status2", "equals"),
+            ("dis1", "urn:c:Customer", P_NAME, "urn:p:nick", "disjoint"),
+        ],
+        schema=PAIR_SHAPES_SCHEMA,
+    )
+    return validate_pairs(store, shapes)
+
+
+SQL_SHACL_PAIRS = """
+SELECT 'urn:o:' || o_orderkey AS focus, 'lt1' AS shape_id,
+       'lessThan' AS constraint,
+       'value ' || CAST(CAST(round(o_totalprice*100) AS BIGINT) AS VARCHAR)
+         || ' !< '
+         || CAST(CAST(round(o_totalprice*100) AS BIGINT) - 1 AS VARCHAR) AS detail
+  FROM orders WHERE o_orderkey % 7 = 0
+UNION ALL
+SELECT 'urn:o:' || o_orderkey, 'eq1', 'equals',
+       'value ' || o_orderstatus || ' missing from urn:p:status2'
+  FROM orders WHERE o_orderkey % 11 = 3 AND o_orderstatus <> 'X'
+UNION ALL
+SELECT 'urn:o:' || o_orderkey, 'eq1', 'equals',
+       'value X missing from urn:p:status'
+  FROM orders WHERE o_orderkey % 11 = 3 AND o_orderstatus <> 'X'
+UNION ALL
+SELECT 'urn:cu:' || c_custkey, 'dis1', 'disjoint',
+       'shared value ' || c_name
+  FROM customer WHERE c_custkey % 13 = 5
+"""
+
+QUERIES["shacl_pairs"] = (q_shacl_pairs, SQL_SHACL_PAIRS)

@@ -1485,6 +1485,16 @@ def main() -> None:
             ("no cartesian product", r"CartesianProduct", "absent"),
             ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
         ]),
+        ("shacl_pairs", [
+            # pair joins keyed on the focus node (per-focus value sets are
+            # cardinality-sized); shape table broadcast; order comparison
+            # is a filter on the pair join, never a nested loop
+            ("shape targeting broadcast", r"BroadcastHashJoin|BroadcastExchange"),
+            ("equals/disjoint are anti/semi joins", r"(LeftAnti|LeftSemi|ANTI|SEMI)"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
         ("dsir", [
             # model fitting = two B-row aggs; the only BNLJ are the two
             # 1-row total broadcasts; scoring joins the B-row ratio table

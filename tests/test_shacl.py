@@ -164,3 +164,63 @@ def test_closed_shape(spark):
     # sh:ignoredProperties: allow the extra pred explicitly
     got2 = validate_closed(quads, shapes, ignored=(RDF_TYPE, "urn:p:extra")).collect()
     assert got2 == []
+
+
+# --- property-pair constraints (SHACL §4.4, validate_pairs) ---------------
+
+PAIR_COLS = "s_kind tinyint, s_lex string, pred string, o_kind tinyint, o_lex string, o_dtype string"
+XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+XSD_STR = "http://www.w3.org/2001/XMLSchema#string"
+
+
+def _pair_report(spark, rows, shapes_rows):
+    from ocaml_rdf_spark.operators.shacl import PAIR_SHAPES_SCHEMA, validate_pairs
+    from ocaml_rdf_spark.types import RDF_TYPE
+
+    typed = [(0, s, RDF_TYPE, 0, "urn:c:T", None) for s in {r[1] for r in rows}]
+    df = spark.createDataFrame(rows + typed, PAIR_COLS)
+    shapes = spark.createDataFrame(shapes_rows, PAIR_SHAPES_SCHEMA)
+    return {(r.focus, r.constraint, r.detail) for r in validate_pairs(df, shapes).collect()}
+
+
+def test_pair_equals_and_disjoint(spark):
+    rows = [
+        (0, "urn:f:1", "urn:p:a", 2, "x", XSD_STR),
+        (0, "urn:f:1", "urn:p:b", 2, "x", XSD_STR),          # equal sets: conforms
+        (0, "urn:f:2", "urn:p:a", 2, "x", XSD_STR),
+        (0, "urn:f:2", "urn:p:b", 2, "y", XSD_STR),          # both directions violate
+        (0, "urn:f:3", "urn:p:c", 2, "z", XSD_STR),
+        (0, "urn:f:3", "urn:p:d", 2, "z", XSD_STR),          # disjoint violated
+        (0, "urn:f:4", "urn:p:c", 2, "z", XSD_STR),
+        (0, "urn:f:4", "urn:p:d", 2, "w", XSD_STR),          # disjoint conforms
+    ]
+    got = _pair_report(spark, rows, [
+        ("pe", "urn:c:T", "urn:p:a", "urn:p:b", "equals"),
+        ("pd", "urn:c:T", "urn:p:c", "urn:p:d", "disjoint"),
+    ])
+    assert ("urn:f:2", "equals", "value x missing from urn:p:b") in got
+    assert ("urn:f:2", "equals", "value y missing from urn:p:a") in got
+    assert not any(f == "urn:f:1" for (f, _c, _d) in got)
+    assert ("urn:f:3", "disjoint", "shared value z") in got
+    assert not any(f == "urn:f:4" for (f, _c, _d) in got)
+
+
+def test_pair_less_than_numeric_vs_lexical(spark):
+    rows = [
+        # numeric: 9 < 10 holds numerically, fails lexically — numeric wins
+        (0, "urn:f:n", "urn:p:lo", 2, "9", XSD_INT),
+        (0, "urn:f:n", "urn:p:hi", 2, "10", XSD_INT),
+        # violation: 7 !< 7 for lessThan, but OK for lessThanOrEquals
+        (0, "urn:f:e", "urn:p:lo", 2, "7", XSD_INT),
+        (0, "urn:f:e", "urn:p:hi", 2, "7", XSD_INT),
+        # strings compare lexically
+        (0, "urn:f:s", "urn:p:lo", 2, "b", XSD_STR),
+        (0, "urn:f:s", "urn:p:hi", 2, "a", XSD_STR),
+    ]
+    lt = _pair_report(spark, rows, [("plt", "urn:c:T", "urn:p:lo", "urn:p:hi", "lessThan")])
+    assert ("urn:f:e", "lessThan", "value 7 !< 7") in lt
+    assert ("urn:f:s", "lessThan", "value b !< a") in lt
+    assert not any(f == "urn:f:n" for (f, _c, _d) in lt)
+    le = _pair_report(spark, rows, [("ple", "urn:c:T", "urn:p:lo", "urn:p:hi", "lessThanOrEquals")])
+    assert not any(f == "urn:f:e" for (f, _c, _d) in le)
+    assert ("urn:f:s", "lessThanOrEquals", "value b !< a") in le
