@@ -310,6 +310,7 @@ def main() -> None:
         "r2rml_map",
         "skos_audit",
         "shacl_pairs",
+        "simrank",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

@@ -1968,3 +1968,68 @@ def luby_mis(edges: DataFrame, max_rounds: int = 8) -> DataFrame:
         ).distinct()
         active = active.join(dropped, "node", "left_anti")
     return out
+
+
+def simrank(
+    edges: DataFrame,
+    iters: int = 2,
+    c_pct: int = 80,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """SimRank (Jeh & Widom, KDD 2002) truncated to `iters` rounds:
+    two nodes are similar when their IN-neighbors are similar —
+    s(a,a)=1, s(a,b) = C/(|I(a)||I(b)|) · Σ_{i∈I(a), j∈I(b)} s(i,j).
+    The structural-context similarity used to suggest same-as candidates
+    among entities that share citation/containment contexts even when
+    their labels share nothing.
+
+    Integer-exact (the katz/pagerank precedent): scores are BIGINT
+    multiples of 1/`scale`, and each round computes
+    s'(a,b) = (c_pct · Σ s(i,j)) // (100 · |I(a)| · |I(b)|) — ONE
+    pinned floor division, bit-comparable to the unrolled DuckDB CTE
+    mirror and invariant under partitioning.
+
+    State is SPARSE: only nonzero pairs are materialized (s₀ = the
+    diagonal), so round k holds pairs of nodes whose in-neighborhoods
+    overlap within k hops — locality-bounded graphs keep |state| ≈ O(n),
+    never the dense n² matrix. All-pairs SimRank is inherently
+    quadratic in the worst case: the operator's documented tier is
+    catalog-sized graphs (ontology classes, predicates, hosts — the
+    scc_cycles/bisim_summary tier), not corpus entities.
+
+    Per round: state ⋈ edges (i→a) ⋈ edges (j→b) with both probe sides
+    node-keyed, then ONE map-side-combined (a,b) sum; in-degrees are a
+    one-off node-keyed aggregate joined in by key. Returns off-diagonal
+    (a, b, sim) with a < b and sim > 0 (symmetric closure implied).
+    """
+    e = edges.select("src", "dst").dropDuplicates().localCheckpoint(eager=False)
+    indeg = e.groupBy(F.col("dst").alias("node")).agg(F.count("*").alias("deg"))
+    diag = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .select(F.col("node").alias("a"), F.col("node").alias("b"),
+                F.lit(scale).cast("long").alias("sim"))
+    )
+    state = diag
+    for i in range(iters):
+        if i:
+            state = state.localCheckpoint(eager=False)
+        summed = (
+            state.join(e.select(F.col("src").alias("a"), F.col("dst").alias("na")), "a")
+            .join(e.select(F.col("src").alias("b"), F.col("dst").alias("nb")), "b")
+            .groupBy(F.col("na").alias("a"), F.col("nb").alias("b"))
+            .agg(F.sum("sim").alias("s"))
+        )
+        off = (
+            summed.filter(F.col("a") != F.col("b"))
+            .join(indeg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a")
+            .join(indeg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b")
+            .select(
+                "a", "b",
+                F.expr(f"CAST({c_pct} * s DIV (100 * da * db) AS BIGINT)").alias("sim"),
+            )
+            .filter(F.col("sim") > 0)
+        )
+        state = diag.unionByName(off)
+    return state.filter(F.col("a") < F.col("b")).select("a", "b", "sim")

@@ -11972,3 +11972,58 @@ SELECT 'urn:cu:' || c_custkey, 'dis1', 'disjoint',
 """
 
 QUERIES["shacl_pairs"] = (q_shacl_pairs, SQL_SHACL_PAIRS)
+
+
+def q_simrank(spark, sf):
+    """SimRank (2 integer-exact rounds, C=0.80) on the rn<=40
+    chain-with-chords slice — structural same-as candidates from shared
+    in-neighbor contexts. Catalog-tier operator (the scc_cycles/
+    bisim_summary precedent): all-pairs SimRank is quadratic in the
+    worst case, so the suite pins the documented ontology-sized slice;
+    state stays sparse (diagonal + overlap pairs) at every SF."""
+    from .operators.cc import simrank
+
+    r, e = _chain_graph(spark, sf)
+    keep = r.filter(F.col("rn") <= 40).select("k")
+    e40 = (
+        e.join(keep.withColumnRenamed("k", "src"), "src")
+        .join(keep.withColumnRenamed("k", "dst"), "dst")
+    )
+    return simrank(e40, iters=2, c_pct=80)
+
+
+def _simrank_sql(iters: int) -> str:
+    parts = [
+        "WITH "
+        + _CHAIN_SQL
+        + """,
+keep AS (SELECT kk FROM r WHERE rn <= 40),
+e AS (SELECT DISTINCT src, dst FROM raw
+      WHERE src IN (SELECT kk FROM keep) AND dst IN (SELECT kk FROM keep)),
+ind AS (SELECT dst AS node, COUNT(*) AS deg FROM e GROUP BY dst),
+n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+s0 AS (SELECT node AS a, node AS b, CAST(1000000 AS BIGINT) AS sim FROM n)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""",
+sum{t} AS (
+  SELECT e1.dst AS a, e2.dst AS b, CAST(SUM(s.sim) AS BIGINT) AS s
+  FROM s{t - 1} s JOIN e e1 ON e1.src = s.a JOIN e e2 ON e2.src = s.b
+  GROUP BY e1.dst, e2.dst
+),
+s{t} AS (
+  SELECT node AS a, node AS b, CAST(1000000 AS BIGINT) AS sim FROM n
+  UNION ALL
+  SELECT x.a, x.b, CAST((80 * x.s) // (100 * da.deg * db.deg) AS BIGINT)
+  FROM sum{t} x JOIN ind da ON da.node = x.a JOIN ind db ON db.node = x.b
+  WHERE x.a <> x.b AND (80 * x.s) // (100 * da.deg * db.deg) > 0
+)"""
+        )
+    parts.append(f"\nSELECT a, b, sim FROM s{iters} WHERE a < b")
+    return "".join(parts)
+
+
+SQL_SIMRANK = _simrank_sql(2)
+
+QUERIES["simrank"] = (q_simrank, SQL_SIMRANK)

@@ -1495,6 +1495,16 @@ def main() -> None:
             ("no cartesian product", r"CartesianProduct", "absent"),
             ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
         ]),
+        ("simrank", [
+            # sparse-state fixpoint: per round state ⋈ edges ⋈ edges (all
+            # node-keyed hash joins) + ONE map-side-combined (a,b) sum;
+            # in-degrees join by key — never a dense pair matrix
+            ("pair sum is hash aggregate", r"HashAggregate|SortAggregate"),
+            ("state-edge joins are hash", r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
         ("dsir", [
             # model fitting = two B-row aggs; the only BNLJ are the two
             # 1-row total broadcasts; scoring joins the B-row ratio table
