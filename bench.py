@@ -311,6 +311,7 @@ def main() -> None:
         "skos_audit",
         "shacl_pairs",
         "simrank",
+        "er_pivot",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

@@ -2033,3 +2033,79 @@ def simrank(
         )
         state = diag.unionByName(off)
     return state.filter(F.col("a") < F.col("b")).select("a", "b", "sim")
+
+
+def pivot_clusters(
+    edges: DataFrame,
+    seed: str = "pivot",
+    rounds: int = 6,
+) -> DataFrame:
+    """Parallel-pivot correlation clustering (ParallelPivot — Chierichetti,
+    Dalvi & Kumar, KDD 2014; the distributed form of Ailon et al.'s
+    CC-Pivot 3-approximation): cluster the '+'-edge similarity graph so
+    that, unlike connected components, two records merge ONLY when one is
+    directly adjacent to the cluster's pivot — long weak chains of
+    pairwise matches stop at pivot boundaries instead of snowballing into
+    one mega-entity (the classic ER transitive-closure failure mode).
+
+    Deterministic: the random permutation is π(v) = md5(seed ':' v), so
+    every engine and every partitioning elects the same pivots. Per
+    round, an active node is a PIVOT iff π(v) beats every active
+    neighbor; active neighbors of pivots join their minimum-π adjacent
+    pivot (two pivots are never adjacent, by minimality); clustered
+    nodes leave the graph. Each round removes at least the global-min
+    active node and w.h.p. a constant fraction — O(log n) rounds; the
+    `rounds` cap is mirrored exactly by the unrolled oracle, and any
+    stragglers beyond it become singletons (deterministic both sides).
+
+    → (node, cluster) for every endpoint of `edges`; cluster = pivot id.
+
+    Scale shape: per round ONE neighbor-min aggregate (map-side
+    combined), one anti/semi-style pivot join, one arg-min assignment
+    aggregate — all hash-partitioned on node ids; state shrinks
+    geometrically, and eager per-round checkpoints keep lineage flat
+    (the mis/matching precedent)."""
+    def rank(c):
+        return F.md5(F.concat(F.lit(seed + ":"), F.col(c)))
+
+    sym = (
+        edges.select(F.col(edges.columns[0]).alias("a"), F.col(edges.columns[1]).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    sym = (
+        sym.unionByName(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    active = nodes.localCheckpoint(eager=False)
+    e = sym
+    outs = None
+    for t in range(rounds):
+        if t and e.isEmpty():
+            break
+        nm = e.groupBy("a").agg(F.min(rank("b")).alias("m"))
+        piv = (
+            active.join(nm, active["node"] == nm["a"], "left")
+            .filter(F.col("m").isNull() | (rank("node") < F.col("m")))
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+        asg = (
+            e.join(piv.select(F.col("node").alias("b")), "b")
+            .groupBy("a")
+            .agg(F.min_by("b", rank("b")).alias("cluster"))
+            .select(F.col("a").alias("node"), "cluster")
+        )
+        got = piv.select("node", F.col("node").alias("cluster")).unionByName(asg)
+        got = got.localCheckpoint(eager=True)
+        outs = got if outs is None else outs.unionByName(got)
+        active = active.join(got.select("node"), "node", "left_anti").localCheckpoint(eager=True)
+        e = (
+            e.join(active.select(F.col("node").alias("a")), "a", "left_semi")
+            .join(active.select(F.col("node").alias("b")), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    leftovers = active.select("node", F.col("node").alias("cluster"))
+    out = leftovers if outs is None else outs.unionByName(leftovers)
+    return out

@@ -12027,3 +12027,78 @@ s{t} AS (
 SQL_SIMRANK = _simrank_sql(2)
 
 QUERIES["simrank"] = (q_simrank, SQL_SIMRANK)
+
+
+def q_er_pivot(spark, sf):
+    """Correlation clustering (deterministic ParallelPivot) over the SAME
+    LSH->Jaccard verified near-dup pairs as dedup_clusters — the ER
+    alternative to connected components that refuses to snowball weak
+    pairwise-match chains into one mega-entity: records merge only when
+    directly adjacent to the elected pivot. 6 md5-permutation rounds,
+    mirrored round-for-round by the unrolled DuckDB oracle."""
+    from .operators.cc import pivot_clusters
+    from .operators.textops import minhash_candidates, ngram_jaccard
+
+    docs = _docs(spark, sf)
+    pairs = minhash_candidates(docs, 8, 50).filter(F.col("n_bands") >= 4)
+    ver = ngram_jaccard(docs, pairs.select("doc_a", "doc_b"), n=3).filter(
+        F.col("jac_pct") >= 60
+    )
+    edges = ver.select(
+        F.col("doc_a").cast("string").alias("a"),
+        F.col("doc_b").cast("string").alias("b"),
+    )
+    pc = pivot_clusters(edges, rounds=6)
+    out = docs.select("doc_id").join(
+        pc.select(F.col("node").cast("long").alias("doc_id"), F.col("cluster").alias("cl")),
+        "doc_id", "left",
+    )
+    cid = F.coalesce(F.col("cl").cast("long"), F.col("doc_id"))
+    return out.select(
+        "doc_id", cid.alias("cluster_id"),
+        (cid == F.col("doc_id")).cast("long").alias("is_keeper"),
+    )
+
+
+def _er_pivot_sql(rounds: int) -> str:
+    # lockstep with SQL_DEDUP_CLUSTERS: same candidate generation +
+    # verification CTEs (sliced at the component step), then the pivot
+    # election unrolled round-for-round
+    pre = SQL_DEDUP_CLUSTERS.split("\nsym AS")[0].rstrip().rstrip(",")
+    parts = [pre, """,
+e0 AS MATERIALIZED (SELECT CAST(doc_a AS VARCHAR) AS a, CAST(doc_b AS VARCHAR) AS b FROM ver
+       UNION SELECT CAST(doc_b AS VARCHAR), CAST(doc_a AS VARCHAR) FROM ver),
+act0 AS MATERIALIZED (SELECT DISTINCT a AS node FROM e0)"""]
+    for t in range(rounds):
+        parts.append(f""",
+nm{t} AS MATERIALIZED (SELECT a, MIN(md5('pivot:' || b)) AS m FROM e{t} GROUP BY a),
+piv{t} AS MATERIALIZED (
+  SELECT act.node FROM act{t} act LEFT JOIN nm{t} nm ON nm.a = act.node
+  WHERE nm.m IS NULL OR md5('pivot:' || act.node) < nm.m
+),
+asg{t} AS MATERIALIZED (
+  SELECT e.a AS node, arg_min(e.b, md5('pivot:' || e.b)) AS cluster
+  FROM e{t} e JOIN piv{t} p ON p.node = e.b GROUP BY e.a
+),
+out{t} AS MATERIALIZED (SELECT node, node AS cluster FROM piv{t}
+           UNION ALL SELECT node, cluster FROM asg{t}),
+act{t + 1} AS MATERIALIZED (SELECT node FROM act{t} WHERE node NOT IN (SELECT node FROM out{t})),
+e{t + 1} AS MATERIALIZED (SELECT a, b FROM e{t}
+           WHERE a IN (SELECT node FROM act{t + 1})
+             AND b IN (SELECT node FROM act{t + 1}))""")
+    allout = " UNION ALL ".join(f"SELECT node, cluster FROM out{t}" for t in range(rounds))
+    parts.append(f""",
+allout AS ({allout}
+           UNION ALL SELECT node, node AS cluster FROM act{rounds})
+SELECT d.doc_id,
+       CAST(COALESCE(ao.cluster, CAST(d.doc_id AS VARCHAR)) AS BIGINT) AS cluster_id,
+       CAST(CASE WHEN COALESCE(ao.cluster, CAST(d.doc_id AS VARCHAR))
+                      = CAST(d.doc_id AS VARCHAR)
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
+FROM documents d LEFT JOIN allout ao ON ao.node = CAST(d.doc_id AS VARCHAR)""")
+    return "".join(parts)
+
+
+SQL_ER_PIVOT = _er_pivot_sql(6)
+
+QUERIES["er_pivot"] = (q_er_pivot, SQL_ER_PIVOT)

@@ -1505,6 +1505,16 @@ def main() -> None:
             ("no cartesian product", r"CartesianProduct", "absent"),
             ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
         ]),
+        ("er_pivot", [
+            # per-round election state is eagerly checkpointed (the mis
+            # precedent — reused by assignment, eviction AND next-round
+            # edges), so the returned plan is the checkpointed-round union
+            # joined back to documents; nothing quadratic anywhere
+            ("doc join is hash", r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
         ("dsir", [
             # model fitting = two B-row aggs; the only BNLJ are the two
             # 1-row total broadcasts; scoring joins the B-row ratio table
