@@ -312,6 +312,7 @@ def main() -> None:
         "shacl_pairs",
         "simrank",
         "er_pivot",
+        "dup_extents",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

@@ -2326,3 +2326,50 @@ def rrf_fuse(runs: DataFrame, k: int = 60, scale: int = 1_000_000) -> DataFrame:
     return agg.select(
         "doc_id", "n_runs", "rrf_score", F.row_number().over(w).cast("int").alias("fused_rank")
     )
+
+
+def dup_span_extents(docs: DataFrame, w: int = 8) -> DataFrame:
+    """Maximal duplicated-span extents — the cut list the Lee et al.
+    suffix-array dedup actually emits (their tool outputs byte ranges to
+    REMOVE, not just per-doc ratios like `span_dedup`): corpus-wide
+    duplicated w-token windows, merged per document into maximal token
+    intervals via gaps-and-islands. Two duplicated windows join one
+    island when their starts differ by ≤ w (overlap or exact adjacency
+    ⇒ the covered text is contiguous). Returns one row per maximal
+    extent: (doc_id, span_start, span_end, n_dup_windows) with 1-based
+    inclusive token positions.
+
+    Scale shape: window hashing is map-side (same explode as
+    span_dedup); the corpus-sized shuffles are the hash-count groupBy
+    (map-side combined) and the hash join back; island numbering is a
+    window PARTITIONED BY doc_id — per-doc state, bounded by document
+    length, never a corpus-ordered scan."""
+    from pyspark.sql.window import Window
+
+    toks = docs.select("doc_id", words(F.col("text")).alias("__t"))
+    wins = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN size(__t) >= {w} THEN "
+                f"transform(sequence(1, size(__t) - {w - 1}, 1), "
+                f"i -> md5(array_join(slice(__t, i, {w}), ' '))) "
+                f"ELSE array() END"
+            ).cast("array<string>")
+        ).alias("p", "h"),
+    ).select("doc_id", (F.col("p") + 1).alias("i"), "h")
+    hot = (
+        wins.groupBy("h").agg(F.count(F.lit(1)).alias("cnt")).filter(F.col("cnt") > 1)
+    )
+    pos = wins.join(hot.select("h"), "h").select("doc_id", "i")
+    wspec = Window.partitionBy("doc_id").orderBy("i")
+    brk = F.when(
+        F.lag("i").over(wspec).isNull() | ((F.col("i") - F.lag("i").over(wspec)) > w),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    islands = pos.select("doc_id", "i", F.sum(brk).over(wspec).alias("isl"))
+    return islands.groupBy("doc_id", "isl").agg(
+        F.min("i").cast("long").alias("span_start"),
+        (F.max("i") + F.lit(w - 1)).cast("long").alias("span_end"),
+        F.count(F.lit(1)).alias("n_dup_windows"),
+    ).select("doc_id", "span_start", "span_end", "n_dup_windows")

@@ -12102,3 +12102,41 @@ FROM documents d LEFT JOIN allout ao ON ao.node = CAST(d.doc_id AS VARCHAR)""")
 SQL_ER_PIVOT = _er_pivot_sql(6)
 
 QUERIES["er_pivot"] = (q_er_pivot, SQL_ER_PIVOT)
+
+
+def q_dup_extents(spark, sf):
+    """Maximal duplicated-span extents (the Lee et al. cut list): w=8
+    corpus-duplicated windows merged per doc into maximal token
+    intervals by gaps-and-islands — the actionable output of substring
+    dedup (what to REMOVE), beside span_dedup's per-doc ratios."""
+    from .operators.textops import dup_span_extents
+
+    return dup_span_extents(_docs(spark, sf), w=8)
+
+
+SQL_DUP_EXTENTS = """
+WITH wt AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM documents
+),
+wins AS (
+  SELECT doc_id, i, md5(array_to_string(toks[i:i+7], ' ')) AS h
+  FROM wt, unnest(range(1, len(toks) - 6)) AS t(i)
+  WHERE len(toks) >= 8
+),
+hot AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) > 1),
+pos AS (SELECT w.doc_id, w.i FROM wins w JOIN hot USING (h)),
+isl AS (
+  SELECT doc_id, i,
+         SUM(CASE WHEN prev IS NULL OR i - prev > 8 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY i) AS isl
+  FROM (SELECT doc_id, i,
+               LAG(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        FROM pos)
+)
+SELECT doc_id, CAST(MIN(i) AS BIGINT) AS span_start,
+       CAST(MAX(i) + 7 AS BIGINT) AS span_end,
+       COUNT(*) AS n_dup_windows
+FROM isl GROUP BY doc_id, isl
+"""
+
+QUERIES["dup_extents"] = (q_dup_extents, SQL_DUP_EXTENTS)

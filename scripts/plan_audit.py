@@ -1515,6 +1515,17 @@ def main() -> None:
             ("no cartesian product", r"CartesianProduct", "absent"),
             ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
         ]),
+        ("dup_extents", [
+            # map-side window hashing; corpus shuffles are the hash-count
+            # agg + the hash join back; island numbering is a doc-keyed
+            # window (bounded by document length)
+            ("hash-count agg map-side combined", r"HashAggregate|SortAggregate"),
+            ("join back is hash", r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"),
+            ("island window is doc-partitioned", r"\(\d+\) Window"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
         ("dsir", [
             # model fitting = two B-row aggs; the only BNLJ are the two
             # 1-row total broadcasts; scoring joins the B-row ratio table

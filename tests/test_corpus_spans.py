@@ -459,3 +459,42 @@ def test_tfidf_pairs_shingle_terms(spark):
            tfidf_pairs(docs, df_cap=10, min_shared=1, term_ngram=3).collect()}
     # only 1 and 2 share a trigram ("quick brown fox")
     assert out == {(1, 2): 1}
+
+
+# --- maximal duplicated-span extents (dup_span_extents) -------------------
+
+def test_dup_span_extents_merges_overlaps(spark):
+    from ocaml_rdf_spark.operators.textops import dup_span_extents
+
+    # 20-token docs; docs 1 and 2 share tokens 5..16 (12 tokens) -> with
+    # w=8 the duplicated window starts are 5..9 in doc1's coordinates,
+    # merging into ONE extent [5, 16]; doc3 is clean
+    shared = [f"s{i}" for i in range(12)]
+    d1 = [f"a{i}" for i in range(4)] + shared + [f"a{i}" for i in range(4, 8)]
+    d2 = [f"b{i}" for i in range(4)] + shared + [f"b{i}" for i in range(4, 8)]
+    d3 = [f"c{i}" for i in range(20)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(d1)), (2, " ".join(d2)), (3, " ".join(d3))],
+        "doc_id long, text string",
+    )
+    out = {(r.doc_id): (r.span_start, r.span_end, r.n_dup_windows)
+           for r in dup_span_extents(docs, w=8).collect()}
+    assert out == {1: (5, 16, 5), 2: (5, 16, 5)}
+
+
+def test_dup_span_extents_splits_distant_islands(spark):
+    from ocaml_rdf_spark.operators.textops import dup_span_extents
+
+    # two copies of an 8-token phrase at positions 1 and 29 of doc1
+    # (gap 28 > w) -> two separate extents in doc1; doc2 carries one copy
+    ph = [f"p{i}" for i in range(8)]
+    d1 = ph + [f"x{i}" for i in range(20)] + ph
+    d2 = [f"y{i}" for i in range(6)] + ph + [f"y{i}" for i in range(6, 12)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(d1)), (2, " ".join(d2))], "doc_id long, text string",
+    )
+    rows = sorted(
+        (r.doc_id, r.span_start, r.span_end) for r in
+        dup_span_extents(docs, w=8).collect()
+    )
+    assert rows == [(1, 1, 8), (1, 29, 36), (2, 7, 14)]
