@@ -393,3 +393,84 @@ def rank_eval(scored: DataFrame, k_list: tuple = (1, 3, 10)) -> DataFrame:
             ).alias(f"hits{int(k)}_ppm")
         )
     return ranked.agg(*aggs)
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    walks_per_node: int = 1,
+    walk_len: int = 3,
+    ret_w: int = 4,
+    mid_w: int = 2,
+    far_w: int = 1,
+) -> DataFrame:
+    """Second-order node2vec-biased walks (Grover & Leskovec, KDD 2016)
+    with INTEGER bias weights standing in for the paper's 1/p, 1, 1/q:
+    from state (prev, cur), a candidate next node weighs `ret_w` when it
+    IS prev (return), `mid_w` when prev→next is an edge (BFS-ish stay
+    near), `far_w` otherwise (DFS-ish move away); the first step (no
+    prev) is uniform. Defaults (4,2,1) ≡ p=1/2, q=2.
+
+    Deterministic weighted choice without RNG: every candidate gets
+    `weight` md5 draws — array_min(transform(sequence(1, w), c →
+    md5(cur␟dst␟walk␟step␟c))) — and the walker takes the
+    lexicographic-min draw (the min-string trick of `random_walks`). By
+    symmetry of iid hashes each candidate wins with probability
+    weight/Σweights, the walk is reproducible on any engine/partitioning,
+    and the DuckDB mirror unrolls the identical expression.
+
+    → (start, walk, seq); seq comma-joined, dead ends stop early.
+
+    Scale shape: per step TWO hash joins (cur→neighbors, prev→dst
+    adjacency probe) + ONE map-side-combined min per walker — walker
+    count × mean degree rows in flight, lineage flattened per step; at
+    100× walkers shard by (start, walk) with no cross-walker state."""
+    starts = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .crossJoin(
+            edges.sparkSession.range(walks_per_node).select(
+                F.col("id").cast("int").alias("walk")
+            )
+        )
+    )
+    state = starts.select(
+        F.col("node").alias("start"), "walk",
+        F.lit(None).cast("string").alias("prev"),
+        F.col("node").alias("cur"), F.col("node").alias("seq"),
+    )
+    adj = edges.select(F.col("src").alias("cur"), F.col("dst")).distinct()
+    back = edges.select(
+        F.col("src").alias("prev"), F.col("dst"), F.lit(1).alias("near")
+    ).distinct()
+    for step in range(walk_len):
+        cand = (
+            state.join(adj, "cur", "left")
+            .join(back, ["prev", "dst"], "left")
+        )
+        wgt = (
+            F.when(F.col("prev").isNull(), F.lit(1))
+            .when(F.col("dst") == F.col("prev"), F.lit(ret_w))
+            .when(F.col("near").isNotNull(), F.lit(mid_w))
+            .otherwise(F.lit(far_w))
+        )
+        draw = F.expr(
+            f"array_min(transform(sequence(1, __wgt), c -> "
+            f"md5(concat_ws('{SEP}', cur, dst, walk, '{step}', c))))"
+        )
+        key = F.when(F.col("dst").isNotNull(), F.concat(draw, F.lit(SEP), F.col("dst")))
+        nxt = (
+            cand.withColumn("__wgt", wgt)
+            .groupBy("start", "walk", "prev", "cur", "seq")
+            .agg(F.min(key).alias("k"))
+        )
+        chosen = F.split_part(F.col("k"), F.lit(SEP), F.lit(2))
+        state = nxt.select(
+            "start", "walk",
+            F.when(F.col("k").isNotNull(), F.col("cur")).otherwise(F.col("prev")).alias("prev"),
+            F.when(F.col("k").isNotNull(), chosen).alias("cur"),
+            F.when(
+                F.col("k").isNotNull(), F.concat(F.col("seq"), F.lit(","), chosen)
+            ).otherwise(F.col("seq")).alias("seq"),
+        ).localCheckpoint(eager=False)
+    return state.select("start", "walk", "seq")

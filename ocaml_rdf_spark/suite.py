@@ -12140,3 +12140,69 @@ FROM isl GROUP BY doc_id, isl
 """
 
 QUERIES["dup_extents"] = (q_dup_extents, SQL_DUP_EXTENTS)
+
+
+def q_node2vec(spark, sf):
+    """node2vec-biased second-order walks (p=1/2, q=2 as integer weights
+    4/2/1) over the SYMMETRIZED chain-with-chords graph — deterministic
+    weighted min-hash choice, mirrored draw-for-draw by the unrolled
+    DuckDB oracle."""
+    from .operators.walks import node2vec_walks
+
+    _r, e = _chain_graph(spark, sf)
+    sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return node2vec_walks(sym, walks_per_node=1, walk_len=3)
+
+
+def _node2vec_sql(walk_len: int) -> str:
+    parts = [
+        "WITH "
+        + _CHAIN_SQL
+        + """,
+sym AS (SELECT DISTINCT src, dst FROM
+        (SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw)),
+nodes AS (SELECT DISTINCT src AS node FROM sym),
+s0 AS MATERIALIZED (
+  SELECT n.node AS start, CAST(t.w AS INT) AS walk,
+         CAST(NULL AS VARCHAR) AS prev, n.node AS cur, n.node AS seq
+  FROM nodes n, unnest(range(1)) AS t(w)
+)"""
+    ]
+    for i in range(walk_len):
+        parts.append(
+            f""",
+s{i + 1} AS MATERIALIZED (
+  SELECT start, walk,
+         CASE WHEN k IS NOT NULL THEN cur ELSE prev END AS prev,
+         CASE WHEN k IS NOT NULL THEN string_split(k, chr(31))[2] END AS cur,
+         CASE WHEN k IS NOT NULL THEN seq || ',' || string_split(k, chr(31))[2]
+              ELSE seq END AS seq
+  FROM (
+    SELECT start, walk, prev, cur, seq,
+           MIN(CASE WHEN dst IS NOT NULL THEN
+               list_min(list_transform(range(1, wgt + 1), c ->
+                 md5(cur || chr(31) || dst || chr(31) ||
+                     CAST(walk AS VARCHAR) || chr(31) || '{i}' || chr(31) ||
+                     CAST(c AS VARCHAR))))
+               || chr(31) || dst END) AS k
+    FROM (
+      SELECT w.start, w.walk, w.prev, w.cur, w.seq, e.dst,
+             CASE WHEN w.prev IS NULL THEN 1
+                  WHEN e.dst = w.prev THEN 4
+                  WHEN b.src IS NOT NULL THEN 2
+                  ELSE 1 END AS wgt
+      FROM s{i} w
+      LEFT JOIN sym e ON e.src = w.cur
+      LEFT JOIN sym b ON b.src = w.prev AND b.dst = e.dst
+    )
+    GROUP BY start, walk, prev, cur, seq
+  )
+)"""
+        )
+    parts.append(f"\nSELECT start, walk, seq FROM s{walk_len}")
+    return "".join(parts)
+
+
+SQL_NODE2VEC = _node2vec_sql(3)
+
+QUERIES["node2vec"] = (q_node2vec, SQL_NODE2VEC)

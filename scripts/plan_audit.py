@@ -1526,6 +1526,16 @@ def main() -> None:
             ("no cartesian product", r"CartesianProduct", "absent"),
             ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
         ]),
+        ("node2vec", [
+            # per-step join+agg live inside the checkpointed fixpoint
+            # (the random_walks precedent) — the auditable tail is the
+            # checkpoint scan; weighted choice is sequence/transform
+            # column algebra, never a Python UDF
+            ("checkpointed fixpoint tail", r"ExistingRDD|Scan"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
         ("dsir", [
             # model fitting = two B-row aggs; the only BNLJ are the two
             # 1-row total broadcasts; scoring joins the B-row ratio table
