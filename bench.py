@@ -314,6 +314,7 @@ def main() -> None:
         "er_pivot",
         "dup_extents",
         "node2vec",
+        "hilbert",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

@@ -12206,3 +12206,40 @@ s{i + 1} AS MATERIALIZED (
 SQL_NODE2VEC = _node2vec_sql(3)
 
 QUERIES["node2vec"] = (q_node2vec, SQL_NODE2VEC)
+
+
+def q_hilbert(spark, sf):
+    """Hilbert layout key of (custkey mod 256, nationkey) at 8 bits —
+    zorder's successor for multi-dimensional pruning (no seam jumps:
+    consecutive key ranges are tight rectangles), pure bit/CASE algebra."""
+    from .operators.sketches import hilbert_key
+
+    cu = spark.read.parquet(f"{sf}/customer.parquet")
+    return cu.select(
+        F.col("c_custkey").cast("long").alias("id"),
+        hilbert_key(
+            F.col("c_custkey").cast("long") % 256,
+            F.col("c_nationkey").cast("long"),
+            bits=8,
+        ).alias("hkey"),
+    )
+
+
+def _sql_hilbert(bits: int = 8) -> str:
+    from .operators.sketches import hilbert_sql
+
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT CAST(c_custkey AS BIGINT) AS id,
+         CAST(c_custkey AS BIGINT) % 256 AS a,
+         CAST(c_nationkey AS BIGINT) AS b
+  FROM customer
+),
+{hilbert_sql('a', 'b', bits)}
+SELECT id, hd AS hkey FROM h{bits}
+"""
+
+
+SQL_HILBERT = _sql_hilbert()
+
+QUERIES["hilbert"] = (q_hilbert, SQL_HILBERT)

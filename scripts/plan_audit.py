@@ -1223,6 +1223,13 @@ def main() -> None:
             ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
             ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
         ]),
+        ("hilbert", [
+            # constant-size aggregate() fold per row — map-only bit
+            # algebra like zorder, but plan size O(1) in the bit budget
+            ("map-only: zero shuffles", r"Exchange", "absent"),
+            ("no join anywhere", r"Join", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
         ("zorder", [
             # bit algebra fused into the scan: no shuffle, no join
             ("map-only: zero shuffles", r"Exchange", "absent"),
