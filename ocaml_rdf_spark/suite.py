@@ -12243,3 +12243,73 @@ SELECT id, hd AS hkey FROM h{bits}
 SQL_HILBERT = _sql_hilbert()
 
 QUERIES["hilbert"] = (q_hilbert, SQL_HILBERT)
+
+
+def q_privacy_k_anon(spark, sf):
+    """k-anonymity / l-diversity audit of a quasi-identifier projection of
+    customer: QI = (nation, segment), sensitive = acctbal band. One
+    map-side-combined groupBy; flags classes smaller than k=60 and
+    classes whose sensitive diversity is below l=8."""
+    from .operators.privacy import k_anonymity_report
+
+    cu = spark.read.parquet(f"{sf}/customer.parquet")
+    df = cu.select(
+        F.col("c_nationkey").cast("long").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+    )
+    return k_anonymity_report(
+        df, ["nation", "segment"], k=60, sensitive_col="bal_band", l=8
+    )
+
+
+SQL_PRIVACY_K_ANON = """
+SELECT nation, segment, n, n_sensitive,
+       CAST(n >= 60 AS INTEGER) AS k_ok,
+       CAST(n_sensitive >= 8 AS INTEGER) AS l_ok
+FROM (
+  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+         c_mktsegment AS segment,
+         COUNT(*) AS n,
+         COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000) AS BIGINT)) AS n_sensitive
+  FROM customer
+  GROUP BY 1, 2
+)
+"""
+
+QUERIES["privacy_k_anon"] = (q_privacy_k_anon, SQL_PRIVACY_K_ANON)
+
+
+def q_privacy_suppress(spark, sf):
+    """Minimal suppression set to reach k=3 over the finer QI
+    (nation, segment, acctbal band): the rows whose equivalence class
+    is undersized. Hash join of rows against the (small) class list."""
+    from .operators.privacy import suppression_plan
+
+    cu = spark.read.parquet(f"{sf}/customer.parquet")
+    df = cu.select(
+        F.col("c_custkey").cast("long").alias("id"),
+        F.col("c_nationkey").cast("long").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("band"),
+    )
+    return suppression_plan(df, ["nation", "segment", "band"], "id", k=3)
+
+
+SQL_PRIVACY_SUPPRESS = """
+WITH base AS (
+  SELECT CAST(c_custkey AS BIGINT) AS id,
+         CAST(c_nationkey AS BIGINT) AS nation,
+         c_mktsegment AS segment,
+         CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS band
+  FROM customer
+),
+small AS (
+  SELECT nation, segment, band, COUNT(*) AS n
+  FROM base GROUP BY 1, 2, 3 HAVING COUNT(*) < 3
+)
+SELECT b.id, b.nation, b.segment, b.band, s.n
+FROM base b JOIN small s USING (nation, segment, band)
+"""
+
+QUERIES["privacy_suppress"] = (q_privacy_suppress, SQL_PRIVACY_SUPPRESS)
