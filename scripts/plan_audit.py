@@ -1552,6 +1552,23 @@ def main() -> None:
             ("no cartesian product", r"CartesianProduct", "absent"),
             ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
         ]),
+        ("privacy_k_anon", [
+            # one map-side-combined groupBy on the QI columns — the whole
+            # audit is a single agg pass, no joins at any scale
+            ("QI class agg map-side combined", r"HashAggregate|SortAggregate"),
+            ("no join at all", r"Join", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
+        ("privacy_suppress", [
+            # rows hash-join against the (small) undersized-class list;
+            # never a row×row comparison
+            ("class agg present", r"HashAggregate|SortAggregate"),
+            ("row-class join is hash", r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
     ]
 
     # optional argv name filter: `python scripts/plan_audit.py q1 q2` audits
