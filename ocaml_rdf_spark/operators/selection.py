@@ -110,3 +110,94 @@ def dsir_weights(
             F.expr(f"w_sum div n_tokens >= {scale}").alias("selected"),
         )
     )
+
+
+def coverage_select(
+    docs: DataFrame,
+    k: int = 3,
+    w: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy maximum-coverage document selection (the classic (1−1/e)
+    greedy for monotone submodular maximization — Nemhauser/Wolsey/
+    Fisher 1978; the facility-location/coverage objective is the
+    textbook instance, and coverage-driven subset selection is the
+    standard deduplicating-diversifying pick for demonstration or
+    fine-tuning subsets): choose `k` documents one at a time, each round
+    taking the document covering the most w-token shingles NOT yet
+    covered by earlier picks. Near-duplicates of an already-picked doc
+    have near-zero marginal gain, so the selection is diverse by
+    construction — the submodular counterpart of dedup-then-sample.
+
+    Deterministic: argmax ties break on the smaller doc_id (pinned);
+    shingles are the corpus-normalized `_norm_tokens` w-grams, so the
+    objective is invariant to case/punctuation noise.
+
+    Output: (round, doc_id, gain) — the pick order with marginal gains
+    (the standard stopping diagnostic: truncate where gain collapses).
+    Fewer than k rows come back when coverage SATURATES (every shingle
+    already covered): a zero-gain pick is arbitrary, so none is made
+    (pinned — the luby_mis undecided-rows precedent).
+
+    Scale shape: the shingle table is built ONCE (map-side explode +
+    one distinct); each of the k rounds is one map-side-combined doc
+    count + a 1-row deterministic argmax (min_by over
+    struct(-gain, doc_id)) + one semi join materializing the pick's
+    shingles + one hash anti join dropping them corpus-wide — per-round
+    cost is O(|remaining shingle rows|), never all-pairs, and k is a
+    user-bounded constant (selection budgets are human-sized).
+    `localCheckpoint` per round caps lineage exactly as the CC/pivot
+    fixpoint family does. For corpus-scale budgets (k in the millions)
+    the literature swaps in stochastic/distributed greedy (GreeDi,
+    Mirzasoleiman et al.) — this operator is the exact small-k tier and
+    the verification oracle for any such approximation.
+
+    No counterpart in the reference (no ML/data-selection layer;
+    /root/reference empty per SURVEY §0) — public literature only."""
+    if k < 1:
+        raise ValueError("coverage_select: k must be >= 1")
+    if w < 1:
+        raise ValueError("coverage_select: w must be >= 1")
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), _norm_tokens(text_col).alias("__t")
+    ).filter(F.size("__t") >= w)
+    grams = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(__t) - {int(w) - 1}),"
+                    f" i -> concat_ws(' ', slice(__t, i, {int(w)})))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    remaining = grams
+    picks = None
+    for rnd in range(1, int(k) + 1):
+        gains = remaining.groupBy("doc_id").agg(F.count(F.lit(1)).alias("gain"))
+        pick = gains.agg(
+            F.expr("min_by(doc_id, struct(-gain, doc_id))").alias("doc_id"),
+            F.max(F.expr("struct(gain, doc_id)")).alias("__mx"),
+        ).select(
+            F.lit(rnd).cast("long").alias("round"),
+            "doc_id",
+            F.col("__mx.gain").cast("long").alias("gain"),
+        )
+        # NOTE __mx.gain pairs with max doc at equal gain, but gain is equal
+        # by definition of the tie — the reported gain matches the picked doc.
+        picks = pick if picks is None else picks.unionByName(pick)
+        # the pick COVERS its shingles for every document: drop those
+        # grams corpus-wide (not just the picked doc's rows) — that drop
+        # is what makes the next round's counts MARGINAL gains. The
+        # covered set is one document's shingles (no broadcast hint —
+        # a mega-doc must be allowed to hash-join; the describe() rule).
+        cov = remaining.join(
+            F.broadcast(pick.select("doc_id")), "doc_id", "left_semi"
+        ).select("g")
+        remaining = remaining.join(cov, "g", "left_anti").localCheckpoint(eager=False)
+    # saturated rounds aggregate an empty frame into a NULL pick — drop them
+    return picks.filter(F.col("doc_id").isNotNull())

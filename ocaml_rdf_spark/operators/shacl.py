@@ -357,10 +357,22 @@ def validate_pairs(triples: DataFrame, shapes: DataFrame) -> DataFrame:
         .distinct()
     )
 
+    # Only arcs whose predicate is some shape's path/path2 can ever join —
+    # the side() equi-joins already guarantee it. Making the restriction a
+    # broadcast semi-join BEFORE the focus joins means the corpus-sized
+    # exchange carries only shape-relevant predicates (the POS store prunes
+    # to those predicate clusters), not the whole store.
+    shape_preds = (
+        shapes.select(F.col("path").alias("pred"))
+        .unionByName(shapes.select(F.col("path2").alias("pred")))
+        .distinct()
+    )
+    relevant = triples.join(F.broadcast(shape_preds), "pred", "left_semi")
+
     def side(path_col: str, prefix: str) -> DataFrame:
         return (
             focus.join(
-                triples.select(
+                relevant.select(
                     F.col("s_kind").alias("f_kind"), F.col("s_lex").alias("focus"),
                     F.col("pred").alias(path_col), F.col("o_kind").alias(f"{prefix}_kind"),
                     F.col("o_lex").alias(f"{prefix}_lex"), F.col("o_dtype").alias(f"{prefix}_dtype"),

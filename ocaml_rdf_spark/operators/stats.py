@@ -575,3 +575,67 @@ def cohen_kappa(
             ).alias("kappa_ppm"),
         )
     )
+
+
+def calibration_report(
+    scored: DataFrame,
+    score_col: str = "score_ppm",
+    label_col: str = "label",
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability table for a probabilistic quality/relevance scorer
+    (Naeini et al. AAAI 2015's binned formulation — the audit that a
+    model-based quality filter's scores MEAN what they say: a 0.9 bucket
+    should be ~90% positive, else thresholding at 0.9 keeps the wrong
+    docs): `score_col` is an integer ppm confidence in [0, 10⁶],
+    `label_col` ∈ {0,1} the outcome.
+
+    Equal-width binning pinned in integers: bin = least(score·B div 10⁶,
+    B−1) (a perfect 10⁶ joins the top bin). Per bin → one row
+    (bin, n, conf_ppm, acc_ppm, gap_ppm): mean confidence (floor div),
+    empirical positive rate, |conf − acc|. `expected_calibration_error`
+    folds this to the headline scalar.
+
+    Scale shape: ONE map-side-combined groupBy on the bin key — B
+    partial rows per task regardless of corpus size; no joins, no
+    window, no Python.
+
+    No counterpart in the reference (no ML layer; /root/reference empty
+    per SURVEY §0); normative source is the public ECE literature."""
+    if bins < 1:
+        raise ValueError("calibration_report: bins must be >= 1")
+    s = F.col(score_col).cast("long")
+    bin_ = F.least(F.expr(f"{score_col} * {int(bins)} div 1000000"), F.lit(int(bins) - 1))
+    return (
+        scored.groupBy(bin_.cast("long").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(s).alias("__ss"),
+            F.sum(F.col(label_col).cast("long")).alias("__sl"),
+        )
+        .select(
+            "bin",
+            "n",
+            F.expr("__ss div n").alias("conf_ppm"),
+            F.expr("__sl * 1000000 div n").alias("acc_ppm"),
+            F.abs(F.expr("__ss div n") - F.expr("__sl * 1000000 div n")).alias("gap_ppm"),
+        )
+    )
+
+
+def expected_calibration_error(
+    scored: DataFrame,
+    score_col: str = "score_ppm",
+    label_col: str = "label",
+    bins: int = 10,
+) -> DataFrame:
+    """→ ONE row (n, ece_ppm, mce_ppm): ECE = Σ_b n_b·gap_b div N (the
+    bin-weighted mean calibration gap), MCE = max_b gap_b. Exact
+    integers over `calibration_report`'s table — the report's B rows
+    fold driver-free into the scalar."""
+    rep = calibration_report(scored, score_col, label_col, bins)
+    return rep.agg(
+        F.sum("n").alias("n"),
+        F.expr("sum(n * gap_ppm) div sum(n)").alias("ece_ppm"),
+        F.max("gap_ppm").alias("mce_ppm"),
+    )

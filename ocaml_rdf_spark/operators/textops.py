@@ -2373,3 +2373,90 @@ def dup_span_extents(docs: DataFrame, w: int = 8) -> DataFrame:
         (F.max("i") + F.lit(w - 1)).cast("long").alias("span_end"),
         F.count(F.lit(1)).alias("n_dup_windows"),
     ).select("doc_id", "span_start", "span_end", "n_dup_windows")
+
+
+def sentence_langs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-SENTENCE language ID over the pinned segmenter → (doc_id,
+    sent_id, lang_guess, top_hits): `lang_id`'s stopword-ratio vote
+    applied to each `sentence_spans` sentence instead of the whole
+    document. Document-level language ID silently mislabels
+    code-switched pages (boilerplate in one language wrapping content
+    in another — navigation chrome, quoted sources, bilingual product
+    pages), and multilingual corpus curation (the CCNet recipe) splits
+    by SEGMENT language for exactly that reason.
+
+    Same pinned vote as lang_id: hits = sentence tokens in each
+    language's stopword list, winner = max hits with alphabetical
+    tie-break, zero hits → 'und' (short/technical sentences abstain
+    rather than guess).
+
+    Scale shape: sentence_spans is scan-local (no shuffle — the prefix
+    sum rides the sentence array) and the vote is per-row array
+    algebra, so the whole operator is map-only whole-stage codegen."""
+    sp = sentence_spans(docs, text_col=text_col, id_col=id_col).select(
+        "doc_id", "sent_id", "sent"
+    )
+    w = words(F.col("sent"))
+    langs = sorted(LANG_STOPWORDS)
+
+    def hits(sw):
+        # closure factory: a default-arg lambda would read as 2-parameter
+        # to F.filter's arity probe and receive the element INDEX
+        return F.size(F.filter(w, lambda x: F.lower(x).isin(*sw)))
+
+    scores = [
+        hits(sw).alias(f"s_{lg}") for lg, sw in sorted(LANG_STOPWORDS.items())
+    ]
+    d = sp.select("doc_id", "sent_id", *scores)
+    best = F.greatest(*[F.col(f"s_{lg}") for lg in langs])
+    guess = F.coalesce(*[F.when(F.col(f"s_{lg}") == best, F.lit(lg)) for lg in langs])
+    return d.select(
+        "doc_id",
+        "sent_id",
+        F.when(best > 0, guess).otherwise(F.lit("und")).alias("lang_guess"),
+        best.cast("long").alias("top_hits"),
+    )
+
+
+def code_switch_report(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Document-level code-switching summary over `sentence_langs` →
+    (doc_id, n_sents, n_langs, dom_lang, dom_sents, switched): among
+    sentences with a CONFIDENT vote (lang ≠ 'und'), the count, the
+    distinct-language count, the dominant language (most sentences,
+    alphabetical tie-break — pinned), its sentence count, and
+    switched = 1 iff ≥ 2 languages appear. Docs whose every sentence
+    abstained emit no row (nothing to report — same absent-row rule as
+    lm_score on short docs).
+
+    The `switched` flag is the routing bit: monolingual docs flow to
+    their language's pipeline, switched docs to segment-level handling
+    (per-sentence splits, or exclusion for monolingual training mixes).
+
+    Scale shape: map-only sentence voting + per-(doc, lang) count +
+    per-doc fold — two map-side-combined aggs sharing the doc_id key,
+    reduce state ≤ |languages| rows per doc, no joins, no windows."""
+    sl = sentence_langs(docs, text_col=text_col, id_col=id_col).filter(
+        F.col("lang_guess") != "und"
+    )
+    per_lang = sl.groupBy("doc_id", "lang_guess").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        per_lang.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_sents"),
+            F.count(F.lit(1)).alias("n_langs"),
+            F.expr("min_by(lang_guess, struct(-cnt, lang_guess))").alias("dom_lang"),
+            F.max("cnt").alias("dom_sents"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_sents").cast("long").alias("n_sents"),
+            F.col("n_langs").cast("long").alias("n_langs"),
+            "dom_lang",
+            F.col("dom_sents").cast("long").alias("dom_sents"),
+            F.when(F.col("n_langs") > 1, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("switched"),
+        )
+    )

@@ -357,6 +357,58 @@ def transe_scores(
     )
 
 
+def distmult_scores(
+    triples: DataFrame,
+    ent_emb: DataFrame,
+    rel_emb: DataFrame | None = None,
+    scale: int = 10_000,
+) -> DataFrame:
+    """DistMult plausibility scoring (Yang et al., ICLR 2015): score(s,p,o)
+    = Σᵢ e_s[i]·r_p[i]·e_o[i] — the multiplicative (bilinear-diagonal)
+    counterpart of `transe_scores`' additive energy. The two models rank
+    DIFFERENT relation families well (TransE favors translational 1-to-1
+    relations, DistMult favors symmetric similarity-like relations), so
+    fusion reranking runs both and feeds `rrf_fuse`; sharing the join
+    shape here makes that a column swap, not a new pipeline.
+
+    triples: (s_lex, pred, o_lex); ent_emb: (ent, embedding);
+    rel_emb: (pred, embedding) or None for the all-ones relation (score
+    degenerates to the raw inner product ⟨e_s, e_o⟩ — embedding
+    similarity, DistMult's symmetric core).
+
+    All math in double after exact float widening, summed left-to-right
+    by F.aggregate (the ann.py discipline — bit-identical to DuckDB's
+    list fold), exposed as integer ×scale. Output: (s_lex, pred, o_lex,
+    score_x1e4).
+
+    Scale shape: identical to transe_scores — two entity-keyed hash
+    joins against the embedding dictionary (broadcast when it fits) +
+    one |predicates|-row broadcast; scoring is codegen'd array algebra,
+    no Python, no shuffle beyond the joins."""
+    se = ent_emb.select(F.col("ent").alias("s_lex"), F.col("embedding").alias("__se"))
+    oe = ent_emb.select(F.col("ent").alias("o_lex"), F.col("embedding").alias("__oe"))
+    j = triples.join(se, "s_lex").join(oe, "o_lex")
+    if rel_emb is not None:
+        re_ = rel_emb.select("pred", F.col("embedding").alias("__re"))
+        j = j.join(F.broadcast(re_), "pred")
+        gated = F.zip_with(
+            F.col("__se"), F.col("__re"), lambda x, y: x.cast("double") * y.cast("double")
+        )
+    else:
+        gated = F.transform(F.col("__se"), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(gated, F.col("__oe"), lambda x, y: x * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return j.select(
+        "s_lex",
+        "pred",
+        "o_lex",
+        F.round(dot * int(scale)).cast("long").alias("score_x1e4"),
+    )
+
+
 def rank_eval(scored: DataFrame, k_list: tuple = (1, 3, 10)) -> DataFrame:
     """Link-prediction ranking metrics (the standard KG-embedding eval:
     MRR + Hits@k under the filtered protocol): `scored` holds one row

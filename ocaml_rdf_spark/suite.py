@@ -12313,3 +12313,214 @@ FROM base b JOIN small s USING (nation, segment, band)
 """
 
 QUERIES["privacy_suppress"] = (q_privacy_suppress, SQL_PRIVACY_SUPPRESS)
+
+
+def q_lang_spans(spark, sf):
+    """Per-sentence language ID (the code-switch substrate): lang_id's
+    stopword vote applied to each pinned-segmenter sentence. Map-only —
+    segmentation, token votes, and the alphabetical tie-break all ride
+    the sentence array; no shuffle, no Python."""
+    from .operators.textops import sentence_langs
+
+    return sentence_langs(_docs(spark, sf))
+
+
+_LANG_SPANS_BASE = """
+WITH pieces AS (
+  SELECT doc_id,
+         str_split(regexp_replace(text, '([.!?]+)[ \t\n\r]+', '\\1' || chr(30), 'g'),
+                   chr(30)) AS p
+  FROM documents
+),
+kept AS (
+  SELECT doc_id, list_filter(list_transform(p, x -> trim(x)), x -> x <> '') AS s
+  FROM pieces
+),
+ex AS (
+  SELECT doc_id, unnest(generate_series(1, len(s))) AS i, s
+  FROM kept WHERE len(s) > 0
+),
+scored AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS sent_id,
+    len(list_filter(string_split_regex(trim(s[i]), ' +'), x -> lower(x) IN ({de}))) AS s_de,
+    len(list_filter(string_split_regex(trim(s[i]), ' +'), x -> lower(x) IN ({en}))) AS s_en,
+    len(list_filter(string_split_regex(trim(s[i]), ' +'), x -> lower(x) IN ({fr}))) AS s_fr
+  FROM ex
+),
+voted AS (
+  SELECT doc_id, sent_id,
+    CASE WHEN greatest(s_de, s_en, s_fr) = 0 THEN 'und'
+         WHEN s_de = greatest(s_de, s_en, s_fr) THEN 'de'
+         WHEN s_en = greatest(s_de, s_en, s_fr) THEN 'en'
+         ELSE 'fr' END AS lang_guess,
+    CAST(greatest(s_de, s_en, s_fr) AS BIGINT) AS top_hits
+  FROM scored
+)
+"""
+
+
+SQL_LANG_SPANS = (
+    _LANG_SPANS_BASE.format(de=_SW_DE, en=_SW_EN, fr=_SW_FR)
+    + "SELECT doc_id, sent_id, lang_guess, top_hits FROM voted"
+)
+
+QUERIES["lang_spans"] = (q_lang_spans, SQL_LANG_SPANS)
+
+
+def q_code_switch(spark, sf):
+    """Document code-switching report over the per-sentence votes:
+    confident-sentence count, distinct languages, dominant language
+    (most sentences, alphabetical tie-break), switched flag. Two
+    map-side-combined aggs sharing the doc_id key; all-abstain docs
+    emit no row."""
+    from .operators.textops import code_switch_report
+
+    return code_switch_report(_docs(spark, sf))
+
+
+SQL_CODE_SWITCH = (
+    _LANG_SPANS_BASE.format(de=_SW_DE, en=_SW_EN, fr=_SW_FR)
+    + """,
+conf AS (SELECT doc_id, lang_guess, COUNT(*) AS cnt
+         FROM voted WHERE lang_guess <> 'und' GROUP BY 1, 2),
+mx AS (SELECT doc_id, MAX(cnt) AS mx_cnt FROM conf GROUP BY doc_id)
+SELECT c.doc_id,
+       CAST(SUM(c.cnt) AS BIGINT) AS n_sents,
+       CAST(COUNT(*) AS BIGINT) AS n_langs,
+       MIN(CASE WHEN c.cnt = m.mx_cnt THEN c.lang_guess END) AS dom_lang,
+       CAST(MAX(c.cnt) AS BIGINT) AS dom_sents,
+       CAST(CASE WHEN COUNT(*) > 1 THEN 1 ELSE 0 END AS BIGINT) AS switched
+FROM conf c JOIN mx m USING (doc_id)
+GROUP BY c.doc_id
+"""
+)
+
+QUERIES["code_switch"] = (q_code_switch, SQL_CODE_SWITCH)
+
+
+def q_calibration(spark, sf):
+    """Reliability table of a synthetic order-priority 'confidence':
+    score_ppm from the orderkey hash (uniform over bins), label = the
+    order actually being high-priority. ONE map-side-combined groupBy
+    on the bin key."""
+    from .operators.stats import calibration_report
+
+    od = spark.read.parquet(f"{sf}/orders.parquet")
+    scored = od.select(
+        ((F.col("o_orderkey") * 37 % 101) * 10000).cast("long").alias("score_ppm"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0).alias("label"),
+    )
+    return calibration_report(scored)
+
+
+SQL_CALIBRATION = """
+WITH scored AS (
+  SELECT CAST((o_orderkey * 37 % 101) * 10000 AS BIGINT) AS score_ppm,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS label
+  FROM orders
+),
+b AS (
+  SELECT least(score_ppm * 10 // 1000000, 9) AS bin,
+         COUNT(*) AS n, SUM(score_ppm) AS ss, SUM(label) AS sl
+  FROM scored GROUP BY 1
+)
+SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
+       CAST(ss // n AS BIGINT) AS conf_ppm,
+       CAST(sl * 1000000 // n AS BIGINT) AS acc_ppm,
+       CAST(abs(ss // n - sl * 1000000 // n) AS BIGINT) AS gap_ppm
+FROM b
+"""
+
+QUERIES["calibration"] = (q_calibration, SQL_CALIBRATION)
+
+
+def q_distmult_rank(spark, sf):
+    """DistMult bilinear ranking of consecutive-id embedding pairs with
+    vec 0's embedding standing in as the relation vector: top-20 most
+    plausible 'urn:p:rel' facts — the multiplicative sibling of
+    transe_rank (same joins, swapped algebra)."""
+    from .operators.walks import distmult_scores
+
+    e = _embs(spark, sf)
+    ent_emb = e.select(
+        F.concat(F.lit("urn:v:"), F.col("vec_id").cast("string")).alias("ent"),
+        "embedding",
+    )
+    rel_emb = e.filter(F.col("vec_id") == 0).select(
+        F.lit("urn:p:rel").alias("pred"), "embedding"
+    )
+    ids = e.select("vec_id")
+    pairs = (
+        ids.alias("a")
+        .join(ids.alias("b"), F.col("b.vec_id") == F.col("a.vec_id") + 1)
+        .select(
+            F.concat(F.lit("urn:v:"), F.col("a.vec_id").cast("string")).alias("s_lex"),
+            F.lit("urn:p:rel").alias("pred"),
+            F.concat(F.lit("urn:v:"), F.col("b.vec_id").cast("string")).alias("o_lex"),
+        )
+    )
+    out = distmult_scores(pairs, ent_emb, rel_emb)
+    return out.orderBy(F.desc("score_x1e4"), F.asc("s_lex")).limit(20)
+
+
+SQL_DISTMULT_RANK = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+r AS (SELECT emb AS er FROM e WHERE vec_id = 0),
+p AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib, a.emb AS ea, b.emb AS eb, r.er AS er
+  FROM e a JOIN e b ON b.vec_id = a.vec_id + 1 CROSS JOIN r
+)
+SELECT 'urn:v:' || CAST(ia AS VARCHAR) AS s_lex, 'urn:p:rel' AS pred,
+       'urn:v:' || CAST(ib AS VARCHAR) AS o_lex,
+       CAST(round(10000 * list_aggregate(
+         list_transform(range(1, len(ea) + 1), i -> ea[i] * er[i] * eb[i]), 'sum'
+       )) AS BIGINT) AS score_x1e4
+FROM p ORDER BY score_x1e4 DESC, s_lex ASC LIMIT 20
+"""
+
+QUERIES["distmult_rank"] = (q_distmult_rank, SQL_DISTMULT_RANK)
+
+
+def q_coverage_pick(spark, sf):
+    """Greedy max-coverage selection of 3 documents by fresh 3-gram
+    count — the submodular diverse-subset pick (near-dups of a pick
+    carry ~zero marginal gain). Three rounds of count + 1-row argmax +
+    corpus-wide covered-gram anti join."""
+    from .operators.selection import coverage_select
+
+    return coverage_select(_docs(spark, sf), k=3, w=3)
+
+
+def _sql_coverage_pick(rounds: int = 3) -> str:
+    parts = ["""
+WITH toks AS (
+  SELECT doc_id,
+         str_split(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS t
+  FROM documents
+),
+g0 AS MATERIALIZED (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+        FROM toks WHERE len(t) >= 3)
+)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+p{r} AS MATERIALIZED (
+  SELECT CAST({r} AS BIGINT) AS round, doc_id, CAST(COUNT(*) AS BIGINT) AS gain
+  FROM g{r - 1} GROUP BY doc_id ORDER BY gain DESC, doc_id ASC LIMIT 1
+),
+g{r} AS MATERIALIZED (
+  SELECT doc_id, g FROM g{r - 1}
+  WHERE g NOT IN (SELECT g FROM g{r - 1}
+                  WHERE doc_id IN (SELECT doc_id FROM p{r}))
+)""")
+    sel = " UNION ALL ".join(f"SELECT * FROM p{r}" for r in range(1, rounds + 1))
+    parts.append("\n" + sel)
+    return "".join(parts)
+
+
+SQL_COVERAGE_PICK = _sql_coverage_pick(3)
+
+QUERIES["coverage_pick"] = (q_coverage_pick, SQL_COVERAGE_PICK)

@@ -1569,6 +1569,49 @@ def main() -> None:
             ("no cartesian product", r"CartesianProduct", "absent"),
             ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
         ]),
+        ("lang_spans", [
+            # segmentation + per-sentence votes ride the sentence array —
+            # the whole operator is one scan-local Generate
+            ("sentence explode present", r"Generate"),
+            ("no shuffle at all", r"Exchange", "absent"),
+            ("no join at all", r"Join", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
+        ("code_switch", [
+            # two aggs sharing the doc_id key: per-(doc,lang) count partials
+            # combine map-side, the doc fold reuses the same partitioning
+            ("per-lang agg map-side combined", r"HashAggregate|SortAggregate"),
+            ("no join at all", r"Join", "absent"),
+            ("no window over the corpus", r"Window", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
+        ("calibration", [
+            # ONE map-side-combined groupBy on the bin key; B rows out
+            ("bin agg map-side combined", r"HashAggregate|SortAggregate"),
+            ("no join at all", r"Join", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
+        ("distmult_rank", [
+            # two entity-keyed hash joins + the 1-row relation broadcast;
+            # top-20 via per-partition top-k, never a full sort
+            ("entity joins are hash", r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"),
+            ("top-k, no full sort", r"TakeOrderedAndProject"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
+        ("coverage_pick", [
+            # per-round: map-side-combined gain count + covered-gram hash
+            # anti join; the anti join lives BEHIND each round's
+            # localCheckpoint boundary (the fixpoint-family shape), so the
+            # visible tail is checkpoint scans + the pick aggs — assert
+            # those plus the absence of any degenerate join form
+            ("gain agg map-side combined", r"HashAggregate|SortAggregate"),
+            ("checkpointed fixpoint tail", r"ExistingRDD"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
     ]
 
     # optional argv name filter: `python scripts/plan_audit.py q1 q2` audits
