@@ -639,3 +639,155 @@ def expected_calibration_error(
         F.expr("sum(n * gap_ppm) div sum(n)").alias("ece_ppm"),
         F.max("gap_ppm").alias("mce_ppm"),
     )
+
+
+def dawid_skene(
+    labels: DataFrame,
+    iters: int = 2,
+    scale: int = 1_000_000,
+    pseudo_ppm: int = 50_000,
+) -> DataFrame:
+    """Dawid-Skene label aggregation (Dawid & Skene 1979 — THE
+    crowd-label quality model, and the standard upgrade from majority
+    vote: raters have per-class confusion rates, so a consistent
+    minority rater can outvote a sloppy majority): EM over item class
+    posteriors and per-rater confusion matrices.
+
+    Input (item, rater, label) — `cohen_kappa`'s table; duplicate
+    labels by one rater for one item collapse to the MIN label (same
+    pinned rule). Output: (item, cls, post_ppm), the class posterior per
+    item in exact scaled integers; `ds_hard_labels` folds to the argmax
+    decision.
+
+    Integer-exact EM (the truth_discovery/simrank precedent — floats
+    never cross an engine boundary):
+      init    post⁰(i,c) = scale·cnt(i,c) div n_i          [vote shares]
+      M-step  prior(c)   = scale·Σᵢ post(i,c) div Σᵢ,ᶜ post
+              conf(r,c,l)= scale·(num + σ) div (den + K·σ)
+                           [σ = pseudo_ppm, default 0.05 pseudo-counts
+                            of Laplace smoothing — a never-seen
+                            (class, label) cell must not zero out a
+                            whole posterior product, but a FULL
+                            pseudo-count swamps the reliability signal
+                            on protocol-sized rater pools and EM then
+                            never overturns a wrong majority (measured:
+                            σ = scale never converges on the mirror
+                            fixture; σ = scale/20 recovers every
+                            contested item by round 6)]
+      E-step  post'(i,c) ∝ fold over i's labels sorted by rater:
+                           acc ← acc·conf(r,c,l) div scale, acc₀ = prior(c)
+              (per-step floor rescale keeps every acc a BIGINT; the
+               left-to-right fold is mirrored by DuckDB list_reduce)
+              normalized to ppm; an all-zero row (posterior underflow)
+              falls back to the prior (pinned).
+
+    Scale shape: K (label vocabulary) is schema-sized, so the confusion
+    table is |raters|·K² rows and the posterior frame |items|·K; per EM
+    round: one item-keyed join + two map-side-combined aggs for the
+    M-step, one (rater,label)-keyed hash join + one item-keyed
+    collect_list agg (group size = raters per item, bounded by the
+    labeling protocol) for the E-step. The only BNLJ is the 1-row
+    prior-total broadcast (the dsir precedent). K and the EM round
+    count are driver constants; nothing grows with corpus size except
+    the item-keyed frames themselves.
+
+    No counterpart in the reference (no labeling layer; /root/reference
+    empty per SURVEY §0) — public literature only."""
+    if iters < 1:
+        raise ValueError("dawid_skene: iters must be >= 1")
+    lab = labels.groupBy("item", "rater").agg(F.min("label").alias("label"))
+    # reused every round on both sides of the EM — pin it once
+    lab = lab.localCheckpoint(eager=False)
+    classes = lab.select(F.col("label").alias("cls")).distinct()
+    k = classes.count()  # driver scalar: label vocabulary size (schema-sized)
+    items = lab.select("item").distinct()
+    n_i = lab.groupBy("item").agg(F.count(F.lit(1)).alias("__n"))
+    cnt = lab.groupBy("item", F.col("label").alias("cls")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    post = (
+        items.join(F.broadcast(classes))
+        .join(cnt, ["item", "cls"], "left")
+        .join(n_i, "item")
+        .select(
+            "item",
+            "cls",
+            F.expr(f"coalesce(__c, 0) * CAST({scale} AS BIGINT) div __n")
+            .alias("post_ppm"),
+        )
+    )
+    for _ in range(int(iters)):
+        tot = post.agg(F.sum("post_ppm").alias("__t"))
+        prior = (
+            post.groupBy("cls")
+            .agg(F.sum("post_ppm").alias("__sp"))
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "cls",
+                F.expr(f"CAST({scale} AS BIGINT) * __sp div greatest(__t, 1)")
+                .alias("prior_ppm"),
+            )
+        )
+        num = (
+            lab.join(post, "item")
+            .groupBy("rater", "cls", "label")
+            .agg(F.sum("post_ppm").alias("__nx"))
+        )
+        den = num.groupBy("rater", "cls").agg(F.sum("__nx").alias("__dx"))
+        conf = num.join(den, ["rater", "cls"]).select(
+            "rater",
+            "cls",
+            "label",
+            F.expr(
+                f"CAST({scale} AS BIGINT) * (__nx + {int(pseudo_ppm)})"
+                f" div (__dx + {k} * {int(pseudo_ppm)})"
+            ).alias("conf_ppm"),
+        )
+        contrib = lab.join(conf, ["rater", "label"])
+        folded = (
+            contrib.groupBy("item", "cls")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("rater", "conf_ppm"))
+                ).alias("__cs")
+            )
+            .join(F.broadcast(prior), "cls")
+            .select(
+                "item",
+                "cls",
+                F.expr(
+                    "aggregate(transform(__cs, x -> x.conf_ppm), prior_ppm,"
+                    f" (a, x) -> a * x div {scale})"
+                ).alias("__acc"),
+            )
+        )
+        tot_i = folded.groupBy("item").agg(F.sum("__acc").alias("__ti"))
+        post = (
+            folded.join(tot_i, "item")
+            .join(F.broadcast(prior), "cls")
+            .select(
+                "item",
+                "cls",
+                F.when(
+                    F.col("__ti") > 0,
+                    F.expr(f"CAST({scale} AS BIGINT) * __acc div __ti"),
+                )
+                .otherwise(F.col("prior_ppm"))
+                .cast("long")
+                .alias("post_ppm"),
+            )
+        )
+        # each round reads `post` on three paths (prior, num, normalize) —
+        # without a checkpoint the plan doubles per EM round
+        post = post.localCheckpoint(eager=False)
+    return post
+
+
+def ds_hard_labels(posteriors: DataFrame) -> DataFrame:
+    """Argmax decision over `dawid_skene` posteriors → (item, label_hat,
+    post_ppm); ties break on the smaller class (pinned). One
+    map-side-combined item agg."""
+    return posteriors.groupBy("item").agg(
+        F.expr("min_by(cls, struct(-post_ppm, cls))").alias("label_hat"),
+        F.max("post_ppm").alias("post_ppm"),
+    )

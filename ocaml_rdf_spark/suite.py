@@ -12524,3 +12524,94 @@ g{r} AS MATERIALIZED (
 SQL_COVERAGE_PICK = _sql_coverage_pick(3)
 
 QUERIES["coverage_pick"] = (q_coverage_pick, SQL_COVERAGE_PICK)
+
+
+def q_dawid_skene(spark, sf):
+    """Dawid-Skene EM posteriors (1 round, pinned integers) over a
+    planted 3-rater panel on 100 items derived from orders: rater acc
+    always matches the item's true class, nb flips on item%4==1, nc on
+    item%5==2 — items ≡ 17 (mod 20) have a WRONG majority that the
+    learned confusion matrices must down-weight. K=2 classes keep the
+    confusion table schema-sized."""
+    from .operators.stats import dawid_skene
+
+    od = spark.read.parquet(f"{sf}/orders.parquet")
+    it = od.select((F.col("o_orderkey") % 100).alias("i")).distinct()
+    t = F.when(F.col("i") % 3 == 0, F.lit("A")).otherwise(F.lit("B"))
+    flip = F.when(t == "A", F.lit("B")).otherwise(F.lit("A"))
+    item = F.concat(F.lit("i"), F.lpad(F.col("i").cast("string"), 3, "0"))
+    labels = (
+        it.select(item.alias("item"), F.lit("acc").alias("rater"), t.alias("label"))
+        .unionByName(it.select(
+            item.alias("item"), F.lit("nb").alias("rater"),
+            F.when(F.col("i") % 4 == 1, flip).otherwise(t).alias("label")))
+        .unionByName(it.select(
+            item.alias("item"), F.lit("nc").alias("rater"),
+            F.when(F.col("i") % 5 == 2, flip).otherwise(t).alias("label")))
+    )
+    return dawid_skene(labels, iters=1)
+
+
+SQL_DAWID_SKENE = """
+WITH it AS (SELECT DISTINCT o_orderkey % 100 AS i FROM orders),
+src AS (
+  SELECT 'i' || lpad(CAST(i AS VARCHAR), 3, '0') AS item, 'acc' AS rater,
+         CASE WHEN i % 3 = 0 THEN 'A' ELSE 'B' END AS label FROM it
+  UNION ALL
+  SELECT 'i' || lpad(CAST(i AS VARCHAR), 3, '0'), 'nb',
+         CASE WHEN i % 4 = 1 THEN (CASE WHEN i % 3 = 0 THEN 'B' ELSE 'A' END)
+              ELSE (CASE WHEN i % 3 = 0 THEN 'A' ELSE 'B' END) END FROM it
+  UNION ALL
+  SELECT 'i' || lpad(CAST(i AS VARCHAR), 3, '0'), 'nc',
+         CASE WHEN i % 5 = 2 THEN (CASE WHEN i % 3 = 0 THEN 'B' ELSE 'A' END)
+              ELSE (CASE WHEN i % 3 = 0 THEN 'A' ELSE 'B' END) END FROM it
+),
+lab AS MATERIALIZED (SELECT item, rater, MIN(label) AS label FROM src GROUP BY 1, 2),
+classes AS (SELECT DISTINCT label AS cls FROM lab),
+kk AS (SELECT COUNT(*) AS k FROM classes),
+n_i AS (SELECT item, COUNT(*) AS n FROM lab GROUP BY 1),
+cnt AS (SELECT item, label AS cls, COUNT(*) AS c FROM lab GROUP BY 1, 2),
+post0 AS MATERIALIZED (
+  SELECT i.item, cl.cls,
+         COALESCE(c.c, 0) * CAST(1000000 AS BIGINT) // n.n AS p
+  FROM (SELECT DISTINCT item FROM lab) i
+  CROSS JOIN classes cl
+  LEFT JOIN cnt c ON c.item = i.item AND c.cls = cl.cls
+  JOIN n_i n ON n.item = i.item
+),
+tot AS (SELECT SUM(p) AS t FROM post0),
+prior AS MATERIALIZED (
+  SELECT cls, CAST(1000000 AS BIGINT) * SUM(p) // greatest((SELECT t FROM tot), 1) AS prior
+  FROM post0 GROUP BY cls
+),
+num AS (
+  SELECT l.rater, p.cls, l.label, SUM(p.p) AS nx
+  FROM lab l JOIN post0 p ON p.item = l.item GROUP BY 1, 2, 3
+),
+den AS (SELECT rater, cls, SUM(nx) AS dx FROM num GROUP BY 1, 2),
+conf AS MATERIALIZED (
+  SELECT n.rater, n.cls, n.label,
+         CAST(1000000 AS BIGINT) * (n.nx + 50000)
+           // (d.dx + (SELECT k FROM kk) * 50000) AS cp
+  FROM num n JOIN den d ON d.rater = n.rater AND d.cls = n.cls
+),
+contrib AS (
+  SELECT l.item, c.cls, l.rater, c.cp
+  FROM lab l JOIN conf c ON c.rater = l.rater AND c.label = l.label
+),
+arrs AS (SELECT item, cls, list(CAST(cp AS BIGINT) ORDER BY rater) AS cs
+         FROM contrib GROUP BY 1, 2),
+folded AS MATERIALIZED (
+  SELECT a.item, a.cls,
+         list_reduce(list_prepend(CAST(p.prior AS BIGINT), a.cs),
+                     (ac, x) -> ac * x // 1000000) AS acc
+  FROM arrs a JOIN prior p USING (cls)
+),
+ti AS (SELECT item, SUM(acc) AS ti FROM folded GROUP BY 1)
+SELECT f.item, f.cls,
+       CASE WHEN t.ti > 0 THEN CAST(CAST(1000000 AS BIGINT) * f.acc // t.ti AS BIGINT)
+            ELSE CAST(p.prior AS BIGINT) END AS post_ppm
+FROM folded f JOIN ti t USING (item) JOIN prior p USING (cls)
+"""
+
+QUERIES["dawid_skene"] = (q_dawid_skene, SQL_DAWID_SKENE)

@@ -1600,6 +1600,15 @@ def main() -> None:
             ("no cartesian product", r"CartesianProduct", "absent"),
             ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
         ]),
+        ("dawid_skene", [
+            # the EM rounds (hash joins + map-side-combined aggs + the
+            # 1-row prior-total broadcast) live behind the per-round
+            # localCheckpoint — the visible tail is the checkpointed
+            # posterior frame (the fixpoint-family audit shape)
+            ("checkpointed EM tail", r"ExistingRDD"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
         ("coverage_pick", [
             # per-round: map-side-combined gain count + covered-gram hash
             # anti join; the anti join lives BEHIND each round's
