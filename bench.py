@@ -315,6 +315,15 @@ def main() -> None:
         "dup_extents",
         "node2vec",
         "hilbert",
+        "privacy_k_anon",
+        "privacy_suppress",
+        "lang_spans",
+        "code_switch",
+        "calibration",
+        "distmult_rank",
+        "coverage_pick",
+        "dawid_skene",
+        "cdc_chunks",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

@@ -2460,3 +2460,96 @@ def code_switch_report(
             F.when(F.col("n_langs") > 1, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("switched"),
         )
     )
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    w: int = 4,
+    mod: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking (the LBFS/rsync/FastCDC anchor trick,
+    Muthitacharoen et al. SOSP'01 — chunk boundaries from the CONTENT,
+    not from fixed offsets, so an insertion early in a document shifts
+    only the chunk it lands in: every later boundary re-aligns and
+    those chunks keep their hashes, which is what makes chunk-level
+    storage dedup work across near-identical crawls of the same page):
+    a boundary opens before token i (i ≥ 2) iff the w-token window
+    starting at i hashes to 0 mod `mod` — expected chunk length ≈ mod
+    tokens. Gear/Rabin rolling hashes are a streaming-cost trick; the
+    pinned equivalent here is the corpus-wide md5 w-gram hash (the
+    `fingerprint`/`winnow` anchor discipline) — same boundaries, exact
+    cross-engine mirror.
+
+    Output: (doc_id, chunk_ix, start_tok, end_tok, n_toks, chunk_hash)
+    with 1-based inclusive token coordinates in the corpus-normalized
+    `_norm_tokens` stream (the postings/sentence-spans coordinate
+    system) and chunk_hash = md5 of the chunk's space-joined tokens.
+    Docs shorter than w tokens form one chunk. `dup_extents` reports
+    duplicated REGIONS for cutting; cdc_chunks partitions EVERY token
+    into stable-identity units for chunk-store dedup — the two compose
+    (dedup the store, then cut what remains duplicated).
+
+    Scale shape: entirely scan-local — anchor positions, boundary
+    arrays, and per-chunk hashes all ride the token array (filter/
+    transform/slice algebra), then ONE posexplode; no shuffle, no
+    window, no Python. Downstream chunk-store dedup is one
+    chunk_hash-keyed map-side-combined agg."""
+    if w < 1:
+        raise ValueError("cdc_chunks: w must be >= 1")
+    if mod < 1:
+        raise ValueError("cdc_chunks: mod must be >= 1")
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), _norm_tokens(text_col).alias("__t")
+    )
+    n = "size(__t)"
+    gram = f"concat_ws(' ', slice(__t, i, {int(w)}))"
+    anchor = (
+        f"CAST(conv(substring(md5({gram}), 1, 15), 16, 10) AS BIGINT)"
+        f" % {int(mod)} = 0"
+    )
+    staged = (
+        toks.select(
+            "doc_id",
+            "__t",
+            # boundary candidates: window starts 2..n-w+1 (Spark sequence
+            # DESCENDS when stop < start, so short docs need the guard)
+            F.expr(
+                f"CASE WHEN {n} - {int(w)} + 1 >= 2 THEN "
+                f"filter(sequence(2, {n} - {int(w)} + 1), i -> {anchor}) "
+                "ELSE array() END"
+            ).alias("__a"),
+        )
+        .select(
+            "doc_id",
+            "__t",
+            F.expr("concat(array(1), __a)").alias("__b"),
+        )
+        .select(
+            "doc_id",
+            "__t",
+            "__b",
+            F.expr(
+                "transform(sequence(1, size(__b)), j -> CASE WHEN j < size(__b)"
+                f" THEN element_at(__b, j + 1) - 1 ELSE {n} END)"
+            ).alias("__e"),
+        )
+    )
+    return staged.select(
+        "doc_id", "__t", "__e", F.posexplode("__b").alias("__i", "start_tok")
+    ).select(
+        "doc_id",
+        (F.col("__i") + 1).cast("long").alias("chunk_ix"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.element_at("__e", F.col("__i") + 1).cast("long").alias("end_tok"),
+        (F.element_at("__e", F.col("__i") + 1) - F.col("start_tok") + 1)
+        .cast("long")
+        .alias("n_toks"),
+        F.md5(
+            F.expr(
+                "concat_ws(' ', slice(__t, start_tok,"
+                " element_at(__e, __i + 1) - start_tok + 1))"
+            )
+        ).alias("chunk_hash"),
+    )

@@ -12615,3 +12615,50 @@ FROM folded f JOIN ti t USING (item) JOIN prior p USING (cls)
 """
 
 QUERIES["dawid_skene"] = (q_dawid_skene, SQL_DAWID_SKENE)
+
+
+def q_cdc_chunks(spark, sf):
+    """Content-defined chunk table over documents (w=4 anchor window,
+    expected chunk ~16 tokens): the stable-identity units for
+    chunk-store dedup across near-identical crawls. Entirely
+    scan-local; the downstream dedup is one chunk_hash agg."""
+    from .operators.textops import cdc_chunks
+
+    return cdc_chunks(_docs(spark, sf), w=4, mod=16)
+
+
+SQL_CDC_CHUNKS = """
+WITH toks AS (
+  SELECT doc_id,
+         str_split(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS t
+  FROM documents
+),
+anch AS (
+  SELECT doc_id, t,
+         list_prepend(CAST(1 AS BIGINT), list_filter(
+           generate_series(CAST(2 AS BIGINT), CAST(len(t) - 3 AS BIGINT)),
+           i -> ('0x' || substr(md5(array_to_string(t[i:i+3], ' ')), 1, 15))::BIGINT
+                % 16 = 0)) AS b
+  FROM toks
+),
+ends AS (
+  SELECT doc_id, t, b,
+         list_transform(generate_series(CAST(1 AS BIGINT), CAST(len(b) AS BIGINT)),
+           j -> CASE WHEN j < len(b) THEN b[j + 1] - 1 ELSE CAST(len(t) AS BIGINT) END) AS e
+  FROM anch
+),
+ex AS (
+  SELECT doc_id, t, b, e, unnest(generate_series(1, len(b))) AS j
+  FROM ends
+)
+SELECT doc_id,
+       CAST(j AS BIGINT) AS chunk_ix,
+       CAST(b[j] AS BIGINT) AS start_tok,
+       CAST(e[j] AS BIGINT) AS end_tok,
+       CAST(e[j] - b[j] + 1 AS BIGINT) AS n_toks,
+       md5(array_to_string(t[b[j]:e[j]], ' ')) AS chunk_hash
+FROM ex
+"""
+
+QUERIES["cdc_chunks"] = (q_cdc_chunks, SQL_CDC_CHUNKS)

@@ -1569,6 +1569,14 @@ def main() -> None:
             ("no cartesian product", r"CartesianProduct", "absent"),
             ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
         ]),
+        ("cdc_chunks", [
+            # anchors/boundaries/hashes all ride the token array; ONE
+            # posexplode, no shuffle — the sentence_spans plan family
+            ("chunk explode present", r"Generate"),
+            ("no shuffle at all", r"Exchange", "absent"),
+            ("no join at all", r"Join", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
         ("lang_spans", [
             # segmentation + per-sentence votes ride the sentence array —
             # the whole operator is one scan-local Generate

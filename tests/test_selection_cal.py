@@ -166,3 +166,48 @@ def test_code_switch_report(spark):
         3, 2, "en", 2, 1)
     s = got["mono"]
     assert (s["n_langs"], s["switched"]) == (1, 0)
+
+
+# ------------------------------------------------------------ CDC chunking
+
+
+def test_cdc_chunks_partition_and_coordinates(spark):
+    from ocaml_rdf_spark.operators.textops import cdc_chunks
+
+    docs = spark.createDataFrame(
+        [("d1", "aa bb cc dd ee ff gg hh ii jj"), ("short", "x y")],
+        "doc_id string, text string",
+    )
+    rows = sorted(
+        cdc_chunks(docs, w=3, mod=2).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_ix"]),
+    )
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # chunks tile the doc exactly: start at 1, contiguous, end at n
+    for doc, toks in [("d1", 10), ("short", 2)]:
+        cs = by_doc[doc]
+        assert cs[0]["start_tok"] == 1
+        for a, b in zip(cs, cs[1:]):
+            assert b["start_tok"] == a["end_tok"] + 1
+        assert cs[-1]["end_tok"] == toks
+        assert all(c["n_toks"] == c["end_tok"] - c["start_tok"] + 1 for c in cs)
+    assert len(by_doc["short"]) == 1  # < w tokens -> single chunk
+
+
+def test_cdc_chunks_realign_after_insertion(spark):
+    from ocaml_rdf_spark.operators.textops import cdc_chunks
+
+    base = "the quick brown fox jumps over the lazy dog near the old stone bridge today"
+    edited = "INSERTED " + base  # one token prepended
+    docs = spark.createDataFrame(
+        [("a", base), ("b", edited)], "doc_id string, text string"
+    )
+    rows = cdc_chunks(docs, w=3, mod=4).collect()
+    ha = {r["chunk_hash"] for r in rows if r["doc_id"] == "a"}
+    hb = {r["chunk_hash"] for r in rows if r["doc_id"] == "b"}
+    # content-defined boundaries re-align after the edit: most of a's
+    # chunks survive verbatim in b (fixed-offset chunking would share 0)
+    shared = ha & hb
+    assert len(shared) >= max(1, len(ha) - 2), (ha, hb)
