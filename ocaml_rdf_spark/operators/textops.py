@@ -2509,47 +2509,39 @@ def cdc_chunks(
         f"CAST(conv(substring(md5({gram}), 1, 15), 16, 10) AS BIGINT)"
         f" % {int(mod)} = 0"
     )
-    staged = (
-        toks.select(
-            "doc_id",
-            "__t",
-            # boundary candidates: window starts 2..n-w+1 (Spark sequence
-            # DESCENDS when stop < start, so short docs need the guard)
-            F.expr(
-                f"CASE WHEN {n} - {int(w)} + 1 >= 2 THEN "
-                f"filter(sequence(2, {n} - {int(w)} + 1), i -> {anchor}) "
-                "ELSE array() END"
-            ).alias("__a"),
-        )
-        .select(
-            "doc_id",
-            "__t",
-            F.expr("concat(array(1), __a)").alias("__b"),
-        )
-        .select(
-            "doc_id",
-            "__t",
-            "__b",
-            F.expr(
-                "transform(sequence(1, size(__b)), j -> CASE WHEN j < size(__b)"
-                f" THEN element_at(__b, j + 1) - 1 ELSE {n} END)"
-            ).alias("__e"),
-        )
+    staged = toks.select(
+        "doc_id",
+        "__t",
+        # boundary candidates: window starts 2..n-w+1 (Spark sequence
+        # DESCENDS when stop < start, so short docs need the guard)
+        F.expr(
+            f"concat(array(1), CASE WHEN {n} - {int(w)} + 1 >= 2 THEN "
+            f"filter(sequence(2, {n} - {int(w)} + 1), i -> {anchor}) "
+            "ELSE array() END)"
+        ).alias("__b"),
     )
-    return staged.select(
-        "doc_id", "__t", "__e", F.posexplode("__b").alias("__i", "start_tok")
-    ).select(
+    # materialization barrier BEFORE the explode: GenerateExec re-evaluates
+    # the generator's child expression per OUTPUT row, so posexplode over
+    # the raw __b expression re-runs the O(n·w) md5 anchor sweep once per
+    # CHUNK (measured 11.3s -> 0.14s at sf0.1 with the barrier; a plain
+    # Project restructure does not help — CollapseProject re-inlines it).
+    # localCheckpoint is a local materialization, NOT a shuffle: the
+    # operator stays exchange-free (plan: ExistingRDD -> Generate).
+    staged = staged.localCheckpoint(eager=False)
+    ex = staged.select(
+        "doc_id", "__t", "__b", F.posexplode("__b").alias("__i", "start_tok")
+    )
+    end = (
+        "CASE WHEN __i + 2 <= size(__b) THEN element_at(__b, __i + 2) - 1"
+        f" ELSE {n} END"
+    )
+    return ex.select(
         "doc_id",
         (F.col("__i") + 1).cast("long").alias("chunk_ix"),
         F.col("start_tok").cast("long").alias("start_tok"),
-        F.element_at("__e", F.col("__i") + 1).cast("long").alias("end_tok"),
-        (F.element_at("__e", F.col("__i") + 1) - F.col("start_tok") + 1)
-        .cast("long")
-        .alias("n_toks"),
+        F.expr(end).cast("long").alias("end_tok"),
+        (F.expr(end) - F.col("start_tok") + 1).cast("long").alias("n_toks"),
         F.md5(
-            F.expr(
-                "concat_ws(' ', slice(__t, start_tok,"
-                " element_at(__e, __i + 1) - start_tok + 1))"
-            )
+            F.expr(f"concat_ws(' ', slice(__t, start_tok, ({end}) - start_tok + 1))")
         ).alias("chunk_hash"),
     )
