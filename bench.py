@@ -324,6 +324,7 @@ def main() -> None:
         "coverage_pick",
         "dawid_skene",
         "cdc_chunks",
+        "license_scan",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

@@ -2545,3 +2545,71 @@ def cdc_chunks(
             F.expr(f"concat_ws(' ', slice(__t, start_tok, ({end}) - start_tok + 1))")
         ).alias("chunk_hash"),
     )
+
+
+#: license-signal regexes (family -> pattern over the LOWERCASED body),
+#: each portable across Java regex and RE2 (no lookaround, no backrefs).
+#: Flags are independent hits; `license_flags` applies the precedence.
+LICENSE_SIGNALS = [
+    ("cc_by", r"creativecommons\.org/licenses/|creative commons attribution"),
+    ("cc_nc", r"by-nc|noncommercial|non-commercial"),
+    ("cc_nd", r"by-nc-nd|by-nd|noderiv"),
+    ("cc_sa", r"by-nc-sa|by-sa|sharealike|share-alike"),
+    ("cc0", r"creativecommons\.org/publicdomain/zero|\bcc0\b|public domain dedication"),
+    ("mit", r"\bmit license\b|licensed under the mit"),
+    ("apache", r"apache license,? version 2|apache-2\.0"),
+    ("gpl", r"gnu (lesser general|general) public license|\bl?gplv?[23]\b"),
+    ("arr", r"all rights reserved"),
+]
+
+
+def license_flags(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """License / usage-rights detection (training-data governance: the
+    C4/ROOTS-era audits and the licensed-corpus efforts all start from
+    exactly this — which pages DECLARE terms, before any legal
+    interpretation): the pinned `LICENSE_SIGNALS` battery over the
+    lowercased body — Creative Commons license URLs + phrase forms
+    (attribution / noncommercial / noderivatives / sharealike axes kept
+    as separate flags, since the CC suite is combinatorial), CC0/public-
+    domain dedications, MIT / Apache-2.0 / GPL declarations, and the
+    'all rights reserved' notice.
+
+    → (doc_id, cc_by, cc_nc, cc_nd, cc_sa, cc0, mit, apache, gpl, arr,
+    n_signals, license_guess): one 0/1 flag per signal (independent
+    pattern hits — a page quoting two licenses keeps both flags; the
+    CONFLICT is the governance signal), their sum, and a pinned
+    most-specific-first precedence guess (nc+nd → cc-by-nc-nd, …,
+    plain attribution → cc-by, then cc0, mit, apache-2.0, gpl,
+    all-rights-reserved, else NULL — pages declaring nothing stay
+    NULL rather than guessing 'unlicensed').
+
+    Scale shape: map-only rlike algebra over one scan, zero shuffles at
+    any crawl size; the DuckDB oracle runs the verbatim same patterns."""
+    lo = F.lower(F.col(text_col))
+    flags = [
+        lo.rlike(pat).cast("int").alias(name) for name, pat in LICENSE_SIGNALS
+    ]
+    d = docs.select("doc_id", *flags)
+    c = F.col
+    guess = (
+        F.when((c("cc_nc") == 1) & (c("cc_nd") == 1), "cc-by-nc-nd")
+        .when((c("cc_nc") == 1) & (c("cc_sa") == 1), "cc-by-nc-sa")
+        .when(c("cc_nc") == 1, "cc-by-nc")
+        .when(c("cc_nd") == 1, "cc-by-nd")
+        .when(c("cc_sa") == 1, "cc-by-sa")
+        .when(c("cc_by") == 1, "cc-by")
+        .when(c("cc0") == 1, "cc0")
+        .when(c("mit") == 1, "mit")
+        .when(c("apache") == 1, "apache-2.0")
+        .when(c("gpl") == 1, "gpl")
+        .when(c("arr") == 1, "all-rights-reserved")
+    )
+    total = None
+    for name, _ in LICENSE_SIGNALS:
+        total = c(name) if total is None else total + c(name)
+    return d.select(
+        "doc_id",
+        *[name for name, _ in LICENSE_SIGNALS],
+        total.cast("long").alias("n_signals"),
+        guess.alias("license_guess"),
+    )

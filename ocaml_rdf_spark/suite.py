@@ -12662,3 +12662,85 @@ FROM ex
 """
 
 QUERIES["cdc_chunks"] = (q_cdc_chunks, SQL_CDC_CHUNKS)
+
+
+def q_license_scan(spark, sf):
+    """License / usage-rights battery over a planted corpus: doc_id % 17
+    routes docs to CC URL / CC phrase / CC0 / MIT / Apache / GPL /
+    all-rights-reserved / conflicting declarations; the rest stay
+    unlicensed. Map-only rlike algebra, mirrored verbatim in DuckDB."""
+    from .operators.textops import license_flags
+
+    d = F.col("doc_id")
+    txt = (
+        F.when(d % 17 == 0, F.concat(F.col("text"), F.lit(
+            " Licensed under https://creativecommons.org/licenses/by-nc-nd/4.0/")))
+        .when(d % 17 == 1, F.concat(F.col("text"), F.lit(
+            " Content under Creative Commons Attribution-ShareAlike terms.")))
+        .when(d % 17 == 2, F.concat(F.col("text"), F.lit(
+            " See creativecommons.org/licenses/by/4.0 for reuse.")))
+        .when(d % 17 == 3, F.concat(F.col("text"), F.lit(
+            " Released under the CC0 public domain dedication.")))
+        .when(d % 17 == 4, F.concat(F.col("text"), F.lit(
+            " This page ships under the MIT License.")))
+        .when(d % 17 == 5, F.concat(F.col("text"), F.lit(
+            " Licensed under the Apache License, Version 2.0.")))
+        .when(d % 17 == 6, F.concat(F.col("text"), F.lit(
+            " Distributed under the GNU General Public License v3.")))
+        .when(d % 17 == 7, F.concat(F.col("text"), F.lit(
+            " Copyright Example Corp. All rights reserved.")))
+        .when(d % 17 == 8, F.concat(F.col("text"), F.lit(
+            " All rights reserved. Images: creativecommons.org/licenses/by/2.0.")))
+        .otherwise(F.col("text"))
+    )
+    return license_flags(_docs(spark, sf).withColumn("text", txt))
+
+
+def _sql_license_scan() -> str:
+    from .operators.textops import LICENSE_SIGNALS
+
+    plant = """
+  CASE WHEN doc_id % 17 = 0 THEN text || ' Licensed under https://creativecommons.org/licenses/by-nc-nd/4.0/'
+       WHEN doc_id % 17 = 1 THEN text || ' Content under Creative Commons Attribution-ShareAlike terms.'
+       WHEN doc_id % 17 = 2 THEN text || ' See creativecommons.org/licenses/by/4.0 for reuse.'
+       WHEN doc_id % 17 = 3 THEN text || ' Released under the CC0 public domain dedication.'
+       WHEN doc_id % 17 = 4 THEN text || ' This page ships under the MIT License.'
+       WHEN doc_id % 17 = 5 THEN text || ' Licensed under the Apache License, Version 2.0.'
+       WHEN doc_id % 17 = 6 THEN text || ' Distributed under the GNU General Public License v3.'
+       WHEN doc_id % 17 = 7 THEN text || ' Copyright Example Corp. All rights reserved.'
+       WHEN doc_id % 17 = 8 THEN text || ' All rights reserved. Images: creativecommons.org/licenses/by/2.0.'
+       ELSE text END
+"""
+    flag_cols = ",\n         ".join(
+        f"CAST(regexp_matches(lower(text), '{pat}') AS INT) AS {name}"
+        for name, pat in LICENSE_SIGNALS
+    )
+    total = " + ".join(name for name, _ in LICENSE_SIGNALS)
+    return f"""
+WITH d AS (SELECT doc_id, {plant} AS text FROM documents),
+x AS (
+  SELECT doc_id,
+         {flag_cols}
+  FROM d
+)
+SELECT doc_id, cc_by, cc_nc, cc_nd, cc_sa, cc0, mit, apache, gpl, arr,
+       CAST({total} AS BIGINT) AS n_signals,
+       CASE WHEN cc_nc = 1 AND cc_nd = 1 THEN 'cc-by-nc-nd'
+            WHEN cc_nc = 1 AND cc_sa = 1 THEN 'cc-by-nc-sa'
+            WHEN cc_nc = 1 THEN 'cc-by-nc'
+            WHEN cc_nd = 1 THEN 'cc-by-nd'
+            WHEN cc_sa = 1 THEN 'cc-by-sa'
+            WHEN cc_by = 1 THEN 'cc-by'
+            WHEN cc0 = 1 THEN 'cc0'
+            WHEN mit = 1 THEN 'mit'
+            WHEN apache = 1 THEN 'apache-2.0'
+            WHEN gpl = 1 THEN 'gpl'
+            WHEN arr = 1 THEN 'all-rights-reserved'
+            ELSE NULL END AS license_guess
+FROM x
+"""
+
+
+SQL_LICENSE_SCAN = _sql_license_scan()
+
+QUERIES["license_scan"] = (q_license_scan, SQL_LICENSE_SCAN)

@@ -1574,6 +1574,12 @@ def main() -> None:
             ("no cartesian product", r"CartesianProduct", "absent"),
             ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
         ]),
+        ("license_scan", [
+            # one scan, per-row rlike battery — no shuffle at any crawl size
+            ("no shuffle at all", r"Exchange", "absent"),
+            ("no join at all", r"Join", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
         ("cdc_chunks", [
             # anchors/boundaries/hashes all ride the token array; ONE
             # posexplode, no shuffle — the sentence_spans plan family

@@ -211,3 +211,38 @@ def test_cdc_chunks_realign_after_insertion(spark):
     # chunks survive verbatim in b (fixed-offset chunking would share 0)
     shared = ha & hb
     assert len(shared) >= max(1, len(ha) - 2), (ha, hb)
+
+
+# -------------------------------------------------------- license battery
+
+
+def test_license_flags_table(spark):
+    from ocaml_rdf_spark.operators.textops import license_flags
+
+    rows = [
+        ("ccbyncnd", "Photo licensed under https://creativecommons.org/licenses/by-nc-nd/4.0/"),
+        ("ccbysa", "Content available under Creative Commons Attribution-ShareAlike."),
+        ("ccby", "See creativecommons.org/licenses/by/4.0 for terms."),
+        ("cc0", "Released under the CC0 public domain dedication."),
+        ("mit", "This code ships under the MIT License."),
+        ("apache", "Licensed under the Apache License, Version 2.0."),
+        ("gpl", "Distributed under the GNU General Public License v3."),
+        ("arr", "Copyright 2024 Example Corp. All rights reserved."),
+        ("none", "Just an ordinary article about gardening."),
+        ("conflict", "All rights reserved. Images: creativecommons.org/licenses/by/2.0."),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r["doc_id"]: r for r in license_flags(docs).collect()}
+    assert got["ccbyncnd"]["license_guess"] == "cc-by-nc-nd"
+    assert got["ccbysa"]["license_guess"] == "cc-by-sa"
+    assert got["ccby"]["license_guess"] == "cc-by"
+    assert got["cc0"]["license_guess"] == "cc0"
+    assert got["mit"]["license_guess"] == "mit"
+    assert got["apache"]["license_guess"] == "apache-2.0"
+    assert got["gpl"]["license_guess"] == "gpl"
+    assert got["arr"]["license_guess"] == "all-rights-reserved"
+    assert got["none"]["license_guess"] is None and got["none"]["n_signals"] == 0
+    # conflicting declarations keep BOTH flags; precedence favors the CC url
+    cf = got["conflict"]
+    assert cf["arr"] == 1 and cf["cc_by"] == 1 and cf["n_signals"] >= 2
+    assert cf["license_guess"] == "cc-by"
