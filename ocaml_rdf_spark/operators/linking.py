@@ -737,3 +737,61 @@ def dominant_matching(pairs: DataFrame, max_rounds: int = 10) -> DataFrame:
             .select("a", "b", "score")
         )
     return out
+
+
+def blocked_edit_join(
+    left: DataFrame,
+    right: DataFrame,
+    block_len: int = 4,
+    min_sim_ppm: int = 800_000,
+    max_block_pairs: int = 1_000_000,
+) -> DataFrame:
+    """Prefix-blocked edit-distance record matching — the classic
+    dirty-string ER verify pass (Gravano et al. VLDB'01 shape: cheap
+    blocking join, exact Levenshtein verification on the candidates
+    only, never all-pairs). Complements the set-based verifiers
+    (n-gram Jaccard, MinHash) for SHORT strings — names, titles —
+    where token sets are too small to discriminate and character-level
+    edits are the right distance.
+
+    Input: left (id, name), right (rid, rname). Block key = first
+    `block_len` chars of lower(trim(name)); a NULL/short key still
+    blocks on what is there. Candidates = equi-join on the key;
+    verified matches keep lev = levenshtein(name, rname) and
+    sim_ppm = 10⁶·(maxlen − lev) div maxlen ≥ `min_sim_ppm`
+    (integer-exact; both engines ship the same classic DP levenshtein).
+
+    Scale shape: block keys are scan-local; the candidate join is ONE
+    hash equi-join on the key. Degenerate blocks (boilerplate prefixes
+    — the mega-bucket problem) are dropped with set semantics BEFORE
+    the join when |L_b|·|R_b| > `max_block_pairs`, the same guard as
+    the LSH mega-bucket cap in textops: a block that big means the
+    prefix carries no signal, and recall for its members belongs to a
+    longer key or an LSH blocker, not to a quadratic join. Verification
+    is a JVM-codegen levenshtein filter — no UDFs. At 10¹²-doc scale
+    the blocked join shuffles candidates once on the block key; skewed
+    keys are exactly the capped ones."""
+    bk = lambda c: F.substring(F.lower(F.trim(c)), 1, block_len)  # noqa: E731
+    lb = left.select(F.col("id"), F.col("name"), bk(F.col("name")).alias("bk"))
+    rb = right.select(F.col("rid"), F.col("rname"), bk(F.col("rname")).alias("bk"))
+    ln = lb.groupBy("bk").agg(F.count(F.lit(1)).alias("nl"))
+    rn = rb.groupBy("bk").agg(F.count(F.lit(1)).alias("nr"))
+    ok = (
+        ln.join(rn, "bk")
+        .filter(F.col("nl") * F.col("nr") <= F.lit(max_block_pairs))
+        .select("bk")
+    )
+    cand = lb.join(ok, "bk", "left_semi").join(rb.join(ok, "bk", "left_semi"), "bk")
+    lev = F.levenshtein(F.col("name"), F.col("rname"))
+    maxlen = F.greatest(F.length("name"), F.length("rname"))
+    return (
+        cand.select(
+            "id", "rid", "name", "rname",
+            lev.cast("long").alias("lev"),
+            F.when(maxlen > 0, F.expr(
+                "1000000 * (greatest(length(name), length(rname)) - levenshtein(name, rname))"
+                " div greatest(length(name), length(rname))"
+            )).otherwise(F.lit(1_000_000)).cast("long").alias("sim_ppm"),
+        )
+        .filter(F.col("sim_ppm") >= F.lit(min_sim_ppm))
+    )

@@ -382,8 +382,12 @@ def validate_pairs(triples: DataFrame, shapes: DataFrame) -> DataFrame:
             )
         )
 
-    v1 = side("path", "a")
-    v2 = side("path2", "b")
+    # NOTE (perf, probed at sf0.1): the four report legs consume v1/v2 up
+    # to 4x each, but interposing localCheckpoint barriers here measured
+    # SLOWER warm (8.1s vs 7.0s median, interleaved A/B) — AQE exchange
+    # reuse already dedupes the repeated store-union legs, and the barrier
+    # only adds materialization + kills stage overlap. Keep the pure plan.
+    v1, v2 = side("path", "a"), side("path2", "b")
     key = ["f_kind", "focus", "shape_id", "op"]
 
     # equals: report every value of path absent from path2's value set,

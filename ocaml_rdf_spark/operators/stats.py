@@ -577,6 +577,69 @@ def cohen_kappa(
     )
 
 
+def krippendorff_alpha(labels: DataFrame) -> DataFrame:
+    """Krippendorff's alpha for nominal labels (Krippendorff 2004 — the
+    inter-annotator reliability statistic that, unlike Cohen's kappa,
+    handles ANY number of raters and missing ratings, which is the normal
+    shape of crowd-labeled training data): over units (items) with
+    n_u ≥ 2 ratings,
+
+        D_o = Σ_u P_u/(n_u−1)   with P_u = n_u² − Σ_c o_uc²
+              (pairable disagreements inside unit u),
+        D_e = (n² − Σ_c n_c²)/(n−1)   over the pooled category totals,
+        alpha = 1 − D_o/D_e.
+
+    Arithmetic is pinned engine-portable: the only non-integer step is
+    the per-unit 1/(n_u−1) weight, computed as
+    do_scaled = Σ_u (10⁶·P_u div (n_u−1)) — integer floor per unit,
+    identical in Spark and DuckDB — and
+    alpha_ppm = 10⁶ − (n−1)·do_scaled div de_num (NULL when de_num = 0:
+    a one-category world has no expected disagreement and alpha is
+    undefined). Duplicate (item, rater) ratings collapse to MIN label
+    (same pin as cohen_kappa). Returns ONE row
+    (n_units, n_ratings, do_scaled, de_num, alpha_ppm).
+
+    Scale shape: one (item, label) count agg → one per-item agg (both
+    map-side combined, keyed on the item — no joins), one |vocabulary|-
+    sized label-total agg over the same per-(item,label) counts, and a
+    1-row fold. Nothing shuffles more than once on the corpus key."""
+    per_cat = (
+        labels.groupBy("item", "rater").agg(F.min("label").alias("label"))
+        .groupBy("item", "label").agg(F.count(F.lit(1)).alias("o"))
+    )
+    per_unit = (
+        per_cat.groupBy("item")
+        .agg(F.sum("o").alias("n_u"), F.sum(F.col("o") * F.col("o")).alias("s_u"))
+        .filter(F.col("n_u") >= 2)
+    )
+    unit_stats = per_unit.agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum("n_u").cast("long").alias("n"),
+        F.sum(F.expr("1000000 * (n_u * n_u - s_u) div (n_u - 1)")).alias("do_scaled"),
+    )
+    cat_tot = (
+        per_cat.join(per_unit.select("item"), "item", "left_semi")
+        .groupBy("label").agg(F.sum("o").alias("n_c"))
+        .agg(F.coalesce(F.sum(F.col("n_c") * F.col("n_c")), F.lit(0)).alias("s_c"))
+    )
+    return (
+        unit_stats.crossJoin(F.broadcast(cat_tot))
+        .select(
+            F.col("n_units").cast("long").alias("n_units"),
+            F.col("n").alias("n_ratings"),
+            F.col("do_scaled").cast("long").alias("do_scaled"),
+            (F.col("n") * F.col("n") - F.col("s_c")).cast("long").alias("de_num"),
+        )
+        .select(
+            "n_units", "n_ratings", "do_scaled", "de_num",
+            F.when(
+                F.col("de_num") > 0,
+                F.lit(1_000_000) - F.expr("(n_ratings - 1) * do_scaled div de_num"),
+            ).cast("long").alias("alpha_ppm"),
+        )
+    )
+
+
 def calibration_report(
     scored: DataFrame,
     score_col: str = "score_ppm",

@@ -12744,3 +12744,137 @@ FROM x
 SQL_LICENSE_SCAN = _sql_license_scan()
 
 QUERIES["license_scan"] = (q_license_scan, SQL_LICENSE_SCAN)
+
+
+def q_krippendorff(spark, sf):
+    """Krippendorff's alpha over a 3-rater labeling of customer segments
+    with MISSING ratings (r2 skips custkey%5==0, r3 skips custkey%3==0 —
+    the shape kappa cannot handle): r2 mislabels every 4th, r3 every
+    7th with decoys. Exact integer ppm; units with <2 ratings drop."""
+    from .operators.stats import krippendorff_alpha
+
+    cu = spark.read.parquet(f"{sf}/customer.parquet")
+    k = F.col("c_custkey")
+    seg = F.col("c_mktsegment")
+    r1 = cu.select(k.alias("item"), F.lit("r1").alias("rater"), seg.alias("label"))
+    r2 = cu.filter(k % 5 != 0).select(
+        k.alias("item"), F.lit("r2").alias("rater"),
+        F.when(k % 4 == 0, F.concat(F.lit("DECOY"), (k % 5).cast("string")))
+        .otherwise(seg).alias("label"),
+    )
+    r3 = cu.filter(k % 3 != 0).select(
+        k.alias("item"), F.lit("r3").alias("rater"),
+        F.when(k % 7 == 0, F.concat(F.lit("DECOY"), (k % 3).cast("string")))
+        .otherwise(seg).alias("label"),
+    )
+    return krippendorff_alpha(r1.unionByName(r2).unionByName(r3))
+
+
+SQL_KRIPPENDORFF = """
+WITH r AS (
+  SELECT c_custkey AS item, 'r1' AS rater, c_mktsegment AS label FROM customer
+  UNION ALL
+  SELECT c_custkey, 'r2',
+         CASE WHEN c_custkey % 4 = 0 THEN 'DECOY' || CAST(c_custkey % 5 AS VARCHAR)
+              ELSE c_mktsegment END
+  FROM customer WHERE c_custkey % 5 <> 0
+  UNION ALL
+  SELECT c_custkey, 'r3',
+         CASE WHEN c_custkey % 7 = 0 THEN 'DECOY' || CAST(c_custkey % 3 AS VARCHAR)
+              ELSE c_mktsegment END
+  FROM customer WHERE c_custkey % 3 <> 0
+),
+pc AS (
+  SELECT item, label, COUNT(*) AS o FROM (
+    SELECT item, rater, MIN(label) AS label FROM r GROUP BY item, rater
+  ) GROUP BY item, label
+),
+pu AS (
+  SELECT item, SUM(o) AS n_u, SUM(o * o) AS s_u
+  FROM pc GROUP BY item HAVING SUM(o) >= 2
+),
+us AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_units, CAST(SUM(n_u) AS BIGINT) AS n,
+         CAST(SUM(1000000 * (n_u * n_u - s_u) // (n_u - 1)) AS BIGINT) AS do_scaled
+  FROM pu
+),
+ct AS (
+  SELECT CAST(COALESCE(SUM(n_c * n_c), 0) AS BIGINT) AS s_c FROM (
+    SELECT label, SUM(o) AS n_c FROM pc JOIN pu USING (item) GROUP BY label
+  )
+)
+SELECT n_units, n AS n_ratings, do_scaled,
+       CAST(n * n - s_c AS BIGINT) AS de_num,
+       CASE WHEN n * n - s_c > 0
+            THEN CAST(1000000 - (n - 1) * do_scaled // (n * n - s_c) AS BIGINT)
+       END AS alpha_ppm
+FROM us CROSS JOIN ct
+"""
+
+QUERIES["krippendorff"] = (q_krippendorff, SQL_KRIPPENDORFF)
+
+
+def q_edit_verify(spark, sf):
+    """Prefix-blocked Levenshtein ER verify: match a half-sized 'dirty
+    registry' of SKU-prefixed part names ('m<key mod 997> <p_name>';
+    every 4th dirty name has its 'a's deleted) against the clean list —
+    block on first-4 chars (the SKU token, so blocks stay discriminative
+    where the raw two-word p_name vocabulary is degenerate), verify at
+    sim ≥ 0.8 with both engines' classic DP levenshtein."""
+    from .operators.linking import blocked_edit_join
+
+    p = spark.read.parquet(f"{sf}/part.parquet")
+    sku_name = F.concat(
+        F.lit("m"), (F.col("p_partkey") % 997).cast("string"),
+        F.lit(" "), F.col("p_name"),
+    )
+    left = p.select(F.col("p_partkey").alias("id"), sku_name.alias("name"))
+    right = p.filter(F.col("p_partkey") % 2 == 0).select(
+        F.col("p_partkey").alias("rid"),
+        F.when(F.col("p_partkey") % 4 == 0, F.expr(
+            "concat('m', CAST(p_partkey % 997 AS STRING), ' ', replace(p_name, 'a', ''))"
+        )).otherwise(sku_name).alias("rname"),
+    )
+    return blocked_edit_join(left, right, block_len=4, min_sim_ppm=800_000)
+
+
+SQL_EDIT_VERIFY = """
+WITH l AS (
+  SELECT p_partkey AS id,
+         'm' || CAST(p_partkey % 997 AS VARCHAR) || ' ' || p_name AS name
+  FROM part
+),
+r AS (
+  SELECT p_partkey AS rid,
+         'm' || CAST(p_partkey % 997 AS VARCHAR) || ' ' ||
+         CASE WHEN p_partkey % 4 = 0 THEN replace(p_name, 'a', '')
+              ELSE p_name END AS rname
+  FROM part WHERE p_partkey % 2 = 0
+),
+lb AS (SELECT id, name, substr(lower(trim(name)), 1, 4) AS bk FROM l),
+rb AS (SELECT rid, rname, substr(lower(trim(rname)), 1, 4) AS bk FROM r),
+ok AS (
+  SELECT bk FROM (SELECT bk, COUNT(*) AS nl FROM lb GROUP BY bk) a
+  JOIN (SELECT bk, COUNT(*) AS nr FROM rb GROUP BY bk) b USING (bk)
+  WHERE nl * nr <= 1000000
+),
+cand AS (
+  SELECT id, rid, name, rname
+  FROM lb JOIN ok USING (bk) JOIN rb USING (bk)
+)
+SELECT id, rid, name, rname,
+       CAST(levenshtein(name, rname) AS BIGINT) AS lev,
+       CAST(CASE WHEN greatest(length(name), length(rname)) > 0
+                 THEN 1000000 * (greatest(length(name), length(rname))
+                                 - levenshtein(name, rname))
+                      // greatest(length(name), length(rname))
+                 ELSE 1000000 END AS BIGINT) AS sim_ppm
+FROM cand
+WHERE CASE WHEN greatest(length(name), length(rname)) > 0
+           THEN 1000000 * (greatest(length(name), length(rname))
+                           - levenshtein(name, rname))
+                // greatest(length(name), length(rname))
+           ELSE 1000000 END >= 800000
+"""
+
+QUERIES["edit_verify"] = (q_edit_verify, SQL_EDIT_VERIFY)

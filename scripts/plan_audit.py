@@ -1588,6 +1588,22 @@ def main() -> None:
             ("no join at all", r"Join", "absent"),
             ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
         ]),
+        ("krippendorff", [
+            # item-keyed aggs (no joins on the corpus key), one pairable-
+            # unit semi-join, |vocab|-sized category totals, 1-row fold
+            ("1-row category-total fold only", r"^\(\d+\) BroadcastNestedLoopJoin", "count", 1),
+            ("item/category hash aggregates", r"HashAggregate"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
+        ("edit_verify", [
+            # block-key hash joins (cap semi-joins + candidate join);
+            # levenshtein verify is a codegen filter, never a BNLJ
+            ("candidate join is hash on the block key", r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
         ("lang_spans", [
             # segmentation + per-sentence votes ride the sentence array —
             # the whole operator is one scan-local Generate
