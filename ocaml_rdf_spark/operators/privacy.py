@@ -66,3 +66,116 @@ def suppression_plan(
     return df.select(F.col(id_col), *qi).join(small, qi, "inner").select(
         F.col(id_col), *qi, "n"
     )
+
+
+# --- differentially private release counts ---------------------------------
+
+#: noise-uniform domain: 30 bits (fits comfortably in both engines'
+#: integer CASE arithmetic; 2^-30 granularity ≪ any practical ε tail)
+_DP_U = 1 << 30
+#: truncation half-width of the discrete-Laplace support
+_DP_K = 39
+
+
+def _dlap_thresholds(epsilon_ppm: int) -> list:
+    """Inverse-CDF table for the TRUNCATED discrete Laplace (two-sided
+    geometric) with P(X=j) ∝ exp(−ε|j|), support [−K, K], tails folded
+    into ±K. Returns [(upper_u30, noise_j)] with upper bounds strictly
+    increasing and the last = 2^30 — a pure lookup both engines evaluate
+    with INTEGER comparisons only (the floats below are Python-side
+    constants, identical in the Column expr and the SQL string)."""
+    import math
+
+    eps = epsilon_ppm / 1_000_000.0
+    p = math.exp(-eps)
+    weights = [p ** abs(j) for j in range(-_DP_K, _DP_K + 1)]
+    total = sum(weights)
+    table, acc = [], 0.0
+    for j, w in zip(range(-_DP_K, _DP_K + 1), weights):
+        acc += w
+        table.append((min(_DP_U, round(_DP_U * acc / total)), j))
+    table[-1] = (_DP_U, _DP_K)
+    # dedupe zero-probability rungs (identical cumulative bound)
+    out, prev = [], -1
+    for u, j in table:
+        if u > prev:
+            out.append((u, j))
+            prev = u
+    return out
+
+
+def dp_group_counts(
+    df: DataFrame,
+    group_col: str,
+    epsilon_ppm: int = 1_000_000,
+    publish_min: int = 10,
+    seed: str = "dp1",
+) -> DataFrame:
+    """ε-differentially-private group counts for release alongside a
+    corpus (Dwork et al. 2006; the discrete/geometric mechanism of
+    Ghosh-Roughgarden-Sundararajan STOC'09 — integer noise, no floats
+    at query time): count per group + discrete-Laplace noise at scale
+    1/ε, then suppress noisy counts < `publish_min` (release hygiene:
+    tiny noisy groups are mostly noise AND a membership surface).
+
+    Noise is ONE deterministic draw per (seed, group) — the md5-derived
+    uniform feeds a precomputed inverse-CDF lookup (truncated at ±39,
+    tails folded — beyond any plausible ε tail mass). Determinism is
+    the sandbox stand-in for an RNG: a release pipeline draws once per
+    published statistic, and re-running the job must not re-randomize
+    the release (that would spend extra privacy budget); rotating
+    `seed` IS the budget spend. ε accounting is per release: publishing
+    this table costs ε·(max rows a subject contributes to one group)
+    — compose with a contribution cap upstream.
+
+    Output (group, noisy_n) — noisy values only, exact counts never
+    leave the plan. Scale: ONE map-side-combined groupBy; the noise is
+    scan-local integer CASE algebra on the group key."""
+    thresholds = _dlap_thresholds(epsilon_ppm)
+    u = _dp_u30(F.concat(F.lit(seed + ":"), F.col("grp").cast("string")))
+    noise = None
+    for upper, j in thresholds:
+        cond = u < upper
+        noise = F.when(cond, j) if noise is None else noise.when(cond, j)
+    return (
+        df.groupBy(F.col(group_col).alias("grp"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("grp", (F.col("n") + noise).cast("long").alias("noisy_n"))
+        .filter(F.col("noisy_n") >= publish_min)
+    )
+
+
+def _dp_u30(col: F.Column) -> F.Column:
+    """Uniform 30-bit integer from the md5 of a string column (the
+    sketches._h60 idiom: 8 hex chars = 32 uniform bits, folded mod 2^30 —
+    a 7-char window would cover only 2^28 of the domain and skew the
+    noise negative)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % _DP_U
+
+
+def dp_group_counts_sql(
+    table_expr: str,
+    group_expr: str,
+    epsilon_ppm: int = 1_000_000,
+    publish_min: int = 10,
+    seed: str = "dp1",
+) -> str:
+    """DuckDB mirror of dp_group_counts (same threshold table, same md5
+    uniform); adjacent so the two evolve together."""
+    thresholds = _dlap_thresholds(epsilon_ppm)
+    u = (
+        f"('0x' || substr(md5('{seed}:' || CAST(grp AS VARCHAR)), 1, 8))::BIGINT"
+        f" % {_DP_U}"
+    )
+    case = "CASE " + " ".join(
+        f"WHEN u < {upper} THEN {j}" for upper, j in thresholds
+    ) + " END"
+    return f"""
+WITH g AS (
+  SELECT {group_expr} AS grp, COUNT(*) AS n FROM {table_expr} GROUP BY 1
+),
+w AS (SELECT grp, n, {u} AS u FROM g)
+SELECT grp, CAST(n + {case} AS BIGINT) AS noisy_n
+FROM w
+WHERE n + {case} >= {publish_min}
+"""

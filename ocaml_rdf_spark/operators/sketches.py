@@ -724,3 +724,80 @@ def hilbert_sql(a_expr: str, b_expr: str, bits: int = 8) -> str:
             f"hd + {s * s} * xor({rx} * 3, {ry}) AS hd) FROM h{n})"
         )
     return ",\n".join(steps)
+
+
+def phi_heavy_hitters(
+    occurrences: DataFrame,
+    item_col: str,
+    occ_id_col: str,
+    k: int = 50,
+    sample_mod: int = 32,
+    slack: int = 2,
+) -> DataFrame:
+    """φ-heavy hitters, sample-and-verify (the two-pass exact form of
+    Misra-Gries/SpaceSaving used when a shuffle of ALL item counts is
+    the bottleneck — Manku-Motwani VLDB'02 sticky-sampling shape):
+    report every item whose EXACT count exceeds N/k over an occurrence
+    stream.
+
+    Pass 1 hashes each OCCURRENCE (not item type — `occ_id_col` must be
+    a per-occurrence-unique string) into a deterministic 1/`sample_mod`
+    sample and keeps items whose sampled count ≥ N/(k·sample_mod·slack)
+    as candidates; pass 2 counts candidates exactly (semi-join) and
+    filters count > N/k. Output (item, n, share_ppm), exact values.
+
+    Recall caveat (stated, not hidden): a true heavy hitter is missed
+    only if its 1/mod occurrence sample undershoots 1/(mod·slack) of
+    its ≥ N/k count — Chernoff-small (≤ exp(−N/(8k·mod)) at slack 2,
+    e.g. < 10⁻⁵ for a threshold count of 1000 at mod 32) and
+    deterministic given the hash (the DuckDB oracle mirrors the same
+    sample, so parity is exact regardless).
+
+    Scale shape: the full-volume shuffle carries 1/mod of occurrences;
+    the exact pass shuffles only candidate-item occurrences (heavy ones
+    by construction — map-side combine collapses them); N and the
+    candidate set ride 1-row/tiny broadcasts."""
+    occ = occurrences.select(
+        F.col(item_col).alias("item"), F.col(occ_id_col).alias("occ"),
+    )
+    n_tot = occ.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    sampled = (
+        occ.filter(_h60(F.col("occ")) % sample_mod == 0)
+        .groupBy("item").agg(F.count(F.lit(1)).alias("sn"))
+        .crossJoin(F.broadcast(n_tot))
+        .filter(F.col("sn") * (k * sample_mod * slack) >= F.col("n_total"))
+        .select("item")
+    )
+    return (
+        occ.join(F.broadcast(sampled), "item", "left_semi")
+        .groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .crossJoin(F.broadcast(n_tot))
+        .filter(F.col("n") * k > F.col("n_total"))
+        .select(
+            "item", "n",
+            F.expr("1000000 * n div n_total").cast("long").alias("share_ppm"),
+        )
+    )
+
+
+def phi_heavy_hitters_sql(
+    occ_cte: str, k: int = 50, sample_mod: int = 32, slack: int = 2
+) -> str:
+    """DuckDB mirror of phi_heavy_hitters. `occ_cte` must select
+    (item, occ); adjacent so the two evolve together."""
+    return f"""
+WITH occ AS ({occ_cte}),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM occ),
+cand AS (
+  SELECT item FROM occ CROSS JOIN tot
+  WHERE ('0x' || substr(md5(occ), 1, 15))::BIGINT % {sample_mod} = 0
+  GROUP BY item, n_total
+  HAVING COUNT(*) * {k * sample_mod * slack} >= n_total
+)
+SELECT item, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(1000000 * COUNT(*) // MAX(n_total) AS BIGINT) AS share_ppm
+FROM occ CROSS JOIN tot
+WHERE item IN (SELECT item FROM cand)
+GROUP BY item, n_total
+HAVING COUNT(*) * {k} > n_total
+"""

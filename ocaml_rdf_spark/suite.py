@@ -12878,3 +12878,66 @@ WHERE CASE WHEN greatest(length(name), length(rname)) > 0
 """
 
 QUERIES["edit_verify"] = (q_edit_verify, SQL_EDIT_VERIFY)
+
+
+def q_heavy_hitters(spark, sf):
+    """φ-heavy hitters over the document token stream (sample-and-verify
+    two-pass: the 1/8 occurrence hash-sample nominates, the exact pass
+    verifies count > N/40) — exact counts out, sampled shuffle in."""
+    from .operators.sketches import phi_heavy_hitters
+
+    toks = (
+        _docs(spark, sf)
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.trim(F.col("text")), " +")).alias("pos", "tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    occ = toks.select(
+        F.col("tok").alias("item"),
+        F.concat_ws(":", "doc_id", "pos", "tok").alias("occ"),
+    )
+    return phi_heavy_hitters(occ, "item", "occ", k=40, sample_mod=8)
+
+
+def _sql_heavy_hitters() -> str:
+    from .operators.sketches import phi_heavy_hitters_sql
+
+    occ = """
+  SELECT ws[i + 1] AS item,
+         CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR) || ':' || ws[i + 1] AS occ
+  FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS ws FROM documents),
+       unnest(range(0, len(ws))) AS t(i)
+  WHERE ws[i + 1] <> ''
+"""
+    return phi_heavy_hitters_sql(occ, k=40, sample_mod=8)
+
+
+SQL_HEAVY_HITTERS = _sql_heavy_hitters()
+
+QUERIES["heavy_hitters"] = (q_heavy_hitters, SQL_HEAVY_HITTERS)
+
+
+def q_dp_counts(spark, sf):
+    """ε=0.5 differentially-private per-language document counts
+    (discrete-Laplace inverse-CDF lookup, one deterministic draw per
+    (seed, group), noisy counts < 5 suppressed)."""
+    from .operators.privacy import dp_group_counts
+
+    return dp_group_counts(
+        _docs(spark, sf), "lang", epsilon_ppm=500_000, publish_min=5
+    )
+
+
+def _sql_dp_counts() -> str:
+    from .operators.privacy import dp_group_counts_sql
+
+    return dp_group_counts_sql(
+        "documents", "lang", epsilon_ppm=500_000, publish_min=5
+    )
+
+
+SQL_DP_COUNTS = _sql_dp_counts()
+
+QUERIES["dp_counts"] = (q_dp_counts, SQL_DP_COUNTS)

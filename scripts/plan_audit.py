@@ -1604,6 +1604,22 @@ def main() -> None:
             ("no cartesian product", r"CartesianProduct", "absent"),
             ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
         ]),
+        ("heavy_hitters", [
+            # sampled nomination + exact verify; N rides two 1-row
+            # broadcasts, candidates a broadcast semi-join
+            ("two 1-row N broadcasts only", r"^\(\d+\) BroadcastNestedLoopJoin", "count", 2),
+            ("candidate semi-join is broadcast hash", r"BroadcastHashJoin"),
+            ("map-side combined count aggs", r"HashAggregate"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
+        ("dp_counts", [
+            # ONE group-count shuffle; the noise is scan-local integer
+            # CASE algebra on the group key — no joins anywhere
+            ("single shuffle (the group agg)", r"^\(\d+\) Exchange", "count", 1),
+            ("no join at all", r"Join", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
         ("lang_spans", [
             # segmentation + per-sentence votes ride the sentence array —
             # the whole operator is one scan-local Generate
