@@ -2109,3 +2109,77 @@ def pivot_clusters(
     leftovers = active.select("node", F.col("node").alias("cluster"))
     out = leftovers if outs is None else outs.unionByName(leftovers)
     return out
+
+
+def boruvka_msf(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """Minimum spanning forest via Borůvka rounds (Borůvka 1926; the
+    textbook DISTRIBUTED MST — per round every component grabs its
+    lightest incident cross edge and contracts, components at least
+    halve, O(log V) rounds; the backbone of single-linkage clustering,
+    which is what ER/dedup pipelines want it for: cut the MSF at a
+    distance threshold and the components ARE the single-linkage
+    clusters, without ever materializing the all-pairs graph).
+
+    Input (a, b, w): undirected weighted edges, any orientation;
+    self-loops dropped, parallel edges collapse to the LIGHTEST
+    (pinned). Edge total order is the unique key (w, a, b) — ties in w
+    can't produce cycles or nondeterminism. Returns (a, b, w) = the
+    unique MSF under that order.
+
+    Scale shape, per round: two hash joins stamp component ids on the
+    edge list, ONE map-side-combined min_by agg picks each component's
+    lightest cross edge (shuffle carries |components| rows), and the
+    contraction relabels via connected_components on the SELECTED
+    edges only (≤ |components| rows — the adaptive driver/distributed
+    CC, which auto-routes big early rounds to the large/small-star
+    path). Eager checkpoints cap the per-round lineage; the cross-edge
+    set shrinks monotonically. Empty-frontier early-out; `max_rounds`
+    is a completeness knob — components at least halve per round, so
+    the default 20 finishes any graph with < 2^20 nodes per connected
+    component, and the early-out detects the fixpoint either way."""
+    e = (
+        edges.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"), "w")
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b").agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    comp = nodes.select("node", F.col("node").cast("string").alias("comp"))
+    forest = e.select("a", "b", "w").limit(0)
+    for _ in range(max_rounds):
+        comp = comp.localCheckpoint()  # eager: 2 edge joins + relabel read it
+        ce = (
+            e.join(comp.select(F.col("node").alias("a"), F.col("comp").alias("ca")), "a")
+            .join(comp.select(F.col("node").alias("b"), F.col("comp").alias("cb")), "b")
+            .filter(F.col("ca") != F.col("cb"))
+            .localCheckpoint()  # eager: isEmpty probe + both pick legs
+        )
+        if ce.isEmpty():
+            break
+        key = F.struct(F.col("w").alias("kw"), F.col("a").alias("ka"), F.col("b").alias("kb"))
+        ed = F.struct("a", "b", "w", "ca", "cb")
+        ends = ce.select(F.col("ca").alias("c"), key.alias("k"), ed.alias("ed")).unionByName(
+            ce.select(F.col("cb").alias("c"), key.alias("k"), ed.alias("ed"))
+        )
+        sel = (
+            ends.groupBy("c").agg(F.min_by("ed", "k").alias("ed"))
+            .select("ed.a", "ed.b", "ed.w", "ed.ca", "ed.cb")
+            .dropDuplicates(["a", "b"])
+            .localCheckpoint()  # eager: forest union + contraction read it
+        )
+        forest = forest.unionByName(sel.select("a", "b", "w")).localCheckpoint(eager=False)
+        mapping = connected_components(
+            sel.select(F.col("ca").alias("src"), F.col("cb").alias("dst"))
+        )
+        comp = (
+            comp.join(
+                mapping.select(F.col("node").alias("comp"), F.col("component").alias("nc")),
+                "comp", "left",
+            )
+            .select("node", F.coalesce("nc", F.col("comp")).alias("comp"))
+        )
+    return forest

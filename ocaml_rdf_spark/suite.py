@@ -12941,3 +12941,131 @@ def _sql_dp_counts() -> str:
 SQL_DP_COUNTS = _sql_dp_counts()
 
 QUERIES["dp_counts"] = (q_dp_counts, SQL_DP_COUNTS)
+
+
+def q_mst(spark, sf):
+    """Borůvka minimum spanning forest over a 23-node order-flow graph
+    (edges o_custkey%23 ↔ (o_orderkey·7+13)%23, weight (o_orderkey·37+
+    o_custkey)%99991, lightest parallel edge kept). Oracle = the cycle
+    property under the same (w,a,b) total order: an edge is in the MSF
+    iff no lighter-bottleneck path connects its endpoints, with the
+    bottleneck closure computed by 5 min-max matrix squarings (exact
+    for any path ≤ 32 > 22 hops)."""
+    from .operators.cc import boruvka_msf
+
+    od = spark.read.parquet(f"{sf}/orders.parquet")
+    e = od.select(
+        (F.col("o_custkey") % 23).alias("a"),
+        ((F.col("o_orderkey") * 7 + 13) % 23).alias("b"),
+        ((F.col("o_orderkey") * 37 + F.col("o_custkey")) % 99991).alias("w"),
+    )
+    return boruvka_msf(e).select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.col("w").cast("long").alias("w"),
+    )
+
+
+def _sql_mst() -> str:
+    # min-max (bottleneck) closure by squaring: r_{k+1} covers paths up
+    # to 2^(k+1) hops; 5 squarings ≥ the 22-hop diameter bound of V=23
+    sq = """
+r{next} AS (
+  SELECT u, v, MIN(mx) AS mx FROM (
+    SELECT u, v, mx FROM r{cur}
+    UNION ALL
+    SELECT p.u, q.v, GREATEST(p.mx, q.mx) AS mx
+    FROM r{cur} p JOIN r{cur} q ON q.u = p.v AND q.v <> p.u
+  ) GROUP BY u, v
+)"""
+    steps = ",".join(sq.format(cur=i, next=i + 1) for i in range(5))
+    return f"""
+WITH raw AS (
+  SELECT o_custkey % 23 AS x, (o_orderkey * 7 + 13) % 23 AS y,
+         (o_orderkey * 37 + o_custkey) % 99991 AS w
+  FROM orders
+),
+eu AS (
+  SELECT LEAST(x, y) AS a, GREATEST(x, y) AS b, MIN(w) AS w
+  FROM raw WHERE x <> y GROUP BY 1, 2
+),
+ek AS (SELECT a, b, w, (w * 23 + a) * 23 + b AS key FROM eu),
+r0 AS (
+  SELECT u, v, MIN(key) AS mx FROM (
+    SELECT a AS u, b AS v, key FROM ek
+    UNION ALL SELECT b, a, key FROM ek
+  ) GROUP BY u, v
+),{steps}
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, CAST(w AS BIGINT) AS w
+FROM ek
+WHERE NOT EXISTS (SELECT 1 FROM r5 WHERE u = ek.a AND v = ek.b AND mx < ek.key)
+"""
+
+
+SQL_MST = _sql_mst()
+
+QUERIES["mst"] = (q_mst, SQL_MST)
+
+
+def q_single_linkage(spark, sf):
+    """Single-linkage clustering = Borůvka MSF cut at τ — the defining
+    equivalence (clusters at threshold τ ARE the connected components of
+    the τ-thresholded graph) is the oracle: DuckDB computes components
+    of the thresholded ORIGINAL edges recursively, Spark cuts the MSF.
+    Output (node, cluster = numeric min member, csize)."""
+    from .operators.cc import boruvka_msf, connected_components
+
+    od = spark.read.parquet(f"{sf}/orders.parquet")
+    e = od.select(
+        (F.col("o_custkey") % 23).alias("a"),
+        ((F.col("o_orderkey") * 7 + 13) % 23).alias("b"),
+        ((F.col("o_orderkey") * 37 + F.col("o_custkey")) % 99991).alias("w"),
+    ).filter(F.col("a") != F.col("b"))
+    cut = boruvka_msf(e).filter(F.col("w") < 30000)
+    comp = connected_components(
+        cut.select(F.col("a").cast("string").alias("src"), F.col("b").cast("string").alias("dst"))
+    )
+    nodes = (
+        e.select(F.col("a").alias("node")).unionByName(e.select(F.col("b").alias("node")))
+        .distinct().withColumn("nstr", F.col("node").cast("string"))
+    )
+    lab = (
+        nodes.join(comp.withColumnRenamed("node", "nstr"), "nstr", "left")
+        .select("node", F.coalesce("component", F.col("nstr")).alias("label"))
+    )
+    reps = lab.groupBy("label").agg(
+        F.min("node").cast("long").alias("cluster"),
+        F.count(F.lit(1)).cast("long").alias("csize"),
+    )
+    return lab.join(reps, "label").select(
+        F.col("node").cast("long").alias("node"), "cluster", "csize"
+    )
+
+
+SQL_SINGLE_LINKAGE = """
+WITH RECURSIVE raw AS (
+  SELECT o_custkey % 23 AS x, (o_orderkey * 7 + 13) % 23 AS y,
+         (o_orderkey * 37 + o_custkey) % 99991 AS w
+  FROM orders
+),
+eu AS (
+  SELECT LEAST(x, y) AS a, GREATEST(x, y) AS b, MIN(w) AS w
+  FROM raw WHERE x <> y GROUP BY 1, 2
+),
+ts AS (
+  SELECT a, b FROM eu WHERE w < 30000
+  UNION SELECT b, a FROM eu WHERE w < 30000
+),
+nodes AS (SELECT DISTINCT a AS node FROM eu UNION SELECT DISTINCT b FROM eu),
+reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT ts.b, reach.label FROM reach JOIN ts ON ts.a = reach.node
+),
+comp AS (SELECT node, MIN(label) AS cluster FROM reach GROUP BY node)
+SELECT CAST(node AS BIGINT) AS node, CAST(cluster AS BIGINT) AS cluster,
+       CAST(COUNT(*) OVER (PARTITION BY cluster) AS BIGINT) AS csize
+FROM comp
+"""
+
+QUERIES["single_linkage"] = (q_single_linkage, SQL_SINGLE_LINKAGE)

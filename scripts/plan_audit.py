@@ -1604,6 +1604,21 @@ def main() -> None:
             ("no cartesian product", r"CartesianProduct", "absent"),
             ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
         ]),
+        ("mst", [
+            # per-round state eagerly checkpointed (comp stamps are hash
+            # joins, pick is one min_by agg); returned plan = union of
+            # checkpointed per-round selections
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
+        ("single_linkage", [
+            # MSF cut + component relabel: hash joins only
+            ("relabel joins are hash", r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
         ("heavy_hitters", [
             # sampled nomination + exact verify; N rides two 1-row
             # broadcasts, candidates a broadcast semi-join
