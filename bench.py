@@ -325,6 +325,12 @@ def main() -> None:
         "dawid_skene",
         "cdc_chunks",
         "license_scan",
+        "krippendorff",
+        "edit_verify",
+        "heavy_hitters",
+        "dp_counts",
+        "mst",
+        "single_linkage",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

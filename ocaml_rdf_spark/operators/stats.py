@@ -21,7 +21,7 @@ through one reducer in a single pass).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
@@ -853,4 +853,115 @@ def ds_hard_labels(posteriors: DataFrame) -> DataFrame:
     return posteriors.groupBy("item").agg(
         F.expr("min_by(cls, struct(-post_ppm, cls))").alias("label_hat"),
         F.max("post_ppm").alias("post_ppm"),
+    )
+
+def mad_outliers(
+    df: DataFrame, group_col: str, val_col: str, k_mad: int = 3
+) -> DataFrame:
+    """Robust per-group outlier flags via median / median-absolute-
+    deviation (the Hampel rule — the crawl-health screen that, unlike
+    mean/stddev z-scores, one mega-outlier cannot poison: a host whose
+    fetch sizes are normally ~40 KB keeps its median even when one
+    response is 4 GB): a row is an outlier iff |x − med| > k·MAD.
+
+    Exactness pinned engine-portable: med and MAD are the LOWER discrete
+    median (the element at sorted position (n+1) div 2 — quantile_disc
+    semantics, no interpolation, no floats), so integer in = integer
+    out. The normal-consistency constant (1.4826) is deliberately NOT
+    applied — the threshold is in raw MAD units, which is how Hampel
+    filters are configured in practice. Degenerate guard: MAD = 0
+    (≥ half the group identical) flags every x ≠ med — documented
+    Hampel behavior on near-constant groups.
+
+    Output: input rows + (med, mad), OUTLIER ROWS ONLY.
+
+    Scale shape: two window row_number/count passes (each one shuffle on
+    the group key) + two group-keyed hash joins stamping med/MAD back;
+    no collects, no UDFs, reduce state is one row per group. The group
+    key is the shuffle key — compose with skew_report first at 10^12
+    rows."""
+    def _lower_median(src: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy(group_col).orderBy(
+            F.col(col).asc(), F.col(val_col).asc()
+        )
+        return (
+            src.withColumn("__rn", F.row_number().over(w))
+            .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy(group_col)))
+            .filter(F.col("__rn") == F.expr("(__n + 1) div 2"))
+            .select(F.col(group_col), F.col(col).alias(out))
+        )
+
+    med = _lower_median(df, val_col, "med")
+    dev = df.join(med, group_col).withColumn(
+        "__adev", F.abs(F.col(val_col) - F.col("med"))
+    )
+    mad = _lower_median(dev, "__adev", "mad")
+    return (
+        dev.join(mad, group_col)
+        .filter(F.col("__adev") > F.lit(k_mad) * F.col("mad"))
+        .drop("__adev")
+    )
+
+
+#: Benford first-digit expected shares, ppm: floor(10^6 · log10(1 + 1/d)),
+#: d = 1..9. Python-side constants, baked identically into Column exprs
+#: and oracle SQL.
+BENFORD_PPM = [301029, 176091, 124938, 96910, 79181, 66946, 57991, 51152, 45757]
+
+
+def benford_audit(
+    df: DataFrame, group_col: str, val_col: str, min_n: int = 50
+) -> DataFrame:
+    """First-significant-digit Benford audit per group (Newcomb 1881 /
+    Benford 1938; Nigrini's fraud-audit staple — organically generated
+    magnitudes follow log-uniform leading digits, while fabricated,
+    template, or default-filled values do not; in a KG-fusion pipeline
+    this flags numeric predicates whose source made the numbers up).
+
+    Statistic: total-variation distance from the Benford distribution,
+    tvd_ppm = (Σ_d |10⁶·o_d div n − e_d|) div 2 over digits 1..9 with
+    the baked e_d table — a bounded [0, 10⁶] distribution distance in
+    pinned integer floors that CANNOT overflow at any group size below
+    9·10¹² rows (a 10⁶-scaled chi-square, the classical choice, squares
+    itself out of 64 bits by ~10⁵-row groups; TVD is the scale-safe
+    statistic, and Nigrini's own MAD-of-digit-shares screen is the same
+    family). Also reports share1_ppm (the headline Benford digit-1
+    share, expected ≈ 301030) and the modal digit. Values without a
+    nonzero digit (0, NULL) are excluded; groups with n < `min_n` drop
+    (digit tests are meaningless on tiny n).
+
+    Output (grp, n, tvd_ppm, share1_ppm, top_digit).
+
+    Scale shape: first digit = scan-local regexp on the decimal form;
+    ONE (group, digit) map-side-combined count collapsing to ≤ 9 rows
+    per group, then a 9-row fold per group. Nothing else shuffles."""
+    first = F.regexp_extract(F.abs(F.col(val_col)).cast("string"), "[1-9]", 0)
+    per = (
+        df.select(F.col(group_col).alias("grp"), first.alias("d"))
+        .filter(F.col("d") != "")
+        .groupBy("grp", F.col("d").cast("int").alias("d"))
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    e_ppm = F.element_at(F.array(*[F.lit(v) for v in BENFORD_PPM]), F.col("d"))
+    scored = (
+        per.withColumn("__n", F.sum("o").over(Window.partitionBy("grp")))
+        .withColumn("__e", e_ppm)
+        .withColumn("__dev", F.abs(F.expr("1000000 * o div __n") - F.col("__e")))
+    )
+    folded = scored.groupBy("grp").agg(
+        F.max("__n").cast("long").alias("n"),
+        # present digits contribute |share−e|; absent digits contribute
+        # their full e_d = table total − Σ present e_d
+        (F.sum("__dev") + F.lit(sum(BENFORD_PPM)) - F.sum("__e")).alias("__tv"),
+        F.coalesce(
+            F.max(F.when(F.col("d") == 1, F.expr("1000000 * o div __n"))),
+            F.lit(0),
+        ).cast("long").alias("share1_ppm"),
+        # modal digit, ties to the SMALLEST digit (pinned)
+        F.max_by("d", F.struct(F.col("o").alias("o"), (-F.col("d")).alias("nd"))).cast("long").alias("top_digit"),
+    )
+    return (
+        folded.filter(F.col("n") >= min_n)
+        .select("grp", "n", F.expr("__tv div 2").cast("long").alias("tvd_ppm"),
+                "share1_ppm", "top_digit")
     )

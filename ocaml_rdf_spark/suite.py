@@ -13069,3 +13069,116 @@ FROM comp
 """
 
 QUERIES["single_linkage"] = (q_single_linkage, SQL_SINGLE_LINKAGE)
+
+
+def q_mad_outliers(spark, sf):
+    """Hampel robust outlier screen per nation over account balances in
+    cents, with planted mega-balances (custkey%97==0 → +10M cents):
+    |x − med| > 3·MAD flags the plants, and the lower-discrete-median
+    arithmetic is identical in both engines."""
+    from .operators.stats import mad_outliers
+
+    cu = spark.read.parquet(f"{sf}/customer.parquet")
+    t = cu.select(
+        F.col("c_nationkey").alias("g"),
+        F.col("c_custkey").alias("ck"),
+        (
+            F.round(F.col("c_acctbal") * 100).cast("long")
+            + F.when(F.col("c_custkey") % 97 == 0, 10_000_000).otherwise(0)
+        ).alias("val"),
+    )
+    return mad_outliers(t, "g", "val", k_mad=3).select(
+        F.col("g").cast("long").alias("g"), F.col("ck").cast("long").alias("ck"),
+        "val", F.col("med").cast("long").alias("med"), F.col("mad").cast("long").alias("mad"),
+    )
+
+
+SQL_MAD_OUTLIERS = """
+WITH t AS (
+  SELECT c_nationkey AS g, c_custkey AS ck,
+         CAST(round(c_acctbal * 100) AS BIGINT)
+         + CASE WHEN c_custkey % 97 = 0 THEN 10000000 ELSE 0 END AS val
+  FROM customer
+),
+med AS (
+  SELECT g, val AS med FROM (
+    SELECT g, val, ROW_NUMBER() OVER (PARTITION BY g ORDER BY val) AS rn,
+           COUNT(*) OVER (PARTITION BY g) AS n
+    FROM t
+  ) WHERE rn = (n + 1) // 2
+),
+dev AS (
+  SELECT t.g, ck, val, med, abs(val - med) AS adev
+  FROM t JOIN med ON med.g = t.g
+),
+mad AS (
+  SELECT g, adev AS mad FROM (
+    SELECT g, adev, ROW_NUMBER() OVER (PARTITION BY g ORDER BY adev, val) AS rn,
+           COUNT(*) OVER (PARTITION BY g) AS n
+    FROM dev
+  ) WHERE rn = (n + 1) // 2
+)
+SELECT CAST(dev.g AS BIGINT) AS g, CAST(ck AS BIGINT) AS ck, val,
+       CAST(med AS BIGINT) AS med, CAST(mad AS BIGINT) AS mad
+FROM dev JOIN mad ON mad.g = dev.g
+WHERE adev > 3 * mad
+"""
+
+QUERIES["mad_outliers"] = (q_mad_outliers, SQL_MAD_OUTLIERS)
+
+
+def q_benford(spark, sf):
+    """Benford first-digit audit: 'organic' order totals (cents) vs a
+    'template' source whose values are fabricated (500000 + key%7 —
+    first digit always 5). The fabricated group's total-variation
+    distance from Benford is the flag."""
+    from .operators.stats import benford_audit
+
+    od = spark.read.parquet(f"{sf}/orders.parquet")
+    organic = od.select(
+        F.lit("organic").alias("src"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("val"),
+    )
+    template = od.select(
+        F.lit("template").alias("src"),
+        (F.lit(500000) + F.col("o_orderkey") % 7).cast("long").alias("val"),
+    )
+    return benford_audit(organic.unionByName(template), "src", "val", min_n=50)
+
+
+def _sql_benford() -> str:
+    from .operators.stats import BENFORD_PPM
+
+    arr = "[" + ",".join(str(v) for v in BENFORD_PPM) + "]"
+    return f"""
+WITH src AS (
+  SELECT 'organic' AS grp, CAST(round(o_totalprice * 100) AS BIGINT) AS val FROM orders
+  UNION ALL
+  SELECT 'template', CAST(500000 + o_orderkey % 7 AS BIGINT) FROM orders
+),
+dd AS (
+  SELECT grp, CAST(regexp_extract(CAST(abs(val) AS VARCHAR), '[1-9]', 0) AS INT) AS d
+  FROM src WHERE regexp_extract(CAST(abs(val) AS VARCHAR), '[1-9]', 0) <> ''
+),
+per AS (SELECT grp, d, COUNT(*) AS o FROM dd GROUP BY grp, d),
+sc AS (
+  SELECT grp, d, o, SUM(o) OVER (PARTITION BY grp) AS n, {arr}[d] AS e,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY o DESC, d ASC) AS rn1
+  FROM per
+),
+fold AS (
+  SELECT grp, MAX(n) AS n,
+         SUM(abs(1000000 * o // n - e)) + {sum(BENFORD_PPM)} - SUM(e) AS tv,
+         COALESCE(MAX(CASE WHEN d = 1 THEN 1000000 * o // n END), 0) AS share1,
+         MAX(CASE WHEN rn1 = 1 THEN d END) AS top_digit
+  FROM sc GROUP BY grp
+)
+SELECT grp, CAST(n AS BIGINT) AS n, CAST(tv // 2 AS BIGINT) AS tvd_ppm,
+       CAST(share1 AS BIGINT) AS share1_ppm, CAST(top_digit AS BIGINT) AS top_digit
+FROM fold WHERE n >= 50
+"""
+
+
+SQL_BENFORD = _sql_benford()
+
+QUERIES["benford"] = (q_benford, SQL_BENFORD)

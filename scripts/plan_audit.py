@@ -1604,6 +1604,22 @@ def main() -> None:
             ("no cartesian product", r"CartesianProduct", "absent"),
             ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
         ]),
+        ("mad_outliers", [
+            # two window passes on the group key + two med/MAD stamp
+            # joins — hash shapes only, no UDFs
+            ("window passes present", r"\bWindow\b"),
+            ("stamp joins are hash", r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
+        ("benford", [
+            # scan-local first-digit regexp + ONE (grp,digit) count agg
+            # + 9-row-per-group window/fold — no joins at all
+            ("no join at all", r"Join", "absent"),
+            ("digit count hash agg", r"HashAggregate"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
         ("mst", [
             # per-round state eagerly checkpointed (comp stamps are hash
             # joins, pick is one min_by agg); returned plan = union of
