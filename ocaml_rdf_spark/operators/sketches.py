@@ -801,3 +801,51 @@ WHERE item IN (SELECT item FROM cand)
 GROUP BY item, n_total
 HAVING COUNT(*) * {k} > n_total
 """
+
+
+def partition_stats(df: DataFrame, part_col: str, val_col: str):
+    """Per-partition mergeable summaries — the statistics-maintenance
+    contract for a 100 TB table: each file/partition publishes a tiny
+    summary once at write time, and table-level stats are maintained by
+    MERGING summaries (on ingest, compaction, or snapshot expiry),
+    never by rescanning data. Returns TWO frames:
+
+      scalars:  (part, n, vsum, vmin, vmax)      — merge by Σ/Σ/min/max
+      registers:(part, r_bucket, reg)            — HLL state, merge by MAX
+
+    Every field is mergeable-by-construction (commutative, associative,
+    idempotent for min/max/reg), so any merge tree — pairwise, by
+    ingest batch, hierarchical across snapshots — yields bit-identical
+    table stats (merge_stats proves it against a direct full scan).
+
+    Scale shape: ONE map-side-combined groupBy per frame; the register
+    frame is ≤ 64 rows per partition regardless of partition size."""
+    scalars = df.groupBy(F.col(part_col).alias("part")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(val_col).cast("long").alias("vsum"),
+        F.min(val_col).cast("long").alias("vmin"),
+        F.max(val_col).cast("long").alias("vmax"),
+    )
+    registers = hll_sketch(
+        df.select(F.col(part_col).alias("part"), F.col(val_col).alias("v")),
+        "v", ["part"],
+    )
+    return scalars, registers
+
+
+def merge_stats(scalars: DataFrame, registers: DataFrame) -> DataFrame:
+    """Fold partition summaries to table-level stats WITHOUT touching the
+    data: (n_parts, n, vsum, vmin, vmax, nb, s_sum, est). Register
+    merge = per-bucket MAX — exactly the register state a direct global
+    sketch would hold, so `est` equals the direct estimate exactly (the
+    merge loses nothing; that equality is the suite oracle)."""
+    sc = scalars.agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("n").cast("long").alias("n"),
+        F.sum("vsum").cast("long").alias("vsum"),
+        F.min("vmin").cast("long").alias("vmin"),
+        F.max("vmax").cast("long").alias("vmax"),
+    )
+    merged = registers.groupBy("r_bucket").agg(F.max("reg").alias("reg"))
+    est = hll_estimate_from_sketch(merged, ())
+    return sc.crossJoin(F.broadcast(est))

@@ -386,3 +386,72 @@ def log_replay_asof(
         )
     )
     return last.filter(F.col("m.r") == 0).select(*keys)
+
+
+def changepoint(
+    df,
+    group_col: str,
+    t_col: str,
+    val_col: str,
+    scale: int = 100,
+):
+    """Exact single-changepoint detection per series (the two-segment
+    least-squares split — CUSUM/binary-segmentation's inner step, run
+    here to one level exactly): over each group's series ordered by
+    `t_col`, pick the split s (1 ≤ s < n) minimizing the two-segment
+    SSE, equivalently MAXIMIZING
+
+        score(s) = scale·A_s² div s  +  scale·B_s² div (n−s)
+
+    (A/B = prefix/suffix sums; the div floors are the pinned engine-
+    portable stand-in for the rational objective — both engines floor
+    identically, and ties break to the SMALLEST s). The use: detecting
+    when a host's crawl volume / content regime shifted, per host, in
+    one pass.
+
+    Magnitude bound (stated): A² · scale must fit 64 bits — |Σ values|
+    up to ~3·10⁸ at scale=100. Rescale inputs (or lower `scale`) above
+    that; the operator does not silently widen to decimal because the
+    floor semantics would change.
+
+    Output per group: (group, n, split_t — the LAST t of the left
+    segment, pre_mean_xs, post_mean_xs — segment means in scale units,
+    score). Groups with n < 2 emit nothing.
+
+    Scale shape: ONE window pass (cumulative sum + row_number + count
+    over the group key — one shuffle, exchange reused) and ONE
+    map-side-combined max_by per group. Nothing else."""
+    w = Window.partitionBy(group_col).orderBy(F.col(t_col).asc())
+    wg = Window.partitionBy(group_col)
+    cum = (
+        df.withColumn("__a", F.sum(val_col).over(w))
+        .withColumn("__s", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wg))
+        .withColumn("__tot", F.sum(val_col).over(wg))
+        .filter(F.col("__s") < F.col("__n"))
+    )
+    score = F.expr(
+        f"{scale} * __a * __a div __s + {scale} * (__tot - __a) * (__tot - __a) div (__n - __s)"
+    )
+    cand = cum.select(
+        F.col(group_col).alias("grp"),
+        F.col("__n").alias("n"),
+        F.col(t_col).alias("split_t"),
+        F.col("__s").alias("s"),
+        score.alias("score"),
+        F.expr(f"{scale} * __a div __s").alias("pre_mean_xs"),
+        F.expr(f"{scale} * (__tot - __a) div (__n - __s)").alias("post_mean_xs"),
+    )
+    pick = F.struct(F.col("score").alias("sc"), (-F.col("s")).alias("ns"))
+    best = F.max_by(F.struct("split_t", "pre_mean_xs", "post_mean_xs", "score"), pick)
+    return (
+        cand.groupBy("grp")
+        .agg(F.max("n").cast("long").alias("n"), best.alias("b"))
+        .select(
+            "grp", "n",
+            F.col("b.split_t").cast("long").alias("split_t"),
+            F.col("b.pre_mean_xs").cast("long").alias("pre_mean_xs"),
+            F.col("b.post_mean_xs").cast("long").alias("post_mean_xs"),
+            F.col("b.score").cast("long").alias("score"),
+        )
+    )

@@ -13182,3 +13182,103 @@ FROM fold WHERE n >= 50
 SQL_BENFORD = _sql_benford()
 
 QUERIES["benford"] = (q_benford, SQL_BENFORD)
+
+
+def q_stats_merge(spark, sf):
+    """Mergeable partition statistics: 16 'files' of orders each publish
+    (n, sum, min, max, HLL registers); table stats come from MERGING the
+    summaries. The oracle computes the same stats by DIRECT full scan —
+    equality is the mergeability proof (register merge by per-bucket
+    MAX is lossless)."""
+    from .operators.sketches import merge_stats, partition_stats
+
+    od = spark.read.parquet(f"{sf}/orders.parquet").select(
+        (F.col("o_orderkey") % 16).alias("part"),
+        F.col("o_custkey").alias("val"),
+    )
+    scalars, registers = partition_stats(od, "part", "val")
+    return merge_stats(scalars, registers)
+
+
+def _sql_stats_merge() -> str:
+    from .operators.sketches import hll_oracle_sql
+
+    hll = hll_oracle_sql("(SELECT o_custkey AS v FROM orders)", "v", (), estimate=True)
+    return f"""
+WITH direct AS (
+  SELECT CAST(COUNT(DISTINCT o_orderkey % 16) AS BIGINT) AS n_parts,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(o_custkey) AS BIGINT) AS vsum,
+         CAST(MIN(o_custkey) AS BIGINT) AS vmin,
+         CAST(MAX(o_custkey) AS BIGINT) AS vmax
+  FROM orders
+),
+h AS ({hll})
+SELECT n_parts, n, vsum, vmin, vmax, h.nb, h.s_sum, h.est
+FROM direct CROSS JOIN h
+"""
+
+
+SQL_STATS_MERGE = _sql_stats_merge()
+
+QUERIES["stats_merge"] = (q_stats_merge, SQL_STATS_MERGE)
+
+
+def q_changepoint(spark, sf):
+    """Exact two-segment least-squares changepoint per nation over a
+    40-day synthetic crawl-volume series with a planted regime shift at
+    day 15+(nation%10): the detector must recover each plant."""
+    from .operators.temporal import changepoint
+
+    na = spark.read.parquet(f"{sf}/nation.parquet")
+    days = na.select(
+        F.col("n_nationkey").alias("g"),
+        F.explode(F.sequence(F.lit(0), F.lit(39))).alias("day"),
+    )
+    x = (
+        F.lit(100) + (F.col("g") * F.col("day")) % 5
+        + F.when(F.col("day") >= 15 + F.col("g") % 10, 50).otherwise(0)
+    )
+    series = days.withColumn("x", x.cast("long"))
+    return changepoint(series, "g", "day", "x", scale=100).select(
+        F.col("grp").cast("long").alias("grp"), "n", "split_t",
+        "pre_mean_xs", "post_mean_xs", "score",
+    )
+
+
+SQL_CHANGEPOINT = """
+WITH series AS (
+  SELECT n_nationkey AS g, i AS day,
+         CAST(100 + (n_nationkey * i) % 5
+              + CASE WHEN i >= 15 + n_nationkey % 10 THEN 50 ELSE 0 END AS BIGINT) AS x
+  FROM nation, unnest(range(0, 40)) AS t(i)
+),
+cum AS (
+  SELECT g, day, x,
+         SUM(x) OVER (PARTITION BY g ORDER BY day) AS a,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY day) AS s,
+         COUNT(*) OVER (PARTITION BY g) AS n,
+         SUM(x) OVER (PARTITION BY g) AS tot
+  FROM series
+),
+cand AS (
+  SELECT g, n, day AS split_t, s,
+         100 * a * a // s + 100 * (tot - a) * (tot - a) // (n - s) AS score,
+         100 * a // s AS pre_mean_xs,
+         100 * (tot - a) // (n - s) AS post_mean_xs
+  FROM cum WHERE s < n
+),
+pick AS (
+  SELECT g, n, split_t, pre_mean_xs, post_mean_xs, score,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY score DESC, s ASC) AS rn
+  FROM cand
+)
+SELECT CAST(g AS BIGINT) AS grp, CAST(n AS BIGINT) AS n,
+       CAST(split_t AS BIGINT) AS split_t,
+       CAST(pre_mean_xs AS BIGINT) AS pre_mean_xs,
+       CAST(post_mean_xs AS BIGINT) AS post_mean_xs,
+       CAST(score AS BIGINT) AS score
+FROM pick WHERE rn = 1
+"""
+
+QUERIES["changepoint"] = (q_changepoint, SQL_CHANGEPOINT)

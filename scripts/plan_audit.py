@@ -1604,6 +1604,21 @@ def main() -> None:
             ("no cartesian product", r"CartesianProduct", "absent"),
             ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
         ]),
+        ("stats_merge", [
+            # per-partition summaries + 1-row merge folds; the only BNLJ
+            # is the 1-row estimate broadcast
+            ("1-row estimate broadcast only", r"^\(\d+\) BroadcastNestedLoopJoin", "count", 1),
+            ("map-side combined summary aggs", r"HashAggregate"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
+        ("changepoint", [
+            # ONE window pass on the group key + one max_by fold
+            ("window cumulative pass", r"\bWindow\b"),
+            ("no join at all", r"Join", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
         ("mad_outliers", [
             # two window passes on the group key + two med/MAD stamp
             # joins — hash shapes only, no UDFs
