@@ -331,6 +331,11 @@ def main() -> None:
         "dp_counts",
         "mst",
         "single_linkage",
+        "mad_outliers",
+        "benford",
+        "stats_merge",
+        "changepoint",
+        "sweep_cut",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

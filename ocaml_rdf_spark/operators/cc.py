@@ -23,7 +23,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..types import OWL_SAMEAS
@@ -2183,3 +2183,80 @@ def boruvka_msf(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
             .select("node", F.coalesce("nc", F.col("comp")).alias("comp"))
         )
     return forest
+
+
+def sweep_cut(
+    edges: DataFrame, scores: DataFrame, k_max: int = 20, scale: int = 1_000_000
+) -> DataFrame:
+    """Sweep cut — the second half of Andersen-Chung-Lang local
+    clustering (FOCS'06): given per-node scores from a localized
+    diffusion (`ppr_push`, heat kernel, or plain walk counts), order
+    nodes by score/degree and return the prefix whose CONDUCTANCE is
+    minimal — the locally-best community around the seed. ACL's theorem
+    is that some prefix of this exact order certifies a low-conductance
+    cut; the sweep is what turns diffusion scores into a community.
+
+    Pinned arithmetic: order key = score·scale div deg (integer floor),
+    ties by node ASC; conductance_ppm = 10⁶·cut(S_k) div min(vol(S_k),
+    2m − vol(S_k)) with cut = vol − 2·edges_within (handshake), NULL
+    when the denominator is 0 (the full-graph prefix). `is_best` marks
+    the minimal conductance (ties → smallest k).
+
+    Output per prefix k ≤ k_max: (k, node, deg, vol, cut, cond_ppm,
+    is_best).
+
+    Scale shape: degrees are one map-side agg; the top-k_max order is
+    TakeOrdered (never a full sort); edges-within counts come from ONE
+    hash join of the undirected edge list against the k_max-row rank
+    table (broadcast) grouped by max endpoint rank; every window after
+    that runs on ≤ k_max rows. The corpus-sized work is exactly one
+    scan + one broadcast join."""
+    und = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)  # degrees + m + within all read it
+    )
+    sym = und.select(F.col("a").alias("node")).unionByName(und.select(F.col("b").alias("node")))
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    m2 = und.agg((2 * F.count(F.lit(1))).cast("long").alias("m2"))
+    okey = F.expr(f"score * {scale} div deg")
+    top = (
+        scores.join(deg, "node")
+        .orderBy(okey.desc(), F.col("node").asc())
+        .limit(k_max)
+    )
+    w = Window.orderBy(okey.desc(), F.col("node").asc())
+    ranked = top.withColumn("k", F.row_number().over(w)).localCheckpoint(eager=False)
+    ra = ranked.select(F.col("node").alias("a"), F.col("k").alias("ka"))
+    rb = ranked.select(F.col("node").alias("b"), F.col("k").alias("kb"))
+    within = (
+        und.join(F.broadcast(ra), "a").join(F.broadcast(rb), "b")
+        .groupBy(F.greatest("ka", "kb").alias("k"))
+        .agg(F.count(F.lit(1)).alias("nw"))
+    )
+    wk = Window.orderBy("k")
+    curve = (
+        ranked.join(within, "k", "left")
+        .withColumn("vol", F.sum("deg").over(wk).cast("long"))
+        .withColumn("win", F.sum(F.coalesce("nw", F.lit(0))).over(wk).cast("long"))
+        .crossJoin(F.broadcast(m2))
+        .select(
+            "k", "node", F.col("deg").cast("long").alias("deg"), "vol",
+            (F.col("vol") - 2 * F.col("win")).alias("cut"),
+            F.least(F.col("vol"), F.col("m2") - F.col("vol")).alias("__den"),
+        )
+        .withColumn(
+            "cond_ppm",
+            F.when(F.col("__den") > 0, F.expr("1000000 * cut div __den")).cast("long"),
+        )
+    )
+    best = Window.orderBy(
+        F.when(F.col("cond_ppm").isNull(), F.lit(2_000_000)).otherwise(F.col("cond_ppm")).asc(),
+        F.col("k").asc(),
+    )
+    return (
+        curve.withColumn("__rb", F.row_number().over(best))
+        .withColumn("is_best", (F.col("__rb") == 1).cast("int"))
+        .drop("__den", "__rb")
+    )

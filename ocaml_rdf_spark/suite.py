@@ -13282,3 +13282,98 @@ FROM pick WHERE rn = 1
 """
 
 QUERIES["changepoint"] = (q_changepoint, SQL_CHANGEPOINT)
+
+
+def q_sweep_cut(spark, sf):
+    """ACL sweep cut over the chain-with-chords graph: exact ≤2-hop walk
+    counts from the min-custkey seed are the diffusion scores; the sweep
+    returns the conductance curve over the top-10 score/deg prefix order
+    with the best (local community) prefix flagged."""
+    from .operators.cc import sweep_cut
+
+    _r, e = _chain_graph(spark, sf)
+    sym = e.select("src", "dst").unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    cu = spark.read.parquet(f"{sf}/customer.parquet")
+    seed = cu.agg(F.min("c_custkey").cast("string").alias("sd"))
+    h1 = sym.join(F.broadcast(seed), F.col("src") == F.col("sd")).select(
+        F.col("dst").alias("node"), F.lit(1).alias("c")
+    )
+    h2 = (
+        sym.join(F.broadcast(seed), F.col("src") == F.col("sd"))
+        .select(F.col("dst").alias("mid"))
+        .join(sym.select(F.col("src").alias("mid"), F.col("dst").alias("node")), "mid")
+        .groupBy("node").agg(F.count(F.lit(1)).alias("c"))
+    )
+    scores = (
+        h1.unionByName(h2).groupBy("node").agg(F.sum("c").cast("long").alias("score"))
+    )
+    return sweep_cut(e, scores, k_max=10).select(
+        "k", "node", "deg", "vol", "cut", "cond_ppm", "is_best"
+    )
+
+
+SQL_SWEEP_CUT = (
+    "WITH "
+    + _CHAIN_SQL
+    + """,
+sym AS (SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw),
+sd AS (SELECT CAST(MIN(c_custkey) AS VARCHAR) AS sd FROM customer),
+h1 AS (SELECT dst AS node, 1 AS c FROM sym, sd WHERE src = sd),
+h2 AS (
+  SELECT s2.dst AS node, COUNT(*) AS c
+  FROM sym s1 JOIN sd ON s1.src = sd.sd
+  JOIN sym s2 ON s2.src = s1.dst
+  GROUP BY s2.dst
+),
+scores AS (
+  SELECT node, CAST(SUM(c) AS BIGINT) AS score
+  FROM (SELECT * FROM h1 UNION ALL SELECT * FROM h2) GROUP BY node
+),
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM sym WHERE src <> dst
+),
+deg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b FROM und
+  ) GROUP BY node
+),
+m2 AS (SELECT 2 * COUNT(*) AS m2 FROM und),
+ranked AS (
+  SELECT node, score, deg,
+         ROW_NUMBER() OVER (ORDER BY score * 1000000 // deg DESC, node ASC) AS k
+  FROM scores JOIN deg USING (node)
+  ORDER BY score * 1000000 // deg DESC, node ASC LIMIT 10
+),
+within AS (
+  SELECT GREATEST(ra.k, rb.k) AS k, COUNT(*) AS nw
+  FROM und JOIN ranked ra ON ra.node = und.a JOIN ranked rb ON rb.node = und.b
+  GROUP BY 1
+),
+curve AS (
+  SELECT r.k, r.node, CAST(r.deg AS BIGINT) AS deg,
+         CAST(SUM(r.deg) OVER (ORDER BY r.k) AS BIGINT) AS vol,
+         CAST(SUM(r.deg) OVER (ORDER BY r.k)
+              - 2 * SUM(COALESCE(w.nw, 0)) OVER (ORDER BY r.k) AS BIGINT) AS cut,
+         LEAST(SUM(r.deg) OVER (ORDER BY r.k),
+               m2.m2 - SUM(r.deg) OVER (ORDER BY r.k)) AS den
+  FROM ranked r LEFT JOIN within w ON w.k = r.k CROSS JOIN m2
+),
+scored AS (
+  SELECT k, node, deg, vol, cut,
+         CASE WHEN den > 0 THEN CAST(1000000 * cut // den AS BIGINT) END AS cond_ppm
+  FROM curve
+),
+pick AS (
+  SELECT k AS bk FROM scored
+  ORDER BY COALESCE(cond_ppm, 2000000) ASC, k ASC LIMIT 1
+)
+SELECT k, node, deg, vol, cut, cond_ppm,
+       CAST(CASE WHEN k = (SELECT bk FROM pick) THEN 1 ELSE 0 END AS INT) AS is_best
+FROM scored
+"""
+)
+
+QUERIES["sweep_cut"] = (q_sweep_cut, SQL_SWEEP_CUT)

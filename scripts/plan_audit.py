@@ -1604,6 +1604,13 @@ def main() -> None:
             ("no cartesian product", r"CartesianProduct", "absent"),
             ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
         ]),
+        ("sweep_cut", [
+            # corpus-sized work = one scan + broadcast rank join; the
+            # curve windows run on <= k_max rows
+            ("rank join is broadcast hash", r"BroadcastHashJoin"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
         ("stats_merge", [
             # per-partition summaries + 1-row merge folds; the only BNLJ
             # is the 1-row estimate broadcast
