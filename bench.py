@@ -336,6 +336,8 @@ def main() -> None:
         "stats_merge",
         "changepoint",
         "sweep_cut",
+        "zonemap",
+        "overlap_depth",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

@@ -849,3 +849,93 @@ def merge_stats(scalars: DataFrame, registers: DataFrame) -> DataFrame:
     merged = registers.groupBy("r_bucket").agg(F.max("reg").alias("reg"))
     est = hll_estimate_from_sketch(merged, ())
     return sc.crossJoin(F.broadcast(est))
+
+
+def zonemap_prune(stats: DataFrame, lo: int, hi: int) -> DataFrame:
+    """Zone-map (min/max) file-skipping simulator — the reader-side
+    payoff of partition_stats and the statistic that justifies zorder/
+    hilbert/compaction work: for a range predicate val ∈ [lo, hi], a
+    file is SKIPPED iff its zone [vmin, vmax] misses the range entirely
+    (vmax < lo or vmin > hi) — exactly the parquet row-group /
+    Iceberg manifest pruning rule.
+
+    Input: per-file stats (layout, part, n, vmin, vmax) — multiple
+    layouts compare side by side, which is the point: the same rows
+    clustered by the predicate column prune almost everything, scattered
+    layouts prune nothing. Output per layout: (layout, n_files,
+    files_scanned, rows_total, rows_scanned, skip_ppm) with skip_ppm =
+    10⁶·(rows_total − rows_scanned) div rows_total.
+
+    Scale shape: stats are metadata (one row per file — 10⁵ rows for a
+    10-PB table), so this is ONE tiny agg; the simulated scan it prices
+    would be the 100 TB one."""
+    hit = ~((F.col("vmax") < lo) | (F.col("vmin") > hi))
+    return (
+        stats.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum(hit.cast("int")).cast("long").alias("files_scanned"),
+            F.sum("n").cast("long").alias("rows_total"),
+            F.sum(F.when(hit, F.col("n")).otherwise(0)).cast("long").alias("rows_scanned"),
+        )
+        .withColumn(
+            "skip_ppm",
+            F.expr("1000000 * (rows_total - rows_scanned) div rows_total").cast("long"),
+        )
+    )
+
+
+def overlap_depth(stats: DataFrame) -> DataFrame:
+    """Zone-overlap clustering quality — the metric behind OPTIMIZE
+    decisions (Delta/Iceberg call it clustering depth): how many OTHER
+    files' [vmin, vmax] zones overlap each file's zone. avg ≈ 0 means
+    the layout is range-clustered and zone maps will prune; avg ≈
+    n_files means zones all overlap and min/max stats are useless —
+    re-cluster (zorder_layout / compaction_plan) before relying on
+    skipping.
+
+    overlaps(f) = |{g : g.vmin ≤ f.vmax ∧ g.vmax ≥ f.vmin}| − 1,
+    computed WITHOUT an interval self-join (even metadata deserves hash
+    shapes): sort-position counting —
+    starts_le(f.vmax) − ends_lt(f.vmin) − 1 via two event/probe window
+    passes per layout over the unioned endpoint stream. Exact integers.
+
+    Output per layout: (layout, n_files, avg_overlap_x100, max_overlap).
+    """
+    def _count_passes(probe_col: str, event_col: str, strict: bool, out: str) -> DataFrame:
+        # events: each file's event_col value; probes: each file's
+        # probe_col value. Result per file: # events ≤ probe (or < probe
+        # when strict) within the layout.
+        ev = stats.select("layout", F.col(event_col).alias("v")).withColumn(
+            "__is_probe", F.lit(0)
+        ).withColumn("part", F.lit(None).cast(stats.schema["part"].dataType))
+        pr = stats.select("layout", "part", F.col(probe_col).alias("v")).withColumn(
+            "__is_probe", F.lit(1)
+        )
+        # order: value asc; at equal value, events BEFORE probes when
+        # counting ≤ (inclusive: is_probe 0 first → asc), probes BEFORE
+        # events when counting < (strict: is_probe 1 first → desc)
+        tie = F.col("__is_probe").desc() if strict else F.col("__is_probe").asc()
+        w = (
+            Window.partitionBy("layout")
+            .orderBy(F.col("v").asc(), tie)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cnt = F.sum(F.lit(1) - F.col("__is_probe")).over(w)
+        return (
+            ev.unionByName(pr)
+            .withColumn("__c", cnt)
+            .filter(F.col("__is_probe") == 1)
+            .select("layout", "part", F.col("__c").alias(out))
+        )
+
+    starts = _count_passes("vmax", "vmin", strict=False, out="starts_le")
+    ends = _count_passes("vmin", "vmax", strict=True, out="ends_lt")
+    per_file = stats.select("layout", "part").join(starts, ["layout", "part"]).join(
+        ends, ["layout", "part"]
+    ).withColumn("ov", F.col("starts_le") - F.col("ends_lt") - 1)
+    return per_file.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.expr("100 * sum(ov) div count(1)").cast("long").alias("avg_overlap_x100"),
+        F.max("ov").cast("long").alias("max_overlap"),
+    )

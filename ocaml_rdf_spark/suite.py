@@ -13377,3 +13377,85 @@ FROM scored
 )
 
 QUERIES["sweep_cut"] = (q_sweep_cut, SQL_SWEEP_CUT)
+
+
+def _file_stats(spark, sf):
+    """Per-'file' zone stats for orders under two layouts: clustered
+    (custkey-range files) vs scattered (orderkey-hash files) — the
+    side-by-side that shows zone maps only pay on clustered data."""
+    from .operators.sketches import partition_stats
+
+    od = spark.read.parquet(f"{sf}/orders.parquet")
+    out = []
+    for layout, part in (
+        ("clustered", F.expr("o_custkey div 64")),
+        ("scattered", F.col("o_orderkey") % 32),
+    ):
+        d = od.select(part.alias("part"), F.col("o_custkey").alias("val"))
+        sc, _regs = partition_stats(d, "part", "val")
+        out.append(sc.withColumn("layout", F.lit(layout)))
+    return out[0].unionByName(out[1]).select("layout", "part", "n", "vmin", "vmax")
+
+
+_SQL_FILE_STATS = """
+fs AS (
+  SELECT layout, part, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(MIN(val) AS BIGINT) AS vmin, CAST(MAX(val) AS BIGINT) AS vmax
+  FROM (
+    SELECT 'clustered' AS layout, o_custkey // 64 AS part, o_custkey AS val FROM orders
+    UNION ALL
+    SELECT 'scattered', o_orderkey % 32, o_custkey FROM orders
+  ) GROUP BY layout, part
+)"""
+
+
+def q_zonemap(spark, sf):
+    """Zone-map pruning simulation for val ∈ [1000, 1999] over the two
+    layouts — the clustered layout skips nearly everything, the
+    scattered one scans every file."""
+    from .operators.sketches import zonemap_prune
+
+    return zonemap_prune(_file_stats(spark, sf), 1000, 1999)
+
+
+SQL_ZONEMAP = (
+    "WITH " + _SQL_FILE_STATS + """
+SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(CASE WHEN NOT (vmax < 1000 OR vmin > 1999) THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+       CAST(SUM(n) AS BIGINT) AS rows_total,
+       CAST(SUM(CASE WHEN NOT (vmax < 1000 OR vmin > 1999) THEN n ELSE 0 END) AS BIGINT) AS rows_scanned,
+       CAST(1000000 * (SUM(n) - SUM(CASE WHEN NOT (vmax < 1000 OR vmin > 1999) THEN n ELSE 0 END))
+            // SUM(n) AS BIGINT) AS skip_ppm
+FROM fs GROUP BY layout
+"""
+)
+
+QUERIES["zonemap"] = (q_zonemap, SQL_ZONEMAP)
+
+
+def q_overlap_depth(spark, sf):
+    """Zone-overlap clustering depth for the same two layouts; the
+    oracle counts overlaps by an INDEPENDENT interval self-join (files
+    are metadata-sized there), the operator by join-free sort-position
+    counting — agreement checks the sweep arithmetic."""
+    from .operators.sketches import overlap_depth
+
+    return overlap_depth(_file_stats(spark, sf))
+
+
+SQL_OVERLAP_DEPTH = (
+    "WITH " + _SQL_FILE_STATS + """,
+ov AS (
+  SELECT a.layout, a.part, COUNT(*) - 1 AS ov
+  FROM fs a JOIN fs b
+    ON b.layout = a.layout AND b.vmin <= a.vmax AND b.vmax >= a.vmin
+  GROUP BY a.layout, a.part
+)
+SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(100 * SUM(ov) // COUNT(*) AS BIGINT) AS avg_overlap_x100,
+       CAST(MAX(ov) AS BIGINT) AS max_overlap
+FROM ov GROUP BY layout
+"""
+)
+
+QUERIES["overlap_depth"] = (q_overlap_depth, SQL_OVERLAP_DEPTH)

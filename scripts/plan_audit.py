@@ -1604,6 +1604,20 @@ def main() -> None:
             ("no cartesian product", r"CartesianProduct", "absent"),
             ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
         ]),
+        ("zonemap", [
+            # stats aggs + one metadata-sized fold — no joins anywhere
+            ("no join at all", r"Join", "absent"),
+            ("map-side combined stats aggs", r"HashAggregate"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
+        ("overlap_depth", [
+            # join-free overlap counting: event/probe windows; the only
+            # joins stitch per-file counts back (hash, metadata-sized)
+            ("stitch joins are hash", r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
         ("sweep_cut", [
             # corpus-sized work = one scan + broadcast rank join; the
             # curve windows run on <= k_max rows
