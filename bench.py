@@ -338,6 +338,8 @@ def main() -> None:
         "sweep_cut",
         "zonemap",
         "overlap_depth",
+        "graph_anon",
+        "kdeg_cost",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

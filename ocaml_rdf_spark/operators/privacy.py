@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -179,3 +179,117 @@ SELECT grp, CAST(n + {case} AS BIGINT) AS noisy_n
 FROM w
 WHERE n + {case} >= {publish_min}
 """
+
+
+# --- graph-release privacy -------------------------------------------------
+
+
+def graph_anonymity(edges: DataFrame, max_sig_degs: int = 64) -> DataFrame:
+    """Structural re-identifiability audit for a graph release (Hay et
+    al. VLDB'08 — before the link graph ships next to a corpus, count
+    how many nodes an adversary who knows a target's DEGREE (H1) or its
+    NEIGHBORS' DEGREES (H2) can pin down; the graph analogue of
+    k_anonymity_report, and k-degree anonymity's measurement side):
+
+      level 1 signature: deg(v)
+      level 2 signature: deg(v) | sorted neighbor-degree list
+
+    Output one row per (level, sig) equivalence class: (level, sig, n,
+    k_ok = n ≥ k? — here the raw class size; callers threshold). A
+    class of size 1 is a uniquely re-identifiable node.
+
+    Pinned: neighbor-degree lists sort ascending, serialize
+    comma-joined; lists longer than `max_sig_degs` keep the FIRST
+    `max_sig_degs` sorted entries (a mega-hub's full list is both a
+    shuffle hazard and already unique — the truncation only ever MERGES
+    classes, so reported uniqueness is a lower bound, stated not
+    hidden).
+
+    Scale shape: degrees are one map-side agg; H2 is one hash join
+    (edge endpoint → degree) + one subject-keyed sorted-list agg
+    (bounded by the truncation cap) + one signature-keyed count."""
+    sym = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    adj = sym.select(F.col("a").alias("v"), F.col("b").alias("u")).unionByName(
+        sym.select(F.col("b").alias("v"), F.col("a").alias("u"))
+    )
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+    h1 = (
+        deg.groupBy(F.col("deg").cast("string").alias("sig"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.lit(1).alias("level"), "sig", "n")
+    )
+    nbr = adj.join(deg.select(F.col("v").alias("u"), F.col("deg").alias("udeg")), "u")
+    h2sig = (
+        nbr.groupBy("v")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.slice(
+                    F.expr("transform(sort_array(collect_list(udeg)), x -> cast(x as string))"),
+                    1, max_sig_degs,
+                ),
+            ).alias("nsig")
+        )
+        .join(deg, "v")
+        .select(F.concat_ws("|", F.col("deg").cast("string"), F.col("nsig")).alias("sig"))
+    )
+    h2 = (
+        h2sig.groupBy("sig").agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.lit(2).alias("level"), "sig", "n")
+    )
+    return h1.unionByName(h2)
+
+
+def kdeg_cost(edges: DataFrame, k: int = 5) -> DataFrame:
+    """Greedy k-degree-anonymization cost (the grouping baseline of
+    Liu & Terzi SIGMOD'08: sort degrees descending, cut into runs of k
+    — the last run absorbs the remainder — and raise every degree to
+    its run's maximum; the Σ raised degrees is the edge-addition budget
+    a release would need so every degree occurs ≥ k times). This is the
+    PRICE QUOTE companion to graph_anonymity: the greedy grouping is a
+    documented upper bound on the DP optimum (the DP recurrence is
+    inherently sequential; the greedy quote is windowable and the bound
+    direction is stated).
+
+    Output ONE row: (k, n_nodes, n_groups, added_degree_total).
+
+    Scale shape: one degree agg + one global sort rank (row_number over
+    the degree order — the sequence is |V|-sized, one shuffle) + one
+    run-keyed max/sum agg."""
+    sym = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        sym.select(F.col("a").alias("v")).unionByName(sym.select(F.col("b").alias("v")))
+        .groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+    )
+    w = Window.orderBy(F.col("deg").desc(), F.col("v").asc())
+    ranked = (
+        deg.withColumn("rn", F.row_number().over(w))
+        .withColumn("tot", F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))))
+        # runs of k; the LAST full group absorbs the remainder (no
+        # driver-side count — the total rides the same global window)
+        .withColumn(
+            "grp",
+            F.least(
+                F.expr(f"(rn - 1) div {k}"),
+                F.greatest(F.expr(f"tot div {k}") - 1, F.lit(0)),
+            ),
+        )
+    )
+    per_grp = ranked.groupBy("grp").agg(
+        F.max("deg").alias("gmax"), F.sum("deg").alias("gsum"),
+        F.count(F.lit(1)).alias("gn"),
+    )
+    return per_grp.agg(
+        F.lit(k).alias("k"),
+        F.sum("gn").cast("long").alias("n_nodes"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.col("gmax") * F.col("gn") - F.col("gsum")).cast("long").alias("added_degree_total"),
+    )

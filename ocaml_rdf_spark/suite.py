@@ -13459,3 +13459,89 @@ FROM ov GROUP BY layout
 )
 
 QUERIES["overlap_depth"] = (q_overlap_depth, SQL_OVERLAP_DEPTH)
+
+
+def q_graph_anon(spark, sf):
+    """Structural re-identifiability of the chain-with-chords graph
+    release: H1 (degree) and H2 (degree + sorted neighbor degrees)
+    signature classes with sizes — singleton classes are uniquely
+    re-identifiable nodes. Fixture degrees ≤ 4, far under the
+    truncation cap, so the oracle mirrors untruncated."""
+    from .operators.privacy import graph_anonymity
+
+    _r, e = _chain_graph(spark, sf)
+    return graph_anonymity(e)
+
+
+SQL_GRAPH_ANON = (
+    "WITH "
+    + _CHAIN_SQL
+    + """,
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM raw WHERE src <> dst
+),
+adj AS (SELECT a AS v, b AS u FROM und UNION ALL SELECT b, a FROM und),
+deg AS (SELECT v, COUNT(*) AS deg FROM adj GROUP BY v),
+h1 AS (
+  SELECT 1 AS level, CAST(deg AS VARCHAR) AS sig, CAST(COUNT(*) AS BIGINT) AS n
+  FROM deg GROUP BY deg
+),
+nbr AS (SELECT adj.v AS v, d2.deg AS udeg FROM adj JOIN deg d2 ON d2.v = adj.u),
+h2s AS (
+  SELECT v, string_agg(CAST(udeg AS VARCHAR), ',' ORDER BY udeg) AS nsig
+  FROM nbr GROUP BY v
+),
+h2 AS (
+  SELECT 2 AS level, CAST(deg AS VARCHAR) || '|' || nsig AS sig,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM h2s JOIN deg USING (v) GROUP BY 2
+)
+SELECT * FROM h1 UNION ALL SELECT * FROM h2
+"""
+)
+
+QUERIES["graph_anon"] = (q_graph_anon, SQL_GRAPH_ANON)
+
+
+def q_kdeg_cost(spark, sf):
+    """Greedy k-degree-anonymization price quote (k=7) for the chain
+    graph: sort degrees desc, runs of 7 (last run absorbs remainder),
+    raise to run max — Σ raised degrees is the edge-addition budget."""
+    from .operators.privacy import kdeg_cost
+
+    _r, e = _chain_graph(spark, sf)
+    return kdeg_cost(e, k=7)
+
+
+SQL_KDEG_COST = (
+    "WITH "
+    + _CHAIN_SQL
+    + """,
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM raw WHERE src <> dst
+),
+deg AS (
+  SELECT v, COUNT(*) AS deg FROM (
+    SELECT a AS v FROM und UNION ALL SELECT b FROM und
+  ) GROUP BY v
+),
+ranked AS (
+  SELECT v, deg, ROW_NUMBER() OVER (ORDER BY deg DESC, v ASC) AS rn,
+         COUNT(*) OVER () AS tot
+  FROM deg
+),
+g AS (
+  SELECT LEAST((rn - 1) // 7, GREATEST(tot // 7 - 1, 0)) AS grp, deg
+  FROM ranked
+),
+pg AS (SELECT grp, MAX(deg) AS gmax, SUM(deg) AS gsum, COUNT(*) AS gn FROM g GROUP BY grp)
+SELECT 7 AS k, CAST(SUM(gn) AS BIGINT) AS n_nodes,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(gmax * gn - gsum) AS BIGINT) AS added_degree_total
+FROM pg
+"""
+)
+
+QUERIES["kdeg_cost"] = (q_kdeg_cost, SQL_KDEG_COST)

@@ -1604,6 +1604,21 @@ def main() -> None:
             ("no cartesian product", r"CartesianProduct", "absent"),
             ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
         ]),
+        ("graph_anon", [
+            # degree agg + ONE endpoint-degree hash join + signature agg
+            ("degree join is hash", r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
+        ("kdeg_cost", [
+            # degree agg + global rank window + run-keyed fold (the only
+            # joins are the chain-graph FIXTURE's edge construction)
+            ("global rank window", r"\bWindow\b"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
         ("zonemap", [
             # stats aggs + one metadata-sized fold — no joins anywhere
             ("no join at all", r"Join", "absent"),
