@@ -340,6 +340,8 @@ def main() -> None:
         "overlap_depth",
         "graph_anon",
         "kdeg_cost",
+        "rich_club",
+        "pr_curve",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

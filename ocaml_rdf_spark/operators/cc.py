@@ -2260,3 +2260,55 @@ def sweep_cut(
         .withColumn("is_best", (F.col("__rb") == 1).cast("int"))
         .drop("__den", "__rb")
     )
+
+
+def rich_club(edges: DataFrame) -> DataFrame:
+    """Rich-club coefficient curve (Zhou & Mondragón 2004; in a host
+    graph it answers "do the mega-hubs preferentially link to EACH
+    OTHER?" — link-farm collusion and tier-1 cores both show up as a
+    rich club, random mixing does not): for each degree threshold k
+    (every distinct degree value),
+
+        φ(k) = 2·E_k / (N_k·(N_k−1))
+
+    over the subgraph of nodes with deg > k. Output (k, n_k, e_k,
+    phi_ppm) for thresholds with N_k ≥ 2; phi_ppm is the pinned
+    integer floor.
+
+    Scale shape: degrees = one map-side agg; E_k for ALL thresholds at
+    once rides the edge list ONCE — each edge contributes to every k <
+    min(deg_a, deg_b), so group edges by min-endpoint-degree and
+    suffix-sum (same for nodes by degree); the curve windows then run
+    on |distinct degrees| rows (hundreds at web scale, not billions)."""
+    und = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)  # degrees + edge-mindeg both read it
+    )
+    deg = (
+        und.select(F.col("a").alias("node")).unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=False)  # node hist + 2 edge stamps read it
+    )
+    node_hist = deg.groupBy("deg").agg(F.count(F.lit(1)).alias("nn"))
+    edge_hist = (
+        und.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b")
+        .groupBy(F.least("da", "db").alias("deg"))
+        .agg(F.count(F.lit(1)).alias("ne"))
+    )
+    hist = node_hist.join(edge_hist, "deg", "full").select(
+        F.col("deg"), F.coalesce("nn", F.lit(0)).alias("nn"), F.coalesce("ne", F.lit(0)).alias("ne")
+    )
+    # suffix sums: N_k = Σ nn over deg > k, E_k = Σ ne over mindeg > k —
+    # a DESC cumulative shifted by one row (strict >)
+    w = Window.orderBy(F.col("deg").desc()).rowsBetween(Window.unboundedPreceding, -1)
+    curve = hist.select(
+        F.col("deg").cast("long").alias("k"),
+        F.coalesce(F.sum("nn").over(w), F.lit(0)).cast("long").alias("n_k"),
+        F.coalesce(F.sum("ne").over(w), F.lit(0)).cast("long").alias("e_k"),
+    )
+    return curve.filter(F.col("n_k") >= 2).withColumn(
+        "phi_ppm", F.expr("1000000 * 2 * e_k div (n_k * (n_k - 1))").cast("long")
+    )

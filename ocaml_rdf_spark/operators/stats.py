@@ -965,3 +965,53 @@ def benford_audit(
         .select("grp", "n", F.expr("__tv div 2").cast("long").alias("tvd_ppm"),
                 "share1_ppm", "top_digit")
     )
+
+
+def pr_curve(scored: DataFrame) -> DataFrame:
+    """Precision-recall threshold curve for a scored binary decision
+    (the ER/linker/filter tuning artifact: at which score cut does the
+    verifier keep enough true matches at acceptable precision): input
+    (score BIGINT, is_true 0/1); for every DISTINCT score t, predict
+    positive iff score ≥ t and report exact counts and pinned-integer
+    rates —
+
+        prec_ppm = 10⁶·tp div (tp+fp),  rec_ppm = 10⁶·tp div P,
+        f1_ppm   = 2·prec·rec div (prec+rec)   (0 when degenerate)
+
+    plus is_best on the max-F1 row (ties → HIGHEST threshold: the
+    conservative cut). Output (thr, tp, fp, fn, prec_ppm, rec_ppm,
+    f1_ppm, is_best).
+
+    Scale shape: ONE (score)-keyed count agg (map-side combined), then
+    cumulative windows over |distinct scores| rows — the curve is
+    score-resolution-sized, not data-sized. No joins."""
+    per = scored.groupBy(F.col("score").alias("thr")).agg(
+        F.sum(F.col("is_true").cast("long")).alias("t"),
+        F.sum(F.lit(1) - F.col("is_true").cast("long")).alias("f"),
+    )
+    w = Window.orderBy(F.col("thr").desc()).rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy(F.lit(1))
+    curve = per.select(
+        "thr",
+        F.sum("t").over(w).cast("long").alias("tp"),
+        F.sum("f").over(w).cast("long").alias("fp"),
+        (F.sum("t").over(tot) - F.sum("t").over(w)).cast("long").alias("fn"),
+    ).withColumn(
+        "prec_ppm", F.expr("1000000 * tp div (tp + fp)").cast("long")
+    ).withColumn(
+        "rec_ppm",
+        F.when(F.col("tp") + F.col("fn") > 0, F.expr("1000000 * tp div (tp + fn)"))
+        .otherwise(0).cast("long"),
+    ).withColumn(
+        "f1_ppm",
+        F.when(
+            F.col("prec_ppm") + F.col("rec_ppm") > 0,
+            F.expr("2 * prec_ppm * rec_ppm div (prec_ppm + rec_ppm)"),
+        ).otherwise(0).cast("long"),
+    )
+    wb = Window.orderBy(F.col("f1_ppm").desc(), F.col("thr").desc())
+    return (
+        curve.withColumn("__rb", F.row_number().over(wb))
+        .withColumn("is_best", (F.col("__rb") == 1).cast("int"))
+        .drop("__rb")
+    )

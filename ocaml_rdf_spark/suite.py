@@ -13545,3 +13545,117 @@ FROM pg
 )
 
 QUERIES["kdeg_cost"] = (q_kdeg_cost, SQL_KDEG_COST)
+
+
+def q_rich_club(spark, sf):
+    """Rich-club coefficient curve over a 211-node 1-in-5-sampled
+    order-flow graph (degree spread 8-24 distinct values across sf —
+    a denser modulus saturates into a complete graph and the curve
+    vacates) — do high-degree nodes preferentially interlink? One row
+    per degree threshold with ≥2 qualifying nodes."""
+    from .operators.cc import rich_club
+
+    od = spark.read.parquet(f"{sf}/orders.parquet").filter(
+        F.col("o_orderkey") % 5 == 0
+    )
+    e = od.select(
+        (F.col("o_custkey") % 211).alias("src"),
+        ((F.col("o_orderkey") * 7 + 13) % 211).alias("dst"),
+    )
+    return rich_club(e)
+
+
+SQL_RICH_CLUB = """
+WITH raw AS (
+  SELECT o_custkey % 211 AS x, (o_orderkey * 7 + 13) % 211 AS y
+  FROM orders WHERE o_orderkey % 5 = 0
+),
+und AS (
+  SELECT DISTINCT LEAST(x, y) AS a, GREATEST(x, y) AS b
+  FROM raw WHERE x <> y
+),
+deg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b FROM und
+  ) GROUP BY node
+),
+nh AS (SELECT deg, COUNT(*) AS nn FROM deg GROUP BY deg),
+eh AS (
+  SELECT LEAST(da.deg, db.deg) AS deg, COUNT(*) AS ne
+  FROM und JOIN deg da ON da.node = und.a JOIN deg db ON db.node = und.b
+  GROUP BY 1
+),
+hist AS (
+  SELECT COALESCE(nh.deg, eh.deg) AS deg, COALESCE(nn, 0) AS nn, COALESCE(ne, 0) AS ne
+  FROM nh FULL JOIN eh ON eh.deg = nh.deg
+),
+curve AS (
+  SELECT deg AS k,
+         COALESCE(SUM(nn) OVER (ORDER BY deg DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_k,
+         COALESCE(SUM(ne) OVER (ORDER BY deg DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS e_k
+  FROM hist
+)
+SELECT CAST(k AS BIGINT) AS k, CAST(n_k AS BIGINT) AS n_k,
+       CAST(e_k AS BIGINT) AS e_k,
+       CAST(1000000 * 2 * e_k // (n_k * (n_k - 1)) AS BIGINT) AS phi_ppm
+FROM curve WHERE n_k >= 2
+"""
+
+QUERIES["rich_club"] = (q_rich_club, SQL_RICH_CLUB)
+
+
+def q_pr_curve(spark, sf):
+    """Precision-recall threshold curve for a deterministic scored
+    matcher over customers (score correlates with the planted truth
+    flag): exact counts + pinned ppm rates per distinct score, max-F1
+    row flagged (ties → highest threshold)."""
+    from .operators.stats import pr_curve
+
+    cu = spark.read.parquet(f"{sf}/customer.parquet")
+    k = F.col("c_custkey")
+    scored = cu.select(
+        ((k * 7) % 100).cast("long").alias("score"),
+        (((k * 7) % 100 + k % 13) > 60).cast("int").alias("is_true"),
+    )
+    return pr_curve(scored)
+
+
+SQL_PR_CURVE = """
+WITH scored AS (
+  SELECT CAST((c_custkey * 7) % 100 AS BIGINT) AS score,
+         CASE WHEN (c_custkey * 7) % 100 + c_custkey % 13 > 60 THEN 1 ELSE 0 END AS is_true
+  FROM customer
+),
+per AS (
+  SELECT score AS thr, SUM(is_true) AS t, SUM(1 - is_true) AS f
+  FROM scored GROUP BY score
+),
+cum AS (
+  SELECT thr,
+         CAST(SUM(t) OVER (ORDER BY thr DESC) AS BIGINT) AS tp,
+         CAST(SUM(f) OVER (ORDER BY thr DESC) AS BIGINT) AS fp,
+         CAST(SUM(t) OVER () - SUM(t) OVER (ORDER BY thr DESC) AS BIGINT) AS fn
+  FROM per
+),
+rates AS (
+  SELECT thr, tp, fp, fn,
+         CAST(1000000 * tp // (tp + fp) AS BIGINT) AS prec_ppm,
+         CAST(CASE WHEN tp + fn > 0 THEN 1000000 * tp // (tp + fn) ELSE 0 END AS BIGINT) AS rec_ppm
+  FROM cum
+),
+f1 AS (
+  SELECT thr, tp, fp, fn, prec_ppm, rec_ppm,
+         CAST(CASE WHEN prec_ppm + rec_ppm > 0
+                   THEN 2 * prec_ppm * rec_ppm // (prec_ppm + rec_ppm)
+                   ELSE 0 END AS BIGINT) AS f1_ppm
+  FROM rates
+),
+pick AS (SELECT thr AS bthr FROM f1 ORDER BY f1_ppm DESC, thr DESC LIMIT 1)
+SELECT thr, tp, fp, fn, prec_ppm, rec_ppm, f1_ppm,
+       CAST(CASE WHEN thr = (SELECT bthr FROM pick) THEN 1 ELSE 0 END AS INT) AS is_best
+FROM f1
+"""
+
+QUERIES["pr_curve"] = (q_pr_curve, SQL_PR_CURVE)

@@ -1604,6 +1604,21 @@ def main() -> None:
             ("no cartesian product", r"CartesianProduct", "absent"),
             ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
         ]),
+        ("rich_club", [
+            # degree agg + two endpoint-degree hash joins; curve windows
+            # run on |distinct degrees| rows
+            ("degree stamps are hash joins", r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
+        ("pr_curve", [
+            # ONE score-keyed count agg + cumulative windows over the
+            # distinct-score curve — no joins
+            ("no join at all", r"Join", "absent"),
+            ("score count agg", r"HashAggregate"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
         ("graph_anon", [
             # degree agg + ONE endpoint-degree hash join + signature agg
             ("degree join is hash", r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin"),
