@@ -342,6 +342,8 @@ def main() -> None:
         "kdeg_cost",
         "rich_club",
         "pr_curve",
+        "gini",
+        "bootstrap",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

@@ -1015,3 +1015,115 @@ def pr_curve(scored: DataFrame) -> DataFrame:
         .withColumn("is_best", (F.col("__rb") == 1).cast("int"))
         .drop("__rb")
     )
+
+
+def gini_ppm(df: DataFrame, group_col: str, val_col: str) -> DataFrame:
+    """Gini concentration coefficient per group, exact integer ppm (the
+    corpus-mix diversity number on a dataset card: how concentrated are
+    tokens/documents across hosts or sources — 0 = perfectly even,
+    →10⁶ = one source dominates; the scalar companion to skew_report's
+    top-k table): over a group's non-negative values x_1 ≤ … ≤ x_n,
+
+        gini_ppm = 10⁶·(2·Σ i·x_i − (n+1)·S) div (n·S)   (S = Σx)
+
+    — the classic sorted-cumulative identity, every step a pinned
+    integer (ties in x ordered by value only: i·x_i sums are invariant
+    under tie permutation, so the rank tie-break cannot change the
+    result). Groups with S = 0 report NULL (undefined share split).
+
+    Magnitude: Σ i·x_i ≤ n·S must fit 64 bits — n·S < 9·10¹⁸ covers
+    e.g. 10⁹ rows of values up to 10⁹·…; beyond that pre-aggregate
+    values per entity first (the normal shape: entity totals, not raw
+    events). Scale: ONE rank window + one fold per group."""
+    w = Window.partitionBy(group_col).orderBy(F.col(val_col).asc())
+    ranked = df.select(group_col, val_col).withColumn(
+        "__i", F.row_number().over(w)
+    )
+    return (
+        ranked.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(val_col).cast("long").alias("s"),
+            F.sum(F.col("__i") * F.col(val_col)).cast("long").alias("ws"),
+        )
+        .select(
+            F.col(group_col),
+            "n", "s",
+            F.when(
+                F.col("s") > 0,
+                F.expr("1000000 * (2 * ws - (n + 1) * s) div (n * s)"),
+            ).cast("long").alias("gini_ppm"),
+        )
+    )
+
+
+#: Poisson(1) inverse-CDF thresholds on a 2^30 uniform: cumulative
+#: e^{-1}/k! for k = 0..8 (tail mass beyond 8 is ~1e-9, folded into 8).
+#: Python-side constants, baked identically into Column exprs and SQL.
+def _poisson1_thresholds() -> list:
+    import math
+
+    acc, out = 0.0, []
+    for k in range(9):
+        acc += math.exp(-1.0) / math.factorial(k)
+        out.append((min(1 << 30, round((1 << 30) * acc)), k))
+    out[-1] = (1 << 30, 8)
+    return out
+
+
+def poisson_bootstrap(
+    df: DataFrame,
+    id_col: str,
+    val_col: str,
+    replicates: int = 64,
+    seed: str = "boot1",
+) -> DataFrame:
+    """Poisson bootstrap for a corpus mean — THE distributed bootstrap
+    (Chamandy et al., Google 2012 "Estimating uncertainty for massive
+    data streams"; Kleiner's BLB is its blocked cousin): classical
+    resampling needs n draws over n rows per replicate (a shuffle per
+    replicate); the Poisson trick gives each row an independent
+    Poisson(1) weight per replicate, so ALL B replicates ride ONE scan
+    — Binomial(n, 1/n) → Poisson(1) as n grows.
+
+    Weights are deterministic: uniform = md5(seed:replicate:id) folded
+    to 2^30, fed through the baked Poisson(1) inverse-CDF table (k ≤ 8,
+    tail mass ~1e-9 folded — stated). Per replicate b: mean_b_ppm =
+    10⁶·Σ w·x div Σ w (NULL-guarded empty resample). Output one row per
+    replicate (b, n_eff, mean_ppm) — callers take quantiles of the B
+    means for the CI (exact_quantiles composes; the suite oracle
+    checks the whole replicate table, which subsumes any CI readout).
+
+    Scale: the explode is B rows per input row BUT carries only (b,
+    w·x, w) into a map-side-combined agg — shuffle volume is B
+    partial-sum rows per task, not B×n."""
+    thresholds = _poisson1_thresholds()
+    b = F.explode(F.sequence(F.lit(0), F.lit(replicates - 1))).alias("b")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(seed), F.col("b"), F.col(id_col))), 1, 8
+            ),
+            16, 10,
+        ).cast("long")
+        % (1 << 30)
+    )
+    wexpr = None
+    for upper, k in thresholds:
+        cond = F.col("__u") < upper
+        wexpr = F.when(cond, k) if wexpr is None else wexpr.when(cond, k)
+    return (
+        df.select(F.col(id_col), F.col(val_col), b)
+        .withColumn("__u", u)
+        .withColumn("__w", wexpr)
+        .groupBy("b")
+        .agg(
+            F.sum("__w").cast("long").alias("n_eff"),
+            F.sum(F.col("__w") * F.col(val_col)).cast("long").alias("__wx"),
+        )
+        .select(
+            "b", "n_eff",
+            F.when(F.col("n_eff") > 0, F.expr("1000000 * __wx div n_eff"))
+            .cast("long").alias("mean_ppm"),
+        )
+    )

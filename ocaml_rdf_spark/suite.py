@@ -13659,3 +13659,80 @@ FROM f1
 """
 
 QUERIES["pr_curve"] = (q_pr_curve, SQL_PR_CURVE)
+
+
+def q_gini(spark, sf):
+    """Per-language Gini concentration of document sizes (the corpus-
+    card diversity scalar): exact sorted-cumulative identity in pinned
+    integer ppm."""
+    from .operators.stats import gini_ppm
+
+    return gini_ppm(
+        _docs(spark, sf).select("lang", F.col("n_chars").cast("long").alias("v")),
+        "lang", "v",
+    )
+
+
+SQL_GINI = """
+WITH ranked AS (
+  SELECT lang, n_chars AS v,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars ASC) AS i
+  FROM documents
+),
+agg AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS s,
+         CAST(SUM(i * v) AS BIGINT) AS ws
+  FROM ranked GROUP BY lang
+)
+SELECT lang, n, s,
+       CASE WHEN s > 0
+            THEN CAST(1000000 * (2 * ws - (n + 1) * s) // (n * s) AS BIGINT)
+       END AS gini_ppm
+FROM agg
+"""
+
+QUERIES["gini"] = (q_gini, SQL_GINI)
+
+
+def q_bootstrap(spark, sf):
+    """Poisson bootstrap of the mean document size: 32 replicates ride
+    ONE scan via per-(replicate, doc) Poisson(1) hash weights; the
+    replicate table (b, n_eff, mean_ppm) is fully oracled."""
+    from .operators.stats import poisson_bootstrap
+
+    return poisson_bootstrap(
+        _docs(spark, sf).select("doc_id", F.col("n_chars").cast("long").alias("v")),
+        "doc_id", "v", replicates=32,
+    )
+
+
+def _sql_bootstrap() -> str:
+    from .operators.stats import _poisson1_thresholds
+
+    case = "CASE " + " ".join(
+        f"WHEN u < {upper} THEN {k}" for upper, k in _poisson1_thresholds()
+    ) + " END"
+    return f"""
+WITH expl AS (
+  SELECT i AS b, doc_id, n_chars AS v
+  FROM documents, unnest(range(0, 32)) AS t(i)
+),
+w AS (
+  SELECT b, v,
+         ('0x' || substr(md5('boot1:' || CAST(b AS VARCHAR) || ':' ||
+                              CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         % {1 << 30} AS u
+  FROM expl
+),
+wk AS (SELECT b, v, {case} AS wt FROM w)
+SELECT CAST(b AS INT) AS b, CAST(SUM(wt) AS BIGINT) AS n_eff,
+       CASE WHEN SUM(wt) > 0
+            THEN CAST(1000000 * SUM(wt * v) // SUM(wt) AS BIGINT)
+       END AS mean_ppm
+FROM wk GROUP BY b
+"""
+
+
+SQL_BOOTSTRAP = _sql_bootstrap()
+
+QUERIES["bootstrap"] = (q_bootstrap, SQL_BOOTSTRAP)

@@ -1604,6 +1604,20 @@ def main() -> None:
             ("no cartesian product", r"CartesianProduct", "absent"),
             ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
         ]),
+        ("gini", [
+            # one rank window on the group key + one fold — no joins
+            ("rank window present", r"\bWindow\b"),
+            ("no join at all", r"Join", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
+        ("bootstrap", [
+            # B replicates ride ONE scan: explode + map-side-combined
+            # replicate agg; no joins, no shuffle of B x n rows
+            ("replicate explode present", r"Generate"),
+            ("map-side combined replicate agg", r"HashAggregate"),
+            ("no join at all", r"Join", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
         ("rich_club", [
             # degree agg + two endpoint-degree hash joins; curve windows
             # run on |distinct degrees| rows
