@@ -344,6 +344,8 @@ def main() -> None:
         "pr_curve",
         "gini",
         "bootstrap",
+        "auc",
+        "ks_drift",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

@@ -1127,3 +1127,92 @@ def poisson_bootstrap(
             .cast("long").alias("mean_ppm"),
         )
     )
+
+
+def auc_exact(scored: DataFrame) -> DataFrame:
+    """Exact ROC-AUC via the Mann-Whitney U rank identity (the
+    threshold-free companion to pr_curve: AUC = P(score⁺ > score⁻) +
+    ½P(score⁺ = score⁻), which is the probability a random true pair
+    outranks a random false pair — the ranking quality number for a
+    linker/filter/scorer): with average ranks for ties kept integral by
+    DOUBLING (a tie block spanning ranks [f, l] gives every member
+    2·rank = f + l),
+
+        auc_ppm = 10⁶·(Σ 2r⁺ − P(P+1)) div (2·P·N)
+
+    — every step a pinned 64-bit integer (Σ2r ≤ 2n², n < 2·10⁹ rows
+    before overflow). Output ONE row (n_pos, n_neg, auc_ppm); NULL when
+    either class is empty.
+
+    Scale shape: ONE score-keyed count agg, cumulative windows over the
+    distinct-score curve, a 1-row fold — no joins, the same shape as
+    pr_curve."""
+    per = scored.groupBy(F.col("score").alias("s")).agg(
+        F.sum(F.col("is_true").cast("long")).alias("p"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    w = Window.orderBy(F.col("s").asc()).rowsBetween(Window.unboundedPreceding, -1)
+    # tie block at score s spans ranks [before+1, before+c] → 2·avgrank
+    # = 2·before + c + 1 for every member
+    cur = per.withColumn("before", F.coalesce(F.sum("c").over(w), F.lit(0)))
+    fold = cur.agg(
+        F.sum("p").cast("long").alias("n_pos"),
+        (F.sum("c") - F.sum("p")).cast("long").alias("n_neg"),
+        F.sum(F.col("p") * (2 * F.col("before") + F.col("c") + 1)).cast("long").alias("r2"),
+    )
+    return fold.select(
+        "n_pos", "n_neg",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.expr("1000000 * (r2 - n_pos * (n_pos + 1)) div (2 * n_pos * n_neg)"),
+        ).cast("long").alias("auc_ppm"),
+    )
+
+
+def ks_drift(a: DataFrame, b: DataFrame, val_col: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D statistic, exact integer ppm (the
+    distribution-drift alarm between corpus snapshots/sources — has the
+    length/quality/score distribution MOVED, without binning choices):
+
+        d_ppm = max over values v of |10⁶·F_a(v) − 10⁶·F_b(v)|
+
+    with F the empirical CDF at v (≤ v), both scaled by pinned integer
+    floors. Output ONE row (n_a, n_b, d_ppm, at_value) — at_value is
+    the SMALLEST value attaining the max (pinned). The classical
+    critical value c(α)·√((n_a+n_b)/(n_a·n_b)) is the caller's cut;
+    this reports the statistic.
+
+    Scale shape: one tagged union scan → ONE value-keyed count agg →
+    cumulative windows over the distinct-value table → a 1-row argmax
+    fold. No joins, no sorts beyond the value-resolution curve."""
+    tagged = a.select(F.col(val_col).alias("v"), F.lit(1).alias("sa")).unionByName(
+        b.select(F.col(val_col).alias("v"), F.lit(0).alias("sa"))
+    )
+    per = tagged.groupBy("v").agg(
+        F.sum("sa").cast("long").alias("ca"),
+        F.sum(F.lit(1) - F.col("sa")).cast("long").alias("cb"),
+    )
+    w = Window.orderBy(F.col("v").asc()).rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy(F.lit(1))
+    cur = (
+        per.withColumn("fa", F.sum("ca").over(w))
+        .withColumn("fb", F.sum("cb").over(w))
+        .withColumn("na", F.sum("ca").over(tot))
+        .withColumn("nb", F.sum("cb").over(tot))
+        .withColumn(
+            "d", F.abs(F.expr("1000000 * fa div na") - F.expr("1000000 * fb div nb"))
+        )
+    )
+    pick = F.max_by(
+        F.struct(F.col("d").alias("d"), F.col("v").alias("v")),
+        F.struct(F.col("d").alias("d"), (-F.col("v")).alias("nv")),
+    )
+    return cur.agg(
+        F.max("na").cast("long").alias("n_a"),
+        F.max("nb").cast("long").alias("n_b"),
+        pick.alias("__p"),
+    ).select(
+        "n_a", "n_b",
+        F.col("__p.d").cast("long").alias("d_ppm"),
+        F.col("__p.v").cast("long").alias("at_value"),
+    )

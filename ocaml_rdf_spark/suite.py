@@ -13736,3 +13736,96 @@ FROM wk GROUP BY b
 SQL_BOOTSTRAP = _sql_bootstrap()
 
 QUERIES["bootstrap"] = (q_bootstrap, SQL_BOOTSTRAP)
+
+
+def q_auc(spark, sf):
+    """Exact ROC-AUC (Mann-Whitney with doubled tie ranks) of the same
+    deterministic correlated scorer as pr_curve — the threshold-free
+    ranking-quality scalar."""
+    from .operators.stats import auc_exact
+
+    cu = spark.read.parquet(f"{sf}/customer.parquet")
+    k = F.col("c_custkey")
+    scored = cu.select(
+        ((k * 7) % 100).cast("long").alias("score"),
+        (((k * 7) % 100 + k % 13) > 60).cast("int").alias("is_true"),
+    )
+    return auc_exact(scored)
+
+
+SQL_AUC = """
+WITH scored AS (
+  SELECT CAST((c_custkey * 7) % 100 AS BIGINT) AS score,
+         CASE WHEN (c_custkey * 7) % 100 + c_custkey % 13 > 60 THEN 1 ELSE 0 END AS is_true
+  FROM customer
+),
+per AS (
+  SELECT score AS s, SUM(is_true) AS p, COUNT(*) AS c FROM scored GROUP BY score
+),
+cur AS (
+  SELECT s, p, c,
+         COALESCE(SUM(c) OVER (ORDER BY s ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+  FROM per
+),
+fold AS (
+  SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+         CAST(SUM(c) - SUM(p) AS BIGINT) AS n_neg,
+         CAST(SUM(p * (2 * bef + c + 1)) AS BIGINT) AS r2
+  FROM cur
+)
+SELECT n_pos, n_neg,
+       CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN CAST(1000000 * (r2 - n_pos * (n_pos + 1))
+                      // (2 * n_pos * n_neg) AS BIGINT)
+       END AS auc_ppm
+FROM fold
+"""
+
+QUERIES["auc"] = (q_auc, SQL_AUC)
+
+
+def q_ks_drift(spark, sf):
+    """Two-sample KS drift between even-id documents and odd-id
+    documents with a planted +40-char shift — the binning-free
+    distribution-drift alarm, exact integer ppm."""
+    from .operators.stats import ks_drift
+
+    d = _docs(spark, sf)
+    a = d.filter(F.col("doc_id") % 2 == 0).select(F.col("n_chars").cast("long").alias("v"))
+    b = d.filter(F.col("doc_id") % 2 == 1).select(
+        (F.col("n_chars") + 40).cast("long").alias("v")
+    )
+    return ks_drift(a, b, "v")
+
+
+SQL_KS_DRIFT = """
+WITH tagged AS (
+  SELECT CAST(n_chars AS BIGINT) AS v, 1 AS sa FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT CAST(n_chars + 40 AS BIGINT), 0 FROM documents WHERE doc_id % 2 = 1
+),
+per AS (
+  SELECT v, CAST(SUM(sa) AS BIGINT) AS ca, CAST(SUM(1 - sa) AS BIGINT) AS cb
+  FROM tagged GROUP BY v
+),
+cur AS (
+  SELECT v,
+         SUM(ca) OVER (ORDER BY v ASC) AS fa,
+         SUM(cb) OVER (ORDER BY v ASC) AS fb,
+         SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+  FROM per
+),
+d AS (
+  SELECT v, na, nb,
+         abs(1000000 * fa // na - 1000000 * fb // nb) AS dd
+  FROM cur
+),
+pick AS (SELECT v AS bv, dd FROM d ORDER BY dd DESC, v ASC LIMIT 1)
+SELECT CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+       CAST((SELECT dd FROM pick) AS BIGINT) AS d_ppm,
+       CAST((SELECT bv FROM pick) AS BIGINT) AS at_value
+FROM d
+"""
+
+QUERIES["ks_drift"] = (q_ks_drift, SQL_KS_DRIFT)

@@ -1604,6 +1604,18 @@ def main() -> None:
             ("no cartesian product", r"CartesianProduct", "absent"),
             ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
         ]),
+        ("auc", [
+            # one score-keyed agg + curve windows + 1-row fold, no joins
+            ("no join at all", r"Join", "absent"),
+            ("score count agg", r"HashAggregate"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
+        ("ks_drift", [
+            # tagged union scan + value-keyed agg + CDF windows, no joins
+            ("no join at all", r"Join", "absent"),
+            ("value count agg", r"HashAggregate"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
         ("gini", [
             # one rank window on the group key + one fold — no joins
             ("rank window present", r"\bWindow\b"),
