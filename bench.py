@@ -346,6 +346,8 @@ def main() -> None:
         "bootstrap",
         "auc",
         "ks_drift",
+        "cusum",
+        "lag_corr",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

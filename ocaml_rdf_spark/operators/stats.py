@@ -1216,3 +1216,55 @@ def ks_drift(a: DataFrame, b: DataFrame, val_col: str) -> DataFrame:
         F.col("__p.d").cast("long").alias("d_ppm"),
         F.col("__p.v").cast("long").alias("at_value"),
     )
+
+
+def lag_corr(
+    df: DataFrame, group_col: str, t_col: str, val_col: str, lag: int
+) -> DataFrame:
+    """Lag-k autocorrelation sufficient statistics per series, exact
+    integers (crawl/traffic seasonality: a weekly cycle shows as high
+    lag-7 correlation of daily volumes): pairs (x_t, x_{t+k}) via ONE
+    self-join on the shifted time key, then
+
+        ncov = n·Σxy − Σx·Σy,   vx = n·Σx² − (Σx)²,  vy likewise,
+        r2_ppm = 10⁶·ncov² div (vx·vy)   (sign(ncov) reported — r² alone
+                                          hides direction)
+
+    all pinned 64-bit integers. Magnitude bound (stated, the changepoint
+    rule): ncov² must fit 64 bits — |x| ≤ ~10³ over ≤ ~10³ steps at
+    lag ≪ n; rescale inputs beyond that rather than silently widening.
+    Degenerate guard: vx·vy = 0 (a constant side) → r2_ppm NULL.
+
+    Output per group: (group, lag, n, ncov, r2_ppm, sign).
+
+    Scale shape: one equi self-join on (group, t+k) — hash, the shifted
+    key is computed scan-side — and one map-side-combined fold."""
+    a = df.select(
+        F.col(group_col).alias("g"), F.col(t_col).alias("t"), F.col(val_col).alias("x")
+    )
+    b = df.select(
+        F.col(group_col).alias("g"),
+        (F.col(t_col) - lag).alias("t"),
+        F.col(val_col).alias("y"),
+    )
+    j = a.join(b, ["g", "t"])
+    fold = j.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    return fold.select(
+        F.col("g"), F.lit(lag).cast("int").alias("lag"), "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("ncov"),
+        F.when(
+            (F.expr("n * sxx - sx * sx") > 0) & (F.expr("n * syy - sy * sy") > 0),
+            F.expr(
+                "1000000 * (n * sxy - sx * sy) * (n * sxy - sx * sy)"
+                " div ((n * sxx - sx * sx) * (n * syy - sy * sy))"
+            ),
+        ).cast("long").alias("r2_ppm"),
+        F.signum(F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("int").alias("sign"),
+    )

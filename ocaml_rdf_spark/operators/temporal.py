@@ -455,3 +455,45 @@ def changepoint(
             F.col("b.score").cast("long").alias("score"),
         )
     )
+
+
+def cusum_alarm(
+    df,
+    group_col: str,
+    t_col: str,
+    val_col: str,
+    mu: int,
+    slack: int,
+    threshold: int,
+):
+    """One-sided CUSUM drift alarm per series (Page 1954 — the ONLINE
+    companion to `changepoint`: that one finds where a finished series
+    split, this one tells you, at each step, whether the process has
+    drifted up; the crawl-ops alarm for 'this host's volume/latency has
+    shifted'): S_t = max(0, S_{t−1} + x_t − μ − k), alarm when S_t > h.
+
+    The recurrence looks inherently sequential, but it has the classic
+    closed form S_t = P_t − min_{j ≤ t} P_j over the prefix sums P of
+    (x − μ − k) — ONE cumulative-sum window plus ONE running-min window
+    (same partitioning, exchange reused), exact integers throughout.
+
+    Output: every row with (group, t, s) where the alarm is ON
+    (s > threshold), plus first_alarm = 1 on each group's earliest
+    firing row. Empty when nothing drifts. μ/k/h are integer
+    parameters in value units (calibrate k ≈ half the shift you want
+    to catch, h ≈ 4-5σ, per the standard CUSUM design rules).
+
+    Scale shape: two windows over the group key, zero joins."""
+    w = Window.partitionBy(group_col).orderBy(F.col(t_col).asc())
+    dev = df.withColumn("__p", F.sum(F.col(val_col) - mu - slack).over(w))
+    s = (
+        dev.withColumn("__minp", F.min(F.least(F.col("__p"), F.lit(0))).over(w))
+        .withColumn("s", (F.col("__p") - F.col("__minp")).cast("long"))
+    )
+    alarms = s.filter(F.col("s") > threshold).select(
+        F.col(group_col), F.col(t_col), F.col("s")
+    )
+    wf = Window.partitionBy(group_col).orderBy(F.col(t_col).asc())
+    return alarms.withColumn(
+        "first_alarm", (F.row_number().over(wf) == 1).cast("int")
+    )

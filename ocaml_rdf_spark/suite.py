@@ -13829,3 +13829,109 @@ FROM d
 """
 
 QUERIES["ks_drift"] = (q_ks_drift, SQL_KS_DRIFT)
+
+
+def q_cusum(spark, sf):
+    """Page's CUSUM drift alarm over per-nation 40-day series: nations
+    g%3==0 get a +30 volume shift at day 20+g%5; the alarm must fire on
+    exactly those nations a few days after their shift (the prefix-min
+    closed form makes the sequential statistic two windows)."""
+    from .operators.temporal import cusum_alarm
+
+    na = spark.read.parquet(f"{sf}/nation.parquet")
+    days = na.select(
+        F.col("n_nationkey").alias("g"),
+        F.explode(F.sequence(F.lit(0), F.lit(39))).alias("day"),
+    )
+    x = (
+        F.lit(100) + (F.col("g") * F.col("day")) % 5
+        + F.when(
+            (F.col("g") % 3 == 0) & (F.col("day") >= 20 + F.col("g") % 5), 30
+        ).otherwise(0)
+    )
+    series = days.withColumn("x", x.cast("long"))
+    return cusum_alarm(series, "g", "day", "x", mu=102, slack=10, threshold=60).select(
+        F.col("g").cast("long").alias("g"), F.col("day").cast("long").alias("day"),
+        "s", "first_alarm",
+    )
+
+
+SQL_CUSUM = """
+WITH series AS (
+  SELECT n_nationkey AS g, i AS day,
+         CAST(100 + (n_nationkey * i) % 5
+              + CASE WHEN n_nationkey % 3 = 0 AND i >= 20 + n_nationkey % 5
+                     THEN 30 ELSE 0 END AS BIGINT) AS x
+  FROM nation, unnest(range(0, 40)) AS t(i)
+),
+p AS (
+  SELECT g, day, SUM(x - 112) OVER (PARTITION BY g ORDER BY day) AS p
+  FROM series
+),
+s AS (
+  SELECT g, day,
+         CAST(p - MIN(LEAST(p, 0)) OVER (PARTITION BY g ORDER BY day) AS BIGINT) AS s
+  FROM p
+),
+a AS (SELECT g, day, s FROM s WHERE s > 60)
+SELECT CAST(g AS BIGINT) AS g, CAST(day AS BIGINT) AS day, s,
+       CAST(CASE WHEN ROW_NUMBER() OVER (PARTITION BY g ORDER BY day) = 1
+                 THEN 1 ELSE 0 END AS INT) AS first_alarm
+FROM a
+"""
+
+QUERIES["cusum"] = (q_cusum, SQL_CUSUM)
+
+
+def q_lag_corr(spark, sf):
+    """Lag-7 autocorrelation of per-nation daily volumes with a planted
+    weekly cycle (+20 every 7th day) — seasonality detection in exact
+    integer sufficient statistics + r² ppm."""
+    from .operators.stats import lag_corr
+
+    na = spark.read.parquet(f"{sf}/nation.parquet")
+    days = na.select(
+        F.col("n_nationkey").alias("g"),
+        F.explode(F.sequence(F.lit(0), F.lit(55))).alias("day"),
+    )
+    x = (
+        F.lit(100)
+        + F.when(F.col("day") % 7 == 0, 20).otherwise(0)
+        + (F.col("g") * F.col("day")) % 3
+    )
+    series = days.withColumn("x", x.cast("long"))
+    return lag_corr(series, "g", "day", "x", lag=7).select(
+        F.col("g").cast("long").alias("g"), "lag", "n", "ncov", "r2_ppm", "sign",
+    )
+
+
+SQL_LAG_CORR = """
+WITH series AS (
+  SELECT n_nationkey AS g, i AS day,
+         CAST(100 + CASE WHEN i % 7 = 0 THEN 20 ELSE 0 END
+              + (n_nationkey * i) % 3 AS BIGINT) AS x
+  FROM nation, unnest(range(0, 56)) AS t(i)
+),
+j AS (
+  SELECT a.g, a.x AS x, b.x AS y
+  FROM series a JOIN series b ON b.g = a.g AND b.day = a.day + 7
+),
+fold AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM j GROUP BY g
+)
+SELECT CAST(g AS BIGINT) AS g, CAST(7 AS INT) AS lag, n,
+       CAST(n * sxy - sx * sy AS BIGINT) AS ncov,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN CAST(1000000 * (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                      // ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS BIGINT)
+       END AS r2_ppm,
+       CAST(CASE WHEN n * sxy - sx * sy > 0 THEN 1
+                 WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 0 END AS INT) AS sign
+FROM fold
+"""
+
+QUERIES["lag_corr"] = (q_lag_corr, SQL_LAG_CORR)

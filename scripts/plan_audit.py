@@ -1604,6 +1604,20 @@ def main() -> None:
             ("no cartesian product", r"CartesianProduct", "absent"),
             ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
         ]),
+        ("cusum", [
+            # two windows on the series key (cumsum + running min), the
+            # alarm filter and first-alarm rank — zero joins
+            ("series windows present", r"\bWindow\b"),
+            ("no join at all", r"Join", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
+        ("lag_corr", [
+            # ONE shifted-key equi self-join (hash) + map-side fold
+            ("shifted self-join is hash", r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
         ("auc", [
             # one score-keyed agg + curve windows + 1-row fold, no joins
             ("no join at all", r"Join", "absent"),
