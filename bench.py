@@ -348,6 +348,8 @@ def main() -> None:
         "ks_drift",
         "cusum",
         "lag_corr",
+        "winsorize",
+        "cat_drift",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

@@ -1268,3 +1268,104 @@ def lag_corr(
         ).cast("long").alias("r2_ppm"),
         F.signum(F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("int").alias("sign"),
     )
+
+
+def winsorize(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    val_col: str,
+    lo_ppm: int = 10_000,
+    hi_ppm: int = 990_000,
+) -> DataFrame:
+    """Per-group winsorization at exact discrete quantiles (the score-
+    clipping step before averaging quality signals or fusing numeric
+    claims — one absurd value must not drag a host's mean; the
+    REPAIRING counterpart to mad_outliers' flags): cap values outside
+    [Q(lo), Q(hi)] where Q(q) is the value at sorted rank
+    max(1, ceil(q·n)) — the pinned discrete quantile, no interpolation,
+    integer in = integer out (the mad_outliers/exact_quantiles family
+    rule).
+
+    Output: the CAPPED rows only — (group, id, v, vlo, vhi, v_capped);
+    untouched rows don't travel (the caller patches by id, the
+    suppression_plan convention).
+
+    Scale shape: one rank window on the group key (exchange reused by
+    the quantile pick), one bounds join back (hash, group-keyed), one
+    filter. No collects, no UDFs."""
+    w = Window.partitionBy(group_col).orderBy(F.col(val_col).asc(), F.col(id_col).asc())
+    ranked = df.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy(group_col))
+    )
+    def _qrank(q_ppm: int):
+        # ceil(q·n/10⁶) as (q·n + 10⁶−1) div 10⁶ — valid under BOTH
+        # truncating (Spark div) and floor (DuckDB //) division because
+        # the operands are non-negative; a negation-based ceil trick
+        # would silently diverge between the engines
+        return F.greatest(F.lit(1), F.expr(f"({q_ppm} * __n + 999999) div 1000000"))
+
+    bounds = (
+        ranked.filter(
+            (F.col("__rn") == _qrank(lo_ppm)) | (F.col("__rn") == _qrank(hi_ppm))
+        )
+        .groupBy(group_col)
+        .agg(
+            F.min(F.when(F.col("__rn") == _qrank(lo_ppm), F.col(val_col))).alias("vlo"),
+            F.max(F.when(F.col("__rn") == _qrank(hi_ppm), F.col(val_col))).alias("vhi"),
+        )
+    )
+    out = df.join(bounds, group_col)
+    capped = F.least(F.greatest(F.col(val_col), F.col("vlo")), F.col("vhi"))
+    return (
+        out.filter((F.col(val_col) < F.col("vlo")) | (F.col(val_col) > F.col("vhi")))
+        .select(
+            F.col(group_col), F.col(id_col), F.col(val_col),
+            F.col("vlo").cast("long").alias("vlo"),
+            F.col("vhi").cast("long").alias("vhi"),
+            capped.cast("long").alias("v_capped"),
+        )
+    )
+
+
+def cat_drift(a: DataFrame, b: DataFrame, cat_col: str) -> DataFrame:
+    """Categorical distribution drift between two snapshots/sources (the
+    ks_drift companion for discrete columns — has the language/source/
+    license MIX moved): total-variation distance in pinned integer ppm,
+
+        tvd_ppm = (Σ_c |10⁶·c_a(c) div n_a − 10⁶·c_b(c) div n_b|) div 2
+
+    over the union of categories (one-sided categories contribute their
+    full share — the benford_audit absent-mass rule). Output ONE row
+    (n_a, n_b, n_cats, tvd_ppm, top_mover, top_dev_ppm) with top_mover
+    the largest-deviation category (ties → lexicographically smallest,
+    pinned).
+
+    Scale shape: tagged union scan → ONE category-keyed count agg →
+    a |categories|-row fold. No joins."""
+    tagged = a.select(F.col(cat_col).alias("c"), F.lit(1).alias("sa")).unionByName(
+        b.select(F.col(cat_col).alias("c"), F.lit(0).alias("sa"))
+    )
+    per = tagged.groupBy("c").agg(
+        F.sum("sa").cast("long").alias("ca"),
+        F.sum(F.lit(1) - F.col("sa")).cast("long").alias("cb"),
+    )
+    tot = Window.partitionBy(F.lit(1))
+    dev = per.withColumn("na", F.sum("ca").over(tot)).withColumn(
+        "nb", F.sum("cb").over(tot)
+    ).withColumn(
+        "d",
+        F.abs(
+            F.when(F.col("na") > 0, F.expr("1000000 * ca div na")).otherwise(0)
+            - F.when(F.col("nb") > 0, F.expr("1000000 * cb div nb")).otherwise(0)
+        ),
+    )
+    pick = F.min_by("c", F.struct((-F.col("d")).alias("nd"), F.col("c").alias("c")))
+    return dev.agg(
+        F.max("na").cast("long").alias("n_a"),
+        F.max("nb").cast("long").alias("n_b"),
+        F.count(F.lit(1)).cast("long").alias("n_cats"),
+        F.expr("sum(d) div 2").cast("long").alias("tvd_ppm"),
+        pick.alias("top_mover"),
+        F.max(F.struct(F.col("d").alias("d"), F.col("c"))).getField("d").cast("long").alias("top_dev_ppm"),
+    )

@@ -13935,3 +13935,106 @@ FROM fold
 """
 
 QUERIES["lag_corr"] = (q_lag_corr, SQL_LAG_CORR)
+
+
+def q_winsorize(spark, sf):
+    """Per-nation winsorization of account balances (cents) at the
+    exact discrete [25%, 75%] quantiles (IQR clipping — tail quantiles
+    are degenerate on the small per-nation groups of the low-sf
+    fixtures: ceil(0.99·n) = n IS the max, so nothing would cap), with
+    planted absurd values (custkey%89==0 → ±10M cents)."""
+    from .operators.stats import winsorize
+
+    cu = spark.read.parquet(f"{sf}/customer.parquet")
+    k = F.col("c_custkey")
+    t = cu.select(
+        F.col("c_nationkey").alias("g"), k.alias("id"),
+        (
+            F.round(F.col("c_acctbal") * 100).cast("long")
+            + F.when(k % 89 == 0, F.when(k % 2 == 0, 10_000_000).otherwise(-10_000_000))
+            .otherwise(0)
+        ).alias("v"),
+    )
+    return winsorize(t, "g", "id", "v", lo_ppm=250_000, hi_ppm=750_000).select(
+        F.col("g").cast("long").alias("g"), F.col("id").cast("long").alias("id"),
+        "v", "vlo", "vhi", "v_capped",
+    )
+
+
+SQL_WINSORIZE = """
+WITH t AS (
+  SELECT c_nationkey AS g, c_custkey AS id,
+         CAST(round(c_acctbal * 100) AS BIGINT)
+         + CASE WHEN c_custkey % 89 = 0
+                THEN CASE WHEN c_custkey % 2 = 0 THEN 10000000 ELSE -10000000 END
+                ELSE 0 END AS v
+  FROM customer
+),
+ranked AS (
+  SELECT g, id, v,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY v, id) AS rn,
+         COUNT(*) OVER (PARTITION BY g) AS n
+  FROM t
+),
+bounds AS (
+  SELECT g,
+         MIN(CASE WHEN rn = GREATEST(1, (250000 * n + 999999) // 1000000) THEN v END) AS vlo,
+         MAX(CASE WHEN rn = GREATEST(1, (750000 * n + 999999) // 1000000) THEN v END) AS vhi
+  FROM ranked
+  WHERE rn = GREATEST(1, (250000 * n + 999999) // 1000000)
+     OR rn = GREATEST(1, (750000 * n + 999999) // 1000000)
+  GROUP BY g
+)
+SELECT CAST(t.g AS BIGINT) AS g, CAST(id AS BIGINT) AS id, v,
+       CAST(vlo AS BIGINT) AS vlo, CAST(vhi AS BIGINT) AS vhi,
+       CAST(LEAST(GREATEST(v, vlo), vhi) AS BIGINT) AS v_capped
+FROM t JOIN bounds ON bounds.g = t.g
+WHERE v < vlo OR v > vhi
+"""
+
+QUERIES["winsorize"] = (q_winsorize, SQL_WINSORIZE)
+
+
+def q_cat_drift(spark, sf):
+    """Categorical mix drift: language distribution of even-id docs vs
+    odd-id docs with a third of odd 'de' docs relabeled 'fr' — the
+    TVD-in-ppm alarm with the top-moving category."""
+    from .operators.stats import cat_drift
+
+    d = _docs(spark, sf)
+    a = d.filter(F.col("doc_id") % 2 == 0).select("lang")
+    b = d.filter(F.col("doc_id") % 2 == 1).select(
+        F.when((F.col("lang") == "de") & (F.col("doc_id") % 3 == 0), "fr")
+        .otherwise(F.col("lang")).alias("lang")
+    )
+    return cat_drift(a, b, "lang")
+
+
+SQL_CAT_DRIFT = """
+WITH tagged AS (
+  SELECT lang AS c, 1 AS sa FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT CASE WHEN lang = 'de' AND doc_id % 3 = 0 THEN 'fr' ELSE lang END, 0
+  FROM documents WHERE doc_id % 2 = 1
+),
+per AS (
+  SELECT c, CAST(SUM(sa) AS BIGINT) AS ca, CAST(SUM(1 - sa) AS BIGINT) AS cb
+  FROM tagged GROUP BY c
+),
+dev AS (
+  SELECT c, ca, cb,
+         SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb,
+         abs(CASE WHEN SUM(ca) OVER () > 0 THEN 1000000 * ca // SUM(ca) OVER () ELSE 0 END
+             - CASE WHEN SUM(cb) OVER () > 0 THEN 1000000 * cb // SUM(cb) OVER () ELSE 0 END) AS d
+  FROM per
+),
+pick AS (SELECT c, d FROM dev ORDER BY d DESC, c ASC LIMIT 1)
+SELECT CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+       CAST(COUNT(*) AS BIGINT) AS n_cats,
+       CAST(SUM(d) // 2 AS BIGINT) AS tvd_ppm,
+       (SELECT c FROM pick) AS top_mover,
+       CAST((SELECT d FROM pick) AS BIGINT) AS top_dev_ppm
+FROM dev
+"""
+
+QUERIES["cat_drift"] = (q_cat_drift, SQL_CAT_DRIFT)

@@ -1604,6 +1604,20 @@ def main() -> None:
             ("no cartesian product", r"CartesianProduct", "absent"),
             ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
         ]),
+        ("winsorize", [
+            # rank window + group-keyed bounds join (hash) + filter
+            ("rank window present", r"\bWindow\b"),
+            ("bounds join is hash", r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
+        ("cat_drift", [
+            # tagged union scan + ONE category agg + category-row fold
+            ("no join at all", r"Join", "absent"),
+            ("category count agg", r"HashAggregate"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
         ("cusum", [
             # two windows on the series key (cumsum + running min), the
             # alarm filter and first-alarm rank — zero joins
