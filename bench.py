@@ -350,6 +350,7 @@ def main() -> None:
         "lag_corr",
         "winsorize",
         "cat_drift",
+        "fair_quota",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

@@ -577,3 +577,79 @@ def surt_key_sql(expr: str) -> str:
        CASE WHEN {q} = '' THEN '' ELSE '?' || {q} END
   ELSE NULL END
 )"""
+
+
+def fair_quota(demands: DataFrame, budget: int) -> DataFrame:
+    """Max-min fair budget allocation over host demands (water-filling —
+    the crawl-ops allocator behind a global fetch budget: every host
+    gets min(demand, θ) with the water level θ set so the budget is
+    spent; small hosts are fully served, mega-hosts share the rest
+    equally — the max-min fairness definition): with demands sorted
+    ascending and prefix sums P_k,
+
+        k* = largest k with P_k + (n−k)·d_k ≤ B   (θ ≥ d_k, i.e. the
+             k smallest demands are genuinely below the water line —
+             and maximality puts the exact θ under d_{k+1}),
+        θ  = (B − P_{k*}) div (n − k*)                 (k* < n)
+
+    (θ NULL and every demand fully met when Σd ≤ B). Integer-floor θ
+    semantics pinned: Σ alloc ≤ B with slack = (B − P_{k*}) mod (n−k*)
+    reported on every row — the deliberately-unallocated remainder of
+    integer water-filling (distributing it would break equal-share
+    fairness; callers roll it into the next budget period).
+
+    Output: (host, demand, alloc, theta, slack).
+
+    Scale shape: one global sort-rank window over the HOST list (hosts
+    are aggregates — 10⁷ rows for the whole web, not corpus-sized), a
+    1-row k* fold, and a broadcast stamp back onto the host rows."""
+    w = Window.orderBy(F.col("demand").asc(), F.col("host").asc())
+    ranked = (
+        demands.select("host", "demand")
+        .withColumn("__k", F.row_number().over(w))
+        .withColumn("__p", F.sum("demand").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))))
+    )
+    feasible = ranked.filter(
+        F.col("__p") + (F.col("__n") - F.col("__k")) * F.col("demand") <= budget
+    ).select("__k", "__p", "demand", "__n")
+    # k = 0 (nobody fully served, θ = B div n) is ALWAYS feasible — it is
+    # the answer when the budget sits below even the smallest demand's
+    # uniform level, where the filter above matches no ranked row
+    k0 = ranked.agg(F.max("__n").alias("__n")).select(
+        F.lit(0).alias("__k"), F.lit(0).cast("long").alias("__p"),
+        F.lit(0).cast("long").alias("demand"), "__n",
+    )
+    kstar = feasible.unionByName(k0).agg(
+        F.max_by(
+            F.struct(
+                F.col("__k").alias("k"), F.col("__p").alias("p"),
+                F.col("demand").alias("d"), F.col("__n").alias("n"),
+            ),
+            F.col("__k"),
+        ).alias("s")
+    ).select(
+        F.col("s.k").alias("k"), F.col("s.p").alias("p"),
+        F.col("s.d").alias("d"), F.col("s.n").alias("n"),
+    )
+    level = kstar.select(
+        F.when(
+            F.col("k") < F.col("n"),
+            F.expr(f"({budget} - p) div (n - k)"),
+        ).cast("long").alias("theta"),
+        F.when(
+            F.col("k") < F.col("n"),
+            F.expr(f"({budget} - p) % (n - k)"),
+        ).otherwise(0).cast("long").alias("slack"),
+    )
+    return (
+        demands.select("host", "demand")
+        .crossJoin(F.broadcast(level))
+        .select(
+            "host", F.col("demand").cast("long").alias("demand"),
+            F.when(F.col("theta").isNull(), F.col("demand"))
+            .otherwise(F.least(F.col("demand"), F.col("theta")))
+            .cast("long").alias("alloc"),
+            "theta", "slack",
+        )
+    )

@@ -14038,3 +14038,52 @@ FROM dev
 """
 
 QUERIES["cat_drift"] = (q_cat_drift, SQL_CAT_DRIFT)
+
+
+def q_fair_quota(spark, sf):
+    """Max-min fair crawl-budget allocation (water-filling) over 97
+    synthetic host demands (1..23 via count mod) against a budget of
+    200 — small hosts fully served, big hosts share the level θ; exact
+    integer θ and the deliberately-unallocated slack reported."""
+    from .operators.urls import fair_quota
+
+    od = spark.read.parquet(f"{sf}/orders.parquet")
+    demands = (
+        od.groupBy((F.col("o_custkey") % 97).cast("long").alias("host"))
+        .agg((F.count(F.lit(1)) % 23 + 1).cast("long").alias("demand"))
+    )
+    return fair_quota(demands, budget=200)
+
+
+SQL_FAIR_QUOTA = """
+WITH d AS (
+  SELECT CAST(o_custkey % 97 AS BIGINT) AS host,
+         CAST(COUNT(*) % 23 + 1 AS BIGINT) AS demand
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT host, demand,
+         ROW_NUMBER() OVER (ORDER BY demand, host) AS k,
+         SUM(demand) OVER (ORDER BY demand, host) AS p,
+         COUNT(*) OVER () AS n
+  FROM d
+),
+feas AS (
+  SELECT k, p, demand, n FROM ranked WHERE p + (n - k) * demand <= 200
+  UNION ALL
+  SELECT 0, 0, 0, (SELECT MAX(n) FROM ranked)
+),
+ks AS (SELECT k, p, demand AS dd, n FROM feas ORDER BY k DESC LIMIT 1),
+lvl AS (
+  SELECT CASE WHEN k < n THEN CAST((200 - p) // (n - k) AS BIGINT) END AS theta,
+         CAST(CASE WHEN k < n THEN (200 - p) % (n - k) ELSE 0 END AS BIGINT) AS slack
+  FROM ks
+)
+SELECT host, demand,
+       CAST(CASE WHEN theta IS NULL THEN demand
+                 ELSE LEAST(demand, theta) END AS BIGINT) AS alloc,
+       theta, slack
+FROM d CROSS JOIN lvl
+"""
+
+QUERIES["fair_quota"] = (q_fair_quota, SQL_FAIR_QUOTA)

@@ -1604,6 +1604,13 @@ def main() -> None:
             ("no cartesian product", r"CartesianProduct", "absent"),
             ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
         ]),
+        ("fair_quota", [
+            # host-list rank window + 1-row level fold broadcast back
+            ("rank window present", r"\bWindow\b"),
+            ("1-row level broadcast only", r"^\(\d+\) BroadcastNestedLoopJoin", "count", 1),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
         ("winsorize", [
             # rank window + group-keyed bounds join (hash) + filter
             ("rank window present", r"\bWindow\b"),
