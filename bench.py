@@ -351,6 +351,8 @@ def main() -> None:
         "winsorize",
         "cat_drift",
         "fair_quota",
+        "distinctive",
+        "burstiness",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

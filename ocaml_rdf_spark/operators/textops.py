@@ -25,7 +25,7 @@ buckets) is capped via a per-bucket size limit before the join.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 HEX = "0123456789abcdef"
@@ -2612,4 +2612,102 @@ def license_flags(docs: DataFrame, text_col: str = "text") -> DataFrame:
         *[name for name, _ in LICENSE_SIGNALS],
         total.cast("long").alias("n_signals"),
         guess.alias("license_guess"),
+    )
+
+
+def distinctive_terms(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    k: int = 5,
+    min_count: int = 5,
+) -> DataFrame:
+    """Per-group distinctive vocabulary by smoothed odds ratio (the
+    Monroe-Colaresi-Quinn "Fightin' Words" family, taken at its
+    integer-exact member: log-odds z-scoring needs floats, the RAW
+    smoothed odds ratio does not, and the per-group RANKING — which is
+    what the corpus card displays — is what both share): for token t
+    in group g vs the rest of the corpus,
+
+        or_x1e6 = 10⁶·(a·d) div (b·c)
+        a = cnt(t,g)+1, b = total(g)−cnt(t,g)+1,
+        c = cnt(t,¬g)+1, d = total(¬g)−cnt(t,¬g)+1   (+1 Haldane
+        smoothing — zero-count-safe in every cell),
+
+    keeping each group's top-`k` (or desc, token asc — pinned) among
+    tokens with cnt(t,g) ≥ `min_count`. Output (grp, token, n_in,
+    or_x1e6, rank).
+
+    Scale shape: ONE (group, token) map-side-combined count, corpus
+    totals derived from it by two tiny re-aggs (|vocab| and |groups|
+    rows) joined back on their keys, and a per-group top-k window over
+    the |group × vocab| cell table — catalog-sized, not corpus-sized.
+    64-bit bound: a·d·10⁶ needs total(¬g) ≲ 9·10⁹ tokens per shard;
+    beyond that pre-partition the audit (stated, the changepoint
+    rule)."""
+    toks = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(words(F.col(text_col))).alias("token"),
+    ).filter(F.col("token") != "")
+    cell = toks.groupBy("grp", "token").agg(F.count(F.lit(1)).alias("n"))
+    gtot = cell.groupBy("grp").agg(F.sum("n").alias("gt"))
+    ttot = cell.groupBy("token").agg(F.sum("n").alias("tt"))
+    alltot = cell.agg(F.sum("n").alias("at"))
+    scored = (
+        cell.join(gtot, "grp").join(ttot, "token").crossJoin(F.broadcast(alltot))
+        .filter(F.col("n") >= min_count)
+        .withColumn("a", F.col("n") + 1)
+        .withColumn("b", F.col("gt") - F.col("n") + 1)
+        .withColumn("c", F.col("tt") - F.col("n") + 1)
+        .withColumn("d", F.col("at") - F.col("gt") - F.col("tt") + F.col("n") + 1)
+        .withColumn("or_x1e6", F.expr("1000000 * a * d div (b * c)").cast("long"))
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("or_x1e6").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "grp", "token", F.col("n").cast("long").alias("n_in"),
+            "or_x1e6", F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def burstiness(
+    docs: DataFrame, text_col: str = "text", min_total: int = 50
+) -> DataFrame:
+    """Token burstiness via the Fano factor (Church & Gale 1995 —
+    content words BURST: their per-document counts are overdispersed
+    vs Poisson, while function words spread evenly; a vocabulary
+    triage that needs no stopword list): over per-doc counts x_d
+    (zero-docs included through the algebra, never materialized),
+
+        fano_ppm = 10⁶·(N·Σx² − (Σx)²) div ((N−1)·Σx)
+
+    with N = |docs| — ≈10⁶ ppm is Poisson-like (function word),
+    ≫10⁶ is bursty (content word). Exact integers; tokens with
+    Σx < `min_total` drop (dispersion is meaningless on scraps).
+    Output (token, n_docs_with, total, fano_ppm).
+
+    Scale shape: ONE (doc, token) count agg → ONE token agg carrying
+    (Σx, Σx², docs-with) → a 1-row N broadcast. The zero-doc mass
+    enters through N only — no explosion of absent cells."""
+    toks = docs.select(
+        F.col("doc_id"), F.explode(words(F.col(text_col))).alias("token")
+    ).filter(F.col("token") != "")
+    per_doc = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("x"))
+    per_tok = per_doc.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_with"),
+        F.sum("x").cast("long").alias("total"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sx2"),
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    return (
+        per_tok.filter(F.col("total") >= min_total)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "token", "n_docs_with", "total",
+            F.expr("1000000 * (nd * sx2 - total * total) div ((nd - 1) * total)")
+            .cast("long").alias("fano_ppm"),
+        )
     )

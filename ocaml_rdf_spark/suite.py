@@ -14087,3 +14087,91 @@ FROM d CROSS JOIN lvl
 """
 
 QUERIES["fair_quota"] = (q_fair_quota, SQL_FAIR_QUOTA)
+
+
+def q_distinctive(spark, sf):
+    """Per-language distinctive vocabulary (top-5 smoothed odds ratio
+    vs the rest of the corpus) with planted language-specific marker
+    tokens (every lang-L doc gets ' marker<L>' appended) — the markers
+    must dominate their language's ranking."""
+    from .operators.textops import distinctive_terms
+
+    d = _docs(spark, sf).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" zq"), F.col("lang"))
+    )
+    return distinctive_terms(d, "lang", "text", k=5, min_count=5)
+
+
+SQL_DISTINCTIVE = """
+WITH toks AS (
+  SELECT lang AS grp, unnest(string_split_regex(trim(text || ' zq' || lang), ' +')) AS token
+  FROM documents
+),
+cell AS (
+  SELECT grp, token, COUNT(*) AS n FROM toks WHERE token <> '' GROUP BY grp, token
+),
+gtot AS (SELECT grp, SUM(n) AS gt FROM cell GROUP BY grp),
+ttot AS (SELECT token, SUM(n) AS tt FROM cell GROUP BY token),
+alltot AS (SELECT SUM(n) AS at FROM cell),
+scored AS (
+  SELECT c.grp, c.token, c.n,
+         1000000 * (c.n + 1) * (at - gt - tt + c.n + 1)
+           // ((gt - c.n + 1) * (tt - c.n + 1)) AS or_x1e6
+  FROM cell c JOIN gtot USING (grp) JOIN ttot USING (token) CROSS JOIN alltot
+  WHERE c.n >= 5
+),
+ranked AS (
+  SELECT grp, token, n, or_x1e6,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY or_x1e6 DESC, token ASC) AS rank
+  FROM scored
+)
+SELECT grp, token, CAST(n AS BIGINT) AS n_in, CAST(or_x1e6 AS BIGINT) AS or_x1e6,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+QUERIES["distinctive"] = (q_distinctive, SQL_DISTINCTIVE)
+
+
+def q_burstiness(spark, sf):
+    """Token burstiness (Fano factor of per-doc counts) over the corpus
+    with a planted bursty token (doc_id%19==0 docs get ' zzb' ×6) —
+    bursty content tokens score far above the ≈1.0 Poisson floor."""
+    from .operators.textops import burstiness
+
+    d = _docs(spark, sf).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 19 == 0,
+            F.concat(F.col("text"), F.lit(" zzb zzb zzb zzb zzb zzb")),
+        ).otherwise(F.col("text")),
+    )
+    return burstiness(d, "text", min_total=50)
+
+
+SQL_BURSTINESS = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 19 = 0 THEN text || ' zzb zzb zzb zzb zzb zzb'
+              ELSE text END AS text
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS token FROM d
+),
+per_doc AS (
+  SELECT doc_id, token, COUNT(*) AS x FROM toks WHERE token <> '' GROUP BY doc_id, token
+),
+per_tok AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS n_docs_with,
+         CAST(SUM(x) AS BIGINT) AS total, CAST(SUM(x * x) AS BIGINT) AS sx2
+  FROM per_doc GROUP BY token
+),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents)
+SELECT token, n_docs_with, total,
+       CAST(1000000 * (nd * sx2 - total * total) // ((nd - 1) * total) AS BIGINT) AS fano_ppm
+FROM per_tok CROSS JOIN nd
+WHERE total >= 50
+"""
+
+QUERIES["burstiness"] = (q_burstiness, SQL_BURSTINESS)

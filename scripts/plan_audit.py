@@ -1604,6 +1604,21 @@ def main() -> None:
             ("no cartesian product", r"CartesianProduct", "absent"),
             ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
         ]),
+        ("distinctive", [
+            # (group, token) cell agg + catalog-sized marginal joins +
+            # per-group top-k window — hash shapes only
+            ("marginal joins are hash", r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin"),
+            ("1-row corpus-total broadcast only", r"^\(\d+\) BroadcastNestedLoopJoin", "count", 1),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
+        ("burstiness", [
+            # (doc, token) agg → token agg → 1-row N broadcast
+            ("1-row N broadcast only", r"^\(\d+\) BroadcastNestedLoopJoin", "count", 1),
+            ("map-side combined count aggs", r"HashAggregate"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
         ("fair_quota", [
             # host-list rank window + 1-row level fold broadcast back
             ("rank window present", r"\bWindow\b"),
