@@ -353,6 +353,7 @@ def main() -> None:
         "fair_quota",
         "distinctive",
         "burstiness",
+        "novelty",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

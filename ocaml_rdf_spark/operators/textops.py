@@ -2711,3 +2711,58 @@ def burstiness(
             .cast("long").alias("fano_ppm"),
         )
     )
+
+
+def novelty_scores(docs: DataFrame, n: int = 3, id_col: str = "doc_id") -> DataFrame:
+    """Per-document n-gram novelty against everything EARLIER (the
+    dedup-aware sampling signal data-mixing pipelines weight by:
+    a page whose shingles all appeared in earlier pages adds nothing,
+    whatever its exact-hash says; the per-DOC aggregate view of what
+    winnow/incr_dedup track per span): with document order = ascending
+    `id_col` (crawl order; any total order works) and each doc's
+    DISTINCT word n-grams (set semantics, pinned),
+
+        novelty_ppm = 10⁶·|grams first owned by this doc| div |grams|
+
+    where a gram's owner is the MINIMUM doc id containing it. Docs
+    shorter than n words emit no row (no grams, no score).
+
+    Output: (doc_id, n_grams, n_new, novelty_ppm).
+
+    Scale shape: gram explode → (gram, doc) distinct (ONE corpus-keyed
+    shuffle, map-side combined) → per-gram min-owner agg → ONE hash
+    join back on the gram key → per-doc count agg. The gram key is the
+    shuffle key; boilerplate mega-grams are exactly the keys AQE skew
+    handling splits, and each contributes one owner row regardless of
+    frequency."""
+    w = words(F.col("text"))
+    grams = (
+        docs.select(
+            F.col(id_col).alias("doc"),
+            F.explode(
+                F.transform(
+                    # explicit short-doc guard: sequence(0, -1) would INFER
+                    # a descending step (Spark semantics), not an empty list
+                    F.when(
+                        F.size(w) >= n, F.sequence(F.lit(0), F.size(w) - n)
+                    ).otherwise(F.array().cast("array<int>")),
+                    lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+                )
+            ).alias("gram"),
+        )
+        .filter(F.col("gram") != "")
+        .distinct()
+    )
+    owner = grams.groupBy("gram").agg(F.min("doc").alias("owner"))
+    scored = grams.join(owner, "gram")
+    return (
+        scored.groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum((F.col("owner") == F.col("doc")).cast("long")).cast("long").alias("n_new"),
+        )
+        .select(
+            F.col("doc").alias(id_col), "n_grams", "n_new",
+            F.expr("1000000 * n_new div n_grams").cast("long").alias("novelty_ppm"),
+        )
+    )

@@ -14175,3 +14175,52 @@ WHERE total >= 50
 """
 
 QUERIES["burstiness"] = (q_burstiness, SQL_BURSTINESS)
+
+
+def q_novelty(spark, sf):
+    """Per-document 3-gram novelty vs all earlier documents, with
+    planted full duplicates (doc_id%13==3 docs carry doc_id−3's text
+    when that doc exists) — duplicates must score ≈0 novelty while
+    early originals score high."""
+    from .operators.textops import novelty_scores
+
+    d = _docs(spark, sf)
+    src = d.select(F.col("doc_id").alias("src_id"), F.col("text").alias("src_text"))
+    planted = (
+        d.withColumn(
+            "want_src",
+            F.when(F.col("doc_id") % 13 == 3, F.col("doc_id") - 3),
+        )
+        .join(src, F.col("want_src") == F.col("src_id"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("src_text", F.col("text")).alias("text"),
+        )
+    )
+    return novelty_scores(planted, n=3)
+
+
+SQL_NOVELTY = """
+WITH planted AS (
+  SELECT d.doc_id, COALESCE(s.text, d.text) AS text
+  FROM documents d
+  LEFT JOIN documents s
+    ON d.doc_id % 13 = 3 AND s.doc_id = d.doc_id - 3
+),
+w AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS ws FROM planted),
+grams AS (
+  SELECT DISTINCT doc_id AS doc,
+         array_to_string(ws[i + 1 : i + 3], ' ') AS gram
+  FROM w, unnest(range(0, GREATEST(len(ws) - 2, 0))) AS t(i)
+  WHERE len(ws) >= 3 AND array_to_string(ws[i + 1 : i + 3], ' ') <> ''
+),
+owner AS (SELECT gram, MIN(doc) AS owner FROM grams GROUP BY gram)
+SELECT CAST(doc AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN owner = doc THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       CAST(1000000 * SUM(CASE WHEN owner = doc THEN 1 ELSE 0 END) // COUNT(*) AS BIGINT) AS novelty_ppm
+FROM grams JOIN owner USING (gram)
+GROUP BY doc
+"""
+
+QUERIES["novelty"] = (q_novelty, SQL_NOVELTY)

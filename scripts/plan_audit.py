@@ -1604,6 +1604,13 @@ def main() -> None:
             ("no cartesian product", r"CartesianProduct", "absent"),
             ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
         ]),
+        ("novelty", [
+            # gram distinct + min-owner agg + ONE gram-keyed hash join
+            ("owner join is hash", r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
         ("distinctive", [
             # (group, token) cell agg + catalog-sized marginal joins +
             # per-group top-k window — hash shapes only
