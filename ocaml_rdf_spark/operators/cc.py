@@ -581,7 +581,9 @@ def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
     return labels
 
 
-def scc_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+def scc_components(
+    edges: DataFrame, max_iter: int = 50, max_closure_edges: int = 50_000_000
+) -> DataFrame:
     """Strongly connected components restricted to CYCLE members: every
     node on a directed cycle (SCC size ≥ 2, or a self-loop) →
     (node, component), component = lexicographic SCC minimum. Nodes in
@@ -601,10 +603,16 @@ def scc_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     right for schema/taxonomy graphs and per-host link subgraphs (the
     cycle-repair use), wrong for the raw web graph (where only
     undirected CC is tractable); same tiering as dedup_embedding's
-    exact path vs LSH."""
+    exact path vs LSH. The tier is ENFORCED (r3 VERDICT): the closure
+    is built under `max_closure_edges` and a graph that outgrows it
+    raises `paths.ClosureBudgetExceeded` with the redirect message
+    instead of silently attempting a web-scale closure."""
     from .paths import transitive_closure
 
-    c = transitive_closure(edges.select("src", "dst"), max_iter=max_iter)
+    c = transitive_closure(
+        edges.select("src", "dst"), max_iter=max_iter,
+        max_closure_edges=max_closure_edges,
+    )
     rev = c.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     # x→+y ∧ y→+x; any src here is a cycle member by composition (x→+y→+x)
     mutual = c.join(rev, ["src", "dst"])

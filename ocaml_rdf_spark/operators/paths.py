@@ -159,11 +159,23 @@ class ZeroOrOne(Path):
         return self.p.pairs(ctx).unionByName(_identity_pairs(ctx)).distinct()
 
 
+class ClosureBudgetExceeded(RuntimeError):
+    """Raised when a transitive closure outgrows `max_closure_edges`.
+
+    The closure SIZE (not the round count — doubling keeps rounds
+    O(log d)) is the real budget of closure-riding operators: on a
+    schema/taxonomy graph or a per-host link subgraph the closure is
+    small; on the raw web graph it is quadratic in the giant SCC and no
+    cluster materializes it. The guard turns that documented tiering
+    into a hard error instead of trusting the caller to read it."""
+
+
 def transitive_closure(
     edges: DataFrame,
     max_iter: int = 50,
     linear_rounds: int = 8,
     rounds_out: list | None = None,
+    max_closure_edges: int | None = None,
 ) -> DataFrame:
     """Distinct-pair transitive closure: frontier expansion, escalating to
     path doubling on deep graphs.
@@ -181,12 +193,27 @@ def transitive_closure(
 
     `rounds_out`: optional list; total round count is appended (test/
     observability hook).
+
+    `max_closure_edges`: optional hard budget on the materialized
+    closure — raise `ClosureBudgetExceeded` the first round the pair
+    count crosses it (checked on the already-checkpointed round result,
+    so the probe costs one count over materialized partitions, no
+    recompute). Callers whose algorithm RIDES the closure (scc_components)
+    set a default; plain path queries leave it off.
     """
     edges = edges.select("src", "dst").distinct().localCheckpoint(eager=False)
     seen = edges
     frontier = edges
     rounds = 0
     done = False
+    seen_count = None
+    if max_closure_edges is not None:
+        seen_count = seen.count()
+        if seen_count > max_closure_edges:
+            raise ClosureBudgetExceeded(
+                f"transitive_closure: {seen_count} input pairs already exceed "
+                f"max_closure_edges={max_closure_edges}"
+            )
     for _ in range(min(linear_rounds, max_iter)):
         rounds += 1
         nxt = (
@@ -197,7 +224,21 @@ def transitive_closure(
             .exceptAll(seen)
             .localCheckpoint(eager=False)
         )
-        if nxt.isEmpty():
+        if max_closure_edges is not None:
+            n_new = nxt.count()
+            if n_new == 0:
+                done = True
+                break
+            seen_count += n_new
+            if seen_count > max_closure_edges:
+                raise ClosureBudgetExceeded(
+                    f"transitive_closure: closure reached {seen_count} pairs "
+                    f"(> max_closure_edges={max_closure_edges}) after {rounds} "
+                    "rounds and is still growing — this graph is not in the "
+                    "schema/taxonomy tier this closure is for; use undirected "
+                    "CC or a bounded-hop BFS instead"
+                )
+        elif nxt.isEmpty():
             done = True
             break
         seen = seen.unionByName(nxt).localCheckpoint(eager=False)
@@ -212,7 +253,20 @@ def transitive_closure(
             .exceptAll(seen)
             .localCheckpoint(eager=False)
         )
-        if new.isEmpty():
+        if max_closure_edges is not None:
+            n_new = new.count()
+            if n_new == 0:
+                break
+            seen_count += n_new
+            if seen_count > max_closure_edges:
+                raise ClosureBudgetExceeded(
+                    f"transitive_closure: closure reached {seen_count} pairs "
+                    f"(> max_closure_edges={max_closure_edges}) in doubling "
+                    f"round {rounds} — this graph is not in the schema/"
+                    "taxonomy tier this closure is for; use undirected CC "
+                    "or a bounded-hop BFS instead"
+                )
+        elif new.isEmpty():
             break
         seen = seen.unionByName(new).localCheckpoint(eager=False)
     if rounds_out is not None:

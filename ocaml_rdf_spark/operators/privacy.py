@@ -128,6 +128,16 @@ def dp_group_counts(
     this table costs ε·(max rows a subject contributes to one group)
     — compose with a contribution cap upstream.
 
+    **SECURITY CONTRACT — the seed is the privacy key.** The noise is
+    md5(seed:group), which anyone holding the seed can recompute and
+    subtract; the release is ε-DP ONLY IF the seed is (a) secret from
+    every recipient of the published table and (b) never reused across
+    releases (reuse = publishing correlated noise = budget re-spend).
+    The default seed exists for tests and oracles; a production release
+    MUST pass a caller-generated secret seed and store it with the same
+    care as the raw data. Publishing with a known/default seed gives
+    ZERO privacy while the column name still says "noisy".
+
     Output (group, noisy_n) — noisy values only, exact counts never
     leave the plan. Scale: ONE map-side-combined groupBy; the noise is
     scan-local integer CASE algebra on the group key."""

@@ -930,12 +930,22 @@ def benford_audit(
     nonzero digit (0, NULL) are excluded; groups with n < `min_n` drop
     (digit tests are meaningless on tiny n).
 
+    Input contract (pinned by a cast, not just stated): `val_col` is
+    INTEGER-valued — it is cast to long before the string conversion,
+    because a float's decimal form can go scientific (1e10) and the
+    regexp would silently pick the mantissa digit. Fractional values
+    truncate toward zero under the cast (|v| < 1 → 0 → excluded);
+    callers with float magnitudes should pre-scale to integers
+    themselves so the truncation is a deliberate choice.
+
     Output (grp, n, tvd_ppm, share1_ppm, top_digit).
 
     Scale shape: first digit = scan-local regexp on the decimal form;
     ONE (group, digit) map-side-combined count collapsing to ≤ 9 rows
     per group, then a 9-row fold per group. Nothing else shuffles."""
-    first = F.regexp_extract(F.abs(F.col(val_col)).cast("string"), "[1-9]", 0)
+    first = F.regexp_extract(
+        F.abs(F.col(val_col).cast("long")).cast("string"), "[1-9]", 0
+    )
     per = (
         df.select(F.col(group_col).alias("grp"), first.alias("d"))
         .filter(F.col("d") != "")
@@ -1182,6 +1192,12 @@ def ks_drift(a: DataFrame, b: DataFrame, val_col: str) -> DataFrame:
     critical value c(α)·√((n_a+n_b)/(n_a·n_b)) is the caller's cut;
     this reports the statistic.
 
+    Empty-side contract (pinned, not an accident of NULL propagation):
+    KS needs two non-empty samples — if either side has no rows,
+    d_ppm and at_value are NULL by explicit guard (cat_drift's na/nb
+    guard, krippendorff's de_num rule) while n_a/n_b still report, so
+    the caller can tell "no drift" from "nothing to compare".
+
     Scale shape: one tagged union scan → ONE value-keyed count agg →
     cumulative windows over the distinct-value table → a 1-row argmax
     fold. No joins, no sorts beyond the value-resolution curve."""
@@ -1200,7 +1216,11 @@ def ks_drift(a: DataFrame, b: DataFrame, val_col: str) -> DataFrame:
         .withColumn("na", F.sum("ca").over(tot))
         .withColumn("nb", F.sum("cb").over(tot))
         .withColumn(
-            "d", F.abs(F.expr("1000000 * fa div na") - F.expr("1000000 * fb div nb"))
+            "d",
+            F.when(
+                (F.col("na") > 0) & (F.col("nb") > 0),
+                F.abs(F.expr("1000000 * fa div na") - F.expr("1000000 * fb div nb")),
+            ),
         )
     )
     pick = F.max_by(
@@ -1299,10 +1319,12 @@ def winsorize(
         "__n", F.count(F.lit(1)).over(Window.partitionBy(group_col))
     )
     def _qrank(q_ppm: int):
-        # ceil(q·n/10⁶) as (q·n + 10⁶−1) div 10⁶ — valid under BOTH
-        # truncating (Spark div) and floor (DuckDB //) division because
-        # the operands are non-negative; a negation-based ceil trick
-        # would silently diverge between the engines
+        # ceil(q·n/10⁶) as (q·n + 10⁶−1) div 10⁶. Spark `div` and DuckDB
+        # `//` BOTH truncate toward zero on integers (verified: −7 div 2
+        # = −3 on both engines), and the formula is additionally
+        # floor-safe because the operands are non-negative — so this
+        # add-then-divide ceil is portable either way, while a
+        # negation-based ceil trick would depend on the rounding mode
         return F.greatest(F.lit(1), F.expr(f"({q_ppm} * __n + 999999) div 1000000"))
 
     bounds = (

@@ -1841,32 +1841,45 @@ def keeper_by_quality(clusters: DataFrame, quality: DataFrame) -> DataFrame:
     )
 
 
-def bpe_train(docs: DataFrame, n_merges: int = 10, text_col: str = "text") -> DataFrame:
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+    max_vocab_rows: int = 10_000_000,
+) -> DataFrame:
     """Full BPE merge-rule training (Sennrich et al., ACL 2016 — the
     tokenizer-training loop itself, not just one pair count): learn the
-    ordered merge table over the corpus. Two-phase, the same shape every
-    production BPE trainer uses:
+    ordered merge table over the corpus. Two-phase, the same split every
+    production BPE trainer (HuggingFace tokenizers, SentencePiece) uses:
 
-    - **Phase 1 (corpus-sized, ONE shuffle)**: word-frequency table.
-      After this the corpus is never touched again — 100 TB of text
-      collapses to a vocabulary-sized (word, freq) table.
-    - **Phase 2 (vocab-sized, n_merges rounds)**: words as symbol
-      arrays (chars + '</w>' terminator); each round counts adjacent
-      symbol pairs weighted by word freq (map-side-combined agg over the
-      vocab table), takes the deterministic argmax (count DESC, pair
-      ASC — a 1-row driver fetch), and applies the merge with a
-      left-to-right greedy array fold (`F.aggregate`, JVM-side — the
-      same non-overlapping semantics as the reference implementation).
-      Each round localCheckpoints the vocab table: constant-depth plans
-      instead of n_merges-deep lineage.
+    - **Phase 1 (corpus-sized, ONE distributed shuffle)**: word-frequency
+      table. After this the corpus is never touched again — 100 TB of
+      text collapses to a vocabulary-sized (word, freq) table (low
+      millions of rows for web text; Heaps' law, not corpus size).
+    - **Phase 2 (vocab-sized, DRIVER-LOCAL)**: the sequential merge loop
+      runs as plain Python over the collected vocab with incremental
+      pair-count maintenance — an inverted index pair→{words containing
+      it} means each merge touches only the words it occurs in, not the
+      whole vocab. Zero Spark jobs inside the loop: n_merges=32k is
+      32k dict updates, not 32k scheduled rounds + checkpointed plans
+      (the r3 scale flag this rewrite closes). Merge apply is the same
+      left-to-right greedy non-overlapping fold as before.
 
-    Deterministic end-to-end (integer counts, total tiebreak) — verified
-    against a pure-Python mirror by differential fuzz; no SQL oracle
-    (iterative argmax is not SQL-expressible; the suite entry is
-    rows-only like extract_corpus).
+    The driver-side collect is vocab-bounded and guarded: more than
+    `max_vocab_rows` distinct words raises with instructions to
+    pre-truncate (frequency-floor the tail — standard practice: hapax
+    words can't win a merge against any pair occurring ≥2 times, and a
+    min_count floor is what production trainers apply anyway).
+
+    Deterministic end-to-end (integer counts, total tiebreak
+    count DESC, pair ASC) — verified against an independent pure-Python
+    mirror by differential fuzz; no SQL oracle (iterative argmax is not
+    SQL-expressible; the suite entry is rows-only like extract_corpus).
 
     → merges DataFrame (rank, left, right, pair_count), rank 1-based in
     merge order."""
+    from collections import Counter, defaultdict
+
     words = (
         docs.select(
             F.explode(
@@ -1886,54 +1899,64 @@ def bpe_train(docs: DataFrame, n_merges: int = 10, text_col: str = "text") -> Da
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    vocab = words.select(
-        "freq",
-        # split keeps a trailing '' (zero-width match at end-of-string
-        # with limit -1) — drop empties before appending the terminator
-        F.concat(
-            F.filter(F.split(F.col("word"), "(?!^)"), lambda x: x != ""),
-            F.array(F.lit("</w>")),
-        ).alias("sym"),
-    ).localCheckpoint(eager=True)
+
+    n_vocab = words.count()
+    if n_vocab > max_vocab_rows:
+        raise ValueError(
+            f"bpe_train: {n_vocab} distinct words exceeds max_vocab_rows="
+            f"{max_vocab_rows}. Apply a frequency floor first (e.g. drop "
+            "freq==1 hapax words — they cannot win a merge over any pair "
+            "occurring twice) or raise max_vocab_rows if driver memory "
+            "allows (~100 bytes/word)."
+        )
+
+    # deterministic driver-local state: word id → (symbol tuple, freq)
+    rows = words.collect()
+    syms: list[list] = [list(r["word"]) + ["</w>"] for r in rows]
+    freqs: list[int] = [int(r["freq"]) for r in rows]
+
+    def _pairs_of(s):
+        return zip(s, s[1:])
+
+    pair_counts: Counter = Counter()
+    index: defaultdict = defaultdict(set)  # pair -> word ids containing it
+    for wid, s in enumerate(syms):
+        f = freqs[wid]
+        for p in _pairs_of(s):
+            pair_counts[p] += f
+            index[p].add(wid)
 
     merges: list[tuple] = []
     for rank in range(1, n_merges + 1):
-        pairs = vocab.select(
-            "freq",
-            F.explode(
-                F.when(
-                    F.size("sym") >= 2,
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("sym") - 1),
-                        lambda i: F.struct(
-                            F.element_at("sym", i).alias("a"),
-                            F.element_at("sym", i + 1).alias("b"),
-                        ),
-                    ),
-                ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
-            ).alias("p"),
-        )
-        top = (
-            pairs.groupBy("p.a", "p.b")
-            .agg(F.sum("freq").alias("n"))
-            .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
-            .limit(1)
-            .collect()
-        )
-        if not top:
+        live = [(p, n) for p, n in pair_counts.items() if n > 0]
+        if not live:
             break
-        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
-        merges.append((rank, a, b, n))
-        al, bl, ml = F.lit(a), F.lit(b), F.lit(a + b)
-        merged = F.aggregate(
-            F.col("sym"),
-            F.array().cast("array<string>"),
-            lambda acc, x: F.when(
-                (F.size(acc) > 0) & (F.element_at(acc, -1) == al) & (x == bl),
-                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(ml)),
-            ).otherwise(F.concat(acc, F.array(x))),
-        )
-        vocab = vocab.select("freq", merged.alias("sym")).localCheckpoint(eager=True)
+        (a, b), n = min(live, key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((rank, a, b, int(n)))
+        ab = a + b
+        touched = sorted(index.get((a, b), ()))
+        for wid in touched:
+            s, f = syms[wid], freqs[wid]
+            # retract this word's old pair contributions
+            for p in _pairs_of(s):
+                pair_counts[p] -= f
+                idx = index[p]
+                idx.discard(wid)
+            # greedy left-to-right non-overlapping apply
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[wid] = out
+            for p in _pairs_of(out):
+                pair_counts[p] += f
+                index[p].add(wid)
+        pair_counts.pop((a, b), None)
+        index.pop((a, b), None)
 
     return docs.sparkSession.createDataFrame(
         merges or [(0, "", "", 0)][0:0],

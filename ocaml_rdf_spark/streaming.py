@@ -270,6 +270,7 @@ def stream_dedup_exact(
     text_col: str = "text",
     event_time_col: Optional[str] = None,
     watermark: str = "1 hour",
+    max_files_per_batch: Optional[int] = None,
 ) -> DataFrame:
     """Streaming exact dedup over an arriving documents table — the
     in-stream half of the training-data dedup family (textops.py owns the
@@ -290,7 +291,10 @@ def stream_dedup_exact(
     # file-source streams need an explicit schema; take it from the files
     # already present (production: the Iceberg table schema)
     schema = spark.read.parquet(input_dir).schema
-    docs = spark.readStream.schema(schema).parquet(input_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_batch is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_batch)
+    docs = reader.parquet(input_dir)
     hashed = docs.withColumn("__h", F.md5(F.col(text_col).cast("binary")))
     if event_time_col is not None:
         return (
@@ -380,6 +384,7 @@ def stream_hll_estimate(
     input_dir: str,
     col: str,
     group_cols: Sequence[str] = (),
+    max_files_per_batch: Optional[int] = None,
 ) -> "StreamingHllHandle":
     """Streaming distinct-count estimation per key: maintain the
     per-group HyperLogLog registers (operators/sketches.hll_sketch)
@@ -403,7 +408,10 @@ def stream_hll_estimate(
     from .operators.sketches import hll_estimate_from_sketch, hll_sketch
 
     schema = spark.read.parquet(input_dir).schema
-    src = spark.readStream.schema(schema).parquet(input_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_batch is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_batch)
+    src = reader.parquet(input_dir)
     gl = list(group_cols)
     state: dict = {"regs": None}
 
@@ -439,6 +447,7 @@ def stream_cms_sketch(
     text_col: str = "text",
     depth: int = 4,
     width: int = 64,
+    max_files_per_batch: Optional[int] = None,
 ) -> "StreamingCmsHandle":
     """Streaming token-frequency sketching: fold each micro-batch's
     count-min cells into a running grid by CELL-WISE ADDITION — the
@@ -457,7 +466,10 @@ def stream_cms_sketch(
     from .operators.textops import cms_sketch
 
     schema = spark.read.parquet(input_dir).schema
-    src = spark.readStream.schema(schema).parquet(input_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_batch is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_batch)
+    src = reader.parquet(input_dir)
     state: dict = {"cells": None}
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:

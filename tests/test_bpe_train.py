@@ -83,3 +83,25 @@ def test_differential_vs_python_reference(spark):
         for _ in range(30)
     ]
     assert _run(spark, texts, 8) == _bpe_py(texts, 8)
+
+
+def test_large_n_merges_no_per_round_jobs(spark):
+    """r4 rewrite: phase 2 is driver-local (incremental pair counts), so
+    a tokenizer-sized merge count is cheap — 200 merges over a small
+    corpus still matches the mirror exactly and runs no per-round Spark
+    jobs (the loop never touches a DataFrame)."""
+    rng = random.Random(20260821)
+    alphabet = "abcdefg "
+    texts = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(10, 80)))
+        for _ in range(60)
+    ]
+    assert _run(spark, texts, 200) == _bpe_py(texts, 200)
+
+
+def test_vocab_guard_fires(spark):
+    import pytest
+
+    df = spark.createDataFrame([("aa bb cc dd ee",)], "text string")
+    with pytest.raises(ValueError, match="max_vocab_rows"):
+        bpe_train(df, n_merges=2, max_vocab_rows=3)

@@ -12,21 +12,24 @@ from __future__ import annotations
 from ocaml_rdf_spark.suite import DRIVER_WINDOW, QUERIES
 
 # checked-in copy — must be edited DELIBERATELY, together with suite.py
+# (r4 rotation: all 50 r3-confirmed entries replaced with never-driver-
+# checked oracled queries + the three new streaming-parity anchors)
 WINDOW_MANIFEST = [
-    "path_neg_inv", "reduced_types", "sample_region", "builtins_num",
-    "builtins_hash", "builtins_replace", "builtins_cond", "builtins_term",
-    "dedup_embedding", "dedup_embedding_lsh", "events_window", "events_session",
-    "sparql_text_optional", "sparql_text_union", "sparql_text_minus",
-    "sparql_text_exists", "sparql_text_values", "sparql_text_graph",
-    "sparql_text_subselect", "sparql_text_construct", "sparql_text_ask",
-    "sparql_text_describe", "graph_probes", "serialize_nq", "part_scan",
-    "bcast_join", "agg_variants", "agg_decimal", "builtins_term2",
-    "sparql_update", "graph_addrem", "media_ann", "media_resize",
-    "extract_errors", "sparql_text_describe_var", "cc_distributed",
-    "sparql_text_from_empty", "path_deep", "update_bulk", "agg_having",
-    "orderby_mixed", "sparql_text_construct_where",
-    "path_star", "path_neg", "subselect",
-    "olap_shipping", "sparql_text_exists_expr", "repetition", "canon_bnodes", "dedup_paragraph",
+    "pagerank", "triangles", "kcore", "bfs_dist", "label_prop", "scc_cycles",
+    "louvain", "hyperball",
+    "hll_sketch", "hll_estimate", "cms_sketch", "kmv_users",
+    "exact_quantiles", "heavy_hitters",
+    "rdfs_closure", "owl_rl", "shacl_report",
+    "decontaminate", "span_dedup", "pack_offsets", "lm_score", "line_dedup",
+    "quality_rules", "pii_scrub", "semdedup", "kmeans", "best_keeper",
+    "kg_negs", "dsir",
+    "bm25_rank", "postings", "rrf",
+    "url_canon", "url_dedup", "asof_attribution", "range_prior_activity",
+    "merge_upsert", "graph_diff",
+    "rdfstar_prov", "sparql_text_service", "sparql_text_lateral",
+    "path_repeat", "dict_terms", "dict_bgp",
+    "warc_roundtrip", "mf2_triples", "table_triples",
+    "stream_hll", "stream_cms", "stream_dedup",
 ]
 
 
