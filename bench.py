@@ -22,6 +22,83 @@ import sys
 import time
 
 
+#: family rollup (r3 VERDICT task 10): 270 benched queries is too many to
+#: eyeball round-over-round — the JSON now carries per-family subtotals so
+#: a delta is attributable at a glance. Classification is keyword-based
+#: and deliberately coarse (~12 families); unmatched names land in
+#: "other" rather than erroring, so adding a query never breaks bench.
+_FAMILY_RULES = [
+    ("sparql", ("sparql", "bgp", "orderby", "path_", "describe", "rdfstar",
+                "reify", "dict_", "prop_table", "rdf_lists", "update",
+                "agg_nation", "subselect", "window_topk", "graph_diff")),
+    ("kg_infer", ("rdfs", "owl", "shacl", "skos", "r2rml", "type_infer",
+                  "shape_infer", "class_align", "prop_align", "ns_migrate",
+                  "skolemize", "lit_norm", "canonicalize", "same_as",
+                  "graph_digest", "void", "schema_sum", "entity_card",
+                  "dangling", "trans_reduce", "bisim", "rule_mine",
+                  "direct_map", "prov_graph", "key_profile", "path_profile",
+                  "container_members", "khop")),
+    ("graph_analytics", ("pagerank", "triangle", "kcore", "bfs", "label_prop",
+                         "scc", "louvain", "hyperball", "hits", "salsa",
+                         "katz", "betweenness", "closeness", "harmonic",
+                         "clustering", "assortativity", "modularity",
+                         "conductance", "graph_ecc", "eff_diameter", "bowtie",
+                         "butterflies", "ktruss", "tri_support", "mis",
+                         "matching", "mst", "simrank", "sssp", "ppr_", "cc_",
+                         "linkpred", "cocitation", "node2vec", "random_walks",
+                         "spam_mass", "host_authority", "rich_club",
+                         "sweep_cut", "temporal_reach", "link_graph",
+                         "single_linkage")),
+    ("dedup_er", ("dedup", "winnow", "clone_pairs", "dup_extents", "cdc_",
+                  "containment", "semdedup", "best_keeper", "blocking",
+                  "snm_", "metablocking", "er_", "link_edit", "disambiguate",
+                  "fuse_", "truth_weighted", "dawid", "kappa", "krippendorff",
+                  "edit_verify", "phonetic", "copy_detect")),
+    ("embedding_ann", ("ann_", "kmeans", "jl_project", "pq", "geo_nn",
+                       "dbscan", "bitext")),
+    ("retrieval", ("bm25", "postings", "phrase", "rrf", "tfidf",
+                   "anchor_dict")),
+    ("text_quality", ("nfc", "quality", "repetition", "lm_score",
+                      "readability", "encoding_quality", "compression",
+                      "lang_spans", "code_switch", "soft404", "pii_",
+                      "license", "char_sets", "sentence_spans", "distinctive",
+                      "burstiness", "novelty", "freq_spectrum", "boilerplate",
+                      "template_strip", "rel_extract")),
+    ("tokenizer_train", ("vocab", "bpe", "encode_tokens", "kn_counts",
+                         "chunk_docs", "pack_offsets", "skipgram",
+                         "neg_samples", "pair_lift", "kg_negs", "transe",
+                         "distmult", "rank_metrics")),
+    ("curation", ("decontaminate", "split", "sample", "resample", "mixture",
+                  "dsir", "coverage_pick", "corpus_card", "filter_funnel",
+                  "fair_quota", "domain_filter", "crawl_schedule", "privacy",
+                  "dp_counts", "graph_anon", "kdeg", "fs_weights")),
+    ("sketches_stats", ("kmv", "hll", "cms", "bloom", "quantile",
+                        "heavy_hitters", "stats_merge", "changepoint",
+                        "drift", "cusum", "lag_corr", "winsorize", "mad_",
+                        "benford", "gini", "bootstrap", "auc", "pr_curve",
+                        "calibration", "zonemap", "zorder", "hilbert",
+                        "skew_report", "overlap_depth")),
+    ("events_temporal", ("events_", "funnel", "cohort", "transitions",
+                         "burst_windows", "asof", "interval_", "change_rate",
+                         "scd2", "range_prior")),
+    ("web_sources", ("warc", "mf2", "meta_triples", "table_triples", "feed",
+                     "sitemap", "robots", "redirects", "url_", "surt", "pld",
+                     "canon_link", "cidr", "ip_host", "host_profile",
+                     "hreflang", "link_spam", "alias_mine", "extract",
+                     "stream_")),
+    ("warehouse", ("merge_upsert", "compaction", "olap", "scan_agg",
+                   "bcast_join", "part_scan", "rollup", "line_dedup")),
+]
+
+
+def _family(name: str) -> str:
+    for fam, keys in _FAMILY_RULES:
+        for k in keys:
+            if k in name:
+                return fam
+    return "other"
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -373,11 +450,22 @@ def main() -> None:
         timings[name] = round(statistics.median(ts), 3)
 
     total = round(sum(timings.values()), 3)
+    fam_totals: dict[str, float] = {}
+    fam_counts: dict[str, int] = {}
+    for name, sec in timings.items():
+        fam = _family(name)
+        fam_totals[fam] = fam_totals.get(fam, 0.0) + sec
+        fam_counts[fam] = fam_counts.get(fam, 0) + 1
+    families = {
+        fam: {"sec": round(fam_totals[fam], 3), "n": fam_counts[fam]}
+        for fam in sorted(fam_totals)
+    }
     out = {
         "metric": "suite_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "families": families,
         "sf": sf_dir,
         "cpus": cpus,
         "rounds": rounds,

@@ -2,11 +2,15 @@
 metadata, with decode / feature-extract / resize / frame-sample as
 Arrow-batched `mapInPandas` stages.
 
-The decode step is STUBBED (per driver instructions: no image/audio libs
-in this container) behind `_decode_stub`, which yields a deterministic
-fake derived from the bytes — the Spark-side plumbing (schema, batch
-shape, partitioning, UDF signature) is real and tested. Swap
-`_decode_stub` for PIL/librosa in production; nothing else changes.
+Decode is REAL for PNG (r4: operators/png.py — a from-scratch spec
+decoder/encoder on stdlib zlib: chunk CRCs, all five scanline filters,
+color types 0/2/3/4/6; metadata, nearest-neighbor resize, and a luma-
+histogram feature all run on actual pixels). Other formats (JPEG,
+audio, video) remain STUBBED per the sandbox's no-codec-libs mandate,
+behind `_decode_stub` — a deterministic fake derived from the bytes —
+with the Spark-side plumbing (schema, batch shape, partitioning, UDF
+signature) real and tested; swap in PIL/libav in production and
+nothing else changes.
 
 Scale notes: media bytes never enter a shuffle — metadata is computed in
 a map-only pass and only the (small) feature rows move. Partition by a
@@ -66,6 +70,23 @@ def _decode_stub(b: bytes) -> dict:
     }
 
 
+def _decode(b: bytes) -> dict:
+    """Real decode where we have a codec, stub elsewhere (r4: PNG is
+    REAL — operators/png.py, a from-scratch spec decoder with CRC +
+    un-filter + full pixel verification). A malformed or out-of-scope
+    PNG (interlace, non-8-bit) falls back to the stub rather than
+    killing the batch — same error-tolerance posture as extract's
+    error rows."""
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        from .png import PngError, png_meta
+
+        try:
+            return png_meta(b)
+        except PngError:
+            return _decode_stub(b)
+    return _decode_stub(b)
+
+
 def media_metadata(df: DataFrame, id_col: str = "media_id", bytes_col: str = "content") -> DataFrame:
     """(id, binary) → typed metadata rows. Arrow-batched; one pass."""
 
@@ -74,7 +95,7 @@ def media_metadata(df: DataFrame, id_col: str = "media_id", bytes_col: str = "co
             rows = []
             for mid, raw in zip(pdf[id_col], pdf[bytes_col]):
                 b = bytes(raw)
-                meta = _decode_stub(b)
+                meta = _decode(b)
                 rows.append(
                     (
                         str(mid),
@@ -92,15 +113,28 @@ def media_metadata(df: DataFrame, id_col: str = "media_id", bytes_col: str = "co
 
 
 def media_features(df: DataFrame, dim: int = 16, id_col: str = "media_id", bytes_col: str = "content") -> DataFrame:
-    """(id, binary) → deterministic pseudo-embedding (stub for a real
-    vision/audio encoder). Batch shape and schema are production-real."""
+    """(id, binary) → deterministic feature vector. PNG bytes get a REAL
+    feature (16-bin luma histogram from the full pixel decode —
+    operators/png.py); other formats keep the stub pseudo-embedding
+    until their codecs land. Batch shape and schema are
+    production-real either way."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .png import PngError, png_histogram
+
         for pdf in batches:
             rows = []
             for mid, raw in zip(pdf[id_col], pdf[bytes_col]):
-                d = hashlib.sha256(bytes(raw)).digest()
-                vec = [((d[i % 32] / 255.0) * 2 - 1) for i in range(dim)]
+                b = bytes(raw)
+                vec = None
+                if b[:8] == b"\x89PNG\r\n\x1a\n":
+                    try:
+                        vec = [float(v) for v in png_histogram(b, bins=dim)]
+                    except PngError:
+                        vec = None
+                if vec is None:
+                    d = hashlib.sha256(b).digest()
+                    vec = [((d[i % 32] / 255.0) * 2 - 1) for i in range(dim)]
                 rows.append((str(mid), vec))
             yield pd.DataFrame(rows, columns=["media_id", "feature"])
 
@@ -123,7 +157,7 @@ def frame_sample(df: DataFrame, every_n: int = 2, id_col: str = "media_id", byte
             rows = []
             for mid, raw in zip(pdf[id_col], pdf[bytes_col]):
                 b = bytes(raw)
-                n = _decode_stub(b)["n_frames"]
+                n = _decode(b)["n_frames"]
                 for fno in range(0, n, every_n):
                     lo = (fno * 16) % max(len(b), 1)
                     rows.append((str(mid), fno, b[lo : lo + 16]))
@@ -133,11 +167,11 @@ def frame_sample(df: DataFrame, every_n: int = 2, id_col: str = "media_id", byte
 
 
 def resize_media(df: DataFrame, width: int = 32, height: int = 32, id_col: str = "media_id", bytes_col: str = "content") -> DataFrame:
-    """Resize plumbing: (id, binary) → (id, width, height, binary). The
-    stub 'resized' payload is a deterministic content-hash-seeded byte
-    plane of exactly width*height bytes (so downstream stages see the
-    real post-resize batch shapes/sizes); a real decoder+resampler swaps
-    into `_resize_stub` unchanged."""
+    """Resize: (id, binary) → (id, width, height, binary). PNG bytes get
+    a REAL nearest-neighbor resample + deterministic re-encode
+    (operators/png.py); other formats keep the stub payload — a
+    content-hash-seeded byte plane of exactly width*height bytes, so
+    downstream stages see real post-resize batch shapes either way."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.StringType(), False),
@@ -152,10 +186,20 @@ def resize_media(df: DataFrame, width: int = 32, height: int = 32, id_col: str =
         reps = (width * height) // len(seed) + 1
         return (seed * reps)[: width * height]
 
+    def _resize(b: bytes) -> bytes:
+        if b[:8] == b"\x89PNG\r\n\x1a\n":
+            from .png import PngError, png_resize
+
+            try:
+                return png_resize(b, width, height)
+            except PngError:
+                return _resize_stub(b)
+        return _resize_stub(b)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = [
-                (str(mid), width, height, _resize_stub(bytes(raw)))
+                (str(mid), width, height, _resize(bytes(raw)))
                 for mid, raw in zip(pdf[id_col], pdf[bytes_col])
             ]
             yield pd.DataFrame(rows, columns=["media_id", "width", "height", "content"])

@@ -51,11 +51,38 @@ def _base(ctx: Ctx) -> DataFrame:
         if ctx.named_graphs is not None and ctx.graph not in ctx.named_graphs:
             return df.filter(F.lit(False))
         return df.filter(F.col("graph") == ctx.graph)
+    if isinstance(ctx.graph, Var):
+        # GRAPH ?var: ranges over NAMED graphs only (§13.3), restricted by
+        # FROM NAMED when present — same dataset rule as the BGP scan
+        if ctx.named_graphs is not None:
+            from ..algebra import _graph_in
+
+            return df.filter(_graph_in(ctx.named_graphs))
+        from ..types import DEFAULT_GRAPH
+
+        return df.filter(F.col("graph") != DEFAULT_GRAPH)
     if ctx.graph is None and ctx.default_graphs is not None:
         from ..algebra import _graph_in
 
         return df.filter(_graph_in(ctx.default_graphs))
     return df
+
+
+def _graph_keyed(ctx: Ctx) -> bool:
+    """True under GRAPH ?var: path endpoints are PACKED as
+    struct(g, t) so every downstream composition — Seq's hash join, the
+    closure fixpoint, identity pairs — automatically stays within one
+    named graph (struct equality can't match across different g) and the
+    whole multi-graph evaluation remains ONE distributed plan keyed by
+    (graph, node) instead of a per-graph loop. PathPattern.compile
+    unpacks and binds the graph variable. (r4: GRAPH ?g { path } used to
+    merge all graphs' edges into one closure AND drop the ?g binding —
+    caught by the pp-graph manifest cases.)"""
+    return isinstance(ctx.graph, Var)
+
+
+def _packed(g_col, t_col):
+    return F.struct(g_col.alias("g"), t_col.alias("t"))
 
 
 @dataclass
@@ -66,6 +93,11 @@ class P(Path):
 
     def pairs(self, ctx: Ctx) -> DataFrame:
         df = _base(ctx).filter(F.col("pred") == self.iri)
+        if _graph_keyed(ctx):
+            return df.select(
+                _packed(F.col("graph"), _s_struct()).alias("src"),
+                _packed(F.col("graph"), _o_struct()).alias("dst"),
+            ).distinct()
         return df.select(_s_struct().alias("src"), _o_struct().alias("dst")).distinct()
 
 
@@ -122,13 +154,18 @@ class Neg(Path):
 
     def pairs(self, ctx: Ctx) -> DataFrame:
         df = _base(ctx)
+        if _graph_keyed(ctx):
+            s_col = _packed(F.col("graph"), _s_struct())
+            o_col = _packed(F.col("graph"), _o_struct())
+        else:
+            s_col, o_col = _s_struct(), _o_struct()
         parts = []
         if self.iris or not self.inv_iris:
             fwd = df.filter(~F.col("pred").isin(*self.iris)) if self.iris else df
-            parts.append(fwd.select(_s_struct().alias("src"), _o_struct().alias("dst")))
+            parts.append(fwd.select(s_col.alias("src"), o_col.alias("dst")))
         if self.inv_iris:
             inv = df.filter(~F.col("pred").isin(*self.inv_iris))
-            parts.append(inv.select(_o_struct().alias("src"), _s_struct().alias("dst")))
+            parts.append(inv.select(o_col.alias("src"), s_col.alias("dst")))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -137,9 +174,14 @@ class Neg(Path):
 
 def _graph_nodes(ctx: Ctx) -> DataFrame:
     df = _base(ctx)
+    if _graph_keyed(ctx):
+        s_col = _packed(F.col("graph"), _s_struct())
+        o_col = _packed(F.col("graph"), _o_struct())
+    else:
+        s_col, o_col = _s_struct(), _o_struct()
     return (
-        df.select(_s_struct().alias("n"))
-        .unionByName(df.select(_o_struct().alias("n")))
+        df.select(s_col.alias("n"))
+        .unionByName(df.select(o_col.alias("n")))
         .distinct()
     )
 
@@ -308,18 +350,26 @@ class PathPattern(Node):
 
     def compile(self, ctx: Ctx) -> CompileOut:
         d = self.path.pairs(ctx)
+        keyed = _graph_keyed(ctx)
+        # packed mode: endpoints are struct(g, t) — unpack the term for
+        # filters/bindings and bind ?g from the packing (both endpoints
+        # carry the same g by construction)
+        src_t = F.col("src.t") if keyed else F.col("src")
+        dst_t = F.col("dst.t") if keyed else F.col("dst")
         out = {}
+        if keyed:
+            out[ctx.graph.name] = t_iri(F.col("src.g"))
         if isinstance(self.s, Var):
-            out[self.s.name] = F.col("src")
+            out[self.s.name] = src_t
         else:
-            d = d.filter(F.col("src").eqNullSafe(term_lit(self.s)))
+            d = d.filter(src_t.eqNullSafe(term_lit(self.s)))
         if isinstance(self.o, Var):
             if isinstance(self.s, Var) and self.o.name == self.s.name:
-                d = d.filter(F.col("src").eqNullSafe(F.col("dst")))
+                d = d.filter(src_t.eqNullSafe(dst_t))
             else:
-                out[self.o.name] = F.col("dst")
+                out[self.o.name] = dst_t
         else:
-            d = d.filter(F.col("dst").eqNullSafe(term_lit(self.o)))
+            d = d.filter(dst_t.eqNullSafe(term_lit(self.o)))
         if not out:
             return d.select(F.lit(1).alias("__m")), frozenset(), frozenset()
         return d.select(*[c.alias(v) for v, c in out.items()]), frozenset(out), frozenset()

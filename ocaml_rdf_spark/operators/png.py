@@ -1,0 +1,228 @@
+"""Pure-Python PNG codec — the real decoder behind the media operators
+for ONE real format (r3 VERDICT task 8: "de-stub one media codec").
+
+Implements the PNG spec (RFC 2083 / W3C PNG 1.2) with only stdlib zlib:
+chunk framing with CRC verification, IHDR/PLTE/tRNS/IDAT/IEND, all five
+scanline filters (None/Sub/Up/Average/Paeth), color types 0 (gray),
+2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA) at bit depth 8. Out of
+scope (raises PngError, callers fall back to the deterministic stub):
+interlaced (Adam7) images and bit depths other than 8 — the honest
+boundary of a from-scratch decoder, stated rather than silently wrong.
+
+The encoder writes filter-0 scanlines with a FIXED zlib strategy
+(level 6), so encode output is byte-deterministic — the property every
+oracle in this repo leans on.
+
+Scale note: decode is per-row Python over pixel bytes, which is exactly
+why it lives INSIDE the Arrow-batched mapInPandas stage in media.py
+(the 100 TB story is the batching + partitioning, not this inner loop;
+production swaps in a SIMD decoder without touching the Spark plan).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+#: samples per pixel by color type
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+class PngError(ValueError):
+    """Malformed or out-of-scope PNG (callers may fall back to a stub)."""
+
+
+def _chunks(b: bytes):
+    if b[:8] != _MAGIC:
+        raise PngError("not a PNG: bad signature")
+    i = 8
+    while i + 8 <= len(b):
+        (length,) = struct.unpack(">I", b[i : i + 4])
+        ctype = b[i + 4 : i + 8]
+        data = b[i + 8 : i + 8 + length]
+        if len(data) != length:
+            raise PngError(f"truncated chunk {ctype!r}")
+        (crc,) = struct.unpack(">I", b[i + 8 + length : i + 12 + length])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise PngError(f"bad CRC in chunk {ctype!r}")
+        yield ctype, data
+        i += 12 + length
+        if ctype == b"IEND":
+            return
+    raise PngError("missing IEND")
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def png_decode(b: bytes):
+    """→ (width, height, rows) with rows = list of rows of (r, g, b, a)
+    tuples — every supported color type normalized to RGBA."""
+    width = height = None
+    color_type = bit_depth = None
+    palette: list[tuple] = []
+    trns: bytes = b""
+    idat = bytearray()
+    for ctype, data in _chunks(b):
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if comp != 0 or filt != 0:
+                raise PngError("unknown compression/filter method")
+            if interlace != 0:
+                raise PngError("interlaced (Adam7) not supported")
+            if bit_depth != 8:
+                raise PngError(f"bit depth {bit_depth} not supported (8 only)")
+            if color_type not in _CHANNELS:
+                raise PngError(f"color type {color_type} not supported")
+        elif ctype == b"PLTE":
+            if len(data) % 3:
+                raise PngError("PLTE length not a multiple of 3")
+            palette = [tuple(data[i : i + 3]) for i in range(0, len(data), 3)]
+        elif ctype == b"tRNS":
+            trns = data
+        elif ctype == b"IDAT":
+            idat.extend(data)
+    if width is None:
+        raise PngError("missing IHDR")
+    if width == 0 or height == 0:
+        raise PngError("zero dimension")
+
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:  # corrupt stream
+        raise PngError(f"IDAT inflate failed: {e}") from None
+
+    ch = _CHANNELS[color_type]
+    stride = width * ch
+    if len(raw) != (stride + 1) * height:
+        raise PngError("IDAT size does not match dimensions")
+
+    # un-filter scanlines (spec §6): each row is 1 filter byte + samples
+    prev = bytearray(stride)
+    out_rows = []
+    pos = 0
+    for _y in range(height):
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                c = prev[i - ch] if i >= ch else 0
+                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+        elif ftype != 0:
+            raise PngError(f"unknown filter type {ftype}")
+        prev = line
+
+        # normalize to RGBA
+        row = []
+        if color_type == 0:
+            for x in range(width):
+                v = line[x]
+                row.append((v, v, v, 255))
+        elif color_type == 2:
+            for x in range(width):
+                r, g, bl = line[3 * x : 3 * x + 3]
+                row.append((r, g, bl, 255))
+        elif color_type == 3:
+            if not palette:
+                raise PngError("palette image without PLTE")
+            for x in range(width):
+                idx = line[x]
+                if idx >= len(palette):
+                    raise PngError("palette index out of range")
+                r, g, bl = palette[idx]
+                a = trns[idx] if idx < len(trns) else 255
+                row.append((r, g, bl, a))
+        elif color_type == 4:
+            for x in range(width):
+                v, a = line[2 * x : 2 * x + 2]
+                row.append((v, v, v, a))
+        else:  # 6
+            for x in range(width):
+                r, g, bl, a = line[4 * x : 4 * x + 4]
+                row.append((r, g, bl, a))
+        out_rows.append(row)
+    return width, height, out_rows
+
+
+def png_encode(rows) -> bytes:
+    """RGBA rows → PNG bytes (color type 6, bit depth 8, filter 0,
+    zlib level 6) — byte-deterministic for a given pixel grid."""
+    height = len(rows)
+    if height == 0 or len(rows[0]) == 0:
+        raise PngError("cannot encode empty image")
+    width = len(rows[0])
+    raw = bytearray()
+    for row in rows:
+        if len(row) != width:
+            raise PngError("ragged pixel rows")
+        raw.append(0)  # filter: None
+        for (r, g, b, a) in row:
+            raw += bytes((r & 0xFF, g & 0xFF, b & 0xFF, a & 0xFF))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 6, 0, 0, 0)
+    idat = zlib.compress(bytes(raw), 6)
+    return _MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def png_meta(b: bytes) -> dict:
+    """Real metadata via FULL decode (dimensions are only trusted after
+    the pixel stream checks out — a lying IHDR raises)."""
+    width, height, _rows = png_decode(b)
+    return {"width": width, "height": height, "n_frames": 1}
+
+
+def png_resize(b: bytes, width: int, height: int) -> bytes:
+    """Nearest-neighbor resample → re-encoded PNG. Integer source-index
+    math (x·sw div w), no float rounding — deterministic across
+    platforms."""
+    sw, sh, rows = png_decode(b)
+    out = [
+        [rows[(y * sh) // height][(x * sw) // width] for x in range(width)]
+        for y in range(height)
+    ]
+    return png_encode(out)
+
+
+def png_histogram(b: bytes, bins: int = 16) -> list:
+    """Deterministic luma histogram feature (the real-decode counterpart
+    of the stub hash feature): integer BT.601 luma (77r+150g+29b) >> 8,
+    equal-width bins, L1-normalized to floats at the very end."""
+    width, height, rows = png_decode(b)
+    counts = [0] * bins
+    for row in rows:
+        for (r, g, bl, _a) in row:
+            luma = (77 * r + 150 * g + 29 * bl) >> 8
+            counts[(luma * bins) >> 8] += 1
+    n = width * height
+    return [c / n for c in counts]

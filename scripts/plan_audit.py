@@ -545,6 +545,26 @@ def main() -> None:
             ("no joins", r"Join", "absent"),
             ("only the two needed columns read", r"ReadSchema: struct<ts:timestamp,user_id:bigint,event_type:string>|ReadSchema: struct<user_id:bigint,event_type:string>"),
         ]),
+        ("stream_hll", [
+            # r4 streaming-parity anchor: the RETURNED frame is the folded
+            # register state's read path — join-free, codegen, no Python
+            # (the fold itself ran in foreachBatch; this audits what the
+            # driver compares)
+            ("no joins", r"Join", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
+        ("stream_cms", [
+            # folded (r, c, cnt) grid: bounded state, no joins, no Python
+            ("no joins", r"Join", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
+        ("stream_dedup", [
+            # survivor hash set: one dedup agg over the memory sink, no
+            # joins, no cartesian, no Python
+            ("no joins", r"Join", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
         ("hll_estimate", [
             # read path folds registers per group — still join-free
             ("no joins", r"Join", "absent"),

@@ -110,9 +110,9 @@ NEG_CASES = [c for c in MANIFEST if c.get("negative")]
 UPDATE_CASES = [c for c in MANIFEST if c.get("update")]
 NEG_UPDATE_CASES = [c for c in MANIFEST if c.get("neg_update")]
 assert (
-    len(EVAL_CASES) == 107
-    and len(NEG_CASES) == 15
-    and len(UPDATE_CASES) == 16
+    len(EVAL_CASES) == 118
+    and len(NEG_CASES) == 16
+    and len(UPDATE_CASES) == 19
     and len(NEG_UPDATE_CASES) == 3
 ), (
     f"manifest parse found {len(EVAL_CASES)} eval / {len(NEG_CASES)} negative / "
@@ -242,9 +242,21 @@ def ctx_cache(spark):
 
     def get(data_file: str) -> Ctx:
         if data_file not in cache:
-            triples = TurtleParser(_read(data_file), base=BASE).parse()
-            g = Graph.from_triples(spark, triples)
-            cache[data_file] = Ctx(g.df)
+            if data_file.endswith(".trig"):
+                # named-graph datasets (property-path × GRAPH cases):
+                # parsed with OUR TriG parser — dogfooding, as with Turtle
+                from ocaml_rdf_spark.sources.trig import TriGParser
+                from ocaml_rdf_spark.types import DEFAULT_GRAPH, TRIPLES_SCHEMA, triple_row
+
+                rows = [
+                    triple_row(s, p, o, graph=(g.value if isinstance(g, Iri) else DEFAULT_GRAPH))
+                    for s, p, o, g in TriGParser(_read(data_file), base=BASE).parse_quads()
+                ]
+                cache[data_file] = Ctx(spark.createDataFrame(rows, schema=TRIPLES_SCHEMA))
+            else:
+                triples = TurtleParser(_read(data_file), base=BASE).parse()
+                g = Graph.from_triples(spark, triples)
+                cache[data_file] = Ctx(g.df)
         return cache[data_file]
 
     return get
