@@ -81,21 +81,14 @@ def _close_hierarchy(edges: DataFrame, driver_limit: int = SCHEMA_DRIVER_EDGE_LI
     return spark.createDataFrame(closed or [], "src string, dst string")
 
 
-def rdfs_closure(
-    triples: DataFrame,
-    graph: str = "urn:g:rdfs",
-    schema_driver_limit: int = SCHEMA_DRIVER_EDGE_LIMIT,
-) -> DataFrame:
-    """→ the ENTAILED triples (IRI-only positions, set semantics, graph =
-    `graph`, extractor = 'rdfs'), excluding triples already asserted.
-    Union with the input for the materialized closure."""
-    cls = _close_hierarchy(_schema_edges(triples, SUBCLASS), schema_driver_limit)  # rdfs11
-    prp = _close_hierarchy(_schema_edges(triples, SUBPROP), schema_driver_limit)   # rdfs5
-    dom = _schema_edges(triples, DOMAIN)
-    rng = _schema_edges(triples, RANGE)
-
-    inst = triples.select("s_kind", "s_lex", "pred", "o_kind", "o_lex")
-
+def _infer_stmts(inst: DataFrame, cls: DataFrame, prp: DataFrame,
+                 dom: DataFrame, rng: DataFrame) -> DataFrame:
+    """ONE pass of the instance rules (rdfs7, rdfs2/3, rdfs9) over a
+    5-col statement frame against the CLOSED broadcast schema → 7-col
+    entailed statements. This per-statement linearity — no rule joins
+    two instance statements — is what makes the closure a single pass
+    AND makes incremental maintenance (rdfs_closure_delta) delta-sized:
+    infer(A ∪ B) = infer(A) ∪ infer(B)."""
     # rdfs7: predicate expansion through the closed subproperty relation
     expanded = inst.join(
         F.broadcast(prp.withColumnRenamed("src", "pred")), "pred", "inner"
@@ -138,6 +131,24 @@ def rdfs_closure(
         F.lit(None).cast("string").alias("o_dtype"),
         F.lit(None).cast("string").alias("o_lang"),
     )
+    return type_triples.unionByName(prop_triples)
+
+
+def rdfs_closure(
+    triples: DataFrame,
+    graph: str = "urn:g:rdfs",
+    schema_driver_limit: int = SCHEMA_DRIVER_EDGE_LIMIT,
+) -> DataFrame:
+    """→ the ENTAILED triples (IRI-only positions, set semantics, graph =
+    `graph`, extractor = 'rdfs'), excluding triples already asserted.
+    Union with the input for the materialized closure."""
+    cls = _close_hierarchy(_schema_edges(triples, SUBCLASS), schema_driver_limit)  # rdfs11
+    prp = _close_hierarchy(_schema_edges(triples, SUBPROP), schema_driver_limit)   # rdfs5
+    dom = _schema_edges(triples, DOMAIN)
+    rng = _schema_edges(triples, RANGE)
+
+    inst = triples.select("s_kind", "s_lex", "pred", "o_kind", "o_lex")
+    entailed = _infer_stmts(inst, cls, prp, dom, rng)
     schema_triples = (
         cls.select(F.col("src").alias("s_lex"), F.lit(SUBCLASS).alias("pred"), F.col("dst").alias("o_lex"))
         .unionByName(
@@ -157,7 +168,7 @@ def rdfs_closure(
     # compute branches serially and straggle; the wide-but-tiny map side
     # schedules better
     out = (
-        type_triples.unionByName(prop_triples).unionByName(schema_triples)
+        entailed.unionByName(schema_triples)
         .withColumn("graph", F.lit(graph))
         .withColumn("src_url", F.lit(None).cast("string"))
         .withColumn("extractor", F.lit("rdfs"))
@@ -171,3 +182,117 @@ def rdfs_closure(
         ["s_kind", "s_lex", "pred", "o_kind", "o_lex"],
         "left_anti",
     )
+
+
+def rdfs_closure_delta(
+    base: DataFrame,
+    old_inferred: DataFrame,
+    add: DataFrame,
+    delete: DataFrame,
+    graph: str = "urn:g:rdfs",
+    schema_driver_limit: int = SCHEMA_DRIVER_EDGE_LIMIT,
+) -> DataFrame:
+    """Incremental maintenance of the materialized RDFS closure under a
+    batch of additions AND deletions — DRed (delete and rederive, Gupta,
+    Mumick & Subrahmanian, SIGMOD'93), specialized to this rule set.
+
+    Returns the inferred set of `(base ∖ delete) ∪ add` — set-equal to
+    `rdfs_closure(updated_base)` (pytest-pinned and driver-oracled
+    against a full recompute) — WITHOUT re-running the rules over the
+    whole store:
+
+    - **Additions** are delta-sized outright: the instance rules are
+      per-statement (no instance-instance joins), so
+      infer(base ∪ add) = infer(base) ∪ infer(add).
+    - **Deletions** use over-delete + rederive: candidates C =
+      delete ∪ infer(delete) (everything the deleted statements asserted
+      or derived); each candidate survives iff it is re-derivable from
+      the REMAINING statements. Because every derivation of a statement
+      about x consumes exactly one statement whose subject or object is
+      x, rederivation only needs `remaining` restricted to the
+      candidates' subject/object keys — a key-restricted semi-join, NOT
+      a full re-closure. At 100 TB: delta-sized frames broadcast; the
+      two semi-joins against the pred/key-sorted store prune to the
+      touched keys' row groups.
+
+    **Schema-change fallback (documented, checked):** if add/delete
+    touches subClassOf/subPropertyOf/domain/range, the closed
+    hierarchies themselves change and every instance derivation is
+    suspect — the honest move is a full recompute (schema edits are
+    rare and schema-sized; DRed's win is the instance-delta case).
+
+    `old_inferred` is the previously materialized ENTAILED set (what
+    rdfs_closure returned for `base`). Output carries the same
+    graph/extractor metadata and the entailed-only guarantee (anti-join
+    against the UPDATED asserted set)."""
+    key5 = ["s_kind", "s_lex", "pred", "o_kind", "o_lex"]
+    schema_preds = (SUBCLASS, SUBPROP, DOMAIN, RANGE)
+
+    delta = add.select(*key5).unionByName(delete.select(*key5))
+    if not delta.filter(F.col("pred").isin(*schema_preds)).isEmpty():
+        remaining = base.join(delete.select(*key5).distinct(), key5, "left_anti")
+        return rdfs_closure(remaining.unionByName(add.select(base.columns)),
+                            graph=graph, schema_driver_limit=schema_driver_limit)
+
+    cls = _close_hierarchy(_schema_edges(base, SUBCLASS), schema_driver_limit)
+    prp = _close_hierarchy(_schema_edges(base, SUBPROP), schema_driver_limit)
+    dom = _schema_edges(base, DOMAIN)
+    rng = _schema_edges(base, RANGE)
+
+    del5 = delete.select(*key5).distinct().localCheckpoint(eager=False)
+    add5 = add.select(*key5).distinct().localCheckpoint(eager=False)
+    remaining = base.select(*key5).distinct().join(del5, key5, "left_anti").localCheckpoint(eager=False)
+
+    # over-delete candidates: the deleted statements themselves (they may
+    # be re-derivable, and were suppressed from old_inferred as asserted)
+    # plus everything they derived
+    cand = (
+        del5.select(
+            F.col("s_kind").cast("tinyint").alias("s_kind"), "s_lex", "pred",
+            F.col("o_kind").cast("tinyint").alias("o_kind"), "o_lex",
+            F.lit(None).cast("string").alias("o_dtype"),
+            F.lit(None).cast("string").alias("o_lang"),
+        )
+        .unionByName(_infer_stmts(del5, cls, prp, dom, rng))
+        .dropDuplicates(key5)
+        .localCheckpoint(eager=False)
+    )
+
+    # rederive: every derivation of a candidate consumes one remaining
+    # statement whose subject or object is the candidate's subject key —
+    # restrict remaining to those keys and run the one-pass rules
+    keys = cand.select(F.col("s_lex").alias("k")).unionByName(
+        cand.select(F.col("o_lex").alias("k"))
+    ).distinct()
+    rem_touch = (
+        remaining.join(keys.withColumnRenamed("k", "s_lex"), "s_lex", "left_semi")
+        .unionByName(
+            remaining.join(keys.withColumnRenamed("k", "o_lex"), "o_lex", "left_semi")
+            .select(*remaining.columns)
+        )
+        .dropDuplicates(key5)
+    )
+    rederivable = (
+        _infer_stmts(rem_touch, cls, prp, dom, rng)
+        .select(*key5)
+        .dropDuplicates(key5)
+    )
+    survivors = cand.join(rederivable, key5, "left_semi")
+
+    new_from_add = _infer_stmts(add5, cls, prp, dom, rng)
+
+    kept_old = old_inferred.select(
+        "s_kind", "s_lex", "pred", "o_kind", "o_lex", "o_dtype", "o_lang"
+    ).join(cand.select(*key5), key5, "left_anti")
+
+    out = (
+        kept_old.unionByName(survivors.select(kept_old.columns))
+        .unionByName(new_from_add)
+        .withColumn("graph", F.lit(graph))
+        .withColumn("src_url", F.lit(None).cast("string"))
+        .withColumn("extractor", F.lit("rdfs"))
+        .withColumn("part_id", F.lit(None).cast("int"))
+        .dropDuplicates(TRIPLE_KEY)
+    )
+    updated_asserted = remaining.unionByName(add5).distinct()
+    return out.join(updated_asserted, key5, "left_anti")

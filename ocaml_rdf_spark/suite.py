@@ -14361,3 +14361,80 @@ assert len(DRIVER_WINDOW) == 50 and len(set(DRIVER_WINDOW)) == 50
 assert all(QUERIES[n][1] is not None for n in DRIVER_WINDOW)
 _rest = [n for n in QUERIES if n not in set(DRIVER_WINDOW)]
 QUERIES = {n: QUERIES[n] for n in [*DRIVER_WINDOW, *_rest]}
+
+
+def q_rdfs_delta(spark, sf):
+    """Incremental RDFS closure maintenance (DRed — operators/rdfs.py ::
+    rdfs_closure_delta): the q_rdfs_closure ontology + store, then a
+    delta batch — DELETE the inNation edges of every 5th customer and
+    the rdf:type Customer assertion of every 7th, ADD 50 fresh subjects
+    with inNation edges — maintained incrementally from the old
+    materialized closure. The ORACLE is a FULL RECOMPUTE over the
+    updated base in SQL, so the driver pins incremental ≡ recompute."""
+    from .operators.rdfs import DOMAIN, RANGE, SUBCLASS, SUBPROP, rdfs_closure, rdfs_closure_delta
+    from .types import RDF_TYPE as _RT, TRIPLES_SCHEMA, triple_row as _tr
+
+    schema = [
+        ("urn:c:Customer", SUBCLASS, "urn:c:Party"),
+        ("urn:c:Supplier", SUBCLASS, "urn:c:Party"),
+        ("urn:c:Party", SUBCLASS, "urn:c:Agent"),
+        ("urn:p:inNation", SUBPROP, "urn:p:locatedIn"),
+        ("urn:p:inNation", DOMAIN, "urn:c:Located"),
+        ("urn:p:locatedIn", RANGE, "urn:c:Place"),
+    ]
+    rows = [_tr(Iri(s), Iri(p), Iri(o), graph="urn:g:schema") for s, p, o in schema]
+    base = triples_view(spark, sf).unionByName(spark.createDataFrame(rows, schema=TRIPLES_SCHEMA))
+    old_inf = rdfs_closure(base)
+
+    def t(s_col, p, o_col):
+        return F.struct(
+            F.lit(0).cast("tinyint").alias("s_kind"), s_col.alias("s_lex"),
+            F.lit(p).alias("pred"),
+            F.lit(0).cast("tinyint").alias("o_kind"), o_col.alias("o_lex"),
+            F.lit(None).cast("string").alias("o_dtype"), F.lit(None).cast("string").alias("o_lang"),
+            F.lit("urn:g:delta").alias("graph"), F.lit(None).cast("string").alias("src_url"),
+            F.lit(None).cast("string").alias("extractor"), F.lit(None).cast("int").alias("part_id"),
+        )
+
+    cu = spark.read.parquet(f"{sf}/customer.parquet")
+    del_edges = cu.filter(F.col("c_custkey") % 5 == 0).select(
+        t(F.concat(F.lit("urn:cu:"), F.col("c_custkey").cast("string")), "urn:p:inNation",
+          F.concat(F.lit("urn:n:"), F.col("c_nationkey").cast("string"))).alias("t")
+    ).select("t.*")
+    del_types = cu.filter(F.col("c_custkey") % 7 == 0).select(
+        t(F.concat(F.lit("urn:cu:"), F.col("c_custkey").cast("string")), _RT,
+          F.lit("urn:c:Customer")).alias("t")
+    ).select("t.*")
+    delete = del_edges.unionByName(del_types)
+    add = spark.range(50).select(
+        t(F.concat(F.lit("urn:x:NEW"), F.col("id").cast("string")), "urn:p:inNation",
+          F.concat(F.lit("urn:n:"), (F.col("id") % 25).cast("string"))).alias("t")
+    ).select("t.*")
+
+    ent = rdfs_closure_delta(base, old_inf, add, delete)
+    return ent.select(F.col("s_lex").alias("s"), F.col("pred").alias("p"), F.col("o_lex").alias("o"))
+
+
+SQL_RDFS_DELTA = """
+SELECT 'urn:c:Customer' AS s, 'http://www.w3.org/2000/01/rdf-schema#subClassOf' AS p, 'urn:c:Agent' AS o
+UNION ALL SELECT 'urn:c:Supplier', 'http://www.w3.org/2000/01/rdf-schema#subClassOf', 'urn:c:Agent'
+UNION ALL SELECT 'urn:cu:' || c_custkey, 'urn:p:locatedIn', 'urn:n:' || c_nationkey
+          FROM customer WHERE c_custkey % 5 <> 0
+UNION ALL SELECT 'urn:su:' || s_suppkey, 'urn:p:locatedIn', 'urn:n:' || s_nationkey FROM supplier
+UNION ALL SELECT 'urn:x:NEW' || i, 'urn:p:locatedIn', 'urn:n:' || (i % 25) FROM range(50) AS t(i)
+UNION ALL SELECT 'urn:cu:' || c_custkey, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 'urn:c:Located'
+          FROM customer WHERE c_custkey % 5 <> 0
+UNION ALL SELECT 'urn:cu:' || c_custkey, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', cls
+          FROM customer, (VALUES ('urn:c:Party'), ('urn:c:Agent')) AS t(cls)
+          WHERE c_custkey % 7 <> 0
+UNION ALL SELECT 'urn:su:' || s_suppkey, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', cls
+          FROM supplier, (VALUES ('urn:c:Located'), ('urn:c:Party'), ('urn:c:Agent')) AS t(cls)
+UNION ALL SELECT 'urn:x:NEW' || i, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 'urn:c:Located'
+          FROM range(50) AS t(i)
+UNION ALL SELECT DISTINCT 'urn:n:' || k, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 'urn:c:Place'
+          FROM (SELECT c_nationkey AS k FROM customer WHERE c_custkey % 5 <> 0
+                UNION SELECT s_nationkey FROM supplier
+                UNION SELECT i % 25 FROM range(50) AS t(i))
+"""
+
+QUERIES["rdfs_delta"] = (q_rdfs_delta, SQL_RDFS_DELTA)
