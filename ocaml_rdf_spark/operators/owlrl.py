@@ -306,3 +306,132 @@ def chain_closure(triples: DataFrame, graph: str = "urn:g:owl") -> DataFrame:
     )
     asserted = triples.select("s_kind", "s_lex", "pred", "o_kind", "o_lex").distinct()
     return out.join(asserted, ["s_kind", "s_lex", "pred", "o_kind", "o_lex"], "left_anti")
+
+
+DISJOINT_WITH = OWL_NS + "disjointWith"
+PROP_DISJOINT_WITH = OWL_NS + "propertyDisjointWith"
+IRREFLEXIVE = OWL_NS + "IrreflexiveProperty"
+ASYMMETRIC = OWL_NS + "AsymmetricProperty"
+
+
+def owl_consistency(triples: DataFrame) -> DataFrame:
+    """OWL 2 RL consistency check — the spec's `false`-conclusion rules
+    as a VIOLATION REPORT instead of an explosion (every production KG
+    pipeline gates serving on this; a 10^12-triple store with one
+    disjointness clash must name the clashing entities, not refuse to
+    load):
+
+      cax-dw    C1 owl:disjointWith C2;  x type C1, x type C2   → clash
+      prp-irp   p a owl:IrreflexiveProperty;  x p x             → clash
+      prp-asyp  p a owl:AsymmetricProperty;   x p y ∧ y p x     → clash
+      prp-pdw   p owl:propertyDisjointWith q; x p y ∧ x q y     → clash
+
+    → (rule, node, detail_a, detail_b), set semantics:
+      cax-dw:   (rule, x,  C1, C2)  with C1 < C2 (one row per unordered
+                class pair — disjointWith is symmetric)
+      prp-irp:  (rule, x,  p,  x)
+      prp-asyp: (rule, x,  p,  y)   with x < y (one row per unordered
+                node pair — the clash is the PAIR)
+      prp-pdw:  (rule, x,  p ‖ q packed as 'p q' min-first, y)
+
+    Runs over ASSERTED statements — materialize the closure first
+    (rdfs_closure / owl_rl_closure) and check the union when inferred
+    types must participate (the standard pipeline order).
+
+    Scale: axiom tables are schema-sized broadcasts; cax-dw joins the
+    type scan to itself ON THE SUBJECT KEY after a broadcast-semi
+    restriction to disjoint-mentioned classes (never all-pairs of
+    types); prp-asyp/pdw are one self-equi-join each on (s,o)/(o,s)
+    keys restricted to the axiom predicates. One dedup shuffle total
+    per rule."""
+    iri = (F.col("s_kind") == 0) & (F.col("o_kind") == 0)
+    # symmetric closure of the disjointness axioms (declared either way)
+    dj = (
+        triples.filter((F.col("pred") == DISJOINT_WITH) & iri)
+        .select(F.col("s_lex").alias("c1"), F.col("o_lex").alias("c2"))
+    )
+    dj = dj.unionByName(dj.select(F.col("c2").alias("c1"), F.col("c1").alias("c2"))).distinct()
+    pdw = (
+        triples.filter((F.col("pred") == PROP_DISJOINT_WITH) & iri)
+        .select(F.col("s_lex").alias("p1"), F.col("o_lex").alias("p2"))
+    )
+    pdw = pdw.unionByName(pdw.select(F.col("p2").alias("p1"), F.col("p1").alias("p2"))).distinct()
+
+    def _props_of(cls_iri):
+        return (
+            triples.filter((F.col("pred") == RDF_TYPE) & (F.col("o_lex") == cls_iri))
+            .select(F.col("s_lex").alias("p"))
+            .distinct()
+        )
+
+    types = triples.filter(F.col("pred") == RDF_TYPE).select(
+        F.col("s_lex").alias("x"), F.col("o_lex").alias("cls")
+    ).distinct()
+    # restrict the type scan to disjoint-mentioned classes BEFORE the
+    # subject self-join (the axiom side broadcasts)
+    dj_types = types.join(
+        F.broadcast(dj.select(F.col("c1").alias("cls")).distinct()), "cls", "left_semi"
+    )
+    cax_dw = (
+        dj_types.alias("a")
+        .join(dj_types.alias("b"), F.col("a.x") == F.col("b.x"))
+        .join(
+            F.broadcast(dj),
+            (F.col("a.cls") == F.col("c1")) & (F.col("b.cls") == F.col("c2")),
+            "left_semi",
+        )
+        .filter(F.col("a.cls") < F.col("b.cls"))
+        .select(
+            F.lit("cax-dw").alias("rule"), F.col("a.x").alias("node"),
+            F.col("a.cls").alias("detail_a"), F.col("b.cls").alias("detail_b"),
+        )
+    )
+
+    edges = triples.select(
+        F.col("s_lex").alias("x"), F.col("pred").alias("p"), F.col("o_lex").alias("y"),
+        F.col("s_kind"), F.col("o_kind"),
+    )
+    irr = edges.join(F.broadcast(_props_of(IRREFLEXIVE)), "p", "left_semi").filter(
+        (F.col("s_kind") == F.col("o_kind")) & (F.col("x") == F.col("y"))
+    ).select(
+        F.lit("prp-irp").alias("rule"), F.col("x").alias("node"),
+        F.col("p").alias("detail_a"), F.col("y").alias("detail_b"),
+    )
+
+    asy_edges = edges.join(F.broadcast(_props_of(ASYMMETRIC)), "p", "left_semi").select("x", "p", "y")
+    asy = (
+        asy_edges.alias("a")
+        .join(
+            asy_edges.alias("b"),
+            (F.col("a.p") == F.col("b.p")) & (F.col("a.x") == F.col("b.y")) & (F.col("a.y") == F.col("b.x")),
+        )
+        .filter(F.col("a.x") < F.col("a.y"))
+        .select(
+            F.lit("prp-asyp").alias("rule"), F.col("a.x").alias("node"),
+            F.col("a.p").alias("detail_a"), F.col("a.y").alias("detail_b"),
+        )
+    )
+
+    pdw_edges = edges.join(
+        F.broadcast(pdw.select(F.col("p1").alias("p")).distinct()), "p", "left_semi"
+    ).select("x", "p", "y")
+    pdw_v = (
+        pdw_edges.alias("a")
+        .join(
+            pdw_edges.alias("b"),
+            (F.col("a.x") == F.col("b.x")) & (F.col("a.y") == F.col("b.y")),
+        )
+        .join(
+            F.broadcast(pdw),
+            (F.col("a.p") == F.col("p1")) & (F.col("b.p") == F.col("p2")),
+            "left_semi",
+        )
+        .filter(F.col("a.p") < F.col("b.p"))
+        .select(
+            F.lit("prp-pdw").alias("rule"), F.col("a.x").alias("node"),
+            F.concat(F.col("a.p"), F.lit(" "), F.col("b.p")).alias("detail_a"),
+            F.col("a.y").alias("detail_b"),
+        )
+    )
+
+    return cax_dw.unionByName(irr).unionByName(asy).unionByName(pdw_v).distinct()

@@ -14438,3 +14438,91 @@ UNION ALL SELECT DISTINCT 'urn:n:' || k, 'http://www.w3.org/1999/02/22-rdf-synta
 """
 
 QUERIES["rdfs_delta"] = (q_rdfs_delta, SQL_RDFS_DELTA)
+
+
+def q_owl_consistency(spark, sf):
+    """OWL 2 RL consistency report (operators/owlrl.py :: owl_consistency
+    — the spec's false-conclusion rules cax-dw / prp-irp / prp-asyp /
+    prp-pdw as violation rows): a fixture ontology over the customer
+    table plants each violation class deterministically (every 10th
+    customer typed into a disjoint class, every 9th chain edge
+    reciprocated under an asymmetric property, every 13th customer
+    self-looped under an irreflexive one, every 11th liking AND
+    disliking the same nation under disjoint properties)."""
+    from .operators.owlrl import (
+        ASYMMETRIC, DISJOINT_WITH, IRREFLEXIVE, PROP_DISJOINT_WITH, owl_consistency,
+    )
+    from .types import TRIPLES_SCHEMA, triple_row as _tr
+
+    axioms = [
+        ("urn:c:Customer", DISJOINT_WITH, "urn:c:Blocked"),
+        ("urn:p:refBy", RDF_TYPE, ASYMMETRIC),
+        ("urn:p:self", RDF_TYPE, IRREFLEXIVE),
+        ("urn:p:likes", PROP_DISJOINT_WITH, "urn:p:dislikes"),
+    ]
+    ax = spark.createDataFrame(
+        [_tr(Iri(s), Iri(p), Iri(o), graph="urn:g:ax") for s, p, o in axioms],
+        schema=TRIPLES_SCHEMA,
+    )
+
+    def t(s_col, p, o_col):
+        return F.struct(
+            F.lit(0).cast("tinyint").alias("s_kind"), s_col.alias("s_lex"),
+            F.lit(p).alias("pred"),
+            F.lit(0).cast("tinyint").alias("o_kind"), o_col.alias("o_lex"),
+            F.lit(None).cast("string").alias("o_dtype"), F.lit(None).cast("string").alias("o_lang"),
+            F.lit("urn:g:cons").alias("graph"), F.lit(None).cast("string").alias("src_url"),
+            F.lit(None).cast("string").alias("extractor"), F.lit(None).cast("int").alias("part_id"),
+        )
+
+    cu = spark.read.parquet(f"{sf}/customer.parquet")
+    k = F.col("c_custkey")
+    cu_iri = F.concat(F.lit("urn:cu:"), k.cast("string"))
+    parts = [
+        cu.select(t(cu_iri, RDF_TYPE, F.lit("urn:c:Customer")).alias("t")),
+        cu.filter(k % 10 == 0).select(t(cu_iri, RDF_TYPE, F.lit("urn:c:Blocked")).alias("t")),
+        cu.filter(k % 13 == 0).select(t(cu_iri, "urn:p:self", cu_iri).alias("t")),
+        cu.select(t(cu_iri, "urn:p:likes", F.concat(F.lit("urn:n:"), (k % 25).cast("string"))).alias("t")),
+        cu.filter(k % 11 == 0).select(
+            t(cu_iri, "urn:p:dislikes", F.concat(F.lit("urn:n:"), (k % 25).cast("string"))).alias("t")
+        ),
+    ]
+    nxt = cu.select((k + 1).alias("c_custkey2"))
+    chain = cu.join(nxt, k == F.col("c_custkey2") - 1 + 1, "inner")  # keep all; filter below
+    # forward chain edges k -> k+1 (only where k+1 exists), reversed every 9th
+    b = cu.select(F.col("c_custkey").alias("k2"))
+    fwd = cu.join(b, k + 1 == F.col("k2"))
+    parts.append(fwd.select(
+        t(cu_iri, "urn:p:refBy", F.concat(F.lit("urn:cu:"), F.col("k2").cast("string"))).alias("t")
+    ))
+    parts.append(fwd.filter(k % 9 == 0).select(
+        t(F.concat(F.lit("urn:cu:"), F.col("k2").cast("string")), "urn:p:refBy", cu_iri).alias("t")
+    ))
+    inst = parts[0]
+    for p_ in parts[1:]:
+        inst = inst.unionByName(p_)
+    store = ax.unionByName(inst.select("t.*"))
+    return owl_consistency(store)
+
+
+SQL_OWL_CONSISTENCY = """
+SELECT 'cax-dw' AS rule, 'urn:cu:' || c_custkey AS node,
+       'urn:c:Blocked' AS detail_a, 'urn:c:Customer' AS detail_b
+FROM customer WHERE c_custkey % 10 = 0
+UNION ALL
+SELECT 'prp-irp', 'urn:cu:' || c_custkey, 'urn:p:self', 'urn:cu:' || c_custkey
+FROM customer WHERE c_custkey % 13 = 0
+UNION ALL
+SELECT 'prp-asyp',
+       LEAST('urn:cu:' || a.c_custkey, 'urn:cu:' || b.c_custkey),
+       'urn:p:refBy',
+       GREATEST('urn:cu:' || a.c_custkey, 'urn:cu:' || b.c_custkey)
+FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1
+WHERE a.c_custkey % 9 = 0
+UNION ALL
+SELECT 'prp-pdw', 'urn:cu:' || c_custkey,
+       'urn:p:dislikes urn:p:likes', 'urn:n:' || (c_custkey % 25)
+FROM customer WHERE c_custkey % 11 = 0
+"""
+
+QUERIES["owl_consistency"] = (q_owl_consistency, SQL_OWL_CONSISTENCY)
