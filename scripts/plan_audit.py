@@ -545,6 +545,26 @@ def main() -> None:
             ("no joins", r"Join", "absent"),
             ("only the two needed columns read", r"ReadSchema: struct<ts:timestamp,user_id:bigint,event_type:string>|ReadSchema: struct<user_id:bigint,event_type:string>"),
         ]),
+        ("rdfs_delta", [
+            # DRed incremental closure: schema sides broadcast, candidate/
+            # rederive joins are hash joins, no cartesian, no Python
+            ("broadcast schema joins", r"BroadcastHashJoin"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
+        ("owl_consistency", [
+            # violation report: axiom tables broadcast, self-joins are
+            # key-restricted hash joins, no cartesian, no Python.
+            # BroadcastNestedLoopJoin IS expected here and benign: the
+            # fixture's type branches carry a LITERAL class, so Catalyst
+            # constant-folds the semi-join key into the broadcast side
+            # and leaves a condition-less existence gate over a
+            # schema-sized (0/1-row) broadcast — O(left), no comparisons
+            ("broadcast axiom joins", r"BroadcastHashJoin"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
         ("stream_hll", [
             # r4 streaming-parity anchor: the RETURNED frame is the folded
             # register state's read path — join-free, codegen, no Python
