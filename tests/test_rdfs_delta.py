@@ -110,3 +110,46 @@ def test_shared_support_survives(spark):
         [("urn:x2", "urn:p:in", "urn:n2")],
     )
     assert (0, "urn:n2", RDF_TYPE, 0, "urn:Pl") in got
+
+
+def test_differential_fuzz_random_deltas(spark):
+    """Seeded random ontologies + random add/delete batches: DRed must
+    equal the full recompute every time (3 seeded rounds, each with a
+    random class DAG, property tree, domain/range axioms, instance
+    edges/types, and a random delta split)."""
+    import random
+
+    for seed in (11, 23, 47):
+        rng = random.Random(seed)
+        classes = [f"urn:C{i}" for i in range(6)]
+        props = [f"urn:p{i}" for i in range(4)]
+        schema = []
+        for i in range(1, 6):
+            schema.append((classes[i], SUBCLASS, classes[rng.randrange(i)]))
+        for i in range(1, 4):
+            schema.append((props[i], SUBPROP, props[rng.randrange(i)]))
+        for p in rng.sample(props, 2):
+            schema.append((p, DOMAIN, rng.choice(classes)))
+        for p in rng.sample(props, 2):
+            schema.append((p, RANGE, rng.choice(classes)))
+        nodes = [f"urn:n{i}" for i in range(12)]
+        inst = []
+        for _ in range(30):
+            inst.append((rng.choice(nodes), rng.choice(props), rng.choice(nodes)))
+        for _ in range(12):
+            inst.append((rng.choice(nodes), RDF_TYPE, rng.choice(classes)))
+        inst = sorted(set(inst))
+        k = len(inst)
+        del_rows = rng.sample(inst, k // 4)
+        add_rows = [
+            (f"urn:m{i}", rng.choice(props), rng.choice(nodes)) for i in range(5)
+        ] + [(f"urn:m{i}", RDF_TYPE, rng.choice(classes)) for i in range(3)]
+
+        base = _df(spark, schema + inst)
+        old_inf = rdfs_closure(base)
+        got = rdfs_closure_delta(base, old_inf, _df(spark, add_rows), _df(spark, del_rows))
+        updated = base.join(
+            _df(spark, del_rows).select(*KEY).distinct(), list(KEY), "left_anti"
+        ).unionByName(_df(spark, add_rows))
+        want = rdfs_closure(updated)
+        assert _set(got) == _set(want), f"seed {seed} diverged"
