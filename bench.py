@@ -431,6 +431,8 @@ def main() -> None:
         "distinctive",
         "burstiness",
         "novelty",
+        "rdfs_delta",
+        "owl_consistency",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal
