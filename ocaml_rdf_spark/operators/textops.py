@@ -2789,3 +2789,179 @@ def novelty_scores(docs: DataFrame, n: int = 3, id_col: str = "doc_id") -> DataF
             F.expr("1000000 * n_new div n_grams").cast("long").alias("novelty_ppm"),
         )
     )
+
+
+def unigram_train(
+    docs: DataFrame,
+    vocab_size: int = 64,
+    seed_size: int = 512,
+    max_piece_len: int = 6,
+    n_em_rounds: int = 4,
+    prune_frac: float = 0.25,
+    text_col: str = "text",
+    max_vocab_rows: int = 10_000_000,
+) -> DataFrame:
+    """Unigram-LM tokenizer training (Kudo, ACL 2018 — the SentencePiece
+    unigram model; the OTHER production tokenizer family next to
+    `bpe_train`). Same two-phase split as the r4 BPE rewrite:
+
+    - **Phase 1 (corpus-sized, distributed)**: word-frequency table
+      (one shuffle), then the SEED vocabulary — every substring of
+      length 1..`max_piece_len` weighted by word frequency, top
+      `seed_size` by (weight DESC, piece ASC) via ONE map-side-combined
+      agg + TakeOrdered; all single characters are force-included
+      (coverage guarantee). The corpus is never touched again.
+    - **Phase 2 (vocab-sized, DRIVER-LOCAL)**: EM over the collected
+      (word, freq) table — E-step computes each piece's expected count
+      with the forward-backward marginals over the word's segmentation
+      lattice, M-step renormalizes; then iterative pruning drops the
+      lowest-likelihood-contribution pieces (never single chars) by
+      `prune_frac` per round until `vocab_size` remains, re-running EM
+      between prunes. Zero Spark jobs inside the loop (the bpe_train
+      discipline); the collect is guarded by `max_vocab_rows`.
+
+    Determinism: EM is plain float arithmetic in a FIXED iteration
+    order (pieces sorted, words sorted), so the result is reproducible
+    on a given platform; the returned score is rounded to integer ppm
+    (log-prob × 10⁶) to pin the output surface. Differential-fuzzed
+    against an independently written mirror (tests/test_unigram.py);
+    no SQL oracle — EM over a segmentation lattice is not expressible
+    in DuckDB SQL (rows-only registry entry, justified like bpe_train).
+
+    → pieces DataFrame (piece string, logprob_ppm long, is_char
+    boolean), descending probability, size == vocab_size (or fewer if
+    the seed was smaller)."""
+    import math
+    from collections import Counter
+
+    words_df = (
+        docs.select(
+            F.explode(
+                F.split(
+                    F.trim(
+                        F.regexp_replace(
+                            F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9 ]", " "),
+                            r" +",
+                            " ",
+                        )
+                    ),
+                    " ",
+                )
+            ).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    n_vocab = words_df.count()
+    if n_vocab > max_vocab_rows:
+        raise ValueError(
+            f"unigram_train: {n_vocab} distinct words exceeds max_vocab_rows="
+            f"{max_vocab_rows}; apply a frequency floor first (bpe_train's rule)"
+        )
+
+    # distributed seed candidates: substrings weighted by word freq
+    subs = words_df.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.least(F.lit(max_piece_len), F.length("word"))),
+                    lambda L: F.transform(
+                        F.sequence(F.lit(1), F.length("word") - L + 1),
+                        lambda i: F.substring(F.col("word"), i, F.lit(0) + L),
+                    ),
+                )
+            )
+        ).alias("piece"),
+        "freq",
+    )
+    seed_rows = (
+        subs.groupBy("piece").agg(F.sum("freq").alias("w"))
+        .orderBy(F.col("w").desc(), F.col("piece").asc())
+        .limit(seed_size)
+        .collect()
+    )
+    words = sorted((r["word"], int(r["freq"])) for r in words_df.collect())
+    chars = sorted({c for w, _f in words for c in w})
+    pieces = sorted({r["piece"] for r in seed_rows} | set(chars))
+
+    def em(pieces_list, probs, rounds):
+        pset = {p: i for i, p in enumerate(pieces_list)}
+        maxlen = max(len(p) for p in pieces_list)
+        for _ in range(rounds):
+            expected = [0.0] * len(pieces_list)
+            total_ll = 0.0
+            for w, f in words:
+                n = len(w)
+                # forward: alpha[j] = total prob of segmentations of w[:j]
+                alpha = [0.0] * (n + 1)
+                alpha[0] = 1.0
+                for j in range(1, n + 1):
+                    s = 0.0
+                    for L in range(1, min(maxlen, j) + 1):
+                        pi = pset.get(w[j - L : j])
+                        if pi is not None and alpha[j - L] > 0:
+                            s += alpha[j - L] * probs[pi]
+                    alpha[j] = s
+                if alpha[n] <= 0:
+                    continue  # unsegmentable (cannot happen with chars kept)
+                # backward
+                beta = [0.0] * (n + 1)
+                beta[n] = 1.0
+                for j in range(n - 1, -1, -1):
+                    s = 0.0
+                    for L in range(1, min(maxlen, n - j) + 1):
+                        pi = pset.get(w[j : j + L])
+                        if pi is not None and beta[j + L] > 0:
+                            s += probs[pi] * beta[j + L]
+                    beta[j] = s
+                # piece marginals
+                inv = f / alpha[n]
+                for j in range(n):
+                    if alpha[j] <= 0:
+                        continue
+                    for L in range(1, min(maxlen, n - j) + 1):
+                        pi = pset.get(w[j : j + L])
+                        if pi is not None and beta[j + L] > 0:
+                            expected[pi] += alpha[j] * probs[pi] * beta[j + L] * inv
+                total_ll += f * math.log(alpha[n])
+            z = sum(expected)
+            if z <= 0:
+                break
+            probs = [max(e / z, 1e-12) for e in expected]
+        return probs
+
+    probs = [1.0 / len(pieces)] * len(pieces)
+    probs = em(pieces, probs, n_em_rounds)
+
+    # prune until vocab_size: drop lowest-prob multi-char pieces
+    char_set = set(chars)
+    while len(pieces) > max(vocab_size, len(char_set)):
+        n_drop = min(
+            max(1, int(len(pieces) * prune_frac)),
+            len(pieces) - max(vocab_size, len(char_set)),
+        )
+        order = sorted(
+            range(len(pieces)),
+            key=lambda i: (pieces[i] in char_set, probs[i], pieces[i]),
+        )
+        drop = {i for i in order[:n_drop] if pieces[i] not in char_set}
+        if not drop:
+            break
+        keep = [i for i in range(len(pieces)) if i not in drop]
+        pieces = [pieces[i] for i in keep]
+        kept = [probs[i] for i in keep]
+        z = sum(kept)
+        probs = [p / z for p in kept]
+        probs = em(pieces, probs, 1)
+
+    out = sorted(
+        ((p, probs[i], p in char_set) for i, p in enumerate(pieces)),
+        key=lambda t: (-t[1], t[0]),
+    )
+    rows = [
+        (p, int(round(math.log(pr) * 1_000_000)), is_c) for p, pr, is_c in out
+    ]
+    return docs.sparkSession.createDataFrame(
+        rows, "piece string, logprob_ppm long, is_char boolean"
+    )

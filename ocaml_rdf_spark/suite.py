@@ -14526,3 +14526,21 @@ FROM customer WHERE c_custkey % 11 = 0
 """
 
 QUERIES["owl_consistency"] = (q_owl_consistency, SQL_OWL_CONSISTENCY)
+
+
+def q_unigram_train(spark, sf):
+    """Unigram-LM tokenizer training (textops.unigram_train — Kudo 2018,
+    the SentencePiece model): distributed word-freq + substring seed,
+    driver-local EM + prune (the bpe_train scale discipline — zero Spark
+    jobs in the loop). Rows-only BY DESIGN: EM marginals over a
+    segmentation lattice are not SQL-expressible; correctness is pinned
+    by tests/test_unigram.py's differential fuzz against an
+    independently written enumeration-based mirror (±1 ppm)."""
+    from .operators.textops import unigram_train
+
+    return unigram_train(
+        _docs(spark, sf), vocab_size=48, seed_size=256, max_piece_len=4, n_em_rounds=2
+    )
+
+
+QUERIES["unigram_train"] = (q_unigram_train, None)

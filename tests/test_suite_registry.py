@@ -45,6 +45,8 @@ def test_registry_is_complete():
     assert rows_only == {
         "link_fuzzy", "extract_corpus", "extract_errors", "bpe_train",
         "compression_quality",  # zlib has no SQL form; direct-zlib differential
+        "unigram_train",  # EM over a segmentation lattice has no SQL form;
+                          # differential-fuzzed vs an independent mirror
     }
     for name, (fn, _sql) in QUERIES.items():
         assert callable(fn), name
