@@ -2965,3 +2965,84 @@ def unigram_train(
     return docs.sparkSession.createDataFrame(
         rows, "piece string, logprob_ppm long, is_char boolean"
     )
+
+
+def unigram_encode(
+    docs: DataFrame,
+    pieces: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Viterbi segmentation under a trained unigram LM
+    (`unigram_train`'s pieces table): each document's words are split
+    into the max-probability piece sequence → (doc_id, n_pieces,
+    pieces_ssv) with pieces space-joined (the encode_tokens
+    representation-stability rule: a string column oracles across
+    engines where array renderings differ).
+
+    Deterministic tie-break: on equal path log-prob the segmentation
+    preferring the LONGER piece at the earliest split point wins
+    (argmax scans piece length descending — pinned by pytest against
+    the mirror).
+
+    Scale: the piece table is vocab-sized and BROADCAST (Spark task
+    closure); segmentation is per-word DP inside Arrow-batched
+    `mapInPandas` — the same Python-at-the-leaves shape as the parser
+    stage, no shuffle beyond the per-doc regroup already in the plan."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    prows = [(r["piece"], int(r["logprob_ppm"])) for r in pieces.collect()]
+    ptab = dict(prows)
+    maxlen = max((len(p) for p in ptab), default=1)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("n_pieces", T.LongType(), False),
+            T.StructField("pieces_ssv", T.StringType(), False),
+        ]
+    )
+
+    def run(batches):
+        import re
+
+        def viterbi(w):
+            n = len(w)
+            NEG = float("-inf")
+            best = [NEG] * (n + 1)
+            back = [None] * (n + 1)
+            best[0] = 0.0
+            for j in range(1, n + 1):
+                # longer pieces scanned first so ties keep the longest
+                for L in range(min(maxlen, j), 0, -1):
+                    p = w[j - L : j]
+                    lp = ptab.get(p)
+                    if lp is not None and best[j - L] > NEG:
+                        cand = best[j - L] + lp
+                        if cand > best[j]:
+                            best[j] = cand
+                            back[j] = L
+            if best[n] == NEG:
+                return None
+            out, j = [], n
+            while j > 0:
+                L = back[j]
+                out.append(w[j - L : j])
+                j -= L
+            return out[::-1]
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                t = re.sub(r" +", " ", re.sub(r"[^a-z0-9 ]", " ", str(text).lower())).strip()
+                seq = []
+                for w in t.split(" "):
+                    if not w:
+                        continue
+                    seg = viterbi(w)
+                    seq.extend(seg if seg is not None else ["<unk>"])
+                rows.append((int(did), len(seq), " ".join(seq)))
+            yield pd.DataFrame(rows, columns=["doc_id", "n_pieces", "pieces_ssv"])
+
+    return docs.select(id_col, text_col).mapInPandas(run, schema=out_schema)

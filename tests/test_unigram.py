@@ -140,3 +140,48 @@ def test_vocab_size_respected(spark):
     got = _run(spark, texts, vocab_size=30, seed_size=200, max_piece_len=5)
     n_chars = len({c for c in "thequickbrownfoxjumpsoverlazydg"})
     assert max(30, n_chars) >= len(got) >= n_chars
+
+
+def test_encode_viterbi_matches_mirror(spark):
+    from ocaml_rdf_spark.operators.textops import unigram_encode, unigram_train
+
+    texts = ["abab abab cd abab", "ababcd cd ab"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    pieces = unigram_train(df, vocab_size=8, seed_size=32, max_piece_len=4)
+    ptab = {r["piece"]: r["logprob_ppm"] for r in pieces.collect()}
+    maxlen = max(len(p) for p in ptab)
+
+    def viterbi(w):
+        NEG = float("-inf")
+        best, back = [NEG] * (len(w) + 1), [None] * (len(w) + 1)
+        best[0] = 0.0
+        for j in range(1, len(w) + 1):
+            for L in range(min(maxlen, j), 0, -1):
+                p = w[j - L : j]
+                if p in ptab and best[j - L] > NEG and best[j - L] + ptab[p] > best[j]:
+                    best[j], back[j] = best[j - L] + ptab[p], L
+        out, j = [], len(w)
+        while j > 0:
+            out.append(w[j - back[j] : j])
+            j -= back[j]
+        return out[::-1]
+
+    got = {r["doc_id"]: r["pieces_ssv"] for r in unigram_encode(df, pieces).collect()}
+    for i, t in enumerate(texts):
+        want = []
+        for w in t.split(" "):
+            want.extend(viterbi(w))
+        assert got[i] == " ".join(want)
+        assert "".join(got[i].split(" ")) == t.replace(" ", "")  # lossless
+
+
+def test_encode_unk_for_uncovered(spark):
+    from ocaml_rdf_spark.operators.textops import unigram_encode
+
+    df = spark.createDataFrame([(0, "xyz ab")], "doc_id long, text string")
+    pieces = spark.createDataFrame(
+        [("a", -100000, True), ("b", -120000, True)],
+        "piece string, logprob_ppm long, is_char boolean",
+    )
+    got = unigram_encode(df, pieces).collect()[0]
+    assert got["pieces_ssv"] == "<unk> a b"
