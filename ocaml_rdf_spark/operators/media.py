@@ -5,8 +5,10 @@ Arrow-batched `mapInPandas` stages.
 Decode is REAL for PNG (r4: operators/png.py — a from-scratch spec
 decoder/encoder on stdlib zlib: chunk CRCs, all five scanline filters,
 color types 0/2/3/4/6; metadata, nearest-neighbor resize, and a luma-
-histogram feature all run on actual pixels). Other formats (JPEG,
-audio, video) remain STUBBED per the sandbox's no-codec-libs mandate,
+histogram feature all run on actual pixels) and for PCM WAV audio
+(wav.py — RIFF parsing, 8/16-bit sample decode, integer RMS-energy
+histogram feature). Other formats (JPEG, compressed audio, video)
+remain STUBBED per the sandbox's no-codec-libs mandate,
 behind `_decode_stub` — a deterministic fake derived from the bytes —
 with the Spark-side plumbing (schema, batch shape, partitioning, UDF
 signature) real and tested; swap in PIL/libav in production and
@@ -84,6 +86,13 @@ def _decode(b: bytes) -> dict:
             return png_meta(b)
         except PngError:
             return _decode_stub(b)
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        from .wav import WavError, wav_meta
+
+        try:
+            return wav_meta(b)
+        except WavError:
+            return _decode_stub(b)
     return _decode_stub(b)
 
 
@@ -121,6 +130,7 @@ def media_features(df: DataFrame, dim: int = 16, id_col: str = "media_id", bytes
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .png import PngError, png_histogram
+        from .wav import WavError, wav_energy_histogram
 
         for pdf in batches:
             rows = []
@@ -132,6 +142,11 @@ def media_features(df: DataFrame, dim: int = 16, id_col: str = "media_id", bytes
                         vec = [float(v) for v in png_histogram(b, bins=dim)]
                     except PngError:
                         vec = None
+                elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                    try:
+                        vec = [float(v) for v in wav_energy_histogram(b, bins=dim)]
+                    except WavError:
+                        vec = None
                 if vec is None:
                     d = hashlib.sha256(b).digest()
                     vec = [((d[i % 32] / 255.0) * 2 - 1) for i in range(dim)]
@@ -141,9 +156,13 @@ def media_features(df: DataFrame, dim: int = 16, id_col: str = "media_id", bytes
     return df.select(id_col, bytes_col).mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
-def frame_sample(df: DataFrame, every_n: int = 2, id_col: str = "media_id", bytes_col: str = "content") -> DataFrame:
+def frame_sample(df: DataFrame, every_n: int = 2, max_frames: int = 64, id_col: str = "media_id", bytes_col: str = "content") -> DataFrame:
     """Video frame-sampling plumbing: 1 media row → n_frames/every_n frame
-    rows (stub frames = byte slices). Real decoder swaps in unchanged."""
+    rows (stub frames = byte slices). Real decoder swaps in unchanged.
+    `max_frames` caps the per-row fan-out: a real decode can report
+    sample/frame counts in the millions (r4: WAV decode is real and
+    n_frames = sample frames), and an uncapped explode of one row into
+    millions is a row-width bomb, not sampling."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.StringType(), False),
@@ -157,7 +176,7 @@ def frame_sample(df: DataFrame, every_n: int = 2, id_col: str = "media_id", byte
             rows = []
             for mid, raw in zip(pdf[id_col], pdf[bytes_col]):
                 b = bytes(raw)
-                n = _decode(b)["n_frames"]
+                n = min(_decode(b)["n_frames"], max_frames)
                 for fno in range(0, n, every_n):
                     lo = (fno * 16) % max(len(b), 1)
                     rows.append((str(mid), fno, b[lo : lo + 16]))
