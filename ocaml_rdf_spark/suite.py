@@ -14544,3 +14544,75 @@ def q_unigram_train(spark, sf):
 
 
 QUERIES["unigram_train"] = (q_unigram_train, None)
+
+
+def q_media_png_real(spark, sf):
+    """REAL PNG decode through the media operator (r4 — operators/png.py):
+    one synthetic (4+k%8)×(3+k%5) image per nation, encoded with the
+    deterministic from-scratch encoder, decoded back by media_metadata's
+    real path. width/height/n_frames are closed-form in the key, so the
+    oracle states them relationally; a stub decode (hash-derived dims)
+    would mismatch every row."""
+    from .operators.media import media_metadata
+    from .operators.png import png_encode
+
+    rows = []
+    for r in spark.read.parquet(f"{sf}/nation.parquet").collect():  # 25 rows
+        k = int(r["n_nationkey"])
+        w, h = 4 + k % 8, 3 + k % 5
+        px = [[((x * 7 + y * 13 + k) % 256, 0, 0, 255) for x in range(w)] for y in range(h)]
+        rows.append((f"png:{k}", bytearray(png_encode(px))))
+    df = spark.createDataFrame(rows, "media_id string, content binary")
+    return media_metadata(df).select(
+        "media_id", "kind",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+    )
+
+
+SQL_MEDIA_PNG_REAL = """
+SELECT 'png:' || n_nationkey AS media_id, 'image' AS kind,
+       CAST(4 + n_nationkey % 8 AS BIGINT) AS width,
+       CAST(3 + n_nationkey % 5 AS BIGINT) AS height,
+       CAST(1 AS BIGINT) AS n_frames
+FROM nation
+"""
+
+QUERIES["media_png_real"] = (q_media_png_real, SQL_MEDIA_PNG_REAL)
+
+
+def q_media_wav_real(spark, sf):
+    """REAL PCM WAV decode through the media operator (r4 —
+    operators/wav.py): one 16-bit mono file per nation with 64+k sample
+    frames at 8000 Hz. n_frames and the exact byte size (44-byte
+    header + 2 bytes/frame) are closed-form in the key — the oracle
+    would catch a stub decode or an off-by-one in RIFF chunk framing."""
+    import struct
+
+    from .operators.media import media_metadata
+
+    rows = []
+    for r in spark.read.parquet(f"{sf}/nation.parquet").collect():  # 25 rows
+        k = int(r["n_nationkey"])
+        n = 64 + k
+        data = b"".join(struct.pack("<h", (i * 37 + k) % 200 - 100) for i in range(n))
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+            + b"data" + struct.pack("<I", len(data)) + data
+        rows.append((f"wav:{k}", bytearray(b"RIFF" + struct.pack("<I", len(body)) + body)))
+    df = spark.createDataFrame(rows, "media_id string, content binary")
+    return media_metadata(df).select(
+        "media_id", "kind", "n_bytes",
+        F.col("n_frames").cast("long").alias("n_frames"),
+    )
+
+
+SQL_MEDIA_WAV_REAL = """
+SELECT 'wav:' || n_nationkey AS media_id, 'audio' AS kind,
+       CAST(44 + 2 * (64 + n_nationkey) AS BIGINT) AS n_bytes,
+       CAST(64 + n_nationkey AS BIGINT) AS n_frames
+FROM nation
+"""
+
+QUERIES["media_wav_real"] = (q_media_wav_real, SQL_MEDIA_WAV_REAL)
