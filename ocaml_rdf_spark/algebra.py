@@ -288,7 +288,13 @@ def _scan(ctx: Ctx, tp: TriplePattern) -> CompileOut:
             for c in _bound_filters(pos, item):
                 df = df.filter(c)
     if isinstance(g, Var):
-        out[g.name] = t_iri(F.col("graph"))
+        gcol = t_iri(F.col("graph"))
+        if g.name in out:
+            # GRAPH ?g { ?g ... } / shared var: the graph variable is
+            # ALSO a pattern position — join-compatibility filter, not
+            # overwrite (the term must equal the graph IRI)
+            df = df.filter(out[g.name].eqNullSafe(gcol))
+        out[g.name] = gcol
     if not out:
         # fully ground pattern: empty-binding solution per match
         df = df.select(F.lit(1).alias("__m"))

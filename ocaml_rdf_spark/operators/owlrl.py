@@ -389,7 +389,7 @@ def owl_consistency(triples: DataFrame) -> DataFrame:
 
     edges = triples.select(
         F.col("s_lex").alias("x"), F.col("pred").alias("p"), F.col("o_lex").alias("y"),
-        F.col("s_kind"), F.col("o_kind"),
+        F.col("s_kind"), F.col("o_kind"), F.col("o_dtype"), F.col("o_lang"),
     )
     irr = edges.join(F.broadcast(_props_of(IRREFLEXIVE)), "p", "left_semi").filter(
         (F.col("s_kind") == F.col("o_kind")) & (F.col("x") == F.col("y"))
@@ -398,12 +398,21 @@ def owl_consistency(triples: DataFrame) -> DataFrame:
         F.col("p").alias("detail_a"), F.col("y").alias("detail_b"),
     )
 
-    asy_edges = edges.join(F.broadcast(_props_of(ASYMMETRIC)), "p", "left_semi").select("x", "p", "y")
+    # carry term kinds through the self-joins so only IDENTICAL RDF terms
+    # clash — a literal object whose lexical form equals an IRI must not
+    # match it (subjects are never literals, so kind equality on the
+    # crossed x↔y comparisons is exact: both sides are then IRI/bnode,
+    # where dtype/lang are null by construction)
+    asy_edges = edges.join(F.broadcast(_props_of(ASYMMETRIC)), "p", "left_semi").select(
+        "x", "p", "y", "s_kind", "o_kind"
+    )
     asy = (
         asy_edges.alias("a")
         .join(
             asy_edges.alias("b"),
-            (F.col("a.p") == F.col("b.p")) & (F.col("a.x") == F.col("b.y")) & (F.col("a.y") == F.col("b.x")),
+            (F.col("a.p") == F.col("b.p"))
+            & (F.col("a.x") == F.col("b.y")) & (F.col("a.s_kind") == F.col("b.o_kind"))
+            & (F.col("a.y") == F.col("b.x")) & (F.col("a.o_kind") == F.col("b.s_kind")),
         )
         .filter(F.col("a.x") < F.col("a.y"))
         .select(
@@ -412,14 +421,21 @@ def owl_consistency(triples: DataFrame) -> DataFrame:
         )
     )
 
+    # object↔object comparison here, so literals CAN meet literals: the
+    # full term identity is (kind, lex, dtype, lang) — eqNullSafe on
+    # dtype/lang keeps "5"^^xsd:int vs "5"^^xsd:string and "a"@en vs
+    # "a"@de apart while plain↔plain (both null) still matches
     pdw_edges = edges.join(
         F.broadcast(pdw.select(F.col("p1").alias("p")).distinct()), "p", "left_semi"
-    ).select("x", "p", "y")
+    ).select("x", "p", "y", "s_kind", "o_kind", "o_dtype", "o_lang")
     pdw_v = (
         pdw_edges.alias("a")
         .join(
             pdw_edges.alias("b"),
-            (F.col("a.x") == F.col("b.x")) & (F.col("a.y") == F.col("b.y")),
+            (F.col("a.x") == F.col("b.x")) & (F.col("a.s_kind") == F.col("b.s_kind"))
+            & (F.col("a.y") == F.col("b.y")) & (F.col("a.o_kind") == F.col("b.o_kind"))
+            & F.col("a.o_dtype").eqNullSafe(F.col("b.o_dtype"))
+            & F.col("a.o_lang").eqNullSafe(F.col("b.o_lang")),
         )
         .join(
             F.broadcast(pdw),

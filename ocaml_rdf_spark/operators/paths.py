@@ -44,6 +44,14 @@ class Path:
         """→ DataFrame(src TERM_STRUCT, dst TERM_STRUCT), distinct."""
         raise NotImplementedError
 
+    def matches_zero(self) -> bool:
+        """True when the path admits a ZERO-LENGTH match (spec §18.4 ALP:
+        p*, p?, p{0,m}, and compositions that can reduce to them). Drives
+        PathPattern's ground-endpoint identity rule — ALP yields a ground
+        start term ITSELF regardless of whether it occurs in the graph,
+        so in-graph identity pairs alone under-report."""
+        return False
+
 
 def _base(ctx: Ctx) -> DataFrame:
     df = ctx.quads
@@ -111,6 +119,9 @@ class Inv(Path):
         d = self.p.pairs(ctx)
         return d.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
 
+    def matches_zero(self) -> bool:
+        return self.p.matches_zero()
+
 
 @dataclass
 class Seq(Path):
@@ -128,6 +139,9 @@ class Seq(Path):
             .distinct()
         )
 
+    def matches_zero(self) -> bool:
+        return self.a.matches_zero() and self.b.matches_zero()
+
 
 @dataclass
 class Alt(Path):
@@ -138,6 +152,9 @@ class Alt(Path):
 
     def pairs(self, ctx: Ctx) -> DataFrame:
         return self.a.pairs(ctx).unionByName(self.b.pairs(ctx)).distinct()
+
+    def matches_zero(self) -> bool:
+        return self.a.matches_zero() or self.b.matches_zero()
 
 
 @dataclass
@@ -199,6 +216,9 @@ class ZeroOrOne(Path):
 
     def pairs(self, ctx: Ctx) -> DataFrame:
         return self.p.pairs(ctx).unionByName(_identity_pairs(ctx)).distinct()
+
+    def matches_zero(self) -> bool:
+        return True
 
 
 class ClosureBudgetExceeded(RuntimeError):
@@ -326,6 +346,9 @@ class Plus(Path):
     def pairs(self, ctx: Ctx) -> DataFrame:
         return transitive_closure(self.p.pairs(ctx), self.max_iter)
 
+    def matches_zero(self) -> bool:
+        return self.p.matches_zero()
+
 
 @dataclass
 class Star(Path):
@@ -339,6 +362,9 @@ class Star(Path):
             _identity_pairs(ctx)
         ).distinct()
 
+    def matches_zero(self) -> bool:
+        return True
+
 
 @dataclass
 class PathPattern(Node):
@@ -351,20 +377,48 @@ class PathPattern(Node):
     def compile(self, ctx: Ctx) -> CompileOut:
         d = self.path.pairs(ctx)
         keyed = _graph_keyed(ctx)
+        if self.path.matches_zero() and not (
+            isinstance(self.s, Var) and isinstance(self.o, Var)
+        ):
+            # spec §18.4 ALP: a zero-length path from a GROUND term yields
+            # the term itself whether or not it occurs in the graph —
+            # in-graph identity pairs alone under-report (r5 fix, pinned
+            # by pp-graph-star-zero). Under GRAPH ?var the ground term
+            # matches in EVERY in-scope named graph.
+            gterm = term_lit(self.s if not isinstance(self.s, Var) else self.o)
+            if keyed:
+                extra = _base(ctx).select("graph").distinct().select(
+                    _packed(F.col("graph"), gterm).alias("src"),
+                    _packed(F.col("graph"), gterm).alias("dst"),
+                )
+            else:
+                extra = ctx.quads.sparkSession.range(1).select(
+                    gterm.alias("src"), gterm.alias("dst")
+                )
+            d = d.unionByName(extra).distinct()
         # packed mode: endpoints are struct(g, t) — unpack the term for
         # filters/bindings and bind ?g from the packing (both endpoints
         # carry the same g by construction)
         src_t = F.col("src.t") if keyed else F.col("src")
         dst_t = F.col("dst.t") if keyed else F.col("dst")
         out = {}
+        gname = ctx.graph.name if keyed else None
         if keyed:
-            out[ctx.graph.name] = t_iri(F.col("src.g"))
+            out[gname] = t_iri(F.col("src.g"))
         if isinstance(self.s, Var):
-            out[self.s.name] = src_t
+            if self.s.name == gname:
+                # GRAPH ?g { ?g path ?x }: the subject shares the graph
+                # variable — join-compatibility filter against the packed
+                # graph IRI, never overwrite the ?g binding
+                d = d.filter(src_t.eqNullSafe(t_iri(F.col("src.g"))))
+            else:
+                out[self.s.name] = src_t
         else:
             d = d.filter(src_t.eqNullSafe(term_lit(self.s)))
         if isinstance(self.o, Var):
-            if isinstance(self.s, Var) and self.o.name == self.s.name:
+            if self.o.name == gname:
+                d = d.filter(dst_t.eqNullSafe(t_iri(F.col("src.g"))))
+            elif isinstance(self.s, Var) and self.o.name == self.s.name:
                 d = d.filter(src_t.eqNullSafe(dst_t))
             else:
                 out[self.o.name] = dst_t
@@ -426,6 +480,9 @@ class Repeat(Path):
             frontier = compose(frontier, hop).localCheckpoint(eager=False)
             acc = acc.unionByName(frontier)
         return acc.distinct()
+
+    def matches_zero(self) -> bool:
+        return self.n == 0 or self.p.matches_zero()
 
 
 def transitive_reduction(edges: DataFrame, max_iter: int = 50) -> DataFrame:

@@ -1234,7 +1234,10 @@ def ks_drift(a: DataFrame, b: DataFrame, val_col: str) -> DataFrame:
     ).select(
         "n_a", "n_b",
         F.col("__p.d").cast("long").alias("d_ppm"),
-        F.col("__p.v").cast("long").alias("at_value"),
+        # empty-side guard: max_by's tiebreak still picks a row when every
+        # d is NULL, so gate at_value on d_ppm being defined (the
+        # docstring's "both NULL" contract — ADVICE r4)
+        F.when(F.col("__p.d").isNotNull(), F.col("__p.v")).cast("long").alias("at_value"),
     )
 
 

@@ -14487,8 +14487,6 @@ def q_owl_consistency(spark, sf):
             t(cu_iri, "urn:p:dislikes", F.concat(F.lit("urn:n:"), (k % 25).cast("string"))).alias("t")
         ),
     ]
-    nxt = cu.select((k + 1).alias("c_custkey2"))
-    chain = cu.join(nxt, k == F.col("c_custkey2") - 1 + 1, "inner")  # keep all; filter below
     # forward chain edges k -> k+1 (only where k+1 exists), reversed every 9th
     b = cu.select(F.col("c_custkey").alias("k2"))
     fwd = cu.join(b, k + 1 == F.col("k2"))

@@ -94,3 +94,13 @@ def test_ks_random_vs_mirror(spark):
         a = [rng.randrange(0, 40) for _ in range(rng.randint(3, 50))]
         b = [rng.randrange(0, 40) for _ in range(rng.randint(3, 50))]
         assert _ks_run(spark, a, b) == _ks_mirror(a, b)
+
+
+def test_ks_empty_side_both_null(spark):
+    """Empty-side contract (ADVICE r4): d_ppm AND at_value are NULL when
+    a side has no rows — max_by's value tiebreak must not leak the
+    minimum value into at_value."""
+    out = _ks_run(spark, [1, 2, 3], [])
+    assert out == (3, 0, None, None)
+    out = _ks_run(spark, [], [7, 8])
+    assert out == (0, 2, None, None)

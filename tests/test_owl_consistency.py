@@ -87,6 +87,56 @@ def test_prp_pdw_and_literal_objects_do_not_crash(spark):
     assert ("prp-pdw", "urn:x", "urn:p urn:q", "same") in got
 
 
+def _viol_terms(spark, rows):
+    """rows = (s_term, p_iri_str, o_term) with real Term objects."""
+    df = spark.createDataFrame(
+        [triple_row(s, Iri(p), o, graph="urn:g:t") for s, p, o in rows],
+        schema=TRIPLES_SCHEMA,
+    )
+    return {
+        (r["rule"], r["node"], r["detail_a"], r["detail_b"])
+        for r in owl_consistency(df).collect()
+    }
+
+
+def test_prp_pdw_literal_vs_iri_same_lex_no_clash(spark):
+    # ADVICE r4 (medium): x p "urn:n:5" vs x q <urn:n:5> — the lexical
+    # forms collide but the TERMS differ (literal vs IRI); no violation.
+    rows = [
+        (Iri("urn:p"), PROP_DISJOINT_WITH, Iri("urn:q")),
+        (Iri("urn:x"), "urn:p", Literal("urn:n:5")),
+        (Iri("urn:x"), "urn:q", Iri("urn:n:5")),
+    ]
+    assert _viol_terms(spark, rows) == set()
+
+
+def test_prp_pdw_literals_differing_only_in_dtype_or_lang_no_clash(spark):
+    xsd_int = "http://www.w3.org/2001/XMLSchema#integer"
+    rows = [
+        (Iri("urn:p"), PROP_DISJOINT_WITH, Iri("urn:q")),
+        (Iri("urn:x"), "urn:p", Literal("5", dtype=xsd_int)),
+        (Iri("urn:x"), "urn:q", Literal("5")),           # xsd:string vs xsd:integer
+        (Iri("urn:y"), "urn:p", Literal("a", lang="en")),
+        (Iri("urn:y"), "urn:q", Literal("a", lang="de")),  # lang differs
+        (Iri("urn:z"), "urn:p", Literal("b", lang="en")),
+        (Iri("urn:z"), "urn:q", Literal("b", lang="en")),  # identical -> clash
+    ]
+    assert _viol_terms(spark, rows) == {
+        ("prp-pdw", "urn:z", "urn:p urn:q", "b"),
+    }
+
+
+def test_prp_asyp_literal_object_matching_subject_lex_no_clash(spark):
+    # y p x where x's "reciprocal" object is a LITERAL with x's lexical
+    # form — not the IRI x, so no asymmetry violation.
+    rows = [
+        (Iri("urn:p"), RDF_TYPE, Iri(ASYMMETRIC)),
+        (Iri("urn:a"), "urn:p", Iri("urn:b")),
+        (Iri("urn:b"), "urn:p", Literal("urn:a")),
+    ]
+    assert _viol_terms(spark, rows) == set()
+
+
 def test_clean_store_empty_report(spark):
     rows = [
         ("urn:p", RDF_TYPE, ASYMMETRIC),
