@@ -3,11 +3,15 @@ for ONE real format (r3 VERDICT task 8: "de-stub one media codec").
 
 Implements the PNG spec (RFC 2083 / W3C PNG 1.2) with only stdlib zlib:
 chunk framing with CRC verification, IHDR/PLTE/tRNS/IDAT/IEND, all five
-scanline filters (None/Sub/Up/Average/Paeth), color types 0 (gray),
-2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA) at bit depth 8. Out of
-scope (raises PngError, callers fall back to the deterministic stub):
-interlaced (Adam7) images and bit depths other than 8 — the honest
-boundary of a from-scratch decoder, stated rather than silently wrong.
+scanline filters (None/Sub/Up/Average/Paeth), and the FULL non-interlaced
+bit-depth matrix (r5, VERDICT r4 task 7): color types 0 (gray: depths
+1/2/4/8/16), 2 (RGB: 8/16), 3 (palette: 1/2/4/8), 4 (gray+alpha: 8/16),
+6 (RGBA: 8/16) — filter offsets use the spec's ceil(bpp) byte distance,
+sub-byte rows unpack MSB-first, 16-bit samples normalize to 8-bit RGBA by
+their high byte (the spec's sample-depth scaling). Out of scope (raises
+PngError, callers fall back to the deterministic stub): interlaced
+(Adam7) images — the honest boundary of a from-scratch decoder, stated
+rather than silently wrong.
 
 The encoder writes filter-0 scanlines with a FIXED zlib strategy
 (level 6), so encode output is byte-deterministic — the property every
@@ -28,6 +32,15 @@ _MAGIC = b"\x89PNG\r\n\x1a\n"
 
 #: samples per pixel by color type
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+#: legal bit depths per color type (spec §11.2.2 IHDR table)
+_VALID_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
 
 
 class PngError(ValueError):
@@ -81,10 +94,12 @@ def png_decode(b: bytes):
                 raise PngError("unknown compression/filter method")
             if interlace != 0:
                 raise PngError("interlaced (Adam7) not supported")
-            if bit_depth != 8:
-                raise PngError(f"bit depth {bit_depth} not supported (8 only)")
             if color_type not in _CHANNELS:
                 raise PngError(f"color type {color_type} not supported")
+            if bit_depth not in _VALID_DEPTHS[color_type]:
+                raise PngError(
+                    f"bit depth {bit_depth} invalid for color type {color_type}"
+                )
         elif ctype == b"PLTE":
             if len(data) % 3:
                 raise PngError("PLTE length not a multiple of 3")
@@ -104,9 +119,38 @@ def png_decode(b: bytes):
         raise PngError(f"IDAT inflate failed: {e}") from None
 
     ch = _CHANNELS[color_type]
-    stride = width * ch
+    # spec §6.2: stride in BYTES = ceil(pixels·channels·depth / 8); the
+    # filter distance bpp is the per-pixel byte count rounded UP to 1
+    # (sub-byte depths filter with a 1-byte offset)
+    stride = (width * ch * bit_depth + 7) // 8
+    bpp = max(1, (ch * bit_depth) // 8)
     if len(raw) != (stride + 1) * height:
         raise PngError("IDAT size does not match dimensions")
+
+    def samples_of(line):
+        """Unfiltered scanline bytes → flat per-pixel sample list at the
+        source depth (16-bit big-endian pairs; sub-byte MSB-first)."""
+        n = width * ch
+        if bit_depth == 8:
+            return line
+        if bit_depth == 16:
+            return [(line[2 * i] << 8) | line[2 * i + 1] for i in range(n)]
+        mask = (1 << bit_depth) - 1
+        out = []
+        for i in range(n):
+            bitpos = i * bit_depth
+            shift = 8 - bit_depth - (bitpos & 7)
+            out.append((line[bitpos >> 3] >> shift) & mask)
+        return out
+
+    def to8(v):
+        """Sample-depth scaling to 8 bits (spec §13.12): high byte for 16,
+        max-value ratio for sub-byte depths."""
+        if bit_depth == 8:
+            return v
+        if bit_depth == 16:
+            return v >> 8
+        return (v * 255) // ((1 << bit_depth) - 1)
 
     # un-filter scanlines (spec §6): each row is 1 filter byte + samples
     prev = bytearray(stride)
@@ -117,39 +161,40 @@ def png_decode(b: bytes):
         line = bytearray(raw[pos + 1 : pos + 1 + stride])
         pos += 1 + stride
         if ftype == 1:  # Sub
-            for i in range(ch, stride):
-                line[i] = (line[i] + line[i - ch]) & 0xFF
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
         elif ftype == 2:  # Up
             for i in range(stride):
                 line[i] = (line[i] + prev[i]) & 0xFF
         elif ftype == 3:  # Average
             for i in range(stride):
-                a = line[i - ch] if i >= ch else 0
+                a = line[i - bpp] if i >= bpp else 0
                 line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
         elif ftype == 4:  # Paeth
             for i in range(stride):
-                a = line[i - ch] if i >= ch else 0
-                c = prev[i - ch] if i >= ch else 0
+                a = line[i - bpp] if i >= bpp else 0
+                c = prev[i - bpp] if i >= bpp else 0
                 line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
         elif ftype != 0:
             raise PngError(f"unknown filter type {ftype}")
         prev = line
+        sm = samples_of(line)
 
         # normalize to RGBA
         row = []
         if color_type == 0:
             for x in range(width):
-                v = line[x]
+                v = to8(sm[x])
                 row.append((v, v, v, 255))
         elif color_type == 2:
             for x in range(width):
-                r, g, bl = line[3 * x : 3 * x + 3]
-                row.append((r, g, bl, 255))
+                r, g, bl = sm[3 * x : 3 * x + 3]
+                row.append((to8(r), to8(g), to8(bl), 255))
         elif color_type == 3:
             if not palette:
                 raise PngError("palette image without PLTE")
             for x in range(width):
-                idx = line[x]
+                idx = sm[x]  # palette indexes are NOT depth-scaled
                 if idx >= len(palette):
                     raise PngError("palette index out of range")
                 r, g, bl = palette[idx]
@@ -157,19 +202,23 @@ def png_decode(b: bytes):
                 row.append((r, g, bl, a))
         elif color_type == 4:
             for x in range(width):
-                v, a = line[2 * x : 2 * x + 2]
-                row.append((v, v, v, a))
+                v, a = sm[2 * x : 2 * x + 2]
+                row.append((to8(v), to8(v), to8(v), to8(a)))
         else:  # 6
             for x in range(width):
-                r, g, bl, a = line[4 * x : 4 * x + 4]
-                row.append((r, g, bl, a))
+                r, g, bl, a = sm[4 * x : 4 * x + 4]
+                row.append((to8(r), to8(g), to8(bl), to8(a)))
         out_rows.append(row)
     return width, height, out_rows
 
 
-def png_encode(rows) -> bytes:
-    """RGBA rows → PNG bytes (color type 6, bit depth 8, filter 0,
-    zlib level 6) — byte-deterministic for a given pixel grid."""
+def png_encode(rows, bit_depth: int = 8) -> bytes:
+    """RGBA rows → PNG bytes (color type 6, bit depth 8 or 16, filter 0,
+    zlib level 6) — byte-deterministic for a given pixel grid. At depth
+    16 the row values are 16-bit samples written big-endian (spec §7.1);
+    at depth 8 they are the usual 0-255 bytes."""
+    if bit_depth not in (8, 16):
+        raise PngError(f"encoder supports bit depth 8 or 16, not {bit_depth}")
     height = len(rows)
     if height == 0 or len(rows[0]) == 0:
         raise PngError("cannot encode empty image")
@@ -180,7 +229,10 @@ def png_encode(rows) -> bytes:
             raise PngError("ragged pixel rows")
         raw.append(0)  # filter: None
         for (r, g, b, a) in row:
-            raw += bytes((r & 0xFF, g & 0xFF, b & 0xFF, a & 0xFF))
+            if bit_depth == 8:
+                raw += bytes((r & 0xFF, g & 0xFF, b & 0xFF, a & 0xFF))
+            else:
+                raw += struct.pack(">HHHH", r & 0xFFFF, g & 0xFFFF, b & 0xFFFF, a & 0xFFFF)
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (
@@ -190,7 +242,7 @@ def png_encode(rows) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 6, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, 6, 0, 0, 0)
     idat = zlib.compress(bytes(raw), 6)
     return _MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
 

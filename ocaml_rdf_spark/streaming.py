@@ -92,6 +92,8 @@ def stream_sessionize(
     spark: SparkSession,
     input_dir: str,
     gap_minutes: int = 30,
+    max_files_per_batch: Optional[int] = None,
+    flush_timeout: bool = True,
 ) -> DataFrame:
     """Custom stateful streaming operator: gap-based sessionization via
     `applyInPandasWithState` (the Arrow-batched stateful escape hatch the
@@ -171,15 +173,28 @@ def stream_sessionize(
             )
         row = g.loc[last_sid]
         state.update((last_sid, int(row["min"]), int(row["max"]), int(row["count"])))
-        state.setTimeoutDuration(gap_us // 1000)
+        if flush_timeout:
+            state.setTimeoutDuration(gap_us // 1000)
 
-    ev = spark.readStream.schema(_EVENTS_SCHEMA()).parquet(input_dir)
+    reader = spark.readStream.schema(_EVENTS_SCHEMA())
+    if max_files_per_batch is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_batch)
+    ev = reader.parquet(input_dir)
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     # append output mode: every emitted row is a FINALIZED session (closed
-    # by a later event or by timeout), so file sinks compose directly
+    # by a later event or by timeout), so file sinks compose directly.
+    # flush_timeout=False drops the processing-time timer: open sessions
+    # then stay in state forever instead of flushing after the gap —
+    # REQUIRED for bounded drains (trigger availableNow keeps scheduling
+    # empty micro-batches until every registered timer has fired, so a
+    # 30-minute gap pins the drain for 30 minutes; a drain only observes
+    # closed sessions either way).
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout if flush_timeout else GroupStateTimeout.NoTimeout
+    )
     return ev.groupBy("user_id").applyInPandasWithState(
-        fn, out_schema, state_schema, "append", GroupStateTimeout.ProcessingTimeTimeout
+        fn, out_schema, state_schema, "append", timeout_conf
     )
 
 
@@ -621,6 +636,7 @@ def stream_attribute_clicks(
     input_dir: str,
     horizon_minutes: int = 30,
     watermark: str = "2 hours",
+    max_files_per_batch: Optional[int] = None,
 ) -> DataFrame:
     """Watermarked STREAM-STREAM self-join — the attribution shape: every
     (view impression, click) pair for the same user with the click inside
@@ -642,7 +658,10 @@ def stream_attribute_clicks(
     portable exactness rule."""
     from pyspark.sql import functions as F
 
-    ev = spark.readStream.schema(_EVENTS_SCHEMA()).parquet(input_dir)
+    reader = spark.readStream.schema(_EVENTS_SCHEMA())
+    if max_files_per_batch is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_batch)
+    ev = reader.parquet(input_dir)
     imp = (
         ev.filter(F.col("event_type") == "view")
         .select(

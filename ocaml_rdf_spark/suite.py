@@ -14614,3 +14614,216 @@ FROM nation
 """
 
 QUERIES["media_wav_real"] = (q_media_wav_real, SQL_MEDIA_WAV_REAL)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 batch A: unigram Viterbi driver registration + two more
+# streaming-parity anchors (VERDICT r4 tasks 3 and 9).
+
+
+def q_unigram_encode(spark, sf):
+    """Viterbi encode under a unigram LM trained on the same corpus
+    (textops.unigram_train → textops.unigram_encode): the SentencePiece
+    round-trip — train the piece table, then segment every document into
+    its max-probability piece sequence. Rows-only BY DESIGN (VERDICT r4
+    "what's wrong" #1): the backpointer DP has no tractable SQL form;
+    value correctness is pinned by tests/test_unigram.py (tie-breaks,
+    <unk> coverage, differential fuzz of the train side) — this entry
+    exists so the driver EXECUTES the encode path end-to-end."""
+    from .operators.textops import unigram_encode, unigram_train
+
+    docs = _docs(spark, sf)
+    pieces = unigram_train(
+        docs, vocab_size=48, seed_size=256, max_piece_len=4, n_em_rounds=2
+    ).select("piece", "logprob_ppm")
+    return unigram_encode(docs, pieces)
+
+
+QUERIES["unigram_encode"] = (q_unigram_encode, None)
+
+
+def _stream_spool_ordered(spark, df, prefix, order_cols, n_files=8):
+    """Write a DataFrame as n_files single-file parquet slices that are
+    CONTIGUOUS in `order_cols` order, with strictly increasing mtimes, so
+    the file-source stream's micro-batches replay the data in event-time
+    order — the arrival contract a sessionizing stream assumes. Driver
+    scratch only (bounded: sf-test-sized inputs); production streams read
+    the arriving table in place, where arrival order IS event order."""
+    import os
+    import tempfile
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = tempfile.mkdtemp(prefix=f"ords_{prefix}_")
+    pdf = df.orderBy(*order_cols).toPandas()
+    n = len(pdf)
+    t0 = time.time()
+    for i in range(n_files):
+        lo, hi = i * n // n_files, (i + 1) * n // n_files
+        fp = os.path.join(path, f"{i:04d}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(pdf.iloc[lo:hi], preserve_index=False), fp,
+            coerce_timestamps="us", allow_truncated_timestamps=True,
+        )
+        os.utime(fp, (t0 + i, t0 + i))  # pin listing order = slice order
+    return path
+
+
+def q_stream_sessionize(spark, sf):
+    """Streaming gap-sessionization driver anchor (r4 anchor recipe —
+    streaming.stream_sessionize, the applyInPandasWithState operator):
+    events spooled as 8 time-ordered slices, drained availableNow with
+    maxFilesPerTrigger=2 → 4 micro-batches, so per-user open-session
+    state genuinely carries ACROSS batches (extend / close / carry-in
+    merge all exercised). The drain emits exactly the CLOSED sessions —
+    each user's final session stays in state awaiting the
+    processing-time timeout — so the oracle is the batch gap-session
+    aggregate MINUS each user's last session."""
+    import uuid
+
+    from .streaming import stream_sessionize
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    path = _stream_spool_ordered(spark, ev, "ssess", ["ts", "event_id"])
+    sink = f"ords_stream_sess_{uuid.uuid4().hex}"
+    sdf = stream_sessionize(
+        spark, path, gap_minutes=30, max_files_per_batch=2, flush_timeout=False
+    )
+    # state-store partition count is fixed at stream start from
+    # spark.sql.shuffle.partitions; 150 users don't need 32 state
+    # partitions × 4 micro-batches of Python worker round-trips, so
+    # scope it down for the drain (production sizes this to the cluster)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(sink).select(
+        "user_id", "session_idx", "start_us", "end_us", "n_events"
+    )
+
+
+SQL_STREAM_SESSIONIZE = """
+WITH o AS (
+  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, us,
+         SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+),
+agg AS (
+  SELECT user_id, CAST(sid AS BIGINT) AS session_idx,
+         CAST(MIN(us) AS BIGINT) AS start_us, CAST(MAX(us) AS BIGINT) AS end_us,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM s GROUP BY user_id, sid
+),
+last AS (SELECT user_id, MAX(session_idx) AS li FROM agg GROUP BY user_id)
+SELECT a.user_id, a.session_idx, a.start_us, a.end_us, a.n_events
+FROM agg a JOIN last l ON a.user_id = l.user_id AND a.session_idx <> l.li
+"""
+
+QUERIES["stream_sessionize"] = (q_stream_sessionize, SQL_STREAM_SESSIONIZE)
+
+
+def q_stream_attr_clicks(spark, sf):
+    """Watermarked stream-stream attribution join driver anchor
+    (streaming.stream_attribute_clicks): every (view, click) pair for
+    the same user with the click inside [view_ts, view_ts+30min),
+    drained availableNow across 4 micro-batches — cross-batch pairs
+    (an impression in batch 1 matching a click in batch 3) only exist
+    because BOTH sides' state stores carry forward. Inner-join matches
+    emit as they arrive, so the drain equals the batch join exactly.
+    The spool is randomly partitioned (order-free is the point here);
+    the anchor watermark is set beyond the fixture's time span so NO
+    state is evicted mid-drain — production uses the real horizon+delay
+    watermark, which is what bounds state at 100 TB/day."""
+    import uuid
+
+    from .streaming import stream_attribute_clicks
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    path = _stream_spool(spark, ev, "sattr")
+    sink = f"ords_stream_attr_{uuid.uuid4().hex}"
+    sdf = stream_attribute_clicks(
+        spark, path, horizon_minutes=30, watermark="3650 days", max_files_per_batch=2
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink).select("user_id", "imp_id", "click_id", "gap_us")
+
+
+SQL_STREAM_ATTR_CLICKS = """
+SELECT i.user_id, i.event_id AS imp_id, c.event_id AS click_id,
+       CAST(epoch_us(c.ts) - epoch_us(i.ts) AS BIGINT) AS gap_us
+FROM events i
+JOIN events c
+  ON c.user_id = i.user_id
+ AND c.ts >= i.ts
+ AND c.ts < i.ts + INTERVAL 30 MINUTE
+WHERE i.event_type = 'view' AND c.event_type = 'click'
+"""
+
+QUERIES["stream_attr_clicks"] = (q_stream_attr_clicks, SQL_STREAM_ATTR_CLICKS)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 window rotation (VERDICT r4 task 1): replace all 50 driver-
+# confirmed r4 entries with 50 never-driver-checked queries — the
+# family-balanced list from BENCH/R4_NOTES.md (graph analytics, ER/dedup,
+# inference/KG, curation/stats, web sources, the two real codecs) plus
+# this round's three new entries (the two streaming anchors and the
+# rows-only unigram Viterbi registration). Policy unchanged (comment at
+# the original DRIVER_WINDOW): edits land together with the
+# WINDOW_MANIFEST copy in tests/test_suite_registry.py.
+
+DRIVER_WINDOW[:] = [
+    # graph analytics
+    "betweenness", "ktruss", "tri_support", "katz", "hits", "closeness",
+    "harmonic", "graph_ecc", "eff_diameter", "conductance", "modularity",
+    "sssp",
+    # ER / dedup
+    "containment", "incr_dedup", "dup_extents", "cdc_chunks", "metablocking",
+    "snm_pairs", "blocking_eval", "er_metrics", "er_bcubed", "dawid_skene",
+    # inference / KG maintenance
+    "rdfs_delta", "owl_consistency", "owl_chain", "same_as_keys",
+    "shacl_sparql", "shacl_closed", "skos_audit", "type_infer", "trans_reduce",
+    # curation / stats
+    "dp_counts", "privacy_k_anon", "calibration", "auc", "benford",
+    "changepoint", "winsorize", "ks_drift",
+    # web sources
+    "meta_triples", "boilerplate", "template_strip", "sitemap_parse",
+    "robots", "redirects",
+    # real media codecs (r4 additions, never driver-checked)
+    "media_png_real", "media_wav_real",
+    # new r5 entries
+    "stream_sessionize", "stream_attr_clicks", "unigram_encode",
+]
+
+assert len(DRIVER_WINDOW) == 50 and len(set(DRIVER_WINDOW)) == 50
+# every window entry except the justified rows-only Viterbi has an oracle
+assert all(QUERIES[n][1] is not None for n in DRIVER_WINDOW if n != "unigram_encode")
+_rest = [n for n in QUERIES if n not in set(DRIVER_WINDOW)]
+QUERIES = {n: QUERIES[n] for n in [*DRIVER_WINDOW, *_rest]}

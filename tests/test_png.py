@@ -130,8 +130,14 @@ def test_rejections():
     doc = MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", zlib.compress(bytes([0, 1]))) + _chunk(b"IEND", b"")
     with pytest.raises(PngError, match="interlaced"):
         png_decode(doc)
+    # illegal depth/color-type combos (spec §11.2.2): 16-bit palette,
+    # sub-byte RGB/RGBA
     with pytest.raises(PngError, match="bit depth"):
-        png_decode(_png(1, 1, 16, 0, bytes([0, 1, 1])))
+        png_decode(_png(1, 1, 16, 3, bytes([0, 0, 0])))
+    with pytest.raises(PngError, match="bit depth"):
+        png_decode(_png(1, 1, 4, 2, bytes([0, 1, 1])))
+    with pytest.raises(PngError, match="bit depth"):
+        png_decode(_png(1, 1, 2, 6, bytes([0, 1])))
     # IDAT size mismatch (lying IHDR)
     with pytest.raises(PngError, match="does not match"):
         png_decode(_png(3, 3, 8, 0, bytes([0, 1])))
@@ -159,3 +165,85 @@ def test_media_operators_take_real_png_path(spark):
     feats = {r["media_id"]: list(r["feature"]) for r in media_features(df).collect()}
     assert sum(feats["png1"]) == pytest.approx(1.0)  # histogram normalizes
     assert min(feats["txt1"]) >= -1.0 and any(v < 0 for v in feats["txt1"])  # stub range
+
+
+# --- r5: full non-interlaced bit-depth matrix ------------------------------
+
+def test_gray16_hand_built_with_filters():
+    # 2x2 gray 16-bit (stride 4, bpp 2). Row 0 None: samples 0x0102,
+    # 0xFF00. Row 1 Sub with bpp=2: stored bytes (1,2, 1,0); Sub adds
+    # line[i-2], so recon bytes are (1,2, 2,2) = samples 0x0102, 0x0202.
+    raw = bytes([0, 0x01, 0x02, 0xFF, 0x00]) + bytes([1, 0x01, 0x02, 0x01, 0x00])
+    w, h, rows = png_decode(_png(2, 2, 16, 0, raw))
+    assert (w, h) == (2, 2)
+    # to8 = high byte
+    assert [p[0] for p in rows[0]] == [0x01, 0xFF]
+    assert [p[0] for p in rows[1]] == [0x01, 0x02]  # 0x0102, 0x0202
+    assert all(p[3] == 255 for r in rows for p in r)
+
+
+def test_rgba16_sub_filter_uses_8_byte_offset():
+    # 2-pixel RGBA16 row, Sub filter: bpp = 8 bytes. Pixel 0 stored
+    # literally; pixel 1 stored as per-byte delta vs pixel 0. A decoder
+    # wrongly using ch=4 as the offset would mix channels.
+    p0 = struct.pack(">HHHH", 0x1000, 0x2000, 0x3000, 0xFFFF)
+    delta = bytes([0x01, 0x00, 0x02, 0x00, 0x03, 0x00, 0x00, 0x00])
+    raw = bytes([1]) + p0 + delta
+    w, h, rows = png_decode(_png(2, 1, 16, 6, raw))
+    assert rows[0][0] == (0x10, 0x20, 0x30, 0xFF)
+    assert rows[0][1] == (0x11, 0x22, 0x33, 0xFF)
+
+
+def test_encode16_roundtrip_high_byte():
+    rows = [
+        [(0x0000, 0x8081, 0xFFFF, 0xFFFF), (0x1234, 0x5678, 0x9ABC, 0xDEF0)],
+        [(0x0101, 0x0202, 0x0303, 0x0404), (0xAAAA, 0xBBBB, 0xCCCC, 0xDDDD)],
+    ]
+    w, h, got = png_decode(png_encode(rows, bit_depth=16))
+    assert (w, h) == (2, 2)
+    want = [[tuple(v >> 8 for v in p) for p in r] for r in rows]
+    assert got == want
+
+
+def test_gray_subbyte_depths_scale_to_255():
+    # 1-bit: 8 pixels packed MSB-first into one byte. 0b10110001
+    raw = bytes([0, 0b10110001])
+    _w, _h, rows = png_decode(_png(8, 1, 1, 0, raw))
+    assert [p[0] for p in rows[0]] == [255, 0, 255, 255, 0, 0, 0, 255]
+    # 2-bit: values 0..3 scale to 0,85,170,255; 4 pixels per byte
+    raw = bytes([0, 0b00011011])  # 0,1,2,3
+    _w, _h, rows = png_decode(_png(4, 1, 2, 0, raw))
+    assert [p[0] for p in rows[0]] == [0, 85, 170, 255]
+    # 4-bit: 0xF -> 255, 0x8 -> 136 (8*255//15)
+    raw = bytes([0, 0xF8])
+    _w, _h, rows = png_decode(_png(2, 1, 4, 0, raw))
+    assert [p[0] for p in rows[0]] == [255, 136]
+
+
+def test_gray_subbyte_stride_rounds_up():
+    # width 3 at 2 bits = 6 bits -> 1 byte stride; trailing bits ignored
+    raw = bytes([0, 0b01_10_11_00])
+    _w, _h, rows = png_decode(_png(3, 1, 2, 0, raw))
+    assert [p[0] for p in rows[0]] == [85, 170, 255]
+
+
+def test_palette_subbyte_indices_not_scaled():
+    plte = _chunk(b"PLTE", bytes([10, 11, 12,  20, 21, 22,  30, 31, 32,  40, 41, 42]))
+    # 2-bit indices 3,0,2,1 — indices index the palette directly
+    raw = bytes([0, 0b11_00_10_01])
+    _w, _h, rows = png_decode(_png(4, 1, 2, 3, raw, extra=plte))
+    assert [p[:3] for p in rows[0]] == [(40, 41, 42), (10, 11, 12), (30, 31, 32), (20, 21, 22)]
+
+
+def test_gray_alpha16_and_rgb16():
+    # gray+alpha 16-bit, 1 pixel: v=0xABCD a=0x00FF -> (0xAB,…,0x00)
+    raw = bytes([0]) + struct.pack(">HH", 0xABCD, 0x00FF)
+    _w, _h, rows = png_decode(_png(1, 1, 16, 4, raw))
+    assert rows[0][0] == (0xAB, 0xAB, 0xAB, 0x00)
+    # RGB 16-bit Up filter across two rows
+    r0 = struct.pack(">HHH", 0x0100, 0x0200, 0x0300)
+    up = bytes([0x01, 0x00, 0x01, 0x00, 0x01, 0x00])
+    raw = bytes([0]) + r0 + bytes([2]) + up
+    _w, _h, rows = png_decode(_png(1, 2, 16, 2, raw))
+    assert rows[0][0] == (0x01, 0x02, 0x03, 255)
+    assert rows[1][0] == (0x02, 0x03, 0x04, 255)

@@ -112,7 +112,7 @@ def test_stream_sessionize_matches_batch_closed_sessions(spark, tmp_path):
     src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     src.coalesce(1).write.parquet(inp)
 
-    sdf = stream_sessionize(spark, inp, gap_minutes=30)
+    sdf = stream_sessionize(spark, inp, gap_minutes=30, flush_timeout=False)
     q = (
         sdf.writeStream.format("parquet")
         .option("path", out)

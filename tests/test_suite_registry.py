@@ -12,24 +12,23 @@ from __future__ import annotations
 from ocaml_rdf_spark.suite import DRIVER_WINDOW, QUERIES
 
 # checked-in copy — must be edited DELIBERATELY, together with suite.py
-# (r4 rotation: all 50 r3-confirmed entries replaced with never-driver-
-# checked oracled queries + the three new streaming-parity anchors)
+# (r5 rotation: all 50 r4-confirmed entries replaced with never-driver-
+# checked queries from the BENCH/R4_NOTES.md family-balanced list + the
+# two new streaming anchors + the rows-only unigram_encode registration)
 WINDOW_MANIFEST = [
-    "pagerank", "triangles", "kcore", "bfs_dist", "label_prop", "scc_cycles",
-    "louvain", "hyperball",
-    "hll_sketch", "hll_estimate", "cms_sketch", "kmv_users",
-    "exact_quantiles", "heavy_hitters",
-    "rdfs_closure", "owl_rl", "shacl_report",
-    "decontaminate", "span_dedup", "pack_offsets", "lm_score", "line_dedup",
-    "quality_rules", "pii_scrub", "semdedup", "kmeans", "best_keeper",
-    "kg_negs", "dsir",
-    "bm25_rank", "postings", "rrf",
-    "url_canon", "url_dedup", "asof_attribution", "range_prior_activity",
-    "merge_upsert", "graph_diff",
-    "rdfstar_prov", "sparql_text_service", "sparql_text_lateral",
-    "path_repeat", "dict_terms", "dict_bgp",
-    "warc_roundtrip", "mf2_triples", "table_triples",
-    "stream_hll", "stream_cms", "stream_dedup",
+    "betweenness", "ktruss", "tri_support", "katz", "hits", "closeness",
+    "harmonic", "graph_ecc", "eff_diameter", "conductance", "modularity",
+    "sssp",
+    "containment", "incr_dedup", "dup_extents", "cdc_chunks", "metablocking",
+    "snm_pairs", "blocking_eval", "er_metrics", "er_bcubed", "dawid_skene",
+    "rdfs_delta", "owl_consistency", "owl_chain", "same_as_keys",
+    "shacl_sparql", "shacl_closed", "skos_audit", "type_infer", "trans_reduce",
+    "dp_counts", "privacy_k_anon", "calibration", "auc", "benford",
+    "changepoint", "winsorize", "ks_drift",
+    "meta_triples", "boilerplate", "template_strip", "sitemap_parse",
+    "robots", "redirects",
+    "media_png_real", "media_wav_real",
+    "stream_sessionize", "stream_attr_clicks", "unigram_encode",
 ]
 
 
@@ -47,6 +46,8 @@ def test_registry_is_complete():
         "compression_quality",  # zlib has no SQL form; direct-zlib differential
         "unigram_train",  # EM over a segmentation lattice has no SQL form;
                           # differential-fuzzed vs an independent mirror
+        "unigram_encode",  # Viterbi backpointer DP has no SQL form; pinned
+                           # by tests/test_unigram.py (r5, VERDICT r4 #1)
     }
     for name, (fn, _sql) in QUERIES.items():
         assert callable(fn), name
