@@ -41,6 +41,20 @@ DOMAIN = RDFS_NS + "domain"
 RANGE = RDFS_NS + "range"
 
 
+def _ckpt(df: DataFrame) -> DataFrame:
+    """Multi-consumer materialization point. ORDS_RDFS_CKPT picks the
+    strategy — 'lazy' (default: localCheckpoint(eager=False), lineage cut
+    + single computation of a frame read by several consumers), 'eager',
+    or 'none' (recompute per consumer) — the knob behind the r5 bench
+    experiment on rdfs_delta's barrier cost (BENCH/R5_NOTES.md)."""
+    import os
+
+    mode = os.environ.get("ORDS_RDFS_CKPT", "lazy")
+    if mode == "none":
+        return df
+    return df.localCheckpoint(eager=(mode == "eager"))
+
+
 def _schema_edges(triples: DataFrame, pred: str) -> DataFrame:
     return (
         triples.filter((F.col("pred") == pred) & (F.col("s_kind") == 0) & (F.col("o_kind") == 0))
@@ -96,7 +110,7 @@ def _infer_stmts(inst: DataFrame, cls: DataFrame, prp: DataFrame,
     # three consumers read stmts (dom/rng/base_types); checkpoint so the
     # scan+broadcast-join subtree runs once, not once per consumer — the
     # recompute showed up as ~500 tiny map tasks in the final dedup stage
-    stmts = inst.unionByName(expanded).localCheckpoint(eager=False)
+    stmts = inst.unionByName(expanded).transform(_ckpt)
 
     # rdfs2 / rdfs3: domain and range over the expanded statements
     dom_types = stmts.join(
@@ -110,7 +124,7 @@ def _infer_stmts(inst: DataFrame, cls: DataFrame, prp: DataFrame,
     base_types = stmts.filter(F.col("pred") == RDF_TYPE).select(
         "s_kind", "s_lex", F.col("o_lex").alias("cls")
     )
-    all_types = base_types.unionByName(dom_types).unionByName(rng_types).localCheckpoint(eager=False)
+    all_types = base_types.unionByName(dom_types).unionByName(rng_types).transform(_ckpt)
 
     # rdfs9: inherit through the closed subclass relation
     inherited = all_types.join(
@@ -239,9 +253,9 @@ def rdfs_closure_delta(
     dom = _schema_edges(base, DOMAIN)
     rng = _schema_edges(base, RANGE)
 
-    del5 = delete.select(*key5).distinct().localCheckpoint(eager=False)
-    add5 = add.select(*key5).distinct().localCheckpoint(eager=False)
-    remaining = base.select(*key5).distinct().join(del5, key5, "left_anti").localCheckpoint(eager=False)
+    del5 = delete.select(*key5).distinct().transform(_ckpt)
+    add5 = add.select(*key5).distinct().transform(_ckpt)
+    remaining = base.select(*key5).distinct().join(del5, key5, "left_anti").transform(_ckpt)
 
     # over-delete candidates: the deleted statements themselves (they may
     # be re-derivable, and were suppressed from old_inferred as asserted)
@@ -255,7 +269,7 @@ def rdfs_closure_delta(
         )
         .unionByName(_infer_stmts(del5, cls, prp, dom, rng))
         .dropDuplicates(key5)
-        .localCheckpoint(eager=False)
+        .transform(_ckpt)
     )
 
     # rederive: every derivation of a candidate consumes one remaining

@@ -14827,3 +14827,51 @@ assert len(DRIVER_WINDOW) == 50 and len(set(DRIVER_WINDOW)) == 50
 assert all(QUERIES[n][1] is not None for n in DRIVER_WINDOW if n != "unigram_encode")
 _rest = [n for n in QUERIES if n not in set(DRIVER_WINDOW)]
 QUERIES = {n: QUERIES[n] for n in [*DRIVER_WINDOW, *_rest]}
+
+
+def q_media_png16_real(spark, sf):
+    """REAL 16-bit PNG decode through the media operator (r5 — the
+    bit-depth-matrix extension of operators/png.py): one constant-color
+    16-bit RGBA image per nation, gray level g16 = v<<8 | (k & 0xFF)
+    with v = (997·k + 31) % 256. Dimensions prove the 16-bit stride/
+    filter path (a decoder mishandling 2-byte samples raises and falls
+    to the stub's hash dims); the histogram's hot bin proves the
+    SAMPLE VALUES — the BT.601 luma of gray v is v, so the single
+    occupied bin is v div 16, closed-form in the key."""
+    from .operators.media import media_features, media_metadata
+    from .operators.png import png_encode
+
+    rows = []
+    for r in spark.read.parquet(f"{sf}/nation.parquet").collect():  # 25 rows
+        k = int(r["n_nationkey"])
+        w, h = 3 + k % 5, 2 + k % 4
+        v = (997 * k + 31) % 256
+        g16 = (v << 8) | (k & 0xFF)
+        px = [[(g16, g16, g16, 0xFFFF) for _x in range(w)] for _y in range(h)]
+        rows.append((f"png16:{k}", bytearray(png_encode(px, bit_depth=16))))
+    df = spark.createDataFrame(rows, "media_id string, content binary")
+    meta = media_metadata(df).select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+    )
+    hot = media_features(df).select(
+        "media_id",
+        (F.expr("array_position(feature, array_max(feature))") - 1)
+        .cast("long")
+        .alias("hot_bin"),
+        F.expr("CAST(array_max(feature) AS DOUBLE)").alias("hot_val"),
+    )
+    return meta.join(hot, "media_id")
+
+
+SQL_MEDIA_PNG16_REAL = """
+SELECT 'png16:' || n_nationkey AS media_id,
+       CAST(3 + n_nationkey % 5 AS BIGINT) AS width,
+       CAST(2 + n_nationkey % 4 AS BIGINT) AS height,
+       CAST(((997 * n_nationkey + 31) % 256) // 16 AS BIGINT) AS hot_bin,
+       CAST(1.0 AS DOUBLE) AS hot_val
+FROM nation
+"""
+
+QUERIES["media_png16_real"] = (q_media_png16_real, SQL_MEDIA_PNG16_REAL)
