@@ -493,7 +493,15 @@ class Minus(Node):
         ldf, lc, lm = self.left.compile(ctx)
         rdf, rc, rm = self.right.compile(ctx)
         shared = (lc | lm) & (rc | rm)
-        if not shared:
+        # GRAPH ?g { A MINUS B }: per the §18.2.2.2 translation the MINUS
+        # is evaluated PER GRAPH with ?g not yet in scope — this engine
+        # instead threads ?g through both sides' scans, which is exactly
+        # the per-graph restriction when another var is shared, but must
+        # NOT count toward §18.5's domain-overlap test on its own (r5 fix,
+        # pinned by graph-minus-unshared)
+        gname = ctx.graph.name if isinstance(ctx.graph, Var) else None
+        effective = shared - {gname}
+        if not effective:
             return ldf, lc, lm  # disjoint domains: remove nothing
         L, R = ldf.alias("l"), rdf.alias("r")
         # Fast path: vars certainly bound on BOTH sides compile to plain
@@ -504,14 +512,15 @@ class Minus(Node):
         # along as a post-join filter on the hash join.
         certain = shared & lc & rc
         compat = F.lit(True)
-        overlap = F.lit(True) if certain else F.lit(False)
+        overlap = F.lit(True) if (certain & effective) else F.lit(False)
         for v in sorted(shared):
             lv, rv = F.col(f"l.{v}"), F.col(f"r.{v}")
             if v in certain:
                 compat = compat & lv.eqNullSafe(rv)  # hash-joinable key
             else:
                 compat = compat & (lv.eqNullSafe(rv) | lv.isNull() | rv.isNull())
-                overlap = overlap | (lv.isNotNull() & rv.isNotNull())
+                if v != gname:  # ?g never contributes domain overlap
+                    overlap = overlap | (lv.isNotNull() & rv.isNotNull())
         df = L.join(R, compat & overlap, "left_anti")
         return df, lc, lm
 
@@ -1363,11 +1372,38 @@ class Lateral(Node):
 
     def compile(self, ctx: Ctx) -> CompileOut:
         lout = self.left.compile(ctx)
-        if not isinstance(self.right, Slice):
-            return _merge_join(lout, self.right.compile(ctx), "inner")
         lvars = lout[1] | lout[2]
-        rout = self._rebuild(self.right, ctx, lvars)
+        if isinstance(self.right, Slice):
+            rout = self._rebuild(self.right, ctx, lvars)
+        else:
+            rout = self._correlate(self.right, lvars).compile(ctx)
         return _merge_join(lout, rout, "inner")
+
+    # -- correlated sub-SELECT rebuild (no Slice) ---------------------------
+    def _correlate(self, n: Node, lvars: frozenset) -> Node:
+        """A sub-SELECT inside LATERAL sees the OUTER bindings (SEP-0006
+        substitution), even for vars it doesn't project: Group collapses
+        PER correlated-var value (the standard aggregate decorrelation —
+        outer vars become extra group keys), and Project keeps the
+        correlated vars visible so the outer hash join restricts
+        per-binding (r5 fix, pinned by lateral-agg). Walking the child
+        spine covers every sub-SELECT shape (Project/Extend/Distinct/
+        OrderBy/Filter wrappers); patterns without a projection already
+        retain their vars, so LATERAL ≡ Join there, unchanged."""
+        import dataclasses
+
+        from .sparql import _in_scope_vars
+
+        if isinstance(n, Project):
+            child = self._correlate(n.child, lvars)
+            extra = sorted((_in_scope_vars(child) & lvars) - set(n.vars))
+            return dataclasses.replace(n, child=child, vars=list(n.vars) + extra)
+        if isinstance(n, Group):
+            extra = sorted((_in_scope_vars(n.child) & lvars) - set(n.by))
+            return dataclasses.replace(n, by=list(n.by) + extra)
+        if hasattr(n, "child") and isinstance(getattr(n, "child", None), Node):
+            return dataclasses.replace(n, child=self._correlate(n.child, lvars))
+        return n
 
     # -- correlated-slice rebuild -------------------------------------------
     def _rebuild(self, n: Node, ctx: Ctx, lvars: frozenset) -> CompileOut:

@@ -20,8 +20,21 @@ scale-study therefore runs grid_dbscan at CONSTANT density (area scaled
 geography actually looks like -- and records the fixed-area variant's
 quadratic shape as a documented property.
 
+r5 extension (VERDICT r4 task 6): the dedup/ER family gets the same
+measured 10x point — dedup_minhash / dedup_clusters / span_dedup /
+semdedup / incr_dedup over synthesized 10x documents/embeddings. The
+synthesis rule matters: replicating text VERBATIM would make every doc a
+10-way cross-replica near-dup (pair output ~45x, an output-bound
+quadratic like fixed-area DBSCAN, not a plan property). A real 10x crawl
+is mostly NEW content at the same dup-rate, so replica i applies a
+deterministic letter-rotation (translate over 'etaoinshrdlu') — within-
+replica dup structure identical, cross-replica Jaccard collapses — and
+embeddings rotate their dimensions per replica (norms and within-replica
+geometry preserved, cross-replica cosine decorrelated).
+
 Usage: python scripts/scale_growth_bench.py  (writes JSON to stdout;
-wall-clock ~10-20 min at local[32]).
+wall-clock ~10-20 min at local[32]). ORDS_SCALE_SET=graph|dedup|all
+picks the query families (default all).
 """
 
 from __future__ import annotations
@@ -67,6 +80,47 @@ def build_scaled(spark, out_dir: str) -> None:
         spark.read.parquet(f"{SF1}/{t}.parquet").write.mode("overwrite").parquet(
             f"{out_dir}/{t}.parquet"
         )
+
+    # documents: per-replica letter-rotation keeps within-replica dup
+    # structure byte-exact while cross-replica shingles diverge
+    alpha = "etaoinshrdlu"
+    docs = spark.read.parquet(f"{SF1}/documents.parquet")
+    parts = []
+    for i in range(FACTOR):
+        rot = alpha[i:] + alpha[:i]
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
+                F.translate(F.col("text"), alpha, rot).alias("text"),
+                "lang", "source", "n_chars",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
+    # embeddings: rotate dimensions per replica (within-replica geometry
+    # preserved, cross-replica cosine decorrelated)
+    emb = spark.read.parquet(f"{SF1}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()["embedding"])
+    eparts = []
+    for i in range(FACTOR):
+        rot_expr = (
+            "embedding" if i == 0
+            else f"concat(slice(embedding, {i + 1}, {dim - i}), slice(embedding, 1, {i}))"
+        )
+        eparts.append(
+            emb.select(
+                (F.col("vec_id") + i * 10_000_000).alias("vec_id"),
+                F.expr(rot_expr).alias("embedding"),
+                "label",
+            )
+        )
+    eout = eparts[0]
+    for p in eparts[1:]:
+        eout = eout.unionByName(p)
+    eout.repartition(16).write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
 
 
 def dbscan_const_density(spark, n_reps: int):
@@ -114,7 +168,14 @@ def main() -> None:
         out = {"factor": FACTOR, "cpus": cpus, "rounds": ROUNDS, "queries": {}}
         import math
 
-        for name in ("pagerank", "kcore", "ppr_push"):
+        qset = os.environ.get("ORDS_SCALE_SET", "all")
+        names = []
+        if qset in ("graph", "all"):
+            names += ["pagerank", "kcore", "ppr_push"]
+        if qset in ("dedup", "all"):
+            names += ["dedup_minhash", "dedup_clusters", "span_dedup",
+                      "semdedup", "incr_dedup"]
+        for name in names:
             q = QUERIES[name][0]
             t1 = timed(q, spark, SF1)
             t10 = timed(q, spark, sfx_dir)
@@ -123,13 +184,14 @@ def main() -> None:
                 "t_sf1": t10,
                 "alpha": round(math.log(t10 / t1) / math.log(FACTOR), 3),
             }
-        t1 = timed(dbscan_const_density, spark, 1)
-        t10 = timed(dbscan_const_density, spark, FACTOR)
-        out["queries"]["dbscan_const_density"] = {
-            "t_sf01": t1,
-            "t_sf1": t10,
-            "alpha": round(math.log(t10 / t1) / math.log(FACTOR), 3),
-        }
+        if qset in ("graph", "all"):
+            t1 = timed(dbscan_const_density, spark, 1)
+            t10 = timed(dbscan_const_density, spark, FACTOR)
+            out["queries"]["dbscan_const_density"] = {
+                "t_sf01": t1,
+                "t_sf1": t10,
+                "alpha": round(math.log(t10 / t1) / math.log(FACTOR), 3),
+            }
         print(json.dumps(out))
     finally:
         shutil.rmtree(sfx_dir, ignore_errors=True)

@@ -110,9 +110,9 @@ NEG_CASES = [c for c in MANIFEST if c.get("negative")]
 UPDATE_CASES = [c for c in MANIFEST if c.get("update")]
 NEG_UPDATE_CASES = [c for c in MANIFEST if c.get("neg_update")]
 assert (
-    len(EVAL_CASES) == 133
+    len(EVAL_CASES) == 143
     and len(NEG_CASES) == 16
-    and len(UPDATE_CASES) == 20
+    and len(UPDATE_CASES) == 21
     and len(NEG_UPDATE_CASES) == 3
 ), (
     f"manifest parse found {len(EVAL_CASES)} eval / {len(NEG_CASES)} negative / "
