@@ -81,11 +81,11 @@ _FAMILY_RULES = [
     ("events_temporal", ("events_", "funnel", "cohort", "transitions",
                          "burst_windows", "asof", "interval_", "change_rate",
                          "scd2", "range_prior")),
+    ("streaming", ("stream_",)),
     ("web_sources", ("warc", "mf2", "meta_triples", "table_triples", "feed",
                      "sitemap", "robots", "redirects", "url_", "surt", "pld",
                      "canon_link", "cidr", "ip_host", "host_profile",
-                     "hreflang", "link_spam", "alias_mine", "extract",
-                     "stream_")),
+                     "hreflang", "link_spam", "alias_mine", "extract")),
     ("warehouse", ("merge_upsert", "compaction", "olap", "scan_agg",
                    "bcast_join", "part_scan", "rollup", "line_dedup")),
 ]
@@ -433,6 +433,12 @@ def main() -> None:
         "novelty",
         "rdfs_delta",
         "owl_consistency",
+        # r5 additions: 16-bit codec, Viterbi encode, the two new
+        # streaming driver anchors (first streaming rows in the bench)
+        "media_png16_real",
+        "unigram_encode",
+        "stream_sessionize",
+        "stream_attr_clicks",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

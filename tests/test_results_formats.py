@@ -139,3 +139,40 @@ def test_sparql_csv_bnode_prefixed(spark):
     lines = [l for l in csv.split("\r\n") if l]
     body = lines[1].split(",")
     assert "_:n1" in body and "v" in body
+
+
+def _qt_df(spark):
+    from ocaml_rdf_spark.types import Iri, Literal, QuotedTriple
+
+    qt = QuotedTriple(Iri("urn:s"), Iri("urn:p"), Literal("o, v", lang="en"))
+    df = spark.createDataFrame(
+        [((3, qt.encode(), None, None), (0, "urn:g", None, None))],
+        "t struct<kind:tinyint,lex:string,dtype:string,lang:string>, "
+        "g struct<kind:tinyint,lex:string,dtype:string,lang:string>",
+    )
+    return qt, df
+
+
+def test_sparql_tsv_triple_term_roundtrip(spark):
+    """SPARQL 1.2 triple terms survive the TSV round-trip: the cell is the
+    NT-star text, the parser rebuilds the identical encoded term."""
+    from ocaml_rdf_spark.results import parse_sparql_tsv, to_sparql_tsv
+
+    qt, df = _qt_df(spark)
+    tsv = to_sparql_tsv(df)
+    assert '<< <urn:s> <urn:p> "o, v"@en >>' in tsv
+    vars_, rows = parse_sparql_tsv(tsv)
+    assert vars_ == ["t", "g"]
+    assert rows[0]["t"] == (3, qt.encode(), None, None)
+    assert rows[0]["g"] == (0, "urn:g", None, None)
+
+
+def test_sparql_csv_triple_term_golden(spark):
+    """CSV is lossy but must still write triple terms as their NT-star
+    text with RFC-4180 escaping (the cell contains commas and quotes)."""
+    from ocaml_rdf_spark.results import to_sparql_csv
+
+    _qt, df = _qt_df(spark)
+    lines = to_sparql_csv(df).split("\r\n")
+    assert lines[0] == "t,g"
+    assert lines[1] == '"<< <urn:s> <urn:p> ""o, v""@en >>",urn:g'

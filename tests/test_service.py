@@ -109,3 +109,31 @@ def test_service_dataset_isolation(spark):
         ctx,
     )
     assert rows(df, "v", "w") == [("in-g", "remote")]
+
+
+def test_service_inside_optional(ctx):
+    """Federated Query §2.2 composition corner: SERVICE under OPTIONAL —
+    matched rows extend with the remote binding, unmatched rows survive
+    with ?m unbound (r5, VERDICT r4 task 5 class)."""
+    df = execute(
+        PFX
+        + f"SELECT ?n ?m WHERE {{ ?x ex:name ?n OPTIONAL {{ SERVICE <{EP_A}> {{ ?x ex:mbox ?m }} }} }}",
+        ctx,
+    )
+    assert rows(df, "n", "m") == [
+        ("Alice", "alice@a.example"),
+        ("Bob", "bob@a.example"),
+        ("Carol", None),
+    ]
+
+
+def test_service_silent_unknown_inside_optional(ctx):
+    """SERVICE SILENT at an unknown endpoint inside OPTIONAL: the silent
+    empty-solution fallback joins neutrally — every name survives, ?m
+    stays unbound everywhere."""
+    df = execute(
+        PFX
+        + "SELECT ?n ?m WHERE { ?x ex:name ?n OPTIONAL { SERVICE SILENT <http://svc.example/nope> { ?x ex:mbox ?m } } }",
+        ctx,
+    )
+    assert rows(df, "n", "m") == [("Alice", None), ("Bob", None), ("Carol", None)]
