@@ -663,6 +663,17 @@ class Parser:
                 self.next()
                 right = self.parse_group_graph_pattern()
                 left = acc if acc is not None else A.BGP([])
+                # SEP-0006 scoping: vars ASSIGNED inside the lateral part
+                # (BIND / SELECT ... AS) must not already be in scope from
+                # the left — outer bindings are visible inside, so the
+                # assignment would re-bind them (the §19.8 note-12 rule
+                # lifted across the LATERAL boundary)
+                bad = sorted(_assigned_vars(right) & _in_scope_vars(left))
+                if bad:
+                    raise SyntaxError(
+                        f"LATERAL: variable ?{bad[0]} is assigned inside "
+                        "but already in scope from the left"
+                    )
                 acc = A.Lateral(left, right)
             elif self.at_kw("values"):
                 self.next()
@@ -1276,6 +1287,19 @@ class Parser:
 # ---------------------------------------------------------------------------
 # public API (rdf_sparql.ml :: execute)
 # ---------------------------------------------------------------------------
+
+
+def _assigned_vars(n) -> set:
+    """Vars ASSIGNED (BIND / SELECT-expression AS → algebra.Extend)
+    anywhere inside a pattern — the set SEP-0006 forbids from colliding
+    with the LATERAL left side's in-scope vars."""
+    if n is None or not isinstance(n, A.Node):
+        return set()
+    out = {n.var} if isinstance(n, A.Extend) else set()
+    for v in vars(n).values():
+        if isinstance(v, A.Node):
+            out |= _assigned_vars(v)
+    return out
 
 
 def _in_scope_vars(n) -> set:

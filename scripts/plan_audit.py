@@ -585,6 +585,37 @@ def main() -> None:
             ("no cartesian product", r"CartesianProduct", "absent"),
             ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
         ]),
+        ("stream_sessionize", [
+            # r5 anchor: the RETURNED frame is the memory-sink read of the
+            # drained closed sessions — join-free, no Python in the read
+            # path (the applyInPandasWithState ran inside the drain)
+            ("no joins", r"Join", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
+        ("stream_attr_clicks", [
+            # r5 anchor: memory-sink read of the emitted attribution pairs
+            ("no joins", r"Join", "absent"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
+        ("unigram_encode", [
+            # Viterbi segmentation: Arrow-batched mapInPandas over the doc
+            # scan with the broadcast piece table in the task closure —
+            # Python IS the point here (justified like the parser stage),
+            # and nothing else: no joins, no shuffle
+            ("Arrow-batched Python stage", r"MapInPandas|ArrowEvalPython"),
+            ("no joins", r"Join", "absent"),
+            ("map-only (no shuffle)", r"Exchange", "absent"),
+        ]),
+        ("media_png16_real", [
+            # 16-bit decode: Arrow-batched media UDFs (justified), the
+            # meta×histogram recombine is a hash join on media_id over
+            # 25-row sides, never a product
+            ("Arrow-batched Python stage", r"MapInPandas|ArrowEvalPython"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+        ]),
         ("hll_estimate", [
             # read path folds registers per group — still join-free
             ("no joins", r"Join", "absent"),
