@@ -1471,5 +1471,8 @@ class Lateral(Node):
                     )
             cols += [F.col(kn) for kn, _ in keys]
             return df.select(*cols), c & set(keep), (frozenset(n.vars) - c) | (m & set(keep)), keys
-        out = n.compile(ctx)
+        # fallback (Extend/Group/pattern): correlate aggregates first, so a
+        # sliced aggregate sub-select groups per outer binding too (the
+        # Project branch above already widens with the correlated vars)
+        out = self._correlate(n, lvars).compile(ctx)
         return out[0], out[1], out[2], []
