@@ -14764,14 +14764,22 @@ def q_stream_attr_clicks(spark, sf):
     sdf = stream_attribute_clicks(
         spark, path, horizon_minutes=30, watermark="3650 days", max_files_per_batch=2
     )
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    # stream-stream join = TWO state stores per partition; fixture-sized
+    # state doesn't need 32 of each per micro-batch (same scoping as the
+    # sessionize anchor — production sizes this to the cluster)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(sink).select("user_id", "imp_id", "click_id", "gap_us")
 
 
