@@ -2320,3 +2320,156 @@ def rich_club(edges: DataFrame) -> DataFrame:
     return curve.filter(F.col("n_k") >= 2).withColumn(
         "phi_ppm", F.expr("1000000 * 2 * e_k div (n_k * (n_k - 1))").cast("long")
     )
+
+
+class CycleDetected(RuntimeError):
+    """Raised by topo_levels when max-relaxation still improves after
+    `max_rounds` — either the input has a directed cycle (no topological
+    order exists) or its longest path exceeds the round budget. Either
+    way the caller must not trust a partial level assignment, so the
+    operator refuses instead of returning one (the ClosureBudgetExceeded
+    philosophy from operators/paths.py)."""
+
+
+def topo_levels(edges: DataFrame, max_rounds: int = 32) -> DataFrame:
+    """Topological levels over a (src, dst) DAG → (node, level) where
+    level(v) = length of the LONGEST path ending at v (Kahn's layering:
+    sources at 0, each node one past its deepest predecessor). The
+    layering IS a topological order (level(u) < level(v) for every edge
+    u→v) and is the scheduling-depth answer dependency pipelines
+    actually want: all nodes on the same level can run concurrently.
+
+    Frontier max-relaxation, the mirror image of `sssp`'s min: start
+    every node at level 0, propagate level+1 along out-edges, max-combine
+    per target (map-side), keep strict improvements as the next
+    frontier. A DAG of depth d converges in exactly d rounds (each
+    round settles one more layer); the rounds are integer-exact and
+    order-insensitive, so the suite value-oracles the labeling against a
+    rounds-unrolled DuckDB max-relaxation mirror — unrolling past
+    convergence is idempotent, so the mirror only needs D ≥ depth.
+
+    If the frontier is still non-empty after `max_rounds`, raises
+    CycleDetected: in a cycle the relaxation improves forever, and a
+    truncated labeling would silently violate the level(u) < level(v)
+    contract.
+
+    Scale: per-round cost is |frontier ⋈ edges| with map-side max
+    combine — never |V|²; the settled table is only ever the probe side
+    of one left join; localCheckpoint caps the O(depth) lineage
+    (the sssp discipline). Depth, not |V|, bounds the round count —
+    dependency DAGs at web scale are wide and shallow."""
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).dropDuplicates()
+    lvl = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .dropDuplicates()
+        .select("node", F.lit(0).cast("long").alias("level"))
+    )
+    frontier = lvl
+    visible = lvl
+    for r in range(max_rounds):
+        if r > 0:
+            # keep the last anti-join+union plan visible on the RETURNED
+            # frame (the sssp discipline — checkpointing what we return
+            # would hide the join shapes from the plan audit); the working
+            # copy is checkpointed to cap the O(depth) lineage
+            visible = lvl
+            lvl = lvl.localCheckpoint(eager=False)
+        cand = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"), (F.col("level") + 1).alias("nl"))
+            .groupBy("node")
+            .agg(F.max("nl").alias("nl"))
+        )
+        improved = (
+            cand.join(lvl, "node", "left")
+            .filter(F.col("level").isNull() | (F.col("nl") > F.col("level")))
+            .select("node", F.col("nl").alias("level"))
+            .localCheckpoint(eager=False)  # isEmpty probe + union both read it
+        )
+        if improved.isEmpty():
+            return visible
+        lvl = (
+            lvl.join(improved.select("node"), "node", "left_anti")
+            .unionByName(improved)
+        )
+        frontier = improved
+    raise CycleDetected(
+        f"topo_levels: still improving after {max_rounds} rounds — "
+        "cyclic input or depth over budget"
+    )
+
+
+def densest_peel(
+    edges: DataFrame, num_pct: int = 200, rounds: int | None = None
+) -> DataFrame:
+    """Greedy densest-subgraph peeling (Charikar 2000 via the
+    Bahmani-Kumar-Vazirani MapReduce variant, WWW 2012) over (src, dst)
+    string edges → (node, peel_round): round i synchronously removes
+    every node whose degree is ≤ (num_pct/100)·avg_deg of the CURRENT
+    subgraph, labeling it peel_round = i. The densest prefix — the
+    survivor set at the best round, recoverable from the labeling as
+    {v : peel_round(v) ≥ r*} — is a 2(num_pct/100)-approximation of the
+    maximum-density subgraph; num_pct=200 (ε=1) gives the 4-approx that
+    guarantees ≤ log₂|V| rounds, because fewer than half the nodes can
+    have degree > 2·avg.
+
+    Always terminates with every node labeled: min-degree ≤ avg ≤
+    threshold, so every round peels at least one node. The comparison
+    is the integer cross-multiply deg·|V|·100 ≤ num_pct·2·|E| — no
+    rationals, so the labels are bit-identical across engines and the
+    suite value-oracles them against a rounds-unrolled DuckDB mirror
+    (`rounds=R` runs exactly R synchronous rounds, the kcore contract;
+    nodes surviving all R rounds — only possible when R < the
+    data-dependent peel depth — are labeled peel_round = R).
+
+    The use at corpus scale: the densest host-link or co-citation core
+    is the link-farm / template-cluster detector; peel_round is a
+    usable "coreness by density" score per node.
+
+    Scale shape per round: one map-side-combined degree agg, two 1-row
+    broadcast totals, two hash anti joins; the peeled set is usually a
+    constant fraction, AQE broadcasts the small side; localCheckpoint
+    caps the O(log V) lineage."""
+    e = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    out = None
+    i = 0
+    while rounds is None or i < rounds:
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionByName(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=False)  # totals + threshold filter read it
+        )
+        tot = deg.agg(
+            F.count(F.lit(1)).alias("nv"), (F.sum("n") / 2).cast("long").alias("ne")
+        )
+        weak = (
+            deg.crossJoin(F.broadcast(tot))  # 1-row totals
+            .filter(F.col("n") * F.col("nv") * 100 <= num_pct * 2 * F.col("ne"))
+            .select("node")
+        )
+        if rounds is None and weak.isEmpty():
+            break
+        labeled = weak.select("node", F.lit(i).cast("long").alias("peel_round"))
+        out = labeled if out is None else out.unionByName(labeled)
+        e = (
+            e.join(weak.withColumnRenamed("node", "a"), "a", "left_anti")
+            .join(weak.withColumnRenamed("node", "b"), "b", "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        i += 1
+        if rounds is None and i > 100_000:  # malformed-input backstop
+            raise RuntimeError("densest_peel: peeling did not converge")
+    survivors = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .dropDuplicates()
+        .select("node", F.lit(i).cast("long").alias("peel_round"))
+    )
+    return survivors if out is None else out.unionByName(survivors)

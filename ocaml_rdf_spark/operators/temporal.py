@@ -497,3 +497,89 @@ def cusum_alarm(
     return alarms.withColumn(
         "first_alarm", (F.row_number().over(wf) == 1).cast("int")
     )
+
+
+def ewma_anomaly(
+    df,
+    group_col: str,
+    t_col: str,
+    val_col: str,
+    window: int = 12,
+    alpha_num: int = 1,
+    alpha_den: int = 5,
+    threshold_milli: int = 40_000,
+):
+    """Truncated-window EWMA point-anomaly flags per series (the
+    Roberts 1959 EWMA control chart, made engine-portable): for each row
+    t, predict the value from the previous `window` observations with
+    exponential weights α(1−α)^(lag−1), α = alpha_num/alpha_den, and
+    flag the row when |x_t − prediction| exceeds threshold_milli/1000
+    value units. The crawl-ops use: per-host volume/latency spike
+    detection where CUSUM's persistent-drift alarm is the wrong shape —
+    EWMA fires on the single bad day and re-arms.
+
+    Exactness contract: the weights are the INTEGER sequence
+    w(lag) = alpha_num·(alpha_den−alpha_num)^(lag−1)·alpha_den^(window−lag)
+    (the rational weights scaled by alpha_den^window), the prediction is
+    the integer-div rational N/D with N = Σ w(lag)·x_{t−lag} and
+    D = Σ w(lag) over the lags that exist, and the anomaly test is the
+    cross-multiply |x_t·D − N|·1000 > threshold_milli·D — no floats
+    anywhere, so the flags and pred_milli = 1000·N div D are
+    bit-identical across engines and the suite value-oracles them
+    against a DuckDB mirror with the same window self-join. Magnitude
+    bound (stated): x_max·D·1000 must fit 64 bits — with the default
+    α=1/5, W=12 (D < 2.5·10⁸) that is x_max ≤ 3·10⁷; rescale inputs
+    above that. Values must be NON-NEGATIVE (integer div truncation vs
+    floor would diverge between engines on negatives). Rows with no
+    history (t earliest in its series) get pred_milli NULL, anomaly
+    false.
+
+    `t_col` must be a DENSE integer index per series (1,2,3,…): lag =
+    t_a − t_b indexes the weight table directly.
+
+    Scale shape: ONE equi-join on the series key with the lag range as
+    a residual filter (each probe row matches ≤ `window` build rows),
+    one map-side-combined agg — no windows over collected arrays, no
+    Python. Partitioning by series key rides a single shuffle."""
+    beta = alpha_den - alpha_num
+    weights = [
+        alpha_num * beta ** (lag - 1) * alpha_den ** (window - lag)
+        for lag in range(1, window + 1)
+    ]
+    # get() (not the [] subscript) so the NULL lag of history-less rows
+    # stays NULL instead of tripping codegen's eager index check
+    w_expr = "get(array({}), int(__lag) - 1)".format(
+        ", ".join(f"{w}L" for w in weights)
+    )
+    a = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(t_col).cast("long").alias("__t"),
+        F.col(val_col).cast("long").alias("__x"),
+    )
+    b = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(t_col).cast("long").alias("__bt"),
+        F.col(val_col).cast("long").alias("__bx"),
+    )
+    j = a.join(
+        b,
+        (a["__g"] == b["__g"])
+        & (F.col("__bt") >= F.col("__t") - window)
+        & (F.col("__bt") <= F.col("__t") - 1),
+        "left",
+    ).drop(b["__g"])
+    lagged = j.withColumn("__lag", F.col("__t") - F.col("__bt"))
+    agg = lagged.groupBy("__g", "__t", "__x").agg(
+        F.sum(F.expr(f"__bx * ({w_expr})")).alias("__n"),
+        F.sum(F.expr(w_expr)).alias("__d"),
+    )
+    return agg.select(
+        F.col("__g").alias(group_col),
+        F.col("__t").alias(t_col),
+        F.col("__x").alias(val_col),
+        F.expr("1000 * __n div __d").cast("long").alias("pred_milli"),
+        F.coalesce(
+            F.expr(f"abs(__x * __d - __n) * 1000 > {threshold_milli}L * __d"),
+            F.lit(False),
+        ).alias("anomaly"),
+    )

@@ -14883,3 +14883,208 @@ FROM nation
 """
 
 QUERIES["media_png16_real"] = (q_media_png16_real, SQL_MEDIA_PNG16_REAL)
+
+
+# ---------------------------------------------------------------------------
+# round-5 batch B: topological levels, densest-subgraph peeling, EWMA chart
+# ---------------------------------------------------------------------------
+
+
+def q_topo_order(spark, sf):
+    """Topological levels (Kahn layering = longest-path depth) over the
+    deterministic multiply-DAG on custkeys: edges k→2k, k→2k+1, k→3k
+    wherever the target is an existing custkey. Every edge multiplies,
+    so the graph is acyclic with depth ≤ log₂(max custkey) — the mirror
+    unrolls 16 max-relaxation rounds, exact for any sf with custkeys
+    below 2¹⁶ per the idempotence-past-convergence contract."""
+    from .operators.cc import topo_levels
+
+    cu = spark.read.parquet(f"{sf}/customer.parquet")
+    keys = cu.select(F.col("c_custkey").alias("id"))
+    cand = keys.select(
+        F.col("id").alias("a"),
+        F.explode(
+            F.array(F.col("id") * 2, F.col("id") * 2 + 1, F.col("id") * 3)
+        ).alias("b"),
+    )
+    e = cand.join(
+        keys.withColumnRenamed("id", "b"), "b", "left_semi"
+    ).select(
+        F.col("a").cast("string").alias("src"), F.col("b").cast("string").alias("dst")
+    )
+    return topo_levels(e, max_rounds=16).select(
+        "node", F.col("level").cast("long").alias("level")
+    )
+
+
+def _topo_sql(rounds: int) -> str:
+    parts = [
+        """WITH k AS (SELECT c_custkey AS id FROM customer),
+e AS (
+  SELECT CAST(a.id AS VARCHAR) AS src, CAST(b.id AS VARCHAR) AS dst
+  FROM k a JOIN k b ON b.id IN (2 * a.id, 2 * a.id + 1, 3 * a.id)
+  WHERE a.id <> b.id
+),
+l0 AS (
+  SELECT node, CAST(0 AS BIGINT) AS level FROM (
+    SELECT src AS node FROM e UNION SELECT dst FROM e
+  )
+)"""
+    ]
+    for h in range(1, rounds + 1):
+        parts.append(
+            f""",
+l{h} AS MATERIALIZED (
+  SELECT node, MAX(level) AS level FROM (
+    SELECT node, level FROM l{h - 1}
+    UNION ALL
+    SELECT e.dst, l.level + 1 FROM l{h - 1} l JOIN e ON e.src = l.node
+  ) GROUP BY node
+)"""
+        )
+    parts.append(f"\nSELECT node, CAST(level AS BIGINT) AS level FROM l{rounds}")
+    return "".join(parts)
+
+
+SQL_TOPO_ORDER = _topo_sql(16)
+
+QUERIES["topo_order"] = (q_topo_order, SQL_TOPO_ORDER)
+
+
+def q_densest_core(spark, sf):
+    """Charikar/Bahmani densest-subgraph peel labels over the chain
+    background plus a planted clique (custkey ≡ 0 mod 97, capped at 40
+    members so the plant stays parameter-bounded at every sf): the
+    clique must survive to the last peel rounds. Fixed rounds=20 — the
+    mirror unrolls the SAME 20 synchronous rounds with the identical
+    integer cross-multiply threshold, so the labels are exact at every
+    scale (survivors past round 20 are labeled 20 on both sides)."""
+    from .operators.cc import densest_peel
+
+    _r, chain = _chain_graph(spark, sf)
+    cu = spark.read.parquet(f"{sf}/customer.parquet")
+    cl = cu.filter(
+        (F.col("c_custkey") % 97 == 0) & (F.col("c_custkey") < 97 * 41)
+    ).select(F.col("c_custkey").alias("id"))
+    clique = (
+        cl.withColumnRenamed("id", "ai")
+        .join(cl.withColumnRenamed("id", "bi"), F.col("ai") < F.col("bi"))
+        .select(
+            F.col("ai").cast("string").alias("src"),
+            F.col("bi").cast("string").alias("dst"),
+        )
+    )
+    return densest_peel(chain.unionByName(clique), rounds=20)
+
+
+def _densest_sql(rounds: int) -> str:
+    parts = [
+        "WITH " + _CHAIN_SQL + """,
+cl AS (SELECT c_custkey AS id FROM customer WHERE c_custkey % 97 = 0 AND c_custkey < 97 * 41),
+e0 AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM (
+    SELECT src, dst FROM raw
+    UNION ALL
+    SELECT CAST(x.id AS VARCHAR), CAST(y.id AS VARCHAR) FROM cl x JOIN cl y ON x.id < y.id
+  ) WHERE src <> dst
+)"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f""",
+d{i} AS (
+  SELECT node, COUNT(*) AS n FROM (
+    SELECT a AS node FROM e{i} UNION ALL SELECT b FROM e{i}
+  ) GROUP BY node
+),
+t{i} AS (SELECT COUNT(*) AS nv, CAST(SUM(n) AS BIGINT) AS s2e FROM d{i}),
+w{i} AS (SELECT node FROM d{i}, t{i} WHERE n * nv * 100 <= 200 * s2e),
+e{i + 1} AS MATERIALIZED (
+  SELECT a, b FROM e{i}
+  WHERE a NOT IN (SELECT node FROM w{i}) AND b NOT IN (SELECT node FROM w{i})
+)"""
+        )
+    labels = "\nUNION ALL\n".join(
+        f"SELECT node, CAST({i} AS BIGINT) AS peel_round FROM w{i}" for i in range(rounds)
+    )
+    parts.append(
+        f"""
+SELECT node, peel_round FROM ({labels}
+UNION ALL
+SELECT node, CAST({rounds} AS BIGINT) FROM (
+  SELECT a AS node FROM e{rounds} UNION SELECT b FROM e{rounds}
+))"""
+    )
+    return "".join(parts)
+
+
+SQL_DENSEST_CORE = _densest_sql(20)
+
+QUERIES["densest_core"] = (q_densest_core, SQL_DENSEST_CORE)
+
+
+def q_ewma_hosts(spark, sf):
+    """EWMA control chart over a synthetic 60-day per-nation crawl-volume
+    series with one planted spike per nation at day 17+(g mod 13): the
+    chart must flag exactly the plants. Integer-exact truncated-window
+    EWMA (alpha=1/5, W=12) — the mirror runs the identical lag self-join
+    with the same integer weight table."""
+    from .operators.temporal import ewma_anomaly
+
+    na = spark.read.parquet(f"{sf}/nation.parquet")
+    days = na.select(
+        F.col("n_nationkey").alias("g"),
+        F.explode(F.sequence(F.lit(1), F.lit(60))).alias("t"),
+    )
+    x = (
+        F.lit(100)
+        + (F.col("g") * F.col("t")) % 7
+        + F.when(F.col("t") == 17 + F.col("g") % 13, 900).otherwise(0)
+    )
+    series = days.withColumn("x", x.cast("long"))
+    out = ewma_anomaly(series, "g", "t", "x", threshold_milli=300_000)
+    return out.select(
+        F.col("g").cast("long").alias("g"),
+        F.col("t").cast("long").alias("t"),
+        "x",
+        # -1 sentinel for the history-less first row: a NULL bigint would
+        # round-trip as NaN through the oracle's pandas frame
+        F.coalesce("pred_milli", F.lit(-1).cast("long")).alias("pred_milli"),
+        "anomaly",
+    )
+
+
+def _ewma_sql(window: int = 12, alpha_num: int = 1, alpha_den: int = 5) -> str:
+    beta = alpha_den - alpha_num
+    wt = ", ".join(
+        f"({lag}, {alpha_num * beta ** (lag - 1) * alpha_den ** (window - lag)})"
+        for lag in range(1, window + 1)
+    )
+    return f"""
+WITH s AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS g, CAST(d.t AS BIGINT) AS t,
+         CAST(100 + (n_nationkey * d.t) % 7
+              + CASE WHEN d.t = 17 + n_nationkey % 13 THEN 900 ELSE 0 END AS BIGINT) AS x
+  FROM nation, generate_series(1, 60) d(t)
+),
+w(lag, wt) AS (VALUES {wt}),
+j AS (
+  SELECT a.g, a.t, a.x, b.x AS bx, a.t - b.t AS lag
+  FROM s a LEFT JOIN s b ON a.g = b.g AND b.t BETWEEN a.t - {window} AND a.t - 1
+),
+agg AS (
+  SELECT j.g, j.t, j.x,
+         CAST(SUM(j.bx * w.wt) AS BIGINT) AS n, CAST(SUM(w.wt) AS BIGINT) AS d
+  FROM j LEFT JOIN w ON w.lag = j.lag
+  GROUP BY j.g, j.t, j.x
+)
+SELECT g, t, x,
+       COALESCE(CAST(1000 * n // d AS BIGINT), -1) AS pred_milli,
+       COALESCE(ABS(x * d - n) * 1000 > 300000 * d, FALSE) AS anomaly
+FROM agg
+"""
+
+
+SQL_EWMA_HOSTS = _ewma_sql()
+
+QUERIES["ewma_hosts"] = (q_ewma_hosts, SQL_EWMA_HOSTS)

@@ -1923,6 +1923,37 @@ def main() -> None:
             ("no cartesian product", r"CartesianProduct", "absent"),
             ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
         ]),
+        ("topo_order", [
+            # max-relaxation: the returned frame keeps the LAST round's
+            # settle visible (anti join + union over checkpointed state);
+            # earlier rounds sit behind localCheckpoint barriers
+            ("last settle anti join visible", r"LeftAnti"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+            ("checkpointed fixpoint tail", r"ExistingRDD"),
+        ]),
+        ("densest_core", [
+            # peel rounds: degree agg map-side combined; the per-round
+            # label frames join the 1-row totals by broadcast — that BNLJ
+            # is the accepted 1-row-build-side pattern (ann.py precedent),
+            # NOT a data×data product; the edge-shrink anti joins sit
+            # behind the round checkpoints
+            ("degree agg map-side combined", r"HashAggregate|SortAggregate"),
+            ("1-row totals broadcast", r"BroadcastExchange"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
+        ("ewma_hosts", [
+            # lag self-join: equi on the series key with the lag range as
+            # a residual filter, one map-side-combined agg — no window
+            # over collected arrays, no product
+            ("series-key equi join", r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("weighted agg map-side combined", r"HashAggregate|SortAggregate"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
     ]
 
     # optional argv name filter: `python scripts/plan_audit.py q1 q2` audits

@@ -1,0 +1,177 @@
+"""Unit tests for the round-5 additions: topological levels (Kahn
+layering under max-relaxation), greedy densest-subgraph peeling
+(Charikar/Bahmani), and the integer-exact EWMA control chart."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame([(str(a), str(b)) for a, b in pairs], "src string, dst string")
+
+
+# ---------------------------------------------------------------- topo_levels
+
+
+def test_topo_levels_diamond(spark):
+    from ocaml_rdf_spark.operators.cc import topo_levels
+
+    # diamond + tail: 1→2, 1→3, 2→4, 3→4, 4→5; plus isolated pair 8→9
+    e = _edges(spark, [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5), (8, 9)])
+    got = {r["node"]: r["level"] for r in topo_levels(e).collect()}
+    assert got == {"1": 0, "2": 1, "3": 1, "4": 2, "5": 3, "8": 0, "9": 1}
+
+
+def test_topo_levels_longest_path_not_shortest(spark):
+    from ocaml_rdf_spark.operators.cc import topo_levels
+
+    # 1→4 direct AND 1→2→3→4: level(4) must be the LONGEST path (3)
+    e = _edges(spark, [(1, 4), (1, 2), (2, 3), (3, 4)])
+    got = {r["node"]: r["level"] for r in topo_levels(e).collect()}
+    assert got["4"] == 3
+    # every edge respects level(u) < level(v)
+    for a, b in [(1, 4), (1, 2), (2, 3), (3, 4)]:
+        assert got[str(a)] < got[str(b)]
+
+
+def test_topo_levels_cycle_raises(spark):
+    from ocaml_rdf_spark.operators.cc import CycleDetected, topo_levels
+
+    e = _edges(spark, [(1, 2), (2, 3), (3, 1)])
+    with pytest.raises(CycleDetected):
+        topo_levels(e, max_rounds=8)
+
+
+def test_topo_levels_depth_over_budget_raises(spark):
+    from ocaml_rdf_spark.operators.cc import CycleDetected, topo_levels
+
+    chain = [(i, i + 1) for i in range(1, 12)]  # depth 11
+    with pytest.raises(CycleDetected):
+        topo_levels(_edges(spark, chain), max_rounds=5)
+    # and a budget >= depth succeeds
+    got = {r["node"]: r["level"] for r in topo_levels(_edges(spark, chain), max_rounds=12).collect()}
+    assert got["12"] == 11
+
+
+# --------------------------------------------------------------- densest_peel
+
+
+def _clique(lo, n):
+    ids = list(range(lo, lo + n))
+    return [(a, b) for a in ids for b in ids if a < b]
+
+
+def test_densest_peel_labels_everyone(spark):
+    from ocaml_rdf_spark.operators.cc import densest_peel
+
+    # sparse chain + planted 6-clique
+    pairs = [(i, i + 1) for i in range(1, 30)] + _clique(100, 6)
+    lab = densest_peel(_edges(spark, pairs)).collect()
+    nodes = {r["node"] for r in lab}
+    assert len(lab) == len(nodes) == 36  # every node exactly once
+    assert all(r["peel_round"] >= 0 for r in lab)
+
+
+def test_densest_peel_clique_outlives_chain(spark):
+    from ocaml_rdf_spark.operators.cc import densest_peel
+
+    pairs = [(i, i + 1) for i in range(1, 40)] + _clique(100, 8)
+    got = {r["node"]: r["peel_round"] for r in densest_peel(_edges(spark, pairs)).collect()}
+    clique_min = min(got[str(k)] for k in range(100, 108))
+    chain_max = max(got[str(k)] for k in range(1, 41))
+    # the dense core is peeled strictly later than all of the sparse chain
+    assert clique_min > chain_max
+
+
+def test_densest_peel_density_guarantee(spark):
+    from ocaml_rdf_spark.operators.cc import densest_peel
+
+    # optimum is the 8-clique: density 28/8 = 3.5; the 4-approx bound
+    # guarantees a suffix with density >= 3.5/4
+    pairs = [(i, i + 1) for i in range(1, 40)] + _clique(100, 8)
+    e = [(str(a), str(b)) for a, b in pairs]
+    got = {r["node"]: r["peel_round"] for r in densest_peel(_edges(spark, pairs)).collect()}
+    best = 0.0
+    for r in sorted(set(got.values())):
+        keep = {n for n, pr in got.items() if pr >= r}
+        ne = sum(1 for a, b in e if a in keep and b in keep)
+        if keep:
+            best = max(best, ne / len(keep))
+    assert best >= 3.5 / 4
+
+
+def test_densest_peel_fixed_rounds_prefix(spark):
+    from ocaml_rdf_spark.operators.cc import densest_peel
+
+    pairs = [(i, i + 1) for i in range(1, 30)] + _clique(100, 6)
+    full = {r["node"]: r["peel_round"] for r in densest_peel(_edges(spark, pairs)).collect()}
+    fixed = {r["node"]: r["peel_round"] for r in densest_peel(_edges(spark, pairs), rounds=2).collect()}
+    # rounds 0 and 1 agree with the fixpoint run; later nodes sit at the cap
+    for n, pr in full.items():
+        assert fixed[n] == (pr if pr < 2 else 2)
+
+
+# --------------------------------------------------------------- ewma_anomaly
+
+
+def _series(spark, rows):
+    return spark.createDataFrame(rows, "g string, t long, x long")
+
+
+def test_ewma_flags_planted_spike(spark):
+    from ocaml_rdf_spark.operators.temporal import ewma_anomaly
+
+    rows = [("h", t, 100 + (900 if t == 20 else 0)) for t in range(1, 31)]
+    out = ewma_anomaly(_series(spark, rows), "g", "t", "x", threshold_milli=300_000).collect()
+    flagged = {r["t"] for r in out if r["anomaly"]}
+    # threshold above the max recovery residual (~alpha*spike = 180): only
+    # the spike row itself deviates by more than 300 from its prediction
+    assert flagged == {20}
+
+
+def test_ewma_rearms_after_spike(spark):
+    from ocaml_rdf_spark.operators.temporal import ewma_anomaly
+
+    # two spikes far apart: both flagged, recovery rows are not
+    rows = [("h", t, 100 + (500 if t in (10, 25) else 0)) for t in range(1, 31)]
+    out = ewma_anomaly(_series(spark, rows), "g", "t", "x", threshold_milli=300_000).collect()
+    flagged = {r["t"] for r in out if r["anomaly"]}
+    assert flagged == {10, 25}
+
+
+def test_ewma_no_history_row(spark):
+    from ocaml_rdf_spark.operators.temporal import ewma_anomaly
+
+    rows = [("h", 1, 999), ("h", 2, 100)]
+    out = {r["t"]: r for r in ewma_anomaly(_series(spark, rows), "g", "t", "x").collect()}
+    assert out[1]["pred_milli"] is None and out[1]["anomaly"] is False
+    # row 2 predicts exactly the single lag-1 observation
+    assert out[2]["pred_milli"] == 999_000
+
+
+def test_ewma_prediction_matches_python_mirror(spark):
+    from ocaml_rdf_spark.operators.temporal import ewma_anomaly
+
+    xs = [100, 120, 90, 200, 110, 105, 300, 100, 100, 100, 250, 95, 100, 180, 100]
+    rows = [("h", t + 1, x) for t, x in enumerate(xs)]
+    out = {r["t"]: r["pred_milli"] for r in ewma_anomaly(_series(spark, rows), "g", "t", "x").collect()}
+    W, num, den = 12, 1, 5
+    weights = {lag: num * (den - num) ** (lag - 1) * den ** (W - lag) for lag in range(1, W + 1)}
+    for t in range(2, len(xs) + 1):
+        n = d = 0
+        for lag in range(1, W + 1):
+            j = t - lag
+            if j >= 1:
+                n += weights[lag] * xs[j - 1]
+                d += weights[lag]
+        assert out[t] == 1000 * n // d, f"t={t}"
+
+
+def test_ewma_two_series_independent(spark):
+    from ocaml_rdf_spark.operators.temporal import ewma_anomaly
+
+    rows = [("a", t, 100) for t in range(1, 15)] + [("b", t, 100 + (800 if t == 7 else 0)) for t in range(1, 15)]
+    out = ewma_anomaly(_series(spark, rows), "g", "t", "x", threshold_milli=300_000).collect()
+    flagged = {(r["g"], r["t"]) for r in out if r["anomaly"]}
+    assert flagged == {("b", 7)}
