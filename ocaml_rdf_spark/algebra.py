@@ -1019,6 +1019,15 @@ class Group(Node):
             if a.expr is not None:
                 agg_inputs[a.out] = self.aggs.index(a)
                 proj.append(a.expr(vm).alias(f"__in_{a.out}"))
+            elif a.kind == "count_star" and a.distinct:
+                # COUNT(DISTINCT *) counts distinct SOLUTIONS (§18.5.1): pack
+                # every in-scope variable into one struct so count_distinct
+                # sees the whole row (a bare multi-column count_distinct would
+                # drop rows with any unbound var — SQL NULL semantics; the
+                # struct itself is never NULL)
+                proj.append(
+                    F.struct(*[F.col(v) for v in sorted(c | m)]).alias(f"__in_{a.out}")
+                )
         gdf = df.select(*proj) if proj else df
         grouped = gdf.groupBy(*[F.col(v) for v in self.by]) if self.by else gdf.groupBy()
 
@@ -1026,7 +1035,8 @@ class Group(Node):
         for a in self.aggs:
             i = F.col(f"__in_{a.out}")
             if a.kind == "count_star":
-                aggs.append(t_int(F.count(F.lit(1))).alias(a.out))
+                e = F.count_distinct(i) if a.distinct else F.count(F.lit(1))
+                aggs.append(t_int(e).alias(a.out))
             elif a.kind == "count":
                 e = F.count_distinct(i) if a.distinct else F.count(i)
                 aggs.append(t_int(e).alias(a.out))

@@ -1268,7 +1268,7 @@ class Parser:
         if name == "count" and self.at_op("*"):
             self.next()
             self.eat_op(")")
-            self._aggs.append(Agg(out, "count_star"))
+            self._aggs.append(Agg(out, "count_star", distinct=distinct))
             return self._mark_agg(V(out))
         inner = self.parse_expr()
         if name == "group_concat" and self.at_op(";"):
