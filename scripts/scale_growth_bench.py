@@ -175,6 +175,13 @@ def main() -> None:
         if qset in ("dedup", "all"):
             names += ["dedup_minhash", "dedup_clusters", "span_dedup",
                       "semdedup", "incr_dedup"]
+        if qset in ("new", "all"):
+            # r5 additions. topo_order's multiply-DAG depth on the 10x
+            # replicated keys stays <= 14 (every edge doubles the composite
+            # key value and must land inside a band), under the 16-round
+            # budget; densest_core runs its fixed 20 peel rounds over 10x
+            # edges (clique plant is replica-0-only by the key cap).
+            names += ["topo_order", "densest_core"]
         for name in names:
             q = QUERIES[name][0]
             t1 = timed(q, spark, SF1)

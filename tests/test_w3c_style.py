@@ -110,7 +110,7 @@ NEG_CASES = [c for c in MANIFEST if c.get("negative")]
 UPDATE_CASES = [c for c in MANIFEST if c.get("update")]
 NEG_UPDATE_CASES = [c for c in MANIFEST if c.get("neg_update")]
 assert (
-    len(EVAL_CASES) == 162
+    len(EVAL_CASES) == 168
     and len(NEG_CASES) == 17
     and len(UPDATE_CASES) == 21
     and len(NEG_UPDATE_CASES) == 3
