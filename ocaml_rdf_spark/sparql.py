@@ -1800,8 +1800,14 @@ def execute_update(text: str, quads, default_graph: Optional[str] = None):
                 default_graphs=list(op.using_graphs),
                 named_graphs=list(op.using_named),
             )
-        else:
+        elif op.with_graph is not None:
             ctx = Ctx(df, op.with_graph)
+        else:
+            # §3.1.3: absent WITH/USING, the WHERE side matches the Graph
+            # Store's DEFAULT graph (named graphs stay reachable through
+            # GRAPH patterns) — not the store-wide union view that a bare
+            # Ctx(graph=None) gives the query side
+            ctx = Ctx(df, None, default_graphs=[default_graph])
         def inst(templates):
             items = [(t, g or op.with_graph or default_graph) for t, g in templates]
             return A.instantiate_quads(items, op.node, ctx, nonce=nonce)

@@ -112,7 +112,7 @@ NEG_UPDATE_CASES = [c for c in MANIFEST if c.get("neg_update")]
 assert (
     len(EVAL_CASES) == 168
     and len(NEG_CASES) == 17
-    and len(UPDATE_CASES) == 21
+    and len(UPDATE_CASES) == 25
     and len(NEG_UPDATE_CASES) == 3
 ), (
     f"manifest parse found {len(EVAL_CASES)} eval / {len(NEG_CASES)} negative / "
