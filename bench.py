@@ -48,7 +48,7 @@ _FAMILY_RULES = [
                          "linkpred", "cocitation", "node2vec", "random_walks",
                          "spam_mass", "host_authority", "rich_club",
                          "sweep_cut", "temporal_reach", "link_graph",
-                         "single_linkage")),
+                         "single_linkage", "topo_", "densest")),
     ("dedup_er", ("dedup", "winnow", "clone_pairs", "dup_extents", "cdc_",
                   "containment", "semdedup", "best_keeper", "blocking",
                   "snm_", "metablocking", "er_", "link_edit", "disambiguate",
@@ -74,7 +74,7 @@ _FAMILY_RULES = [
                   "dp_counts", "graph_anon", "kdeg", "fs_weights")),
     ("sketches_stats", ("kmv", "hll", "cms", "bloom", "quantile",
                         "heavy_hitters", "stats_merge", "changepoint",
-                        "drift", "cusum", "lag_corr", "winsorize", "mad_",
+                        "drift", "cusum", "ewma", "lag_corr", "winsorize", "mad_",
                         "benford", "gini", "bootstrap", "auc", "pr_curve",
                         "calibration", "zonemap", "zorder", "hilbert",
                         "skew_report", "overlap_depth")),
@@ -439,6 +439,11 @@ def main() -> None:
         "unigram_encode",
         "stream_sessionize",
         "stream_attr_clicks",
+        # r5 continuation: topological levels, densest-subgraph peel,
+        # EWMA control chart
+        "topo_order",
+        "densest_core",
+        "ewma_hosts",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

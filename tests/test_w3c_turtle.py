@@ -64,7 +64,7 @@ def load_manifest():
 MANIFEST = load_manifest()
 EVAL = [c for c in MANIFEST if not c.get("negative")]
 NEG = [c for c in MANIFEST if c.get("negative")]
-assert len(EVAL) == 20 and len(NEG) == 9, (len(EVAL), len(NEG))
+assert len(EVAL) == 24 and len(NEG) == 11, (len(EVAL), len(NEG))
 
 
 def _t(x):
