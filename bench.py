@@ -57,7 +57,7 @@ _FAMILY_RULES = [
     ("embedding_ann", ("ann_", "kmeans", "jl_project", "pq", "geo_nn",
                        "dbscan", "bitext")),
     ("retrieval", ("bm25", "postings", "phrase", "rrf", "tfidf",
-                   "anchor_dict")),
+                   "anchor_dict", "textrank")),
     ("text_quality", ("nfc", "quality", "repetition", "lm_score",
                       "readability", "encoding_quality", "compression",
                       "lang_spans", "code_switch", "soft404", "pii_",
@@ -444,6 +444,7 @@ def main() -> None:
         "topo_order",
         "densest_core",
         "ewma_hosts",
+        "textrank",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

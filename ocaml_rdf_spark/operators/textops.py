@@ -3046,3 +3046,120 @@ def unigram_encode(
             yield pd.DataFrame(rows, columns=["doc_id", "n_pieces", "pieces_ssv"])
 
     return docs.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    k: int = 3,
+    window: int = 2,
+    iters: int = 3,
+    damping_pct: int = 85,
+    scale: int = 1_000_000,
+    min_len: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004) at
+    corpus scale: per document, build the word co-occurrence graph
+    (candidate tokens within `window` positions of each other in the
+    ORIGINAL token sequence), run `iters` fixed PageRank rounds, and
+    emit the top-k tokens per doc. The LLM-pipeline use: cheap
+    per-document keyword/topic signals for mixture planning and
+    retrieval indexing without a model in the loop.
+
+    Candidate tokens are the house tokenization (lowercase alnum words)
+    of length ≥ `min_len` — the cheap content-word filter; positions are
+    indices in the FULL token stream, so co-occurrence distance is
+    preserved across dropped short words.
+
+    Integer-exact contract (the pagerank recipe): scores start at
+    `scale`, each round is
+
+        pr'(v) = (100−d)·scale/100 + d · (Σ_u pr(u) div deg(u)) div 100
+
+    with integer division throughout — bit-identical across engines and
+    partitionings, so the suite value-oracles (doc, tok, rank, score)
+    against a rounds-unrolled DuckDB mirror. Ties in the top-k break
+    token-ascending; ALL per-doc graphs ride ONE DataFrame keyed by
+    (doc, tok) — a billion tiny graphs is one fixed-round distributed
+    job, never a driver loop.
+
+    Scale shape: tokenize+posexplode is scan-local; the window self-join
+    is an equi-join on doc_id with the ≤`window` position band as a
+    residual filter (each probe row matches ≤ window rows); each round
+    is one map-side-combined agg + one hash join; top-k is a bounded
+    per-doc window, never a global sort."""
+    toks = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(
+                F.split(
+                    F.trim(
+                        F.regexp_replace(
+                            F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9 ]", " "),
+                            r" +", " ",
+                        )
+                    ),
+                    " ",
+                )
+            ).alias("pos", "tok"),
+        )
+        .filter((F.col("tok") != "") & (F.length("tok") >= min_len))
+    )
+    a = toks.select("doc_id", F.col("pos").alias("pa"), F.col("tok").alias("ta"))
+    b = toks.select("doc_id", F.col("pos").alias("pb"), F.col("tok").alias("tb"))
+    und = (
+        a.join(b, "doc_id")
+        .filter(
+            (F.col("pb") - F.col("pa") >= 1)
+            & (F.col("pb") - F.col("pa") <= window)
+            & (F.col("ta") != F.col("tb"))
+        )
+        .select(
+            "doc_id",
+            F.least("ta", "tb").alias("x"),
+            F.greatest("ta", "tb").alias("y"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # both directions + deg read it
+    )
+    dirn = und.select("doc_id", F.col("x").alias("src"), F.col("y").alias("dst")).unionByName(
+        und.select("doc_id", F.col("y").alias("src"), F.col("x").alias("dst"))
+    )
+    deg = dirn.groupBy("doc_id", "src").agg(F.count(F.lit(1)).alias("deg"))
+    # checkpoint: nodes feeds BOTH sides of every round's left join (pr
+    # carries its lineage) — without the barrier the self-reference trips
+    # conflicting-attribute resolution, and the multi-consumer reuse is
+    # real anyway (iters+1 readers)
+    nodes = toks.select("doc_id", "tok").distinct().localCheckpoint(eager=False)
+    pr = nodes.select("doc_id", "tok", F.lit(scale).cast("long").alias("pr"))
+    base = (100 - damping_pct) * scale // 100
+    contrib_src = dirn.join(deg, ["doc_id", "src"])
+    for it in range(iters):
+        acc = (
+            contrib_src.join(
+                pr.select("doc_id", F.col("tok").alias("src"), "pr"), ["doc_id", "src"]
+            )
+            .select("doc_id", F.col("dst").alias("tok"), F.expr("pr div deg").alias("c"))
+            .groupBy("doc_id", "tok")
+            .agg(F.sum("c").alias("acc"))
+        )
+        pr = nodes.join(acc, ["doc_id", "tok"], "left").select(
+            "doc_id", "tok",
+            F.expr(f"{base}L + ({damping_pct} * coalesce(acc, 0L)) div 100")
+            .cast("long").alias("pr"),
+        )
+        if it < iters - 1:
+            # cap the O(iters) lineage, but leave the LAST round's join+agg
+            # visible on the returned frame (the sssp plan-audit discipline)
+            pr = pr.localCheckpoint(eager=False)
+    w = Window.partitionBy("doc_id").orderBy(F.col("pr").desc(), F.col("tok").asc())
+    return (
+        pr.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "doc_id", "tok",
+            F.col("rnk").cast("long").alias("rnk"),
+            F.col("pr").cast("long").alias("score"),
+        )
+    )

@@ -15088,3 +15088,72 @@ FROM agg
 SQL_EWMA_HOSTS = _ewma_sql()
 
 QUERIES["ewma_hosts"] = (q_ewma_hosts, SQL_EWMA_HOSTS)
+
+
+def q_textrank(spark, sf):
+    """TextRank top-3 keywords per document (operators/textops.py):
+    window-2 co-occurrence graph over ≥4-char house tokens, 3
+    integer-exact PageRank rounds, token-ascending tie-break. The mirror
+    unrolls the same 3 rounds with identical integer division."""
+    from .operators.textops import textrank_keywords
+
+    return q_textrank_inner(spark, sf, textrank_keywords)
+
+
+def q_textrank_inner(spark, sf, op):
+    return op(_docs(spark, sf), k=3, window=2, iters=3)
+
+
+def _textrank_sql(iters: int = 3, window: int = 2, scale: int = 1_000_000,
+                  damping_pct: int = 85, min_len: int = 4, k: int = 3) -> str:
+    base = (100 - damping_pct) * scale // 100
+    parts = [f"""
+WITH lists AS (
+  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text),
+         '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS l
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, pos, tok FROM (
+    SELECT doc_id, CAST(generate_subscripts(l, 1) AS BIGINT) AS pos, unnest(l) AS tok
+    FROM lists
+  ) WHERE tok <> '' AND length(tok) >= {min_len}
+),
+und AS (
+  SELECT DISTINCT a.doc_id, LEAST(a.tok, b.tok) AS x, GREATEST(a.tok, b.tok) AS y
+  FROM toks a JOIN toks b
+    ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND {window} AND a.tok <> b.tok
+),
+dir AS (
+  SELECT doc_id, x AS src, y AS dst FROM und
+  UNION ALL
+  SELECT doc_id, y AS src, x AS dst FROM und
+),
+deg AS (SELECT doc_id, src, COUNT(*) AS deg FROM dir GROUP BY 1, 2),
+nodes AS (SELECT DISTINCT doc_id, tok FROM toks),
+pr0 AS (SELECT doc_id, tok, CAST({scale} AS BIGINT) AS pr FROM nodes)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+pr{i} AS MATERIALIZED (
+  SELECT n.doc_id, n.tok,
+         CAST({base} + ({damping_pct} * COALESCE(s.acc, 0)) // 100 AS BIGINT) AS pr
+  FROM nodes n LEFT JOIN (
+    SELECT e.doc_id, e.dst AS tok, SUM(p.pr // d.deg) AS acc
+    FROM dir e
+    JOIN deg d ON d.doc_id = e.doc_id AND d.src = e.src
+    JOIN pr{i - 1} p ON p.doc_id = e.doc_id AND p.tok = e.src
+    GROUP BY 1, 2
+  ) s ON s.doc_id = n.doc_id AND s.tok = n.tok
+)""")
+    parts.append(f"""
+SELECT doc_id, tok, CAST(rnk AS BIGINT) AS rnk, CAST(pr AS BIGINT) AS score FROM (
+  SELECT doc_id, tok, pr,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pr DESC, tok ASC) AS rnk
+  FROM pr{iters}
+) WHERE rnk <= {k}""")
+    return "".join(parts)
+
+
+SQL_TEXTRANK = _textrank_sql()
+
+QUERIES["textrank"] = (q_textrank, SQL_TEXTRANK)

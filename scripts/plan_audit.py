@@ -1944,6 +1944,16 @@ def main() -> None:
             ("no cartesian product", r"CartesianProduct", "absent"),
             ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
         ]),
+        ("textrank", [
+            # per-doc co-occurrence graphs ride one frame: window band is
+            # a residual filter on the doc_id equi-join; PR rounds are
+            # hash joins + map-side-combined aggs behind checkpoints
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+            ("round agg map-side combined", r"HashAggregate|SortAggregate"),
+            ("bounded per-doc top-k window", r"Window"),
+        ]),
         ("ewma_hosts", [
             # lag self-join: equi on the series key with the lag range as
             # a residual filter, one map-side-combined agg — no window

@@ -175,3 +175,45 @@ def test_ewma_two_series_independent(spark):
     out = ewma_anomaly(_series(spark, rows), "g", "t", "x", threshold_milli=300_000).collect()
     flagged = {(r["g"], r["t"]) for r in out if r["anomaly"]}
     assert flagged == {("b", 7)}
+
+
+# ------------------------------------------------------------ textrank
+
+
+def _docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i + 1, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_textrank_hub_word_wins(spark):
+    from ocaml_rdf_spark.operators.textops import textrank_keywords
+
+    # 'spark' co-occurs with every other content word; it must rank 1
+    docs = _docs_df(spark, ["spark engine spark shuffle spark catalyst plans"])
+    out = textrank_keywords(docs, k=3).collect()
+    assert out[0]["tok"] == "spark" and out[0]["rnk"] == 1
+    assert len(out) == 3
+
+
+def test_textrank_short_words_dropped_but_positions_kept(spark):
+    from ocaml_rdf_spark.operators.textops import textrank_keywords
+
+    # 'of'/'xx'/'yy'/'zz' are < 4 chars: not nodes, but they HOLD
+    # positions — alpha..beta stay 2 apart (edge), while omega sits 4
+    # past beta (no edge): isolated, it keeps the (1-d)-only score
+    docs = _docs_df(spark, ["alpha of beta xx yy zz omega"])
+    out = {r["tok"]: r for r in textrank_keywords(docs, k=3).collect()}
+    assert set(out) == {"alpha", "beta", "omega"}
+    assert out["alpha"]["score"] == out["beta"]["score"] > out["omega"]["score"]
+
+
+def test_textrank_per_doc_isolation(spark):
+    from ocaml_rdf_spark.operators.textops import textrank_keywords
+
+    # same vocabulary in two docs: scores computed per doc, no bleed
+    docs = _docs_df(spark, ["link farm link", "link solo"])
+    out = [(r["doc_id"], r["tok"], r["rnk"]) for r in textrank_keywords(docs, k=2).collect()]
+    d1 = [t for d, t, _ in out if d == 1]
+    d2 = [t for d, t, _ in out if d == 2]
+    assert set(d1) == {"link", "farm"} and set(d2) == {"link", "solo"}
