@@ -15097,11 +15097,7 @@ def q_textrank(spark, sf):
     unrolls the same 3 rounds with identical integer division."""
     from .operators.textops import textrank_keywords
 
-    return q_textrank_inner(spark, sf, textrank_keywords)
-
-
-def q_textrank_inner(spark, sf, op):
-    return op(_docs(spark, sf), k=3, window=2, iters=3)
+    return textrank_keywords(_docs(spark, sf), k=3, window=2, iters=3)
 
 
 def _textrank_sql(iters: int = 3, window: int = 2, scale: int = 1_000_000,
