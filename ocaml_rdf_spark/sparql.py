@@ -359,6 +359,10 @@ class Parser:
                     raise SyntaxError(
                         f"SELECT: variable ?{v} is neither grouped nor aggregated"
                     )
+        elif proj is None and getattr(self, "_last_group_by", None) is not None:
+            # grammar note: SELECT * is not permitted with GROUP BY — it
+            # would project every in-scope var, grouped or not
+            raise SyntaxError("SELECT * is not allowed with GROUP BY")
         if proj is not None:
             node = A.Project(node, proj)
         else:

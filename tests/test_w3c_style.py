@@ -110,8 +110,8 @@ NEG_CASES = [c for c in MANIFEST if c.get("negative")]
 UPDATE_CASES = [c for c in MANIFEST if c.get("update")]
 NEG_UPDATE_CASES = [c for c in MANIFEST if c.get("neg_update")]
 assert (
-    len(EVAL_CASES) == 168
-    and len(NEG_CASES) == 17
+    len(EVAL_CASES) == 172
+    and len(NEG_CASES) == 18
     and len(UPDATE_CASES) == 25
     and len(NEG_UPDATE_CASES) == 3
 ), (
