@@ -181,7 +181,9 @@ def main() -> None:
             # key value and must land inside a band), under the 16-round
             # budget; densest_core runs its fixed 20 peel rounds over 10x
             # edges (clique plant is replica-0-only by the key cap).
-            names += ["topo_order", "densest_core"]
+            # textrank reads documents: the letter-rotation 10x corpus,
+            # token-linear work -> alpha ~ 1 expected
+            names += ["topo_order", "densest_core", "textrank"]
         for name in names:
             q = QUERIES[name][0]
             t1 = timed(q, spark, SF1)
