@@ -2331,7 +2331,9 @@ class CycleDetected(RuntimeError):
     philosophy from operators/paths.py)."""
 
 
-def topo_levels(edges: DataFrame, max_rounds: int = 32) -> DataFrame:
+def topo_levels(
+    edges: DataFrame, max_rounds: int = 32, probe_every: int = 1
+) -> DataFrame:
     """Topological levels over a (src, dst) DAG → (node, level) where
     level(v) = length of the LONGEST path ending at v (Kahn's layering:
     sources at 0, each node one past its deepest predecessor). The
@@ -2352,6 +2354,13 @@ def topo_levels(edges: DataFrame, max_rounds: int = 32) -> DataFrame:
     CycleDetected: in a cycle the relaxation improves forever, and a
     truncated labeling would silently violate the level(u) < level(v)
     contract.
+
+    `probe_every=N` runs the isEmpty convergence probe only every Nth
+    round (plus the final round): rounds past convergence are no-ops on
+    empty frontiers (two empty-side hash joins, no data movement), so
+    batching trades up to N−1 trivial rounds for N−1 fewer probe jobs —
+    pure scheduling overhead at depth≫N. Semantics unchanged: the
+    labeling is identical and cycle refusal still fires at the budget.
 
     Scale: per-round cost is |frontier ⋈ edges| with map-side max
     combine — never |V|²; the settled table is only ever the probe side
@@ -2387,7 +2396,7 @@ def topo_levels(edges: DataFrame, max_rounds: int = 32) -> DataFrame:
             .select("node", F.col("nl").alias("level"))
             .localCheckpoint(eager=False)  # isEmpty probe + union both read it
         )
-        if improved.isEmpty():
+        if ((r + 1) % probe_every == 0 or r == max_rounds - 1) and improved.isEmpty():
             return visible
         lvl = (
             lvl.join(improved.select("node"), "node", "left_anti")

@@ -14912,7 +14912,7 @@ def q_topo_order(spark, sf):
     ).select(
         F.col("a").cast("string").alias("src"), F.col("b").cast("string").alias("dst")
     )
-    return topo_levels(e, max_rounds=16).select(
+    return topo_levels(e, max_rounds=16, probe_every=4).select(
         "node", F.col("level").cast("long").alias("level")
     )
 
