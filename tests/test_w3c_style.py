@@ -110,7 +110,7 @@ NEG_CASES = [c for c in MANIFEST if c.get("negative")]
 UPDATE_CASES = [c for c in MANIFEST if c.get("update")]
 NEG_UPDATE_CASES = [c for c in MANIFEST if c.get("neg_update")]
 assert (
-    len(EVAL_CASES) == 177
+    len(EVAL_CASES) == 179
     and len(NEG_CASES) == 18
     and len(UPDATE_CASES) == 25
     and len(NEG_UPDATE_CASES) == 3
