@@ -445,6 +445,7 @@ def main() -> None:
         "densest_core",
         "ewma_hosts",
         "textrank",
+        "pagerank_weighted",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

@@ -249,7 +249,14 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     )
 
 
-def pagerank(edges: DataFrame, iters: int = 3, damping_pct: int = 85, scale: int = 1_000_000, seeds: DataFrame | None = None) -> DataFrame:
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping_pct: int = 85,
+    scale: int = 1_000_000,
+    seeds: DataFrame | None = None,
+    weight_col: str | None = None,
+) -> DataFrame:
     """Integer-exact PageRank over (src, dst) string edges → (node, rank)
     with `rank` in 1/`scale` units.
 
@@ -275,14 +282,30 @@ def pagerank(edges: DataFrame, iters: int = 3, damping_pct: int = 85, scale: int
     from a vetted host list. Keeping the per-seed base UNDIVIDED (not
     /|S|) preserves exact integers; it equals standard PPR up to the
     positive scalar |S|, so rankings are identical. Same per-iteration
-    plan; the seed flag rides the node spine as a 0/1 column."""
-    edges = edges.select("src", "dst").dropDuplicates()
+    plan; the seed flag rides the node spine as a 0/1 column.
+
+    With `weight_col` (a positive-integer column): WEIGHTED PageRank —
+    contribution = rank·w div strength(u), strength = Σ out-weights
+    (multi-edges pre-summed per (src,dst)). Same integer-exact contract
+    and per-iteration plan; link multiplicity in a host graph is the
+    natural weight. Magnitude bound (stated): rank·w must fit 64 bits —
+    rank ≤ |V|·scale in the worst funnel, so keep Σw per edge ≤ 2⁶³ /
+    (|V|·scale)."""
+    if weight_col is not None:
+        edges = (
+            edges.select("src", "dst", F.col(weight_col).cast("long").alias("__w"))
+            .groupBy("src", "dst")
+            .agg(F.sum("__w").alias("__w"))
+        )
+    else:
+        edges = edges.select("src", "dst").dropDuplicates()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .dropDuplicates()
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("odeg"))
+    wsum = F.sum("__w") if weight_col is not None else F.count(F.lit(1))
+    deg = edges.groupBy("src").agg(wsum.alias("odeg"))
     ed = edges.join(deg, "src")  # degree rides with the edge (one join, reused every iter)
     ed = ed.localCheckpoint(eager=False)
     base = (scale * (100 - damping_pct)) // 100
@@ -297,9 +320,10 @@ def pagerank(edges: DataFrame, iters: int = 3, damping_pct: int = 85, scale: int
         "node", (F.col("is_seed") * F.lit(int(scale))).cast("long").alias("rank")
     )
     for i in range(iters):
+        cexpr = "rank * __w div odeg" if weight_col is not None else "rank div odeg"
         contrib = (
             ed.join(ranks, ed["src"] == ranks["node"])
-            .select("dst", F.expr("rank div odeg").alias("c"))
+            .select("dst", F.expr(cexpr).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )

@@ -15153,3 +15153,57 @@ SELECT doc_id, tok, CAST(rnk AS BIGINT) AS rnk, CAST(pr AS BIGINT) AS score FROM
 SQL_TEXTRANK = _textrank_sql()
 
 QUERIES["textrank"] = (q_textrank, SQL_TEXTRANK)
+
+
+def q_pagerank_weighted(spark, sf):
+    """Weighted PageRank over the chain-with-chords graph with the sssp
+    md5-derived integer edge weights 1..9 (operators/cc.py::pagerank,
+    weight_col): contribution = rank·w div strength. 3 integer-exact
+    rounds; the mirror unrolls the same rounds with identical division
+    order."""
+    from .operators.cc import pagerank
+
+    _r, e = _chain_graph(spark, sf)
+    ew = e.withColumn(
+        "w",
+        F.conv(F.substring(F.md5(F.concat(F.col("src"), F.lit(">"), F.col("dst"))), 1, 15), 16, 10)
+        .cast("long") % 9 + 1,
+    )
+    return pagerank(ew, iters=3, weight_col="w").select(
+        "node", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _pagerank_weighted_sql(iters: int = 3, damping_pct: int = 85, scale: int = 1_000_000) -> str:
+    base = (scale * (100 - damping_pct)) // 100
+    parts = [
+        "WITH " + _CHAIN_SQL + """,
+we AS (
+  SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM (
+    SELECT src, dst,
+           ('0x' || substr(md5(src || '>' || dst), 1, 15))::BIGINT % 9 + 1 AS w
+    FROM raw
+  ) GROUP BY 1, 2
+),
+st AS (SELECT src, CAST(SUM(w) AS BIGINT) AS odeg FROM we GROUP BY 1),
+nodes AS (SELECT src AS node FROM we UNION SELECT dst FROM we),
+""" + f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank FROM nodes)"
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+r{i} AS MATERIALIZED (
+  SELECT n.node,
+         CAST({base} + {damping_pct} * COALESCE(s.acc, 0) // 100 AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM(p.rank * e.w // t.odeg) AS acc
+    FROM we e JOIN st t ON t.src = e.src JOIN r{i - 1} p ON p.node = e.src
+    GROUP BY 1
+  ) s ON s.node = n.node
+)""")
+    parts.append(f"\nSELECT node, rank FROM r{iters}")
+    return "".join(parts)
+
+
+SQL_PAGERANK_WEIGHTED = _pagerank_weighted_sql()
+
+QUERIES["pagerank_weighted"] = (q_pagerank_weighted, SQL_PAGERANK_WEIGHTED)

@@ -1954,6 +1954,14 @@ def main() -> None:
             ("round agg map-side combined", r"HashAggregate|SortAggregate"),
             ("bounded per-doc top-k window", r"Window"),
         ]),
+        ("pagerank_weighted", [
+            # same per-iteration plan as pagerank: strength rides the
+            # edge pre-joined, map-side-combined contribution agg
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("contribution agg map-side combined", r"HashAggregate|SortAggregate"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
         ("ewma_hosts", [
             # lag self-join: equi on the series key with the lag range as
             # a residual filter, one map-side-combined agg — no window

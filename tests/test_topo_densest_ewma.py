@@ -217,3 +217,45 @@ def test_textrank_per_doc_isolation(spark):
     d1 = [t for d, t, _ in out if d == 1]
     d2 = [t for d, t, _ in out if d == 2]
     assert set(d1) == {"link", "farm"} and set(d2) == {"link", "solo"}
+
+
+# ----------------------------------------------------- weighted pagerank
+
+
+def test_pagerank_weighted_splits_by_weight(spark):
+    from ocaml_rdf_spark.operators.cc import pagerank
+
+    e = spark.createDataFrame(
+        [("a", "b", 9), ("a", "c", 1)], "src string, dst string, w long"
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(e, iters=1, weight_col="w").collect()}
+    base = 150_000
+    assert got["b"] == base + 85 * (1_000_000 * 9 // 10) // 100
+    assert got["c"] == base + 85 * (1_000_000 * 1 // 10) // 100
+    assert got["a"] == base  # no in-edges: teleport mass only
+
+
+def test_pagerank_weighted_multi_edge_sums(spark):
+    from ocaml_rdf_spark.operators.cc import pagerank
+
+    # two parallel a->b edges of weight 2 behave as one of weight 4
+    e1 = spark.createDataFrame(
+        [("a", "b", 2), ("a", "b", 2), ("a", "c", 4)], "src string, dst string, w long"
+    )
+    e2 = spark.createDataFrame(
+        [("a", "b", 4), ("a", "c", 4)], "src string, dst string, w long"
+    )
+    g1 = {r["node"]: r["rank"] for r in pagerank(e1, iters=2, weight_col="w").collect()}
+    g2 = {r["node"]: r["rank"] for r in pagerank(e2, iters=2, weight_col="w").collect()}
+    assert g1 == g2
+
+
+def test_pagerank_unit_weights_match_unweighted(spark):
+    from ocaml_rdf_spark.operators.cc import pagerank
+
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")]
+    e = spark.createDataFrame([(s, d, 1) for s, d in pairs], "src string, dst string, w long")
+    eu = spark.createDataFrame(pairs, "src string, dst string")
+    gw = {r["node"]: r["rank"] for r in pagerank(e, iters=3, weight_col="w").collect()}
+    gu = {r["node"]: r["rank"] for r in pagerank(eu, iters=3).collect()}
+    assert gw == gu
