@@ -48,7 +48,7 @@ _TOKEN_RE = re.compile(
   | (?P<STRING>'''(?:[^'\\]|\\.|'(?!''))*'''|\"\"\"(?:[^"\\]|\\.|"(?!""))*\"\"\"|'(?:[^'\\\n]|\\.)*'|"(?:[^"\\\n]|\\.)*")
   | (?P<VAR>[?$][A-Za-z_][A-Za-z_0-9]*)
   | (?P<BNODE>_:[A-Za-z_0-9][A-Za-z_0-9.-]*)
-  | (?P<PNAME>[A-Za-z_][A-Za-z_0-9.-]*?:[A-Za-z_0-9:%.-]*[A-Za-z_0-9:%-]|[A-Za-z_][A-Za-z_0-9.-]*?:|:[A-Za-z_0-9:%.-]*[A-Za-z_0-9:%-]|:)
+  | (?P<PNAME>[A-Za-z_][A-Za-z_0-9.-]*?:(?:\\[_~.!$&'()*+,;=/?\#@%-]|[A-Za-z_0-9:%.-])*(?:\\[_~.!$&'()*+,;=/?\#@%-]|[A-Za-z_0-9:%-])|[A-Za-z_][A-Za-z_0-9.-]*?:|:(?:\\[_~.!$&'()*+,;=/?\#@%-]|[A-Za-z_0-9:%.-])*(?:\\[_~.!$&'()*+,;=/?\#@%-]|[A-Za-z_0-9:%-])|:)
   | (?P<NUM>[+-]?(?:\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?))
   | (?P<KW>[A-Za-z][A-Za-z_0-9]*)
   | (?P<OP>\^\^|&&|\|\||!=|<<|>>|<=|>=|\{\||\|\}|[{}()\[\].,;*/+\-!=<>|^?@a])
@@ -212,7 +212,9 @@ class Parser:
         pfx, _, local = pname.partition(":")
         if pfx not in self.prefixes:
             raise SyntaxError(f"unknown prefix {pfx!r}:")
-        # unescape PN_LOCAL %-style passthrough is fine
+        # PN_LOCAL_ESC: drop the backslash (\. -> .); PERCENT (%41) stays
+        # verbatim per the grammar -- it is NOT percent-decoded
+        local = re.sub(r"\\([_~.!$&'()*+,;=/?#@%-])", r"\1", local)
         return self.prefixes[pfx] + local
 
     def parse_iri_tok(self, t: Tok) -> Iri:

@@ -81,6 +81,14 @@ def load_manifest() -> list[dict]:
                     "negative": True,
                 }
             )
+        elif MF + "PositiveSyntaxTest11" in types:
+            cases.append(
+                {
+                    "name": prop(skey, MF + "name").lexical,
+                    "query": _local(prop(skey, MF + "action")),
+                    "pos_syntax": True,
+                }
+            )
         elif UT + "UpdateEvaluationTest" in types:
             action = prop(skey, MF + "action")
             akey = action.label if isinstance(action, BNode) else action.value
@@ -105,17 +113,20 @@ def load_manifest() -> list[dict]:
 
 
 MANIFEST = load_manifest()
-EVAL_CASES = [c for c in MANIFEST if not c.get("negative") and not c.get("update") and not c.get("neg_update")]
+EVAL_CASES = [c for c in MANIFEST if not c.get("negative") and not c.get("update") and not c.get("neg_update") and not c.get("pos_syntax")]
+POS_SYNTAX_CASES = [c for c in MANIFEST if c.get("pos_syntax")]
 NEG_CASES = [c for c in MANIFEST if c.get("negative")]
 UPDATE_CASES = [c for c in MANIFEST if c.get("update")]
 NEG_UPDATE_CASES = [c for c in MANIFEST if c.get("neg_update")]
 assert (
     len(EVAL_CASES) == 179
+    and len(POS_SYNTAX_CASES) == 15
     and len(NEG_CASES) == 18
     and len(UPDATE_CASES) == 25
     and len(NEG_UPDATE_CASES) == 3
 ), (
-    f"manifest parse found {len(EVAL_CASES)} eval / {len(NEG_CASES)} negative / "
+    f"manifest parse found {len(EVAL_CASES)} eval / {len(POS_SYNTAX_CASES)} pos-syntax / "
+    f"{len(NEG_CASES)} negative / "
     f"{len(UPDATE_CASES)} update / {len(NEG_UPDATE_CASES)} neg-update"
 )
 
@@ -269,6 +280,15 @@ def test_w3c_negative_syntax(case):
 
     with pytest.raises((SyntaxError, IndexError)):
         parse_query(_read(case["query"]))
+
+
+@pytest.mark.parametrize("case", POS_SYNTAX_CASES, ids=[c["name"] for c in POS_SYNTAX_CASES])
+def test_w3c_positive_syntax(case):
+    """PositiveSyntaxTest11: the grammar must ACCEPT the document (parse
+    only, no evaluation) — the breadth companion to the negative set."""
+    from ocaml_rdf_spark.sparql import parse_query
+
+    parse_query(_read(case["query"]))
 
 
 @pytest.mark.parametrize("case", EVAL_CASES, ids=[c["name"] for c in EVAL_CASES])
