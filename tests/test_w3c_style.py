@@ -120,8 +120,8 @@ UPDATE_CASES = [c for c in MANIFEST if c.get("update")]
 NEG_UPDATE_CASES = [c for c in MANIFEST if c.get("neg_update")]
 assert (
     len(EVAL_CASES) == 179
-    and len(POS_SYNTAX_CASES) == 15
-    and len(NEG_CASES) == 18
+    and len(POS_SYNTAX_CASES) == 19
+    and len(NEG_CASES) == 20
     and len(UPDATE_CASES) == 25
     and len(NEG_UPDATE_CASES) == 3
 ), (
