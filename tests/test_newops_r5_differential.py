@@ -142,3 +142,42 @@ def test_ewma_anomaly_fuzz(spark, xs, thr):
         else:
             assert out[t]["pred_milli"] == 1000 * n // d, f"t={t}"
             assert out[t]["anomaly"] == (abs(xs[t - 1] * d - n) * 1000 > thr * d), f"t={t}"
+
+
+wedge = st.tuples(st.integers(0, 5), st.integers(0, 5), st.integers(1, 9))
+wedges_st = st.lists(wedge, min_size=1, max_size=12)
+
+
+def _py_wpr(triples, iters, damping=85, scale=1_000_000):
+    """Weighted PageRank mirror with the operator's exact integer
+    divisions (multi-edges pre-summed)."""
+    w: dict = {}
+    for a, b, wt in triples:
+        w[(a, b)] = w.get((a, b), 0) + wt
+    nodes = {x for (a, b) in w for x in (a, b)}
+    strength: dict = {}
+    for (a, _b), wt in w.items():
+        strength[a] = strength.get(a, 0) + wt
+    base = scale * (100 - damping) // 100
+    pr = {n: scale for n in nodes}
+    for _ in range(iters):
+        acc = {n: 0 for n in nodes}
+        for (a, b), wt in w.items():
+            acc[b] += pr[a] * wt // strength[a]
+        pr = {n: base + damping * acc[n] // 100 for n in nodes}
+    return pr
+
+
+@pytest.mark.usefixtures("spark")
+@settings(**_SETTINGS)
+@given(triples=wedges_st, iters=st.integers(1, 3))
+def test_pagerank_weighted_fuzz(spark, triples, iters):
+    from ocaml_rdf_spark.operators.cc import pagerank
+
+    es = [(f"n{a}", f"n{b}", wt) for a, b, wt in triples if a != b]
+    if not es:
+        return
+    df = spark.createDataFrame(es, "src string, dst string, w long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iters=iters, weight_col="w").collect()}
+    want = _py_wpr([(a, b, wt) for a, b, wt in triples if a != b], iters)
+    assert got == {f"n{n}": v for n, v in want.items()}
