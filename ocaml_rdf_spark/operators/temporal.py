@@ -583,3 +583,60 @@ def ewma_anomaly(
             F.lit(False),
         ).alias("anomaly"),
     )
+
+
+def mann_kendall(
+    df,
+    group_col: str,
+    t_col: str,
+    val_col: str,
+):
+    """Mann-Kendall trend statistic per series (Mann 1945 / Kendall's S;
+    the standard nonparametric "is this series monotonically trending"
+    test — crawl-ops asks it of per-host volume, latency, and quality
+    series where a mean shift test like CUSUM misreads gradual drift):
+
+        S = Σ_{i<j} sign(x_j − x_i),   over pairs ordered by t
+
+    with tau = S / (n(n−1)/2) reported as the pinned integer floor
+    tau_ppm = sign(S)·(10⁶·|S| div pairs) — magnitude-truncated, which
+    both integer-division dialects agree on (Spark div truncates toward
+    zero, DuckDB // floors; they differ on negatives, so the sign is
+    split out). S and the pair count are integers; no variance/normal
+    approximation is taken, so there is no float anywhere. S > 0 rising,
+    < 0 falling, |tau| near 1 strictly monotone.
+
+    Output per group: (group, n, s_stat, tau_ppm); groups with n < 2
+    emit nothing.
+
+    Scale shape: ONE equi-self-join on the series key (t_j > t_i as a
+    residual filter — each series contributes its own n² pairs, never a
+    cross-series product) + one map-side-combined agg. The quadratic
+    pair count is the STATISTIC's size, not a plan defect; bound the
+    series length upstream (windowed series at web scale are
+    fixed-length per host)."""
+    a = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(t_col).cast("long").alias("__ti"),
+        F.col(val_col).cast("long").alias("__xi"),
+    )
+    b = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(t_col).cast("long").alias("__tj"),
+        F.col(val_col).cast("long").alias("__xj"),
+    )
+    pairs = a.join(b, "__g").filter(F.col("__tj") > F.col("__ti"))
+    agg = pairs.groupBy("__g").agg(
+        F.sum(F.signum(F.col("__xj") - F.col("__xi")).cast("long")).alias("s_stat"),
+        F.count(F.lit(1)).alias("__np"),
+    )
+    n = a.groupBy("__g").agg(F.count(F.lit(1)).alias("n"))
+    return agg.join(n, "__g").select(
+        F.col("__g").alias(group_col),
+        F.col("n").cast("long").alias("n"),
+        F.col("s_stat").cast("long").alias("s_stat"),
+        F.expr(
+            "CASE WHEN s_stat < 0 THEN -((1000000 * -s_stat) div __np)"
+            " ELSE (1000000 * s_stat) div __np END"
+        ).cast("long").alias("tau_ppm"),
+    )

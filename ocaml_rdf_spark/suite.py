@@ -15207,3 +15207,49 @@ r{i} AS MATERIALIZED (
 SQL_PAGERANK_WEIGHTED = _pagerank_weighted_sql()
 
 QUERIES["pagerank_weighted"] = (q_pagerank_weighted, SQL_PAGERANK_WEIGHTED)
+
+
+def q_trend_mk(spark, sf):
+    """Mann-Kendall trend per nation over a 30-day synthetic volume
+    series: nations ≡ 0 mod 3 get a rising ramp (+2/day), ≡ 1 mod 3 a
+    falling one, ≡ 2 a flat series with deterministic jitter — the test
+    must sign each correctly (operators/temporal.py::mann_kendall)."""
+    from .operators.temporal import mann_kendall
+
+    na = spark.read.parquet(f"{sf}/nation.parquet")
+    days = na.select(
+        F.col("n_nationkey").alias("g"),
+        F.explode(F.sequence(F.lit(1), F.lit(30))).alias("t"),
+    )
+    x = (
+        F.lit(500)
+        + F.when(F.col("g") % 3 == 0, 2 * F.col("t"))
+        .when(F.col("g") % 3 == 1, -2 * F.col("t"))
+        .otherwise(0)
+        + (F.col("g") * F.col("t")) % 3
+    )
+    series = days.withColumn("x", x.cast("long"))
+    return mann_kendall(series, "g", "t", "x")
+
+
+SQL_TREND_MK = """
+WITH s AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS g, CAST(d.t AS BIGINT) AS t,
+         CAST(500
+              + CASE n_nationkey % 3 WHEN 0 THEN 2 * d.t WHEN 1 THEN -2 * d.t ELSE 0 END
+              + (n_nationkey * d.t) % 3 AS BIGINT) AS x
+  FROM nation, generate_series(1, 30) d(t)
+),
+p AS (
+  SELECT a.g, SIGN(b.x - a.x) AS sg
+  FROM s a JOIN s b ON a.g = b.g AND b.t > a.t
+),
+agg AS (SELECT g, CAST(SUM(sg) AS BIGINT) AS s_stat, COUNT(*) AS np FROM p GROUP BY 1),
+n AS (SELECT g, COUNT(*) AS n FROM s GROUP BY 1)
+SELECT agg.g, CAST(n.n AS BIGINT) AS n, agg.s_stat,
+       CAST(CASE WHEN agg.s_stat < 0 THEN -((1000000 * -agg.s_stat) // agg.np)
+                 ELSE (1000000 * agg.s_stat) // agg.np END AS BIGINT) AS tau_ppm
+FROM agg JOIN n ON n.g = agg.g
+"""
+
+QUERIES["trend_mk"] = (q_trend_mk, SQL_TREND_MK)

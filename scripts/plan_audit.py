@@ -1962,6 +1962,15 @@ def main() -> None:
             ("contribution agg map-side combined", r"HashAggregate|SortAggregate"),
             ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
         ]),
+        ("trend_mk", [
+            # pair self-join is equi on the series key with t_j > t_i as
+            # a residual filter; sign-sum agg map-side combined
+            ("series-key equi join", r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("sign-sum agg map-side combined", r"HashAggregate|SortAggregate"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
         ("ewma_hosts", [
             # lag self-join: equi on the series key with the lag range as
             # a residual filter, one map-side-combined agg — no window

@@ -259,3 +259,34 @@ def test_pagerank_unit_weights_match_unweighted(spark):
     gw = {r["node"]: r["rank"] for r in pagerank(e, iters=3, weight_col="w").collect()}
     gu = {r["node"]: r["rank"] for r in pagerank(eu, iters=3).collect()}
     assert gw == gu
+
+
+# ----------------------------------------------------------- mann-kendall
+
+
+def test_mann_kendall_signs_and_extremes(spark):
+    from ocaml_rdf_spark.operators.temporal import mann_kendall
+
+    rows = (
+        [("up", t, 10 * t) for t in range(1, 11)]
+        + [("down", t, -3 * t) for t in range(1, 11)]
+        + [("flat", t, 7) for t in range(1, 11)]
+    )
+    df = spark.createDataFrame(rows, "g string, t long, x long")
+    out = {r["g"]: r for r in mann_kendall(df, "g", "t", "x").collect()}
+    assert out["up"]["s_stat"] == 45 and out["up"]["tau_ppm"] == 1_000_000
+    assert out["down"]["s_stat"] == -45 and out["down"]["tau_ppm"] == -1_000_000
+    assert out["flat"]["s_stat"] == 0 and out["flat"]["tau_ppm"] == 0
+    assert all(out[g]["n"] == 10 for g in out)
+
+
+def test_mann_kendall_matches_python_mirror(spark):
+    from ocaml_rdf_spark.operators.temporal import mann_kendall
+
+    xs = [5, 9, 2, 2, 7, 1, 8, 8, 3, 10, 4, 6]
+    df = spark.createDataFrame([("h", t + 1, x) for t, x in enumerate(xs)], "g string, t long, x long")
+    out = mann_kendall(df, "g", "t", "x").collect()[0]
+    s = sum((xs[j] > xs[i]) - (xs[j] < xs[i]) for i in range(len(xs)) for j in range(i + 1, len(xs)))
+    np = len(xs) * (len(xs) - 1) // 2
+    want_tau = -((1_000_000 * -s) // np) if s < 0 else (1_000_000 * s) // np
+    assert out["s_stat"] == s and out["n"] == len(xs) and out["tau_ppm"] == want_tau
