@@ -74,7 +74,7 @@ _FAMILY_RULES = [
                   "dp_counts", "graph_anon", "kdeg", "fs_weights")),
     ("sketches_stats", ("kmv", "hll", "cms", "bloom", "quantile",
                         "heavy_hitters", "stats_merge", "changepoint",
-                        "drift", "cusum", "ewma", "trend_mk", "lag_corr", "winsorize", "mad_",
+                        "drift", "cusum", "ewma", "trend_mk", "kendall", "lag_corr", "winsorize", "mad_",
                         "benford", "gini", "bootstrap", "auc", "pr_curve",
                         "calibration", "zonemap", "zorder", "hilbert",
                         "skew_report", "overlap_depth")),
@@ -447,6 +447,7 @@ def main() -> None:
         "textrank",
         "pagerank_weighted",
         "trend_mk",
+        "kendall_metrics",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

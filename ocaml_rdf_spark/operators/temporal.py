@@ -640,3 +640,57 @@ def mann_kendall(
             " ELSE (1000000 * s_stat) div __np END"
         ).cast("long").alias("tau_ppm"),
     )
+
+
+def kendall_tau(
+    df,
+    group_col: str,
+    order_col: str,
+    x_col: str,
+    y_col: str,
+):
+    """Kendall tau-a rank correlation between two metrics per group
+    (Kendall 1938): over pairs ordered by `order_col`,
+
+        S = Σ_{i<j} sign(x_j − x_i)·sign(y_j − y_i)
+
+    tau_ppm = sign(S)·(10⁶·|S| div pairs) — concordant minus discordant
+    over all pairs (tau-a: ties count 0 in the numerator and stay in the
+    denominator; no √ tie-corrections, so everything is integer-exact,
+    same dialect-safe sign-split as mann_kendall). The curation use:
+    does quality metric A actually order documents like metric B, per
+    source — rank agreement without assuming linearity.
+
+    Output per group: (group, n, s_stat, tau_ppm); groups with n < 2
+    emit nothing. Scale shape: identical to mann_kendall — one
+    series-key equi self-join with the order inequality residual, one
+    map-side-combined agg; the quadratic pair count is the statistic's
+    definition, bound series length upstream."""
+    a = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(order_col).cast("long").alias("__ti"),
+        F.col(x_col).cast("long").alias("__xi"),
+        F.col(y_col).cast("long").alias("__yi"),
+    )
+    b = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(order_col).cast("long").alias("__tj"),
+        F.col(x_col).cast("long").alias("__xj"),
+        F.col(y_col).cast("long").alias("__yj"),
+    )
+    pairs = a.join(b, "__g").filter(F.col("__tj") > F.col("__ti"))
+    sgn = F.signum(F.col("__xj") - F.col("__xi")) * F.signum(F.col("__yj") - F.col("__yi"))
+    agg = pairs.groupBy("__g").agg(
+        F.sum(sgn.cast("long")).alias("s_stat"),
+        F.count(F.lit(1)).alias("__np"),
+    )
+    n = a.groupBy("__g").agg(F.count(F.lit(1)).alias("n"))
+    return agg.join(n, "__g").select(
+        F.col("__g").alias(group_col),
+        F.col("n").cast("long").alias("n"),
+        F.col("s_stat").cast("long").alias("s_stat"),
+        F.expr(
+            "CASE WHEN s_stat < 0 THEN -((1000000 * -s_stat) div __np)"
+            " ELSE (1000000 * s_stat) div __np END"
+        ).cast("long").alias("tau_ppm"),
+    )

@@ -15253,3 +15253,41 @@ FROM agg JOIN n ON n.g = agg.g
 """
 
 QUERIES["trend_mk"] = (q_trend_mk, SQL_TREND_MK)
+
+
+def q_kendall_metrics(spark, sf):
+    """Kendall tau-a between two document quality proxies per source —
+    n_chars vs distinct-ish token estimate (a deterministic second
+    metric) over a doc_id-sampled series (quadratic pair count bounded
+    by the sample, the operator's documented lever)."""
+    from .operators.temporal import kendall_tau
+
+    docs = _docs(spark, sf).filter(F.col("doc_id") % 7 == 0)
+    d = docs.select(
+        F.col("source").alias("g"),
+        F.col("doc_id").alias("t"),
+        F.col("n_chars").cast("long").alias("x"),
+        (F.length("text") % 997).cast("long").alias("y"),
+    )
+    return kendall_tau(d, "g", "t", "x", "y")
+
+
+SQL_KENDALL_METRICS = """
+WITH s AS (
+  SELECT source AS g, doc_id AS t, CAST(n_chars AS BIGINT) AS x,
+         CAST(length(text) % 997 AS BIGINT) AS y
+  FROM documents WHERE doc_id % 7 = 0
+),
+p AS (
+  SELECT a.g, SIGN(b.x - a.x) * SIGN(b.y - a.y) AS sg
+  FROM s a JOIN s b ON a.g = b.g AND b.t > a.t
+),
+agg AS (SELECT g, CAST(SUM(sg) AS BIGINT) AS s_stat, COUNT(*) AS np FROM p GROUP BY 1),
+n AS (SELECT g, COUNT(*) AS n FROM s GROUP BY 1)
+SELECT agg.g, CAST(n.n AS BIGINT) AS n, agg.s_stat,
+       CAST(CASE WHEN agg.s_stat < 0 THEN -((1000000 * -agg.s_stat) // agg.np)
+                 ELSE (1000000 * agg.s_stat) // agg.np END AS BIGINT) AS tau_ppm
+FROM agg JOIN n ON n.g = agg.g
+"""
+
+QUERIES["kendall_metrics"] = (q_kendall_metrics, SQL_KENDALL_METRICS)

@@ -1971,6 +1971,13 @@ def main() -> None:
             ("sign-sum agg map-side combined", r"HashAggregate|SortAggregate"),
             ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
         ]),
+        ("kendall_metrics", [
+            # same shape as trend_mk: key-equi pair self-join + sign agg
+            ("series-key equi join", r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
         ("ewma_hosts", [
             # lag self-join: equi on the series key with the lag range as
             # a residual filter, one map-side-combined agg — no window

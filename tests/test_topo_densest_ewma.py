@@ -290,3 +290,18 @@ def test_mann_kendall_matches_python_mirror(spark):
     np = len(xs) * (len(xs) - 1) // 2
     want_tau = -((1_000_000 * -s) // np) if s < 0 else (1_000_000 * s) // np
     assert out["s_stat"] == s and out["n"] == len(xs) and out["tau_ppm"] == want_tau
+
+
+def test_kendall_tau_perfect_and_inverse(spark):
+    from ocaml_rdf_spark.operators.temporal import kendall_tau
+
+    rows = (
+        [("agree", t, t, 10 * t) for t in range(1, 9)]
+        + [("invert", t, t, -t) for t in range(1, 9)]
+        + [("tiesy", t, t, 5) for t in range(1, 9)]
+    )
+    df = spark.createDataFrame(rows, "g string, t long, x long, y long")
+    out = {r["g"]: r for r in kendall_tau(df, "g", "t", "x", "y").collect()}
+    assert out["agree"]["tau_ppm"] == 1_000_000
+    assert out["invert"]["tau_ppm"] == -1_000_000
+    assert out["tiesy"]["tau_ppm"] == 0  # all y ties: numerator 0, pairs kept
