@@ -64,7 +64,7 @@ _FAMILY_RULES = [
                       "license", "char_sets", "sentence_spans", "distinctive",
                       "burstiness", "novelty", "freq_spectrum", "boilerplate",
                       "template_strip", "rel_extract")),
-    ("tokenizer_train", ("vocab", "bpe", "encode_tokens", "kn_counts",
+    ("tokenizer_train", ("feat_hash", "vocab", "bpe", "encode_tokens", "kn_counts",
                          "chunk_docs", "pack_offsets", "skipgram",
                          "neg_samples", "pair_lift", "kg_negs", "transe",
                          "distmult", "rank_metrics")),
@@ -448,6 +448,7 @@ def main() -> None:
         "pagerank_weighted",
         "trend_mk",
         "kendall_metrics",
+        "feat_hash",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

@@ -3163,3 +3163,51 @@ def textrank_keywords(
             F.col("pr").cast("long").alias("score"),
         )
     )
+
+
+def feature_hash(
+    docs: DataFrame,
+    buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hashing-trick term vectorizer (Weinberger et al., ICML 2009): map
+    each house token to bucket = md5(token) mod `buckets` and count per
+    (doc, bucket) → the fixed-width sparse feature rows every
+    vocabulary-free trainer (linear probes, quality classifiers, dedup
+    prefilters) consumes. No vocabulary pass, no driver state — the
+    feature space is defined by the hash, so new shards never shift
+    indices (the property that makes the trick work at corpus scale).
+
+    Deterministic and engine-portable: bucket = first-15-hex-digits of
+    md5 mod buckets, exact integers (the sssp weight-derivation trick),
+    so the suite value-oracles (doc, bucket, cnt) against the identical
+    DuckDB expression. Signed variants (±1 by a second hash bit) add
+    nothing for counts; omitted.
+
+    Scale shape: tokenize is scan-local; ONE map-side-combined
+    groupBy(doc, bucket) whose exchange carries at most
+    min(tokens, buckets) rows per doc."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.split(
+                F.trim(
+                    F.regexp_replace(
+                        F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9 ]", " "),
+                        r" +", " ",
+                    )
+                ),
+                " ",
+            )
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+        % buckets
+    )
+    return (
+        toks.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )

@@ -15291,3 +15291,29 @@ FROM agg JOIN n ON n.g = agg.g
 """
 
 QUERIES["kendall_metrics"] = (q_kendall_metrics, SQL_KENDALL_METRICS)
+
+
+def q_feat_hash(spark, sf):
+    """Hashing-trick features over the documents table, 256 buckets
+    (operators/textops.py::feature_hash) — exact md5-mod bucket ids, one
+    map-side-combined count agg."""
+    from .operators.textops import feature_hash
+
+    return feature_hash(_docs(spark, sf), buckets=256)
+
+
+SQL_FEAT_HASH = """
+WITH toks AS (
+  SELECT doc_id, t AS tok
+  FROM documents,
+       unnest(string_split(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS u(t)
+  WHERE t <> ''
+)
+SELECT doc_id,
+       CAST(('0x' || substr(md5(tok), 1, 15))::BIGINT % 256 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM toks GROUP BY 1, 2
+"""
+
+QUERIES["feat_hash"] = (q_feat_hash, SQL_FEAT_HASH)

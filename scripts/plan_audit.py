@@ -1978,6 +1978,13 @@ def main() -> None:
             ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
             ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
         ]),
+        ("feat_hash", [
+            # tokenize scan-local, one map-side-combined (doc,bucket) agg
+            ("no joins", r"Join", "absent"),
+            ("generator (explode) present", r"Generate"),
+            ("count agg map-side combined", r"HashAggregate"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
         ("ewma_hosts", [
             # lag self-join: equi on the series key with the lag range as
             # a residual filter, one map-side-combined agg — no window

@@ -305,3 +305,25 @@ def test_kendall_tau_perfect_and_inverse(spark):
     assert out["agree"]["tau_ppm"] == 1_000_000
     assert out["invert"]["tau_ppm"] == -1_000_000
     assert out["tiesy"]["tau_ppm"] == 0  # all y ties: numerator 0, pairs kept
+
+
+# ------------------------------------------------------------ feature hash
+
+
+def test_feature_hash_counts_and_stability(spark):
+    import hashlib
+
+    from ocaml_rdf_spark.operators.textops import feature_hash
+
+    docs = _docs_df(spark, ["alpha beta alpha", "beta GAMMA, beta!"])
+    out = {(r["doc_id"], r["bucket"]): r["cnt"] for r in feature_hash(docs, buckets=64).collect()}
+
+    def b(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % 64
+
+    assert out[(1, b("alpha"))] == 2 and out[(1, b("beta"))] == 1
+    assert out[(2, b("beta"))] == 2 and out[(2, b("gamma"))] == 1
+    # index stability: a new shard never shifts existing buckets
+    more = _docs_df(spark, ["alpha delta"])
+    out2 = {(r["doc_id"], r["bucket"]): r["cnt"] for r in feature_hash(more, buckets=64).collect()}
+    assert out2[(1, b("alpha"))] == 1
