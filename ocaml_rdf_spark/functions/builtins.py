@@ -784,24 +784,39 @@ def TIMEZONE(x: E) -> E:
     return E(fn)
 
 
+def _hash1(x: E, col_fn) -> E:
+    """§17.4.4.9-13: the hash family takes a SIMPLE literal or xsd:string
+    only — IRIs, lang-tagged, and typed literals are type errors (rows
+    drop), not hashes of the lexical form."""
+
+    def fn(vm):
+        v = x(vm)
+        ok = (v["kind"] == KIND_LITERAL) & (v["dtype"] == XSD_STRING) & v["lang"].isNull()
+        return F.when(v.isNull() | ~ok, null_term()).otherwise(
+            t_string(col_fn(v["lex"].cast("binary")))
+        )
+
+    return E(fn)
+
+
 def MD5(x: E) -> E:
-    return E(lambda vm: t_string(F.md5(x(vm)["lex"].cast("binary"))))
+    return _hash1(x, F.md5)
 
 
 def SHA1(x: E) -> E:
-    return E(lambda vm: t_string(F.sha1(x(vm)["lex"].cast("binary"))))
+    return _hash1(x, F.sha1)
 
 
 def SHA256(x: E) -> E:
-    return E(lambda vm: t_string(F.sha2(x(vm)["lex"].cast("binary"), 256)))
+    return _hash1(x, lambda c: F.sha2(c, 256))
 
 
 def SHA384(x: E) -> E:
-    return E(lambda vm: t_string(F.sha2(x(vm)["lex"].cast("binary"), 384)))
+    return _hash1(x, lambda c: F.sha2(c, 384))
 
 
 def SHA512(x: E) -> E:
-    return E(lambda vm: t_string(F.sha2(x(vm)["lex"].cast("binary"), 512)))
+    return _hash1(x, lambda c: F.sha2(c, 512))
 
 
 def XSD_CAST(x: E, dtype_iri: str) -> E:

@@ -119,11 +119,11 @@ NEG_CASES = [c for c in MANIFEST if c.get("negative")]
 UPDATE_CASES = [c for c in MANIFEST if c.get("update")]
 NEG_UPDATE_CASES = [c for c in MANIFEST if c.get("neg_update")]
 assert (
-    len(EVAL_CASES) == 179
+    len(EVAL_CASES) == 182
     and len(POS_SYNTAX_CASES) == 19
     and len(NEG_CASES) == 20
     and len(UPDATE_CASES) == 25
-    and len(NEG_UPDATE_CASES) == 3
+    and len(NEG_UPDATE_CASES) == 5
 ), (
     f"manifest parse found {len(EVAL_CASES)} eval / {len(POS_SYNTAX_CASES)} pos-syntax / "
     f"{len(NEG_CASES)} negative / "
