@@ -74,7 +74,7 @@ _FAMILY_RULES = [
                   "dp_counts", "graph_anon", "kdeg", "fs_weights")),
     ("sketches_stats", ("kmv", "hll", "cms", "bloom", "quantile",
                         "heavy_hitters", "stats_merge", "changepoint",
-                        "drift", "cusum", "ewma", "trend_mk", "kendall", "lag_corr", "winsorize", "mad_",
+                        "drift", "cusum", "ewma", "trend_mk", "kendall", "ols_trend", "lag_corr", "winsorize", "mad_",
                         "benford", "gini", "bootstrap", "auc", "pr_curve",
                         "calibration", "zonemap", "zorder", "hilbert",
                         "skew_report", "overlap_depth")),
@@ -449,6 +449,7 @@ def main() -> None:
         "trend_mk",
         "kendall_metrics",
         "feat_hash",
+        "ols_trend",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

@@ -694,3 +694,87 @@ def kendall_tau(
             " ELSE (1000000 * s_stat) div __np END"
         ).cast("long").alias("tau_ppm"),
     )
+
+
+def ols_trend(
+    df,
+    group_col: str,
+    t_col: str,
+    val_col: str,
+):
+    """Per-series ordinary-least-squares trend line, integer-exact: with
+    n, Σt, Σx, Σt², Σx², Σtx as BIGINT sums,
+
+        slope     = (n·Σtx − Σt·Σx) / (n·Σt² − (Σt)²)
+        intercept = (Σx − slope·Σt) / n
+        R²        = (n·Σtx − Σt·Σx)² / ((n·Σt² − (Σt)²)(n·Σx² − (Σx)²))
+
+    reported as slope_milli / intercept_milli / r2_ppm with a PINNED
+    integer evaluation order (sign-split magnitude division at each
+    step, so Spark's truncating div and DuckDB's flooring // agree):
+
+        slope_milli = sdiv(1000·num, den_t)
+        intercept_milli = sdiv(1000·Σx − slope_milli·Σt, n)
+        r2_ppm = sdiv(sdiv(1_000_000·num, den_t)·num, den_x)
+
+    where sdiv(a,b) = sign(a)·(|a| div b). The compounded floors are the
+    price of exactness — both engines compute bit-identical answers, so
+    the suite value-oracles the trend table. Mann-Kendall (same module)
+    answers "is there a trend"; this answers "how steep".
+
+    Magnitude bound (stated): 10⁶·num must fit 64 bits — num ≤ n²·t̄·x̄,
+    so with n ≤ 10⁴ points per series keep values below ~10⁵, or rescale.
+    Degenerate series (constant t: den_t = 0) emit NULL slope/intercept/
+    r2; constant x (den_x = 0) emits r2 NULL. Groups with n < 2 emit
+    nothing.
+
+    Scale shape: ONE map-side-combined aggregation over the series key —
+    six sums, no joins, no windows."""
+    d = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(t_col).cast("long").alias("__t"),
+        F.col(val_col).cast("long").alias("__x"),
+    )
+    agg = d.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__t").alias("st"),
+        F.sum("__x").alias("sx"),
+        F.sum(F.col("__t") * F.col("__t")).alias("stt"),
+        F.sum(F.col("__x") * F.col("__x")).alias("sxx"),
+        F.sum(F.col("__t") * F.col("__x")).alias("stx"),
+    ).filter(F.col("n") >= 2)
+
+    def sdiv(a: str, b: str) -> str:
+        return f"CASE WHEN ({a}) < 0 THEN -((-({a})) div ({b})) ELSE ({a}) div ({b}) END"
+
+    num = "(n * stx - st * sx)"
+    den_t = "(n * stt - st * st)"
+    den_x = "(n * sxx - sx * sx)"
+    slope = sdiv(f"1000 * {num}", den_t)
+    res = (
+        agg.withColumn(
+            "slope_milli",
+            F.expr(f"CASE WHEN {den_t} = 0 THEN NULL ELSE {slope} END").cast("long"),
+        )
+        .withColumn(
+            "intercept_milli",
+            F.expr(
+                "CASE WHEN slope_milli IS NULL THEN NULL ELSE "
+                + sdiv("1000 * sx - slope_milli * st", "n")
+                + " END"
+            ).cast("long"),
+        )
+        .withColumn(
+            "r2_ppm",
+            F.expr(
+                f"CASE WHEN {den_t} = 0 OR {den_x} = 0 THEN NULL ELSE "
+                + sdiv(sdiv(f"1000000 * {num}", den_t) + f" * {num}", den_x)
+                + " END"
+            ).cast("long"),
+        )
+    )
+    return res.select(
+        F.col("__g").alias(group_col),
+        F.col("n").cast("long").alias("n"),
+        "slope_milli", "intercept_milli", "r2_ppm",
+    )

@@ -15317,3 +15317,77 @@ FROM toks GROUP BY 1, 2
 """
 
 QUERIES["feat_hash"] = (q_feat_hash, SQL_FEAT_HASH)
+
+
+def q_ols_trend(spark, sf):
+    """OLS trend per nation over a 40-day series with a planted slope
+    (+3/day for even nations, -1/day odd) and deterministic jitter —
+    slope_milli must recover the plant sign/magnitude per group
+    (operators/temporal.py::ols_trend). NULL sentinels -> -10^15 for the
+    oracle's pandas round-trip (same reason as ewma's -1)."""
+    from .operators.temporal import ols_trend
+
+    na = spark.read.parquet(f"{sf}/nation.parquet")
+    days = na.select(
+        F.col("n_nationkey").alias("g"),
+        F.explode(F.sequence(F.lit(1), F.lit(40))).alias("t"),
+    )
+    x = (
+        F.lit(1000)
+        + F.when(F.col("g") % 2 == 0, 3 * F.col("t")).otherwise(-F.col("t"))
+        + (F.col("g") * F.col("t")) % 5
+    )
+    out = ols_trend(days.withColumn("x", x.cast("long")), "g", "t", "x")
+    sent = F.lit(-(10 ** 15)).cast("long")
+    return out.select(
+        F.col("g").cast("long").alias("g"),
+        "n",
+        F.coalesce("slope_milli", sent).alias("slope_milli"),
+        F.coalesce("intercept_milli", sent).alias("intercept_milli"),
+        F.coalesce("r2_ppm", sent).alias("r2_ppm"),
+    )
+
+
+SQL_OLS_TREND = """
+WITH s AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS g, CAST(d.t AS BIGINT) AS t,
+         CAST(1000 + CASE WHEN n_nationkey % 2 = 0 THEN 3 * d.t ELSE -d.t END
+              + (n_nationkey * d.t) % 5 AS BIGINT) AS x
+  FROM nation, generate_series(1, 40) d(t)
+),
+agg AS (
+  SELECT g, COUNT(*) AS n, SUM(t) AS st, SUM(x) AS sx,
+         SUM(t * t) AS stt, SUM(x * x) AS sxx, SUM(t * x) AS stx
+  FROM s GROUP BY 1 HAVING COUNT(*) >= 2
+),
+c AS (
+  SELECT g, CAST(n AS BIGINT) AS n, st, sx, stt, sxx, stx,
+         (n * stx - st * sx) AS num,
+         (n * stt - st * st) AS den_t,
+         (n * sxx - sx * sx) AS den_x
+  FROM agg
+),
+sl AS (
+  SELECT *, CASE WHEN den_t = 0 THEN NULL
+    WHEN 1000 * num < 0 THEN -((-(1000 * num)) // den_t)
+    ELSE (1000 * num) // den_t END AS slope_milli
+  FROM c
+),
+ic AS (
+  SELECT *, CASE WHEN slope_milli IS NULL THEN NULL
+    WHEN 1000 * sx - slope_milli * st < 0 THEN -((-(1000 * sx - slope_milli * st)) // n)
+    ELSE (1000 * sx - slope_milli * st) // n END AS intercept_milli,
+    CASE WHEN 1000000 * num < 0 THEN -((-(1000000 * num)) // den_t)
+         ELSE (1000000 * num) // den_t END AS q1
+  FROM sl
+)
+SELECT g, n,
+       COALESCE(CAST(slope_milli AS BIGINT), -1000000000000000) AS slope_milli,
+       COALESCE(CAST(intercept_milli AS BIGINT), -1000000000000000) AS intercept_milli,
+       COALESCE(CAST(CASE WHEN den_t = 0 OR den_x = 0 THEN NULL
+         WHEN q1 * num < 0 THEN -((-(q1 * num)) // den_x)
+         ELSE (q1 * num) // den_x END AS BIGINT), -1000000000000000) AS r2_ppm
+FROM ic
+"""
+
+QUERIES["ols_trend"] = (q_ols_trend, SQL_OLS_TREND)

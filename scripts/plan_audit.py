@@ -1985,6 +1985,14 @@ def main() -> None:
             ("count agg map-side combined", r"HashAggregate"),
             ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
         ]),
+        ("ols_trend", [
+            # six-sum single aggregation over the series key, no joins in
+            # the stat itself (the trailing projections are scalar CASEs)
+            ("sums map-side combined", r"HashAggregate"),
+            ("no cartesian product", r"CartesianProduct", "absent"),
+            ("no nested-loop join", r"BroadcastNestedLoopJoin", "absent"),
+            ("JVM-side only (no Python eval)", r"ArrowEvalPython|BatchEvalPython", "absent"),
+        ]),
         ("ewma_hosts", [
             # lag self-join: equi on the series key with the lag range as
             # a residual filter, one map-side-combined agg — no window

@@ -327,3 +327,48 @@ def test_feature_hash_counts_and_stability(spark):
     more = _docs_df(spark, ["alpha delta"])
     out2 = {(r["doc_id"], r["bucket"]): r["cnt"] for r in feature_hash(more, buckets=64).collect()}
     assert out2[(1, b("alpha"))] == 1
+
+
+# ------------------------------------------------------------- ols trend
+
+
+def test_ols_trend_exact_line(spark):
+    from ocaml_rdf_spark.operators.temporal import ols_trend
+
+    # exact line x = 7t + 20: slope 7000 milli, intercept 20000, r2 1e6
+    rows = [("h", t, 7 * t + 20) for t in range(1, 13)]
+    df = spark.createDataFrame(rows, "g string, t long, x long")
+    out = ols_trend(df, "g", "t", "x").collect()[0]
+    assert out["slope_milli"] == 7000
+    assert out["intercept_milli"] == 20000
+    assert out["r2_ppm"] == 1_000_000
+
+
+def test_ols_trend_constant_x_r2_null(spark):
+    from ocaml_rdf_spark.operators.temporal import ols_trend
+
+    rows = [("h", t, 5) for t in range(1, 9)]
+    out = ols_trend(spark.createDataFrame(rows, "g string, t long, x long"), "g", "t", "x").collect()[0]
+    assert out["slope_milli"] == 0 and out["intercept_milli"] == 5000
+    assert out["r2_ppm"] is None
+
+
+def test_ols_trend_matches_python_mirror(spark):
+    from ocaml_rdf_spark.operators.temporal import ols_trend
+
+    xs = [3, 9, 4, 12, 8, 15, 11, 20, 14, 22]
+    rows = [("h", t + 1, x) for t, x in enumerate(xs)]
+    out = ols_trend(spark.createDataFrame(rows, "g string, t long, x long"), "g", "t", "x").collect()[0]
+    n = len(xs)
+    st = sum(range(1, n + 1)); sx = sum(xs)
+    stt = sum(t * t for t in range(1, n + 1)); sxx = sum(x * x for x in xs)
+    stx = sum((i + 1) * x for i, x in enumerate(xs))
+    num = n * stx - st * sx; den_t = n * stt - st * st; den_x = n * sxx - sx * sx
+
+    def sdiv(a, b):
+        return -((-a) // b) if a < 0 else a // b
+
+    slope = sdiv(1000 * num, den_t)
+    assert out["slope_milli"] == slope
+    assert out["intercept_milli"] == sdiv(1000 * sx - slope * st, n)
+    assert out["r2_ppm"] == sdiv(sdiv(1_000_000 * num, den_t) * num, den_x)
