@@ -52,7 +52,7 @@ _FAMILY_RULES = [
     ("dedup_er", ("dedup", "winnow", "clone_pairs", "dup_extents", "cdc_",
                   "containment", "semdedup", "best_keeper", "blocking",
                   "snm_", "metablocking", "er_", "link_edit", "disambiguate",
-                  "fuse_", "truth_weighted", "dawid", "kappa", "krippendorff",
+                  "fuse_", "truth_weighted", "dawid", "kappa", "fleiss", "krippendorff",
                   "edit_verify", "phonetic", "copy_detect")),
     ("embedding_ann", ("ann_", "kmeans", "jl_project", "pq", "geo_nn",
                        "dbscan", "bitext")),
@@ -450,6 +450,7 @@ def main() -> None:
         "kendall_metrics",
         "feat_hash",
         "ols_trend",
+        "fleiss_items",
     ]
     # quiet-window protocol (r2 task 3): each query timed over R rounds,
     # report the MEDIAN — a single co-tenant-perturbed run (host CPU steal

@@ -1394,3 +1394,68 @@ def cat_drift(a: DataFrame, b: DataFrame, cat_col: str) -> DataFrame:
         pick.alias("top_mover"),
         F.max(F.struct(F.col("d").alias("d"), F.col("c"))).getField("d").cast("long").alias("top_dev_ppm"),
     )
+
+
+def fleiss_kappa(ratings: DataFrame, item_col: str = "item", cat_col: str = "cat") -> DataFrame:
+    """Fleiss' kappa for N items each rated by the SAME number n of
+    raters into categories (Fleiss 1971) — the multi-rater completion of
+    this module's agreement family (cohen_kappa: 2 raters;
+    krippendorff_alpha: missing-data general case; dawid_skene:
+    per-rater reliability). Input: one row per rating (item, cat).
+
+        P̄_o = Σ_i Σ_j n_ij(n_ij−1) / (N·n·(n−1))
+        P̄_e = Σ_j C_j²            / (N·n)²
+        κ   = (P̄_o − P̄_e) / (1 − P̄_e)
+
+    Everything is a ratio of BIGINT sums, so κ is the exact rational
+    (Po_n·Pe_d − Pe_n·Po_d) / (Po_d·(Pe_d − Pe_n)) reported as the
+    sign-split integer kappa_ppm (both division dialects agree) — no
+    floats, value-oracled cross-engine. Output: ONE row
+    (n_items, n_raters, kappa_ppm); kappa_ppm NULL when P̄_e = 1 (all
+    raters always in one category — κ undefined).
+
+    Raises ValueError if items have unequal rating counts (Fleiss
+    requires a balanced design; use krippendorff_alpha for missing
+    data). Magnitude bound (stated): 10⁶·Po_n·Pe_d must fit 64 bits —
+    fine through N·n ~ 10⁶ ratings; beyond that rescale to per-shard
+    kappas.
+
+    Scale shape: one (item, cat) map-side-combined count, one slim
+    category rollup, 1-row broadcast totals — no joins over the raw
+    ratings."""
+    cell = ratings.groupBy(
+        F.col(item_col).alias("__i"), F.col(cat_col).alias("__c")
+    ).agg(F.count(F.lit(1)).alias("nij"))
+    per_item = cell.groupBy("__i").agg(
+        F.sum("nij").alias("ni"), F.sum(F.col("nij") * (F.col("nij") - 1)).alias("po_i")
+    )
+    distinct_n = per_item.select("ni").distinct().limit(2).collect()
+    if len(distinct_n) != 1:
+        raise ValueError("fleiss_kappa: items have unequal rating counts")
+    n_raters = distinct_n[0]["ni"]
+    cat_tot = cell.groupBy("__c").agg(F.sum("nij").alias("cj"))
+    tot = per_item.agg(
+        F.count(F.lit(1)).alias("n_items"), F.sum("po_i").alias("po_n")
+    ).crossJoin(F.broadcast(cat_tot.agg(F.sum(F.col("cj") * F.col("cj")).alias("pe_n"))))
+    n = int(n_raters)
+    sdiv = (
+        "CASE WHEN ({a}) < 0 THEN -((-({a})) div ({b})) ELSE ({a}) div ({b}) END"
+    )
+    num = f"(po_n * pe_d - pe_n * po_d)"
+    den = f"(po_d * (pe_d - pe_n))"
+    dec = "DECIMAL(38,0)"
+    return (
+        tot.withColumn("po_d", (F.col("n_items") * n * (n - 1)).cast("long"))
+        .withColumn("pe_d", (F.col("n_items") * n * F.col("n_items") * n).cast("long"))
+        .withColumn("__num", F.expr(f"CAST(po_n AS {dec}) * pe_d - CAST(pe_n AS {dec}) * po_d"))
+        .withColumn("__den", F.expr(f"CAST(po_d AS {dec}) * (pe_d - pe_n)"))
+        .select(
+            F.col("n_items").cast("long").alias("n_items"),
+            F.lit(n).cast("long").alias("n_raters"),
+            F.expr(
+                "CASE WHEN pe_d = pe_n THEN NULL ELSE "
+                + sdiv.format(a=f"CAST(1000000 AS {dec}) * __num", b="__den")
+                + " END"
+            ).cast("long").alias("kappa_ppm"),
+        )
+    )

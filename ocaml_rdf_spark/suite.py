@@ -15391,3 +15391,54 @@ FROM ic
 """
 
 QUERIES["ols_trend"] = (q_ols_trend, SQL_OLS_TREND)
+
+
+def q_fleiss_items(spark, sf):
+    """Fleiss' kappa over a synthetic 5-rater labeling of customers:
+    rater r labels customer k as category (k % 4) unless (k + r) % 7 = 0,
+    in which case they disagree to ((k + r) % 4) — planted
+    mostly-agreeing design, exact rational kappa
+    (operators/stats.py::fleiss_kappa)."""
+    from .operators.stats import fleiss_kappa
+
+    cu = spark.read.parquet(f"{sf}/customer.parquet")
+    k = F.col("c_custkey")
+    r = F.col("r")
+    ratings = cu.select(
+        k.alias("item"), F.explode(F.sequence(F.lit(1), F.lit(5))).alias("r")
+    ).select(
+        "item",
+        F.when((F.col("item") + r) % 7 == 0, (F.col("item") + r) % 4)
+        .otherwise(F.col("item") % 4).cast("long").alias("cat"),
+    )
+    return fleiss_kappa(ratings, "item", "cat")
+
+
+SQL_FLEISS_ITEMS = """
+WITH ratings AS (
+  SELECT c_custkey AS item,
+         CAST(CASE WHEN (c_custkey + d.r) % 7 = 0 THEN (c_custkey + d.r) % 4
+              ELSE c_custkey % 4 END AS BIGINT) AS cat
+  FROM customer, generate_series(1, 5) d(r)
+),
+cell AS (SELECT item, cat, COUNT(*) AS nij FROM ratings GROUP BY 1, 2),
+pi AS (SELECT item, SUM(nij) AS ni, SUM(nij * (nij - 1)) AS po_i FROM cell GROUP BY 1),
+ct AS (SELECT CAST(SUM(cj * cj) AS BIGINT) AS pe_n FROM (SELECT cat, SUM(nij) AS cj FROM cell GROUP BY 1)),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items, CAST(SUM(po_i) AS BIGINT) AS po_n FROM pi),
+c AS (
+  SELECT n_items, CAST(5 AS BIGINT) AS n_raters,
+         CAST(po_n AS HUGEINT) AS po_n, CAST(pe_n AS HUGEINT) AS pe_n,
+         CAST(n_items * 5 * 4 AS HUGEINT) AS po_d,
+         CAST(n_items * 5 * n_items * 5 AS HUGEINT) AS pe_d
+  FROM t, ct
+)
+SELECT CAST(n_items AS BIGINT) AS n_items, n_raters,
+       CAST(CASE WHEN pe_d = pe_n THEN NULL
+         WHEN 1000000 * (po_n * pe_d - pe_n * po_d) < 0
+           THEN -((-(1000000 * (po_n * pe_d - pe_n * po_d))) // (po_d * (pe_d - pe_n)))
+         ELSE (1000000 * (po_n * pe_d - pe_n * po_d)) // (po_d * (pe_d - pe_n))
+       END AS BIGINT) AS kappa_ppm
+FROM c
+"""
+
+QUERIES["fleiss_items"] = (q_fleiss_items, SQL_FLEISS_ITEMS)

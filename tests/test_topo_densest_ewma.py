@@ -372,3 +372,56 @@ def test_ols_trend_matches_python_mirror(spark):
     assert out["slope_milli"] == slope
     assert out["intercept_milli"] == sdiv(1000 * sx - slope * st, n)
     assert out["r2_ppm"] == sdiv(sdiv(1_000_000 * num, den_t) * num, den_x)
+
+
+# ----------------------------------------------------------- fleiss kappa
+
+
+def test_fleiss_kappa_perfect_and_random(spark):
+    from ocaml_rdf_spark.operators.stats import fleiss_kappa
+
+    # perfect agreement: every item's 3 raters pick the same category
+    rows = [(i, i % 2) for i in range(1, 9) for _ in range(3)]
+    df = spark.createDataFrame(rows, "item long, cat long")
+    out = fleiss_kappa(df).collect()[0]
+    assert out["kappa_ppm"] == 1_000_000 and out["n_raters"] == 3
+
+    # all raters one category on every item: Pe = 1 -> undefined
+    uni = spark.createDataFrame([(i, 0) for i in range(1, 5) for _ in range(3)], "item long, cat long")
+    assert fleiss_kappa(uni).collect()[0]["kappa_ppm"] is None
+
+
+def test_fleiss_kappa_matches_python_mirror(spark):
+    from ocaml_rdf_spark.operators.stats import fleiss_kappa
+
+    import itertools
+    cats = [0, 1, 2, 0, 1]
+    rows = []
+    for i in range(1, 13):
+        for r in range(4):
+            rows.append((i, cats[(i * (r + 1)) % 5]))
+    df = spark.createDataFrame(rows, "item long, cat long")
+    out = fleiss_kappa(df).collect()[0]
+    N, n = 12, 4
+    from collections import Counter
+    po_n = 0
+    cj = Counter()
+    for i in range(1, 13):
+        c = Counter(cats[(i * (r + 1)) % 5] for r in range(4))
+        po_n += sum(v * (v - 1) for v in c.values())
+        cj.update(c)
+    pe_n = sum(v * v for v in cj.values())
+    po_d, pe_d = N * n * (n - 1), (N * n) ** 2
+    num = po_n * pe_d - pe_n * po_d
+    den = po_d * (pe_d - pe_n)
+    want = -((-(1_000_000 * num)) // den) if num < 0 else (1_000_000 * num) // den
+    assert out["kappa_ppm"] == want
+
+
+def test_fleiss_kappa_unbalanced_raises(spark):
+    from ocaml_rdf_spark.operators.stats import fleiss_kappa
+
+    df = spark.createDataFrame([(1, 0), (1, 1), (2, 0)], "item long, cat long")
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        fleiss_kappa(df)
