@@ -119,7 +119,7 @@ NEG_CASES = [c for c in MANIFEST if c.get("negative")]
 UPDATE_CASES = [c for c in MANIFEST if c.get("update")]
 NEG_UPDATE_CASES = [c for c in MANIFEST if c.get("neg_update")]
 assert (
-    len(EVAL_CASES) == 188
+    len(EVAL_CASES) == 190
     and len(POS_SYNTAX_CASES) == 19
     and len(NEG_CASES) == 20
     and len(UPDATE_CASES) == 25
